@@ -1,24 +1,35 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints exactly one JSON line the driver parses into BENCH_r{N}.json.
+  *
+  * Uses GraftSession so bench runs see the SAME configs (AQE, shuffle
+  * partitions = SPARK_GRAFT_CPUS, zstd, UTC) as the library and tests.
+  */
 object Bench {
+  /** Headline subset: one representative per operator family (agg, join,
+    * window top-k, dedup, ANN, text). Full inventory runs in Verify. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_join_pricing", "q_topk_orders", "q_dedup_exact",
+    "q_dedup_minhash", "q_ann_topk", "q_text_stats")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.queries
+    val names = headline.filter(qs.contains)
+    // Warm-up: JVM + parquet footer caches, one tiny action.
+    try qs.get("q1_agg").foreach(_(spark, sfDir).count()) catch { case _: Throwable => () }
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,29 +4,35 @@ import org.apache.spark.sql.SparkSession
 
 /** Session factory with scale-aware defaults.
   *
-  * The engine targets multi-executor clusters; locally we run `local[32]`.
+  * The engine targets multi-executor clusters; locally we run `local[N]`.
   * Shuffle partitions are sized to the local core count (not Spark's default
   * 200) and AQE is on so skewed stages re-plan at runtime — at cluster scale
   * the same configs hold with `spark.sql.shuffle.partitions` sized to
   * 2-3x total cores.
   */
 object GraftSession {
-  def builder(appName: String = "graft"): SparkSession.Builder = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  /** SPARK_GRAFT_CPUS parsed once, validated; every consumer (library,
+    * Bench, Verify, tests) sees the same value. */
+  val cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(32)
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Hash pipelines (rolling hash, MinHash) rely on deterministic 64-bit
+      // wraparound; Spark 4's ANSI default would throw on long overflow.
+      .config("spark.sql.ansi.enabled", "false")
+      // testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
+      // vectorized reader rejects; read as long and convert in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
-  }
 
   /** Local session for tests / CLI runs outside spark-submit. */
-  def local(appName: String = "graft"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  def local(appName: String = "graft"): SparkSession =
     builder(appName).master(s"local[$cpus]").getOrCreate()
-  }
 }

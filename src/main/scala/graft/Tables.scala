@@ -2,26 +2,29 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Parquet-backed table catalog over the driver's synthetic testdata
-  * (see TESTDATA.md). Scans are plain `spark.read.parquet` so Catalyst's
-  * column pruning + filter pushdown reach the parquet reader unimpeded.
+/** Parquet-backed table catalog over the driver's synthetic testdata.
+  * Scans are plain `spark.read.parquet` so Catalyst's column pruning +
+  * filter pushdown reach the parquet reader unimpeded.
+  *
+  * TESTDATA.md documents 8 tables; the fixture dirs additionally ship
+  * `documents` and `embeddings` (used by the LLM-pipeline operators), so
+  * both are listed here.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
-
-  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
-  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
-  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
-  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
-  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
-  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
-  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS): read as long nanos (see GraftSession's
+    // nanosAsLong) and truncate to microseconds — same floor conversion
+    // DuckDB applies, so oracle timestamps agree bit-for-bit.
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      case None => df
+    }
+  }
 }

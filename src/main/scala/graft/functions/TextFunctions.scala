@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, over a
+  * `documents`-like table (`doc_id, text, lang, source, n_chars`).
+  *
+  * The reference has no text ops (its metadata values pass through opaque,
+  * `core/adapter.py:33-42`); these are the engine-side extensions the
+  * north-star plan calls for. Everything is built from codegen'd Spark
+  * built-ins — `split`, `regexp_count`, `filter`, `aggregate` — so the hot
+  * path stays inside whole-stage codegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the trimmed text (empty string → 0 tokens). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word chunks of <=4 chars plus standalone
+    * digits/punctuation, approximating a byte-pair tokenizer's token count
+    * without a vocab. Deterministic, regex-only. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation chars to total chars (0 for empty text). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(length(text) === 0, 0.0).otherwise(punct.cast("double") / length(text))
+  }
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that")
+
+  /** Fraction of whitespace tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val sw = size(filter(toks, t => lower(t).isInCollection(stopwords)))
+    when(size(toks) === 0, 0.0).otherwise(sw.cast("double") / size(toks))
+  }
+
+  /** Mean token length in chars (0 for empty). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents with a
+    * healthy stopword presence and low punctuation noise. Deterministic,
+    * closed-form — mirrors the heuristics of public quality filters
+    * (Gopher/C4 rules) without model inference. */
+  def qualityScore(text: Column): Column = {
+    val ntok = tokenCount(text).cast("double")
+    val lengthScore = least(ntok / 16.0, lit(1.0)) // 16+ tokens → full marks
+    val swScore = least(stopwordRatio(text) * 4.0, lit(1.0)) // 25%+ stopwords → full
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round((lengthScore * 0.4 + swScore * 0.3 + punctPenalty * 0.3), 6)
+  }
+
+  /** Language-ID via marker-token voting: scores each candidate language by
+    * counting occurrences of its most-frequent function words, picks the
+    * argmax, `und` when nothing matches. N-gram-frequency heuristic in the
+    * fastText/CLD tradition, reduced to codegen-able regex counts. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "it" -> Seq("il", "la", "di", "che", "per"))
+
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), lower(_))
+    // struct(score, negIdx) max → deterministic tie-break by map order
+    val scored = langMarkers.toSeq.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(markers))).as("score"),
+        lit(-i).as("tie"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** 64-bit FNV-1a content fingerprint of the exact text — exact-dedup key
+    * with cheap comparison; xxhash64 is Spark-native and codegen'd. */
+  def fingerprint(text: Column): Column = xxhash64(text)
+
+  /** Rolling (Rabin-Karp-style) hash of the token stream: order-sensitive
+    * polynomial hash, so token *reorderings* change the fingerprint while
+    * whitespace differences do not. aggregate() keeps it codegen'd. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(1469598103934665603L),
+      (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
+
+  /** Character n-gram shingles (lowercased, whitespace collapsed) — input to
+    * MinHash / Jaccard dedup. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    val count = length(norm) - (n - 1)
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), count), i => norm.substr(i, lit(n)))))
+  }
+
+  /** Word n-gram shingles over whitespace tokens — input to n-gram Jaccard. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = transform(tokens(text), lower(_))
+    val count = size(toks) - (n - 1)
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** |A ∩ B| / |A ∪ B| over two string-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0.0, 0.0).otherwise(inter / union)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `ArrayType(FloatType|DoubleType)` columns.
+  *
+  * The reference ships NO vector math of its own (it only moves vectors:
+  * `adapters/pgvector.py:120` casts pgvector text to a list, and sinks pick a
+  * distance metric by *name*, e.g. the Qdrant distance map
+  * `adapters/qdrant.py:163-169` with Cosine/Euclid/Dot). Our engine makes
+  * those metrics first-class columnar expressions.
+  *
+  * All functions are compositions of Spark built-ins (`zip_with`,
+  * `aggregate`, `transform`) so they stay inside whole-stage codegen — no
+  * Scala UDF boxing, no Python. Elements are cast to double before
+  * accumulation for a deterministic, oracle-matchable result regardless of
+  * the stored element type (float32 in the testdata).
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Σ aᵢbᵢ */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), _ * _), lit(0.0), _ + _)
+
+  /** Σ aᵢ² (internal building block) */
+  private def sq(a: Column): Column =
+    aggregate(d(a), lit(0.0), (acc, x) => acc + x * x)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = sqrt(sq(a))
+
+  /** ‖a-b‖₂ — the reference's "Euclid" metric (`adapters/qdrant.py:165`). */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+
+  /** a·b / (‖a‖‖b‖) — the reference's "Cosine" metric
+    * (`adapters/qdrant.py:164`). 0.0 when either norm is 0 (no NaN). */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
+  }
+
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** a / ‖a‖₂ (unchanged if zero vector). Pre-normalizing embeddings turns
+    * cosine top-k into dot-product top-k — one aggregate per candidate
+    * instead of three at 100 TB scale. */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, d(a)).otherwise(transform(d(a), _ / n))
+  }
+
+  /** Vector dimension. */
+  def dim(a: Column): Column = size(a)
+
+  /** Element-wise sum, for centroid-style aggregations:
+    * `groupBy(k).agg(VectorFunctions.sumVectors(...))` is expressed as
+    * built-in array ops so partial aggregation (map-side combine) applies. */
+  def add(a: Column, b: Column): Column = zip_with(d(a), d(b), _ + _)
+
+  def scale(a: Column, s: Column): Column = transform(d(a), _ * s)
+}
