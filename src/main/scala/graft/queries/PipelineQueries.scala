@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.ops._
+
+/** LLM-training-data pipeline operators as driver-checkable queries:
+  * text analysis, dedup (exact → fuzzy), similarity search, sessionization,
+  * multimodal plumbing. Oracle SQL is generated from the SAME Scala
+  * constants (stopwords, language markers, quality weights) so the two
+  * sides cannot drift.
+  */
+object PipelineQueries {
+
+  // ---- shared SQL fragments (DuckDB dialect) ----
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+  private val stopSql = sqlList(TextFunctions.defaultStopwords)
+  // cosine over DOUBLE[] exactly as VectorFunctions.cosineSimilarity: dot/(|a||b|)
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- T1 transform parity: metadata enrichment (add_source_tracking) ----
+    "q_transform_enrich" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("source_db", lit("pgvector"))
+        .withColumn("migration_batch", col("doc_id") % 10)
+        .select("doc_id", "source", "source_db", "migration_batch")),
+
+    // ---- Text analysis ----
+    "q_text_stats" -> ((s, dir) => TextAnalysis.documentStats(Tables(s, dir, "documents"))),
+    "q_text_quality" -> ((s, dir) => TextAnalysis.qualityFilter(Tables(s, dir, "documents"), 0.5)),
+    "q_text_langid" -> ((s, dir) => TextAnalysis.languageId(Tables(s, dir, "documents"))),
+    "q_text_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("content_md5"))),
+    // xxhash64/rolling-hash: Spark-native hashes, no DuckDB twin → rows-only
+    "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
+
+    // ---- Dedup ----
+    "q_dedup_exact" -> ((s, dir) => Dedup.exactDuplicates(Tables(s, dir, "documents"))),
+    "q_dedup_exact_vec" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .groupBy(col("embedding"))
+        .agg(min("vec_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")),
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), blockCol = "source", threshold = 0.05)),
+    "q_dedup_cosine" -> ((s, dir) =>
+      Dedup.cosineNearDupPairs(Tables(s, dir, "embeddings"), blockCol = "label", threshold = 0.3)),
+    // MinHash/SimHash use Spark-native xxhash64 → rows-only checks
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashDuplicatePairs(Tables(s, dir, "documents"), threshold = 0.3)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("fp"))),
+
+    // ---- Similarity search ----
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3, bits = 4)
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), k = 3)
+    }),
+
+    // ---- Sessionization (batch) ----
+    "q_sessionize" -> ((s, dir) => Sessionize.sessions(Tables(s, dir, "events"))),
+
+    // ---- Multimodal plumbing ----
+    "q_mm_meta" -> ((s, dir) =>
+      Multimodal.packBinary(Tables(s, dir, "documents"))
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          col("meta.byte_len").as("byte_len"), col("meta.sha256").as("sha256"))),
+    "q_mm_features" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.extractFeatures(Multimodal.packBinary(Tables(s, dir, "documents"))))
+        .select("media_id", "width", "height", "n_frames", "mean_byte", "sampled_frames"))
+  )
+
+  def oracleSql: Map[String, String] = {
+    // text stats building blocks, inlined per use
+    val ntok = s"len($toksSql)"
+    val nsub = """len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))"""
+    val punct = "(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))"
+    val punctRatio = s"CASE WHEN length(text)=0 THEN 0.0 ELSE CAST($punct AS DOUBLE)/length(text) END"
+    val nstop = s"len(list_filter($toksSql, t -> lower(t) IN $stopSql))"
+    val stopRatio = s"CASE WHEN $ntok=0 THEN 0.0 ELSE CAST($nstop AS DOUBLE)/$ntok END"
+    val meanTok = s"CASE WHEN $ntok=0 THEN 0.0 ELSE " +
+      s"CAST(list_aggregate(list_transform($toksSql, t -> length(t)), 'sum') AS DOUBLE)/$ntok END"
+    val quality = s"round((least(CAST($ntok AS DOUBLE)/16.0, 1.0)*0.4 + " +
+      s"least($stopRatio*4.0, 1.0)*0.3 + greatest(0.0, 1.0 - $punctRatio*5.0)*0.3), 6)"
+    // langid CASE chain in langMarkers order (first max wins = Spark tie-break)
+    val scores = TextFunctions.langMarkers.map { case (lang, markers) =>
+      lang -> s"len(list_filter($toksSql, t -> lower(t) IN ${sqlList(markers)}))"
+    }
+    val allZero = scores.map(_._2 + " = 0").mkString(" AND ")
+    val caseChain = scores.map { case (lang, sc) =>
+      val geAll = scores.filter(_._1 != lang).map(o => s"$sc >= ${o._2}").mkString(" AND ")
+      s"WHEN $geAll THEN '$lang'"
+    }.mkString(" ")
+    val langCase = s"CASE WHEN $allZero THEN 'und' $caseChain END"
+
+    // word-3gram shingles of lowercased text (matches TextFunctions.wordShingles)
+    val shingles = "list_distinct(list_transform(generate_series(1, greatest(len(ltoks)-2, 0)), " +
+      "i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2]))"
+    val ltoksFrom = "(SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS ltoks FROM documents)"
+
+    Map(
+      "q_transform_enrich" ->
+        ("SELECT doc_id, source, 'pgvector' AS source_db, doc_id % 10 AS migration_batch " +
+          "FROM documents"),
+      "q_text_stats" ->
+        (s"SELECT doc_id, $ntok AS n_tokens, $nsub AS n_subwords, " +
+          s"length(text) AS n_chars_actual, round($punctRatio, 6) AS punct_ratio, " +
+          s"round($stopRatio, 6) AS stopword_ratio, round($meanTok, 6) AS mean_tok_len " +
+          "FROM documents"),
+      "q_text_quality" ->
+        (s"SELECT doc_id, $quality AS quality, $quality >= 0.5 AS keep FROM documents"),
+      "q_text_langid" ->
+        (s"SELECT doc_id, $langCase AS lang_pred FROM documents"),
+      "q_text_fingerprint" ->
+        "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+      "q_dedup_exact" ->
+        ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
+          "md5(lower(trim(text))) AS content_md5 FROM documents GROUP BY lower(trim(text))"),
+      "q_dedup_exact_vec" ->
+        ("SELECT min(vec_id) AS keep_id, count(*) AS n_copies FROM embeddings " +
+          "GROUP BY embedding"),
+      "q_dedup_ngram_jaccard" ->
+        (s"WITH sh AS (SELECT doc_id, source, $shingles AS sh FROM $ltoksFrom), " +
+          "p AS (SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b, " +
+          "round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 ELSE " +
+          "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END, 6) AS jaccard " +
+          "FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id) " +
+          "SELECT * FROM p WHERE jaccard >= 0.05"),
+      "q_dedup_cosine" ->
+        ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+          "p AS (SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b, " +
+          s"round(${cosSql("a.v", "b.v")}, 6) AS cosine " +
+          "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+          "SELECT * FROM p WHERE cosine >= 0.3"),
+      "q_ann_topk" ->
+        ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv " +
+          "FROM embeddings WHERE vec_id < 5), " +
+          "c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings), " +
+          s"s AS (SELECT query_id, cand_id, round(${cosSql("qv", "cv")}, 6) AS score " +
+          "FROM q JOIN c ON cand_id <> query_id) " +
+          "SELECT query_id, cand_id, score, CAST(rn AS INT) AS rk FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY score DESC, cand_id ASC) AS rn FROM s) WHERE rn <= 3"),
+      "q_sessionize" ->
+        ("WITH e AS (SELECT user_id, event_id, value, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+          "w AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e), " +
+          "s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) " +
+          "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM w) " +
+          "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, " +
+          "round(sum(value), 2) AS session_value, " +
+          "max(us) - min(us) AS duration_us FROM s GROUP BY user_id, session_id"),
+      "q_mm_meta" ->
+        ("SELECT doc_id AS media_id, 'text/plain' AS mime, " +
+          "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256 " +
+          "FROM documents")
+    )
+  }
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Vector-math operator inventory over the `embeddings` table: the distance
+  * metrics the reference only names when creating collections
+  * (`adapters/qdrant.py:163-169` Cosine/Euclid/Dot) made first-class, plus
+  * normalize and distributed centroids.
+  */
+object VectorQueries {
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_norms" -> ((s, dir) =>
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(l2Norm(col("embedding")), 6).as("l2"),
+        dim(col("embedding")).as("d"))),
+
+    // consecutive-id pairs: dot / cosine / l2 distance
+    "q_vec_pair_metrics" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(
+          col("id_a"),
+          round(dotProduct(col("va"), col("vb")), 6).as("dot"),
+          round(cosineSimilarity(col("va"), col("vb")), 6).as("cosine"),
+          round(l2Distance(col("va"), col("vb")), 6).as("l2_dist"))
+    }),
+
+    "q_vec_normalize" -> ((s, dir) =>
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(element_at(normalize(col("embedding")), 1), 6).as("u1"),
+        round(l2Norm(normalize(col("embedding"))), 6).as("unit_norm"))),
+
+    // distributed centroid: posexplode → partial-agg on (label, pos).
+    // At 100 TB this is THE scalable layout: map-side combine shrinks the
+    // shuffle to |labels|×dim rows regardless of input size.
+    "q_vec_centroid" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
+        .select(col("label"), (col("pos") + 1).as("pos"), col("centroid_v")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_vec_norms" ->
+      ("SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        "CAST(embedding AS DOUBLE[]))), 6) AS l2, CAST(len(embedding) AS INT) AS d FROM embeddings"),
+    "q_vec_pair_metrics" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) " +
+        "SELECT a.vec_id AS id_a, " +
+        "round(list_dot_product(a.v, b.v), 6) AS dot, " +
+        s"round(${cosSql("a.v", "b.v")}, 6) AS cosine, " +
+        "round(sqrt(list_dot_product(list_transform(range(len(a.v)), i -> a.v[i+1]-b.v[i+1]), " +
+        "list_transform(range(len(a.v)), i -> a.v[i+1]-b.v[i+1]))), 6) AS l2_dist " +
+        "FROM e a JOIN e b ON b.vec_id = a.vec_id + 1"),
+    "q_vec_normalize" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, " +
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n " +
+        "FROM embeddings) " +
+        "SELECT vec_id, round(CASE WHEN n = 0 THEN v[1] ELSE v[1]/n END, 6) AS u1, " +
+        "round(CASE WHEN n = 0 THEN n ELSE sqrt(list_dot_product(" +
+        "list_transform(v, x -> x/n), list_transform(v, x -> x/n))) END, 6) AS unit_norm " +
+        "FROM e"),
+    "q_vec_centroid" ->
+      ("SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS centroid_v FROM " +
+        "(SELECT label, generate_subscripts(embedding, 1) AS pos, " +
+        "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) " +
+        "GROUP BY label, pos")
+  )
+}
