@@ -1,0 +1,75 @@
+package graft.cli
+
+import org.apache.spark.sql.DataFrame
+import graft.GraftSession
+import graft.core.Migrator
+
+/** CLI with the reference's flag surface (`cli/migrate.py:151-233`):
+  * `--config <json>` (required), `--transform <class>`, `--verbose`,
+  * `--version`; exit code 0 on success, 1 on failure.
+  *
+  * `--transform` names a class implementing `DataFrame => DataFrame` with a
+  * no-arg constructor — the JVM equivalent of the reference's dynamic
+  * module loading (`cli/migrate.py:66-93`). Like the reference, a transform
+  * that cannot be loaded degrades to a warning + no-op, not an abort.
+  */
+object Main {
+  val version = "0.2.0"
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  def run(args: Array[String]): Int = {
+    var config: Option[String] = None
+    var transformCls: Option[String] = None
+    var verbose = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--config" | "-c" => config = Some(args(i + 1)); i += 2
+        case "--transform" | "-t" => transformCls = Some(args(i + 1)); i += 2
+        case "--verbose" | "-v" => verbose = true; i += 1
+        case "--version" => println(s"graft $version"); return 0
+        case "--help" | "-h" => println(usage); return 0
+        case other => System.err.println(s"unknown argument: $other\n$usage"); return 1
+      }
+    }
+    config match {
+      case None => System.err.println(s"--config is required\n$usage"); 1
+      case Some(path) =>
+        val transform: Option[DataFrame => DataFrame] = transformCls.flatMap { cls =>
+          try Some(Class.forName(cls).getDeclaredConstructor().newInstance()
+            .asInstanceOf[DataFrame => DataFrame])
+          catch {
+            case e: Exception =>
+              // degrade to no-op like cli/migrate.py:83-93
+              System.err.println(s"warning: could not load transform $cls (${e.getMessage}); continuing without")
+              None
+          }
+        }
+        val spark = GraftSession.local("graft-migrate")
+        if (!verbose) spark.sparkContext.setLogLevel("WARN")
+        try {
+          val report = Migrator.runMigration(spark, path, transform)
+          if (verbose || !report.success) println(report)
+          if (report.success) {
+            println(s"migration complete: ${report.written} records " +
+              s"${report.sourceType} -> ${report.targetType}" +
+              (if (report.skipped > 0) s" (${report.skipped} skipped)" else ""))
+            0
+          } else {
+            System.err.println(s"migration failed: ${report.error.getOrElse("unknown error")}")
+            1
+          }
+        } catch {
+          case e: Exception => System.err.println(s"migration failed: ${e.getMessage}"); 1
+        } finally spark.stop()
+    }
+  }
+
+  private val usage =
+    """usage: graft-migrate --config <config.json> [--transform <class>] [--verbose] [--version]
+      |  --config/-c     migration config JSON (same shape as the reference tool)
+      |  --transform/-t  fully-qualified class implementing DataFrame => DataFrame
+      |  --verbose/-v    verbose logging + full run report
+      |  --version       print version and exit""".stripMargin
+}

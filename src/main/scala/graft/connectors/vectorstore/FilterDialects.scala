@@ -1,0 +1,281 @@
+package graft.connectors.vectorstore
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import scala.jdk.CollectionConverters._
+
+/** Backend filter dialects, both directions:
+  *
+  *  - `parse`: backend-native filter (config `query.filter`) → Spark Column,
+  *    replacing the reference's pass-the-string-through model
+  *    (`adapters/pgvector.py:99`, `adapters/qdrant.py:105`,
+  *    `adapters/milvus.py:102`) with a parsed, optimizable predicate.
+  *  - `render`: Catalyst pushdown [[Filter]]s → backend filter syntax, the
+  *    DSv2 `SupportsPushDownFilters` side the reference never had.
+  *
+  * Predicates reference the canonical columns: `id`, or `metadata.<key>`
+  * (rendered per backend's addressing: payload keys for Qdrant, scalar
+  * fields for Milvus, SQL columns for pgvector).
+  */
+trait FilterDialect extends Serializable {
+  def name: String
+  /** Backend-native filter string → Spark Column over canonical schema. */
+  def parse(filter: String): Column
+  /** Catalyst pushdown filter → backend-native syntax; None = unsupported
+    * (Spark re-applies it post-scan — an upgrade on the reference, which
+    * cannot evaluate anything engine-side). */
+  def render(f: Filter): Option[String]
+}
+
+private object DialectUtil {
+  /** Canonical column for an attribute name: `id` stays, anything else is a
+    * metadata key lookup. */
+  def attr(name: String): Column =
+    if (name == "id") col("id") else element_at(col("metadata"), stripMeta(name))
+
+  def stripMeta(name: String): String =
+    if (name.startsWith("metadata.")) name.substring("metadata.".length) else name
+
+  def litStr(v: Any): String = v match {
+    case s: String => s"'${s.replace("'", "''")}'"
+    case other => String.valueOf(other)
+  }
+
+  /** Metadata values are strings in canonical shape; compare numerically
+    * when the literal is numeric. */
+  def cmp(name: String, v: Any): (Column, Column) = v match {
+    case n: Number => (attr(name).cast("double"), lit(n.doubleValue()))
+    case other => (attr(name), lit(String.valueOf(other)))
+  }
+}
+
+/** SQL WHERE dialect (pgvector): `parse` delegates to Spark's SQL parser —
+  * the filter is a SQL boolean expression over id/metadata keys. */
+class SqlWhereDialect extends FilterDialect {
+  import DialectUtil._
+  override def name: String = "sql"
+
+  override def parse(filter: String): Column = expr(filter)
+
+  override def render(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => Some(s"${stripMeta(a)} = ${litStr(v)}")
+    case GreaterThan(a, v) => Some(s"${stripMeta(a)} > ${litStr(v)}")
+    case GreaterThanOrEqual(a, v) => Some(s"${stripMeta(a)} >= ${litStr(v)}")
+    case LessThan(a, v) => Some(s"${stripMeta(a)} < ${litStr(v)}")
+    case LessThanOrEqual(a, v) => Some(s"${stripMeta(a)} <= ${litStr(v)}")
+    case In(a, vs) => Some(s"${stripMeta(a)} IN (${vs.map(litStr).mkString(", ")})")
+    case IsNull(a) => Some(s"${stripMeta(a)} IS NULL")
+    case IsNotNull(a) => Some(s"${stripMeta(a)} IS NOT NULL")
+    case StringStartsWith(a, p) => Some(s"${stripMeta(a)} LIKE ${litStr(p + "%")}")
+    case And(l, r) => for { ls <- render(l); rs <- render(r) } yield s"($ls AND $rs)"
+    case Or(l, r) => for { ls <- render(l); rs <- render(r) } yield s"($ls OR $rs)"
+    case Not(c) => render(c).map(s => s"NOT ($s)")
+    case _ => None
+  }
+}
+
+/** Qdrant structured-filter dialect: JSON `{"must":[{"key":k,"match":
+  * {"value":v}}], "should":[...], "must_not":[...]}` with `match`/`range`
+  * conditions — the shape the reference forwards verbatim
+  * (`adapters/qdrant.py:84,105`; example in
+  * `examples/qdrant_to_pgvector_config.json`). */
+class QdrantFilterDialect extends FilterDialect {
+  import DialectUtil._
+  override def name: String = "qdrant"
+  @transient private lazy val mapper = new ObjectMapper()
+
+  override def parse(filter: String): Column = {
+    val root = mapper.readTree(filter)
+    parseClauseList(root)
+  }
+
+  private def parseClauseList(n: JsonNode): Column = {
+    def conds(key: String): Seq[Column] =
+      Option(n.get(key)).map(_.elements().asScala.map(parseCond).toSeq).getOrElse(Nil)
+    val must = conds("must")
+    val should = conds("should")
+    val mustNot = conds("must_not")
+    val parts =
+      (if (must.nonEmpty) Seq(must.reduce(_ && _)) else Nil) ++
+        (if (should.nonEmpty) Seq(should.reduce(_ || _)) else Nil) ++
+        (if (mustNot.nonEmpty) Seq(!mustNot.reduce(_ || _)) else Nil)
+    if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
+  }
+
+  private def parseCond(c: JsonNode): Column = {
+    if (c.has("must") || c.has("should") || c.has("must_not")) return parseClauseList(c)
+    val key = Option(c.get("key")).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException(s"qdrant condition missing key: $c"))
+    if (c.has("match")) {
+      val m = c.get("match")
+      val v = Option(m.get("value")).getOrElse(m.get("text"))
+      if (v.isNumber) attr(key).cast("double") === v.asDouble() else attr(key) === v.asText()
+    } else if (c.has("range")) {
+      val r = c.get("range")
+      Seq("gt" -> ((a: Column, b: Double) => a > b), "gte" -> ((a: Column, b: Double) => a >= b),
+        "lt" -> ((a: Column, b: Double) => a < b), "lte" -> ((a: Column, b: Double) => a <= b))
+        .flatMap { case (k, op) =>
+          Option(r.get(k)).map(v => op(attr(key).cast("double"), v.asDouble())) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+    } else throw new IllegalArgumentException(s"unsupported qdrant condition: $c")
+  }
+
+  override def render(f: Filter): Option[String] = f match {
+    case EqualTo(a, v: String) =>
+      Some(s"""{"must":[{"key":"${stripMeta(a)}","match":{"value":"$v"}}]}""")
+    case EqualTo(a, v: Number) =>
+      Some(s"""{"must":[{"key":"${stripMeta(a)}","match":{"value":$v}}]}""")
+    case GreaterThan(a, v: Number) =>
+      Some(s"""{"must":[{"key":"${stripMeta(a)}","range":{"gt":$v}}]}""")
+    case GreaterThanOrEqual(a, v: Number) =>
+      Some(s"""{"must":[{"key":"${stripMeta(a)}","range":{"gte":$v}}]}""")
+    case LessThan(a, v: Number) =>
+      Some(s"""{"must":[{"key":"${stripMeta(a)}","range":{"lt":$v}}]}""")
+    case LessThanOrEqual(a, v: Number) =>
+      Some(s"""{"must":[{"key":"${stripMeta(a)}","range":{"lte":$v}}]}""")
+    case And(l, r) => for { ls <- render(l); rs <- render(r) } yield
+      s"""{"must":[$ls,$rs]}"""
+    case Or(l, r) => for { ls <- render(l); rs <- render(r) } yield
+      s"""{"should":[$ls,$rs]}"""
+    case Not(c) => render(c).map(s => s"""{"must_not":[$s]}""")
+    case _ => None
+  }
+}
+
+/** Milvus boolean-expression dialect: `field == value && other > 3`
+  * (`adapters/milvus.py:101-111`). Recursive-descent parser for the
+  * documented grammar subset: comparisons, `in`, `like`, `&&`/`and`,
+  * `||`/`or`, `!`/`not`, parens. */
+class MilvusExprDialect extends FilterDialect {
+  import DialectUtil._
+  override def name: String = "milvus"
+
+  override def parse(filter: String): Column = new MilvusParser(filter).parseExpr()
+
+  override def render(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => Some(s"${stripMeta(a)} == ${litStr(v)}")
+    case GreaterThan(a, v) => Some(s"${stripMeta(a)} > ${litStr(v)}")
+    case GreaterThanOrEqual(a, v) => Some(s"${stripMeta(a)} >= ${litStr(v)}")
+    case LessThan(a, v) => Some(s"${stripMeta(a)} < ${litStr(v)}")
+    case LessThanOrEqual(a, v) => Some(s"${stripMeta(a)} <= ${litStr(v)}")
+    case In(a, vs) => Some(s"${stripMeta(a)} in [${vs.map(litStr).mkString(", ")}]")
+    case And(l, r) => for { ls <- render(l); rs <- render(r) } yield s"($ls && $rs)"
+    case Or(l, r) => for { ls <- render(l); rs <- render(r) } yield s"($ls || $rs)"
+    case Not(c) => render(c).map(s => s"!($s)")
+    case _ => None
+  }
+}
+
+/** Tiny recursive-descent parser for Milvus filter expressions. */
+private class MilvusParser(input: String) {
+  import DialectUtil._
+  private var pos = 0
+
+  def parseExpr(): Column = {
+    val c = parseOr()
+    skipWs()
+    require(pos >= input.length, s"trailing input at $pos in: $input")
+    c
+  }
+
+  private def parseOr(): Column = {
+    var left = parseAnd()
+    while (eat("||") || eatWord("or")) left = left || parseAnd()
+    left
+  }
+
+  private def parseAnd(): Column = {
+    var left = parseNot()
+    while (eat("&&") || eatWord("and")) left = left && parseNot()
+    left
+  }
+
+  private def parseNot(): Column =
+    if (eat("!") || eatWord("not")) !parseNot() else parsePrimary()
+
+  private def parsePrimary(): Column = {
+    skipWs()
+    if (eat("(")) { val c = parseOr(); require(eat(")"), s"missing ) at $pos"); c }
+    else parseComparison()
+  }
+
+  private def parseComparison(): Column = {
+    val field = parseIdent()
+    skipWs()
+    if (eatWord("in")) {
+      require(eat("["), s"expected [ after in at $pos")
+      val vals = scala.collection.mutable.ArrayBuffer[Any]()
+      while (!eat("]")) { vals += parseValue(); eat(",") }
+      vals.headOption match {
+        case Some(_: Double) => attr(field).cast("double")
+          .isInCollection(vals.map(_.asInstanceOf[Double]).toSeq)
+        case _ => attr(field).isInCollection(vals.map(String.valueOf(_)).toSeq)
+      }
+    } else if (eatWord("like")) {
+      parseValue() match {
+        case s: String => attr(field).like(s)
+        case v => throw new IllegalArgumentException(s"like needs a string, got $v")
+      }
+    } else {
+      val op = Seq("==", "!=", ">=", "<=", ">", "<").find(eat)
+        .getOrElse(throw new IllegalArgumentException(s"expected comparison op at $pos in: $input"))
+      parseValue() match {
+        case d: Double =>
+          val a = attr(field).cast("double")
+          op match {
+            case "==" => a === d; case "!=" => a =!= d; case ">" => a > d
+            case ">=" => a >= d; case "<" => a < d; case "<=" => a <= d
+          }
+        case v =>
+          val a = attr(field)
+          val s = String.valueOf(v)
+          op match {
+            case "==" => a === s; case "!=" => a =!= s; case ">" => a > s
+            case ">=" => a >= s; case "<" => a < s; case "<=" => a <= s
+          }
+      }
+    }
+  }
+
+  private def parseIdent(): String = {
+    skipWs()
+    val start = pos
+    while (pos < input.length && (input(pos).isLetterOrDigit || "._".contains(input(pos)))) pos += 1
+    require(pos > start, s"expected identifier at $start in: $input")
+    input.substring(start, pos)
+  }
+
+  private def parseValue(): Any = {
+    skipWs()
+    if (pos < input.length && (input(pos) == '"' || input(pos) == '\'')) {
+      val quote = input(pos); pos += 1
+      val start = pos
+      while (pos < input.length && input(pos) != quote) pos += 1
+      require(pos < input.length, s"unterminated string at $start")
+      val s = input.substring(start, pos); pos += 1
+      s
+    } else {
+      val start = pos
+      while (pos < input.length && (input(pos).isDigit || "+-.eE".contains(input(pos)))) pos += 1
+      require(pos > start, s"expected value at $start in: $input")
+      input.substring(start, pos).toDouble
+    }
+  }
+
+  private def skipWs(): Unit = while (pos < input.length && input(pos).isWhitespace) pos += 1
+
+  private def eat(tok: String): Boolean = {
+    skipWs()
+    if (input.startsWith(tok, pos)) { pos += tok.length; true } else false
+  }
+
+  private def eatWord(w: String): Boolean = {
+    skipWs()
+    val end = pos + w.length
+    if (end <= input.length && input.substring(pos, end).equalsIgnoreCase(w) &&
+      (end == input.length || !input(end).isLetterOrDigit)) { pos = end; true }
+    else false
+  }
+}

@@ -1,0 +1,323 @@
+package graft.connectors.vectorstore
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.model.Canonical
+
+/** DataSource V2 over [[VectorStore]]: the Spark-native re-expression of
+  * the reference's Qdrant/Milvus/Pinecone adapters. Scans are partitioned
+  * scroll pages with filter/column/limit/offset pushdown
+  * (`SupportsPushDown*`); writes are per-partition batched upserts —
+  * the executor-side version of the driver-side batching at
+  * `adapters/qdrant.py:233-249`.
+  *
+  * Subclasses fix the short name, the filter dialect, and the write rules
+  * of each emulated backend.
+  */
+abstract class VectorStoreProvider extends TableProvider with DataSourceRegister {
+  def dialect: FilterDialect
+  def rules: WriteRules
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Canonical.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new VSTable(collectionName(opts), shortName(), dialect, rules, opts)
+  }
+
+  protected def collectionName(opts: CaseInsensitiveStringMap): String = {
+    val base = Option(opts.get("collection"))
+      .getOrElse(throw new IllegalArgumentException(s"${shortName()} needs option 'collection'"))
+    // Pinecone addresses data as index + namespace (examples/
+    // pinecone_to_pgvector_config.json "query" block)
+    Option(opts.get("namespace")).filter(_.nonEmpty).map(ns => s"$base::$ns").getOrElse(base)
+  }
+}
+
+/** Per-backend sink semantics (SURVEY §2 K1–K4). */
+case class WriteRules(
+    /** Milvus: collection must pre-exist (`adapters/milvus.py:154-160`). */
+    requireExisting: Boolean = false,
+    /** Milvus: records without id are skipped, not errors (`adapters/milvus.py:187-193`). */
+    skipMissingId: Boolean = false,
+    /** Qdrant: digit-string ids become ints (`adapters/qdrant.py:220-222`). */
+    coerceDigitIds: Boolean = false,
+    /** Qdrant distance whitelist (`adapters/qdrant.py:163-169`). */
+    allowedDistances: Set[String] = Set("Cosine", "Euclid", "Dot", "Euclidean", "DotProduct"))
+
+class VSTable(collection: String, source: String, dialect: FilterDialect, rules: WriteRules,
+              opts: CaseInsensitiveStringMap)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"$source:$collection"
+  override def schema(): StructType = Canonical.schema
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
+    TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VSScanBuilder(collection, dialect,
+      Option(options.get("page_size")).map(_.toInt).getOrElse(1000))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new VSWriteBuilder(collection, rules, info.options())
+}
+
+// ---------------------------------------------------------------- read side
+
+class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownOffset {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = Canonical.schema
+  private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept what the dialect can express; Spark re-evaluates the rest —
+    // strictly better than the reference, which can't evaluate post-hoc
+    val (ok, rest) = filters.partition(f => dialect.render(f).isDefined)
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def pushOffset(n: Int): Boolean =
+    // exact offset needs the global order — only sound in one partition
+    // (SURVEY §7.4); with a pushed limit we scan single-partition anyway
+    if (limit.isDefined) { offset = Some(n); true } else false
+
+  override def build(): Scan =
+    new VSScan(collection, dialect, pushed, required, limit, offset, pageSize)
+}
+
+case class VSInputPartition(start: Int, end: Int) extends InputPartition
+
+class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
+             required: StructType, limit: Option[Int], offset: Option[Int], pageSize: Int)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val fs = pushed.flatMap(dialect.render).mkString(" AND ")
+    s"VectorStoreScan($collection, dialect=${dialect.name}, pushed=[$fs], " +
+      s"limit=$limit, offset=$offset)"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = VectorStore.count(collection)
+    limit match {
+      // pushed limit+offset: single scroll from the head — the reference's
+      // pagination semantics (one ordered page)
+      case Some(l) =>
+        val off = offset.getOrElse(0)
+        Array(VSInputPartition(off, math.min(off + l, total)))
+      case None =>
+        // full scan: one scroll per page range, executors pull pages in
+        // parallel (emulating per-shard scroll; fixes the single-page
+        // truncation defect, adapters/qdrant.py:99-106)
+        if (total == 0) Array(VSInputPartition(0, 0))
+        else (0 until total by pageSize).map(s =>
+          VSInputPartition(s, math.min(s + pageSize, total))).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VSReaderFactory(collection, pushed, required, pageSize)
+}
+
+class VSReaderFactory(collection: String, pushed: Array[Filter], required: StructType,
+                      pageSize: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new VSPartitionReader(collection, partition.asInstanceOf[VSInputPartition], pushed,
+      required, pageSize)
+}
+
+/** Scrolls the assigned range page by page, applies the pushed filters
+  * "backend-side" (this emulates the DB evaluating the rendered filter),
+  * and emits only the pruned columns. */
+class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Array[Filter],
+                        required: StructType, pageSize: Int)
+  extends PartitionReader[InternalRow] {
+
+  private var cursor = part.start
+  private var page: Iterator[VSRecord] = Iterator.empty
+  private var current: VSRecord = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (page.hasNext) {
+        val r = page.next()
+        if (pushed.forall(FilterEval.eval(_, r))) { current = r; return true }
+      } else if (cursor < part.end) {
+        val n = math.min(pageSize, part.end - cursor)
+        page = VectorStore.scroll(collection, cursor, n).iterator
+        cursor += n
+      } else return false
+    }
+    false
+  }
+
+  override def get(): InternalRow = {
+    val values = required.fields.map { f =>
+      f.name match {
+        case Canonical.ID => UTF8String.fromString(current.id)
+        case Canonical.VECTOR =>
+          if (current.vector == null) null
+          else new GenericArrayData(current.vector.map(_.asInstanceOf[Any]))
+        case Canonical.METADATA => FilterEval.toMapData(current.metadata)
+        case other => throw new IllegalArgumentException(s"unknown column: $other")
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Evaluates Catalyst pushdown filters against a [[VSRecord]] — the
+  * "backend query engine" of the emulation. */
+object FilterEval {
+  private def attr(name: String, r: VSRecord): Option[String] =
+    if (name == Canonical.ID) Option(r.id)
+    else r.metadata.get(DialectUtil.stripMeta(name))
+
+  private def cmp(name: String, v: Any, r: VSRecord)(op: Int => Boolean): Boolean =
+    attr(name, r).exists { s =>
+      v match {
+        case n: Number => s.toDoubleOption.exists(d => op(d.compareTo(n.doubleValue())))
+        case other => op(s.compareTo(String.valueOf(other)))
+      }
+    }
+
+  def eval(f: Filter, r: VSRecord): Boolean = f match {
+    case EqualTo(a, v) => cmp(a, v, r)(_ == 0)
+    case GreaterThan(a, v) => cmp(a, v, r)(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(a, v, r)(_ >= 0)
+    case LessThan(a, v) => cmp(a, v, r)(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(a, v, r)(_ <= 0)
+    case In(a, vs) => vs.exists(v => cmp(a, v, r)(_ == 0))
+    case IsNull(a) => attr(a, r).isEmpty
+    case IsNotNull(a) => attr(a, r).isDefined
+    case StringStartsWith(a, p) => attr(a, r).exists(_.startsWith(p))
+    case StringEndsWith(a, p) => attr(a, r).exists(_.endsWith(p))
+    case StringContains(a, p) => attr(a, r).exists(_.contains(p))
+    case And(l, rr) => eval(l, r) && eval(rr, r)
+    case Or(l, rr) => eval(l, r) || eval(rr, r)
+    case Not(c) => !eval(c, r)
+    case _ => true // unsupported filters were never pushed
+  }
+
+  def toMapData(m: Map[String, String]): MapData = {
+    val keys = new GenericArrayData(m.keys.map(k => UTF8String.fromString(k)).toArray[Any])
+    val vals = new GenericArrayData(m.values.map(v =>
+      if (v == null) null else UTF8String.fromString(v)).toArray[Any])
+    new ArrayBasedMapData(keys, vals)
+  }
+}
+
+// --------------------------------------------------------------- write side
+
+class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiveStringMap)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val distance = Option(opts.get("distance")).getOrElse("Cosine")
+      require(rules.allowedDistances.contains(distance),
+        s"unsupported distance: $distance (valid: ${rules.allowedDistances.mkString(", ")})")
+      val recreate = doTruncate || Option(opts.get("recreate")).exists(_.toBoolean)
+      if (rules.requireExisting && !recreate && !VectorStore.exists(collection))
+        throw new IllegalStateException(
+          s"collection $collection does not exist (this backend requires pre-created collections)")
+      // collection DDL happens once, on the driver — like the reference's
+      // create-before-load (adapters/qdrant.py:188-212)
+      VectorStore.createCollection(collection,
+        CollectionConfig(distance = distance,
+          dim = Option(opts.get("dim")).map(_.toInt).getOrElse(0),
+          onDisk = Option(opts.get("on_disk")).exists(_.toBoolean),
+          props = Map() ++ Option(opts.get("hnsw_m")).map("hnsw_m" -> _)
+            ++ Option(opts.get("hnsw_ef_construct")).map("hnsw_ef_construct" -> _)),
+        recreate = recreate)
+      new VSBatchWrite(collection, rules,
+        Option(opts.get("batch_size")).map(_.toInt).getOrElse(100))
+    }
+  }
+}
+
+case class VSCommit(written: Long, skipped: Long) extends WriterCommitMessage
+
+class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new VSWriterFactory(collection, rules, batchSize)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class VSWriterFactory(collection: String, rules: WriteRules, batchSize: Int)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new VSDataWriter(collection, rules, batchSize)
+}
+
+/** Executor-side writer: buffers `batchSize` records then upserts — the
+  * distributed form of the reference's batch loop
+  * (`adapters/pgvector.py:223-233`, `adapters/qdrant.py:233-249`). */
+class VSDataWriter(collection: String, rules: WriteRules, batchSize: Int)
+  extends DataWriter[InternalRow] {
+
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
+  private var written = 0L
+  private var skipped = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val rawId = if (row.isNullAt(0)) null else row.getUTF8String(0).toString
+    if (rawId == null || rawId.isEmpty) {
+      if (rules.skipMissingId) { skipped += 1; return }
+      else throw new IllegalArgumentException("record with null/empty id")
+    }
+    val id = if (rules.coerceDigitIds && rawId.forall(_.isDigit))
+      rawId.toLongOption.map(_.toString).getOrElse(rawId) else rawId
+    val vector = if (row.isNullAt(1)) null else row.getArray(1).toFloatArray()
+    val metadata = if (row.isNullAt(2)) Map.empty[String, String] else {
+      val m = row.getMap(2)
+      val keys = m.keyArray(); val vals = m.valueArray()
+      (0 until m.numElements()).map { i =>
+        keys.getUTF8String(i).toString ->
+          (if (vals.isNullAt(i)) null else vals.getUTF8String(i).toString)
+      }.toMap
+    }
+    buf += VSRecord(id, vector, metadata)
+    if (buf.length >= batchSize) flush()
+  }
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    written += VectorStore.upsert(collection, buf.toSeq)
+    buf.clear()
+  }
+
+  override def commit(): WriterCommitMessage = { flush(); VSCommit(written, skipped) }
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}

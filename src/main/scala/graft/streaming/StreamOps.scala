@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over an events-shaped stream
+  * (`event_id, ts, user_id, event_type, value`).
+  *
+  * The reference is batch-only ("incremental migration" is listed future
+  * work, `README.md:286`); these are the engine's streaming extensions:
+  * watermarked tumbling/sliding windows and stateful gap sessionization via
+  * `flatMapGroupsWithState` — the streaming twin of
+  * [[graft.ops.Sessionize]].
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark;
+  * sessionization state is one small struct per active user key, dropped on
+  * timeout. Both shuffle once on their grouping key — same plan shape a
+  * 1000-executor cluster runs.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums with late-data handling. */
+  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window event rate. */
+  def slidingRate(events: DataFrame, windowLen: String = "10 minutes",
+                  slide: String = "5 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,
+                        session_value: Double, duration_us: Long)
+
+  /** Stateful gap sessionization: emits a session when `gapMinutes` pass
+    * without events for a user (event-time via processing-timeout on the
+    * state — emitted on timeout or stream end). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.sessionStart, s.nEvents, s.sumValue,
+              s.lastSeen - s.sessionStart))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              st match {
+                case Some(s) if us - s.lastSeen <= gapUs =>
+                  st = Some(s.copy(lastSeen = us, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  out += SessionOut(user, s.sessionStart, s.nEvents, s.sumValue,
+                    s.lastSeen - s.sessionStart)
+                  st = Some(SessionState(us, us, 1L, e.value))
+                case None =>
+                  st = Some(SessionState(us, us, 1L, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen / 1000L + gapMinutes.toLong * 60L * 1000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** File-based streaming migration: watch a directory of parquet drops and
+    * continuously upsert into a sink via `foreachBatch` reusing the batch
+    * connector — the "incremental migration" the reference left as future
+    * work (`README.md:286`). Returns the prepared writer (caller starts it). */
+  def incrementalMigration(spark: org.apache.spark.sql.SparkSession, watchDir: String,
+                           writeBatch: (DataFrame, Long) => Unit) = {
+    val stream = spark.readStream
+      .schema(graft.model.Canonical.schema)
+      .parquet(watchDir)
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], id: Long) => writeBatch(batch.toDF(), id) }
+  }
+  private type Row = org.apache.spark.sql.Row
+}

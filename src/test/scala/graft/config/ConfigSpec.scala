@@ -1,0 +1,73 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigSpec extends AnyFunSuite {
+
+  test("parses the reference config shape") {
+    val cfg = MigrationConfig.fromJson(
+      """{
+        |  "source": {
+        |    "type": "pgvector",
+        |    "connection": {"host": "localhost", "port": "5432", "database": "vectordb"},
+        |    "query": {"table_name": "embeddings", "id_column": "id",
+        |              "vector_column": "embedding", "metadata_columns": ["name", "cat"],
+        |              "limit": 100, "offset": 5, "filter_condition": "cat = 'a'"}
+        |  },
+        |  "target": {
+        |    "type": "qdrant",
+        |    "connection": {"url": "http://localhost:6333"},
+        |    "load": {"collection_name": "vectors", "recreate_collection": true,
+        |             "distance": "Cosine", "batch_size": 500}
+        |  }
+        |}""".stripMargin)
+    assert(cfg.source.kind == "pgvector")
+    val q = cfg.source.query.get
+    assert(q.collection == "embeddings" && q.idColumn == "id")
+    assert(q.vectorColumn.contains("embedding"))
+    assert(q.metadataColumns == Seq("name", "cat"))
+    assert(q.limit.contains(100L) && q.offset.contains(5L))
+    assert(q.filter.contains("cat = 'a'"))
+    val l = cfg.target.load.get
+    assert(l.collection == "vectors" && l.recreate && l.distance == "Cosine" && l.batchSize == 500)
+  }
+
+  test("tolerates the docker example's *_params key variant") {
+    // examples/pgvector_to_milvus_docker_config.json uses connection_params/
+    // query_params/load_params, which the reference silently ignores — we accept both
+    val cfg = MigrationConfig.fromJson(
+      """{"source": {"type": "milvus", "connection_params": {"host": "h"},
+        |            "query_params": {"collection_name": "c"}},
+        | "target": {"type": "parquet", "connection_params": {"path": "/tmp"},
+        |            "load_params": {"table_name": "t"}}}""".stripMargin)
+    assert(cfg.source.connection == Map("host" -> "h"))
+    assert(cfg.source.query.get.collection == "c")
+    assert(cfg.target.load.get.collection == "t")
+  }
+
+  test("qdrant structured filters stay JSON") {
+    val cfg = MigrationConfig.fromJson(
+      """{"source": {"type": "qdrant", "connection": {},
+        |            "query": {"collection_name": "c",
+        |                      "filter": {"must": [{"key": "cat", "match": {"value": "x"}}]}}},
+        | "target": {"type": "memory", "connection": {}, "load": {"collection": "out"}}}""".stripMargin)
+    val f = cfg.source.query.get.filter.get
+    assert(f.contains("\"must\"") && f.contains("\"cat\""))
+  }
+
+  test("missing blocks and types raise ConfigException like the reference's ValueError") {
+    assertThrows[ConfigException](MigrationConfig.fromJson("""{"target": {"type": "x"}}"""))
+    assertThrows[ConfigException](MigrationConfig.fromJson("""{"source": {"type": "x"}}"""))
+    assertThrows[ConfigException](MigrationConfig.fromJson("""{"source": {}, "target": {"type":"x"}}"""))
+    assertThrows[ConfigException](MigrationConfig.fromJson("not json"))
+  }
+
+  test("defaults: limit absent, batch 100, distance Cosine") {
+    val cfg = MigrationConfig.fromJson(
+      """{"source": {"type": "memory", "connection": {}, "query": {"collection": "a"}},
+        | "target": {"type": "memory", "connection": {}, "load": {"collection": "b"}}}""".stripMargin)
+    assert(cfg.source.query.get.limit.isEmpty)
+    assert(cfg.target.load.get.batchSize == 100)
+    assert(cfg.target.load.get.distance == "Cosine")
+  }
+}

@@ -1,0 +1,176 @@
+package graft.connectors.vectorstore
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import graft.SparkSpec
+import graft.model.Canonical
+
+class VectorStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canonDf(n: Int, idPrefix: String = "") = {
+    val rows = (0 until n).map(i =>
+      (s"$idPrefix$i", Seq.fill(4)(i.toFloat), Map("cat" -> s"c${i % 3}", "rank" -> i.toString)))
+    rows.toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+  }
+
+  test("DSv2 write + read round trip (qdrant emulation)") {
+    canonDf(250).write.format("graft-qdrant")
+      .option("collection", "rt").option("recreate", "true").option("batch_size", "100")
+      .mode("overwrite").save()
+    assert(VectorStore.count("rt") == 250)
+    val back = spark.read.format("graft-qdrant").option("collection", "rt").load()
+    assert(back.count() == 250)
+    assert(back.schema == Canonical.schema)
+  }
+
+  test("filters push into the scan and are applied backend-side") {
+    canonDf(100).write.format("graft-qdrant")
+      .option("collection", "flt").option("recreate", "true").mode("overwrite").save()
+    val df = spark.read.format("graft-qdrant").option("collection", "flt").load()
+      .filter(element_at(col("metadata"), "cat") === "c1")
+    val plan = df.queryExecution.executedPlan.toString
+    // pushed filter must appear in the scan description (rendered to the
+    // backend dialect), proving SupportsPushDownFilters engaged
+    assert(plan.contains("VectorStoreScan") && plan.contains("cat"), plan)
+    assert(df.count() == 33)
+  }
+
+  test("limit pushdown plans a single scroll partition") {
+    canonDf(5000).write.format("graft-qdrant")
+      .option("collection", "lim").option("recreate", "true").mode("overwrite").save()
+    val df = spark.read.format("graft-qdrant").option("collection", "lim").load().limit(7)
+    assert(df.count() == 7)
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
+  test("full scan pages in parallel (fixes the single-page Qdrant truncation)") {
+    canonDf(2500).write.format("graft-qdrant")
+      .option("collection", "pg").option("recreate", "true").mode("overwrite").save()
+    val df = spark.read.format("graft-qdrant").option("collection", "pg")
+      .option("page_size", "500").load()
+    // reference would silently stop at 1000 (adapters/qdrant.py:99-106)
+    assert(df.count() == 2500)
+    assert(df.rdd.getNumPartitions == 5)
+  }
+
+  test("qdrant rejects unknown distance metrics (adapters/qdrant.py:163-169)") {
+    val e = intercept[Exception] {
+      canonDf(1).write.format("graft-qdrant")
+        .option("collection", "bad").option("distance", "Chebyshev")
+        .option("recreate", "true").mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("Chebyshev") || e.getCause != null)
+  }
+
+  test("qdrant coerces digit-string ids (adapters/qdrant.py:220-222)") {
+    Seq(("007", Seq(1f), Map.empty[String, String]), ("abc", Seq(2f), Map.empty[String, String]))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+      .write.format("graft-qdrant").option("collection", "ids")
+      .option("recreate", "true").mode("overwrite").save()
+    val ids = VectorStore.scroll("ids", 0, 10).map(_.id).sorted
+    assert(ids == Seq("7", "abc")) // "007" numerically coerced, "abc" kept
+  }
+
+  test("milvus requires a pre-created collection (adapters/milvus.py:154-160)") {
+    VectorStore.drop("nocoll")
+    val e = intercept[Exception] {
+      canonDf(3).write.format("graft-milvus").option("collection", "nocoll").mode("append").save()
+    }
+    assert(e.getMessage.contains("nocoll") ||
+      Option(e.getCause).exists(_.getMessage.contains("nocoll")))
+  }
+
+  test("milvus skips records with missing ids (adapters/milvus.py:187-193)") {
+    VectorStore.createCollection("sk", CollectionConfig(), recreate = true)
+    val df = Seq((Option("a"), Seq(1f), Map.empty[String, String]),
+      (Option.empty[String], Seq(2f), Map.empty[String, String]),
+      (Option("b"), Seq(3f), Map.empty[String, String]))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    df.write.format("graft-milvus").option("collection", "sk").mode("append").save()
+    assert(VectorStore.count("sk") == 2)
+  }
+
+  test("pinecone namespaces map to index::namespace") {
+    canonDf(5).write.format("graft-pinecone")
+      .option("collection", "idx").option("namespace", "ns1")
+      .option("recreate", "true").mode("overwrite").save()
+    assert(VectorStore.exists("idx::ns1"))
+    val back = spark.read.format("graft-pinecone")
+      .option("collection", "idx").option("namespace", "ns1").load()
+    assert(back.count() == 5)
+  }
+
+  test("column pruning reaches the reader") {
+    canonDf(10).write.format("graft-qdrant")
+      .option("collection", "prune").option("recreate", "true").mode("overwrite").save()
+    val df = spark.read.format("graft-qdrant").option("collection", "prune").load()
+      .select(Canonical.ID)
+    assert(df.queryExecution.executedPlan.schema.fieldNames.toSeq == Seq(Canonical.ID))
+    assert(df.count() == 10)
+  }
+
+  test("upsert replaces by id across appends") {
+    canonDf(10).write.format("graft-qdrant")
+      .option("collection", "ups").option("recreate", "true").mode("overwrite").save()
+    canonDf(5, "").write.format("graft-qdrant")
+      .option("collection", "ups").mode("append").save()
+    assert(VectorStore.count("ups") == 10) // ids 0-4 replaced, not duplicated
+  }
+}
+
+class FilterDialectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    ("1", Seq(1f), Map("cat" -> "a", "score" -> "10")),
+    ("2", Seq(2f), Map("cat" -> "b", "score" -> "20")),
+    ("3", Seq(3f), Map("cat" -> "a", "score" -> "30")))
+    .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+
+  test("qdrant JSON filter parses to the right predicate") {
+    val d = new QdrantFilterDialect()
+    val c = d.parse("""{"must": [{"key": "cat", "match": {"value": "a"}},
+                      |          {"key": "score", "range": {"gte": 20}}]}""".stripMargin)
+    assert(docs.filter(c).select(col("id")).as[String].collect().toSeq == Seq("3"))
+  }
+
+  test("qdrant should/must_not combine as OR / NOT") {
+    val d = new QdrantFilterDialect()
+    val or = d.parse("""{"should": [{"key": "cat", "match": {"value": "b"}},
+                       |            {"key": "score", "match": {"value": 30}}]}""".stripMargin)
+    assert(docs.filter(or).count() == 2)
+    val not = d.parse("""{"must_not": [{"key": "cat", "match": {"value": "a"}}]}""")
+    assert(docs.filter(not).count() == 1)
+  }
+
+  test("milvus expression grammar: comparisons, in, like, boolean ops") {
+    val d = new MilvusExprDialect()
+    assert(docs.filter(d.parse("cat == \"a\"")).count() == 2)
+    assert(docs.filter(d.parse("score > 15 && cat == \"a\"")).count() == 1)
+    assert(docs.filter(d.parse("score >= 20 || cat == \"a\"")).count() == 3)
+    assert(docs.filter(d.parse("cat in [\"a\", \"b\"]")).count() == 3)
+    assert(docs.filter(d.parse("score in [10, 30]")).count() == 2)
+    assert(docs.filter(d.parse("!(cat == \"a\")")).count() == 1)
+    assert(docs.filter(d.parse("cat like \"a%\"")).count() == 2)
+    assert(docs.filter(d.parse("id == \"2\"")).count() == 1)
+  }
+
+  test("render: catalyst filters → backend syntax round-trip through parse") {
+    val q = new QdrantFilterDialect()
+    val rendered = q.render(And(EqualTo("metadata.cat", "a"),
+      GreaterThanOrEqual("metadata.score", 20))).get
+    assert(docs.filter(q.parse(rendered)).count() == 1)
+    val m = new MilvusExprDialect()
+    val mr = m.render(Or(EqualTo("metadata.cat", "b"), LessThan("metadata.score", 15))).get
+    assert(docs.filter(m.parse(mr)).count() == 2)
+  }
+
+  test("sql dialect renders standard WHERE fragments") {
+    val s = new SqlWhereDialect()
+    assert(s.render(EqualTo("category", "x")).contains("category = 'x'"))
+    assert(s.render(In("n", Array(1, 2))).contains("n IN (1, 2)"))
+    assert(s.render(And(IsNotNull("a"), StringStartsWith("b", "pre")))
+      .contains("(a IS NOT NULL AND b LIKE 'pre%')"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.config.MigrationConfig
+import graft.connectors.MemoryStore
+import graft.model.Canonical
+
+class MigratorSpec extends SparkSpec {
+
+  private def cfg(extraQuery: String = "", targetColl: String = "out"): MigrationConfig =
+    MigrationConfig.fromJson(
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+         |                      "vector_column": "embedding",
+         |                      "metadata_columns": ["label"]$extraQuery}},
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "$targetColl", "recreate": true}}}""".stripMargin)
+
+  test("parquet -> memory migration moves every record in canonical shape") {
+    val report = new Migrator(spark).run(cfg(targetColl = "m1"))
+    assert(report.success, report.error)
+    assert(report.written == 500) // sf0.001 embeddings row count
+    val (rows, _) = MemoryStore.get("m1").get
+    assert(rows.length == 500)
+    val r = rows.find(_.getString(0) == "7").get
+    assert(r.getAs[scala.collection.Seq[Float]](Canonical.VECTOR).length == 64)
+    assert(r.getAs[Map[String, String]](Canonical.METADATA).contains("label"))
+  }
+
+  test("query limit + filter are honored") {
+    val report = new Migrator(spark).run(
+      cfg(extraQuery = """, "limit": 10, "filter_condition": "label > 5"""", targetColl = "m2"))
+    assert(report.success)
+    assert(report.written == 10)
+    val (rows, _) = MemoryStore.get("m2").get
+    assert(rows.forall(_.getAs[Map[String, String]](Canonical.METADATA)("label").toInt > 5))
+  }
+
+  test("empty extract aborts before touching the target (core/migrator.py:71-74)") {
+    MemoryStore.drop("never")
+    val report = new Migrator(spark).run(
+      cfg(extraQuery = """, "filter_condition": "label > 99999"""", targetColl = "never"))
+    assert(!report.success)
+    assert(report.error.exists(_.contains("no data")))
+    assert(MemoryStore.get("never").isEmpty)
+  }
+
+  test("failing transform aborts the migration (core/migrator.py:79-87)") {
+    val report = new Migrator(spark).run(cfg(targetColl = "never2"),
+      transform = Some(_ => throw new RuntimeException("boom")))
+    assert(!report.success)
+    assert(report.error.exists(_.contains("boom")))
+  }
+
+  test("transform is applied between read and write (add_source_tracking semantics)") {
+    val report = new Migrator(spark).run(cfg(targetColl = "m3"),
+      transform = Some(df => df.withColumn(Canonical.METADATA,
+        map_concat(col(Canonical.METADATA), map(lit("source_db"), lit("pgvector"))))))
+    assert(report.success)
+    val (rows, _) = MemoryStore.get("m3").get
+    assert(rows.forall(_.getAs[Map[String, String]](Canonical.METADATA)("source_db") == "pgvector"))
+  }
+
+  test("unknown connector type names the valid ones (core/migrator.py:31-36)") {
+    val e = intercept[graft.config.ConfigException] {
+      new Migrator(spark).run(MigrationConfig.fromJson(
+        """{"source": {"type": "sqlite", "connection": {}, "query": {"collection": "x"}},
+          | "target": {"type": "memory", "connection": {}, "load": {"collection": "y"}}}""".stripMargin))
+    }
+    assert(e.getMessage.contains("sqlite") && e.getMessage.contains("pgvector"))
+  }
+
+  test("memory -> parquet round trip preserves data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mig").toString
+    val report1 = new Migrator(spark).run(cfg(targetColl = "rt"))
+    assert(report1.success)
+    val back = MigrationConfig.fromJson(
+      s"""{"source": {"type": "memory", "connection": {}, "query": {"collection": "rt"}},
+         | "target": {"type": "parquet", "connection": {"path": "$tmp"},
+         |            "load": {"table_name": "roundtrip", "recreate": true}}}""".stripMargin)
+    val report2 = new Migrator(spark).run(back)
+    assert(report2.success && report2.written == 500)
+    val df = spark.read.parquet(s"$tmp/roundtrip.parquet")
+    assert(df.count() == 500)
+    assert(df.columns.sorted.toSeq == Seq("id", "metadata", "vector"))
+  }
+}

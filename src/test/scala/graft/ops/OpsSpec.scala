@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{TextFunctions, VectorFunctions}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vector functions agree with hand-computed values") {
+    val df = Seq((Seq(3f, 4f), Seq(4f, 3f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("dot"),
+      VectorFunctions.l2Norm(col("a")).as("na"),
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("cos"),
+      VectorFunctions.l2Distance(col("a"), col("b")).as("dist")).head()
+    assert(r.getDouble(0) == 24.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(math.abs(r.getDouble(2) - 0.96) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("zero vectors: cosine 0, normalize identity") {
+    val df = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosineSimilarity(col("a"), col("b"))).head().getDouble(0) == 0.0)
+    assert(df.select(VectorFunctions.normalize(col("a"))).head()
+      .getSeq[Double](0) == Seq(0.0, 0.0))
+  }
+
+  test("text functions: tokens, shingles, jaccard") {
+    val df = Seq(Tuple1("the quick  brown fox")).toDF("t")
+    assert(df.select(TextFunctions.tokenCount(col("t"))).head().getInt(0) == 4)
+    val sh = df.select(TextFunctions.wordShingles(col("t"), 2)).head().getSeq[String](0)
+    assert(sh == Seq("the quick", "quick brown", "brown fox"))
+    val j = Seq(("a b c d", "b c d e")).toDF("x", "y")
+      .select(TextFunctions.jaccard(
+        TextFunctions.wordShingles(col("x"), 2), TextFunctions.wordShingles(col("y"), 2)))
+      .head().getDouble(0)
+    assert(math.abs(j - 2.0 / 4.0) < 1e-12) // {b c, c d} of {a b, b c, c d, d e}
+  }
+
+  test("langId picks the marker-dominant language, und when none") {
+    val df = Seq("the cat and the dog is here", "der hund und die katze ist da",
+      "xyzzy plugh").toDF("t")
+    val out = df.select(TextFunctions.langId(col("t"))).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "und"))
+  }
+
+  test("simhash: identical text -> distance 0, heavy overlap -> small distance") {
+    val df = Seq(
+      ("a", "spark is a fast engine for large data"),
+      ("b", "spark is a fast engine for large data"),
+      ("c", "spark is a fast engine for big data"),
+      ("d", "completely different words entirely unrelated")).toDF("id", "text")
+    val fp = df.select(col("id"), Dedup.simHash(col("text")).as("f")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("a") == fp("b"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(fp("a"), fp("c")) < ham(fp("a"), fp("d")))
+  }
+
+  test("minhash LSH finds a planted near-duplicate") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("mu", "nu") // 1 token differs
+    val docs = (Seq(("0", base), ("1", near)) ++
+      (2 until 30).map(i => (i.toString, s"unrelated text number $i with words w$i x$i y$i z$i v$i u$i t$i s$i"))).
+      toDF("doc_id", "text")
+    val pairs = Dedup.minHashDuplicatePairs(docs, threshold = 0.4)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs.contains(("0", "1")), s"expected planted pair, got $pairs")
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val docs = Seq(("1", "Hello World"), ("2", "  hello world "), ("3", "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDuplicates(docs, idCol = "doc_id").collect()
+    assert(out.length == 2)
+    assert(out.find(_.getLong(1) == 2L).get.getString(0) == "1") // keeps lowest id
+  }
+
+  test("bruteForceTopK returns exact nearest neighbors with deterministic ties") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1), k = 2)
+      .select("cand_id").as[Long].collect().toSeq
+    assert(res == Seq(2L, 4L))
+  }
+
+  test("sessionize splits on the gap and aggregates per session") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 10L, "a", 1.0), (2L, ts(10), 10L, "a", 2.0),
+      (3L, ts(90), 10L, "a", 4.0), // 80-min gap -> new session
+      (4L, ts(5), 20L, "b", 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Sessionize.sessions(ev).orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events", "session_value").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((10L, 1L, 2L, 3.0), (10L, 2L, 1L, 4.0), (20L, 1L, 1L, 8.0)))
+  }
+}

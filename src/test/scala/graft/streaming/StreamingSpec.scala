@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.streaming.StreamOps.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+
+  test("watermarked tumbling window aggregates a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.windowedStats(input.toDF(), windowLen = "1 hour")
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("event_type", "n", "sum_value").orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq(("click", 2L, 3.0), ("view", 1L, 4.0)))
+    } finally query.stop()
+  }
+
+  test("stateful sessionization emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // session 1: two events 10 min apart; then an 80-min gap; the late
+      // event both closes session 1 (exceeds gap) and advances the
+      // watermark so the append-mode sink receives it
+      input.addData(Event(1, ts(0), 10, "a", 1.0), Event(2, ts(10), 10, "a", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(3, ts(90), 10, "a", 4.0))
+      query.processAllAvailable()
+      input.addData(Event(4, ts(240), 10, "a", 8.0)) // push watermark far ahead
+      query.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "n_events", "session_value").orderBy("session_start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows.nonEmpty)
+      assert(rows.head == (10L, 2L, 3.0)) // first closed session
+    } finally query.stop()
+  }
+}
