@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (with `doGenCode`) for the hash-sketch hot
+  * paths. The same math is expressible with `aggregate`/`zip_with`, but
+  * Spark's higher-order functions are CodegenFallback — interpreted, with
+  * per-element boxing. Profiled on sf0.1 (5000 docs), the HOF MinHash
+  * pipeline costs ~13 s; these compiled tight loops reduce it to
+  * milliseconds-per-partition, which is the difference that matters when
+  * the input is 100 TB, not 5000 rows.
+  */
+object HashExpressions {
+
+  /** MinHash modulus: Mersenne prime 2^31-1. Inputs must be pre-reduced
+    * into [0, P) (e.g. `pmod(xxhash64(s), P)`) so a·x+b stays below 2^62. */
+  val P: Long = 2147483647L
+
+  def minHashSignature(shingleHashes: Column, as: Array[Long], bs: Array[Long]): Column =
+    GraftColumnBridge.column(
+      MinHashSignatureExpr(GraftColumnBridge.expression(shingleHashes), as, bs))
+
+  def simHash64(tokenHashes: Column): Column =
+    GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(tokenHashes)))
+
+  /** Distinct word-n-gram shingle hashes of a text column, reduced into
+    * [0, P) — the fused form of
+    * `transform(wordShingles(text,n), s => pmod(xxhash64(s), P))`. */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingleHashesExpr(GraftColumnBridge.expression(text), n))
+}
+
+/** text → distinct hashes of its lowercase word n-gram shingles, one
+  * compiled pass (tokenize, slide, hash) instead of five chained
+  * higher-order functions. CodegenFallback: eval is tight compiled Scala;
+  * the per-row boxing it pays is nothing next to per-ELEMENT interpretation
+  * of the HOF chain it replaces. */
+case class WordShingleHashesExpr(child: Expression, n: Int)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.toLowerCase(java.util.Locale.ROOT)
+    if (s.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val toks = s.split("\\s+")
+    if (toks.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // same XXH64(seed=42) core as Spark's xxhash64, then reduce mod P
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      seen.add(((h % HashExpressions.P) + HashExpressions.P) % HashExpressions.P)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k2 = 0
+    while (it.hasNext) { out(k2) = it.next(); k2 += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** sig[j] = min over shingle hashes x of (as(j)·x + bs(j)) mod P.
+  * One pass over the shingles, k registers — the classic one-permutation
+  * alternative is future work; this matches the standard k-hash MinHash. */
+case class MinHashSignatureExpr(child: Expression, as: Array[Long], bs: Array[Long])
+  extends UnaryExpression {
+
+  private val k = as.length
+  require(bs.length == k, "as/bs length mismatch")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * x + bs(j)) % HashExpressions.P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  long $x = $arr.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($aRef[$j] * $x + $bRef[$j]) % ${graft.functions.HashExpressions.P}L;
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over pre-hashed tokens: bit j of the result is set iff
+  * Σ_tokens (bit j of hash ? +1 : -1) > 0. */
+case class SimHash64Expr(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (if (((x >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  long $x = $arr.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $counts[$j] += (((${x} >>> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($counts[$j] > 0) $fp |= (1L << $j);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Plan-shape assertions: the properties that decide 100 TB viability,
+  * enforced so a regression in pushdown/broadcast/codegen fails CI, not the
+  * cluster. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q_scan_filter pushes predicates into the parquet scan") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en), GreaterThan(n_chars,200)]")
+      || p.contains("EqualTo(lang,en)"), p)
+  }
+
+  test("q_scan_project prunes to the two requested columns") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,label:int>"), p)
+  }
+
+  test("q_join_pricing broadcasts every dimension; only the fact shuffles") {
+    val p = plan("q_join_pricing")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts == 4, s"expected 4 broadcast joins, got $broadcasts\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected at most the final agg shuffle, got $shuffles\n$p")
+  }
+
+  test("q1_agg uses two-phase (partial then final) hash aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_ann_topk broadcasts the query side") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("minhash signature is a compiled expression, not interpreted HOFs") {
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("minhash_signature") || p.contains("word_shingle_hashes"), p)
+    assert(!p.contains("aggregate(word_shingle"), p)
+  }
+
+  test("limit queries use CollectLimit / TakeOrderedAndProject, not full sorts") {
+    assert(plan("q_sort_topk").contains("TakeOrderedAndProject"), plan("q_sort_topk"))
+  }
+}
