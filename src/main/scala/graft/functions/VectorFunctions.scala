@@ -21,27 +21,20 @@ object VectorFunctions {
 
   private def d(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Σ aᵢbᵢ */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), _ * _), lit(0.0), _ + _)
-
-  /** Σ aᵢ² (internal building block) */
-  private def sq(a: Column): Column =
-    aggregate(d(a), lit(0.0), (acc, x) => acc + x * x)
+  /** Σ aᵢbᵢ — compiled kernel ([[VectorExpressions]]), double accumulation
+    * in element order (matches the aggregate/zip_with formulation and the
+    * DuckDB oracles exactly). */
+  def dotProduct(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
   /** ‖a‖₂ */
-  def l2Norm(a: Column): Column = sqrt(sq(a))
+  def l2Norm(a: Column): Column = sqrt(VectorExpressions.dot(a, a))
 
   /** ‖a-b‖₂ — the reference's "Euclid" metric (`adapters/qdrant.py:165`). */
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+  def l2Distance(a: Column, b: Column): Column = VectorExpressions.l2(a, b)
 
   /** a·b / (‖a‖‖b‖) — the reference's "Cosine" metric
     * (`adapters/qdrant.py:164`). 0.0 when either norm is 0 (no NaN). */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
-  }
+  def cosineSimilarity(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
 
   def cosineDistance(a: Column, b: Column): Column =
     lit(1.0) - cosineSimilarity(a, b)

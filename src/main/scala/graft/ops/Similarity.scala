@@ -49,11 +49,10 @@ object Similarity {
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bucket id: bit j = 1 iff v · plane_j > 0. */
+  /** Sign-bucket id: bit j = 1 iff v · plane_j > 0 (compiled dot kernel). */
   private[ops] def bucketExpr(vecCol: String, planes: Array[Array[Double]]) = {
-    val v = transform(col(vecCol), _.cast("double"))
     planes.zipWithIndex.map { case (p, j) =>
-      val dot = aggregate(zip_with(v, typedLit(p.toSeq), _ * _), lit(0.0), _ + _)
+      val dot = graft.functions.VectorExpressions.dot(col(vecCol), typedLit(p.toSeq))
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
