@@ -50,7 +50,8 @@ class MemoryConnector extends VectorConnector {
                           collection: String): SchemaInfo = {
     val (rows, props) = MemoryStore.get(collection)
       .getOrElse(throw new graft.config.ConfigException(s"memory collection not found: $collection"))
-    val dim = rows.iterator.map(_.getAs[scala.collection.Seq[Float]](Canonical.VECTOR))
+    // rows may be schemaless Rows — access the vector positionally
+    val dim = rows.iterator.map(_.get(1).asInstanceOf[scala.collection.Seq[Float]])
       .collectFirst { case v if v != null && v.nonEmpty => v.length }
     SchemaInfo(collection, Canonical.schema, dim, props.get("distance"), props)
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -57,18 +57,24 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN: score only candidates in the query's bucket.
-    * Trades recall for a ~2^bits scan reduction; `bits` ∈ [8,16] typical.
+  /** LSH-bucketed ANN: score only candidates in the query's bucket, with
+    * multi-probe (the query also probes every bucket at Hamming distance 1
+    * — standard practice to recover recall without duplicating the
+    * candidate table). Trades recall for a ~2^bits/(bits+1) scan reduction.
     * Candidate/query bucket assignment is a narrow map; the only shuffle is
     * the equi-join on bucket id — broadcastable because queries are few. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              multiProbe: Boolean = true): DataFrame = {
     val dim = 64 // testdata embedding dim; derive from data when dynamic
     val planes = hyperplanes(bits, dim)
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", bucketExpr("c_vec", planes))
+    val probes: Column => Column = b =>
+      if (multiProbe) array(b +: (0 until bits).map(j => b.bitwiseXOR(lit(1L << j))): _*)
+      else array(b)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("bucket", bucketExpr("q_vec", planes)))
+      .withColumn("bucket", explode(probes(bucketExpr("q_vec", planes)))))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
     c.join(q, Seq("bucket")).filter(col("cand_id") =!= col("query_id"))
       .withColumn("score", round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.model.Canonical
+
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon = Canonical.from(
+    Tables(spark, sf(), "embeddings").limit(20),
+    idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Seq("label"))
+
+  test("addSourceTracking stamps provenance (examples/add_source_tracking.py parity)") {
+    val out = Transforms.addSourceTracking("pgvector", "2026-08-12T00:00:00")(canon)
+    val m = out.select(Canonical.METADATA).head().getAs[Map[String, String]](0)
+    assert(m("source_db") == "pgvector")
+    assert(m("migration_timestamp") == "2026-08-12T00:00:00")
+    assert(m.contains("label")) // original keys preserved
+  }
+
+  test("filterByMetadata drops records") {
+    val out = Transforms.filterByMetadata("metadata['label'] >= '5'")(canon)
+    assert(out.count() > 0 && out.count() < 20)
+  }
+
+  test("renameMetadataKey moves the value, no-op when missing") {
+    val out = Transforms.renameMetadataKey("label", "class")(canon)
+    val m = out.select(Canonical.METADATA).head().getAs[Map[String, String]](0)
+    assert(m.contains("class") && !m.contains("label"))
+    val noop = Transforms.renameMetadataKey("missing", "x")(canon)
+    assert(noop.select(Canonical.METADATA).head().getAs[Map[String, String]](0).contains("label"))
+  }
+
+  test("normalizeVectors yields unit vectors") {
+    val out = Transforms.normalizeVectors(canon)
+    val n = out.select(graft.functions.VectorFunctions.l2Norm(col(Canonical.VECTOR)))
+      .as[Double].head()
+    assert(math.abs(n - 1.0) < 1e-5)
+  }
+
+  test("rowMap escape hatch: arbitrary per-record logic, including drops") {
+    val out = Transforms.rowMap { r =>
+      if (r.id.toLong % 2 == 0) Some(r.copy(metadata = r.metadata + ("even" -> "true")))
+      else None
+    }(canon)
+    assert(out.count() == 10)
+    assert(out.select(Canonical.METADATA).head().getAs[Map[String, String]](0)("even") == "true")
+  }
+
+  test("transforms compose with andThen") {
+    val pipeline = Transforms.addSourceTracking("qdrant", "t0")
+      .andThen(Transforms.filterByMetadata("metadata['label'] = '3'"))
+    val out = pipeline(canon)
+    assert(out.count() > 0)
+    assert(out.select(Canonical.METADATA).collect()
+      .forall(_.getAs[Map[String, String]](0)("label") == "3"))
+  }
+}
+
+/** ANN quality: the approximate paths must actually approximate the exact
+  * answer, not just run. */
+class AnnRecallSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sf(), "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-probe LSH top-k reaches recall > 0.4") {
+    val exact = topkSet(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val lsh = topkSet(Similarity.lshTopK(emb, queries, k = 5, bits = 4))
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall > 0.4, s"LSH recall $recall too low")
+  }
+
+  test("IVF top-k with nProbe=4 of 16 cells reaches recall > 0.5") {
+    val exact = topkSet(Similarity.bruteForceTopK(emb, queries, k = 5))
+    val ivf = topkSet(Similarity.ivfTopK(spark, emb, queries, k = 5, nCells = 16, nProbe = 4))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall > 0.5, s"IVF recall $recall too low")
+  }
+
+  test("lshCosinePairs finds the same high-similarity pairs as the exact blocked scan") {
+    val exact = Dedup.cosineNearDupPairs(emb, blockCol = "label", threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bits=2: collision prob for a cosine-0.4 pair is (1-θ/π)² ≈ 0.4 —
+    // the single-table pair generator has no multi-probe, so recall is
+    // bounded by that; 2 bits keeps it useful while still pruning 4×
+    val lsh = Similarity.lshCosinePairs(emb, threshold = 0.4, bits = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = (exact intersect lsh).size.toDouble / exact.size
+      assert(recall > 0.2, s"pair recall $recall; exact=${exact.size} lsh=${lsh.size}")
+    } else assert(lsh != null)
+  }
+}
