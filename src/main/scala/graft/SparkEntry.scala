@@ -19,11 +19,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++ PipelineQueries.queries ++
-      ConnectorQueries.queries
+      ConnectorQueries.queries ++ AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      ConnectorQueries.oracleSql
+      ConnectorQueries.oracleSql ++ AdvancedQueries.oracleSql
 }

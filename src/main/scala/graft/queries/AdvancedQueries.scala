@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Advanced SQL surface: pivot, subqueries (EXISTS / scalar / IN),
+  * grouping sets, array aggregation, windowed frames, conditional/null
+  * handling, and a TPC-H Q3-shaped join-sort-limit — all oracle-checked.
+  * Several run through `spark.sql` to exercise the SQL front end as well as
+  * the DataFrame API.
+  */
+object AdvancedQueries {
+
+  private def view(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy((col("user_id") % 5).as("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()),
+
+    "q_exists_subquery" -> ((s, dir) => {
+      view(s, dir, "orders", "lineitem")
+      s.sql("""SELECT o_orderkey, o_orderstatus FROM orders o
+              |WHERE EXISTS (SELECT 1 FROM lineitem l
+              |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""".stripMargin)
+    }),
+
+    "q_scalar_subquery" -> ((s, dir) => {
+      view(s, dir, "customer")
+      s.sql("""SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+              |WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)""".stripMargin)
+    }),
+
+    "q_in_subquery" -> ((s, dir) => {
+      view(s, dir, "supplier", "nation")
+      s.sql("""SELECT s_suppkey, s_name FROM supplier
+              |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)""".stripMargin)
+    }),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      view(s, dir, "orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
+    "q_array_agg" -> ((s, dir) =>
+      Tables(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+          sort_array(collect_list("n_name")).as("nations"),
+          concat_ws("|", sort_array(collect_list("n_name"))).as("nations_str"))),
+
+    "q_window_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+      Tables(s, dir, "events")
+        .withColumn("avg3", round(avg("value").over(w), 4))
+        .select("event_id", "user_id", "avg3")
+    }),
+
+    "q_conditional" -> ((s, dir) =>
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("other").as("status_label"),
+        coalesce(nullif(col("o_orderpriority"), lit("3-MEDIUM")), lit("default"))
+          .as("prio_or_default"),
+        (col("o_totalprice") > 200000).cast("int").as("is_big"))),
+
+    // TPC-H Q3 shape: selective join -> agg -> global sort -> limit
+    "q3_shipping" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"))
+    }),
+
+    "q_string_agg" -> ((s, dir) =>
+      Tables(s, dir, "region")
+        .groupBy(lit(1).as("g"))
+        .agg(concat_ws(",", sort_array(collect_list("r_name"))).as("all_regions"))
+        .drop("g"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pivot" ->
+      ("SELECT user_id % 5 AS user_bucket, " +
+        "count(*) FILTER (event_type = 'click') AS click, " +
+        "count(*) FILTER (event_type = 'error') AS error, " +
+        "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (event_type = 'signup') AS signup, " +
+        "count(*) FILTER (event_type = 'view') AS view " +
+        "FROM events GROUP BY 1"),
+    "q_exists_subquery" ->
+      ("SELECT o_orderkey, o_orderstatus FROM orders o WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)"),
+    "q_scalar_subquery" ->
+      ("SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer " +
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)"),
+    "q_in_subquery" ->
+      ("SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey IN " +
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 2)"),
+    "q_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
+    "q_array_agg" ->
+      ("SELECT n_regionkey, list_sort(list(n_name)) AS nations, " +
+        "array_to_string(list_sort(list(n_name)), '|') AS nations_str " +
+        "FROM nation GROUP BY n_regionkey"),
+    "q_window_frame" ->
+      ("SELECT event_id, user_id, round(avg(value) OVER " +
+        "(PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) " +
+        "AS avg3 FROM events"),
+    "q_conditional" ->
+      ("SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 'finished' " +
+        "WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status_label, " +
+        "coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'default') AS prio_or_default, " +
+        "CAST(o_totalprice > 200000 AS INT) AS is_big FROM orders"),
+    "q3_shipping" ->
+      ("SELECT l_orderkey, revenue FROM (" +
+        "SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey, o_orderdate) " +
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+    "q_string_agg" ->
+      "SELECT array_to_string(list_sort(list(r_name)), ',') AS all_regions FROM region"
+  )
+}
