@@ -8,10 +8,14 @@ package graft
   */
 object Bench {
   /** Headline subset: one representative per operator family (agg, join,
-    * window top-k, dedup, ANN, text). Full inventory runs in Verify. */
+    * window top-k, sort-limit, dedup exact/fuzzy/vector, ANN, text,
+    * sessionization, centroid, connector scan). Full inventory runs in
+    * Verify. */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q_join_pricing", "q_topk_orders", "q_dedup_exact",
-    "q_dedup_minhash", "q_ann_topk", "q_text_stats")
+    "q1_agg", "q_join_pricing", "q3_shipping", "q_topk_orders",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_cosine",
+    "q_ann_topk", "q_text_stats", "q_sessionize", "q_vec_centroid",
+    "q_connector_qdrant")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

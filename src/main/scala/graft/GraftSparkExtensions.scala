@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{SimHash64Expr, VectorKernel, WordShingleHashesExpr}
+
+/** SparkSessionExtensions entry point: registers the engine's codegen'd
+  * expressions as SQL functions, so `spark.sql` users (and downstream BI
+  * tools) get them without touching the Scala API:
+  *
+  * {{{
+  * spark.sql("SELECT vec_cosine(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftSparkExtensions")`
+  * (GraftSession does) or `--conf` on spark-submit — the standard extension
+  * mechanism, nothing bespoke.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "")
+
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => VectorKernel(args(0), args(1), VectorKernel.Dot)))
+
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity (0 when a norm is 0)"),
+      (args: Seq[Expression]) => VectorKernel(args(0), args(1), VectorKernel.Cosine)))
+
+    ext.injectFunction((FunctionIdentifier("vec_l2"),
+      info("vec_l2", "vec_l2(a, b) - Euclidean distance"),
+      (args: Seq[Expression]) => VectorKernel(args(0), args(1), VectorKernel.L2)))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<bigint>) - 64-bit SimHash of pre-hashed tokens"),
+      (args: Seq[Expression]) => SimHash64Expr(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("word_shingle_hashes"),
+      info("word_shingle_hashes", "word_shingle_hashes(text, n) - distinct hashed word n-grams"),
+      (args: Seq[Expression]) => WordShingleHashesExpr(args(0),
+        args(1).eval().asInstanceOf[Int])))
+  }
+}

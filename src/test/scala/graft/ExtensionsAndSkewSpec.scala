@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SkewJoin
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL functions are injected via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "round(vec_cosine(array(3.0D, 4.0D), array(4.0D, 3.0D)), 6) AS c, " +
+        "vec_l2(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS l").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 0.96)
+    assert(r.getDouble(2) == 5.0)
+  }
+
+  test("word_shingle_hashes + simhash64 compose in SQL") {
+    val r = spark.sql(
+      "SELECT simhash64(word_shingle_hashes('the quick brown fox jumps', 2)) AS fp," +
+        " size(word_shingle_hashes('the quick brown fox jumps', 2)) AS n").head()
+    assert(r.getLong(0) != 0L)
+    assert(r.getInt(1) == 4)
+  }
+
+  test("SQL vec_cosine equals the Scala API on real embeddings") {
+    Tables(spark, sf(), "embeddings").createOrReplaceTempView("emb_ext")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, round(vec_cosine(a.embedding, b.embedding), 6) AS c
+        |FROM emb_ext a JOIN emb_ext b ON b.vec_id = a.vec_id + 1
+        |ORDER BY a.vec_id LIMIT 5""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    val e = Tables(spark, sf(), "embeddings")
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val viaApi = a.join(b, col("idb") === col("ida") + 1)
+      .select(col("ida"),
+        round(graft.functions.VectorFunctions.cosineSimilarity(col("va"), col("vb")), 6))
+      .orderBy("ida").limit(5).as[(Long, Double)].collect().toSeq
+    assert(viaSql == viaApi)
+  }
+}
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the rows of the plain join under heavy skew") {
+    // 10k rows, 90% on one hot key
+    val left = (1 to 10000).map(i => (if (i <= 9000) 1L else i.toLong % 50, s"v$i"))
+      .toDF("k", "payload")
+    val right = (0L to 60L).map(k => (k, s"dim$k")).toDF("rk", "attr")
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "payload", "attr").collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedJoin(left, right, "k", "rk", saltFactor = 8)
+      .select("k", "payload", "attr").collect().map(_.toString).sorted
+    assert(salted.length == plain.length)
+    assert(salted.toSeq == plain.toSeq)
+  }
+}
