@@ -46,6 +46,10 @@ object Main {
               None
           }
         }
+        // reuse an already-running session (library embedding); only stop
+        // sessions this CLI itself created
+        val preExisting = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).isDefined
         val spark = GraftSession.local("graft-migrate")
         if (!verbose) spark.sparkContext.setLogLevel("WARN")
         try {
@@ -62,7 +66,7 @@ object Main {
           }
         } catch {
           case e: Exception => System.err.println(s"migration failed: ${e.getMessage}"); 1
-        } finally spark.stop()
+        } finally if (!preExisting) spark.stop()
     }
   }
 

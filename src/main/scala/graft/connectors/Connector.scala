@@ -48,6 +48,8 @@ object ConnectorRegistry {
     new ParquetConnector(),
     new MemoryConnector(),
     new PgVectorConnector(),
+    new FileConnector("csv"),
+    new FileConnector("json"),
     new vectorstore.QdrantConnector(),
     new vectorstore.MilvusConnector(),
     new vectorstore.PineconeConnector())

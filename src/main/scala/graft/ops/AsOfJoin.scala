@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the most recent right
+  * row with `rightTime <= leftTime` in the same key group — the
+  * time-series primitive Spark lacks as a built-in operator.
+  *
+  * Implemented the scalable way: tag both sides, UNION them, and run ONE
+  * window pass per key ordered by time, carrying the latest right-side
+  * values forward (`last(..., ignoreNulls)`). Cost: one shuffle on the
+  * key, no per-row range probe, no key-explosion — the plan a 1000-executor
+  * cluster wants, versus the naive correlated-subquery / inequality-join
+  * forms that degenerate to per-key cross products.
+  */
+object AsOfJoin {
+
+  /** @param left       the probe side (one output row per left row)
+    * @param right      the reference side whose latest values attach
+    * @param key        equality key column present on both sides
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param rightVals  right-side columns to carry, emitted as
+    *                   `asof_<name>` (null when no right row precedes)
+    */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1)).withColumn("__t", col(leftTime))
+    val r = right.select((Seq(key, rightTime) ++ rightVals).distinct.map(col): _*)
+      .withColumn("__side", lit(0)).withColumn("__t", col(rightTime))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    // right rows sort before left rows at equal timestamps (an equal-time
+    // right row is visible to the left row)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(unioned) { (d, v) =>
+      d.withColumn(s"asof_$v",
+        last(when(col("__side") === 0, col(v)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .drop("__side", "__t")
+      .drop(rightVals.filterNot(left.columns.contains): _*)
+  }
+}

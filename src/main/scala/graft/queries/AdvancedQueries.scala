@@ -91,7 +91,21 @@ object AdvancedQueries {
       Tables(s, dir, "region")
         .groupBy(lit(1).as("g"))
         .agg(concat_ws(",", sort_array(collect_list("r_name"))).as("all_regions"))
-        .drop("g"))
+        .drop("g")),
+
+    // as-of join (operator Spark lacks; composed as union + one window
+    // pass — graft.ops.AsOfJoin): for each purchase, the user's most
+    // recent prior click value
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      graft.ops.AsOfJoin.asof(
+        left = ev.filter(col("event_type") === "purchase"),
+        right = ev.filter(col("event_type") === "click"),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        rightVals = Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("asof_value"), 2).as("last_click_value"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -136,6 +150,11 @@ object AdvancedQueries {
         "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey, o_orderdate) " +
         "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
     "q_string_agg" ->
-      "SELECT array_to_string(list_sort(list(r_name)), ',') AS all_regions FROM region"
+      "SELECT array_to_string(list_sort(list(r_name)), ',') AS all_regions FROM region",
+    "q_asof_join" ->
+      ("SELECT p.event_id, p.user_id, round(c.value, 2) AS last_click_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts")
   )
 }

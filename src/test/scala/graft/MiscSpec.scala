@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.config.QuerySpec
+import graft.connectors.{ConnectorRegistry, FileConnector, MemoryStore}
+import graft.model.Canonical
+import graft.ops.AsOfJoin
+
+class CanonicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("from() projects arbitrary tables into canonical shape") {
+    val df = Canonical.from(Tables(spark, sf(), "embeddings"),
+      idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Seq("label"))
+    assert(df.columns.toSeq == Seq("id", "vector", "metadata"))
+    val r = df.head()
+    assert(r.getString(0).nonEmpty)
+    assert(r.getAs[scala.collection.Seq[Float]](1).length == 64)
+    assert(r.getAs[Map[String, String]](2).contains("label"))
+  }
+
+  test("from() without a vector column yields null vectors (Milvus no-vector path)") {
+    val df = Canonical.from(Tables(spark, sf(), "documents"),
+      idCol = "doc_id", vectorCol = None, metadataCols = Seq("lang"))
+    assert(df.select(Canonical.VECTOR).head().isNullAt(0))
+  }
+
+  test("inferDim reads the first non-null vector (first-row inference parity)") {
+    val df = Canonical.from(Tables(spark, sf(), "embeddings"),
+      idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Nil)
+    assert(Canonical.inferDim(df).contains(64))
+  }
+
+  test("coercedIdColumns: digits -> long, other -> null") {
+    val df = Seq("123", "doc9", "007").toDF(Canonical.ID)
+    val out = Canonical.coercedIdColumns(df).select("id_long")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(out == Seq(Some(123L), None, Some(7L)))
+  }
+
+  test("withTypedMetadata lifts map entries to typed columns, null-filling") {
+    val df = Seq(("1", Map("age" -> "41", "name" -> "x"))).toDF(Canonical.ID, Canonical.METADATA)
+    val typed = Canonical.withTypedMetadata(df,
+      Seq("age" -> IntegerType, "name" -> StringType, "missing" -> DoubleType))
+    val r = typed.head()
+    assert(r.getAs[Int]("age") == 41)
+    assert(r.getAs[String]("name") == "x")
+    assert(r.isNullAt(r.fieldIndex("missing"))) // None-fill (adapters/milvus.py:218-222)
+  }
+}
+
+class FileConnectorSpec extends SparkSpec {
+
+  private def canon = Canonical.from(
+    Tables(spark, sf(), "embeddings").limit(25),
+    idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Seq("label"))
+
+  for (fmt <- Seq("csv", "json")) {
+    test(s"$fmt connector round-trips canonical data (vectors via text codec for csv)") {
+      val tmp = Files.createTempDirectory(s"graft-$fmt").toString
+      val c = ConnectorRegistry(fmt)
+      val report = c.write(canon, Map("path" -> tmp),
+        graft.config.LoadSpec(collection = "t", recreate = true))
+      assert(report.written == 25)
+      val back = c.read(spark, Map("path" -> tmp), QuerySpec(collection = "t"))
+      assert(back.count() == 25)
+      val v = back.filter(col("id") === "3")
+        .select(Canonical.VECTOR).head().getAs[scala.collection.Seq[Float]](0)
+      val orig = canon.filter(col("id") === "3")
+        .select(Canonical.VECTOR).head().getAs[scala.collection.Seq[Float]](0)
+      assert(v == orig)
+    }
+  }
+}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof attaches the latest prior right value per key, null when none") {
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val quotes = Seq((1L, ts(0), 10.0), (1L, ts(10), 11.0), (2L, ts(5), 20.0))
+      .toDF("key", "ts", "px")
+    val trades = Seq((101L, 1L, ts(5)), (102L, 1L, ts(10)), (103L, 1L, ts(20)),
+      (104L, 2L, ts(1)), (105L, 3L, ts(9)))
+      .toDF("trade_id", "key", "ts")
+    val out = AsOfJoin.asof(trades, quotes, "key", "ts", "ts", Seq("px"))
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(101L).contains(10.0)) // only ts(0) quote precedes
+    assert(out(102L).contains(11.0)) // equal-time quote visible
+    assert(out(103L).contains(11.0))
+    assert(out(104L).isEmpty)        // key 2's quote is later
+    assert(out(105L).isEmpty)        // key 3 has no quotes
+  }
+}
+
+class CliSpec extends SparkSpec {
+
+  test("--version exits 0; missing/unknown args exit 1") {
+    assert(graft.cli.Main.run(Array("--version")) == 0)
+    assert(graft.cli.Main.run(Array()) == 1)
+    assert(graft.cli.Main.run(Array("--bogus")) == 1)
+  }
+
+  test("full migration via config file exits 0 and moves records") {
+    MemoryStore.drop("cli_spec")
+    val cfg = Files.createTempFile("graft", ".json")
+    Files.writeString(cfg,
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+         |                      "vector_column": "embedding", "limit": 30}},
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "cli_spec", "recreate": true}}}""".stripMargin)
+    assert(graft.cli.Main.run(Array("--config", cfg.toString)) == 0)
+    assert(MemoryStore.get("cli_spec").get._1.length == 30)
+  }
+
+  test("unloadable transform degrades to warning + no-op (cli/migrate.py:83-93)") {
+    MemoryStore.drop("cli_spec2")
+    val cfg = Files.createTempFile("graft", ".json")
+    Files.writeString(cfg,
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+         |                      "vector_column": "embedding", "limit": 5}},
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "cli_spec2", "recreate": true}}}""".stripMargin)
+    assert(graft.cli.Main.run(
+      Array("--config", cfg.toString, "--transform", "does.not.Exist")) == 0)
+    assert(MemoryStore.get("cli_spec2").get._1.length == 5)
+  }
+
+  test("bad config path exits 1") {
+    assert(graft.cli.Main.run(Array("--config", "/no/such/file.json")) == 1)
+  }
+}

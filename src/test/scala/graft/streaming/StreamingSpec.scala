@@ -51,4 +51,33 @@ class StreamingSpec extends SparkSpec {
       assert(rows.head == (10L, 2L, 3.0)) // first closed session
     } finally query.stop()
   }
+
+  test("incremental migration: file drops stream into a batch sink via foreachBatch") {
+    import graft.model.Canonical
+    val watch = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    graft.connectors.MemoryStore.drop("inc_out")
+    graft.connectors.MemoryStore.put("inc_out", Nil)
+
+    // first drop BEFORE the stream starts (backfill), second while running
+    val canon = Canonical.from(graft.Tables(spark, sf(), "embeddings").limit(40),
+      idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Seq("label"))
+    canon.limit(15).write.mode("overwrite").parquet(s"$watch/drop1.parquet")
+
+    val writer = StreamOps.incrementalMigration(spark, s"$watch/*.parquet",
+      (batch, _) => {
+        val rows = batch.collect().toSeq
+        val existing = graft.connectors.MemoryStore.get("inc_out").map(_._1).getOrElse(Nil)
+        graft.connectors.MemoryStore.put("inc_out", existing ++ rows)
+      })
+    val q = writer.option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(graft.connectors.MemoryStore.get("inc_out").get._1.length == 15)
+      canon.filter(col("id").cast("long") >= 15).limit(10)
+        .write.mode("overwrite").parquet(s"$watch/drop2.parquet")
+      q.processAllAvailable()
+      assert(graft.connectors.MemoryStore.get("inc_out").get._1.length == 25)
+    } finally q.stop()
+  }
 }
