@@ -20,6 +20,10 @@ import graft.functions.{SimHash64Expr, VectorKernel, WordShingleHashesExpr}
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // ORDER BY vec_cosine(vector, <lit>) DESC LIMIT k over a vector-store
+    // relation → native search pushed into the scan
+    ext.injectOptimizerRule(_ => graft.plans.PushVectorSearch)
+
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", null, name, usage, "")
 

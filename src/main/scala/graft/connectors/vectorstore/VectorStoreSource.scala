@@ -55,18 +55,28 @@ case class WriteRules(
     /** Qdrant distance whitelist (`adapters/qdrant.py:163-169`). */
     allowedDistances: Set[String] = Set("Cosine", "Euclid", "Dot", "Euclidean", "DotProduct"))
 
+/** Native ANN search pushed into the scan: per-partition cosine top-k
+  * (the Spark-side analog of Qdrant/Milvus/Pinecone `search` APIs, which
+  * the reference never calls but every backend exposes). Installed by
+  * [[graft.plans.PushVectorSearch]]. */
+case class SearchSpec(vector: Array[Float], k: Int)
+
 class VSTable(collection: String, source: String, dialect: FilterDialect, rules: WriteRules,
-              opts: CaseInsensitiveStringMap)
+              opts: CaseInsensitiveStringMap, val search: Option[SearchSpec] = None)
   extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"$source:$collection"
+  def withSearch(spec: SearchSpec): VSTable =
+    new VSTable(collection, source, dialect, rules, opts, Some(spec))
+
+  override def name(): String = s"$source:$collection" +
+    search.map(sp => s" [search k=${sp.k}]").getOrElse("")
   override def schema(): StructType = Canonical.schema
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VSScanBuilder(collection, dialect,
-      Option(options.get("page_size")).map(_.toInt).getOrElse(1000))
+      Option(options.get("page_size")).map(_.toInt).getOrElse(1000), search)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new VSWriteBuilder(collection, rules, info.options())
@@ -74,7 +84,8 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
 
 // ---------------------------------------------------------------- read side
 
-class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int)
+class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
+                    search: Option[SearchSpec] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset {
 
@@ -103,13 +114,14 @@ class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int)
     if (limit.isDefined) { offset = Some(n); true } else false
 
   override def build(): Scan =
-    new VSScan(collection, dialect, pushed, required, limit, offset, pageSize)
+    new VSScan(collection, dialect, pushed, required, limit, offset, pageSize, search)
 }
 
 case class VSInputPartition(start: Int, end: Int) extends InputPartition
 
 class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
-             required: StructType, limit: Option[Int], offset: Option[Int], pageSize: Int)
+             required: StructType, limit: Option[Int], offset: Option[Int], pageSize: Int,
+             search: Option[SearchSpec] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -118,7 +130,8 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
   override def description(): String = {
     val fs = pushed.flatMap(dialect.render).mkString(" AND ")
     s"VectorStoreScan($collection, dialect=${dialect.name}, pushed=[$fs], " +
-      s"limit=$limit, offset=$offset)"
+      s"limit=$limit, offset=$offset" +
+      search.map(sp => s", search=topk(k=" + sp.k + ",dim=" + sp.vector.length + ")").getOrElse("") + ")"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -140,28 +153,61 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VSReaderFactory(collection, pushed, required, pageSize)
+    new VSReaderFactory(collection, pushed, required, pageSize, search)
 }
 
 class VSReaderFactory(collection: String, pushed: Array[Filter], required: StructType,
-                      pageSize: Int) extends PartitionReaderFactory {
+                      pageSize: Int, search: Option[SearchSpec] = None)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new VSPartitionReader(collection, partition.asInstanceOf[VSInputPartition], pushed,
-      required, pageSize)
+      required, pageSize, search)
 }
 
 /** Scrolls the assigned range page by page, applies the pushed filters
   * "backend-side" (this emulates the DB evaluating the rendered filter),
   * and emits only the pruned columns. */
 class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Array[Filter],
-                        required: StructType, pageSize: Int)
+                        required: StructType, pageSize: Int,
+                        search: Option[SearchSpec] = None)
   extends PartitionReader[InternalRow] {
 
   private var cursor = part.start
   private var page: Iterator[VSRecord] = Iterator.empty
   private var current: VSRecord = _
 
+  // native-search mode: score the partition's (filtered) records and keep
+  // only the local top-k; the Sort+Limit the optimizer left above merges
+  // partition winners into the exact global top-k
+  private lazy val searched: Iterator[VSRecord] = {
+    val sp = search.get
+    val all = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
+    var c = part.start
+    while (c < part.end) {
+      val n = math.min(pageSize, part.end - c)
+      all ++= VectorStore.scroll(collection, c, n).filter(r => pushed.forall(FilterEval.eval(_, r)))
+      c += n
+    }
+    all.filter(_.vector != null)
+      .sortBy(r => -cosine(r.vector, sp.vector))
+      .take(sp.k).iterator
+  }
+
+  private def cosine(a: Array[Float], q: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, q.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = q(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
   override def next(): Boolean = {
+    if (search.isDefined) {
+      if (searched.hasNext) { current = searched.next(); return true } else return false
+    }
     while (true) {
       if (page.hasNext) {
         val r = page.next()

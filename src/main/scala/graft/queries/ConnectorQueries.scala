@@ -62,10 +62,35 @@ object ConnectorQueries {
         collection = "gate_p",
         filter = Some("""{"must":[{"key":"label","match":{"value":1}}]}""")))
         .select(col(Canonical.ID), element_at(col(Canonical.METADATA), "label").as("label"))
-    })
+    }),
+
+    "q_connector_search" -> ((s, dir) => searchQuery(s, dir))
   )
 
+  /** Native-search pushdown: ORDER BY cosine DESC LIMIT k over the DSv2
+    * relation — [[graft.plans.PushVectorSearch]] rewrites it so each scan
+    * partition emits only its local top-k. */
+  def searchQuery(s: SparkSession, dir: String): DataFrame = {
+    loadFixture(s, dir, "graft-qdrant", "gate_srch")
+    val qv = Canonical.from(Tables(s, dir, "embeddings"),
+      idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Nil)
+      .filter(col(Canonical.ID) === "0").select(col(Canonical.VECTOR))
+      .head().getSeq[Float](0).toSeq
+    val df = s.read.format("graft-qdrant").option("collection", "gate_srch").load()
+    df.withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .orderBy(col("score").desc, col(Canonical.ID).asc)
+      .limit(10)
+      .select(col(Canonical.ID), round(col("score"), 6).as("score"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_connector_search" ->
+      ("WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0), " +
+        "c AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "s AS (SELECT id, list_dot_product(e, v)/(sqrt(list_dot_product(e, e))*sqrt(list_dot_product(v, v))) AS sc " +
+        "FROM c, qv) " +
+        "SELECT id, round(sc, 6) AS score FROM s ORDER BY sc DESC, id ASC LIMIT 10"),
     "q_connector_scan" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings WHERE label >= 8"),
