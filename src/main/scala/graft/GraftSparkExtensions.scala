@@ -39,6 +39,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_l2", "vec_l2(a, b) - Euclidean distance"),
       (args: Seq[Expression]) => VectorKernel(args(0), args(1), VectorKernel.L2)))
 
+    ext.injectFunction((FunctionIdentifier("vec_sum"),
+      info("vec_sum", "vec_sum(v) - element-wise sum aggregate over vector columns"),
+      (args: Seq[Expression]) =>
+        graft.functions.VectorSumAgg(args.head).toAggregateExpression()))
+
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<bigint>) - 64-bit SimHash of pre-hashed tokens"),
       (args: Seq[Expression]) => SimHash64Expr(args(0))))

@@ -41,15 +41,27 @@ object VectorQueries {
         round(element_at(normalize(col("embedding")), 1), 6).as("u1"),
         round(l2Norm(normalize(col("embedding"))), 6).as("unit_norm"))),
 
-    // distributed centroid: posexplode → partial-agg on (label, pos).
-    // At 100 TB this is THE scalable layout: map-side combine shrinks the
-    // shuffle to |labels|×dim rows regardless of input size.
+    // distributed centroid, explode formulation: posexplode → partial-agg
+    // on (label, pos). Shuffles |labels|×dim rows.
     "q_vec_centroid" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("label", "pos")
         .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
-        .select(col("label"), (col("pos") + 1).as("pos"), col("centroid_v")))
+        .select(col("label"), (col("pos") + 1).as("pos"), col("centroid_v"))),
+
+    // distributed centroid, custom-aggregate formulation: vec_sum is a
+    // TypedImperativeAggregate with a double[] buffer — map-side combine
+    // shrinks each partition's contribution to ONE dim-length buffer per
+    // group BEFORE the shuffle (the 100 TB layout; the explode variant
+    // above shuffles dim× more rows). Same oracle as q_vec_centroid.
+    "q_vec_centroid_agg" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(graft.functions.VectorAggFunctions.vecCentroid(col("embedding")).as("c"))
+        .select(col("label"), posexplode(col("c")).as(Seq("pos", "cv")))
+        .select(col("label"), (col("pos") + 1).as("pos"),
+          round(col("cv"), 6).as("centroid_v")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -73,6 +85,11 @@ object VectorQueries {
         "list_transform(v, x -> x/n), list_transform(v, x -> x/n))) END, 6) AS unit_norm " +
         "FROM e"),
     "q_vec_centroid" ->
+      ("SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS centroid_v FROM " +
+        "(SELECT label, generate_subscripts(embedding, 1) AS pos, " +
+        "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) " +
+        "GROUP BY label, pos"),
+    "q_vec_centroid_agg" ->
       ("SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS centroid_v FROM " +
         "(SELECT label, generate_subscripts(embedding, 1) AS pos, " +
         "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) " +
