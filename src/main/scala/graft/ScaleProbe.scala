@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-stress probe: replicates the sf0.1 fixtures ~10× in memory
+  * (shifted ids — profiling input only, never used for correctness
+  * queries) and times the heavy operators, to answer the question the
+  * bench at sf0.1 can't: does the cost grow linearly, and where does the
+  * next bottleneck appear? Run: `sbt "runMain graft.ScaleProbe [factor]"`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    val spark = GraftSession.local("graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+
+    def amplify(df: DataFrame, idCol: String): DataFrame = {
+      val n = df.count()
+      (0 until factor).map { i =>
+        df.withColumn(idCol, col(idCol) + lit(i * n))
+      }.reduce(_ unionByName _)
+    }
+
+    val docs = amplify(Tables(spark, dir, "documents"), "doc_id")
+    val emb = amplify(Tables(spark, dir, "embeddings"), "vec_id")
+    val events = amplify(Tables(spark, dir, "events"), "event_id")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale-probe] $label%-26s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
+    }
+
+    println(s"[scale-probe] factor=$factor docs=${docs.count()} emb=${emb.count()} events=${events.count()}")
+    time("minhash pairs")(ops.Dedup.minHashDuplicatePairs(docs, threshold = 0.3).count())
+    time("simhash fingerprints")(
+      docs.select(ops.Dedup.simHash(col("text")).as("fp")).filter(col("fp") =!= 0).count())
+    time("exact dedup")(ops.Dedup.exactDuplicates(docs).count())
+    time("text stats")(ops.TextAnalysis.documentStats(docs).count())
+    time("ann brute topk")(
+      ops.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3).count())
+    time("ann lsh topk")(
+      ops.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3, bits = 8).count())
+    time("cosine pairs (lsh)")(
+      ops.Similarity.lshCosinePairs(emb, threshold = 0.4, bits = 8).count())
+    time("sessionize")(ops.Sessionize.sessions(events).count())
+    time("centroid vec_sum")(
+      emb.groupBy("label").agg(functions.VectorAggFunctions.vecSum(col("embedding"))).count())
+    spark.stop()
+  }
+}
