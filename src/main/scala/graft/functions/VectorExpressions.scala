@@ -125,3 +125,68 @@ object VectorKernel {
   val Cosine = 1
   val L2 = 2
 }
+
+/** Fused random-hyperplane bucket id: bit j of the result = sign of
+  * v · planes(j). One compiled loop over bits×dim instead of `bits`
+  * chained dot kernels OR-ed together — the bucket assignment is the
+  * per-row hot path of LSH ANN, so the fusion matters. */
+case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(v.numElements(), p.length)
+      while (i < n) {
+        dot += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * p(i)
+        i += 1
+      }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val bucket = ctx.freshName("bucket")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("plane")
+      val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |long $bucket = 0L;
+         |for (int $j = 0; $j < ${planes.length}; $j++) {
+         |  double[] $p = $pRef[$j];
+         |  double $dot = 0.0;
+         |  int $n = Math.min($v.numElements(), $p.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $get * $p[$i];
+         |  }
+         |  if ($dot > 0) $bucket |= (1L << $j);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}

@@ -49,13 +49,12 @@ object Similarity {
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bucket id: bit j = 1 iff v · plane_j > 0 (compiled dot kernel). */
-  private[ops] def bucketExpr(vecCol: String, planes: Array[Array[Double]]) = {
-    planes.zipWithIndex.map { case (p, j) =>
-      val dot = graft.functions.VectorExpressions.dot(col(vecCol), typedLit(p.toSeq))
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Sign-bucket id: bit j = 1 iff v · plane_j > 0 (one fused compiled
+    * loop over all planes — [[graft.functions.HyperplaneBucketExpr]]). */
+  private[ops] def bucketExpr(vecCol: String, planes: Array[Array[Double]]) =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.HyperplaneBucketExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(vecCol)), planes))
 
   /** LSH-bucketed ANN: score only candidates in the query's bucket, with
     * multi-probe (the query also probes every bucket at Hamming distance 1

@@ -91,6 +91,17 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: drop events whose dedup key was already seen
+    * within the watermark horizon — the streaming twin of
+    * [[graft.ops.Dedup.dedup]]. State is bounded by the watermark (keys
+    * older than the horizon are evicted), so memory is proportional to the
+    * key arrival rate × horizon, not the stream length. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** File-based streaming migration: watch a directory of parquet drops and
     * continuously upsert into a sink via `foreachBatch` reusing the batch
     * connector — the "incremental migration" the reference left as future

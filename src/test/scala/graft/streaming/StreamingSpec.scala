@@ -52,6 +52,22 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.streamingDedup(input.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 2.0), // dup key
+        Event(3, ts(2), 1, "view", 3.0), Event(4, ts(3), 2, "click", 4.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L, 4L)) // event 2's (user,type) already seen
+    } finally query.stop()
+  }
+
   test("incremental migration: file drops stream into a batch sink via foreachBatch") {
     import graft.model.Canonical
     val watch = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
