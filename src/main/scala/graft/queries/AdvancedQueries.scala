@@ -93,6 +93,20 @@ object AdvancedQueries {
         .agg(concat_ws(",", sort_array(collect_list("r_name"))).as("all_regions"))
         .drop("g")),
 
+    // range join via bin bucketing (graft.ops.RangeJoin): clicks landing
+    // within 10 minutes after any signup — equi-join on time bin instead
+    // of an O(n·m) inequality join
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("ts").as("s_ts"))
+      graft.ops.RangeJoin.pointInWindow(clicks, signups, "ts", "s_ts", windowMinutes = 10)
+        .groupBy("s_id")
+        .agg(count(lit(1)).as("n_clicks"), min("c_id").as("first_click"))
+    }),
+
     // as-of join (operator Spark lacks; composed as union + one window
     // pass — graft.ops.AsOfJoin): for each purchase, the user's most
     // recent prior click value
@@ -151,6 +165,16 @@ object AdvancedQueries {
         "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
     "q_string_agg" ->
       "SELECT array_to_string(list_sort(list(r_name)), ',') AS all_regions FROM region",
+    "q_range_join" ->
+      // compare in the µs domain: Spark sees ns->µs-truncated timestamps,
+      // so the oracle must truncate identically before the range test
+      ("WITH c AS (SELECT event_id AS c_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us " +
+        "FROM events WHERE event_type = 'click'), " +
+        "s AS (SELECT event_id AS s_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s_us " +
+        "FROM events WHERE event_type = 'signup') " +
+        "SELECT s_id, count(*) AS n_clicks, min(c_id) AS first_click " +
+        "FROM c JOIN s ON c.c_us >= s.s_us AND c.c_us < s.s_us + 600000000 " +
+        "GROUP BY s_id"),
     "q_asof_join" ->
       ("SELECT p.event_id, p.user_id, round(c.value, 2) AS last_click_value " +
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +

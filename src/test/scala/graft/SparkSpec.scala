@@ -17,5 +17,7 @@ object SparkSpec {
     GraftSession.builder("graft-test")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
 }
