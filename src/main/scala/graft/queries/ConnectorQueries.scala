@@ -64,7 +64,28 @@ object ConnectorQueries {
         .select(col(Canonical.ID), element_at(col(Canonical.METADATA), "label").as("label"))
     }),
 
-    "q_connector_search" -> ((s, dir) => searchQuery(s, dir))
+    "q_connector_search" -> ((s, dir) => searchQuery(s, dir)),
+
+    // M4 end-to-end: the full config-driven pipeline (read → transform →
+    // write) through Migrator, then the target collection read back — the
+    // reference's whole program as one checkable query
+    "q_migrate_e2e" -> ((s, dir) => {
+      val cfg = graft.config.MigrationConfig.fromJson(
+        s"""{"source": {"type": "parquet", "connection": {"path": "$dir"},
+           |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+           |                      "vector_column": "embedding",
+           |                      "metadata_columns": ["label"]}},
+           | "target": {"type": "memory", "connection": {},
+           |            "load": {"collection": "gate_mig", "recreate": true}}}""".stripMargin)
+      val report = new graft.core.Migrator(s).run(cfg,
+        transform = Some(graft.ops.Transforms.addSourceTracking("pgvector", "t0")))
+      require(report.success, report.error)
+      graft.connectors.ConnectorRegistry("memory")
+        .read(s, Map.empty, QuerySpec(collection = "gate_mig"))
+        .select(col(Canonical.ID),
+          element_at(col(Canonical.METADATA), "label").as("label"),
+          element_at(col(Canonical.METADATA), "source_db").as("source_db"))
+    })
   )
 
   /** Native-search pushdown: ORDER BY cosine DESC LIMIT k over the DSv2
@@ -102,6 +123,9 @@ object ConnectorQueries {
         "FROM embeddings WHERE (label >= 3 AND label < 6) OR label = 9"),
     "q_connector_pinecone" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
-        "FROM embeddings WHERE label = 1")
+        "FROM embeddings WHERE label = 1"),
+    "q_migrate_e2e" ->
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label, " +
+        "'pgvector' AS source_db FROM embeddings")
   )
 }
