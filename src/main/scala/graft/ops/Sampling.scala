@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampling utilities for training-data mixtures.
+  *
+  * [[hashSample]] is DETERMINISTIC: membership depends only on the row's
+  * id (xxhash64 bucket), not on partitioning or task scheduling — so
+  * pipelines are reproducible across runs and cluster layouts, and the
+  * sample is stable under repartitioning (Spark's `sample()` is neither).
+  * [[stratified]] applies a per-stratum rate the same way, which is how a
+  * mixture weighting ("10% of lang=en, 80% of lang=de, ...") stays exact
+  * and auditable at 100 TB.
+  */
+object Sampling {
+
+  /** Keep rows whose id-hash falls under `fraction` of the hash space. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double, seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+    df.filter(bucket < (fraction * 1000000L).toLong)
+  }
+
+  /** Per-stratum deterministic sampling; strata absent from `fractions`
+    * are dropped (mixture semantics). */
+  def stratified(df: DataFrame, stratumCol: String, fractions: Map[String, Double],
+                 idCol: String, seed: Long = 42L): DataFrame = {
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+    val rate = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(bucket < (rate * 1000000L).cast("long"))
+  }
+}

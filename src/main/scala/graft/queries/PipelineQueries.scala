@@ -81,7 +81,24 @@ object PipelineQueries {
     "q_mm_features" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.extractFeatures(Multimodal.packBinary(Tables(s, dir, "documents"))))
-        .select("media_id", "width", "height", "n_frames", "mean_byte", "sampled_frames"))
+        .select("media_id", "width", "height", "n_frames", "mean_byte", "sampled_frames")),
+
+    // ---- Training-data mixture sampling (deterministic hash buckets —
+    //      Spark-native xxhash64, so rows-only in the driver gate) ----
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(Tables(s, dir, "documents"), "lang",
+        Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.1), idCol = "doc_id")
+        .select("doc_id", "lang")),
+
+    // ---- Array functions ----
+    "q_fn_array" -> ((s, dir) =>
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("arr_first"),
+        round(element_at(col("embedding"), -1).cast("double"), 6).as("arr_last"),
+        round(aggregate(transform(slice(col("embedding"), 1, 8), _.cast("double")),
+          lit(0.0), _ + _), 6).as("head_sum"),
+        size(col("embedding")).as("n")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -166,7 +183,12 @@ object PipelineQueries {
       "q_mm_meta" ->
         ("SELECT doc_id AS media_id, 'text/plain' AS mime, " +
           "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256 " +
-          "FROM documents")
+          "FROM documents"),
+      "q_fn_array" ->
+        ("SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS arr_first, " +
+          "round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS arr_last, " +
+          "round(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]), 'sum'), 6) AS head_sum, " +
+          "CAST(len(embedding) AS INT) AS n FROM embeddings")
     )
   }
 }

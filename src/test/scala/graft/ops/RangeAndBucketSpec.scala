@@ -34,6 +34,34 @@ class RangeJoinSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf(), "documents")
+
+  test("hashSample is deterministic and invariant under repartitioning") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.hashSample(docs.repartition(7), "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("hashSample rate lands near the requested fraction") {
+    val n = docs.count().toDouble
+    val kept = Sampling.hashSample(docs, "doc_id", 0.5).count().toDouble
+    assert(math.abs(kept / n - 0.5) < 0.1, s"rate ${kept / n}")
+  }
+
+  test("stratified drops unlisted strata and biases listed ones") {
+    val out = Sampling.stratified(docs, "lang",
+      Map("en" -> 1.0, "de" -> 0.0), idCol = "doc_id")
+    val langs = out.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs == Set("en")) // de sampled at 0, others unlisted -> dropped
+    assert(out.count() == docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count())
+  }
+}
+
 class BucketingSpec extends SparkSpec {
 
   test("bucketed tables join without a shuffle") {
