@@ -54,7 +54,6 @@ abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
 
   override def write(df: DataFrame, connection: Map[String, String],
                      load: LoadSpec): WriteReport = {
-    val before = VectorStore.count(load.collection)
     df.write.format(fmt)
       .options(connection)
       .option("collection", load.collection)
@@ -65,8 +64,11 @@ abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
       .options(load.options)
       .mode(if (load.recreate) "overwrite" else "append")
       .save()
-    val after = VectorStore.count(load.collection)
-    WriteReport(written = if (load.recreate) after.toLong else (after - before).toLong)
+    // true per-writer accounting from the commit messages — counts upserted
+    // AND skipped records, which a before/after size diff cannot see
+    val (written, skipped) = VSWriteStats.get(load.collection)
+      .getOrElse((VectorStore.count(load.collection).toLong, 0L))
+    WriteReport(written = written, skipped = skipped)
   }
 
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],

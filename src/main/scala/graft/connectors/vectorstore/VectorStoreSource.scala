@@ -314,10 +314,26 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
 
 case class VSCommit(written: Long, skipped: Long) extends WriterCommitMessage
 
+/** Driver-side record of the last commit's accounting per collection, so
+  * the connector facade can report true written/skipped counts (the
+  * reference's result dict, `adapters/milvus.py:284-291`). */
+object VSWriteStats {
+  private val last = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  def record(collection: String, written: Long, skipped: Long): Unit =
+    last.put(collection, (written, skipped))
+  def get(collection: String): Option[(Long, Long)] = Option(last.get(collection))
+}
+
 class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new VSWriterFactory(collection, rules, batchSize)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (w, s) = messages.foldLeft((0L, 0L)) {
+      case ((aw, as), VSCommit(cw, cs)) => (aw + cw, as + cs)
+      case (acc, _) => acc
+    }
+    VSWriteStats.record(collection, w, s)
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 

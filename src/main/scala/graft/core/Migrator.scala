@@ -77,6 +77,12 @@ class Migrator(spark: SparkSession) {
       case e: TransformException =>
         RunReport(success = false, extracted = -1, written = 0, skipped = 0,
           sourceType = sourceType, targetType = targetType, error = Some(e.getMessage))
+      case e: Exception =>
+        // read/write-side failure: report, don't throw — the reference's
+        // migrate() returns False on any step failure (core/migrator.py:102-111)
+        RunReport(success = false, extracted = -1, written = 0, skipped = 0,
+          sourceType = sourceType, targetType = targetType,
+          error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
     }
   }
 }

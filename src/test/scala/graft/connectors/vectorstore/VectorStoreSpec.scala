@@ -89,6 +89,18 @@ class VectorStoreSpec extends SparkSpec {
       .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
     df.write.format("graft-milvus").option("collection", "sk").mode("append").save()
     assert(VectorStore.count("sk") == 2)
+    // commit accounting surfaces the skip (milvus result-dict parity)
+    assert(VSWriteStats.get("sk").contains((2L, 1L)))
+  }
+
+  test("facade write report carries written + skipped from commit messages") {
+    VectorStore.createCollection("rep", CollectionConfig(), recreate = true)
+    val df = Seq((Option("x"), Seq(1f), Map.empty[String, String]),
+      (Option.empty[String], Seq(2f), Map.empty[String, String]))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    val report = new MilvusConnector().write(df, Map.empty,
+      graft.config.LoadSpec(collection = "rep"))
+    assert(report.written == 1 && report.skipped == 1)
   }
 
   test("pinecone namespaces map to index::namespace") {
