@@ -58,6 +58,20 @@ class PgVectorDialect(vectorDim: Int) extends JdbcDialect {
   * the codec are spec-tested, the JDBC wiring follows the stock
   * `spark.read.jdbc` path.
   */
+object PgVectorConnector {
+  private var installed: Option[PgVectorDialect] = None
+
+  /** Register the dialect once per dim; re-registration with a new dim
+    * replaces the old instance instead of accumulating dialects in
+    * Spark's global registry. */
+  def installDialect(dim: Int): Unit = synchronized {
+    installed.foreach(JdbcDialects.unregisterDialect)
+    val d = new PgVectorDialect(dim)
+    JdbcDialects.registerDialect(d)
+    installed = Some(d)
+  }
+}
+
 class PgVectorConnector extends VectorConnector {
   override def name: String = "pgvector"
 
@@ -112,7 +126,7 @@ class PgVectorConnector extends VectorConnector {
   override def write(df: DataFrame, connection: Map[String, String],
                      load: LoadSpec): WriteReport = {
     val dim = load.dimension.orElse(Canonical.inferDim(df)).getOrElse(0)
-    JdbcDialects.registerDialect(new PgVectorDialect(dim))
+    PgVectorConnector.installDialect(dim)
     val out = df.select(
       col(Canonical.ID).as(load.idColumn),
       PgVectorCodec.vectorToText(col(Canonical.VECTOR)).as(load.vectorColumn),

@@ -154,6 +154,16 @@ object RelationalQueries {
         .select("event_id", "user_id", "running_value", "prev_type")
     }),
 
+    "q_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables(s, dir, "lineitem")
+        .withColumn("rnk", dense_rank().over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "rnk", "pr", "quartile")
+    }),
+
     // ---- Sorts / top-k ----
     "q_sort_topk" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -178,6 +188,15 @@ object RelationalQueries {
       val all = Tables(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
       val cus = Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
       all.except(cus)
+    }),
+
+    "q_set_except_all" -> ((s, dir) => {
+      // multiset difference: each lineitem occurrence cancels one order key
+      val li = Tables(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("k"))
+      val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        .select(col("o_orderkey").as("k"))
+      li.exceptAll(o).groupBy("k").agg(count(lit(1)).as("n"))
     }),
 
     // ---- Scalar functions: string/date/math/JSON ----
@@ -299,6 +318,16 @@ object RelationalQueries {
     "q_set_except" ->
       ("SELECT n_nationkey AS nationkey FROM nation EXCEPT " +
         "SELECT c_nationkey FROM customer"),
+    "q_set_except_all" ->
+      ("SELECT k, count(*) AS n FROM (" +
+        "SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber = 1 EXCEPT ALL " +
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 100000) GROUP BY k"),
+    "q_window_ranks" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, " +
+        "dense_rank() OVER w AS rnk, round(percent_rank() OVER w, 6) AS pr, " +
+        "ntile(4) OVER w AS quartile FROM lineitem " +
+        "WINDOW w AS (PARTITION BY l_returnflag " +
+        "ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC)"),
     "q_fn_string" ->
       ("SELECT p_partkey, upper(p_brand) AS brand_u, length(p_name) AS name_len, " +
         "substring(p_type, 1, 5) AS type_pfx, " +

@@ -73,6 +73,12 @@ def main(sf_dir: str, out_dir: str) -> int:
                and d.split("/")[-1] not in oracle]
     if missing:
         print(f"note: queries without oracle (rows-only in driver): {sorted(missing)}")
+        for q in sorted(missing):
+            files = glob.glob(f"{out_dir}/{q}/*.parquet")
+            n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+            if n == 0:
+                print(f"FAIL {q}: rows-only query produced 0 rows")
+                failures += 1
     print(f"{'ALL GREEN' if failures == 0 else str(failures) + ' FAILURES'}")
     return 1 if failures else 0
 
