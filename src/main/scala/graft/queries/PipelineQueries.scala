@@ -73,6 +73,15 @@ object PipelineQueries {
     // ---- Sessionization (batch) ----
     "q_sessionize" -> ((s, dir) => Sessionize.sessions(Tables(s, dir, "events"))),
 
+    // native session_window operator (same gap semantics, Spark-built-in):
+    // window.start = first event, window.end = last event + gap
+    "q_session_window" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+        .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"), col("session_value"))),
+
     // ---- Multimodal plumbing ----
     "q_mm_meta" -> ((s, dir) =>
       Multimodal.packBinary(Tables(s, dir, "documents"))
@@ -180,6 +189,13 @@ object PipelineQueries {
           "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, " +
           "round(sum(value), 2) AS session_value, " +
           "max(us) - min(us) AS duration_us FROM s GROUP BY user_id, session_id"),
+      "q_session_window" ->
+        ("WITH e AS (SELECT user_id, event_id, value, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+          "w AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e), " +
+          "s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) " +
+          "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM w) " +
+          "SELECT user_id, min(us) AS session_start_us, count(*) AS n_events, " +
+          "round(sum(value), 2) AS session_value FROM s GROUP BY user_id, sid"),
       "q_mm_meta" ->
         ("SELECT doc_id AS media_id, 'text/plain' AS mime, " +
           "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256 " +
