@@ -22,6 +22,21 @@ object Sampling {
     df.filter(bucket < (fraction * 1000000L).toLong)
   }
 
+  /** Deterministic train/val/test split assignment: a `split` column with
+    * one label per row, stable across runs/partitionings (id-hash bucket,
+    * same mechanism as [[hashSample]]). Weights are normalized. */
+  def split(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+            seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0))
+    val total = weights.map(_._2).sum
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+    val cuts = weights.scanLeft(0.0)(_ + _._2 / total).tail.map(c => (c * 1000000L).toLong)
+    val labeled = weights.map(_._1).zip(cuts).foldRight(lit(weights.last._1)) {
+      case ((label, cut), acc) => when(bucket < cut, lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", labeled)
+  }
+
   /** Per-stratum deterministic sampling; strata absent from `fractions`
     * are dropped (mixture semantics). */
   def stratified(df: DataFrame, stratumCol: String, fractions: Map[String, Double],

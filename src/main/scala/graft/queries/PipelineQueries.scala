@@ -99,6 +99,14 @@ object PipelineQueries {
         Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.1), idCol = "doc_id")
         .select("doc_id", "lang")),
 
+    // ---- Eval decontamination: benchmark-leakage check ----
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Decontaminate.containment(
+        train = docs.filter(col("doc_id") >= 20),
+        eval = docs.filter(col("doc_id") < 20))
+    }),
+
     // ---- Array functions ----
     "q_fn_array" -> ((s, dir) =>
       Tables(s, dir, "embeddings").select(
@@ -200,6 +208,18 @@ object PipelineQueries {
         ("SELECT doc_id AS media_id, 'text/plain' AS mime, " +
           "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256 " +
           "FROM documents"),
+      "q_decontaminate" ->
+        (s"WITH base AS (SELECT doc_id, $shingles AS sh FROM " +
+          "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ltoks FROM documents)), " +
+          "tsh AS (SELECT DISTINCT unnest(sh) AS s FROM base WHERE doc_id >= 20), " +
+          "esh AS (SELECT doc_id, unnest(sh) AS s FROM base WHERE doc_id < 20), " +
+          "tot AS (SELECT doc_id, count(*) AS n_shingles FROM esh GROUP BY doc_id), " +
+          "shr AS (SELECT e.doc_id, count(*) AS n_shared FROM esh e " +
+          "WHERE EXISTS (SELECT 1 FROM tsh t WHERE t.s = e.s) GROUP BY e.doc_id) " +
+          "SELECT t.doc_id, n_shingles, coalesce(n_shared, 0) AS n_shared, " +
+          "round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) AS containment, " +
+          "round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) >= 0.5 AS contaminated " +
+          "FROM tot t LEFT JOIN shr ON t.doc_id = shr.doc_id"),
       "q_fn_array" ->
         ("SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS arr_first, " +
           "round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS arr_last, " +

@@ -52,6 +52,33 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept / n - 0.5) < 0.1, s"rate ${kept / n}")
   }
 
+  test("split assigns every row exactly one stable label with ~right shares") {
+    val out = Sampling.split(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.count() == docs.count())
+    val shares = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / 500).toMap
+    assert(math.abs(shares("train") - 0.8) < 0.08, shares.toString)
+    assert(shares.keySet == Set("train", "val", "test"))
+    // stable across partitionings
+    val again = Sampling.split(docs.repartition(9), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = out.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+  }
+
+  test("decontamination flags a planted duplicate eval doc") {
+    import spark.implicits._
+    val train = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val eval = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"), // fully contained
+      (2L, "totally novel words never seen anywhere at all")).toDF("doc_id", "text")
+    val out = Decontaminate.containment(train, eval).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((1.0, true)))
+    assert(out(2L)._1 == 0.0 && !out(2L)._2)
+  }
+
   test("stratified drops unlisted strata and biases listed ones") {
     val out = Sampling.stratified(docs, "lang",
       Map("en" -> 1.0, "de" -> 0.0), idCol = "doc_id")
