@@ -303,8 +303,15 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
         CollectionConfig(distance = distance,
           dim = Option(opts.get("dim")).map(_.toInt).getOrElse(0),
           onDisk = Option(opts.get("on_disk")).exists(_.toBoolean),
-          props = Map() ++ Option(opts.get("hnsw_m")).map("hnsw_m" -> _)
-            ++ Option(opts.get("hnsw_ef_construct")).map("hnsw_ef_construct" -> _)),
+          // index tuning passthrough: hnsw_* / quantization_* config keys
+          // travel whole (adapters/qdrant.py:179-186 forwards hnsw_config
+          // and quantization_config the same way)
+          props = {
+            import scala.jdk.CollectionConverters._
+            opts.entrySet().asScala
+              .filter(e => e.getKey.startsWith("hnsw_") || e.getKey.startsWith("quantization_"))
+              .map(e => e.getKey -> e.getValue).toMap
+          }),
         recreate = recreate)
       new VSBatchWrite(collection, rules,
         Option(opts.get("batch_size")).map(_.toInt).getOrElse(100))

@@ -103,6 +103,19 @@ class VectorStoreSpec extends SparkSpec {
     assert(report.written == 1 && report.skipped == 1)
   }
 
+  test("qdrant index tuning passthrough: hnsw + quantization config recorded") {
+    canonDf(3).write.format("graft-qdrant")
+      .option("collection", "tuned").option("recreate", "true")
+      .option("distance", "Dot").option("on_disk", "true")
+      .option("hnsw_m", "16").option("hnsw_ef_construct", "100")
+      .option("quantization_type", "scalar")
+      .mode("overwrite").save()
+    val cfg = VectorStore.config("tuned").get
+    assert(cfg.distance == "Dot" && cfg.onDisk)
+    assert(cfg.props == Map("hnsw_m" -> "16", "hnsw_ef_construct" -> "100",
+      "quantization_type" -> "scalar"))
+  }
+
   test("pinecone namespaces map to index::namespace") {
     canonDf(5).write.format("graft-pinecone")
       .option("collection", "idx").option("namespace", "ns1")
