@@ -71,14 +71,25 @@ object MigrationConfig {
     // tolerate both `connection` and `connection_params` (ditto query/load)
     def block(name: String): Option[JsonNode] =
       Option(node.get(name)).orElse(Option(node.get(s"${name}_params")))
-    val conn = block("connection").map(strMap).getOrElse(Map.empty)
+    val conn = block("connection").map(strMap(_)).getOrElse(Map.empty)
     val query = block("query").map(parseQuery)
     val load = block("load").map(parseLoad)
     EndpointConfig(kind, conn, query, load)
   }
 
-  private def strMap(n: JsonNode): Map[String, String] =
-    n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  /** Flatten a JSON object to string values: scalars via asText (numbers
+    * like `"port": 5432` included), nulls dropped, nested objects
+    * flattened with a `parent_` prefix (`hnsw_config: {m: 16}` →
+    * `hnsw_m -> "16"`, the shape `examples/pgvector_to_qdrant_config.json`
+    * uses). */
+  private def strMap(n: JsonNode, prefix: String = ""): Map[String, String] =
+    n.properties().asScala.flatMap { e =>
+      val key = prefix + e.getKey
+      val v = e.getValue
+      if (v.isNull) Nil
+      else if (v.isObject) strMap(v, key.stripSuffix("_config") + "_")
+      else Seq(key -> v.asText())
+    }.toMap
 
   private def strSeq(n: JsonNode): Seq[String] = n.elements().asScala.map(_.asText()).toSeq
 
@@ -111,9 +122,7 @@ object MigrationConfig {
     batchSize = Option(n.get("batch_size")).map(_.asInt()).getOrElse(100),
     distance = text(n, "distance", "metric").getOrElse("Cosine"),
     dimension = Option(n.get("dimension")).map(_.asInt()),
-    options = n.properties().asScala
-      .filterNot(e => Set("collection_name", "table_name", "index_name", "collection", "table",
-        "id_column", "vector_column", "recreate_table", "recreate_collection", "create_index",
-        "recreate", "batch_size", "distance", "metric", "dimension").contains(e.getKey))
-      .map(e => e.getKey -> e.getValue.asText()).toMap)
+    options = strMap(n) -- Set("collection_name", "table_name", "index_name", "collection",
+      "table", "id_column", "vector_column", "recreate_table", "recreate_collection",
+      "create_index", "recreate", "batch_size", "distance", "metric", "dimension"))
 }

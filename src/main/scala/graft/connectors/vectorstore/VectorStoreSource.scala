@@ -290,9 +290,18 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      val distance = Option(opts.get("distance")).getOrElse("Cosine")
-      require(rules.allowedDistances.contains(distance),
-        s"unsupported distance: $distance (valid: ${rules.allowedDistances.mkString(", ")})")
+      // case-insensitive + alias-tolerant, like the reference's lowercase
+      // distance map (adapters/qdrant.py:163-169 accepts "cosine")
+      val raw = Option(opts.get("distance")).getOrElse("Cosine")
+      val distance = raw.toLowerCase match {
+        case "cosine" => "Cosine"
+        case "euclid" | "euclidean" | "l2" => "Euclid"
+        case "dot" | "dotproduct" | "ip" => "Dot"
+        case other => other
+      }
+      require(rules.allowedDistances.exists(_.equalsIgnoreCase(distance)) ||
+        rules.allowedDistances.contains(distance),
+        s"unsupported distance: $raw (valid: ${rules.allowedDistances.mkString(", ")})")
       val recreate = doTruncate || Option(opts.get("recreate")).exists(_.toBoolean)
       if (rules.requireExisting && !recreate && !VectorStore.exists(collection))
         throw new IllegalStateException(

@@ -62,6 +62,29 @@ class ConfigSpec extends AnyFunSuite {
     assertThrows[ConfigException](MigrationConfig.fromJson("not json"))
   }
 
+  test("parses every shipped reference example config verbatim (drop-in compat)") {
+    val dir = new java.io.File("/root/reference/examples")
+    val examples = dir.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    assert(examples.length >= 6)
+    examples.foreach { f =>
+      val cfg = MigrationConfig.fromFile(f.getAbsolutePath)
+      assert(cfg.source.kind.nonEmpty && cfg.target.kind.nonEmpty, f.getName)
+    }
+    // spot-check the richest one: numeric ports, null api_key, nested hnsw
+    val q = MigrationConfig.fromFile("/root/reference/examples/pgvector_to_qdrant_config.json")
+    assert(q.source.connection("port") == "5432") // numeric value stringified
+    assert(q.source.query.get.filter.contains("category = 'product'"))
+    assert(q.target.load.get.batchSize == 500)
+    assert(q.target.load.get.distance == "cosine") // normalized at the sink
+    assert(q.target.load.get.options.get("hnsw_m").contains("16")) // nested flatten
+    assert(q.target.load.get.options.get("hnsw_ef_construct").contains("100"))
+    assert(!q.target.connection.contains("api_key")) // null dropped
+    // the docker example's *_params variant parses too
+    val d = MigrationConfig.fromFile(
+      "/root/reference/examples/pgvector_to_milvus_docker_config.json")
+    assert(d.source.kind == "pgvector" && d.target.kind == "milvus")
+  }
+
   test("defaults: limit absent, batch 100, distance Cosine") {
     val cfg = MigrationConfig.fromJson(
       """{"source": {"type": "memory", "connection": {}, "query": {"collection": "a"}},
