@@ -150,6 +150,51 @@ object Dedup {
       .select(col("blk"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair list: the stage that
+    * turns pairwise matches into dedup CLUSTERS (a~b, b~c ⇒ {a,b,c}).
+    * Iterative min-label propagation: each vertex repeatedly adopts the
+    * smallest label among itself and its neighbors — one join + one
+    * aggregate per iteration, converging in O(diameter) rounds (near-dup
+    * graphs are shallow: mostly cliques and short chains). Deterministic.
+    *
+    * @return (id, component) — component = smallest id in the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "dst_comp"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("dst_comp").as("nbr_comp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), col("u.id") === col("l.id"))
+        .filter(col("u.comp") =!= col("l.comp")).limit(1).count()
+      labels = updated.localCheckpoint(eager = true) // truncate the iterative lineage
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Apply clustering to the corpus: keep ONE canonical doc per component
+    * (the smallest id), pass through unpaired docs untouched. */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    docs.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
+
   /** Embedding near-duplicates: cosine similarity >= threshold, blocked on
     * `blockCol` to avoid the full cross join (at 100 TB use
     * [[graft.ops.Similarity.lshCosinePairs]] instead — hyperplane buckets

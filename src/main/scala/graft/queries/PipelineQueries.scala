@@ -53,6 +53,13 @@ object PipelineQueries {
     // MinHash/SimHash use Spark-native xxhash64 → rows-only checks
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashDuplicatePairs(Tables(s, dir, "documents"), threshold = 0.3)),
+    // pair list → dedup clusters (connected components), rows-only
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minHashDuplicatePairs(Tables(s, dir, "documents"), threshold = 0.3)
+      Dedup.connectedComponents(pairs)
+        .groupBy("comp").agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       Tables(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("fp"))),
 

@@ -70,6 +70,24 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains(("0", "1")), s"expected planted pair, got $pairs")
   }
 
+  test("connectedComponents merges chains and keeps islands separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L, 22L, 23L).forall(comps(_) == 20L))
+  }
+
+  test("keepCanonical keeps one doc per cluster plus all unpaired docs") {
+    val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonical(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 6L)) // 2,3 collapse into 1
+  }
+
   test("exact dedup groups identical normalized text") {
     val docs = Seq(("1", "Hello World"), ("2", "  hello world "), ("3", "other"))
       .toDF("doc_id", "text")
