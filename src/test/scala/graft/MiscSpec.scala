@@ -134,4 +134,23 @@ class CliSpec extends SparkSpec {
   test("bad config path exits 1") {
     assert(graft.cli.Main.run(Array("--config", "/no/such/file.json")) == 1)
   }
+
+  test("--transform loads the packaged example class (add_source_tracking parity)") {
+    MemoryStore.drop("cli_tf")
+    val cfg = Files.createTempFile("graft", ".json")
+    Files.writeString(cfg,
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+         |                      "vector_column": "embedding", "limit": 8}},
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "cli_tf", "recreate": true}}}""".stripMargin)
+    assert(graft.cli.Main.run(Array("--config", cfg.toString,
+      "--transform", "graft.examples.AddSourceTracking")) == 0)
+    val rows = MemoryStore.get("cli_tf").get._1
+    assert(rows.length == 8)
+    assert(rows.forall { r =>
+      val m = r.getAs[Map[String, String]](Canonical.METADATA)
+      m("source_db") == "pgvector" && m.contains("migration_timestamp")
+    })
+  }
 }

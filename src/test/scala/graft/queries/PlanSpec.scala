@@ -49,4 +49,21 @@ class PlanSpec extends SparkSpec {
   test("limit queries use CollectLimit / TakeOrderedAndProject, not full sorts") {
     assert(plan("q_sort_topk").contains("TakeOrderedAndProject"), plan("q_sort_topk"))
   }
+
+  test("as-of join runs as one window pass, no join operator at all") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("range join is an equi-join on time bins") {
+    val p = plan("q_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
+  test("vec_sum centroid aggregates partially before the shuffle") {
+    val p = plan("q_vec_centroid_agg")
+    assert(p.contains("partial_vec_sum") || p.contains("partial_vecsumagg")
+      || p.toLowerCase.contains("partial_vec"), p)
+  }
 }
