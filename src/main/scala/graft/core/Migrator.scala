@@ -14,7 +14,10 @@ case class RunReport(
     skipped: Long,
     sourceType: String,
     targetType: String,
-    error: Option[String] = None)
+    error: Option[String] = None,
+    /** Data-quality counters collected via `Dataset.observe` DURING the
+      * write action — no extra pass over the data. */
+    metrics: Map[String, String] = Map.empty)
 
 /** Thrown when the user transform fails — aborts the migration like
   * `core/migrator.py:79-87`. */
@@ -69,10 +72,28 @@ class Migrator(spark: SparkSession) {
         case None => extracted
       }
 
-      val report: WriteReport = target.write(transformed, config.target.connection, load)
+      // QA counters ride along with the write action (Dataset.observe):
+      // rows, missing vectors/ids, mean vector dim — zero extra scans
+      import org.apache.spark.sql.functions._
+      val canObserve = transformed.columns.contains(graft.model.Canonical.VECTOR) &&
+        transformed.columns.contains(graft.model.Canonical.ID)
+      val observation = new org.apache.spark.sql.Observation(s"graft-run-${System.nanoTime()}")
+      val observed = if (canObserve)
+        transformed.observe(observation,
+          count(lit(1)).as("rows"),
+          sum(when(col(graft.model.Canonical.VECTOR).isNull, 1L).otherwise(0L)).as("null_vectors"),
+          sum(when(col(graft.model.Canonical.ID).isNull, 1L).otherwise(0L)).as("null_ids"),
+          round(avg(size(col(graft.model.Canonical.VECTOR))), 2).as("avg_dim"))
+      else transformed
+
+      val report: WriteReport = target.write(observed, config.target.connection, load)
+      val metrics = if (canObserve)
+        observation.get.map { case (k, v) => k -> String.valueOf(v) }
+      else Map.empty[String, String]
       RunReport(success = true,
         extracted = report.written + report.skipped, written = report.written,
-        skipped = report.skipped, sourceType = sourceType, targetType = targetType)
+        skipped = report.skipped, sourceType = sourceType, targetType = targetType,
+        metrics = metrics)
     } catch {
       case e: TransformException =>
         RunReport(success = false, extracted = -1, written = 0, skipped = 0,

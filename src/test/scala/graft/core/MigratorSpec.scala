@@ -28,6 +28,15 @@ class MigratorSpec extends SparkSpec {
     assert(r.getAs[Map[String, String]](Canonical.METADATA).contains("label"))
   }
 
+  test("run report carries observe-based QA metrics from the write action") {
+    val report = new Migrator(spark).run(cfg(targetColl = "mobs"))
+    assert(report.success)
+    assert(report.metrics.get("rows").contains("500"))
+    assert(report.metrics.get("null_vectors").contains("0"))
+    assert(report.metrics.get("null_ids").contains("0"))
+    assert(report.metrics.get("avg_dim").contains("64.0"))
+  }
+
   test("query limit + filter are honored") {
     val report = new Migrator(spark).run(
       cfg(extraQuery = """, "limit": 10, "filter_condition": "label > 5"""", targetColl = "m2"))
