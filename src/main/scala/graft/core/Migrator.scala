@@ -115,3 +115,47 @@ object Migrator {
                    transform: Option[DataFrame => DataFrame] = None): RunReport =
     new Migrator(spark).run(MigrationConfig.fromFile(configPath), transform)
 }
+
+/** Incremental (diff) migration — the reference's named future work
+  * ("incremental migration", `README.md:286`) delivered: ship only records
+  * that are NEW or CHANGED relative to the target, computed as a left-anti
+  * join on (id, content hash). One shuffle on id; at 100 TB the target
+  * side is a pruned (id, hash) projection, not the full payload. */
+object IncrementalMigrator {
+
+  import org.apache.spark.sql.functions._
+  import graft.model.Canonical
+
+  /** Rows of `source` whose (id, vector+metadata hash) is absent from
+    * `target` — inserts and updates; deletions are [[deletedIds]]. */
+  def changedRecords(source: DataFrame, target: DataFrame): DataFrame = {
+    def keyed(df: DataFrame) = df.withColumn("__h",
+      xxhash64(to_json(struct(col(Canonical.VECTOR), col(Canonical.METADATA)))))
+    keyed(source).join(keyed(target).select(col(Canonical.ID), col("__h")),
+        Seq(Canonical.ID, "__h"), "left_anti")
+      .drop("__h")
+  }
+
+  /** Ids present in the target but gone from the source. */
+  def deletedIds(source: DataFrame, target: DataFrame): DataFrame =
+    target.select(Canonical.ID).except(source.select(Canonical.ID))
+
+  /** Run a config's migration shipping only the delta into the target
+    * (append mode regardless of `recreate`). */
+  def run(spark: SparkSession, config: MigrationConfig,
+          transform: Option[DataFrame => DataFrame] = None): RunReport = {
+    val target = graft.connectors.ConnectorRegistry(config.target.kind)
+    val load = config.target.load.getOrElse(
+      throw new graft.config.ConfigException("target block needs a 'load' section"))
+    val existing = scala.util.Try(
+      target.read(spark, config.target.connection,
+        graft.config.QuerySpec(collection = load.collection))).toOption
+    val deltaTransform: DataFrame => DataFrame = { df =>
+      val base = transform.map(_(df)).getOrElse(df)
+      existing.map(t => changedRecords(base, t)).getOrElse(base)
+    }
+    new Migrator(spark).run(
+      config.copy(target = config.target.copy(load = Some(load.copy(recreate = false)))),
+      Some(deltaTransform))
+  }
+}

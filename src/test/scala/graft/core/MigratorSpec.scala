@@ -80,6 +80,29 @@ class MigratorSpec extends SparkSpec {
     assert(e.getMessage.contains("sqlite") && e.getMessage.contains("pgvector"))
   }
 
+  test("incremental migration ships only new/changed records (README.md:286 future work)") {
+    // full load of 100 records
+    val full = cfg(extraQuery = """, "limit": 100""", targetColl = "inc1")
+    assert(new Migrator(spark).run(full).success)
+    assert(MemoryStore.get("inc1").get._1.length == 100)
+    // re-run incrementally over a 120-record source: only the 20 new ship
+    val wider = MigrationConfig.fromJson(
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+         |                      "vector_column": "embedding",
+         |                      "metadata_columns": ["label"], "limit": 120}},
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "inc1"}}}""".stripMargin)
+    val report = IncrementalMigrator.run(spark, wider)
+    assert(report.success)
+    assert(report.written == 20, report)
+    assert(MemoryStore.get("inc1").get._1.length == 120)
+    // idempotent: nothing changed -> empty delta, zero records written
+    val again = IncrementalMigrator.run(spark, wider)
+    assert(again.success && again.written == 0, again)
+    assert(MemoryStore.get("inc1").get._1.length == 120)
+  }
+
   test("memory -> parquet round trip preserves data") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mig").toString
     val report1 = new Migrator(spark).run(cfg(targetColl = "rt"))
