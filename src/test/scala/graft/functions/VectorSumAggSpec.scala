@@ -41,6 +41,19 @@ class VectorSumAggSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("binary vectors: sign-bit packing + hamming distance") {
+    val df = Seq((Seq(1f, -1f, 2f, -2f, 3f, -3f, 4f, -4f, 5f),
+      Seq(1f, 1f, 2f, -2f, -3f, -3f, 4f, -4f, -5f))).toDF("a", "b")
+    val r = df.select(
+      BinaryVectors.pack(col("a")).as("pa"),
+      BinaryVectors.hamming(BinaryVectors.pack(col("a")), BinaryVectors.pack(col("b"))).as("d"))
+      .head()
+    // a bits: 1,0,1,0,1,0,1,0 | 1  -> bytes [0b01010101, 0b00000001]
+    assert(r.getAs[Array[Byte]]("pa").toSeq == Seq(0x55.toByte, 0x01.toByte))
+    // b bits: 1,1,1,0,0,0,1,0 | 0  -> diffs at positions 1,4,8 -> hamming 3
+    assert(r.getInt(1) == 3)
+  }
+
   test("vec_sum is callable from SQL via the extension registry") {
     graft.Tables(spark, sf(), "embeddings").createOrReplaceTempView("emb_vs")
     val n = spark.sql(
