@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries._
+
+/** Driver-contract invariants: catches silent breakage of the gate wiring
+  * (shadowed names, orphan oracles) before the round does. */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("no query name collides across family maps (++ would shadow silently)") {
+    val families = Seq(
+      "relational" -> RelationalQueries.queries.keySet,
+      "vector" -> VectorQueries.queries.keySet,
+      "pipeline" -> PipelineQueries.queries.keySet,
+      "connector" -> ConnectorQueries.queries.keySet,
+      "advanced" -> AdvancedQueries.queries.keySet)
+    val merged = families.map(_._2.size).sum
+    assert(merged == SparkEntry.queries.size,
+      families.combinations(2).flatMap { case Seq((an, a), (bn, b)) =>
+        val inter = a intersect b
+        if (inter.nonEmpty) Some(s"$an ∩ $bn = $inter") else None
+      }.mkString("; "))
+  }
+
+  test("bench headline names all resolve") {
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline without query: $missing")
+  }
+
+  test("gate size matches the documented inventory") {
+    assert(SparkEntry.queries.size == 73, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 65, SparkEntry.oracleSql.size.toString)
+  }
+}
