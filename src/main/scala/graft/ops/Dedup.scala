@@ -150,6 +150,27 @@ object Dedup {
       .select(col("blk"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The full staged dedup pipeline, in the order that controls cost:
+    *
+    *  1. exact-collapse: identical texts reduce to one representative
+    *     (hash groupBy) — this defuses the quadratic case BEFORE LSH ever
+    *     sees it (a doc duplicated k× exactly would otherwise put a
+    *     k-clique in every band bucket; the 100× scale probe measures that
+    *     pathology at 27M pairs)
+    *  2. MinHash-LSH near-dup pairs over the representatives only
+    *  3. connected components → clusters
+    *  4. keep the canonical (smallest-id) doc per cluster
+    *
+    * @return the deduplicated corpus (same schema as `docs`).
+    */
+  def fuzzyDedupPipeline(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                         threshold: Double = 0.5): DataFrame = {
+    val reps = exactDuplicates(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    val repDocs = docs.join(reps, idCol) // one representative per exact group
+    val pairs = minHashDuplicatePairs(repDocs, idCol, textCol, threshold = threshold)
+    keepCanonical(repDocs, pairs, idCol)
+  }
+
   /** Connected components over a near-duplicate pair list: the stage that
     * turns pairwise matches into dedup CLUSTERS (a~b, b~c ⇒ {a,b,c}).
     * Iterative min-label propagation: each vertex repeatedly adopts the

@@ -105,6 +105,29 @@ class OpsSpec extends SparkSpec {
     assert(res == Seq(2L, 4L))
   }
 
+  test("fuzzyDedupPipeline collapses exact copies AND near-dups to one doc each") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      ("1", base), ("2", base), ("3", base), // exact triplicate
+      ("4", base.replace("kappa", "lambda")), // near-dup of the group
+      ("5", "entirely different text with its own unique words here now"),
+      ("6", "another unrelated document talking about other things too"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.fuzzyDedupPipeline(docs, threshold = 0.4)
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(kept == Seq("1", "5", "6"), kept.toString) // 2,3 exact; 4 fuzzy
+  }
+
+  test("milvus parser precedence: AND binds tighter than OR") {
+    val d = new graft.connectors.vectorstore.MilvusExprDialect()
+    val docs = Seq(("1", "a", "1"), ("2", "b", "9"), ("3", "a", "9"))
+      .toDF("id", "cat", "n")
+      .select(col("id"),
+        map(lit("cat"), col("cat"), lit("n"), col("n")).as("metadata"))
+    // cat=="b" || (cat=="a" && n>5)  -> ids 2,3 (not 1)
+    assert(docs.filter(d.parse("cat == \"b\" || cat == \"a\" && n > 5")).count() == 2)
+  }
+
   test("sessionize splits on the gap and aggregates per session") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
