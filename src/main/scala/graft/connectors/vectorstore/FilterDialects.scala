@@ -30,6 +30,14 @@ trait FilterDialect extends Serializable {
 }
 
 private object DialectUtil {
+  /** Backend filter languages can address the id or a metadata KEY — not
+    * the bare map/vector columns. Renderers must refuse anything else
+    * (e.g. Spark's inferred `IsNotNull(metadata)` on the map column),
+    * otherwise the reader would treat "metadata" as a key lookup and
+    * filter every record out. */
+  def addressable(name: String): Boolean =
+    name == "id" || name.startsWith("metadata.")
+
   /** Canonical column for an attribute name: `id` stays, anything else is a
     * metadata key lookup. */
   def attr(name: String): Column =
@@ -106,10 +114,18 @@ class QdrantFilterDialect extends FilterDialect {
 
   private def parseCond(c: JsonNode): Column = {
     if (c.has("must") || c.has("should") || c.has("must_not")) return parseClauseList(c)
+    if (c.has("is_null")) return attr(c.get("is_null").get("key").asText()).isNull
+    if (c.has("is_empty")) return attr(c.get("is_empty").get("key").asText()).isNull
     val key = Option(c.get("key")).map(_.asText())
       .getOrElse(throw new IllegalArgumentException(s"qdrant condition missing key: $c"))
     if (c.has("match")) {
       val m = c.get("match")
+      if (m.has("any")) {
+        val vals = m.get("any").elements().asScala.toSeq
+        return if (vals.forall(_.isNumber))
+          attr(key).cast("double").isInCollection(vals.map(_.asDouble()))
+        else attr(key).isInCollection(vals.map(_.asText()))
+      }
       val v = Option(m.get("value")).getOrElse(m.get("text"))
       if (v.isNumber) attr(key).cast("double") === v.asDouble() else attr(key) === v.asText()
     } else if (c.has("range")) {
@@ -123,6 +139,7 @@ class QdrantFilterDialect extends FilterDialect {
   }
 
   override def render(f: Filter): Option[String] = f match {
+    case _ if f.references.exists(!addressable(_)) => None
     case EqualTo(a, v: String) =>
       Some(s"""{"must":[{"key":"${stripMeta(a)}","match":{"value":"$v"}}]}""")
     case EqualTo(a, v: Number) =>
@@ -135,6 +152,16 @@ class QdrantFilterDialect extends FilterDialect {
       Some(s"""{"must":[{"key":"${stripMeta(a)}","range":{"lt":$v}}]}""")
     case LessThanOrEqual(a, v: Number) =>
       Some(s"""{"must":[{"key":"${stripMeta(a)}","range":{"lte":$v}}]}""")
+    case In(a, vs) if vs.nonEmpty =>
+      val rendered = vs.map {
+        case s: String => "\"" + s.replace("\"", "\\\"") + "\""
+        case other => String.valueOf(other)
+      }.mkString(",")
+      Some(s"""{"must":[{"key":"${stripMeta(a)}","match":{"any":[$rendered]}}]}""")
+    case IsNull(a) =>
+      Some(s"""{"must":[{"is_null":{"key":"${stripMeta(a)}"}}]}""")
+    case IsNotNull(a) =>
+      Some(s"""{"must_not":[{"is_null":{"key":"${stripMeta(a)}"}}]}""")
     case And(l, r) => for { ls <- render(l); rs <- render(r) } yield
       s"""{"must":[$ls,$rs]}"""
     case Or(l, r) => for { ls <- render(l); rs <- render(r) } yield
@@ -155,6 +182,7 @@ class MilvusExprDialect extends FilterDialect {
   override def parse(filter: String): Column = new MilvusParser(filter).parseExpr()
 
   override def render(f: Filter): Option[String] = f match {
+    case _ if f.references.exists(!addressable(_)) => None
     case EqualTo(a, v) => Some(s"${stripMeta(a)} == ${litStr(v)}")
     case GreaterThan(a, v) => Some(s"${stripMeta(a)} > ${litStr(v)}")
     case GreaterThanOrEqual(a, v) => Some(s"${stripMeta(a)} >= ${litStr(v)}")

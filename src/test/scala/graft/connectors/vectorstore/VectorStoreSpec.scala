@@ -169,6 +169,16 @@ class FilterDialectSpec extends SparkSpec {
     assert(docs.filter(not).count() == 1)
   }
 
+  test("qdrant match-any and is_null conditions parse and render") {
+    val d = new QdrantFilterDialect()
+    val any = d.parse("""{"must":[{"key":"cat","match":{"any":["a","b"]}}]}""")
+    assert(docs.filter(any).count() == 3)
+    // render IsNotNull/In and re-parse (round trip)
+    val rendered = d.render(And(In("metadata.cat", Array("a")),
+      IsNotNull("metadata.score"))).get
+    assert(docs.filter(d.parse(rendered)).count() == 2)
+  }
+
   test("milvus expression grammar: comparisons, in, like, boolean ops") {
     val d = new MilvusExprDialect()
     assert(docs.filter(d.parse("cat == \"a\"")).count() == 2)
