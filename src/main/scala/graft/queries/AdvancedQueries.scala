@@ -93,6 +93,26 @@ object AdvancedQueries {
         .agg(concat_ws(",", sort_array(collect_list("r_name"))).as("all_regions"))
         .drop("g")),
 
+    // recursive CTE (Spark 4 WITH RECURSIVE): calendar spine LEFT JOINed
+    // to fact counts — the gap-filling idiom
+    "q_recursive_cte" -> ((s, dir) => {
+      view(s, dir, "orders")
+      s.sql("""WITH RECURSIVE months(m) AS (
+              |  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+              |SELECT m, coalesce(n, 0) AS n_orders FROM months
+              |LEFT JOIN (SELECT month(o_orderdate) AS mo, count(*) AS n
+              |           FROM orders GROUP BY 1) ON mo = m""".stripMargin)
+    }),
+
+    "q_fn_regex" -> ((s, dir) => {
+      view(s, dir, "part")
+      s.sql("""SELECT p_partkey,
+              |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+              |  regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+              |  CAST(p_name RLIKE '^p_[0-9]+' AS INT) AS name_shaped
+              |FROM part""".stripMargin)
+    }),
+
     // range join via bin bucketing (graft.ops.RangeJoin): clicks landing
     // within 10 minutes after any signup — equi-join on time bin instead
     // of an O(n·m) inequality join
@@ -165,6 +185,15 @@ object AdvancedQueries {
         "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
     "q_string_agg" ->
       "SELECT array_to_string(list_sort(list(r_name)), ',') AS all_regions FROM region",
+    "q_recursive_cte" ->
+      ("WITH RECURSIVE months(m) AS (SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12) " +
+        "SELECT m, coalesce(n, 0) AS n_orders FROM months LEFT JOIN " +
+        "(SELECT CAST(month(o_orderdate) AS INT) AS mo, count(*) AS n FROM orders GROUP BY 1) " +
+        "ON mo = m"),
+    "q_fn_regex" ->
+      ("SELECT p_partkey, regexp_extract(p_name, '([a-z]+)$', 1) AS last_word, " +
+        "regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head, " +
+        "CAST(regexp_matches(p_name, '^p_[0-9]+') AS INT) AS name_shaped FROM part"),
     "q_range_join" ->
       // compare in the µs domain: Spark sees ns->µs-truncated timestamps,
       // so the oracle must truncate identically before the range test
