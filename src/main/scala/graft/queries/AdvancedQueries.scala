@@ -104,6 +104,26 @@ object AdvancedQueries {
               |           FROM orders GROUP BY 1) ON mo = m""".stripMargin)
     }),
 
+    // LATERAL correlated subquery: per-region top-2 nations (the
+    // dependent-join form of the window top-k)
+    "q_lateral" -> ((s, dir) => {
+      view(s, dir, "region", "nation")
+      s.sql("""SELECT r_name, n_name FROM region,
+              |LATERAL (SELECT n_name FROM nation
+              |         WHERE n_regionkey = r_regionkey
+              |         ORDER BY n_nationkey LIMIT 2)""".stripMargin)
+    }),
+
+    // UNPIVOT via the stack generator: wide measures → long (measure, val)
+    "q_unpivot" -> ((s, dir) => {
+      view(s, dir, "lineitem")
+      s.sql("""SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val FROM (
+              |  SELECT l_orderkey, l_linenumber,
+              |    stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount)
+              |      AS (measure, val)
+              |  FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500))""".stripMargin)
+    }),
+
     "q_fn_regex" -> ((s, dir) => {
       view(s, dir, "part")
       s.sql("""SELECT p_partkey,
@@ -190,6 +210,16 @@ object AdvancedQueries {
         "SELECT m, coalesce(n, 0) AS n_orders FROM months LEFT JOIN " +
         "(SELECT CAST(month(o_orderdate) AS INT) AS mo, count(*) AS n FROM orders GROUP BY 1) " +
         "ON mo = m"),
+    "q_lateral" ->
+      ("SELECT r_name, n_name FROM region, LATERAL " +
+        "(SELECT n_name FROM nation WHERE n_regionkey = r_regionkey " +
+        "ORDER BY n_nationkey LIMIT 2)"),
+    "q_unpivot" ->
+      ("WITH base AS (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500) " +
+        "SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val FROM (" +
+        "SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS val FROM base " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM base " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM base)"),
     "q_fn_regex" ->
       ("SELECT p_partkey, regexp_extract(p_name, '([a-z]+)$', 1) AS last_word, " +
         "regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head, " +
