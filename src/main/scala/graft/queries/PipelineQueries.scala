@@ -89,6 +89,11 @@ object PipelineQueries {
         .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start_us"),
           col("n_events"), col("session_value"))),
 
+    // ---- Conversion funnel over the event stream ----
+    "q_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnel(Tables(s, dir, "events"),
+        stages = Seq("signup", "click", "purchase"))),
+
     // ---- Multimodal plumbing ----
     "q_mm_meta" -> ((s, dir) =>
       Multimodal.packBinary(Tables(s, dir, "documents"))
@@ -211,6 +216,20 @@ object PipelineQueries {
           "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM w) " +
           "SELECT user_id, min(us) AS session_start_us, count(*) AS n_events, " +
           "round(sum(value), 2) AS session_value FROM s GROUP BY user_id, sid"),
+      "q_funnel" ->
+        ("WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+          "u AS (SELECT DISTINCT user_id FROM e), " +
+          "s1 AS (SELECT user_id, min(us) AS stage_1_us FROM e WHERE event_type = 'signup' GROUP BY user_id), " +
+          "s2 AS (SELECT e.user_id, min(us) AS stage_2_us FROM e JOIN s1 USING (user_id) " +
+          "WHERE event_type = 'click' AND us > stage_1_us GROUP BY e.user_id), " +
+          "s3 AS (SELECT e.user_id, min(us) AS stage_3_us FROM e JOIN s2 USING (user_id) " +
+          "WHERE event_type = 'purchase' AND us > stage_2_us GROUP BY e.user_id) " +
+          "SELECT u.user_id, stage_1_us, stage_2_us, stage_3_us, " +
+          "(CASE WHEN stage_1_us IS NULL THEN 0 ELSE 1 END + " +
+          "CASE WHEN stage_2_us IS NULL THEN 0 ELSE 1 END + " +
+          "CASE WHEN stage_3_us IS NULL THEN 0 ELSE 1 END) AS funnel_depth " +
+          "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) " +
+          "LEFT JOIN s3 USING (user_id)"),
       "q_mm_meta" ->
         ("SELECT doc_id AS media_id, 'text/plain' AS mime, " +
           "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256 " +

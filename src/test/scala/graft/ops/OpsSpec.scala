@@ -128,6 +128,25 @@ class OpsSpec extends SparkSpec {
     assert(docs.filter(d.parse("cat == \"b\" || cat == \"a\" && n > 5")).count() == 2)
   }
 
+  test("funnel: stage k only counts after stage k-1; depth reflects it") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, ts(0), 1L, "signup", 0.0), (2L, ts(5), 1L, "click", 0.0), (3L, ts(9), 1L, "purchase", 0.0),
+      // user 2: purchase BEFORE signup doesn't count; depth 1
+      (4L, ts(0), 2L, "purchase", 0.0), (5L, ts(5), 2L, "signup", 0.0),
+      // user 3: click before signup ignored, later click counts; depth 2
+      (6L, ts(0), 3L, "click", 0.0), (7L, ts(2), 3L, "signup", 0.0), (8L, ts(4), 3L, "click", 0.0),
+      // user 4: never signed up
+      (9L, ts(1), 4L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Funnel.funnel(ev, Seq("signup", "click", "purchase"))
+      .select("user_id", "funnel_depth").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
   test("sessionize splits on the gap and aggregates per session") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
