@@ -101,6 +101,14 @@ class MigratorSpec extends SparkSpec {
     val again = IncrementalMigrator.run(spark, wider)
     assert(again.success && again.written == 0, again)
     assert(MemoryStore.get("inc1").get._1.length == 120)
+    // deletion detection: a narrower source exposes the ids to retire
+    val narrowSource = graft.connectors.ConnectorRegistry("parquet")
+      .read(spark, Map("path" -> sf()), graft.config.QuerySpec(
+        collection = "embeddings", idColumn = "vec_id",
+        vectorColumn = Some("embedding"), limit = Some(110)))
+    val target = graft.connectors.ConnectorRegistry("memory")
+      .read(spark, Map.empty, graft.config.QuerySpec(collection = "inc1"))
+    assert(IncrementalMigrator.deletedIds(narrowSource, target).count() == 10)
   }
 
   test("memory -> parquet round trip preserves data") {
