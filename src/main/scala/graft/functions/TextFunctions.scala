@@ -89,6 +89,19 @@ object TextFunctions {
     when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** Unicode NFC canonicalization (é as one codepoint vs e+combining
+    * accent must dedup identically) — the normalization pass every text
+    * pipeline runs before hashing. */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NfcNormalizeExpr(org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** Full cleaning pass: NFC → strip control chars → collapse whitespace →
+    * trim. Deterministic, codegen-adjacent (one CodegenFallback for NFC,
+    * the rest builtin regex). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(nfc(text), "\\p{Cntrl}", ""), "\\s+", " "))
+
   /** 64-bit FNV-1a content fingerprint of the exact text — exact-dedup key
     * with cheap comparison; xxhash64 is Spark-native and codegen'd. */
   def fingerprint(text: Column): Column = xxhash64(text)
@@ -124,4 +137,32 @@ object TextFunctions {
     val union = size(array_union(a, b)).cast("double")
     when(union === 0.0, 0.0).otherwise(inter / union)
   }
+}
+
+/** Unicode NFC normalization as a Catalyst expression (java.text.Normalizer
+  * has no Spark builtin). CodegenFallback: compiled Scala eval per row. */
+case class NfcNormalizeExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val n = if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    org.apache.spark.unsafe.types.UTF8String.fromString(n)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NfcNormalizeExpr =
+    copy(child = newChild)
 }

@@ -36,6 +36,9 @@ object PipelineQueries {
     "q_text_langid" -> ((s, dir) => TextAnalysis.languageId(Tables(s, dir, "documents"))),
     "q_text_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("content_md5"))),
+    "q_text_normalize" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.normalizeText(col("text")).as("norm_text"))),
     // xxhash64/rolling-hash: Spark-native hashes, no DuckDB twin → rows-only
     "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
 
@@ -173,6 +176,9 @@ object PipelineQueries {
         (s"SELECT doc_id, $langCase AS lang_pred FROM documents"),
       "q_text_fingerprint" ->
         "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+      "q_text_normalize" ->
+        ("SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), " +
+          "'[[:cntrl:]]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text FROM documents"),
       "q_dedup_exact" ->
         ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
           "md5(lower(trim(text))) AS content_md5 FROM documents GROUP BY lower(trim(text))"),
