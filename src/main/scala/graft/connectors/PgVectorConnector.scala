@@ -131,8 +131,12 @@ class PgVectorConnector extends VectorConnector {
       col(Canonical.ID).as(load.idColumn),
       PgVectorCodec.vectorToText(col(Canonical.VECTOR)).as(load.vectorColumn),
       to_json(col(Canonical.METADATA)).as("metadata"))
-    val n = out.count()
-    out.write.format("jdbc")
+    // Row count rides along with the write itself (Dataset.observe) — a
+    // count() here would be a SECOND full pass over the source, which at
+    // 100 TB doubles the read cost just for the report number.
+    val obs = new org.apache.spark.sql.Observation(s"graft-pgv-write-${System.nanoTime()}")
+    val observed = out.observe(obs, count(lit(1)).as("rows"))
+    observed.write.format("jdbc")
       .option("url", jdbcUrl(connection))
       .option("dbtable", load.collection)
       .option("user", connection.getOrElse("user", "postgres"))
@@ -142,7 +146,7 @@ class PgVectorConnector extends VectorConnector {
       .option("batchsize", load.batchSize.toString)
       .mode(if (load.recreate) SaveMode.Overwrite else SaveMode.Append)
       .save()
-    WriteReport(written = n)
+    WriteReport(written = obs.get.get("rows").map(String.valueOf(_).toLong).getOrElse(0L))
   }
 
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],

@@ -14,42 +14,63 @@ case class CollectionConfig(
     onDisk: Boolean = false,
     props: Map[String, String] = Map.empty)
 
-/** Shared-JVM vector-store emulation: collections of [[VSRecord]]s with
-  * per-collection config. In `local[n]` the executors share this JVM, so
-  * the DSv2 readers/writers exercise the full distributed code path against
-  * it; a production deployment swaps this object for a network client with
-  * the same five calls (connect/scroll/upsert/createCollection/describe —
-  * the adapter ABC surface, `core/adapter.py:20-66`).
+/** The transport seam: the five store calls every backend client must
+  * provide (the adapter ABC surface, `core/adapter.py:20-66`, minus
+  * `connect`, which is an impl detail — a network transport connects
+  * lazily on first call, once per executor JVM).
+  *
+  * The DSv2 readers/writers ([[VSPartitionReader]], [[VSDataWriter]]) only
+  * ever talk through this trait, so "production transport drops in" is a
+  * compiling interface: implement these six methods over qdrant-client /
+  * pymilvus-equivalent wire calls and register via [[VectorStore.use]].
+  * Implementations must be safe to call from executor threads.
   */
-object VectorStore {
+trait VectorStoreTransport extends Serializable {
+  def createCollection(name: String, config: CollectionConfig, recreate: Boolean): Unit
+  def exists(name: String): Boolean
+  def describe(name: String): Option[CollectionConfig]
+  def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord]
+  def count(name: String): Int
+  def upsert(name: String, records: Seq[VSRecord]): Int
+  def drop(name: String): Unit
+}
+
+/** Shared-JVM emulation of a vector store: collections of [[VSRecord]]s
+  * with per-collection config. In `local[n]` the executors share this JVM,
+  * so the DSv2 readers/writers exercise the full distributed code path
+  * against it. This is one [[VectorStoreTransport]]; a deployment against
+  * live Qdrant/Milvus/Pinecone registers a network impl instead.
+  */
+object InMemoryTransport extends VectorStoreTransport {
   private val data = new ConcurrentHashMap[String, ArrayBuffer[VSRecord]]()
   private val configs = new ConcurrentHashMap[String, CollectionConfig]()
 
-  def createCollection(name: String, config: CollectionConfig, recreate: Boolean): Unit = synchronized {
-    if (recreate || !data.containsKey(name)) {
-      data.put(name, ArrayBuffer.empty)
-      configs.put(name, config)
+  override def createCollection(name: String, config: CollectionConfig, recreate: Boolean): Unit =
+    synchronized {
+      if (recreate || !data.containsKey(name)) {
+        data.put(name, ArrayBuffer.empty)
+        configs.put(name, config)
+      }
     }
-  }
 
-  def exists(name: String): Boolean = data.containsKey(name)
+  override def exists(name: String): Boolean = data.containsKey(name)
 
-  def config(name: String): Option[CollectionConfig] = Option(configs.get(name))
+  override def describe(name: String): Option[CollectionConfig] = Option(configs.get(name))
 
   /** Paged scroll — full pagination, unlike the reference's single-page
     * Qdrant scroll that silently truncates at `limit`
     * (`adapters/qdrant.py:99-106`, defect noted in SURVEY §2). */
-  def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
+  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
     val buf = Option(data.get(name)).getOrElse(
       throw new NoSuchElementException(s"collection not found: $name"))
     buf.synchronized { buf.slice(fromIdx, fromIdx + pageSize).toSeq }
   }
 
-  def count(name: String): Int =
+  override def count(name: String): Int =
     Option(data.get(name)).map(b => b.synchronized(b.length)).getOrElse(0)
 
   /** Batched upsert (id-keyed replace), returns records written. */
-  def upsert(name: String, records: Seq[VSRecord]): Int = {
+  override def upsert(name: String, records: Seq[VSRecord]): Int = {
     val buf = Option(data.get(name)).getOrElse(
       throw new NoSuchElementException(s"collection not found: $name (create it first)"))
     buf.synchronized {
@@ -61,6 +82,38 @@ object VectorStore {
     records.length
   }
 
-  def drop(name: String): Unit = { data.remove(name); configs.remove(name) }
+  override def drop(name: String): Unit = { data.remove(name); configs.remove(name) }
+
   def clear(): Unit = { data.clear(); configs.clear() }
+}
+
+/** Routing facade the source code calls: delegates every store call to the
+  * registered [[VectorStoreTransport]] (default: the in-JVM emulation).
+  * `use` swaps the transport process-wide — on a real cluster the same
+  * registration runs in each executor via the transport's lazy connect. */
+object VectorStore {
+  @volatile private var transport: VectorStoreTransport = InMemoryTransport
+
+  /** Register a transport (network client, mock, …); returns the previous
+    * one so callers can restore it. */
+  def use(t: VectorStoreTransport): VectorStoreTransport = {
+    val prev = transport; transport = t; prev
+  }
+  def current: VectorStoreTransport = transport
+
+  def createCollection(name: String, config: CollectionConfig, recreate: Boolean): Unit =
+    transport.createCollection(name, config, recreate)
+  def exists(name: String): Boolean = transport.exists(name)
+  def config(name: String): Option[CollectionConfig] = transport.describe(name)
+  def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] =
+    transport.scroll(name, fromIdx, pageSize)
+  def count(name: String): Int = transport.count(name)
+  def upsert(name: String, records: Seq[VSRecord]): Int = transport.upsert(name, records)
+  def drop(name: String): Unit = transport.drop(name)
+
+  /** Test hygiene: wipe the in-memory emulation (no-op for other transports). */
+  def clear(): Unit = transport match {
+    case InMemoryTransport => InMemoryTransport.clear()
+    case _ => ()
+  }
 }

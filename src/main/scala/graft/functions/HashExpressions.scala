@@ -137,7 +137,7 @@ case class MinHashSignatureExpr(child: Expression, as: Array[Long], bs: Array[Lo
          |    if ($v < $sig[$j]) $sig[$j] = $v;
          |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($sig);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
        """.stripMargin
     })
 

@@ -86,11 +86,22 @@ object Dedup {
                             threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val signed = withMinHashSignature(docs, textCol, numHashes, shingleSize)
+    // Materialize the (id, band, band_hash) relation once: it is read by
+    // BOTH the bucket-count guard and the pair join below, and without this
+    // the shingle+signature scan (the expensive part — the bands themselves
+    // are ~1% of the text width) would run twice, since the guard's partial
+    // aggregate sits below its exchange and defeats AQE exchange reuse.
     val bands = lshBands(signed, idCol, numBands, rowsPerBand)
-    val bounded = bands
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
-      .filter(col("__n") <= maxBucket).drop("__n")
+      .localCheckpoint(eager = true)
+    // Skew guard as a partial-aggregate + equi-join rather than a Window:
+    // the groupBy count combines map-side (tiny per-bucket rows through the
+    // shuffle), where a Window would sort and buffer full per-bucket row
+    // state — the state that explodes on a boilerplate bucket at 100 TB.
+    val smallBuckets = bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "band_hash")
+    val bounded = bands.join(smallBuckets, Seq("band", "band_hash"))
     val left = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
     val right = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
     val candidates = left.join(right, Seq("band", "band_hash"))

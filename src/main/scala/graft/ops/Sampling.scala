@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sampling utilities for training-data mixtures.
@@ -46,5 +46,27 @@ object Sampling {
       when(col(stratumCol) === k, lit(f)).otherwise(acc)
     }
     df.filter(bucket < (rate * 1000000L).cast("long"))
+  }
+
+  /** Bucket space for [[portableBucket]]: Mersenne prime 2^31-1. */
+  val PortableP: Long = 2147483647L
+
+  /** Portable deterministic bucket in [0, P): Knuth multiplicative mixing
+    * over pure int64 arithmetic, so ANY SQL engine reproduces it bit-exactly
+    * (xxhash64 has no cross-engine twin). The id is reduced mod P first so
+    * the product stays below 2^62 — no overflow even for 100 TB-scale ids. */
+  def portableBucket(id: Column, seed: Long = 42L): Column =
+    pmod(pmod(id.cast("long"), lit(PortableP)) * lit(2654435761L) + lit(seed), lit(PortableP))
+
+  /** [[stratified]] with the portable bucket — same mixture semantics, but
+    * the sample membership is auditable from any engine that can do integer
+    * arithmetic (the driver's DuckDB oracle checks it row-for-row). */
+  def stratifiedPortable(df: DataFrame, stratumCol: String, fractions: Map[String, Double],
+                         idCol: String, seed: Long = 42L): DataFrame = {
+    val bucket = portableBucket(col(idCol), seed)
+    val rate = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(bucket < floor(rate * lit(PortableP.toDouble)).cast("long"))
   }
 }

@@ -56,6 +56,19 @@ object Similarity {
       graft.functions.HyperplaneBucketExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(col(vecCol)), planes))
 
+  /** Embedding dimensionality of `vecCol`: the caller's explicit value if
+    * positive, else read off ONE row (a LocalLimit(1) scan — cheap and
+    * scale-safe; the alternative, silently assuming a fixed dim, produces
+    * wrong-length hyperplanes and garbage buckets with no error). */
+  private[ops] def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int = {
+    if (dim > 0) dim
+    else {
+      val rows = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).limit(1).collect()
+      require(rows.nonEmpty, s"cannot infer embedding dim: no non-empty '$vecCol' values")
+      rows(0).getInt(0)
+    }
+  }
+
   /** LSH-bucketed ANN: score only candidates in the query's bucket, with
     * multi-probe (the query also probes every bucket at Hamming distance 1
     * — standard practice to recover recall without duplicating the
@@ -64,9 +77,8 @@ object Similarity {
     * the equi-join on bucket id — broadcastable because queries are few. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              multiProbe: Boolean = true): DataFrame = {
-    val dim = 64 // testdata embedding dim; derive from data when dynamic
-    val planes = hyperplanes(bits, dim)
+              multiProbe: Boolean = true, dim: Int = -1): DataFrame = {
+    val planes = hyperplanes(bits, resolveDim(candidates, vecCol, dim))
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", bucketExpr("c_vec", planes))
     val probes: Column => Column = b =>
@@ -85,9 +97,9 @@ object Similarity {
   /** LSH near-pair generator (the scale path for cosine near-dedup):
     * pairs sharing a hyperplane bucket, verified by exact cosine. */
   def lshCosinePairs(emb: DataFrame, threshold: Double, bits: Int = 8,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(bits, dim)
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     dim: Int = -1): DataFrame = {
+    val planes = hyperplanes(bits, resolveDim(emb, vecCol, dim))
     val bk = emb.select(col(idCol), col(vecCol))
       .withColumn("bucket", bucketExpr(vecCol, planes))
     val a = bk.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))

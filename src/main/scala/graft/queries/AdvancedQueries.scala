@@ -48,12 +48,13 @@ object AdvancedQueries {
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
     }),
 
+    // Gate projection is the joined string only: the driver's pandas compare
+    // cannot hash raw array cells. Library users get the array via
+    // collect_list directly; the gate checks the same data as a string.
     "q_array_agg" -> ((s, dir) =>
       Tables(s, dir, "nation")
         .groupBy("n_regionkey")
-        .agg(
-          sort_array(collect_list("n_name")).as("nations"),
-          concat_ws("|", sort_array(collect_list("n_name"))).as("nations_str"))),
+        .agg(concat_ws("|", sort_array(collect_list("n_name"))).as("nations_str"))),
 
     "q_window_frame" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -184,8 +185,7 @@ object AdvancedQueries {
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
     "q_array_agg" ->
-      ("SELECT n_regionkey, list_sort(list(n_name)) AS nations, " +
-        "array_to_string(list_sort(list(n_name)), '|') AS nations_str " +
+      ("SELECT n_regionkey, array_to_string(list_sort(list(n_name)), '|') AS nations_str " +
         "FROM nation GROUP BY n_regionkey"),
     "q_window_frame" ->
       ("SELECT event_id, user_id, round(avg(value) OVER " +

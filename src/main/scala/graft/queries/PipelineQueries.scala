@@ -53,12 +53,24 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), blockCol = "source", threshold = 0.05)),
     "q_dedup_cosine" -> ((s, dir) =>
       Dedup.cosineNearDupPairs(Tables(s, dir, "embeddings"), blockCol = "label", threshold = 0.3)),
-    // MinHash/SimHash use Spark-native xxhash64 → rows-only checks
+    // Full-corpus MinHash pairs: hashed-shingle jaccard has no DuckDB twin
+    // → rows-only. This is the bench headline; the oracle-checked face is
+    // q_dedup_minhash_planted below.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashDuplicatePairs(Tables(s, dir, "documents"), threshold = 0.3)),
-    // pair list → dedup clusters (connected components), rows-only
+    // Planted-fixture gate: restricted to doc_id < 200 so DuckDB can
+    // enumerate ALL pairs by exact string-shingle Jaccard. At threshold 0.8
+    // banded-LSH candidate recall is 1-(1-s^4)^16 >= 0.9998 per true pair —
+    // deterministic on the fixed testdata (validated hash-green locally).
+    // Ids only: the verified jaccard is over HASHED shingles (no SQL twin).
+    "q_dedup_minhash_planted" -> ((s, dir) =>
+      Dedup.minHashDuplicatePairs(Tables(s, dir, "documents").filter(col("doc_id") < 200),
+        threshold = 0.8).select("id_a", "id_b")),
+    // pair list → dedup clusters (connected components) on the same planted
+    // fixture; the oracle walks the identical pair set with a recursive CTE
     "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minHashDuplicatePairs(Tables(s, dir, "documents"), threshold = 0.3)
+      val pairs = Dedup.minHashDuplicatePairs(
+        Tables(s, dir, "documents").filter(col("doc_id") < 200), threshold = 0.8)
       Dedup.connectedComponents(pairs)
         .groupBy("comp").agg(count(lit(1)).as("n_members"))
         .filter(col("n_members") >= 2)
@@ -75,9 +87,13 @@ object PipelineQueries {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3, bits = 4)
     }),
+    // Exhaustive probe (nProbe = nCells): every cell is scanned, so the IVF
+    // machinery (cell assignment, probe join, per-query window) must produce
+    // EXACTLY the brute-force top-k — which gives it the exact-cosine
+    // oracle. Recall at nProbe < nCells is asserted separately in specs.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), k = 3)
+      Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), k = 3, nCells = 8, nProbe = 8)
     }),
 
     // ---- Sessionization (batch) ----
@@ -102,15 +118,19 @@ object PipelineQueries {
       Multimodal.packBinary(Tables(s, dir, "documents"))
         .select(col("media_id"), col("meta.mime").as("mime"),
           col("meta.byte_len").as("byte_len"), col("meta.sha256").as("sha256"))),
+    // Gate projection: no raw arrays (driver's pandas compare can't hash
+    // them) — the frame list goes out joined as a string. width/height/
+    // n_frames/frames are byte-length math, so DuckDB can oracle-check them.
     "q_mm_features" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.extractFeatures(Multimodal.packBinary(Tables(s, dir, "documents"))))
-        .select("media_id", "width", "height", "n_frames", "mean_byte", "sampled_frames")),
+        .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+          concat_ws(",", col("sampled_frames").cast("array<string>")).as("sampled_frames_str"))),
 
-    // ---- Training-data mixture sampling (deterministic hash buckets —
-    //      Spark-native xxhash64, so rows-only in the driver gate) ----
+    // ---- Training-data mixture sampling: portable multiplicative-hash
+    //      buckets, so the DuckDB oracle reproduces membership row-for-row ----
     "q_sample_stratified" -> ((s, dir) =>
-      Sampling.stratified(Tables(s, dir, "documents"), "lang",
+      Sampling.stratifiedPortable(Tables(s, dir, "documents"), "lang",
         Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.1), idCol = "doc_id")
         .select("doc_id", "lang")),
 
@@ -161,6 +181,29 @@ object PipelineQueries {
       "i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2]))"
     val ltoksFrom = "(SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS ltoks FROM documents)"
 
+    // planted-fixture near-dup pairs (doc_id < 200, exact Jaccard >= 0.8) —
+    // the ground truth the LSH path must reproduce at recall ~1
+    val plantedPairCtes =
+      "d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ltoks " +
+        "FROM documents WHERE doc_id < 200), " +
+        s"sh AS (SELECT doc_id, $shingles AS sh FROM d), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 ELSE " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END, 6) AS j " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+
+    // exact cosine top-3 for query set vec_id < 5 — shared by the brute
+    // query and the exhaustive-probe IVF query (nProbe = nCells ⇒ identical)
+    val annExactSql =
+      "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings), " +
+        s"s AS (SELECT query_id, cand_id, round(${cosSql("qv", "cv")}, 6) AS score " +
+        "FROM q JOIN c ON cand_id <> query_id) " +
+        "SELECT query_id, cand_id, score, CAST(rn AS INT) AS rk FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, cand_id ASC) AS rn FROM s) WHERE rn <= 3"
+
     Map(
       "q_transform_enrich" ->
         ("SELECT doc_id, source, 'pgvector' AS source_db, doc_id % 10 AS migration_batch " +
@@ -198,15 +241,24 @@ object PipelineQueries {
           s"round(${cosSql("a.v", "b.v")}, 6) AS cosine " +
           "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) " +
           "SELECT * FROM p WHERE cosine >= 0.3"),
-      "q_ann_topk" ->
-        ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv " +
-          "FROM embeddings WHERE vec_id < 5), " +
-          "c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings), " +
-          s"s AS (SELECT query_id, cand_id, round(${cosSql("qv", "cv")}, 6) AS score " +
-          "FROM q JOIN c ON cand_id <> query_id) " +
-          "SELECT query_id, cand_id, score, CAST(rn AS INT) AS rk FROM " +
-          "(SELECT *, row_number() OVER (PARTITION BY query_id " +
-          "ORDER BY score DESC, cand_id ASC) AS rn FROM s) WHERE rn <= 3"),
+      "q_ann_topk" -> annExactSql,
+      "q_ann_ivf" -> annExactSql,
+      "q_dedup_minhash_planted" ->
+        (s"WITH $plantedPairCtes SELECT id_a, id_b FROM p WHERE j >= 0.8"),
+      "q_dedup_clusters" ->
+        (s"WITH RECURSIVE $plantedPairCtes, " +
+          "e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.8 " +
+          "UNION SELECT id_b, id_a FROM p WHERE j >= 0.8), " +
+          "n AS (SELECT DISTINCT src AS id FROM e), " +
+          "reach(id, r) AS (SELECT id, id FROM n " +
+          "UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id), " +
+          "c AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
+          "SELECT comp, count(*) AS n_members FROM c GROUP BY comp HAVING count(*) >= 2"),
+      "q_sample_stratified" ->
+        ("SELECT doc_id, lang FROM documents WHERE " +
+          "((doc_id % 2147483647) * 2654435761 + 42) % 2147483647 < " +
+          "CAST(floor((CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 " +
+          "WHEN 'fr' THEN 0.1 ELSE 0.0 END) * 2147483647.0) AS BIGINT)"),
       "q_sessionize" ->
         ("WITH e AS (SELECT user_id, event_id, value, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
           "w AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e), " +
@@ -240,6 +292,15 @@ object PipelineQueries {
         ("SELECT doc_id AS media_id, 'text/plain' AS mime, " +
           "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256 " +
           "FROM documents"),
+      // mirrors FakeCodec.decode's byte-length feature math + sampleFrames'
+      // sequence(0, n_frames-1, 4) — DuckDB range() is stop-exclusive, so
+      // range(0, n_frames, 4) enumerates the same indices
+      "q_mm_features" ->
+        ("WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents) " +
+          "SELECT media_id, CAST(64 + n % 576 AS INT) AS width, " +
+          "CAST(64 + (n * 31) % 416 AS INT) AS height, CAST(1 + n % 16 AS INT) AS n_frames, " +
+          "array_to_string(range(0, CAST(1 + n % 16 AS BIGINT), 4), ',') AS sampled_frames_str " +
+          "FROM m"),
       "q_decontaminate" ->
         (s"WITH base AS (SELECT doc_id, $shingles AS sh FROM " +
           "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ltoks FROM documents)), " +

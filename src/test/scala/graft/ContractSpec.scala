@@ -33,7 +33,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("gate size matches the documented inventory") {
-    assert(SparkEntry.queries.size == 79, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 71, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size == 80, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 76, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+import graft.connectors.vectorstore._
+import graft.model.Canonical
+
+/** The flagship hash kernels must actually COMPILE under codegen — a Janino
+  * failure normally demotes the whole subtree to interpreted eval silently
+  * (which is exactly what a wrong class reference in the generated source
+  * did in round 2). CODEGEN_ONLY + fallback=false turn that silent demotion
+  * into a test failure. */
+class CodegenStrictSpec extends SparkSpec {
+
+  private def strict[A](body: => A): A = {
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevWsFallback = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try body
+    finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWsFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("MinHashSignatureExpr generated code compiles (no interpreted fallback)") {
+    strict {
+      val sigs = Dedup.withMinHashSignature(Tables(spark, sf(), "documents"))
+        .select("minhash_sig").limit(5).collect()
+      assert(sigs.nonEmpty && sigs.forall(_.getSeq[Long](0).length == 64))
+    }
+  }
+
+  test("SimHash64Expr generated code compiles") {
+    strict {
+      val fps = Tables(spark, sf(), "documents")
+        .select(Dedup.simHash(col("text")).as("fp")).limit(5).collect()
+      assert(fps.nonEmpty)
+    }
+  }
+
+  test("full minhash pair pipeline runs codegen-strict end to end") {
+    strict {
+      // count() forces every stage: shingle, sign, band, join, verify
+      assert(Dedup.minHashDuplicatePairs(
+        Tables(spark, sf(), "documents"), threshold = 0.5).count() >= 0)
+    }
+  }
+}
+
+/** Round-2 verdict item 3: `dim = 64` was hardcoded in the LSH paths — any
+  * other embedding width got wrong-length hyperplanes and silently-garbage
+  * buckets. Dim is now derived from the data (or passed explicitly). */
+class DynamicDimSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8-dim corpus: ids 0..9 pseudo-random, ids 100..109 exact twins of them.
+  // Twins have cosine 1.0 and identical hyperplane signs — LSH MUST pair
+  // them regardless of bucket layout; non-twin cosines stay well below 1.
+  private lazy val emb = {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 10).map(i => i.toLong -> Array.fill(8)(rnd.nextFloat()))
+    (base ++ base.map { case (i, v) => (i + 100) -> v })
+      .map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+  }
+
+  test("lshCosinePairs finds all planted twins at dim=8") {
+    val got = Similarity.lshCosinePairs(emb, threshold = 0.9999, bits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (0 until 10).map(i => (i.toLong, i + 100L)).toSet
+    assert(got == want)
+  }
+
+  test("lshTopK ranks the twin first with score 1.0 at dim=8") {
+    val top = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 1, bits = 4)
+      .select("query_id", "cand_id", "score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(top.map(t => (t._1, t._2)).toSeq == Seq((0L, 100L), (1L, 101L), (2L, 102L)))
+    assert(top.forall(_._3 == 1.0))
+  }
+
+  test("explicit dim parameter overrides inference") {
+    val got = Similarity.lshCosinePairs(emb, threshold = 0.9999, bits = 4, dim = 8)
+      .count()
+    assert(got == 10)
+  }
+}
+
+/** Round-2 verdict item 6: the vector-store transport is an explicit trait;
+  * the DSv2 scan/write path must route every store call through whatever
+  * transport is registered — proven here with a call-counting wrapper. */
+class TransportSeamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private class CountingTransport(inner: VectorStoreTransport) extends VectorStoreTransport {
+    val calls = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private def tick(k: String): Unit = calls.merge(k, 1L, (a, b) => a + b)
+    override def createCollection(n: String, c: CollectionConfig, r: Boolean): Unit = {
+      tick("createCollection"); inner.createCollection(n, c, r)
+    }
+    override def exists(n: String): Boolean = { tick("exists"); inner.exists(n) }
+    override def describe(n: String): Option[CollectionConfig] = { tick("describe"); inner.describe(n) }
+    override def scroll(n: String, f: Int, p: Int): Seq[VSRecord] = { tick("scroll"); inner.scroll(n, f, p) }
+    override def count(n: String): Int = { tick("count"); inner.count(n) }
+    override def upsert(n: String, rs: Seq[VSRecord]): Int = { tick("upsert"); inner.upsert(n, rs) }
+    override def drop(n: String): Unit = { tick("drop"); inner.drop(n) }
+  }
+
+  test("DSv2 write and scan route through the registered transport") {
+    val mock = new CountingTransport(InMemoryTransport)
+    val prev = VectorStore.use(mock)
+    try {
+      (0 until 300).map(i => (i.toString, Seq.fill(4)(i.toFloat), Map("k" -> s"v$i")))
+        .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+        .write.format("graft-qdrant").option("collection", "seam")
+        .option("recreate", "true").option("batch_size", "64").mode("overwrite").save()
+      val n = spark.read.format("graft-qdrant").option("collection", "seam")
+        .option("page_size", "100").load().count()
+      assert(n == 300)
+      assert(mock.calls.getOrDefault("createCollection", 0L) >= 1L)
+      assert(mock.calls.getOrDefault("upsert", 0L) >= 5L) // 300 rows / batch 64
+      assert(mock.calls.getOrDefault("scroll", 0L) >= 3L) // 300 rows / page 100
+      assert(mock.calls.getOrDefault("count", 0L) >= 1L)  // partition planning
+    } finally VectorStore.use(prev)
+  }
+}
+
+/** Round-2 verdict item 7: the LSH bucket-size skew guard is a partial
+  * aggregate + equi-join, not a Window — window state over the full band
+  * table is exactly what we can't afford at 100 TB. */
+class BucketGuardPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minHashDuplicatePairs plan contains no Window node") {
+    val plan = Dedup.minHashDuplicatePairs(Tables(spark, sf(), "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
+  }
+
+  test("guard still caps oversized buckets and keeps duplicate pairs") {
+    // 40 exact copies of one text: every band bucket holds all 40 ids.
+    // maxBucket=10 must drop those buckets -> no pairs; maxBucket=1000 keeps
+    // them -> all 780 pairs at jaccard 1.0.
+    val docs = (0 until 40).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashDuplicatePairs(docs, threshold = 0.9, maxBucket = 10).count()
+    val kept = Dedup.minHashDuplicatePairs(docs, threshold = 0.9, maxBucket = 1000).count()
+    assert(capped == 0)
+    assert(kept == 40L * 39 / 2)
+  }
+}
