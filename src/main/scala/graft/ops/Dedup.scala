@@ -85,20 +85,31 @@ object Dedup {
                             numHashes: Int = 64, numBands: Int = 16, shingleSize: Int = 3,
                             threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val signed = withMinHashSignature(docs, textCol, numHashes, shingleSize)
-    // Materialize the (id, band, band_hash) relation once: it is read by
-    // BOTH the bucket-count guard and the pair join below, and without this
-    // the shingle+signature scan (the expensive part — the bands themselves
-    // are ~1% of the text width) would run twice, since the guard's partial
-    // aggregate sits below its exchange and defeats AQE exchange reuse.
+    // Explicit id-not-null upfront (a null id could never appear in the
+    // pair output anyway): the self-join below INFERS isnotnull on its
+    // branches while the count-guard branch would not, and that one-filter
+    // difference breaks plan canonicalization — with it aligned, all four
+    // consumers of the banded relation reuse ONE shuffle stage.
+    val signed = withMinHashSignature(
+      docs.filter(col(idCol).isNotNull), textCol, numHashes, shingleSize)
+    // Explicit repartition on the bucket key: the count guard's aggregate
+    // and the pair join below then share this ONE exchange (ReusedExchange)
+    // instead of each re-running the shingle+signature scan — the expensive
+    // part; the bands themselves are ~1% of the text width. Without it the
+    // guard's partial aggregate sits below its own exchange and defeats
+    // exchange reuse, doubling the signature scan (measured +0.2 s at sf0.1).
     val bands = lshBands(signed, idCol, numBands, rowsPerBand)
-      .localCheckpoint(eager = true)
+      .repartition(col("band"), col("band_hash"))
     // Skew guard as a partial-aggregate + equi-join rather than a Window:
     // the groupBy count combines map-side (tiny per-bucket rows through the
     // shuffle), where a Window would sort and buffer full per-bucket row
     // state — the state that explodes on a boilerplate bucket at 100 TB.
+    // count(idCol), not count(1): keeps the id column referenced so the
+    // guard branch projects the SAME columns as the join branch and
+    // canonicalizes equal — AQE then reuses one shuffle stage for both
+    // (count(1) lets pruning narrow the guard's scan, breaking reuse).
     val smallBuckets = bands.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(col(idCol)).as("__n"))
       .filter(col("__n") <= maxBucket)
       .select("band", "band_hash")
     val bounded = bands.join(smallBuckets, Seq("band", "band_hash"))

@@ -77,12 +77,18 @@ object Similarity {
     * the equi-join on bucket id — broadcastable because queries are few. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              multiProbe: Boolean = true, dim: Int = -1): DataFrame = {
+              multiProbe: Boolean = true, dim: Int = -1,
+              probeAll: Boolean = false): DataFrame = {
     val planes = hyperplanes(bits, resolveDim(candidates, vecCol, dim))
     val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", bucketExpr("c_vec", planes))
+    // probeAll: every bucket is probed, so the result must equal exact
+    // brute-force top-k — the oracle-checkable mode (each candidate sits in
+    // exactly one bucket, so no pair is scored twice); selective probing
+    // (the production trade) keeps the same plan with fewer probe keys.
     val probes: Column => Column = b =>
-      if (multiProbe) array(b +: (0 until bits).map(j => b.bitwiseXOR(lit(1L << j))): _*)
+      if (probeAll) array((0L until (1L << bits)).map(lit): _*)
+      else if (multiProbe) array(b +: (0 until bits).map(j => b.bitwiseXOR(lit(1L << j))): _*)
       else array(b)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("bucket", explode(probes(bucketExpr("q_vec", planes)))))

@@ -83,9 +83,13 @@ object PipelineQueries {
       val emb = Tables(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
     }),
+    // Exhaustive probe (all 2^bits buckets): the LSH machinery (bucket
+    // assignment, probe explode, bucket join, per-query window) must equal
+    // brute-force top-k exactly → exact-cosine oracle. Selective-probe
+    // recall is spec-asserted (AnnSpec/DynamicDimSpec).
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3, bits = 4)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3, bits = 4, probeAll = true)
     }),
     // Exhaustive probe (nProbe = nCells): every cell is scanned, so the IVF
     // machinery (cell assignment, probe join, per-query window) must produce
@@ -243,6 +247,7 @@ object PipelineQueries {
           "SELECT * FROM p WHERE cosine >= 0.3"),
       "q_ann_topk" -> annExactSql,
       "q_ann_ivf" -> annExactSql,
+      "q_ann_lsh" -> annExactSql,
       "q_dedup_minhash_planted" ->
         (s"WITH $plantedPairCtes SELECT id_a, id_b FROM p WHERE j >= 0.8"),
       "q_dedup_clusters" ->

@@ -34,6 +34,6 @@ class ContractSpec extends AnyFunSuite {
 
   test("gate size matches the documented inventory") {
     assert(SparkEntry.queries.size == 80, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 76, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.oracleSql.size == 77, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -139,6 +139,19 @@ class BucketGuardPlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
   }
 
+  test("the signature scan runs ONCE: all banded-relation consumers reuse one shuffle stage") {
+    // collect() executes THIS QueryExecution (count() would clone it), so
+    // the AQE final plan is inspectable afterwards
+    val df = Dedup.minHashDuplicatePairs(Tables(spark, sf(), "documents"))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val sigScans = finalPlan.split("\n").count(_.contains("minhash_signature"))
+    assert(sigScans == 1,
+      s"expected exactly 1 minhash_signature projection in the final plan, got $sigScans")
+    assert(finalPlan.contains("ReusedExchange"), "expected AQE stage reuse in the final plan")
+  }
+
   test("guard still caps oversized buckets and keeps duplicate pairs") {
     // 40 exact copies of one text: every band bucket holds all 40 ids.
     // maxBucket=10 must drop those buckets -> no pairs; maxBucket=1000 keeps
