@@ -122,6 +122,29 @@ object TextFunctions {
       .otherwise(array_distinct(transform(sequence(lit(1), count), i => norm.substr(i, lit(n)))))
   }
 
+  /** Word n-grams WITH multiplicity (lowercased) — unlike [[wordShingles]],
+    * repeats are kept: repetition analysis needs the duplicate mass. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = transform(tokens(text), lower(_))
+    val count = size(toks) - (n - 1)
+    when(count < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** PII redaction: emails, IPv4 addresses, then phone-shaped digit runs,
+    * replaced by typed placeholder tags. Patterns are deliberately within
+    * the RE2 subset (no lookaround), so any RE2-based engine — including
+    * the DuckDB oracle — applies the exact same rewrites. Order matters:
+    * emails before phones (an email's digits must not be half-eaten). */
+  val piiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d\\- ]{7,}\\d" -> "<PHONE>")
+
+  def redactPii(text: Column): Column =
+    piiRules.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
+
   /** Word n-gram shingles over whitespace tokens — input to n-gram Jaccard. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = transform(tokens(text), lower(_))

@@ -39,4 +39,39 @@ object TextAnalysis {
       md5(col(textCol)).as("content_md5"),
       TextFunctions.fingerprint(col(textCol)).as("content_xxh64"),
       TextFunctions.rollingHash(col(textCol)).as("rolling_hash"))
+
+  /** Intra-document repetition metrics in the Gopher/C4 filter family:
+    * duplicate word-bigram / 5-gram mass and the fraction of bigram
+    * occurrences taken by the single most frequent bigram. The duplicate
+    * ratios are pure array math (codegen'd, no shuffle); the top-bigram
+    * fraction is an explode + two-level aggregate keyed on (doc, gram) —
+    * well-spread keys, one shuffle, no per-doc state beyond counters. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    def dupRatio(grams: org.apache.spark.sql.Column) =
+      when(size(grams) === 0, 0.0)
+        .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+    val g2 = TextFunctions.wordNgrams(col(textCol), 2)
+    val base = docs.select(
+      col(idCol),
+      size(g2).as("n_bigrams"),
+      round(dupRatio(g2), 6).as("dup_bigram_ratio"),
+      round(dupRatio(TextFunctions.wordNgrams(col(textCol), 5)), 6).as("dup_5gram_ratio"),
+      g2.as("__g2"))
+    val top = base.select(col(idCol), explode(col("__g2")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max("c").as("top_c"), sum("c").as("tot"))
+      .select(col(idCol), round(col("top_c").cast("double") / col("tot"), 6).as("top_bigram_frac"))
+    base.drop("__g2").join(top, Seq(idCol), "left_outer")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
+  /** PII scrubbing pass: typed placeholder tags for emails/IPs/phones plus
+    * a `had_pii` flag. Pure regexp_replace chain — embarrassingly parallel. */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      TextFunctions.redactPii(col(textCol)).as("redacted"),
+      (TextFunctions.redactPii(col(textCol)) =!= col(textCol)).as("had_pii"))
 }

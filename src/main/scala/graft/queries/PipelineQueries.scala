@@ -41,6 +41,16 @@ object PipelineQueries {
         TextFunctions.normalizeText(col("text")).as("norm_text"))),
     // xxhash64/rolling-hash: Spark-native hashes, no DuckDB twin → rows-only
     "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
+    // Gopher/C4-style intra-document repetition metrics
+    "q_text_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables(s, dir, "documents"))),
+    // PII scrub over documents salted with synthetic email/IP/phone built
+    // from doc_id — every row exercises all three rewrite rules, and the
+    // oracle applies the identical RE2 patterns
+    "q_text_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(Tables(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org from 10.0."), (col("doc_id") % 200).cast("string"),
+          lit(".7 or +1 555-01"), (col("doc_id") % 90 + 10).cast("string"))))),
 
     // ---- Dedup ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exactDuplicates(Tables(s, dir, "documents"))),
@@ -226,6 +236,32 @@ object PipelineQueries {
       "q_text_normalize" ->
         ("SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), " +
           "'[[:cntrl:]]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text FROM documents"),
+      "q_text_repetition" ->
+        ("WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ltoks FROM documents), " +
+          "g AS (SELECT doc_id, " +
+          "list_transform(generate_series(1, greatest(len(ltoks)-1, 0)), i -> ltoks[i] || ' ' || ltoks[i+1]) AS g2, " +
+          "list_transform(generate_series(1, greatest(len(ltoks)-4, 0)), " +
+          "i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2] || ' ' || ltoks[i+3] || ' ' || ltoks[i+4]) AS g5 FROM d), " +
+          "base AS (SELECT doc_id, CAST(len(g2) AS INT) AS n_bigrams, " +
+          "round(CASE WHEN len(g2)=0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2) END, 6) AS dup_bigram_ratio, " +
+          "round(CASE WHEN len(g5)=0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g5)) AS DOUBLE)/len(g5) END, 6) AS dup_5gram_ratio, " +
+          "g2 FROM g), " +
+          "e AS (SELECT doc_id, unnest(g2) AS gr FROM base), " +
+          "cnt AS (SELECT doc_id, gr, count(*) AS c FROM e GROUP BY doc_id, gr), " +
+          "tp AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE)/CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac " +
+          "FROM cnt GROUP BY doc_id) " +
+          "SELECT b.doc_id, n_bigrams, dup_bigram_ratio, dup_5gram_ratio, " +
+          "coalesce(top_bigram_frac, 0.0) AS top_bigram_frac " +
+          "FROM base b LEFT JOIN tp ON b.doc_id = tp.doc_id"),
+      "q_text_redact" ->
+        ("WITH s AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+          "'@mail.example.org from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || " +
+          "'.7 or +1 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR) AS text FROM documents), " +
+          "r AS (SELECT doc_id, text, regexp_replace(regexp_replace(regexp_replace(text, " +
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+          "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+          "'\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted FROM s) " +
+          "SELECT doc_id, redacted, redacted <> text AS had_pii FROM r"),
       "q_dedup_exact" ->
         ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
           "md5(lower(trim(text))) AS content_md5 FROM documents GROUP BY lower(trim(text))"),

@@ -88,6 +88,41 @@ class DynamicDimSpec extends SparkSpec {
   }
 }
 
+/** Intra-doc repetition metrics and PII redaction — the Gopher/C4-style
+  * filter family plus scrubbing, on planted inputs with known answers. */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats flags a document that repeats one phrase") {
+    val docs = Seq(
+      (1L, "buy now " * 20),                        // one bigram repeated
+      (2L, "the quick brown fox jumps over dogs"),  // no repetition
+      (3L, "")                                      // empty
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.repetitionStats(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "dup_bigram_ratio", "top_bigram_frac")
+      .collect()
+    // "buy now "*20 -> 40 tokens -> 39 bigrams, only 2 distinct
+    assert(r(0).getInt(1) == 39)
+    assert(r(0).getDouble(2) > 0.9)
+    assert(r(0).getDouble(3) > 0.5) // "now buy" 19/39, "buy now" 20/39
+    assert(r(1).getDouble(2) == 0.0 && r(1).getDouble(3) < 0.2)
+    assert(r(2).getInt(1) == 0 && r(2).getDouble(3) == 0.0)
+  }
+
+  test("redactPii replaces emails, IPs, and phone runs with typed tags") {
+    val docs = Seq(
+      (1L, "mail alice.smith+x@corp.example.com or call +1 555-123 4567 at 192.168.0.12"),
+      (2L, "no pii here")
+    ).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.redactPii(docs).orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "mail <EMAIL> or call <PHONE> at <IP>")
+    assert(r(0).getBoolean(2))
+    assert(r(1).getString(1) == "no pii here" && !r(1).getBoolean(2))
+  }
+}
+
 /** Round-2 verdict item 6: the vector-store transport is an explicit trait;
   * the DSv2 scan/write path must route every store call through whatever
   * transport is registered — proven here with a call-counting wrapper. */
