@@ -216,14 +216,21 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "dst_comp"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("dst_comp").as("nbr_comp"))
+      // Convergence detection rides the SAME job that materializes the new
+      // labels (Dataset.observe counted during the eager localCheckpoint) —
+      // the alternative, a separate join-and-count action per round, would
+      // double the per-iteration work at scale.
+      val obs = new org.apache.spark.sql.Observation()
       val updated = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .filter(col("u.comp") =!= col("l.comp")).limit(1).count()
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          coalesce(col("nbr_comp") < col("comp"), lit(false)).as("__changed"))
+        .observe(obs, sum(when(col("__changed"), 1L).otherwise(0L)).as("n_changed"))
+        .drop("__changed")
       labels = updated.localCheckpoint(eager = true) // truncate the iterative lineage
-      converged = changed == 0
+      // sum over an empty label set observes null → converged
+      converged = obs.get.get("n_changed")
+        .flatMap(Option(_)).map(String.valueOf(_).toLong).forall(_ == 0L)
       iter += 1
     }
     labels

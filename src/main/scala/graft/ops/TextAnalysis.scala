@@ -52,18 +52,30 @@ object TextAnalysis {
       when(size(grams) === 0, 0.0)
         .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
     val g2 = TextFunctions.wordNgrams(col(textCol), 2)
-    val base = docs.select(
-      col(idCol),
-      size(g2).as("n_bigrams"),
-      round(dupRatio(g2), 6).as("dup_bigram_ratio"),
-      round(dupRatio(TextFunctions.wordNgrams(col(textCol), 5)), 6).as("dup_5gram_ratio"),
-      g2.as("__g2"))
-    val top = base.select(col(idCol), explode(col("__g2")).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(max("c").as("top_c"), sum("c").as("tot"))
-      .select(col(idCol), round(col("top_c").cast("double") / col("tot"), 6).as("top_bigram_frac"))
-    base.drop("__g2").join(top, Seq(idCol), "left_outer")
-      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+    // Single scan: the per-doc ratios ride the exploded (doc, gram) rows
+    // through one shuffle (a few constant bytes per row) instead of a
+    // second scan+tokenize branch joined back on doc id. explode_OUTER
+    // keeps empty documents (null gram → excluded from the top-count).
+    docs.select(
+        col(idCol),
+        size(g2).as("n_bigrams"),
+        round(dupRatio(g2), 6).as("dup_bigram_ratio"),
+        round(dupRatio(TextFunctions.wordNgrams(col(textCol), 5)), 6).as("dup_5gram_ratio"),
+        explode_outer(g2).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(first("n_bigrams").as("n_bigrams"),
+        first("dup_bigram_ratio").as("dup_bigram_ratio"),
+        first("dup_5gram_ratio").as("dup_5gram_ratio"),
+        count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(first("n_bigrams").as("n_bigrams"),
+        first("dup_bigram_ratio").as("dup_bigram_ratio"),
+        first("dup_5gram_ratio").as("dup_5gram_ratio"),
+        max(when(col("__g").isNotNull, col("__c"))).as("__top"),
+        sum(when(col("__g").isNotNull, col("__c"))).as("__tot"))
+      .select(col(idCol), col("n_bigrams"), col("dup_bigram_ratio"), col("dup_5gram_ratio"),
+        round(coalesce(col("__top").cast("double") / col("__tot"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
   }
 
   /** PII scrubbing pass: typed placeholder tags for emails/IPs/phones plus

@@ -102,6 +102,25 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream interval join: pair each left event with
+    * the right-stream events of the SAME user whose timestamps fall within
+    * ±`within` of it. The time bound plus both watermarks is what lets
+    * Spark evict join state — without it a stream-stream join buffers
+    * forever; with it, per-side state is (arrival rate × horizon), the
+    * canonical bounded-state join recipe at any scale. */
+  def intervalJoin(events: DataFrame, other: DataFrame,
+                   watermark: String = "1 hour", within: String = "10 minutes"): DataFrame = {
+    val l = events.withWatermark("ts", watermark).alias("l")
+    val r = other.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+        expr(s"""l.user_id = r.user_id AND
+                 r.ts BETWEEN l.ts - INTERVAL $within AND l.ts + INTERVAL $within AND
+                 l.event_id <> r.event_id"""))
+      .select(col("l.event_id").as("event_id"), col("l.user_id").as("user_id"),
+        col("l.ts").as("ts"), col("l.event_type").as("event_type"),
+        col("r.event_id").as("matched_event_id"), col("r.event_type").as("matched_type"))
+  }
+
   /** File-based streaming migration: watch a directory of parquet drops and
     * continuously upsert into a sink via `foreachBatch` reusing the batch
     * connector — the "incremental migration" the reference left as future

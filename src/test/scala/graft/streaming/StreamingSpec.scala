@@ -96,4 +96,25 @@ class StreamingSpec extends SparkSpec {
       assert(graft.connectors.MemoryStore.get("inc_out").get._1.length == 25)
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs same-user events within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val query = StreamOps.intervalJoin(clicks.toDF(), buys.toDF(), within = "10 minutes")
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      clicks.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(30), 7, "click", 1.0),
+        Event(3, ts(0), 8, "click", 1.0))
+      buys.addData(
+        Event(101, ts(5), 7, "buy", 9.0),   // within 10 min of click 1 only
+        Event(102, ts(50), 7, "buy", 9.0),  // within 10 min of neither
+        Event(103, ts(5), 9, "buy", 9.0))   // different user
+      query.processAllAvailable()
+      val rows = spark.table("ij_out")
+        .select("event_id", "matched_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 101L)))
+    } finally query.stop()
+  }
 }
