@@ -87,6 +87,13 @@ object PipelineQueries {
     }),
     "q_dedup_simhash" -> ((s, dir) =>
       Tables(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("fp"))),
+    // The full staged pipeline (exact-collapse → LSH pairs → connected
+    // components → canonical keep) end-to-end on the planted fixture; the
+    // oracle replays every stage in SQL (recursive CTE for the clustering)
+    "q_dedup_pipeline" -> ((s, dir) =>
+      Dedup.fuzzyDedupPipeline(
+        Tables(s, dir, "documents").filter(col("doc_id") < 200), threshold = 0.8)
+        .select("doc_id", "lang", "source")),
 
     // ---- Similarity search ----
     "q_ann_topk" -> ((s, dir) => {
@@ -286,6 +293,27 @@ object PipelineQueries {
       "q_ann_lsh" -> annExactSql,
       "q_dedup_minhash_planted" ->
         (s"WITH $plantedPairCtes SELECT id_a, id_b FROM p WHERE j >= 0.8"),
+      // full staged pipeline replayed in SQL: exact-collapse to
+      // representatives, exact-Jaccard pairs among them, recursive-CTE
+      // connected components, keep comp-min or unpaired representatives
+      "q_dedup_pipeline" ->
+        ("WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id FROM documents " +
+          "WHERE doc_id < 200 GROUP BY lower(trim(text))), " +
+          "d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ltoks " +
+          "FROM documents WHERE doc_id IN (SELECT doc_id FROM reps)), " +
+          s"sh AS (SELECT doc_id, $shingles AS sh FROM d), " +
+          "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+          "WHERE round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 ELSE " +
+          "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END, 6) >= 0.8), " +
+          "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+          "nn AS (SELECT DISTINCT src AS id FROM e), " +
+          "reach(id, r) AS (SELECT id, id FROM nn " +
+          "UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id), " +
+          "c AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
+          "SELECT doc_id, lang, source FROM documents " +
+          "WHERE doc_id IN (SELECT doc_id FROM reps) " +
+          "AND (doc_id NOT IN (SELECT id FROM c) " +
+          "OR EXISTS (SELECT 1 FROM c WHERE c.id = doc_id AND c.comp = doc_id))"),
       "q_dedup_clusters" ->
         (s"WITH RECURSIVE $plantedPairCtes, " +
           "e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.8 " +
