@@ -115,22 +115,17 @@ object Dedup {
     val bounded = bands.join(smallBuckets, Seq("band", "band_hash"))
     val left = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
     val right = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
-    // Materialized: the pair list is tiny (output-bound) and feeds BOTH the
-    // candidate-id set below and the verified output join — without this
-    // the whole band self-join would execute twice.
     val candidates = left.join(right, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .localCheckpoint(eager = true)
     // verify on hashed shingle sets: array_intersect/union on longs are
     // codegen'd collection ops (the string-shingle HOF chain is not).
-    // Shingle ONLY docs that appear in some candidate pair (semi-join):
-    // LSH typically names a small fraction of the corpus, so re-shingling
-    // everything for the verify side would be the dominant wasted scan at
-    // 100 TB.
-    val candIds = candidates
-      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
-    val sh = docs.join(candIds, Seq(idCol), "left_semi").select(col(idCol),
+    // The shingle table is (id, array<long>) — ~1% of the text width — and
+    // identical for both join sides, so Spark reuses one broadcast/shuffle
+    // of it. (A candidate-id semi-join to prune the re-shingling was
+    // measured 7x SLOWER at 30x: it puts the candidate list on both sides
+    // of a diamond dependency and defeats subtree reuse.)
+    val sh = docs.select(col(idCol),
       graft.functions.HashExpressions.wordShingleHashes(col(textCol), shingleSize).as("sh"))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")

@@ -174,43 +174,19 @@ class BucketGuardPlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
   }
 
-  test("verify phase never recomputes signatures and shingles only candidate docs") {
-    // The banded self-join runs ONCE inside the eager checkpoint of the
-    // candidate list (construction time); the returned plan must therefore
-    // contain NO minhash_signature at all, and its shingle verification
-    // must sit above a semi-join that prunes docs to candidate ids.
+  test("the signature scan runs ONCE: all banded-relation consumers reuse one shuffle stage") {
+    // collect() executes THIS QueryExecution (count() would clone it), so
+    // the AQE final plan is inspectable afterwards. The guard aggregate,
+    // both self-join sides, and the verify broadcast must resolve to one
+    // signature scan + ReusedExchange (isnotnull/count(id) alignment).
     val df = Dedup.minHashDuplicatePairs(Tables(spark, sf(), "documents"))
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    assert(!finalPlan.contains("minhash_signature"),
-      "signature work leaked into the verify plan (should be pre-materialized)")
-    assert(finalPlan.contains("word_shingle_hashes"), "verify jaccard missing")
-    assert(finalPlan.contains("LeftSemi"), "expected candidate-id semi-join pruning")
-  }
-
-  test("band-join plan reuses one signature scan across guard and join branches") {
-    // Inspect the pre-checkpoint subplan the operator builds internally:
-    // guard aggregate + self-join over the repartitioned bands must share
-    // a single exchange (the isnotnull/count(id) alignment).
-    val docs = Tables(spark, sf(), "documents").filter(col("doc_id").isNotNull)
-    val bands = Dedup.lshBands(Dedup.withMinHashSignature(docs), "doc_id", 16, 4)
-      .repartition(col("band"), col("band_hash"))
-    val small = bands.groupBy("band", "band_hash")
-      .agg(count(col("doc_id")).as("__n")).filter(col("__n") <= 1000)
-      .select("band", "band_hash")
-    val bounded = bands.join(small, Seq("band", "band_hash"))
-    val joined = bounded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
-      .join(bounded.select(col("band"), col("band_hash"), col("doc_id").as("id_b")),
-        Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-    joined.collect()
-    val finalPlan = joined.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
     val sigScans = finalPlan.split("\n").count(_.contains("minhash_signature"))
     assert(sigScans == 1,
-      s"expected exactly 1 minhash_signature projection, got $sigScans")
-    assert(finalPlan.contains("ReusedExchange"), "expected AQE stage reuse")
+      s"expected exactly 1 minhash_signature projection in the final plan, got $sigScans")
+    assert(finalPlan.contains("ReusedExchange"), "expected AQE stage reuse in the final plan")
   }
 
   test("guard still caps oversized buckets and keeps duplicate pairs") {
