@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -119,7 +119,7 @@ object Similarity {
   /** IVF-Flat: deterministic coarse quantizer from the first `nCells` rows
     * by id (stable seeds), then per-query probing of the `nProbe` nearest
     * cells. Returns exact cosine within the probed cells. */
-  def ivfTopK(spark: SparkSession, candidates: DataFrame, queries: DataFrame, k: Int,
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // Seeds: lowest-id rows — deterministic. The ONLY collect in the ANN

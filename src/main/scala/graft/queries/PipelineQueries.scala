@@ -114,7 +114,7 @@ object PipelineQueries {
     // oracle. Recall at nProbe < nCells is asserted separately in specs.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), k = 3, nCells = 8, nProbe = 8)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3, nCells = 8, nProbe = 8)
     }),
 
     // ---- Sessionization (batch) ----

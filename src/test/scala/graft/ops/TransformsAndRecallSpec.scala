@@ -77,7 +77,7 @@ class AnnRecallSpec extends SparkSpec {
 
   test("IVF top-k with nProbe=4 of 16 cells reaches recall > 0.5") {
     val exact = topkSet(Similarity.bruteForceTopK(emb, queries, k = 5))
-    val ivf = topkSet(Similarity.ivfTopK(spark, emb, queries, k = 5, nCells = 16, nProbe = 4))
+    val ivf = topkSet(Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 4))
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall > 0.5, s"IVF recall $recall too low")
   }
