@@ -26,16 +26,18 @@ object Decontaminate {
       .distinct()
     val evalShingles = eval
       .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
-    val totals = evalShingles.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
-    val shared = evalShingles.join(trainShingles, Seq("sh"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
-    totals.join(shared, Seq(idCol), "left_outer")
+    // One pass over the eval side: a left-outer probe against the DISTINCT
+    // train set cannot fan out, so total and shared counts come from the
+    // same aggregate (two scans + two aggs otherwise).
+    evalShingles
+      .join(trainShingles.withColumn("__hit", lit(1)), Seq("sh"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_shared"))
       .select(
         col(idCol),
         col("n_shingles"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
-          .as("containment"))
+        col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("containment"))
       .withColumn("contaminated", col("containment") >= threshold)
   }
 }

@@ -192,7 +192,12 @@ object Dedup {
     */
   def fuzzyDedupPipeline(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                          threshold: Double = 0.5): DataFrame = {
+    // Checkpointed: the rep-id list is tiny, but its lineage is a groupBy
+    // keyed on the full TEXT — and repDocs feeds three downstream branches
+    // (band stage, verify shingles, canonical keep), each of which would
+    // otherwise re-run that full-corpus text shuffle.
     val reps = exactDuplicates(docs, idCol, textCol).select(col("keep_id").as(idCol))
+      .localCheckpoint(eager = true)
     val repDocs = docs.join(reps, idCol) // one representative per exact group
     val pairs = minHashDuplicatePairs(repDocs, idCol, textCol, threshold = threshold)
     keepCanonical(repDocs, pairs, idCol)
