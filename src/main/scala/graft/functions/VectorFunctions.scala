@@ -56,4 +56,26 @@ object VectorFunctions {
   def add(a: Column, b: Column): Column = zip_with(d(a), d(b), _ + _)
 
   def scale(a: Column, s: Column): Column = transform(d(a), _ * s)
+
+  /** Per-vector symmetric int8 quantization scale: max|x| / 127. */
+  def int8Scale(a: Column): Column = array_max(transform(d(a), abs(_))) / lit(127.0)
+
+  /** Symmetric int8 quantization (the compact storage format vector stores
+    * use for large collections — 4× smaller than float32): q = round(x/s)
+    * with s = max|x|/127, so q ∈ [-127, 127]. Rounding is floor(x/s + 0.5)
+    * — identical semantics in every SQL engine (Spark round() HALF_UPs but
+    * DuckDB CAST rounds-half-even, so neither is portable). A zero vector
+    * quantizes to zeros. */
+  def quantizeInt8(a: Column): Column = {
+    val s = int8Scale(a)
+    transform(d(a), x => when(s === 0d, lit(0)).otherwise(floor(x / s + lit(0.5)).cast("int")))
+  }
+
+  /** Largest per-dimension reconstruction error |q*s - x| of [[quantizeInt8]]
+    * — the audit metric for choosing int8 vs float16 at scale. */
+  def int8MaxAbsError(a: Column): Column = {
+    val s = int8Scale(a)
+    array_max(zip_with(transform(quantizeInt8(a), _.cast("double")), d(a),
+      (q, x) => abs(q * s - x)))
+  }
 }

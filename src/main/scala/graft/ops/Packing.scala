@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Sequence packing for LM training: lay documents out as a contiguous
+  * token stream and cut it into fixed-size training sequences
+  * (concat-then-split, the standard pretraining layout — documents may
+  * straddle a sequence boundary; the `spans_boundary` flag marks those).
+  *
+  * Scale design: one GLOBAL ordered window would pull every row through a
+  * single task, so the stream is sharded first — each shard is an
+  * independent token stream packed in parallel. The shard key is the
+  * portable multiplicative hash ([[Sampling.portableBucket]]), so (a) the
+  * layout is deterministic under any partitioning/scheduling, and (b) any
+  * SQL engine reproduces it bit-for-bit (the DuckDB oracle replays the
+  * same windows). Per-shard state is one running sum — O(1) memory per
+  * window frame, no buffering of rows.
+  *
+  * The reference has no training-side ops at all (it stops at store-to-
+  * store migration, `core/migrator.py`); this extends the engine toward
+  * the dataset-preparation pipelines its collections feed.
+  */
+object Packing {
+
+  /** Assign each document a (shard, seq_id, token_offset) in the packed
+    * layout: `seq_id` is the training sequence its FIRST token lands in,
+    * `token_offset` the position within that sequence. Documents longer
+    * than `tokenBudget` still get a slot (they span multiple sequences).
+    *
+    * @param tokenBudget tokens per training sequence (e.g. 2048/4096/8192)
+    * @param numShards   independent parallel streams; pick ≥ cluster
+    *                    cores at 100 TB — packing quality is unaffected,
+    *                    only sequence numbering locality
+    */
+  def concatSplitPack(docs: DataFrame, tokenBudget: Int, numShards: Int = 32,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tokenBudget > 0 && numShards > 0)
+    val shard = pmod(Sampling.portableBucket(col(idCol)), lit(numShards.toLong))
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    val start = coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L))
+    docs
+      .select(col(idCol), shard.as("shard"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("start_tok", start)
+      .select(
+        col(idCol),
+        col("shard"),
+        col("n_tokens"),
+        (col("start_tok") / tokenBudget).cast("long").as("seq_id"),
+        pmod(col("start_tok"), lit(tokenBudget.toLong)).as("token_offset"),
+        (pmod(col("start_tok"), lit(tokenBudget.toLong)) + col("n_tokens") >
+          tokenBudget).as("spans_boundary"))
+  }
+
+  /** Per-(shard, sequence) fill statistics for the layout above — the
+    * packing-efficiency audit (how many docs per sequence, how full the
+    * last partial sequence is). Same two windows, one extra aggregate. */
+  def packStats(packed: DataFrame, tokenBudget: Int): DataFrame =
+    packed
+      .groupBy("shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs_starting"),
+        sum(col("n_tokens")).as("toks_started"),
+        max(col("token_offset") + col("n_tokens")).as("last_end"))
+      .select(
+        col("shard"), col("seq_id"), col("n_docs_starting"),
+        least(col("last_end"), lit(tokenBudget.toLong)).as("filled_to"))
+}

@@ -69,4 +69,34 @@ object Sampling {
     }
     df.filter(bucket < floor(rate * lit(PortableP.toDouble)).cast("long"))
   }
+
+  /** Downsample to a TARGET MIXTURE: given desired proportions per source
+    * (e.g. web .6, books .3, code .1), emit the LARGEST dataset with
+    * exactly those proportions that the data supports — the binding source
+    * (smallest count/weight ratio) is kept whole and every other source is
+    * hash-downsampled to match. This is the data-mixing step of a training
+    * pipeline, derived in-plan:
+    * counts are a tiny groupBy (|sources| rows, broadcast back), so no
+    * driver round-trip, no collect; membership uses [[portableBucket]] so
+    * the result is deterministic and engine-portable. Sources absent from
+    * `weights` are dropped. */
+  def mixToTarget(df: DataFrame, sourceCol: String, weights: Map[String, Double],
+                  idCol: String, seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0))
+    val wCol = weights.foldLeft(lit(null).cast("double")) { case (acc, (k, w)) =>
+      when(col(sourceCol) === k, lit(w)).otherwise(acc)
+    }
+    val counts = df.filter(wCol.isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", wCol)
+    // binding source: min over sources of n/w = the total the mixture scales to
+    val totalN = counts.agg(min(col("__n") / col("__w")).as("__total"))
+    val rates = counts.crossJoin(broadcast(totalN))
+      .select(col(sourceCol),
+        least(lit(1.0), col("__w") * col("__total") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(portableBucket(col(idCol), seed) <
+        floor(col("__rate") * lit(PortableP.toDouble)).cast("long"))
+      .drop("__rate")
+  }
 }

@@ -163,6 +163,16 @@ object PipelineQueries {
         eval = docs.filter(col("doc_id") < 20))
     }),
 
+    // ---- Training-sequence packing (concat-then-split layout) ----
+    "q_pack_sequences" -> ((s, dir) =>
+      Packing.concatSplitPack(Tables(s, dir, "documents"), tokenBudget = 512, numShards = 8)),
+
+    // ---- Source mixing to a target proportion ----
+    "q_mix_sources" -> ((s, dir) =>
+      Sampling.mixToTarget(Tables(s, dir, "documents"), "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), "doc_id")
+        .select("doc_id", "source")),
+
     // ---- Array functions ----
     "q_fn_array" -> ((s, dir) =>
       Tables(s, dir, "embeddings").select(
@@ -382,6 +392,30 @@ object PipelineQueries {
           "round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) AS containment, " +
           "round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) >= 0.5 AS contaminated " +
           "FROM tot t LEFT JOIN shr ON t.doc_id = shr.doc_id"),
+      "q_pack_sequences" ->
+        // same portable shard hash + per-shard running sum; CAST the window
+        // sum (DuckDB sums BIGINT into HUGEINT) and use // for int division
+        ("WITH t AS (SELECT doc_id, " +
+          "((doc_id % 2147483647) * 2654435761 + 42) % 2147483647 % 8 AS shard, " +
+          s"CAST($ntok AS BIGINT) AS n_tokens FROM documents), " +
+          "s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) " +
+          "AS BIGINT) - n_tokens AS start_tok FROM t) " +
+          "SELECT doc_id, shard, n_tokens, start_tok // 512 AS seq_id, " +
+          "start_tok % 512 AS token_offset, " +
+          "(start_tok % 512) + n_tokens > 512 AS spans_boundary FROM s"),
+      "q_mix_sources" ->
+        // binding source kept whole, others hash-downsampled: identical
+        // double math (w*total/n, floor(rate*P)) and the portable bucket
+        ("WITH w(source, wt) AS (SELECT * FROM (VALUES " +
+          "('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)), " +
+          "('src2', CAST(0.2 AS DOUBLE)))), " +
+          "c AS (SELECT d.source, CAST(count(*) AS DOUBLE) AS n, w.wt " +
+          "FROM documents d JOIN w ON d.source = w.source GROUP BY d.source, w.wt), " +
+          "t AS (SELECT min(n / wt) AS total FROM c), " +
+          "r AS (SELECT source, least(CAST(1.0 AS DOUBLE), wt * total / n) AS rate FROM c, t) " +
+          "SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source " +
+          "WHERE ((d.doc_id % 2147483647) * 2654435761 + 42) % 2147483647 < " +
+          "CAST(floor(rate * 2147483647.0) AS BIGINT)"),
       "q_fn_array" ->
         ("SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS arr_first, " +
           "round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS arr_last, " +

@@ -50,6 +50,17 @@ object VectorQueries {
         .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
         .select(col("label"), (col("pos") + 1).as("pos"), col("centroid_v"))),
 
+    // symmetric int8 quantization (4× smaller storage for big collections):
+    // per-vector scale + quantized codes + worst-dim reconstruction error.
+    // Codes go out array_join'd (driver compare can't hash raw arrays).
+    "q_vec_quantize" -> ((s, dir) =>
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(int8Scale(col("embedding")), 6).as("q_scale"),
+        array_join(transform(quantizeInt8(col("embedding")), _.cast("string")), ",")
+          .as("q_str"),
+        round(int8MaxAbsError(col("embedding")), 6).as("q_err"))),
+
     // distributed centroid, custom-aggregate formulation: vec_sum is a
     // TypedImperativeAggregate with a double[] buffer — map-side combine
     // shrinks each partition's contribution to ONE dim-length buffer per
@@ -89,6 +100,18 @@ object VectorQueries {
         "(SELECT label, generate_subscripts(embedding, 1) AS pos, " +
         "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) " +
         "GROUP BY label, pos"),
+    "q_vec_quantize" ->
+      // floor(x/s + 0.5) rounding on both sides: Spark round() HALF_UPs,
+      // DuckDB CAST rounds half-even — floor(+0.5) is the portable form
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / " +
+        "CAST(127.0 AS DOUBLE) AS sc FROM e) " +
+        "SELECT vec_id, round(sc, 6) AS q_scale, " +
+        "array_to_string(list_transform(v, x -> CAST(CASE WHEN sc = 0 THEN 0 " +
+        "ELSE CAST(floor(x / sc + CAST(0.5 AS DOUBLE)) AS INT) END AS VARCHAR)), ',') AS q_str, " +
+        "round(list_max(list_transform(v, x -> abs(CAST(CASE WHEN sc = 0 THEN 0 " +
+        "ELSE CAST(floor(x / sc + CAST(0.5 AS DOUBLE)) AS INT) END AS DOUBLE) * sc - x))), 6) " +
+        "AS q_err FROM s"),
     "q_vec_centroid_agg" ->
       ("SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS centroid_v FROM " +
         "(SELECT label, generate_subscripts(embedding, 1) AS pos, " +

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorFunctions
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // token counts: 3, 4, 2, 5 — budget 6 ⇒ stream offsets 0,3,7,9
+  private lazy val docs = Seq(
+    (1L, "a b c"), (2L, "d e f g"), (3L, "h i"), (4L, "j k l m n"))
+    .toDF("doc_id", "text")
+
+  test("concatSplitPack lays out the exact concat-then-split offsets") {
+    val out = Packing.concatSplitPack(docs, tokenBudget = 6, numShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "seq_id", "token_offset", "spans_boundary")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, false), // toks 0-2 of seq 0
+      (2L, 0L, 3L, true),  // toks 3-6: spills into seq 1
+      (3L, 1L, 1L, false), // toks 7-8
+      (4L, 1L, 3L, true))) // toks 9-13: spills into seq 2
+  }
+
+  test("layout is deterministic under repartitioning and shard count splits the stream") {
+    val base = Tables(spark, sf(), "documents")
+    val a = Packing.concatSplitPack(base, 512, numShards = 4)
+      .select("doc_id", "shard", "seq_id", "token_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val b = Packing.concatSplitPack(base.repartition(7), 512, numShards = 4)
+      .select("doc_id", "shard", "seq_id", "token_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(a == b && a.nonEmpty)
+    assert(a.values.map(_._1).toSet.size == 4, "all shards populated")
+  }
+
+  test("packStats shows every non-final sequence filled to the budget") {
+    val packed = Packing.concatSplitPack(Tables(spark, sf(), "documents"), 256, numShards = 2)
+    val stats = Packing.packStats(packed, 256)
+      .select("shard", "seq_id", "filled_to")
+      .as[(Long, Long, Long)].collect()
+    val lastSeq = stats.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).max }
+    stats.foreach { case (shard, seq, filled) =>
+      if (seq < lastSeq(shard)) assert(filled == 256L, s"shard $shard seq $seq: $filled")
+    }
+    assert(stats.nonEmpty)
+  }
+}
+
+class MixSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf("sf0.01"), "documents")
+
+  test("mixToTarget keeps the binding source whole and hits the target mixture") {
+    val out = Sampling.mixToTarget(docs, "source",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), "doc_id")
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("src0", "src1", "src2"), "unweighted sources dropped")
+    // 25 docs per source; weights ⇒ total 50: src0 rate 1.0 (binding, kept whole)
+    assert(counts("src0") == 25L)
+    // hash sampling is approximate at n=25, but ordering must hold
+    assert(counts("src1") < 25L && counts("src2") < counts("src1") + 5)
+    val total = counts.values.sum.toDouble
+    assert(math.abs(counts("src0") / total - 0.5) < 0.15, counts.toString)
+  }
+
+  test("mixToTarget membership is stable under repartitioning") {
+    val w = Map("src0" -> 0.6, "src3" -> 0.4)
+    val a = Sampling.mixToTarget(docs, "source", w, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixToTarget(docs.repartition(9), "source", w, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 round trip: codes bounded, reconstruction within half a step") {
+    val out = Tables(spark, sf(), "embeddings").select(
+      VectorFunctions.int8Scale(col("embedding")).as("s"),
+      array_max(transform(VectorFunctions.quantizeInt8(col("embedding")), abs(_))).as("qmax"),
+      VectorFunctions.int8MaxAbsError(col("embedding")).as("err"))
+      .as[(Double, Int, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (s, qmax, err) =>
+      assert(qmax <= 127, s"code out of int8 range: $qmax")
+      assert(err <= s / 2 + 1e-12, s"err $err above half-step ${s / 2}")
+    }
+  }
+
+  test("zero vectors quantize to zeros with zero error") {
+    val df = Seq((1L, Array(0f, 0f, 0f))).toDF("id", "embedding")
+    val r = df.select(
+      VectorFunctions.int8Scale(col("embedding")).as("s"),
+      array_join(transform(VectorFunctions.quantizeInt8(col("embedding")),
+        _.cast("string")), ",").as("q"),
+      VectorFunctions.int8MaxAbsError(col("embedding")).as("err"))
+      .as[(Double, String, Double)].head()
+    assert(r == ((0.0, "0,0,0", 0.0)))
+  }
+}
