@@ -65,17 +65,21 @@ object VectorFunctions {
     * with s = max|x|/127, so q ∈ [-127, 127]. Rounding is floor(x/s + 0.5)
     * — identical semantics in every SQL engine (Spark round() HALF_UPs but
     * DuckDB CAST rounds-half-even, so neither is portable). A zero vector
-    * quantizes to zeros. */
-  def quantizeInt8(a: Column): Column = {
-    val s = int8Scale(a)
+    * quantizes to zeros.
+    *
+    * Pass a precomputed `s` (one [[int8Scale]] in its own projection) on
+    * hot paths: lambda bodies get no subexpression elimination, so the
+    * single-arg form re-evaluates the array_max per ELEMENT — O(dim²). */
+  def quantizeInt8(a: Column, s: Column): Column =
     transform(d(a), x => when(s === 0d, lit(0)).otherwise(floor(x / s + lit(0.5)).cast("int")))
-  }
+
+  def quantizeInt8(a: Column): Column = quantizeInt8(a, int8Scale(a))
 
   /** Largest per-dimension reconstruction error |q*s - x| of [[quantizeInt8]]
     * — the audit metric for choosing int8 vs float16 at scale. */
-  def int8MaxAbsError(a: Column): Column = {
-    val s = int8Scale(a)
-    array_max(zip_with(transform(quantizeInt8(a), _.cast("double")), d(a),
+  def int8MaxAbsError(a: Column, s: Column): Column =
+    array_max(zip_with(transform(quantizeInt8(a, s), _.cast("double")), d(a),
       (q, x) => abs(q * s - x)))
-  }
+
+  def int8MaxAbsError(a: Column): Column = int8MaxAbsError(a, int8Scale(a))
 }

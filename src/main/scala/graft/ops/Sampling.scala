@@ -86,7 +86,11 @@ object Sampling {
     val wCol = weights.foldLeft(lit(null).cast("double")) { case (acc, (k, w)) =>
       when(col(sourceCol) === k, lit(w)).otherwise(acc)
     }
-    val counts = df.filter(wCol.isNotNull)
+    // isin (not the CASE chain) so the source restriction pushes to the
+    // parquet scan; explicit isNotNull so both consumers of the counts
+    // aggregate canonicalize equal and AQE reuses its exchange
+    val counts = df
+      .filter(col(sourceCol).isNotNull && col(sourceCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(sourceCol)).agg(count(lit(1)).cast("double").as("__n"))
       .withColumn("__w", wCol)
     // binding source: min over sources of n/w = the total the mixture scales to

@@ -52,14 +52,20 @@ object VectorQueries {
 
     // symmetric int8 quantization (4× smaller storage for big collections):
     // per-vector scale + quantized codes + worst-dim reconstruction error.
+    // Scale lands in its own projection so each row computes it ONCE —
+    // inlined into the lambdas it would re-evaluate per element (no
+    // subexpression elimination inside HOF lambda bodies) — and
+    // CollapseProject leaves it alone (non-cheap, referenced 3×).
     // Codes go out array_join'd (driver compare can't hash raw arrays).
     "q_vec_quantize" -> ((s, dir) =>
-      Tables(s, dir, "embeddings").select(
-        col("vec_id"),
-        round(int8Scale(col("embedding")), 6).as("q_scale"),
-        array_join(transform(quantizeInt8(col("embedding")), _.cast("string")), ",")
-          .as("q_str"),
-        round(int8MaxAbsError(col("embedding")), 6).as("q_err"))),
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), int8Scale(col("embedding")).as("__sc"))
+        .select(
+          col("vec_id"),
+          round(col("__sc"), 6).as("q_scale"),
+          array_join(transform(quantizeInt8(col("embedding"), col("__sc")), _.cast("string")),
+            ",").as("q_str"),
+          round(int8MaxAbsError(col("embedding"), col("__sc")), 6).as("q_err"))),
 
     // distributed centroid, custom-aggregate formulation: vec_sum is a
     // TypedImperativeAggregate with a double[] buffer — map-side combine
