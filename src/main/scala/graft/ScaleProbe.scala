@@ -49,6 +49,24 @@ object ScaleProbe {
     time("sessionize")(ops.Sessionize.sessions(events).count())
     time("centroid vec_sum")(
       emb.groupBy("label").agg(functions.VectorAggFunctions.vecSum(col("embedding"))).count())
+    time("sequence packing")(
+      ops.Packing.concatSplitPack(docs, tokenBudget = 2048, numShards = 64).count())
+    time("source mixing")(
+      ops.Sampling.mixToTarget(docs, "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), "doc_id").count())
+    time("int8 quantize (HOF)")(
+      emb.select(col("vec_id"), col("embedding"),
+          functions.VectorFunctions.int8Scale(col("embedding")).as("__sc"))
+        .select(functions.VectorFunctions.int8MaxAbsError(col("embedding"), col("__sc"))
+          .as("err"))
+        .filter(col("err") >= 0).count())
+    time("int8 quantize (kernel)")(
+      emb.select(functions.VectorExpressions.int8Quantize(col("embedding")).as("q"))
+        .filter(col("q.max_err") >= 0).count())
+    time("decontaminate")(
+      ops.Decontaminate.containment(
+        train = docs.filter(col("doc_id") % 20 =!= 0),
+        eval = docs.filter(col("doc_id") % 20 === 0)).count())
     spark.stop()
   }
 }

@@ -22,6 +22,10 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column = make(a, b, VectorKernel.Cosine)
   def l2(a: Column, b: Column): Column = make(a, b, VectorKernel.L2)
 
+  /** struct(scale, codes, max_err) — see [[Int8QuantizeExpr]]. */
+  def int8Quantize(a: Column): Column =
+    GraftColumnBridge.column(Int8QuantizeExpr(GraftColumnBridge.expression(a)))
+
   private def make(a: Column, b: Column, op: Int): Column =
     GraftColumnBridge.column(VectorKernel(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), op))
@@ -188,5 +192,105 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
     })
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
+/** Fused symmetric int8 quantization: ONE compiled two-pass loop per vector
+  * producing struct(scale, codes, max_err). Semantics identical to the
+  * [[VectorFunctions.quantizeInt8]] HOF composition (s = max|x|/127,
+  * q = floor(x/s + 0.5), err = max|q*s − x|; empty array → null, NaN is
+  * greatest like array_max) — but the HOF form is interpreted per element
+  * AND re-derives intermediates per output column; measured 128 µs/vector
+  * (64-dim) vs a compiled loop. Quantizing a 100 TB collection is a bulk
+  * pass over every vector, so this is a hot kernel, not a convenience. */
+case class Int8QuantizeExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("max_err", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quantize"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n == 0) return null // array_max of an empty array is null
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
+      if (a.isNaN || a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val s = maxAbs / 127.0
+    val codes = new Array[Int](n)
+    var err = 0.0
+    i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val q = if (s == 0.0) 0 else math.floor(x / s + 0.5).toInt
+      codes(i) = q
+      val e = math.abs(q * s - x)
+      if (e.isNaN || e > err) err = e
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s, org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(codes), err))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs")
+      val s = ctx.freshName("s")
+      val codes = ctx.freshName("codes")
+      val err = ctx.freshName("err")
+      val x = ctx.freshName("x")
+      val q = ctx.freshName("q")
+      val e = ctx.freshName("e")
+      val a = ctx.freshName("a")
+      val get = (idx: String) =>
+        if (isFloat) s"(double) $v.getFloat($idx)" else s"$v.getDouble($idx)"
+      s"""
+         |int $n = $v.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $maxAbs = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $a = Math.abs(${get(i)});
+         |    if (Double.isNaN($a) || $a > $maxAbs) $maxAbs = $a;
+         |  }
+         |  double $s = $maxAbs / 127.0;
+         |  int[] $codes = new int[$n];
+         |  double $err = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = ${get(i)};
+         |    int $q = ($s == 0.0) ? 0 : (int) Math.floor($x / $s + 0.5);
+         |    $codes[$i] = $q;
+         |    double $e = Math.abs($q * $s - $x);
+         |    if (Double.isNaN($e) || $e > $err) $err = $e;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $s,
+         |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes),
+         |      $err });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantizeExpr =
     copy(child = newChild)
 }

@@ -52,20 +52,19 @@ object VectorQueries {
 
     // symmetric int8 quantization (4× smaller storage for big collections):
     // per-vector scale + quantized codes + worst-dim reconstruction error.
-    // Scale lands in its own projection so each row computes it ONCE —
-    // inlined into the lambdas it would re-evaluate per element (no
-    // subexpression elimination inside HOF lambda bodies) — and
-    // CollapseProject leaves it alone (non-cheap, referenced 3×).
+    // One codegen'd kernel pass emits all three as a struct; the struct
+    // lands in its own projection (referenced 3×, so CollapseProject keeps
+    // it — the kernel runs once per row, not once per output column).
     // Codes go out array_join'd (driver compare can't hash raw arrays).
     "q_vec_quantize" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"), int8Scale(col("embedding")).as("__sc"))
+        .select(col("vec_id"),
+          graft.functions.VectorExpressions.int8Quantize(col("embedding")).as("q"))
         .select(
           col("vec_id"),
-          round(col("__sc"), 6).as("q_scale"),
-          array_join(transform(quantizeInt8(col("embedding"), col("__sc")), _.cast("string")),
-            ",").as("q_str"),
-          round(int8MaxAbsError(col("embedding"), col("__sc")), 6).as("q_err"))),
+          round(col("q.scale"), 6).as("q_scale"),
+          array_join(transform(col("q.codes"), _.cast("string")), ",").as("q_str"),
+          round(col("q.max_err"), 6).as("q_err"))),
 
     // distributed centroid, custom-aggregate formulation: vec_sum is a
     // TypedImperativeAggregate with a double[] buffer — map-side combine

@@ -48,6 +48,15 @@ class CodegenStrictSpec extends SparkSpec {
         Tables(spark, sf(), "documents"), threshold = 0.5).count() >= 0)
     }
   }
+
+  test("Int8QuantizeExpr generated code compiles") {
+    strict {
+      val rows = Tables(spark, sf(), "embeddings")
+        .select(graft.functions.VectorExpressions.int8Quantize(col("embedding")).as("q"))
+        .select(col("q.scale"), col("q.codes"), col("q.max_err")).limit(5).collect()
+      assert(rows.nonEmpty && rows.forall(_.getSeq[Int](1).nonEmpty))
+    }
+  }
 }
 
 /** Round-2 verdict item 3: `dim = 64` was hardcoded in the LSH paths — any

@@ -93,6 +93,23 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("fused kernel agrees with the HOF composition on real embeddings") {
+    val e = Tables(spark, sf(), "embeddings").limit(200)
+    val hof = e.select(col("vec_id"),
+      VectorFunctions.int8Scale(col("embedding")).as("s"),
+      VectorFunctions.quantizeInt8(col("embedding")).as("q"),
+      VectorFunctions.int8MaxAbsError(col("embedding")).as("err"))
+    val kernel = e.select(col("vec_id"),
+      graft.functions.VectorExpressions.int8Quantize(col("embedding")).as("k"))
+      .select(col("vec_id"), col("k.scale").as("s"), col("k.codes").as("q"),
+        col("k.max_err").as("err"))
+    val h = hof.collect().map(r => r.getLong(0) ->
+      ((r.getDouble(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+    val k = kernel.collect().map(r => r.getLong(0) ->
+      ((r.getDouble(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+    assert(k == h && k.nonEmpty)
+  }
+
   test("zero vectors quantize to zeros with zero error") {
     val df = Seq((1L, Array(0f, 0f, 0f))).toDF("id", "embedding")
     val r = df.select(
