@@ -36,14 +36,15 @@ object Packing {
     *                    only sequence numbering locality
     */
   def concatSplitPack(docs: DataFrame, tokenBudget: Int, numShards: Int = 32,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      tokenCount: Option[Column] = None): DataFrame = {
     require(tokenBudget > 0 && numShards > 0)
     val shard = pmod(Sampling.portableBucket(col(idCol)), lit(numShards.toLong))
     val w = Window.partitionBy("shard").orderBy(col(idCol))
     val start = coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L))
+    val nTokens = tokenCount.getOrElse(TextFunctions.tokenCount(col(textCol)))
     docs
-      .select(col(idCol), shard.as("shard"),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .select(col(idCol), shard.as("shard"), nTokens.cast("long").as("n_tokens"))
       .withColumn("start_tok", start)
       .select(
         col(idCol),

@@ -167,6 +167,12 @@ object PipelineQueries {
     "q_pack_sequences" -> ((s, dir) =>
       Packing.concatSplitPack(Tables(s, dir, "documents"), tokenBudget = 512, numShards = 8)),
 
+    // ---- Packing-efficiency audit over the same layout ----
+    "q_pack_stats" -> ((s, dir) =>
+      Packing.packStats(
+        Packing.concatSplitPack(Tables(s, dir, "documents"), tokenBudget = 512, numShards = 8),
+        tokenBudget = 512)),
+
     // ---- Source mixing to a target proportion ----
     "q_mix_sources" -> ((s, dir) =>
       Sampling.mixToTarget(Tables(s, dir, "documents"), "source",
@@ -403,6 +409,17 @@ object PipelineQueries {
           "SELECT doc_id, shard, n_tokens, start_tok // 512 AS seq_id, " +
           "start_tok % 512 AS token_offset, " +
           "(start_tok % 512) + n_tokens > 512 AS spans_boundary FROM s"),
+      "q_pack_stats" ->
+        ("WITH t AS (SELECT doc_id, " +
+          "((doc_id % 2147483647) * 2654435761 + 42) % 2147483647 % 8 AS shard, " +
+          s"CAST($ntok AS BIGINT) AS n_tokens FROM documents), " +
+          "s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) " +
+          "AS BIGINT) - n_tokens AS start_tok FROM t), " +
+          "p AS (SELECT shard, start_tok // 512 AS seq_id, n_tokens, " +
+          "start_tok % 512 AS token_offset FROM s) " +
+          "SELECT shard, seq_id, count(*) AS n_docs_starting, " +
+          "least(CAST(max(token_offset + n_tokens) AS BIGINT), 512) AS filled_to " +
+          "FROM p GROUP BY shard, seq_id"),
       "q_mix_sources" ->
         // binding source kept whole, others hash-downsampled: identical
         // double math (w*total/n, floor(rate*P)) and the portable bucket

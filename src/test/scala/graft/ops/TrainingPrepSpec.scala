@@ -67,6 +67,16 @@ class MixSpec extends SparkSpec {
     assert(math.abs(counts("src0") / total - 0.5) < 0.15, counts.toString)
   }
 
+  test("mix counts exchange is reused; documents scanned at most twice") {
+    val out = Sampling.mixToTarget(docs, "source",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), "doc_id").select("doc_id")
+    out.collect()
+    val finalPlan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    assert("FileScan parquet".r.findAllIn(finalPlan).length <= 2, finalPlan)
+    assert(finalPlan.contains("In(source"), "source filter not pushed:\n" + finalPlan)
+  }
+
   test("mixToTarget membership is stable under repartitioning") {
     val w = Map("src0" -> 0.6, "src3" -> 0.4)
     val a = Sampling.mixToTarget(docs, "source", w, "doc_id")
