@@ -34,6 +34,12 @@ object HashExpressions {
     * `transform(wordShingles(text,n), s => pmod(xxhash64(s), P))`. */
   def wordShingleHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingleHashesExpr(GraftColumnBridge.expression(text), n))
+
+  /** Merge-join Jaccard over two SORTED distinct long arrays — see
+    * [[SortedLongJaccardExpr]]. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedLongJaccardExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
 /** text → distinct hashes of its lowercase word n-gram shingles, one
@@ -76,6 +82,10 @@ case class WordShingleHashesExpr(child: Expression, n: Int)
     val it = seen.iterator()
     var k2 = 0
     while (it.hasNext) { out(k2) = it.next(); k2 += 1 }
+    // sorted output: MinHash signatures are order-invariant, and sorted
+    // distinct arrays let SortedLongJaccardExpr verify pairs with a
+    // zero-allocation merge instead of per-pair hash sets
+    java.util.Arrays.sort(out)
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
@@ -203,4 +213,77 @@ case class SimHash64Expr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
+}
+
+/** Jaccard |A∩B| / |A∪B| of two SORTED distinct long arrays (the shape
+  * [[WordShingleHashesExpr]] emits) via two-pointer merge: O(n+m), zero
+  * allocation per pair. This runs once per CANDIDATE PAIR in LSH verify —
+  * the hottest loop of the dedup pipeline (2.4M+ pairs at the 30× probe,
+  * where the built-in array_intersect/array_union build two hash sets per
+  * pair). Value is bit-identical to the built-in form: for distinct sets
+  * |A∪B| = |A|+|B|−|A∩B| exactly, same integer-to-double division. */
+case class SortedLongJaccardExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val xi = x.getLong(i)
+      val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    val union = na + nb - c
+    if (union == 0) 0.0 else c.toDouble / union.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      val u = ctx.freshName("u")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $xi = $a.getLong($i);
+         |  long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |int $u = $na + $nb - $c;
+         |${ev.value} = ($u == 0) ? 0.0 : ((double) $c) / ((double) $u);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SortedLongJaccardExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -118,8 +118,11 @@ object Dedup {
     val candidates = left.join(right, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify on hashed shingle sets: array_intersect/union on longs are
-    // codegen'd collection ops (the string-shingle HOF chain is not).
+    // verify on hashed shingle sets with the merge-join kernel: the
+    // shingle arrays come out of WordShingleHashesExpr SORTED, so the
+    // per-pair Jaccard is a zero-allocation two-pointer merge instead of
+    // array_intersect/array_union's two hash sets per pair — this loop
+    // runs once per candidate pair, the hottest path of the stage.
     // The shingle table is (id, array<long>) — ~1% of the text width — and
     // identical for both join sides, so Spark reuses one broadcast/shuffle
     // of it. (A candidate-id semi-join to prune the re-shingling was
@@ -130,7 +133,8 @@ object Dedup {
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard",
+        round(graft.functions.HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
