@@ -35,6 +35,8 @@ object ScaleProbe {
 
     println(s"[scale-probe] factor=$factor docs=${docs.count()} emb=${emb.count()} events=${events.count()}")
     time("minhash pairs")(ops.Dedup.minHashDuplicatePairs(docs, threshold = 0.3).count())
+    time("minhash pairs (estimate)")(
+      ops.Dedup.minHashDuplicatePairs(docs, threshold = 0.3, verifyExact = false).count())
     time("staged dedup pipeline")(ops.Dedup.fuzzyDedupPipeline(docs, threshold = 0.3).count())
     time("simhash fingerprints")(
       docs.select(ops.Dedup.simHash(col("text")).as("fp")).filter(col("fp") =!= 0).count())

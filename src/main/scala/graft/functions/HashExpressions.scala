@@ -40,6 +40,13 @@ object HashExpressions {
   def sortedJaccard(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedLongJaccardExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Fraction of positions where two equal-length MinHash signatures
+    * agree — the standard unbiased estimator of Jaccard similarity
+    * (each component matches with probability J). */
+  def signatureMatchFraction(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SigMatchFractionExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
 /** text → distinct hashes of its lowercase word n-gram shingles, one
@@ -285,5 +292,61 @@ case class SortedLongJaccardExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): SortedLongJaccardExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Positional agreement rate of two MinHash signatures: |{j : a[j]=b[j]}|/k.
+  * E[match] = J(A,B) per the MinHash property, so thresholding this is the
+  * verify mode that never re-touches the corpus — at 100 TB it removes both
+  * shingle-table shuffle joins from the pair stage (estimate-only dedup is
+  * the standard production configuration; exact verify is the audit mode). */
+case class SigMatchFractionExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_match_fraction"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) return 0.0
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c.toDouble / n.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = ($n == 0) ? 0.0 : ((double) $c) / ((double) $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SigMatchFractionExpr =
     copy(left = newLeft, right = newRight)
 }

@@ -80,10 +80,18 @@ object Dedup {
     *                    empty docs all colliding) are dropped rather than
     *                    exploding into O(bucket²) pairs — at 100 TB a single
     *                    hot bucket would otherwise dominate the stage.
+    * @param verifyExact true (audit mode): re-check candidates against
+    *                    exact Jaccard of the hashed shingle sets.
+    *                    false (estimate mode, the production default at
+    *                    scale): threshold the signature match fraction
+    *                    instead — E[match] = J, so no shingle table is
+    *                    ever joined and the per-pair payload is the fixed
+    *                    `numHashes` longs, not variable shingle arrays.
     */
   def minHashDuplicatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                             numHashes: Int = 64, numBands: Int = 16, shingleSize: Int = 3,
-                            threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+                            threshold: Double = 0.5, maxBucket: Int = 1000,
+                            verifyExact: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / numBands
     // Explicit id-not-null upfront (a null id could never appear in the
     // pair output anyway): the self-join below INFERS isnotnull on its
@@ -128,15 +136,27 @@ object Dedup {
     // of it. (A candidate-id semi-join to prune the re-shingling was
     // measured 7x SLOWER at 30x: it puts the candidate list on both sides
     // of a diamond dependency and defeats subtree reuse.)
-    val sh = docs.select(col(idCol),
-      graft.functions.HashExpressions.wordShingleHashes(col(textCol), shingleSize).as("sh"))
-    candidates
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        round(graft.functions.HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    if (verifyExact) {
+      val sh = docs.select(col(idCol),
+        graft.functions.HashExpressions.wordShingleHashes(col(textCol), shingleSize).as("sh"))
+      candidates
+        .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard",
+          round(graft.functions.HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    } else {
+      // estimate mode: join the fixed-width signatures, never the shingles
+      val sig = signed.select(col(idCol), col("minhash_sig"))
+      candidates
+        .join(sig.select(col(idCol).as("id_a"), col("minhash_sig").as("sig_a")), "id_a")
+        .join(sig.select(col(idCol).as("id_b"), col("minhash_sig").as("sig_b")), "id_b")
+        .withColumn("jaccard", round(graft.functions.HashExpressions
+          .signatureMatchFraction(col("sig_a"), col("sig_b")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 
   /** 64-bit SimHash fingerprint of the whitespace token stream: bit j is
@@ -195,7 +215,7 @@ object Dedup {
     * @return the deduplicated corpus (same schema as `docs`).
     */
   def fuzzyDedupPipeline(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5, verifyExact: Boolean = true): DataFrame = {
     // Checkpointed: the rep-id list is tiny, but its lineage is a groupBy
     // keyed on the full TEXT — and repDocs feeds three downstream branches
     // (band stage, verify shingles, canonical keep), each of which would
@@ -203,7 +223,8 @@ object Dedup {
     val reps = exactDuplicates(docs, idCol, textCol).select(col("keep_id").as(idCol))
       .localCheckpoint(eager = true)
     val repDocs = docs.join(reps, idCol) // one representative per exact group
-    val pairs = minHashDuplicatePairs(repDocs, idCol, textCol, threshold = threshold)
+    val pairs = minHashDuplicatePairs(repDocs, idCol, textCol, threshold = threshold,
+      verifyExact = verifyExact)
     keepCanonical(repDocs, pairs, idCol)
   }
 

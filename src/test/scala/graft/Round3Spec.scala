@@ -49,6 +49,13 @@ class CodegenStrictSpec extends SparkSpec {
     }
   }
 
+  test("estimate-mode pair pipeline runs codegen-strict end to end") {
+    strict {
+      assert(Dedup.minHashDuplicatePairs(
+        Tables(spark, sf(), "documents"), threshold = 0.5, verifyExact = false).count() >= 0)
+    }
+  }
+
   test("Int8QuantizeExpr generated code compiles") {
     strict {
       val rows = Tables(spark, sf(), "embeddings")

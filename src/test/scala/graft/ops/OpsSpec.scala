@@ -70,6 +70,23 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains(("0", "1")), s"expected planted pair, got $pairs")
   }
 
+  test("estimate-mode verify finds the planted pair and tracks exact Jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("mu", "nu")
+    val docs = (Seq(("0", base), ("1", near)) ++
+      (2 until 30).map(i => (i.toString, s"unrelated text number $i with words w$i x$i y$i z$i v$i u$i t$i s$i"))).
+      toDF("doc_id", "text")
+    val est = Dedup.minHashDuplicatePairs(docs, threshold = 0.4, verifyExact = false)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.contains(("0", "1")), s"expected planted pair, got ${est.keySet}")
+    // the planted pair's exact hashed-shingle Jaccard is 9/11 (only the
+    // final 3-shingle differs); the k=64 signature estimate must land
+    // near it (binomial sd ≈ 0.05)
+    assert(math.abs(est(("0", "1")) - 9.0 / 11.0) < 0.2, est(("0", "1")).toString)
+    // no unrelated doc pairs survive the threshold
+    assert(est.keySet.forall { case (a, b) => (a, b) == (("0", "1")) }, est.keySet.toString)
+  }
+
   test("connectedComponents merges chains and keeps islands separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("id_a", "id_b")
