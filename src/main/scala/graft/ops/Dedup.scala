@@ -98,8 +98,18 @@ object Dedup {
     // branches while the count-guard branch would not, and that one-filter
     // difference breaks plan canonicalization — with it aligned, all four
     // consumers of the banded relation reuse ONE shuffle stage.
-    val signed = withMinHashSignature(
+    val signedAll = withMinHashSignature(
       docs.filter(col(idCol).isNotNull), textCol, numHashes, shingleSize)
+    // Estimate mode: the signature join below shuffles by ID while bands
+    // shuffle by bucket key — no exchange to share, so without
+    // materialization the corpus text would be scanned+shingled+signed
+    // TWICE (at 100 TB: double IO of the whole corpus). The (id, sig)
+    // table is numHashes longs per doc — ~0.5% of text width — so one
+    // eager checkpoint feeds both consumers. Exact mode keeps the lazy
+    // plan: its shingle table shares the band exchange instead.
+    val signed =
+      if (verifyExact) signedAll
+      else signedAll.select(col(idCol), col("minhash_sig")).localCheckpoint(eager = true)
     // Explicit repartition on the bucket key: the count guard's aggregate
     // and the pair join below then share this ONE exchange (ReusedExchange)
     // instead of each re-running the shingle+signature scan — the expensive
