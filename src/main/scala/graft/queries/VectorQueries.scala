@@ -66,6 +66,25 @@ object VectorQueries {
           array_join(transform(col("q.codes"), _.cast("string")), ",").as("q_str"),
           round(col("q.max_err"), 6).as("q_err"))),
 
+    // one Lloyd's assignment step from deterministic seeds (k lowest ids):
+    // broadcast centers, codegen'd l2, struct-min argmin — SQL-replayable
+    "q_kmeans_assign" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.ops.Clustering.assign(e, graft.ops.Clustering.initCenters(e, 8))
+        .select(col("vec_id"), col("cluster_id"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // the centroid update that follows it: avg per (cluster, dimension)
+    "q_kmeans_centroids" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.ops.Clustering.assign(e, graft.ops.Clustering.initCenters(e, 8))
+        .join(e, "vec_id")
+        .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cluster_id", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"))
+        .select(col("cluster_id"), (col("pos") + 1).as("pos"), col("centroid_v"))
+    }),
+
     // distributed centroid, custom-aggregate formulation: vec_sum is a
     // TypedImperativeAggregate with a double[] buffer — map-side combine
     // shrinks each partition's contribution to ONE dim-length buffer per
@@ -105,6 +124,34 @@ object VectorQueries {
         "(SELECT label, generate_subscripts(embedding, 1) AS pos, " +
         "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) " +
         "GROUP BY label, pos"),
+    "q_kmeans_assign" ->
+      // same l2 element-order math as q_vec_pair_metrics; argmin via
+      // row_number(dist, center_id) = Spark's min(struct(dist, center_id))
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "c AS (SELECT vec_id AS center_id, v AS cv FROM e WHERE vec_id < 8), " +
+        "s AS (SELECT e.vec_id, c.center_id, " +
+        "sqrt(list_dot_product(list_transform(range(len(e.v)), i -> e.v[i+1]-c.cv[i+1]), " +
+        "list_transform(range(len(e.v)), i -> e.v[i+1]-c.cv[i+1]))) AS dist " +
+        "FROM e CROSS JOIN c) " +
+        "SELECT vec_id, cluster_id, round(dist, 6) AS dist FROM " +
+        "(SELECT vec_id, center_id AS cluster_id, dist, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, center_id) AS rn FROM s) " +
+        "WHERE rn = 1"),
+    "q_kmeans_centroids" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "c AS (SELECT vec_id AS center_id, v AS cv FROM e WHERE vec_id < 8), " +
+        "s AS (SELECT e.vec_id, c.center_id, " +
+        "sqrt(list_dot_product(list_transform(range(len(e.v)), i -> e.v[i+1]-c.cv[i+1]), " +
+        "list_transform(range(len(e.v)), i -> e.v[i+1]-c.cv[i+1]))) AS dist " +
+        "FROM e CROSS JOIN c), " +
+        "a AS (SELECT vec_id, center_id AS cluster_id FROM " +
+        "(SELECT vec_id, center_id, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY dist, center_id) AS rn FROM s) WHERE rn = 1) " +
+        "SELECT cluster_id, CAST(pos AS INT) AS pos, round(avg(ev), 6) AS centroid_v FROM " +
+        "(SELECT a.cluster_id, generate_subscripts(em.embedding, 1) AS pos, " +
+        "unnest(CAST(em.embedding AS DOUBLE[])) AS ev " +
+        "FROM a JOIN embeddings em ON a.vec_id = em.vec_id) " +
+        "GROUP BY cluster_id, pos"),
     "q_vec_quantize" ->
       // floor(x/s + 0.5) rounding on both sides: Spark round() HALF_UPs,
       // DuckDB CAST rounds half-even — floor(+0.5) is the portable form

@@ -131,3 +131,32 @@ class QuantizeSpec extends SparkSpec {
     assert(r == ((0.0, "0,0,0", 0.0)))
   }
 }
+
+class ClusteringSpec extends graft.SparkSpec {
+
+  private lazy val emb = graft.Tables(spark, sf(), "embeddings")
+
+  test("inertia is non-increasing over Lloyd's iterations") {
+    val inertias = (1 to 4).map(i =>
+      Clustering.inertia(Clustering.kmeans(emb, k = 8, iters = i)))
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"inertia rose: $inertias")
+    }
+    assert(inertias.last < inertias.head, inertias.toString)
+  }
+
+  test("assignment is deterministic under repartitioning") {
+    val c = Clustering.initCenters(emb, 8)
+    val a = Clustering.assign(emb, c)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Clustering.assign(emb.repartition(7), c)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("every vector lands in exactly one cluster from the seed set") {
+    val out = Clustering.kmeans(emb, k = 8, iters = 2)
+    assert(out.count() == emb.count())
+    assert(out.select("cluster_id").distinct().count() <= 8)
+  }
+}
