@@ -42,30 +42,34 @@ object Clustering {
       .select(col(idCol), col("best.cluster_id").as("cluster_id"),
         col("best.dist").as("dist"))
 
-  /** Lloyd's iterations: assign → recompute centroids. Returns the final
-    * (idCol, cluster_id, dist) assignment; clusters that lose every point
-    * drop out (standard Lloyd's behavior — pass a larger k to compensate).
-    */
-  def kmeans(df: DataFrame, k: Int, iters: Int, vecCol: String = "embedding",
-             idCol: String = "vec_id"): DataFrame = {
+  /** Centers after `iters` Lloyd's rounds (iters = 1 is the raw seed set;
+    * each further round is assign → vecCentroid update). Clusters that
+    * lose every point drop out (standard Lloyd's behavior — pass a larger
+    * k to compensate). Centers stay a DataFrame, eagerly checkpointed per
+    * round so lineage stays flat; nothing driver-side. */
+  def fitCenters(df: DataFrame, k: Int, iters: Int, vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
     require(k > 0 && iters > 0)
     val vecs = df.select(col(idCol), col(vecCol))
     var centers = initCenters(vecs, k, vecCol, idCol).localCheckpoint(eager = true)
-    var assigned: DataFrame = null
-    var i = 0
+    var i = 1
     while (i < iters) {
-      assigned = assign(vecs, centers, vecCol, idCol)
-      if (i < iters - 1) {
-        centers = assigned.join(vecs, idCol)
-          .groupBy(col("cluster_id"))
-          .agg(VectorAggFunctions.vecCentroid(col(vecCol)).as("center"))
-          .select(col("cluster_id").as("center_id"), col("center"))
-          .localCheckpoint(eager = true)
-      }
+      centers = assign(vecs, centers, vecCol, idCol).join(vecs, idCol)
+        .groupBy(col("cluster_id"))
+        .agg(VectorAggFunctions.vecCentroid(col(vecCol)).as("center"))
+        .select(col("cluster_id").as("center_id"), col("center"))
+        .localCheckpoint(eager = true)
       i += 1
     }
-    assigned
+    centers
   }
+
+  /** Lloyd's k-means: the final (idCol, cluster_id, dist) assignment after
+    * `iters` rounds. */
+  def kmeans(df: DataFrame, k: Int, iters: Int, vecCol: String = "embedding",
+             idCol: String = "vec_id"): DataFrame =
+    assign(df.select(col(idCol), col(vecCol)),
+      fitCenters(df, k, iters, vecCol, idCol), vecCol, idCol)
 
   /** Within-cluster sum of squared distances for an assignment — the
     * convergence metric (must be non-increasing over Lloyd's rounds). */

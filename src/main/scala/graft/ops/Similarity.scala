@@ -116,18 +116,23 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** IVF-Flat: deterministic coarse quantizer from the first `nCells` rows
-    * by id (stable seeds), then per-query probing of the `nProbe` nearest
-    * cells. Returns exact cosine within the probed cells. */
+  /** IVF-Flat: deterministic coarse quantizer (lowest-id seeds, optionally
+    * refined by Lloyd's rounds — `quantizerIters` > 1 trains the cells the
+    * way a real IVF index build does, tightening recall-per-probe), then
+    * per-query probing of the `nProbe` nearest cells. Returns exact cosine
+    * within the probed cells. */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Seeds: lowest-id rows — deterministic. The ONLY collect in the ANN
-    // path, bounded by nCells (16 rows), turned into literal expressions so
-    // cell assignment is a pure map (no shuffle, no join) over candidates.
-    val seeds: Array[(Long, Array[Double])] = candidates.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              quantizerIters: Int = 1): DataFrame = {
+    // Centers: the ONLY collect in the ANN path, bounded by nCells
+    // (16 rows), turned into literal expressions so cell assignment is a
+    // pure map (no shuffle, no join) over candidates.
+    val seeds: Array[(Long, Array[Double])] =
+      Clustering.fitCenters(candidates, nCells, quantizerIters, vecCol, idCol)
+        .orderBy(col("center_id"))
+        .select(col("center_id").cast("long"), transform(col("center"), _.cast("double")))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
     def cellScores(vec: String): Seq[org.apache.spark.sql.Column] =
       seeds.toIndexedSeq.zipWithIndex.map { case ((_, sv), i) =>

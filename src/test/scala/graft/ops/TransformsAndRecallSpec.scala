@@ -82,6 +82,18 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall > 0.5, s"IVF recall $recall too low")
   }
 
+  test("IVF with a Lloyd's-trained quantizer: exhaustive probe still exact, selective stays useful") {
+    val exact = topkSet(Similarity.bruteForceTopK(emb, queries, k = 5))
+    // exhaustive probe must equal brute force under ANY quantizer
+    val all = topkSet(Similarity.ivfTopK(emb, queries, k = 5, nCells = 8, nProbe = 8,
+      quantizerIters = 3))
+    assert(all == exact, "exhaustive-probe IVF diverged from brute force")
+    val trained = topkSet(Similarity.ivfTopK(emb, queries, k = 5, nCells = 16, nProbe = 4,
+      quantizerIters = 3))
+    val recall = (exact intersect trained).size.toDouble / exact.size
+    assert(recall > 0.5, s"trained-quantizer recall $recall too low")
+  }
+
   test("lshCosinePairs finds the same high-similarity pairs as the exact blocked scan") {
     val exact = Dedup.cosineNearDupPairs(emb, blockCol = "label", threshold = 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
