@@ -309,4 +309,19 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Semantic dedup (the SemDeDup recipe): cluster embeddings with k-means
+    * and report cosine >= threshold pairs WITHIN each cluster — the blocks
+    * come from the data's own geometry instead of a metadata column or
+    * random hyperplanes. Pair work is Σ|cluster|², so `nClusters` is the
+    * cost dial exactly like LSH bits; `iters` = 1 keeps the quantizer
+    * SQL-replayable (the oracle replays it), more rounds tighten blocks. */
+  def semanticNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
+                           vecCol: String = "embedding", threshold: Double = 0.9,
+                           nClusters: Int = 16, iters: Int = 1): DataFrame = {
+    val assigned = Clustering.kmeans(emb, nClusters, iters, vecCol, idCol)
+      .select(col(idCol), col("cluster_id"))
+    cosineNearDupPairs(emb.join(assigned, idCol), "cluster_id", idCol, vecCol, threshold)
+      .withColumnRenamed("blk", "cluster_id")
+  }
 }

@@ -63,6 +63,11 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), blockCol = "source", threshold = 0.05)),
     "q_dedup_cosine" -> ((s, dir) =>
       Dedup.cosineNearDupPairs(Tables(s, dir, "embeddings"), blockCol = "label", threshold = 0.3)),
+    // SemDeDup: blocks from the data's own k-means geometry (1 Lloyd's
+    // step keeps the quantizer SQL-replayable for the oracle)
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticNearDupPairs(Tables(s, dir, "embeddings"), threshold = 0.3,
+        nClusters = 8, iters = 1)),
     // Full-corpus MinHash pairs: hashed-shingle jaccard has no DuckDB twin
     // → rows-only. This is the bench headline; the oracle-checked face is
     // q_dedup_minhash_planted below.
@@ -303,6 +308,23 @@ object PipelineQueries {
           "p AS (SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b, " +
           s"round(${cosSql("a.v", "b.v")}, 6) AS cosine " +
           "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+          "SELECT * FROM p WHERE cosine >= 0.3"),
+      "q_dedup_semantic" ->
+        // the 1-step k-means assignment (same CTE as q_kmeans_assign) as
+        // the blocking key, then exact cosine within each cluster
+        ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+          "c AS (SELECT vec_id AS center_id, v AS cv FROM e WHERE vec_id < 8), " +
+          "s AS (SELECT e.vec_id, c.center_id, " +
+          "sqrt(list_dot_product(list_transform(range(len(e.v)), i -> e.v[i+1]-c.cv[i+1]), " +
+          "list_transform(range(len(e.v)), i -> e.v[i+1]-c.cv[i+1]))) AS dist " +
+          "FROM e CROSS JOIN c), " +
+          "a AS (SELECT vec_id, center_id AS cluster_id FROM " +
+          "(SELECT vec_id, center_id, row_number() OVER (PARTITION BY vec_id " +
+          "ORDER BY dist, center_id) AS rn FROM s) WHERE rn = 1), " +
+          "p AS (SELECT a1.cluster_id, a1.vec_id AS id_a, a2.vec_id AS id_b, " +
+          s"round(${cosSql("e1.v", "e2.v")}, 6) AS cosine " +
+          "FROM a a1 JOIN a a2 ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id " +
+          "JOIN e e1 ON e1.vec_id = a1.vec_id JOIN e e2 ON e2.vec_id = a2.vec_id) " +
           "SELECT * FROM p WHERE cosine >= 0.3"),
       "q_ann_topk" -> annExactSql,
       "q_ann_ivf" -> annExactSql,

@@ -94,6 +94,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall > 0.5, s"trained-quantizer recall $recall too low")
   }
 
+  test("semantic (k-means-blocked) dedup: exact precision, useful recall") {
+    val all = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")))
+      .filter(col("cos") >= 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticNearDupPairs(emb, threshold = 0.3, nClusters = 8, iters = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(all), "semantic pairs must verify exactly (precision 1)")
+    val recall = if (all.isEmpty) 1.0 else (all intersect sem).size.toDouble / all.size
+    assert(recall > 0.2, s"semantic recall $recall; all=${all.size} sem=${sem.size}")
+  }
+
   test("lshCosinePairs finds the same high-similarity pairs as the exact blocked scan") {
     val exact = Dedup.cosineNearDupPairs(emb, blockCol = "label", threshold = 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
