@@ -102,6 +102,22 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming NEAR-dedup: drop documents whose 64-bit SimHash fingerprint
+    * was already seen within the watermark horizon — near-identical texts
+    * (not just byte-identical ones) collapse in-flight, which is the
+    * ingestion-side twin of [[graft.ops.Dedup.simHashDuplicatePairs]].
+    * The fingerprint is one codegen'd expression per row, and the dedup
+    * state holds only (fingerprint → expiry), so state is arrival rate ×
+    * horizon regardless of document size. A stricter Hamming-radius match
+    * needs the batch path (pairs need a self-join; streaming state lookups
+    * are exact-key only — documented trade-off). */
+  def streamingNearDedup(docs: DataFrame, textCol: String = "text",
+                         tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("simhash_fp", graft.ops.Dedup.simHash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("simhash_fp")
+
   /** Watermarked stream-stream interval join: pair each left event with
     * the right-stream events of the SAME user whose timestamps fall within
     * ±`within` of it. The time bound plus both watermarks is what lets

@@ -68,6 +68,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dedup collapses near-identical texts by SimHash fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamOps.streamingNearDedup(
+        input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("neardedup_out").outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData(
+        (1L, ts(0), base),
+        (2L, ts(1), base), // byte-identical → same fingerprint
+        (3L, ts(2), "completely different content about spark structured streaming state"))
+      query.processAllAvailable()
+      val ids = spark.table("neardedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L), ids.toString)
+    } finally query.stop()
+  }
+
   test("incremental migration: file drops stream into a batch sink via foreachBatch") {
     import graft.model.Canonical
     val watch = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
