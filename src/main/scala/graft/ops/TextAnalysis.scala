@@ -32,6 +32,21 @@ object TextAnalysis {
   def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), TextFunctions.langId(col(textCol)).as("lang_pred"))
 
+  /** Corpus vocabulary: the `topK` most frequent whitespace tokens with
+    * document frequencies — the input to tokenizer training / stopword
+    * derivation. Canonical word-count shape: explode + partial-agg (map-
+    * side combine collapses each partition to its distinct tokens before
+    * the shuffle) + TakeOrdered(topK); ties break lexicographically so
+    * the result is deterministic under any partitioning. */
+  def vocabulary(docs: DataFrame, topK: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col(idCol)).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(topK)
+
   /** Content + order-sensitive fingerprints. */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(

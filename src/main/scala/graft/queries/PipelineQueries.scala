@@ -41,6 +41,9 @@ object PipelineQueries {
         TextFunctions.normalizeText(col("text")).as("norm_text"))),
     // xxhash64/rolling-hash: Spark-native hashes, no DuckDB twin → rows-only
     "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
+    // corpus vocabulary: top tokens by frequency (tokenizer-training prep)
+    "q_text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables(s, dir, "documents"), topK = 100)),
     // Gopher/C4-style intra-document repetition metrics
     "q_text_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables(s, dir, "documents"))),
     // PII scrub over documents salted with synthetic email/IP/phone built
@@ -264,6 +267,13 @@ object PipelineQueries {
       "q_text_normalize" ->
         ("SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), " +
           "'[[:cntrl:]]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text FROM documents"),
+      "q_text_vocab" ->
+        // empty texts guarded on both sides (Spark tokens() maps them to
+        // []); tf-desc + token-asc makes the LIMIT cut deterministic
+        ("WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) " +
+          "AS token FROM documents WHERE length(trim(text)) > 0) " +
+          "SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t " +
+          "GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100"),
       "q_text_repetition" ->
         ("WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ltoks FROM documents), " +
           "g AS (SELECT doc_id, " +

@@ -87,6 +87,17 @@ class OpsSpec extends SparkSpec {
     assert(est.keySet.forall { case (a, b) => (a, b) == (("0", "1")) }, est.keySet.toString)
   }
 
+  test("vocabulary counts term and document frequencies with a deterministic cut") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // apple tf=3 df=2; banana tf=2 df=2; cherry cut at topK=2
+    assert(v == Seq(("apple", 3L, 2L), ("banana", 2L, 2L)), v.toString)
+  }
+
   test("connectedComponents merges chains and keeps islands separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("id_a", "id_b")
