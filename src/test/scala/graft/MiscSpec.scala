@@ -135,6 +135,36 @@ class CliSpec extends SparkSpec {
     assert(graft.cli.Main.run(Array("--config", "/no/such/file.json")) == 1)
   }
 
+  test("DedupVectors and SemanticDedup transforms drop (near-)duplicate vectors") {
+    import spark.implicits._
+    val dim = 8
+    def unit(hot: Int, eps: Float = 0f): Seq[Float] =
+      (0 until dim).map(i =>
+        if (i == hot) 1f else if (i == (hot + 1) % dim) eps else 0f)
+    // enough distinct fillers that nClusters=16 < n (with k >= n every
+    // point is its own cluster and blocking finds nothing, by design);
+    // filler eps >= 0.5 keeps their cosine to the planted pair < 0.9
+    val fillers = (0 until 20).map(i =>
+      (f"e$i%02d", unit(i % dim, 0.5f + 0.35f * (i / dim)), Map("k" -> "f")))
+    // "z" sorts after every seed id: a near-dup that is ITSELF a k-means
+    // seed stays its own cluster and is (by design) missed — SemDeDup's
+    // k << n regime is what the late id simulates here
+    val df = (Seq(
+      ("a", unit(0), Map("k" -> "1")),
+      ("b", unit(0), Map("k" -> "2")),        // exact duplicate of a
+      ("z", unit(0, 0.01f), Map("k" -> "3")), // near-duplicate of a (cos ≈ 0.99995)
+      ("d", unit(4), Map("k" -> "4"))) ++ fillers)
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    val exact = new graft.examples.DedupVectors()(df)
+      .select(Canonical.ID).as[String].collect().toSet
+    assert(!exact.contains("b") && Set("a", "z", "d").subsetOf(exact) &&
+      exact.size == 23, exact.toString)
+    val sem = new graft.examples.SemanticDedup()(df)
+      .select(Canonical.ID).as[String].collect().toSet
+    assert(!sem.contains("b") && !sem.contains("z") && Set("a", "d").subsetOf(sem) &&
+      sem.size == 22, sem.toString)
+  }
+
   test("--transform loads the packaged example class (add_source_tracking parity)") {
     MemoryStore.drop("cli_tf")
     val cfg = Files.createTempFile("graft", ".json")
