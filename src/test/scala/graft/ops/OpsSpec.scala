@@ -70,6 +70,22 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains(("0", "1")), s"expected planted pair, got $pairs")
   }
 
+  test("sorted-merge Jaccard equals the built-in set formulation on random inputs") {
+    val rnd = new scala.util.Random(7)
+    // random sorted-distinct long arrays of varied sizes, incl. empties
+    val rows = (0 until 200).map { i =>
+      def arr() = rnd.shuffle((0L until 40L).toList).take(rnd.nextInt(12)).sorted.toArray
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+      graft.functions.HashExpressions.sortedJaccard(col("a"), col("b")).as("merge"),
+      graft.functions.TextFunctions.jaccard(col("a"), col("b")).as("builtin"))
+      .as[(Double, Double)].collect()
+    assert(out.length == 200)
+    out.foreach { case (m, b) => assert(m == b, s"$m != $b") }
+  }
+
   test("estimate-mode verify finds the planted pair and tracks exact Jaccard") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val near = base.replace("mu", "nu")
