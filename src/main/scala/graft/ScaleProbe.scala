@@ -67,8 +67,8 @@ object ScaleProbe {
         .filter(col("q.max_err") >= 0).count())
     time("kmeans (k=16, 3 iters)")(
       ops.Clustering.kmeans(emb, k = 16, iters = 3).count())
-    time("semantic dedup")(
-      ops.Dedup.semanticNearDupPairs(emb, threshold = 0.5, nClusters = 16, iters = 2).count())
+    time("semantic dedup (staged)")(
+      ops.Dedup.semanticDedupPipeline(emb, threshold = 0.5, nClusters = 16, iters = 2).count())
     time("decontaminate")(
       ops.Decontaminate.containment(
         train = docs.filter(col("doc_id") % 20 =!= 0),

@@ -31,11 +31,8 @@ class DedupVectors extends (DataFrame => DataFrame) {
   * lands in two clusters and is missed — real corpora run k ≪ n where
   * that is vanishingly rare (exercised deliberately in the spec). */
 class SemanticDedup extends (DataFrame => DataFrame) {
-  override def apply(df: DataFrame): DataFrame = {
-    val pairs = graft.ops.Dedup.semanticNearDupPairs(
+  override def apply(df: DataFrame): DataFrame =
+    graft.ops.Dedup.semanticDedupPipeline(
       df, idCol = Canonical.ID, vecCol = Canonical.VECTOR,
       threshold = 0.995, nClusters = 16, iters = 2)
-    val dupIds = pairs.select(col("id_b").as(Canonical.ID)).distinct()
-    df.join(dupIds, Seq(Canonical.ID), "left_anti")
-  }
 }

@@ -324,4 +324,28 @@ object Dedup {
     cosineNearDupPairs(emb.join(assigned, idCol), "cluster_id", idCol, vecCol, threshold)
       .withColumnRenamed("blk", "cluster_id")
   }
+
+  /** Staged semantic dedup, mirroring [[fuzzyDedupPipeline]]'s cost
+    * structure: collapse byte-identical vectors to one representative
+    * FIRST (hash groupBy — a vector duplicated k× would otherwise put a
+    * k-clique inside its cluster: the 100× probe measured 182 s raw vs
+    * the staged seconds), then near-dup pairs among representatives,
+    * greedy keep-lowest-id. Returns the deduplicated representative set. */
+  def semanticDedupPipeline(emb: DataFrame, idCol: String = "vec_id",
+                            vecCol: String = "embedding", threshold: Double = 0.9,
+                            nClusters: Int = 16, iters: Int = 2): DataFrame = {
+    // The representative set feeds MANY consumers (k-means init, one
+    // assign per Lloyd's round, both sides of the within-cluster pair
+    // join, the final anti-join) — each would re-run the full-corpus
+    // groupBy+join lineage, so materialize the collapsed set once. It is
+    // small by construction exactly when staging matters (duplicates
+    // collapsed); on a dup-free corpus it is the corpus, and the
+    // checkpoint trades one write for ~7 re-scans — still the right side.
+    val reps = emb.groupBy(col(vecCol)).agg(min(col(idCol)).as(idCol))
+      .select(idCol).localCheckpoint(eager = true)
+    val repEmb = emb.join(reps, Seq(idCol)).localCheckpoint(eager = true)
+    val drop = semanticNearDupPairs(repEmb, idCol, vecCol, threshold, nClusters, iters)
+      .select(col("id_b").as(idCol)).distinct()
+    repEmb.join(drop, Seq(idCol), "left_anti")
+  }
 }
