@@ -71,6 +71,11 @@ object PipelineQueries {
     "q_dedup_semantic" -> ((s, dir) =>
       Dedup.semanticNearDupPairs(Tables(s, dir, "embeddings"), threshold = 0.3,
         nClusters = 8, iters = 1)),
+    // the full staged pipeline (exact vector collapse → cluster → pairs →
+    // greedy keep) replayed in SQL end to end
+    "q_dedup_semantic_pipeline" -> ((s, dir) =>
+      Dedup.semanticDedupPipeline(Tables(s, dir, "embeddings"), threshold = 0.3,
+        nClusters = 8, iters = 1).select("vec_id")),
     // Full-corpus MinHash pairs: hashed-shingle jaccard has no DuckDB twin
     // → rows-only. This is the bench headline; the oracle-checked face is
     // q_dedup_minhash_planted below.
@@ -336,6 +341,24 @@ object PipelineQueries {
           "FROM a a1 JOIN a a2 ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id " +
           "JOIN e e1 ON e1.vec_id = a1.vec_id JOIN e e2 ON e2.vec_id = a2.vec_id) " +
           "SELECT * FROM p WHERE cosine >= 0.3"),
+      "q_dedup_semantic_pipeline" ->
+        // reps = min id per identical vector; centers = 8 lowest REP ids
+        ("WITH e AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+          "reps AS (SELECT min(vec_id) AS vec_id FROM e GROUP BY embedding), " +
+          "re AS (SELECT e.vec_id, e.v FROM e JOIN reps USING (vec_id)), " +
+          "c AS (SELECT vec_id AS center_id, v AS cv FROM re ORDER BY vec_id LIMIT 8), " +
+          "s AS (SELECT re.vec_id, c.center_id, " +
+          "sqrt(list_dot_product(list_transform(range(len(re.v)), i -> re.v[i+1]-c.cv[i+1]), " +
+          "list_transform(range(len(re.v)), i -> re.v[i+1]-c.cv[i+1]))) AS dist " +
+          "FROM re CROSS JOIN c), " +
+          "a AS (SELECT vec_id, center_id AS cluster_id FROM " +
+          "(SELECT vec_id, center_id, row_number() OVER (PARTITION BY vec_id " +
+          "ORDER BY dist, center_id) AS rn FROM s) WHERE rn = 1), " +
+          "p AS (SELECT a2.vec_id AS id_b FROM a a1 JOIN a a2 ON " +
+          "a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id " +
+          "JOIN re e1 ON e1.vec_id = a1.vec_id JOIN re e2 ON e2.vec_id = a2.vec_id " +
+          s"WHERE round(${cosSql("e1.v", "e2.v")}, 6) >= 0.3) " +
+          "SELECT vec_id FROM re WHERE vec_id NOT IN (SELECT id_b FROM p)"),
       "q_ann_topk" -> annExactSql,
       "q_ann_ivf" -> annExactSql,
       "q_ann_lsh" -> annExactSql,
