@@ -28,6 +28,24 @@ object TextAnalysis {
       TextFunctions.qualityScore(col(textCol)).as("quality"),
       (TextFunctions.qualityScore(col(textCol)) >= minScore).as("keep"))
 
+  /** Keep the top `keepTop` fraction of documents by quality score — the
+    * dynamic-threshold form real pipelines use (a fixed cutoff drifts as
+    * the corpus mix changes). The cutoff is ONE exact-percentile aggregate
+    * broadcast back over the scan: two passes total, nothing driver-side.
+    * Exact `percentile` sorts per group — at extreme scale swap in
+    * `approx_percentile`, which the same plan shape accepts. */
+  def qualityFilterByQuantile(docs: DataFrame, keepTop: Double,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(keepTop > 0 && keepTop <= 1, s"keepTop out of range: $keepTop")
+    val scored = docs.select(col(idCol),
+      TextFunctions.qualityScore(col(textCol)).as("quality"))
+    val cutoff = scored.agg(percentile(col("quality"), lit(1 - keepTop)).as("cut"))
+    scored.crossJoin(broadcast(cutoff))
+      .filter(col("quality") >= col("cut"))
+      .select(col(idCol), col("quality"))
+  }
+
   /** Marker-word language identification. */
   def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), TextFunctions.langId(col(textCol)).as("lang_pred"))

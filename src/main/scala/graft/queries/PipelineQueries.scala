@@ -41,6 +41,9 @@ object PipelineQueries {
         TextFunctions.normalizeText(col("text")).as("norm_text"))),
     // xxhash64/rolling-hash: Spark-native hashes, no DuckDB twin → rows-only
     "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
+    // quantile-threshold quality cut: keep the top 80% by score
+    "q_text_quality_cut" -> ((s, dir) =>
+      TextAnalysis.qualityFilterByQuantile(Tables(s, dir, "documents"), keepTop = 0.8)),
     // corpus vocabulary: top tokens by frequency (tokenizer-training prep)
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables(s, dir, "documents"), topK = 100)),
@@ -272,6 +275,12 @@ object PipelineQueries {
       "q_text_normalize" ->
         ("SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), " +
           "'[[:cntrl:]]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text FROM documents"),
+      "q_text_quality_cut" ->
+        // Spark's exact percentile == DuckDB quantile_cont (same linear
+        // interpolation); qualityScore is pre-rounded on both sides
+        (s"WITH q AS (SELECT doc_id, $quality AS quality FROM documents), " +
+          "c AS (SELECT quantile_cont(quality, 0.2) AS cut FROM q) " +
+          "SELECT doc_id, quality FROM q, c WHERE quality >= cut"),
       "q_text_vocab" ->
         // empty texts guarded on both sides (Spark tokens() maps them to
         // []); tf-desc + token-asc makes the LIMIT cut deterministic

@@ -103,6 +103,19 @@ class OpsSpec extends SparkSpec {
     assert(est.keySet.forall { case (a, b) => (a, b) == (("0", "1")) }, est.keySet.toString)
   }
 
+  test("quantile quality cut keeps at least the requested fraction, stable under repartition") {
+    val docs = graft.Tables(spark, sf(), "documents")
+    val kept = TextAnalysis.qualityFilterByQuantile(docs, keepTop = 0.8)
+    val n = docs.count().toDouble
+    val frac = kept.count() / n
+    // >= because score ties at the cutoff all pass the >= filter
+    assert(frac >= 0.8 - 1e-9 && frac < 0.95, frac.toString)
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.qualityFilterByQuantile(docs.repartition(7), keepTop = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("vocabulary counts term and document frequencies with a deterministic cut") {
     val docs = Seq(
       (1L, "apple banana apple"),
