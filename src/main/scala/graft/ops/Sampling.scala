@@ -70,6 +70,22 @@ object Sampling {
     df.filter(bucket < floor(rate * lit(PortableP.toDouble)).cast("long"))
   }
 
+  /** [[split]] with the portable bucket: identical mixture semantics, but
+    * the assignment is auditable from any SQL engine (the gate oracle
+    * recomputes it row-for-row; xxhash64 has no cross-engine twin). */
+  def splitPortable(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+                    seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0))
+    val total = weights.map(_._2).sum
+    val bucket = portableBucket(col(idCol), seed)
+    val cuts = weights.scanLeft(0.0)(_ + _._2 / total).tail
+      .map(c => math.floor(c * PortableP.toDouble).toLong)
+    val labeled = weights.map(_._1).zip(cuts).foldRight(lit(weights.last._1)) {
+      case ((label, cut), acc) => when(bucket < cut, lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", labeled)
+  }
+
   /** Downsample to a TARGET MIXTURE: given desired proportions per source
     * (e.g. web .6, books .3, code .1), emit the LARGEST dataset with
     * exactly those proportions that the data supports — the binding source

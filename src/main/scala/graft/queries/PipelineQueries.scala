@@ -41,6 +41,11 @@ object PipelineQueries {
         TextFunctions.normalizeText(col("text")).as("norm_text"))),
     // xxhash64/rolling-hash: Spark-native hashes, no DuckDB twin → rows-only
     "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
+    // portable train/val/test split (exact per-row assignment oracle)
+    "q_sample_split" -> ((s, dir) =>
+      Sampling.splitPortable(Tables(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
     // quantile-threshold quality cut: keep the top 80% by score
     "q_text_quality_cut" -> ((s, dir) =>
       TextAnalysis.qualityFilterByQuantile(Tables(s, dir, "documents"), keepTop = 0.8)),
@@ -275,6 +280,20 @@ object PipelineQueries {
       "q_text_normalize" ->
         ("SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), " +
           "'[[:cntrl:]]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text FROM documents"),
+      "q_sample_split" -> {
+        // cut points computed by the SAME Scala double math as
+        // splitPortable, interpolated as literals — no cross-engine
+        // floating-point cumsum to diverge
+        val ws = Seq(0.8, 0.1, 0.1)
+        val t = ws.sum
+        val cuts = ws.scanLeft(0.0)(_ + _ / t).tail
+          .map(c => math.floor(c * 2147483647.0).toLong)
+        "SELECT doc_id, CASE " +
+          s"WHEN b < ${cuts(0)} THEN 'train' " +
+          s"WHEN b < ${cuts(1)} THEN 'val' ELSE 'test' END AS split " +
+          "FROM (SELECT doc_id, ((doc_id % 2147483647) * 2654435761 + 42) " +
+          "% 2147483647 AS b FROM documents)"
+      },
       "q_text_quality_cut" ->
         // Spark's exact percentile == DuckDB quantile_cont (same linear
         // interpolation); qualityScore is pre-rounded on both sides
