@@ -42,9 +42,15 @@ object Packing {
     val shard = pmod(Sampling.portableBucket(col(idCol)), lit(numShards.toLong))
     val w = Window.partitionBy("shard").orderBy(col(idCol))
     val start = coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L))
-    val nTokens = tokenCount.getOrElse(TextFunctions.tokenCount(col(textCol)))
+    // null text packs as 0 tokens rather than poisoning the running sum
+    // for every later doc in the shard (size(null) is -1 under Spark's
+    // legacy sizeOfNull, hence the clamp, which also rejects negative
+    // custom counts)
+    val nTokens = greatest(lit(0L),
+      coalesce(tokenCount.getOrElse(TextFunctions.tokenCount(col(textCol))).cast("long"),
+        lit(0L)))
     docs
-      .select(col(idCol), shard.as("shard"), nTokens.cast("long").as("n_tokens"))
+      .select(col(idCol), shard.as("shard"), nTokens.as("n_tokens"))
       .withColumn("start_tok", start)
       .select(
         col(idCol),

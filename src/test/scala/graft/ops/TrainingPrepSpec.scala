@@ -24,6 +24,16 @@ class PackingSpec extends SparkSpec {
       (4L, 1L, 3L, true))) // toks 9-13: spills into seq 2
   }
 
+  test("null text packs as zero tokens without corrupting later offsets") {
+    val withNull = Seq((1L, "a b c"), (2L, null: String), (3L, "d e"))
+      .toDF("doc_id", "text")
+    val out = Packing.concatSplitPack(withNull, tokenBudget = 4, numShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "seq_id", "token_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0L, 0L), (2L, 0L, 0L, 3L), (3L, 2L, 0L, 3L)), out.toString)
+  }
+
   test("layout is deterministic under repartitioning and shard count splits the stream") {
     val base = Tables(spark, sf(), "documents")
     val a = Packing.concatSplitPack(base, 512, numShards = 4)
