@@ -27,6 +27,33 @@ object Clustering {
       .select(col(idCol).as("center_id"),
         transform(col(vecCol), _.cast("double")).as("center"))
 
+  /** Farthest-point (k-center) seeding: start from the lowest-id vector,
+    * repeatedly add the point with the LARGEST distance to its nearest
+    * chosen center (ties break to the lowest id). Deterministic — no RNG —
+    * and spreads seeds across the data's extent where lowest-id seeding
+    * can clump. Cost: k-1 assign passes over the corpus (each one
+    * broadcast-scored, no shuffle beyond the 1-row TakeOrdered), the
+    * known price of this init; at extreme k use k-means|| oversampling
+    * instead. The per-round 1-row limit is the same bounded pattern as
+    * the IVF seed collect. */
+  def initCentersFarthest(df: DataFrame, k: Int, vecCol: String = "embedding",
+                          idCol: String = "vec_id"): DataFrame = {
+    require(k > 0)
+    val vecs = df.select(col(idCol), col(vecCol))
+    var centers = initCenters(vecs, 1, vecCol, idCol).localCheckpoint(eager = true)
+    var i = 1
+    while (i < k) {
+      val next = assign(vecs, centers, vecCol, idCol)
+        .orderBy(col("dist").desc, col(idCol).asc).limit(1)
+        .join(vecs, idCol)
+        .select(col(idCol).as("center_id"),
+          transform(col(vecCol), _.cast("double")).as("center"))
+      centers = centers.union(next).localCheckpoint(eager = true)
+      i += 1
+    }
+    centers
+  }
+
   /** Assign each vector to its nearest center (l2; ties break to the
     * lowest center_id via the struct ordering — deterministic under any
     * partitioning). Output: idCol, cluster_id, dist. */
@@ -48,10 +75,12 @@ object Clustering {
     * k to compensate). Centers stay a DataFrame, eagerly checkpointed per
     * round so lineage stays flat; nothing driver-side. */
   def fitCenters(df: DataFrame, k: Int, iters: Int, vecCol: String = "embedding",
-                 idCol: String = "vec_id"): DataFrame = {
+                 idCol: String = "vec_id", farthestInit: Boolean = false): DataFrame = {
     require(k > 0 && iters > 0)
     val vecs = df.select(col(idCol), col(vecCol))
-    var centers = initCenters(vecs, k, vecCol, idCol).localCheckpoint(eager = true)
+    var centers =
+      if (farthestInit) initCentersFarthest(vecs, k, vecCol, idCol)
+      else initCenters(vecs, k, vecCol, idCol).localCheckpoint(eager = true)
     var i = 1
     while (i < iters) {
       centers = assign(vecs, centers, vecCol, idCol).join(vecs, idCol)
@@ -67,9 +96,9 @@ object Clustering {
   /** Lloyd's k-means: the final (idCol, cluster_id, dist) assignment after
     * `iters` rounds. */
   def kmeans(df: DataFrame, k: Int, iters: Int, vecCol: String = "embedding",
-             idCol: String = "vec_id"): DataFrame =
+             idCol: String = "vec_id", farthestInit: Boolean = false): DataFrame =
     assign(df.select(col(idCol), col(vecCol)),
-      fitCenters(df, k, iters, vecCol, idCol), vecCol, idCol)
+      fitCenters(df, k, iters, vecCol, idCol, farthestInit), vecCol, idCol)
 
   /** Within-cluster sum of squared distances for an assignment — the
     * convergence metric (must be non-increasing over Lloyd's rounds). */

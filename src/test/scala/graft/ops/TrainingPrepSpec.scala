@@ -164,6 +164,27 @@ class ClusteringSpec extends graft.SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("farthest-point init covers planted blobs that lowest-id seeding clumps into one") {
+    import spark.implicits._
+    // 4 tight blobs; ids ordered so the 4 LOWEST ids all sit in blob 0 —
+    // the adversarial case for lowest-id seeding. Deterministic data and
+    // deterministic algorithms make this a fixed comparison.
+    val rnd = new scala.util.Random(3)
+    val blobs = for (b <- 0 until 4; j <- 0 until 25) yield {
+      val v = Array.tabulate(8)(d => (if (d == 2 * b) 10f else 0f) + rnd.nextFloat() * 0.1f)
+      (b * 25L + j, v.toSeq) // ids 0..24 = blob 0, 25..49 = blob 1, ...
+    }
+    val df = blobs.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val naive = Clustering.inertia(Clustering.kmeans(df, k = 4, iters = 1))
+    val far = Clustering.inertia(Clustering.kmeans(df, k = 4, iters = 1, farthestInit = true))
+    // naive seeds (ids 0-3) are all inside blob 0: three blobs sit ~14
+    // units from every center. Farthest-point picks one seed per blob.
+    assert(far < naive / 10, s"farthest $far vs naive $naive")
+    val centers = Clustering.initCentersFarthest(df, 4)
+    assert(centers.count() == 4)
+    assert(centers.select("center_id").distinct().count() == 4)
+  }
+
   test("every vector lands in exactly one cluster from the seed set") {
     val out = Clustering.kmeans(emb, k = 8, iters = 2)
     assert(out.count() == emb.count())
