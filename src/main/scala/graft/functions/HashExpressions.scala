@@ -47,6 +47,110 @@ object HashExpressions {
   def signatureMatchFraction(a: Column, b: Column): Column =
     GraftColumnBridge.column(SigMatchFractionExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Base of the PORTABLE polynomial hash family: small enough that
+    * acc·B + codepoint stays far below 2^63 when acc < P, so any engine's
+    * plain int64 arithmetic reproduces it (cf. `Sampling.portableBucket`). */
+  val B: Long = 131L
+
+  /** Whitespace tokens of `text` (order + multiplicity kept), each hashed
+    * with the portable codepoint-polynomial fold into [0, P). Unlike
+    * xxhash64, ANY SQL engine replays this bit-exactly — the DuckDB oracle
+    * computes it with `list_transform` + `unicode()` over each token. */
+  def portableTokenHashes(text: Column): Column =
+    GraftColumnBridge.column(PortableTokenHashesExpr(GraftColumnBridge.expression(text)))
+
+  /** Order-sensitive polynomial fold of a long array mod P — see
+    * [[PolyFoldHashExpr]]. */
+  def polyFoldHash(hashes: Column): Column =
+    GraftColumnBridge.column(PolyFoldHashExpr(GraftColumnBridge.expression(hashes)))
+}
+
+/** text → portable hash of each whitespace token, in token order WITH
+  * multiplicity (SimHash and rolling fingerprints need both; the shingle
+  * kernel above distinct-sorts instead). Per token: fold its Unicode
+  * codepoints as h = (h·B + cp) mod P, h0 = 0 — pure int64 math that the
+  * DuckDB oracle replays exactly (`unicode(t[i])` = Java `codePointAt`).
+  * CodegenFallback like [[WordShingleHashesExpr]]: per-row boxing is noise
+  * next to the per-element interpretation of the HOF chain it replaces. */
+case class PortableTokenHashesExpr(child: Expression)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_token_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString.trim
+    if (s.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val toks = s.split("\\s+")
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = 0L
+      var ci = 0
+      while (ci < t.length) {
+        val cp = t.codePointAt(ci)
+        h = (h * HashExpressions.B + cp) % HashExpressions.P
+        ci += Character.charCount(cp)
+      }
+      out(i) = h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableTokenHashesExpr =
+    copy(child = newChild)
+}
+
+/** Order-sensitive polynomial fold of an array<long> mod P:
+  * acc = (acc·B + x_i) mod P starting from 0 — the Rabin-Karp rolling
+  * fingerprint over pre-hashed tokens. Inputs must already lie in [0, P)
+  * (the shape [[PortableTokenHashesExpr]] emits) so the product stays
+  * below 2^62. Codegen'd: runs once per row in the fingerprint scan. */
+case class PolyFoldHashExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fold_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      acc = (acc * HashExpressions.B + arr.getLong(i)) % HashExpressions.P
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  $acc = ($acc * ${HashExpressions.B}L + $arr.getLong($i)) % ${HashExpressions.P}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFoldHashExpr =
+    copy(child = newChild)
 }
 
 /** text → distinct hashes of its lowercase word n-gram shingles, one

@@ -113,6 +113,14 @@ object TextFunctions {
     aggregate(tokens(text), lit(1469598103934665603L),
       (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
 
+  /** Engine-PORTABLE rolling hash: the same order-sensitive polynomial
+    * shape as [[rollingHash]], but over portable codepoint-hashed tokens
+    * with all arithmetic mod 2^31-1 — so any SQL engine (the DuckDB
+    * oracle included) reproduces it bit-exactly, where xxhash64 has no
+    * cross-engine twin. Both kernels are compiled Catalyst expressions. */
+  def rollingHashPortable(text: Column): Column =
+    HashExpressions.polyFoldHash(HashExpressions.portableTokenHashes(text))
+
   /** Character n-gram shingles (lowercased, whitespace collapsed) — input to
     * MinHash / Jaccard dedup. */
   def charShingles(text: Column, n: Int): Column = {

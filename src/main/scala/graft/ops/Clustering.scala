@@ -40,7 +40,7 @@ object Clustering {
                           idCol: String = "vec_id"): DataFrame = {
     require(k > 0)
     val vecs = df.select(col(idCol), col(vecCol))
-    var centers = initCenters(vecs, 1, vecCol, idCol).localCheckpoint(eager = true)
+    var centers = Materialize(initCenters(vecs, 1, vecCol, idCol))
     var i = 1
     while (i < k) {
       val next = assign(vecs, centers, vecCol, idCol)
@@ -48,7 +48,7 @@ object Clustering {
         .join(vecs, idCol)
         .select(col(idCol).as("center_id"),
           transform(col(vecCol), _.cast("double")).as("center"))
-      centers = centers.union(next).localCheckpoint(eager = true)
+      centers = Materialize(centers.union(next))
       i += 1
     }
     centers
@@ -80,14 +80,13 @@ object Clustering {
     val vecs = df.select(col(idCol), col(vecCol))
     var centers =
       if (farthestInit) initCentersFarthest(vecs, k, vecCol, idCol)
-      else initCenters(vecs, k, vecCol, idCol).localCheckpoint(eager = true)
+      else Materialize(initCenters(vecs, k, vecCol, idCol))
     var i = 1
     while (i < iters) {
-      centers = assign(vecs, centers, vecCol, idCol).join(vecs, idCol)
+      centers = Materialize(assign(vecs, centers, vecCol, idCol).join(vecs, idCol)
         .groupBy(col("cluster_id"))
         .agg(VectorAggFunctions.vecCentroid(col(vecCol)).as("center"))
-        .select(col("cluster_id").as("center_id"), col("center"))
-        .localCheckpoint(eager = true)
+        .select(col("cluster_id").as("center_id"), col("center")))
       i += 1
     }
     centers

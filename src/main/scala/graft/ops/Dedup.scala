@@ -109,7 +109,7 @@ object Dedup {
     // plan: its shingle table shares the band exchange instead.
     val signed =
       if (verifyExact) signedAll
-      else signedAll.select(col(idCol), col("minhash_sig")).localCheckpoint(eager = true)
+      else Materialize(signedAll.select(col(idCol), col("minhash_sig")))
     // Explicit repartition on the bucket key: the count guard's aggregate
     // and the pair join below then share this ONE exchange (ReusedExchange)
     // instead of each re-running the shingle+signature scan — the expensive
@@ -176,6 +176,17 @@ object Dedup {
     graft.functions.HashExpressions.simHash64(
       transform(TextFunctions.tokens(text), t => xxhash64(t)))
 
+  /** Engine-PORTABLE SimHash: same bit-vote kernel, but over portable
+    * codepoint-polynomial token hashes in [0, 2^31-1) — the top 33 bits of
+    * every token hash are 0, so their votes are all −1 and the fingerprint
+    * lives in the low 31 bits. Any SQL engine replays it exactly (the
+    * DuckDB oracle votes the bits with an unnest + groupBy); use
+    * [[simHash]] when cross-engine auditability isn't needed — 64 bits
+    * spread the Hamming distances twice as wide. */
+  def simHashPortable(text: Column): Column =
+    graft.functions.HashExpressions.simHash64(
+      graft.functions.HashExpressions.portableTokenHashes(text))
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -230,8 +241,8 @@ object Dedup {
     // keyed on the full TEXT — and repDocs feeds three downstream branches
     // (band stage, verify shingles, canonical keep), each of which would
     // otherwise re-run that full-corpus text shuffle.
-    val reps = exactDuplicates(docs, idCol, textCol).select(col("keep_id").as(idCol))
-      .localCheckpoint(eager = true)
+    val reps = Materialize(
+      exactDuplicates(docs, idCol, textCol).select(col("keep_id").as(idCol)))
     val repDocs = docs.join(reps, idCol) // one representative per exact group
     val pairs = minHashDuplicatePairs(repDocs, idCol, textCol, threshold = threshold,
       verifyExact = verifyExact)
@@ -254,10 +265,9 @@ object Dedup {
     // pipeline) — without this each propagation round re-executes that
     // entire upstream plan (measured 105 s vs 25 s at the 100× probe).
     // Edges are output-bound (2× the pair count), tiny next to the corpus.
-    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+    val edges = Materialize(pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
-      .distinct()
-      .localCheckpoint(eager = true)
+      .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
     var iter = 0
@@ -268,7 +278,7 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min("dst_comp").as("nbr_comp"))
       // Convergence detection rides the SAME job that materializes the new
-      // labels (Dataset.observe counted during the eager localCheckpoint) —
+      // labels (Dataset.observe counted during the eager materialization) —
       // the alternative, a separate join-and-count action per round, would
       // double the per-iteration work at scale.
       val obs = new org.apache.spark.sql.Observation()
@@ -278,7 +288,7 @@ object Dedup {
           coalesce(col("nbr_comp") < col("comp"), lit(false)).as("__changed"))
         .observe(obs, sum(when(col("__changed"), 1L).otherwise(0L)).as("n_changed"))
         .drop("__changed")
-      labels = updated.localCheckpoint(eager = true) // truncate the iterative lineage
+      labels = Materialize(updated) // truncate the iterative lineage
       // sum over an empty label set observes null → converged
       converged = obs.get.get("n_changed")
         .flatMap(Option(_)).map(String.valueOf(_).toLong).forall(_ == 0L)
@@ -341,9 +351,9 @@ object Dedup {
     // small by construction exactly when staging matters (duplicates
     // collapsed); on a dup-free corpus it is the corpus, and the
     // checkpoint trades one write for ~7 re-scans — still the right side.
-    val reps = emb.groupBy(col(vecCol)).agg(min(col(idCol)).as(idCol))
-      .select(idCol).localCheckpoint(eager = true)
-    val repEmb = emb.join(reps, Seq(idCol)).localCheckpoint(eager = true)
+    val reps = Materialize(
+      emb.groupBy(col(vecCol)).agg(min(col(idCol)).as(idCol)).select(idCol))
+    val repEmb = Materialize(emb.join(reps, Seq(idCol)))
     val drop = semanticNearDupPairs(repEmb, idCol, vecCol, threshold, nClusters, iters)
       .select(col("id_b").as(idCol)).distinct()
     repEmb.join(drop, Seq(idCol), "left_anti")

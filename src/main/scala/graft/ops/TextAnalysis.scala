@@ -73,6 +73,17 @@ object TextAnalysis {
       TextFunctions.fingerprint(col(textCol)).as("content_xxh64"),
       TextFunctions.rollingHash(col(textCol)).as("rolling_hash"))
 
+  /** Engine-portable twin of [[fingerprints]]: md5 + the codepoint-
+    * polynomial rolling hash, both reproducible bit-exactly by any SQL
+    * engine — the auditable fingerprint set (xxhash64 has no cross-engine
+    * twin, so the variant above is Spark-verifiable only). */
+  def fingerprintsPortable(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(col(textCol)).as("content_md5"),
+      TextFunctions.rollingHashPortable(col(textCol)).as("rolling_hash"))
+
   /** Intra-document repetition metrics in the Gopher/C4 filter family:
     * duplicate word-bigram / 5-gram mass and the fraction of bigram
     * occurrences taken by the single most frequent bigram. The duplicate

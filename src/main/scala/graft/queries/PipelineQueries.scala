@@ -22,6 +22,16 @@ object PipelineQueries {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
 
+  // portable codepoint-polynomial token hash (PortableTokenHashesExpr twin):
+  // fold h = (h*131 + codepoint) mod 2^31-1 over the token's characters
+  private def tokHashSql(tok: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($tok)+1), i -> CAST(unicode($tok[i]) AS BIGINT))), " +
+      "(a, x) -> (a*131 + x) % 2147483647)"
+  // per-document portable token-hash list, in token order with multiplicity
+  private val tokHashListSql =
+    s"list_transform($toksSql, t -> ${tokHashSql("t")})"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T1 transform parity: metadata enrichment (add_source_tracking) ----
     "q_transform_enrich" -> ((s, dir) =>
@@ -39,8 +49,10 @@ object PipelineQueries {
     "q_text_normalize" -> ((s, dir) =>
       Tables(s, dir, "documents").select(col("doc_id"),
         TextFunctions.normalizeText(col("text")).as("norm_text"))),
-    // xxhash64/rolling-hash: Spark-native hashes, no DuckDB twin → rows-only
-    "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprints(Tables(s, dir, "documents"))),
+    // portable fingerprints: md5 + codepoint-polynomial rolling hash, both
+    // bit-exactly replayed by the DuckDB oracle (the xxhash64 variant of
+    // TextAnalysis.fingerprints stays Spark-only, spec-covered)
+    "q_text_rollhash" -> ((s, dir) => TextAnalysis.fingerprintsPortable(Tables(s, dir, "documents"))),
     // portable train/val/test split (exact per-row assignment oracle)
     "q_sample_split" -> ((s, dir) =>
       Sampling.splitPortable(Tables(s, dir, "documents"), "doc_id",
@@ -106,8 +118,11 @@ object PipelineQueries {
         .groupBy("comp").agg(count(lit(1)).as("n_members"))
         .filter(col("n_members") >= 2)
     }),
+    // portable SimHash (31-bit fingerprint from codepoint-hashed tokens):
+    // the oracle re-votes every bit with an unnest + groupBy. The 64-bit
+    // xxhash64 SimHash stays the pairs-path default, spec-covered.
     "q_dedup_simhash" -> ((s, dir) =>
-      Tables(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("fp"))),
+      Tables(s, dir, "documents").select(col("doc_id"), Dedup.simHashPortable(col("text")).as("fp"))),
     // The full staged pipeline (exact-collapse → LSH pairs → connected
     // components → canonical keep) end-to-end on the planted fixture; the
     // oracle replays every stage in SQL (recursive CTE for the clustering)
@@ -277,6 +292,26 @@ object PipelineQueries {
         (s"SELECT doc_id, $langCase AS lang_pred FROM documents"),
       "q_text_fingerprint" ->
         "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+      "q_text_rollhash" ->
+        // same polynomial fold as PolyFoldHashExpr: acc = (acc*131 + h) mod P
+        // over the portable token hashes, 0 for token-less text, NULL for NULL
+        ("SELECT doc_id, md5(text) AS content_md5, " +
+          "CASE WHEN text IS NULL THEN NULL WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+          s"list_reduce(list_prepend(CAST(0 AS BIGINT), $tokHashListSql), " +
+          "(a, x) -> (a*131 + x) % 2147483647) END AS rolling_hash FROM documents"),
+      "q_dedup_simhash" ->
+        // re-vote every fingerprint bit: for bit j, sum ±1 over token hashes
+        // (31 bits cover the whole portable hash range; SimHash64Expr's top
+        // bits are all-(-1) votes = 0). Empty docs vote nothing → fp 0.
+        ("WITH th AS (SELECT doc_id, unnest(" + tokHashListSql + ") AS h " +
+          "FROM documents WHERE length(trim(text)) > 0), " +
+          "b AS (SELECT doc_id, j, sum(CASE WHEN ((h >> CAST(j AS INT)) & 1) = 1 " +
+          "THEN 1 ELSE -1 END) AS s " +
+          "FROM th CROSS JOIN (SELECT unnest(range(0, 31)) AS j) bits GROUP BY doc_id, j), " +
+          "f AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) " +
+          "<< CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS fp FROM b GROUP BY doc_id) " +
+          "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL " +
+          "ELSE coalesce(f.fp, 0) END AS fp FROM documents d LEFT JOIN f USING (doc_id)"),
       "q_text_normalize" ->
         ("SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text), " +
           "'[[:cntrl:]]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text FROM documents"),
