@@ -26,6 +26,12 @@ object VectorExpressions {
   def int8Quantize(a: Column): Column =
     GraftColumnBridge.column(Int8QuantizeExpr(GraftColumnBridge.expression(a)))
 
+  /** struct(cluster_id, dist) of the nearest center — see
+    * [[NearestCenterExpr]]. `centerIds`/`centers` must be sorted by id. */
+  def nearestCenter(v: Column, centerIds: Array[Long], centers: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      NearestCenterExpr(GraftColumnBridge.expression(v), centerIds, centers))
+
   private def make(a: Column, b: Column, op: Int): Column =
     GraftColumnBridge.column(VectorKernel(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), op))
@@ -192,6 +198,99 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
     })
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
+/** Fused nearest-center argmin: score the vector against EVERY center of a
+  * driver-collected codebook inside one compiled loop, returning
+  * struct(cluster_id, dist). This replaces the crossJoin(broadcast(centers))
+  * → min(struct(dist, id)) formulation of k-means assignment: that plan
+  * inflates n×k rows and shuffles n of them through a groupBy; this one is
+  * a PURE MAP — no join, no shuffle, no row inflation — with the centers as
+  * a codegen reference object (k·dim doubles, the same bounded-collect
+  * shape as the IVF cell literals).
+  *
+  * Semantics are bit-identical to the shuffle form: dist = the
+  * [[VectorKernel]] L2 math (left-to-right double accumulation over
+  * min(len) elements, then sqrt), ties break to the LOWEST center id
+  * because centers arrive sorted by id and only a strictly smaller squared
+  * distance replaces the incumbent (sqrt preserves equality/order on
+  * non-negatives, so comparing the accumulator is exact).
+  */
+case class NearestCenterExpr(child: Expression, centerIds: Array[Long],
+                             centers: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centerIds.nonEmpty && centerIds.length == centers.length,
+    "nearest_center needs a non-empty id-aligned center set")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster_id", LongType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def prettyName: String = "nearest_center"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestAcc = Double.PositiveInfinity
+    var j = 0
+    while (j < centers.length) {
+      val c = centers(j)
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) - c(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestAcc) { bestAcc = acc; best = j }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](centerIds(best), math.sqrt(bestAcc)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val idsRef = ctx.addReferenceObj("centerIds", centerIds, "long[]")
+      val csRef = ctx.addReferenceObj("centers", centers, "double[][]")
+      val best = ctx.freshName("best")
+      val bestAcc = ctx.freshName("bestAcc")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $best = 0;
+         |double $bestAcc = Double.POSITIVE_INFINITY;
+         |for (int $j = 0; $j < ${centers.length}; $j++) {
+         |  double[] $c = $csRef[$j];
+         |  int $n = Math.min($v.numElements(), $c.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $get - $c[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestAcc) { $bestAcc = $acc; $best = $j; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ $idsRef[$best], Math.sqrt($bestAcc) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCenterExpr =
     copy(child = newChild)
 }
 

@@ -9,12 +9,13 @@ import graft.functions.{VectorAggFunctions, VectorExpressions}
   * dedup. Reference scope stops at store-to-store migration; this serves
   * the index-building side of the stores it migrates (IVF cell lists).
   *
-  * Scale shape per iteration: one broadcast of k centers (k·dim doubles),
-  * one n×k broadcast-join scored with the codegen'd l2 kernel, one
-  * map-side-combined argmin (min over a (dist, center) struct — no window,
-  * no sort), one vecCentroid aggregate (a single dim-length buffer per
-  * cluster through the shuffle). Nothing driver-side; centers stay a
-  * DataFrame, eagerly checkpointed per round so lineage stays flat.
+  * Scale shape per iteration: the k centers (k·dim doubles — bounded,
+  * driver-collected like the IVF seeds) ride into a single codegen'd
+  * argmin expression, so assignment is ONE corpus scan with no join, no
+  * row inflation, and no shuffle; the centroid update is one vecCentroid
+  * aggregate (a single dim-length buffer per cluster through the shuffle).
+  * Centers stay a DataFrame between rounds, eagerly checkpointed so
+  * lineage stays flat.
   */
 object Clustering {
 
@@ -54,11 +55,47 @@ object Clustering {
     centers
   }
 
-  /** Assign each vector to its nearest center (l2; ties break to the
-    * lowest center_id via the struct ordering — deterministic under any
-    * partitioning). Output: idCol, cluster_id, dist. */
+  /** Collect a (bounded — k rows, the centers are BY CONSTRUCTION few) center
+    * set into id-sorted arrays for the fused argmin kernel. The only
+    * driver materialization in the k-means path, same shape as the IVF
+    * seed collect (`Similarity.ivfTopK`). */
+  private def collectCenters(centers: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = centers
+      .select(col("center_id").cast("long"),
+        transform(col("center"), _.cast("double")))
+      .orderBy("center_id").collect()
+    require(rows.nonEmpty, "empty center set")
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Assign each vector to its nearest center (l2; ties break to the lowest
+    * center_id — deterministic under any partitioning). Output: idCol,
+    * cluster_id, dist.
+    *
+    * A PURE MAP: the centers (k rows) are collected once and scored inside
+    * one codegen'd expression ([[VectorExpressions.nearestCenter]]) — no
+    * crossJoin row inflation, no argmin shuffle. The earlier
+    * crossJoin(broadcast) → min(struct) formulation ([[assignViaShuffle]])
+    * pushed n×k rows through a partial aggregate; map-side combine kept the
+    * shuffle small, but the inflation itself was pure waste — at 100 TB the
+    * assign pass is now exactly one corpus scan. */
   def assign(df: DataFrame, centers: DataFrame, vecCol: String = "embedding",
-             idCol: String = "vec_id"): DataFrame =
+             idCol: String = "vec_id"): DataFrame = {
+    val (ids, cs) = collectCenters(centers)
+    df.select(col(idCol),
+        VectorExpressions.nearestCenter(col(vecCol), ids, cs).as("best"))
+      .select(col(idCol), col("best.cluster_id").as("cluster_id"),
+        col("best.dist").as("dist"))
+  }
+
+  /** The pre-round-5 assignment plan, kept as the parity witness for the
+    * fused kernel (and for the hypothetical regime where the center set is
+    * too large to collect): crossJoin against broadcast centers, argmin via
+    * min over a (dist, center_id) struct. Bit-identical output to
+    * [[assign]]. */
+  private[graft] def assignViaShuffle(df: DataFrame, centers: DataFrame,
+                                      vecCol: String = "embedding",
+                                      idCol: String = "vec_id"): DataFrame =
     df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centers))
       .select(col(idCol), col(vecCol),
