@@ -64,6 +64,113 @@ object HashExpressions {
     * [[PolyFoldHashExpr]]. */
   def polyFoldHash(hashes: Column): Column =
     GraftColumnBridge.column(PolyFoldHashExpr(GraftColumnBridge.expression(hashes)))
+
+  /** One-permutation MinHash with rotation densification — see
+    * [[OnePermMinHashExpr]]. */
+  def onePermMinHash(shingleHashes: Column, k: Int, a: Long, b: Long): Column =
+    GraftColumnBridge.column(
+      OnePermMinHashExpr(GraftColumnBridge.expression(shingleHashes), k, a, b))
+}
+
+/** One-permutation MinHash (Li, Owen & Zhang 2012) with rotation
+  * densification (Shrivastava & Li 2014): ONE universal hash
+  * v = (a·x + b) mod P per shingle instead of k, binned into k equal
+  * ranges of [0, P) with the per-bin minimum kept; an empty bin borrows
+  * the value of the nearest non-empty bin to its circular right, offset
+  * by distance·P so different borrow distances can never alias a real
+  * (< P) value. P(sig_a[j] = sig_b[j]) ≈ J(A,B) per component exactly as
+  * for k independent hashes, so the LSH banding and the match-fraction
+  * estimator downstream are unchanged — but the per-shingle inner loop
+  * drops from k multiply-mods to ONE. At 100 TB the signature pass is a
+  * full-corpus scan, so this is the production signature kernel; the
+  * k-hash form ([[MinHashSignatureExpr]]) stays the audit baseline.
+  *
+  * Empty input → all Long.MaxValue, matching [[MinHashSignatureExpr]]
+  * (two empty docs collide in every band and are discarded by the exact
+  * verify, identically in both modes).
+  */
+case class OnePermMinHashExpr(child: Expression, k: Int, a: Long, b: Long)
+  extends UnaryExpression {
+
+  require(k > 0 && k <= 4096, "bin count must be in (0, 4096]")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "one_perm_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var filled = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      val v = (a * arr.getLong(i) + b) % HashExpressions.P
+      val bin = ((v * k) / HashExpressions.P).toInt
+      if (v < sig(bin)) {
+        if (sig(bin) == Long.MaxValue) filled += 1
+        sig(bin) = v
+      }
+      i += 1
+    }
+    if (filled > 0 && filled < k) {
+      val orig = sig.clone()
+      var j = 0
+      while (j < k) {
+        if (orig(j) == Long.MaxValue) {
+          var d = 1
+          while (orig((j + d) % k) == Long.MaxValue) d += 1
+          sig(j) = orig((j + d) % k) + d.toLong * HashExpressions.P
+        }
+        j += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sig = ctx.freshName("sig")
+      val orig = ctx.freshName("orig")
+      val filled = ctx.freshName("filled")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val v = ctx.freshName("v")
+      val bin = ctx.freshName("bin")
+      val pLit = s"${HashExpressions.P}L"
+      s"""
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |int $filled = 0;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  long $v = (${a}L * $arr.getLong($i) + ${b}L) % $pLit;
+         |  int $bin = (int) (($v * $k) / $pLit);
+         |  if ($v < $sig[$bin]) {
+         |    if ($sig[$bin] == Long.MAX_VALUE) $filled++;
+         |    $sig[$bin] = $v;
+         |  }
+         |}
+         |if ($filled > 0 && $filled < $k) {
+         |  long[] $orig = (long[]) $sig.clone();
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    if ($orig[$j] == Long.MAX_VALUE) {
+         |      int $d = 1;
+         |      while ($orig[($j + $d) % $k] == Long.MAX_VALUE) $d++;
+         |      $sig[$j] = $orig[($j + $d) % $k] + ((long) $d) * $pLit;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OnePermMinHashExpr =
+    copy(child = newChild)
 }
 
 /** text → portable hash of each whitespace token, in token order WITH
@@ -205,8 +312,9 @@ case class WordShingleHashesExpr(child: Expression, n: Int)
 }
 
 /** sig[j] = min over shingle hashes x of (as(j)·x + bs(j)) mod P.
-  * One pass over the shingles, k registers — the classic one-permutation
-  * alternative is future work; this matches the standard k-hash MinHash. */
+  * One pass over the shingles, k registers — the standard k-hash MinHash,
+  * kept as the audit baseline; [[OnePermMinHashExpr]] is the one-pass
+  * production kernel (k× cheaper inner loop, same banding semantics). */
 case class MinHashSignatureExpr(child: Expression, as: Array[Long], bs: Array[Long])
   extends UnaryExpression {
 

@@ -61,6 +61,21 @@ object Dedup {
         hashes, params.map(_._1).toArray, params.map(_._2).toArray))
   }
 
+  /** One-permutation MinHash signature: same column name and banding
+    * semantics as [[withMinHashSignature]], but ONE universal hash per
+    * shingle binned into `numHashes` ranges (rotation-densified —
+    * [[graft.functions.OnePermMinHashExpr]]). The signature pass is the
+    * full-corpus scan of the dedup pipeline, so cutting its inner loop
+    * from `numHashes` multiply-mods to one is the production default at
+    * scale; k-hash stays the audit baseline. */
+  def withOnePermSignature(docs: DataFrame, textCol: String = "text",
+                           numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val hashes = graft.functions.HashExpressions.wordShingleHashes(col(textCol), shingleSize)
+    val (a, b) = hashParams(1).head
+    docs.withColumn("minhash_sig",
+      graft.functions.HashExpressions.onePermMinHash(hashes, numHashes, a, b))
+  }
+
   /** LSH banding: explode each signature into `numBands` (band, bandHash)
     * keys; docs sharing a key are candidate near-duplicates. */
   def lshBands(signed: DataFrame, idCol: String = "doc_id",
@@ -87,19 +102,25 @@ object Dedup {
     *                    instead — E[match] = J, so no shingle table is
     *                    ever joined and the per-pair payload is the fixed
     *                    `numHashes` longs, not variable shingle arrays.
+    * @param onePerm     use the one-permutation signature kernel
+    *                    ([[withOnePermSignature]]): one hash per shingle
+    *                    instead of `numHashes` — same banding semantics,
+    *                    the scale default for the signature pass.
     */
   def minHashDuplicatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                             numHashes: Int = 64, numBands: Int = 16, shingleSize: Int = 3,
                             threshold: Double = 0.5, maxBucket: Int = 1000,
-                            verifyExact: Boolean = true): DataFrame = {
+                            verifyExact: Boolean = true, onePerm: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / numBands
     // Explicit id-not-null upfront (a null id could never appear in the
     // pair output anyway): the self-join below INFERS isnotnull on its
     // branches while the count-guard branch would not, and that one-filter
     // difference breaks plan canonicalization — with it aligned, all four
     // consumers of the banded relation reuse ONE shuffle stage.
-    val signedAll = withMinHashSignature(
-      docs.filter(col(idCol).isNotNull), textCol, numHashes, shingleSize)
+    val notNull = docs.filter(col(idCol).isNotNull)
+    val signedAll =
+      if (onePerm) withOnePermSignature(notNull, textCol, numHashes, shingleSize)
+      else withMinHashSignature(notNull, textCol, numHashes, shingleSize)
     // Estimate mode: the signature join below shuffles by ID while bands
     // shuffle by bucket key — no exchange to share, so without
     // materialization the corpus text would be scanned+shingled+signed

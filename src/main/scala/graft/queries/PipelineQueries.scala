@@ -109,6 +109,13 @@ object PipelineQueries {
     "q_dedup_minhash_planted" -> ((s, dir) =>
       Dedup.minHashDuplicatePairs(Tables(s, dir, "documents").filter(col("doc_id") < 200),
         threshold = 0.8).select("id_a", "id_b")),
+    // Same planted fixture through the ONE-PERMUTATION signature kernel
+    // (one hash/shingle + rotation densification): banded recall must
+    // reproduce the identical exact-Jaccard ground truth — the oracle is
+    // the same exhaustive pair enumeration as q_dedup_minhash_planted.
+    "q_dedup_minhash_oph" -> ((s, dir) =>
+      Dedup.minHashDuplicatePairs(Tables(s, dir, "documents").filter(col("doc_id") < 200),
+        threshold = 0.8, onePerm = true).select("id_a", "id_b")),
     // pair list → dedup clusters (connected components) on the same planted
     // fixture; the oracle walks the identical pair set with a recursive CTE
     "q_dedup_clusters" -> ((s, dir) => {
@@ -426,6 +433,8 @@ object PipelineQueries {
       "q_ann_ivf" -> annExactSql,
       "q_ann_lsh" -> annExactSql,
       "q_dedup_minhash_planted" ->
+        (s"WITH $plantedPairCtes SELECT id_a, id_b FROM p WHERE j >= 0.8"),
+      "q_dedup_minhash_oph" ->
         (s"WITH $plantedPairCtes SELECT id_a, id_b FROM p WHERE j >= 0.8"),
       // full staged pipeline replayed in SQL: exact-collapse to
       // representatives, exact-Jaccard pairs among them, recursive-CTE

@@ -56,3 +56,85 @@ class FusedAssignSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
   }
 }
+
+/** One-permutation MinHash: one universal hash per shingle binned into k
+  * ranges with rotation densification — must keep the per-component
+  * collision property (P[match] ≈ J) that LSH banding and the
+  * match-fraction estimator rely on, and must recover the exact same
+  * verified pair set as the k-hash audit kernel on the planted fixture. */
+class OnePermMinHashSpec extends SparkSpec {
+  import graft.ops.Dedup
+  import org.apache.spark.sql.functions._
+
+  private def docs = Tables(spark, sf(), "documents")
+
+  test("identical texts get identical signatures; empty text all-MaxValue") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "the quick brown fox jumps over the lazy dog end"),
+      (3L, "")).toDF("doc_id", "text")
+    val sigs = Dedup.withOnePermSignature(df).select("doc_id", "minhash_sig")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).length == 64)
+    assert(sigs(3L).forall(_ == Long.MaxValue))
+  }
+
+  test("densification fills every bin deterministically from sparse input") {
+    import spark.implicits._
+    // 2 tokens → 0 3-gram shingles... use a 5-token doc: 3 shingles, so
+    // ≤3 of 64 bins are filled natively; the rest must densify, values
+    // offset by multiples of P so they can never alias a real hash
+    val df = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val sig = Dedup.withOnePermSignature(df).select("minhash_sig")
+      .as[Seq[Long]].head()
+    val P = 2147483647L
+    assert(sig.forall(_ != Long.MaxValue))
+    val native = sig.filter(_ < P)
+    assert(native.nonEmpty && native.size <= 3)
+    // every densified value decomposes as (borrow distance)·P + a native value
+    sig.filter(_ >= P).foreach { v => assert(native.contains(v % P), s"bad densified $v") }
+  }
+
+  test("signature match fraction estimates Jaccard (planted fixture)") {
+    // planted near-dups (exact J >= 0.8): the OPH match fraction must
+    // land near J on average — the property banding depends on
+    val planted = docs.filter(col("doc_id") < 200)
+    val sigs = Dedup.withOnePermSignature(planted).select(col("doc_id"), col("minhash_sig"))
+    val exact = Dedup.minHashDuplicatePairs(planted, threshold = 0.8) // exact-verified J
+    val est = exact
+      .join(sigs.select(col("doc_id").as("id_a"), col("minhash_sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("minhash_sig").as("sig_b")), "id_b")
+      .select(col("jaccard"),
+        graft.functions.HashExpressions.signatureMatchFraction(col("sig_a"), col("sig_b")).as("est"))
+      .collect()
+    assert(est.nonEmpty)
+    val meanAbsErr = est.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / est.length
+    assert(meanAbsErr < 0.15, s"mean |J - est| = $meanAbsErr")
+  }
+
+  test("OPH pipeline reproduces the k-hash verified pair set (planted fixture)") {
+    val planted = docs.filter(col("doc_id") < 200)
+    def pairSet(onePerm: Boolean) =
+      Dedup.minHashDuplicatePairs(planted, threshold = 0.8, onePerm = onePerm)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val khash = pairSet(onePerm = false)
+    val oph = pairSet(onePerm = true)
+    assert(khash.nonEmpty)
+    assert(oph == khash, s"OPH ${oph.size} pairs vs k-hash ${khash.size}")
+  }
+
+  test("OnePermMinHashExpr generated code compiles (no interpreted fallback)") {
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val sigs = Dedup.withOnePermSignature(docs)
+        .select("minhash_sig").limit(5).collect()
+      assert(sigs.nonEmpty && sigs.forall(_.getSeq[Long](0).length == 64))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
