@@ -96,7 +96,32 @@ object VectorQueries {
         .agg(graft.functions.VectorAggFunctions.vecCentroid(col("embedding")).as("c"))
         .select(col("label"), posexplode(col("c")).as(Seq("pos", "cv")))
         .select(col("label"), (col("pos") + 1).as("pos"),
-          round(col("cv"), 6).as("centroid_v")))
+          round(col("cv"), 6).as("centroid_v"))),
+
+    // product quantization, encode side: m=2 subspaces × ksub=4 codewords
+    // trained at iters=1 (deterministic lowest-id seeds — the codebooks are
+    // the subvector slices of vec_id < 4, which the oracle replays in SQL
+    // exactly like the q_kmeans gates). Codes + the l2 reconstruction
+    // error, all from ONE fused kernel pass.
+    "q_vec_pq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cb = graft.ops.Quantization.pqTrain(e, m = 2, ksub = 4, iters = 1)
+      e.select(col("vec_id"),
+          graft.ops.Quantization.pqEncode(col("embedding"), cb).as("pq"))
+        .select(col("vec_id"),
+          element_at(col("pq.codes"), 1).as("code_0"),
+          element_at(col("pq.codes"), 2).as("code_1"),
+          round(col("pq.recon_err"), 6).as("pq_err"))
+    }),
+
+    // product quantization, search side: asymmetric-distance top-3 per
+    // query over the SAME iters=1 codebooks — every stage (encode, per-query
+    // distance tables, ADC ranking) is replayed by the oracle in SQL.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.ops.Quantization.pqTopK(e, e.filter(col("vec_id") < 5), k = 3,
+        m = 2, ksub = 4, iters = 1)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -168,6 +193,49 @@ object VectorQueries {
       ("SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS centroid_v FROM " +
         "(SELECT label, generate_subscripts(embedding, 1) AS pos, " +
         "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) " +
-        "GROUP BY label, pos")
+        "GROUP BY label, pos"),
+    "q_vec_pq" ->
+      (s"WITH $pqCodeCtes " +
+        "SELECT a0.vec_id, CAST(a0.code AS INT) AS code_0, CAST(a1.code AS INT) AS code_1, " +
+        "round(sqrt(a0.d + a1.d), 6) AS pq_err " +
+        "FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id"),
+    "q_ann_pq" ->
+      (s"WITH $pqCodeCtes, " +
+        // candidate → its two codeword VECTORS (the PQ reconstruction)
+        "cva AS (SELECT a0.vec_id AS cand_id, cb0.c0 AS w0, cb1.c1 AS w1 " +
+        "FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id " +
+        "JOIN cb cb0 ON cb0.code = a0.code JOIN cb cb1 ON cb1.code = a1.code), " +
+        "q AS (SELECT vec_id AS query_id, s0 AS q0, s1 AS q1 FROM sub WHERE vec_id < 5), " +
+        // ADC distance: l2²(query subvector, candidate codeword), summed
+        s"sc AS (SELECT q.query_id, cva.cand_id, " +
+        s"round(sqrt(${l2sqSql("q.q0", "cva.w0")} + ${l2sqSql("q.q1", "cva.w1")}), 6) AS dist " +
+        "FROM q CROSS JOIN cva WHERE cand_id <> query_id) " +
+        "SELECT query_id, cand_id, dist, CAST(rn AS INT) AS rk FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rn " +
+        "FROM sc) WHERE rn <= 3")
   )
+
+  /** l2² of two DuckDB double lists, same left-to-right accumulation as the
+    * Spark kernels. */
+  private def l2sqSql(a: String, b: String): String =
+    s"list_dot_product(list_transform(range(len($a)), i -> $a[i+1]-$b[i+1]), " +
+      s"list_transform(range(len($a)), i -> $a[i+1]-$b[i+1]))"
+
+  /** Shared PQ replay CTEs (m=2, ksub=4, iters=1): split each vector into
+    * two halves, codebook = the halves of the 4 lowest-id vectors (code =
+    * vec_id — exactly Clustering.initCenters' seed order), and a0/a1 = each
+    * vector's argmin codeword per subspace (ties to the lowest code, like
+    * PqEncodeExpr). */
+  private def pqCodeCtes: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+      "sub AS (SELECT vec_id, v[1:len(v)//2] AS s0, v[len(v)//2+1:len(v)] AS s1 FROM e), " +
+      "cb AS (SELECT vec_id AS code, s0 AS c0, s1 AS c1 FROM sub WHERE vec_id < 4), " +
+      s"d0 AS (SELECT sub.vec_id, cb.code, ${l2sqSql("sub.s0", "cb.c0")} AS d " +
+      "FROM sub CROSS JOIN cb), " +
+      "a0 AS (SELECT vec_id, code, d FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY d, code) AS rn FROM d0) WHERE rn = 1), " +
+      s"d1 AS (SELECT sub.vec_id, cb.code, ${l2sqSql("sub.s1", "cb.c1")} AS d " +
+      "FROM sub CROSS JOIN cb), " +
+      "a1 AS (SELECT vec_id, code, d FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY d, code) AS rn FROM d1) WHERE rn = 1)"
 }
