@@ -34,9 +34,9 @@ object Clustering {
     * and spreads seeds across the data's extent where lowest-id seeding
     * can clump. Cost: k-1 assign passes over the corpus (each one
     * broadcast-scored, no shuffle beyond the 1-row TakeOrdered), the
-    * known price of this init; at extreme k use k-means|| oversampling
-    * instead. The per-round 1-row limit is the same bounded pattern as
-    * the IVF seed collect. */
+    * known price of this init; at large k use [[initCentersParallel]]
+    * (k-means|| — O(rounds) passes). The per-round 1-row limit is the
+    * same bounded pattern as the IVF seed collect. */
   def initCentersFarthest(df: DataFrame, k: Int, vecCol: String = "embedding",
                           idCol: String = "vec_id"): DataFrame = {
     require(k > 0)
@@ -53,6 +53,121 @@ object Clustering {
       i += 1
     }
     centers
+  }
+
+  /** k-means|| oversampling init (Bahmani, Moseley, Vattani, Kumar &
+    * Vassilvitskii 2012): the scale replacement for
+    * [[initCentersFarthest]]'s k−1 sequential passes. Each of `rounds`
+    * passes samples every point INDEPENDENTLY with probability
+    * min(1, oversample·d²(x)/cost) — one distributed assign + one agg per
+    * round, so the pass count is O(rounds), not O(k). The oversampled
+    * candidate set (~1 + rounds·oversample points) is then weighted by
+    * coverage (how many corpus points each candidate is nearest to) and
+    * reduced to k on the driver with a deterministic weighted
+    * farthest-point sweep — the candidate set is BY CONSTRUCTION small, so
+    * the driver step is bounded exactly like the codebook collects.
+    *
+    * Deterministic: the per-point coin is xxhash64(id, round) mapped into
+    * [0, 1) — no RNG state, identical on any partitioning. If sampling
+    * leaves fewer than k candidates (tiny inputs), the lowest-id vectors
+    * not already sampled fill the gap. */
+  def initCentersParallel(df: DataFrame, k: Int, rounds: Int = 3, oversample: Int = -1,
+                          vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k > 0 && rounds > 0)
+    val l = if (oversample > 0) oversample else 2 * k
+    val spark = df.sparkSession
+    val vecs = df.select(col(idCol), col(vecCol))
+    val P = 2147483647L // the MinHash Mersenne prime doubles as the coin modulus
+    var cands = Materialize(initCenters(vecs, 1, vecCol, idCol))
+    var r = 0
+    while (r < rounds) {
+      val assigned = assign(vecs, cands, vecCol, idCol)
+      val cost = assigned.agg(sum(col("dist") * col("dist"))).head().getDouble(0)
+      if (cost > 0) {
+        val coin = pmod(xxhash64(col(idCol), lit(r)), lit(P)).cast("double") / lit(P.toDouble)
+        val picked = assigned
+          .filter(col("dist") * col("dist") * lit(l.toDouble) / lit(cost) > coin)
+          .select(col(idCol))
+        val next = vecs.join(picked, idCol)
+          .select(col(idCol).as("center_id"),
+            transform(col(vecCol), _.cast("double")).as("center"))
+        cands = Materialize(cands.union(next).dropDuplicates("center_id"))
+      }
+      r += 1
+    }
+    // coverage weights: one more assign pass, counts per candidate
+    val weights = assign(vecs, cands, vecCol, idCol)
+      .groupBy(col("cluster_id").as("center_id")).agg(count(lit(1)).as("w"))
+    val weighted = cands.join(weights, Seq("center_id"), "left_outer")
+      .select(col("center_id").cast("long"),
+        transform(col("center"), _.cast("double")), coalesce(col("w"), lit(0L)))
+      .collect()
+      .map(row => (row.getLong(0), row.getSeq[Double](1).toArray, row.getLong(2)))
+    val chosen = reduceWeighted(weighted, k)
+    // fill from lowest ids if sampling under-shot k (tiny inputs only)
+    val base = spark.createDataFrame(
+      spark.sparkContext.parallelize(chosen.toIndexedSeq.map(c =>
+        org.apache.spark.sql.Row(c._1, c._2.toSeq)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("center_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("center",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
+    if (chosen.length >= k) Materialize(base)
+    else {
+      val fill = initCenters(vecs, k, vecCol, idCol)
+        .join(base.select(col("center_id")), Seq("center_id"), "left_anti")
+        .limit(k - chosen.length)
+      Materialize(base.union(fill))
+    }
+  }
+
+  /** Deterministic weighted farthest-point reduction of an oversampled
+    * candidate set: start from the heaviest candidate (ties → lowest id),
+    * then greedily add the candidate maximizing weight·d²(c, nearest
+    * chosen) (ties → lowest id). Pure driver code over the SMALL candidate
+    * array — the k-means|| paper's final clustering step, done greedily
+    * for determinism. */
+  private def reduceWeighted(cands: Array[(Long, Array[Double], Long)],
+                             k: Int): Array[(Long, Array[Double])] = {
+    if (cands.isEmpty) return Array.empty
+    val sorted = cands.sortBy(_._1)
+    val n = sorted.length
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var first = 0
+    var i = 1
+    while (i < n) { if (sorted(i)._3 > sorted(first)._3) first = i; i += 1 }
+    chosen += first
+    val minD2 = Array.tabulate(n)(j => d2(sorted(j)._2, sorted(first)._2))
+    while (chosen.length < math.min(k, n)) {
+      var best = -1
+      var bestScore = -1.0
+      var j = 0
+      while (j < n) {
+        if (!chosen.contains(j)) {
+          val score = sorted(j)._3.toDouble * minD2(j)
+          if (score > bestScore) { bestScore = score; best = j }
+        }
+        j += 1
+      }
+      chosen += best
+      var t = 0
+      while (t < n) {
+        val d = d2(sorted(t)._2, sorted(best)._2)
+        if (d < minD2(t)) minD2(t) = d
+        t += 1
+      }
+    }
+    chosen.map(j => (sorted(j)._1, sorted(j)._2)).toArray
+  }
+
+  private def d2(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
   }
 
   /** Collect a (bounded — k rows, the centers are BY CONSTRUCTION few) center
@@ -113,11 +228,21 @@ object Clustering {
     * round so lineage stays flat; nothing driver-side. */
   def fitCenters(df: DataFrame, k: Int, iters: Int, vecCol: String = "embedding",
                  idCol: String = "vec_id", farthestInit: Boolean = false): DataFrame = {
-    require(k > 0 && iters > 0)
+    require(k > 0)
     val vecs = df.select(col(idCol), col(vecCol))
-    var centers =
+    val init =
       if (farthestInit) initCentersFarthest(vecs, k, vecCol, idCol)
       else Materialize(initCenters(vecs, k, vecCol, idCol))
+    fitCentersFrom(vecs, init, iters, vecCol, idCol)
+  }
+
+  /** Lloyd's rounds from a caller-provided seed set (e.g.
+    * [[initCentersParallel]] for large k). `iters = 1` returns the seeds. */
+  def fitCentersFrom(df: DataFrame, init: DataFrame, iters: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(iters > 0)
+    val vecs = df.select(col(idCol), col(vecCol))
+    var centers = init
     var i = 1
     while (i < iters) {
       centers = Materialize(assign(vecs, centers, vecCol, idCol).join(vecs, idCol)

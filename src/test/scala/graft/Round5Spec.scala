@@ -233,3 +233,42 @@ class PqSpec extends SparkSpec {
     }
   }
 }
+
+/** k-means|| oversampling init: O(rounds) distributed passes instead of
+  * farthest-point's k−1, deterministic end to end (hash coins + greedy
+  * weighted reduction). */
+class KMeansParallelSpec extends SparkSpec {
+  import graft.ops.Clustering
+  import org.apache.spark.sql.functions._
+
+  private def emb = Tables(spark, sf(), "embeddings")
+
+  test("returns exactly k distinct centers, deterministically") {
+    val k = 64
+    def ids() = Clustering.initCentersParallel(emb, k, rounds = 3)
+      .select("center_id").collect().map(_.getLong(0)).sorted.toSeq
+    val a = ids()
+    assert(a.length == k && a.distinct.length == k)
+    assert(a == ids(), "two runs disagreed")
+  }
+
+  test("seeds at least match lowest-id init quality at k=64") {
+    val k = 64
+    def inertiaOf(init: org.apache.spark.sql.DataFrame): Double = {
+      val centers = Clustering.fitCentersFrom(emb, init, iters = 2)
+      Clustering.inertia(Clustering.assign(emb, centers))
+    }
+    val parallel = inertiaOf(Clustering.initCentersParallel(emb, k, rounds = 3))
+    val lowestId = inertiaOf(Clustering.initCenters(emb, k))
+    assert(parallel <= lowestId * 1.02,
+      s"k-means|| inertia $parallel vs lowest-id $lowestId")
+  }
+
+  test("under-sampled tiny input is filled from lowest ids") {
+    import spark.implicits._
+    val tiny = (0L until 6L).map(i => (i, Seq.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
+    val centers = Clustering.initCentersParallel(tiny, k = 5, rounds = 1, oversample = 1)
+    assert(centers.count() == 5)
+    assert(centers.select("center_id").collect().map(_.getLong(0)).distinct.length == 5)
+  }
+}
