@@ -272,3 +272,81 @@ class KMeansParallelSpec extends SparkSpec {
     assert(centers.select("center_id").collect().map(_.getLong(0)).distinct.length == 5)
   }
 }
+
+/** The pipeline ops surfaced as loadable CLI transforms
+  * (`--transform graft.examples.X`), the reference's product face. */
+class PipelineTransformsSpec extends SparkSpec {
+  import graft.model.Canonical
+  import org.apache.spark.sql.functions._
+  import java.nio.file.Files
+  import graft.connectors.MemoryStore
+
+  test("QuantizeVectors dequantizes in place and stamps scale metadata") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, -0.5f, 0.25f), Map("k" -> "1")),
+      ("b", null.asInstanceOf[Seq[Float]], Map("k" -> "2")))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    val out = new graft.examples.QuantizeVectors()(df)
+      .select(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+      .as[(String, Seq[Float], Map[String, String])].collect().map(r => r._1 -> r).toMap
+    val (_, va, ma) = out("a")
+    assert(ma.contains("q_scale") && ma.contains("q_max_err") && ma("k") == "1")
+    // reconstruction error bounded by scale/2 per component
+    val scale = ma("q_scale").toDouble
+    Seq(1.0f, -0.5f, 0.25f).zip(va).foreach { case (x, r) =>
+      assert(math.abs(x - r) <= scale / 2 + 1e-6, s"$x vs $r")
+    }
+    val (_, vb, mb) = out("b")
+    assert(vb == null && mb("k") == "2") // no vector → untouched
+  }
+
+  test("AssignSplit stamps a deterministic ~90/5/5 split into metadata") {
+    val canon = Canonical.from(Tables(spark, sf(), "embeddings"),
+      idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Seq("label"))
+    def splits() = new graft.examples.AssignSplit()(canon)
+      .select(element_at(col(Canonical.METADATA), "split").as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = splits()
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    assert(counts("train") > 400 && counts("val") < 60 && counts("test") < 60, counts.toString)
+    assert(splits() == counts, "split moved between runs")
+  }
+
+  test("BalanceSources equalizes a skewed source mix, keeps the smallest whole") {
+    import spark.implicits._
+    val rows = (0 until 30).map(i => (s"a$i", Seq(1.0f), Map("source" -> "big"))) ++
+      (0 until 10).map(i => (s"b$i", Seq(1.0f), Map("source" -> "small"))) ++
+      Seq(("x", Seq(1.0f), Map.empty[String, String])) // no source → dropped
+    val df = rows.toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    def counts() = new graft.examples.BalanceSources()(df)
+      .select(element_at(col(Canonical.METADATA), "source").as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = counts()
+    assert(c("small") == 10, c.toString)       // binding stratum kept whole
+    assert(c("big") < 30 && c("big") > 2, c.toString) // downsampled toward 10
+    assert(!c.contains(null), c.toString)
+    assert(counts() == c, "balance moved between runs")
+  }
+
+  test("--transform loads the pipeline transforms end to end") {
+    for ((cls, check) <- Seq(
+      "graft.examples.QuantizeVectors" ->
+        ((m: Map[String, String]) => m.contains("q_scale")),
+      "graft.examples.AssignSplit" ->
+        ((m: Map[String, String]) => Set("train", "val", "test").contains(m("split"))))) {
+      MemoryStore.drop("cli_pt")
+      val cfg = Files.createTempFile("graft", ".json")
+      Files.writeString(cfg,
+        s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+           |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+           |                      "vector_column": "embedding", "limit": 12}},
+           | "target": {"type": "memory", "connection": {},
+           |            "load": {"collection": "cli_pt", "recreate": true}}}""".stripMargin)
+      assert(graft.cli.Main.run(Array("--config", cfg.toString, "--transform", cls)) == 0)
+      val stored = MemoryStore.get("cli_pt").get._1
+      assert(stored.length == 12, cls)
+      assert(stored.forall(r => check(r.getAs[Map[String, String]](Canonical.METADATA))), cls)
+    }
+  }
+}
