@@ -117,6 +117,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental migration into a vector-store sink is exactly-once per id") {
+    import graft.model.Canonical
+    import graft.connectors.vectorstore.{CollectionConfig, VectorStore}
+    val watch = java.nio.file.Files.createTempDirectory("graft-stream-vs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-vsck").toString
+    VectorStore.drop("inc_vs")
+    VectorStore.createCollection("inc_vs", CollectionConfig(dim = 4), recreate = true)
+
+    import spark.implicits._
+    def canon(ids: Range) = ids.map(i =>
+        (i.toString, Seq.fill(4)(i.toFloat), Map("batch" -> "x")))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+
+    // the batch writer IS the DSv2 vector-store sink — the reference's
+    // declared future work (README.md:286) finished end to end
+    canon(0 until 15).write.mode("overwrite").parquet(s"$watch/drop1.parquet")
+    val writer = StreamOps.incrementalMigration(spark, s"$watch/*.parquet",
+      (batch, _) => batch.write.format("graft-qdrant")
+        .option("collection", "inc_vs").mode("append").save())
+    val q = writer.option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(VectorStore.count("inc_vs") == 15)
+      // second drop OVERLAPS the first (ids 10..14 re-delivered): the
+      // id-keyed upsert absorbs redelivery — each id lands exactly once
+      canon(10 until 20).write.mode("overwrite").parquet(s"$watch/drop2.parquet")
+      q.processAllAvailable()
+      assert(VectorStore.count("inc_vs") == 20)
+      val ids = VectorStore.scroll("inc_vs", 0, 1000).map(_.id)
+      assert(ids.length == ids.distinct.length)
+      assert(ids.map(_.toInt).sorted == (0 until 20), ids.sorted.mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs same-user events within the window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
