@@ -37,6 +37,15 @@ object ScaleProbe {
     time("minhash pairs")(ops.Dedup.minHashDuplicatePairs(docs, threshold = 0.3).count())
     time("minhash pairs (estimate)")(
       ops.Dedup.minHashDuplicatePairs(docs, threshold = 0.3, verifyExact = false).count())
+    time("minhash signatures (k-hash)")(
+      ops.Dedup.withMinHashSignature(docs).select("minhash_sig")
+        .filter(size(col("minhash_sig")) > 0).count())
+    time("minhash signatures (OPH)")(
+      ops.Dedup.withOnePermSignature(docs).select("minhash_sig")
+        .filter(size(col("minhash_sig")) > 0).count())
+    time("minhash pairs (OPH+est)")(
+      ops.Dedup.minHashDuplicatePairs(docs, threshold = 0.3, verifyExact = false,
+        onePerm = true).count())
     time("staged dedup pipeline")(ops.Dedup.fuzzyDedupPipeline(docs, threshold = 0.3).count())
     time("simhash fingerprints")(
       docs.select(ops.Dedup.simHash(col("text")).as("fp")).filter(col("fp") =!= 0).count())
@@ -67,6 +76,16 @@ object ScaleProbe {
         .filter(col("q.max_err") >= 0).count())
     time("kmeans (k=16, 3 iters)")(
       ops.Clustering.kmeans(emb, k = 16, iters = 3).count())
+    time("kmeans|| init (k=64)")(
+      ops.Clustering.initCentersParallel(emb, k = 64, rounds = 3).count())
+    time("pq encode (m=8, ksub=16)") {
+      val cb = ops.Quantization.pqTrain(emb, m = 8, ksub = 16, iters = 2)
+      emb.select(ops.Quantization.pqEncode(col("embedding"), cb).as("pq"))
+        .filter(col("pq.recon_err") >= 0).count()
+    }
+    time("pq adc topk (reRank=50)")(
+      ops.Quantization.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+        m = 8, ksub = 16, iters = 2, reRank = 50).count())
     time("semantic dedup (staged)")(
       ops.Dedup.semanticDedupPipeline(emb, threshold = 0.5, nClusters = 16, iters = 2).count())
     time("decontaminate")(

@@ -32,6 +32,12 @@ object VectorExpressions {
     GraftColumnBridge.column(
       NearestCenterExpr(GraftColumnBridge.expression(v), centerIds, centers))
 
+  /** struct(cluster_id, residual) — nearest center plus v − center, the
+    * IVF-PQ building block — see [[NearestResidualExpr]]. */
+  def nearestResidual(v: Column, centerIds: Array[Long], centers: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      NearestResidualExpr(GraftColumnBridge.expression(v), centerIds, centers))
+
   private def make(a: Column, b: Column, op: Int): Column =
     GraftColumnBridge.column(VectorKernel(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), op))
@@ -291,6 +297,110 @@ case class NearestCenterExpr(child: Expression, centerIds: Array[Long],
     })
 
   override protected def withNewChildInternal(newChild: Expression): NearestCenterExpr =
+    copy(child = newChild)
+}
+
+/** [[NearestCenterExpr]]'s IVF-PQ sibling: same argmin loop (same
+  * accumulation order, same lowest-id tie-break), but emitting
+  * struct(cluster_id, residual = v − nearest center) — the quantity PQ
+  * codebooks are trained on in an IVFADC index (the residual's spread is
+  * what's left AFTER the coarse quantizer, so the same code budget buys a
+  * finer grid). One compiled pass: assign + subtract, no second scan. */
+case class NearestResidualExpr(child: Expression, centerIds: Array[Long],
+                               centers: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centerIds.nonEmpty && centerIds.length == centers.length,
+    "nearest_residual needs a non-empty id-aligned center set")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster_id", LongType, nullable = false),
+    StructField("residual", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def prettyName: String = "nearest_residual"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestAcc = Double.PositiveInfinity
+    var j = 0
+    while (j < centers.length) {
+      val c = centers(j)
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) - c(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < bestAcc) { bestAcc = acc; best = j }
+      j += 1
+    }
+    val bc = centers(best)
+    val n = v.numElements()
+    val res = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      res(i) = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) -
+        (if (i < bc.length) bc(i) else 0.0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](centerIds(best),
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val idsRef = ctx.addReferenceObj("centerIds", centerIds, "long[]")
+      val csRef = ctx.addReferenceObj("centers", centers, "double[][]")
+      val best = ctx.freshName("best")
+      val bestAcc = ctx.freshName("bestAcc")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val bc = ctx.freshName("bc")
+      val res = ctx.freshName("res")
+      val nv = ctx.freshName("nv")
+      val get = (idx: String) =>
+        if (isFloat) s"(double) $v.getFloat($idx)" else s"$v.getDouble($idx)"
+      s"""
+         |int $best = 0;
+         |double $bestAcc = Double.POSITIVE_INFINITY;
+         |for (int $j = 0; $j < ${centers.length}; $j++) {
+         |  double[] $c = $csRef[$j];
+         |  int $n = Math.min($v.numElements(), $c.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${get(i)} - $c[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestAcc) { $bestAcc = $acc; $best = $j; }
+         |}
+         |double[] $bc = $csRef[$best];
+         |int $nv = $v.numElements();
+         |double[] $res = new double[$nv];
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  $res[$i] = ${get(i)} - (($i < $bc.length) ? $bc[$i] : 0.0);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ $idsRef[$best],
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestResidualExpr =
     copy(child = newChild)
 }
 

@@ -121,6 +121,17 @@ object VectorQueries {
       val e = Tables(s, dir, "embeddings")
       graft.ops.Quantization.pqTopK(e, e.filter(col("vec_id") < 5), k = 3,
         m = 2, ksub = 4, iters = 1)
+    }),
+
+    // IVF-PQ (IVFADC): coarse cells from the 2 lowest-id seeds, PQ over
+    // RESIDUALS (seeded by the 4 lowest-id residuals — the first two are
+    // exactly zero since those vectors ARE the cell centers, which the
+    // oracle reproduces too), exhaustive probe, per-(query, cell) ADC
+    // tables. Every stage replayed in SQL; quality configs are spec-tested.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.ops.Quantization.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 3,
+        nCells = 2, nProbe = 2, m = 2, ksub = 4)
     })
   )
 
@@ -199,6 +210,21 @@ object VectorQueries {
         "SELECT a0.vec_id, CAST(a0.code AS INT) AS code_0, CAST(a1.code AS INT) AS code_1, " +
         "round(sqrt(a0.d + a1.d), 6) AS pq_err " +
         "FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id"),
+    "q_ann_ivfpq" ->
+      (s"WITH $ivfPqCtes, " +
+        // query residual per (query, cell) — exhaustive probe, so every
+        // cell gets a table; halves like the candidate residuals
+        "q AS (SELECT e.vec_id AS query_id, c.center_id AS cell_id, " +
+        "list_transform(range(len(e.v)), i -> e.v[i+1]-c.cv[i+1]) AS qres " +
+        "FROM e CROSS JOIN c WHERE e.vec_id < 5), " +
+        "qsub AS (SELECT query_id, cell_id, qres[1:len(qres)//2] AS q0, " +
+        "qres[len(qres)//2+1:len(qres)] AS q1 FROM q), " +
+        s"sc AS (SELECT qsub.query_id, cand.cand_id, " +
+        s"round(sqrt(${l2sqSql("qsub.q0", "cand.w0")} + ${l2sqSql("qsub.q1", "cand.w1")}), 6) AS dist " +
+        "FROM qsub JOIN cand ON qsub.cell_id = cand.cell_id AND cand.cand_id <> qsub.query_id) " +
+        "SELECT query_id, cand_id, dist, CAST(rn AS INT) AS rk FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rn " +
+        "FROM sc) WHERE rn <= 3"),
     "q_ann_pq" ->
       (s"WITH $pqCodeCtes, " +
         // candidate → its two codeword VECTORS (the PQ reconstruction)
@@ -220,6 +246,38 @@ object VectorQueries {
   private def l2sqSql(a: String, b: String): String =
     s"list_dot_product(list_transform(range(len($a)), i -> $a[i+1]-$b[i+1]), " +
       s"list_transform(range(len($a)), i -> $a[i+1]-$b[i+1]))"
+
+  /** IVF-PQ replay CTEs (nCells=2, m=2, ksub=4, iters=1): coarse centers =
+    * the 2 lowest-id vectors; every vector's cell = argmin l2² (ties to the
+    * lowest center id, like NearestResidualExpr); residual = v − center;
+    * residual codebook = the residual halves of the 4 lowest-id vectors;
+    * codes = per-subspace argmin; `cand` = each candidate's cell + selected
+    * codeword VECTORS. */
+  private def ivfPqCtes: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+      "c AS (SELECT vec_id AS center_id, v AS cv FROM e WHERE vec_id < 2), " +
+      s"ad AS (SELECT e.vec_id, c.center_id, ${l2sqSql("e.v", "c.cv")} AS d " +
+      "FROM e CROSS JOIN c), " +
+      "a AS (SELECT vec_id, center_id AS cell_id FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY d, center_id) AS rn FROM ad) WHERE rn = 1), " +
+      "r AS (SELECT e.vec_id, a.cell_id, " +
+      "list_transform(range(len(e.v)), i -> e.v[i+1]-c.cv[i+1]) AS res " +
+      "FROM e JOIN a ON a.vec_id = e.vec_id JOIN c ON c.center_id = a.cell_id), " +
+      "rsub AS (SELECT vec_id, cell_id, res[1:len(res)//2] AS s0, " +
+      "res[len(res)//2+1:len(res)] AS s1 FROM r), " +
+      "rcb AS (SELECT vec_id AS code, s0 AS c0, s1 AS c1 FROM rsub WHERE vec_id < 4), " +
+      s"rd0 AS (SELECT rsub.vec_id, rcb.code, ${l2sqSql("rsub.s0", "rcb.c0")} AS d " +
+      "FROM rsub CROSS JOIN rcb), " +
+      "ra0 AS (SELECT vec_id, code FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY d, code) AS rn FROM rd0) WHERE rn = 1), " +
+      s"rd1 AS (SELECT rsub.vec_id, rcb.code, ${l2sqSql("rsub.s1", "rcb.c1")} AS d " +
+      "FROM rsub CROSS JOIN rcb), " +
+      "ra1 AS (SELECT vec_id, code FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY d, code) AS rn FROM rd1) WHERE rn = 1), " +
+      "cand AS (SELECT ra0.vec_id AS cand_id, rsub.cell_id, cb0.c0 AS w0, cb1.c1 AS w1 " +
+      "FROM ra0 JOIN ra1 ON ra0.vec_id = ra1.vec_id " +
+      "JOIN rsub ON rsub.vec_id = ra0.vec_id " +
+      "JOIN rcb cb0 ON cb0.code = ra0.code JOIN rcb cb1 ON cb1.code = ra1.code)"
 
   /** Shared PQ replay CTEs (m=2, ksub=4, iters=1): split each vector into
     * two halves, codebook = the halves of the 4 lowest-id vectors (code =

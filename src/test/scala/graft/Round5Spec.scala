@@ -219,6 +219,45 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, s"mean re-ranked recall@5 = $recall") // measured 0.92
   }
 
+  test("NearestResidualExpr agrees with assign + explicit subtraction") {
+    import graft.ops.Clustering
+    val centers = Clustering.initCenters(emb, 8)
+    val rows = centers.orderBy("center_id")
+      .select(col("center_id").cast("long"), transform(col("center"), _.cast("double")))
+      .collect()
+    val ids = rows.map(_.getLong(0))
+    val cs = rows.map(_.getSeq[Double](1).toArray)
+    val fused = emb.select(col("vec_id"),
+        graft.functions.VectorExpressions.nearestResidual(col("embedding"), ids, cs).as("nr"))
+      .select(col("vec_id"), col("nr.cluster_id").as("cell"), col("nr.residual").as("res"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    val assigned = Clustering.assign(emb, centers)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fused.size == assigned.size)
+    fused.foreach { case (id, (cell, res)) =>
+      assert(cell == assigned(id), s"cell mismatch for $id")
+      val center = cs(ids.indexOf(cell))
+      val expected = vecs(id).zipWithIndex.map { case (x, i) => x - center(i) }
+      assert(res == expected, s"residual mismatch for $id")
+    }
+  }
+
+  test("IVF-PQ with re-rank recalls the exact neighbors; selective probe prunes") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val truth = exactTop5(queries)
+    val rr = Quantization.ivfPqTopK(emb, queries, k = 5, nCells = 8, nProbe = 4,
+        m = 16, ksub = 16, quantizerIters = 2, pqIters = 2, reRank = 50)
+      .select("query_id", "cand_id")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // selective probe (4 of 8 cells) bounds attainable recall: a true
+    // neighbor in an unprobed cell is invisible — the IVF trade. Still
+    // must far exceed the ~nProbe/nCells * shortlist-random baseline.
+    val recall = meanRecall(rr, truth)
+    assert(recall >= 0.5, s"mean IVF-PQ re-ranked recall@5 = $recall")
+  }
+
   test("PQ kernels compile under strict codegen") {
     val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
@@ -227,6 +266,9 @@ class PqSpec extends SparkSpec {
       val rows = Quantization.pqTopK(emb, emb.filter(col("vec_id") < 3), k = 3,
         m = 8, ksub = 8, iters = 1).collect()
       assert(rows.length == 9)
+      val ivfpq = Quantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 3), k = 3,
+        nCells = 4, nProbe = 4, m = 8, ksub = 8).collect()
+      assert(ivfpq.length == 9)
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", prevFallback)
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
