@@ -26,17 +26,19 @@ object VectorExpressions {
   def int8Quantize(a: Column): Column =
     GraftColumnBridge.column(Int8QuantizeExpr(GraftColumnBridge.expression(a)))
 
-  /** struct(cluster_id, dist) of the nearest center — see
-    * [[NearestCenterExpr]]. `centerIds`/`centers` must be sorted by id. */
-  def nearestCenter(v: Column, centerIds: Array[Long], centers: Array[Array[Double]]): Column =
+  /** struct(idx, dist) of the nearest center — see [[NearestCenterExpr]].
+    * `centers` must be sorted by the caller's center id; idx is the
+    * position in that order (id-type agnostic — callers map idx back to
+    * their id with a literal array lookup). */
+  def nearestCenter(v: Column, centers: Array[Array[Double]]): Column =
     GraftColumnBridge.column(
-      NearestCenterExpr(GraftColumnBridge.expression(v), centerIds, centers))
+      NearestCenterExpr(GraftColumnBridge.expression(v), centers))
 
-  /** struct(cluster_id, residual) — nearest center plus v − center, the
+  /** struct(idx, residual) — nearest center plus v − center, the
     * IVF-PQ building block — see [[NearestResidualExpr]]. */
-  def nearestResidual(v: Column, centerIds: Array[Long], centers: Array[Array[Double]]): Column =
+  def nearestResidual(v: Column, centers: Array[Array[Double]]): Column =
     GraftColumnBridge.column(
-      NearestResidualExpr(GraftColumnBridge.expression(v), centerIds, centers))
+      NearestResidualExpr(GraftColumnBridge.expression(v), centers))
 
   private def make(a: Column, b: Column, op: Int): Column =
     GraftColumnBridge.column(VectorKernel(
@@ -218,17 +220,19 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
   *
   * Semantics are bit-identical to the shuffle form: dist = the
   * [[VectorKernel]] L2 math (left-to-right double accumulation over
-  * min(len) elements, then sqrt), ties break to the LOWEST center id
-  * because centers arrive sorted by id and only a strictly smaller squared
-  * distance replaces the incumbent (sqrt preserves equality/order on
-  * non-negatives, so comparing the accumulator is exact).
+  * min(len) elements, then sqrt), ties break to the LOWEST index — i.e.
+  * the lowest center id, because centers arrive sorted by id — and only a
+  * strictly smaller squared distance replaces the incumbent (sqrt
+  * preserves equality/order on non-negatives, so comparing the
+  * accumulator is exact). Emitting the INDEX rather than an id keeps the
+  * kernel id-type agnostic: canonical records carry STRING ids, and the
+  * caller's `element_at(idLiteralArray, idx + 1)` lookup is a pure
+  * column expression of whatever type the ids have.
   */
-case class NearestCenterExpr(child: Expression, centerIds: Array[Long],
-                             centers: Array[Array[Double]])
+case class NearestCenterExpr(child: Expression, centers: Array[Array[Double]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(centerIds.nonEmpty && centerIds.length == centers.length,
-    "nearest_center needs a non-empty id-aligned center set")
+  require(centers.nonEmpty, "nearest_center needs a non-empty center set")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -237,7 +241,7 @@ case class NearestCenterExpr(child: Expression, centerIds: Array[Long],
   }
 
   override def dataType: DataType = StructType(Seq(
-    StructField("cluster_id", LongType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
     StructField("dist", DoubleType, nullable = false)))
   override def prettyName: String = "nearest_center"
 
@@ -262,12 +266,11 @@ case class NearestCenterExpr(child: Expression, centerIds: Array[Long],
       j += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](centerIds(best), math.sqrt(bestAcc)))
+      Array[Any](best, math.sqrt(bestAcc)))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val idsRef = ctx.addReferenceObj("centerIds", centerIds, "long[]")
       val csRef = ctx.addReferenceObj("centers", centers, "double[][]")
       val best = ctx.freshName("best")
       val bestAcc = ctx.freshName("bestAcc")
@@ -292,7 +295,7 @@ case class NearestCenterExpr(child: Expression, centerIds: Array[Long],
          |  if ($acc < $bestAcc) { $bestAcc = $acc; $best = $j; }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{ $idsRef[$best], Math.sqrt($bestAcc) });
+         |  new Object[]{ $best, Math.sqrt($bestAcc) });
        """.stripMargin
     })
 
@@ -301,17 +304,15 @@ case class NearestCenterExpr(child: Expression, centerIds: Array[Long],
 }
 
 /** [[NearestCenterExpr]]'s IVF-PQ sibling: same argmin loop (same
-  * accumulation order, same lowest-id tie-break), but emitting
-  * struct(cluster_id, residual = v − nearest center) — the quantity PQ
+  * accumulation order, same lowest-index tie-break), but emitting
+  * struct(idx, residual = v − nearest center) — the quantity PQ
   * codebooks are trained on in an IVFADC index (the residual's spread is
   * what's left AFTER the coarse quantizer, so the same code budget buys a
   * finer grid). One compiled pass: assign + subtract, no second scan. */
-case class NearestResidualExpr(child: Expression, centerIds: Array[Long],
-                               centers: Array[Array[Double]])
+case class NearestResidualExpr(child: Expression, centers: Array[Array[Double]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(centerIds.nonEmpty && centerIds.length == centers.length,
-    "nearest_residual needs a non-empty id-aligned center set")
+  require(centers.nonEmpty, "nearest_residual needs a non-empty center set")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -320,7 +321,7 @@ case class NearestResidualExpr(child: Expression, centerIds: Array[Long],
   }
 
   override def dataType: DataType = StructType(Seq(
-    StructField("cluster_id", LongType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
     StructField("residual", ArrayType(DoubleType, containsNull = false), nullable = false)))
   override def prettyName: String = "nearest_residual"
 
@@ -354,13 +355,12 @@ case class NearestResidualExpr(child: Expression, centerIds: Array[Long],
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](centerIds(best),
+      Array[Any](best,
         org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val idsRef = ctx.addReferenceObj("centerIds", centerIds, "long[]")
       val csRef = ctx.addReferenceObj("centers", centers, "double[][]")
       val best = ctx.freshName("best")
       val bestAcc = ctx.freshName("bestAcc")
@@ -395,7 +395,7 @@ case class NearestResidualExpr(child: Expression, centerIds: Array[Long],
          |  $res[$i] = ${get(i)} - (($i < $bc.length) ? $bc[$i] : 0.0);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{ $idsRef[$best],
+         |  new Object[]{ $best,
          |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($res) });
        """.stripMargin
     })

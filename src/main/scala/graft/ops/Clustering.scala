@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorAggFunctions, VectorExpressions}
 
@@ -171,16 +171,18 @@ object Clustering {
   }
 
   /** Collect a (bounded — k rows, the centers are BY CONSTRUCTION few) center
-    * set into id-sorted arrays for the fused argmin kernel. The only
-    * driver materialization in the k-means path, same shape as the IVF
-    * seed collect (`Similarity.ivfTopK`). */
-  private def collectCenters(centers: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    * set, id-sorted, for the fused argmin kernel: ids as a LITERAL ARRAY
+    * column (id-type agnostic — canonical records carry string ids) plus
+    * the center vectors for the kernel's reference object. The only driver
+    * materialization in the k-means path, same shape as the IVF seed
+    * collect (`Similarity.ivfTopK`). */
+  private def collectCenters(centers: DataFrame): (Column, Array[Array[Double]]) = {
     val rows = centers
-      .select(col("center_id").cast("long"),
-        transform(col("center"), _.cast("double")))
+      .select(col("center_id"), transform(col("center"), _.cast("double")))
       .orderBy("center_id").collect()
     require(rows.nonEmpty, "empty center set")
-    (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+    (array(rows.map(r => lit(r.get(0))).toIndexedSeq: _*),
+      rows.map(_.getSeq[Double](1).toArray))
   }
 
   /** Assign each vector to its nearest center (l2; ties break to the lowest
@@ -189,17 +191,19 @@ object Clustering {
     *
     * A PURE MAP: the centers (k rows) are collected once and scored inside
     * one codegen'd expression ([[VectorExpressions.nearestCenter]]) — no
-    * crossJoin row inflation, no argmin shuffle. The earlier
+    * crossJoin row inflation, no argmin shuffle. The kernel emits the
+    * winning INDEX; the id comes from a literal-array lookup, so ids keep
+    * whatever type the caller's table uses. The earlier
     * crossJoin(broadcast) → min(struct) formulation ([[assignViaShuffle]])
     * pushed n×k rows through a partial aggregate; map-side combine kept the
     * shuffle small, but the inflation itself was pure waste — at 100 TB the
     * assign pass is now exactly one corpus scan. */
   def assign(df: DataFrame, centers: DataFrame, vecCol: String = "embedding",
              idCol: String = "vec_id"): DataFrame = {
-    val (ids, cs) = collectCenters(centers)
+    val (idArr, cs) = collectCenters(centers)
     df.select(col(idCol),
-        VectorExpressions.nearestCenter(col(vecCol), ids, cs).as("best"))
-      .select(col(idCol), col("best.cluster_id").as("cluster_id"),
+        VectorExpressions.nearestCenter(col(vecCol), cs).as("best"))
+      .select(col(idCol), element_at(idArr, col("best.idx") + 1).as("cluster_id"),
         col("best.dist").as("dist"))
   }
 

@@ -200,19 +200,18 @@ object Quantization {
                 quantizerIters: Int = 1, pqIters: Int = 1, reRank: Int = 0,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nProbe > 0 && nProbe <= nCells)
-    // coarse quantizer: bounded collect, sorted by center id
-    val cRows = Clustering.fitCenters(candidates, nCells, quantizerIters, vecCol, idCol)
+    // coarse quantizer: bounded collect, sorted by center id; cells are
+    // addressed by INDEX in this order throughout (id-type agnostic)
+    val cellVecs = Clustering.fitCenters(candidates, nCells, quantizerIters, vecCol, idCol)
       .orderBy("center_id")
-      .select(col("center_id").cast("long"), transform(col("center"), _.cast("double")))
-      .collect()
-    val cellIds = cRows.map(_.getLong(0))
-    val cellVecs = cRows.map(_.getSeq[Double](1).toArray)
+      .select(transform(col("center"), _.cast("double")))
+      .collect().map(_.getSeq[Double](0).toArray)
 
     // one scan: cell assignment + residual, fused
     val resDf = candidates
       .select(col(idCol),
-        graft.functions.VectorExpressions.nearestResidual(col(vecCol), cellIds, cellVecs).as("nr"))
-      .select(col(idCol), col("nr.cluster_id").as("cell_id"), col("nr.residual").as("res"))
+        graft.functions.VectorExpressions.nearestResidual(col(vecCol), cellVecs).as("nr"))
+      .select(col(idCol), col("nr.idx").as("cell_id"), col("nr.residual").as("res"))
 
     // PQ codebooks over residuals; encode = second scan producing the
     // narrow (cand_id, cell_id, codes) index table
@@ -226,7 +225,7 @@ object Quantization {
       .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
       .orderBy(col(idCol)).collect()
     require(qRows.nonEmpty, "empty query set")
-    val nC = cellIds.length
+    val nC = cellVecs.length
     val tables: Array[Array[Array[Double]]] = qRows.flatMap { r =>
       val qv = r.getSeq[Double](1).toArray
       cellVecs.map { cv =>
@@ -256,7 +255,7 @@ object Quantization {
         while (i < n) { val d = qv(i) - cv(i); acc += d * d; i += 1 }
         (acc, ci)
       }.sortBy(identity).take(nProbe)
-        .map { case (_, ci) => (r.getLong(0), cellIds(ci), qi * nC + ci) }
+        .map { case (_, ci) => (r.getLong(0), ci, qi * nC + ci) }
     }.toSeq
     val qdf = probes.toDF("query_id", "cell_id", "tbl_idx")
 

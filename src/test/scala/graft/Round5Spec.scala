@@ -228,9 +228,9 @@ class PqSpec extends SparkSpec {
     val ids = rows.map(_.getLong(0))
     val cs = rows.map(_.getSeq[Double](1).toArray)
     val fused = emb.select(col("vec_id"),
-        graft.functions.VectorExpressions.nearestResidual(col("embedding"), ids, cs).as("nr"))
-      .select(col("vec_id"), col("nr.cluster_id").as("cell"), col("nr.residual").as("res"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+        graft.functions.VectorExpressions.nearestResidual(col("embedding"), cs).as("nr"))
+      .select(col("vec_id"), col("nr.idx").as("cell"), col("nr.residual").as("res"))
+      .collect().map(r => r.getLong(0) -> (ids(r.getInt(1)), r.getSeq[Double](2))).toMap
     val assigned = Clustering.assign(emb, centers)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val vecs = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")))
@@ -242,6 +242,18 @@ class PqSpec extends SparkSpec {
       val expected = vecs(id).zipWithIndex.map { case (x, i) => x - center(i) }
       assert(res == expected, s"residual mismatch for $id")
     }
+  }
+
+  test("assign handles STRING ids (canonical records) — regression") {
+    import spark.implicits._
+    import graft.ops.Clustering
+    val df = Seq(("a", Seq(0.0f, 0.0f)), ("b", Seq(1.0f, 1.0f)), ("zz", Seq(0.9f, 0.9f)))
+      .toDF("id", "vec")
+    val centers = Seq(("a", Seq(0.0, 0.0)), ("b", Seq(1.0, 1.0)))
+      .toDF("center_id", "center")
+    val got = Clustering.assign(df, centers, "vec", "id")
+      .select("id", "cluster_id").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "b", "zz" -> "b"), got.toString)
   }
 
   test("IVF-PQ with re-rank recalls the exact neighbors; selective probe prunes") {
