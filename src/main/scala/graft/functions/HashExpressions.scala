@@ -70,6 +70,156 @@ object HashExpressions {
   def onePermMinHash(shingleHashes: Column, k: Int, a: Long, b: Long): Column =
     GraftColumnBridge.column(
       OnePermMinHashExpr(GraftColumnBridge.expression(shingleHashes), k, a, b))
+
+  /** PORTABLE word-shingle hashes: like [[wordShingleHashes]] but each
+    * shingle string is hashed with the codepoint-polynomial fold instead of
+    * xxhash64, so any SQL engine replays the whole MinHash pipeline
+    * bit-exactly — see [[PortableShingleHashesExpr]]. */
+  def portableShingleHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(PortableShingleHashesExpr(GraftColumnBridge.expression(text), n))
+
+  /** Strided rolling-window fingerprints over a pre-hashed token stream —
+    * see [[RollingWindowHashesExpr]]. */
+  def rollingWindowHashes(tokenHashes: Column, width: Int, stride: Int): Column =
+    GraftColumnBridge.column(
+      RollingWindowHashesExpr(GraftColumnBridge.expression(tokenHashes), width, stride))
+}
+
+/** text → distinct SORTED hashes of its lowercase word n-gram shingles,
+  * where each shingle string (tokens joined by one space) is hashed with
+  * the PORTABLE codepoint-polynomial fold h = (h·B + cp) mod P — the same
+  * per-string hash as [[PortableTokenHashesExpr]]. Unlike the xxhash64
+  * kernel ([[WordShingleHashesExpr]]), a DuckDB oracle reproduces these
+  * values exactly, which lets the ENTIRE banded-LSH dedup pipeline
+  * (signatures → bands → bucket join → verify) be replayed in SQL on the
+  * full corpus — the oracle checks the actual algorithm, not a planted
+  * ground truth. xxhash64 stays the production default (stronger mixing);
+  * this is the audit-grade twin. CodegenFallback like its sibling: eval is
+  * one tight compiled pass per row. */
+case class PortableShingleHashesExpr(child: Expression, n: Int)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.toLowerCase(java.util.Locale.ROOT)
+    if (s.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val toks = s.split("\\s+")
+    if (toks.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val sh = sb.toString
+      var h = 0L
+      var ci = 0
+      while (ci < sh.length) {
+        val cp = sh.codePointAt(ci)
+        h = (h * HashExpressions.B + cp) % HashExpressions.P
+        ci += Character.charCount(cp)
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** Strided rolling fingerprints over a pre-hashed token stream: window j
+  * covers tokens [j·stride, j·stride + width) and its fingerprint is the
+  * order-sensitive polynomial fold (acc·B + x) mod P of those hashes — the
+  * [[PolyFoldHashExpr]] math applied per window. This is the cross-document
+  * DUPLICATE-SPAN detector's kernel (the token-granular approximation of
+  * exact substring dedup, Lee et al. 2022): two documents sharing a
+  * width-token run aligned to the stride produce the same fingerprint, so
+  * one groupBy on the fingerprint finds every repeated span corpus-wide.
+  * Inputs must lie in [0, P) (the [[PortableTokenHashesExpr]] shape) —
+  * making the whole span pipeline SQL-replayable. Codegen'd: this scans
+  * every token of the corpus. */
+case class RollingWindowHashesExpr(child: Expression, width: Int, stride: Int)
+  extends UnaryExpression {
+
+  require(width > 0 && stride > 0, "width and stride must be positive")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_window_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < width) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val nWin = (n - width) / stride + 1
+    val out = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var acc = 0L
+      var i = w * stride
+      val end = i + width
+      while (i < end) {
+        acc = (acc * HashExpressions.B + arr.getLong(i)) % HashExpressions.P
+        i += 1
+      }
+      out(w) = acc
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val nWin = ctx.freshName("nWin")
+      val out = ctx.freshName("out")
+      val w = ctx.freshName("w")
+      val i = ctx.freshName("i")
+      val end = ctx.freshName("end")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $out;
+         |if ($n < $width) {
+         |  $out = new long[0];
+         |} else {
+         |  int $nWin = ($n - $width) / $stride + 1;
+         |  $out = new long[$nWin];
+         |  for (int $w = 0; $w < $nWin; $w++) {
+         |    long $acc = 0L;
+         |    int $end = $w * $stride + $width;
+         |    for (int $i = $w * $stride; $i < $end; $i++) {
+         |      $acc = ($acc * ${HashExpressions.B}L + $arr.getLong($i)) % ${HashExpressions.P}L;
+         |    }
+         |    $out[$w] = $acc;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingWindowHashesExpr =
+    copy(child = newChild)
 }
 
 /** One-permutation MinHash (Li, Owen & Zhang 2012) with rotation

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{HashExpressions, TextFunctions}
 
 /** Eval-set decontamination: flag evaluation documents whose word-n-gram
   * shingles are heavily contained in the training corpus — the standard
@@ -33,6 +33,46 @@ object Decontaminate {
       .join(trainShingles.withColumn("__hit", lit(1)), Seq("sh"), "left_outer")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_shared"))
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("containment"))
+      .withColumn("contaminated", col("containment") >= threshold)
+  }
+
+  /** Bloom-filter fast path for [[containment]] — the configuration that
+    * wins when `train` is the 100 TB side: the train shingle set is folded
+    * into a fixed-size bit array with ONE tree-aggregated pass (never
+    * shuffled against the eval side), broadcast to executors (a few
+    * hundred MB for billions of shingles at `fpp` 1e-3), and each eval
+    * shingle probes it map-side. No join at all on the hot path.
+    *
+    * One-sided error: a Bloom filter has no false negatives, so reported
+    * containment can only be >= the exact value, by at most ~`fpp` — the
+    * safe direction for a leakage check (never under-reports). Run
+    * [[containment]] on the flagged survivors when exact numbers matter.
+    *
+    * @param expectedShingles sizing hint for the filter (distinct train
+    *                         shingles); overestimating wastes bits,
+    *                         underestimating inflates the realized FP rate.
+    */
+  def bloomContainment(train: DataFrame, eval: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleSize: Int = 3, threshold: Double = 0.5,
+                       expectedShingles: Long = 1000000L, fpp: Double = 0.001): DataFrame = {
+    // hash shingles to long first: the filter stores 8-byte keys, not text,
+    // and the SAME kernel hashes both sides so membership is consistent
+    def shingleHashes(df: DataFrame, cols: org.apache.spark.sql.Column*) =
+      df.select(cols :+ explode(
+        HashExpressions.wordShingleHashes(col(textCol), shingleSize)).as("sh"): _*)
+    val filter = shingleHashes(train).stat.bloomFilter("sh", expectedShingles, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(filter)
+    val hit = udf((h: Long) => bc.value.mightContainLong(h))
+    shingleHashes(eval, col(idCol))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(hit(col("sh")), 1)).as("n_shared"))
       .select(
         col(idCol),
         col("n_shingles"),

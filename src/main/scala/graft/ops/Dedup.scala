@@ -32,6 +32,15 @@ object Dedup {
     Seq.fill(numHashes)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
   }
 
+  /** The (a, b) permutation parameters as arrays — public so the DuckDB
+    * oracle for the portable pipeline interpolates the IDENTICAL constants
+    * into its SQL (generated from the same source, the two sides cannot
+    * drift). */
+  def minhashParams(numHashes: Int): (Array[Long], Array[Long]) = {
+    val ps = hashParams(numHashes)
+    (ps.map(_._1).toArray, ps.map(_._2).toArray)
+  }
+
   /** Exact dedup: group identical normalized text, keep the lowest id.
     * Pure hash aggregation — one shuffle on the text hash at any scale. */
   def exactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -77,12 +86,28 @@ object Dedup {
   }
 
   /** LSH banding: explode each signature into `numBands` (band, bandHash)
-    * keys; docs sharing a key are candidate near-duplicates. */
+    * keys; docs sharing a key are candidate near-duplicates.
+    *
+    * `portable = true` derives the band key with the polynomial fold of the
+    * band's signature values + band index instead of xxhash64 — pure int64
+    * math a SQL oracle reproduces (signature values are < P so the fold's
+    * precondition holds). Key collisions merge buckets identically in both
+    * engines, so outputs still match exactly. */
   def lshBands(signed: DataFrame, idCol: String = "doc_id",
-               numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+               numBands: Int = 16, rowsPerBand: Int = 4,
+               portable: Boolean = false): DataFrame = {
     val bands = array((0 until numBands).map { j =>
-      val elems = (0 until rowsPerBand).map(r => element_at(col("minhash_sig"), j * rowsPerBand + r + 1))
-      struct(lit(j).as("band"), xxhash64(elems :+ lit(j): _*).as("band_hash"))
+      val key =
+        if (portable)
+          graft.functions.HashExpressions.polyFoldHash(
+            concat(slice(col("minhash_sig"), j * rowsPerBand + 1, rowsPerBand),
+              array(lit(j.toLong))))
+        else {
+          val elems = (0 until rowsPerBand).map(r =>
+            element_at(col("minhash_sig"), j * rowsPerBand + r + 1))
+          xxhash64(elems :+ lit(j): _*)
+        }
+      struct(lit(j).as("band"), key.as("band_hash"))
     }: _*)
     signed.select(col(idCol), explode(bands).as("b"))
       .select(col(idCol), col("b.band"), col("b.band_hash"))
@@ -106,12 +131,27 @@ object Dedup {
     *                    ([[withOnePermSignature]]): one hash per shingle
     *                    instead of `numHashes` — same banding semantics,
     *                    the scale default for the signature pass.
+    * @param portable    run the ENTIRE pipeline on engine-portable hashes
+    *                    (codepoint-polynomial shingle hashes, polynomial
+    *                    band keys): a DuckDB oracle then replays every
+    *                    stage — signatures, banding, bucket guard, pair
+    *                    join, exact verify — bit-for-bit on the full
+    *                    corpus. Shingle-less docs are excluded upfront
+    *                    (they can never verify; keeping them out also
+    *                    spares the all-sentinel signature bucket).
     */
   def minHashDuplicatePairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                             numHashes: Int = 64, numBands: Int = 16, shingleSize: Int = 3,
                             threshold: Double = 0.5, maxBucket: Int = 1000,
-                            verifyExact: Boolean = true, onePerm: Boolean = false): DataFrame = {
+                            verifyExact: Boolean = true, onePerm: Boolean = false,
+                            portable: Boolean = false): DataFrame = {
+    require(!(portable && onePerm),
+      "portable mode uses the k-hash kernel (densified one-perm values exceed P, " +
+        "breaking the polynomial band key's precondition)")
     val rowsPerBand = numHashes / numBands
+    def shingleExpr(c: org.apache.spark.sql.Column) =
+      if (portable) graft.functions.HashExpressions.portableShingleHashes(c, shingleSize)
+      else graft.functions.HashExpressions.wordShingleHashes(c, shingleSize)
     // Explicit id-not-null upfront (a null id could never appear in the
     // pair output anyway): the self-join below INFERS isnotnull on its
     // branches while the count-guard branch would not, and that one-filter
@@ -119,7 +159,14 @@ object Dedup {
     // consumers of the banded relation reuse ONE shuffle stage.
     val notNull = docs.filter(col(idCol).isNotNull)
     val signedAll =
-      if (onePerm) withOnePermSignature(notNull, textCol, numHashes, shingleSize)
+      if (portable) {
+        val (as, bs) = minhashParams(numHashes)
+        notNull
+          .withColumn("__sh", shingleExpr(col(textCol)))
+          .filter(size(col("__sh")) > 0)
+          .withColumn("minhash_sig",
+            graft.functions.HashExpressions.minHashSignature(col("__sh"), as, bs))
+      } else if (onePerm) withOnePermSignature(notNull, textCol, numHashes, shingleSize)
       else withMinHashSignature(notNull, textCol, numHashes, shingleSize)
     // Estimate mode: the signature join below shuffles by ID while bands
     // shuffle by bucket key — no exchange to share, so without
@@ -137,7 +184,7 @@ object Dedup {
     // part; the bands themselves are ~1% of the text width. Without it the
     // guard's partial aggregate sits below its own exchange and defeats
     // exchange reuse, doubling the signature scan (measured +0.2 s at sf0.1).
-    val bands = lshBands(signed, idCol, numBands, rowsPerBand)
+    val bands = lshBands(signed, idCol, numBands, rowsPerBand, portable)
       .repartition(col("band"), col("band_hash"))
     // Skew guard as a partial-aggregate + equi-join rather than a Window:
     // the groupBy count combines map-side (tiny per-bucket rows through the
@@ -168,8 +215,7 @@ object Dedup {
     // measured 7x SLOWER at 30x: it puts the candidate list on both sides
     // of a diamond dependency and defeats subtree reuse.)
     if (verifyExact) {
-      val sh = docs.select(col(idCol),
-        graft.functions.HashExpressions.wordShingleHashes(col(textCol), shingleSize).as("sh"))
+      val sh = docs.select(col(idCol), shingleExpr(col(textCol)).as("sh"))
       candidates
         .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

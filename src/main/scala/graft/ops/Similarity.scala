@@ -100,6 +100,33 @@ object Similarity {
       .select("query_id", "cand_id", "score", "rk")
   }
 
+  /** Binary (sign-bit) Hamming top-k: quantize every vector to one bit per
+    * dimension ([[graft.functions.BinaryVectors.signBitsWords]] — dim/8
+    * bytes, a 32× narrower scan than the float collection) and rank
+    * candidates by Hamming distance to each query's sign pattern. For
+    * unit-ish embeddings, Hamming(sign(a), sign(b)) is a monotone proxy for
+    * angular distance (each agreeing hyperplane octant bit), so this is the
+    * classic cheap first-pass retrieval; re-rank survivors with exact
+    * cosine when precision matters. Same plan shape as [[bruteForceTopK]]:
+    * broadcast the packed queries, one codegen'd XOR+popcount per
+    * candidate, one shuffle for the per-query top-k window. Ties break on
+    * candidate id — fully deterministic, which also makes the whole
+    * operator SQL-replayable (pure integer math). */
+  def hammingTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.BinaryVectors
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      BinaryVectors.signBitsWords(col(vecCol)).as("q_bits")))
+    val c = candidates.select(col(idCol).as("cand_id"),
+      BinaryVectors.signBitsWords(col(vecCol)).as("c_bits"))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming").asc, col("cand_id").asc)
+    c.join(q, col("cand_id") =!= col("query_id"))
+      .withColumn("hamming", BinaryVectors.wordsHamming(col("q_bits"), col("c_bits")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "cand_id", "hamming", "rk")
+  }
+
   /** LSH near-pair generator (the scale path for cosine near-dedup):
     * pairs sharing a hyperplane bucket, verified by exact cosine. */
   def lshCosinePairs(emb: DataFrame, threshold: Double, bits: Int = 8,

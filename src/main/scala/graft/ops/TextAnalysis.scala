@@ -130,4 +130,41 @@ object TextAnalysis {
       col(idCol),
       TextFunctions.redactPii(col(textCol)).as("redacted"),
       (TextFunctions.redactPii(col(textCol)) =!= col(textCol)).as("had_pii"))
+
+  /** Cross-document duplicate-span detection — the token-granular
+    * approximation of exact substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): fingerprint every
+    * `width`-token window (stride `stride`) of the lowercased token stream
+    * with a portable rolling hash, count each fingerprint corpus-wide, and
+    * report per document how much of it is covered by spans that occur at
+    * least `minCount` times anywhere in the corpus.
+    *
+    * Scale shape: the window pass is one codegen'd map over the corpus
+    * ([[graft.functions.RollingWindowHashesExpr]]); the only shuffles are
+    * the fingerprint count (map-side combinable — repeated spans collapse
+    * per partition first) and the count join back, both keyed on the same
+    * well-spread 31-bit hash so AQE reuses one exchange. Nothing is ever
+    * pairwise: a span shared by k documents costs k rows, not k² pairs.
+    *
+    * @return (id, n_windows, n_dup_windows, dup_frac) — docs shorter than
+    *         `width` tokens have zero windows and dup_frac 0.
+    */
+  def duplicateSpans(docs: DataFrame, width: Int = 16, stride: Int = 8,
+                     minCount: Long = 2, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val wh = graft.functions.HashExpressions.rollingWindowHashes(
+      graft.functions.HashExpressions.portableTokenHashes(lower(col(textCol))), width, stride)
+    val windows = docs.select(col(idCol), explode_outer(wh).as("h"))
+    val counts = windows.filter(col("h").isNotNull)
+      .groupBy("h").agg(count(lit(1)).as("__n"))
+    windows
+      .join(counts, Seq("h"), "left_outer")
+      .groupBy(idCol)
+      .agg(
+        count(col("h")).as("n_windows"),
+        count(when(col("__n") >= minCount, 1)).as("n_dup_windows"))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"),
+        round(when(col("n_windows") === 0, 0.0)
+          .otherwise(col("n_dup_windows").cast("double") / col("n_windows")), 6).as("dup_frac"))
+  }
 }

@@ -32,6 +32,19 @@ object PipelineQueries {
   private val tokHashListSql =
     s"list_transform($toksSql, t -> ${tokHashSql("t")})"
 
+  // same codepoint fold with `c` as the inner lambda variable, for use
+  // INSIDE an outer lambda that already binds `i`
+  private def strHashSql(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($expr)+1), c -> CAST(unicode($expr[c]) AS BIGINT))), " +
+      "(a, x) -> (a*131 + x) % 2147483647)"
+
+  // null/empty-safe lowercased token list (NULL text → empty list on the
+  // Spark side too: the portable kernels emit [] there)
+  private val ltoksSql =
+    "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T1 transform parity: metadata enrichment (add_source_tracking) ----
     "q_transform_enrich" -> ((s, dir) =>
@@ -116,6 +129,20 @@ object PipelineQueries {
     "q_dedup_minhash_oph" -> ((s, dir) =>
       Dedup.minHashDuplicatePairs(Tables(s, dir, "documents").filter(col("doc_id") < 200),
         threshold = 0.8, onePerm = true).select("id_a", "id_b")),
+    // FULL-CORPUS portable pipeline: every stage (codepoint-polynomial
+    // shingle hashes → k-hash signatures → polynomial band keys → bucket
+    // guard → pair join → exact verify) is pure int64 math, so the oracle
+    // replays the ACTUAL LSH algorithm in SQL — banding recall is a
+    // non-issue because both engines band identically. k=16/4 bands keeps
+    // the SQL-side signature replay cheap; xxhash64 stays the production
+    // kernel (q_dedup_minhash).
+    "q_dedup_minhash_portable" -> ((s, dir) =>
+      Dedup.minHashDuplicatePairs(Tables(s, dir, "documents"), numHashes = 16, numBands = 4,
+        threshold = 0.3, portable = true)),
+    // cross-document duplicate spans (token-granular substring dedup):
+    // portable rolling fingerprints per 16-token window, counted corpus-wide
+    "q_dedup_spans" -> ((s, dir) =>
+      TextAnalysis.duplicateSpans(Tables(s, dir, "documents"), width = 16, stride = 8)),
     // pair list → dedup clusters (connected components) on the same planted
     // fixture; the oracle walks the identical pair set with a recursive CTE
     "q_dedup_clusters" -> ((s, dir) => {
@@ -434,6 +461,48 @@ object PipelineQueries {
       "q_ann_lsh" -> annExactSql,
       "q_dedup_minhash_planted" ->
         (s"WITH $plantedPairCtes SELECT id_a, id_b FROM p WHERE j >= 0.8"),
+      "q_dedup_minhash_portable" -> {
+        // the permutation constants come from the SAME Scala source the
+        // Spark kernel uses — interpolated as literals, they cannot drift
+        val (as, bs) = Dedup.minhashParams(16)
+        val aLit = as.mkString("[", ",", "]")
+        val bLit = bs.mkString("[", ",", "]")
+        "WITH d AS (SELECT doc_id, " + ltoksSql + " AS ltoks FROM documents), " +
+          "sh0 AS (SELECT doc_id, list_sort(list_distinct(list_transform(" +
+          "generate_series(1, greatest(len(ltoks)-2, 0)), i -> " +
+          strHashSql("(ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2])") +
+          "))) AS sh FROM d), " +
+          "nz AS (SELECT * FROM sh0 WHERE len(sh) > 0), " +
+          s"sg AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> " +
+          s"list_min(list_transform(sh, x -> (($aLit)[j+1]*x + ($bLit)[j+1]) % 2147483647))) AS sig FROM nz), " +
+          "bn AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> struct_pack(band := b, " +
+          "key := list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4] || [b]), " +
+          "(a, x) -> (a*131 + x) % 2147483647)))) AS s FROM sg), " +
+          "bands AS (SELECT doc_id, s.band AS band, s.key AS key FROM bn), " +
+          "g AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= 1000), " +
+          "bb AS (SELECT bands.doc_id, bands.band, bands.key FROM bands JOIN g USING (band, key)), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+          "FROM bb a JOIN bb b USING (band, key) WHERE a.doc_id < b.doc_id), " +
+          "v AS (SELECT id_a, id_b, round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 " +
+          "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)/len(list_distinct(a.sh || b.sh)) END, 6) " +
+          "AS jaccard FROM cand JOIN nz a ON a.doc_id = cand.id_a JOIN nz b ON b.doc_id = cand.id_b) " +
+          "SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3"
+      },
+      "q_dedup_spans" ->
+        ("WITH d AS (SELECT doc_id, " + ltoksSql + " AS ltoks FROM documents), " +
+          s"th AS (SELECT doc_id, list_transform(ltoks, t -> ${tokHashSql("t")}) AS th FROM d), " +
+          "w AS (SELECT doc_id, list_transform(range(0, CASE WHEN len(th) >= 16 " +
+          "THEN (len(th)-16)//8 + 1 ELSE 0 END), j -> " +
+          "list_reduce(list_prepend(CAST(0 AS BIGINT), th[j*8+1 : j*8+16]), " +
+          "(a, x) -> (a*131 + x) % 2147483647)) AS wh FROM th), " +
+          "e AS (SELECT doc_id, unnest(wh) AS h FROM w), " +
+          "c AS (SELECT h, count(*) AS n FROM e GROUP BY h), " +
+          "dup AS (SELECT e.doc_id, count(*) AS n_dup FROM e JOIN c USING (h) " +
+          "WHERE c.n >= 2 GROUP BY e.doc_id) " +
+          "SELECT w.doc_id, CAST(len(wh) AS BIGINT) AS n_windows, " +
+          "CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows, " +
+          "round(CASE WHEN len(wh) = 0 THEN 0.0 ELSE CAST(coalesce(n_dup, 0) AS DOUBLE)/len(wh) END, 6) " +
+          "AS dup_frac FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id"),
       "q_dedup_minhash_oph" ->
         (s"WITH $plantedPairCtes SELECT id_a, id_b FROM p WHERE j >= 0.8"),
       // full staged pipeline replayed in SQL: exact-collapse to

@@ -123,6 +123,25 @@ object VectorQueries {
         m = 2, ksub = 4, iters = 1)
     }),
 
+    // binary (sign-bit) quantization: 1 bit per dimension packed into
+    // 32-bit words — the 32× storage format behind Hamming retrieval. Pure
+    // integer construction, so the oracle rebuilds every word with shifts
+    // and sums; words go out joined (driver compare can't hash arrays).
+    "q_vec_binarize" -> ((s, dir) =>
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > lit(0f))).as("n_pos"),
+        array_join(transform(
+          graft.functions.BinaryVectors.signBitsWords(col("embedding")), _.cast("string")),
+          ",").as("words_str"))),
+
+    // Hamming-distance top-3 over the sign-bit words: XOR+popcount per
+    // candidate, ties on cand_id — fully integer, fully SQL-replayable
+    "q_ann_hamming" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      graft.ops.Similarity.hammingTopK(e, e.filter(col("vec_id") < 5), k = 3)
+    }),
+
     // IVF-PQ (IVFADC): coarse cells from the 2 lowest-id seeds, PQ over
     // RESIDUALS (seeded by the 4 lowest-id residuals — the first two are
     // exactly zero since those vectors ARE the cell centers, which the
@@ -205,6 +224,19 @@ object VectorQueries {
         "(SELECT label, generate_subscripts(embedding, 1) AS pos, " +
         "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) " +
         "GROUP BY label, pos"),
+    "q_vec_binarize" ->
+      (s"SELECT vec_id, CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, " +
+        s"array_to_string($signWordsSql, ',') AS words_str FROM embeddings"),
+    "q_ann_hamming" ->
+      (s"WITH wds AS (SELECT vec_id, $signWordsSql AS w FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, w AS qw FROM wds WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS cand_id, w AS cw FROM wds), " +
+        "s AS (SELECT query_id, cand_id, CAST(list_aggregate(list_transform(range(len(qw)), " +
+        "i -> bit_count(xor(qw[i+1], cw[i+1]))), 'sum') AS INT) AS hamming " +
+        "FROM q JOIN c ON cand_id <> query_id) " +
+        "SELECT query_id, cand_id, hamming, CAST(rn AS INT) AS rk FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, cand_id) AS rn " +
+        "FROM s) WHERE rn <= 3"),
     "q_vec_pq" ->
       (s"WITH $pqCodeCtes " +
         "SELECT a0.vec_id, CAST(a0.code AS INT) AS code_0, CAST(a1.code AS INT) AS code_1, " +
@@ -240,6 +272,16 @@ object VectorQueries {
         "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rn " +
         "FROM sc) WHERE rn <= 3")
   )
+
+  /** Sign-bit words of the embeddings table as a DuckDB list expression:
+    * word wi = Σ_k (1 << k) over dimensions 32·wi + k that are > 0 — the
+    * [[graft.functions.SignBitsWordsExpr]] twin (32-bit lanes keep every
+    * word positive in int64, so plain shifts+sums reproduce them). */
+  private def signWordsSql: String =
+    "list_transform(range(0, (len(embedding)+31)//32), wi -> " +
+      "CAST(list_aggregate(list_transform(range(0, least(CAST(32 AS BIGINT), len(embedding)-wi*32)), " +
+      "k -> CASE WHEN embedding[wi*32+k+1] > 0 THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) " +
+      "ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT))"
 
   /** l2² of two DuckDB double lists, same left-to-right accumulation as the
     * Spark kernels. */

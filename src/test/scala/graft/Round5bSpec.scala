@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{BinaryVectors, HashExpressions}
+import graft.ops.{Decontaminate, Dedup, Similarity, TextAnalysis}
+
+/** Round-5 late additions: fully-portable MinHash pipeline, duplicate-span
+  * detection, binary (sign-bit) Hamming retrieval, Bloom decontamination. */
+
+/** Portable shingle hashes + the end-to-end portable LSH pipeline. */
+class PortableMinHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  // codepoint fold: "ab cd" -> ((((97*131+98)*131+32)*131+99)*131+100) mod P
+  private def fold(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 131L + c.toLong) % 2147483647L)
+
+  test("portableShingleHashes: exact values, distinct, sorted") {
+    val rows = Seq("A b c d", "x y", "a b c a b c a b c").toDF("text")
+      .select(HashExpressions.portableShingleHashes(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[Long](0))
+    // "a b c d" -> shingles {"a b c", "b c d"}, lowercased, sorted
+    assert(rows(0) == Seq(fold("a b c"), fold("b c d")).sorted)
+    assert(rows(1) == Seq.empty) // fewer tokens than the shingle size
+    // repeated shingles collapse to the distinct set
+    assert(rows(2) == Seq(fold("a b c"), fold("b c a"), fold("c a b")).sorted)
+  }
+
+  test("portable pipeline: reported pairs are true pairs with exact jaccard") {
+    val docs = Tables(spark, sf(), "documents").filter(col("doc_id") < 200)
+    val got = Dedup.minHashDuplicatePairs(docs, numHashes = 16, numBands = 4,
+      threshold = 0.3, portable = true)
+      .as[(Long, Long, Double)].collect().toSet
+    // exhaustive ground truth over the same portable shingle sets
+    val sh = docs.select(col("doc_id"),
+      HashExpressions.portableShingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val all = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        round(HashExpressions.sortedJaccard(col("a.sh"), col("b.sh")), 6).as("j"))
+      .filter(col("j") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty)
+    // LSH can only miss (banding), never invent or mis-score
+    assert(got.subsetOf(all))
+    val allByPair = all.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (a, b, j) => assert(allByPair((a, b)) == j) }
+  }
+
+  test("portable + onePerm is rejected") {
+    val docs = Tables(spark, sf(), "documents")
+    intercept[IllegalArgumentException] {
+      Dedup.minHashDuplicatePairs(docs, portable = true, onePerm = true)
+    }
+  }
+}
+
+/** Strided rolling-window fingerprints and cross-document span detection. */
+class DuplicateSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fold(xs: Seq[Long]): Long =
+    xs.foldLeft(0L)((h, x) => (h * 131L + x) % 2147483647L)
+  private def tok(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 131L + c.toLong) % 2147483647L)
+
+  test("rollingWindowHashes: exact strided folds") {
+    val out = Seq("a b c d e").toDF("text")
+      .select(HashExpressions.rollingWindowHashes(
+        HashExpressions.portableTokenHashes(col("text")), 3, 2).as("wh"))
+      .collect()(0).getSeq[Long](0)
+    val h = "abcde".map(c => tok(c.toString))
+    // windows at offsets 0 and 2 (offset 4 has only 1 token left)
+    assert(out == Seq(fold(h.slice(0, 3)), fold(h.slice(2, 5))))
+  }
+
+  test("rollingWindowHashes: shorter than width -> empty") {
+    val out = Seq("a b").toDF("text")
+      .select(HashExpressions.rollingWindowHashes(
+        HashExpressions.portableTokenHashes(col("text")), 3, 1).as("wh"))
+      .collect()(0).getSeq[Long](0)
+    assert(out.isEmpty)
+  }
+
+  test("duplicateSpans flags the shared run and only it") {
+    val shared = (1 to 8).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$shared iota kappa lambda mu nu xi omicron pi"),
+      (3L, "rho sigma tau upsilon phi chi psi omega one two three four"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicateSpans(docs, width = 8, stride = 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // docs 1 and 2: first window is the shared 8-token run -> duplicated
+    assert(got(1L)._3 >= 1 && got(2L)._3 >= 1)
+    assert(got(3L)._3 == 0) // unique content
+    assert(got(4L)._2 == 0 && got(4L)._4 == 0.0) // shorter than width
+  }
+
+  test("span kernels compile under strict codegen") {
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = Tables(spark, sf(), "documents")
+        .select(HashExpressions.rollingWindowHashes(
+          HashExpressions.portableTokenHashes(lower(col("text"))), 16, 8).as("wh"))
+        .limit(5).collect()
+      assert(rows.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
+
+/** Sign-bit words, Hamming kernels, and binary top-k retrieval. */
+class BinaryAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("signBitsWords: hand case + bit-parity with packBits bytes") {
+    val hand = Seq(Seq(1.0f, -1.0f, 2.0f)).toDF("v")
+      .select(BinaryVectors.signBitsWords(col("v")).as("w"))
+      .collect()(0).getSeq[Long](0)
+    assert(hand == Seq(5L)) // bits 0 and 2 set
+    val rows = Tables(spark, sf(), "embeddings")
+      .select(BinaryVectors.pack(col("embedding")).as("bytes"),
+        BinaryVectors.signBitsWords(col("embedding")).as("words"),
+        size(col("embedding")).as("d"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      val words = r.getSeq[Long](1)
+      val d = r.getInt(2)
+      (0 until d).foreach { i =>
+        val byteBit = (bytes(i >> 3) >> (i & 7)) & 1
+        val wordBit = ((words(i >> 5) >> (i & 31)) & 1L).toInt
+        assert(byteBit == wordBit, s"bit $i")
+      }
+    }
+  }
+
+  test("wordsHamming == binaryHamming on real embedding pairs") {
+    val e = Tables(spark, sf(), "embeddings")
+      .select(col("vec_id"), BinaryVectors.pack(col("embedding")).as("bytes"),
+        BinaryVectors.signBitsWords(col("embedding")).as("words"))
+    val pairs = e.as("a").join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(
+        BinaryVectors.hamming(col("a.bytes"), col("b.bytes")).as("hb"),
+        BinaryVectors.wordsHamming(col("a.words"), col("b.words")).as("hw"))
+      .as[(Int, Int)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (hb, hw) => assert(hb == hw) }
+  }
+
+  test("hammingTopK matches a driver-side exhaustive rank") {
+    val e = Tables(spark, sf(), "embeddings")
+    val got = Similarity.hammingTopK(e, e.filter(col("vec_id") < 3), k = 3)
+      .as[(Long, Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (id, v) =>
+        id -> v.zipWithIndex.filter(_._1 > 0).map(_._2).toSet
+      }.toMap
+    def ham(a: Set[Int], b: Set[Int]) = (a.diff(b).size + b.diff(a).size)
+    (0L until 3L).foreach { q =>
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, bits) => (id, ham(vecs(q), bits)) }
+        .sortBy { case (id, h) => (h, id) }.take(3)
+      assert(got(q) == expected)
+    }
+  }
+
+  test("binary kernels compile under strict codegen") {
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val e = Tables(spark, sf(), "embeddings")
+      val rows = e.select(BinaryVectors.wordsHamming(
+          BinaryVectors.signBitsWords(col("embedding")),
+          BinaryVectors.signBitsWords(reverse(col("embedding")))).as("h"))
+        .limit(5).collect()
+      assert(rows.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
+
+/** Bloom-filter decontamination: one-sided error vs the exact join. */
+class BloomDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom containment never under-reports, and matches exact at tiny fpp") {
+    val docs = Tables(spark, sf(), "documents")
+    val train = docs.filter(col("doc_id") >= 20)
+    val eval = docs.filter(col("doc_id") < 20)
+    val exact = Decontaminate.containment(train, eval)
+      .select("doc_id", "n_shingles", "n_shared")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val bloom = Decontaminate.bloomContainment(train, eval,
+      expectedShingles = 100000L, fpp = 1e-8)
+      .select("doc_id", "n_shingles", "n_shared")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bloom.keySet == exact.keySet && bloom.nonEmpty)
+    bloom.foreach { case (id, (n, shared)) =>
+      assert(n == exact(id)._1)
+      assert(shared >= exact(id)._2)       // no false negatives, ever
+      assert(shared == exact(id)._2)       // at fpp 1e-8, no false positives either
+    }
+  }
+}
