@@ -92,6 +92,18 @@ object ScaleProbe {
       ops.Decontaminate.containment(
         train = docs.filter(col("doc_id") % 20 =!= 0),
         eval = docs.filter(col("doc_id") % 20 === 0)).count())
+    time("decontaminate (bloom)")(
+      ops.Decontaminate.bloomContainment(
+        train = docs.filter(col("doc_id") % 20 =!= 0),
+        eval = docs.filter(col("doc_id") % 20 === 0),
+        expectedShingles = 10000000L).count())
+    time("duplicate spans")(
+      ops.TextAnalysis.duplicateSpans(docs, width = 16, stride = 8).count())
+    time("minhash pairs (portable)")(
+      ops.Dedup.minHashDuplicatePairs(docs, numHashes = 16, numBands = 4,
+        threshold = 0.3, portable = true).count())
+    time("ann hamming topk")(
+      ops.Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 5), k = 3).count())
     spark.stop()
   }
 }

@@ -154,15 +154,30 @@ object TextAnalysis {
                      textCol: String = "text"): DataFrame = {
     val wh = graft.functions.HashExpressions.rollingWindowHashes(
       graft.functions.HashExpressions.portableTokenHashes(lower(col(textCol))), width, stride)
-    val windows = docs.select(col(idCol), explode_outer(wh).as("h"))
-    val counts = windows.filter(col("h").isNotNull)
-      .groupBy("h").agg(count(lit(1)).as("__n"))
+    // Explicit repartition on the fingerprint: the count aggregate and the
+    // count join-back below both need hash(h) partitioning, and without a
+    // shared exchange each would re-run the scan+tokenize+fingerprint pass
+    // over the corpus — the expensive part (the (id, h) rows are a few
+    // bytes). With it, AQE resolves the second consumer to ReusedExchange:
+    // ONE corpus scan (asserted by the plan spec). Two details make the
+    // subtrees canonicalize equal: (a) count(idCol), not count(1), so both
+    // branches project the same columns through the exchange; (b) docs
+    // shorter than `width` keep a SENTINEL window (-1 — real fingerprints
+    // lie in [0, P)) instead of a null, so the join-back can be INNER: a
+    // left-outer join would infer isnotnull(h) on the build side only,
+    // push it below the exchange, and break the reuse.
+    val windows = docs
+      .select(col(idCol), explode_outer(wh).as("__h0"))
+      .select(col(idCol), coalesce(col("__h0"), lit(-1L)).as("h"))
+      .repartition(col("h"))
+    val counts = windows.groupBy("h").agg(count(col(idCol)).as("__n"))
+    val real = col("h") =!= -1L
     windows
-      .join(counts, Seq("h"), "left_outer")
+      .join(counts, Seq("h"))
       .groupBy(idCol)
       .agg(
-        count(col("h")).as("n_windows"),
-        count(when(col("__n") >= minCount, 1)).as("n_dup_windows"))
+        count(when(real, 1)).as("n_windows"),
+        count(when(real && col("__n") >= minCount, 1)).as("n_dup_windows"))
       .select(col(idCol), col("n_windows"), col("n_dup_windows"),
         round(when(col("n_windows") === 0, 0.0)
           .otherwise(col("n_dup_windows").cast("double") / col("n_windows")), 6).as("dup_frac"))

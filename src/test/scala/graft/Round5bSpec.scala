@@ -97,6 +97,18 @@ class DuplicateSpansSpec extends SparkSpec {
     assert(got(4L)._2 == 0 && got(4L)._4 == 0.0) // shorter than width
   }
 
+  test("corpus is scanned ONCE: count-agg and join-back share one exchange") {
+    val df = TextAnalysis.duplicateSpans(Tables(spark, sf(), "documents"),
+      width = 16, stride = 8)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = finalPlan.split("\n").count(_.contains("rolling_window_hashes"))
+    assert(scans == 1,
+      s"expected exactly 1 rolling_window_hashes projection in the final plan, got $scans")
+    assert(finalPlan.contains("ReusedExchange"), "expected AQE stage reuse in the final plan")
+  }
+
   test("span kernels compile under strict codegen") {
     val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
