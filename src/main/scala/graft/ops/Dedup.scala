@@ -387,6 +387,30 @@ object Dedup {
       .select(col("blk"), col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Binary near-duplicate pairs over sign-bit-quantized embeddings:
+    * block on the low `prefixBits` sign bits (vectors agreeing on the
+    * first dimensions' signs share a bucket — one shuffle, the SimHash
+    * blocking recipe applied to embeddings), then verify full Hamming
+    * distance inside the bucket with the codegen'd XOR+popcount kernel.
+    * The candidate stage never touches the float vectors — sign words are
+    * 32× narrower — and the whole thing is integer math, so a SQL oracle
+    * replays it exactly. For higher recall run again with a rotated
+    * prefix (different dimensions), exactly like [[simHashDuplicatePairs]]. */
+  def binaryNearDupPairs(emb: DataFrame, maxHamming: Int = 16, prefixBits: Int = 8,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(prefixBits > 0 && prefixBits <= 32, "prefix must fit the first sign word")
+    val words = emb.select(col(idCol),
+      graft.functions.BinaryVectors.signBitsWords(col(vecCol)).as("w"))
+      .withColumn("blk", pmod(element_at(col("w"), 1), lit(1L << prefixBits)))
+    val a = words.select(col("blk"), col(idCol).as("id_a"), col("w").as("w_a"))
+    val b = words.select(col("blk"), col(idCol).as("id_b"), col("w").as("w_b"))
+    a.join(b, "blk").filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        graft.functions.BinaryVectors.wordsHamming(col("w_a"), col("w_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Semantic dedup (the SemDeDup recipe): cluster embeddings with k-means
     * and report cosine >= threshold pairs WITHIN each cluster — the blocks
     * come from the data's own geometry instead of a metadata column or

@@ -142,6 +142,13 @@ object VectorQueries {
       graft.ops.Similarity.hammingTopK(e, e.filter(col("vec_id") < 5), k = 3)
     }),
 
+    // blocked binary near-dup pairs: sign-prefix buckets + in-bucket
+    // Hamming verify — the SimHash blocking recipe on embeddings, all
+    // integer math, every stage replayed by the oracle
+    "q_dedup_binary" -> ((s, dir) =>
+      graft.ops.Dedup.binaryNearDupPairs(Tables(s, dir, "embeddings"),
+        maxHamming = 24, prefixBits = 8)),
+
     // IVF-PQ (IVFADC): coarse cells from the 2 lowest-id seeds, PQ over
     // RESIDUALS (seeded by the 4 lowest-id residuals — the first two are
     // exactly zero since those vectors ARE the cell centers, which the
@@ -237,6 +244,14 @@ object VectorQueries {
         "SELECT query_id, cand_id, hamming, CAST(rn AS INT) AS rk FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, cand_id) AS rn " +
         "FROM s) WHERE rn <= 3"),
+    "q_dedup_binary" ->
+      (s"WITH wds AS (SELECT vec_id, $signWordsSql AS w FROM embeddings), " +
+        "b AS (SELECT vec_id, w, w[1] % 256 AS blk FROM wds), " +
+        "p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, " +
+        "CAST(list_aggregate(list_transform(range(len(a.w)), " +
+        "i -> bit_count(xor(a.w[i+1], c.w[i+1]))), 'sum') AS INT) AS hamming " +
+        "FROM b a JOIN b c ON a.blk = c.blk AND a.vec_id < c.vec_id) " +
+        "SELECT id_a, id_b, hamming FROM p WHERE hamming <= 24"),
     "q_vec_pq" ->
       (s"WITH $pqCodeCtes " +
         "SELECT a0.vec_id, CAST(a0.code AS INT) AS code_0, CAST(a1.code AS INT) AS code_1, " +

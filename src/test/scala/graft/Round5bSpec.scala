@@ -184,6 +184,25 @@ class BinaryAnnSpec extends SparkSpec {
     }
   }
 
+  test("binaryNearDupPairs: subset of exhaustive Hamming pairs, exact distances") {
+    val e = Tables(spark, sf(), "embeddings")
+    val got = Dedup.binaryNearDupPairs(e, maxHamming = 24, prefixBits = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (id, v) =>
+        id -> v.zipWithIndex.filter(_._1 > 0).map(_._2).toSet
+      }
+    val exhaustive = (for {
+      (ia, ba) <- vecs; (ib, bb) <- vecs if ia < ib
+      h = ba.diff(bb).size + bb.diff(ba).size if h <= 24
+    } yield (ia, ib, h)).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(exhaustive)) // blocking can miss, never invent
+    // identical sign patterns agree on every prefix -> always found
+    val zeroDist = exhaustive.filter(_._3 == 0)
+    assert(zeroDist.subsetOf(got))
+  }
+
   test("binary kernels compile under strict codegen") {
     val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
