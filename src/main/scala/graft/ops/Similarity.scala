@@ -127,6 +127,29 @@ object Similarity {
       .select("query_id", "cand_id", "hamming", "rk")
   }
 
+  /** Two-stage binary retrieval: Hamming distance over sign bits selects a
+    * `shortlist` per query (the cheap pass — 32× narrower scan), then ONLY
+    * those candidates are re-scored with exact cosine and re-ranked. The
+    * float vectors are joined back for shortlist·|queries| rows, not the
+    * collection — the same shortlist-then-re-rank shape as
+    * [[graft.ops.Quantization.pqTopK]]. With `shortlist` >= |candidates|
+    * the result equals [[bruteForceTopK]] exactly (spec-asserted);
+    * production recall is tuned by widening the shortlist. */
+  def hammingTopKReRank(candidates: DataFrame, queries: DataFrame, k: Int,
+                        shortlist: Int = 50,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val short = hammingTopK(candidates, queries, shortlist, idCol, vecCol)
+      .select("query_id", "cand_id")
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val cv = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    short.join(cv, "cand_id").join(qv, "query_id")
+      .withColumn("score", round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "cand_id", "score", "rk")
+  }
+
   /** LSH near-pair generator (the scale path for cosine near-dedup):
     * pairs sharing a hyperplane bucket, verified by exact cosine. */
   def lshCosinePairs(emb: DataFrame, threshold: Double, bits: Int = 8,

@@ -221,6 +221,80 @@ class BinaryAnnSpec extends SparkSpec {
   }
 }
 
+/** Two-stage binary retrieval: Hamming shortlist, exact-cosine re-rank. */
+class HammingReRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exhaustive shortlist == brute-force top-k exactly") {
+    val e = Tables(spark, sf(), "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val n = e.count().toInt
+    val got = Similarity.hammingTopKReRank(e, q, k = 3, shortlist = n)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val brute = Similarity.bruteForceTopK(e, q, k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(got.nonEmpty && got.sameElements(brute))
+  }
+
+  test("selective shortlist keeps useful recall on real embeddings") {
+    val e = Tables(spark, sf(), "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val got = Similarity.hammingTopKReRank(e, q, k = 3, shortlist = 50)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(e, q, k = 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall") // 50/499 shortlist on near-random vectors
+  }
+}
+
+/** Retry decorator over the transport seam. */
+class RetryingTransportSpec extends SparkSpec {
+  import graft.connectors.vectorstore._
+
+  /** Fails each distinct operation `failures` times, then delegates. */
+  private class FlakyTransport(inner: VectorStoreTransport, failures: Int)
+    extends VectorStoreTransport {
+    val attempts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private def flake[A](k: String)(f: => A): A = {
+      val n = attempts.merge(k, 1L, (a, b) => a + b)
+      if (n <= failures) throw new RuntimeException(s"transient $k #$n")
+      f
+    }
+    override def createCollection(n: String, c: CollectionConfig, r: Boolean): Unit =
+      flake("createCollection")(inner.createCollection(n, c, r))
+    override def exists(n: String): Boolean = flake("exists")(inner.exists(n))
+    override def describe(n: String): Option[CollectionConfig] =
+      flake("describe")(inner.describe(n))
+    override def scroll(n: String, f: Int, p: Int): Seq[VSRecord] =
+      flake("scroll")(inner.scroll(n, f, p))
+    override def count(n: String): Int = flake("count")(inner.count(n))
+    override def upsert(n: String, rs: Seq[VSRecord]): Int = flake("upsert")(inner.upsert(n, rs))
+    override def drop(n: String): Unit = flake("drop")(inner.drop(n))
+  }
+
+  test("transient faults are absorbed; calls land exactly once on the store") {
+    val flaky = new FlakyTransport(InMemoryTransport, failures = 2)
+    val t = RetryingTransport(flaky, maxAttempts = 3, backoffMs = 0)
+    t.createCollection("retry_c", CollectionConfig(dim = 2), recreate = true)
+    assert(t.upsert("retry_c", Seq(VSRecord("a", Array(1f, 2f), Map.empty))) == 1)
+    assert(t.count("retry_c") == 1) // upsert retried but id-keyed -> one record
+    assert(t.scroll("retry_c", 0, 10).map(_.id) == Seq("a"))
+    assert(flaky.attempts.get("upsert") == 3L) // 2 failures + 1 success
+  }
+
+  test("gives up after maxAttempts and missing collections never retry") {
+    val flaky = new FlakyTransport(InMemoryTransport, failures = 5)
+    val t = RetryingTransport(flaky, maxAttempts = 3, backoffMs = 0)
+    intercept[RuntimeException] { t.count("retry_gone") }
+    assert(flaky.attempts.get("count") == 3L)
+    // NoSuchElementException (logic error) is not retried
+    val t2 = RetryingTransport(new FlakyTransport(InMemoryTransport, 0), maxAttempts = 3,
+      backoffMs = 0)
+    intercept[NoSuchElementException] { t2.scroll("retry_missing", 0, 10) }
+  }
+}
+
 /** Bloom-filter decontamination: one-sided error vs the exact join. */
 class BloomDecontaminateSpec extends SparkSpec {
   import spark.implicits._
