@@ -182,4 +182,48 @@ object TextAnalysis {
         round(when(col("n_windows") === 0, 0.0)
           .otherwise(col("n_dup_windows").cast("double") / col("n_windows")), 6).as("dup_frac"))
   }
+
+  /** The remediation half of substring dedup: REWRITE documents by cutting
+    * every non-overlapping `width`-token span whose fingerprint occurs at
+    * least `minCount` times corpus-wide, keeping exactly ONE canonical
+    * occurrence (the lowest (id, position) — deterministic under any
+    * partitioning). Matching is on lowercased tokens; the rewrite emits
+    * the ORIGINAL tokens space-joined. Trailing tokens that don't fill a
+    * window are always kept, and untouched documents pass through with
+    * their text byte-identical.
+    *
+    * Two corpus passes by design: pass 1 ships only (id, position,
+    * fingerprint) rows through one hash-keyed shuffle to decide what to
+    * drop; pass 2 re-reads the text and rebuilds it locally against the
+    * per-doc drop list (output-bound, joined back). The alternative —
+    * carrying the token arrays through the fingerprint shuffle — would
+    * push the whole corpus through the exchange to save a columnar scan
+    * that reads only affected columns; scanning twice is the cheaper side
+    * at any scale where this op matters.
+    *
+    * @return (id, new_text, n_dropped)
+    */
+  def removeDuplicateSpans(docs: DataFrame, width: Int = 16, minCount: Long = 2,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wh = graft.functions.HashExpressions.rollingWindowHashes(
+      graft.functions.HashExpressions.portableTokenHashes(lower(col(textCol))), width, width)
+    val wpos = docs.select(col(idCol), posexplode(wh).as(Seq("j", "h")))
+      .repartition(col("h"))
+    // per fingerprint: occurrence count + the canonical (kept) occurrence;
+    // min(struct) orders by (id, j) lexicographically — deterministic
+    val agg = wpos.groupBy("h").agg(
+      count(col(idCol)).as("__n"),
+      min(struct(col(idCol).as("i"), col("j").as("j"))).as("__canon"))
+    val dropped = wpos.join(agg, "h")
+      .filter(col("__n") >= minCount &&
+        !(col("__canon.i") === col(idCol) && col("__canon.j") === col("j")))
+      .groupBy(idCol).agg(collect_list(col("j")).as("__dj"))
+    val toks = split(trim(col(textCol)), "\\s+")
+    val kept = filter(toks, (_, i) => !array_contains(col("__dj"), (i / width).cast("int")))
+    docs.join(dropped, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__dj").isNull, col(textCol))
+          .otherwise(array_join(kept, " ")).as("new_text"),
+        when(col("__dj").isNull, 0).otherwise(size(col("__dj"))).as("n_dropped"))
+  }
 }

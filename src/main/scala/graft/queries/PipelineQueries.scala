@@ -143,6 +143,11 @@ object PipelineQueries {
     // portable rolling fingerprints per 16-token window, counted corpus-wide
     "q_dedup_spans" -> ((s, dir) =>
       TextAnalysis.duplicateSpans(Tables(s, dir, "documents"), width = 16, stride = 8)),
+    // the remediation half: rewrite docs cutting duplicated non-overlapping
+    // spans, keeping the lowest-(id, pos) occurrence — oracle replays the
+    // fingerprinting, canonical election, and the text surgery itself
+    "q_dedup_span_rewrite" -> ((s, dir) =>
+      TextAnalysis.removeDuplicateSpans(Tables(s, dir, "documents"), width = 16)),
     // pair list → dedup clusters (connected components) on the same planted
     // fixture; the oracle walks the identical pair set with a recursive CTE
     "q_dedup_clusters" -> ((s, dir) => {
@@ -488,6 +493,30 @@ object PipelineQueries {
           "AS jaccard FROM cand JOIN nz a ON a.doc_id = cand.id_a JOIN nz b ON b.doc_id = cand.id_b) " +
           "SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3"
       },
+      "q_dedup_span_rewrite" ->
+        ("WITH d AS (SELECT doc_id, text, " +
+          "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] " +
+          "ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +
+          ltoksSql + " AS ltoks FROM documents), " +
+          s"th AS (SELECT doc_id, text, toks, list_transform(ltoks, t -> ${tokHashSql("t")}) AS th FROM d), " +
+          "w AS (SELECT doc_id, text, toks, list_transform(range(0, CASE WHEN len(th) >= 16 " +
+          "THEN (len(th)-16)//16 + 1 ELSE 0 END), j -> " +
+          "list_reduce(list_prepend(CAST(0 AS BIGINT), th[j*16+1 : j*16+16]), " +
+          "(a, x) -> (a*131 + x) % 2147483647)) AS wh FROM th), " +
+          "e AS (SELECT doc_id, unnest(wh) AS h, unnest(range(0, len(wh))) AS j FROM w), " +
+          "cnt AS (SELECT h, count(*) AS n FROM e GROUP BY h), " +
+          "canon AS (SELECT h, doc_id AS ci, j AS cj FROM (SELECT *, row_number() OVER " +
+          "(PARTITION BY h ORDER BY doc_id, j) AS rn FROM e) WHERE rn = 1), " +
+          "dr AS (SELECT e.doc_id, list(e.j) AS dj FROM e JOIN cnt USING (h) JOIN canon USING (h) " +
+          "WHERE cnt.n >= 2 AND NOT (e.doc_id = canon.ci AND e.j = canon.cj) GROUP BY e.doc_id) " +
+          // coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+          // but a fully-cut doc must become '' (what Spark's array_join emits)
+          "SELECT w.doc_id, CASE WHEN dj IS NULL THEN w.text ELSE " +
+          "coalesce(array_to_string(list_filter(list_transform(range(len(toks)), " +
+          "i -> CASE WHEN NOT list_contains(dj, i//16) THEN toks[i+1] END), " +
+          "x -> x IS NOT NULL), ' '), '') END AS new_text, " +
+          "CAST(coalesce(len(dj), 0) AS INT) AS n_dropped " +
+          "FROM w LEFT JOIN dr ON w.doc_id = dr.doc_id"),
       "q_dedup_spans" ->
         ("WITH d AS (SELECT doc_id, " + ltoksSql + " AS ltoks FROM documents), " +
           s"th AS (SELECT doc_id, list_transform(ltoks, t -> ${tokHashSql("t")}) AS th FROM d), " +

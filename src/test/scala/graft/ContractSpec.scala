@@ -33,7 +33,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("gate size matches the documented inventory") {
-    assert(SparkEntry.queries.size == 103, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 102, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size == 104, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 103, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -97,6 +97,25 @@ class DuplicateSpansSpec extends SparkSpec {
     assert(got(4L)._2 == 0 && got(4L)._4 == 0.0) // shorter than width
   }
 
+  test("removeDuplicateSpans: canonical kept, duplicate cut, case preserved") {
+    val span = (1 to 16).map(i => s"Tok$i").mkString(" ")       // doc 1's casing
+    val spanLower = span.toLowerCase                            // doc 2 differs in case only
+    val docs = Seq(
+      (1L, s"$span alpha beta"),
+      (2L, s"$spanLower gamma delta"),
+      (3L, (100 to 115).map(i => s"uniq$i").mkString(" ") + " tail"),
+      (4L, "short text")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeDuplicateSpans(docs, width = 16)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    // doc 1 is the canonical occurrence: untouched, byte-identical
+    assert(got(1L)._2 == s"$span alpha beta" && got(1L)._3 == 0)
+    // doc 2's window matched (lowercased) and was cut; tail survives
+    assert(got(2L)._2 == "gamma delta" && got(2L)._3 == 1)
+    // unique and short docs pass through
+    assert(got(3L)._3 == 0 && got(3L)._2.endsWith("tail"))
+    assert(got(4L)._2 == "short text" && got(4L)._3 == 0)
+  }
+
   test("corpus is scanned ONCE: count-agg and join-back share one exchange") {
     val df = TextAnalysis.duplicateSpans(Tables(spark, sf(), "documents"),
       width = 16, stride = 8)
@@ -281,6 +300,22 @@ class RetryingTransportSpec extends SparkSpec {
     assert(t.count("retry_c") == 1) // upsert retried but id-keyed -> one record
     assert(t.scroll("retry_c", 0, 10).map(_.id) == Seq("a"))
     assert(flaky.attempts.get("upsert") == 3L) // 2 failures + 1 success
+  }
+
+  test("wraps the registered transport: DSv2 write + scan survive transient faults") {
+    import spark.implicits._
+    import graft.model.Canonical
+    val flaky = new FlakyTransport(InMemoryTransport, failures = 1)
+    val prev = VectorStore.use(RetryingTransport(flaky, maxAttempts = 3, backoffMs = 0))
+    try {
+      (0 until 100).map(i => (i.toString, Seq.fill(4)(i.toFloat), Map("k" -> s"v$i")))
+        .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+        .write.format("graft-qdrant").option("collection", "retry_e2e")
+        .option("recreate", "true").option("batch_size", "32").mode("overwrite").save()
+      val n = spark.read.format("graft-qdrant").option("collection", "retry_e2e")
+        .option("page_size", "40").load().count()
+      assert(n == 100) // every op failed once and was absorbed; ids landed once
+    } finally VectorStore.use(prev)
   }
 
   test("gives up after maxAttempts and missing collections never retry") {
