@@ -183,6 +183,50 @@ object TextAnalysis {
           .otherwise(col("n_dup_windows").cast("double") / col("n_windows")), 6).as("dup_frac"))
   }
 
+  /** CCNet-style language-model quality scoring: per-document perplexity
+    * under a Laplace-smoothed unigram LM trained on the corpus itself
+    * (rare-token documents — boilerplate codes, mojibake, wrong-language
+    * text — surface as high-perplexity outliers). `lm` defaults to the
+    * scored corpus; pass a reference corpus to score against an external
+    * distribution (OOV tokens take the smoothed unseen probability
+    * 1/(T+V), so a disjoint vocabulary still scores finitely).
+    *
+    * Scale shape: the LM is one explode + map-side-combined count
+    * aggregate; scoring joins the token stream to the LM on the token key
+    * (Spark broadcasts it while it fits, shuffles on the well-spread token
+    * key beyond that) and reduces per document. Determinism across
+    * engines/partitionings: each token's log-probability is rounded to a
+    * 1e-6-scaled long, so the per-doc sum is exact integer math — a plain
+    * `sum(double)` would depend on aggregation order.
+    *
+    * @return (id, n_tokens, ppl) for every input document; token-less
+    *         documents score ppl 0.0 by convention.
+    */
+  def unigramPerplexity(docs: DataFrame, lm: Option[DataFrame] = None,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def tokenRows(d: DataFrame, cols: org.apache.spark.sql.Column*) =
+      d.select(cols :+ explode(TextFunctions.tokens(lower(col(textCol)))).as("token"): _*)
+    val counts = tokenRows(lm.getOrElse(docs)).groupBy("token").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    // scaled log-probs: seen tokens ln((c+1)/(T+V)), the unseen floor ln(1/(T+V))
+    val lp = counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round(log((col("c") + 1).cast("double") / (col("t") + col("v"))) * 1e6)
+          .cast("long").as("lp6"))
+    val scored = tokenRows(docs, col(idCol))
+      .join(lp, Seq("token"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("lp6"),
+          round(log(lit(1.0) / (col("t") + col("v"))) * 1e6).cast("long"))).as("slp"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(round(exp(-col("slp").cast("double") / 1e6 / col("n_tokens")), 6),
+          lit(0.0)).as("ppl"))
+  }
+
   /** The remediation half of substring dedup: REWRITE documents by cutting
     * every non-overlapping `width`-token span whose fingerprint occurs at
     * least `minCount` times corpus-wide, keeping exactly ONE canonical

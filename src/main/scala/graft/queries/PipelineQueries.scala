@@ -79,6 +79,16 @@ object PipelineQueries {
       TextAnalysis.vocabulary(Tables(s, dir, "documents"), topK = 100)),
     // Gopher/C4-style intra-document repetition metrics
     "q_text_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables(s, dir, "documents"))),
+    // CCNet-style unigram-LM perplexity scoring (LM trained on the corpus
+    // itself); per-token log-probs are 1e-6-scaled longs so the per-doc
+    // sum is exact integer math — order-independent, hence oracle-able
+    "q_text_perplexity" -> ((s, dir) =>
+      TextAnalysis.unigramPerplexity(Tables(s, dir, "documents"))),
+    // BM25 keyword top-k (posting-list plan: map-side term filter,
+    // broadcast df + corpus stats, TakeOrdered ranking)
+    "q_search_bm25" -> ((s, dir) =>
+      TextSearch.bm25Search(Tables(s, dir, "documents"),
+        queryTerms = Seq("spark", "vector", "merge", "window"), k = 10)),
     // PII scrub over documents salted with synthetic email/IP/phone built
     // from doc_id — every row exercises all three rewrite rules, and the
     // oracle applies the identical RE2 patterns
@@ -398,6 +408,40 @@ object PipelineQueries {
           "SELECT b.doc_id, n_bigrams, dup_bigram_ratio, dup_5gram_ratio, " +
           "coalesce(top_bigram_frac, 0.0) AS top_bigram_frac " +
           "FROM base b LEFT JOIN tp ON b.doc_id = tp.doc_id"),
+      "q_text_perplexity" ->
+        // same Laplace-smoothed unigram LM; lp6/slp are scaled-integer
+        // log-probs so the per-doc sum cannot drift with aggregation order
+        ("WITH d AS (SELECT doc_id, " + ltoksSql + " AS ltoks FROM documents), " +
+          "tok AS (SELECT doc_id, unnest(ltoks) AS token FROM d), " +
+          "c AS (SELECT token, count(*) AS c FROM tok GROUP BY token), " +
+          "t AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM c), " +
+          "lm AS (SELECT token, CAST(round(ln(CAST(c+1 AS DOUBLE)/(t+v)) * 1000000.0, 0) " +
+          "AS BIGINT) AS lp6 FROM c, t), " +
+          "s AS (SELECT tok.doc_id, count(*) AS n_tokens, CAST(sum(lp6) AS BIGINT) AS slp " +
+          "FROM tok JOIN lm USING (token) GROUP BY tok.doc_id) " +
+          "SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, " +
+          "coalesce(round(exp(-CAST(slp AS DOUBLE)/1000000.0/n_tokens), 6), 0.0) AS ppl " +
+          "FROM d LEFT JOIN s ON d.doc_id = s.doc_id"),
+      "q_search_bm25" -> {
+        // constants interpolated from the same Scala doubles the Spark
+        // side computes with (toString round-trips exactly)
+        val (k1, b) = (1.2, 0.75)
+        val terms = sqlList(Seq("spark", "vector", "merge", "window"))
+        "WITH d AS (SELECT doc_id, " + ltoksSql + " AS ltoks FROM documents), " +
+          "l AS (SELECT doc_id, len(ltoks) AS dl, ltoks FROM d), " +
+          "st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM l), " +
+          s"p AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf FROM " +
+          s"(SELECT doc_id, dl, unnest(ltoks) AS term FROM l) WHERE term IN $terms " +
+          "GROUP BY doc_id, term), " +
+          "dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term), " +
+          "w AS (SELECT p.doc_id, CAST(round(" +
+          "ln((n_docs - df + 0.5)/(df + 0.5) + 1) * " +
+          s"(tf * ${k1 + 1}) / (tf + $k1 * (${1 - b} + $b * p.dl / avgdl)) " +
+          "* 1000000.0, 0) AS BIGINT) AS w6 FROM p JOIN dfq USING (term), st) " +
+          "SELECT doc_id, round(CAST(sum(w6) AS DOUBLE)/1000000.0, 6) AS score, " +
+          "CAST(count(*) AS BIGINT) AS n_terms_matched FROM w GROUP BY doc_id " +
+          "ORDER BY score DESC, doc_id LIMIT 10"
+      },
       "q_text_redact" ->
         ("WITH s AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
           "'@mail.example.org from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || " +

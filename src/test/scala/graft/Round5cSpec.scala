@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextAnalysis, TextSearch}
+
+/** Round-5 third-session additions: BM25 keyword retrieval and
+  * unigram-LM perplexity scoring. */
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark spark engine"),          // high tf for 'spark'
+    (2L, "spark engine for big data " + Seq.fill(40)("pad").mkString(" ")), // long doc: length-normalized down
+    (3L, "vector search engine"),              // matches rare term only
+    (4L, "nothing relevant here"),
+    (5L, "spark vector")).toDF("doc_id", "text")
+
+  test("ranking follows tf, idf, and length normalization") {
+    val got = TextSearch.bm25Search(docs, Seq("spark", "vector"), k = 5)
+      .as[(Long, Double, Long)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 4 matches nothing — absent
+    assert(!byId.contains(4L) && got.length == 4)
+    // both-term doc beats any single-term doc ('vector' is rarer → higher idf)
+    assert(got.head._1 == 5L && byId(5L)._3 == 2)
+    // same tf for 'spark' at doc 2 vs higher tf at doc 1, and doc 2 is much
+    // longer: doc 1 must outrank doc 2
+    assert(byId(1L)._2 > byId(2L)._2)
+    // scores descend in emitted order; ties impossible on this fixture
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("k truncates after ranking; scores are deterministic longs/1e6") {
+    val got = TextSearch.bm25Search(docs, Seq("spark", "vector"), k = 2)
+      .as[(Long, Double, Long)].collect()
+    assert(got.length == 2 && got.head._1 == 5L)
+    // every score is an exact multiple of 1e-6 (integer-sum construction)
+    got.foreach(r => assert((r._2 * 1e6).round / 1e6 == r._2))
+  }
+
+  test("query terms are lowercased and deduped") {
+    val a = TextSearch.bm25Search(docs, Seq("SPARK", "spark"), k = 5)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    val b = TextSearch.bm25Search(docs, Seq("spark"), k = 5)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(a == b)
+  }
+
+  test("plan: ranking is a TakeOrdered, not a global sort") {
+    val plan = TextSearch.bm25Search(docs, Seq("spark"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
+
+class PerplexitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repeated-token docs score low, rare-token docs high, empty docs 0") {
+    val docs = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "the quick brown fox jumps over lazy dogs"),
+      (3L, ""),
+      (4L, "the the quick quick")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramPerplexity(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 4)                       // every doc present
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
+    // all-common-token doc has the lowest perplexity; the doc of singletons
+    // the highest
+    assert(got(1L)._3 < got(4L)._3 && got(4L)._3 < got(2L)._3)
+  }
+
+  test("hand-computed value on a two-token corpus") {
+    // corpus: "a a a b" → counts a=3, b=1; T=4, V=2
+    // p(a)=(3+1)/6, p(b)=(1+1)/6; lp6 = round(ln(p)*1e6)
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val lpA = math.round(math.log(4.0 / 6) * 1e6)
+    val lpB = math.round(math.log(2.0 / 6) * 1e6)
+    val expected = BigDecimal(math.exp(-(3 * lpA + lpB).toDouble / 1e6 / 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.unigramPerplexity(docs)
+      .as[(Long, Long, Double)].collect().head
+    assert(got._2 == 4L && got._3 == expected)
+  }
+
+  test("external LM: OOV tokens take the smoothed unseen probability") {
+    val lm = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+    val eval = Seq((1L, "alpha zzz")).toDF("doc_id", "text")
+    // T=3, V=3: p(alpha)=(1+1)/6, p(zzz)=1/6 (unseen floor)
+    val lpSeen = math.round(math.log(2.0 / 6) * 1e6)
+    val lpOov = math.round(math.log(1.0 / 6) * 1e6)
+    val expected = BigDecimal(math.exp(-(lpSeen + lpOov).toDouble / 1e6 / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.unigramPerplexity(eval, lm = Some(lm))
+      .as[(Long, Long, Double)].collect().head
+    assert(got._2 == 2L && got._3 == expected)
+  }
+
+  test("deterministic under repartitioning (scaled-integer sums)") {
+    val docs = Tables(spark, sf(), "documents").limit(200)
+    val a = TextAnalysis.unigramPerplexity(docs.repartition(1))
+      .as[(Long, Long, Double)].collect().toSet
+    val b = TextAnalysis.unigramPerplexity(docs.repartition(17))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+}
