@@ -104,6 +104,14 @@ object ScaleProbe {
         threshold = 0.3, portable = true).count())
     time("ann hamming topk")(
       ops.Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 5), k = 3).count())
+    time("span rewrite")(
+      ops.TextAnalysis.removeDuplicateSpans(docs, width = 16)
+        .filter(col("n_dropped") >= 0).count())
+    time("bm25 search")(
+      ops.TextSearch.bm25Search(docs,
+        Seq("spark", "vector", "merge", "window"), k = 100).count())
+    time("unigram perplexity")(
+      ops.TextAnalysis.unigramPerplexity(docs).filter(col("ppl") >= 0).count())
     spark.stop()
   }
 }

@@ -119,4 +119,25 @@ object Sampling {
         floor(col("__rate") * lit(PortableP.toDouble)).cast("long"))
       .drop("__rate")
   }
+
+  /** EXACTLY `k` rows per group (fewer if the group is smaller),
+    * deterministically: rank rows within each group by their portable id
+    * hash (ties broken by id) and keep rank <= k. This is the eval-set
+    * carving primitive — "give me 1000 uniform docs per language" — where
+    * a fractional rate can't hit an exact count and `Dataset.sample` isn't
+    * reproducible across partitionings.
+    *
+    * Scale shape: one shuffle on the group key and a per-group sort —
+    * fine for the many-small-groups case this targets. A group so hot it
+    * dominates a partition would need a two-pass rank-threshold refinement
+    * (compute the k-th hash per group first, then filter); not needed
+    * until a single group approaches executor memory. */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, k: Int,
+                      idCol: String, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(portableBucket(col(idCol), seed), col(idCol))
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
+  }
 }

@@ -35,15 +35,21 @@ object TextSearch {
     require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
     val terms = queryTerms.map(_.toLowerCase).distinct
     val toks = TextFunctions.tokens(lower(col(textCol)))
-    // corpus stats: ONE cheap aggregate over the pruned (id, dl) scan,
-    // broadcast as a 1-row frame (no collect)
-    val stats = docs.select(size(toks).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    // posting rows: the isin filter drops non-query tokens map-side, so
-    // the shuffle carries only |terms|·df rows however wide the corpus is
-    val posting = docs
-      .select(col(idCol), size(toks).as("dl"), explode(toks).as("term"))
-      .filter(col("term").isin(terms: _*))
+    // ONE corpus scan: per doc, its length and the multiset of matching
+    // query tokens (usually empty — the filter runs inside the scan
+    // projection). Staged (Materialize = localCheckpoint, or reliable
+    // checkpoint when configured) because three consumers need it — corpus
+    // stats, term document-frequencies, and the score join; re-running the
+    // lineage would re-tokenize the full text column per consumer, and at
+    // scale the (id, int, tiny-array) sliver is orders of magnitude
+    // narrower than the text it derives from.
+    val base = Materialize(docs.select(col(idCol), size(toks).as("dl"),
+      filter(toks, t => t.isin(terms: _*)).as("__mt")))
+    // corpus stats broadcast as a 1-row frame (no collect)
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // posting rows: only |terms|·df rows reach the shuffle
+    val posting = base
+      .select(col(idCol), col("dl"), explode(col("__mt")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
     val dfreq = posting.groupBy("term").agg(count_distinct(col(idCol)).as("df"))

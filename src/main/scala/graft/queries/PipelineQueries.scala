@@ -240,6 +240,11 @@ object PipelineQueries {
         Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.1), idCol = "doc_id")
         .select("doc_id", "lang")),
 
+    // ---- Exact-k uniform sample per stratum (eval-set carving) ----
+    "q_sample_k_per_group" -> ((s, dir) =>
+      Sampling.sampleKPerGroup(Tables(s, dir, "documents"), "lang", k = 30, idCol = "doc_id")
+        .select("doc_id", "lang")),
+
     // ---- Eval decontamination: benchmark-leakage check ----
     "q_decontaminate" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -613,6 +618,10 @@ object PipelineQueries {
           "((doc_id % 2147483647) * 2654435761 + 42) % 2147483647 < " +
           "CAST(floor((CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 " +
           "WHEN 'fr' THEN 0.1 ELSE 0.0 END) * 2147483647.0) AS BIGINT)"),
+      "q_sample_k_per_group" ->
+        ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER " +
+          "(PARTITION BY lang ORDER BY ((doc_id % 2147483647) * 2654435761 + 42) " +
+          "% 2147483647, doc_id) AS rk FROM documents) WHERE rk <= 30"),
       "q_sessionize" ->
         ("WITH e AS (SELECT user_id, event_id, value, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
           "w AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e), " +

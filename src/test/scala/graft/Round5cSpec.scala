@@ -54,6 +54,32 @@ class Bm25Spec extends SparkSpec {
   }
 }
 
+class SampleKPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Sampling
+
+  test("exactly k per large group, whole group when smaller, deterministic") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 105).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val got = Sampling.sampleKPerGroup(df, "grp", k = 10, idCol = "id")
+      .as[(Long, String)].collect()
+    assert(got.count(_._2 == "big") == 10)
+    assert(got.count(_._2 == "small") == 5) // smaller than k: kept whole
+    // stable under repartitioning (hash-rank, not partition order)
+    val again = Sampling.sampleKPerGroup(df.repartition(13), "grp", k = 10, idCol = "id")
+      .as[(Long, String)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
+  test("sample is hash-uniform, not id-prefix-biased") {
+    val df = (1 to 1000).map(i => (i.toLong, "g")).toDF("id", "grp")
+    val ids = Sampling.sampleKPerGroup(df, "grp", k = 100, idCol = "id")
+      .as[(Long, String)].collect().map(_._1)
+    // a prefix-biased sampler would take ids 1..100; hash-rank spreads them
+    assert(ids.max > 500 && ids.min < 500)
+  }
+}
+
 class PerplexitySpec extends SparkSpec {
   import spark.implicits._
 
