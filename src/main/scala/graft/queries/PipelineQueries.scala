@@ -269,6 +269,11 @@ object PipelineQueries {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), "doc_id")
         .select("doc_id", "source")),
 
+    // ---- PCA audit face: the full population covariance matrix of the
+    //      embedding column, scaled-integer sums → order-independent ----
+    "q_vec_cov" -> ((s, dir) =>
+      Pca.covariancePortable(Tables(s, dir, "embeddings"))),
+
     // ---- Array functions ----
     "q_fn_array" -> ((s, dir) =>
       Tables(s, dir, "embeddings").select(
@@ -711,6 +716,18 @@ object PipelineQueries {
           "SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source " +
           "WHERE ((d.doc_id % 2147483647) * 2654435761 + 42) % 2147483647 < " +
           "CAST(floor(rate * 2147483647.0) AS BIGINT)"),
+      "q_vec_cov" ->
+        // parallel unnest pairs (index, value); the self-join enumerates
+        // the same d² grid Spark's double posexplode does
+        ("WITH xi AS (SELECT vec_id, unnest(range(len(embedding))) AS i, " +
+          "unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings), " +
+          "p AS (SELECT a.i AS i, b.i AS j, a.x AS x, b.x AS y " +
+          "FROM xi a JOIN xi b USING (vec_id)), " +
+          "s AS (SELECT i, j, count(*) AS n, " +
+          "CAST(sum(CAST(round(x * y * 68719476736.0, 0) AS BIGINT)) AS BIGINT) AS sxy, " +
+          "sum(x) AS sx, sum(y) AS sy FROM p GROUP BY i, j) " +
+          "SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, " +
+          "round((CAST(sxy AS DOUBLE) / 68719476736.0 - sx * sy / n) / n, 6) AS cov FROM s"),
       "q_fn_array" ->
         ("SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS arr_first, " +
           "round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS arr_last, " +

@@ -54,6 +54,74 @@ class Bm25Spec extends SparkSpec {
   }
 }
 
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Pca
+
+  // planted anisotropic cloud in d=4: variance concentrated along `dir`
+  private val dir = Array(0.5, 0.5, 0.5, 0.5)
+  private def planted = (1 to 400).map { i =>
+    val t = (i % 40 - 20) * 0.5                       // dominant coordinate
+    val eps = Array(i % 3 - 1, i % 5 - 2, i % 7 - 3, 0.0).map(_ * 0.02)
+    (i.toLong, dir.zip(eps).map { case (u, e) => (u * t + e).toFloat }.toSeq)
+  }.toDF("vec_id", "embedding")
+
+  test("fit recovers the planted principal direction") {
+    val m = Pca.fit(planted, k = 2)
+    val cos = m.components(0).zip(dir).map { case (a, b) => a * b }.sum /
+      math.sqrt(m.components(0).map(x => x * x).sum)
+    assert(math.abs(cos) > 0.999, cos.toString)
+    // dominant eigenvalue carries almost all variance
+    assert(m.eigenvalues(0) > 20 * m.eigenvalues(1))
+    // sign convention: largest-|entry| coordinate positive
+    val v = m.components(0)
+    assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0)
+  }
+
+  test("transform: projections are centered with variance = eigenvalues") {
+    val m = Pca.fit(planted, k = 2)
+    val p = Pca.transform(planted, m).as[(Long, Seq[Double])].collect()
+    val n = p.length
+    for (c <- 0 until 2) {
+      val xs = p.map(_._2(c))
+      val mean = xs.sum / n
+      val varc = xs.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(mean) < 1e-9, s"component $c not centered: $mean")
+      assert(math.abs(varc - m.eigenvalues(c)) < 1e-6 * math.max(1, m.eigenvalues(c)),
+        s"component $c variance $varc != ${m.eigenvalues(c)}")
+    }
+  }
+
+  test("covariancePortable equals the brute-force matrix") {
+    val rows = planted.as[(Long, Seq[Float])].collect().map(_._2.map(_.toDouble).toArray)
+    val n = rows.length
+    val d = rows(0).length
+    val mean = Array.tabulate(d)(i => rows.map(_(i)).sum / n)
+    val got = Pca.covariancePortable(planted).as[(Int, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size == d * d)
+    for (i <- 0 until d; j <- 0 until d) {
+      val exact = rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n
+      assert(math.abs(got((i, j)) - exact) < 2e-6, s"($i,$j): ${got((i, j))} vs $exact")
+    }
+  }
+
+  test("fit agrees with the portable covariance path and is partition-stable") {
+    val emb = Tables(spark, sf(), "embeddings")
+    val a = Pca.fit(emb, k = 3)
+    val b = Pca.fit(emb.repartition(17), k = 3)
+    // eigenvalues from the one-pass moment path match across partitionings
+    a.eigenvalues.zip(b.eigenvalues).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-8 * math.max(1, math.abs(x)))
+    }
+    // trace of the portable covariance == sum of ALL eigenvalues: check the
+    // top-3 are each <= trace and positive (sanity tie between the faces)
+    val trace = Pca.covariancePortable(emb).filter(col("i") === col("j"))
+      .agg(sum("cov")).as[Double].collect().head
+    assert(a.eigenvalues.forall(e => e > 0 && e <= trace + 1e-6))
+  }
+}
+
 class SampleKPerGroupSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Sampling
