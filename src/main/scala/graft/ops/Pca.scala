@@ -82,13 +82,21 @@ object Pca {
 
   /** Project onto the model's first `k` components (all when k <= 0):
     * (x − μ)·vc = x·vc − μ·vc, one codegen'd dot per component with the
-    * μ·vc bias folded to a scalar — a pure map, no shuffle.
+    * μ·vc bias folded to a scalar — a pure map, no shuffle. With
+    * `whiten`, each projection is divided by √eigenvalue (folded into the
+    * component literal, so the kernel count is unchanged): unit variance
+    * per axis, the preprocessing isotropic quantizers and cosine metrics
+    * want. Components with ~zero variance are left unscaled rather than
+    * exploding noise.
     * @return (id, pca: array<double>) */
-  def transform(df: DataFrame, model: PcaModel, k: Int = -1,
+  def transform(df: DataFrame, model: PcaModel, k: Int = -1, whiten: Boolean = false,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val kk = if (k <= 0) model.components.length else math.min(k, model.components.length)
     val proj = (0 until kk).map { c =>
-      val comp = model.components(c)
+      val scale =
+        if (whiten && model.eigenvalues(c) > 1e-12) 1.0 / math.sqrt(model.eigenvalues(c))
+        else 1.0
+      val comp = model.components(c).map(_ * scale)
       val bias = comp.zip(model.mean).map { case (w, mu) => w * mu }.sum
       VectorExpressions.dot(col(vecCol), lit(comp)) - lit(bias)
     }

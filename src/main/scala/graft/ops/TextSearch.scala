@@ -67,4 +67,52 @@ object TextSearch {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Hybrid lexical + vector retrieval via reciprocal-rank fusion
+    * (Cormack et al. 2009): take the top `nCand` by BM25 and the top
+    * `nCand` by cosine against `queryVec`, score each doc
+    * Σ 1/(rrfK + rank) over the lists it appears in, return the fused
+    * top `k`. RRF needs no score calibration between the two systems —
+    * only ranks — which is what makes it the default fusion baseline.
+    *
+    * Scale shape: both candidate stages are TakeOrdered(nCand) (the
+    * cosine side is one codegen'd kernel pass — swap in `Similarity`'s
+    * LSH/IVF/PQ route when brute force stops being the right candidate
+    * generator); the fusion then joins two nCand-row lists — driver-scale
+    * inputs, executor-side execution. Determinism: ranks are exact ints,
+    * 1/(rrfK+rank) is a single IEEE division, and a two-term double sum
+    * is order-independent, so the fused scores are engine-portable.
+    *
+    * @return (id, rrf, rank_text, rank_vec) — rank 0 = absent from that
+    *         candidate list (1-based otherwise; 0 keeps the column
+    *         non-null for downstream schema stability).
+    */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+                 queryVec: Array[Double], k: Int = 10, nCand: Int = 50, rrfK: Int = 60,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 embIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // both lists are <= nCand rows: the single-partition rank window is
+    // driver-scale by construction, AFTER the distributed TakeOrdered
+    val tRank = bm25Search(docs, queryTerms, k = nCand, idCol = idCol, textCol = textCol)
+      .select(col(idCol).as("id"), col("score"))
+      .withColumn("rank_text",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+    val vRank = emb
+      .select(col(embIdCol).as("id"),
+        round(graft.functions.VectorExpressions.cosine(col(vecCol), lit(queryVec)), 6)
+          .as("vscore"))
+      .orderBy(col("vscore").desc, col("id")).limit(nCand)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(col("vscore").desc, col("id"))))
+    tRank.select(col("id"), col("rank_text"))
+      .join(vRank.select(col("id"), col("rank_vec")), Seq("id"), "full_outer")
+      .select(col("id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)), 6).as("rrf"),
+        coalesce(col("rank_text"), lit(0)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(0)).as("rank_vec"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -45,6 +45,33 @@ object PipelineQueries {
     "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
 
+  // shared by the search gates (Spark call sites AND oracle SQL)
+  private val SearchTerms = Seq("spark", "vector", "merge", "window")
+  // fixture-dim (64) synthetic query vector for the hybrid gate
+  private val HybridQueryVec = Array.tabulate(64)(i => ((i % 7) + 1).toDouble)
+
+  // BM25 oracle, split so the hybrid gate can reuse the CTE chain.
+  // Constants interpolated from the same Scala doubles the Spark side
+  // computes with (toString round-trips exactly).
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private def bm25Ctes: String =
+    "bd AS (SELECT doc_id, " + ltoksSql + " AS ltoks FROM documents), " +
+      "bl AS (SELECT doc_id, len(ltoks) AS dl, ltoks FROM bd), " +
+      "bst AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM bl), " +
+      s"bp AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf FROM " +
+      s"(SELECT doc_id, dl, unnest(ltoks) AS term FROM bl) WHERE term IN ${sqlList(SearchTerms)} " +
+      "GROUP BY doc_id, term), " +
+      "bdf AS (SELECT term, count(*) AS df FROM bp GROUP BY term), " +
+      "bw AS (SELECT bp.doc_id, CAST(round(" +
+      "ln((n_docs - df + 0.5)/(df + 0.5) + 1) * " +
+      s"(tf * ${bm25K1 + 1}) / (tf + $bm25K1 * (${1 - bm25B} + $bm25B * bp.dl / avgdl)) " +
+      "* 1000000.0, 0) AS BIGINT) AS w6 FROM bp JOIN bdf USING (term), bst)"
+  private def bm25Select(limit: Int): String =
+    "SELECT doc_id, round(CAST(sum(w6) AS DOUBLE)/1000000.0, 6) AS score, " +
+      "CAST(count(*) AS BIGINT) AS n_terms_matched FROM bw GROUP BY doc_id " +
+      s"ORDER BY score DESC, doc_id LIMIT $limit"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- T1 transform parity: metadata enrichment (add_source_tracking) ----
     "q_transform_enrich" -> ((s, dir) =>
@@ -88,7 +115,13 @@ object PipelineQueries {
     // broadcast df + corpus stats, TakeOrdered ranking)
     "q_search_bm25" -> ((s, dir) =>
       TextSearch.bm25Search(Tables(s, dir, "documents"),
-        queryTerms = Seq("spark", "vector", "merge", "window"), k = 10)),
+        queryTerms = SearchTerms, k = 10)),
+    // hybrid lexical+vector retrieval: reciprocal-rank fusion of the BM25
+    // list and the cosine list vs a fixed query vector — both rankings
+    // and the fused scores replayed in SQL end to end
+    "q_search_hybrid" -> ((s, dir) =>
+      TextSearch.hybridTopK(Tables(s, dir, "documents"), Tables(s, dir, "embeddings"),
+        queryTerms = SearchTerms, queryVec = HybridQueryVec, k = 10)),
     // PII scrub over documents salted with synthetic email/IP/phone built
     // from doc_id — every row exercises all three rewrite rules, and the
     // oracle applies the identical RE2 patterns
@@ -432,25 +465,23 @@ object PipelineQueries {
           "SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, " +
           "coalesce(round(exp(-CAST(slp AS DOUBLE)/1000000.0/n_tokens), 6), 0.0) AS ppl " +
           "FROM d LEFT JOIN s ON d.doc_id = s.doc_id"),
-      "q_search_bm25" -> {
-        // constants interpolated from the same Scala doubles the Spark
-        // side computes with (toString round-trips exactly)
-        val (k1, b) = (1.2, 0.75)
-        val terms = sqlList(Seq("spark", "vector", "merge", "window"))
-        "WITH d AS (SELECT doc_id, " + ltoksSql + " AS ltoks FROM documents), " +
-          "l AS (SELECT doc_id, len(ltoks) AS dl, ltoks FROM d), " +
-          "st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM l), " +
-          s"p AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf FROM " +
-          s"(SELECT doc_id, dl, unnest(ltoks) AS term FROM l) WHERE term IN $terms " +
-          "GROUP BY doc_id, term), " +
-          "dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term), " +
-          "w AS (SELECT p.doc_id, CAST(round(" +
-          "ln((n_docs - df + 0.5)/(df + 0.5) + 1) * " +
-          s"(tf * ${k1 + 1}) / (tf + $k1 * (${1 - b} + $b * p.dl / avgdl)) " +
-          "* 1000000.0, 0) AS BIGINT) AS w6 FROM p JOIN dfq USING (term), st) " +
-          "SELECT doc_id, round(CAST(sum(w6) AS DOUBLE)/1000000.0, 6) AS score, " +
-          "CAST(count(*) AS BIGINT) AS n_terms_matched FROM w GROUP BY doc_id " +
-          "ORDER BY score DESC, doc_id LIMIT 10"
+      "q_search_bm25" -> s"WITH $bm25Ctes ${bm25Select(10)}",
+      "q_search_hybrid" -> {
+        val qvLit = HybridQueryVec.mkString("[", ",", "]")
+        s"WITH $bm25Ctes, " +
+          s"t0 AS (${bm25Select(50)}), " +
+          "t AS (SELECT doc_id AS id, row_number() OVER " +
+          "(ORDER BY score DESC, doc_id) AS rank_text FROM t0), " +
+          s"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, CAST($qvLit AS DOUBLE[]) AS qv " +
+          "FROM embeddings), " +
+          s"v0 AS (SELECT vec_id AS id, round(${cosSql("cv", "qv")}, 6) AS vscore " +
+          "FROM e ORDER BY vscore DESC, id LIMIT 50), " +
+          "v AS (SELECT id, row_number() OVER (ORDER BY vscore DESC, id) AS rank_vec FROM v0) " +
+          "SELECT id, round(coalesce(1.0/(60 + rank_text), 0.0) + " +
+          "coalesce(1.0/(60 + rank_vec), 0.0), 6) AS rrf, " +
+          "CAST(coalesce(rank_text, 0) AS INT) AS rank_text, " +
+          "CAST(coalesce(rank_vec, 0) AS INT) AS rank_vec " +
+          "FROM t FULL JOIN v USING (id) ORDER BY rrf DESC, id LIMIT 10"
       },
       "q_text_redact" ->
         ("WITH s AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +

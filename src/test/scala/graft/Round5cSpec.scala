@@ -54,6 +54,45 @@ class Bm25Spec extends SparkSpec {
   }
 }
 
+class HybridSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark spark"),
+    (2L, "spark engine"),
+    (3L, "unrelated words only"),
+    (4L, "entirely different content")).toDF("doc_id", "text")
+  private val emb = Seq(
+    (1L, Seq(0.0f, 1.0f)),   // orthogonal to query
+    (2L, Seq(0.9f, 0.1f)),
+    (3L, Seq(1.0f, 0.0f)),   // exact match to query vector
+    (4L, Seq(0.7f, 0.7f))).toDF("vec_id", "embedding")
+  private val qv = Array(1.0, 0.0)
+
+  test("doc ranked well by both systems wins; single-list docs still score") {
+    val got = TextSearch.hybridTopK(docs, emb, Seq("spark"), qv, k = 4)
+      .as[(Long, Double, Int, Int)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 2: rank 2 lexically, rank 2 by vector — beats doc 3 (vector rank 1
+    // only) and doc 1 (text rank 1 only): 2/62 > 1/61
+    assert(got.head._1 == 2L, got.mkString(", "))
+    assert(byId(2L)._3 == 2 && byId(2L)._4 == 2)
+    // absent ranks are 0 and contribute nothing
+    assert(byId(3L)._3 == 0 && byId(3L)._4 == 1)
+    assert(byId(1L)._3 == 1)
+    // rrf of a two-list doc is the exact two-term sum
+    assert(math.abs(byId(2L)._2 - BigDecimal(1.0 / 62 + 1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("nCand bounds both candidate lists") {
+    val got = TextSearch.hybridTopK(docs, emb, Seq("spark"), qv, k = 10, nCand = 1)
+      .as[(Long, Double, Int, Int)].collect()
+    // only doc 1 (text rank 1) and doc 3 (vector rank 1) survive
+    assert(got.map(_._1).toSet == Set(1L, 3L))
+  }
+}
+
 class PcaSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Pca
@@ -89,6 +128,18 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(mean) < 1e-9, s"component $c not centered: $mean")
       assert(math.abs(varc - m.eigenvalues(c)) < 1e-6 * math.max(1, m.eigenvalues(c)),
         s"component $c variance $varc != ${m.eigenvalues(c)}")
+    }
+  }
+
+  test("whitened projections have unit variance per axis") {
+    val m = Pca.fit(planted, k = 2)
+    val p = Pca.transform(planted, m, whiten = true).as[(Long, Seq[Double])].collect()
+    val n = p.length
+    for (c <- 0 until 2) {
+      val xs = p.map(_._2(c))
+      val mean = xs.sum / n
+      val varc = xs.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(varc - 1.0) < 1e-6, s"component $c variance $varc != 1")
     }
   }
 
