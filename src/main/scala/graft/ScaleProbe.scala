@@ -112,6 +112,15 @@ object ScaleProbe {
         Seq("spark", "vector", "merge", "window"), k = 100).count())
     time("unigram perplexity")(
       ops.TextAnalysis.unigramPerplexity(docs).filter(col("ppl") >= 0).count())
+    time("hybrid rrf topk") {
+      val qv = Array.tabulate(64)(i => ((i % 7) + 1).toDouble)
+      ops.TextSearch.hybridTopK(docs, emb,
+        Seq("spark", "vector", "merge", "window"), qv, k = 100, nCand = 200).count()
+    }
+    time("pca fit+whiten (d=64)") {
+      val m = ops.Pca.fit(emb, k = -1)
+      ops.Pca.transform(emb, m, whiten = true).filter(size(col("pca")) > 0).count()
+    }
     spark.stop()
   }
 }

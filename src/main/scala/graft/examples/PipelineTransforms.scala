@@ -75,3 +75,25 @@ abstract class BalanceByMetadataKey(key: String) extends (DataFrame => DataFrame
 /** `--transform graft.examples.BalanceSources`: [[BalanceByMetadataKey]]
   * over the conventional `source` metadata key. */
 class BalanceSources extends BalanceByMetadataKey("source")
+
+/** `--transform graft.examples.PcaWhiten`: decorrelate the vector column
+  * during migration — fit a PCA model on the migrating frame itself (one
+  * `treeAggregate` pass, [[graft.ops.Pca.fit]]), then rewrite each vector
+  * as its whitened projection (unit variance per axis, dimension
+  * preserved): the preprocessing isotropic quantizers and cosine indexes
+  * want, done in-flight so the target store holds index-ready geometry.
+  * Records without a vector pass through untouched. */
+class PcaWhiten extends (DataFrame => DataFrame) {
+  override def apply(df: DataFrame): DataFrame = {
+    val vecs = df.filter(col(Canonical.VECTOR).isNotNull)
+    if (vecs.isEmpty) return df
+    val model = graft.ops.Pca.fit(vecs, k = -1, vecCol = Canonical.VECTOR)
+    val proj = graft.ops.Pca.transform(vecs, model, whiten = true,
+      idCol = Canonical.ID, vecCol = Canonical.VECTOR)
+    df.join(proj, Seq(Canonical.ID), "left_outer")
+      .withColumn(Canonical.VECTOR,
+        when(col("pca").isNull, col(Canonical.VECTOR))
+          .otherwise(transform(col("pca"), _.cast("float"))))
+      .drop("pca")
+  }
+}

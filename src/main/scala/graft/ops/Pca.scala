@@ -35,13 +35,13 @@ object Pca {
   case class PcaModel(mean: Array[Double], eigenvalues: Array[Double],
                       components: Array[Array[Double]])
 
-  /** Fit a PCA model on `vecCol`. One distributed pass + a driver-side
-    * d×d `eigSym`. */
+  /** Fit a PCA model on `vecCol` (k <= 0 keeps all components). One
+    * distributed pass + a driver-side d×d `eigSym`. */
   def fit(df: DataFrame, k: Int, vecCol: String = "embedding"): PcaModel = {
     val vecs = df.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0).toArray)
     val d = vecs.first().length
-    require(k >= 1 && k <= d, s"k out of range: $k (dim $d)")
+    require(k <= d, s"k out of range: $k (dim $d)")
     // accumulator: (n, sum[d], moment[d*d] row-major upper triangle incl. diag)
     val zero = (0L, new Array[Double](d), new Array[Double](d * d))
     def seqOp(acc: (Long, Array[Double], Array[Double]), x: Array[Double]) = {
@@ -71,7 +71,7 @@ object Pca {
       m(lo * d + hi) / n - mean(lo) * mean(hi)
     }
     val es = eigSym(cov) // eigenvalues ascending
-    val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(k)
+    val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(if (k <= 0) d else k)
     val comps = order.map { c =>
       val v = Array.tabulate(d)(es.eigenvectors(_, c))
       val pivot = v.indices.maxBy(i => math.abs(v(i)))

@@ -383,12 +383,38 @@ class PipelineTransformsSpec extends SparkSpec {
     assert(counts() == c, "balance moved between runs")
   }
 
+  test("PcaWhiten rewrites vectors to unit-variance axes, skips null vectors") {
+    import spark.implicits._
+    val rows = (1 to 200).map { i =>
+      val t = (i % 40 - 20) * 0.5
+      (s"v$i", Seq((t + (i % 3) * 0.01).toFloat, (2 * t).toFloat, (i % 5 * 0.1).toFloat),
+        Map("k" -> "1"))
+    } :+ (("novec", null.asInstanceOf[Seq[Float]], Map("k" -> "2")))
+    val df = rows.toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    val out = new graft.examples.PcaWhiten()(df)
+      .select(Canonical.ID, Canonical.VECTOR)
+      .as[(String, Seq[Float])].collect().map(r => r._1 -> r._2).toMap
+    assert(out("novec") == null)                  // untouched
+    assert(out("v1").length == 3)                 // dimension preserved
+    // every axis of the whitened cloud has ~unit variance
+    val vecs = out.filter(_._1 != "novec").values.toArray
+    val n = vecs.length
+    for (c <- 0 until 3) {
+      val xs = vecs.map(_(c).toDouble)
+      val mean = xs.sum / n
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(v - 1.0) < 0.01, s"axis $c variance $v")
+    }
+  }
+
   test("--transform loads the pipeline transforms end to end") {
     for ((cls, check) <- Seq(
       "graft.examples.QuantizeVectors" ->
         ((m: Map[String, String]) => m.contains("q_scale")),
       "graft.examples.AssignSplit" ->
-        ((m: Map[String, String]) => Set("train", "val", "test").contains(m("split"))))) {
+        ((m: Map[String, String]) => Set("train", "val", "test").contains(m("split"))),
+      "graft.examples.PcaWhiten" ->
+        ((m: Map[String, String]) => true))) {
       MemoryStore.drop("cli_pt")
       val cfg = Files.createTempFile("graft", ".json")
       Files.writeString(cfg,
