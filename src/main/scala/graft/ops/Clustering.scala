@@ -269,4 +269,31 @@ object Clustering {
     * convergence metric (must be non-increasing over Lloyd's rounds). */
   def inertia(assigned: DataFrame): Double =
     assigned.agg(sum(col("dist") * col("dist"))).head().getDouble(0)
+
+  /** Embedding-quality outlier detection: cluster the collection, then
+    * flag rows whose distance to their centroid exceeds that CLUSTER's
+    * `q`-quantile — corrupt/degenerate embeddings surface as far-from-
+    * everything rows, and the per-cluster cut keeps a tight cluster's
+    * outliers visible next to a diffuse cluster's spread.
+    *
+    * Scale shape: [[kmeans]]'s fused single-scan assignment, one
+    * per-cluster exact-percentile aggregate (k rows, broadcast back), one
+    * final map — no extra corpus shuffle. Exact `percentile` sorts per
+    * group; at extreme row counts swap `approx_percentile` into the same
+    * plan. Distances are pre-rounded to 6 decimals so the cut and the
+    * comparison replay identically in any engine.
+    *
+    * @return (id, cluster_id, dist, is_outlier)
+    */
+  def distanceOutliers(df: DataFrame, k: Int, iters: Int, q: Double = 0.95,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): DataFrame = {
+    require(q > 0 && q < 1, s"quantile out of range: $q")
+    val a = kmeans(df, k, iters, vecCol, idCol)
+      .select(col(idCol), col("cluster_id"), round(col("dist"), 6).as("dist"))
+    val cut = a.groupBy("cluster_id").agg(percentile(col("dist"), lit(q)).as("__cut"))
+    a.join(broadcast(cut), Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("dist"),
+        (col("dist") > col("__cut")).as("is_outlier"))
+  }
 }

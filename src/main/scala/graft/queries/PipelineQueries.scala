@@ -307,6 +307,11 @@ object PipelineQueries {
     "q_vec_cov" -> ((s, dir) =>
       Pca.covariancePortable(Tables(s, dir, "embeddings"))),
 
+    // ---- Embedding-quality outliers: per-cluster distance quantile
+    //      (iters=1 keeps the quantizer SQL-replayable, like q_kmeans_*) ----
+    "q_vec_outliers" -> ((s, dir) =>
+      Clustering.distanceOutliers(Tables(s, dir, "embeddings"), k = 8, iters = 1, q = 0.9)),
+
     // ---- Array functions ----
     "q_fn_array" -> ((s, dir) =>
       Tables(s, dir, "embeddings").select(
@@ -747,6 +752,22 @@ object PipelineQueries {
           "SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source " +
           "WHERE ((d.doc_id % 2147483647) * 2654435761 + 42) % 2147483647 < " +
           "CAST(floor(rate * 2147483647.0) AS BIGINT)"),
+      "q_vec_outliers" ->
+        // q_kmeans_assign's replay + a per-cluster quantile_cont cut over
+        // the PRE-ROUNDED distances (Spark exact percentile = quantile_cont)
+        ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+          "c AS (SELECT vec_id AS center_id, v AS cv FROM e WHERE vec_id < 8), " +
+          "s AS (SELECT e.vec_id, c.center_id, " +
+          "sqrt(list_dot_product(list_transform(range(len(e.v)), i -> e.v[i+1]-c.cv[i+1]), " +
+          "list_transform(range(len(e.v)), i -> e.v[i+1]-c.cv[i+1]))) AS dist " +
+          "FROM e CROSS JOIN c), " +
+          "a AS (SELECT vec_id, center_id AS cluster_id, round(dist, 6) AS dist FROM " +
+          "(SELECT vec_id, center_id, dist, row_number() OVER " +
+          "(PARTITION BY vec_id ORDER BY dist, center_id) AS rn FROM s) WHERE rn = 1), " +
+          "qq AS (SELECT cluster_id, quantile_cont(dist, 0.9) AS cut " +
+          "FROM a GROUP BY cluster_id) " +
+          "SELECT vec_id, cluster_id, dist, dist > cut AS is_outlier " +
+          "FROM a JOIN qq USING (cluster_id)"),
       "q_vec_cov" ->
         // parallel unnest pairs (index, value); the self-join enumerates
         // the same d² grid Spark's double posexplode does

@@ -173,6 +173,36 @@ class PcaSpec extends SparkSpec {
   }
 }
 
+class DistanceOutliersSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Clustering
+
+  test("planted far-away row is flagged; cluster cores are not") {
+    // two tight clusters around (0,0) and (10,10), one corrupt row at (60,-60)
+    val rows = (1 to 50).map(i => (i.toLong, Seq((i % 5) * 0.01f, (i % 7) * 0.01f))) ++
+      (51 to 100).map(i => (i.toLong, Seq(10f + (i % 5) * 0.01f, 10f + (i % 7) * 0.01f))) :+
+      ((999L, Seq(60f, -60f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Clustering.distanceOutliers(df, k = 2, iters = 3, q = 0.9)
+      .as[(Long, Long, Double, Boolean)].collect()
+    val flagged = got.filter(_._4).map(_._1).toSet
+    assert(flagged.contains(999L), s"corrupt row not flagged: $flagged")
+    // the quantile cut flags ~10% per cluster, never the tight-core majority
+    assert(flagged.size < got.length / 4, flagged.toString)
+    // every row assigned, distances non-negative
+    assert(got.length == 101 && got.forall(_._3 >= 0))
+  }
+
+  test("deterministic under repartitioning") {
+    val emb = Tables(spark, sf(), "embeddings")
+    val a = Clustering.distanceOutliers(emb, k = 8, iters = 1, q = 0.9)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val b = Clustering.distanceOutliers(emb.repartition(13), k = 8, iters = 1, q = 0.9)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(a == b)
+  }
+}
+
 class SampleKPerGroupSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Sampling
