@@ -227,6 +227,68 @@ object TextAnalysis {
           lit(0.0)).as("ppl"))
   }
 
+  /** Order-2 refinement of [[unigramPerplexity]]: the first token scores
+    * under the Laplace unigram LM, every later token under the bigram
+    * conditional p(tok|prev) = (c(prev,tok)+1)/(c(prev)+V) — one step
+    * toward the n-gram LM filters CCNet runs, and enough to separate
+    * "common words in impossible order" from real prose, which a unigram
+    * score cannot. `lm` (default: the scored corpus) supplies the counts;
+    * unseen contexts and tokens fall back to the smoothed floors, so an
+    * external LM with disjoint vocabulary still scores finitely.
+    *
+    * Scale shape: bigram pairs are built as per-row struct arrays (NOT by
+    * carrying the token array through the explode, which would copy it
+    * once per token — O(len²) bytes per doc); the LM joins key on the
+    * well-spread (prev, tok) / prev, broadcast while the LM fits; the
+    * per-doc reduce uses the same 1e-6-scaled-long log-probs as the
+    * unigram op, so results are aggregation-order-independent and the
+    * oracle replays them exactly.
+    *
+    * @return (id, n_tokens, ppl); token-less documents score ppl 0.0.
+    */
+  def bigramPerplexity(docs: DataFrame, lm: Option[DataFrame] = None,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toksOf = TextFunctions.tokens(lower(col(textCol)))
+    val pairsOf = when(size(col("__t")) <= 1,
+        array().cast("array<struct<prev:string,tok:string>>"))
+      .otherwise(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("prev"),
+          element_at(col("__t"), i + 1).as("tok"))))
+    val train = lm.getOrElse(docs).select(toksOf.as("__t"))
+    val uni = train.select(explode(col("__t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("t"), count(lit(1)).as("v"))
+    val bi = train.select(explode(pairsOf).as("p"))
+      .select(col("p.prev").as("prev"), col("p.tok").as("tok"))
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val toked = docs.select(col(idCol), toksOf.as("__t"))
+    // first token: unigram Laplace (identical to unigramPerplexity's lp)
+    val firsts = toked.filter(size(col("__t")) > 0)
+      .select(col(idCol), element_at(col("__t"), 1).as("tok"))
+      .join(uni, Seq("tok"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(log((coalesce(col("c1"), lit(0L)) + 1).cast("double") /
+          (col("t") + col("v"))) * 1e6).cast("long").as("lp6"))
+    // later tokens: bigram conditional with unseen-context/-pair floors
+    val bigrams = toked.select(col(idCol), explode(pairsOf).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.tok").as("tok"))
+      .join(bi, Seq("prev", "tok"), "left_outer")
+      .join(uni.select(col("tok").as("prev"), col("c1").as("c1p")), Seq("prev"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1p"), lit(0L)) + col("v"))) * 1e6).cast("long").as("lp6"))
+    val scored = firsts.unionByName(bigrams)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp6")).as("slp"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(round(exp(-col("slp").cast("double") / 1e6 / col("n_tokens")), 6),
+          lit(0.0)).as("ppl"))
+  }
+
   /** The remediation half of substring dedup: REWRITE documents by cutting
     * every non-overlapping `width`-token span whose fingerprint occurs at
     * least `minCount` times corpus-wide, keeping exactly ONE canonical

@@ -111,6 +111,9 @@ object PipelineQueries {
     // sum is exact integer math — order-independent, hence oracle-able
     "q_text_perplexity" -> ((s, dir) =>
       TextAnalysis.unigramPerplexity(Tables(s, dir, "documents"))),
+    // order-2 LM refinement: first token unigram, rest bigram conditional
+    "q_text_perplexity2" -> ((s, dir) =>
+      TextAnalysis.bigramPerplexity(Tables(s, dir, "documents"))),
     // BM25 keyword top-k (posting-list plan: map-side term filter,
     // broadcast df + corpus stats, TakeOrdered ranking)
     "q_search_bm25" -> ((s, dir) =>
@@ -467,6 +470,30 @@ object PipelineQueries {
           "AS BIGINT) AS lp6 FROM c, t), " +
           "s AS (SELECT tok.doc_id, count(*) AS n_tokens, CAST(sum(lp6) AS BIGINT) AS slp " +
           "FROM tok JOIN lm USING (token) GROUP BY tok.doc_id) " +
+          "SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, " +
+          "coalesce(round(exp(-CAST(slp AS DOUBLE)/1000000.0/n_tokens), 6), 0.0) AS ppl " +
+          "FROM d LEFT JOIN s ON d.doc_id = s.doc_id"),
+      "q_text_perplexity2" ->
+        // first token scored by the unigram Laplace LM, later tokens by
+        // the bigram conditional; same scaled-long log-prob sums
+        ("WITH d AS (SELECT doc_id, " + ltoksSql + " AS ltoks FROM documents), " +
+          "uni AS (SELECT tok, count(*) AS c1 FROM " +
+          "(SELECT unnest(ltoks) AS tok FROM d) GROUP BY tok), " +
+          "tv AS (SELECT CAST(sum(c1) AS BIGINT) AS t, count(*) AS v FROM uni), " +
+          "bp AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ltoks), 1)), " +
+          "i -> struct_pack(prev := ltoks[i], tok := ltoks[i+1]))) AS p FROM d), " +
+          "bg AS (SELECT doc_id, p.prev AS prev, p.tok AS tok FROM bp), " +
+          "bi AS (SELECT prev, tok, count(*) AS c2 FROM bg GROUP BY prev, tok), " +
+          "fs AS (SELECT f.doc_id, CAST(round(ln(CAST(coalesce(u.c1, 0)+1 AS DOUBLE)" +
+          "/(t + v)) * 1000000.0, 0) AS BIGINT) AS lp6 " +
+          "FROM (SELECT doc_id, ltoks[1] AS tok FROM d WHERE len(ltoks) > 0) f " +
+          "LEFT JOIN uni u USING (tok), tv), " +
+          "bs AS (SELECT bg.doc_id, CAST(round(ln(CAST(coalesce(bi.c2, 0)+1 AS DOUBLE)" +
+          "/(coalesce(cp.c1, 0) + v)) * 1000000.0, 0) AS BIGINT) AS lp6 " +
+          "FROM bg LEFT JOIN bi ON bg.prev = bi.prev AND bg.tok = bi.tok " +
+          "LEFT JOIN uni cp ON cp.tok = bg.prev, tv), " +
+          "s AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(lp6) AS BIGINT) AS slp " +
+          "FROM (SELECT * FROM fs UNION ALL SELECT * FROM bs) GROUP BY doc_id) " +
           "SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, " +
           "coalesce(round(exp(-CAST(slp AS DOUBLE)/1000000.0/n_tokens), 6), 0.0) AS ppl " +
           "FROM d LEFT JOIN s ON d.doc_id = s.doc_id"),

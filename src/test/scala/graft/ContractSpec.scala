@@ -33,7 +33,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("gate size matches the documented inventory") {
-    assert(SparkEntry.queries.size == 110, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 109, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size == 111, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 110, SparkEntry.oracleSql.size.toString)
   }
 }

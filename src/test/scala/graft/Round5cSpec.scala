@@ -281,4 +281,41 @@ class PerplexitySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(a == b)
   }
+
+  test("bigram: hand-computed value on 'a b a b'") {
+    // uni a=2 b=2, T=4 V=2; pairs (a,b)x2 (b,a)x1
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val lp = Seq(math.log(3.0 / 6),                  // first 'a': (2+1)/(4+2)
+        math.log(3.0 / 4), math.log(2.0 / 4), math.log(3.0 / 4)) // (a,b) (b,a) (a,b)
+      .map(x => math.round(x * 1e6)).sum
+    val expected = BigDecimal(math.exp(-lp.toDouble / 1e6 / 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.bigramPerplexity(docs)
+      .as[(Long, Long, Double)].collect().head
+    assert(got._2 == 4L && got._3 == expected, got.toString)
+  }
+
+  test("bigram: word order matters — scrambled prose scores worse") {
+    val lm = Seq.tabulate(20)(i => (i.toLong, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "fox the jumps quick brown")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(eval, lm = Some(lm))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) < got(2L), got.toString)
+    // the unigram score CANNOT separate them (same token multiset)
+    val gotUni = TextAnalysis.unigramPerplexity(eval, lm = Some(lm))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(gotUni(1L) == gotUni(2L), gotUni.toString)
+  }
+
+  test("bigram: empty docs score 0, every doc present") {
+    val docs = Seq((1L, "a b"), (2L, ""), (3L, "z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 3)
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0)
+    assert(got(3L)._2 == 1L && got(3L)._3 > 0) // single token: unigram only
+  }
 }
