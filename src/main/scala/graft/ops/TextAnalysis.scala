@@ -227,6 +227,49 @@ object TextAnalysis {
           lit(0.0)).as("ppl"))
   }
 
+  /** Mixture auditing: per-group KL divergence KL(P_g ‖ P) between each
+    * group's unigram token distribution and the whole corpus's — a
+    * domain-drift meter ("which source/language/shard is distributionally
+    * unlike the rest"), the quantity mixture-rebalancing decisions read.
+    * KL = Σ_t p_g(t)·ln(p_g(t)/p(t)), summed over the group's own tokens
+    * only (p_g(t) = 0 terms contribute 0; p(t) > 0 whenever p_g(t) > 0
+    * since the corpus contains the group).
+    *
+    * Scale shape: one explode into a (group, token) count aggregate
+    * (map-side combined), a token-keyed join to the corpus counts, one
+    * group reduce. Per-term contributions are 1e-9-scaled integers
+    * weighted by the term count and summed as decimal(38,0) — |Σ| is
+    * bounded by ln(T)·1e9·tg, which outgrows int64 near trillion-token
+    * groups but never decimal38 — so the reduction is exact integer math,
+    * order-independent, and the oracle replays it bit-for-bit.
+    *
+    * @return (group, n_tokens, kl) — kl >= 0, 0 iff the group's
+    *         distribution equals the corpus's.
+    */
+  def tokenKlDivergence(docs: DataFrame, groupCol: String = "source",
+                        textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(groupCol).as("__g"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    val grp = tok.groupBy(col("__g"), col("token")).agg(count(lit(1)).as("cg"))
+    val corpus = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val totals = grp.groupBy(col("__g")).agg(sum(col("cg")).as("tg"))
+    val corpusTotal = corpus.agg(sum(col("c")).as("t"))
+    // p_g·ln(p_g/p) = (cg/tg)·ln((cg·t)/(c·tg)); the log argument is a
+    // rational of exact ints, the weight is applied AFTER scaling so each
+    // term is round(ln(...)·1e9)·cg — exact integer math until the final
+    // divide by tg
+    grp.join(corpus, Seq("token"))
+      .join(broadcast(totals), Seq("__g"))
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("__g"), col("tg"),
+        (round(log((col("cg") * col("t")).cast("double") / (col("c") * col("tg"))) * 1e9)
+          .cast("decimal(38,0)") * col("cg")).as("w9"))
+      .groupBy(col("__g"))
+      .agg(first(col("tg")).as("n_tokens"), sum(col("w9")).as("sw"))
+      .select(col("__g").as(groupCol), col("n_tokens"),
+        round(col("sw").cast("double") / 1e9 / col("n_tokens"), 6).as("kl"))
+  }
+
   /** Order-2 refinement of [[unigramPerplexity]]: the first token scores
     * under the Laplace unigram LM, every later token under the bigram
     * conditional p(tok|prev) = (c(prev,tok)+1)/(c(prev)+V) — one step

@@ -114,6 +114,10 @@ object PipelineQueries {
     // order-2 LM refinement: first token unigram, rest bigram conditional
     "q_text_perplexity2" -> ((s, dir) =>
       TextAnalysis.bigramPerplexity(Tables(s, dir, "documents"))),
+    // mixture auditing: per-source KL divergence from the corpus
+    // token distribution (decimal-exact weighted log sums)
+    "q_text_kl" -> ((s, dir) =>
+      TextAnalysis.tokenKlDivergence(Tables(s, dir, "documents"), groupCol = "source")),
     // BM25 keyword top-k (posting-list plan: map-side term filter,
     // broadcast df + corpus stats, TakeOrdered ranking)
     "q_search_bm25" -> ((s, dir) =>
@@ -497,6 +501,20 @@ object PipelineQueries {
           "SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, " +
           "coalesce(round(exp(-CAST(slp AS DOUBLE)/1000000.0/n_tokens), 6), 0.0) AS ppl " +
           "FROM d LEFT JOIN s ON d.doc_id = s.doc_id"),
+      "q_text_kl" ->
+        ("WITH d AS (SELECT source, " + ltoksSql + " AS ltoks FROM documents), " +
+          "tok AS (SELECT source AS g, unnest(ltoks) AS token FROM d), " +
+          "grp AS (SELECT g, token, count(*) AS cg FROM tok GROUP BY g, token), " +
+          "corpus AS (SELECT token, count(*) AS c FROM tok GROUP BY token), " +
+          "tot AS (SELECT g, CAST(sum(cg) AS BIGINT) AS tg FROM grp GROUP BY g), " +
+          "ct AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM corpus), " +
+          "w AS (SELECT grp.g AS g, tg, CAST(round(ln(CAST(cg * t AS DOUBLE)/(c * tg)) " +
+          "* 1000000000.0, 0) AS HUGEINT) * cg AS w9 " +
+          "FROM grp JOIN corpus USING (token) JOIN tot USING (g), ct), " +
+          "s AS (SELECT g, CAST(max(tg) AS BIGINT) AS n_tokens, sum(w9) AS sw " +
+          "FROM w GROUP BY g) " +
+          "SELECT g AS source, n_tokens, " +
+          "round(CAST(sw AS DOUBLE)/1000000000.0/n_tokens, 6) AS kl FROM s"),
       "q_search_bm25" -> s"WITH $bm25Ctes ${bm25Select(10)}",
       "q_search_hybrid" -> {
         val qvLit = HybridQueryVec.mkString("[", ",", "]")

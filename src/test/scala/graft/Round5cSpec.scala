@@ -173,6 +173,38 @@ class PcaSpec extends SparkSpec {
   }
 }
 
+class TokenKlSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.TextAnalysis
+
+  test("a corpus-dominating group diverges little, an alien group a lot") {
+    // corpus ≈ group "big" (60 of 66 tokens); group "odd" is all-z.
+    // KL(big) = ln(22/20) ≈ 0.095, KL(odd) = ln(66/6) = ln 11 ≈ 2.398
+    val docs = ((1 to 10).map(i => (i.toLong, "big", "a b c a b c")) :+
+      ((11L, "odd", "z z z z z z"))).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.tokenKlDivergence(docs, groupCol = "source")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("big")._2 == 60L && got("odd")._2 == 6L)
+    assert(math.abs(got("big")._3 - math.log(22.0 / 20)) < 1e-5, got.toString)
+    assert(math.abs(got("odd")._3 - math.log(11.0)) < 1e-5, got.toString)
+  }
+
+  test("hand-computed two-group case") {
+    // corpus: x×3, y×1 (T=4). group g1 = "x x", g2 = "x y":
+    // KL(g1) = 1·ln((2·4)/(3·2)) = ln(4/3)
+    // KL(g2) = ½ln((1·4)/(3·2)) + ½ln((1·4)/(1·2)) = ½(ln(2/3)+ln 2)
+    val docs = Seq((1L, "g1", "x x"), (2L, "g2", "x y")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.tokenKlDivergence(docs, groupCol = "source")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    def scaled(terms: Seq[(Double, Long)], tg: Long) = {
+      val sw = terms.map { case (r, cg) => math.round(math.log(r) * 1e9) * cg }.sum
+      BigDecimal(sw.toDouble / 1e9 / tg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("g1") == scaled(Seq((8.0 / 6, 2L)), 2))
+    assert(got("g2") == scaled(Seq((4.0 / 6, 1L), (4.0 / 2, 1L)), 2))
+  }
+}
+
 class DistanceOutliersSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Clustering
