@@ -137,6 +137,55 @@ object StreamOps {
         col("r.event_id").as("matched_event_id"), col("r.event_type").as("matched_type"))
   }
 
+  /** Ingestion-side decontamination: flag (for dropping) incoming
+    * documents whose word-shingles are heavily contained in a STATIC
+    * benchmark set — the production shape of the leakage check, applied
+    * to the crawl stream before it ever lands. The benchmark folds into
+    * a Bloom filter once at stream setup (one batch aggregate) and is
+    * broadcast; each document then scores with ONE row-local UDF over its
+    * shingle-hash array — no explode, no join, no streaming aggregation,
+    * so this composes with any output mode and holds zero state. Bloom
+    * error is one-sided (never under-reports containment), the safe
+    * direction for a filter that protects eval integrity. Works on batch
+    * frames too (parity with [[graft.ops.Decontaminate]] spec-asserted).
+    *
+    * @return input columns + (n_shingles, n_shared, containment,
+    *         contaminated) */
+  def streamingDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                             textCol: String = "text", shingleSize: Int = 3,
+                             threshold: Double = 0.5,
+                             expectedShingles: Long = 1000000L,
+                             fpp: Double = 0.001): DataFrame = {
+    import graft.functions.HashExpressions
+    val filter = benchmark
+      .select(explode(HashExpressions.wordShingleHashes(col(textCol), shingleSize)).as("sh"))
+      .stat.bloomFilter("sh", expectedShingles, fpp)
+    val bc = benchmark.sparkSession.sparkContext.broadcast(filter)
+    val shared = udf((hs: Seq[Long]) =>
+      if (hs == null) 0 else hs.count(bc.value.mightContainLong))
+    docs
+      .withColumn("__sh", HashExpressions.wordShingleHashes(col(textCol), shingleSize))
+      .withColumn("n_shingles", size(col("__sh")))
+      .withColumn("n_shared", shared(col("__sh")))
+      .withColumn("containment", round(when(col("n_shingles") === 0, 0.0)
+        .otherwise(col("n_shared").cast("double") / col("n_shingles")), 6))
+      .withColumn("contaminated", col("containment") >= threshold)
+      .drop("__sh")
+  }
+
+  /** Ingestion-side quality gate: keep documents scoring at least
+    * `minScore` under the closed-form heuristic quality score — a pure
+    * row-local expression ([[graft.functions.TextFunctions.qualityScore]]),
+    * so it is stateless and streaming-safe in any output mode. The
+    * corpus-relative variants (quantile cut, LM perplexity) need batch
+    * aggregates; this is the in-flight first line. */
+  def streamingQualityFilter(docs: DataFrame, minScore: Double,
+                             textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("quality",
+        round(graft.functions.TextFunctions.qualityScore(col(textCol)), 6))
+      .filter(col("quality") >= minScore)
+
   /** File-based streaming migration: watch a directory of parquet drops and
     * continuously upsert into a sink via `foreachBatch` reusing the batch
     * connector — the "incremental migration" the reference left as future

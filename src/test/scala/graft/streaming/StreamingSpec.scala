@@ -88,6 +88,64 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming decontamination flags benchmark-contaminated docs in-flight") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val benchmark = Seq((1L, "the capital of france is paris and the capital of spain is madrid"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamOps.streamingDecontaminate(
+        input.toDF().toDF("doc_id", "ts", "text"), benchmark,
+        threshold = 0.5, expectedShingles = 1000L)
+      .writeStream.format("memory").queryName("decon_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "the capital of france is paris and the capital of spain is madrid"),
+        (2L, ts(1), "spark structured streaming keeps per key state bounded by watermarks"),
+        (3L, ts(2), "short"))                      // < shingle size: 0 shingles
+      query.processAllAvailable()
+      val rows = spark.table("decon_out")
+        .select("doc_id", "contaminated", "n_shingles")
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2)))).toMap
+      assert(rows(1L)._1 && rows(1L)._2 > 0)       // verbatim benchmark text flagged
+      assert(!rows(2L)._1)                          // clean doc passes
+      assert(!rows(3L)._1 && rows(3L)._2 == 0)      // shingle-less doc passes
+    } finally query.stop()
+  }
+
+  test("streaming decontamination agrees with the exact batch containment") {
+    val docs = graft.Tables(spark, sf(), "documents")
+    val benchmark = docs.filter(col("doc_id") < 20)
+    val stream = StreamOps.streamingDecontaminate(
+        docs.filter(col("doc_id") >= 20 && col("doc_id") < 120), benchmark,
+        expectedShingles = 100000L, fpp = 1e-6)
+      .select("doc_id", "n_shingles", "n_shared")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getInt(2).toLong))).toMap
+    val exact = graft.ops.Decontaminate.containment(
+        train = benchmark, eval = docs.filter(col("doc_id") >= 20 && col("doc_id") < 120))
+      .select("doc_id", "n_shingles", "n_shared")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stream == exact) // at fpp 1e-6 on this corpus: no false positives
+  }
+
+  test("streaming quality filter is stateless and keeps only scorers above the bar") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamOps.streamingQualityFilter(
+        input.toDF().toDF("doc_id", "ts", "text"), minScore = 0.5)
+      .writeStream.format("memory").queryName("qual_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog and runs into the field"),
+        (2L, ts(1), "!!! ??? ### $$$ %%%"))       // punctuation soup scores low
+      query.processAllAvailable()
+      val ids = spark.table("qual_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L), ids.toString)
+    } finally query.stop()
+  }
+
   test("incremental migration: file drops stream into a batch sink via foreachBatch") {
     import graft.model.Canonical
     val watch = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
