@@ -206,7 +206,13 @@ object TextAnalysis {
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     def tokenRows(d: DataFrame, cols: org.apache.spark.sql.Column*) =
       d.select(cols :+ explode(TextFunctions.tokens(lower(col(textCol)))).as("token"): _*)
-    val counts = tokenRows(lm.getOrElse(docs)).groupBy("token").agg(count(lit(1)).as("c"))
+    // NOT staged, by measurement: the totals aggregate and the log-prob
+    // projection both sit on the counts aggregate's exchange, which AQE
+    // reuses — a Materialize here ran 20% SLOWER at the 30× probe (4.0 s
+    // vs 3.3 s warm), pure checkpoint overhead. (bigramPerplexity's uni
+    // table IS staged: three consumers, and the probe showed the win.)
+    val counts =
+      tokenRows(lm.getOrElse(docs)).groupBy("token").agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
     // scaled log-probs: seen tokens ln((c+1)/(T+V)), the unseen floor ln(1/(T+V))
     val lp = counts.crossJoin(broadcast(totals))
@@ -250,8 +256,11 @@ object TextAnalysis {
                         textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(groupCol).as("__g"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
-    val grp = tok.groupBy(col("__g"), col("token")).agg(count(lit(1)).as("cg"))
-    val corpus = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    // ONE corpus tokenize: the staged (group, token) counts are the root
+    // every other table derives from — corpus counts are the group-sum,
+    // not a second scan
+    val grp = Materialize(tok.groupBy(col("__g"), col("token")).agg(count(lit(1)).as("cg")))
+    val corpus = grp.groupBy("token").agg(sum(col("cg")).as("c"))
     val totals = grp.groupBy(col("__g")).agg(sum(col("cg")).as("tg"))
     val corpusTotal = corpus.agg(sum(col("c")).as("t"))
     // p_g·ln(p_g/p) = (cg/tg)·ln((cg·t)/(c·tg)); the log argument is a
@@ -298,12 +307,15 @@ object TextAnalysis {
         i => struct(element_at(col("__t"), i).as("prev"),
           element_at(col("__t"), i + 1).as("tok"))))
     val train = lm.getOrElse(docs).select(toksOf.as("__t"))
-    val uni = train.select(explode(col("__t")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    // both LM tables staged: uni feeds the totals aggregate, the
+    // first-token join, AND the context join — each re-tokenizing the
+    // train corpus without the checkpoint; the tables are vocabulary-sized
+    val uni = Materialize(train.select(explode(col("__t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1")))
     val totals = uni.agg(sum(col("c1")).as("t"), count(lit(1)).as("v"))
-    val bi = train.select(explode(pairsOf).as("p"))
+    val bi = Materialize(train.select(explode(pairsOf).as("p"))
       .select(col("p.prev").as("prev"), col("p.tok").as("tok"))
-      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c2")))
     val toked = docs.select(col(idCol), toksOf.as("__t"))
     // first token: unigram Laplace (identical to unigramPerplexity's lp)
     val firsts = toked.filter(size(col("__t")) > 0)
