@@ -233,6 +233,37 @@ object TextAnalysis {
           lit(0.0)).as("ppl"))
   }
 
+  /** MLM training-data prep: replace ~`rate` of each document's tokens
+    * with `maskTok`, choosing positions as a PURE FUNCTION of
+    * (id, position) — the portable-bucket recipe, so the mask set is
+    * reproducible across runs/partitionings, auditable from any SQL
+    * engine, and never the same positions for two documents. Pure
+    * column expressions over the token array — embarrassingly parallel,
+    * no shuffle.
+    *
+    * @return (id, masked_text, n_masked)
+    */
+  def maskTokens(docs: DataFrame, rate: Double = 0.15, maskTok: String = "[MASK]",
+                 seed: Long = 42L, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate out of range: $rate")
+    val P = Sampling.PortableP
+    val cut = math.floor(rate * P.toDouble).toLong
+    // per-(doc, position) bucket: fold the position into the reduced id
+    // before the multiplicative mix; all intermediates stay < 2^63
+    def hit(i: org.apache.spark.sql.Column) =
+      pmod(pmod(pmod(col(idCol).cast("long"), lit(P)) * 131 + i, lit(P)) *
+        lit(2654435761L) + lit(seed), lit(P)) < cut
+    val toks = TextFunctions.tokens(col(textCol))
+    val masked = transform(toks, (x, i) => when(hit(i), lit(maskTok)).otherwise(x))
+    docs.select(
+      col(idCol),
+      array_join(masked, " ").as("masked_text"),
+      when(size(toks) === 0, 0)
+        .otherwise(size(filter(sequence(lit(0), size(toks) - 1), i => hit(i))))
+        .as("n_masked"))
+  }
+
   /** Mixture auditing: per-group KL divergence KL(P_g ‖ P) between each
     * group's unigram token distribution and the whole corpus's — a
     * domain-drift meter ("which source/language/shard is distributionally

@@ -118,6 +118,9 @@ object PipelineQueries {
     // token distribution (decimal-exact weighted log sums)
     "q_text_kl" -> ((s, dir) =>
       TextAnalysis.tokenKlDivergence(Tables(s, dir, "documents"), groupCol = "source")),
+    // MLM prep: deterministic (id, position)-hash token masking
+    "q_text_mlm" -> ((s, dir) =>
+      TextAnalysis.maskTokens(Tables(s, dir, "documents"), rate = 0.15)),
     // BM25 keyword top-k (posting-list plan: map-side term filter,
     // broadcast df + corpus stats, TakeOrdered ranking)
     "q_search_bm25" -> ((s, dir) =>
@@ -501,6 +504,18 @@ object PipelineQueries {
           "SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, " +
           "coalesce(round(exp(-CAST(slp AS DOUBLE)/1000000.0/n_tokens), 6), 0.0) AS ppl " +
           "FROM d LEFT JOIN s ON d.doc_id = s.doc_id"),
+      "q_text_mlm" -> {
+        val cut = math.floor(0.15 * 2147483647.0).toLong
+        "WITH d AS (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 " +
+          "THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents) " +
+          "SELECT doc_id, coalesce(array_to_string(list_transform(range(len(toks)), " +
+          s"i -> CASE WHEN ((((doc_id % 2147483647) * 131 + i) % 2147483647) " +
+          s"* 2654435761 + 42) % 2147483647 < $cut THEN '[MASK]' ELSE toks[i+1] END), ' '), '') " +
+          "AS masked_text, " +
+          "CAST(len(list_filter(range(len(toks)), " +
+          s"i -> ((((doc_id % 2147483647) * 131 + i) % 2147483647) " +
+          s"* 2654435761 + 42) % 2147483647 < $cut)) AS INT) AS n_masked FROM d"
+      },
       "q_text_kl" ->
         ("WITH d AS (SELECT source, " + ltoksSql + " AS ltoks FROM documents), " +
           "tok AS (SELECT source AS g, unnest(ltoks) AS token FROM d), " +

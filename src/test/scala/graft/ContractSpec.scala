@@ -33,7 +33,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("gate size matches the documented inventory") {
-    assert(SparkEntry.queries.size == 112, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 111, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size == 113, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 112, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -173,6 +173,39 @@ class PcaSpec extends SparkSpec {
   }
 }
 
+class MaskTokensSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.TextAnalysis
+
+  test("mask rate lands near target, positions differ per doc, reproducible") {
+    val docs = (1 to 50).map(i => (i.toLong, (1 to 40).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run() = TextAnalysis.maskTokens(docs, rate = 0.15)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    val got = run()
+    val totalMasked = got.values.map(_._3).sum
+    assert(totalMasked > 200 && totalMasked < 400, totalMasked.toString) // E=300
+    // n_masked agrees with the rewritten text
+    got.values.foreach { case (_, txt, n) =>
+      assert(txt.split(" ").count(_ == "[MASK]") == n)
+      assert(txt.split(" ").length == 40)
+    }
+    // same token stream, different docs → different mask positions
+    val m1 = got(1L)._2.split(" ").zipWithIndex.filter(_._1 == "[MASK]").map(_._2).toSet
+    val m2 = got(2L)._2.split(" ").zipWithIndex.filter(_._1 == "[MASK]").map(_._2).toSet
+    assert(m1 != m2)
+    assert(run() == got) // deterministic
+  }
+
+  test("rate 0 masks nothing and preserves the token stream; empty text safe") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.maskTokens(docs, rate = 0.0)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "alpha beta gamma" && got(1L)._3 == 0)
+    assert(got(2L)._2 == "" && got(2L)._3 == 0)
+  }
+}
+
 class TokenKlSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.TextAnalysis
