@@ -399,7 +399,14 @@ object TextAnalysis {
                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val wh = graft.functions.HashExpressions.rollingWindowHashes(
       graft.functions.HashExpressions.portableTokenHashes(lower(col(textCol))), width, width)
+    // upfront not-null filters: the INNER join below infers isnotnull(h)
+    // on its probe side only — without the explicit filter the count/canon
+    // aggregate's subtree canonicalizes differently and the shared wpos
+    // exchange is NOT reused, re-running the tokenize+fingerprint scan
+    // (measured: 3 parquet scans instead of 2; same trap duplicateSpans
+    // documents). posexplode can't emit nulls, so the filters are free.
     val wpos = docs.select(col(idCol), posexplode(wh).as(Seq("j", "h")))
+      .filter(col("h").isNotNull && col(idCol).isNotNull)
       .repartition(col("h"))
     // per fingerprint: occurrence count + the canonical (kept) occurrence;
     // min(struct) orders by (id, j) lexicographically — deterministic

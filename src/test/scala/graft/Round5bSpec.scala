@@ -116,6 +116,17 @@ class DuplicateSpansSpec extends SparkSpec {
     assert(got(4L)._2 == "short text" && got(4L)._3 == 0)
   }
 
+  test("removeDuplicateSpans: fingerprint pass runs ONCE (drop-list branches share the exchange)") {
+    val df = TextAnalysis.removeDuplicateSpans(Tables(spark, sf(), "documents"), width = 16)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = finalPlan.split("\n").count(_.contains("rolling_window_hashes"))
+    assert(scans == 1,
+      s"expected exactly 1 rolling_window_hashes projection in the final plan, got $scans")
+    assert(finalPlan.contains("ReusedExchange"), "expected AQE stage reuse in the final plan")
+  }
+
   test("corpus is scanned ONCE: count-agg and join-back share one exchange") {
     val df = TextAnalysis.duplicateSpans(Tables(spark, sf(), "documents"),
       width = 16, stride = 8)
