@@ -192,6 +192,11 @@ object PipelineQueries {
     "q_dedup_minhash_portable" -> ((s, dir) =>
       Dedup.minHashDuplicatePairs(Tables(s, dir, "documents"), numHashes = 16, numBands = 4,
         threshold = 0.3, portable = true)),
+    // EXACT set-similarity join (prefix filter, AllPairs/PPJoin): recall 1
+    // by theorem, not by banding luck — the oracle replays the ACTUAL
+    // algorithm (df ordering, prefixes, candidate join, verify) in SQL
+    "q_dedup_prefix" -> ((s, dir) =>
+      SetSimilarityJoin.prefixJaccardPairs(Tables(s, dir, "documents"), threshold = 0.4)),
     // cross-document duplicate spans (token-granular substring dedup):
     // portable rolling fingerprints per 16-token window, counted corpus-wide
     "q_dedup_spans" -> ((s, dir) =>
@@ -643,6 +648,30 @@ object PipelineQueries {
           "AS jaccard FROM cand JOIN nz a ON a.doc_id = cand.id_a JOIN nz b ON b.doc_id = cand.id_b) " +
           "SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3"
       },
+      "q_dedup_prefix" ->
+        // the prefix-filter join replayed stage by stage: portable shingle
+        // hashes → global df → rarest-first rank → prefix slice → candidate
+        // join with the length filter → exact Jaccard verify. Identical
+        // double epsilons on both sides, so borderline pairs agree too.
+        ("WITH d AS (SELECT doc_id, " + ltoksSql + " AS ltoks FROM documents), " +
+          "sh0 AS (SELECT doc_id, list_sort(list_distinct(list_transform(" +
+          "generate_series(1, greatest(len(ltoks)-2, 0)), i -> " +
+          strHashSql("(ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2])") +
+          "))) AS sh FROM d), " +
+          "nz AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0), " +
+          "ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM nz), " +
+          "dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h), " +
+          "rk AS (SELECT doc_id, sz, h, row_number() OVER (PARTITION BY doc_id " +
+          "ORDER BY df, h) AS rn FROM ex JOIN dfq USING (h)), " +
+          "pf AS (SELECT doc_id, sz, h FROM rk WHERE rn <= sz - ceil(sz * 0.4 - 1.0E-9) + 1), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+          "FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id " +
+          "AND least(a.sz, b.sz) >= greatest(a.sz, b.sz) * 0.4 - 1.0E-9), " +
+          "v AS (SELECT id_a, id_b, round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 " +
+          "THEN 0.0 ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)" +
+          "/len(list_distinct(a.sh || b.sh)) END, 6) AS jaccard " +
+          "FROM cand JOIN nz a ON a.doc_id = cand.id_a JOIN nz b ON b.doc_id = cand.id_b) " +
+          "SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.4"),
       "q_dedup_span_rewrite" ->
         ("WITH d AS (SELECT doc_id, text, " +
           "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] " +
