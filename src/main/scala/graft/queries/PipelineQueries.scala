@@ -121,6 +121,13 @@ object PipelineQueries {
     // MLM prep: deterministic (id, position)-hash token masking
     "q_text_mlm" -> ((s, dir) =>
       TextAnalysis.maskTokens(Tables(s, dir, "documents"), rate = 0.15)),
+    // learned quality classifier: ONE distributed gradient step from the
+    // zero model — sigmoid(0) = 1/2 exactly, so the residual sums are
+    // exact multiples of 2^-1 and the oracle replays the step bit-for-bit
+    "q_quality_lr" -> ((s, dir) =>
+      QualityModel.gradientStep(
+        Tables(s, dir, "documents").withColumn("label", (col("lang") === "en").cast("double")),
+        "label", QualityModel.zero(64), lr = 0.1)),
     // BM25 keyword top-k (posting-list plan: map-side term filter,
     // broadcast df + corpus stats, TakeOrdered ranking)
     "q_search_bm25" -> ((s, dir) =>
@@ -326,6 +333,13 @@ object PipelineQueries {
     //      (iters=1 keeps the quantizer SQL-replayable, like q_kmeans_*) ----
     "q_vec_outliers" -> ((s, dir) =>
       Clustering.distanceOutliers(Tables(s, dir, "embeddings"), k = 8, iters = 1, q = 0.9)),
+
+    // ---- Z-order layout: Morton z-values over (custkey, orderkey) ----
+    // the write-path clustering key for multi-dimensional file pruning;
+    // bucketing + interleave are pure int math → bit-exact oracle
+    "q_layout_zorder" -> ((s, dir) =>
+      Layout.withZValue(Tables(s, dir, "orders"), Seq("o_custkey", "o_orderkey"), bits = 8)
+        .select("o_orderkey", "z_value")),
 
     // ---- Array functions ----
     "q_fn_array" -> ((s, dir) =>
@@ -535,6 +549,17 @@ object PipelineQueries {
           "FROM w GROUP BY g) " +
           "SELECT g AS source, n_tokens, " +
           "round(CAST(sw AS DOUBLE)/1000000000.0/n_tokens, 6) AS kl FROM s"),
+      "q_quality_lr" ->
+        // one gradient step from w = 0: residual is exactly 1/2 − y; each
+        // token routes it to bucket h mod 64, the appended 64 is the bias
+        ("WITH d AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+          "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] " +
+          s"ELSE $tokHashListSql END AS th FROM documents), " +
+          "tj AS (SELECT y, unnest(list_append(list_transform(th, h -> h % 64), 64)) AS j FROM d), " +
+          "g AS (SELECT j, sum(0.5 - y) AS grad, count(*) AS cnt FROM tj GROUP BY j), " +
+          "n AS (SELECT cnt AS n FROM g WHERE j = 64) " +
+          "SELECT CAST(j AS INT) AS j, round(grad, 6) AS grad, " +
+          "round(0.0 - 0.1 * grad / n, 6) AS w_next FROM g, n"),
       "q_search_bm25" -> s"WITH $bm25Ctes ${bm25Select(10)}",
       "q_search_hybrid" -> {
         val qvLit = HybridQueryVec.mkString("[", ",", "]")
@@ -869,6 +894,20 @@ object PipelineQueries {
           "sum(x) AS sx, sum(y) AS sy FROM p GROUP BY i, j) " +
           "SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, " +
           "round((CAST(sxy AS DOUBLE) / 68719476736.0 - sx * sy / n) / n, 6) AS cov FROM s"),
+      "q_layout_zorder" -> {
+        // the interleave is GENERATED from the same (bits, k) loop the
+        // Spark expression unrolls — identical term order, identical shifts
+        val bits = 8
+        val m = (1L << bits) - 1
+        val interleave = (0 until bits).flatMap(i => Seq(
+          s"(((bx >> $i) & 1) << ${i * 2})",
+          s"(((by >> $i) & 1) << ${i * 2 + 1})")).mkString(" | ")
+        "WITH s AS (SELECT min(o_custkey) AS minx, max(o_custkey) AS maxx, " +
+          "min(o_orderkey) AS miny, max(o_orderkey) AS maxy FROM orders), " +
+          s"b AS (SELECT o_orderkey, (o_custkey - minx) // ((maxx - minx) // $m + 1) AS bx, " +
+          s"(o_orderkey - miny) // ((maxy - miny) // $m + 1) AS by FROM orders, s) " +
+          s"SELECT o_orderkey, CAST($interleave AS BIGINT) AS z_value FROM b"
+      },
       "q_fn_array" ->
         ("SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS arr_first, " +
           "round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS arr_last, " +
