@@ -199,7 +199,25 @@ object Quantization {
                 nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
                 quantizerIters: Int = 1, pqIters: Int = 1, reRank: Int = 0,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(nProbe > 0 && nProbe <= nCells)
+    val (index, coded) = buildIvfPqIndex(candidates, nCells, m, ksub,
+      quantizerIters, pqIters, idCol, vecCol)
+    searchIvfPq(index, coded, queries, k, nProbe, reRank,
+      reRankVectors = if (reRank > 0) Some(candidates) else None, idCol, vecCol)
+  }
+
+  /** The trained IVF-PQ index metadata: coarse cell centers (addressed by
+    * index, sorted-center-id order) + per-subspace PQ codebooks over the
+    * residuals. Small by construction — nCells·dim + m·ksub·dsub doubles. */
+  case class IvfPqIndex(cells: Array[Array[Double]],
+                        codebooks: Array[Array[Array[Double]]])
+
+  /** Train the coarse quantizer + residual PQ codebooks and encode the
+    * collection. Returns (index metadata, coded collection) — `coded` is
+    * the narrow (cand_id, cell_id, codes) table: the thing you persist and
+    * scan at query time instead of the float vectors. */
+  def buildIvfPqIndex(candidates: DataFrame, nCells: Int = 16, m: Int = 8, ksub: Int = 16,
+                      quantizerIters: Int = 1, pqIters: Int = 1,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): (IvfPqIndex, DataFrame) = {
     // coarse quantizer: bounded collect, sorted by center id; cells are
     // addressed by INDEX in this order throughout (id-type agnostic)
     val cellVecs = Clustering.fitCenters(candidates, nCells, quantizerIters, vecCol, idCol)
@@ -216,9 +234,51 @@ object Quantization {
     // PQ codebooks over residuals; encode = second scan producing the
     // narrow (cand_id, cell_id, codes) index table
     val cb = pqTrain(resDf, m, ksub, pqIters, "res", idCol)
-    val dsub = cb(0)(0).length
     val coded = resDf.select(col(idCol).as("cand_id"), col("cell_id"),
       pqEncode(col("res"), cb).getField("codes").as("codes"))
+    (IvfPqIndex(cellVecs, cb), coded)
+  }
+
+  /** Persist a built index: `dir/meta` holds the cells + codebooks (one
+    * row), `dir/codes` the coded collection — both plain parquet, readable
+    * by anything. The float vectors are NOT stored: at 100 TB the codes
+    * table is ~32× narrower, and exact re-rank (when wanted) reads the
+    * original collection selectively. */
+  def saveIvfPqIndex(dir: String, index: IvfPqIndex, coded: DataFrame): Unit = {
+    val spark = coded.sparkSession
+    import spark.implicits._
+    Seq((index.cells.map(_.toSeq).toSeq,
+      index.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("cells", "codebooks")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    coded.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Load a persisted index: metadata to the driver (bounded — same shape
+    * it trained at), codes stay a lazy scan. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (IvfPqIndex, DataFrame) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val cells = meta.getSeq[scala.collection.Seq[Double]](0).map(_.toArray).toArray
+    val cb = meta.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](1)
+      .map(_.map(_.toArray).toArray).toArray
+    (IvfPqIndex(cells, cb), spark.read.parquet(s"$dir/codes"))
+  }
+
+  /** ADC search over a built/loaded index: probe the `nProbe` nearest
+    * cells per query with per-(query, cell) residual distance tables.
+    * `reRankVectors` (the original collection) must be supplied iff
+    * `reRank > 0`. */
+  def searchIvfPq(index: IvfPqIndex, coded: DataFrame, queries: DataFrame, k: Int,
+                  nProbe: Int = 4, reRank: Int = 0,
+                  reRankVectors: Option[DataFrame] = None,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cellVecs = index.cells
+    val cb = index.codebooks
+    val nCells = cellVecs.length
+    require(nProbe > 0 && nProbe <= nCells)
+    require(reRank <= 0 || reRankVectors.nonEmpty,
+      "exact re-rank needs the original vector collection")
+    val dsub = cb(0)(0).length
 
     // per-(query, cell) ADC tables over the query's residual in that cell
     val qRows = queries
@@ -244,7 +304,7 @@ object Quantization {
     }
     // probe list: the nProbe cells nearest the query (l2, ties to the
     // lowest cell) — driver-derived, queries are bounded
-    val spark = candidates.sparkSession
+    val spark = coded.sparkSession
     import spark.implicits._
     val probes = qRows.zipWithIndex.flatMap { case (r, qi) =>
       val qv = r.getSeq[Double](1).toArray
@@ -267,6 +327,6 @@ object Quantization {
       .withColumn("rk", row_number().over(w))
     if (reRank <= 0) adc.filter(col("rk") <= k).select("query_id", "cand_id", "dist", "rk")
     else exactReRank(adc.filter(col("rk") <= math.max(k, reRank)).select("query_id", "cand_id"),
-      candidates, queries, k, idCol, vecCol)
+      reRankVectors.get, queries, k, idCol, vecCol)
   }
 }
