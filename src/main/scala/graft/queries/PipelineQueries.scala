@@ -104,6 +104,10 @@ object PipelineQueries {
     // corpus vocabulary: top tokens by frequency (tokenizer-training prep)
     "q_text_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables(s, dir, "documents"), topK = 100)),
+    // BPE trainer statistic: adjacent-symbol-pair counts over the word-
+    // frequency table (what each merge round maximizes) — chars + the
+    // </w> marker, weighted by word freq, replayed in SQL char-for-char
+    "q_bpe_pairs" -> ((s, dir) => Bpe.pairStats(Tables(s, dir, "documents"), topK = 50)),
     // Gopher/C4-style intra-document repetition metrics
     "q_text_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(Tables(s, dir, "documents"))),
     // CCNet-style unigram-LM perplexity scoring (LM trained on the corpus
@@ -468,6 +472,19 @@ object PipelineQueries {
           "AS token FROM documents WHERE length(trim(text)) > 0) " +
           "SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t " +
           "GROUP BY token ORDER BY tf DESC, token ASC LIMIT 100"),
+      "q_bpe_pairs" ->
+        // same stage chain: lowercase word freqs -> code-point symbols +
+        // '</w>' -> adjacent pairs weighted by freq -> top-50 (ties to the
+        // lexicographically smallest pair)
+        ("WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w " +
+          "FROM documents WHERE length(trim(text)) > 0), " +
+          "wf AS (SELECT w, count(*) AS freq FROM t WHERE length(w) > 0 GROUP BY w), " +
+          "sy AS (SELECT freq, list_append(list_transform(range(1, length(w)+1), " +
+          "i -> w[i]), '</w>') AS syms FROM wf), " +
+          "pr AS (SELECT freq, unnest(list_transform(range(1, len(syms)), " +
+          "i -> syms[i] || ' ' || syms[i+1])) AS pair FROM sy) " +
+          "SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY pair " +
+          "ORDER BY cnt DESC, pair LIMIT 50"),
       "q_text_repetition" ->
         ("WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ltoks FROM documents), " +
           "g AS (SELECT doc_id, " +
