@@ -97,3 +97,16 @@ class PcaWhiten extends (DataFrame => DataFrame) {
       .drop("pca")
   }
 }
+
+/** `--transform graft.examples.ClusterBySimilarity`: lay the migrating
+  * collection out by similarity — range-partition + sort on the
+  * random-hyperplane LSH bucket ([[graft.ops.Layout.clusterBySimilarity]])
+  * so cosine-similar vectors stream into the target together: vector-store
+  * index builders (HNSW/IVF) insert near-neighbors locally instead of
+  * thrashing, and parquet targets get file-level locality for blocked
+  * similarity scans. Records without a vector sort first, preserved. */
+class ClusterBySimilarity extends (DataFrame => DataFrame) {
+  override def apply(df: DataFrame): DataFrame =
+    if (df.filter(col(Canonical.VECTOR).isNotNull).isEmpty) df
+    else graft.ops.Layout.clusterBySimilarity(df, bits = 8, vecCol = Canonical.VECTOR)
+}

@@ -79,4 +79,25 @@ object Layout {
       .sortWithinPartitions("z_value")
       .drop("z_value")
   }
+
+  /** Similarity-clustered layout for an EMBEDDING collection: the sort key
+    * is the random-hyperplane bucket ([[Similarity]]'s LSH geometry), so
+    * cosine-similar vectors co-locate in output partitions/files. What it
+    * buys at scale: a vector-store bulk load streams near-neighbors
+    * together (HNSW/IVF builders insert locally instead of thrashing), and
+    * a parquet lake gets file-level locality for downstream
+    * `lshCosinePairs`-style blocked scans. Rows without a vector sort
+    * first (null bucket), preserved. */
+  def clusterBySimilarity(df: DataFrame, bits: Int = 8,
+                          vecCol: String = "vector", dim: Int = -1,
+                          numPartitions: Int = 0): DataFrame = {
+    val planes = Similarity.hyperplanes(bits, Similarity.resolveDim(df, vecCol, dim))
+    val withBucket = df.withColumn("__bucket", Similarity.bucketExpr(vecCol, planes))
+    // numPartitions = 0 lets AQE right-size the range shuffle; an explicit
+    // count pins the physical layout (e.g. matching a sink's shard count)
+    val ranged =
+      if (numPartitions > 0) withBucket.repartitionByRange(numPartitions, col("__bucket"))
+      else withBucket.repartitionByRange(col("__bucket"))
+    ranged.sortWithinPartitions("__bucket").drop("__bucket")
+  }
 }

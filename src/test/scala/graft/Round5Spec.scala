@@ -414,6 +414,8 @@ class PipelineTransformsSpec extends SparkSpec {
       "graft.examples.AssignSplit" ->
         ((m: Map[String, String]) => Set("train", "val", "test").contains(m("split"))),
       "graft.examples.PcaWhiten" ->
+        ((m: Map[String, String]) => true),
+      "graft.examples.ClusterBySimilarity" ->
         ((m: Map[String, String]) => true))) {
       MemoryStore.drop("cli_pt")
       val cfg = Files.createTempFile("graft", ".json")

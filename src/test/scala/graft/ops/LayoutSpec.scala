@@ -52,6 +52,25 @@ class LayoutSpec extends SparkSpec {
     assert(a == (for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong)).toSet)
   }
 
+  test("clusterBySimilarity co-locates identical vectors in one partition") {
+    // two antipodal groups: every hyperplane separates them, so the two
+    // bucket values differ maximally and range partitioning splits them
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val rows = (0 until 40).map { i =>
+      val sign = if (i % 2 == 0) 1f else -1f
+      (i.toLong, base.map(_ * sign).toSeq)
+    }
+    val df = rows.toDF("vec_id", "vector")
+    val placed = Layout.clusterBySimilarity(df, bits = 8, vecCol = "vector", numPartitions = 4)
+      .withColumn("pid", spark_partition_id())
+      .select("vec_id", "pid").collect().map(r => (r.getLong(0) % 2, r.getInt(1)))
+    val groupParts = placed.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // each sign group maps to exactly one bucket -> at most one partition each,
+    // and the two groups do not share a partition
+    assert(groupParts(0L).size == 1 && groupParts(1L).size == 1)
+    assert((groupParts(0L) & groupParts(1L)).isEmpty)
+  }
+
   test("constant column degrades gracefully (bucket 0, layout still valid)") {
     val df = (0 until 50).map(i => (5L, i.toLong)).toDF("x", "y")
     val z = Layout.withZValue(df, Seq("x", "y"), bits = 4)
