@@ -58,6 +58,25 @@ object Sampling {
   def portableBucket(id: Column, seed: Long = 42L): Column =
     pmod(pmod(id.cast("long"), lit(PortableP)) * lit(2654435761L) + lit(seed), lit(PortableP))
 
+  /** Weighted sample WITHOUT replacement of k rows: the exponential-keys
+    * method (Efraimidis & Spirakis 2006) — each row draws the deterministic
+    * uniform u = (bucket+1)/P from its id hash and ranks by u^(1/w)
+    * descending (equivalently ln(u)/w, monotone); the top k are the sample,
+    * with inclusion probability ∝ weight. One TakeOrdered — no shuffle of
+    * the collection, no driver state, reproducible across partitionings
+    * (Spark's `sample()` is per-partition-RNG and neither weighted nor
+    * stable). Non-positive weights are excluded outright. */
+  def weightedSample(df: DataFrame, weightCol: String, k: Int,
+                     idCol: String, seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (portableBucket(col(idCol), seed) + 1).cast("double") / lit(PortableP.toDouble)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
   /** [[stratified]] with the portable bucket — same mixture semantics, but
     * the sample membership is auditable from any engine that can do integer
     * arithmetic (the driver's DuckDB oracle checks it row-for-row). */
