@@ -55,11 +55,15 @@ object QualityModel {
 
   private def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
 
+  /** P(label = 1 | text) as a pure column expression — stateless, so it
+    * drops into streaming plans unchanged. */
+  def probability(text: Column, model: LogisticModel): Column =
+    round(sigmoid(margin(text, model)), 6)
+
   /** P(label = 1 | text) per document. */
   def score(docs: DataFrame, model: LogisticModel, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
-      round(sigmoid(margin(col(textCol), model)), 6).as("quality_prob"))
+    docs.select(col(idCol), probability(col(textCol), model).as("quality_prob"))
 
   /** One distributed gradient step, exposed as a relation for auditing:
     * rows (j, grad, w_next) for each bucket j in [0, dim) plus the bias

@@ -186,6 +186,19 @@ object StreamOps {
         round(graft.functions.TextFunctions.qualityScore(col(textCol)), 6))
       .filter(col("quality") >= minScore)
 
+  /** In-flight LEARNED quality gate: score each incoming doc with a
+    * trained [[graft.ops.QualityModel.LogisticModel]] (fit offline on a
+    * labeled batch sample — the standard shape) and keep rows above
+    * `minProb`. The model rides along as a codegen reference object and
+    * the score is one row-local compiled loop — no join, no aggregation,
+    * zero state, valid in any output mode. */
+  def streamingModelQualityFilter(docs: DataFrame,
+                                  model: graft.ops.QualityModel.LogisticModel,
+                                  minProb: Double, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("quality_prob", graft.ops.QualityModel.probability(col(textCol), model))
+      .filter(col("quality_prob") >= minProb)
+
   /** File-based streaming migration: watch a directory of parquet drops and
     * continuously upsert into a sink via `foreachBatch` reusing the batch
     * connector — the "incremental migration" the reference left as future

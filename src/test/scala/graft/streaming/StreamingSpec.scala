@@ -146,6 +146,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming learned-quality gate scores with a batch-trained model, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // fit offline on a labeled batch (the standard shape)...
+    val labeled = ((1 to 30).map(i => (i.toLong, s"well researched factual writing topic$i", 1.0)) ++
+      (31 to 60).map(i => (i.toLong, s"buy now free prize click spam$i", 0.0)))
+      .toDF("doc_id", "text", "label")
+    val model = graft.ops.QualityModel.fit(labeled, "label", dim = 64, iters = 20, lr = 1.0)
+    // ...then gate the stream with it
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamOps.streamingModelQualityFilter(
+        input.toDF().toDF("doc_id", "ts", "text"), model, minProb = 0.5)
+      .writeStream.format("memory").queryName("mqual_out").outputMode("append").start()
+    try {
+      input.addData(
+        (101L, ts(0), "well researched factual writing about a new topic"),
+        (102L, ts(1), "buy now free prize click spam offer"))
+      query.processAllAvailable()
+      val rows = spark.table("mqual_out").select("doc_id", "quality_prob")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(rows.keySet == Set(101L), rows.toString)
+      assert(rows(101L) > 0.5)
+    } finally query.stop()
+  }
+
   test("incremental migration: file drops stream into a batch sink via foreachBatch") {
     import graft.model.Canonical
     val watch = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
