@@ -121,6 +121,25 @@ object ScaleProbe {
       val m = ops.Pca.fit(emb, k = -1)
       ops.Pca.transform(emb, m, whiten = true).filter(size(col("pca")) > 0).count()
     }
+    time("prefix jaccard join (t=0.8)")(
+      ops.SetSimilarityJoin.prefixJaccardPairs(docs, threshold = 0.8).count())
+    time("prefix jaccard join (t=0.5)")(
+      ops.SetSimilarityJoin.prefixJaccardPairs(docs, threshold = 0.5).count())
+    time("zorder write (2 cols)")(
+      ops.Layout.zorder(events.select("event_id", "user_id", "value"),
+        Seq("event_id", "user_id"), numPartitions = 32).count())
+    time("quality lr (fit 5 iters + score)") {
+      val labeled = docs.withColumn("label", (col("lang") === "en").cast("double"))
+      val m = ops.QualityModel.fit(labeled, "label", dim = 256, iters = 5)
+      ops.QualityModel.score(docs, m).filter(col("quality_prob") >= 0).count()
+    }
+    time("bpe train (50 merges)") {
+      ops.Bpe.train(docs, numMerges = 50).merges.length.toLong
+    }
+    time("bpe encode (50 merges)") {
+      val m = ops.Bpe.train(docs, numMerges = 50)
+      ops.Bpe.encode(docs, m).agg(sum("n_subwords")).head().getLong(0)
+    }
     spark.stop()
   }
 }
