@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document chunking: split long documents into overlapping token windows
+  * — the step that turns a raw corpus into the embedding-sized units a
+  * vector store actually indexes. The reference migrates already-chunked
+  * collections (`core/migrator.py:69-100` copies records as-is); this is
+  * the upstream producer for that pipeline, and the unit boundary every
+  * RAG/retrieval system needs to control (width = model context, stride <
+  * width = overlap so answers straddling a boundary survive).
+  *
+  * Windows start at 0, stride, 2*stride, ... ; the last window may be
+  * shorter than `width` but never empty; a document with no tokens yields
+  * no chunks. `ceil((n-width)/stride) + 1` chunks per doc — all integer
+  * math, so a SQL oracle replays boundaries exactly.
+  *
+  * Scale shape: embarrassingly parallel — one projection + one explode,
+  * no shuffle at all; output size is `n/stride * width` tokens (the
+  * overlap tax is explicit and tunable). Chunk rows carry (doc, idx) so
+  * downstream embedding/loading needs no join back to the corpus.
+  */
+object Chunking {
+
+  /** One row per chunk: (idCol, chunk_idx, n_tokens, chunk_text), plus
+    * every column of `docs` except the text (metadata rides along). */
+  def chunkByTokens(docs: DataFrame, width: Int, stride: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      "need width > 0 and 0 < stride <= width")
+    val toks = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val n = size(col("__toks"))
+    // ceil((n - width)/stride) + 1 via integer math (n > width); else 1
+    val nChunks = when(n <= width, lit(1))
+      .otherwise(((n - width + stride - 1) / stride).cast("int") + 1)
+
+    val sliced: Column = slice(col("__toks"), col("chunk_idx") * stride + 1, lit(width))
+    docs
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("n_tokens", size(sliced))
+      .withColumn("chunk_text", array_join(sliced, " "))
+      .drop("__toks", textCol)
+  }
+}

@@ -160,6 +160,20 @@ object AdvancedQueries {
         rightVals = Seq("value"))
         .select(col("event_id"), col("user_id"),
           round(col("asof_value"), 2).as("last_click_value"))
+    }),
+
+    // batch CDC: three-way snapshot diff (insert/update/delete + changed-
+    // column count) — the incremental-migration primitive; the new
+    // snapshot is DERIVED deterministically from orders in both engines
+    // (drop %97 keys, bump %89 prices, re-insert %93 keys shifted)
+    "q_cdc_diff" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val newSnap = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          col("o_totalprice") + when(col("o_orderkey") % 89 === 0, 1.5).otherwise(0.0))
+        .unionByName(o.filter(col("o_orderkey") % 93 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.ops.SnapshotDiff.diff(o, newSnap, "o_orderkey")
     })
   )
 
@@ -238,6 +252,31 @@ object AdvancedQueries {
       ("SELECT p.event_id, p.user_id, round(c.value, 2) AS last_click_value " +
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
-        "ON p.user_id = c.user_id AND p.ts >= c.ts")
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"),
+    "q_cdc_diff" ->
+      // the full-outer diff replayed: same derived new snapshot, same
+      // column-wise IS DISTINCT FROM change test, same survivor values
+      ("WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders), " +
+        "n AS (SELECT o_orderkey, o_custkey, o_totalprice + " +
+        "CASE WHEN o_orderkey % 89 = 0 THEN 1.5 ELSE 0.0 END AS o_totalprice " +
+        "FROM o WHERE o_orderkey % 97 != 0 " +
+        "UNION ALL SELECT o_orderkey + 100000000, o_custkey, o_totalprice " +
+        "FROM o WHERE o_orderkey % 93 = 0), " +
+        "j AS (SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey, " +
+        "o.o_orderkey IS NOT NULL AS in_old, n.o_orderkey IS NOT NULL AS in_new, " +
+        "o.o_custkey AS oc, o.o_totalprice AS ot, " +
+        "n.o_custkey AS nc, n.o_totalprice AS nt " +
+        "FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey) " +
+        "SELECT o_orderkey, " +
+        "CASE WHEN NOT in_old THEN 'insert' WHEN NOT in_new THEN 'delete' " +
+        "ELSE 'update' END AS op, " +
+        "CASE WHEN in_new THEN nc ELSE oc END AS o_custkey, " +
+        "CASE WHEN in_new THEN nt ELSE ot END AS o_totalprice, " +
+        "CAST(CASE WHEN in_old AND in_new THEN " +
+        "(CASE WHEN nc IS DISTINCT FROM oc THEN 1 ELSE 0 END + " +
+        "CASE WHEN nt IS DISTINCT FROM ot THEN 1 ELSE 0 END) ELSE 0 END AS INT) " +
+        "AS n_changed " +
+        "FROM j WHERE NOT in_old OR NOT in_new " +
+        "OR nc IS DISTINCT FROM oc OR nt IS DISTINCT FROM ot")
   )
 }

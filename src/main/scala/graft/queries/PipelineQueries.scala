@@ -345,6 +345,18 @@ object PipelineQueries {
       Layout.withZValue(Tables(s, dir, "orders"), Seq("o_custkey", "o_orderkey"), bits = 8)
         .select("o_orderkey", "z_value")),
 
+    // ---- RAG chunking: overlapping 64-token windows, stride 48 ----
+    // boundaries are pure integer math → the oracle replays every window
+    "q_chunk_docs" -> ((s, dir) =>
+      Chunking.chunkByTokens(Tables(s, dir, "documents"), width = 64, stride = 48)
+        .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")),
+
+    // ---- EXACT edit-distance join (Ed-Join prefix filter + Levenshtein
+    //      verify) over customer names, k=1 ----
+    "q_fuzzy_names" -> ((s, dir) =>
+      EditDistanceJoin.editDistancePairs(Tables(s, dir, "customer"),
+        strCol = "c_name", idCol = "c_custkey", maxDistance = 1)),
+
     // ---- Array functions ----
     "q_fn_array" -> ((s, dir) =>
       Tables(s, dir, "embeddings").select(
@@ -924,6 +936,39 @@ object PipelineQueries {
           s"b AS (SELECT o_orderkey, (o_custkey - minx) // ((maxx - minx) // $m + 1) AS bx, " +
           s"(o_orderkey - miny) // ((maxy - miny) // $m + 1) AS by FROM orders, s) " +
           s"SELECT o_orderkey, CAST($interleave AS BIGINT) AS z_value FROM b"
+      },
+      "q_chunk_docs" ->
+        // same windows: starts at k*48, width 64, count 1 + ceil((n-64)/48)
+        ("WITH d AS (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 " +
+          "THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents), " +
+          "c AS (SELECT doc_id, toks, len(toks) AS n, " +
+          "CASE WHEN len(toks) <= 64 THEN 1 ELSE (len(toks) - 64 + 47) // 48 + 1 END AS nc " +
+          "FROM d WHERE len(toks) > 0), " +
+          "e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS k FROM c) " +
+          "SELECT doc_id, CAST(k AS INT) AS chunk_idx, " +
+          "CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_tokens, " +
+          "array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text FROM e"),
+      "q_fuzzy_names" -> {
+        // Ed-Join replayed stage by stage: padded char 3-grams -> global df
+        // -> rarest-first rank -> (q*k+1)-prefix -> candidate join with the
+        // length filter -> exact Levenshtein verify (k=1, q=3, prefix 4)
+        val gram = "substring(ps, CAST(i AS INT), 3)"
+        "WITH s AS (SELECT c_custkey AS id, c_name AS str FROM customer " +
+          "WHERE c_name IS NOT NULL), " +
+          "p AS (SELECT id, repeat(chr(1), 2) || str || repeat(chr(2), 2) AS ps, " +
+          "length(str) AS len FROM s), " +
+          "g0 AS (SELECT id, len, list_distinct(list_transform(" +
+          s"generate_series(1, length(ps) - 2), i -> $gram)) AS grams FROM p), " +
+          "e AS (SELECT id, len, unnest(grams) AS g FROM g0), " +
+          "dfq AS (SELECT g, count(*) AS df FROM e GROUP BY g), " +
+          "rk AS (SELECT id, len, g, row_number() OVER (PARTITION BY id " +
+          "ORDER BY df, g) AS rn FROM e JOIN dfq USING (g)), " +
+          "pf AS (SELECT id, len, g FROM rk WHERE rn <= 4), " +
+          "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM pf a " +
+          "JOIN pf b ON a.g = b.g AND a.id < b.id AND abs(a.len - b.len) <= 1), " +
+          "v AS (SELECT id_a, id_b, levenshtein(sa.str, sb.str) AS dist " +
+          "FROM cand JOIN s sa ON sa.id = cand.id_a JOIN s sb ON sb.id = cand.id_b) " +
+          "SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM v WHERE dist <= 1"
       },
       "q_fn_array" ->
         ("SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS arr_first, " +

@@ -33,7 +33,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("gate size matches the documented inventory") {
-    assert(SparkEntry.queries.size == 117, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 116, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size == 120, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 119, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Chunking, EditDistanceJoin, SnapshotDiff}
+
+/** Round-5 fifth-session additions: batch CDC snapshot diff, exact
+  * edit-distance join, RAG chunking. */
+
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val oldSnap = Seq(
+    (1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0),
+    (5L, null.asInstanceOf[String], 5.0)).toDF("id", "s", "v")
+  private val newSnap = Seq(
+    (1L, "a", 1.0),                    // unchanged — must be absent
+    (2L, "B", 2.0),                    // update: one column
+    (3L, "cc", 30.0),                  // update: two columns
+    (5L, "e", 5.0),                    // update: null -> value
+    (6L, "f", 6.0)).toDF("id", "s", "v") // insert; 4 deleted
+
+  test("three-way classification with per-column change counts") {
+    val got = SnapshotDiff.diff(oldSnap, newSnap, "id")
+      .as[(Long, String, String, Double, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(2L, 3L, 4L, 5L, 6L))
+    assert(got(2L) == ((2L, "update", "B", 2.0, 1)))
+    assert(got(3L) == ((3L, "update", "cc", 30.0, 2)))
+    assert(got(4L) == ((4L, "delete", "d", 4.0, 0)))   // old-side values survive
+    assert(got(5L) == ((5L, "update", "e", 5.0, 1)))   // null -> value IS a change
+    assert(got(6L) == ((6L, "insert", "f", 6.0, 0)))
+  }
+
+  test("identical snapshots diff to empty; compareCols restricts the test") {
+    assert(SnapshotDiff.diff(oldSnap, oldSnap, "id").isEmpty)
+    // only v compared: the s-only update at id=2 disappears
+    val ops = SnapshotDiff.diff(oldSnap, newSnap, "id", compareCols = Seq("v"))
+      .select("id", "op").as[(Long, String)].collect().toMap
+    assert(!ops.contains(2L) && ops(3L) == "update" && ops(4L) == "delete" && ops(6L) == "insert")
+  }
+
+  test("upserts and deleteIds partition the diff") {
+    val up = SnapshotDiff.upserts(oldSnap, newSnap, "id").select("id")
+      .as[Long].collect().toSet
+    val del = SnapshotDiff.deleteIds(oldSnap, newSnap, "id").as[Long].collect().toSet
+    assert(up == Set(2L, 3L, 5L, 6L) && del == Set(4L))
+  }
+
+  test("plan: single join, no more") {
+    val joins = SnapshotDiff.diff(oldSnap, newSnap, "id")
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+    assert(joins.length == 1 && joins.head.joinType.sql == "FULL OUTER")
+  }
+}
+
+class EditDistanceJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val names = Seq(
+    (1L, "martha"), (2L, "marhta"),   // transposition: ed 2
+    (3L, "marta"),                    // deletion from martha: ed 1
+    (4L, "smith"), (5L, "smyth"),     // substitution: ed 1
+    (6L, "smithe"),                   // insertion: ed 1 from smith, 2 from smyth
+    (7L, "jones")).toDF("id", "name")
+
+  private def pairs(k: Int) =
+    EditDistanceJoin.editDistancePairs(names, "name", "id", maxDistance = k)
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("matches the exhaustive cross join exactly (recall 1, k=1 and k=2)") {
+    for (k <- Seq(1, 2)) {
+      val a = names.select(col("id").as("id_a"), col("name").as("na"))
+      val b = names.select(col("id").as("id_b"), col("name").as("nb"))
+      val want = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")).cast("int"))
+        .filter(col("dist") <= k)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+      assert(pairs(k) == want, s"k=$k")
+    }
+  }
+
+  test("k=1 finds exactly the single-edit pairs") {
+    // marhta -> marta is also one deletion away
+    assert(pairs(1) == Set((1L, 3L, 1), (2L, 3L, 1), (4L, 5L, 1), (4L, 6L, 1)))
+  }
+
+  test("candidate pruning: no cross join in the plan") {
+    val cross = EditDistanceJoin.editDistancePairs(names, "name", "id")
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty => j
+      }
+    assert(cross.isEmpty)
+  }
+}
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+  private val docs = Seq(
+    (1L, toks(10)),   // n=10, w=4, s=2 -> starts 0,2,4,6 (4 chunks)
+    (2L, toks(11)),   // -> starts 0,2,4,6,8 (5 chunks; last has 3 tokens)
+    (3L, toks(3)),    // n < width -> 1 chunk of 3
+    (4L, "   "),      // no tokens -> no chunks
+    (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+  test("window boundaries, counts, and tails") {
+    val got = Chunking.chunkByTokens(docs, width = 4, stride = 2)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect()
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc.keySet == Set(1L, 2L, 3L))
+    assert(byDoc(1L).length == 4 && byDoc(1L).forall(_._3 == 4))
+    assert(byDoc(1L).head._4 == "t1 t2 t3 t4" && byDoc(1L).last._4 == "t7 t8 t9 t10")
+    assert(byDoc(2L).length == 5 && byDoc(2L).last._3 == 3 && byDoc(2L).last._4 == "t9 t10 t11")
+    assert(byDoc(3L).toList == List((3L, 0, 3, "t1 t2 t3")))
+  }
+
+  test("every token position is covered; consecutive chunks overlap by width-stride") {
+    val got = Chunking.chunkByTokens(docs.filter(col("doc_id") === 2L), width = 4, stride = 2)
+      .select("chunk_idx", "chunk_text").as[(Int, String)].collect().sortBy(_._1)
+    val covered = got.flatMap(_._2.split(" ")).toSet
+    assert(covered == (1 to 11).map(i => s"t$i").toSet)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2.split(" ").toSet.intersect(b._2.split(" ").toSet).size == 2)
+    case _ => }
+  }
+
+  test("metadata columns ride along; no shuffle in the plan") {
+    val withMeta = docs.withColumn("source", concat(lit("s"), col("doc_id")))
+    val out = Chunking.chunkByTokens(withMeta, width = 4, stride = 4)
+    assert(out.columns.contains("source") && !out.columns.contains("text"))
+    val exchanges = out.queryExecution.executedPlan.toString
+    assert(!exchanges.contains("Exchange"), exchanges)
+  }
+}
