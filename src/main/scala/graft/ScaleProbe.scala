@@ -140,6 +140,30 @@ object ScaleProbe {
       val m = ops.Bpe.train(docs, numMerges = 50)
       ops.Bpe.encode(docs, m).agg(sum("n_subwords")).head().getLong(0)
     }
+    val orders = amplify(Tables(spark, dir, "orders"), "o_orderkey")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    time("snapshot diff (cdc)") {
+      val newSnap = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          col("o_totalprice") + when(col("o_orderkey") % 89 === 0, 1.5).otherwise(0.0))
+        .unionByName(orders.filter(col("o_orderkey") % 93 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+      ops.SnapshotDiff.diff(orders, newSnap, "o_orderkey").count()
+    }
+    time("edit distance join (k=1)") {
+      // regenerate names from the SHIFTED ids so the amplified corpus has
+      // distinct strings (not factor-cliques of exact duplicates)
+      val names = amplify(Tables(spark, dir, "customer"), "c_custkey")
+        .select(col("c_custkey"),
+          format_string("Customer#%09d", col("c_custkey")).as("c_name"))
+      ops.EditDistanceJoin.editDistancePairs(names, "c_name", "c_custkey").count()
+    }
+    time("chunk + hashed embed (d=64)")(
+      ops.Chunking.chunkByTokens(docs, width = 64, stride = 48)
+        .select(functions.TextFunctions.hashedTokenEmbedding(col("chunk_text"), 64).as("v"))
+        .filter(size(col("v")) > 0).count())
+    time("cohort retention")(
+      ops.Cohorts.retention(events).count())
     spark.stop()
   }
 }

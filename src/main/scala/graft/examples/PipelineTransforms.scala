@@ -110,3 +110,41 @@ class ClusterBySimilarity extends (DataFrame => DataFrame) {
     if (df.filter(col(Canonical.VECTOR).isNotNull).isEmpty) df
     else graft.ops.Layout.clusterBySimilarity(df, bits = 8, vecCol = Canonical.VECTOR)
 }
+
+/** `--transform graft.examples.ChunkAndEmbed`: turn a document-shaped
+  * collection (text in `metadata['text']`) into the chunk-level records a
+  * vector store actually indexes — [[graft.ops.Chunking.chunkByTokens]]
+  * windows (64 tokens, stride 48), one canonical record per chunk with
+  * id `<parent>#<idx>`, the chunk text + provenance in metadata, and a
+  * deterministic hashing-trick embedding
+  * ([[graft.functions.TextFunctions.hashedTokenEmbedding]]) standing in
+  * for a real encoder. Records without text pass through untouched —
+  * re-running over a mixed collection is safe. */
+class ChunkAndEmbed extends (DataFrame => DataFrame) {
+  private val width = 64; private val stride = 48; private val dim = 64
+  override def apply(df: DataFrame): DataFrame = {
+    val text = element_at(col(Canonical.METADATA), "text")
+    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
+    val chunked = graft.ops.Chunking.chunkByTokens(
+      df.filter(hasText)
+        .withColumn("__parent", col(Canonical.ID))
+        .withColumn("__text", text),
+      width, stride, idCol = Canonical.ID, textCol = "__text")
+    val out = chunked
+      .withColumn(Canonical.ID,
+        concat(col(Canonical.ID), lit("#"), col("chunk_idx")))
+      .withColumn(Canonical.VECTOR,
+        transform(
+          graft.functions.TextFunctions.hashedTokenEmbedding(col("chunk_text"), dim),
+          _.cast("float")))
+      .withColumn(Canonical.METADATA, map_concat(
+        map_filter(col(Canonical.METADATA), (k, _) => k =!= "text"),
+        map(lit("text"), col("chunk_text"),
+          lit("parent_id"), col("__parent"),
+          lit("chunk_idx"), col("chunk_idx").cast("string"))))
+      .select(col(Canonical.ID), col(Canonical.VECTOR), col(Canonical.METADATA))
+    df.filter(!hasText)
+      .select(col(Canonical.ID), col(Canonical.VECTOR), col(Canonical.METADATA))
+      .unionByName(out)
+  }
+}

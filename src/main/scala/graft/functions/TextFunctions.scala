@@ -121,6 +121,28 @@ object TextFunctions {
   def rollingHashPortable(text: Column): Column =
     HashExpressions.polyFoldHash(HashExpressions.portableTokenHashes(text))
 
+  /** Hashing-trick text embedding: L2-normalized bucket counts of the
+    * PORTABLE token hashes — v[j] = |{t : hash(t) mod dim = j}| / ||v||.
+    * The deterministic stand-in for a real sentence encoder in
+    * chunk-embed-load pipelines (no model weights exist in this
+    * environment), and a legitimate cheap baseline in its own right
+    * (feature hashing: Weinberger et al., ICML'09). Portable math end to
+    * end, so the DuckDB oracle reproduces every component bit-exactly.
+    *
+    * One `aggregate` fold — the token-hash kernel runs ONCE per row (a
+    * per-j `filter` would re-evaluate it dim times: HOFs are
+    * CodegenFallback, so Catalyst's subexpression elimination can't
+    * rescue that shape). O(tokens·dim) adds per row. */
+  def hashedTokenEmbedding(text: Column, dim: Int): Column = {
+    require(dim > 0, "dim > 0")
+    val counts = aggregate(
+      HashExpressions.portableTokenHashes(text),
+      array_repeat(lit(0.0), dim),
+      (acc, h) => transform(acc, (v, i) => v + when(pmod(h, lit(dim)) === i, 1.0).otherwise(0.0)))
+    val norm = sqrt(aggregate(counts, lit(0.0), (a, x) => a + x * x))
+    when(norm > 0, transform(counts, x => x / norm)).otherwise(counts)
+  }
+
   /** Character n-gram shingles (lowercased, whitespace collapsed) — input to
     * MinHash / Jaccard dedup. */
   def charShingles(text: Column, n: Int): Column = {

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cohort retention: group users by first-activity period, then measure
+  * what fraction of each cohort is still active k periods later — the
+  * standard product-analytics matrix, and (for training pipelines) the
+  * activity decay curve behind any time-based data-mixing decision.
+  *
+  * Periods are fixed-width windows of the epoch (default 7 days), NOT
+  * calendar weeks: `period = floor(epoch_micros / width)` is pure integer
+  * math, so it is timezone-free, engine-portable, and immune to the
+  * locale-dependent "which day starts a week" trap.
+  *
+  * Scale shape: two aggregations — (user → first period) is one shuffle on
+  * user, the (cohort, offset) roll-up is map-side combinable on a tiny key
+  * space. The distinct inside the roll-up shuffles (user, period) once.
+  * Nothing is collected; cohort sizes join back broadcast.
+  */
+object Cohorts {
+
+  val MicrosPerWeek: Long = 7L * 86400L * 1000000L
+
+  /** One row per (cohort_period, offset): active distinct users and the
+    * retention fraction vs the cohort's size at offset 0. */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts", periodMicros: Long = MicrosPerWeek): DataFrame = {
+    require(periodMicros > 0, "periodMicros > 0")
+    val period = floor(unix_micros(col(tsCol)) / periodMicros)
+    val activity = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), period.as("p"))
+      .distinct()
+    val firstSeen = activity.groupBy("u").agg(min("p").as("cohort_period"))
+    val cells = activity.join(firstSeen, "u")
+      .groupBy(col("cohort_period"), (col("p") - col("cohort_period")).as("offset_periods"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("offset_periods") === 0)
+      .select(col("cohort_period"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_period")
+      .select(col("cohort_period"), col("offset_periods"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+  }
+}

@@ -174,7 +174,13 @@ object AdvancedQueries {
         .unionByName(o.filter(col("o_orderkey") % 93 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
       graft.ops.SnapshotDiff.diff(o, newSnap, "o_orderkey")
-    })
+    }),
+
+    // cohort retention over events: fixed 7-day epoch periods (integer
+    // math — no calendar-week locale trap), distinct-user cells, rates
+    // vs the cohort's offset-0 size
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.ops.Cohorts.retention(Tables(s, dir, "events")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -277,6 +283,18 @@ object AdvancedQueries {
         "CASE WHEN nt IS DISTINCT FROM ot THEN 1 ELSE 0 END) ELSE 0 END AS INT) " +
         "AS n_changed " +
         "FROM j WHERE NOT in_old OR NOT in_new " +
-        "OR nc IS DISTINCT FROM oc OR nt IS DISTINCT FROM ot")
+        "OR nc IS DISTINCT FROM oc OR nt IS DISTINCT FROM ot"),
+    "q_cohort_retention" ->
+      // epoch-µs // one-week integer division = Spark's floor(unix_micros/w)
+      ("WITH a AS (SELECT DISTINCT user_id AS u, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS p FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+        "f AS (SELECT u, min(p) AS cohort_period FROM a GROUP BY u), " +
+        "c AS (SELECT cohort_period, p - cohort_period AS offset_periods, " +
+        "count(*) AS n_active FROM a JOIN f USING (u) GROUP BY 1, 2), " +
+        "s AS (SELECT cohort_period, n_active AS cohort_size FROM c WHERE offset_periods = 0) " +
+        "SELECT c.cohort_period, c.offset_periods, c.n_active, " +
+        "round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention " +
+        "FROM c JOIN s USING (cohort_period)")
   )
 }

@@ -351,6 +351,14 @@ object PipelineQueries {
       Chunking.chunkByTokens(Tables(s, dir, "documents"), width = 64, stride = 48)
         .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")),
 
+    // ---- chunk -> hashing-trick embedding (dim 16): the deterministic
+    //      encoder stand-in, every component oracle-replayed ----
+    "q_chunk_embed" -> ((s, dir) =>
+      Chunking.chunkByTokens(Tables(s, dir, "documents"), width = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"),
+          transform(TextFunctions.hashedTokenEmbedding(col("chunk_text"), 16),
+            v => round(v, 6)).as("embedding"))),
+
     // ---- EXACT edit-distance join (Ed-Join prefix filter + Levenshtein
     //      verify) over customer names, k=1 ----
     "q_fuzzy_names" -> ((s, dir) =>
@@ -948,6 +956,30 @@ object PipelineQueries {
           "SELECT doc_id, CAST(k AS INT) AS chunk_idx, " +
           "CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_tokens, " +
           "array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text FROM e"),
+      "q_chunk_embed" -> {
+        // same chunk windows as q_chunk_docs, then the hashing-trick
+        // embedding replayed component by component: bucket counts over the
+        // sliced portable token-hash list, L2-normalized. The 16 count
+        // expressions are GENERATED from the same dim the Spark side uses.
+        val dim = 16
+        val counts = (0 until dim)
+          .map(j => s"CAST(len(list_filter(ch, h -> h % $dim = $j)) AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        "WITH d AS (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 " +
+          "THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents), " +
+          s"h AS (SELECT doc_id, list_transform(toks, t -> ${tokHashSql("t")}) AS hl, " +
+          "len(toks) AS n FROM d WHERE len(toks) > 0), " +
+          "c AS (SELECT doc_id, hl, " +
+          "CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM h), " +
+          "e AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx, " +
+          "hl[k*48+1 : k*48+64] AS ch FROM " +
+          "(SELECT doc_id, hl, unnest(range(0, nc)) AS k FROM c)), " +
+          s"cnt AS (SELECT doc_id, chunk_idx, $counts AS cnt FROM e), " +
+          "nrm AS (SELECT doc_id, chunk_idx, cnt, " +
+          "sqrt(list_aggregate(list_transform(cnt, x -> x*x), 'sum')) AS nn FROM cnt) " +
+          "SELECT doc_id, chunk_idx, " +
+          "list_transform(cnt, x -> round(x / nn, 6)) AS embedding FROM nrm"
+      },
       "q_fuzzy_names" -> {
         // Ed-Join replayed stage by stage: padded char 3-grams -> global df
         // -> rarest-first rank -> (q*k+1)-prefix -> candidate join with the

@@ -33,7 +33,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("gate size matches the documented inventory") {
-    assert(SparkEntry.queries.size == 120, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 119, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size == 122, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 121, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -136,3 +136,89 @@ class ChunkingSpec extends SparkSpec {
     assert(!exchanges.contains("Exchange"), exchanges)
   }
 }
+
+class CohortSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val w = graft.ops.Cohorts.MicrosPerWeek
+  private def ts(week: Long) = new java.sql.Timestamp(week * w / 1000)
+  // u1 joins week 0, active weeks 0,1,3; u2 joins week 0, active week 0
+  // only; u3 joins week 1, active weeks 1,2
+  private val events = Seq(
+    (1L, ts(0)), (1L, ts(0)), (1L, ts(1)), (1L, ts(3)),
+    (2L, ts(0)),
+    (3L, ts(1)), (3L, ts(2))).toDF("user_id", "ts")
+
+  test("cohort matrix: counts and rates") {
+    val got = graft.ops.Cohorts.retention(events)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 1.0)), (0L, 1L) -> ((1L, 0.5)), (0L, 3L) -> ((1L, 0.5)),
+      (1L, 0L) -> ((1L, 1.0)), (1L, 1L) -> ((1L, 1.0))))
+  }
+
+  test("repeat activity within one period counts once") {
+    // u1 has two week-0 events but the (0,0) cell says 2 users, not 3 rows
+    val cell = graft.ops.Cohorts.retention(events)
+      .filter(col("cohort_period") === 0 && col("offset_periods") === 0)
+      .select("n_active").as[Long].head()
+    assert(cell == 2L)
+  }
+}
+
+class HashedEmbeddingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions
+
+  test("unit norm, determinism, bucket-count semantics") {
+    val df = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, ""), (4L, "a b c d"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TextFunctions.hashedTokenEmbedding(col("text"), 8).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // non-empty docs have unit L2 norm
+    for (id <- Seq(1L, 2L, 4L))
+      assert(math.abs(out(id).map(x => x * x).sum - 1.0) < 1e-12)
+    // single repeated token -> one bucket holds everything
+    assert(out(2L).count(_ != 0.0) == 1 && out(2L).max == 1.0)
+    // empty text -> zero vector, not NaN
+    assert(out(3L).forall(_ == 0.0))
+    // pure function of text
+    assert(out(1L) == out(4L))
+  }
+}
+
+class ChunkAndEmbedCliSpec extends SparkSpec {
+  import graft.connectors.MemoryStore
+  import graft.model.Canonical
+  import java.nio.file.Files
+
+  test("--transform graft.examples.ChunkAndEmbed chunks documents into the sink") {
+    MemoryStore.drop("cli_chunks")
+    val cfg = Files.createTempFile("graft", ".json")
+    Files.writeString(cfg,
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "documents", "id_column": "doc_id",
+         |                      "metadata_columns": ["text", "source"], "limit": 20}},
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "cli_chunks", "recreate": true}}}""".stripMargin)
+    assert(graft.cli.Main.run(Array(
+      "--config", cfg.toString, "--transform", "graft.examples.ChunkAndEmbed")) == 0)
+    val stored = MemoryStore.get("cli_chunks").get._1
+    assert(stored.nonEmpty)
+    val metas = stored.map(r => r.getAs[String](0) ->
+      r.getAs[Map[String, String]](Canonical.METADATA))
+    // chunk ids are parent#idx; provenance lands in metadata
+    assert(metas.forall { case (id, m) =>
+      id == s"${m("parent_id")}#${m("chunk_idx")}" && m.contains("text") })
+    // every chunk got a unit-norm dim-64 vector
+    stored.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]](Canonical.VECTOR)
+      assert(v.length == 64)
+      assert(math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+    }
+    // multi-chunk docs exist at width 64 on this fixture
+    assert(stored.length > 20)
+  }
+}
