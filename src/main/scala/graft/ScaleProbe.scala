@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    // optional 2nd arg: comma-separated substrings; only run probes whose
+    // label contains one of them
+    val only = args.drop(1).headOption.map(_.split(',').toSeq)
     val spark = GraftSession.local("graft-scale-probe")
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
@@ -27,11 +30,12 @@ object ScaleProbe {
     val emb = amplify(Tables(spark, dir, "embeddings"), "vec_id")
     val events = amplify(Tables(spark, dir, "events"), "event_id")
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scale-probe] $label%-26s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
-    }
+    def time(label: String)(f: => Long): Unit =
+      if (only.forall(_.exists(label.contains))) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[scale-probe] $label%-26s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
+      }
 
     println(s"[scale-probe] factor=$factor docs=${docs.count()} emb=${emb.count()} events=${events.count()}")
     time("minhash pairs")(ops.Dedup.minHashDuplicatePairs(docs, threshold = 0.3).count())
@@ -150,13 +154,23 @@ object ScaleProbe {
           .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
       ops.SnapshotDiff.diff(orders, newSnap, "o_orderkey").count()
     }
-    time("edit distance join (k=1)") {
+    time("edit distance join (fastss)") {
       // regenerate names from the SHIFTED ids so the amplified corpus has
-      // distinct strings (not factor-cliques of exact duplicates)
+      // distinct strings (not factor-cliques of exact duplicates). Digit
+      // names are the gram-prefix killer (see EditDistanceJoin scaladoc);
+      // the deletion-neighborhood join is the path for this shape.
       val names = amplify(Tables(spark, dir, "customer"), "c_custkey")
         .select(col("c_custkey"),
           format_string("Customer#%09d", col("c_custkey")).as("c_name"))
-      ops.EditDistanceJoin.editDistancePairs(names, "c_name", "c_custkey").count()
+      ops.EditDistanceJoin.deletionNeighborhoodPairs(names, "c_name", "c_custkey").count()
+    }
+    time("edit distance join (grams)") {
+      // natural-language vocabulary: the corpus where gram prefixes ARE
+      // selective — the typo-clustering use case
+      val toks = docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .filter(length(col("t")).between(4, 20)).distinct()
+        .withColumn("tid", xxhash64(col("t")))
+      ops.EditDistanceJoin.editDistancePairs(toks, "t", "tid", maxDistance = 1).count()
     }
     time("chunk + hashed embed (d=64)")(
       ops.Chunking.chunkByTokens(docs, width = 64, stride = 48)

@@ -22,11 +22,13 @@ object Main {
     var config: Option[String] = None
     var transformCls: Option[String] = None
     var verbose = false
+    var validate = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--config" | "-c" => config = Some(args(i + 1)); i += 2
         case "--transform" | "-t" => transformCls = Some(args(i + 1)); i += 2
+        case "--validate" => validate = true; i += 1
         case "--verbose" | "-v" => verbose = true; i += 1
         case "--version" => println(s"graft $version"); return 0
         case "--help" | "-h" => println(usage); return 0
@@ -59,6 +61,18 @@ object Main {
             println(s"migration complete: ${report.written} records " +
               s"${report.sourceType} -> ${report.targetType}" +
               (if (report.skipped > 0) s" (${report.skipped} skipped)" else ""))
+            if (validate) {
+              val rows = graft.core.Validator.validateMigration(spark,
+                graft.config.MigrationConfig.fromFile(path), transform).collect()
+              rows.foreach(r => println(f"validate: ${r.getString(0)}%-24s " +
+                f"${r.getLong(1)}%10d  ${if (r.getBoolean(2)) "ok" else "FAIL"}"))
+              val failed = rows.count(!_.getBoolean(2))
+              if (failed > 0) {
+                System.err.println(s"validation failed: $failed check(s)")
+                return 1
+              }
+              println("validation passed")
+            }
             0
           } else {
             System.err.println(s"migration failed: ${report.error.getOrElse("unknown error")}")
@@ -71,9 +85,12 @@ object Main {
   }
 
   private val usage =
-    """usage: graft-migrate --config <config.json> [--transform <class>] [--verbose] [--version]
+    """usage: graft-migrate --config <config.json> [--transform <class>] [--validate] [--verbose] [--version]
       |  --config/-c     migration config JSON (same shape as the reference tool)
       |  --transform/-t  fully-qualified class implementing DataFrame => DataFrame
+      |  --validate      after a successful run, re-derive the expected target
+      |                  and check the collection (counts, ids, dups, vector
+      |                  signatures); exit 1 on any failed check
       |  --verbose/-v    verbose logging + full run report
       |  --version       print version and exit""".stripMargin
 }

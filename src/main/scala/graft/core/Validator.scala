@@ -1,0 +1,105 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Canonical
+
+/** Post-migration validation: compare a source and target collection and
+  * produce a small per-check report — the "did the copy actually arrive
+  * intact" step the reference leaves entirely to the user (its migrator
+  * returns a bare bool, `core/migrator.py:108-111`, and its README shows
+  * hand-run psql/scroll spot checks, `README.md:235-253`).
+  *
+  * All checks ride ONE pass: each side is collapsed to one row per id
+  * (count + a portable vector signature), the two are full-outer-joined
+  * on id — the same single-shuffle-per-side shape as
+  * [[graft.ops.SnapshotDiff]] — and every check is an aggregate over that
+  * join. Nothing is collected; the report is a handful of rows.
+  *
+  * The vector signature is the portable polynomial fold over
+  * `round(x * 2^20)`-scaled components (float->double is exact, the
+  * scaling is the repo's standard lossless-integer trick), so a SQL
+  * engine reproduces it bit-for-bit and the value-mismatch check is
+  * oracle-checkable end to end.
+  */
+object Validator {
+
+  /** Mod-P polynomial signature of a float vector; NULL vector -> -1
+    * (distinguishes "no vector" from any real signature). */
+  def vectorSignature(vec: Column): Column = {
+    val folded = aggregate(
+      vec,
+      lit(0L),
+      (acc, x) => pmod(acc * 131L +
+        pmod(round(x.cast("double") * (1L << 20)).cast("long"), lit(2147483647L)),
+        lit(2147483647L)))
+    when(vec.isNull, -1L).otherwise(folded)
+  }
+
+  /** One row per check: (check, value, passed).
+    *
+    * Count checks (`rows_*`, `distinct_ids_*`) are informational
+    * (`passed` = true); integrity checks pass iff their value is 0:
+    * `ids_missing_in_target`, `ids_extra_in_target`, `dup_ids_source`,
+    * `dup_ids_target`, `vector_mismatches` (same id, different signature
+    * — covers dim changes, value changes, dropped/added vectors).
+    */
+  def validate(source: DataFrame, target: DataFrame,
+               idCol: String = Canonical.ID,
+               vecCol: String = Canonical.VECTOR): DataFrame = {
+    def perId(df: DataFrame, side: String) = df
+      .select(col(idCol).as("__id"), vectorSignature(col(vecCol)).as("__sig"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as(s"__n_$side"), min("__sig").as(s"__sig_$side"),
+        countDistinct("__sig").as(s"__nsig_$side"))
+
+    val s = perId(source, "s")
+    val t = perId(target, "t")
+    val j = s.withColumnRenamed("__id", "__id_s")
+      .join(t.withColumnRenamed("__id", "__id_t"),
+        col("__id_s") === col("__id_t"), "full_outer")
+
+    val agg = j.agg(
+      sum(coalesce(col("__n_s"), lit(0L))).as("rows_source"),
+      sum(coalesce(col("__n_t"), lit(0L))).as("rows_target"),
+      count(col("__id_s")).as("distinct_ids_source"),
+      count(col("__id_t")).as("distinct_ids_target"),
+      sum(when(col("__id_t").isNull, 1L).otherwise(0L)).as("ids_missing_in_target"),
+      sum(when(col("__id_s").isNull, 1L).otherwise(0L)).as("ids_extra_in_target"),
+      sum(when(col("__n_s") > 1, 1L).otherwise(0L)).as("dup_ids_source"),
+      sum(when(col("__n_t") > 1, 1L).otherwise(0L)).as("dup_ids_target"),
+      sum(when(col("__id_s").isNotNull && col("__id_t").isNotNull &&
+        (col("__sig_s") =!= col("__sig_t") || col("__nsig_s") > 1 || col("__nsig_t") > 1),
+        1L).otherwise(0L)).as("vector_mismatches"))
+
+    val informational = Set("rows_source", "rows_target",
+      "distinct_ids_source", "distinct_ids_target")
+    val checks = agg.columns.map { c =>
+      struct(lit(c).as("check"), col(c).as("value"),
+        (if (informational(c)) lit(true) else col(c) === 0L).as("passed"))
+    }
+    agg.select(explode(array(checks: _*)).as("r")).select("r.*")
+  }
+
+  /** Validate a FINISHED migration: re-derive the expected target from the
+    * config (source read + the same transform) and compare it to what the
+    * target collection actually holds. Meaningful when the run wrote a
+    * fresh collection (`recreate: true` or first load) — an append onto
+    * prior contents legitimately reports extras. */
+  def validateMigration(spark: org.apache.spark.sql.SparkSession,
+                        config: graft.config.MigrationConfig,
+                        transform: Option[DataFrame => DataFrame] = None): DataFrame = {
+    import graft.connectors.ConnectorRegistry
+    val query = config.source.query.getOrElse(
+      throw new graft.config.ConfigException("source block needs a 'query' section"))
+    val load = config.target.load.getOrElse(
+      throw new graft.config.ConfigException("target block needs a 'load' section"))
+    val src = ConnectorRegistry(config.source.kind)
+      .read(spark, config.source.connection, query)
+    val expected = transform.map(_(src)).getOrElse(src)
+    val actual = ConnectorRegistry(config.target.kind)
+      .read(spark, config.target.connection,
+        graft.config.QuerySpec(collection = load.collection))
+    validate(expected, actual)
+  }
+}

@@ -129,11 +129,20 @@ object TextFunctions {
     * (feature hashing: Weinberger et al., ICML'09). Portable math end to
     * end, so the DuckDB oracle reproduces every component bit-exactly.
     *
-    * One `aggregate` fold — the token-hash kernel runs ONCE per row (a
-    * per-j `filter` would re-evaluate it dim times: HOFs are
-    * CodegenFallback, so Catalyst's subexpression elimination can't
-    * rescue that shape). O(tokens·dim) adds per row. */
-  def hashedTokenEmbedding(text: Column, dim: Int): Column = {
+    * Executed by the fused [[FeatureExpressions.hashedBowEmbed]] kernel:
+    * tokenize → hash → count → normalize in one pass, no per-token
+    * allocation. (The HOF formulation of the same math — an
+    * aggregate-transform fold — built a fresh dim-array per token in the
+    * interpreted evaluator: 144.5 s vs 3.4 s for 208k chunks at the 30×
+    * probe, a 43× win. [[hashedTokenEmbeddingReference]] keeps it as the
+    * parity twin.) */
+  def hashedTokenEmbedding(text: Column, dim: Int): Column =
+    FeatureExpressions.hashedBowEmbed(text, dim)
+
+  /** HOF reference formulation of [[hashedTokenEmbedding]] — O(tokens·dim)
+    * interpreted allocations; exists to pin the kernel's semantics in the
+    * parity spec, not for production use. */
+  private[graft] def hashedTokenEmbeddingReference(text: Column, dim: Int): Column = {
     require(dim > 0, "dim > 0")
     val counts = aggregate(
       HashExpressions.portableTokenHashes(text),

@@ -36,6 +36,16 @@ import org.apache.spark.sql.functions._
   * grams (bounded by string length); the candidate join is shuffle-on-gram
   * with df² fan-out only for grams rare enough to enter prefixes; verify
   * cost is output-bound. The reference has no similarity machinery at all.
+  *
+  * KNOWN LIMIT (measured, not theorized): prefix pruning power is gram
+  * SELECTIVITY, so it collapses on low-entropy alphabets. A 450k-name
+  * probe of `Customer#%09d` strings — digit 3-grams, ≲1100 distinct
+  * grams, mean df ≈ 4500 — made even the rarest prefix grams hot enough
+  * that the candidate join headed for billions of pairs (killed at 20
+  * min). For ID/code/name-shaped corpora use
+  * [[deletionNeighborhoodPairs]], whose join keys are near-full strings
+  * and don't care about alphabet entropy; for natural-language tokens
+  * (large gram alphabet) this prefix join is the general-k path.
   */
 object EditDistanceJoin {
 
@@ -86,6 +96,52 @@ object EditDistanceJoin {
       .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("int"))
       .filter(col("dist") <= k)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** All pairs with Levenshtein distance <= 1, exactly, via the deletion
+    * neighborhood (FastSS / SymSpell family: Bocek et al., 2007): ed(a,b)
+    * <= 1 implies `{a} ∪ del1(a)` and `{b} ∪ del1(b)` intersect (delete
+    * the edited position on whichever side has it), so candidates come
+    * from an equi-join on single-deletion variants — |s|+1 keys per
+    * string, each a near-FULL string. Join selectivity therefore tracks
+    * whole-string entropy, not q-gram entropy: this is the path for
+    * short low-entropy strings (ids, codes, names, titles) where
+    * [[editDistancePairs]]'s gram prefixes go hot (see the measured limit
+    * above). Verification is the same exact Levenshtein kernel (sharing a
+    * variant only bounds ed by 2).
+    *
+    * Scale shape: |s|+1 shuffle rows per string; per-key fan-out is df²
+    * where df counts strings within one deletion of each other — output-
+    * bound on real corpora. Exact-duplicate cliques are the one hot case
+    * (every member shares every key): collapse exact dups first
+    * ([[Dedup.exactDuplicates]]), the same staging the LSH pipeline uses.
+    */
+  def deletionNeighborhoodPairs(df: DataFrame, strCol: String, idCol: String): DataFrame = {
+    val base = df.filter(col(idCol).isNotNull && col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val s = col("__s")
+    val variants = array_distinct(transform(
+      sequence(lit(0), length(s)),
+      i => when(i === 0, s)
+        .otherwise(concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
+    val keyed = base
+      .withColumn("__len", length(s))
+      .withColumn("__v", explode(variants))
+      .select("__id", "__len", "__v")
+
+    val a = keyed.select(col("__v"), col("__id").as("id_a"), col("__len").as("len_a"))
+    val b = keyed.select(col("__v"), col("__id").as("id_b"), col("__len").as("len_b"))
+    val candidates = a.join(b, "__v")
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= 1)
+      .select("id_a", "id_b").distinct()
+
+    candidates
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("int"))
+      .filter(col("dist") <= 1)
       .select("id_a", "id_b", "dist")
   }
 }

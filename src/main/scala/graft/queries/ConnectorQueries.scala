@@ -85,6 +85,32 @@ object ConnectorQueries {
         .select(col(Canonical.ID),
           element_at(col(Canonical.METADATA), "label").as("label"),
           element_at(col(Canonical.METADATA), "source_db").as("source_db"))
+    }),
+
+    // post-migration validation: the target is DERIVED from the source
+    // with planted defects (drop %101, duplicate %103, corrupt %107's
+    // vector, add shifted %109) — every check value oracle-replayed,
+    // portable vector signatures included
+    "q_validate_migration" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val rep = e.withColumn("embedding",
+        when(col("vec_id") % 107 === 0,
+          array(lit(1.0f), lit(2.0f), lit(3.0f))).otherwise(col("embedding")))
+      val target = rep.filter(col("vec_id") % 101 =!= 0)
+        .unionByName(rep.filter(col("vec_id") % 103 === 0))
+        .unionByName(e.filter(col("vec_id") % 109 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
+      graft.core.Validator.validate(e, target, idCol = "vec_id", vecCol = "embedding")
+    }),
+
+    // numeric drift between source and (CDC-derived) migrated snapshot:
+    // 10-bin PSI over order prices, every term oracle-replayed
+    "q_drift_psi" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val cur = o.filter(col("o_orderkey") % 97 =!= 0)
+        .select((col("o_totalprice") *
+          when(col("o_orderkey") % 89 === 0, 1.10).otherwise(1.0)).as("o_totalprice"))
+      graft.ops.Drift.psi(o.select("o_totalprice"), cur, "o_totalprice", bins = 10)
     })
   )
 
@@ -126,6 +152,73 @@ object ConnectorQueries {
         "FROM embeddings WHERE label = 1"),
     "q_migrate_e2e" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label, " +
-        "'pgvector' AS source_db FROM embeddings")
+        "'pgvector' AS source_db FROM embeddings"),
+    "q_validate_migration" -> {
+      // portable vector signature: polynomial fold over 2^20-scaled
+      // components mod P, replicating Validator.vectorSignature's pmod
+      def sig(e: String) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform($e, x -> ((CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0) " +
+          "AS BIGINT) % 2147483647) + 2147483647) % 2147483647)), " +
+          "(a, v) -> (a * 131 + v) % 2147483647)"
+      def perId(src: String, side: String) =
+        s"$side AS (SELECT id, count(*) AS n, min(s) AS sig, count(DISTINCT s) AS nsig " +
+          s"FROM (SELECT vec_id AS id, ${sig("embedding")} AS s FROM $src) GROUP BY id)"
+      val reportRows = Seq(
+        "rows_source" -> true, "rows_target" -> true,
+        "distinct_ids_source" -> true, "distinct_ids_target" -> true,
+        "ids_missing_in_target" -> false, "ids_extra_in_target" -> false,
+        "dup_ids_source" -> false, "dup_ids_target" -> false,
+        "vector_mismatches" -> false)
+        .map { case (c, info) =>
+          val passed = if (info) "true" else s"$c = 0"
+          s"""SELECT '$c' AS "check", $c AS "value", $passed AS passed FROM a"""
+        }.mkString(" UNION ALL ")
+      "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+        "rep AS (SELECT vec_id, CASE WHEN vec_id % 107 = 0 THEN " +
+        "[CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)] " +
+        "ELSE embedding END AS embedding FROM e), " +
+        "tgt AS (SELECT vec_id, embedding FROM rep WHERE vec_id % 101 != 0 " +
+        "UNION ALL SELECT vec_id, embedding FROM rep WHERE vec_id % 103 = 0 " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding FROM e " +
+        "WHERE vec_id % 109 = 0), " +
+        perId("e", "ss") + ", " + perId("tgt", "tt") + ", " +
+        "j AS (SELECT ss.id AS id_s, tt.id AS id_t, ss.n AS n_s, tt.n AS n_t, " +
+        "ss.sig AS sig_s, tt.sig AS sig_t, ss.nsig AS ns_s, tt.nsig AS ns_t " +
+        "FROM ss FULL JOIN tt ON ss.id = tt.id), " +
+        "a AS (SELECT " +
+        "CAST(sum(coalesce(n_s, 0)) AS BIGINT) AS rows_source, " +
+        "CAST(sum(coalesce(n_t, 0)) AS BIGINT) AS rows_target, " +
+        "CAST(count(id_s) AS BIGINT) AS distinct_ids_source, " +
+        "CAST(count(id_t) AS BIGINT) AS distinct_ids_target, " +
+        "CAST(sum(CASE WHEN id_t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ids_missing_in_target, " +
+        "CAST(sum(CASE WHEN id_s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ids_extra_in_target, " +
+        "CAST(sum(CASE WHEN n_s > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ids_source, " +
+        "CAST(sum(CASE WHEN n_t > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ids_target, " +
+        "CAST(sum(CASE WHEN id_s IS NOT NULL AND id_t IS NOT NULL AND " +
+        "(sig_s != sig_t OR ns_s > 1 OR ns_t > 1) THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS vector_mismatches FROM j) " + reportRows
+    },
+    "q_drift_psi" ->
+      // identical double math end to end: bin width from ref min/max,
+      // clamped bins, window-summed masses, epsilon-floored ln terms
+      ("WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL), " +
+        "cur AS (SELECT o_totalprice * CASE WHEN o_orderkey % 89 = 0 THEN 1.10 ELSE 1.0 END AS v " +
+        "FROM orders WHERE o_orderkey % 97 != 0), " +
+        "st AS (SELECT min(v) AS mn, max(v) AS mx FROM ref), " +
+        "rb AS (SELECT least(greatest(CAST(CASE WHEN mx = mn THEN 0 ELSE " +
+        "floor((v - mn) / ((mx - mn) / 10.0)) END AS INT), 0), 9) AS bin, " +
+        "count(*) AS nr FROM ref, st GROUP BY 1), " +
+        "cb AS (SELECT least(greatest(CAST(CASE WHEN mx = mn THEN 0 ELSE " +
+        "floor((v - mn) / ((mx - mn) / 10.0)) END AS INT), 0), 9) AS bin, " +
+        "count(*) AS nc FROM cur, st WHERE v IS NOT NULL GROUP BY 1), " +
+        "sp AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin), " +
+        "f AS (SELECT sp.bin, coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc " +
+        "FROM sp LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)), " +
+        "g AS (SELECT bin, CAST(nr AS DOUBLE) / sum(nr) OVER () AS p, " +
+        "CAST(nc AS DOUBLE) / sum(nc) OVER () AS q FROM f) " +
+        "SELECT bin, round(p, 6) AS p_ref, round(q, 6) AS p_cur, " +
+        "round((greatest(q, 1e-6) - greatest(p, 1e-6)) * " +
+        "ln(greatest(q, 1e-6) / greatest(p, 1e-6)), 6) AS psi_term FROM g")
   )
 }

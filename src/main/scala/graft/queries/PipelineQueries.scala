@@ -365,6 +365,13 @@ object PipelineQueries {
       EditDistanceJoin.editDistancePairs(Tables(s, dir, "customer"),
         strCol = "c_name", idCol = "c_custkey", maxDistance = 1)),
 
+    // same pairs via the deletion-neighborhood (FastSS) join — the
+    // low-entropy-alphabet path; two independent exact algorithms must
+    // agree, and the oracle replays this one's variant join too
+    "q_fuzzy_names_fastss" -> ((s, dir) =>
+      EditDistanceJoin.deletionNeighborhoodPairs(Tables(s, dir, "customer"),
+        strCol = "c_name", idCol = "c_custkey")),
+
     // ---- Array functions ----
     "q_fn_array" -> ((s, dir) =>
       Tables(s, dir, "embeddings").select(
@@ -1002,6 +1009,19 @@ object PipelineQueries {
           "FROM cand JOIN s sa ON sa.id = cand.id_a JOIN s sb ON sb.id = cand.id_b) " +
           "SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM v WHERE dist <= 1"
       },
+      "q_fuzzy_names_fastss" ->
+        // the deletion-variant join replayed: {s} ∪ del1(s) keys, length
+        // filter, exact Levenshtein verify
+        ("WITH s AS (SELECT c_custkey AS id, c_name AS str FROM customer " +
+          "WHERE c_name IS NOT NULL), " +
+          "v AS (SELECT id, length(str) AS len, unnest(list_distinct(list_prepend(str, " +
+          "list_transform(range(1, length(str)+1), i -> " +
+          "substring(str, 1, i-1) || substring(str, i+1, length(str)))))) AS var FROM s), " +
+          "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM v a JOIN v b " +
+          "ON a.var = b.var AND a.id < b.id AND abs(a.len - b.len) <= 1), " +
+          "vf AS (SELECT id_a, id_b, levenshtein(sa.str, sb.str) AS dist " +
+          "FROM cand JOIN s sa ON sa.id = cand.id_a JOIN s sb ON sb.id = cand.id_b) " +
+          "SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM vf WHERE dist <= 1"),
       "q_fn_array" ->
         ("SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS arr_first, " +
           "round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS arr_last, " +

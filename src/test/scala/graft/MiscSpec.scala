@@ -135,6 +135,27 @@ class CliSpec extends SparkSpec {
     assert(graft.cli.Main.run(Array("--config", "/no/such/file.json")) == 1)
   }
 
+  test("--validate passes on a clean run and fails on a tampered target") {
+    MemoryStore.drop("cli_val")
+    val cfg = Files.createTempFile("graft", ".json")
+    Files.writeString(cfg,
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+         |                      "vector_column": "embedding", "limit": 30}},
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "cli_val", "recreate": true}}}""".stripMargin)
+    assert(graft.cli.Main.run(Array("--config", cfg.toString, "--validate")) == 0)
+    // tamper: drop rows from the landed collection, re-validate WITHOUT
+    // re-migrating by running against a pre-tampered copy
+    val (rows, props) = MemoryStore.get("cli_val").get
+    MemoryStore.put("cli_val", rows.drop(2), props)
+    val report = graft.core.Validator.validateMigration(spark,
+      graft.config.MigrationConfig.fromFile(cfg.toString))
+    import spark.implicits._
+    val r = report.as[(String, Long, Boolean)].collect().map(x => x._1 -> x).toMap
+    assert(r("ids_missing_in_target")._2 == 2 && !r("ids_missing_in_target")._3)
+  }
+
   test("DedupVectors and SemanticDedup transforms drop (near-)duplicate vectors") {
     import spark.implicits._
     val dim = 8

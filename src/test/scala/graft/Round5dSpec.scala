@@ -85,6 +85,28 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(pairs(1) == Set((1L, 3L, 1), (2L, 3L, 1), (4L, 5L, 1), (4L, 6L, 1)))
   }
 
+  test("deletion-neighborhood join agrees with the gram join and the cross join") {
+    val want = {
+      val a = names.select(col("id").as("id_a"), col("name").as("na"))
+      val b = names.select(col("id").as("id_b"), col("name").as("nb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")).cast("int"))
+        .filter(col("dist") <= 1)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    }
+    val got = EditDistanceJoin.deletionNeighborhoodPairs(names, "name", "id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want && got == pairs(1))
+  }
+
+  test("deletion join catches insert/delete pairs across lengths") {
+    val df = Seq((1L, "abc"), (2L, "abcd"), (3L, "ab"), (4L, "xbc"), (5L, "a"))
+      .toDF("id", "name")
+    val got = EditDistanceJoin.deletionNeighborhoodPairs(df, "name", "id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (3L, 5L, 1)))
+  }
+
   test("candidate pruning: no cross join in the plan") {
     val cross = EditDistanceJoin.editDistancePairs(names, "name", "id")
       .queryExecution.optimizedPlan.collect {
@@ -171,6 +193,20 @@ class HashedEmbeddingSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TextFunctions
 
+  test("fused kernel is bit-identical to the HOF reference formulation") {
+    val docs = Tables(spark, sf(), "documents").limit(200)
+    val mismatches = docs.select(
+      TextFunctions.hashedTokenEmbedding(col("text"), 16).as("k"),
+      TextFunctions.hashedTokenEmbeddingReference(col("text"), 16).as("r"))
+      .filter(col("k") =!= col("r")).count()
+    assert(mismatches == 0)
+    // null text: both sides null
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TextFunctions.hashedTokenEmbedding(col("text"), 8).as("k"))
+      .filter(col("k").isNull).count()
+    assert(nulls == 1)
+  }
+
   test("unit norm, determinism, bucket-count semantics") {
     val df = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, ""), (4L, "a b c d"))
       .toDF("id", "text")
@@ -186,6 +222,98 @@ class HashedEmbeddingSpec extends SparkSpec {
     assert(out(3L).forall(_ == 0.0))
     // pure function of text
     assert(out(1L) == out(4L))
+  }
+}
+
+class ValidatorSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.core.Validator
+
+  private val src = Seq(
+    ("a", Seq(1.0f, 2.0f)), ("b", Seq(3.0f, 4.0f)),
+    ("c", Seq(5.0f, 6.0f)), ("d", null.asInstanceOf[Seq[Float]]))
+    .toDF("id", "vector")
+
+  private def report(t: org.apache.spark.sql.DataFrame) =
+    Validator.validate(src, t, "id", "vector")
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("clean copy passes every check") {
+    val r = report(src)
+    assert(r.values.forall(_._2), r.toString)
+    assert(r("rows_source") == ((4L, true)) && r("rows_target") == ((4L, true)))
+  }
+
+  test("each planted defect is caught by its check") {
+    val t = src.filter(col("id") =!= "a")                       // a missing
+      .unionByName(src.filter(col("id") === "b"))               // b duplicated
+      .unionByName(Seq(("e", Seq(9.0f))).toDF("id", "vector"))  // e extra
+      .withColumn("vector", when(col("id") === "c",
+        array(lit(5.0f), lit(6.5f))).otherwise(col("vector")))  // c corrupted
+    val r = report(t)
+    assert(r("ids_missing_in_target") == ((1L, false)))
+    assert(r("ids_extra_in_target") == ((1L, false)))
+    assert(r("dup_ids_target") == ((1L, false)))
+    assert(r("vector_mismatches") == ((1L, false)))
+    assert(r("dup_ids_source") == ((0L, true)))
+  }
+
+  test("null vs present vector is a mismatch; dim change is a mismatch") {
+    val t = src.withColumn("vector",
+      when(col("id") === "d", array(lit(1.0f)))                 // null -> value
+        .when(col("id") === "a", array(lit(1.0f), lit(2.0f), lit(0.0f))) // dim+1
+        .otherwise(col("vector")))
+    assert(report(t)("vector_mismatches") == ((2L, false)))
+  }
+
+  test("signature is portable-int math and order-sensitive") {
+    val sig = src.select(Validator.vectorSignature(col("vector")).as("s"))
+      .as[Long].collect()
+    assert(sig.forall(s => s >= -1 && s < 2147483647L))
+    val swapped = Seq(("a", Seq(2.0f, 1.0f))).toDF("id", "vector")
+      .select(Validator.vectorSignature(col("vector"))).as[Long].head()
+    val orig = Seq(("a", Seq(1.0f, 2.0f))).toDF("id", "vector")
+      .select(Validator.vectorSignature(col("vector"))).as[Long].head()
+    assert(swapped != orig)
+  }
+}
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Drift
+
+  private val ref = (1 to 1000).map(_.toDouble).toDF("v")
+
+  test("identical distributions -> PSI 0; masses sum to 1") {
+    val rows = Drift.psi(ref, ref, "v", bins = 10)
+      .as[(Int, Double, Double, Double)].collect()
+    assert(rows.length == 10 && rows.forall(_._4 == 0.0))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    assert(rows.forall(r => r._2 == r._3))
+  }
+
+  test("shift shows up where it happened, and PSI grows with it") {
+    val small = (1 to 1000).map(i => (i % 900 + 1).toDouble).toDF("v")
+    val big = (1 to 1000).map(i => (i % 500 + 1).toDouble).toDF("v")
+    def total(cur: org.apache.spark.sql.DataFrame) =
+      Drift.psi(ref, cur, "v", bins = 10).agg(sum("psi_term")).as[Double].head()
+    assert(total(small) > 0 && total(big) > total(small))
+  }
+
+  test("out-of-range current values land in edge bins") {
+    val cur = Seq(-100.0, 5000.0).toDF("v")
+    val rows = Drift.psi(ref, cur, "v", bins = 10)
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.head._3 == 0.5 && rows.last._3 == 0.5)
+    assert(rows.drop(1).dropRight(1).forall(_._3 == 0.0))
+  }
+
+  test("constant reference column does not divide by zero") {
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val rows = Drift.psi(const, const, "v", bins = 4)
+      .as[(Int, Double, Double, Double)].collect()
+    assert(rows.forall(r => !r._2.isNaN && !r._4.isNaN))
+    assert(rows.find(_._1 == 0).get._2 == 1.0)
   }
 }
 
