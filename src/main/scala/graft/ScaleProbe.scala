@@ -178,6 +178,16 @@ object ScaleProbe {
         .filter(size(col("v")) > 0).count())
     time("cohort retention")(
       ops.Cohorts.retention(events).count())
+    time("heavy hitters (k=100)") {
+      // token stream: millions of rows, bounded sketch state per buffer
+      val toks = docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("item"))
+      toks.agg(functions.SketchAggFunctions.spaceSavingTopK(col("item"), 100).as("hh"))
+        .select(size(col("hh")).cast("long").as("n")).head().getLong(0)
+    }
+    time("exact token counts (twin)") {
+      val toks = docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("item"))
+      toks.groupBy("item").count().orderBy(col("count").desc).limit(100).count()
+    }
     spark.stop()
   }
 }

@@ -23,12 +23,14 @@ object Main {
     var transformCls: Option[String] = None
     var verbose = false
     var validate = false
+    var incremental = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--config" | "-c" => config = Some(args(i + 1)); i += 2
         case "--transform" | "-t" => transformCls = Some(args(i + 1)); i += 2
         case "--validate" => validate = true; i += 1
+        case "--incremental" => incremental = true; i += 1
         case "--verbose" | "-v" => verbose = true; i += 1
         case "--version" => println(s"graft $version"); return 0
         case "--help" | "-h" => println(usage); return 0
@@ -55,7 +57,11 @@ object Main {
         val spark = GraftSession.local("graft-migrate")
         if (!verbose) spark.sparkContext.setLogLevel("WARN")
         try {
-          val report = Migrator.runMigration(spark, path, transform)
+          val report =
+            if (incremental)
+              graft.core.IncrementalMigrator.run(spark,
+                graft.config.MigrationConfig.fromFile(path), transform)
+            else Migrator.runMigration(spark, path, transform)
           if (verbose || !report.success) println(report)
           if (report.success) {
             println(s"migration complete: ${report.written} records " +
@@ -85,12 +91,15 @@ object Main {
   }
 
   private val usage =
-    """usage: graft-migrate --config <config.json> [--transform <class>] [--validate] [--verbose] [--version]
+    """usage: graft-migrate --config <config.json> [--transform <class>] [--validate] [--incremental] [--verbose] [--version]
       |  --config/-c     migration config JSON (same shape as the reference tool)
       |  --transform/-t  fully-qualified class implementing DataFrame => DataFrame
       |  --validate      after a successful run, re-derive the expected target
       |                  and check the collection (counts, ids, dups, vector
       |                  signatures); exit 1 on any failed check
+      |  --incremental   ship only records NEW or CHANGED vs the target
+      |                  collection (the reference's named future work);
+      |                  appends regardless of 'recreate'
       |  --verbose/-v    verbose logging + full run report
       |  --version       print version and exit""".stripMargin
 }

@@ -30,4 +30,35 @@ object Sessionize {
         round(sum("value"), 2).as("session_value"),
         (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol)))).as("duration_us"))
   }
+
+  /** Per-session ORDERED event transcript — the assembly step that turns
+    * an event/interaction log into sequence training data (conversation
+    * turns, agent trajectories, clickstreams-as-text). The ordered list
+    * is built with `sort_array(collect_list(struct(ts, id, type)))`: the
+    * struct's (time, id) prefix gives a deterministic total order inside
+    * ONE aggregation — no second window pass over pre-sorted partitions,
+    * and partial aggregation still combines map-side. Session state is
+    * bounded by session length, not partition size.
+    *
+    * @return (user, session_id, n_events, transcript) with
+    *         `transcript` = event types joined by `sep` in time order.
+    */
+  def transcripts(events: DataFrame, gapMinutes: Int = 30,
+                  userCol: String = "user_id", tsCol: String = "ts",
+                  typeCol: String = "event_type", sep: String = " -> "): DataFrame = {
+    val order = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev_us", lag(col("__us"), 1).over(order))
+      .withColumn("__new", when(
+        col("__prev_us").isNull || col("__us") - col("__prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("__new").over(order))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        concat_ws(sep, transform(
+          sort_array(collect_list(struct(col("__us"), col("event_id"), col(typeCol)))),
+          x => x.getField(typeCol))).as("transcript"))
+  }
 }

@@ -264,6 +264,19 @@ object PipelineQueries {
     // ---- Sessionization (batch) ----
     "q_sessionize" -> ((s, dir) => Sessionize.sessions(Tables(s, dir, "events"))),
 
+    // per-key 6h-grid resample with forward fill (user slice keeps the
+    // oracle compare bounded); gaps carry the last value, observed=false
+    "q_resample_ffill" -> ((s, dir) =>
+      Resample.forwardFill(
+        Tables(s, dir, "events").filter(col("user_id") % 50 === 0),
+        bucketMicros = 6L * 3600L * 1000000L)),
+
+    // ordered per-session event transcripts (sequence-data assembly):
+    // deterministic (ts, event_id) order inside one aggregation; the
+    // oracle replays it with string_agg ORDER BY
+    "q_session_transcripts" -> ((s, dir) =>
+      Sessionize.transcripts(Tables(s, dir, "events"))),
+
     // native session_window operator (same gap semantics, Spark-built-in):
     // window.start = first event, window.end = last event + gap
     "q_session_window" -> ((s, dir) =>
@@ -344,6 +357,18 @@ object PipelineQueries {
     "q_layout_zorder" -> ((s, dir) =>
       Layout.withZValue(Tables(s, dir, "orders"), Seq("o_custkey", "o_orderkey"), bits = 8)
         .select("o_orderkey", "z_value")),
+
+    // ---- SpaceSaving heavy hitters: k=128 over the ~100-value
+    //      (lang, source) domain -> no eviction -> provably EXACT, so the
+    //      whole sketch machinery (partial buffers, merges, eval) is
+    //      oracle-checked; eviction-mode bounds are spec-asserted ----
+    "q_sketch_heavyhitters" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .agg(graft.functions.SketchAggFunctions.spaceSavingTopK(
+          concat_ws(":", col("lang"), col("source")), 128).as("hh"))
+        .select(explode(col("hh")).as("r"))
+        .select(col("r.item").as("item"), col("r.count").as("est"),
+          col("r.err").as("err"))),
 
     // ---- RAG chunking: overlapping 64-token windows, stride 48 ----
     // boundaries are pure integer math → the oracle replays every window
@@ -829,6 +854,32 @@ object PipelineQueries {
           "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, " +
           "round(sum(value), 2) AS session_value, " +
           "max(us) - min(us) AS duration_us FROM s GROUP BY user_id, session_id"),
+      "q_resample_ffill" ->
+        // identical grid: floor(us / 6h), last-by-(ts,id) per bucket,
+        // per-key dense spine, IGNORE NULLS carry-forward
+        ("WITH e AS (SELECT user_id, event_id, value, " +
+          "epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events " +
+          "WHERE user_id % 50 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL), " +
+          "b AS (SELECT *, CAST(floor(us / 21600000000.0) AS BIGINT) AS bk FROM e), " +
+          "lastv AS (SELECT user_id, bk, value AS v FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY user_id, bk " +
+          "ORDER BY us DESC, event_id DESC) AS rn FROM b) WHERE rn = 1), " +
+          "span AS (SELECT user_id, min(bk) AS b0, max(bk) AS b1 FROM lastv GROUP BY user_id), " +
+          "spine AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bk FROM span), " +
+          "j AS (SELECT spine.user_id, spine.bk, lastv.v FROM spine " +
+          "LEFT JOIN lastv ON spine.user_id = lastv.user_id AND spine.bk = lastv.bk) " +
+          "SELECT user_id, bk * 21600000000 AS bucket_start_us, " +
+          "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bk " +
+          "ROWS UNBOUNDED PRECEDING) AS value, v IS NOT NULL AS observed FROM j"),
+      "q_session_transcripts" ->
+        ("WITH e AS (SELECT user_id, event_id, event_type, ts, " +
+          "epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+          "w AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e), " +
+          "s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) " +
+          "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM w) " +
+          "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, " +
+          "string_agg(event_type, ' -> ' ORDER BY us, event_id) AS transcript " +
+          "FROM s GROUP BY user_id, session_id"),
       "q_session_window" ->
         ("WITH e AS (SELECT user_id, event_id, value, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
           "w AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e), " +
@@ -952,6 +1003,9 @@ object PipelineQueries {
           s"(o_orderkey - miny) // ((maxy - miny) // $m + 1) AS by FROM orders, s) " +
           s"SELECT o_orderkey, CAST($interleave AS BIGINT) AS z_value FROM b"
       },
+      "q_sketch_heavyhitters" ->
+        ("SELECT lang || ':' || source AS item, count(*) AS est, " +
+          "CAST(0 AS BIGINT) AS err FROM documents GROUP BY 1"),
       "q_chunk_docs" ->
         // same windows: starts at k*48, width 64, count 1 + ceil((n-64)/48)
         ("WITH d AS (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 " +

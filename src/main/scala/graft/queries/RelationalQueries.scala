@@ -95,6 +95,28 @@ object RelationalQueries {
     // Star join: fact ⋈ broadcast dims. Catalyst broadcasts nation/region
     // (tiny) automatically; at 100 TB the same plan holds — only the fact
     // table shuffles, and only for the final agg.
+    // TPC-H Q5 shape: 6-way join with a co-location predicate (supplier
+    // and customer in the same nation), region-filtered, revenue per
+    // nation — dims broadcast, facts shuffle once
+    "q5_local_supplier" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val su = broadcast(Tables(s, dir, "supplier"))
+      val n = broadcast(Tables(s, dir, "nation"))
+      val r = broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q_join_pricing" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -277,6 +299,15 @@ object RelationalQueries {
         "round(stddev_samp(l_extendedprice), 4) AS sd_price, " +
         "round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty " +
         "FROM lineitem GROUP BY l_returnflag"),
+    "q5_local_supplier" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name"),
     "q_join_pricing" ->
       ("SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
         "count(*) AS n_items " +

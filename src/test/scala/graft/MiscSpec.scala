@@ -135,6 +135,30 @@ class CliSpec extends SparkSpec {
     assert(graft.cli.Main.run(Array("--config", "/no/such/file.json")) == 1)
   }
 
+  test("--incremental ships only the delta on re-runs") {
+    MemoryStore.drop("cli_incr")
+    def cfg(limit: Int) = {
+      val f = Files.createTempFile("graft", ".json")
+      Files.writeString(f,
+        s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+           |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+           |                      "vector_column": "embedding", "limit": $limit}},
+           | "target": {"type": "memory", "connection": {},
+           |            "load": {"collection": "cli_incr", "recreate": true}}}""".stripMargin)
+      f.toString
+    }
+    // first incremental run on an empty collection loads everything
+    assert(graft.cli.Main.run(Array("--config", cfg(5), "--incremental")) == 0)
+    assert(MemoryStore.get("cli_incr").get._1.length == 5)
+    // re-run same source: nothing new, nothing duplicated (recreate ignored)
+    assert(graft.cli.Main.run(Array("--config", cfg(5), "--incremental")) == 0)
+    assert(MemoryStore.get("cli_incr").get._1.length == 5)
+    // widened source: only the 3 new records land
+    assert(graft.cli.Main.run(Array("--config", cfg(8), "--incremental")) == 0)
+    val rows = MemoryStore.get("cli_incr").get._1
+    assert(rows.length == 8 && rows.map(_.getString(0)).distinct.length == 8)
+  }
+
   test("--validate passes on a clean run and fails on a tampered target") {
     MemoryStore.drop("cli_val")
     val cfg = Files.createTempFile("graft", ".json")

@@ -189,6 +189,59 @@ class CohortSpec extends SparkSpec {
   }
 }
 
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grid, last-wins ties, gap fill, and observed flags") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val B = 100000L
+    val ev = Seq(
+      (1L, 7L, ts(10000), 1.0), (2L, 7L, ts(90000), 2.0), // bucket 0: last wins -> 2.0
+      (3L, 7L, ts(350000), 5.0),                          // bucket 3; buckets 1,2 are gaps
+      (4L, 9L, ts(250000), 9.0))                          // single-bucket key
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = graft.ops.Resample.forwardFill(ev, bucketMicros = B)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      (7L, 0L) -> ((2.0, true)), (7L, 100000L) -> ((2.0, false)),
+      (7L, 200000L) -> ((2.0, false)), (7L, 300000L) -> ((5.0, true)),
+      (9L, 200000L) -> ((9.0, true))))
+  }
+
+  test("same-timestamp ties break on event id; no row before a key's first event") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val ev = Seq((1L, 7L, ts(50000), 1.0), (2L, 7L, ts(50000), 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = graft.ops.Resample.forwardFill(ev, bucketMicros = 100000L)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(got.toSeq == Seq((7L, 0L, 2.0, true)))
+  }
+}
+
+class TranscriptSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transcripts are time-ordered within gap sessions, stable under repartition") {
+    val base = 1700000000000000L
+    def us(m: Long) = new java.sql.Timestamp((base + m * 60000000L) / 1000)
+    val ev = Seq(
+      (1L, 10L, us(0), "signup"), (2L, 10L, us(5), "click"), (3L, 10L, us(10), "purchase"),
+      (4L, 10L, us(100), "view"),                       // new session (gap > 30m)
+      (5L, 20L, us(2), "click"), (6L, 20L, us(1), "view")) // out-of-order input
+      .toDF("event_id", "user_id", "ts", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sessionize.transcripts(df)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val got = run(ev)
+    assert(got((10L, 1L)) == ((3L, "signup -> click -> purchase")))
+    assert(got((10L, 2L)) == ((1L, "view")))
+    assert(got((20L, 1L)) == ((2L, "view -> click")))
+    assert(run(ev.repartition(7)) == got)
+  }
+}
+
 class HashedEmbeddingSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TextFunctions
@@ -222,6 +275,58 @@ class HashedEmbeddingSpec extends SparkSpec {
     assert(out(3L).forall(_ == 0.0))
     // pure function of text
     assert(out(1L) == out(4L))
+  }
+}
+
+class SpaceSavingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.SketchAggFunctions
+
+  private def sketch(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.agg(SketchAggFunctions.spaceSavingTopK(col("item"), k).as("hh"))
+      .select(explode(col("hh")).as("r"))
+      .select("r.item", "r.count", "r.err")
+      .as[(String, Long, Long)].collect()
+
+  test("exact when k >= distinct values, across many partitions") {
+    val df = spark.range(10000).select((col("id") % 37).cast("string").as("item"))
+      .repartition(16)
+    val got = sketch(df, 64).map(r => r._1 -> r._2).toMap
+    val want = df.groupBy("item").count().as[(String, Long)].collect().toMap
+    assert(got == want)
+    assert(sketch(df, 64).forall(_._3 == 0L))
+  }
+
+  test("under eviction: bounds hold and the heavy hitter survives") {
+    // zipf-ish: item h appears 5000 times, 2000 singletons
+    val df = (Seq.fill(5000)("h") ++ (1 to 2000).map(i => s"t$i"))
+      .toDF("item").repartition(8)
+    val n = 7000L
+    val k = 50
+    val got = sketch(df, k)
+    assert(got.length == k)
+    val truth = df.groupBy("item").count().as[(String, Long)].collect().toMap
+    // per-item: count - err <= true <= count
+    got.foreach { case (i, c, e) =>
+      val t = truth.getOrElse(i, 0L)
+      assert(c - e <= t && t <= c, s"$i c=$c e=$e true=$t")
+    }
+    // any item with true freq > n/k must be present; 'h' dominates
+    assert(got.head._1 == "h" && got.head._2 - got.head._3 <= 5000 && got.head._2 >= 5000)
+  }
+
+  test("nulls are ignored; empty input yields an empty summary") {
+    val df = Seq(Some("a"), None, Some("a")).toDF("item")
+    val got = sketch(df, 4)
+    assert(got.toSeq == Seq(("a", 2L, 0L)))
+    assert(sketch(Seq.empty[String].toDF("item"), 4).isEmpty)
+  }
+
+  test("serde round-trip preserves the buffer") {
+    val b = new graft.functions.SpaceSavingBuffer(3)
+    Seq("a", "b", "a", "c", "d", "a").foreach(b.add)
+    val r = graft.functions.SpaceSavingBuffer.fromBytes(3, b.toBytes)
+    assert(r.sortedEntries == b.sortedEntries && r.overflowed == b.overflowed)
   }
 }
 
