@@ -111,6 +111,37 @@ class ClusterBySimilarity extends (DataFrame => DataFrame) {
     else graft.ops.Layout.clusterBySimilarity(df, bits = 8, vecCol = Canonical.VECTOR)
 }
 
+/** `--transform graft.examples.PrepareTrainingCorpus`: the whole
+  * raw-documents-to-vector-collection recipe as ONE migration pass —
+  * quality-gate (heuristic score over `metadata['text']`), exact-dedup
+  * (portable rolling fingerprint of the token stream; lowest id survives,
+  * so re-runs are stable), then chunk + embed via [[ChunkAndEmbed]].
+  * Composing inside one transform means one read of the source and one
+  * write to the sink; each stage is the already-probed operator, so the
+  * 100 TB behavior is the sum of known parts (fingerprint group-by is the
+  * only shuffle this adds). Records without text pass through untouched
+  * (ChunkAndEmbed's rule). */
+class PrepareTrainingCorpus extends (DataFrame => DataFrame) {
+  private val minQuality = 0.35
+  override def apply(df: DataFrame): DataFrame = {
+    val text = element_at(col(Canonical.METADATA), "text")
+    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
+    val gated = df.filter(!hasText ||
+      graft.functions.TextFunctions.qualityScore(text) >= minQuality)
+    // exact near-identity dedup on the token stream (whitespace-
+    // insensitive); only text rows enter the fingerprint window — no
+    // single hot null-fingerprint partition
+    val deduped = gated.filter(hasText)
+      .withColumn("__fp", graft.functions.TextFunctions.rollingHashPortable(text))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp")).orderBy(col(Canonical.ID))))
+      .filter(col("__rk") === 1)
+      .drop("__fp", "__rk")
+    new ChunkAndEmbed()(gated.filter(!hasText).unionByName(deduped))
+  }
+}
+
 /** `--transform graft.examples.ChunkAndEmbed`: turn a document-shaped
   * collection (text in `metadata['text']`) into the chunk-level records a
   * vector store actually indexes — [[graft.ops.Chunking.chunkByTokens]]

@@ -113,6 +113,27 @@ object Bpe {
     BpeModel(merges.toSeq)
   }
 
+  /** Persist a trained model: merges as (rank, left, right) parquet — the
+    * tokenizer is an ARTIFACT you ship with the corpus it was trained on,
+    * like the IVF-PQ index ([[Quantization.saveIvfPqIndex]]); rank
+    * preserves the merge-application order, which IS the model. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: BpeModel, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted model; encode with the reloaded merges is
+    * bit-identical to encoding with the freshly-trained ones (spec). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    import spark.implicits._
+    BpeModel(spark.read.parquet(path)
+      .select("rank", "left", "right").as[(Int, String, String)]
+      .collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq)
+  }
+
   /** Encode text into subword tokens with a trained model — one corpus
     * map, merges as a reference object. */
   def encode(docs: DataFrame, model: BpeModel, idCol: String = "doc_id",

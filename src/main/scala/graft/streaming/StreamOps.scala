@@ -199,6 +199,20 @@ object StreamOps {
       .withColumn("quality_prob", graft.ops.QualityModel.probability(col(textCol), model))
       .filter(col("quality_prob") >= minProb)
 
+  /** In-flight chunk + embed: split each arriving document into
+    * overlapping token windows and stamp the hashing-trick embedding —
+    * [[graft.ops.Chunking.chunkByTokens]] is one explode + map, so the
+    * whole step is stateless (no watermark, any output mode): the
+    * streaming half of the chunk-embed-load pipeline, feeding
+    * [[incrementalMigration]]-style sinks with index-ready chunk records
+    * as documents arrive. */
+  def streamingChunkEmbed(docs: DataFrame, width: Int = 64, stride: Int = 48,
+                          dim: Int = 64, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    graft.ops.Chunking.chunkByTokens(docs, width, stride, idCol, textCol)
+      .withColumn("embedding",
+        graft.functions.TextFunctions.hashedTokenEmbedding(col("chunk_text"), dim))
+
   /** File-based streaming migration: watch a directory of parquet drops and
     * continuously upsert into a sink via `foreachBatch` reusing the batch
     * connector — the "incremental migration" the reference left as future

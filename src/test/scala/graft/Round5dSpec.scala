@@ -422,6 +422,34 @@ class DriftSpec extends SparkSpec {
   }
 }
 
+class PrepareCorpusSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.model.Canonical
+
+  test("quality gate, whitespace-insensitive dedup, chunking, passthrough") {
+    val good = "the cat sat on the mat and it is a good day to read the book of tales"
+    val df = Seq(
+      ("good1", null.asInstanceOf[Seq[Float]], Map("text" -> good)),
+      ("good2", null.asInstanceOf[Seq[Float]], Map("text" -> (good + "   "))),
+      ("junk", null.asInstanceOf[Seq[Float]], Map("text" -> "#### !!!! ????")),
+      ("novec", Seq(1.0f, 2.0f), Map.empty[String, String]))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    val out = new graft.examples.PrepareTrainingCorpus()(df)
+      .as[(String, Seq[Float], Map[String, String])].collect()
+    val ids = out.map(_._1).toSet
+    // junk gone; whitespace twin collapsed to the lowest id; chunks present
+    assert(!ids.exists(_.startsWith("junk")) && !ids.exists(_.startsWith("good2")))
+    assert(ids.contains("good1#0"))
+    // the no-text record passes through with its vector intact
+    val nv = out.find(_._1 == "novec").get
+    assert(nv._2 == Seq(1.0f, 2.0f))
+    // surviving chunks carry provenance + a unit-norm vector
+    val c = out.find(_._1 == "good1#0").get
+    assert(c._3("parent_id") == "good1" && c._2.length == 64)
+    assert(math.abs(c._2.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+  }
+}
+
 class ChunkAndEmbedCliSpec extends SparkSpec {
   import graft.connectors.MemoryStore
   import graft.model.Canonical

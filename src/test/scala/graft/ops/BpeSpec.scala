@@ -67,4 +67,15 @@ class BpeSpec extends SparkSpec {
     // 'ab </w>' (2); 'c d'/'cd </w>' (1) must not
     assert(model.merges.toSet == Set(("a", "b"), ("ab", "</w>")))
   }
+
+  test("save/load round-trips the model; reloaded encode is bit-identical") {
+    val model = Bpe.train(corpus, numMerges = 10, minFreq = 1)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString + "/m"
+    Bpe.save(spark, model, dir)
+    val reloaded = Bpe.load(spark, dir)
+    assert(reloaded.merges == model.merges) // order IS the model
+    val a = Bpe.encode(corpus, model).collect().map(_.toString).sorted
+    val b = Bpe.encode(corpus, reloaded).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }

@@ -254,4 +254,32 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((1L, 101L)))
     } finally query.stop()
   }
+
+  test("streaming chunk+embed emits index-ready chunk records, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val query = StreamOps.streamingChunkEmbed(
+        input.toDF().toDF("doc_id", "text"), width = 4, stride = 2, dim = 8)
+      .writeStream.format("memory").queryName("chunk_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 4 chunks
+        (2L, "one two"))                                // 1 chunk
+      query.processAllAvailable()
+      val got = spark.table("chunk_out")
+        .select("doc_id", "chunk_idx", "n_tokens", "embedding")
+        .as[(Long, Int, Int, Seq[Double])].collect()
+      assert(got.count(_._1 == 1L) == 4 && got.count(_._1 == 2L) == 1)
+      // every emitted chunk carries a unit-norm dim-8 embedding
+      got.foreach { r =>
+        assert(r._4.length == 8)
+        assert(math.abs(r._4.map(x => x * x).sum - 1.0) < 1e-9)
+      }
+      // late-arriving doc chunks flow through with no state interaction
+      input.addData((3L, "a b c d e f"))
+      query.processAllAvailable()
+      assert(spark.table("chunk_out").where("doc_id = 3").count() == 2)
+    } finally query.stop()
+  }
 }
