@@ -28,14 +28,19 @@ object Cohorts {
                 tsCol: String = "ts", periodMicros: Long = MicrosPerWeek): DataFrame = {
     require(periodMicros > 0, "periodMicros > 0")
     val period = floor(unix_micros(col(tsCol)) / periodMicros)
-    val activity = events
+    // the distinct (user, period) set feeds BOTH the first-seen aggregate
+    // and the roll-up join; materialized so the raw event scan + distinct
+    // shuffle run once (measured: 4 event scans, zero ReusedExchange
+    // without it — this sliver is |users|×|periods|, tiny next to events)
+    val activity = Materialize(events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("u"), period.as("p"))
-      .distinct()
+      .distinct())
     val firstSeen = activity.groupBy("u").agg(min("p").as("cohort_period"))
-    val cells = activity.join(firstSeen, "u")
+    // cells feed the sizes aggregate AND the final join
+    val cells = Materialize(activity.join(firstSeen, "u")
       .groupBy(col("cohort_period"), (col("p") - col("cohort_period")).as("offset_periods"))
-      .agg(count(lit(1)).as("n_active"))
+      .agg(count(lit(1)).as("n_active")))
     val sizes = cells.filter(col("offset_periods") === 0)
       .select(col("cohort_period"), col("n_active").as("cohort_size"))
     cells.join(broadcast(sizes), "cohort_period")

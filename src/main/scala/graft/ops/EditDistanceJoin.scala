@@ -63,16 +63,21 @@ object EditDistanceJoin {
     val k = maxDistance
     val prefixLen = q * k + 1
 
-    val base = df.filter(col(idCol).isNotNull && col(strCol).isNotNull)
-      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+    // one materialized (id, string) sliver: it feeds the gram explode AND
+    // both verify sides — without it the plan re-scans the source per
+    // consumer (measured: 6 scans, zero ReusedExchange; same staging as
+    // the LSH shingle sliver)
+    val base = Materialize(df.filter(col(idCol).isNotNull && col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s")))
     // pad, then take every q-wide substring: len + q - 1 grams per string
     val padded = concat(lit(LeftPad * (q - 1)), col("__s"), lit(RightPad * (q - 1)))
-    val grams = base
+    // materialized too: consumed by the df count AND the prefix rank
+    val grams = Materialize(base
       .withColumn("__len", length(col("__s")))
       .withColumn("__g", explode(array_distinct(
         transform(sequence(lit(1), length(padded) - (q - 1)),
           i => padded.substr(i, lit(q))))))
-      .select("__id", "__len", "__g")
+      .select("__id", "__len", "__g"))
 
     // global document frequency per gram — the total order's major key;
     // (df, gram) is unique within a string after array_distinct, so the
@@ -118,8 +123,14 @@ object EditDistanceJoin {
     * ([[Dedup.exactDuplicates]]), the same staging the LSH pipeline uses.
     */
   def deletionNeighborhoodPairs(df: DataFrame, strCol: String, idCol: String): DataFrame = {
-    val base = df.filter(col(idCol).isNotNull && col(strCol).isNotNull)
-      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+    // only the (id, string) sliver is materialized: it feeds the variant
+    // explode + both verify sides (4 source scans, zero ReusedExchange
+    // without it). The |s|+1-wide variant table is deliberately NOT
+    // checkpointed — it is ~20× the sliver and MEASURED slower to write+
+    // read back than to recompute from the materialized strings
+    // (35.6 s vs 28.3 s at the 30× probe).
+    val base = Materialize(df.filter(col(idCol).isNotNull && col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s")))
     val s = col("__s")
     val variants = array_distinct(transform(
       sequence(lit(0), length(s)),
