@@ -155,4 +155,26 @@ object EditDistanceJoin {
       .filter(col("dist") <= 1)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Typo-normalization table: connected components over the
+    * [[deletionNeighborhoodPairs]] graph, each member mapped to its
+    * cluster's canonical (lowest-id) form — the variant→canonical
+    * rewrite used to collapse misspelled keys/names before a join or a
+    * vocabulary count. Transitive by design: `ed(a,b) <= 1` chains unify
+    * spelling families even when the extremes are many edits apart
+    * (same recipe as [[Dedup.keepCanonical]] for documents).
+    *
+    * @return one row per string WITH at least one single-edit neighbor:
+    *         (idCol, strCol, canonical_id, canonical); singletons are
+    *         absent — they need no rewrite.
+    */
+  def canonicalVariants(df: DataFrame, strCol: String, idCol: String): DataFrame = {
+    val pairs = deletionNeighborhoodPairs(df, strCol, idCol)
+    val comps = Dedup.connectedComponents(pairs) // (id, comp), paired ids only
+    val names = df.select(col(idCol).as("id"), col(strCol).as("__name"))
+    comps.join(names, "id")
+      .join(names.select(col("id").as("comp"), col("__name").as("__canon")), "comp")
+      .select(col("id").as(idCol), col("__name").as(strCol),
+        col("comp").as("canonical_id"), col("__canon").as("canonical"))
+  }
 }

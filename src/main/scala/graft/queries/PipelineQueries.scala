@@ -45,6 +45,19 @@ object PipelineQueries {
     "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] " +
       "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
 
+  // FastSS deletion-neighborhood pair CTEs, shared by the pair gate and
+  // the canonical-variants (connected components) gate
+  private val fastssCtes =
+    "s AS (SELECT c_custkey AS id, c_name AS str FROM customer " +
+      "WHERE c_name IS NOT NULL), " +
+      "v AS (SELECT id, length(str) AS len, unnest(list_distinct(list_prepend(str, " +
+      "list_transform(range(1, length(str)+1), i -> " +
+      "substring(str, 1, i-1) || substring(str, i+1, length(str)))))) AS var FROM s), " +
+      "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM v a JOIN v b " +
+      "ON a.var = b.var AND a.id < b.id AND abs(a.len - b.len) <= 1), " +
+      "vf AS (SELECT id_a, id_b, levenshtein(sa.str, sb.str) AS dist " +
+      "FROM cand JOIN s sa ON sa.id = cand.id_a JOIN s sb ON sb.id = cand.id_b)"
+
   // shared by the search gates (Spark call sites AND oracle SQL)
   private val SearchTerms = Seq("spark", "vector", "merge", "window")
   // fixture-dim (64) synthetic query vector for the hybrid gate
@@ -395,6 +408,13 @@ object PipelineQueries {
     // agree, and the oracle replays this one's variant join too
     "q_fuzzy_names_fastss" -> ((s, dir) =>
       EditDistanceJoin.deletionNeighborhoodPairs(Tables(s, dir, "customer"),
+        strCol = "c_name", idCol = "c_custkey")),
+
+    // variant -> canonical normalization: connected components over the
+    // single-edit graph, min-id canonical; oracle walks the identical
+    // pair set with a recursive CTE
+    "q_fuzzy_canonical" -> ((s, dir) =>
+      EditDistanceJoin.canonicalVariants(Tables(s, dir, "customer"),
         strCol = "c_name", idCol = "c_custkey")),
 
     // ---- Array functions ----
@@ -1063,19 +1083,26 @@ object PipelineQueries {
           "FROM cand JOIN s sa ON sa.id = cand.id_a JOIN s sb ON sb.id = cand.id_b) " +
           "SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM v WHERE dist <= 1"
       },
+      // the deletion-variant join replayed: {s} ∪ del1(s) keys, length
+      // filter, exact Levenshtein verify (CTEs shared with the canonical-
+      // variants gate below)
       "q_fuzzy_names_fastss" ->
-        // the deletion-variant join replayed: {s} ∪ del1(s) keys, length
-        // filter, exact Levenshtein verify
-        ("WITH s AS (SELECT c_custkey AS id, c_name AS str FROM customer " +
-          "WHERE c_name IS NOT NULL), " +
-          "v AS (SELECT id, length(str) AS len, unnest(list_distinct(list_prepend(str, " +
-          "list_transform(range(1, length(str)+1), i -> " +
-          "substring(str, 1, i-1) || substring(str, i+1, length(str)))))) AS var FROM s), " +
-          "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM v a JOIN v b " +
-          "ON a.var = b.var AND a.id < b.id AND abs(a.len - b.len) <= 1), " +
-          "vf AS (SELECT id_a, id_b, levenshtein(sa.str, sb.str) AS dist " +
-          "FROM cand JOIN s sa ON sa.id = cand.id_a JOIN s sb ON sb.id = cand.id_b) " +
+        (s"WITH $fastssCtes " +
           "SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM vf WHERE dist <= 1"),
+      "q_fuzzy_canonical" ->
+        // same pair graph, then min-label connected components via a
+        // recursive CTE (the q_dedup_clusters recipe) + canonical names
+        (s"WITH RECURSIVE $fastssCtes, " +
+          "pr AS (SELECT id_a, id_b FROM vf WHERE dist <= 1), " +
+          "e AS (SELECT id_a AS src, id_b AS dst FROM pr " +
+          "UNION SELECT id_b, id_a FROM pr), " +
+          "n AS (SELECT DISTINCT src AS id FROM e), " +
+          "reach(id, r) AS (SELECT id, id FROM n " +
+          "UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id), " +
+          "c AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
+          "SELECT c.id AS c_custkey, s1.str AS c_name, c.comp AS canonical_id, " +
+          "s2.str AS canonical FROM c " +
+          "JOIN s s1 ON s1.id = c.id JOIN s s2 ON s2.id = c.comp"),
       "q_fn_array" ->
         ("SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS arr_first, " +
           "round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS arr_last, " +

@@ -107,6 +107,20 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (3L, 5L, 1)))
   }
 
+  test("canonicalVariants maps each cluster to its lowest-id form; singletons absent") {
+    val df = Seq((1L, "smith"), (2L, "smyth"), (3L, "smithe"), // one chain
+      (4L, "jones"), (5L, "jones"),                           // exact dup pair
+      (6L, "unrelated")).toDF("id", "name")
+    val got = EditDistanceJoin.canonicalVariants(df, "name", "id")
+      .as[(Long, String, Long, String)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    // smyth and smithe are both within 1 edit of smith -> one cluster,
+    // canonical id 1 ("smith"); jones pair collapses to id 4
+    assert(got == Map(
+      1L -> ((1L, "smith")), 2L -> ((1L, "smith")), 3L -> ((1L, "smith")),
+      4L -> ((4L, "jones")), 5L -> ((4L, "jones"))))
+  }
+
   test("candidate pruning: no cross join in the plan") {
     val cross = EditDistanceJoin.editDistancePairs(names, "name", "id")
       .queryExecution.optimizedPlan.collect {
