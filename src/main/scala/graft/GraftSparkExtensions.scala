@@ -52,5 +52,18 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       info("word_shingle_hashes", "word_shingle_hashes(text, n) - distinct hashed word n-grams"),
       (args: Seq[Expression]) => WordShingleHashesExpr(args(0),
         args(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((FunctionIdentifier("hashed_bow_embed"),
+      info("hashed_bow_embed",
+        "hashed_bow_embed(text, dim) - L2-normalized feature-hashing text embedding"),
+      (args: Seq[Expression]) => graft.functions.HashedBowEmbedExpr(args(0),
+        args(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((FunctionIdentifier("space_saving_topk"),
+      info("space_saving_topk",
+        "space_saving_topk(item, k) - heavy-hitters sketch aggregate: " +
+          "array<struct<item,count,err>> in O(k) memory"),
+      (args: Seq[Expression]) => graft.functions.SpaceSavingAgg(args(0),
+        args(1).eval().asInstanceOf[Int]).toAggregateExpression()))
   }
 }

@@ -139,6 +139,37 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Temperature-flattened mixture (the multilingual / multi-source
+    * sampling recipe: target share ∝ count^(1/T), Devlin et al.'s mBERT
+    * exponent smoothing): derive the per-source weights FROM the observed
+    * counts — head sources downsampled, the rarest source kept whole —
+    * then apply the same binding-source/portable-bucket machinery as
+    * [[mixToTarget]]. T=1 reproduces the natural distribution (no-op);
+    * T→∞ approaches uniform shares. Everything stays in-plan (tiny
+    * source-count aggregate broadcast back, no collect).
+    *
+    * T=2 uses `sqrt` (IEEE correctly-rounded, so any engine reproduces
+    * membership bit-exactly — the oracle-gate configuration); other T go
+    * through `pow`, whose last-ulp is libm-dependent: fine in production,
+    * not for cross-engine hash comparison. */
+  def temperatureMix(df: DataFrame, sourceCol: String, temperature: Double,
+                     idCol: String, seed: Long = 42L): DataFrame = {
+    require(temperature >= 1.0, "temperature >= 1 (T<1 sharpens, not supported)")
+    def powInvT(c: Column): Column =
+      if (temperature == 2.0) sqrt(c) else pow(c, lit(1.0 / temperature))
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", powInvT(col("__n")))
+    val totalN = counts.agg(min(col("__n") / col("__w")).as("__total"))
+    val rates = counts.crossJoin(broadcast(totalN))
+      .select(col(sourceCol),
+        least(lit(1.0), col("__w") * col("__total") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(portableBucket(col(idCol), seed) <
+        floor(col("__rate") * lit(PortableP.toDouble)).cast("long"))
+      .drop("__rate")
+  }
+
   /** EXACTLY `k` rows per group (fewer if the group is smaller),
     * deterministically: rank rows within each group by their portable id
     * hash (ties broken by id) and keep rank <= k. This is the eval-set

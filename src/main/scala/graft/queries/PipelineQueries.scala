@@ -354,6 +354,13 @@ object PipelineQueries {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), "doc_id")
         .select("doc_id", "source")),
 
+    // ---- Temperature-flattened mixture (T=2 → sqrt: IEEE-exact in both
+    //      engines): weights DERIVED from observed counts in-plan ----
+    "q_mix_temperature" -> ((s, dir) =>
+      Sampling.temperatureMix(Tables(s, dir, "documents"), "source",
+        temperature = 2.0, idCol = "doc_id")
+        .select("doc_id", "source")),
+
     // ---- PCA audit face: the full population covariance matrix of the
     //      embedding column, scaled-integer sums → order-independent ----
     "q_vec_cov" -> ((s, dir) =>
@@ -978,6 +985,17 @@ object PipelineQueries {
           "FROM documents d JOIN w ON d.source = w.source GROUP BY d.source, w.wt), " +
           "t AS (SELECT min(n / wt) AS total FROM c), " +
           "r AS (SELECT source, least(CAST(1.0 AS DOUBLE), wt * total / n) AS rate FROM c, t) " +
+          "SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source " +
+          "WHERE ((d.doc_id % 2147483647) * 2654435761 + 42) % 2147483647 < " +
+          "CAST(floor(rate * 2147483647.0) AS BIGINT)"),
+      "q_mix_temperature" ->
+        // counts -> sqrt weights -> binding source -> rates -> portable
+        // bucket membership, every double op identical
+        ("WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents " +
+          "WHERE source IS NOT NULL GROUP BY source), " +
+          "w AS (SELECT source, n, sqrt(n) AS wt FROM c), " +
+          "t AS (SELECT min(n / wt) AS total FROM w), " +
+          "r AS (SELECT source, least(CAST(1.0 AS DOUBLE), wt * total / n) AS rate FROM w, t) " +
           "SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source " +
           "WHERE ((d.doc_id % 2147483647) * 2654435761 + 42) % 2147483647 < " +
           "CAST(floor(rate * 2147483647.0) AS BIGINT)"),

@@ -24,6 +24,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) == 4)
   }
 
+  test("hashed_bow_embed and space_saving_topk are SQL-callable") {
+    val e = spark.sql(
+      "SELECT hashed_bow_embed('a b a', 4) AS v").head().getSeq[Double](0)
+    assert(e.length == 4 && math.abs(e.map(x => x * x).sum - 1.0) < 1e-12)
+    val hh = spark.sql(
+      "SELECT space_saving_topk(x, 4) AS hh FROM " +
+        "(SELECT explode(array('a','a','b','a')) AS x)").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.head.getString(0) == "a" && hh.head.getLong(1) == 3L)
+    assert(hh(1).getString(0) == "b" && hh(1).getLong(1) == 1L)
+  }
+
   test("SQL vec_cosine equals the Scala API on real embeddings") {
     Tables(spark, sf(), "embeddings").createOrReplaceTempView("emb_ext")
     val viaSql = spark.sql(

@@ -135,6 +135,19 @@ class CliSpec extends SparkSpec {
     assert(graft.cli.Main.run(Array("--config", "/no/such/file.json")) == 1)
   }
 
+  test("shipped example configs run end to end through the CLI") {
+    for ((cfg, transform, coll) <- Seq(
+      ("documents_to_chunks.json", Some("graft.examples.ChunkAndEmbed"), "doc_chunks"),
+      ("corpus_prep.json", Some("graft.examples.PrepareTrainingCorpus"), "prepared_corpus"),
+      ("embeddings_incremental.json", None, "emb_incr"))) {
+      MemoryStore.drop(coll)
+      val args = Array("--config", s"examples/configs/$cfg") ++
+        transform.toSeq.flatMap(t => Seq("--transform", t))
+      assert(graft.cli.Main.run(args) == 0, cfg)
+      assert(MemoryStore.get(coll).get._1.nonEmpty, cfg)
+    }
+  }
+
   test("--incremental ships only the delta on re-runs") {
     MemoryStore.drop("cli_incr")
     def cfg(limit: Int) = {

@@ -203,6 +203,35 @@ class CohortSpec extends SparkSpec {
   }
 }
 
+class TemperatureMixSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Sampling
+
+  private val df = ((1 to 900).map(i => (i.toLong, "head")) ++
+    (1001 to 1100).map(i => (i.toLong, "tail"))).toDF("doc_id", "source")
+
+  test("T=2 keeps the rarest source whole and downsamples the head to sqrt ratio") {
+    val got = Sampling.temperatureMix(df, "source", 2.0, "doc_id")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // tail binding: all 100 kept; head rate = sqrt(900)*sqrt(100)/900 = 1/3
+    assert(bySrc("tail") == 100)
+    assert(math.abs(bySrc("head") - 300.0) < 60, bySrc.toString) // hash-approximate
+    // resulting shares ~ sqrt-flattened: 3:1 instead of 9:1
+    val ratio = bySrc("head").toDouble / bySrc("tail")
+    assert(ratio > 2.2 && ratio < 3.8, ratio.toString)
+  }
+
+  test("T=1 is the natural distribution (everything kept); determinism under repartition") {
+    assert(Sampling.temperatureMix(df, "source", 1.0, "doc_id").count() == 1000)
+    val a = Sampling.temperatureMix(df, "source", 2.0, "doc_id")
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val b = Sampling.temperatureMix(df.repartition(13), "source", 2.0, "doc_id")
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+}
+
 class ResampleSpec extends SparkSpec {
   import spark.implicits._
 
