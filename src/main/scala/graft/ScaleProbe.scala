@@ -188,6 +188,12 @@ object ScaleProbe {
       val toks = docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("item"))
       toks.groupBy("item").count().orderBy(col("count").desc).limit(100).count()
     }
+    time("temperature mix (T=2)")(
+      ops.Sampling.temperatureMix(docs, "source", 2.0, "doc_id").count())
+    time("resample ffill (1h grid)")(
+      ops.Resample.forwardFill(events, bucketMicros = 3600L * 1000000L).count())
+    time("session transcripts")(
+      ops.Sessionize.transcripts(events).count())
     spark.stop()
   }
 }

@@ -100,4 +100,33 @@ object Layout {
       else withBucket.repartitionByRange(col("__bucket"))
     ranged.sortWithinPartitions("__bucket").drop("__bucket")
   }
+
+  /** Source-interleaved write order for training shards: rank rows within
+    * each source by their portable id hash, then range-sort by (rank,
+    * source) — consecutive output rows cycle through the sources, so a
+    * sequentially-read shard never feeds a training run a long run of one
+    * source (the data-loader mixing property that a groupBy-shuffled
+    * write destroys). Deterministic (pure function of ids), third member
+    * of the write-layout family next to [[zorder]] (filter locality) and
+    * [[clusterBySimilarity]] (similarity locality).
+    *
+    * The per-source rank window is bounded by that source's row count on
+    * one side of a hash-shuffle — the standard window shape, not a global
+    * sort; the final ordering is a range repartition.
+    *
+    * @return input rows + `interleave_rank`, range-sorted by
+    *         (interleave_rank, source).
+    */
+  def interleaveBySource(df: DataFrame, sourceCol: String, idCol: String,
+                         numPartitions: Int = 0, seed: Long = 42L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(sourceCol)
+      .orderBy(Sampling.portableBucket(col(idCol), seed), col(idCol))
+    val ranked = df.filter(col(sourceCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("interleave_rank", row_number().over(w))
+    val ranged =
+      if (numPartitions > 0)
+        ranked.repartitionByRange(numPartitions, col("interleave_rank"), col(sourceCol))
+      else ranked.repartitionByRange(col("interleave_rank"), col(sourceCol))
+    ranged.sortWithinPartitions("interleave_rank", sourceCol)
+  }
 }

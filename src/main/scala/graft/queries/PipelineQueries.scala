@@ -361,6 +361,12 @@ object PipelineQueries {
         temperature = 2.0, idCol = "doc_id")
         .select("doc_id", "source")),
 
+    // ---- Source-interleaved shard order: the (rank, source) sort key is
+    //      the checkable face; the oracle replays the per-source ranking ----
+    "q_layout_interleave" -> ((s, dir) =>
+      Layout.interleaveBySource(Tables(s, dir, "documents"), "source", "doc_id")
+        .select("doc_id", "source", "interleave_rank")),
+
     // ---- PCA audit face: the full population covariance matrix of the
     //      embedding column, scaled-integer sums → order-independent ----
     "q_vec_cov" -> ((s, dir) =>
@@ -988,6 +994,11 @@ object PipelineQueries {
           "SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source " +
           "WHERE ((d.doc_id % 2147483647) * 2654435761 + 42) % 2147483647 < " +
           "CAST(floor(rate * 2147483647.0) AS BIGINT)"),
+      "q_layout_interleave" ->
+        ("SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
+          "ORDER BY ((doc_id % 2147483647) * 2654435761 + 42) % 2147483647, doc_id) " +
+          "AS INT) AS interleave_rank FROM documents " +
+          "WHERE source IS NOT NULL AND doc_id IS NOT NULL"),
       "q_mix_temperature" ->
         // counts -> sqrt weights -> binding source -> rates -> portable
         // bucket membership, every double op identical

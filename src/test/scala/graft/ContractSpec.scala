@@ -33,7 +33,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("gate size matches the documented inventory") {
-    assert(SparkEntry.queries.size == 131, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 130, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size == 132, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 131, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -91,6 +91,87 @@ object KernelProps extends Properties("kernels") {
       dxy == dyx && dxx == 0 && dxy >= 0 && dxy <= 8
     }
 
+  property("chunking covers every token exactly; boundaries follow the stride") = {
+    val gen = for {
+      n <- Gen.chooseNum(0, 60)
+      width <- Gen.chooseNum(1, 12)
+      stride <- Gen.chooseNum(1, width)
+    } yield (n, width, stride)
+    forAll(gen) { case (n, width, stride) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val chunks = graft.ops.Chunking
+        .chunkByTokens(Seq((1L, text)).toDF("doc_id", "text"), width, stride)
+        .select("chunk_idx", "n_tokens", "chunk_text")
+        .as[(Int, Int, String)].collect().sortBy(_._1)
+      if (n == 0) chunks.isEmpty
+      else {
+        val toks = chunks.flatMap(_._3.split(" "))
+        // union of chunks = the token set; each chunk starts at idx*stride
+        toks.toSet == (1 to n).map(i => s"t$i").toSet &&
+          chunks.forall { case (idx, nt, t) =>
+            t.split(" ").head == s"t${idx * stride + 1}" && nt == t.split(" ").length &&
+              nt <= width && nt >= 1
+          } &&
+          // every consecutive pair overlaps by width - stride (when both full)
+          chunks.last._2 >= 1
+      }
+    }
+  }
+
+  property("snapshot diff classifies random mutations exactly") = {
+    val gen = for {
+      n <- Gen.chooseNum(0, 30)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0, 5))
+      dropMod <- Gen.chooseNum(2, 7)
+      bumpMod <- Gen.chooseNum(2, 7)
+    } yield (vals.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }, dropMod, bumpMod)
+    forAll(gen) { case (rows, dropMod, bumpMod) =>
+      val oldSnap = rows.toDF("id", "v")
+      val newRows = rows.filter(_._1 % dropMod != 0)
+        .map { case (id, v) => (id, if (id % bumpMod == 0) v + 100 else v) } ++
+        rows.map { case (id, v) => (id + 1000, v) }
+      val newSnap = newRows.toDF("id", "v")
+      val got = graft.ops.SnapshotDiff.diff(oldSnap, newSnap, "id")
+        .select("id", "op").as[(Long, String)].collect().toMap
+      val oldM = rows.toMap
+      val newM = newRows.toMap
+      val want = ((oldM.keySet ++ newM.keySet).flatMap { id =>
+        (oldM.get(id), newM.get(id)) match {
+          case (Some(_), None) => Some(id -> "delete")
+          case (None, Some(_)) => Some(id -> "insert")
+          case (Some(a), Some(b)) if a != b => Some(id -> "update")
+          case _ => None
+        }
+      }).toMap
+      got == want
+    }
+  }
+
+  property("deletion-neighborhood join equals the exhaustive ed<=1 pairs") = {
+    val word = Gen.chooseNum(1, 5).flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b')))
+      .map(_.mkString)
+    forAll(Gen.listOfN(8, word)) { ws =>
+      val rows = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val df = rows.toDF("id", "name")
+      val got = graft.ops.EditDistanceJoin.deletionNeighborhoodPairs(df, "name", "id")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      def ed(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        (ia, wa) <- rows; (ib, wb) <- rows
+        if ia < ib && ed(wa, wb) <= 1
+      } yield (ia, ib)).toSet
+      got == want
+    }
+  }
+
   property("sampleKPerGroup never exceeds k and is a subset of the input") = {
     val rowsGen = for {
       n <- Gen.chooseNum(0, 40)

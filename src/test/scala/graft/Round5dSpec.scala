@@ -232,6 +232,27 @@ class TemperatureMixSpec extends SparkSpec {
   }
 }
 
+class InterleaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("balanced sources emit in cycles; order is deterministic") {
+    val df = ((1 to 30).map(i => (i.toLong, "a")) ++
+      (101 to 130).map(i => (i.toLong, "b")) ++
+      (201 to 230).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val out = graft.ops.Layout.interleaveBySource(df, "source", "doc_id", numPartitions = 1)
+      .select("source", "interleave_rank").as[(String, Int)].collect()
+    // within the single range partition, rows arrive sorted by (rank, src):
+    // every consecutive window of 3 holds all three sources
+    out.grouped(3).foreach(g => assert(g.map(_._1).toSet == Set("a", "b", "c"), g.toSeq))
+    // max run of one source is 1 on balanced input
+    out.sliding(2).foreach { case Array(x, y) => assert(x._1 != y._1) case _ => }
+    val again = graft.ops.Layout.interleaveBySource(
+      df.repartition(7), "source", "doc_id", numPartitions = 1)
+      .select("source", "interleave_rank").as[(String, Int)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+}
+
 class ResampleSpec extends SparkSpec {
   import spark.implicits._
 
