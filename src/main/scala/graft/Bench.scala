@@ -1,10 +1,22 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints exactly one JSON line the driver parses into BENCH_r{N}.json.
   *
   * Uses GraftSession so bench runs see the SAME configs (AQE, shuffle
   * partitions = SPARK_GRAFT_CPUS, zstd, UTC) as the library and tests.
+  *
+  * Measurement protocol (round 6 — makes host/JIT noise legible instead
+  * of debatable): per query, 1 untimed warm-up run pays Janino
+  * whole-stage + custom-expression codegen (measured: 6.7 s cold vs
+  * 0.9 s steady for the MinHash pipeline — a fixed per-JVM cost, not
+  * throughput), then N=5 timed runs. Reported per-query time is the
+  * MEDIAN of the 5; the JSON also carries per-query IQR (p75 − p25 of
+  * the same 5 samples) under "queries_iqr" plus "samples", so a
+  * round-over-round delta can be read against dispersion: a shift
+  * inside the IQR band is noise, outside it is a plan change.
   */
 object Bench {
   /** Headline subset: one representative per operator family (agg, join,
@@ -17,33 +29,49 @@ object Bench {
     "q_ann_topk", "q_text_stats", "q_sessionize", "q_vec_centroid",
     "q_connector_qdrant")
 
+  /** Bench-only queries: production-kernel configurations whose output
+    * has no SQL-replayable twin, kept OUT of the oracle-gated
+    * `SparkEntry.queries` (a rows-only gate reads as a perpetual `err`
+    * row on the driver scoreboard). The oracle-adjudicated faces of the
+    * same operator live in PipelineQueries (`q_dedup_minhash_planted` /
+    * `_oph` / `_portable`). */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // full-corpus MinHash near-dedup on the xxhash64 production kernel
+    "q_dedup_minhash" -> ((s, dir) =>
+      graft.ops.Dedup.minHashDuplicatePairs(Tables(s, dir, "documents"), threshold = 0.3)))
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+  private def iqr(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length * 3 / 4) - s(s.length / 4)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "5").toInt
     val spark = GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val qs = SparkEntry.queries
+    val qs = SparkEntry.queries ++ benchOnly
     val names = headline.filter(qs.contains)
-    // Warm-up: run every headline query once untimed. The first execution
-    // pays Janino compilation of the whole-stage + custom-expression
-    // codegen (measured: 6.7 s cold vs 0.9 s steady for the MinHash
-    // pipeline) — a fixed per-JVM cost, not throughput, and irrelevant at
-    // cluster scale where one compile serves hours of work.
+    // Warm-up protocol: every headline query once, untimed (JIT/codegen).
     names.foreach { name =>
       try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // best of 2 timed runs per query: steady-state throughput
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to samples).map { _ =>
         val t0 = System.nanoTime()
         try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, median(times), iqr(times))
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def m(f: ((String, Double, Double)) => String): String =
+      results.map(f).mkString("{", ",", "}")
+    val qjson = m { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val ijson = m { case (k, _, i) => "\"" + k + "\":" + f"$i%.3f" }
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
+      s""""queries_iqr":$ijson,"samples":$samples,"sf":"$sfDir"}"""
     println(line)
     // Also land the JSON in a file: sbt interleaves log noise into stdout,
     // which has left the driver's `parsed` field null before.

@@ -18,13 +18,18 @@ import graft.functions.VectorExpressions
   *    moves). Projections are codegen'd dot kernels against literal
   *    component arrays — one compiled loop per component, no shuffle.
   *  - [[covariancePortable]]: the audit face the DuckDB oracle replays
-  *    bit-for-bit (`q_vec_cov`). Scaled-integer product sums make the
-  *    reduction order-independent: float32 inputs promote to double
-  *    exactly, pairwise products carry 48-bit mantissas (exact), scaling
-  *    by 2^36 is exponent-only (exact), and the rounded longs sum
-  *    exactly — so hash equality holds under ANY partitioning. The d²
-  *    rows-per-vector explode is the price of SQL replayability; use
-  *    [[fit]] beyond audit scale.
+  *    bit-for-bit (`q_vec_cov`). EVERY accumulated sum — the product sum
+  *    `sxy` AND the marginal sums `sx`/`sy` — is a scaled-integer long,
+  *    which makes the whole reduction order-independent: float32 inputs
+  *    promote to double exactly, pairwise products carry 48-bit mantissas
+  *    (exact), scaling by 2^36 is exponent-only (exact), and long
+  *    addition is associative — so hash equality holds under ANY
+  *    partitioning. (Round 5 carried `sx`/`sy` as plain double sums;
+  *    accumulation-order drift between Spark's partitioned agg and
+  *    DuckDB flipped a handful of the 4096 cells across the round(…, 6)
+  *    boundary — the scoreboard's one hash-FAIL. Fixed by scaling the
+  *    marginals too.) The d² rows-per-vector explode is the price of SQL
+  *    replayability; use [[fit]] beyond audit scale.
   */
 object Pca {
 
@@ -107,7 +112,8 @@ object Pca {
   val CovScale: Double = 68719476736.0
 
   /** Population covariance entries (i, j, cov), engine-portable — see
-    * the object doc for why the sums cannot drift with order. */
+    * the object doc for why none of the sums can drift with order
+    * (sxy, sx, sy are ALL scaled-integer longs). */
   def covariancePortable(df: DataFrame, vecCol: String = "embedding"): DataFrame =
     df.select(col(vecCol).as("__v"), posexplode(col(vecCol)).as(Seq("i", "__x")))
       .select(col("i"), col("__x").cast("double").as("x"),
@@ -116,8 +122,10 @@ object Pca {
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
         sum(round(col("x") * col("y") * CovScale).cast("long")).as("sxy"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+        sum(round(col("x") * CovScale).cast("long")).as("sx"),
+        sum(round(col("y") * CovScale).cast("long")).as("sy"))
       .select(col("i"), col("j"),
         round((col("sxy").cast("double") / CovScale -
-          col("sx") * col("sy") / col("n")) / col("n"), 6).as("cov"))
+          (col("sx").cast("double") / CovScale) *
+            (col("sy").cast("double") / CovScale) / col("n")) / col("n"), 6).as("cov"))
 }

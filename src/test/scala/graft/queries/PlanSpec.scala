@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{SparkSpec, SparkEntry}
+import graft.{SparkSpec, SparkEntry, Bench}
 
 /** Plan-shape assertions: the properties that decide 100 TB viability,
   * enforced so a regression in pushdown/broadcast/codegen fails CI, not the
@@ -8,7 +8,8 @@ import graft.{SparkSpec, SparkEntry}
 class PlanSpec extends SparkSpec {
 
   private def plan(q: String): String =
-    SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan.toString
+    (SparkEntry.queries ++ Bench.benchOnly)(q)(spark, sf())
+      .queryExecution.executedPlan.toString
 
   test("q_scan_filter pushes predicates into the parquet scan") {
     val p = plan("q_scan_filter")

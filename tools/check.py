@@ -18,12 +18,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Deliberately NO tuple-ization of array cells: the driver's checker
+    # sorts rows by all columns as-is and DIES on an array column
+    # ("unhashable type: numpy.ndarray"). Round 5's local replica papered
+    # over that, so q_chunk_embed was green locally and ERR at the driver.
+    # Local behavior must predict driver behavior: flatten array outputs
+    # in the query itself (posexplode), never here.
     df = df[sorted(df.columns)]
-    # make lists/arrays hashable+sortable
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                              hasattr(v, "__len__") and not isinstance(v, (str, bytes)) else v)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
