@@ -16,11 +16,14 @@ class QdrantProvider extends VectorStoreProvider {
 }
 
 /** Milvus: boolean-expression filters, pre-created collections required,
-  * records without id skipped (`adapters/milvus.py`). */
+  * records without id skipped, FLOAT_VECTOR or BINARY_VECTOR field
+  * (`adapters/milvus.py`; the binary capability is `milvus.py:82`'s
+  * field heuristic). */
 class MilvusProvider extends VectorStoreProvider {
   override def shortName(): String = "graft-milvus"
   override def dialect: FilterDialect = new MilvusExprDialect()
-  override def rules: WriteRules = WriteRules(requireExisting = true, skipMissingId = true)
+  override def rules: WriteRules = WriteRules(requireExisting = true, skipMissingId = true,
+    binaryVectors = true)
 }
 
 /** Pinecone: index + namespace addressing; the reference DECLARES this

@@ -5,14 +5,26 @@ import scala.collection.mutable.ArrayBuffer
 
 /** One stored vector record — the wire shape every emulated backend trades
   * in (the reference's canonical `{id, vector, metadata}` dict,
-  * `core/adapter.py:33-42`). */
-case class VSRecord(id: String, vector: Array[Float], metadata: Map[String, String])
+  * `core/adapter.py:33-42`). Exactly one of `vector` (FLOAT_VECTOR
+  * collections) or `binary` (BINARY_VECTOR collections — packed sign
+  * bits, dim/8 bytes) is populated; the collection's
+  * [[CollectionConfig.vectorType]] says which. */
+case class VSRecord(id: String, vector: Array[Float], metadata: Map[String, String],
+                    binary: Array[Byte] = null)
+
+object VectorTypes {
+  val Float = "FLOAT_VECTOR"
+  val Binary = "BINARY_VECTOR"
+}
 
 case class CollectionConfig(
     distance: String = "Cosine",
     dim: Int = 0,
     onDisk: Boolean = false,
-    props: Map[String, String] = Map.empty)
+    props: Map[String, String] = Map.empty,
+    /** FLOAT_VECTOR | BINARY_VECTOR — the reference's Milvus adapter
+      * accepts either as the vector field (`adapters/milvus.py:82`). */
+    vectorType: String = VectorTypes.Float)
 
 /** The transport seam: the five store calls every backend client must
   * provide (the adapter ABC surface, `core/adapter.py:20-66`, minus

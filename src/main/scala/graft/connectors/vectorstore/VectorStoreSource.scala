@@ -27,13 +27,30 @@ abstract class VectorStoreProvider extends TableProvider with DataSourceRegister
   def dialect: FilterDialect
   def rules: WriteRules
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Canonical.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (vectorTypeOf(options) == VectorTypes.Binary) Canonical.binarySchema
+    else Canonical.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new VSTable(collectionName(opts), shortName(), dialect, rules, opts)
+    val vt = vectorTypeOf(opts)
+    if (vt == VectorTypes.Binary && !rules.binaryVectors)
+      throw new IllegalArgumentException(
+        s"${shortName()} does not support BINARY_VECTOR collections")
+    new VSTable(collectionName(opts), shortName(), dialect, rules, opts, vectorType = vt)
   }
+
+  /** FLOAT_VECTOR | BINARY_VECTOR: the explicit `vector_type` option wins;
+    * otherwise an existing collection's stored config decides (the
+    * reference's schema-driven field heuristic, `adapters/milvus.py:82` —
+    * first FLOAT_VECTOR or BINARY_VECTOR field is THE vector field). */
+  protected def vectorTypeOf(opts: CaseInsensitiveStringMap): String =
+    Option(opts.get("vector_type")).map(_.toUpperCase)
+      .orElse(Option(opts.get("collection"))
+        .flatMap(_ => VectorStore.config(collectionName(opts)))
+        .map(_.vectorType))
+      .getOrElse(VectorTypes.Float)
 
   protected def collectionName(opts: CaseInsensitiveStringMap): String = {
     val base = Option(opts.get("collection"))
@@ -53,7 +70,10 @@ case class WriteRules(
     /** Qdrant: digit-string ids become ints (`adapters/qdrant.py:220-222`). */
     coerceDigitIds: Boolean = false,
     /** Qdrant distance whitelist (`adapters/qdrant.py:163-169`). */
-    allowedDistances: Set[String] = Set("Cosine", "Euclid", "Dot", "Euclidean", "DotProduct"))
+    allowedDistances: Set[String] = Set("Cosine", "Euclid", "Dot", "Euclidean", "DotProduct"),
+    /** Milvus: the vector field may be BINARY_VECTOR (`adapters/milvus.py:82`);
+      * backends without the capability reject binary collections. */
+    binaryVectors: Boolean = false)
 
 /** Native ANN search pushed into the scan: per-partition cosine top-k
   * (the Spark-side analog of Qdrant/Milvus/Pinecone `search` APIs, which
@@ -62,35 +82,39 @@ case class WriteRules(
 case class SearchSpec(vector: Array[Float], k: Int)
 
 class VSTable(collection: String, source: String, dialect: FilterDialect, rules: WriteRules,
-              opts: CaseInsensitiveStringMap, val search: Option[SearchSpec] = None)
+              opts: CaseInsensitiveStringMap, val search: Option[SearchSpec] = None,
+              vectorType: String = VectorTypes.Float)
   extends Table with SupportsRead with SupportsWrite {
 
   def withSearch(spec: SearchSpec): VSTable =
-    new VSTable(collection, source, dialect, rules, opts, Some(spec))
+    new VSTable(collection, source, dialect, rules, opts, Some(spec), vectorType)
 
   override def name(): String = s"$source:$collection" +
+    (if (vectorType == VectorTypes.Binary) " [binary]" else "") +
     search.map(sp => s" [search k=${sp.k}]").getOrElse("")
-  override def schema(): StructType = Canonical.schema
+  override def schema(): StructType =
+    if (vectorType == VectorTypes.Binary) Canonical.binarySchema else Canonical.schema
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VSScanBuilder(collection, dialect,
-      Option(options.get("page_size")).map(_.toInt).getOrElse(1000), search)
+      Option(options.get("page_size")).map(_.toInt).getOrElse(1000), search, schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new VSWriteBuilder(collection, rules, info.options())
+    new VSWriteBuilder(collection, rules, info.options(), info.schema())
 }
 
 // ---------------------------------------------------------------- read side
 
 class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
-                    search: Option[SearchSpec] = None)
+                    search: Option[SearchSpec] = None,
+                    tableSchema: StructType = Canonical.schema)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset {
 
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = Canonical.schema
+  private var required: StructType = tableSchema
   private var limit: Option[Int] = None
   private var offset: Option[Int] = None
 
@@ -225,6 +249,9 @@ class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Arra
     val values = required.fields.map { f =>
       f.name match {
         case Canonical.ID => UTF8String.fromString(current.id)
+        // the column's declared type says which record face to emit: a
+        // BINARY_VECTOR collection's table schema is Canonical.binarySchema
+        case Canonical.VECTOR if f.dataType == BinaryType => current.binary
         case Canonical.VECTOR =>
           if (current.vector == null) null
           else new GenericArrayData(current.vector.map(_.asInstanceOf[Any]))
@@ -281,7 +308,8 @@ object FilterEval {
 
 // --------------------------------------------------------------- write side
 
-class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiveStringMap)
+class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiveStringMap,
+                     writeSchema: StructType = Canonical.schema)
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -290,22 +318,44 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
+      // the incoming DataFrame's vector column type decides the collection
+      // vector type — the schema-driven rule of adapters/milvus.py:82
+      val binaryVec = writeSchema.fields
+        .find(_.name.equalsIgnoreCase(Canonical.VECTOR)).exists(_.dataType == BinaryType)
+      if (binaryVec && !rules.binaryVectors)
+        throw new IllegalArgumentException(
+          "this backend does not support BINARY_VECTOR collections")
       // case-insensitive + alias-tolerant, like the reference's lowercase
       // distance map (adapters/qdrant.py:163-169 accepts "cosine")
-      val raw = Option(opts.get("distance")).getOrElse("Cosine")
+      val raw = Option(opts.get("distance")).getOrElse(if (binaryVec) "Hamming" else "Cosine")
       val distance = raw.toLowerCase match {
         case "cosine" => "Cosine"
         case "euclid" | "euclidean" | "l2" => "Euclid"
         case "dot" | "dotproduct" | "ip" => "Dot"
+        case "hamming" => "Hamming"
+        case "jaccard" => "Jaccard"
         case other => other
       }
-      require(rules.allowedDistances.exists(_.equalsIgnoreCase(distance)) ||
-        rules.allowedDistances.contains(distance),
-        s"unsupported distance: $raw (valid: ${rules.allowedDistances.mkString(", ")})")
+      // binary collections take binary metrics (Milvus: HAMMING/JACCARD),
+      // never the float whitelist — and vice versa
+      if (binaryVec)
+        require(distance == "Hamming" || distance == "Jaccard",
+          s"unsupported distance for BINARY_VECTOR: $raw (valid: Hamming, Jaccard)")
+      else
+        require(rules.allowedDistances.exists(_.equalsIgnoreCase(distance)) ||
+          rules.allowedDistances.contains(distance),
+          s"unsupported distance: $raw (valid: ${rules.allowedDistances.mkString(", ")})")
       val recreate = doTruncate || Option(opts.get("recreate")).exists(_.toBoolean)
       if (rules.requireExisting && !recreate && !VectorStore.exists(collection))
         throw new IllegalStateException(
           s"collection $collection does not exist (this backend requires pre-created collections)")
+      val vt = if (binaryVec) VectorTypes.Binary else VectorTypes.Float
+      // appending the wrong vector face into an existing collection is a
+      // schema error, not silent corruption
+      VectorStore.config(collection).filter(_ => !recreate).foreach { cfg =>
+        require(cfg.vectorType == vt,
+          s"collection $collection holds ${cfg.vectorType}, cannot append $vt records")
+      }
       // collection DDL happens once, on the driver — like the reference's
       // create-before-load (adapters/qdrant.py:188-212)
       VectorStore.createCollection(collection,
@@ -320,10 +370,11 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
             opts.entrySet().asScala
               .filter(e => e.getKey.startsWith("hnsw_") || e.getKey.startsWith("quantization_"))
               .map(e => e.getKey -> e.getValue).toMap
-          }),
+          },
+          vectorType = vt),
         recreate = recreate)
       new VSBatchWrite(collection, rules,
-        Option(opts.get("batch_size")).map(_.toInt).getOrElse(100))
+        Option(opts.get("batch_size")).map(_.toInt).getOrElse(100), binaryVec)
     }
   }
 }
@@ -340,9 +391,10 @@ object VSWriteStats {
   def get(collection: String): Option[(Long, Long)] = Option(last.get(collection))
 }
 
-class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int) extends BatchWrite {
+class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
+                   binaryVec: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new VSWriterFactory(collection, rules, batchSize)
+    new VSWriterFactory(collection, rules, batchSize, binaryVec)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (w, s) = messages.foldLeft((0L, 0L)) {
       case ((aw, as), VSCommit(cw, cs)) => (aw + cw, as + cs)
@@ -353,16 +405,18 @@ class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int) extend
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class VSWriterFactory(collection: String, rules: WriteRules, batchSize: Int)
+class VSWriterFactory(collection: String, rules: WriteRules, batchSize: Int,
+                      binaryVec: Boolean = false)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new VSDataWriter(collection, rules, batchSize)
+    new VSDataWriter(collection, rules, batchSize, binaryVec)
 }
 
 /** Executor-side writer: buffers `batchSize` records then upserts — the
   * distributed form of the reference's batch loop
   * (`adapters/pgvector.py:223-233`, `adapters/qdrant.py:233-249`). */
-class VSDataWriter(collection: String, rules: WriteRules, batchSize: Int)
+class VSDataWriter(collection: String, rules: WriteRules, batchSize: Int,
+                   binaryVec: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
@@ -377,7 +431,8 @@ class VSDataWriter(collection: String, rules: WriteRules, batchSize: Int)
     }
     val id = if (rules.coerceDigitIds && rawId.forall(_.isDigit))
       rawId.toLongOption.map(_.toString).getOrElse(rawId) else rawId
-    val vector = if (row.isNullAt(1)) null else row.getArray(1).toFloatArray()
+    val binary = if (!binaryVec || row.isNullAt(1)) null else row.getBinary(1)
+    val vector = if (binaryVec || row.isNullAt(1)) null else row.getArray(1).toFloatArray()
     val metadata = if (row.isNullAt(2)) Map.empty[String, String] else {
       val m = row.getMap(2)
       val keys = m.keyArray(); val vals = m.valueArray()
@@ -386,7 +441,7 @@ class VSDataWriter(collection: String, rules: WriteRules, batchSize: Int)
           (if (vals.isNullAt(i)) null else vals.getUTF8String(i).toString)
       }.toMap
     }
-    buf += VSRecord(id, vector, metadata)
+    buf += VSRecord(id, vector, metadata, binary)
     if (buf.length >= batchSize) flush()
   }
 

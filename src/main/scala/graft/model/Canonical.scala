@@ -28,6 +28,15 @@ object Canonical {
     StructField(VECTOR, ArrayType(FloatType, containsNull = false), nullable = true),
     StructField(METADATA, MapType(StringType, StringType, valueContainsNull = true), nullable = true)))
 
+  /** BINARY_VECTOR collections (Milvus accepts either float or binary as
+    * the vector field, `adapters/milvus.py:82`): same record shape, the
+    * vector column is packed bits (`binary`, dim/8 bytes — see
+    * [[graft.functions.BinaryVectors]] for the bit layout). */
+  val binarySchema: StructType = StructType(Seq(
+    StructField(ID, StringType, nullable = true),
+    StructField(VECTOR, BinaryType, nullable = true),
+    StructField(METADATA, MapType(StringType, StringType, valueContainsNull = true), nullable = true)))
+
   /** Project an arbitrary DataFrame into canonical shape.
     *
     * @param idCol          source id column

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.config.QuerySpec
@@ -50,6 +51,34 @@ object ConnectorQueries {
         collection = "gate_m",
         filter = Some("label >= 3 && label < 6 || label == 9")))
         .select(col(Canonical.ID), element_at(col(Canonical.METADATA), "label").as("label"))
+    }),
+
+    // S3-path, BINARY_VECTOR face: sign-bit-packed embeddings written to a
+    // Milvus binary collection through the DSv2 sink (byte-array carry,
+    // Hamming metric), read back through the DSv2 scan, then Hamming top-3
+    // per query with the codegen'd XOR+popcount kernel — proving the bytes
+    // survive the write→store→scan round trip bit-for-bit (the oracle
+    // recomputes every distance from the float embeddings' signs)
+    "q_connector_milvus_binary" -> ((s, dir) => {
+      Tables(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as(Canonical.ID),
+        graft.functions.BinaryVectors.pack(col("embedding")).as(Canonical.VECTOR),
+        map(lit("label"), col("label").cast("string")).as(Canonical.METADATA))
+        .write.format("graft-milvus")
+        .option("collection", "gate_mb").option("vector_type", "BINARY_VECTOR")
+        .option("distance", "Hamming")
+        .option("recreate", "true").mode("overwrite").save()
+      val back = s.read.format("graft-milvus").option("collection", "gate_mb")
+        .option("vector_type", "BINARY_VECTOR").load()
+      val q = broadcast(back.filter(col(Canonical.ID).isin("0", "1", "2", "3", "4"))
+        .select(col(Canonical.ID).as("query_id"), col(Canonical.VECTOR).as("qb")))
+      val w = Window.partitionBy("query_id").orderBy(col("hamming").asc, col("cand_id").asc)
+      back.select(col(Canonical.ID).as("cand_id"), col(Canonical.VECTOR).as("cb"))
+        .join(q, col("cand_id") =!= col("query_id"))
+        .withColumn("hamming", graft.functions.BinaryVectors.hamming(col("qb"), col("cb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("cand_id"), col("hamming"), col("rk"))
     }),
 
     // S4-path: Pinecone (implemented; empty module in the reference)
@@ -147,6 +176,20 @@ object ConnectorQueries {
     "q_connector_milvus" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings WHERE (label >= 3 AND label < 6) OR label = 9"),
+    "q_connector_milvus_binary" ->
+      // Hamming over packed sign bits == count of dims whose sign differs
+      // (padding bits are zero on both sides); ids compare as VARCHAR on
+      // both engines so the tie-break order is identical
+      ("WITH b AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bits FROM embeddings), " +
+        "q AS (SELECT CAST(vec_id AS VARCHAR) AS query_id, bits AS qb FROM b WHERE vec_id < 5), " +
+        "c AS (SELECT CAST(vec_id AS VARCHAR) AS cand_id, bits AS cb FROM b), " +
+        "s AS (SELECT query_id, cand_id, CAST(len(list_filter(range(len(qb)), " +
+        "i -> qb[i+1] != cb[i+1])) AS INT) AS hamming " +
+        "FROM q JOIN c ON cand_id <> query_id) " +
+        "SELECT query_id, cand_id, hamming, CAST(rn AS INT) AS rk FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, cand_id) AS rn " +
+        "FROM s) WHERE rn <= 3"),
     "q_connector_pinecone" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings WHERE label = 1"),
