@@ -40,7 +40,21 @@ case class EndpointConfig(
     query: Option[QuerySpec],
     load: Option[LoadSpec])
 
-case class MigrationConfig(source: EndpointConfig, target: EndpointConfig)
+/** One step of a declarative transform pipeline: a registry name (see
+  * [[graft.core.TransformPipeline]]) plus string params. In JSON, a step
+  * is either a bare string (`"normalize_vectors"`) or an object whose
+  * non-`transform` keys are the params
+  * (`{"transform": "chunk_embed", "width": 64}`). */
+case class TransformStep(name: String, params: Map[String, String] = Map.empty)
+
+case class MigrationConfig(source: EndpointConfig, target: EndpointConfig,
+                           /** Declarative transform chain, applied in
+                             * order between read and write — the config
+                             * face of the `--transform` hook, so a data
+                             * team's whole recipe (gate → dedup → chunk →
+                             * embed → layout) is one reviewable JSON
+                             * block. */
+                           pipeline: Seq[TransformStep] = Nil)
 
 /** JSON config parser, drop-in compatible with the reference's shape
   * (`cli/migrate.py:167-196`) including the `*_params` key variant used by
@@ -60,8 +74,23 @@ object MigrationConfig {
     val root = try mapper.readTree(text)
     catch { case e: Exception => throw new ConfigException(s"invalid JSON: ${e.getMessage}") }
     if (root == null || !root.isObject) throw new ConfigException("config must be a JSON object")
-    MigrationConfig(endpoint(root, "source"), endpoint(root, "target"))
+    MigrationConfig(endpoint(root, "source"), endpoint(root, "target"),
+      pipeline = parsePipeline(root))
   }
+
+  private def parsePipeline(root: JsonNode): Seq[TransformStep] =
+    Option(root.get("pipeline")).map { arr =>
+      if (!arr.isArray) throw new ConfigException("'pipeline' must be an array of steps")
+      arr.elements().asScala.map { n =>
+        if (n.isTextual) TransformStep(n.asText())
+        else if (n.isObject) {
+          val name = Option(n.get("transform")).orElse(Option(n.get("name")))
+            .map(_.asText()).getOrElse(
+              throw new ConfigException("pipeline step needs a 'transform' name"))
+          TransformStep(name, strMap(n) - "transform" - "name")
+        } else throw new ConfigException(s"bad pipeline step: $n")
+      }.toSeq
+    }.getOrElse(Nil)
 
   private def endpoint(root: JsonNode, side: String): EndpointConfig = {
     val node = Option(root.get(side))

@@ -129,7 +129,14 @@ class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  // A pushed limit truncates the raw scroll range — only sound when no
+  // filters are pushed, because Spark's contract is limit-AFTER-filter
+  // (a filtered scan truncated to [0, n) raw records can drop matches;
+  // caught by the HTTP loopback suite's filtered .head()). pushFilters
+  // runs before pushLimit in V2ScanRelationPushDown, so `pushed` is
+  // final here.
+  override def pushLimit(n: Int): Boolean =
+    if (pushed.nonEmpty) false else { limit = Some(n); true }
   override def isPartiallyPushed: Boolean = true
 
   override def pushOffset(n: Int): Boolean =

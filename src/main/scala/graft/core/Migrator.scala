@@ -51,6 +51,10 @@ class Migrator(spark: SparkSession) {
       throw new ConfigException("target block needs a 'load' section"))
 
     try {
+      // config-declared pipeline resolves before anything is read —
+      // a typo'd step name or param aborts upfront, not after extraction
+      val pipelined = TransformPipeline.compose(config.pipeline)
+
       val extracted = source.read(spark, config.source.connection, query)
 
       // Empty-extract guard (core/migrator.py:71-74). One cheap action on
@@ -62,7 +66,12 @@ class Migrator(spark: SparkSession) {
           error = Some("no data extracted from source"))
       }
 
-      val transformed = transform match {
+      // config pipeline first, then the programmatic/--transform hook
+      val effective: Option[DataFrame => DataFrame] = (pipelined, transform) match {
+        case (Some(p), Some(f)) => Some(p andThen f)
+        case (p, f) => p.orElse(f)
+      }
+      val transformed = effective match {
         case Some(f) =>
           try f(extracted)
           catch {

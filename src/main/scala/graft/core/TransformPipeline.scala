@@ -1,0 +1,106 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import graft.config.{ConfigException, TransformStep}
+import graft.ops.{Sampling, Transforms}
+
+/** Resolves a config's declarative `pipeline` block (a list of named
+  * transforms with params) into one composed `DataFrame => DataFrame` —
+  * the config face of the `--transform` hook, so a data team's whole
+  * recipe (quality gate → dedup → chunk → embed → layout) is a reviewable
+  * JSON block instead of a custom class per combination. Every step is a
+  * declared DataFrame transform over the canonical frame, so the COMPOSED
+  * pipeline is still ONE Catalyst plan: one read of the source, one write
+  * to the sink, optimized as a whole.
+  *
+  * Unknown names and malformed params throw [[ConfigException]] at
+  * resolve time (before any read) — a typo aborts the run upfront rather
+  * than after an hour of extraction. The `class` step is the reflection
+  * escape hatch, equivalent to `--transform <fqcn>` but inline in config.
+  */
+object TransformPipeline {
+
+  private def dbl(p: Map[String, String], key: String, default: Double): Double =
+    p.get(key).map(v => v.toDoubleOption.getOrElse(
+      throw new ConfigException(s"pipeline param '$key' must be numeric, got '$v'")))
+      .getOrElse(default)
+
+  private def int(p: Map[String, String], key: String, default: Int): Int =
+    p.get(key).map(v => v.toIntOption.getOrElse(
+      throw new ConfigException(s"pipeline param '$key' must be an integer, got '$v'")))
+      .getOrElse(default)
+
+  private def req(p: Map[String, String], key: String, step: String): String =
+    p.getOrElse(key, throw new ConfigException(s"pipeline step '$step' needs param '$key'"))
+
+  /** Step catalog: name → (params → transform). */
+  private val registry: Map[String, (Map[String, String]) => DataFrame => DataFrame] = Map(
+    "add_source_tracking" -> (p => Transforms.addSourceTracking(
+      req(p, "source_db", "add_source_tracking"),
+      // timestamp is explicit config, never now(): deterministic pipelines
+      req(p, "timestamp", "add_source_tracking"))),
+    "filter" -> (p => Transforms.filterByMetadata(req(p, "predicate", "filter"))),
+    "rename_metadata_key" -> (p => Transforms.renameMetadataKey(
+      req(p, "from", "rename_metadata_key"), req(p, "to", "rename_metadata_key"))),
+    "normalize_vectors" -> (_ => Transforms.normalizeVectors),
+    "quality_gate" -> (p => Transforms.qualityGate(
+      dbl(p, "min_score", 0.35), p.getOrElse("text_key", "text"))),
+    "exact_dedup" -> (p => Transforms.exactDedupByText(p.getOrElse("text_key", "text"))),
+    "chunk_embed" -> (p => Transforms.chunkAndEmbed(
+      int(p, "width", 64), int(p, "stride", 48), int(p, "dim", 64),
+      p.getOrElse("text_key", "text"))),
+    "assign_split" -> { p =>
+      val splits = Seq("train" -> dbl(p, "train", 0.9),
+        "val" -> dbl(p, "val", 0.05), "test" -> dbl(p, "test", 0.05))
+      df => {
+        import org.apache.spark.sql.functions._
+        Sampling.split(df, graft.model.Canonical.ID, splits)
+          .withColumn(graft.model.Canonical.METADATA,
+            map_concat(coalesce(col(graft.model.Canonical.METADATA), map()),
+              map(lit("split"), col("split"))))
+          .drop("split")
+      }
+    },
+    "quantize_vectors" -> (_ => new graft.examples.QuantizeVectors()),
+    "pca_whiten" -> (_ => new graft.examples.PcaWhiten()),
+    "balance_by_key" -> (p => new graft.examples.BalanceByMetadataKey(
+      p.getOrElse("key", "source")) {}),
+    "cluster_by_similarity" -> { p =>
+      val bits = int(p, "bits", 8)
+      df => {
+        import org.apache.spark.sql.functions._
+        if (df.filter(col(graft.model.Canonical.VECTOR).isNotNull).isEmpty) df
+        else graft.ops.Layout.clusterBySimilarity(df, bits = bits,
+          vecCol = graft.model.Canonical.VECTOR)
+      }
+    },
+    "prepare_corpus" -> (p =>
+      Transforms.qualityGate(dbl(p, "min_score", 0.35), p.getOrElse("text_key", "text"))
+        andThen Transforms.exactDedupByText(p.getOrElse("text_key", "text"))
+        andThen Transforms.chunkAndEmbed(
+          int(p, "width", 64), int(p, "stride", 48), int(p, "dim", 64),
+          p.getOrElse("text_key", "text"))),
+    // reflection escape hatch — unlike the CLI flag, a config-declared
+    // class that fails to load is a hard error, not a warn-and-continue:
+    // configs are reviewed artifacts, typos should abort
+    "class" -> { p =>
+      val cls = req(p, "class_name", "class")
+      try Class.forName(cls).getDeclaredConstructor().newInstance()
+        .asInstanceOf[DataFrame => DataFrame]
+      catch {
+        case e: Exception =>
+          throw new ConfigException(s"pipeline step cannot load class $cls: ${e.getMessage}")
+      }
+    })
+
+  def names: Seq[String] = registry.keys.toSeq.sorted
+
+  def resolve(step: TransformStep): DataFrame => DataFrame =
+    registry.getOrElse(step.name, throw new ConfigException(
+      s"unknown pipeline transform '${step.name}' (valid: ${names.mkString(", ")})"))(step.params)
+
+  /** Compose a config's steps in order; None when the block is absent. */
+  def compose(steps: Seq[TransformStep]): Option[DataFrame => DataFrame] =
+    if (steps.isEmpty) None
+    else Some(steps.map(resolve).reduceLeft(_ andThen _))
+}

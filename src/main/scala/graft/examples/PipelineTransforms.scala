@@ -123,23 +123,10 @@ class ClusterBySimilarity extends (DataFrame => DataFrame) {
   * (ChunkAndEmbed's rule). */
 class PrepareTrainingCorpus extends (DataFrame => DataFrame) {
   private val minQuality = 0.35
-  override def apply(df: DataFrame): DataFrame = {
-    val text = element_at(col(Canonical.METADATA), "text")
-    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
-    val gated = df.filter(!hasText ||
-      graft.functions.TextFunctions.qualityScore(text) >= minQuality)
-    // exact near-identity dedup on the token stream (whitespace-
-    // insensitive); only text rows enter the fingerprint window — no
-    // single hot null-fingerprint partition
-    val deduped = gated.filter(hasText)
-      .withColumn("__fp", graft.functions.TextFunctions.rollingHashPortable(text))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__fp")).orderBy(col(Canonical.ID))))
-      .filter(col("__rk") === 1)
-      .drop("__fp", "__rk")
-    new ChunkAndEmbed()(gated.filter(!hasText).unionByName(deduped))
-  }
+  override def apply(df: DataFrame): DataFrame =
+    (graft.ops.Transforms.qualityGate(minQuality)
+      andThen graft.ops.Transforms.exactDedupByText()
+      andThen graft.ops.Transforms.chunkAndEmbed())(df)
 }
 
 /** `--transform graft.examples.ChunkAndEmbed`: turn a document-shaped
@@ -152,30 +139,6 @@ class PrepareTrainingCorpus extends (DataFrame => DataFrame) {
   * for a real encoder. Records without text pass through untouched —
   * re-running over a mixed collection is safe. */
 class ChunkAndEmbed extends (DataFrame => DataFrame) {
-  private val width = 64; private val stride = 48; private val dim = 64
-  override def apply(df: DataFrame): DataFrame = {
-    val text = element_at(col(Canonical.METADATA), "text")
-    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
-    val chunked = graft.ops.Chunking.chunkByTokens(
-      df.filter(hasText)
-        .withColumn("__parent", col(Canonical.ID))
-        .withColumn("__text", text),
-      width, stride, idCol = Canonical.ID, textCol = "__text")
-    val out = chunked
-      .withColumn(Canonical.ID,
-        concat(col(Canonical.ID), lit("#"), col("chunk_idx")))
-      .withColumn(Canonical.VECTOR,
-        transform(
-          graft.functions.TextFunctions.hashedTokenEmbedding(col("chunk_text"), dim),
-          _.cast("float")))
-      .withColumn(Canonical.METADATA, map_concat(
-        map_filter(col(Canonical.METADATA), (k, _) => k =!= "text"),
-        map(lit("text"), col("chunk_text"),
-          lit("parent_id"), col("__parent"),
-          lit("chunk_idx"), col("chunk_idx").cast("string"))))
-      .select(col(Canonical.ID), col(Canonical.VECTOR), col(Canonical.METADATA))
-    df.filter(!hasText)
-      .select(col(Canonical.ID), col(Canonical.VECTOR), col(Canonical.METADATA))
-      .unionByName(out)
-  }
+  override def apply(df: DataFrame): DataFrame =
+    graft.ops.Transforms.chunkAndEmbed(width = 64, stride = 48, dim = 64)(df)
 }

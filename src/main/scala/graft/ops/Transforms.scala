@@ -42,6 +42,66 @@ object Transforms {
       transform(graft.functions.VectorFunctions.normalize(col(Canonical.VECTOR)),
         _.cast("float")))
 
+  /** Heuristic quality gate over `metadata[textKey]`: keep records whose
+    * [[graft.functions.TextFunctions.qualityScore]] clears `minScore`;
+    * records without text pass through untouched. Pure per-row filter —
+    * no shuffle. */
+  def qualityGate(minScore: Double, textKey: String = "text"): DataFrame => DataFrame = { df =>
+    val text = element_at(col(Canonical.METADATA), textKey)
+    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
+    df.filter(!hasText || graft.functions.TextFunctions.qualityScore(text) >= minScore)
+  }
+
+  /** Exact near-identity dedup on the token stream of `metadata[textKey]`
+    * (whitespace-insensitive portable rolling fingerprint; lowest id
+    * survives, so re-runs are stable). Only text rows enter the
+    * fingerprint window — no single hot null-fingerprint partition. One
+    * shuffle on the fingerprint. */
+  def exactDedupByText(textKey: String = "text"): DataFrame => DataFrame = { df =>
+    val text = element_at(col(Canonical.METADATA), textKey)
+    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
+    val deduped = df.filter(hasText)
+      .withColumn("__fp", graft.functions.TextFunctions.rollingHashPortable(text))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp")).orderBy(col(Canonical.ID))))
+      .filter(col("__rk") === 1)
+      .drop("__fp", "__rk")
+    df.filter(!hasText).unionByName(deduped)
+  }
+
+  /** Chunk `metadata[textKey]` into token windows and embed each chunk
+    * (deterministic hashing-trick encoder stand-in) — one canonical record
+    * per chunk, id `<parent>#<idx>`, provenance in metadata. Records
+    * without text pass through untouched, so re-running over a mixed
+    * collection is safe. */
+  def chunkAndEmbed(width: Int = 64, stride: Int = 48, dim: Int = 64,
+                    textKey: String = "text"): DataFrame => DataFrame = { df =>
+    val text = element_at(col(Canonical.METADATA), textKey)
+    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
+    val chunked = graft.ops.Chunking.chunkByTokens(
+      df.filter(hasText)
+        .withColumn("__parent", col(Canonical.ID))
+        .withColumn("__text", text),
+      width, stride, idCol = Canonical.ID, textCol = "__text")
+    val out = chunked
+      .withColumn(Canonical.ID,
+        concat(col(Canonical.ID), lit("#"), col("chunk_idx")))
+      .withColumn(Canonical.VECTOR,
+        transform(
+          graft.functions.TextFunctions.hashedTokenEmbedding(col("chunk_text"), dim),
+          _.cast("float")))
+      .withColumn(Canonical.METADATA, map_concat(
+        map_filter(col(Canonical.METADATA), (k, _) => k =!= textKey),
+        map(lit(textKey), col("chunk_text"),
+          lit("parent_id"), col("__parent"),
+          lit("chunk_idx"), col("chunk_idx").cast("string"))))
+      .select(col(Canonical.ID), col(Canonical.VECTOR), col(Canonical.METADATA))
+    df.filter(!hasText)
+      .select(col(Canonical.ID), col(Canonical.VECTOR), col(Canonical.METADATA))
+      .unionByName(out)
+  }
+
   /** Row-map escape hatch: arbitrary per-record logic over the canonical
     * shape, distributed via mapPartitions — the full generality of the
     * reference's `transform(data) -> data` hook without materializing on

@@ -27,13 +27,20 @@ class ContractSpec extends AnyFunSuite {
       }.mkString("; "))
   }
 
-  test("bench headline names all resolve") {
-    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+  test("bench headline names all resolve (gated or bench-only)") {
+    val missing = Bench.headline.filterNot((SparkEntry.queries ++ Bench.benchOnly).contains)
     assert(missing.isEmpty, s"headline without query: $missing")
   }
 
   test("gate size matches the documented inventory") {
     assert(SparkEntry.queries.size == 132, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 131, SparkEntry.oracleSql.size.toString)
+  }
+
+  test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {
+    // round 6 invariant: rows-only queries live in Bench.benchOnly, never
+    // in the gated map — a gated query without an oracle is a perpetual
+    // `err` row on the driver scoreboard
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.isEmpty, s"gated queries without oracle: $rowsOnly")
   }
 }

@@ -148,6 +148,42 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("declarative pipeline config runs the recipe; equals the --transform class run") {
+    // config-declared gate → dedup → chunk+embed → split → layout
+    for (c <- Seq("prepared_corpus_pipeline", "prep_class")) MemoryStore.drop(c)
+    assert(graft.cli.Main.run(
+      Array("--config", "examples/configs/corpus_prep_pipeline.json")) == 0)
+    val rows = MemoryStore.get("prepared_corpus_pipeline").get._1
+    assert(rows.nonEmpty)
+    // chunk-shaped ids + split stamped by the declarative steps
+    assert(rows.forall(_.getString(0).contains("#")))
+    // the same recipe via the class transform (no split/layout steps) must
+    // produce the identical chunk id set — the registry steps ARE the ops
+    val cfg = Files.createTempFile("graft", ".json")
+    Files.writeString(cfg,
+      s"""{"source": {"type": "parquet", "connection": {"path": "/root/testdata/sf0.001"},
+         |            "query": {"table_name": "documents", "id_column": "doc_id",
+         |                      "metadata_columns": ["text", "source"]}},
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "prep_class", "recreate": true}}}""".stripMargin)
+    assert(graft.cli.Main.run(Array("--config", cfg.toString,
+      "--transform", "graft.examples.PrepareTrainingCorpus")) == 0)
+    val classIds = MemoryStore.get("prep_class").get._1.map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == classIds)
+  }
+
+  test("pipeline config with an unknown step aborts with exit 1") {
+    val cfg = Files.createTempFile("graft", ".json")
+    Files.writeString(cfg,
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+         |                      "vector_column": "embedding", "limit": 5}},
+         | "pipeline": [{"transform": "definitely_not_an_op"}],
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "bad_pipe", "recreate": true}}}""".stripMargin)
+    assert(graft.cli.Main.run(Array("--config", cfg.toString)) == 1)
+  }
+
   test("--incremental ships only the delta on re-runs") {
     MemoryStore.drop("cli_incr")
     def cfg(limit: Int) = {

@@ -93,4 +93,48 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.target.load.get.batchSize == 100)
     assert(cfg.target.load.get.distance == "Cosine")
   }
+
+  test("pipeline block: string steps, object steps with inline params, errors") {
+    val cfg = MigrationConfig.fromJson(
+      """{"source": {"type": "memory", "connection": {}, "query": {"collection": "a"}},
+        | "target": {"type": "memory", "connection": {}, "load": {"collection": "b"}},
+        | "pipeline": ["normalize_vectors",
+        |              {"transform": "quality_gate", "min_score": 0.5},
+        |              {"transform": "chunk_embed", "width": 32, "stride": 16}]}""".stripMargin)
+    assert(cfg.pipeline.map(_.name) ==
+      Seq("normalize_vectors", "quality_gate", "chunk_embed"))
+    assert(cfg.pipeline(1).params == Map("min_score" -> "0.5"))
+    assert(cfg.pipeline(2).params == Map("width" -> "32", "stride" -> "16"))
+    // absent block → empty pipeline
+    assert(MigrationConfig.fromJson(
+      """{"source": {"type": "memory", "connection": {}, "query": {"collection": "a"}},
+        | "target": {"type": "memory", "connection": {}, "load": {"collection": "b"}}}"""
+        .stripMargin).pipeline.isEmpty)
+    // malformed step aborts parse
+    intercept[ConfigException] {
+      MigrationConfig.fromJson(
+        """{"source": {"type": "memory", "connection": {}, "query": {"collection": "a"}},
+          | "target": {"type": "memory", "connection": {}, "load": {"collection": "b"}},
+          | "pipeline": [{"min_score": 0.5}]}""".stripMargin)
+    }
+  }
+
+  test("TransformPipeline: unknown names and bad params fail at resolve time") {
+    intercept[ConfigException] {
+      graft.core.TransformPipeline.resolve(TransformStep("no_such_op"))
+    }
+    intercept[ConfigException] {
+      graft.core.TransformPipeline.resolve(
+        TransformStep("chunk_embed", Map("width" -> "not_a_number")))
+    }
+    intercept[ConfigException] {
+      graft.core.TransformPipeline.resolve(
+        TransformStep("class", Map("class_name" -> "does.not.Exist")))
+    }
+    // a valid chain composes
+    assert(graft.core.TransformPipeline.compose(Seq(
+      TransformStep("quality_gate"), TransformStep("exact_dedup"),
+      TransformStep("chunk_embed"))).isDefined)
+    assert(graft.core.TransformPipeline.compose(Nil).isEmpty)
+  }
 }

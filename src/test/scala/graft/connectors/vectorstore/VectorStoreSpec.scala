@@ -36,6 +36,16 @@ class VectorStoreSpec extends SparkSpec {
     assert(df.count() == 33)
   }
 
+  test("limit is NOT pushed below pushed filters (limit-after-filter contract)") {
+    canonDf(2000).write.format("graft-qdrant")
+      .option("collection", "fl").option("recreate", "true").mode("overwrite").save()
+    // the match is deep in the scroll order: a limit pushed as a raw range
+    // truncation would return nothing (regression: filtered .head() == empty)
+    val row = spark.read.format("graft-qdrant").option("collection", "fl").load()
+      .filter(col("id") === "1999").limit(1).collect()
+    assert(row.length == 1 && row(0).getString(0) == "1999")
+  }
+
   test("limit pushdown plans a single scroll partition") {
     canonDf(5000).write.format("graft-qdrant")
       .option("collection", "lim").option("recreate", "true").mode("overwrite").save()
