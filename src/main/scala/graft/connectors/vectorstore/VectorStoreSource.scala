@@ -75,11 +75,19 @@ case class WriteRules(
       * backends without the capability reject binary collections. */
     binaryVectors: Boolean = false)
 
-/** Native ANN search pushed into the scan: per-partition cosine top-k
-  * (the Spark-side analog of Qdrant/Milvus/Pinecone `search` APIs, which
-  * the reference never calls but every backend exposes). Installed by
-  * [[graft.plans.PushVectorSearch]]. */
-case class SearchSpec(vector: Array[Float], k: Int)
+/** Native ANN search pushed into the scan: per-partition top-k (the
+  * Spark-side analog of Qdrant/Milvus/Pinecone `search` APIs, which the
+  * reference never calls but every backend exposes). Installed by
+  * [[graft.plans.PushVectorSearch]]. Metric is `cosine` (float
+  * collections, `vector` is the query) or `hamming` (BINARY_VECTOR
+  * collections, `binary` is the packed query — Milvus's native metric
+  * for binary fields). */
+case class SearchSpec(vector: Array[Float], k: Int,
+                      binary: Array[Byte] = null, metric: String = "cosine") {
+  def describe: String =
+    if (metric == "hamming") s"topk(k=$k,metric=hamming,bytes=${binary.length})"
+    else s"topk(k=$k,dim=${vector.length})"
+}
 
 class VSTable(collection: String, source: String, dialect: FilterDialect, rules: WriteRules,
               opts: CaseInsensitiveStringMap, val search: Option[SearchSpec] = None,
@@ -162,7 +170,7 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     val fs = pushed.flatMap(dialect.render).mkString(" AND ")
     s"VectorStoreScan($collection, dialect=${dialect.name}, pushed=[$fs], " +
       s"limit=$limit, offset=$offset" +
-      search.map(sp => s", search=topk(k=" + sp.k + ",dim=" + sp.vector.length + ")").getOrElse("") + ")"
+      search.map(sp => s", search=${sp.describe}").getOrElse("") + ")"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -209,7 +217,10 @@ class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Arra
 
   // native-search mode: score the partition's (filtered) records and keep
   // only the local top-k; the Sort+Limit the optimizer left above merges
-  // partition winners into the exact global top-k
+  // partition winners into the exact global top-k. Local selection breaks
+  // ties on id — the same order the pushed query sorts by, so boundary
+  // ties select identically to a full sort (integer Hamming distances tie
+  // constantly; float cosines can too on planted duplicates).
   private lazy val searched: Iterator[VSRecord] = {
     val sp = search.get
     val all = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
@@ -219,9 +230,23 @@ class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Arra
       all ++= VectorStore.scroll(collection, c, n).filter(r => pushed.forall(FilterEval.eval(_, r)))
       c += n
     }
-    all.filter(_.vector != null)
-      .sortBy(r => -cosine(r.vector, sp.vector))
-      .take(sp.k).iterator
+    if (sp.metric == "hamming")
+      all.filter(_.binary != null)
+        .sortBy(r => (hammingBytes(r.binary, sp.binary), r.id))
+        .take(sp.k).iterator
+    else
+      all.filter(_.vector != null)
+        .sortBy(r => (-cosine(r.vector, sp.vector), r.id))
+        .take(sp.k).iterator
+  }
+
+  private def hammingBytes(a: Array[Byte], q: Array[Byte]): Int = {
+    val n = math.min(a.length, q.length)
+    var d = 0; var i = 0
+    while (i < n) { d += Integer.bitCount((a(i) ^ q(i)) & 0xff); i += 1 }
+    (n until a.length).foreach(j => d += Integer.bitCount(a(j) & 0xff))
+    (n until q.length).foreach(j => d += Integer.bitCount(q(j) & 0xff))
+    d
   }
 
   private def cosine(a: Array[Float], q: Array[Float]): Double = {

@@ -95,6 +95,30 @@ object ConnectorQueries {
 
     "q_connector_search" -> ((s, dir) => searchQuery(s, dir)),
 
+    "q_connector_search_hamming" -> ((s, dir) => hammingSearchQuery(s, dir)),
+
+    // The S2 scan with the transport seam crossed FOR REAL: fixture
+    // upserts and the filtered DSv2 scan all travel localhost HTTP
+    // (JSON wire, scroll paging, RetryingTransport) — the oracle
+    // adjudicates that the socket path returns byte-identical results to
+    // the in-JVM path. Materialized eagerly (localCheckpoint) so the
+    // process-wide transport can be restored before the driver consumes
+    // the frame.
+    "q_connector_http" -> ((s, dir) => {
+      import graft.connectors.vectorstore._
+      val server = new HttpVectorStoreServer(InMemoryTransport)
+      val prev = VectorStore.use(
+        RetryingTransport(new HttpTransport(server.url), maxAttempts = 3, backoffMs = 1L))
+      try {
+        loadFixture(s, dir, "graft-qdrant", "gate_http")
+        ConnectorRegistry("qdrant").read(s, Map.empty, QuerySpec(
+          collection = "gate_http",
+          filter = Some("""{"must":[{"key":"label","range":{"gte":5}}]}""")))
+          .select(col(Canonical.ID), element_at(col(Canonical.METADATA), "label").as("label"))
+          .localCheckpoint(true)
+      } finally { VectorStore.use(prev); server.stop() }
+    }),
+
     // M4 end-to-end: the full config-driven pipeline (read → transform →
     // write) through Migrator, then the target collection read back — the
     // reference's whole program as one checkable query
@@ -160,7 +184,38 @@ object ConnectorQueries {
       .select(col(Canonical.ID), round(col("score"), 6).as("score"))
   }
 
+  /** Native HAMMING search pushdown over a BINARY_VECTOR collection:
+    * ORDER BY binary_hamming ASC LIMIT k — [[graft.plans.PushVectorSearch]]
+    * rewrites it so each scan partition emits only its local best-k (ties
+    * on id, matching the query's sort), Milvus's native binary metric. */
+  def hammingSearchQuery(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "embeddings").select(
+      col("vec_id").cast("string").as(Canonical.ID),
+      graft.functions.BinaryVectors.pack(col("embedding")).as(Canonical.VECTOR),
+      map().cast("map<string,string>").as(Canonical.METADATA))
+      .write.format("graft-milvus").option("collection", "gate_srchb")
+      .option("vector_type", "BINARY_VECTOR").option("distance", "Hamming")
+      .option("recreate", "true").mode("overwrite").save()
+    val qb = Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(graft.functions.BinaryVectors.pack(col("embedding")).as("b"))
+      .head().getAs[Array[Byte]](0)
+    val df = s.read.format("graft-milvus").option("collection", "gate_srchb").load()
+    df.withColumn("hamming",
+        graft.functions.BinaryVectors.hamming(col(Canonical.VECTOR), lit(qb)))
+      .orderBy(col("hamming").asc, col(Canonical.ID).asc)
+      .limit(10)
+      .select(col(Canonical.ID), col("hamming"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_connector_search_hamming" ->
+      ("WITH b AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bits FROM embeddings), " +
+        "q AS (SELECT bits AS qb FROM b WHERE vec_id = 0), " +
+        "s AS (SELECT CAST(vec_id AS VARCHAR) AS id, " +
+        "CAST(len(list_filter(range(len(bits)), i -> bits[i+1] != qb[i+1])) AS INT) AS hamming " +
+        "FROM b, q) " +
+        "SELECT id, hamming FROM s ORDER BY hamming, id LIMIT 10"),
     "q_connector_search" ->
       ("WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0), " +
         "c AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
@@ -173,6 +228,9 @@ object ConnectorQueries {
     "q_connector_qdrant" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings WHERE label >= 5 AND NOT label = 7"),
+    "q_connector_http" ->
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
+        "FROM embeddings WHERE label >= 5"),
     "q_connector_milvus" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings WHERE (label >= 3 AND label < 6) OR label = 9"),

@@ -47,6 +47,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate(word_shingle"), p)
   }
 
+  test("hamming search over a binary collection pushes a native search scan") {
+    val p = plan("q_connector_search_hamming")
+    assert(p.contains("search=topk") && p.contains("metric=hamming"), p)
+  }
+
   test("limit queries use CollectLimit / TakeOrderedAndProject, not full sorts") {
     assert(plan("q_sort_topk").contains("TakeOrderedAndProject"), plan("q_sort_topk"))
   }
