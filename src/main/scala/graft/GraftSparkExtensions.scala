@@ -23,6 +23,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // ORDER BY vec_cosine(vector, <lit>) DESC LIMIT k over a vector-store
     // relation → native search pushed into the scan
     ext.injectOptimizerRule(_ => graft.plans.PushVectorSearch)
+    // metadata predicates (map access — untranslatable by Spark's pushdown
+    // APIs) → rendered to the backend dialect, applied at the store
+    ext.injectOptimizerRule(_ => graft.plans.PushMetadataFilters)
 
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", null, name, usage, "")

@@ -143,7 +143,16 @@ class HttpVectorStoreServer(inner: VectorStoreTransport, port: Int = 0,
     else if (failEveryNth <= 0) reqCount.incrementAndGet()
     // /collections/{name}[/verb]
     val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
-    if (parts.length < 2) return err(ex, 400, "missing collection name")
+    if (parts.length < 2) {
+      // GET /collections — enumerate (Qdrant's list-collections shape)
+      if (ex.getRequestMethod == "GET") {
+        val o = mapper.createObjectNode()
+        val a = o.putArray("collections")
+        inner.listCollections().foreach(a.add)
+        return respond(ex, 200, o)
+      }
+      return err(ex, 400, "missing collection name")
+    }
     val name = URLDecoder.decode(parts(1), UTF_8)
     val verb = if (parts.length > 2) parts(2) else ""
     val method = ex.getRequestMethod
@@ -262,4 +271,9 @@ class HttpTransport(baseUrl: String, connectTimeoutMs: Int = 2000,
   }
 
   override def drop(name: String): Unit = call("DELETE", s"/collections/${enc(name)}")
+
+  override def listCollections(): Seq[String] = {
+    val a = call("GET", "/collections").get("collections").asInstanceOf[ArrayNode]
+    (0 until a.size()).map(i => a.get(i).asText())
+  }
 }

@@ -52,6 +52,7 @@ case class RetryingTransport(
   override def upsert(name: String, records: Seq[VSRecord]): Int =
     withRetry(inner.upsert(name, records))
   override def drop(name: String): Unit = withRetry(inner.drop(name))
+  override def listCollections(): Seq[String] = withRetry(inner.listCollections())
 }
 
 object RetryingTransport {

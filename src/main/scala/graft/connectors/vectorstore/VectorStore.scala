@@ -45,6 +45,10 @@ trait VectorStoreTransport extends Serializable {
   def count(name: String): Int
   def upsert(name: String, records: Seq[VSRecord]): Int
   def drop(name: String): Unit
+  /** Enumerate collections (Qdrant `GET /collections`, Milvus
+    * `list_collections`) — backs [[VSCatalog.listTables]]. Default empty
+    * so narrow test doubles keep compiling. */
+  def listCollections(): Seq[String] = Seq.empty
 }
 
 /** Shared-JVM emulation of a vector store: collections of [[VSRecord]]s
@@ -96,6 +100,11 @@ object InMemoryTransport extends VectorStoreTransport {
 
   override def drop(name: String): Unit = { data.remove(name); configs.remove(name) }
 
+  override def listCollections(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    data.keySet.asScala.toSeq.sorted
+  }
+
   def clear(): Unit = { data.clear(); configs.clear() }
 }
 
@@ -122,6 +131,7 @@ object VectorStore {
   def count(name: String): Int = transport.count(name)
   def upsert(name: String, records: Seq[VSRecord]): Int = transport.upsert(name, records)
   def drop(name: String): Unit = transport.drop(name)
+  def listCollections(): Seq[String] = transport.listCollections()
 
   /** Test hygiene: wipe the in-memory emulation (no-op for other transports). */
   def clear(): Unit = transport match {

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
@@ -91,11 +92,20 @@ case class SearchSpec(vector: Array[Float], k: Int,
 
 class VSTable(collection: String, source: String, dialect: FilterDialect, rules: WriteRules,
               opts: CaseInsensitiveStringMap, val search: Option[SearchSpec] = None,
-              vectorType: String = VectorTypes.Float)
+              vectorType: String = VectorTypes.Float,
+              val backendFilters: Array[Filter] = Array.empty)
   extends Table with SupportsRead with SupportsWrite {
 
   def withSearch(spec: SearchSpec): VSTable =
-    new VSTable(collection, source, dialect, rules, opts, Some(spec), vectorType)
+    new VSTable(collection, source, dialect, rules, opts, Some(spec), vectorType,
+      backendFilters)
+
+  /** Metadata predicates Spark's pushdown API cannot carry (map access is
+    * untranslatable), installed by [[graft.plans.PushMetadataFilters]] —
+    * rendered to the backend dialect and applied at the store, while the
+    * original Filter stays in the plan as the correctness backstop. */
+  def withBackendFilters(fs: Array[Filter]): VSTable =
+    new VSTable(collection, source, dialect, rules, opts, search, vectorType, fs)
 
   override def name(): String = s"$source:$collection" +
     (if (vectorType == VectorTypes.Binary) " [binary]" else "") +
@@ -107,7 +117,8 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VSScanBuilder(collection, dialect,
-      Option(options.get("page_size")).map(_.toInt).getOrElse(1000), search, schema())
+      Option(options.get("page_size")).map(_.toInt).getOrElse(1000), search, schema(),
+      backendFilters)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new VSWriteBuilder(collection, rules, info.options(), info.schema())
@@ -117,14 +128,17 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
 
 class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
                     search: Option[SearchSpec] = None,
-                    tableSchema: StructType = Canonical.schema)
+                    tableSchema: StructType = Canonical.schema,
+                    backendFilters: Array[Filter] = Array.empty)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownOffset {
+    with SupportsPushDownLimit with SupportsPushDownOffset
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var limit: Option[Int] = None
   private var offset: Option[Int] = None
+  private var countColumns = 0
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept what the dialect can express; Spark re-evaluates the rest —
@@ -144,7 +158,7 @@ class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
   // runs before pushLimit in V2ScanRelationPushDown, so `pushed` is
   // final here.
   override def pushLimit(n: Int): Boolean =
-    if (pushed.nonEmpty) false else { limit = Some(n); true }
+    if (pushed.nonEmpty || backendFilters.nonEmpty) false else { limit = Some(n); true }
   override def isPartiallyPushed: Boolean = true
 
   override def pushOffset(n: Int): Boolean =
@@ -152,25 +166,75 @@ class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
     // (SURVEY §7.4); with a pushed limit we scan single-partition anyway
     if (limit.isDefined) { offset = Some(n); true } else false
 
+  /** Ungrouped COUNT(*): counting a collection must not ship its rows —
+    * each partition counts its (filtered) scroll range backend-side and
+    * emits ONE long; the final Aggregate Spark keeps above the scan sums
+    * the partials (partial pushdown — the merge is Spark's, exactly like
+    * per-shard counts on a real backend). Other aggregates / GROUP BY are
+    * declined and Spark evaluates them from the row scan as before. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = search.isEmpty && limit.isEmpty &&
+      aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().nonEmpty &&
+      aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+    if (ok) countColumns = aggregation.aggregateExpressions().length
+    ok
+  }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
   override def build(): Scan =
-    new VSScan(collection, dialect, pushed, required, limit, offset, pageSize, search)
+    // backendFilters join the pushed set at the store (same FilterEval
+    // seam) but are NOT reported via pushedFilters() — Spark never took
+    // responsibility for them, the plan's Filter node still re-checks
+    new VSScan(collection, dialect, pushed ++ backendFilters, required, limit, offset,
+      pageSize, search, countColumns)
 }
 
 case class VSInputPartition(start: Int, end: Int) extends InputPartition
 
 class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
              required: StructType, limit: Option[Int], offset: Option[Int], pageSize: Int,
-             search: Option[SearchSpec] = None)
-  extends Scan with Batch {
+             search: Option[SearchSpec] = None, countColumns: Int = 0)
+  extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = required
+  private def countMode = countColumns > 0
+
+  override def readSchema(): StructType =
+    if (countMode)
+      StructType((0 until countColumns).map(i =>
+        StructField(if (i == 0) "count(*)" else s"count(*)_$i", LongType, nullable = false)))
+    else required
+
   override def toBatch: Batch = this
 
   override def description(): String = {
     val fs = pushed.flatMap(dialect.render).mkString(" AND ")
     s"VectorStoreScan($collection, dialect=${dialect.name}, pushed=[$fs], " +
       s"limit=$limit, offset=$offset" +
+      (if (countMode) ", agg=count(*)" else "") +
       search.map(sp => s", search=${sp.describe}").getOrElse("") + ")"
+  }
+
+  /** Planner-visible size: row count from the backend's count endpoint,
+    * bytes from the stored dim — so Catalyst/AQE can pick a broadcast for
+    * a small collection joined against a big fact table instead of
+    * shuffling the fact side. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val total = VectorStore.count(collection)
+    private val rows: Long = limit match {
+      case Some(l) => math.min(l.toLong, math.max(0L, total.toLong - offset.getOrElse(0)))
+      case None if countMode => 1L
+      case None => search.map(sp => math.min(sp.k.toLong, total.toLong)).getOrElse(total.toLong)
+    }
+    private val rowBytes: Long =
+      if (countMode) 8L
+      else VectorStore.config(collection).map { c =>
+        val vec = if (c.vectorType == VectorTypes.Binary) (c.dim + 7) / 8 else c.dim * 4
+        32L + vec
+      }.getOrElse(256L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, rows * rowBytes))
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -192,15 +256,45 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VSReaderFactory(collection, pushed, required, pageSize, search)
+    new VSReaderFactory(collection, pushed, required, pageSize, search, countColumns)
 }
 
 class VSReaderFactory(collection: String, pushed: Array[Filter], required: StructType,
-                      pageSize: Int, search: Option[SearchSpec] = None)
+                      pageSize: Int, search: Option[SearchSpec] = None, countColumns: Int = 0)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new VSPartitionReader(collection, partition.asInstanceOf[VSInputPartition], pushed,
-      required, pageSize, search)
+    if (countColumns > 0)
+      new VSCountReader(collection, partition.asInstanceOf[VSInputPartition], pushed,
+        pageSize, countColumns)
+    else
+      new VSPartitionReader(collection, partition.asInstanceOf[VSInputPartition], pushed,
+        required, pageSize, search)
+}
+
+/** Pushed-COUNT(*) reader: scrolls its assigned range, counts the records
+  * the pushed filters keep, and emits exactly ONE row of longs — the
+  * partial count Spark's final Aggregate sums. Rows never cross the seam. */
+class VSCountReader(collection: String, part: VSInputPartition, pushed: Array[Filter],
+                    pageSize: Int, countColumns: Int)
+  extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+
+  override def next(): Boolean = !emitted && { emitted = true; true }
+
+  override def get(): InternalRow = {
+    var n = 0L
+    var c = part.start
+    while (c < part.end) {
+      val sz = math.min(pageSize, part.end - c)
+      n += VectorStore.scroll(collection, c, sz)
+        .count(r => pushed.forall(FilterEval.eval(_, r)))
+      c += sz
+    }
+    InternalRow.fromSeq(Seq.fill(countColumns)(n))
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Scrolls the assigned range page by page, applies the pushed filters

@@ -97,6 +97,29 @@ object ConnectorQueries {
 
     "q_connector_search_hamming" -> ((s, dir) => hammingSearchQuery(s, dir)),
 
+    // Pushed COUNT(*): counting a collection ships ONE long per scan
+    // partition across the seam, never the rows — the plan shows
+    // `agg=count(*)` inside the scan (PlanSpec asserts it; the
+    // filtered-count variant rides a pushed id filter, VectorStoreSpec)
+    "q_connector_count" -> ((s, dir) => {
+      loadFixture(s, dir, "graft-qdrant", "gate_cnt")
+      ConnectorRegistry("qdrant").read(s, Map.empty, QuerySpec(collection = "gate_cnt"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // SQL face: the same collections addressed as catalog tables —
+    // SELECT over `vs.gate_sql` goes through VSCatalog.loadTable to the
+    // identical VSTable scan (pushdown and all), no read.format plumbing
+    "q_connector_sql" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.vs",
+        classOf[graft.connectors.vectorstore.VSCatalog].getName)
+      loadFixture(s, dir, "graft-qdrant", "gate_sql")
+      s.sql(
+        s"""SELECT id, element_at(metadata, 'label') AS label
+           |FROM vs.gate_sql
+           |WHERE CAST(element_at(metadata, 'label') AS INT) >= 5""".stripMargin)
+    }),
+
     // The S2 scan with the transport seam crossed FOR REAL: fixture
     // upserts and the filtered DSv2 scan all travel localhost HTTP
     // (JSON wire, scroll paging, RetryingTransport) — the oracle
@@ -229,6 +252,11 @@ object ConnectorQueries {
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings WHERE label >= 5 AND NOT label = 7"),
     "q_connector_http" ->
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
+        "FROM embeddings WHERE label >= 5"),
+    "q_connector_count" ->
+      "SELECT COUNT(*) AS n FROM embeddings",
+    "q_connector_sql" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings WHERE label >= 5"),
     "q_connector_milvus" ->

@@ -1,0 +1,99 @@
+package graft.connectors
+
+import graft.SparkSpec
+import graft.connectors.vectorstore._
+
+/** SQL-catalog surface over the vector store: DDL, DML and metadata all
+  * through `spark.sql`, hitting the same VSTable as the path-based API. */
+class CatalogSpec extends SparkSpec {
+
+  private def installCatalog(name: String, backend: String = "qdrant"): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[VSCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.backend", backend)
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT / DROP round trip through SQL") {
+    installCatalog("vsc")
+    VectorStore.drop("sql_rt")
+    spark.sql(
+      """CREATE TABLE vsc.sql_rt
+        |  (id string, vector array<float>, metadata map<string,string>)
+        |TBLPROPERTIES ('distance'='Cosine', 'dim'='4')""".stripMargin)
+    assert(VectorStore.exists("sql_rt"))
+    assert(VectorStore.config("sql_rt").exists(c => c.distance == "Cosine" && c.dim == 4))
+
+    spark.sql(
+      """INSERT INTO vsc.sql_rt VALUES
+        |  ('7', array(cast(1.0 as float), cast(0.0 as float),
+        |              cast(0.0 as float), cast(0.0 as float)), map('label', '7')),
+        |  ('8', array(cast(0.0 as float), cast(1.0 as float),
+        |              cast(0.0 as float), cast(0.0 as float)), map('label', '8'))""".stripMargin)
+    val rows = spark.sql(
+      "SELECT id, element_at(metadata, 'label') AS label FROM vsc.sql_rt ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("7", "7"), ("8", "8")))
+    // the write went through the qdrant rules: digit ids stayed intact
+    assert(VectorStore.count("sql_rt") == 2)
+
+    spark.sql("DROP TABLE vsc.sql_rt")
+    assert(!VectorStore.exists("sql_rt"))
+  }
+
+  test("SHOW TABLES lists collections; loadTable on a missing one errors") {
+    installCatalog("vsc")
+    VectorStore.createCollection("sql_list", CollectionConfig(dim = 2), recreate = true)
+    val names = spark.sql("SHOW TABLES IN vsc").collect().map(_.getString(1)).toSet
+    assert(names.contains("sql_list"), names.mkString(","))
+    intercept[Exception] { // AnalysisException wrapping NoSuchTableException
+      spark.sql("SELECT * FROM vsc.definitely_missing").collect()
+    }
+    VectorStore.drop("sql_list")
+  }
+
+  test("CREATE TABLE rejects a non-canonical schema and a bad distance") {
+    installCatalog("vsc")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE vsc.sql_bad (a int, b string)")
+    }
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE vsc.sql_bad2
+          |  (id string, vector array<float>, metadata map<string,string>)
+          |TBLPROPERTIES ('distance'='Chebyshev')""".stripMargin)
+    }
+    assert(!VectorStore.exists("sql_bad") && !VectorStore.exists("sql_bad2"))
+  }
+
+  test("duplicate CREATE TABLE fails; binary face inferred from the column type") {
+    installCatalog("vsm", backend = "milvus")
+    VectorStore.drop("sql_bin")
+    spark.sql(
+      """CREATE TABLE vsm.sql_bin
+        |  (id string, vector binary, metadata map<string,string>)
+        |TBLPROPERTIES ('distance'='Hamming')""".stripMargin)
+    assert(VectorStore.config("sql_bin").exists(_.vectorType == VectorTypes.Binary))
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE vsm.sql_bin
+          |  (id string, vector binary, metadata map<string,string>)""".stripMargin)
+    }
+    VectorStore.drop("sql_bin")
+  }
+
+  test("catalog over the HTTP loopback transport lists and reads through the socket") {
+    installCatalog("vsh")
+    val server = new HttpVectorStoreServer(InMemoryTransport)
+    val prev = VectorStore.use(new HttpTransport(server.url))
+    try {
+      VectorStore.createCollection("sql_http", CollectionConfig(dim = 2), recreate = true)
+      VectorStore.upsert("sql_http", Seq(
+        VSRecord("1", Array(1f, 0f), Map("k" -> "a")),
+        VSRecord("2", Array(0f, 1f), Map("k" -> "b"))))
+      assert(VectorStore.listCollections().contains("sql_http"))
+      val got = spark.sql("SELECT id FROM vsh.sql_http ORDER BY id")
+        .collect().map(_.getString(0)).toSeq
+      assert(got == Seq("1", "2"))
+      VectorStore.drop("sql_http")
+    } finally { VectorStore.use(prev); server.stop() }
+  }
+}

@@ -30,10 +30,27 @@ class VectorStoreSpec extends SparkSpec {
     val df = spark.read.format("graft-qdrant").option("collection", "flt").load()
       .filter(element_at(col("metadata"), "cat") === "c1")
     val plan = df.queryExecution.executedPlan.toString
-    // pushed filter must appear in the scan description (rendered to the
-    // backend dialect), proving SupportsPushDownFilters engaged
-    assert(plan.contains("VectorStoreScan") && plan.contains("cat"), plan)
+    // the metadata predicate must appear INSIDE the scan description,
+    // rendered to the backend dialect — PushMetadataFilters installed it
+    // (Spark's own pushdown APIs cannot carry map access)
+    val scanLine = plan.linesIterator.find(_.contains("VectorStoreScan")).getOrElse("")
+    assert(scanLine.contains("pushed=[") && scanLine.contains("cat"), plan)
     assert(df.count() == 33)
+  }
+
+  test("numeric + In + null metadata predicates push to the store; results unchanged") {
+    canonDf(90).write.format("graft-qdrant")
+      .option("collection", "fltn").option("recreate", "true").mode("overwrite").save()
+    val base = spark.read.format("graft-qdrant").option("collection", "fltn").load()
+    val df = base.filter(
+      element_at(col("metadata"), "rank").cast("double") >= 80 &&
+        element_at(col("metadata"), "cat").isin("c0", "c2") &&
+        element_at(col("metadata"), "missing").isNull)
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("VectorStoreScan")).getOrElse("")
+    assert(scanLine.contains("rank") && scanLine.contains("missing"), scanLine)
+    // ranks 80..89 with cat = c0/c2 → ranks ≡ 0 or 2 (mod 3): 81,84,87,80,83,86,89
+    assert(df.count() == 7)
   }
 
   test("limit is NOT pushed below pushed filters (limit-after-filter contract)") {
@@ -52,6 +69,27 @@ class VectorStoreSpec extends SparkSpec {
     val df = spark.read.format("graft-qdrant").option("collection", "lim").load().limit(7)
     assert(df.count() == 7)
     assert(df.rdd.getNumPartitions == 1)
+  }
+
+  test("count(*) is pushed into the scan and sums per-partition partials") {
+    canonDf(2500).write.format("graft-qdrant")
+      .option("collection", "cnt").option("recreate", "true").mode("overwrite").save()
+    val df = spark.read.format("graft-qdrant").option("collection", "cnt").load()
+      .agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("agg=count(*)"), plan)
+    assert(df.collect()(0).getLong(0) == 2500L)
+  }
+
+  test("pushed count composes with a pushed id filter (backend-side count)") {
+    canonDf(300).write.format("graft-qdrant")
+      .option("collection", "cntf").option("recreate", "true").mode("overwrite").save()
+    val df = spark.read.format("graft-qdrant").option("collection", "cntf").load()
+      .filter(col("id").isin("7", "17", "27", "missing"))
+      .agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("agg=count(*)") && plan.contains("\"any\""), plan)
+    assert(df.collect()(0).getLong(0) == 3L)
   }
 
   test("full scan pages in parallel (fixes the single-page Qdrant truncation)") {

@@ -52,6 +52,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("search=topk") && p.contains("metric=hamming"), p)
   }
 
+  test("count(*) over a vector-store scan is pushed into the scan") {
+    val p = plan("q_connector_count")
+    assert(p.contains("agg=count(*)"), p)
+  }
+
   test("limit queries use CollectLimit / TakeOrderedAndProject, not full sorts") {
     assert(plan("q_sort_topk").contains("TakeOrderedAndProject"), plan("q_sort_topk"))
   }
