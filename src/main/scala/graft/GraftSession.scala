@@ -27,9 +27,14 @@ object GraftSession {
       // Hash pipelines (rolling hash, MinHash) rely on deterministic 64-bit
       // wraparound; Spark 4's ANSI default would throw on long overflow.
       .config("spark.sql.ansi.enabled", "false")
-      // testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
-      // vectorized reader rejects; read as long and convert in Tables.
+      // testdata events.parquet has stored TIMESTAMP(NANOS) in some rounds
+      // (vectorized reader rejects it; read as long, convert in Tables) and
+      // tz-less TIMESTAMP(MICROS) in others (Spark 4 would infer
+      // TIMESTAMP_NTZ, which unix_micros & co. reject). Pin both to one
+      // session-wide answer: plain TIMESTAMP under the UTC session zone —
+      // the same reading DuckDB's oracle applies.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
 

@@ -20,13 +20,19 @@ object Tables {
     // events.ts is TIMESTAMP(NANOS): read as long nanos (see GraftSession's
     // nanosAsLong) and truncate to microseconds — same floor conversion
     // DuckDB applies, so oracle timestamps agree bit-for-bit.
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         // integer DIV, not `/`: ns epochs exceed 2^53 so double division
         // would lose microsecond precision
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case None => df
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // Belt-and-braces for sessions built without GraftSession (which
+        // disables NTZ inference): reinterpret the naive micros as UTC,
+        // matching the DuckDB oracle's reading.
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
   }
 }

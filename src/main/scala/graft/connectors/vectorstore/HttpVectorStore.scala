@@ -184,6 +184,12 @@ class HttpVectorStoreServer(inner: VectorStoreTransport, port: Int = 0,
         val recs = (0 until pts.size()).map(i => recordFromJson(pts.get(i)))
         val n = inner.upsert(name, recs)
         respond(ex, 200, mapper.createObjectNode().put("upserted", n))
+      case ("POST", "points") if parts.length > 3 && parts(3) == "delete" =>
+        // Qdrant's points-delete shape: POST …/points/delete {"points":[id,…]}
+        val arr = readBody(ex).get("points").asInstanceOf[ArrayNode]
+        val ids = (0 until arr.size()).map(i => arr.get(i).asText())
+        val n = inner.delete(name, ids)
+        respond(ex, 200, mapper.createObjectNode().put("deleted", n))
       case _ => err(ex, 400, s"unsupported: $method /$verb")
     }
   } catch {
@@ -268,6 +274,13 @@ class HttpTransport(baseUrl: String, connectTimeoutMs: Int = 2000,
     val a = b.putArray("points")
     records.foreach(r => a.add(recordToJson(r)))
     call("PUT", s"/collections/${enc(name)}/points", Some(b)).get("upserted").asInt()
+  }
+
+  override def delete(name: String, ids: Seq[String]): Int = {
+    val b = mapper.createObjectNode()
+    val a = b.putArray("points")
+    ids.foreach(a.add)
+    call("POST", s"/collections/${enc(name)}/points/delete", Some(b)).get("deleted").asInt()
   }
 
   override def drop(name: String): Unit = call("DELETE", s"/collections/${enc(name)}")

@@ -51,6 +51,10 @@ case class RetryingTransport(
   override def count(name: String): Int = withRetry(inner.count(name))
   override def upsert(name: String, records: Seq[VSRecord]): Int =
     withRetry(inner.upsert(name, records))
+  // idempotent like upsert: a re-delivered delete of an already-removed id
+  // is a no-op (the count reflects the final attempt only)
+  override def delete(name: String, ids: Seq[String]): Int =
+    withRetry(inner.delete(name, ids))
   override def drop(name: String): Unit = withRetry(inner.drop(name))
   override def listCollections(): Seq[String] = withRetry(inner.listCollections())
 }

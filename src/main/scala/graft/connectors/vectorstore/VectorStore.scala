@@ -44,6 +44,11 @@ trait VectorStoreTransport extends Serializable {
   def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord]
   def count(name: String): Int
   def upsert(name: String, records: Seq[VSRecord]): Int
+  /** Delete by id (Qdrant `POST /points/delete`, Milvus `delete(expr)`,
+    * Pinecone `delete(ids)`); returns how many stored records this call
+    * removed. Deleting an absent id is a no-op, not an error — the
+    * idempotency the retry layer and CDC re-application rely on. */
+  def delete(name: String, ids: Seq[String]): Int
   def drop(name: String): Unit
   /** Enumerate collections (Qdrant `GET /collections`, Milvus
     * `list_collections`) — backs [[VSCatalog.listTables]]. Default empty
@@ -98,6 +103,19 @@ object InMemoryTransport extends VectorStoreTransport {
     records.length
   }
 
+  override def delete(name: String, ids: Seq[String]): Int = {
+    val buf = Option(data.get(name)).getOrElse(
+      throw new NoSuchElementException(s"collection not found: $name"))
+    buf.synchronized {
+      val doomed = ids.toSet
+      val before = buf.length
+      val kept = buf.filterNot(r => doomed.contains(r.id))
+      buf.clear()
+      buf ++= kept
+      before - buf.length
+    }
+  }
+
   override def drop(name: String): Unit = { data.remove(name); configs.remove(name) }
 
   override def listCollections(): Seq[String] = {
@@ -130,6 +148,7 @@ object VectorStore {
     transport.scroll(name, fromIdx, pageSize)
   def count(name: String): Int = transport.count(name)
   def upsert(name: String, records: Seq[VSRecord]): Int = transport.upsert(name, records)
+  def delete(name: String, ids: Seq[String]): Int = transport.delete(name, ids)
   def drop(name: String): Unit = transport.drop(name)
   def listCollections(): Seq[String] = transport.listCollections()
 

@@ -94,7 +94,7 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
               opts: CaseInsensitiveStringMap, val search: Option[SearchSpec] = None,
               vectorType: String = VectorTypes.Float,
               val backendFilters: Array[Filter] = Array.empty)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   def withSearch(spec: SearchSpec): VSTable =
     new VSTable(collection, source, dialect, rules, opts, Some(spec), vectorType,
@@ -122,6 +122,28 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new VSWriteBuilder(collection, rules, info.options(), info.schema())
+
+  /** `DELETE FROM vs.c WHERE …` (through [[VSCatalog]]): only predicates
+    * the store itself can evaluate are accepted — Spark rejects the DELETE
+    * otherwise instead of silently deleting the wrong rows. The emulation
+    * resolves matching ids page by page and removes them in batches; a
+    * network transport would render `filters` through the dialect and ship
+    * one delete-by-filter call (Qdrant/Milvus both have one). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(FilterEval.supported)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pageSize = Option(opts.get("page_size")).map(_.toInt).getOrElse(1000)
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var from = 0
+    var page = VectorStore.scroll(collection, from, pageSize)
+    while (page.nonEmpty) {
+      doomed ++= page.filter(r => filters.forall(FilterEval.eval(_, r))).map(_.id)
+      from += page.length
+      page = VectorStore.scroll(collection, from, pageSize)
+    }
+    doomed.grouped(pageSize).foreach(b => VectorStore.delete(collection, b.toSeq))
+  }
 }
 
 // ---------------------------------------------------------------- read side
@@ -422,6 +444,19 @@ object FilterEval {
     case Or(l, rr) => eval(l, r) || eval(rr, r)
     case Not(c) => !eval(c, r)
     case _ => true // unsupported filters were never pushed
+  }
+
+  /** Whether [[eval]] implements `f` exactly — the acceptance test for
+    * DELETE pushdown, where "treat as true" would delete too much. */
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+         LessThan(_, _) | LessThanOrEqual(_, _) | In(_, _) | IsNull(_) |
+         IsNotNull(_) | StringStartsWith(_, _) | StringEndsWith(_, _) |
+         StringContains(_, _) => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _ => false
   }
 
   def toMapData(m: Map[String, String]): MapData = {

@@ -71,4 +71,28 @@ object SnapshotDiff {
   /** The keys a sink must delete. */
   def deleteIds(oldSnap: DataFrame, newSnap: DataFrame, idCol: String): DataFrame =
     oldSnap.select(idCol).except(newSnap.select(idCol))
+
+  /** Apply a computed diff to a vector-store collection: upserts ride the
+    * DSv2 append path (per-partition batched, id-keyed replace), deletes
+    * ship executor-side in id batches through the transport's
+    * delete-by-id — so neither leg funnels rows through the driver. Both
+    * legs are idempotent (upsert replaces, deleting an absent id is a
+    * no-op), which makes RE-applying a diff after a partial failure safe —
+    * the incremental-migration story the reference names as future work
+    * (`README.md:286`) completed end to end.
+    *
+    * @param upserts   canonical `(id, vector, metadata)` rows to write
+    * @param deleteIds single-column ids to remove (any castable type)
+    */
+  def applyTo(upserts: DataFrame, deleteIds: DataFrame, fmt: String, collection: String,
+              deleteBatch: Int = 500): Unit = {
+    upserts.write.format(fmt).option("collection", collection).mode("append").save()
+    val idCol = deleteIds.columns.head
+    deleteIds.select(col(idCol).cast("string"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.map(_.getString(0)).grouped(deleteBatch).foreach { b =>
+          graft.connectors.vectorstore.VectorStore.delete(collection, b.toSeq)
+        }
+      }
+  }
 }

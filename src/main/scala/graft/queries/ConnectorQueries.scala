@@ -179,6 +179,34 @@ object ConnectorQueries {
       graft.core.Validator.validate(e, target, idCol = "vec_id", vecCol = "embedding")
     }),
 
+    // CDC applied END TO END: the collection starts as the old snapshot,
+    // a deterministically-derived diff (delete %17, update %13 — label
+    // bumped, vector negated — insert %19 shifted) is applied through
+    // SnapshotDiff.applyTo (DSv2 append for upserts, executor-side
+    // batched transport deletes), and the collection is read back — the
+    // oracle replays the diff in SQL and must see the same final state,
+    // labels AND vector components
+    "q_cdc_apply" -> ((s, dir) => {
+      loadFixture(s, dir, "graft-qdrant", "gate_cdc")
+      val e = Tables(s, dir, "embeddings")
+      val updated = e.filter(col("vec_id") % 13 === 0 && col("vec_id") % 17 =!= 0)
+        .select(col("vec_id").cast("string").as(Canonical.ID),
+          transform(col("embedding"), x => -x).as(Canonical.VECTOR),
+          map(lit("label"), (col("label") + 100).cast("string")).as(Canonical.METADATA))
+      val inserted = e.filter(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + 1000000L).cast("string").as(Canonical.ID),
+          col("embedding").as(Canonical.VECTOR),
+          map(lit("label"), col("label").cast("string")).as(Canonical.METADATA))
+      val dels = e.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").cast("string").as("id"))
+      graft.ops.SnapshotDiff.applyTo(updated.unionByName(inserted), dels,
+        "graft-qdrant", "gate_cdc")
+      s.read.format("graft-qdrant").option("collection", "gate_cdc").load()
+        .select(col(Canonical.ID),
+          element_at(col(Canonical.METADATA), "label").as("label"),
+          round(element_at(col(Canonical.VECTOR), 1).cast("double"), 5).as("v1"))
+    }),
+
     // numeric drift between source and (CDC-derived) migrated snapshot:
     // 10-bin PSI over order prices, every term oracle-replayed
     "q_drift_psi" -> ((s, dir) => {
@@ -328,6 +356,21 @@ object ConnectorQueries {
         "(sig_s != sig_t OR ns_s > 1 OR ns_t > 1) THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS vector_mismatches FROM j) " + reportRows
     },
+    "q_cdc_apply" ->
+      // the applied diff replayed declaratively: survivors = untouched
+      // keeps + updated rows (label+100, vector negated) + shifted inserts
+      ("WITH o AS (SELECT vec_id, embedding, label FROM embeddings), " +
+        "keep AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS emb, " +
+        "CAST(label AS VARCHAR) AS label FROM o " +
+        "WHERE vec_id % 17 != 0 AND vec_id % 13 != 0), " +
+        "upd AS (SELECT CAST(vec_id AS VARCHAR) AS id, " +
+        "list_transform(embedding, x -> -x) AS emb, " +
+        "CAST(label + 100 AS VARCHAR) AS label FROM o " +
+        "WHERE vec_id % 13 = 0 AND vec_id % 17 != 0), " +
+        "ins AS (SELECT CAST(vec_id + 1000000 AS VARCHAR) AS id, embedding AS emb, " +
+        "CAST(label AS VARCHAR) AS label FROM o WHERE vec_id % 19 = 0), " +
+        "fin AS (SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins) " +
+        "SELECT id, label, round(CAST(emb[1] AS DOUBLE), 5) AS v1 FROM fin"),
     "q_drift_psi" ->
       // identical double math end to end: bin width from ref min/max,
       // clamped bins, window-summed masses, epsilon-floored ln terms

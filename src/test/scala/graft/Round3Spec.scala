@@ -156,6 +156,7 @@ class TransportSeamSpec extends SparkSpec {
     override def scroll(n: String, f: Int, p: Int): Seq[VSRecord] = { tick("scroll"); inner.scroll(n, f, p) }
     override def count(n: String): Int = { tick("count"); inner.count(n) }
     override def upsert(n: String, rs: Seq[VSRecord]): Int = { tick("upsert"); inner.upsert(n, rs) }
+    override def delete(n: String, ids: Seq[String]): Int = { tick("delete"); inner.delete(n, ids) }
     override def drop(n: String): Unit = { tick("drop"); inner.drop(n) }
   }
 

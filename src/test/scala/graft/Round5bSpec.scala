@@ -300,6 +300,7 @@ class RetryingTransportSpec extends SparkSpec {
       flake("scroll")(inner.scroll(n, f, p))
     override def count(n: String): Int = flake("count")(inner.count(n))
     override def upsert(n: String, rs: Seq[VSRecord]): Int = flake("upsert")(inner.upsert(n, rs))
+    override def delete(n: String, ids: Seq[String]): Int = flake("delete")(inner.delete(n, ids))
     override def drop(n: String): Unit = flake("drop")(inner.drop(n))
   }
 

@@ -80,6 +80,29 @@ class CatalogSpec extends SparkSpec {
     VectorStore.drop("sql_bin")
   }
 
+  test("DELETE FROM removes matching rows; unsupported predicates are rejected") {
+    installCatalog("vsc")
+    VectorStore.drop("sql_del")
+    VectorStore.createCollection("sql_del", CollectionConfig(dim = 2), recreate = true)
+    VectorStore.upsert("sql_del", (0 until 20).map(i =>
+      VSRecord(s"$i", Array(i.toFloat, 0f), Map("cat" -> s"c${i % 2}"))))
+
+    spark.sql("DELETE FROM vsc.sql_del WHERE id IN ('3', '4', '5')")
+    assert(VectorStore.count("sql_del") == 17)
+    // delete on a metadata value via the map-access predicate is NOT an
+    // exactly-evaluable pushdown filter -> Spark must refuse, not guess
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM vsc.sql_del WHERE element_at(metadata, 'cat') = 'c0'")
+    }
+    assert(VectorStore.count("sql_del") == 17) // nothing half-deleted
+    // re-deleting the same ids is a no-op (idempotent by contract)
+    spark.sql("DELETE FROM vsc.sql_del WHERE id IN ('3', '4', '5')")
+    assert(VectorStore.count("sql_del") == 17)
+    spark.sql("DELETE FROM vsc.sql_del WHERE id >= '1' AND id < '2'") // '1','10'..'19'
+    assert(VectorStore.count("sql_del") == 6) // 0, 2, 6, 7, 8, 9 remain
+    VectorStore.drop("sql_del")
+  }
+
   test("catalog over the HTTP loopback transport lists and reads through the socket") {
     installCatalog("vsh")
     val server = new HttpVectorStoreServer(InMemoryTransport)

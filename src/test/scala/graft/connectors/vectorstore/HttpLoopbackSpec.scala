@@ -106,4 +106,36 @@ class HttpLoopbackSpec extends SparkSpec {
       assert(!http.exists("http_c"))
     }
   }
+
+  test("delete-by-id crosses the socket; absent ids are a counted no-op") {
+    withServer() { (_, http) =>
+      http.createCollection("http_d", CollectionConfig(dim = 2), recreate = true)
+      http.upsert("http_d", (0 until 10).map(i => VSRecord(s"$i", Array(i.toFloat, 0f), Map.empty)))
+      assert(http.delete("http_d", Seq("2", "4", "nope")) == 2)
+      assert(http.count("http_d") == 8)
+      assert(http.delete("http_d", Seq("2")) == 0) // idempotent re-delivery
+      assert(http.scroll("http_d", 0, 100).map(_.id).toSet ==
+        Set("0", "1", "3", "5", "6", "7", "8", "9"))
+      http.drop("http_d")
+    }
+  }
+
+  test("CDC diff applied through the socket transport lands the new snapshot") {
+    import graft.ops.SnapshotDiff
+    withServer(failEveryNth = 13, retries = 4) { (_, _) =>
+      canonDf(60).write.format("graft-qdrant")
+        .option("collection", "http_cdc").option("recreate", "true")
+        .mode("overwrite").save()
+      // updates (1, 2) + inserts (60, 61); deletes (5, 6)
+      val upserts = canonDf(62).filter(col(Canonical.ID).isin("1", "2", "60", "61"))
+      val dels = Seq("5", "6").toDF("id")
+      SnapshotDiff.applyTo(upserts, dels, "graft-qdrant", "http_cdc")
+      // applied once more: both legs are idempotent, state is unchanged
+      SnapshotDiff.applyTo(upserts, dels, "graft-qdrant", "http_cdc")
+      val ids = spark.read.format("graft-qdrant").option("collection", "http_cdc")
+        .load().select(Canonical.ID).as[String].collect().toSet
+      assert(!ids.contains("5") && !ids.contains("6"))
+      assert(ids.size == 60 && ids.contains("60") && ids.contains("1"))
+    }
+  }
 }
