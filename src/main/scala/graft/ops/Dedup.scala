@@ -55,6 +55,26 @@ object Dedup {
   def dedup(docs: DataFrame, cols: Seq[String]): DataFrame =
     docs.dropDuplicates(cols)
 
+  /** Exact dedup with best-representative election: within each group of
+    * identical normalized texts, keep the row MAXIMIZING `score` (ties →
+    * lowest id) instead of [[exactDuplicates]]'s arbitrary min-id pick.
+    * This is how production corpus dedup actually chooses survivors —
+    * prefer the copy from the canonical source / with the richest
+    * metadata / the highest quality score.
+    *
+    * Same scale shape as [[exactDuplicates]]: a `min(struct(-score, id))`
+    * hash aggregation — map-side combinable, ONE shuffle on the text
+    * hash, no window sort over the group. `score` must be numeric.
+    */
+  def collapseKeepBest(docs: DataFrame, score: Column, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(lower(trim(col(textCol))).as("norm_text"))
+      .agg(min(struct((-score).as("neg"), col(idCol).as("id"))).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("best.id").as("keep_id"), (-col("best.neg")).as("score"),
+        col("n_copies"), md5(col("norm_text")).as("content_md5"))
+
   /** MinHash signature column: array<long> of length `numHashes`, built
     * from word `shingleSize`-gram shingles. The signature itself is a
     * codegen'd Catalyst expression ([[graft.functions.MinHashSignatureExpr]])

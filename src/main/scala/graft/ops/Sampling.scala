@@ -170,6 +170,50 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Downsample to a per-source TOKEN budget — mixture planning the way
+    * training runs are actually provisioned ("2T tokens total: 50% web,
+    * 30% books, 20% code"), where doc-count shares misallocate because
+    * document lengths differ by source.
+    *
+    * Selection is a deterministic hash-ordered prefix of each source at
+    * BUCKET granularity: docs land in `nBuckets` portable-hash buckets,
+    * per-(source, bucket) token sums roll up to a tiny aggregate
+    * (|sources|·nBuckets rows), a cumulative sum over ordered buckets
+    * finds each source's cutoff bucket, and the cutoffs broadcast back as
+    * a filter — so the corpus is scanned once, shuffled never, and the
+    * only window runs over the small aggregate. Kept tokens overshoot the
+    * per-source budget by at most one bucket (~1/nBuckets of the source);
+    * raise `nBuckets` for tighter tracking. Membership is reproducible
+    * across partitionings and engines ([[portableBucket]] math only).
+    *
+    * A source with fewer tokens than its budget is kept whole; every
+    * source keeps at least its first bucket (a budget too small to matter
+    * still yields a sample, not an empty split). */
+  def mixToTokenBudget(df: DataFrame, sourceCol: String, shares: Map[String, Double],
+                       totalTokens: Long, tokensCol: String, idCol: String,
+                       nBuckets: Int = 1024, seed: Long = 42L): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0), "shares must be positive")
+    require(totalTokens > 0 && nBuckets > 0)
+    val sumW = shares.values.sum
+    val budget = shares.foldLeft(lit(null).cast("long")) { case (acc, (k, w)) =>
+      when(col(sourceCol) === k, lit(math.floor(w / sumW * totalTokens).toLong)).otherwise(acc)
+    }
+    val bucket = pmod(portableBucket(col(idCol), seed), lit(nBuckets.toLong))
+    val in = df.filter(col(sourceCol).isNotNull && col(sourceCol).isin(shares.keys.toSeq: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(col("__b"))
+    val cuts = in
+      .groupBy(col(sourceCol), bucket.as("__b"))
+      .agg(sum(col(tokensCol).cast("long")).as("__t"))
+      .withColumn("__cum", sum(col("__t")).over(w))
+      // a bucket is kept iff the budget is not exhausted BEFORE it starts
+      .filter(col("__cum") - col("__t") < budget)
+      .groupBy(col(sourceCol)).agg(max(col("__b")).as("__cut"))
+    in.join(broadcast(cuts), Seq(sourceCol))
+      .filter(bucket <= col("__cut"))
+      .drop("__cut")
+  }
+
   /** EXACTLY `k` rows per group (fewer if the group is smaller),
     * deterministically: rank rows within each group by their portable id
     * hash (ties broken by id) and keep rank <= k. This is the eval-set

@@ -167,6 +167,17 @@ object PipelineQueries {
 
     // ---- Dedup ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exactDuplicates(Tables(s, dir, "documents"))),
+    // keep-best election: the same text planted from a second source, the
+    // survivor chosen by source priority (numeric suffix), ties -> min id;
+    // src0 originals tie their src00 clones, so the tie-break is exercised
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select("doc_id", "text", "source")
+      val clones = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"),
+          when(col("doc_id") % 10 === 0, "src99").otherwise("src00").as("source"))
+      val all = d.unionByName(clones)
+      Dedup.collapseKeepBest(all, expr("CAST(substring(source, 4) AS INT)"))
+    }),
     "q_dedup_exact_vec" -> ((s, dir) =>
       Tables(s, dir, "embeddings")
         .groupBy(col("embedding"))
@@ -356,6 +367,19 @@ object PipelineQueries {
       Sampling.mixToTarget(Tables(s, dir, "documents"), "source",
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), "doc_id")
         .select("doc_id", "source")),
+
+    // ---- Token-budget mixture: per-source budgets in TOKENS (how training
+    //      runs are provisioned), bucket-granular hash-prefix selection;
+    //      membership replayed row-for-row by the oracle ----
+    "q_mix_token_budget" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").withColumn("n_tokens",
+        when(col("text").isNull || length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(lower(col("text"))), "\\s+")).cast("long")))
+      Sampling.mixToTokenBudget(d, "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), totalTokens = 3000L,
+        tokensCol = "n_tokens", idCol = "doc_id", nBuckets = 16)
+        .select("doc_id", "source", "n_tokens")
+    }),
 
     // ---- Temperature-flattened mixture (T=2 → sqrt: IEEE-exact in both
     //      engines): weights DERIVED from observed counts in-plan ----
@@ -698,6 +722,18 @@ object PipelineQueries {
       "q_dedup_exact" ->
         ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies, " +
           "md5(lower(trim(text))) AS content_md5 FROM documents GROUP BY lower(trim(text))"),
+      "q_dedup_keep_best" ->
+        ("WITH d AS (SELECT doc_id, text, source FROM documents), " +
+          "c AS (SELECT doc_id + 10000 AS doc_id, text, " +
+          "CASE WHEN doc_id % 10 = 0 THEN 'src99' ELSE 'src00' END AS source " +
+          "FROM d WHERE doc_id % 5 = 0), " +
+          "a AS (SELECT * FROM d UNION ALL SELECT * FROM c), " +
+          "s AS (SELECT doc_id, lower(trim(text)) AS nt, " +
+          "CAST(substr(source, 4) AS INT) AS pr FROM a), " +
+          "r AS (SELECT nt, doc_id, pr, count(*) OVER (PARTITION BY nt) AS n_copies, " +
+          "row_number() OVER (PARTITION BY nt ORDER BY pr DESC, doc_id) AS rn FROM s) " +
+          "SELECT doc_id AS keep_id, pr AS score, n_copies, md5(nt) AS content_md5 " +
+          "FROM r WHERE rn = 1"),
       "q_dedup_exact_vec" ->
         ("SELECT min(vec_id) AS keep_id, count(*) AS n_copies FROM embeddings " +
           "GROUP BY embedding"),
@@ -1000,6 +1036,23 @@ object PipelineQueries {
           "SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source " +
           "WHERE ((d.doc_id % 2147483647) * 2654435761 + 42) % 2147483647 < " +
           "CAST(floor(rate * 2147483647.0) AS BIGINT)"),
+      "q_mix_token_budget" ->
+        // per-source token budgets (floor(share*3000)), 16 portable-hash
+        // buckets, prefix-cumsum cutoff — membership replayed row-for-row
+        ("WITH d AS (SELECT doc_id, source, CAST(CASE WHEN text IS NULL OR " +
+          "length(trim(text)) = 0 THEN 0 ELSE " +
+          "len(string_split_regex(trim(lower(text)), '\\s+')) END AS BIGINT) AS n_tokens " +
+          "FROM documents WHERE source IN ('src0', 'src1', 'src2')), " +
+          "b AS (SELECT doc_id, source, n_tokens, " +
+          "(((doc_id % 2147483647) * 2654435761 + 42) % 2147483647) % 16 AS bk FROM d), " +
+          "s AS (SELECT source, bk, sum(n_tokens) AS t FROM b GROUP BY 1, 2), " +
+          "c AS (SELECT source, bk, t, sum(t) OVER (PARTITION BY source ORDER BY bk) AS cum FROM s), " +
+          "bud(source, budget) AS (SELECT * FROM (VALUES " +
+          "('src0', 1500), ('src1', 900), ('src2', 600))), " +
+          "cut AS (SELECT c.source, max(bk) AS ct FROM c JOIN bud ON c.source = bud.source " +
+          "WHERE cum - t < budget GROUP BY 1) " +
+          "SELECT doc_id, b.source, n_tokens FROM b JOIN cut ON b.source = cut.source " +
+          "WHERE bk <= ct"),
       "q_layout_interleave" ->
         ("SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source " +
           "ORDER BY ((doc_id % 2147483647) * 2654435761 + 42) % 2147483647, doc_id) " +

@@ -95,6 +95,76 @@ class MixSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  private def withTokens(df: org.apache.spark.sql.DataFrame) = df.withColumn("n_tokens",
+    when(col("text").isNull || length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(split(trim(lower(col("text"))), "\\s+")).cast("long")))
+
+  test("mixToTokenBudget tracks per-source token budgets within one bucket's overshoot") {
+    val d = withTokens(docs)
+    val shares = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val out = Sampling.mixToTokenBudget(d, "source", shares, totalTokens = 3000L,
+      tokensCol = "n_tokens", idCol = "doc_id", nBuckets = 16)
+    val kept = out.groupBy("source").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val available = d.filter(col("source").isin("src0", "src1", "src2"))
+      .groupBy("source").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    shares.foreach { case (src, share) =>
+      val budget = math.floor(share * 3000).toLong
+      val t = kept(src)
+      if (available(src) <= budget) assert(t == available(src), s"$src not kept whole")
+      else {
+        // budget reached, overshoot bounded by the largest single bucket
+        val maxBucket = d.filter(col("source") === src)
+          .groupBy(org.apache.spark.sql.functions.pmod(
+            Sampling.portableBucket(col("doc_id")), lit(16L)).as("b"))
+          .agg(sum("n_tokens").as("t")).agg(max("t")).head().getLong(0)
+        assert(t >= budget - maxBucket && t < budget + maxBucket,
+          s"$src kept $t vs budget $budget (max bucket $maxBucket)")
+      }
+    }
+  }
+
+  test("mixToTokenBudget is deterministic and a subset of the source restriction") {
+    val d = withTokens(docs)
+    val shares = Map("src0" -> 0.6, "src1" -> 0.4)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.mixToTokenBudget(df, "source", shares, 1000L, "n_tokens", "doc_id",
+        nBuckets = 8).select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = run(d); val b = run(d.repartition(7))
+    assert(a == b && a.nonEmpty)
+    val allowed = d.filter(col("source").isin("src0", "src1"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(allowed))
+  }
+}
+
+class KeepBestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("collapseKeepBest elects max score then min id; singletons survive") {
+    val df = Seq(
+      (1L, "Same Text", 5), (2L, "same text  ", 9), (3L, " SAME TEXT", 9),
+      (4L, "unique", 1)
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.collapseKeepBest(df, col("score")).collect()
+      .map(r => r.getString(3) -> (r.getLong(0), r.getInt(1), r.getLong(2))).toMap
+    assert(out.size == 2)
+    val dup = out.values.find(_._3 == 3L).get
+    assert(dup._1 == 2L && dup._2 == 9) // score 9 beats 5; tie 2 vs 3 -> min id
+    assert(out.values.exists(v => v._1 == 4L && v._3 == 1L))
+  }
+
+  test("keep-best with a constant score degrades to exactDuplicates' min-id pick") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") % 7 === 0).withColumn("doc_id", col("doc_id") + 5000L))
+    val best = Dedup.collapseKeepBest(planted, lit(1))
+      .select("keep_id", "n_copies", "content_md5")
+    val minId = Dedup.exactDuplicates(planted)
+    assert(best.except(minId).isEmpty && minId.except(best).isEmpty)
+  }
 }
 
 class QuantizeSpec extends SparkSpec {
