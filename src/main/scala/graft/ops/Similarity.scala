@@ -150,6 +150,110 @@ object Similarity {
       .select("query_id", "cand_id", "score", "rk")
   }
 
+  /** Group-capped diversified top-k: the highest-scoring k candidates per
+    * query subject to "at most `maxPerGroup` results from any one group"
+    * (domain, source, cluster id, …) — the standard result-diversification
+    * rule in retrieval UIs and RAG context assembly, where three
+    * near-identical pages from one domain crowd out everything else.
+    *
+    * Plan shape: the brute-force scored pairs plus TWO windows, both
+    * partitioned by query (the second additionally by group) — no extra
+    * scan, no extra shuffle beyond the per-query rank every top-k already
+    * pays. Deterministic tie-breaks on candidate id; fully SQL-replayable
+    * (the oracle gate replays both windows). */
+  def diversifiedTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                      groupCol: String, maxPerGroup: Int = 2,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && maxPerGroup > 0)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+      col(groupCol).as("grp"))
+    val wg = Window.partitionBy("query_id", "grp")
+      .orderBy(col("score").desc, col("cand_id").asc)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
+    c.join(q, col("cand_id") =!= col("query_id"))
+      .withColumn("score", round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+      .withColumn("gk", row_number().over(wg))
+      .filter(col("gk") <= maxPerGroup)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "cand_id", "grp", "score", "rk")
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998): from
+    * each query's top-`nCand` relevance shortlist, greedily select k
+    * results maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` —
+    * relevance traded against redundancy, so two copies of the same
+    * document can't both make the cut.
+    *
+    * The greedy loop is inherently sequential PER QUERY but independent
+    * ACROSS queries, so the scale shape is: distributed shortlist
+    * ([[bruteForceTopK]] — swap in any ANN tier), then `groupByKey(query)
+    * .mapGroups` running the O(k·nCand) selection over each query's ≤nCand
+    * candidates — bounded memory per task, queries spread across
+    * executors, nothing on the driver. No SQL oracle (the argmax recursion
+    * isn't expressible declaratively); correctness is spec'd against an
+    * independent in-memory reference implementation.
+    *
+    * Ids must be integral (the fixture's `vec_id` longs). Ties break on
+    * higher relevance then lower id; `mmr_score` of the first pick is its
+    * λ-scaled relevance (nothing selected yet ⇒ no penalty term). */
+  def mmrTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              lambda: Double = 0.7, nCand: Int = 200,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && nCand >= k && lambda >= 0.0 && lambda <= 1.0)
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val short = bruteForceTopK(candidates, queries, nCand, idCol, vecCol)
+    val withVec = short.join(
+        candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec")), "cand_id")
+      .select(col("query_id").cast("long"), col("cand_id").cast("long"),
+        col("score").cast("double"), col("c_vec"))
+      .as[(Long, Long, Double, Array[Float])]
+    withVec.groupByKey(_._1)
+      .mapGroups { (qid, it) =>
+        val cands = it.map { case (_, cid, rel, v) =>
+          // L2-normalize once so candidate-candidate sim is a plain dot
+          val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+          val u = if (n == 0.0) v.map(_ => 0.0) else v.map(_ / n)
+          (cid, rel, u)
+        }.toArray.sortBy(c => (-c._2, c._1))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val used = new Array[Boolean](cands.length)
+        while (selected.length < math.min(k, cands.length)) {
+          var bestI = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cands.length) {
+            if (!used(i)) {
+              val (_, rel, u) = cands(i)
+              var maxSim = Double.NegativeInfinity
+              selVecs.foreach { s =>
+                var d = 0.0; var j = 0
+                while (j < u.length) { d += u(j) * s(j); j += 1 }
+                if (d > maxSim) maxSim = d
+              }
+              val m = lambda * rel - (1.0 - lambda) * (if (selVecs.isEmpty) 0.0 else maxSim)
+              // strict > : equal MMR scores fall back to the (rel desc,
+              // id asc) array order, making selection deterministic
+              if (m > bestScore) { bestScore = m; bestI = i }
+            }
+            i += 1
+          }
+          used(bestI) = true
+          selected += ((cands(bestI)._1, bestScore))
+          selVecs += cands(bestI)._3
+        }
+        (qid, selected.toSeq)
+      }
+      .flatMap { case (qid, sel) =>
+        sel.zipWithIndex.map { case ((cid, m), i) =>
+          (qid, cid, BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1)
+        }
+      }
+      .toDF("query_id", "cand_id", "mmr_score", "rk")
+  }
+
   /** LSH near-pair generator (the scale path for cosine near-dedup):
     * pairs sharing a hyperplane bucket, verified by exact cosine. */
   def lshCosinePairs(emb: DataFrame, threshold: Double, bits: Int = 8,

@@ -271,6 +271,13 @@ object PipelineQueries {
       val emb = Tables(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
     }),
+    // Group-capped diversification: top-10 with at most 2 results per
+    // label — the two ranking windows replayed exactly by the oracle
+    "q_ann_diverse" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.diversifiedTopK(emb, emb.filter(col("vec_id") < 3), k = 10,
+        groupCol = "label", maxPerGroup = 2)
+    }),
     // Exhaustive probe (all 2^bits buckets): the LSH machinery (bucket
     // assignment, probe explode, bucket join, per-query window) must equal
     // brute-force top-k exactly → exact-cosine oracle. Selective-probe
@@ -787,6 +794,19 @@ object PipelineQueries {
           "SELECT vec_id FROM re WHERE vec_id NOT IN (SELECT id_b FROM p)"),
       "q_ann_topk" -> annExactSql,
       "q_ann_ivf" -> annExactSql,
+      "q_ann_diverse" ->
+        ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv " +
+          "FROM embeddings WHERE vec_id < 3), " +
+          "c AS (SELECT vec_id AS cand_id, label AS grp, " +
+          "CAST(embedding AS DOUBLE[]) cv FROM embeddings), " +
+          s"s AS (SELECT query_id, cand_id, grp, round(${cosSql("qv", "cv")}, 6) AS score " +
+          "FROM q JOIN c ON cand_id <> query_id), " +
+          "g AS (SELECT *, row_number() OVER (PARTITION BY query_id, grp " +
+          "ORDER BY score DESC, cand_id ASC) AS gk FROM s) " +
+          "SELECT query_id, cand_id, grp, score, CAST(rn AS INT) AS rk FROM " +
+          "(SELECT query_id, cand_id, grp, score, row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rn " +
+          "FROM g WHERE gk <= 2) WHERE rn <= 10"),
       "q_ann_lsh" -> annExactSql,
       "q_dedup_minhash_planted" ->
         (s"WITH $plantedPairCtes SELECT id_a, id_b FROM p WHERE j >= 0.8"),

@@ -162,6 +162,67 @@ class OpsSpec extends SparkSpec {
     assert(res == Seq(2L, 4L))
   }
 
+  test("mmrTopK suppresses a duplicate that pure relevance would rank second") {
+    // cand 2 duplicates cand 1 (the best match); MMR must skip it for the
+    // diverse cand 3, while plain top-k takes the duplicate
+    val cands = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(1f, 0f, 0f)),
+      (3L, Seq(0.7f, 0.7f, 0f)), (4L, Seq(0.6f, 0.75f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((10L, Seq(0.95f, 0.1f, 0f))).toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(cands, q, k = 2)
+      .select("cand_id").as[Long].collect().toSeq
+    assert(plain == Seq(1L, 2L))
+    // cand 4 wins step 2: sim(4,1)=0.625 < sim(2,1)=1.0 and its lower
+    // relevance is more than repaid by the smaller redundancy penalty
+    val mmr = Similarity.mmrTopK(cands, q, k = 2, lambda = 0.5, nCand = 4)
+      .orderBy("rk").select("cand_id").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 4L))
+  }
+
+  test("mmrTopK matches an independent greedy reference on the fixture") {
+    val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val out = Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
+      lambda = 0.7, nCand = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // reference: same shortlist, naive O(k·n²) greedy in plain Scala
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (qid <- 0L until 3L) {
+      val rel = vecs.keys.filter(_ != qid).map { c =>
+        c -> BigDecimal(cos(vecs(qid), vecs(c)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toSeq.sortBy(c => (-c._2, c._1)).take(20)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (sel.length < 5) {
+        val pick = rel.filterNot(c => sel.contains(c._1)).maxBy { case (cid, r) =>
+          val pen = if (sel.isEmpty) 0.0 else sel.map(s => cos(vecs(cid), vecs(s))).max
+          (0.7 * r - 0.3 * pen, r, -cid): (Double, Double, Long)
+        }
+        sel += pick._1
+      }
+      sel.zipWithIndex.foreach { case (cid, i) =>
+        assert(out((qid, i + 1)) == cid, s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
+  test("diversifiedTopK caps per-group results and reranks the remainder") {
+    val cands = Seq(
+      (1L, Seq(1f, 0f), "a"), (2L, Seq(0.99f, 0.05f), "a"), (3L, Seq(0.98f, 0.1f), "a"),
+      (4L, Seq(0.5f, 0.8f), "b"), (5L, Seq(0.4f, 0.9f), "b"))
+      .toDF("vec_id", "embedding", "grp")
+    val q = Seq((10L, Seq(1f, 0f), "q")).toDF("vec_id", "embedding", "grp")
+    val out = Similarity.diversifiedTopK(cands, q, k = 3, groupCol = "grp",
+      maxPerGroup = 2).orderBy("rk").select("cand_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 4L)) // third 'a' displaced by best 'b'
+  }
+
   test("fuzzyDedupPipeline collapses exact copies AND near-dups to one doc each") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
