@@ -46,6 +46,19 @@ object TransformPipeline {
     "quality_gate" -> (p => Transforms.qualityGate(
       dbl(p, "min_score", 0.35), p.getOrElse("text_key", "text"))),
     "exact_dedup" -> (p => Transforms.exactDedupByText(p.getOrElse("text_key", "text"))),
+    "keep_best_dedup" -> (p => Transforms.keepBestDedup(
+      p.getOrElse("text_key", "text"), p.getOrElse("score_key", ""))),
+    // shares syntax: "web=0.6,books=0.4" — sources absent from it are dropped
+    "mix_token_budget" -> { p =>
+      val shares = req(p, "shares", "mix_token_budget").split(',').map { kv =>
+        val Array(k, v) = kv.split('=')
+        k.trim -> v.trim.toDouble
+      }.toMap
+      val total = req(p, "total_tokens", "mix_token_budget").toLong
+      Transforms.mixTokenBudget(shares, total,
+        p.getOrElse("source_key", "source"), p.getOrElse("text_key", "text"),
+        int(p, "n_buckets", 1024))
+    },
     "chunk_embed" -> (p => Transforms.chunkAndEmbed(
       int(p, "width", 64), int(p, "stride", 48), int(p, "dim", 64),
       p.getOrElse("text_key", "text"))),

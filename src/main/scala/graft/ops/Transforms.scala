@@ -70,6 +70,51 @@ object Transforms {
     df.filter(!hasText).unionByName(deduped)
   }
 
+  /** [[exactDedupByText]] with BEST-representative election: within each
+    * group of identical token streams keep the record with the highest
+    * score — `metadata[scoreKey]` as a double when given, else the
+    * heuristic [[graft.functions.TextFunctions.qualityScore]] — ties →
+    * lowest id. The config-pipeline face of [[Dedup.collapseKeepBest]];
+    * same one-shuffle window shape as the min-id variant. */
+  def keepBestDedup(textKey: String = "text", scoreKey: String = ""): DataFrame => DataFrame = { df =>
+    val text = element_at(col(Canonical.METADATA), textKey)
+    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
+    val score =
+      if (scoreKey.isEmpty) graft.functions.TextFunctions.qualityScore(text)
+      else coalesce(element_at(col(Canonical.METADATA), scoreKey).cast("double"), lit(0.0))
+    val deduped = df.filter(hasText)
+      .withColumn("__fp", graft.functions.TextFunctions.rollingHashPortable(text))
+      .withColumn("__s", score)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp"))
+          .orderBy(col("__s").desc, col(Canonical.ID))))
+      .filter(col("__rk") === 1)
+      .drop("__fp", "__s", "__rk")
+    df.filter(!hasText).unionByName(deduped)
+  }
+
+  /** Token-budget mixture over canonical records: keep a deterministic
+    * per-source token budget ([[Sampling.mixToTokenBudget]]) where the
+    * source is `metadata[sourceKey]`, tokens are the whitespace count of
+    * `metadata[textKey]`, and the portable bucket derives from the string
+    * id's rolling hash (canonical ids need not be numeric). Records from
+    * sources absent in `shares` are dropped — this IS the mixture gate. */
+  def mixTokenBudget(shares: Map[String, Double], totalTokens: Long,
+                     sourceKey: String = "source", textKey: String = "text",
+                     nBuckets: Int = 1024): DataFrame => DataFrame = { df =>
+    val text = element_at(col(Canonical.METADATA), textKey)
+    val prepared = df
+      .withColumn("__src", element_at(col(Canonical.METADATA), sourceKey))
+      .withColumn("__tok",
+        when(text.isNull || length(trim(text)) === 0, 0L)
+          .otherwise(size(split(trim(lower(text)), "\\s+")).cast("long")))
+      .withColumn("__hid", graft.functions.TextFunctions.rollingHashPortable(col(Canonical.ID)))
+    Sampling.mixToTokenBudget(prepared, "__src", shares, totalTokens,
+      tokensCol = "__tok", idCol = "__hid", nBuckets = nBuckets)
+      .drop("__src", "__tok", "__hid")
+  }
+
   /** Chunk `metadata[textKey]` into token windows and embed each chunk
     * (deterministic hashing-trick encoder stand-in) — one canonical record
     * per chunk, id `<parent>#<idx>`, provenance in metadata. Records

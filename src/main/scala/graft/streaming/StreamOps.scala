@@ -226,5 +226,31 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], id: Long) => writeBatch(batch.toDF(), id) }
   }
+
+  /** Streaming CDC: watch a directory of diff drops — canonical records
+    * plus an `op` column ('insert'|'update'|'delete', the tagged output of
+    * [[graft.ops.SnapshotDiff.diff]] rendered to the canonical shape) —
+    * and continuously apply each microbatch to a vector-store collection
+    * via [[graft.ops.SnapshotDiff.applyTo]] (DSv2 append for upserts,
+    * executor-side transport delete batches). Both legs are id-keyed and
+    * idempotent, so foreachBatch's at-least-once replay after a failure
+    * converges to exactly-once collection STATE — same argument as the
+    * upsert-only incremental sink, now covering removals too. */
+  def streamingCdcApply(spark: org.apache.spark.sql.SparkSession, watchDir: String,
+                        fmt: String, collection: String) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(graft.model.Canonical.schema.fields :+
+      StructField("op", StringType, nullable = true))
+    val stream = spark.readStream.schema(schema).parquet(watchDir)
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val df = batch.toDF()
+        graft.ops.SnapshotDiff.applyTo(
+          df.filter(col("op") =!= "delete").drop("op"),
+          df.filter(col("op") === "delete").select(graft.model.Canonical.ID),
+          fmt, collection)
+      }
+  }
   private type Row = org.apache.spark.sql.Row
 }

@@ -48,6 +48,45 @@ class TransformsSpec extends SparkSpec {
     assert(out.select(Canonical.METADATA).head().getAs[Map[String, String]](0)("even") == "true")
   }
 
+  test("keepBestDedup keeps the highest-scoring copy of identical text") {
+    val df = Seq(
+      ("a1", Seq(1f, 0f), Map("text" -> "same words here", "q" -> "0.2")),
+      ("a2", Seq(0f, 1f), Map("text" -> "same  words   here", "q" -> "0.9")),
+      ("b1", Seq(1f, 1f), Map("text" -> "different", "q" -> "0.1")),
+      ("n1", Seq(0f, 0f), Map.empty[String, String])) // no text: passes through
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    val out = Transforms.keepBestDedup(scoreKey = "q")(df)
+      .select(Canonical.ID).as[String].collect().toSet
+    assert(out == Set("a2", "b1", "n1")) // a2 wins on score despite higher id
+    // registry face resolves and agrees
+    val viaRegistry = graft.core.TransformPipeline.resolve(
+      graft.config.TransformStep("keep_best_dedup", Map("score_key" -> "q")))(df)
+      .select(Canonical.ID).as[String].collect().toSet
+    assert(viaRegistry == out)
+  }
+
+  test("mixTokenBudget keeps per-source token budgets over canonical records") {
+    val docs = (0 until 40).map { i =>
+      val src = if (i % 2 == 0) "web" else "books"
+      (s"doc$i", Seq(1f, 0f), Map("source" -> src, "text" -> ("w " * 10).trim))
+    }.toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    val out = graft.core.TransformPipeline.resolve(graft.config.TransformStep(
+      "mix_token_budget", Map("shares" -> "web=0.5,books=0.5",
+        "total_tokens" -> "100", "n_buckets" -> "8")))(docs)
+    val bySrc = out.withColumn("s", element_at(col(Canonical.METADATA), "source"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 200 tokens available per source, 50-token budget each: a strict
+    // subset survives on both sides, nonempty, bucket-granular
+    assert(bySrc.keySet == Set("web", "books"))
+    assert(bySrc.values.forall(n => n >= 1 && n < 20), bySrc.toString)
+    // deterministic under repartitioning
+    val again = graft.core.TransformPipeline.resolve(graft.config.TransformStep(
+      "mix_token_budget", Map("shares" -> "web=0.5,books=0.5",
+        "total_tokens" -> "100", "n_buckets" -> "8")))(docs.repartition(5))
+      .select(Canonical.ID).as[String].collect().toSet
+    assert(again == out.select(Canonical.ID).as[String].collect().toSet)
+  }
+
   test("transforms compose with andThen") {
     val pipeline = Transforms.addSourceTracking("qdrant", "t0")
       .andThen(Transforms.filterByMetadata("metadata['label'] = '3'"))

@@ -234,6 +234,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC apply: diff drops land inserts, updates AND deletes exactly once") {
+    import graft.model.Canonical
+    import graft.connectors.vectorstore.{CollectionConfig, VectorStore, VSRecord}
+    val watch = java.nio.file.Files.createTempDirectory("graft-stream-cdc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-cdcck").toString
+    VectorStore.drop("cdc_vs")
+    VectorStore.createCollection("cdc_vs", CollectionConfig(dim = 2), recreate = true)
+    VectorStore.upsert("cdc_vs", (0 until 10).map(i =>
+      VSRecord(s"$i", Array(i.toFloat, 0f), Map("v" -> "old"))))
+
+    import spark.implicits._
+    def diffDrop(rows: Seq[(String, String)]) = rows.map { case (id, op) =>
+        (id, Seq(99f, 99f), Map("v" -> "new"), op)
+      }.toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA, "op")
+
+    diffDrop(Seq(("3", "update"), ("10", "insert"), ("7", "delete")))
+      .write.mode("overwrite").parquet(s"$watch/d1.parquet")
+    val q = StreamOps.streamingCdcApply(spark, s"$watch/*.parquet", "graft-qdrant", "cdc_vs")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val byId = VectorStore.scroll("cdc_vs", 0, 100).map(r => r.id -> r).toMap
+      assert(byId.size == 10) // 10 - 1 delete + 1 insert
+      assert(!byId.contains("7"))
+      assert(byId("3").metadata("v") == "new" && byId("10").metadata("v") == "new")
+      assert(byId("4").metadata("v") == "old")
+      // a second drop re-delivers the same changes plus one more delete:
+      // idempotent legs converge, no duplicates, no resurrection
+      diffDrop(Seq(("3", "update"), ("10", "insert"), ("7", "delete"), ("8", "delete")))
+        .write.mode("overwrite").parquet(s"$watch/d2.parquet")
+      q.processAllAvailable()
+      val after = VectorStore.scroll("cdc_vs", 0, 100).map(_.id).sorted
+      assert(after == Seq("0", "1", "10", "2", "3", "4", "5", "6", "9"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs same-user events within the window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
