@@ -190,6 +190,33 @@ object ScaleProbe {
     }
     time("temperature mix (T=2)")(
       ops.Sampling.temperatureMix(docs, "source", 2.0, "doc_id").count())
+    time("token budget mix")(
+      ops.Sampling.mixToTokenBudget(
+        docs.withColumn("n_tokens",
+          when(col("text").isNull || length(trim(col("text"))) === 0, 0L)
+            .otherwise(size(split(trim(lower(col("text"))), "\\s+")).cast("long"))),
+        "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        totalTokens = 1000000L, tokensCol = "n_tokens", idCol = "doc_id").count())
+    time("diversified topk")(
+      ops.Similarity.diversifiedTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        groupCol = "label", maxPerGroup = 2).count())
+    time("mmr topk (nCand=200)")(
+      ops.Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nCand = 200).count())
+    time("cdc apply (collection)") {
+      import graft.connectors.vectorstore.VectorStore
+      graft.model.Canonical.from(emb, "vec_id", Some("embedding"), Seq("label"))
+        .write.format("graft-qdrant").option("collection", "probe_cdc")
+        .option("recreate", "true").mode("overwrite").save()
+      val upserts = graft.model.Canonical.from(
+        emb.filter(col("vec_id") % 13 === 0), "vec_id", Some("embedding"), Seq("label"))
+      val dels = emb.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").cast("string").as("id"))
+      ops.SnapshotDiff.applyTo(upserts, dels, "graft-qdrant", "probe_cdc")
+      val n = VectorStore.count("probe_cdc").toLong
+      VectorStore.drop("probe_cdc")
+      n
+    }
     time("resample ffill (1h grid)")(
       ops.Resample.forwardFill(events, bucketMicros = 3600L * 1000000L).count())
     time("session transcripts")(
