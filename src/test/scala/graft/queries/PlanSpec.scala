@@ -57,6 +57,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("agg=count(*)"), p)
   }
 
+  test("q_mix_token_budget scans documents at most twice, cutoffs broadcast back") {
+    val p = plan("q_mix_token_budget")
+    assert("FileScan parquet".r.findAllIn(p).length <= 2, p)
+    assert(p.contains("BroadcastHashJoin"), "cutoff table not broadcast:\n" + p)
+  }
+
+  test("q_ann_diverse adds no scan or shuffle beyond the top-k it diversifies") {
+    val d = plan("q_ann_diverse")
+    val t = plan("q_ann_topk")
+    assert("FileScan parquet".r.findAllIn(d).length ==
+      "FileScan parquet".r.findAllIn(t).length, d)
+    // group-cap window rides the same query_id exchange as the rank window
+    assert("Exchange hashpartitioning".r.findAllIn(d).length <=
+      "Exchange hashpartitioning".r.findAllIn(t).length + 1, d)
+  }
+
   test("limit queries use CollectLimit / TakeOrderedAndProject, not full sorts") {
     assert(plan("q_sort_topk").contains("TakeOrderedAndProject"), plan("q_sort_topk"))
   }
