@@ -443,6 +443,8 @@ object FilterEval {
     case And(l, rr) => eval(l, r) && eval(rr, r)
     case Or(l, rr) => eval(l, r) || eval(rr, r)
     case Not(c) => !eval(c, r)
+    case _: AlwaysTrue => true // TRUNCATE arrives as deleteWhere([AlwaysTrue])
+    case _: AlwaysFalse => false
     case _ => true // unsupported filters were never pushed
   }
 
@@ -453,6 +455,7 @@ object FilterEval {
          LessThan(_, _) | LessThanOrEqual(_, _) | In(_, _) | IsNull(_) |
          IsNotNull(_) | StringStartsWith(_, _) | StringEndsWith(_, _) |
          StringContains(_, _) => true
+    case _: AlwaysTrue | _: AlwaysFalse => true
     case And(l, r) => supported(l) && supported(r)
     case Or(l, r) => supported(l) && supported(r)
     case Not(c) => supported(c)

@@ -172,6 +172,19 @@ class CliSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet == classIds)
   }
 
+  test("token-budget mixture config runs the recipe end to end") {
+    MemoryStore.drop("token_budget_corpus")
+    assert(graft.cli.Main.run(
+      Array("--config", "examples/configs/token_budget_mixture.json")) == 0)
+    val rows = MemoryStore.get("token_budget_corpus").get._1
+    assert(rows.nonEmpty)
+    // the mixture gate dropped sources outside the share map and the
+    // split step stamped metadata
+    val metas = rows.map(_.getAs[Map[String, String]](2))
+    assert(metas.forall(m => Set("src0", "src1", "src2")(m("source"))))
+    assert(metas.forall(m => Set("train", "val", "test")(m("split"))))
+  }
+
   test("pipeline config with an unknown step aborts with exit 1") {
     val cfg = Files.createTempFile("graft", ".json")
     Files.writeString(cfg,

@@ -103,6 +103,44 @@ class CatalogSpec extends SparkSpec {
     VectorStore.drop("sql_del")
   }
 
+  test("TRUNCATE TABLE empties the collection but keeps it addressable") {
+    installCatalog("vsc")
+    VectorStore.drop("sql_tr")
+    VectorStore.createCollection("sql_tr", CollectionConfig(dim = 2), recreate = true)
+    VectorStore.upsert("sql_tr", (0 until 5).map(i =>
+      VSRecord(s"$i", Array(i.toFloat, 0f), Map.empty)))
+    spark.sql("TRUNCATE TABLE vsc.sql_tr")
+    assert(VectorStore.exists("sql_tr") && VectorStore.count("sql_tr") == 0)
+    spark.sql("INSERT INTO vsc.sql_tr VALUES ('9', array(cast(1.0 as float), " +
+      "cast(2.0 as float)), map('k', 'v'))")
+    assert(VectorStore.count("sql_tr") == 1)
+    VectorStore.drop("sql_tr")
+  }
+
+  test("cross-backend migration as one SQL statement (qdrant -> milvus)") {
+    installCatalog("vq", "qdrant")
+    installCatalog("vm", "milvus")
+    VectorStore.drop("sql_src"); VectorStore.drop("sql_dst")
+    VectorStore.createCollection("sql_src", CollectionConfig(dim = 2), recreate = true)
+    VectorStore.upsert("sql_src", (0 until 30).map(i =>
+      VSRecord(s"$i", Array(i.toFloat, 1f), Map("label" -> s"${i % 3}"))))
+    // Milvus rules: collection must pre-exist (requireExisting)
+    spark.sql(
+      """CREATE TABLE vm.sql_dst
+        |  (id string, vector array<float>, metadata map<string,string>)
+        |TBLPROPERTIES ('distance'='Cosine', 'dim'='2')""".stripMargin)
+    // the whole migration - filter transform included - is ONE insert-select
+    spark.sql(
+      """INSERT INTO vm.sql_dst
+        |SELECT id, vector, metadata FROM vq.sql_src
+        |WHERE CAST(element_at(metadata, 'label') AS INT) < 2""".stripMargin)
+    assert(VectorStore.count("sql_dst") == 20)
+    val labels = spark.sql("SELECT DISTINCT element_at(metadata, 'label') FROM vm.sql_dst")
+      .collect().map(_.getString(0)).toSet
+    assert(labels == Set("0", "1"))
+    VectorStore.drop("sql_src"); VectorStore.drop("sql_dst")
+  }
+
   test("catalog over the HTTP loopback transport lists and reads through the socket") {
     installCatalog("vsh")
     val server = new HttpVectorStoreServer(InMemoryTransport)
