@@ -141,6 +141,25 @@ class CatalogSpec extends SparkSpec {
     VectorStore.drop("sql_src"); VectorStore.drop("sql_dst")
   }
 
+  test("pure-SQL vector search through the catalog gets the native top-k scan") {
+    installCatalog("vsc")
+    VectorStore.drop("sql_srch")
+    VectorStore.createCollection("sql_srch", CollectionConfig(dim = 2), recreate = true)
+    VectorStore.upsert("sql_srch", (0 until 50).map { i =>
+      val a = i * 0.12; VSRecord(s"$i", Array(math.cos(a).toFloat, math.sin(a).toFloat), Map.empty)
+    })
+    // no Scala API anywhere: the registered vec_cosine SQL function + the
+    // injected optimizer rule turn ORDER BY ... LIMIT into a search scan
+    val df = spark.sql(
+      """SELECT id, round(vec_cosine(vector, array(1.0D, 0.0D)), 6) AS score
+        |FROM vsc.sql_srch ORDER BY vec_cosine(vector, array(1.0D, 0.0D)) DESC, id
+        |LIMIT 3""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("search=topk(k=3"), p)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("0", "1", "2"))
+    VectorStore.drop("sql_srch")
+  }
+
   test("catalog over the HTTP loopback transport lists and reads through the socket") {
     installCatalog("vsh")
     val server = new HttpVectorStoreServer(InMemoryTransport)
