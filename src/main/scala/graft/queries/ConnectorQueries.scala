@@ -179,6 +179,33 @@ object ConnectorQueries {
       graft.core.Validator.validate(e, target, idCol = "vec_id", vecCol = "embedding")
     }),
 
+    // The whole migration as ONE SQL statement: source collection loaded,
+    // target created by DDL on a second (milvus) catalog, INSERT INTO …
+    // SELECT with the filter transform inline, target read back — the
+    // reference's entire program (read → transform → write) with zero
+    // client code, adjudicated against the oracle
+    "q_catalog_migrate" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.vsq",
+        classOf[graft.connectors.vectorstore.VSCatalog].getName)
+      s.conf.set("spark.sql.catalog.vsm",
+        classOf[graft.connectors.vectorstore.VSCatalog].getName)
+      s.conf.set("spark.sql.catalog.vsm.backend", "milvus")
+      loadFixture(s, dir, "graft-qdrant", "gate_sqlmig_src")
+      graft.connectors.vectorstore.VectorStore.drop("gate_sqlmig_dst")
+      s.sql(
+        """CREATE TABLE vsm.gate_sqlmig_dst
+          |  (id string, vector array<float>, metadata map<string,string>)
+          |TBLPROPERTIES ('distance'='Cosine')""".stripMargin)
+      s.sql(
+        """INSERT INTO vsm.gate_sqlmig_dst
+          |SELECT id, vector, metadata FROM vsq.gate_sqlmig_src
+          |WHERE CAST(element_at(metadata, 'label') AS INT) BETWEEN 2 AND 6""".stripMargin)
+      s.sql(
+        """SELECT id, element_at(metadata, 'label') AS label,
+          |       round(CAST(element_at(vector, 1) AS DOUBLE), 5) AS v1
+          |FROM vsm.gate_sqlmig_dst""".stripMargin)
+    }),
+
     // CDC applied END TO END: the collection starts as the old snapshot,
     // a deterministically-derived diff (delete %17, update %13 — label
     // bumped, vector negated — insert %19 shifted) is applied through
@@ -356,6 +383,10 @@ object ConnectorQueries {
         "(sig_s != sig_t OR ns_s > 1 OR ns_t > 1) THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS vector_mismatches FROM j) " + reportRows
     },
+    "q_catalog_migrate" ->
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label, " +
+        "round(CAST(embedding[1] AS DOUBLE), 5) AS v1 " +
+        "FROM embeddings WHERE label BETWEEN 2 AND 6"),
     "q_cdc_apply" ->
       // the applied diff replayed declaratively: survivors = untouched
       // keeps + updated rows (label+100, vector negated) + shifted inserts
