@@ -43,8 +43,20 @@ class PineconeProvider extends VectorStoreProvider {
 abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
   extends VectorConnector {
 
+  /** Config-driven transport: a `url` connection key points the engine at
+    * an HTTP backend (wrapped in bounded retries, `max_retries` tunable) —
+    * the registration is process-wide, exactly how a deployment configures
+    * its backend endpoint once per JVM; without `url` the currently
+    * registered transport (default: in-memory emulation) stays. */
+  protected def installTransport(connection: Map[String, String]): Unit =
+    connection.get("url").foreach { url =>
+      VectorStore.use(RetryingTransport(new HttpTransport(url),
+        maxAttempts = connection.get("max_retries").map(_.toInt).getOrElse(3)))
+    }
+
   override def read(spark: SparkSession, connection: Map[String, String],
                     query: QuerySpec): DataFrame = {
+    installTransport(connection)
     var df = spark.read.format(fmt)
       .options(connection)
       .option("collection", query.collection)
@@ -57,6 +69,7 @@ abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
 
   override def write(df: DataFrame, connection: Map[String, String],
                      load: LoadSpec): WriteReport = {
+    installTransport(connection)
     df.write.format(fmt)
       .options(connection)
       .option("collection", load.collection)
@@ -76,6 +89,7 @@ abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
 
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],
                           collection: String): SchemaInfo = {
+    installTransport(connection)
     val cfg = VectorStore.config(collection).getOrElse(
       throw new graft.config.ConfigException(s"collection not found: $collection"))
     val dim = Some(cfg.dim).filter(_ > 0).orElse(

@@ -110,6 +110,18 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
   override def name(): String = s"$source:$collection" +
     (if (vectorType == VectorTypes.Binary) " [binary]" else "") +
     search.map(sp => s" [search k=${sp.k}]").getOrElse("")
+
+  /** Stored collection config surfaced as table properties — this is what
+    * `SHOW TBLPROPERTIES vs.c` and `DESCRIBE TABLE EXTENDED` print. */
+  override def properties(): util.Map[String, String] =
+    VectorStore.config(collection).map { cfg =>
+      val m = new util.HashMap[String, String]()
+      m.put("distance", cfg.distance)
+      m.put("dim", cfg.dim.toString)
+      m.put("vector_type", cfg.vectorType)
+      cfg.props.foreach { case (k, v) => m.put(k, v) }
+      m
+    }.getOrElse(util.Map.of())
   override def schema(): StructType =
     if (vectorType == VectorTypes.Binary) Canonical.binarySchema else Canonical.schema
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(

@@ -160,6 +160,43 @@ class CatalogSpec extends SparkSpec {
     VectorStore.drop("sql_srch")
   }
 
+  test("SHOW TBLPROPERTIES surfaces the stored collection config") {
+    installCatalog("vsc")
+    VectorStore.drop("sql_props")
+    VectorStore.createCollection("sql_props",
+      CollectionConfig(distance = "Dot", dim = 3, props = Map("hnsw_m" -> "16")),
+      recreate = true)
+    val props = spark.sql("SHOW TBLPROPERTIES vsc.sql_props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("distance") == "Dot" && props("dim") == "3")
+    assert(props("vector_type") == "FLOAT_VECTOR" && props("hnsw_m") == "16")
+    VectorStore.drop("sql_props")
+  }
+
+  test("a url connection key routes a config-driven migration over the socket") {
+    val server = new HttpVectorStoreServer(InMemoryTransport)
+    val prev = VectorStore.current
+    try {
+      InMemoryTransport.createCollection("cfg_http_src",
+        CollectionConfig(dim = 2), recreate = true)
+      InMemoryTransport.upsert("cfg_http_src", (0 until 12).map(i =>
+        VSRecord(s"$i", Array(i.toFloat, 0f), Map("k" -> s"$i"))))
+      val cfg = graft.config.MigrationConfig.fromJson(
+        s"""{"source": {"type": "qdrant", "connection": {"url": "${server.url}"},
+           |            "query": {"collection": "cfg_http_src"}},
+           | "target": {"type": "qdrant", "connection": {"url": "${server.url}"},
+           |            "load": {"collection": "cfg_http_dst", "recreate": true}}}""".stripMargin)
+      val before = server.requests
+      val report = new graft.core.Migrator(spark).run(cfg)
+      assert(report.success, report.error)
+      assert(server.requests > before) // the migration really crossed the wire
+      assert(InMemoryTransport.count("cfg_http_dst") == 12)
+    } finally {
+      VectorStore.use(prev); server.stop()
+      VectorStore.drop("cfg_http_src"); VectorStore.drop("cfg_http_dst")
+    }
+  }
+
   test("catalog over the HTTP loopback transport lists and reads through the socket") {
     installCatalog("vsh")
     val server = new HttpVectorStoreServer(InMemoryTransport)
