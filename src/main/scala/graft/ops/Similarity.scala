@@ -191,17 +191,28 @@ object Similarity {
     * ([[bruteForceTopK]] — swap in any ANN tier), then `groupByKey(query)
     * .mapGroups` running the O(k·nCand) selection over each query's ≤nCand
     * candidates — bounded memory per task, queries spread across
-    * executors, nothing on the driver. No SQL oracle (the argmax recursion
-    * isn't expressible declaratively); correctness is spec'd against an
-    * independent in-memory reference implementation.
+    * executors, nothing on the driver. Correctness is spec'd against an
+    * independent in-memory reference implementation AND oracle-gated: the
+    * `q_ann_mmr` oracle replays the greedy recursion as a DuckDB recursive
+    * CTE carrying the selected set in list columns.
     *
     * Ids must be integral (the fixture's `vec_id` longs). Ties break on
     * higher relevance then lower id; `mmr_score` of the first pick is its
-    * λ-scaled relevance (nothing selected yet ⇒ no penalty term). */
+    * λ-scaled relevance (nothing selected yet ⇒ no penalty term).
+    *
+    * The score is defined on an INTEGER grid: relevance and the redundancy
+    * penalty are both 1e-6-rounded, λ is taken in thousandths, and
+    * `mmr_score = (λ₁₀₀₀·rel₆ − (1000−λ₁₀₀₀)·pen₆) / 1e9` — an exact
+    * integer combination, not a float chain. This is what makes the greedy
+    * recursion engine-portable (the oracle replays it as a recursive CTE):
+    * λ·rel over a 1e-6 relevance grid lands EXACTLY on .5 rounding
+    * boundaries at the 7th decimal for common λ, so a float-defined score
+    * diverges across engines structurally, not just in edge cases. */
   def mmrTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               lambda: Double = 0.7, nCand: Int = 200,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && nCand >= k && lambda >= 0.0 && lambda <= 1.0)
+    val lam = math.round(lambda * 1000)
     val spark = candidates.sparkSession
     import spark.implicits._
     val short = bruteForceTopK(candidates, queries, nCand, idCol, vecCol)
@@ -212,28 +223,31 @@ object Similarity {
       .as[(Long, Long, Double, Array[Float])]
     withVec.groupByKey(_._1)
       .mapGroups { (qid, it) =>
+        def grid6(x: Double): Long = // 1e-6 grid, HALF_UP — DuckDB round(x*1e6)
+          BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
         val cands = it.map { case (_, cid, rel, v) =>
           // L2-normalize once so candidate-candidate sim is a plain dot
           val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
           val u = if (n == 0.0) v.map(_ => 0.0) else v.map(_ / n)
-          (cid, rel, u)
+          (cid, grid6(rel), u)
         }.toArray.sortBy(c => (-c._2, c._1))
-        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         val used = new Array[Boolean](cands.length)
         while (selected.length < math.min(k, cands.length)) {
-          var bestI = -1; var bestScore = Double.NegativeInfinity
+          var bestI = -1; var bestScore = Long.MinValue
           var i = 0
           while (i < cands.length) {
             if (!used(i)) {
-              val (_, rel, u) = cands(i)
+              val (_, rel6, u) = cands(i)
               var maxSim = Double.NegativeInfinity
               selVecs.foreach { s =>
                 var d = 0.0; var j = 0
                 while (j < u.length) { d += u(j) * s(j); j += 1 }
                 if (d > maxSim) maxSim = d
               }
-              val m = lambda * rel - (1.0 - lambda) * (if (selVecs.isEmpty) 0.0 else maxSim)
+              val pen6 = if (selVecs.isEmpty) 0L else grid6(maxSim)
+              val m = lam * rel6 - (1000 - lam) * pen6
               // strict > : equal MMR scores fall back to the (rel desc,
               // id asc) array order, making selection deterministic
               if (m > bestScore) { bestScore = m; bestI = i }
@@ -247,9 +261,7 @@ object Similarity {
         (qid, selected.toSeq)
       }
       .flatMap { case (qid, sel) =>
-        sel.zipWithIndex.map { case ((cid, m), i) =>
-          (qid, cid, BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1)
-        }
+        sel.zipWithIndex.map { case ((cid, m), i) => (qid, cid, m / 1e9, i + 1) }
       }
       .toDF("query_id", "cand_id", "mmr_score", "rk")
   }

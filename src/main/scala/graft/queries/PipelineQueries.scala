@@ -271,6 +271,14 @@ object PipelineQueries {
       val emb = Tables(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
     }),
+    // MMR re-rank: the greedy argmax recursion replayed by a RECURSIVE
+    // CTE carrying the selected set as list columns — relevance, penalty
+    // dot products, tie-breaks and rounding all bit-identical
+    "q_ann_mmr" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
+        lambda = 0.7, nCand = 20)
+    }),
     // Group-capped diversification: top-10 with at most 2 results per
     // label — the two ranking windows replayed exactly by the oracle
     "q_ann_diverse" -> ((s, dir) => {
@@ -794,6 +802,41 @@ object PipelineQueries {
           "SELECT vec_id FROM re WHERE vec_id NOT IN (SELECT id_b FROM p)"),
       "q_ann_topk" -> annExactSql,
       "q_ann_ivf" -> annExactSql,
+      "q_ann_mmr" ->
+        // the greedy selection as a recursive CTE: `sel` carries (ids,
+        // integer mmr scores, unit vectors) per query; each step joins the
+        // remaining shortlist, scores 700·rel₆ − 300·pen₆ on the integer
+        // grid (pen₆ = 1e-6-rounded max dot against the selected set), and
+        // QUALIFY row_number()=1 is the argmax with the (mmr, rel, id)
+        // tie-break — bit-exact across engines by integer arithmetic
+        ("WITH RECURSIVE " +
+          "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3), " +
+          "sc AS (SELECT query_id, e.vec_id AS cand_id, " +
+          s"CAST(round(round(${cosSql("e.v", "qv")}, 6) * 1000000) AS BIGINT) AS rel6, " +
+          "list_transform(e.v, x -> x / sqrt(list_dot_product(e.v, e.v))) AS u " +
+          "FROM e JOIN q ON e.vec_id <> q.query_id), " +
+          "cand AS (SELECT * FROM sc QUALIFY row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY rel6 DESC, cand_id) <= 20), " +
+          "sel AS ((SELECT query_id, 1 AS step, [cand_id] AS ids, " +
+          "[700 * rel6] AS scores, [u] AS vecs FROM cand " +
+          "QUALIFY row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY rel6 DESC, cand_id) = 1) " +
+          "UNION ALL " +
+          "(SELECT s.query_id, s.step + 1, list_append(s.ids, c.cand_id), " +
+          "list_append(s.scores, 700 * c.rel6 - 300 * " +
+          "CAST(round((SELECT max(list_dot_product(c.u, sv)) " +
+          "FROM unnest(s.vecs) AS t(sv)) * 1000000) AS BIGINT)), " +
+          "list_append(s.vecs, c.u) " +
+          "FROM sel s JOIN cand c ON s.query_id = c.query_id " +
+          "WHERE s.step < 5 AND NOT list_contains(s.ids, c.cand_id) " +
+          "QUALIFY row_number() OVER (PARTITION BY s.query_id ORDER BY " +
+          "700 * c.rel6 - 300 * CAST(round((SELECT max(list_dot_product(c.u, sv)) " +
+          "FROM unnest(s.vecs) AS t(sv)) * 1000000) AS BIGINT) DESC, " +
+          "c.rel6 DESC, c.cand_id) = 1)) " +
+          "SELECT query_id, unnest(ids) AS cand_id, " +
+          "unnest(list_transform(scores, s -> s / 1000000000.0)) AS mmr_score, " +
+          "CAST(unnest(range(1, len(ids) + 1)) AS INT) AS rk FROM sel WHERE step = 5"),
       "q_ann_diverse" ->
         ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv " +
           "FROM embeddings WHERE vec_id < 3), " +

@@ -33,7 +33,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("gate size matches the documented inventory") {
-    assert(SparkEntry.queries.size == 136, SparkEntry.queries.size.toString)
+    assert(SparkEntry.queries.size == 142, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {

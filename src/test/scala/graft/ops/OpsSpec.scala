@@ -185,7 +185,8 @@ class OpsSpec extends SparkSpec {
     val out = Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
       lambda = 0.7, nCand = 20)
       .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
-    // reference: same shortlist, naive O(k·n²) greedy in plain Scala
+    // reference: same shortlist, naive O(k·n²) greedy in plain Scala over
+    // the same integer score grid (λ in thousandths, 1e-6 rel/pen grid)
     val vecs = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     def cos(a: Array[Float], b: Array[Float]): Double = {
@@ -193,16 +194,19 @@ class OpsSpec extends SparkSpec {
       for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
       if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
+    def grid6(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     for (qid <- 0L until 3L) {
       val rel = vecs.keys.filter(_ != qid).map { c =>
-        c -> BigDecimal(cos(vecs(qid), vecs(c)))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        c -> grid6(BigDecimal(cos(vecs(qid), vecs(c)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }.toSeq.sortBy(c => (-c._2, c._1)).take(20)
       val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
       while (sel.length < 5) {
-        val pick = rel.filterNot(c => sel.contains(c._1)).maxBy { case (cid, r) =>
-          val pen = if (sel.isEmpty) 0.0 else sel.map(s => cos(vecs(cid), vecs(s))).max
-          (0.7 * r - 0.3 * pen, r, -cid): (Double, Double, Long)
+        val pick = rel.filterNot(c => sel.contains(c._1)).maxBy { case (cid, r6) =>
+          val pen = if (sel.isEmpty) 0L
+            else grid6(sel.map(s => cos(vecs(cid), vecs(s))).max)
+          (700 * r6 - 300 * pen, r6, -cid): (Long, Long, Long)
         }
         sel += pick._1
       }
