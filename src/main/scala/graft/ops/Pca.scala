@@ -125,7 +125,14 @@ object Pca {
         sum(round(col("x") * CovScale).cast("long")).as("sx"),
         sum(round(col("y") * CovScale).cast("long")).as("sy"))
       .select(col("i"), col("j"),
-        round((col("sxy").cast("double") / CovScale -
+        // Snap to the 1e-6 grid via floor(x*1e6 + 0.5) through a LONG, not
+        // round(…, 6): Spark's Round goes through BigDecimal (never yields
+        // -0.0) while DuckDB's does double math (preserves the sign of a
+        // tiny negative) — the bitwise hash saw 0.0 vs -0.0 at two cells.
+        // floor and the final /1e6 are exact IEEE ops both engines share,
+        // and a LONG has no -0, so the signed-zero divergence is impossible.
+        (floor((col("sxy").cast("double") / CovScale -
           (col("sx").cast("double") / CovScale) *
-            (col("sy").cast("double") / CovScale) / col("n")) / col("n"), 6).as("cov"))
+            (col("sy").cast("double") / CovScale) / col("n")) / col("n") *
+          lit(1e6) + lit(0.5)).cast("double") / lit(1e6)).as("cov"))
 }

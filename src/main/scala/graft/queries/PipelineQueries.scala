@@ -531,7 +531,9 @@ object PipelineQueries {
       "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv " +
         "FROM embeddings WHERE vec_id < 5), " +
         "c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) cv FROM embeddings), " +
-        s"s AS (SELECT query_id, cand_id, round(${cosSql("qv", "cv")}, 6) AS score " +
+        // "+ 0.0" turns a possible -0.0 into +0.0 to match Spark's
+        // BigDecimal-backed round (q_vec_cov signed-zero lesson)
+        s"s AS (SELECT query_id, cand_id, round(${cosSql("qv", "cv")}, 6) + 0.0 AS score " +
         "FROM q JOIN c ON cand_id <> query_id) " +
         "SELECT query_id, cand_id, score, CAST(rn AS INT) AS rk FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY query_id " +
@@ -695,7 +697,7 @@ object PipelineQueries {
           "s AS (SELECT g, CAST(max(tg) AS BIGINT) AS n_tokens, sum(w9) AS sw " +
           "FROM w GROUP BY g) " +
           "SELECT g AS source, n_tokens, " +
-          "round(CAST(sw AS DOUBLE)/1000000000.0/n_tokens, 6) AS kl FROM s"),
+          "round(CAST(sw AS DOUBLE)/1000000000.0/n_tokens, 6) + 0.0 AS kl FROM s"),
       "q_quality_lr" ->
         // one gradient step from w = 0: residual is exactly 1/2 − y; each
         // token routes it to bucket h mod 64, the appended 64 is the bias
@@ -705,8 +707,8 @@ object PipelineQueries {
           "tj AS (SELECT y, unnest(list_append(list_transform(th, h -> h % 64), 64)) AS j FROM d), " +
           "g AS (SELECT j, sum(0.5 - y) AS grad, count(*) AS cnt FROM tj GROUP BY j), " +
           "n AS (SELECT cnt AS n FROM g WHERE j = 64) " +
-          "SELECT CAST(j AS INT) AS j, round(grad, 6) AS grad, " +
-          "round(0.0 - 0.1 * grad / n, 6) AS w_next FROM g, n"),
+          "SELECT CAST(j AS INT) AS j, round(grad, 6) + 0.0 AS grad, " +
+          "round(0.0 - 0.1 * grad / n, 6) + 0.0 AS w_next FROM g, n"),
       "q_search_bm25" -> s"WITH $bm25Ctes ${bm25Select(10)}",
       "q_search_hybrid" -> {
         val qvLit = HybridQueryVec.mkString("[", ",", "]")
@@ -842,7 +844,7 @@ object PipelineQueries {
           "FROM embeddings WHERE vec_id < 3), " +
           "c AS (SELECT vec_id AS cand_id, label AS grp, " +
           "CAST(embedding AS DOUBLE[]) cv FROM embeddings), " +
-          s"s AS (SELECT query_id, cand_id, grp, round(${cosSql("qv", "cv")}, 6) AS score " +
+          s"s AS (SELECT query_id, cand_id, grp, round(${cosSql("qv", "cv")}, 6) + 0.0 AS score " +
           "FROM q JOIN c ON cand_id <> query_id), " +
           "g AS (SELECT *, row_number() OVER (PARTITION BY query_id, grp " +
           "ORDER BY score DESC, cand_id ASC) AS gk FROM s) " +
@@ -1162,10 +1164,15 @@ object PipelineQueries {
           "CAST(sum(CAST(round(x * 68719476736.0, 0) AS BIGINT)) AS BIGINT) AS sx, " +
           "CAST(sum(CAST(round(y * 68719476736.0, 0) AS BIGINT)) AS BIGINT) AS sy " +
           "FROM p GROUP BY i, j) " +
+          // grid snap mirrors Pca.covariancePortable: floor(x*1e6+0.5)
+          // through BIGINT then /1e6 — exact IEEE ops on both engines,
+          // and an integer has no -0, unlike round() whose engine-specific
+          // signed-zero behavior flipped two cells' bit patterns
           "SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, " +
-          "round((CAST(sxy AS DOUBLE) / 68719476736.0 - " +
+          "CAST(CAST(floor((CAST(sxy AS DOUBLE) / 68719476736.0 - " +
           "(CAST(sx AS DOUBLE) / 68719476736.0) * " +
-          "(CAST(sy AS DOUBLE) / 68719476736.0) / n) / n, 6) AS cov FROM s"),
+          "(CAST(sy AS DOUBLE) / 68719476736.0) / n) / n " +
+          "* 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS cov FROM s"),
       "q_layout_zorder" -> {
         // the interleave is GENERATED from the same (bits, k) loop the
         // Spark expression unrolls — identical term order, identical shifts
@@ -1262,9 +1269,9 @@ object PipelineQueries {
           "s2.str AS canonical FROM c " +
           "JOIN s s1 ON s1.id = c.id JOIN s s2 ON s2.id = c.comp"),
       "q_fn_array" ->
-        ("SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) AS arr_first, " +
-          "round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS arr_last, " +
-          "round(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]), 'sum'), 6) AS head_sum, " +
+        ("SELECT vec_id, round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS arr_first, " +
+          "round(CAST(embedding[len(embedding)] AS DOUBLE), 6) + 0.0 AS arr_last, " +
+          "round(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]), 'sum'), 6) + 0.0 AS head_sum, " +
           "CAST(len(embedding) AS INT) AS n FROM embeddings")
     )
   }

@@ -168,8 +168,9 @@ object VectorQueries {
     "q_vec_pair_metrics" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings) " +
         "SELECT a.vec_id AS id_a, " +
-        "round(list_dot_product(a.v, b.v), 6) AS dot, " +
-        s"round(${cosSql("a.v", "b.v")}, 6) AS cosine, " +
+        // "+ 0.0": -0.0 → +0.0 to match Spark's BigDecimal round
+        "round(list_dot_product(a.v, b.v), 6) + 0.0 AS dot, " +
+        s"round(${cosSql("a.v", "b.v")}, 6) + 0.0 AS cosine, " +
         "round(sqrt(list_dot_product(list_transform(range(len(a.v)), i -> a.v[i+1]-b.v[i+1]), " +
         "list_transform(range(len(a.v)), i -> a.v[i+1]-b.v[i+1]))), 6) AS l2_dist " +
         "FROM e a JOIN e b ON b.vec_id = a.vec_id + 1"),
@@ -177,12 +178,12 @@ object VectorQueries {
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, " +
         "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n " +
         "FROM embeddings) " +
-        "SELECT vec_id, round(CASE WHEN n = 0 THEN v[1] ELSE v[1]/n END, 6) AS u1, " +
+        "SELECT vec_id, round(CASE WHEN n = 0 THEN v[1] ELSE v[1]/n END, 6) + 0.0 AS u1, " +
         "round(CASE WHEN n = 0 THEN n ELSE sqrt(list_dot_product(" +
         "list_transform(v, x -> x/n), list_transform(v, x -> x/n))) END, 6) AS unit_norm " +
         "FROM e"),
     "q_vec_centroid" ->
-      ("SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS centroid_v FROM " +
+      ("SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) + 0.0 AS centroid_v FROM " +
         "(SELECT label, generate_subscripts(embedding, 1) AS pos, " +
         "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) " +
         "GROUP BY label, pos"),
@@ -209,7 +210,7 @@ object VectorQueries {
         "a AS (SELECT vec_id, center_id AS cluster_id FROM " +
         "(SELECT vec_id, center_id, row_number() OVER (PARTITION BY vec_id " +
         "ORDER BY dist, center_id) AS rn FROM s) WHERE rn = 1) " +
-        "SELECT cluster_id, CAST(pos AS INT) AS pos, round(avg(ev), 6) AS centroid_v FROM " +
+        "SELECT cluster_id, CAST(pos AS INT) AS pos, round(avg(ev), 6) + 0.0 AS centroid_v FROM " +
         "(SELECT a.cluster_id, generate_subscripts(em.embedding, 1) AS pos, " +
         "unnest(CAST(em.embedding AS DOUBLE[])) AS ev " +
         "FROM a JOIN embeddings em ON a.vec_id = em.vec_id) " +
@@ -227,7 +228,7 @@ object VectorQueries {
         "ELSE CAST(floor(x / sc + CAST(0.5 AS DOUBLE)) AS INT) END AS DOUBLE) * sc - x))), 6) " +
         "AS q_err FROM s"),
     "q_vec_centroid_agg" ->
-      ("SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) AS centroid_v FROM " +
+      ("SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 6) + 0.0 AS centroid_v FROM " +
         "(SELECT label, generate_subscripts(embedding, 1) AS pos, " +
         "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings) " +
         "GROUP BY label, pos"),

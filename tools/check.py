@@ -11,6 +11,7 @@ import json
 import sys
 import glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -54,6 +55,24 @@ def main(sf_dir: str, out_dir: str) -> int:
             eq = True
             for c in spark_df.columns:
                 a, b = spark_df[c], duck_df[c]
+                if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+                    # BITWISE compare, NaN-aware. The driver hashes value
+                    # bit patterns, so 0.0 vs -0.0 is a driver FAIL that a
+                    # value compare (0.0 == -0.0 → True) cannot see — that
+                    # divergence kept q_vec_cov locally green but driver-red
+                    # for a whole round. Local behavior must predict driver
+                    # behavior, so compare the int64 views.
+                    av = a.to_numpy(dtype="float64")
+                    bv = b.to_numpy(dtype="float64")
+                    ok_mask = (av.view("int64") == bv.view("int64")) | (
+                        np.isnan(av) & np.isnan(bv))
+                    same = bool(ok_mask.all())
+                    if not same:
+                        eq = False
+                        idx = np.flatnonzero(~ok_mask)[:3]
+                        print(f"FAIL {name}: col {c} diverges bitwise, e.g. "
+                              f"{[(repr(av[i]), repr(bv[i])) for i in idx]}")
+                    continue
                 try:
                     same = a.equals(b) or (a.astype("float64").sub(b.astype("float64")).abs().max() == 0.0)
                 except (TypeError, ValueError):
