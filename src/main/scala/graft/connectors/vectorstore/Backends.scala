@@ -43,20 +43,19 @@ class PineconeProvider extends VectorStoreProvider {
 abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
   extends VectorConnector {
 
-  /** Config-driven transport: a `url` connection key points the engine at
-    * an HTTP backend (wrapped in bounded retries, `max_retries` tunable) —
-    * the registration is process-wide, exactly how a deployment configures
-    * its backend endpoint once per JVM; without `url` the currently
-    * registered transport (default: in-memory emulation) stays. */
-  protected def installTransport(connection: Map[String, String]): Unit =
-    connection.get("url").foreach { url =>
-      VectorStore.use(RetryingTransport(new HttpTransport(url),
-        maxAttempts = connection.get("max_retries").map(_.toInt).getOrElse(3)))
-    }
+  /** Config-driven transport: a `url` connection key points THIS
+    * connector's reads/writes at an HTTP endpoint (auth via `api_key`,
+    * bounded retries via `max_retries`). The endpoint rides the options
+    * into every DSv2 table, so it is resolved per table at execution
+    * time — never installed process-wide. That matters because DSv2 scans
+    * run lazily: in a migration the source's scroll calls execute during
+    * the TARGET's write, and a process-global install would read the
+    * source collection from the target backend. */
+  protected def specOf(connection: Map[String, String]): TransportSpec =
+    TransportSpec.fromOptions(connection.get, backend = name)
 
   override def read(spark: SparkSession, connection: Map[String, String],
                     query: QuerySpec): DataFrame = {
-    installTransport(connection)
     var df = spark.read.format(fmt)
       .options(connection)
       .option("collection", query.collection)
@@ -69,7 +68,6 @@ abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
 
   override def write(df: DataFrame, connection: Map[String, String],
                      load: LoadSpec): WriteReport = {
-    installTransport(connection)
     df.write.format(fmt)
       .options(connection)
       .option("collection", load.collection)
@@ -83,17 +81,17 @@ abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
     // true per-writer accounting from the commit messages — counts upserted
     // AND skipped records, which a before/after size diff cannot see
     val (written, skipped) = VSWriteStats.get(load.collection)
-      .getOrElse((VectorStore.count(load.collection).toLong, 0L))
+      .getOrElse((VectorStore.resolve(specOf(connection)).count(load.collection).toLong, 0L))
     WriteReport(written = written, skipped = skipped)
   }
 
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],
                           collection: String): SchemaInfo = {
-    installTransport(connection)
-    val cfg = VectorStore.config(collection).getOrElse(
+    val store = VectorStore.resolve(specOf(connection))
+    val cfg = store.describe(collection).getOrElse(
       throw new graft.config.ConfigException(s"collection not found: $collection"))
     val dim = Some(cfg.dim).filter(_ > 0).orElse(
-      VectorStore.scroll(collection, 0, 1).headOption
+      store.scroll(collection, 0, 1).headOption
         .flatMap(r => Option(r.vector)).map(_.length))
     SchemaInfo(collection, Canonical.schema, dim, Some(cfg.distance), cfg.props)
   }

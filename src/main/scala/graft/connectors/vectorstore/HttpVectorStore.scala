@@ -98,7 +98,12 @@ object HttpJson {
   * `failEveryNth > 0` makes every Nth request answer 503 BEFORE touching
   * the store (deterministic transient-fault injection for retry tests). */
 class HttpVectorStoreServer(inner: VectorStoreTransport, port: Int = 0,
-                            failEveryNth: Int = 0) {
+                            failEveryNth: Int = 0,
+                            /** When set, requests must carry this key in
+                              * the `api-key` header (Qdrant's scheme) or
+                              * get 401 — lets tests assert the credential
+                              * actually crosses the wire. */
+                            apiKey: Option[String] = None) {
   import HttpJson._
 
   private val reqCount = new AtomicLong(0)
@@ -141,6 +146,10 @@ class HttpVectorStoreServer(inner: VectorStoreTransport, port: Int = 0,
     if (failEveryNth > 0 && reqCount.incrementAndGet() % failEveryNth == 0)
       return err(ex, 503, "injected transient fault")
     else if (failEveryNth <= 0) reqCount.incrementAndGet()
+    apiKey.foreach { k =>
+      if (Option(ex.getRequestHeaders.getFirst("api-key")).forall(_ != k))
+        return err(ex, 401, "invalid or missing api-key")
+    }
     // /collections/{name}[/verb]
     val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
     if (parts.length < 2) {
@@ -205,7 +214,11 @@ class HttpVectorStoreServer(inner: VectorStoreTransport, port: Int = 0,
   * each open their own connections (connections are per-request; the JDK
   * pools keep-alive sockets under the hood). */
 class HttpTransport(baseUrl: String, connectTimeoutMs: Int = 2000,
-                    readTimeoutMs: Int = 10000) extends VectorStoreTransport {
+                    readTimeoutMs: Int = 10000,
+                    /** Sent as the `api-key` request header (Qdrant's auth
+                      * scheme, `adapters/qdrant.py:42-50` passes the same
+                      * credential to qdrant_client). Never logged. */
+                    apiKey: Option[String] = None) extends VectorStoreTransport {
   import HttpJson._
 
   private def enc(name: String): String = URLEncoder.encode(name, UTF_8)
@@ -215,6 +228,7 @@ class HttpTransport(baseUrl: String, connectTimeoutMs: Int = 2000,
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod(method)
+    apiKey.foreach(k => conn.setRequestProperty("api-key", k))
     body.foreach { b =>
       conn.setDoOutput(true)
       conn.setRequestProperty("Content-Type", "application/json")
@@ -288,5 +302,18 @@ class HttpTransport(baseUrl: String, connectTimeoutMs: Int = 2000,
   override def listCollections(): Seq[String] = {
     val a = call("GET", "/collections").get("collections").asInstanceOf[ArrayNode]
     (0 until a.size()).map(i => a.get(i).asText())
+  }
+}
+
+object HttpTransport {
+  /** The wire client for an endpoint spec — each backend speaks its own
+    * REST dialect (see [[QdrantWireTransport]]/[[MilvusWireTransport]]/
+    * [[PineconeWireTransport]]); unknown backends fall back to the
+    * generic JSON transport. */
+  def forSpec(spec: TransportSpec): VectorStoreTransport = spec.backend match {
+    case "qdrant" => new QdrantWireTransport(spec.url.get, spec.apiKey)
+    case "milvus" => new MilvusWireTransport(spec.url.get, spec.apiKey)
+    case "pinecone" => new PineconeWireTransport(spec.url.get, spec.apiKey)
+    case _ => new HttpTransport(spec.url.get, apiKey = spec.apiKey)
   }
 }

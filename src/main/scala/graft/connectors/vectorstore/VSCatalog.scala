@@ -31,11 +31,18 @@ class VSCatalog extends TableCatalog {
   private var catalogName: String = _
   private var provider: VectorStoreProvider = _
   private var catalogOptions: CaseInsensitiveStringMap = _
+  private var spec: TransportSpec = TransportSpec.Local
+  /** The catalog's own endpoint (`spark.sql.catalog.vs.url` etc.) — each
+    * registered catalog talks to ITS backend, so two catalogs on two urls
+    * migrate between real endpoints in one INSERT…SELECT. */
+  private def store: VectorStoreTransport = VectorStore.resolve(spec)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     catalogOptions = options
-    provider = Option(options.get("backend")).map(_.toLowerCase).getOrElse("qdrant") match {
+    val backend = Option(options.get("backend")).map(_.toLowerCase).getOrElse("qdrant")
+    spec = TransportSpec.fromOptions(k => Option(options.get(k)), backend)
+    provider = backend match {
       case "qdrant" => new QdrantProvider
       case "milvus" => new MilvusProvider
       case "pinecone" => new PineconeProvider
@@ -53,18 +60,18 @@ class VSCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val prefix = if (namespace.isEmpty) "" else namespace.mkString("::") + "::"
-    VectorStore.listCollections()
+    store.listCollections()
       .filter(_.startsWith(prefix))
       .map(c => Identifier.of(namespace, c.stripPrefix(prefix)))
       .toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    VectorStore.exists(collection(ident))
+    store.exists(collection(ident))
 
   override def loadTable(ident: Identifier): Table = {
     val coll = collection(ident)
-    if (!VectorStore.exists(coll)) throw new NoSuchTableException(ident)
+    if (!store.exists(coll)) throw new NoSuchTableException(ident)
     provider.getTable(null, Array.empty, tableProps(coll, util.Map.of()))
   }
 
@@ -72,7 +79,7 @@ class VSCatalog extends TableCatalog {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val coll = collection(ident)
-    if (VectorStore.exists(coll)) throw new TableAlreadyExistsException(ident)
+    if (store.exists(coll)) throw new TableAlreadyExistsException(ident)
     if (partitions.nonEmpty)
       throw new UnsupportedOperationException("vector-store tables are unpartitioned")
     val vectorType =
@@ -97,7 +104,7 @@ class VSCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"distance '$distance' not supported by ${provider.shortName()} " +
           s"(one of ${provider.rules.allowedDistances.mkString(", ")})")
-    VectorStore.createCollection(coll, CollectionConfig(
+    store.createCollection(coll, CollectionConfig(
       distance = distance,
       dim = Option(properties.get("dim")).map(_.toInt).getOrElse(0),
       vectorType = vectorType), recreate = false)
@@ -109,8 +116,8 @@ class VSCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean = {
     val coll = collection(ident)
-    val existed = VectorStore.exists(coll)
-    if (existed) VectorStore.drop(coll)
+    val existed = store.exists(coll)
+    if (existed) store.drop(coll)
     existed
   }
 

@@ -59,10 +59,12 @@ trait VectorStoreTransport extends Serializable {
 /** Shared-JVM emulation of a vector store: collections of [[VSRecord]]s
   * with per-collection config. In `local[n]` the executors share this JVM,
   * so the DSv2 readers/writers exercise the full distributed code path
-  * against it. This is one [[VectorStoreTransport]]; a deployment against
-  * live Qdrant/Milvus/Pinecone registers a network impl instead.
+  * against it. Instantiable so tests can stand up several INDEPENDENT
+  * stores (e.g. one per loopback server when proving that a migration
+  * between two endpoints reads from the right one); the default
+  * process-wide store is the [[InMemoryTransport]] singleton.
   */
-object InMemoryTransport extends VectorStoreTransport {
+class InMemoryStore extends VectorStoreTransport {
   private val data = new ConcurrentHashMap[String, ArrayBuffer[VSRecord]]()
   private val configs = new ConcurrentHashMap[String, CollectionConfig]()
 
@@ -126,6 +128,39 @@ object InMemoryTransport extends VectorStoreTransport {
   def clear(): Unit = { data.clear(); configs.clear() }
 }
 
+/** The process default [[InMemoryStore]]. */
+object InMemoryTransport extends InMemoryStore
+
+/** Serializable address of a backend endpoint, derived from connection /
+  * DSv2 options on the driver and resolved to a live transport lazily in
+  * whichever JVM a store call runs (driver or executor — each JVM builds
+  * the client once per endpoint and caches it). Keying transports by
+  * endpoint — instead of swapping one process-wide transport at read()/
+  * write() call time — is what makes a migration between two DIFFERENT
+  * url endpoints sound: DSv2 scans execute lazily, so the source's scroll
+  * calls run during the target's write, and a process-global install
+  * would read the source collection from the TARGET backend (silently
+  * wrong data when a same-named collection exists there). */
+case class TransportSpec(url: Option[String] = None, backend: String = "qdrant",
+                         apiKey: Option[String] = None, maxRetries: Int = 3) {
+  def isRemote: Boolean = url.isDefined
+}
+
+object TransportSpec {
+  /** The in-process default (whatever [[VectorStore.use]] registered). */
+  val Local: TransportSpec = TransportSpec()
+
+  /** From a connection/options map: `url` selects the HTTP wire (absent →
+    * in-process default), `api_key` rides as the backend's auth header,
+    * `max_retries` bounds the transient-fault retry wrapper. */
+  def fromOptions(get: String => Option[String], backend: String): TransportSpec =
+    TransportSpec(
+      url = get("url").map(_.trim).filter(_.nonEmpty),
+      backend = backend,
+      apiKey = get("api_key").filter(_.nonEmpty),
+      maxRetries = get("max_retries").map(_.toInt).getOrElse(3))
+}
+
 /** Routing facade the source code calls: delegates every store call to the
   * registered [[VectorStoreTransport]] (default: the in-JVM emulation).
   * `use` swaps the transport process-wide — on a real cluster the same
@@ -133,12 +168,33 @@ object InMemoryTransport extends VectorStoreTransport {
 object VectorStore {
   @volatile private var transport: VectorStoreTransport = InMemoryTransport
 
+  private val remote =
+    new ConcurrentHashMap[TransportSpec, VectorStoreTransport]()
+
   /** Register a transport (network client, mock, …); returns the previous
     * one so callers can restore it. */
   def use(t: VectorStoreTransport): VectorStoreTransport = {
     val prev = transport; transport = t; prev
   }
   def current: VectorStoreTransport = transport
+
+  /** Resolve a spec to a live transport. No url → the process default;
+    * a url → a retry-wrapped HTTP client speaking the spec's backend wire
+    * dialect, built once per (endpoint, auth, backend) per JVM. Tests can
+    * pre-pin an endpoint to a custom transport via [[pin]]. */
+  def resolve(spec: TransportSpec): VectorStoreTransport =
+    if (!spec.isRemote) transport
+    else remote.computeIfAbsent(spec, s =>
+      RetryingTransport(HttpTransport.forSpec(s), maxAttempts = s.maxRetries))
+
+  /** Pre-bind an endpoint spec to a specific transport (fault-injection
+    * doubles, counters); returns any previously pinned transport. */
+  def pin(spec: TransportSpec, t: VectorStoreTransport): Option[VectorStoreTransport] =
+    Option(remote.put(spec, t))
+
+  /** Drop cached endpoint clients (test hygiene between loopback servers
+    * that reuse ports). */
+  def clearRemotes(): Unit = remote.clear()
 
   def createCollection(name: String, config: CollectionConfig, recreate: Boolean): Unit =
     transport.createCollection(name, config, recreate)
@@ -154,7 +210,7 @@ object VectorStore {
 
   /** Test hygiene: wipe the in-memory emulation (no-op for other transports). */
   def clear(): Unit = transport match {
-    case InMemoryTransport => InMemoryTransport.clear()
+    case s: InMemoryStore => s.clear()
     case _ => ()
   }
 }

@@ -42,6 +42,14 @@ abstract class VectorStoreProvider extends TableProvider with DataSourceRegister
     new VSTable(collectionName(opts), shortName(), dialect, rules, opts, vectorType = vt)
   }
 
+  /** Endpoint address carried in the options: `url`/`api_key`/
+    * `max_retries` select (and authenticate) the wire transport; absent →
+    * the in-process default. Derived per TABLE, so a plan reading one
+    * endpoint and writing another resolves each side's own client. */
+  protected def specOf(opts: CaseInsensitiveStringMap): TransportSpec =
+    TransportSpec.fromOptions(k => Option(opts.get(k)),
+      backend = shortName().stripPrefix("graft-"))
+
   /** FLOAT_VECTOR | BINARY_VECTOR: the explicit `vector_type` option wins;
     * otherwise an existing collection's stored config decides (the
     * reference's schema-driven field heuristic, `adapters/milvus.py:82` —
@@ -49,7 +57,7 @@ abstract class VectorStoreProvider extends TableProvider with DataSourceRegister
   protected def vectorTypeOf(opts: CaseInsensitiveStringMap): String =
     Option(opts.get("vector_type")).map(_.toUpperCase)
       .orElse(Option(opts.get("collection"))
-        .flatMap(_ => VectorStore.config(collectionName(opts)))
+        .flatMap(_ => VectorStore.resolve(specOf(opts)).describe(collectionName(opts)))
         .map(_.vectorType))
       .getOrElse(VectorTypes.Float)
 
@@ -96,6 +104,13 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
               val backendFilters: Array[Filter] = Array.empty)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
+  /** This table's endpoint — every scan/write/delete under it talks to
+    * the transport its own options name, never a process-global one. */
+  private val spec: TransportSpec =
+    TransportSpec.fromOptions(k => Option(opts.get(k)),
+      backend = source.stripPrefix("graft-"))
+  private def store: VectorStoreTransport = VectorStore.resolve(spec)
+
   def withSearch(spec: SearchSpec): VSTable =
     new VSTable(collection, source, dialect, rules, opts, Some(spec), vectorType,
       backendFilters)
@@ -114,7 +129,7 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
   /** Stored collection config surfaced as table properties — this is what
     * `SHOW TBLPROPERTIES vs.c` and `DESCRIBE TABLE EXTENDED` print. */
   override def properties(): util.Map[String, String] =
-    VectorStore.config(collection).map { cfg =>
+    store.describe(collection).map { cfg =>
       val m = new util.HashMap[String, String]()
       m.put("distance", cfg.distance)
       m.put("dim", cfg.dim.toString)
@@ -130,10 +145,10 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VSScanBuilder(collection, dialect,
       Option(options.get("page_size")).map(_.toInt).getOrElse(1000), search, schema(),
-      backendFilters)
+      backendFilters, spec)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new VSWriteBuilder(collection, rules, info.options(), info.schema())
+    new VSWriteBuilder(collection, rules, info.options(), info.schema(), spec)
 
   /** `DELETE FROM vs.c WHERE …` (through [[VSCatalog]]): only predicates
     * the store itself can evaluate are accepted — Spark rejects the DELETE
@@ -148,13 +163,15 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
     val pageSize = Option(opts.get("page_size")).map(_.toInt).getOrElse(1000)
     val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
     var from = 0
-    var page = VectorStore.scroll(collection, from, pageSize)
+    var page = store.scroll(collection, from, pageSize)
     while (page.nonEmpty) {
-      doomed ++= page.filter(r => filters.forall(FilterEval.eval(_, r))).map(_.id)
+      // three-valued: UNKNOWN (absent key) does not delete
+      doomed ++= page.filter(r =>
+        filters.forall(f => FilterEval.eval3(f, r).contains(true))).map(_.id)
       from += page.length
-      page = VectorStore.scroll(collection, from, pageSize)
+      page = store.scroll(collection, from, pageSize)
     }
-    doomed.grouped(pageSize).foreach(b => VectorStore.delete(collection, b.toSeq))
+    doomed.grouped(pageSize).foreach(b => store.delete(collection, b.toSeq))
   }
 }
 
@@ -163,7 +180,8 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
 class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
                     search: Option[SearchSpec] = None,
                     tableSchema: StructType = Canonical.schema,
-                    backendFilters: Array[Filter] = Array.empty)
+                    backendFilters: Array[Filter] = Array.empty,
+                    spec: TransportSpec = TransportSpec.Local)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset
     with SupportsPushDownAggregates {
@@ -221,17 +239,19 @@ class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
     // seam) but are NOT reported via pushedFilters() — Spark never took
     // responsibility for them, the plan's Filter node still re-checks
     new VSScan(collection, dialect, pushed ++ backendFilters, required, limit, offset,
-      pageSize, search, countColumns)
+      pageSize, search, countColumns, spec)
 }
 
 case class VSInputPartition(start: Int, end: Int) extends InputPartition
 
 class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
              required: StructType, limit: Option[Int], offset: Option[Int], pageSize: Int,
-             search: Option[SearchSpec] = None, countColumns: Int = 0)
+             search: Option[SearchSpec] = None, countColumns: Int = 0,
+             spec: TransportSpec = TransportSpec.Local)
   extends Scan with Batch with SupportsReportStatistics {
 
   private def countMode = countColumns > 0
+  private def store: VectorStoreTransport = VectorStore.resolve(spec)
 
   override def readSchema(): StructType =
     if (countMode)
@@ -254,7 +274,7 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     * a small collection joined against a big fact table instead of
     * shuffling the fact side. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val total = VectorStore.count(collection)
+    private val total = store.count(collection)
     private val rows: Long = limit match {
       case Some(l) => math.min(l.toLong, math.max(0L, total.toLong - offset.getOrElse(0)))
       case None if countMode => 1L
@@ -262,7 +282,7 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     }
     private val rowBytes: Long =
       if (countMode) 8L
-      else VectorStore.config(collection).map { c =>
+      else store.describe(collection).map { c =>
         val vec = if (c.vectorType == VectorTypes.Binary) (c.dim + 7) / 8 else c.dim * 4
         32L + vec
       }.getOrElse(256L)
@@ -272,7 +292,7 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = VectorStore.count(collection)
+    val total = store.count(collection)
     limit match {
       // pushed limit+offset: single scroll from the head — the reference's
       // pagination semantics (one ordered page)
@@ -290,28 +310,32 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VSReaderFactory(collection, pushed, required, pageSize, search, countColumns)
+    new VSReaderFactory(collection, pushed, required, pageSize, search, countColumns, spec)
 }
 
 class VSReaderFactory(collection: String, pushed: Array[Filter], required: StructType,
-                      pageSize: Int, search: Option[SearchSpec] = None, countColumns: Int = 0)
+                      pageSize: Int, search: Option[SearchSpec] = None, countColumns: Int = 0,
+                      spec: TransportSpec = TransportSpec.Local)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     if (countColumns > 0)
       new VSCountReader(collection, partition.asInstanceOf[VSInputPartition], pushed,
-        pageSize, countColumns)
+        pageSize, countColumns, spec)
     else
       new VSPartitionReader(collection, partition.asInstanceOf[VSInputPartition], pushed,
-        required, pageSize, search)
+        required, pageSize, search, spec)
 }
 
 /** Pushed-COUNT(*) reader: scrolls its assigned range, counts the records
   * the pushed filters keep, and emits exactly ONE row of longs — the
   * partial count Spark's final Aggregate sums. Rows never cross the seam. */
 class VSCountReader(collection: String, part: VSInputPartition, pushed: Array[Filter],
-                    pageSize: Int, countColumns: Int)
+                    pageSize: Int, countColumns: Int,
+                    spec: TransportSpec = TransportSpec.Local)
   extends PartitionReader[InternalRow] {
 
+  // resolved in the executor JVM where this reader was deserialized
+  private val store = VectorStore.resolve(spec)
   private var emitted = false
 
   override def next(): Boolean = !emitted && { emitted = true; true }
@@ -321,7 +345,7 @@ class VSCountReader(collection: String, part: VSInputPartition, pushed: Array[Fi
     var c = part.start
     while (c < part.end) {
       val sz = math.min(pageSize, part.end - c)
-      n += VectorStore.scroll(collection, c, sz)
+      n += store.scroll(collection, c, sz)
         .count(r => pushed.forall(FilterEval.eval(_, r)))
       c += sz
     }
@@ -336,9 +360,11 @@ class VSCountReader(collection: String, part: VSInputPartition, pushed: Array[Fi
   * and emits only the pruned columns. */
 class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Array[Filter],
                         required: StructType, pageSize: Int,
-                        search: Option[SearchSpec] = None)
+                        search: Option[SearchSpec] = None,
+                        spec: TransportSpec = TransportSpec.Local)
   extends PartitionReader[InternalRow] {
 
+  private val store = VectorStore.resolve(spec)
   private var cursor = part.start
   private var page: Iterator[VSRecord] = Iterator.empty
   private var current: VSRecord = _
@@ -355,7 +381,7 @@ class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Arra
     var c = part.start
     while (c < part.end) {
       val n = math.min(pageSize, part.end - c)
-      all ++= VectorStore.scroll(collection, c, n).filter(r => pushed.forall(FilterEval.eval(_, r)))
+      all ++= store.scroll(collection, c, n).filter(r => pushed.forall(FilterEval.eval(_, r)))
       c += n
     }
     if (sp.metric == "hamming")
@@ -398,7 +424,7 @@ class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Arra
         if (pushed.forall(FilterEval.eval(_, r))) { current = r; return true }
       } else if (cursor < part.end) {
         val n = math.min(pageSize, part.end - cursor)
-        page = VectorStore.scroll(collection, cursor, n).iterator
+        page = store.scroll(collection, cursor, n).iterator
         cursor += n
       } else return false
     }
@@ -428,9 +454,19 @@ class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Arra
 /** Evaluates Catalyst pushdown filters against a [[VSRecord]] — the
   * "backend query engine" of the emulation. */
 object FilterEval {
+  // a metadata key present with a null value is SQL NULL — absent
   private def attr(name: String, r: VSRecord): Option[String] =
-    if (name == Canonical.ID) Option(r.id)
-    else r.metadata.get(DialectUtil.stripMeta(name))
+    (if (name == Canonical.ID) Option(r.id)
+     else r.metadata.get(DialectUtil.stripMeta(name))).flatMap(Option(_))
+
+  /** Whether `name` addresses something [[attr]] can resolve: the id
+    * column or a metadata key. A predicate on the `vector`/`metadata`
+    * columns themselves is NOT evaluable — accepting one on the DELETE
+    * path would match nothing and silently delete zero rows where Spark
+    * believes the DELETE ran. */
+  private def resolvableAttr(name: String): Boolean =
+    name == Canonical.ID ||
+      (name != Canonical.VECTOR && name != Canonical.METADATA)
 
   private def cmp(name: String, v: Any, r: VSRecord)(op: Int => Boolean): Boolean =
     attr(name, r).exists { s =>
@@ -460,18 +496,72 @@ object FilterEval {
     case _ => true // unsupported filters were never pushed
   }
 
-  /** Whether [[eval]] implements `f` exactly — the acceptance test for
-    * DELETE pushdown, where "treat as true" would delete too much. */
+  /** Whether the DELETE path implements `f` exactly — both the filter
+    * SHAPE and the attribute it references must be evaluable ("treat as
+    * true" would delete too much; an unresolvable attribute would match
+    * nothing and silently delete zero rows). */
   def supported(f: Filter): Boolean = f match {
-    case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
-         LessThan(_, _) | LessThanOrEqual(_, _) | In(_, _) | IsNull(_) |
-         IsNotNull(_) | StringStartsWith(_, _) | StringEndsWith(_, _) |
-         StringContains(_, _) => true
+    case EqualTo(a, _) => resolvableAttr(a)
+    case GreaterThan(a, _) => resolvableAttr(a)
+    case GreaterThanOrEqual(a, _) => resolvableAttr(a)
+    case LessThan(a, _) => resolvableAttr(a)
+    case LessThanOrEqual(a, _) => resolvableAttr(a)
+    case In(a, _) => resolvableAttr(a)
+    case IsNull(a) => resolvableAttr(a)
+    case IsNotNull(a) => resolvableAttr(a)
+    case StringStartsWith(a, _) => resolvableAttr(a)
+    case StringEndsWith(a, _) => resolvableAttr(a)
+    case StringContains(a, _) => resolvableAttr(a)
     case _: AlwaysTrue | _: AlwaysFalse => true
     case And(l, r) => supported(l) && supported(r)
     case Or(l, r) => supported(l) && supported(r)
     case Not(c) => supported(c)
     case _ => false
+  }
+
+  /** SQL three-valued evaluation for the DELETE path: `None` = UNKNOWN
+    * (the referenced key is absent / NULL), and an UNKNOWN row is NOT
+    * deleted — matching `DELETE … WHERE` semantics, where `NOT (absent =
+    * 'x')` is NULL, not TRUE. The two-valued [[eval]] stays the SCAN-path
+    * engine (pushed scan predicates reference `id` or dialect-rendered
+    * metadata keys whose absent-is-false matches SQL's filter outcome);
+    * deletes are where the two-valued collapse over-deletes. */
+  def eval3(f: Filter, r: VSRecord): Option[Boolean] = {
+    def cmp3(name: String, v: Any)(op: Int => Boolean): Option[Boolean] =
+      attr(name, r).map { s =>
+        v match {
+          case n: Number => s.toDoubleOption.exists(d => op(d.compareTo(n.doubleValue())))
+          case other => op(s.compareTo(String.valueOf(other)))
+        }
+      }
+    f match {
+      case EqualTo(a, v) => cmp3(a, v)(_ == 0)
+      case GreaterThan(a, v) => cmp3(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp3(a, v)(_ >= 0)
+      case LessThan(a, v) => cmp3(a, v)(_ < 0)
+      case LessThanOrEqual(a, v) => cmp3(a, v)(_ <= 0)
+      case In(a, vs) =>
+        attr(a, r).map(_ => vs.exists(v => cmp3(a, v)(_ == 0).contains(true)))
+      case IsNull(a) => Some(attr(a, r).isEmpty)
+      case IsNotNull(a) => Some(attr(a, r).isDefined)
+      case StringStartsWith(a, p) => attr(a, r).map(_.startsWith(p))
+      case StringEndsWith(a, p) => attr(a, r).map(_.endsWith(p))
+      case StringContains(a, p) => attr(a, r).map(_.contains(p))
+      case And(l, rr) => (eval3(l, r), eval3(rr, r)) match { // Kleene AND
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, rr) => (eval3(l, r), eval3(rr, r)) match { // Kleene OR
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Not(c) => eval3(c, r).map(!_)
+      case _: AlwaysTrue => Some(true)
+      case _: AlwaysFalse => Some(false)
+      case _ => None // unsupported never reaches the delete path
+    }
   }
 
   def toMapData(m: Map[String, String]): MapData = {
@@ -485,9 +575,11 @@ object FilterEval {
 // --------------------------------------------------------------- write side
 
 class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiveStringMap,
-                     writeSchema: StructType = Canonical.schema)
+                     writeSchema: StructType = Canonical.schema,
+                     spec: TransportSpec = TransportSpec.Local)
   extends WriteBuilder with SupportsTruncate {
 
+  private def store: VectorStoreTransport = VectorStore.resolve(spec)
   private var doTruncate = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -522,19 +614,19 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
           rules.allowedDistances.contains(distance),
           s"unsupported distance: $raw (valid: ${rules.allowedDistances.mkString(", ")})")
       val recreate = doTruncate || Option(opts.get("recreate")).exists(_.toBoolean)
-      if (rules.requireExisting && !recreate && !VectorStore.exists(collection))
+      if (rules.requireExisting && !recreate && !store.exists(collection))
         throw new IllegalStateException(
           s"collection $collection does not exist (this backend requires pre-created collections)")
       val vt = if (binaryVec) VectorTypes.Binary else VectorTypes.Float
       // appending the wrong vector face into an existing collection is a
       // schema error, not silent corruption
-      VectorStore.config(collection).filter(_ => !recreate).foreach { cfg =>
+      store.describe(collection).filter(_ => !recreate).foreach { cfg =>
         require(cfg.vectorType == vt,
           s"collection $collection holds ${cfg.vectorType}, cannot append $vt records")
       }
       // collection DDL happens once, on the driver — like the reference's
       // create-before-load (adapters/qdrant.py:188-212)
-      VectorStore.createCollection(collection,
+      store.createCollection(collection,
         CollectionConfig(distance = distance,
           dim = Option(opts.get("dim")).map(_.toInt).getOrElse(0),
           onDisk = Option(opts.get("on_disk")).exists(_.toBoolean),
@@ -550,7 +642,7 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
           vectorType = vt),
         recreate = recreate)
       new VSBatchWrite(collection, rules,
-        Option(opts.get("batch_size")).map(_.toInt).getOrElse(100), binaryVec)
+        Option(opts.get("batch_size")).map(_.toInt).getOrElse(100), binaryVec, spec)
     }
   }
 }
@@ -568,9 +660,10 @@ object VSWriteStats {
 }
 
 class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
-                   binaryVec: Boolean = false) extends BatchWrite {
+                   binaryVec: Boolean = false,
+                   spec: TransportSpec = TransportSpec.Local) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new VSWriterFactory(collection, rules, batchSize, binaryVec)
+    new VSWriterFactory(collection, rules, batchSize, binaryVec, spec)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (w, s) = messages.foldLeft((0L, 0L)) {
       case ((aw, as), VSCommit(cw, cs)) => (aw + cw, as + cs)
@@ -582,19 +675,22 @@ class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
 }
 
 class VSWriterFactory(collection: String, rules: WriteRules, batchSize: Int,
-                      binaryVec: Boolean = false)
+                      binaryVec: Boolean = false,
+                      spec: TransportSpec = TransportSpec.Local)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new VSDataWriter(collection, rules, batchSize, binaryVec)
+    new VSDataWriter(collection, rules, batchSize, binaryVec, spec)
 }
 
 /** Executor-side writer: buffers `batchSize` records then upserts — the
   * distributed form of the reference's batch loop
   * (`adapters/pgvector.py:223-233`, `adapters/qdrant.py:233-249`). */
 class VSDataWriter(collection: String, rules: WriteRules, batchSize: Int,
-                   binaryVec: Boolean = false)
+                   binaryVec: Boolean = false,
+                   spec: TransportSpec = TransportSpec.Local)
   extends DataWriter[InternalRow] {
 
+  private val store = VectorStore.resolve(spec)
   private val buf = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
   private var written = 0L
   private var skipped = 0L
@@ -622,7 +718,7 @@ class VSDataWriter(collection: String, rules: WriteRules, batchSize: Int,
   }
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    written += VectorStore.upsert(collection, buf.toSeq)
+    written += store.upsert(collection, buf.toSeq)
     buf.clear()
   }
 

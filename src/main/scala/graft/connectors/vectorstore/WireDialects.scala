@@ -1,0 +1,546 @@
+package graft.connectors.vectorstore
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.net.{HttpURLConnection, InetSocketAddress, URI, URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import scala.jdk.CollectionConverters._
+
+/** Per-backend REST wire dialects: each client speaks the PUBLIC HTTP API
+  * of its backend (request paths, bodies, auth header, response
+  * envelopes), and each loopback server answers in exactly that shape —
+  * so the hermetic test double is interchangeable with the real service
+  * at the wire level, and "point the engine at a real cluster" is a url
+  * swap, not a code change.
+  *
+  *  - Qdrant: `PUT /collections/{c}`, `PUT /collections/{c}/points?wait=
+  *    true`, `POST /collections/{c}/points/scroll` with `with_payload`/
+  *    `with_vector`, `POST …/points/count`, responses wrapped in
+  *    `{"result": …, "status": "ok"}`, auth via the `api-key` header —
+  *    the surface the reference drives through qdrant_client
+  *    (`adapters/qdrant.py:42-50`, `:99-106`).
+  *  - Milvus: the v2 RESTful verbs (`POST /v2/vectordb/collections/
+  *    create|describe|drop|list`, `entities/upsert|query|delete`),
+  *    responses as `{"code": 0, "data": …}` (errors are HTTP 200 with a
+  *    non-zero code!), auth via `Authorization: Bearer`, metrics as
+  *    COSINE/L2/IP — the pymilvus surface of `adapters/milvus.py`.
+  *  - Pinecone: control plane (`POST/GET/DELETE /indexes…`) + data plane
+  *    (`POST /vectors/upsert|delete`, `GET /vectors/list` +
+  *    `GET /vectors/fetch`, `POST /describe_index_stats`) with
+  *    `namespace` on every data call, auth via `Api-Key` — the surface
+  *    the reference documents in its Pinecone example config.
+  *
+  * Emulation notes (documented divergences, all invisible to callers):
+  * scroll offsets travel as integers (real Qdrant pages by point id,
+  * Pinecone by pagination token — both are rendered from/to our integer
+  * cursor); binary vectors ride base64 in a reserved payload/field slot
+  * on backends whose float-only JSON APIs lack a binary face.
+  */
+private[vectorstore] object WireJson {
+  val mapper = HttpJson.mapper
+
+  def obj(): ObjectNode = mapper.createObjectNode()
+
+  def metadataToNode(parent: ObjectNode, field: String, m: Map[String, String]): Unit = {
+    val p = parent.putObject(field)
+    m.foreach { case (k, v) => if (v == null) p.putNull(k) else p.put(k, v) }
+  }
+
+  def metadataFrom(n: JsonNode): Map[String, String] =
+    if (n == null || n.isNull) Map.empty
+    else n.properties().asScala
+      .map(e => e.getKey -> (if (e.getValue.isNull) null
+      else if (e.getValue.isTextual) e.getValue.asText()
+      else e.getValue.toString)).toMap
+
+  def floats(n: JsonNode): Array[Float] = {
+    val a = n.asInstanceOf[ArrayNode]
+    Array.tabulate(a.size())(i => a.get(i).floatValue())
+  }
+
+  def putFloats(parent: ObjectNode, field: String, v: Array[Float]): Unit = {
+    val a = parent.putArray(field)
+    v.foreach(a.add)
+  }
+
+  def b64(bytes: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(bytes)
+  def unb64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+}
+
+/** Shared client plumbing: one HTTP request per call, per-dialect auth
+  * headers, JDK connection pooling underneath. Serializable by
+  * construction — state is the endpoint + header strings. */
+private[vectorstore] abstract class WireClient(baseUrl: String,
+                                               authHeaders: Map[String, String],
+                                               connectTimeoutMs: Int = 2000,
+                                               readTimeoutMs: Int = 10000)
+  extends VectorStoreTransport {
+  import WireJson.mapper
+
+  protected def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+
+  /** Raw exchange; returns (status, parsed body). */
+  protected def http(method: String, path: String,
+                     body: Option[JsonNode]): (Int, JsonNode) = {
+    val conn = new URI(s"$baseUrl$path").toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod(method)
+    authHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      val bytes = mapper.writeValueAsBytes(b)
+      conn.setFixedLengthStreamingMode(bytes.length)
+      conn.getOutputStream.write(bytes)
+    }
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = if (stream == null) "{}" else new String(stream.readAllBytes(), UTF_8)
+    conn.disconnect()
+    (code, if (text.isEmpty) WireJson.obj() else mapper.readTree(text))
+  }
+
+  /** Exchange with the shared error contract: 404 → NoSuchElementException
+    * (logic error, never retried), other 4xx/5xx → IOException (the
+    * retry layer's transient class). */
+  protected def call(method: String, path: String,
+                     body: Option[JsonNode] = None): JsonNode = {
+    val (code, node) = http(method, path, body)
+    if (code == 404)
+      throw new NoSuchElementException(errText(node, s"not found: $path"))
+    if (code >= 400)
+      throw new java.io.IOException(s"HTTP $code on $method $path: " +
+        errText(node, node.toString))
+    node
+  }
+
+  private def errText(n: JsonNode, dflt: String): String =
+    Seq("error", "message", "status").iterator
+      .flatMap(f => Option(n.get(f)).filter(_.isTextual).map(_.asText()))
+      .nextOption().getOrElse(dflt)
+}
+
+// ======================================================================
+// Qdrant
+// ======================================================================
+
+/** Client speaking Qdrant's REST API. Collection config maps onto the
+  * documented create body: `vectors.size/distance/on_disk/datatype`
+  * (datatype `uint8` marks our BINARY_VECTOR face), `hnsw_config` /
+  * `quantization_config` carry the `hnsw_*`/`quantization_*` props. */
+class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
+  extends WireClient(baseUrl, apiKey.map("api-key" -> _).toMap) {
+  import WireJson._
+
+  override def createCollection(name: String, config: CollectionConfig,
+                                recreate: Boolean): Unit = {
+    if (recreate && exists(name)) drop(name)
+    else if (!recreate && exists(name)) return
+    val b = obj()
+    val v = b.putObject("vectors")
+    v.put("size", config.dim)
+    v.put("distance", config.distance)
+    v.put("on_disk", config.onDisk)
+    if (config.vectorType == VectorTypes.Binary) v.put("datatype", "uint8")
+    val (hnsw, quant) = config.props.partition(_._1.startsWith("hnsw_"))
+    if (hnsw.nonEmpty) {
+      val h = b.putObject("hnsw_config")
+      hnsw.foreach { case (k, x) => h.put(k.stripPrefix("hnsw_"), x) }
+    }
+    if (quant.nonEmpty) {
+      val q = b.putObject("quantization_config")
+      quant.foreach { case (k, x) => q.put(k.stripPrefix("quantization_"), x) }
+    }
+    call("PUT", s"/collections/${enc(name)}", Some(b))
+  }
+
+  override def exists(name: String): Boolean =
+    try { call("GET", s"/collections/${enc(name)}"); true }
+    catch { case _: NoSuchElementException => false }
+
+  override def describe(name: String): Option[CollectionConfig] =
+    try {
+      val r = call("GET", s"/collections/${enc(name)}").get("result")
+      val v = r.get("config").get("params").get("vectors")
+      def cfgProps(field: String, prefix: String): Map[String, String] = {
+        val n = r.get("config").get(field)
+        if (n == null || n.isNull) Map.empty
+        else n.properties().asScala.map(e => s"$prefix${e.getKey}" ->
+          (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString)).toMap
+      }
+      Some(CollectionConfig(
+        distance = v.get("distance").asText(),
+        dim = v.get("size").asInt(),
+        onDisk = v.hasNonNull("on_disk") && v.get("on_disk").asBoolean(),
+        props = cfgProps("hnsw_config", "hnsw_") ++
+          cfgProps("quantization_config", "quantization_"),
+        vectorType =
+          if (v.hasNonNull("datatype") && v.get("datatype").asText() == "uint8")
+            VectorTypes.Binary
+          else VectorTypes.Float))
+    } catch { case _: NoSuchElementException => None }
+
+  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
+    val b = obj()
+    b.put("offset", fromIdx)
+    b.put("limit", pageSize)
+    b.put("with_payload", true)
+    b.put("with_vector", true)
+    val pts = call("POST", s"/collections/${enc(name)}/points/scroll", Some(b))
+      .get("result").get("points").asInstanceOf[ArrayNode]
+    (0 until pts.size()).map(i => pointToRecord(pts.get(i)))
+  }
+
+  override def count(name: String): Int = {
+    val b = obj(); b.put("exact", true)
+    call("POST", s"/collections/${enc(name)}/points/count", Some(b))
+      .get("result").get("count").asInt()
+  }
+
+  override def upsert(name: String, records: Seq[VSRecord]): Int = {
+    val b = obj()
+    val pts = b.putArray("points")
+    records.foreach { r =>
+      val p = pts.addObject()
+      p.put("id", r.id)
+      if (r.vector != null) putFloats(p, "vector", r.vector)
+      val payload = p.putObject("payload")
+      r.metadata.foreach { case (k, v) =>
+        if (v == null) payload.putNull(k) else payload.put(k, v)
+      }
+      // no binary face in Qdrant's JSON point — base64 in a reserved slot
+      if (r.binary != null) payload.put("__binary_b64", b64(r.binary))
+    }
+    call("PUT", s"/collections/${enc(name)}/points?wait=true", Some(b))
+    records.length
+  }
+
+  override def delete(name: String, ids: Seq[String]): Int = {
+    val b = obj()
+    val pts = b.putArray("points")
+    ids.foreach(pts.add)
+    val r = call("POST", s"/collections/${enc(name)}/points/delete?wait=true", Some(b))
+    Option(r.get("result")).flatMap(n => Option(n.get("deleted")))
+      .map(_.asInt()).getOrElse(ids.length)
+  }
+
+  override def drop(name: String): Unit =
+    call("DELETE", s"/collections/${enc(name)}")
+
+  override def listCollections(): Seq[String] = {
+    val a = call("GET", "/collections").get("result").get("collections")
+      .asInstanceOf[ArrayNode]
+    (0 until a.size()).map(i => a.get(i).get("name").asText())
+  }
+
+  private def pointToRecord(p: JsonNode): VSRecord = {
+    val payload = metadataFrom(p.get("payload"))
+    val binary = payload.get("__binary_b64").map(unb64).orNull
+    VSRecord(
+      id = p.get("id").asText(),
+      vector = if (p.hasNonNull("vector")) floats(p.get("vector")) else null,
+      metadata = payload - "__binary_b64",
+      binary = binary)
+  }
+}
+
+// ======================================================================
+// Milvus
+// ======================================================================
+
+/** Client speaking Milvus's v2 RESTful API. Every verb is a POST under
+  * /v2/vectordb; errors arrive as HTTP 200 with a non-zero `code`. */
+class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
+  extends WireClient(baseUrl, apiKey.map(k => "Authorization" -> s"Bearer $k").toMap) {
+  import WireJson._
+
+  private def post(verb: String, body: ObjectNode): JsonNode = {
+    val r = call("POST", s"/v2/vectordb/$verb", Some(body))
+    val code = Option(r.get("code")).map(_.asInt()).getOrElse(0)
+    if (code == 100 || code == 4) // collection not found family
+      throw new NoSuchElementException(
+        Option(r.get("message")).map(_.asText()).getOrElse("collection not found"))
+    if (code != 0)
+      throw new java.io.IOException(s"milvus code $code on $verb: " +
+        Option(r.get("message")).map(_.asText()).getOrElse(""))
+    r
+  }
+
+  private def named(name: String): ObjectNode = {
+    val b = obj(); b.put("collectionName", name); b
+  }
+
+  private def toMetric(distance: String): String = distance match {
+    case "Cosine" => "COSINE"
+    case "Euclid" | "Euclidean" => "L2"
+    case "Dot" | "DotProduct" => "IP"
+    case "Hamming" => "HAMMING"
+    case "Jaccard" => "JACCARD"
+    case other => other
+  }
+  private def fromMetric(m: String): String = m match {
+    case "COSINE" => "Cosine"
+    case "L2" => "Euclid"
+    case "IP" => "Dot"
+    case "HAMMING" => "Hamming"
+    case "JACCARD" => "Jaccard"
+    case other => other
+  }
+
+  override def createCollection(name: String, config: CollectionConfig,
+                                recreate: Boolean): Unit = {
+    if (recreate && exists(name)) drop(name)
+    else if (!recreate && exists(name)) return
+    val b = named(name)
+    b.put("dimension", config.dim)
+    b.put("metricType", toMetric(config.distance))
+    b.put("vectorDataType",
+      if (config.vectorType == VectorTypes.Binary) "BinaryVector" else "FloatVector")
+    if (config.props.nonEmpty || config.onDisk) {
+      val p = b.putObject("params")
+      config.props.foreach { case (k, v) => p.put(k, v) }
+      if (config.onDisk) p.put("on_disk", "true")
+    }
+    post("collections/create", b)
+  }
+
+  override def exists(name: String): Boolean =
+    try { post("collections/describe", named(name)); true }
+    catch { case _: NoSuchElementException => false }
+
+  override def describe(name: String): Option[CollectionConfig] =
+    try {
+      val d = post("collections/describe", named(name)).get("data")
+      val vecField = d.get("fields").asInstanceOf[ArrayNode].asScala
+        .find(f => f.get("type").asText().endsWith("Vector"))
+      Some(CollectionConfig(
+        distance = fromMetric(d.get("metricType").asText()),
+        dim = vecField.map(_.get("params").get("dim").asInt()).getOrElse(0),
+        onDisk = Option(d.get("properties")).exists(p =>
+          p.hasNonNull("on_disk") && p.get("on_disk").asText() == "true"),
+        props = Option(d.get("properties")).map(metadataFrom)
+          .getOrElse(Map.empty).removed("on_disk"),
+        vectorType = vecField.map(_.get("type").asText()) match {
+          case Some("BinaryVector") => VectorTypes.Binary
+          case _ => VectorTypes.Float
+        }))
+    } catch { case _: NoSuchElementException => None }
+
+  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
+    val b = named(name)
+    b.put("filter", "")
+    b.put("offset", fromIdx)
+    b.put("limit", pageSize)
+    val of = b.putArray("outputFields"); of.add("*")
+    val rows = post("entities/query", b).get("data").asInstanceOf[ArrayNode]
+    (0 until rows.size()).map { i =>
+      val row = rows.get(i)
+      val meta = row.properties().asScala
+        .filterNot(e => e.getKey == "id" || e.getKey == "vector")
+        .map(e => e.getKey -> (if (e.getValue.isNull) null
+        else if (e.getValue.isTextual) e.getValue.asText()
+        else e.getValue.toString)).toMap
+      val vecNode = row.get("vector")
+      val (vec, bin) =
+        if (vecNode == null || vecNode.isNull) (null, null)
+        else if (vecNode.isTextual) (null, unb64(vecNode.asText())) // binary face
+        else (floats(vecNode), null)
+      VSRecord(row.get("id").asText(), vec, meta, bin)
+    }
+  }
+
+  override def count(name: String): Int = {
+    val b = named(name)
+    b.put("filter", "")
+    val of = b.putArray("outputFields"); of.add("count(*)")
+    post("entities/query", b).get("data").get(0).get("count(*)").asInt()
+  }
+
+  override def upsert(name: String, records: Seq[VSRecord]): Int = {
+    val b = named(name)
+    val data = b.putArray("data")
+    records.foreach { r =>
+      val row = data.addObject()
+      row.put("id", r.id)
+      if (r.vector != null) putFloats(row, "vector", r.vector)
+      if (r.binary != null) row.put("vector", b64(r.binary))
+      r.metadata.foreach { case (k, v) =>
+        if (v == null) row.putNull(k) else row.put(k, v)
+      }
+    }
+    post("entities/upsert", b).get("data").get("upsertCount").asInt()
+  }
+
+  override def delete(name: String, ids: Seq[String]): Int = {
+    val b = named(name)
+    b.put("filter", ids.map(i => "\"" + i + "\"").mkString("id in [", ", ", "]"))
+    val r = post("entities/delete", b)
+    Option(r.get("data")).flatMap(d => Option(d.get("deleteCount")))
+      .map(_.asInt()).getOrElse(ids.length)
+  }
+
+  override def drop(name: String): Unit = post("collections/drop", named(name))
+
+  override def listCollections(): Seq[String] = {
+    val a = post("collections/list", obj()).get("data").asInstanceOf[ArrayNode]
+    (0 until a.size()).map(i => a.get(i).asText())
+  }
+}
+
+// ======================================================================
+// Pinecone
+// ======================================================================
+
+/** Client speaking Pinecone's REST API. Our `index::namespace` collection
+  * address splits onto the wire: the index rides the control-plane path,
+  * the namespace rides every data-plane body/query — namespaces
+  * auto-create on upsert, exactly like the real service. */
+class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None)
+  extends WireClient(baseUrl, apiKey.map("Api-Key" -> _).toMap) {
+  import WireJson._
+
+  private def split(name: String): (String, String) = name.split("::", 2) match {
+    case Array(ix, ns) => (ix, ns)
+    case _ => (name, "")
+  }
+  private def toMetric(distance: String): String = distance match {
+    case "Cosine" => "cosine"
+    case "Euclid" | "Euclidean" => "euclidean"
+    case "Dot" | "DotProduct" => "dotproduct"
+    case other => other.toLowerCase
+  }
+  private def fromMetric(m: String): String = m match {
+    case "cosine" => "Cosine"
+    case "euclidean" => "Euclid"
+    case "dotproduct" => "Dot"
+    case other => other
+  }
+
+  override def createCollection(name: String, config: CollectionConfig,
+                                recreate: Boolean): Unit = {
+    val (ix, ns) = split(name)
+    if (recreate && indexExists(ix)) {
+      // recreate is scoped to the addressed collection: a bare index drops
+      // whole; a namespace clears just that namespace (deleteAll), like
+      // the real service — other namespaces are untouched
+      if (ns.isEmpty) call("DELETE", s"/indexes/${enc(ix)}")
+      else drop(name)
+    }
+    if (!indexExists(ix)) {
+      val b = obj()
+      b.put("name", ix)
+      b.put("dimension", config.dim)
+      b.put("metric", toMetric(config.distance))
+      call("POST", "/indexes", Some(b))
+    }
+  }
+
+  private def indexExists(ix: String): Boolean =
+    try { call("GET", s"/indexes/${enc(ix)}"); true }
+    catch { case _: NoSuchElementException => false }
+
+  override def exists(name: String): Boolean = {
+    val (ix, ns) = split(name)
+    if (!indexExists(ix)) false
+    else if (ns.isEmpty) true
+    else stats(ix).namespaces.contains(ns)
+  }
+
+  override def describe(name: String): Option[CollectionConfig] = {
+    val (ix, _) = split(name)
+    try {
+      val d = call("GET", s"/indexes/${enc(ix)}")
+      Some(CollectionConfig(
+        distance = fromMetric(d.get("metric").asText()),
+        dim = d.get("dimension").asInt()))
+    } catch { case _: NoSuchElementException => None }
+  }
+
+  private case class Stats(namespaces: Map[String, Int], total: Int)
+  private def stats(ix: String): Stats = {
+    val r = call("POST", s"/describe_index_stats?index=${enc(ix)}", Some(obj()))
+    val ns = Option(r.get("namespaces")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.get("vectorCount").asInt()).toMap)
+      .getOrElse(Map.empty[String, Int])
+    Stats(ns, Option(r.get("totalVectorCount")).map(_.asInt()).getOrElse(0))
+  }
+
+  override def count(name: String): Int = {
+    val (ix, ns) = split(name)
+    val s = stats(ix)
+    if (ns.isEmpty) s.namespaces.getOrElse("", 0) else s.namespaces.getOrElse(ns, 0)
+  }
+
+  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
+    val (ix, ns) = split(name)
+    // two documented calls: list ids (paginationToken = rendered cursor),
+    // then fetch full vectors for the page
+    val listed = call("GET", s"/vectors/list?index=${enc(ix)}&namespace=${enc(ns)}" +
+      s"&limit=$pageSize&paginationToken=${b64(fromIdx.toString.getBytes(UTF_8))}")
+    val idNodes = listed.get("vectors").asInstanceOf[ArrayNode]
+    val ids = (0 until idNodes.size()).map(i => idNodes.get(i).get("id").asText())
+    if (ids.isEmpty) return Seq.empty
+    val fetched = call("GET", s"/vectors/fetch?index=${enc(ix)}&namespace=${enc(ns)}" +
+      ids.map(i => s"&ids=${enc(i)}").mkString)
+    val vecs = fetched.get("vectors")
+    ids.flatMap { id =>
+      Option(vecs.get(id)).map { v =>
+        VSRecord(id,
+          if (v.hasNonNull("values")) floats(v.get("values")) else null,
+          metadataFrom(v.get("metadata")))
+      }
+    }
+  }
+
+  override def upsert(name: String, records: Seq[VSRecord]): Int = {
+    val (ix, ns) = split(name)
+    val b = obj()
+    if (ns.nonEmpty) b.put("namespace", ns)
+    val vs = b.putArray("vectors")
+    records.foreach { r =>
+      val v = vs.addObject()
+      v.put("id", r.id)
+      if (r.vector != null) putFloats(v, "values", r.vector)
+      if (r.metadata.nonEmpty) metadataToNode(v, "metadata", r.metadata)
+    }
+    call("POST", s"/vectors/upsert?index=${enc(ix)}", Some(b))
+      .get("upsertedCount").asInt()
+  }
+
+  override def delete(name: String, ids: Seq[String]): Int = {
+    val (ix, ns) = split(name)
+    val b = obj()
+    if (ns.nonEmpty) b.put("namespace", ns)
+    val a = b.putArray("ids")
+    ids.foreach(a.add)
+    call("POST", s"/vectors/delete?index=${enc(ix)}", Some(b))
+    ids.length
+  }
+
+  override def drop(name: String): Unit = {
+    val (ix, ns) = split(name)
+    if (ns.isEmpty) call("DELETE", s"/indexes/${enc(ix)}")
+    else { // namespace-scoped drop: deleteAll within the namespace
+      val b = obj()
+      b.put("deleteAll", true)
+      b.put("namespace", ns)
+      call("POST", s"/vectors/delete?index=${enc(ix)}", Some(b))
+    }
+  }
+
+  override def listCollections(): Seq[String] = {
+    val a = call("GET", "/indexes").get("indexes").asInstanceOf[ArrayNode]
+    (0 until a.size()).flatMap { i =>
+      val ix = a.get(i).get("name").asText()
+      val s = stats(ix)
+      val named = s.namespaces.keys.filter(_.nonEmpty).toSeq.sorted
+        .map(ns => s"$ix::$ns")
+      val bare = if (s.namespaces.contains("") || s.namespaces.isEmpty) Seq(ix) else Seq.empty
+      bare ++ named
+    }
+  }
+}

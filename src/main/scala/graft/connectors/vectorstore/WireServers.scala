@@ -1,0 +1,544 @@
+package graft.connectors.vectorstore
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentLinkedQueue
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import scala.jdk.CollectionConverters._
+
+/** Loopback servers shaped like the real backends, one per wire dialect —
+  * the hermetic stand-ins the [[QdrantWireTransport]]/
+  * [[MilvusWireTransport]]/[[PineconeWireTransport]] clients hit in
+  * tests. Each records every request line so specs can assert the exact
+  * paths/queries the client emits match the backend's documented API. */
+private[vectorstore] abstract class WireServer(port: Int) {
+  import WireJson.mapper
+
+  private val log = new ConcurrentLinkedQueue[(String, String)]()
+  /** Every request as "METHOD /path[?query]", in arrival order. */
+  def requestLines: Seq[String] = log.asScala.map(_._1).toSeq
+  def requests: Long = log.size().toLong
+  /** Body of the first request whose line starts with `prefix`. */
+  def bodyOf(prefix: String): Option[String] =
+    log.asScala.find(_._1.startsWith(prefix)).map(_._2)
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", (ex: HttpExchange) => dispatch(ex))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  val boundPort: Int = server.getAddress.getPort
+  def url: String = s"http://127.0.0.1:$boundPort"
+  def stop(): Unit = server.stop(0)
+
+  /** (auth-header name, required value); None → open server. */
+  protected def auth: Option[(String, String)]
+  protected def route(method: String, parts: Array[String],
+                      query: Map[String, String], body: JsonNode,
+                      ex: HttpExchange): Unit
+
+  protected def readBody(ex: HttpExchange): JsonNode = {
+    val in: InputStream = ex.getRequestBody
+    val buf = new ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    var n = in.read(tmp)
+    while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+    if (buf.size() == 0) mapper.createObjectNode() else mapper.readTree(buf.toByteArray)
+  }
+
+  protected def respond(ex: HttpExchange, code: Int, body: JsonNode): Unit = {
+    val bytes = mapper.writeValueAsBytes(body)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  protected def err(ex: HttpExchange, code: Int, msg: String): Unit = {
+    val o = mapper.createObjectNode(); o.put("error", msg)
+    respond(ex, code, o)
+  }
+
+  private def parseQuery(raw: String): Map[String, String] =
+    if (raw == null || raw.isEmpty) Map.empty
+    else raw.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8))
+        case Array(k) => Some(URLDecoder.decode(k, UTF_8) -> "")
+        case _ => None
+      }
+    }.toMap
+
+  /** Query params that repeat (Pinecone's `ids=`): all values, in order. */
+  protected def multi(raw: String, key: String): Seq[String] =
+    if (raw == null || raw.isEmpty) Seq.empty
+    else raw.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if URLDecoder.decode(k, UTF_8) == key =>
+          Some(URLDecoder.decode(v, UTF_8))
+        case _ => None
+      }
+    }
+
+  private def dispatch(ex: HttpExchange): Unit = try {
+    val uri = ex.getRequestURI
+    val line = ex.getRequestMethod + " " + uri.getPath +
+      Option(uri.getRawQuery).map("?" + _).getOrElse("")
+    val body = readBody(ex)
+    log.add(line -> body.toString)
+    auth.foreach { case (header, value) =>
+      if (Option(ex.getRequestHeaders.getFirst(header)).forall(_ != value))
+        return err(ex, 401, s"invalid or missing $header")
+    }
+    val parts = uri.getPath.split("/").filter(_.nonEmpty)
+    route(ex.getRequestMethod, parts, parseQuery(uri.getRawQuery), body, ex)
+  } catch {
+    case e: NoSuchElementException =>
+      err(ex, 404, Option(e.getMessage).getOrElse("not found"))
+    case e: Throwable =>
+      err(ex, 500, String.valueOf(e.getMessage))
+  }
+}
+
+/** Qdrant-shaped server: `{"result": …, "status": "ok"}` envelopes, the
+  * documented collection/point verbs, `api-key` auth. */
+class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
+                       apiKey: Option[String] = None) extends WireServer(port) {
+  import WireJson._
+
+  override protected def auth: Option[(String, String)] = apiKey.map("api-key" -> _)
+
+  private def ok(payload: JsonNode): ObjectNode = {
+    val o = obj()
+    o.set[ObjectNode]("result", payload)
+    o.put("status", "ok")
+    o
+  }
+  private def okTrue(): ObjectNode = {
+    val o = obj()
+    o.put("result", true)
+    o.put("status", "ok")
+    o
+  }
+
+  private def recordToPoint(r: VSRecord): ObjectNode = {
+    val p = obj()
+    p.put("id", r.id)
+    if (r.vector != null) putFloats(p, "vector", r.vector)
+    val payload = p.putObject("payload")
+    r.metadata.foreach { case (k, v) => if (v == null) payload.putNull(k) else payload.put(k, v) }
+    if (r.binary != null) payload.put("__binary_b64", b64(r.binary))
+    p
+  }
+
+  private def pointToRecord(p: JsonNode): VSRecord = {
+    val payload = metadataFrom(p.get("payload"))
+    VSRecord(p.get("id").asText(),
+      if (p.hasNonNull("vector")) floats(p.get("vector")) else null,
+      payload - "__binary_b64",
+      payload.get("__binary_b64").map(unb64).orNull)
+  }
+
+  override protected def route(method: String, parts: Array[String],
+                               query: Map[String, String], body: JsonNode,
+                               ex: HttpExchange): Unit = {
+    if (parts.isEmpty || parts(0) != "collections") return err(ex, 400, "bad path")
+    if (parts.length == 1) {
+      if (method != "GET") return err(ex, 400, s"unsupported: $method /collections")
+      val r = obj()
+      val a = r.putArray("collections")
+      inner.listCollections().foreach(c => a.addObject().put("name", c))
+      return respond(ex, 200, ok(r))
+    }
+    val name = parts(1)
+    val verb = parts.drop(2).mkString("/")
+    (method, verb) match {
+      case ("PUT", "") =>
+        val v = body.get("vectors")
+        def cfgFrom(field: String, prefix: String): Map[String, String] =
+          Option(body.get(field)).filter(!_.isNull).map(_.properties().asScala
+            .map(e => s"$prefix${e.getKey}" ->
+              (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString))
+            .toMap).getOrElse(Map.empty)
+        inner.createCollection(name, CollectionConfig(
+          distance = v.get("distance").asText(),
+          dim = v.get("size").asInt(),
+          onDisk = v.hasNonNull("on_disk") && v.get("on_disk").asBoolean(),
+          props = cfgFrom("hnsw_config", "hnsw_") ++
+            cfgFrom("quantization_config", "quantization_"),
+          vectorType = if (v.hasNonNull("datatype") && v.get("datatype").asText() == "uint8")
+            VectorTypes.Binary else VectorTypes.Float),
+          recreate = true) // client already dropped for recreate; PUT is idempotent create
+        respond(ex, 200, okTrue())
+      case ("GET", "") =>
+        inner.describe(name) match {
+          case None => err(ex, 404, s"Collection `$name` doesn't exist!")
+          case Some(cfg) =>
+            val r = obj()
+            val params = r.putObject("config").putObject("params")
+            val v = params.putObject("vectors")
+            v.put("size", cfg.dim)
+            v.put("distance", cfg.distance)
+            v.put("on_disk", cfg.onDisk)
+            if (cfg.vectorType == VectorTypes.Binary) v.put("datatype", "uint8")
+            val (hnsw, quant) = cfg.props.partition(_._1.startsWith("hnsw_"))
+            if (hnsw.nonEmpty) {
+              val h = r.get("config").asInstanceOf[ObjectNode].putObject("hnsw_config")
+              hnsw.foreach { case (k, x) => h.put(k.stripPrefix("hnsw_"), x) }
+            }
+            if (quant.nonEmpty) {
+              val q = r.get("config").asInstanceOf[ObjectNode].putObject("quantization_config")
+              quant.foreach { case (k, x) => q.put(k.stripPrefix("quantization_"), x) }
+            }
+            r.put("points_count", inner.count(name))
+            respond(ex, 200, ok(r))
+        }
+      case ("DELETE", "") =>
+        inner.drop(name)
+        respond(ex, 200, okTrue())
+      case ("POST", "points/scroll") =>
+        val recs = inner.scroll(name,
+          Option(body.get("offset")).map(_.asInt()).getOrElse(0),
+          Option(body.get("limit")).map(_.asInt()).getOrElse(10))
+        val r = obj()
+        val a = r.putArray("points")
+        recs.foreach(rec => a.add(recordToPoint(rec)))
+        r.putNull("next_page_offset")
+        respond(ex, 200, ok(r))
+      case ("POST", "points/count") =>
+        val r = obj()
+        r.put("count", inner.count(name))
+        respond(ex, 200, ok(r))
+      case ("PUT", "points") =>
+        val pts = body.get("points").asInstanceOf[ArrayNode]
+        inner.upsert(name, (0 until pts.size()).map(i => pointToRecord(pts.get(i))))
+        val r = obj()
+        r.put("operation_id", 0)
+        r.put("status", "completed")
+        respond(ex, 200, ok(r))
+      case ("POST", "points/delete") =>
+        val arr = body.get("points").asInstanceOf[ArrayNode]
+        val n = inner.delete(name, (0 until arr.size()).map(i => arr.get(i).asText()))
+        val r = obj()
+        r.put("deleted", n)
+        r.put("status", "completed")
+        respond(ex, 200, ok(r))
+      case _ => err(ex, 400, s"unsupported: $method /$verb")
+    }
+  }
+}
+
+/** Milvus-shaped server: every verb POSTed under /v2/vectordb, responses
+  * `{"code": 0, "data": …}` — errors are HTTP 200 with a non-zero code,
+  * exactly the quirk the client must (and does) handle. Bearer auth. */
+class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
+                       apiKey: Option[String] = None) extends WireServer(port) {
+  import WireJson._
+
+  override protected def auth: Option[(String, String)] =
+    apiKey.map(k => "Authorization" -> s"Bearer $k")
+
+  private def ok(data: JsonNode): ObjectNode = {
+    val o = obj()
+    o.put("code", 0)
+    o.set[ObjectNode]("data", data)
+    o
+  }
+  private def milvusErr(ex: HttpExchange, code: Int, msg: String): Unit = {
+    val o = obj()
+    o.put("code", code)
+    o.put("message", msg)
+    respond(ex, 200, o) // Milvus REST reports errors with HTTP 200
+  }
+
+  override protected def route(method: String, parts: Array[String],
+                               query: Map[String, String], body: JsonNode,
+                               ex: HttpExchange): Unit = {
+    if (method != "POST" || parts.length < 3 ||
+        parts(0) != "v2" || parts(1) != "vectordb")
+      return err(ex, 400, "bad path")
+    val verb = parts.drop(2).mkString("/")
+    val name = Option(body.get("collectionName")).map(_.asText()).getOrElse("")
+    try {
+      verb match {
+        case "collections/create" =>
+          val vt = Option(body.get("vectorDataType")).map(_.asText()) match {
+            case Some("BinaryVector") => VectorTypes.Binary
+            case _ => VectorTypes.Float
+          }
+          val props = Option(body.get("params")).map(metadataFrom).getOrElse(Map.empty)
+          inner.createCollection(name, CollectionConfig(
+            distance = Option(body.get("metricType")).map(_.asText()).getOrElse("COSINE") match {
+              case "COSINE" => "Cosine"
+              case "L2" => "Euclid"
+              case "IP" => "Dot"
+              case "HAMMING" => "Hamming"
+              case "JACCARD" => "Jaccard"
+              case other => other
+            },
+            dim = Option(body.get("dimension")).map(_.asInt()).getOrElse(0),
+            onDisk = props.get("on_disk").contains("true"),
+            props = props - "on_disk",
+            vectorType = vt), recreate = false)
+          respond(ex, 200, ok(obj()))
+        case "collections/describe" =>
+          inner.describe(name) match {
+            case None => milvusErr(ex, 100, s"collection not found[collection=$name]")
+            case Some(cfg) =>
+              val d = obj()
+              d.put("collectionName", name)
+              d.put("metricType", cfg.distance match {
+                case "Cosine" => "COSINE"
+                case "Euclid" | "Euclidean" => "L2"
+                case "Dot" | "DotProduct" => "IP"
+                case "Hamming" => "HAMMING"
+                case "Jaccard" => "JACCARD"
+                case other => other
+              })
+              val fields = d.putArray("fields")
+              val idF = fields.addObject()
+              idF.put("name", "id"); idF.put("type", "VarChar"); idF.put("primaryKey", true)
+              val vecF = fields.addObject()
+              vecF.put("name", "vector")
+              vecF.put("type",
+                if (cfg.vectorType == VectorTypes.Binary) "BinaryVector" else "FloatVector")
+              vecF.putObject("params").put("dim", cfg.dim)
+              val p = d.putObject("properties")
+              cfg.props.foreach { case (k, v) => p.put(k, v) }
+              if (cfg.onDisk) p.put("on_disk", "true")
+              respond(ex, 200, ok(d))
+          }
+        case "collections/drop" =>
+          inner.drop(name)
+          respond(ex, 200, ok(obj()))
+        case "collections/list" =>
+          val a = mapper.createArrayNode()
+          inner.listCollections().foreach(a.add)
+          val o = obj()
+          o.put("code", 0)
+          o.set[ObjectNode]("data", a)
+          respond(ex, 200, o)
+        case "entities/upsert" | "entities/insert" =>
+          if (!inner.exists(name))
+            return milvusErr(ex, 100, s"collection not found[collection=$name]")
+          val data = body.get("data").asInstanceOf[ArrayNode]
+          val recs = (0 until data.size()).map { i =>
+            val row = data.get(i)
+            val meta = row.properties().asScala
+              .filterNot(e => e.getKey == "id" || e.getKey == "vector")
+              .map(e => e.getKey -> (if (e.getValue.isNull) null
+              else if (e.getValue.isTextual) e.getValue.asText()
+              else e.getValue.toString)).toMap
+            val vecNode = row.get("vector")
+            val (vec, bin) =
+              if (vecNode == null || vecNode.isNull) (null, null)
+              else if (vecNode.isTextual) (null, unb64(vecNode.asText()))
+              else (floats(vecNode), null)
+            VSRecord(row.get("id").asText(), vec, meta, bin)
+          }
+          val n = inner.upsert(name, recs)
+          val d = obj()
+          d.put("upsertCount", n)
+          respond(ex, 200, ok(d))
+        case "entities/query" =>
+          if (!inner.exists(name))
+            return milvusErr(ex, 100, s"collection not found[collection=$name]")
+          val outputFields = Option(body.get("outputFields"))
+            .map(_.asInstanceOf[ArrayNode].asScala.map(_.asText()).toSeq)
+            .getOrElse(Seq("*"))
+          if (outputFields == Seq("count(*)")) {
+            val a = mapper.createArrayNode()
+            a.addObject().put("count(*)", inner.count(name))
+            val o = obj(); o.put("code", 0); o.set[ObjectNode]("data", a)
+            respond(ex, 200, o)
+          } else {
+            val recs = inner.scroll(name,
+              Option(body.get("offset")).map(_.asInt()).getOrElse(0),
+              Option(body.get("limit")).map(_.asInt()).getOrElse(100))
+            val a = mapper.createArrayNode()
+            recs.foreach { r =>
+              val row = a.addObject()
+              row.put("id", r.id)
+              if (r.vector != null) putFloats(row, "vector", r.vector)
+              if (r.binary != null) row.put("vector", b64(r.binary))
+              r.metadata.foreach { case (k, v) =>
+                if (v == null) row.putNull(k) else row.put(k, v)
+              }
+            }
+            val o = obj(); o.put("code", 0); o.set[ObjectNode]("data", a)
+            respond(ex, 200, o)
+          }
+        case "entities/delete" =>
+          if (!inner.exists(name))
+            return milvusErr(ex, 100, s"collection not found[collection=$name]")
+          val filter = Option(body.get("filter")).map(_.asText()).getOrElse("")
+          val ids = "\"([^\"]*)\"".r.findAllMatchIn(filter).map(_.group(1)).toSeq
+          val n = inner.delete(name, ids)
+          val d = obj()
+          d.put("deleteCount", n)
+          respond(ex, 200, ok(d))
+        case other => err(ex, 400, s"unsupported verb: $other")
+      }
+    } catch {
+      case e: NoSuchElementException =>
+        milvusErr(ex, 100, Option(e.getMessage).getOrElse("collection not found"))
+    }
+  }
+}
+
+/** Pinecone-shaped server: control plane under /indexes, data plane under
+  * /vectors + /describe_index_stats, namespace on every data call,
+  * Api-Key auth. (The emulation keys data-plane paths with an `index=`
+  * query param where the real service uses a per-index host.) */
+class PineconeWireServer(inner: VectorStoreTransport, port: Int = 0,
+                         apiKey: Option[String] = None) extends WireServer(port) {
+  import WireJson._
+
+  override protected def auth: Option[(String, String)] = apiKey.map("Api-Key" -> _)
+
+  private def coll(ix: String, ns: String): String =
+    if (ns.isEmpty) ix else s"$ix::$ns"
+
+  /** Namespaces present for an index, via the inner listing. */
+  private def namespacesOf(ix: String): Seq[String] =
+    inner.listCollections().collect {
+      case c if c == ix => ""
+      case c if c.startsWith(ix + "::") => c.stripPrefix(ix + "::")
+    }
+
+  override protected def route(method: String, parts: Array[String],
+                               query: Map[String, String], body: JsonNode,
+                               ex: HttpExchange): Unit = {
+    val rawQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    (method, parts.toSeq) match {
+      case ("POST", Seq("indexes")) =>
+        val name = body.get("name").asText()
+        inner.createCollection(name, CollectionConfig(
+          distance = Option(body.get("metric")).map(_.asText()).getOrElse("cosine") match {
+            case "cosine" => "Cosine"
+            case "euclidean" => "Euclid"
+            case "dotproduct" => "Dot"
+            case other => other
+          },
+          dim = Option(body.get("dimension")).map(_.asInt()).getOrElse(0)),
+          recreate = false)
+        val o = obj()
+        o.put("name", name)
+        o.put("status", "Ready")
+        respond(ex, 201, o)
+      case ("GET", Seq("indexes")) =>
+        val o = obj()
+        val a = o.putArray("indexes")
+        inner.listCollections().map(_.split("::", 2)(0)).distinct.foreach { ix =>
+          a.addObject().put("name", ix)
+        }
+        respond(ex, 200, o)
+      case ("GET", Seq("indexes", ix)) =>
+        inner.describe(ix) match {
+          case None => err(ex, 404, s"index $ix not found")
+          case Some(cfg) =>
+            val o = obj()
+            o.put("name", ix)
+            o.put("dimension", cfg.dim)
+            o.put("metric", cfg.distance match {
+              case "Cosine" => "cosine"
+              case "Euclid" | "Euclidean" => "euclidean"
+              case "Dot" | "DotProduct" => "dotproduct"
+              case other => other.toLowerCase
+            })
+            respond(ex, 200, o)
+        }
+      case ("DELETE", Seq("indexes", ix)) =>
+        // dropping an index removes every namespace under it
+        namespacesOf(ix).foreach(ns => inner.drop(coll(ix, ns)))
+        if (inner.exists(ix)) inner.drop(ix)
+        respond(ex, 202, obj())
+      case ("POST", Seq("describe_index_stats")) =>
+        val ix = query.getOrElse("index", "")
+        if (!inner.exists(ix) && namespacesOf(ix).isEmpty)
+          return err(ex, 404, s"index $ix not found")
+        val o = obj()
+        val ns = o.putObject("namespaces")
+        var total = 0
+        namespacesOf(ix).foreach { n =>
+          val c = inner.count(coll(ix, n))
+          // the real service omits empty namespaces from stats
+          if (c > 0) ns.putObject(n).put("vectorCount", c)
+          total += c
+        }
+        o.put("dimension", inner.describe(ix).map(_.dim).getOrElse(0))
+        o.put("totalVectorCount", total)
+        respond(ex, 200, o)
+      case ("POST", Seq("vectors", "upsert")) =>
+        val ix = query.getOrElse("index", "")
+        val ns = Option(body.get("namespace")).map(_.asText()).getOrElse("")
+        val target = coll(ix, ns)
+        // namespaces auto-create on first upsert, like the real service
+        if (!inner.exists(target)) {
+          val cfg = inner.describe(ix).getOrElse(
+            throw new NoSuchElementException(s"index $ix not found"))
+          inner.createCollection(target, cfg, recreate = false)
+        }
+        val vs = body.get("vectors").asInstanceOf[ArrayNode]
+        val recs = (0 until vs.size()).map { i =>
+          val v = vs.get(i)
+          VSRecord(v.get("id").asText(),
+            if (v.hasNonNull("values")) floats(v.get("values")) else null,
+            metadataFrom(v.get("metadata")))
+        }
+        val n = inner.upsert(target, recs)
+        val o = obj()
+        o.put("upsertedCount", n)
+        respond(ex, 200, o)
+      case ("GET", Seq("vectors", "list")) =>
+        val ix = query.getOrElse("index", "")
+        val ns = query.getOrElse("namespace", "")
+        val limit = query.get("limit").map(_.toInt).getOrElse(100)
+        val offset = query.get("paginationToken").filter(_.nonEmpty)
+          .map(t => new String(unb64(t), UTF_8).toInt).getOrElse(0)
+        val target = coll(ix, ns)
+        val recs = if (inner.exists(target)) inner.scroll(target, offset, limit) else Seq.empty
+        val o = obj()
+        val a = o.putArray("vectors")
+        recs.foreach(r => a.addObject().put("id", r.id))
+        o.put("namespace", ns)
+        if (recs.size == limit)
+          o.putObject("pagination").put("next", b64((offset + limit).toString.getBytes(UTF_8)))
+        respond(ex, 200, o)
+      case ("GET", Seq("vectors", "fetch")) =>
+        val ix = query.getOrElse("index", "")
+        val ns = query.getOrElse("namespace", "")
+        val ids = multi(rawQuery, "ids")
+        val target = coll(ix, ns)
+        // the emulation seam has no fetch-by-id, so resolve via scroll
+        val byId = (if (inner.exists(target))
+          inner.scroll(target, 0, Int.MaxValue) else Seq.empty)
+          .map(r => r.id -> r).toMap
+        val o = obj()
+        val vs = o.putObject("vectors")
+        ids.flatMap(byId.get).foreach { r =>
+          val v = vs.putObject(r.id)
+          v.put("id", r.id)
+          if (r.vector != null) putFloats(v, "values", r.vector)
+          if (r.metadata.nonEmpty) metadataToNode(v, "metadata", r.metadata)
+        }
+        o.put("namespace", ns)
+        respond(ex, 200, o)
+      case ("POST", Seq("vectors", "delete")) =>
+        val ix = query.getOrElse("index", "")
+        val ns = Option(body.get("namespace")).map(_.asText()).getOrElse("")
+        val target = coll(ix, ns)
+        if (Option(body.get("deleteAll")).exists(_.asBoolean())) {
+          if (inner.exists(target)) inner.drop(target)
+        } else {
+          val a = body.get("ids").asInstanceOf[ArrayNode]
+          inner.delete(target, (0 until a.size()).map(i => a.get(i).asText()))
+        }
+        respond(ex, 200, obj())
+      case _ => err(ex, 400, s"unsupported: $method /${parts.mkString("/")}")
+    }
+  }
+}

@@ -81,17 +81,26 @@ object SnapshotDiff {
     * the incremental-migration story the reference names as future work
     * (`README.md:286`) completed end to end.
     *
-    * @param upserts   canonical `(id, vector, metadata)` rows to write
-    * @param deleteIds single-column ids to remove (any castable type)
+    * @param upserts    canonical `(id, vector, metadata)` rows to write
+    * @param deleteIds  single-column ids to remove (any castable type)
+    * @param connection endpoint options (`url`, `api_key`, `max_retries`) —
+    *                   both legs resolve THIS endpoint's transport, so a
+    *                   diff applies to the store it names even when other
+    *                   endpoints are in play in the same plan
     */
   def applyTo(upserts: DataFrame, deleteIds: DataFrame, fmt: String, collection: String,
-              deleteBatch: Int = 500): Unit = {
-    upserts.write.format(fmt).option("collection", collection).mode("append").save()
+              deleteBatch: Int = 500,
+              connection: Map[String, String] = Map.empty): Unit = {
+    upserts.write.format(fmt).options(connection)
+      .option("collection", collection).mode("append").save()
     val idCol = deleteIds.columns.head
+    val spec = graft.connectors.vectorstore.TransportSpec
+      .fromOptions(connection.get, backend = fmt.stripPrefix("graft-"))
     deleteIds.select(col(idCol).cast("string"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val store = graft.connectors.vectorstore.VectorStore.resolve(spec)
         it.map(_.getString(0)).grouped(deleteBatch).foreach { b =>
-          graft.connectors.vectorstore.VectorStore.delete(collection, b.toSeq)
+          store.delete(collection, b.toSeq)
         }
       }
   }

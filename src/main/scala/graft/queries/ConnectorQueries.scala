@@ -19,10 +19,12 @@ object ConnectorQueries {
 
   /** embeddings fixture → canonical rows in the vector store, keyed by
     * collection; idempotent (overwrite) so repeated runs are stable. */
-  private def loadFixture(s: SparkSession, dir: String, fmt: String, coll: String): Unit = {
+  private def loadFixture(s: SparkSession, dir: String, fmt: String, coll: String,
+                          options: Map[String, String] = Map.empty): Unit = {
     Canonical.from(Tables(s, dir, "embeddings"),
       idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Seq("label"))
-      .write.format(fmt).option("collection", coll).option("recreate", "true")
+      .write.format(fmt).options(options)
+      .option("collection", coll).option("recreate", "true")
       .mode("overwrite").save()
   }
 
@@ -122,24 +124,24 @@ object ConnectorQueries {
 
     // The S2 scan with the transport seam crossed FOR REAL: fixture
     // upserts and the filtered DSv2 scan all travel localhost HTTP
-    // (JSON wire, scroll paging, RetryingTransport) — the oracle
-    // adjudicates that the socket path returns byte-identical results to
-    // the in-JVM path. Materialized eagerly (localCheckpoint) so the
-    // process-wide transport can be restored before the driver consumes
-    // the frame.
+    // (JSON wire, scroll paging, RetryingTransport, api-key auth) — the
+    // oracle adjudicates that the socket path returns byte-identical
+    // results to the in-JVM path. The endpoint rides the connection
+    // options (url-keyed transport), never a process-global install.
+    // Materialized eagerly (localCheckpoint) so the server can stop
+    // before the driver consumes the frame.
     "q_connector_http" -> ((s, dir) => {
       import graft.connectors.vectorstore._
-      val server = new HttpVectorStoreServer(InMemoryTransport)
-      val prev = VectorStore.use(
-        RetryingTransport(new HttpTransport(server.url), maxAttempts = 3, backoffMs = 1L))
+      val server = new QdrantWireServer(new InMemoryStore, apiKey = Some("gate-key"))
+      val conn = Map("url" -> server.url, "api_key" -> "gate-key", "max_retries" -> "3")
       try {
-        loadFixture(s, dir, "graft-qdrant", "gate_http")
-        ConnectorRegistry("qdrant").read(s, Map.empty, QuerySpec(
+        loadFixture(s, dir, "graft-qdrant", "gate_http", options = conn)
+        ConnectorRegistry("qdrant").read(s, conn, QuerySpec(
           collection = "gate_http",
           filter = Some("""{"must":[{"key":"label","range":{"gte":5}}]}""")))
           .select(col(Canonical.ID), element_at(col(Canonical.METADATA), "label").as("label"))
           .localCheckpoint(true)
-      } finally { VectorStore.use(prev); server.stop() }
+      } finally server.stop()
     }),
 
     // M4 end-to-end: the full config-driven pipeline (read → transform →
@@ -299,7 +301,7 @@ object ConnectorQueries {
         "c AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
         "s AS (SELECT id, list_dot_product(e, v)/(sqrt(list_dot_product(e, e))*sqrt(list_dot_product(v, v))) AS sc " +
         "FROM c, qv) " +
-        "SELECT id, round(sc, 6) AS score FROM s ORDER BY sc DESC, id ASC LIMIT 10"),
+        "SELECT id, round(sc, 6) + 0.0 AS score FROM s ORDER BY sc DESC, id ASC LIMIT 10"),
     "q_connector_scan" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings WHERE label >= 8"),
@@ -385,7 +387,11 @@ object ConnectorQueries {
     },
     "q_catalog_migrate" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label, " +
-        "round(CAST(embedding[1] AS DOUBLE), 5) AS v1 " +
+        // "+ 0.0" normalizes a possible -0.0 to +0.0 (IEEE): Spark's round
+        // goes through BigDecimal and never emits -0.0, DuckDB's does
+        // double math and can — the bitwise hash would diverge (q_vec_cov
+        // lesson). Same normalization on every signed rounded output below.
+        "round(CAST(embedding[1] AS DOUBLE), 5) + 0.0 AS v1 " +
         "FROM embeddings WHERE label BETWEEN 2 AND 6"),
     "q_cdc_apply" ->
       // the applied diff replayed declaratively: survivors = untouched
@@ -401,7 +407,7 @@ object ConnectorQueries {
         "ins AS (SELECT CAST(vec_id + 1000000 AS VARCHAR) AS id, embedding AS emb, " +
         "CAST(label AS VARCHAR) AS label FROM o WHERE vec_id % 19 = 0), " +
         "fin AS (SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins) " +
-        "SELECT id, label, round(CAST(emb[1] AS DOUBLE), 5) AS v1 FROM fin"),
+        "SELECT id, label, round(CAST(emb[1] AS DOUBLE), 5) + 0.0 AS v1 FROM fin"),
     "q_drift_psi" ->
       // identical double math end to end: bin width from ref min/max,
       // clamped bins, window-summed masses, epsilon-floored ln terms
@@ -422,6 +428,6 @@ object ConnectorQueries {
         "CAST(nc AS DOUBLE) / sum(nc) OVER () AS q FROM f) " +
         "SELECT bin, round(p, 6) AS p_ref, round(q, 6) AS p_cur, " +
         "round((greatest(q, 1e-6) - greatest(p, 1e-6)) * " +
-        "ln(greatest(q, 1e-6) / greatest(p, 1e-6)), 6) AS psi_term FROM g")
+        "ln(greatest(q, 1e-6) / greatest(p, 1e-6)), 6) + 0.0 AS psi_term FROM g")
   )
 }

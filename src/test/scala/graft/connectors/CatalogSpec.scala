@@ -100,7 +100,36 @@ class CatalogSpec extends SparkSpec {
     assert(VectorStore.count("sql_del") == 17)
     spark.sql("DELETE FROM vsc.sql_del WHERE id >= '1' AND id < '2'") // '1','10'..'19'
     assert(VectorStore.count("sql_del") == 6) // 0, 2, 6, 7, 8, 9 remain
+    // a predicate on the vector column itself is shape-supported (IsNull)
+    // but NOT attribute-evaluable at the store — must be refused, not
+    // silently matched against nothing
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM vsc.sql_del WHERE vector IS NULL")
+    }
+    assert(VectorStore.count("sql_del") == 6)
     VectorStore.drop("sql_del")
+  }
+
+  test("DELETE over an absent metadata key is three-valued: UNKNOWN never deletes") {
+    installCatalog("vsc")
+    VectorStore.drop("sql_del3")
+    VectorStore.createCollection("sql_del3", CollectionConfig(dim = 2), recreate = true)
+    // ids 0-4 carry tag, 5-9 have NO tag key at all
+    VectorStore.upsert("sql_del3", (0 until 10).map(i =>
+      VSRecord(s"$i", Array(i.toFloat, 0f),
+        if (i < 5) Map("tag" -> s"t$i") else Map.empty)))
+    val table = spark.sessionState.catalogManager.catalog("vsc")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "sql_del3"))
+      .asInstanceOf[graft.connectors.vectorstore.VSTable]
+    import org.apache.spark.sql.sources.{EqualTo, Filter, Not}
+    // NOT(tag = 't0'): rows WITHOUT the key evaluate UNKNOWN, not TRUE —
+    // SQL deletes only 1-4 (key present, value != t0), never 5-9
+    table.deleteWhere(Array[Filter](Not(EqualTo("tag", "t0"))))
+    val left = VectorStore.scroll("sql_del3", 0, 100).map(_.id).sorted
+    assert(left == Seq("0", "5", "6", "7", "8", "9"), left.toString)
+    VectorStore.drop("sql_del3")
   }
 
   test("TRUNCATE TABLE empties the collection but keeps it addressable") {
@@ -174,12 +203,12 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("a url connection key routes a config-driven migration over the socket") {
-    val server = new HttpVectorStoreServer(InMemoryTransport)
-    val prev = VectorStore.current
+    val store = new InMemoryStore
+    val server = new QdrantWireServer(store)
     try {
-      InMemoryTransport.createCollection("cfg_http_src",
+      store.createCollection("cfg_http_src",
         CollectionConfig(dim = 2), recreate = true)
-      InMemoryTransport.upsert("cfg_http_src", (0 until 12).map(i =>
+      store.upsert("cfg_http_src", (0 until 12).map(i =>
         VSRecord(s"$i", Array(i.toFloat, 0f), Map("k" -> s"$i"))))
       val cfg = graft.config.MigrationConfig.fromJson(
         s"""{"source": {"type": "qdrant", "connection": {"url": "${server.url}"},
@@ -190,11 +219,14 @@ class CatalogSpec extends SparkSpec {
       val report = new graft.core.Migrator(spark).run(cfg)
       assert(report.success, report.error)
       assert(server.requests > before) // the migration really crossed the wire
-      assert(InMemoryTransport.count("cfg_http_dst") == 12)
-    } finally {
-      VectorStore.use(prev); server.stop()
-      VectorStore.drop("cfg_http_src"); VectorStore.drop("cfg_http_dst")
-    }
+      assert(store.count("cfg_http_dst") == 12)
+      // the wire calls are the real Qdrant REST verbs, not a bespoke shape
+      val lines = server.requestLines
+      assert(lines.exists(_.startsWith("POST /collections/cfg_http_src/points/scroll")),
+        s"no documented scroll call in:\n${lines.mkString("\n")}")
+      assert(lines.contains("PUT /collections/cfg_http_dst/points?wait=true"),
+        s"no documented upsert call in:\n${lines.mkString("\n")}")
+    } finally server.stop()
   }
 
   test("catalog over the HTTP loopback transport lists and reads through the socket") {

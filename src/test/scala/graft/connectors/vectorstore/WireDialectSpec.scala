@@ -1,0 +1,185 @@
+package graft.connectors.vectorstore
+
+import graft.SparkSpec
+import graft.model.Canonical
+import org.apache.spark.sql.functions._
+
+/** Per-backend wire fidelity: each client emits the backend's DOCUMENTED
+  * request paths/queries/bodies, each loopback server answers in the
+  * backend's response envelope, and data survives the round trip
+  * byte-for-byte. The request-line asserts here are the contract that
+  * "point at a real cluster" is a url swap. */
+class WireDialectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(n: Int) = (0 until n).map(i =>
+    VSRecord(s"$i", Array(i.toFloat, -0.5f * i), Map("lbl" -> s"l${i % 3}")))
+
+  // ------------------------------------------------------------- Qdrant
+
+  test("qdrant wire: documented verbs, envelopes, and a full round trip") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    val t = new QdrantWireTransport(server.url)
+    try {
+      t.createCollection("qc", CollectionConfig(distance = "Cosine", dim = 2,
+        props = Map("hnsw_m" -> "16", "quantization_type" -> "int8")), recreate = true)
+      assert(t.upsert("qc", canon(7)) == 7)
+      assert(t.count("qc") == 7)
+      assert(t.describe("qc").exists(c => c.dim == 2 && c.distance == "Cosine" &&
+        c.props == Map("hnsw_m" -> "16", "quantization_type" -> "int8")))
+      val page = t.scroll("qc", 2, 3)
+      assert(page.map(_.id) == Seq("2", "3", "4"))
+      assert(page.head.vector.toSeq == Seq(2f, -1f))
+      assert(page.head.metadata == Map("lbl" -> "l2"))
+      assert(t.delete("qc", Seq("0", "1")) == 2)
+      assert(t.count("qc") == 5)
+      assert(t.listCollections() == Seq("qc"))
+      t.drop("qc")
+      assert(!t.exists("qc"))
+
+      val lines = server.requestLines
+      assert(lines.contains("PUT /collections/qc"))
+      assert(lines.contains("PUT /collections/qc/points?wait=true"))
+      assert(lines.contains("POST /collections/qc/points/scroll"))
+      assert(lines.contains("POST /collections/qc/points/count"))
+      assert(lines.contains("POST /collections/qc/points/delete?wait=true"))
+      assert(lines.contains("DELETE /collections/qc"))
+      // the scroll body carries the documented with_payload/with_vector flags
+      val scrollBody = server.bodyOf("POST /collections/qc/points/scroll").get
+      assert(scrollBody.contains("\"with_payload\":true") &&
+        scrollBody.contains("\"with_vector\":true"), scrollBody)
+      // the create body nests vectors.size/distance like the real API
+      val createBody = server.bodyOf("PUT /collections/qc").get
+      assert(createBody.contains("\"vectors\"") && createBody.contains("\"size\":2"),
+        createBody)
+    } finally server.stop()
+  }
+
+  // ------------------------------------------------------------- Milvus
+
+  test("milvus wire: v2 vectordb verbs, code-0 envelopes, bearer auth") {
+    val server = new MilvusWireServer(new InMemoryStore, apiKey = Some("mk"))
+    val t = new MilvusWireTransport(server.url, apiKey = Some("mk"))
+    try {
+      t.createCollection("mc", CollectionConfig(distance = "Euclid", dim = 2),
+        recreate = true)
+      assert(t.upsert("mc", canon(5)) == 5)
+      assert(t.count("mc") == 5)
+      assert(t.describe("mc").exists(c => c.dim == 2 && c.distance == "Euclid"))
+      val page = t.scroll("mc", 1, 2)
+      assert(page.map(_.id) == Seq("1", "2"))
+      assert(page.head.metadata == Map("lbl" -> "l1"))
+      assert(t.delete("mc", Seq("3")) == 1)
+      assert(t.count("mc") == 4)
+      assert(t.listCollections() == Seq("mc"))
+
+      val lines = server.requestLines
+      assert(lines.contains("POST /v2/vectordb/collections/create"))
+      assert(lines.contains("POST /v2/vectordb/collections/describe"))
+      assert(lines.contains("POST /v2/vectordb/entities/upsert"))
+      assert(lines.contains("POST /v2/vectordb/entities/query"))
+      assert(lines.contains("POST /v2/vectordb/entities/delete"))
+      // metric travels in Milvus's vocabulary
+      assert(server.bodyOf("POST /v2/vectordb/collections/create").get
+        .contains("\"metricType\":\"L2\""))
+      // delete ships an id-in filter expression, not a bespoke id list
+      assert(server.bodyOf("POST /v2/vectordb/entities/delete").get
+        .contains("id in [\\\"3\\\"]") ||
+        server.bodyOf("POST /v2/vectordb/entities/delete").get
+          .contains("id in [\"3\"]"))
+    } finally server.stop()
+  }
+
+  test("milvus wire: errors are HTTP 200 + non-zero code, mapped to not-found") {
+    val server = new MilvusWireServer(new InMemoryStore)
+    val t = new MilvusWireTransport(server.url)
+    try {
+      assert(!t.exists("ghost"))
+      intercept[NoSuchElementException](t.scroll("ghost", 0, 10))
+      assert(t.describe("ghost").isEmpty)
+    } finally server.stop()
+  }
+
+  test("milvus wire: binary vectors ride base64 and round trip exactly") {
+    val server = new MilvusWireServer(new InMemoryStore)
+    val t = new MilvusWireTransport(server.url)
+    try {
+      val bytes = Array[Byte](0, 1, -1, 127, -128)
+      t.createCollection("mb", CollectionConfig(distance = "Hamming", dim = 40,
+        vectorType = VectorTypes.Binary), recreate = true)
+      t.upsert("mb", Seq(VSRecord("b1", null, Map.empty, bytes)))
+      val back = t.scroll("mb", 0, 10)
+      assert(back.length == 1 && java.util.Arrays.equals(back.head.binary, bytes))
+      assert(t.describe("mb").exists(_.vectorType == VectorTypes.Binary))
+    } finally server.stop()
+  }
+
+  // ----------------------------------------------------------- Pinecone
+
+  test("pinecone wire: control+data planes, namespaces, Api-Key auth") {
+    val server = new PineconeWireServer(new InMemoryStore, apiKey = Some("pk"))
+    val t = new PineconeWireTransport(server.url, apiKey = Some("pk"))
+    try {
+      t.createCollection("ix::nsa", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      assert(t.upsert("ix::nsa", canon(4)) == 4)
+      assert(t.upsert("ix::nsb", canon(2)) == 2) // namespace auto-creates
+      assert(t.count("ix::nsa") == 4)
+      assert(t.count("ix::nsb") == 2)
+      assert(t.describe("ix::nsa").exists(c => c.dim == 2 && c.distance == "Cosine"))
+      val page = t.scroll("ix::nsa", 1, 2)
+      assert(page.map(_.id) == Seq("1", "2"))
+      assert(page.head.vector.toSeq == Seq(1f, -0.5f))
+      assert(t.delete("ix::nsa", Seq("0")) == 1)
+      assert(t.count("ix::nsa") == 3)
+      assert(t.listCollections().toSet == Set("ix::nsa", "ix::nsb"))
+
+      val lines = server.requestLines
+      assert(lines.contains("POST /indexes"))
+      assert(lines.exists(_.startsWith("POST /vectors/upsert?index=ix")))
+      assert(lines.exists(_.startsWith("GET /vectors/list?index=ix&namespace=nsa")))
+      assert(lines.exists(l => l.startsWith("GET /vectors/fetch?index=ix") &&
+        l.contains("ids=")))
+      assert(lines.exists(_.startsWith("POST /describe_index_stats")))
+      assert(lines.exists(_.startsWith("POST /vectors/delete?index=ix")))
+      // namespace rides the body of every data-plane write
+      assert(server.bodyOf("POST /vectors/upsert").get.contains("\"namespace\":\"nsa\""))
+    } finally server.stop()
+  }
+
+  // --------------------------------------------- DSv2 end-to-end per wire
+
+  test("DSv2 write + filtered scan through the milvus wire") {
+    val server = new MilvusWireServer(new InMemoryStore)
+    try {
+      val df = (0 until 20).map(i => (s"$i", Seq(i.toFloat, 1f), Map("label" -> s"${i % 4}")))
+        .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+      df.write.format("graft-milvus").option("url", server.url)
+        .option("collection", "m_e2e").option("recreate", "true")
+        .mode("overwrite").save()
+      val back = spark.read.format("graft-milvus").option("url", server.url)
+        .option("collection", "m_e2e").load()
+        .filter(element_at(col(Canonical.METADATA), "label") === "2")
+      assert(back.count() == 5)
+      assert(server.requestLines.exists(_.contains("/v2/vectordb/entities/upsert")))
+    } finally server.stop()
+  }
+
+  test("DSv2 write + scan through the pinecone wire, namespace option") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    try {
+      val df = (0 until 6).map(i => (s"$i", Seq(i.toFloat, 2f), Map("k" -> "v")))
+        .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+      df.write.format("graft-pinecone").option("url", server.url)
+        .option("collection", "pix").option("namespace", "team1")
+        .option("recreate", "true").mode("overwrite").save()
+      val back = spark.read.format("graft-pinecone").option("url", server.url)
+        .option("collection", "pix").option("namespace", "team1").load()
+      assert(back.count() == 6)
+      // the other namespace is empty — address separation held
+      val other = spark.read.format("graft-pinecone").option("url", server.url)
+        .option("collection", "pix").option("namespace", "team2").load()
+      assert(other.count() == 0)
+    } finally server.stop()
+  }
+}
