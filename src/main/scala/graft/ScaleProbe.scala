@@ -203,6 +203,13 @@ object ScaleProbe {
     time("mmr topk (nCand=200)")(
       ops.Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         nCand = 200).count())
+    time("mmr topk (ivfpq shortlist, nCand=200)") {
+      // the scale path: ANN tier feeds the greedy instead of brute force
+      val tier = ops.Quantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+        k = 200, nCells = 16, nProbe = 4, reRank = 200)
+      ops.Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nCand = 200, shortlist = Some(tier)).count()
+    }
     time("cdc apply (collection)") {
       import graft.connectors.vectorstore.VectorStore
       graft.model.Canonical.from(emb, "vec_id", Some("embedding"), Seq("label"))

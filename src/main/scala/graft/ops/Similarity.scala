@@ -160,19 +160,42 @@ object Similarity {
     * partitioned by query (the second additionally by group) — no extra
     * scan, no extra shuffle beyond the per-query rank every top-k already
     * pays. Deterministic tie-breaks on candidate id; fully SQL-replayable
-    * (the oracle gate replays both windows). */
+    * (the oracle gate replays both windows).
+    *
+    * `shortlist` swaps the first stage for any ANN tier's output
+    * (`(query_id, cand_id, score)` — [[lshTopK]], [[ivfTopK]],
+    * [[graft.ops.Quantization.ivfPqTopK]], …): at corpus scale the exact
+    * all-pairs stage is the bottleneck, the diversification windows are
+    * not, so the scale path is ANN shortlist → same two windows. */
   def diversifiedTopK(candidates: DataFrame, queries: DataFrame, k: Int,
                       groupCol: String, maxPerGroup: Int = 2,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      shortlist: Option[DataFrame] = None): DataFrame = {
     require(k > 0 && maxPerGroup > 0)
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
-      col(groupCol).as("grp"))
+    val scored = shortlist match {
+      case Some(s) =>
+        // the tier contributes MEMBERSHIP (query, cand) pairs; relevance
+        // is recomputed as exact cosine so ranking semantics don't depend
+        // on the tier's own score scale (PQ tiers emit L2 dist)
+        val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+        s.select(col("query_id"), col("cand_id"))
+          .join(candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+            col(groupCol).as("grp")), "cand_id")
+          .join(q, "query_id")
+          .withColumn("score",
+            round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+      case None =>
+        val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+        val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+          col(groupCol).as("grp"))
+        c.join(q, col("cand_id") =!= col("query_id"))
+          .withColumn("score",
+            round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+    }
     val wg = Window.partitionBy("query_id", "grp")
       .orderBy(col("score").desc, col("cand_id").asc)
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id").asc)
-    c.join(q, col("cand_id") =!= col("query_id"))
-      .withColumn("score", round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+    scored
       .withColumn("gk", row_number().over(wg))
       .filter(col("gk") <= maxPerGroup)
       .withColumn("rk", row_number().over(w))
@@ -188,10 +211,12 @@ object Similarity {
     *
     * The greedy loop is inherently sequential PER QUERY but independent
     * ACROSS queries, so the scale shape is: distributed shortlist
-    * ([[bruteForceTopK]] — swap in any ANN tier), then `groupByKey(query)
-    * .mapGroups` running the O(k·nCand) selection over each query's ≤nCand
-    * candidates — bounded memory per task, queries spread across
-    * executors, nothing on the driver. Correctness is spec'd against an
+    * ([[bruteForceTopK]] by default; pass `shortlist` to swap in any ANN
+    * tier's `(query_id, cand_id, score)` output — [[lshTopK]],
+    * [[ivfTopK]], [[graft.ops.Quantization.ivfPqTopK]]), then
+    * `groupByKey(query).mapGroups` running the O(k·nCand) selection over
+    * each query's ≤nCand candidates — bounded memory per task, queries
+    * spread across executors, nothing on the driver. Correctness is spec'd against an
     * independent in-memory reference implementation AND oracle-gated: the
     * `q_ann_mmr` oracle replays the greedy recursion as a DuckDB recursive
     * CTE carrying the selected set in list columns.
@@ -210,12 +235,26 @@ object Similarity {
     * diverges across engines structurally, not just in edge cases. */
   def mmrTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               lambda: Double = 0.7, nCand: Int = 200,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              shortlist: Option[DataFrame] = None): DataFrame = {
     require(k > 0 && nCand >= k && lambda >= 0.0 && lambda <= 1.0)
     val lam = math.round(lambda * 1000)
     val spark = candidates.sparkSession
     import spark.implicits._
-    val short = bruteForceTopK(candidates, queries, nCand, idCol, vecCol)
+    // an explicit shortlist contributes MEMBERSHIP; relevance is recomputed
+    // as exact grid cosine so the greedy's inputs don't depend on the
+    // tier's score scale (PQ tiers emit L2 dist, not cosine) — with a
+    // shortlist covering the brute-force top-nCand the results are
+    // IDENTICAL to the default path
+    val short = shortlist.map { s =>
+      val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+      s.select(col("query_id"), col("cand_id"))
+        .join(candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec")), "cand_id")
+        .join(q, "query_id")
+        .withColumn("score",
+          round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+        .select("query_id", "cand_id", "score")
+    }.getOrElse(bruteForceTopK(candidates, queries, nCand, idCol, vecCol))
     val withVec = short.join(
         candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec")), "cand_id")
       .select(col("query_id").cast("long"), col("cand_id").cast("long"),

@@ -216,6 +216,46 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("mmrTopK with an explicit shortlist equals the default brute-force path") {
+    val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val q = emb.filter(col("vec_id") < 3)
+    val dflt = Similarity.mmrTopK(emb, q, k = 5, nCand = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val short = Similarity.bruteForceTopK(emb, q, k = 20)
+    val explicit = Similarity.mmrTopK(emb, q, k = 5, nCand = 20,
+      shortlist = Some(short))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(explicit == dflt)
+  }
+
+  test("mmrTopK over an IVF-PQ shortlist: the ANN tier plugs into the greedy") {
+    val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val q = emb.filter(col("vec_id") < 2)
+    val tier = graft.ops.Quantization.ivfPqTopK(emb, q, k = 30,
+      nCells = 8, nProbe = 8, m = 4, ksub = 8, reRank = 30)
+    val out = Similarity.mmrTopK(emb, q, k = 5, nCand = 30,
+      shortlist = Some(tier)).collect()
+    assert(out.length == 10) // 2 queries x k=5
+    // ranks are 1..5 per query and picks are distinct
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      assert(rows.map(_.getLong(1)).distinct.length == 5)
+    }
+  }
+
+  test("diversifiedTopK with a tier shortlist still enforces the group cap") {
+    val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val q = emb.filter(col("vec_id") < 2)
+    val tier = Similarity.bruteForceTopK(emb, q, k = 40)
+    val out = Similarity.diversifiedTopK(emb, q, k = 10, groupCol = "label",
+      maxPerGroup = 2, shortlist = Some(tier))
+      .collect().map(r => (r.getLong(0), String.valueOf(r.get(2))))
+    out.groupBy(identity).foreach { case ((qid, grp), hits) =>
+      assert(hits.length <= 2, s"group cap violated for query $qid group $grp")
+    }
+  }
+
   test("diversifiedTopK caps per-group results and reranks the remainder") {
     val cands = Seq(
       (1L, Seq(1f, 0f), "a"), (2L, Seq(0.99f, 0.05f), "a"), (3L, Seq(0.98f, 0.1f), "a"),
