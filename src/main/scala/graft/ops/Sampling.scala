@@ -196,7 +196,11 @@ object Sampling {
     require(totalTokens > 0 && nBuckets > 0)
     val sumW = shares.values.sum
     val budget = shares.foldLeft(lit(null).cast("long")) { case (acc, (k, w)) =>
-      when(col(sourceCol) === k, lit(math.floor(w / sumW * totalTokens).toLong)).otherwise(acc)
+      // clamped to >= 1 token so a share whose floor rounds to 0 still
+      // keeps its first bucket (the documented every-source-sampled
+      // contract) instead of producing an empty split
+      when(col(sourceCol) === k,
+        lit(math.max(1L, math.floor(w / sumW * totalTokens).toLong))).otherwise(acc)
     }
     val bucket = pmod(portableBucket(col(idCol), seed), lit(nBuckets.toLong))
     val in = df.filter(col(sourceCol).isNotNull && col(sourceCol).isin(shares.keys.toSeq: _*))

@@ -126,6 +126,21 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("mixToTokenBudget keeps a tiny-share source's first bucket, never drops it") {
+    val d = withTokens(docs)
+    // src2's floored budget is 0 tokens (1e-9 of 1000); the documented
+    // contract still gives it its first bucket, not an empty split
+    val shares = Map("src0" -> 1.0, "src2" -> 1e-9)
+    val out = Sampling.mixToTokenBudget(d, "source", shares, totalTokens = 1000L,
+      tokensCol = "n_tokens", idCol = "doc_id", nBuckets = 8)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("src2", 0L) > 0L, s"tiny-share source dropped: $bySrc")
+    // and it kept only the one cutoff bucket, not the whole source
+    val allSrc2 = d.filter(col("source") === "src2").count()
+    assert(bySrc("src2") < allSrc2)
+  }
+
   test("mixToTokenBudget is deterministic and a subset of the source restriction") {
     val d = withTokens(docs)
     val shares = Map("src0" -> 0.6, "src1" -> 0.4)
