@@ -135,6 +135,36 @@ class CliSpec extends SparkSpec {
     assert(graft.cli.Main.run(Array("--config", "/no/such/file.json")) == 1)
   }
 
+  test("the reference's golden 4-item demo migrates end to end") {
+    // hermetic form of the reference's docker-compose walkthrough:
+    // pgvector-shaped 4-row source -> milvus collection, "4 items there"
+    import graft.connectors.vectorstore.VectorStore
+    VectorStore.drop("migrated_vector_items")
+    assert(graft.cli.Main.run(
+      Array("--config", "examples/demo/pgvector_to_milvus_demo.json")) == 0)
+    assert(VectorStore.count("migrated_vector_items") == 4)
+    val byId = VectorStore.scroll("migrated_vector_items", 0, 10)
+      .map(r => r.id -> r).toMap
+    assert(byId("1").vector.toSeq == Seq(0.1f, 0.2f, 0.3f))
+    assert(byId("4").metadata("info") == "Fourth item, different category")
+    assert(byId.values.forall(_.metadata("source") == "pgvector"))
+    VectorStore.drop("migrated_vector_items")
+
+    // same demo over a real localhost socket speaking Milvus v2 REST
+    val server = new graft.connectors.vectorstore.MilvusWireServer(
+      new graft.connectors.vectorstore.InMemoryStore)
+    try {
+      val cfg = Files.createTempFile("graft-demo", ".json")
+      Files.writeString(cfg, Files.readString(
+        java.nio.file.Path.of("examples/demo/pgvector_to_milvus_demo.json"))
+        .replace("\"connection\": {},", s"""\"connection\": {\"url\": \"${server.url}\"},"""))
+      assert(graft.cli.Main.run(Array("--config", cfg.toString)) == 0)
+      assert(server.requestLines.exists(_.contains("/v2/vectordb/entities/upsert")))
+      val t = new graft.connectors.vectorstore.MilvusWireTransport(server.url)
+      assert(t.count("migrated_vector_items") == 4)
+    } finally server.stop()
+  }
+
   test("shipped example configs run end to end through the CLI") {
     for ((cfg, transform, coll) <- Seq(
       ("documents_to_chunks.json", Some("graft.examples.ChunkAndEmbed"), "doc_chunks"),
