@@ -95,6 +95,40 @@ object ConnectorQueries {
         .select(col(Canonical.ID), element_at(col(Canonical.METADATA), "label").as("label"))
     }),
 
+    // S3 over the REAL Milvus v2 REST wire: the same scan+filter as
+    // q_connector_milvus, but fixture upserts and the DSv2 scan cross a
+    // localhost socket speaking /v2/vectordb verbs with Bearer auth —
+    // the oracle adjudicates that the dialect round trip is value-exact
+    "q_connector_milvus_wire" -> ((s, dir) => {
+      import graft.connectors.vectorstore._
+      val server = new MilvusWireServer(new InMemoryStore, apiKey = Some("gate-mk"))
+      val conn = Map("url" -> server.url, "api_key" -> "gate-mk")
+      try {
+        loadFixture(s, dir, "graft-milvus", "gate_mw", options = conn)
+        ConnectorRegistry("milvus").read(s, conn, QuerySpec(
+          collection = "gate_mw",
+          filter = Some("label >= 3 && label < 6 || label == 9")))
+          .select(col(Canonical.ID), element_at(col(Canonical.METADATA), "label").as("label"))
+          .localCheckpoint(true)
+      } finally server.stop()
+    }),
+
+    // S4 over the REAL Pinecone REST wire: control-plane create, data-plane
+    // upsert/list/fetch with the namespace on every call, Api-Key auth
+    "q_connector_pinecone_wire" -> ((s, dir) => {
+      import graft.connectors.vectorstore._
+      val server = new PineconeWireServer(new InMemoryStore, apiKey = Some("gate-pk"))
+      val conn = Map("url" -> server.url, "api_key" -> "gate-pk", "namespace" -> "ns")
+      try {
+        loadFixture(s, dir, "graft-pinecone", "gate_pw", options = conn)
+        ConnectorRegistry("pinecone").read(s, conn, QuerySpec(
+          collection = "gate_pw",
+          filter = Some("""{"must":[{"key":"label","match":{"value":1}}]}""")))
+          .select(col(Canonical.ID), element_at(col(Canonical.METADATA), "label").as("label"))
+          .localCheckpoint(true)
+      } finally server.stop()
+    }),
+
     "q_connector_search" -> ((s, dir) => searchQuery(s, dir)),
 
     "q_connector_search_hamming" -> ((s, dir) => hammingSearchQuery(s, dir)),
@@ -319,6 +353,13 @@ object ConnectorQueries {
     "q_connector_milvus" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings WHERE (label >= 3 AND label < 6) OR label = 9"),
+    // the wire twins must return exactly what their in-JVM twins return
+    "q_connector_milvus_wire" ->
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
+        "FROM embeddings WHERE (label >= 3 AND label < 6) OR label = 9"),
+    "q_connector_pinecone_wire" ->
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
+        "FROM embeddings WHERE label = 1"),
     "q_connector_milvus_binary" ->
       // Hamming over packed sign bits == count of dims whose sign differs
       // (padding bits are zero on both sides); ids compare as VARCHAR on

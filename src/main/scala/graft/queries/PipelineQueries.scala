@@ -279,6 +279,16 @@ object PipelineQueries {
       Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
         lambda = 0.7, nCand = 20)
     }),
+    // The pluggable-shortlist path through the SAME oracle: an explicit
+    // tier shortlist covering the brute-force top-20 must reproduce the
+    // default greedy exactly (relevance is recomputed op-side, so only
+    // membership matters)
+    "q_ann_mmr_tiered" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+      Similarity.mmrTopK(emb, q, k = 5, lambda = 0.7, nCand = 20,
+        shortlist = Some(Similarity.bruteForceTopK(emb, q, 20)))
+    }),
     // Group-capped diversification: top-10 with at most 2 results per
     // label — the two ranking windows replayed exactly by the oracle
     "q_ann_diverse" -> ((s, dir) => {
@@ -539,7 +549,7 @@ object PipelineQueries {
         "(SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY score DESC, cand_id ASC) AS rn FROM s) WHERE rn <= 3"
 
-    Map(
+    val m = Map(
       "q_transform_enrich" ->
         ("SELECT doc_id, source, 'pgvector' AS source_db, doc_id % 10 AS migration_batch " +
           "FROM documents"),
@@ -1274,5 +1284,9 @@ object PipelineQueries {
           "round(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]), 'sum'), 6) + 0.0 AS head_sum, " +
           "CAST(len(embedding) AS INT) AS n FROM embeddings")
     )
+    // the tiered-shortlist MMR must reproduce the default path exactly
+    // (membership ⊇ brute-force top-nCand ⇒ identical greedy), so the
+    // same recursive-CTE oracle adjudicates it
+    m + ("q_ann_mmr_tiered" -> m("q_ann_mmr"))
   }
 }
