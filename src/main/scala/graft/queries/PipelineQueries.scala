@@ -266,6 +266,17 @@ object PipelineQueries {
         Tables(s, dir, "documents").filter(col("doc_id") < 200), threshold = 0.8)
         .select("doc_id", "lang", "source")),
 
+    // DSIR importance weights: hashed-token likelihood ratios against a
+    // target sample (English docs) vs the raw corpus — bucket models,
+    // 1e-6-grid log-ratios, and the exact integer per-doc sums are all
+    // replayed by the oracle
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.Dsir.importanceWeights(
+        docs, target = docs.filter(col("lang") === "en"), source = docs, dim = 64)
+        .select(col("doc_id"), col("lw6"))
+    }),
+
     // ---- Similarity search ----
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -1284,9 +1295,29 @@ object PipelineQueries {
           "round(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]), 'sum'), 6) + 0.0 AS head_sum, " +
           "CAST(len(embedding) AS INT) AS n FROM embeddings")
     )
+    val dsirSql =
+      // bucket unigram models with Laplace smoothing; the log-ratio snaps
+      // to the 1e-6 grid via floor(x*1e6+0.5) through BIGINT (exact IEEE,
+      // no -0.0, no round-function divergence), and each doc's weight is
+      // an exact integer sum over its tokens' buckets
+      ("WITH d AS (SELECT doc_id, lang, CASE WHEN text IS NULL OR length(trim(text)) = 0 " +
+        s"THEN [] ELSE $tokHashListSql END AS th FROM documents), " +
+        "tb AS (SELECT doc_id, lang, unnest(list_transform(th, h -> h % 64)) AS b FROM d), " +
+        "tc AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b), " +
+        "sc AS (SELECT b, count(*) AS cs FROM tb GROUP BY b), " +
+        "tt AS (SELECT count(*) AS t FROM tb WHERE lang = 'en'), " +
+        "ts AS (SELECT count(*) AS s FROM tb), " +
+        "spine AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS b), " +
+        "lr AS (SELECT spine.b AS b, " +
+        "CAST(floor((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (t + 64)) - " +
+        "ln(CAST(coalesce(cs, 0) + 1 AS DOUBLE) / (s + 64))) * 1000000.0 + 0.5) AS BIGINT) AS lr6 " +
+        "FROM spine LEFT JOIN tc ON spine.b = tc.b LEFT JOIN sc ON spine.b = sc.b, tt, ts), " +
+        "w AS (SELECT doc_id, sum(lr6) AS lw6 FROM tb JOIN lr USING (b) GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(w.lw6, 0) AS BIGINT) AS lw6 " +
+        "FROM d LEFT JOIN w USING (doc_id)")
     // the tiered-shortlist MMR must reproduce the default path exactly
     // (membership ⊇ brute-force top-nCand ⇒ identical greedy), so the
     // same recursive-CTE oracle adjudicates it
-    m + ("q_ann_mmr_tiered" -> m("q_ann_mmr"))
+    m + ("q_ann_mmr_tiered" -> m("q_ann_mmr")) + ("q_dsir_weights" -> dsirSql)
   }
 }

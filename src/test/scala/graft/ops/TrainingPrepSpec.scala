@@ -60,6 +60,7 @@ class PackingSpec extends SparkSpec {
 }
 
 class MixSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val docs = Tables(spark, sf("sf0.01"), "documents")
 
@@ -124,6 +125,45 @@ class MixSpec extends SparkSpec {
           s"$src kept $t vs budget $budget (max bucket $maxBucket)")
       }
     }
+  }
+
+  test("DSIR weights rank target-like docs above off-target docs") {
+    import graft.ops.Dsir
+    val target = Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "a quick brown dog and the lazy fox"),
+      (102L, "the fox and the dog are quick and lazy"))
+      .toDF("doc_id", "text")
+    val source = Seq((200L, "lorem ipsum dolor sit amet consectetur"),
+      (201L, "adipiscing elit sed do eiusmod tempor"),
+      (202L, "the quick brown fox jumps again"),
+      (203L, "incididunt ut labore et dolore magna"))
+      .toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(source, target, source, dim = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the fox doc shares the target's vocabulary; the lorem docs don't
+    assert(w(202L) > w(200L) && w(202L) > w(201L) && w(202L) > w(203L), w.toString)
+    // null text scores the empty weight, not an error
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(Dsir.weightsWithTable(nulls, Array.fill(8)(5L)).collect()
+      .head.getLong(1) == 0L)
+  }
+
+  test("DSIR select draws k docs, strongly favoring target-vocabulary docs") {
+    import graft.ops.Dsir
+    // corpus: 4 docs speak the target vocabulary, 16 speak another one
+    val talk = "the quick brown fox jumps over the lazy dog again and again"
+    val noise = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val corpus = ((0 until 4).map(i => (i.toLong, talk + s" t$i")) ++
+      (4 until 20).map(i => (i.toLong, noise + s" n$i"))).toDF("doc_id", "text")
+    val target = Seq((100L, "a quick brown dog and a lazy fox jumps"))
+      .toDF("doc_id", "text")
+    val out = Dsir.select(corpus, target, corpus, k = 4, dim = 32)
+    assert(out.count() == 4)
+    // exp(likelihood-ratio) weights separate the vocabularies by orders of
+    // magnitude, so the draw must pick mostly (at least 3 of 4) fox docs
+    assert(out.filter(col("doc_id") < 4).count() >= 3)
+    // and the weight column survives selection for downstream auditing
+    assert(out.columns.contains("lw6") && out.columns.contains("dsir_weight"))
   }
 
   test("mixToTokenBudget keeps a tiny-share source's first bucket, never drops it") {
