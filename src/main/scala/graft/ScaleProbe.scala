@@ -203,6 +203,9 @@ object ScaleProbe {
     time("mmr topk (nCand=200)")(
       ops.Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         nCand = 200).count())
+    time("dsir weights (fit 64 buckets + score corpus)")(
+      ops.Dsir.importanceWeights(docs,
+        docs.filter(col("lang") === "en"), docs, dim = 64).count())
     time("mmr topk (ivfpq shortlist, nCand=200)") {
       // the scale path: ANN tier feeds the greedy instead of brute force
       val tier = ops.Quantization.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),

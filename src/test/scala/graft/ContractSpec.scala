@@ -33,7 +33,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("gate size matches the documented inventory") {
-    assert(SparkEntry.queries.size == 142, SparkEntry.queries.size.toString)
+    // round 7: +q_connector_milvus_wire, +q_connector_pinecone_wire,
+    // +q_ann_mmr_tiered, +q_dsir_weights
+    assert(SparkEntry.queries.size == 146, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {

@@ -148,6 +148,15 @@ class MixSpec extends SparkSpec {
       .head.getLong(1) == 0L)
   }
 
+  test("DSIR scoring plan is a single pass: no shuffle, no explode, no join") {
+    import graft.ops.Dsir
+    val plan = Dsir.weightsWithTable(docs, Array.fill(64)(1L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in scoring plan:\n$plan")
+    assert(!plan.contains("Generate"), s"unexpected explode in scoring plan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in scoring plan:\n$plan")
+  }
+
   test("DSIR select draws k docs, strongly favoring target-vocabulary docs") {
     import graft.ops.Dsir
     // corpus: 4 docs speak the target vocabulary, 16 speak another one
