@@ -68,7 +68,18 @@ abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
 
   override def write(df: DataFrame, connection: Map[String, String],
                      load: LoadSpec): WriteReport = {
-    df.write.format(fmt)
+    // null ids travel as '' so the table's non-null id contract (required
+    // by SQL row-level ops) is satisfied; the backend's missing-id rule
+    // (Milvus skips, others reject — adapters/milvus.py:187-193) still
+    // decides in the writer, and the skip count survives in the report
+    val dfw =
+      if (df.columns.contains(Canonical.ID))
+        df.withColumn(Canonical.ID,
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.col(Canonical.ID),
+            org.apache.spark.sql.functions.lit("")))
+      else df
+    dfw.write.format(fmt)
       .options(connection)
       .option("collection", load.collection)
       .option("distance", load.distance)

@@ -102,7 +102,8 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
               opts: CaseInsensitiveStringMap, val search: Option[SearchSpec] = None,
               vectorType: String = VectorTypes.Float,
               val backendFilters: Array[Filter] = Array.empty)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   /** This table's endpoint — every scan/write/delete under it talks to
     * the transport its own options name, never a process-global one. */
@@ -159,6 +160,14 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(FilterEval.supported)
 
+  /** SQL `UPDATE vs.c SET …` and `MERGE INTO vs.c USING …` — Spark's
+    * group-based row-level rewrite ([[VSRowLevelOperation]]): the whole
+    * collection is read, the rewritten rows are staged into a shadow
+    * collection executor-side, and commit swaps the shadow in. */
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new VSRowLevelOperation(info.command(), collection, dialect, rules, opts, spec,
+      schema())
+
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val pageSize = Option(opts.get("page_size")).map(_.toInt).getOrElse(1000)
     val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -173,6 +182,133 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
     }
     doomed.grouped(pageSize).foreach(b => store.delete(collection, b.toSeq))
   }
+}
+
+/** Delta-based row-level operations over a vector store (SQL UPDATE /
+  * MERGE INTO): the id-keyed store already has the two delta verbs —
+  * `upsert` and `delete(ids)` — so [[SupportsDelta]] is the natural
+  * implementation, not a group-based rewrite. Spark computes per-row
+  * deltas and only the TOUCHED rows ever move: an UPDATE of 100 rows in a
+  * 10^9-row collection ships 100 upserts, where a group rewrite would
+  * rewrite the whole collection. Carry-over rows never leave the backend,
+  * and the command's condition stays pushable into the operation scan
+  * (delta semantics need only the affected rows, so row-granular pushdown
+  * is sound — unlike group-based rewrites, where it silently drops
+  * carry-over rows).
+  *
+  * The reference has no in-place mutation at all (`core/migrator.py` only
+  * copies); this is the Spark-native surface a standing collection needs
+  * for corrections. Both delta legs are idempotent by transport contract
+  * (id-keyed upsert; delete-absent is a no-op), so a retried task
+  * re-applies safely — the same contract [[graft.ops.SnapshotDiff]] relies
+  * on for CDC. */
+class VSRowLevelOperation(cmd: RowLevelOperation.Command, collection: String,
+                          dialect: FilterDialect, rules: WriteRules,
+                          opts: CaseInsensitiveStringMap, spec: TransportSpec,
+                          tableSchema: StructType)
+  extends RowLevelOperation with SupportsDelta {
+
+  private def pageSize = Option(opts.get("page_size")).map(_.toInt).getOrElse(1000)
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"VectorStoreRowLevel($cmd, $collection)"
+
+  /** Rows are addressed by the canonical id — the store's primary key. */
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(Canonical.ID))
+
+  /** The full scan builder, pushdowns included: a delta op only needs the
+    * rows the condition touches, so the dialect-rendered filters prune the
+    * backend scroll exactly like a plain read. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VSScanBuilder(collection, dialect, pageSize, None, tableSchema, Array.empty, spec)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = {
+          // delta rows arrive in the write schema's column order — resolve
+          // the canonical positions by NAME (never trust position: plan
+          // columns can precede the data columns in rewrites). A pure
+          // DELETE's write schema is EMPTY (only row ids flow) — indices
+          // stay -1 and the row writer is never invoked.
+          val ws = info.schema()
+          def at(name: String): Int = ws.fields.indexWhere(_.name.equalsIgnoreCase(name))
+          val binaryVec = ws.fields.find(_.name.equalsIgnoreCase(Canonical.VECTOR))
+            .exists(_.dataType == BinaryType)
+          new VSDeltaBatchWrite(collection, rules,
+            Option(opts.get("batch_size")).map(_.toInt).getOrElse(100), binaryVec, spec,
+            (at(Canonical.ID), at(Canonical.VECTOR), at(Canonical.METADATA)))
+        }
+      }
+    }
+}
+
+class VSDeltaBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
+                        binaryVec: Boolean, spec: TransportSpec,
+                        cols: (Int, Int, Int)) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    VSDeltaWriterFactory(collection, rules, batchSize, binaryVec, spec, cols)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (w, s) = messages.foldLeft((0L, 0L)) {
+      case ((aw, as), VSCommit(cw, cs)) => (aw + cw, as + cs)
+      case (acc, _) => acc
+    }
+    VSWriteStats.record(collection, w, s)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class VSDeltaWriterFactory(collection: String, rules: WriteRules, batchSize: Int,
+                                binaryVec: Boolean, spec: TransportSpec,
+                                cols: (Int, Int, Int)) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new VSDeltaWriter(collection, rules, batchSize, binaryVec, spec, cols)
+}
+
+/** Executor-side delta writer: updates/inserts batch into upserts, deletes
+  * batch into id lists — the exact executor-side shape of
+  * [[graft.ops.SnapshotDiff.applyTo]], now reachable from plain SQL.
+  * Deletes flush before upserts within a batch so an id-changing UPDATE
+  * (delete old id + insert new) lands in the right order. */
+class VSDeltaWriter(collection: String, rules: WriteRules, batchSize: Int,
+                    binaryVec: Boolean, spec: TransportSpec,
+                    cols: (Int, Int, Int)) extends DeltaWriter[InternalRow] {
+
+  private val store = VectorStore.resolve(spec)
+  private val inner = new VSDataWriter(collection, rules, batchSize, binaryVec, spec, cols)
+  private val pendingDeletes = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val (idAt, _, _) = cols
+
+  private def idOf(rowId: InternalRow): String = rowId.getUTF8String(0).toString
+
+  private def flushDeletes(): Unit = if (pendingDeletes.nonEmpty) {
+    store.delete(collection, pendingDeletes.toSeq)
+    pendingDeletes.clear()
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    require(idAt >= 0, "delta write schema carries no data columns — cannot insert")
+    flushDeletes(); inner.write(row)
+  }
+
+  override def update(meta: InternalRow, rowId: InternalRow, row: InternalRow): Unit = {
+    require(idAt >= 0, "delta write schema carries no data columns — cannot update")
+    val oldId = idOf(rowId)
+    val newId = if (row.isNullAt(idAt)) null else row.getUTF8String(idAt).toString
+    if (newId != null && newId != oldId) pendingDeletes += oldId // id-changing update
+    flushDeletes()
+    inner.write(row)
+  }
+
+  override def delete(meta: InternalRow, rowId: InternalRow): Unit = {
+    pendingDeletes += idOf(rowId)
+    if (pendingDeletes.length >= batchSize) flushDeletes()
+  }
+
+  override def commit(): WriterCommitMessage = { flushDeletes(); inner.commit() }
+  override def abort(): Unit = { pendingDeletes.clear(); inner.abort() }
+  override def close(): Unit = inner.close()
 }
 
 // ---------------------------------------------------------------- read side
@@ -661,9 +797,10 @@ object VSWriteStats {
 
 class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
                    binaryVec: Boolean = false,
-                   spec: TransportSpec = TransportSpec.Local) extends BatchWrite {
+                   spec: TransportSpec = TransportSpec.Local,
+                   cols: (Int, Int, Int) = (0, 1, 2)) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new VSWriterFactory(collection, rules, batchSize, binaryVec, spec)
+    new VSWriterFactory(collection, rules, batchSize, binaryVec, spec, cols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (w, s) = messages.foldLeft((0L, 0L)) {
       case ((aw, as), VSCommit(cw, cs)) => (aw + cw, as + cs)
@@ -676,10 +813,11 @@ class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
 
 class VSWriterFactory(collection: String, rules: WriteRules, batchSize: Int,
                       binaryVec: Boolean = false,
-                      spec: TransportSpec = TransportSpec.Local)
+                      spec: TransportSpec = TransportSpec.Local,
+                      cols: (Int, Int, Int) = (0, 1, 2))
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new VSDataWriter(collection, rules, batchSize, binaryVec, spec)
+    new VSDataWriter(collection, rules, batchSize, binaryVec, spec, cols)
 }
 
 /** Executor-side writer: buffers `batchSize` records then upserts — the
@@ -687,26 +825,32 @@ class VSWriterFactory(collection: String, rules: WriteRules, batchSize: Int,
   * (`adapters/pgvector.py:223-233`, `adapters/qdrant.py:233-249`). */
 class VSDataWriter(collection: String, rules: WriteRules, batchSize: Int,
                    binaryVec: Boolean = false,
-                   spec: TransportSpec = TransportSpec.Local)
+                   spec: TransportSpec = TransportSpec.Local,
+                   cols: (Int, Int, Int) = (0, 1, 2))
   extends DataWriter[InternalRow] {
 
   private val store = VectorStore.resolve(spec)
   private val buf = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
   private var written = 0L
   private var skipped = 0L
+  // canonical column positions in the incoming row: (0, 1, 2) for plain
+  // appends; a row-level rewrite's rows carry extra plan columns
+  // (__row_operation) so [[VSRowLevelOperation]] resolves these by name
+  private val (idAt, vecAt, metaAt) = cols
 
   override def write(row: InternalRow): Unit = {
-    val rawId = if (row.isNullAt(0)) null else row.getUTF8String(0).toString
+    val rawId = if (row.isNullAt(idAt)) null else row.getUTF8String(idAt).toString
     if (rawId == null || rawId.isEmpty) {
       if (rules.skipMissingId) { skipped += 1; return }
       else throw new IllegalArgumentException("record with null/empty id")
     }
     val id = if (rules.coerceDigitIds && rawId.forall(_.isDigit))
       rawId.toLongOption.map(_.toString).getOrElse(rawId) else rawId
-    val binary = if (!binaryVec || row.isNullAt(1)) null else row.getBinary(1)
-    val vector = if (binaryVec || row.isNullAt(1)) null else row.getArray(1).toFloatArray()
-    val metadata = if (row.isNullAt(2)) Map.empty[String, String] else {
-      val m = row.getMap(2)
+    val binary = if (!binaryVec || row.isNullAt(vecAt)) null else row.getBinary(vecAt)
+    val vector = if (binaryVec || row.isNullAt(vecAt)) null
+      else row.getArray(vecAt).toFloatArray()
+    val metadata = if (row.isNullAt(metaAt)) Map.empty[String, String] else {
+      val m = row.getMap(metaAt)
       val keys = m.keyArray(); val vals = m.valueArray()
       (0 until m.numElements()).map { i =>
         keys.getUTF8String(i).toString ->

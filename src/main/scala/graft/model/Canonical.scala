@@ -20,11 +20,13 @@ object Canonical {
   val VECTOR = "vector"
   val METADATA = "metadata"
 
-  // id is nullable on the wire: records can arrive without one, and each
-  // sink applies its backend's rule (Milvus skips them,
-  // adapters/milvus.py:187-193; others reject)
+  // The table's id is NON-nullable: a stored record always has one (the
+  // store is id-keyed), and SQL row-level operations (UPDATE/MERGE) require
+  // a non-nullable row id. INPUT dataframes may still carry null ids — each
+  // sink applies its backend's rule in the writer (Milvus skips them,
+  // adapters/milvus.py:187-193; others reject).
   val schema: StructType = StructType(Seq(
-    StructField(ID, StringType, nullable = true),
+    StructField(ID, StringType, nullable = false),
     StructField(VECTOR, ArrayType(FloatType, containsNull = false), nullable = true),
     StructField(METADATA, MapType(StringType, StringType, valueContainsNull = true), nullable = true)))
 
@@ -33,7 +35,7 @@ object Canonical {
     * vector column is packed bits (`binary`, dim/8 bytes — see
     * [[graft.functions.BinaryVectors]] for the bit layout). */
   val binarySchema: StructType = StructType(Seq(
-    StructField(ID, StringType, nullable = true),
+    StructField(ID, StringType, nullable = false),
     StructField(VECTOR, BinaryType, nullable = true),
     StructField(METADATA, MapType(StringType, StringType, valueContainsNull = true), nullable = true)))
 

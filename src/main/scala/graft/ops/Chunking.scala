@@ -46,4 +46,28 @@ object Chunking {
       .withColumn("chunk_text", array_join(sliced, " "))
       .drop("__toks", textCol)
   }
+
+  /** Mean-pool per-chunk embeddings back to one document vector — the
+    * standard way a RAG corpus gets its doc-level representation (index
+    * chunks for retrieval, pool them for doc-level dedup/clustering).
+    *
+    * One posexplode + one hash aggregation on (doc, dimension): partial
+    * aggs combine map-side, the shuffle carries |docs|·dim skinny rows —
+    * no window, no per-doc state. Output is one row per (doc, dimension)
+    * with the pooled component on the 1e-6 grid: inputs snap to integer
+    * micro-units (`round(v·1e6)` — exact for already-6-rounded inputs),
+    * the mean is an exact integer sum divided once, and the final
+    * `floor(x + 0.5)` re-snap is the same signed-zero-free grid move as
+    * [[graft.ops.Pca.covariancePortable]] — so a SQL oracle reproduces
+    * every component bit-for-bit. `pooled_v = pooled6 / 1e6` (exact IEEE
+    * division by a power-of-ten scale on grid integers ≤ 2^31). */
+  def meanPoolEmbeddings(chunks: DataFrame, docIdCol: String = "doc_id",
+                         vecCol: String = "embedding"): DataFrame =
+    chunks
+      .select(col(docIdCol), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy(col(docIdCol), col("i"))
+      .agg(floor(sum(round(col("v").cast("double") * 1e6)) / count(lit(1)) + 0.5)
+        .cast("long").as("pooled6"))
+      .select(col(docIdCol), (col("i") + 1).as("pos"), col("pooled6"),
+        (col("pooled6") / 1e6).as("pooled_v"))
 }

@@ -256,6 +256,80 @@ object Dedup {
     }
   }
 
+  /** The persisted face of the MinHash index: `(id, minhash_sig)` for every
+    * doc — fixed `numHashes` longs per row (~0.5% of text width), the table
+    * a production corpus keeps next to itself so each INCREMENTAL batch
+    * dedups against the whole history without re-signing it. Write it out
+    * bucketed/partitioned once; append each accepted batch's signatures. */
+  def signatureTable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                     numHashes: Int = 64, shingleSize: Int = 3,
+                     portable: Boolean = false): DataFrame = {
+    val sh =
+      if (portable) graft.functions.HashExpressions.portableShingleHashes(col(textCol), shingleSize)
+      else graft.functions.HashExpressions.wordShingleHashes(col(textCol), shingleSize)
+    val (as, bs) = minhashParams(numHashes)
+    docs.filter(col(idCol).isNotNull)
+      .withColumn("__sh", sh)
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol),
+        graft.functions.HashExpressions.minHashSignature(col("__sh"), as, bs).as("minhash_sig"))
+  }
+
+  /** Incremental near-duplicate detection: a NEW batch of documents checked
+    * against an EXISTING corpus — the shape every production ingest runs
+    * (dedup the day's crawl against the 100 TB history), where re-pairing
+    * the whole corpus with itself ([[minHashDuplicatePairs]]) would redo
+    * work proportional to |corpus| instead of |batch|.
+    *
+    * The corpus side enters as its persisted [[signatureTable]]: banding a
+    * signature is integer slicing (cheap, no text scan), so the only
+    * full-text work of the whole operation is signing the BATCH. Candidates
+    * come from the banded bucket join corpus-bands ⋈ batch-bands — the join
+    * keys hash-partition by bucket, so corpus work is proportional to the
+    * buckets the batch actually touches, not the corpus. The skew guard
+    * caps CORPUS bucket width (a boilerplate bucket of 10^6 corpus docs
+    * would otherwise fan every matching batch doc into 10^6 pairs).
+    *
+    * Verification thresholds the signature match fraction (E[match] = J) —
+    * signatures are all the corpus keeps, and at ingest scale the estimate
+    * is the production default anyway ([[minHashDuplicatePairs]]'s
+    * `verifyExact=false` mode). Returns `(batch_id, corpus_id, jaccard)`;
+    * `batch ids ∉ result` are the novel docs to accept + append to the
+    * signature table. Run with `portable=true` signatures end to end and a
+    * SQL oracle replays the whole operation ([[graft.SparkEntry]]
+    * `q_dedup_incremental`). */
+  def incrementalNearDupPairs(corpusSigs: DataFrame, batch: DataFrame,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              numHashes: Int = 64, numBands: Int = 16, shingleSize: Int = 3,
+                              threshold: Double = 0.5, maxBucket: Int = 1000,
+                              portable: Boolean = false): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val batchSigs = Materialize( // one batch text scan feeds bands + verify
+      signatureTable(batch, idCol, textCol, numHashes, shingleSize, portable))
+    val corpusBands = lshBands(corpusSigs, idCol, numBands, rowsPerBand, portable)
+    val batchBands = lshBands(batchSigs, idCol, numBands, rowsPerBand, portable)
+    // guard on CORPUS bucket width — the side that can be 1000× the batch
+    val smallBuckets = corpusBands.groupBy("band", "band_hash")
+      .agg(count(col(idCol)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "band_hash")
+    val candidates = corpusBands.join(smallBuckets, Seq("band", "band_hash"))
+      .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"))
+      .join(batchBands.select(col("band"), col("band_hash"), col(idCol).as("batch_id")),
+        Seq("band", "band_hash"))
+      .filter(col("corpus_id") =!= col("batch_id"))
+      .select("batch_id", "corpus_id").distinct()
+    candidates
+      .join(corpusSigs.select(col(idCol).as("corpus_id"), col("minhash_sig").as("sig_c")),
+        "corpus_id")
+      .join(batchSigs.select(col(idCol).as("batch_id"), col("minhash_sig").as("sig_b")),
+        "batch_id")
+      .withColumn("jaccard", round(graft.functions.HashExpressions
+        .signatureMatchFraction(col("sig_b"), col("sig_c")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
   /** 64-bit SimHash fingerprint of the whitespace token stream: bit j is
     * set iff Σ_tokens (±1 on hash-bit j) > 0. Hamming-close fingerprints ⇒
     * near-duplicate texts. Built from codegen-able array ops only. */

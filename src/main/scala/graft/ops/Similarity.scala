@@ -364,4 +364,68 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("query_id", "cand_id", "score", "rk")
   }
+
+  /** Hard-negative mining for embedding/retriever training: for each
+    * (query, positive) training pair, the `n` highest-scoring candidates
+    * that are NOT positives and score below every positive by at least
+    * `marginMicros` (on the 1e-6 cosine grid) — the near-misses a
+    * contrastive loss learns the most from, with the margin guarding
+    * against unlabeled true positives poisoning the negative set (the
+    * standard "denoised" mining rule from dense-retrieval training).
+    *
+    * Scale shape: the candidate stage is pluggable like
+    * [[diversifiedTopK]] — default exact [[bruteForceTopK]] over the
+    * broadcast query set, or any ANN tier's `(query_id, cand_id)` output
+    * via `shortlist` (membership only; scores are recomputed as exact grid
+    * cosine). Positive scores come from ONE broadcast join of the
+    * (query, positive) pairs against the candidate vectors — |pairs| rows,
+    * never the collection. Everything after the shortlist is two narrow
+    * joins + one per-query window; all arithmetic on the integer grid so a
+    * SQL oracle replays margins and tie-breaks exactly.
+    *
+    * @param positives    (query_id, pos_id) labeled pairs; queries with no
+    *                     surviving candidate after the margin yield fewer
+    *                     than `n` rows (never padded).
+    * @param marginMicros required gap below the WEAKEST positive, in 1e-6
+    *                     cosine units (50000 = 0.05).
+    */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame, positives: DataFrame,
+                    n: Int, marginMicros: Long = 50000, nCand: Int = 200,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    shortlist: Option[DataFrame] = None): DataFrame = {
+    require(n > 0 && nCand >= n && marginMicros >= 0)
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val cv = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+    val scored = shortlist match {
+      case Some(s) => // tier contributes membership; exact grid score op-side
+        s.select(col("query_id"), col("cand_id")).join(cv, "cand_id").join(qv, "query_id")
+          .filter(col("cand_id") =!= col("query_id"))
+          .withColumn("score",
+            round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+          .select("query_id", "cand_id", "score")
+      case None => bruteForceTopK(candidates, queries, nCand, idCol, vecCol)
+        .select("query_id", "cand_id", "score")
+    }
+    // weakest positive per query, scored exactly (independent of the
+    // shortlist so a positive missing from an ANN tier's list cannot
+    // loosen the margin); broadcast-sized: one row per labeled pair
+    val posPairs = positives.select(col("query_id"), col("pos_id"))
+    val posFloor = broadcast(
+      posPairs.join(cv.withColumnRenamed("cand_id", "pos_id"), "pos_id").join(qv, "query_id")
+        .withColumn("p6", (round( // snap to the 1e-6 grid FIRST: raw cos·1e6
+          // can sit on a .5 boundary where engines' rounding modes diverge
+          round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6) * 1e6))
+          .cast("long"))
+        .groupBy("query_id").agg(min(col("p6")).as("pos_floor6")))
+    val w = Window.partitionBy("query_id").orderBy(col("score6").desc, col("cand_id").asc)
+    scored
+      .withColumn("score6", (round(col("score") * 1e6)).cast("long"))
+      .join(posPairs.withColumnRenamed("pos_id", "cand_id"), Seq("query_id", "cand_id"),
+        "left_anti") // a labeled positive is never a negative
+      .join(posFloor, Seq("query_id")) // queries without positives have no pairs to train
+      .filter(col("score6") <= col("pos_floor6") - marginMicros)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select("query_id", "cand_id", "score", "rk")
+  }
 }

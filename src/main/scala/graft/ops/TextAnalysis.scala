@@ -131,6 +131,36 @@ object TextAnalysis {
       TextFunctions.redactPii(col(textCol)).as("redacted"),
       (TextFunctions.redactPii(col(textCol)) =!= col(textCol)).as("had_pii"))
 
+  /** Markup-stripping text extraction — the first stage of every
+    * web-crawl→training-corpus pipeline (the trafilatura/boilerplate step,
+    * reduced to its deterministic core): drop `<script>`/`<style>` payloads
+    * and comments wholesale, flatten every remaining tag to a space, decode
+    * the six ubiquitous character entities, and collapse whitespace.
+    *
+    * A pure `regexp_replace` chain — codegen'd, embarrassingly parallel,
+    * zero shuffles — and deliberately restricted to the regex subset Java
+    * and RE2 agree on (lazy quantifiers and inline `(?is)` flags; no
+    * lookaround, no backreferences), so a DuckDB oracle replays extraction
+    * byte-for-byte. Numeric character references and full HTML5 entity
+    * tables are out of scope by contract (a real pipeline bolts a decoder
+    * stage after this one). */
+  def stripMarkup(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&") // &amp; last: &amp;lt; → &lt;
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** [[stripMarkup]] over a corpus: (id, extracted text + its token count). */
+  def extractText(docs: DataFrame, idCol: String = "doc_id",
+                  htmlCol: String = "html"): DataFrame =
+    docs.select(col(idCol), stripMarkup(col(htmlCol)).as("extracted"))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("extracted")))
+
   /** Cross-document duplicate-span detection — the token-granular
     * approximation of exact substring dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): fingerprint every

@@ -242,6 +242,59 @@ object ConnectorQueries {
           |FROM vsm.gate_sqlmig_dst""".stripMargin)
     }),
 
+    // SQL UPDATE through the group-based row-level rewrite: the whole
+    // collection is scanned, Spark applies the SET to matching rows, the
+    // rewrite stages into a shadow collection and commit swaps it in —
+    // labels mutate, vectors survive the rewrite byte-for-byte
+    "q_catalog_update" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.vsu",
+        classOf[graft.connectors.vectorstore.VSCatalog].getName)
+      loadFixture(s, dir, "graft-qdrant", "gate_upd")
+      s.sql(
+        """UPDATE vsu.gate_upd
+          |SET metadata = map('label',
+          |  CAST(CAST(element_at(metadata, 'label') AS INT) + 100 AS STRING))
+          |WHERE CAST(element_at(metadata, 'label') AS INT) >= 5""".stripMargin)
+      s.sql(
+        """SELECT id, element_at(metadata, 'label') AS label,
+          |       round(CAST(element_at(vector, 1) AS DOUBLE), 5) AS v1
+          |FROM vsu.gate_upd""".stripMargin)
+    }),
+
+    // SQL MERGE INTO (update + delete + insert in one statement) against a
+    // vector-store collection: target = ids %3=0, source = ids %2=0;
+    // matched %12=0 deleted, other matched get label+50, unmatched source
+    // rows inserted, carry-over rows untouched — the oracle replays the
+    // whole merge as one CASE/filter over the base table
+    "q_catalog_merge" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.vsg",
+        classOf[graft.connectors.vectorstore.VSCatalog].getName)
+      loadFixture(s, dir, "graft-qdrant", "gate_merge_src")
+      graft.connectors.vectorstore.VectorStore.drop("gate_merge")
+      s.sql(
+        """CREATE TABLE vsg.gate_merge
+          |  (id string, vector array<float>, metadata map<string,string>)
+          |TBLPROPERTIES ('distance'='Cosine')""".stripMargin)
+      s.sql(
+        """INSERT INTO vsg.gate_merge
+          |SELECT id, vector, metadata FROM vsg.gate_merge_src
+          |WHERE CAST(id AS INT) % 3 = 0""".stripMargin)
+      s.sql(
+        """MERGE INTO vsg.gate_merge t
+          |USING (SELECT id, vector, metadata FROM vsg.gate_merge_src
+          |       WHERE CAST(id AS INT) % 2 = 0) s
+          |ON t.id = s.id
+          |WHEN MATCHED AND CAST(s.id AS INT) % 12 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET metadata = map('label',
+          |  CAST(CAST(element_at(s.metadata, 'label') AS INT) + 50 AS STRING))
+          |WHEN NOT MATCHED THEN INSERT (id, vector, metadata)
+          |  VALUES (s.id, s.vector, s.metadata)""".stripMargin)
+      s.sql(
+        """SELECT id, element_at(metadata, 'label') AS label,
+          |       round(CAST(element_at(vector, 1) AS DOUBLE), 5) AS v1
+          |FROM vsg.gate_merge""".stripMargin)
+    }),
+
     // CDC applied END TO END: the collection starts as the old snapshot,
     // a deterministically-derived diff (delete %17, update %13 — label
     // bumped, vector negated — insert %19 shifted) is applied through
@@ -434,6 +487,17 @@ object ConnectorQueries {
         // lesson). Same normalization on every signed rounded output below.
         "round(CAST(embedding[1] AS DOUBLE), 5) + 0.0 AS v1 " +
         "FROM embeddings WHERE label BETWEEN 2 AND 6"),
+    "q_catalog_update" ->
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, " +
+        "CAST(CASE WHEN label >= 5 THEN label + 100 ELSE label END AS VARCHAR) AS label, " +
+        "round(CAST(embedding[1] AS DOUBLE), 5) + 0.0 AS v1 FROM embeddings"),
+    "q_catalog_merge" ->
+      // survivors: target (%3=0) ∪ source (%2=0) minus the deleted
+      // matches (%12=0); matched rows (%6=0) carry the +50 label
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, " +
+        "CAST(CASE WHEN vec_id % 6 = 0 THEN label + 50 ELSE label END AS VARCHAR) AS label, " +
+        "round(CAST(embedding[1] AS DOUBLE), 5) + 0.0 AS v1 FROM embeddings " +
+        "WHERE (vec_id % 3 = 0 OR vec_id % 2 = 0) AND vec_id % 12 <> 0"),
     "q_cdc_apply" ->
       // the applied diff replayed declaratively: survivors = untouched
       // keeps + updated rows (label+100, vector negated) + shifted inserts

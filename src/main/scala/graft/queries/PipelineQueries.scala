@@ -504,7 +504,54 @@ object PipelineQueries {
         round(element_at(col("embedding"), -1).cast("double"), 6).as("arr_last"),
         round(aggregate(transform(slice(col("embedding"), 1, 8), _.cast("double")),
           lit(0.0), _ + _), 6).as("head_sum"),
-        size(col("embedding")).as("n")))
+        size(col("embedding")).as("n"))),
+
+    // ---- Hard-negative mining (retriever-training staple): top-10
+    //      negatives per query below the (query, query+7) positive by a
+    //      0.02 cosine margin, everything on the integer grid ----
+    "q_ann_hard_negatives" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val pos = q.select(col("vec_id").as("query_id"), (col("vec_id") + 7).as("pos_id"))
+      Similarity.hardNegatives(emb, q, pos, n = 10, marginMicros = 20000, nCand = 100)
+    }),
+
+    // ---- Chunk→document mean pooling: the doc-level embedding from the
+    //      per-chunk hashed embeddings, every component an exact grid
+    //      integer (floor(sum/n + 0.5) over 1e-6-snapped inputs) ----
+    "q_chunk_pool" -> ((s, dir) => {
+      val chunks = Chunking.chunkByTokens(Tables(s, dir, "documents"), width = 64, stride = 48)
+        .select(col("doc_id"),
+          transform(TextFunctions.hashedTokenEmbedding(col("chunk_text"), 16),
+            v => round(v, 6)).as("embedding"))
+      Chunking.meanPoolEmbeddings(chunks).select("doc_id", "pos", "pooled6")
+    }),
+
+    // ---- Incremental near-dedup: the odd-id batch checked against the
+    //      even-id corpus' PERSISTED signature table — band join only
+    //      batch×corpus, signature-estimate verify; the oracle replays
+    //      signatures, bands, the corpus-side bucket guard, and the match
+    //      fraction for both sides ----
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val corpusSigs = Dedup.signatureTable(docs.filter(col("doc_id") % 2 === 0),
+        numHashes = 16, portable = true)
+      Dedup.incrementalNearDupPairs(corpusSigs, docs.filter(col("doc_id") % 2 =!= 0),
+        numHashes = 16, numBands = 4, threshold = 0.3, portable = true)
+    }),
+
+    // ---- Markup-stripping text extraction (the crawl→corpus first
+    //      stage): documents wrapped in a deterministic HTML shell, then
+    //      script/style/comment removal, tag flattening, entity decode,
+    //      whitespace collapse — byte-identical across engines ----
+    "q_text_extract" -> ((s, dir) =>
+      TextAnalysis.extractText(
+        Tables(s, dir, "documents").select(col("doc_id"), concat(
+          lit("<html><head><title>T</title><style>p{color:red}</style></head>" +
+            "<body><!-- nav --><h1>Doc</h1><p>"),
+          col("text"),
+          lit("</p><script>var x = 1 < 2;</script>&amp; &lt;tail&gt;</body></html>"))
+          .as("html"))))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1318,6 +1365,118 @@ object PipelineQueries {
     // the tiered-shortlist MMR must reproduce the default path exactly
     // (membership ⊇ brute-force top-nCand ⇒ identical greedy), so the
     // same recursive-CTE oracle adjudicates it
-    m + ("q_ann_mmr_tiered" -> m("q_ann_mmr")) + ("q_dsir_weights" -> dsirSql)
+    val hardNegSql =
+      // brute-force scores → top-50 shortlist → positives excluded → the
+      // 0.05 margin below the weakest positive applied on grid integers →
+      // per-query top-5; tie-breaks and rounding identical to the op
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "p AS (SELECT query_id, query_id + 7 AS pos_id FROM q), " +
+        "s AS (SELECT query_id, e.vec_id AS cand_id, " +
+        s"round(${cosSql("e.v", "qv")}, 6) + 0.0 AS score " +
+        "FROM e JOIN q ON e.vec_id <> q.query_id), " +
+        "top AS (SELECT * FROM s QUALIFY row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY score DESC, cand_id) <= 100), " +
+        "pf AS (SELECT p.query_id, " +
+        s"min(CAST(round(round(${cosSql("pe.v", "q.qv")}, 6) * 1000000) AS BIGINT)) " +
+        "AS pos_floor6 FROM p JOIN e pe ON pe.vec_id = p.pos_id " +
+        "JOIN q ON q.query_id = p.query_id GROUP BY p.query_id), " +
+        "neg AS (SELECT t.query_id, t.cand_id, t.score, " +
+        "CAST(round(t.score * 1000000) AS BIGINT) AS score6 FROM top t " +
+        "LEFT JOIN p ON p.query_id = t.query_id AND p.pos_id = t.cand_id " +
+        "WHERE p.pos_id IS NULL), " +
+        "f AS (SELECT neg.query_id, neg.cand_id, neg.score, neg.score6 FROM neg " +
+        "JOIN pf ON pf.query_id = neg.query_id " +
+        "WHERE neg.score6 <= pf.pos_floor6 - 20000) " +
+        "SELECT query_id, cand_id, score, CAST(rn AS INT) AS rk FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY score6 DESC, cand_id) AS rn FROM f) WHERE rn <= 10")
+    val chunkPoolSql = {
+      // the q_chunk_embed pipeline (same windows, same hashed embedding,
+      // same 1e-6 rounding) + the mean-pool aggregate: components snap to
+      // exact micro-unit integers, so sum/n + floor re-snap is bit-exact
+      val dim = 16
+      val counts = (0 until dim)
+        .map(j => s"CAST(len(list_filter(ch, h -> h % $dim = $j)) AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      "WITH d AS (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 " +
+        "THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents), " +
+        s"h AS (SELECT doc_id, list_transform(toks, t -> ${tokHashSql("t")}) AS hl, " +
+        "len(toks) AS n FROM d WHERE len(toks) > 0), " +
+        "c AS (SELECT doc_id, hl, " +
+        "CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM h), " +
+        "e AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx, " +
+        "hl[k*48+1 : k*48+64] AS ch FROM " +
+        "(SELECT doc_id, hl, unnest(range(0, nc)) AS k FROM c)), " +
+        s"cnt AS (SELECT doc_id, chunk_idx, $counts AS cnt FROM e), " +
+        "nrm AS (SELECT doc_id, chunk_idx, cnt, " +
+        "sqrt(list_aggregate(list_transform(cnt, x -> x*x), 'sum')) AS nn FROM cnt), " +
+        "v6 AS (SELECT doc_id, CAST(unnest(range(len(cnt))) AS INT) AS i, " +
+        "unnest(list_transform(cnt, x -> CAST(round(round(x / nn, 6) * 1000000) AS BIGINT))) " +
+        "AS v6 FROM nrm) " +
+        "SELECT doc_id, i + 1 AS pos, " +
+        "CAST(floor(CAST(sum(v6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS pooled6 " +
+        "FROM v6 GROUP BY doc_id, i"
+    }
+    val incrementalSql = {
+      // both sides' portable signatures from ONE replayed kernel, banded
+      // with the polynomial fold, corpus-side bucket guard, batch×corpus
+      // candidate join, signature-match-fraction verify at 0.3
+      val (as, bs) = Dedup.minhashParams(16)
+      val aLit = as.mkString("[", ",", "]")
+      val bLit = bs.mkString("[", ",", "]")
+      def bandsOf(src: String, out: String) =
+        s"$out AS (SELECT doc_id, s.band AS band, s.key AS key FROM " +
+          s"(SELECT doc_id, unnest(list_transform(range(0, 4), b -> struct_pack(band := b, " +
+          "key := list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4] || [b]), " +
+          s"(a, x) -> (a*131 + x) % 2147483647)))) AS s FROM $src))"
+      "WITH d AS (SELECT doc_id, " + ltoksSql + " AS ltoks FROM documents), " +
+        "sh0 AS (SELECT doc_id, list_sort(list_distinct(list_transform(" +
+        "generate_series(1, greatest(len(ltoks)-2, 0)), i -> " +
+        strHashSql("(ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2])") +
+        "))) AS sh FROM d), " +
+        "nz AS (SELECT * FROM sh0 WHERE len(sh) > 0), " +
+        s"sg AS (SELECT doc_id, list_transform(range(0, 16), j -> " +
+        s"list_min(list_transform(sh, x -> (($aLit)[j+1]*x + ($bLit)[j+1]) % 2147483647))) " +
+        "AS sig FROM nz), " +
+        "corp AS (SELECT * FROM sg WHERE doc_id % 2 = 0), " +
+        "bat AS (SELECT * FROM sg WHERE doc_id % 2 = 1), " +
+        bandsOf("corp", "cb") + ", " + bandsOf("bat", "bb") + ", " +
+        "g AS (SELECT band, key FROM cb GROUP BY band, key HAVING count(*) <= 1000), " +
+        "cbg AS (SELECT cb.doc_id, cb.band, cb.key FROM cb JOIN g USING (band, key)), " +
+        "cand AS (SELECT DISTINCT bb.doc_id AS batch_id, cbg.doc_id AS corpus_id " +
+        "FROM cbg JOIN bb USING (band, key) WHERE cbg.doc_id <> bb.doc_id), " +
+        "v AS (SELECT batch_id, corpus_id, " +
+        "round(CAST(len(list_filter(range(16), j -> b.sig[j+1] = c.sig[j+1])) AS DOUBLE)/16, 6) " +
+        "AS jaccard FROM cand JOIN bat b ON b.doc_id = cand.batch_id " +
+        "JOIN corp c ON c.doc_id = cand.corpus_id) " +
+        "SELECT batch_id, corpus_id, jaccard FROM v WHERE jaccard >= 0.3"
+    }
+    val extractSql =
+      // the same Java∩RE2 regex chain, stage by stage, DuckDB 'g' flag =
+      // Spark's replace-all default; entity decode order matters (&amp;
+      // last) and is identical
+      ("WITH h AS (SELECT doc_id, '<html><head><title>T</title><style>p{color:red}</style>" +
+        "</head><body><!-- nav --><h1>Doc</h1><p>' || text || " +
+        "'</p><script>var x = 1 < 2;</script>&amp; &lt;tail&gt;</body></html>' AS html " +
+        "FROM documents), " +
+        "x1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\\b.*?</script\\s*>', ' ', 'g') " +
+        "AS t FROM h), " +
+        "x2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style\\b.*?</style\\s*>', ' ', 'g') " +
+        "AS t FROM x1), " +
+        "x3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM x2), " +
+        "x4 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM x3), " +
+        "e1 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g') AS t FROM x4), " +
+        "e2 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g') AS t FROM e1), " +
+        "e3 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g') AS t FROM e2), " +
+        "e4 AS (SELECT doc_id, regexp_replace(t, '&quot;', '\"', 'g') AS t FROM e3), " +
+        "e5 AS (SELECT doc_id, regexp_replace(t, '&#39;', '''', 'g') AS t FROM e4), " +
+        "e6 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t FROM e5), " +
+        "c AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted FROM e6) " +
+        "SELECT doc_id, extracted, " +
+        "len(string_split_regex(trim(extracted), '\\s+')) AS n_tokens FROM c")
+    m + ("q_ann_mmr_tiered" -> m("q_ann_mmr")) + ("q_dsir_weights" -> dsirSql) +
+      ("q_ann_hard_negatives" -> hardNegSql) + ("q_chunk_pool" -> chunkPoolSql) +
+      ("q_dedup_incremental" -> incrementalSql) + ("q_text_extract" -> extractSql)
   }
 }

@@ -34,8 +34,10 @@ class ContractSpec extends AnyFunSuite {
 
   test("gate size matches the documented inventory") {
     // round 7: +q_connector_milvus_wire, +q_connector_pinecone_wire,
-    // +q_ann_mmr_tiered, +q_dsir_weights
-    assert(SparkEntry.queries.size == 146, SparkEntry.queries.size.toString)
+    // +q_ann_mmr_tiered, +q_dsir_weights, +q_ann_hard_negatives,
+    // +q_chunk_pool, +q_dedup_incremental, +q_text_extract,
+    // +q_catalog_update, +q_catalog_merge
+    assert(SparkEntry.queries.size == 152, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {

@@ -90,23 +90,22 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM vsc.sql_del WHERE id IN ('3', '4', '5')")
     assert(VectorStore.count("sql_del") == 17)
     // delete on a metadata value via the map-access predicate is NOT an
-    // exactly-evaluable pushdown filter -> Spark must refuse, not guess
-    intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("DELETE FROM vsc.sql_del WHERE element_at(metadata, 'cat') = 'c0'")
-    }
-    assert(VectorStore.count("sql_del") == 17) // nothing half-deleted
+    // exactly-evaluable pushdown filter — it used to be refused; with
+    // SupportsDelta, Spark rewrites it as a row-level delete: the scan
+    // reads, SPARK evaluates the predicate, and only matching row ids ship
+    // to the store. c0 = even ids; of the 17 left that is 0,2,6,8,...,18.
+    spark.sql("DELETE FROM vsc.sql_del WHERE element_at(metadata, 'cat') = 'c0'")
+    assert(VectorStore.count("sql_del") == 8) // 1,7,9,11,13,15,17,19 remain
     // re-deleting the same ids is a no-op (idempotent by contract)
     spark.sql("DELETE FROM vsc.sql_del WHERE id IN ('3', '4', '5')")
-    assert(VectorStore.count("sql_del") == 17)
-    spark.sql("DELETE FROM vsc.sql_del WHERE id >= '1' AND id < '2'") // '1','10'..'19'
-    assert(VectorStore.count("sql_del") == 6) // 0, 2, 6, 7, 8, 9 remain
-    // a predicate on the vector column itself is shape-supported (IsNull)
-    // but NOT attribute-evaluable at the store — must be refused, not
-    // silently matched against nothing
-    intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("DELETE FROM vsc.sql_del WHERE vector IS NULL")
-    }
-    assert(VectorStore.count("sql_del") == 6)
+    assert(VectorStore.count("sql_del") == 8)
+    spark.sql("DELETE FROM vsc.sql_del WHERE id >= '1' AND id < '2'") // '1','1x' string order
+    assert(VectorStore.count("sql_del") == 2) // 7, 9 remain
+    // a predicate on the vector column routes through the same rewrite and
+    // correctly matches nothing (every stored vector is non-null) — no
+    // refusal needed, no over-delete possible
+    spark.sql("DELETE FROM vsc.sql_del WHERE vector IS NULL")
+    assert(VectorStore.count("sql_del") == 2)
     VectorStore.drop("sql_del")
   }
 

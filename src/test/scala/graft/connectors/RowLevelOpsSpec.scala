@@ -1,0 +1,76 @@
+package graft.connectors
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.connectors.vectorstore._
+
+/** SQL UPDATE / MERGE INTO over vector-store collections via SupportsDelta:
+  * per-row deltas route to the store's native upsert/delete — only touched
+  * rows move, carry-over rows never leave the backend. */
+class RowLevelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def install(cat: String): Unit =
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[VSCatalog].getName)
+
+  private def seed(coll: String, n: Int): Unit = {
+    VectorStore.drop(coll)
+    VectorStore.createCollection(coll, CollectionConfig(dim = 2), recreate = true)
+    VectorStore.upsert(coll, (0 until n).map(i =>
+      VSRecord(s"$i", Array(i.toFloat, 1f), Map("lab" -> s"${i % 3}"))))
+  }
+
+  test("UPDATE mutates only matching rows; vectors survive untouched") {
+    install("vsr"); seed("rlo_upd", 10)
+    spark.sql("UPDATE vsr.rlo_upd SET metadata = map('lab', 'hit') " +
+      "WHERE element_at(metadata, 'lab') = '1'")
+    val rows = VectorStore.scroll("rlo_upd", 0, 100)
+    assert(rows.length == 10)
+    val hit = rows.filter(_.metadata("lab") == "hit").map(_.id.toInt).sorted
+    assert(hit == Seq(1, 4, 7), hit.toString)
+    // vectors of updated rows are intact (UPDATE did not touch the column)
+    assert(rows.find(_.id == "4").exists(r => r.vector.toSeq == Seq(4f, 1f)))
+    VectorStore.drop("rlo_upd")
+  }
+
+  test("UPDATE that changes the row id deletes the old id") {
+    install("vsr"); seed("rlo_uid", 4)
+    spark.sql("UPDATE vsr.rlo_uid SET id = concat('x', id) WHERE id = '2'")
+    val ids = VectorStore.scroll("rlo_uid", 0, 100).map(_.id).sorted
+    assert(ids == Seq("0", "1", "3", "x2"), ids.toString)
+    VectorStore.drop("rlo_uid")
+  }
+
+  test("MERGE INTO applies update + delete + insert in one statement") {
+    install("vsr"); seed("rlo_mrg", 6) // target ids 0..5
+    val src = Seq(
+      ("4", Array(40f, 1f), Map("lab" -> "upd")),   // matched -> update
+      ("5", Array(50f, 1f), Map("lab" -> "doom")),  // matched -> delete
+      ("9", Array(90f, 1f), Map("lab" -> "new")))   // not matched -> insert
+      .toDF("id", "vector", "metadata")
+    src.createOrReplaceTempView("rlo_mrg_src")
+    spark.sql(
+      """MERGE INTO vsr.rlo_mrg t USING rlo_mrg_src s ON t.id = s.id
+        |WHEN MATCHED AND element_at(s.metadata, 'lab') = 'doom' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET vector = s.vector, metadata = s.metadata
+        |WHEN NOT MATCHED THEN INSERT (id, vector, metadata)
+        |  VALUES (s.id, s.vector, s.metadata)""".stripMargin)
+    val rows = VectorStore.scroll("rlo_mrg", 0, 100).map(r => r.id -> r).toMap
+    assert(rows.keySet == Set("0", "1", "2", "3", "4", "9"), rows.keySet.toString)
+    assert(rows("4").vector.toSeq == Seq(40f, 1f) && rows("4").metadata("lab") == "upd")
+    assert(rows("9").metadata("lab") == "new")
+    assert(rows("0").vector.toSeq == Seq(0f, 1f)) // carry-over untouched
+    VectorStore.drop("rlo_mrg")
+  }
+
+  test("row-level DELETE with an un-pushable predicate ships only matching ids") {
+    install("vsr"); seed("rlo_del", 9)
+    // size(vector) predicates can never push to the store — the delta
+    // rewrite scans, Spark evaluates, only matching ids are deleted
+    spark.sql("DELETE FROM vsr.rlo_del WHERE size(vector) = 2 " +
+      "AND CAST(id AS INT) % 3 = 0")
+    val ids = VectorStore.scroll("rlo_del", 0, 100).map(_.id.toInt).sorted
+    assert(ids == Seq(1, 2, 4, 5, 7, 8), ids.toString)
+    VectorStore.drop("rlo_del")
+  }
+}

@@ -130,10 +130,13 @@ class VectorStoreSpec extends SparkSpec {
   }
 
   test("milvus skips records with missing ids (adapters/milvus.py:187-193)") {
+    // the table id is non-nullable (SQL row-level ops require it), so a
+    // missing id travels as '' — the writer's skip rule is unchanged; the
+    // facade coalesces null→'' for raw nullable inputs (tested below)
     VectorStore.createCollection("sk", CollectionConfig(), recreate = true)
-    val df = Seq((Option("a"), Seq(1f), Map.empty[String, String]),
-      (Option.empty[String], Seq(2f), Map.empty[String, String]),
-      (Option("b"), Seq(3f), Map.empty[String, String]))
+    val df = Seq(("a", Seq(1f), Map.empty[String, String]),
+      ("", Seq(2f), Map.empty[String, String]),
+      ("b", Seq(3f), Map.empty[String, String]))
       .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
     df.write.format("graft-milvus").option("collection", "sk").mode("append").save()
     assert(VectorStore.count("sk") == 2)
