@@ -231,6 +231,36 @@ object ScaleProbe {
       ops.Resample.forwardFill(events, bucketMicros = 3600L * 1000000L).count())
     time("session transcripts")(
       ops.Sessionize.transcripts(events).count())
+    time("incremental dedup (batch vs corpus sigs)") {
+      // the ingest shape: corpus signatures persisted once (timed apart so
+      // the probe splits index-build from per-batch cost), then the odd-id
+      // "day's batch" banded against them — batch text is the only text
+      // scanned
+      val corpusSigs = ops.Materialize(
+        ops.Dedup.signatureTable(docs.filter(col("doc_id") % 2 === 0)))
+      ops.Dedup.incrementalNearDupPairs(corpusSigs,
+        docs.filter(col("doc_id") % 2 =!= 0), threshold = 0.3).count()
+    }
+    time("hard negatives (5 queries, nCand=200)") {
+      // positive = the query's first replica (cosine 1.0), so the margin
+      // excludes only the replica cluster and real negatives survive
+      val nOrig = emb.count() / factor
+      ops.Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+        emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+          (col("vec_id") + nOrig).as("pos_id")),
+        n = 20, marginMicros = 10000, nCand = 200).count()
+    }
+    time("chunk+embed+pool (doc vectors)")(
+      ops.Chunking.meanPoolEmbeddings(
+        ops.Chunking.chunkByTokens(docs, width = 64, stride = 48)
+          .select(col("doc_id"), graft.functions.TextFunctions
+            .hashedTokenEmbedding(col("chunk_text"), 16).as("embedding"))).count())
+    time("markup extraction")(
+      ops.TextAnalysis.extractText(
+        docs.select(col("doc_id"),
+          concat(lit("<html><body><p>"), col("text"),
+            lit("</p><script>x()</script></body></html>")).as("html")))
+        .filter(col("n_tokens") > 0).count())
     spark.stop()
   }
 }

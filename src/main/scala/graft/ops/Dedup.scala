@@ -115,7 +115,7 @@ object Dedup {
     * engines, so outputs still match exactly. */
   def lshBands(signed: DataFrame, idCol: String = "doc_id",
                numBands: Int = 16, rowsPerBand: Int = 4,
-               portable: Boolean = false): DataFrame = {
+               portable: Boolean = false, carryCols: Seq[String] = Nil): DataFrame = {
     val bands = array((0 until numBands).map { j =>
       val key =
         if (portable)
@@ -129,8 +129,8 @@ object Dedup {
         }
       struct(lit(j).as("band"), key.as("band_hash"))
     }: _*)
-    signed.select(col(idCol), explode(bands).as("b"))
-      .select(col(idCol), col("b.band"), col("b.band_hash"))
+    signed.select(col(idCol) +: carryCols.map(col) :+ explode(bands).as("b"): _*)
+      .select(col(idCol) +: carryCols.map(col) :+ col("b.band") :+ col("b.band_hash"): _*)
   }
 
   /** Candidate pairs from banded LSH, verified with true n-gram Jaccard.

@@ -131,6 +131,28 @@ object TextAnalysis {
       TextFunctions.redactPii(col(textCol)).as("redacted"),
       (TextFunctions.redactPii(col(textCol)) =!= col(textCol)).as("had_pii"))
 
+  /** Corpus data card: the per-(source, language) statistics table every
+    * pretraining-mixture decision starts from — document and token counts,
+    * character volume, quality-gate pass rate, and the mean quality score
+    * on the 1e-6 grid (exact integer mean — floor(sum(q6)/n + 0.5) — so
+    * the card is engine-portable and auditable, not an estimate).
+    *
+    * One hash aggregation over the corpus: partials combine map-side, the
+    * shuffle carries |sources×langs| skinny rows — the cheapest possible
+    * full-corpus pass, safe at any scale. */
+  def corpusDataCard(docs: DataFrame, sourceCol: String = "source",
+                     langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val q6 = round(TextFunctions.qualityScore(col(textCol)) * 1e6).cast("long")
+    docs.groupBy(col(sourceCol), col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(when(TextFunctions.qualityScore(col(textCol)) >= 0.5, 1L).otherwise(0L))
+          .as("n_quality_pass"),
+        floor(sum(q6) / count(lit(1)) + 0.5).cast("long").as("mean_quality6"))
+  }
+
   /** Markup-stripping text extraction — the first stage of every
     * web-crawl→training-corpus pipeline (the trafilatura/boilerplate step,
     * reduced to its deterministic core): drop `<script>`/`<style>` payloads

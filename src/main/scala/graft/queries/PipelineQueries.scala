@@ -540,6 +540,12 @@ object PipelineQueries {
         numHashes = 16, numBands = 4, threshold = 0.3, portable = true)
     }),
 
+    // ---- Corpus data card: per-(source, lang) doc/token/char counts,
+    //      quality pass rate, and the exact grid mean quality — the table
+    //      a mixture plan starts from ----
+    "q_corpus_datacard" -> ((s, dir) =>
+      TextAnalysis.corpusDataCard(Tables(s, dir, "documents"))),
+
     // ---- Markup-stripping text extraction (the crawl→corpus first
     //      stage): documents wrapped in a deterministic HTML shell, then
     //      script/style/comment removal, tag flattening, entity decode,
@@ -1475,8 +1481,19 @@ object PipelineQueries {
         "c AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted FROM e6) " +
         "SELECT doc_id, extracted, " +
         "len(string_split_regex(trim(extracted), '\\s+')) AS n_tokens FROM c")
+    val dataCardSql =
+      // count/sum aggregates are exact integers; the mean quality is the
+      // same floor(sum(q6)/n + 0.5) grid move as the Spark side
+      ("SELECT source, lang, count(*) AS n_docs, " +
+        s"CAST(sum($ntok) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
+        s"CAST(sum(CASE WHEN $quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass, " +
+        s"CAST(floor(CAST(sum(CAST(round($quality * 1000000) AS BIGINT)) AS DOUBLE) " +
+        "/ count(*) + 0.5) AS BIGINT) AS mean_quality6 " +
+        "FROM documents GROUP BY source, lang")
     m + ("q_ann_mmr_tiered" -> m("q_ann_mmr")) + ("q_dsir_weights" -> dsirSql) +
       ("q_ann_hard_negatives" -> hardNegSql) + ("q_chunk_pool" -> chunkPoolSql) +
-      ("q_dedup_incremental" -> incrementalSql) + ("q_text_extract" -> extractSql)
+      ("q_dedup_incremental" -> incrementalSql) + ("q_text_extract" -> extractSql) +
+      ("q_corpus_datacard" -> dataCardSql)
   }
 }

@@ -173,6 +173,76 @@ object StreamOps {
       .drop("__sh")
   }
 
+  /** Ingestion-side INCREMENTAL near-dedup: flag each incoming document
+    * that near-duplicates the existing corpus, by banding its MinHash
+    * signature against the corpus' persisted signature table
+    * ([[graft.ops.Dedup.signatureTable]]) — the streaming face of
+    * [[graft.ops.Dedup.incrementalNearDupPairs]], i.e. "dedup the crawl
+    * against the 100 TB history while it lands".
+    *
+    * Plan shape: signature + banding are row-local maps over the stream;
+    * the candidate step is a STREAM-STATIC equi-join on (band, band_hash)
+    * — stateless by construction (no stream-stream buffering), with the
+    * banded corpus materialized once at setup so microbatches don't
+    * re-sign the corpus. Verification thresholds the signature match
+    * fraction in the join row (E[match] = J — the estimate mode that at
+    * ingest scale is the production default). The only state is the
+    * watermarked pair-dedup that collapses multi-band hits of the same
+    * (doc, corpus) pair.
+    *
+    * @return (idCol, tsCol, corpus_id, jaccard) — one row per flagged
+    *         (document, corpus near-dup) pair; docs absent from the output
+    *         are novel. */
+  def streamingIncrementalDedup(docs: DataFrame, corpusSigs: DataFrame,
+                                idCol: String = "doc_id", textCol: String = "text",
+                                tsCol: String = "ts",
+                                numHashes: Int = 16, numBands: Int = 4,
+                                threshold: Double = 0.3, maxBucket: Int = 1000,
+                                watermark: String = "1 hour",
+                                portable: Boolean = true): DataFrame = {
+    import graft.ops.Dedup
+    import graft.functions.HashExpressions
+    val rowsPerBand = numHashes / numBands
+    val sh =
+      if (portable) HashExpressions.portableShingleHashes(col(textCol), 3)
+      else HashExpressions.wordShingleHashes(col(textCol), 3)
+    val (as, bs) = Dedup.minhashParams(numHashes)
+    val signed = docs
+      .withColumn("__sh", sh)
+      .filter(size(col("__sh")) > 0)
+      .withColumn("minhash_sig", HashExpressions.minHashSignature(col("__sh"), as, bs))
+      .select(col(idCol), col(tsCol), col("minhash_sig"))
+    val streamBands = Dedup.lshBands(signed, idCol, numBands, rowsPerBand, portable,
+      carryCols = Seq(tsCol, "minhash_sig"))
+    // static side: banded + skew-guarded ONCE (materialized so microbatches
+    // reuse it instead of re-banding the corpus every trigger)
+    val corpusBands0 = Dedup.lshBands(corpusSigs, idCol, numBands, rowsPerBand, portable,
+      carryCols = Seq("minhash_sig"))
+    val smallBuckets = corpusBands0.groupBy("band", "band_hash")
+      .agg(count(col(idCol)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band", "band_hash")
+    val corpusBands = graft.ops.Materialize(
+      corpusBands0.join(smallBuckets, Seq("band", "band_hash"))
+        .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"),
+          col("minhash_sig").as("sig_c")))
+    streamBands
+      .join(corpusBands, Seq("band", "band_hash"))
+      .filter(col(idCol) =!= col("corpus_id"))
+      .withColumn("jaccard", round(HashExpressions
+        .signatureMatchFraction(col("minhash_sig"), col("sig_c")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), col(tsCol), col("corpus_id"), col("jaccard"))
+      .transform { flagged =>
+        // collapse multi-band hits of one (doc, corpus) pair: watermarked
+        // state on a stream; a plain distinct on a batch frame (parity
+        // runs — dropDuplicatesWithinWatermark is streaming-only)
+        if (flagged.isStreaming)
+          flagged.withWatermark(tsCol, watermark)
+            .dropDuplicatesWithinWatermark(idCol, "corpus_id")
+        else flagged.dropDuplicates(idCol, "corpus_id")
+      }
+  }
+
   /** Ingestion-side quality gate: keep documents scoring at least
     * `minScore` under the closed-form heuristic quality score — a pure
     * row-local expression ([[graft.functions.TextFunctions.qualityScore]]),

@@ -36,8 +36,8 @@ class ContractSpec extends AnyFunSuite {
     // round 7: +q_connector_milvus_wire, +q_connector_pinecone_wire,
     // +q_ann_mmr_tiered, +q_dsir_weights, +q_ann_hard_negatives,
     // +q_chunk_pool, +q_dedup_incremental, +q_text_extract,
-    // +q_catalog_update, +q_catalog_merge
-    assert(SparkEntry.queries.size == 152, SparkEntry.queries.size.toString)
+    // +q_catalog_update, +q_catalog_merge, +q_corpus_datacard
+    assert(SparkEntry.queries.size == 153, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {

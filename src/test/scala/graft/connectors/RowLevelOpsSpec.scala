@@ -63,6 +63,40 @@ class RowLevelOpsSpec extends SparkSpec {
     VectorStore.drop("rlo_mrg")
   }
 
+  test("MERGE deltas travel a real socket: upserts and deletes over the wire") {
+    val store = new InMemoryStore
+    val server = new QdrantWireServer(store)
+    try {
+      store.createCollection("rlo_wire", CollectionConfig(dim = 2), recreate = true)
+      store.upsert("rlo_wire", (0 until 5).map(i =>
+        VSRecord(s"$i", Array(i.toFloat, 1f), Map("lab" -> "old"))))
+      spark.conf.set("spark.sql.catalog.vsw", classOf[VSCatalog].getName)
+      spark.conf.set("spark.sql.catalog.vsw.url", server.url)
+      val src = Seq(
+        ("1", Array(11f, 1f), Map("lab" -> "upd")),
+        ("3", Array(0f, 0f), Map("lab" -> "doom")),
+        ("7", Array(77f, 1f), Map("lab" -> "new"))).toDF("id", "vector", "metadata")
+      src.createOrReplaceTempView("rlo_wire_src")
+      val before = server.requestLines.length
+      spark.sql(
+        """MERGE INTO vsw.rlo_wire t USING rlo_wire_src s ON t.id = s.id
+          |WHEN MATCHED AND element_at(s.metadata, 'lab') = 'doom' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET vector = s.vector, metadata = s.metadata
+          |WHEN NOT MATCHED THEN INSERT (id, vector, metadata)
+          |  VALUES (s.id, s.vector, s.metadata)""".stripMargin)
+      val wire = server.requestLines.drop(before)
+      // every delta leg crossed the socket in the Qdrant dialect
+      assert(wire.exists(_.startsWith("PUT /collections/rlo_wire/points")), wire.mkString("\n"))
+      assert(wire.exists(_.startsWith("POST /collections/rlo_wire/points/delete")),
+        wire.mkString("\n"))
+      val rows = store.scroll("rlo_wire", 0, 100).map(r => r.id -> r).toMap
+      assert(rows.keySet == Set("0", "1", "2", "4", "7"), rows.keySet.toString)
+      assert(rows("1").vector.toSeq == Seq(11f, 1f) && rows("1").metadata("lab") == "upd")
+      assert(rows("7").metadata("lab") == "new")
+      assert(rows("0").metadata("lab") == "old") // carry-over never rewritten
+    } finally server.stop()
+  }
+
   test("row-level DELETE with an un-pushable predicate ships only matching ids") {
     install("vsr"); seed("rlo_del", 9)
     // size(vector) predicates can never push to the store — the delta

@@ -93,4 +93,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_vec_sum") || p.contains("partial_vecsumagg")
       || p.toLowerCase.contains("partial_vec"), p)
   }
+
+  test("q_chunk_pool is one corpus scan with partial aggregation, no join") {
+    val p = plan("q_chunk_pool")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p) // map-side combine
+  }
+
+  test("q_corpus_datacard is one scan + one partial-combined aggregation") {
+    val p = plan("q_corpus_datacard")
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q_ann_hard_negatives broadcasts queries and positive floors, no shuffle joins") {
+    val p = plan("q_ann_hard_negatives")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_text_extract stays embarrassingly parallel: no exchange at all") {
+    val p = plan("q_text_extract")
+    assert(!p.contains("Exchange"), p)
+  }
 }

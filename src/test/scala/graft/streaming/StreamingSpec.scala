@@ -318,4 +318,51 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("chunk_out").where("doc_id = 3").count() == 2)
     } finally query.stop()
   }
+
+  test("streaming incremental dedup flags stream docs against the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "totally unrelated corpus text about catalyst expression codegen here"))
+      .toDF("doc_id", "text")
+    val sigs = graft.ops.Dedup.signatureTable(corpus, numHashes = 16, portable = true)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamOps.streamingIncrementalDedup(
+        input.toDF().toDF("doc_id", "ts", "text"), sigs,
+        numHashes = 16, numBands = 4, threshold = 0.5)
+      .writeStream.format("memory").queryName("incdedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), base),                                                  // dup of 100
+        (2L, ts(1), "novel stream document with no corpus counterpart at all right now"),
+        (3L, ts(2), base))                                                  // dup of 100
+      query.processAllAvailable()
+      val got = spark.table("incdedup_out")
+        .select("doc_id", "corpus_id", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 100L, 1.0), (3L, 100L, 1.0)), got.toString)
+    } finally query.stop()
+  }
+
+  test("streaming incremental dedup agrees with the batch operator") {
+    val docs = graft.Tables(spark, sf(), "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val sigs = graft.ops.Dedup.signatureTable(corpus, numHashes = 16, portable = true)
+    // the op runs identically on a batch frame (stream-static join and the
+    // row-local stages are mode-agnostic; pair-dedup falls back to a plain
+    // distinct in batch mode)
+    val streamed = StreamOps.streamingIncrementalDedup(batch, sigs,
+        numHashes = 16, numBands = 4, threshold = 0.3)
+      .select("doc_id", "corpus_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = graft.ops.Dedup.incrementalNearDupPairs(sigs,
+        docs.filter(col("doc_id") % 2 =!= 0),
+        numHashes = 16, numBands = 4, threshold = 0.3, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == exact && streamed.nonEmpty, s"${streamed.size} vs ${exact.size}")
+  }
 }
