@@ -78,5 +78,6 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    sys.exit(0) // don't let stray library threads pin the forked JVM open
   }
 }

@@ -262,5 +262,6 @@ object ScaleProbe {
             lit("</p><script>x()</script></body></html>")).as("html")))
         .filter(col("n_tokens") > 0).count())
     spark.stop()
+    sys.exit(0) // don't let stray library threads pin the forked JVM open
   }
 }

@@ -31,5 +31,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // gate-started loopback servers and other library threads must not pin
+    // the dump open — everything is on disk, exit decisively (run/fork is
+    // on, so this terminates only the forked JVM, not sbt)
+    sys.exit(0)
   }
 }

@@ -113,12 +113,17 @@ class HttpVectorStoreServer(inner: VectorStoreTransport, port: Int = 0,
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/collections", (ex: HttpExchange) => handle(ex))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // daemon pool — same rationale as WireServers: gate-started servers must
+  // not pin the JVM open after spark.stop()
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r); t.setDaemon(true); t
+  })
+  server.setExecutor(pool)
   server.start()
 
   val boundPort: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$boundPort"
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def readBody(ex: HttpExchange): JsonNode = {
     val in: InputStream = ex.getRequestBody

@@ -160,10 +160,15 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(FilterEval.supported)
 
-  /** SQL `UPDATE vs.c SET …` and `MERGE INTO vs.c USING …` — Spark's
-    * group-based row-level rewrite ([[VSRowLevelOperation]]): the whole
-    * collection is read, the rewritten rows are staged into a shadow
-    * collection executor-side, and commit swaps the shadow in. */
+  /** SQL `UPDATE vs.c SET …` and `MERGE INTO vs.c USING …` — a DELTA-based
+    * row-level operation ([[VSRowLevelOperation]]): Spark computes per-row
+    * deltas and only the touched rows are shipped to the store's native
+    * id-keyed upsert/delete. No shadow collection and no atomic swap: the
+    * deltas are buffered until the job-level commit and applied there in
+    * one pass (deletes first, then upserts), so a failed job leaves the
+    * collection untouched, but a transport failure MID-commit can leave it
+    * partially applied — both legs are idempotent, so re-running the same
+    * statement converges. */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new VSRowLevelOperation(info.command(), collection, dialect, rules, opts, spec,
       schema())
@@ -198,10 +203,24 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
   *
   * The reference has no in-place mutation at all (`core/migrator.py` only
   * copies); this is the Spark-native surface a standing collection needs
-  * for corrections. Both delta legs are idempotent by transport contract
-  * (id-keyed upsert; delete-absent is a no-op), so a retried task
-  * re-applies safely — the same contract [[graft.ops.SnapshotDiff]] relies
-  * on for CDC. */
+  * for corrections.
+  *
+  * APPLY-AT-COMMIT, not during the scan: the operation's scan pages the
+  * LIVE collection by offset, and the delta write pipelines with it (no
+  * required distribution forces an exchange), so any mutation applied
+  * while another task is still paging would shift rows under its cursor —
+  * rows re-read (double-applying non-idempotent SETs like `x = x + 1`) or
+  * skipped. Writers therefore only BUFFER: each task returns its deltas in
+  * its [[VSDeltaCommit]] message and the job-level
+  * [[VSDeltaBatchWrite.commit]] applies them after every scan task has
+  * drained — the same collect-then-apply shape as
+  * [[VSTable.deleteWhere]]. Task failures are safe by construction
+  * (an aborted task's message is discarded; nothing was applied), and
+  * driver memory is bounded by the rows the command's condition touches —
+  * the pushable-condition scan prunes everything else backend-side. A
+  * deployment whose touched set exceeds driver memory would stage the
+  * delta batches to durable scratch storage instead; the commit protocol
+  * is unchanged. */
 class VSRowLevelOperation(cmd: RowLevelOperation.Command, collection: String,
                           dialect: FilterDialect, rules: WriteRules,
                           opts: CaseInsensitiveStringMap, spec: TransportSpec,
@@ -244,20 +263,35 @@ class VSRowLevelOperation(cmd: RowLevelOperation.Command, collection: String,
     }
 }
 
+/** Each task's buffered deltas ride its commit message; nothing touches
+  * the store until this job-level commit. Deletes apply before upserts so
+  * an id-changing UPDATE (delete old + upsert new) and a concurrent
+  * rename-onto-a-deleted-id both resolve to the SQL-visible end state. */
 class VSDeltaBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
                         binaryVec: Boolean, spec: TransportSpec,
                         cols: (Int, Int, Int)) extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     VSDeltaWriterFactory(collection, rules, batchSize, binaryVec, spec, cols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val (w, s) = messages.foldLeft((0L, 0L)) {
-      case ((aw, as), VSCommit(cw, cs)) => (aw + cw, as + cs)
-      case (acc, _) => acc
+    val deltas = messages.collect { case d: VSDeltaCommit => d }
+    val store = VectorStore.resolve(spec)
+    val deletes = deltas.flatMap(_.deletes)
+    deletes.grouped(batchSize).foreach(b => store.delete(collection, b.toSeq))
+    var written = 0L
+    deltas.flatMap(_.upserts).grouped(batchSize).foreach { b =>
+      written += store.upsert(collection, b.toSeq)
     }
-    VSWriteStats.record(collection, w, s)
+    VSWriteStats.record(collection, written, deltas.map(_.skipped).sum,
+      deletes.length.toLong)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
+
+/** A task's buffered deltas: applied only at [[VSDeltaBatchWrite.commit]].
+  * `deletes` carries both DELETE row ids and the OLD ids of id-changing
+  * UPDATEs; the replacing rows are in `upserts` of the same message. */
+case class VSDeltaCommit(upserts: Seq[VSRecord], deletes: Seq[String],
+                         skipped: Long) extends WriterCommitMessage
 
 case class VSDeltaWriterFactory(collection: String, rules: WriteRules, batchSize: Int,
                                 binaryVec: Boolean, spec: TransportSpec,
@@ -266,49 +300,48 @@ case class VSDeltaWriterFactory(collection: String, rules: WriteRules, batchSize
     new VSDeltaWriter(collection, rules, batchSize, binaryVec, spec, cols)
 }
 
-/** Executor-side delta writer: updates/inserts batch into upserts, deletes
-  * batch into id lists — the exact executor-side shape of
-  * [[graft.ops.SnapshotDiff.applyTo]], now reachable from plain SQL.
-  * Deletes flush before upserts within a batch so an id-changing UPDATE
-  * (delete old id + insert new) lands in the right order. */
+/** Executor-side delta writer: BUFFERS ONLY. Updates/inserts decode to
+  * [[VSRecord]]s, deletes to id lists; everything rides the task's
+  * [[VSDeltaCommit]] and is applied at job commit — never here, because
+  * the operation's scan may still be paging the live collection in
+  * another task (see [[VSRowLevelOperation]]). */
 class VSDeltaWriter(collection: String, rules: WriteRules, batchSize: Int,
                     binaryVec: Boolean, spec: TransportSpec,
                     cols: (Int, Int, Int)) extends DeltaWriter[InternalRow] {
 
-  private val store = VectorStore.resolve(spec)
-  private val inner = new VSDataWriter(collection, rules, batchSize, binaryVec, spec, cols)
-  private val pendingDeletes = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val upserts = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
+  private val deletes = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var skipped = 0L
   private val (idAt, _, _) = cols
 
   private def idOf(rowId: InternalRow): String = rowId.getUTF8String(0).toString
 
-  private def flushDeletes(): Unit = if (pendingDeletes.nonEmpty) {
-    store.delete(collection, pendingDeletes.toSeq)
-    pendingDeletes.clear()
-  }
+  private def buffer(row: InternalRow): Option[VSRecord] =
+    VSRowCodec.toRecord(row, rules, binaryVec, cols) match {
+      case Some(rec) => upserts += rec; Some(rec)
+      case None => skipped += 1; None
+    }
 
   override def insert(row: InternalRow): Unit = {
     require(idAt >= 0, "delta write schema carries no data columns — cannot insert")
-    flushDeletes(); inner.write(row)
+    buffer(row)
   }
 
   override def update(meta: InternalRow, rowId: InternalRow, row: InternalRow): Unit = {
     require(idAt >= 0, "delta write schema carries no data columns — cannot update")
     val oldId = idOf(rowId)
-    val newId = if (row.isNullAt(idAt)) null else row.getUTF8String(idAt).toString
-    if (newId != null && newId != oldId) pendingDeletes += oldId // id-changing update
-    flushDeletes()
-    inner.write(row)
+    // the old-id delete travels in the SAME commit message as the new
+    // row's upsert — either both apply at job commit or neither does
+    buffer(row).foreach(rec => if (rec.id != oldId) deletes += oldId)
   }
 
-  override def delete(meta: InternalRow, rowId: InternalRow): Unit = {
-    pendingDeletes += idOf(rowId)
-    if (pendingDeletes.length >= batchSize) flushDeletes()
-  }
+  override def delete(meta: InternalRow, rowId: InternalRow): Unit =
+    deletes += idOf(rowId)
 
-  override def commit(): WriterCommitMessage = { flushDeletes(); inner.commit() }
-  override def abort(): Unit = { pendingDeletes.clear(); inner.abort() }
-  override def close(): Unit = inner.close()
+  override def commit(): WriterCommitMessage =
+    VSDeltaCommit(upserts.toSeq, deletes.toSeq, skipped)
+  override def abort(): Unit = { upserts.clear(); deletes.clear() }
+  override def close(): Unit = ()
 }
 
 // ---------------------------------------------------------------- read side
@@ -787,12 +820,16 @@ case class VSCommit(written: Long, skipped: Long) extends WriterCommitMessage
 
 /** Driver-side record of the last commit's accounting per collection, so
   * the connector facade can report true written/skipped counts (the
-  * reference's result dict, `adapters/milvus.py:284-291`). */
+  * reference's result dict, `adapters/milvus.py:284-291`). Delta commits
+  * (SQL UPDATE/MERGE/DELETE) additionally report rows removed. */
 object VSWriteStats {
-  private val last = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-  def record(collection: String, written: Long, skipped: Long): Unit =
-    last.put(collection, (written, skipped))
-  def get(collection: String): Option[(Long, Long)] = Option(last.get(collection))
+  private val last = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+  def record(collection: String, written: Long, skipped: Long, deleted: Long = 0L): Unit =
+    last.put(collection, (written, skipped, deleted))
+  def get(collection: String): Option[(Long, Long)] =
+    Option(last.get(collection)).map { case (w, s, _) => (w, s) }
+  def deleted(collection: String): Long =
+    Option(last.get(collection)).map(_._3).getOrElse(0L)
 }
 
 class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
@@ -836,12 +873,36 @@ class VSDataWriter(collection: String, rules: WriteRules, batchSize: Int,
   // canonical column positions in the incoming row: (0, 1, 2) for plain
   // appends; a row-level rewrite's rows carry extra plan columns
   // (__row_operation) so [[VSRowLevelOperation]] resolves these by name
-  private val (idAt, vecAt, metaAt) = cols
+  override def write(row: InternalRow): Unit =
+    VSRowCodec.toRecord(row, rules, binaryVec, cols) match {
+      case Some(rec) =>
+        buf += rec
+        if (buf.length >= batchSize) flush()
+      case None => skipped += 1
+    }
 
-  override def write(row: InternalRow): Unit = {
+  private def flush(): Unit = if (buf.nonEmpty) {
+    written += store.upsert(collection, buf.toSeq)
+    buf.clear()
+  }
+
+  override def commit(): WriterCommitMessage = { flush(); VSCommit(written, skipped) }
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}
+
+/** Shared InternalRow → [[VSRecord]] decoding for the append and delta
+  * write paths: id rules ([[WriteRules.skipMissingId]] → None,
+  * digit-id coercion), float vs packed-binary vector, string-map
+  * metadata. `cols` are the canonical column positions in the incoming
+  * row — resolved by NAME upstream, never trusted positionally. */
+object VSRowCodec {
+  def toRecord(row: InternalRow, rules: WriteRules, binaryVec: Boolean,
+               cols: (Int, Int, Int)): Option[VSRecord] = {
+    val (idAt, vecAt, metaAt) = cols
     val rawId = if (row.isNullAt(idAt)) null else row.getUTF8String(idAt).toString
     if (rawId == null || rawId.isEmpty) {
-      if (rules.skipMissingId) { skipped += 1; return }
+      if (rules.skipMissingId) return None
       else throw new IllegalArgumentException("record with null/empty id")
     }
     val id = if (rules.coerceDigitIds && rawId.forall(_.isDigit))
@@ -857,16 +918,6 @@ class VSDataWriter(collection: String, rules: WriteRules, batchSize: Int,
           (if (vals.isNullAt(i)) null else vals.getUTF8String(i).toString)
       }.toMap
     }
-    buf += VSRecord(id, vector, metadata, binary)
-    if (buf.length >= batchSize) flush()
+    Some(VSRecord(id, vector, metadata, binary))
   }
-
-  private def flush(): Unit = if (buf.nonEmpty) {
-    written += store.upsert(collection, buf.toSeq)
-    buf.clear()
-  }
-
-  override def commit(): WriterCommitMessage = { flush(); VSCommit(written, skipped) }
-  override def abort(): Unit = buf.clear()
-  override def close(): Unit = ()
 }

@@ -27,12 +27,19 @@ private[vectorstore] abstract class WireServer(port: Int) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => dispatch(ex))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // DAEMON pool: gate queries start servers they cannot stop (the result
+  // DataFrame outlives the builder), and non-daemon handler threads would
+  // pin the JVM open after spark.stop() — measured as a Verify main that
+  // never exited. stop() also shuts the pool for the well-behaved callers.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val t = new Thread(r); t.setDaemon(true); t
+  })
+  server.setExecutor(pool)
   server.start()
 
   val boundPort: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$boundPort"
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   /** (auth-header name, required value); None → open server. */
   protected def auth: Option[(String, String)]

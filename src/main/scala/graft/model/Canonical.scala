@@ -22,9 +22,12 @@ object Canonical {
 
   // The table's id is NON-nullable: a stored record always has one (the
   // store is id-keyed), and SQL row-level operations (UPDATE/MERGE) require
-  // a non-nullable row id. INPUT dataframes may still carry null ids — each
-  // sink applies its backend's rule in the writer (Milvus skips them,
-  // adapters/milvus.py:187-193; others reject).
+  // a non-nullable row id. Null-id INPUTS are only accepted through the
+  // connector facade (Backends.write coalesces null ids to "" before the
+  // V2 write, then the writer applies each backend's rule — Milvus skips
+  // them, adapters/milvus.py:187-193; others reject). Direct SQL
+  // INSERT INTO / DataFrameWriterV2 with a nullable id column is rejected
+  // by Spark's table-output resolution before any writer runs.
   val schema: StructType = StructType(Seq(
     StructField(ID, StringType, nullable = false),
     StructField(VECTOR, ArrayType(FloatType, containsNull = false), nullable = true),

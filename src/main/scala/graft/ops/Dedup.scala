@@ -275,46 +275,86 @@ object Dedup {
         graft.functions.HashExpressions.minHashSignature(col("__sh"), as, bs).as("minhash_sig"))
   }
 
+  /** The BANDED persisted face of the MinHash index: `(id, band,
+    * band_hash)` — the [[signatureTable]] after [[lshBands]], written out
+    * once and APPENDED on each accepted batch so no ingest ever re-bands
+    * history. Three narrow columns (~25 bytes/row vs `numHashes` longs in
+    * the signature table), so even the 100 TB corpus' banded face is a
+    * sub-TB scan of exactly the columns a bucket semi-join needs. */
+  def bandedSignatureTable(sigs: DataFrame, idCol: String = "doc_id",
+                           numBands: Int = 16, rowsPerBand: Int = 4,
+                           portable: Boolean = false): DataFrame =
+    lshBands(sigs, idCol, numBands, rowsPerBand, portable)
+
+  /** Per-bucket widths `(band, band_hash, bucket_n)` of a banded table —
+    * the skew-guard statistic, persisted alongside the banded face so each
+    * ingest reads it instead of re-counting the corpus. One row per
+    * DISTINCT bucket: tiny relative to the corpus. */
+  def bucketWidths(bands: DataFrame, idCol: String = "doc_id"): DataFrame =
+    bands.groupBy("band", "band_hash").agg(count(col(idCol)).as("bucket_n"))
+
+  /** Maintain [[bucketWidths]] on append: merge the standing widths with an
+    * accepted batch's width deltas (sum per bucket). Run at ingest-accept
+    * time so query time never aggregates the corpus. */
+  def mergeBucketWidths(standing: DataFrame, delta: DataFrame): DataFrame =
+    standing.union(delta).groupBy("band", "band_hash")
+      .agg(sum("bucket_n").as("bucket_n"))
+
   /** Incremental near-duplicate detection: a NEW batch of documents checked
     * against an EXISTING corpus — the shape every production ingest runs
     * (dedup the day's crawl against the 100 TB history), where re-pairing
     * the whole corpus with itself ([[minHashDuplicatePairs]]) would redo
     * work proportional to |corpus| instead of |batch|.
     *
-    * The corpus side enters as its persisted [[signatureTable]]: banding a
-    * signature is integer slicing (cheap, no text scan), so the only
-    * full-text work of the whole operation is signing the BATCH. Candidates
-    * come from the banded bucket join corpus-bands ⋈ batch-bands — the join
-    * keys hash-partition by bucket, so corpus work is proportional to the
-    * buckets the batch actually touches, not the corpus. The skew guard
-    * caps CORPUS bucket width (a boilerplate bucket of 10^6 corpus docs
-    * would otherwise fan every matching batch doc into 10^6 pairs).
+    * The corpus side enters as its persisted artifacts: [[signatureTable]]
+    * (for verification), [[bandedSignatureTable]] and [[bucketWidths]]
+    * (for candidate generation) — all maintained on append, never
+    * recomputed at ingest. The only full-text work of the whole operation
+    * is signing the BATCH; the corpus-side work is one broadcast-pruned
+    * scan of the banded face:
+    *
+    *  1. the batch's touched `(band, band_hash)` keys (≤ |batch|×numBands
+    *     rows of two longs) broadcast against the widths table → the
+    *     touched buckets that pass the skew guard (`bucket_n` ≤
+    *     `maxBucket` — a boilerplate bucket of 10^6 corpus docs would
+    *     otherwise fan every matching batch doc into 10^6 pairs);
+    *  2. that (still batch-proportional) key set broadcasts against the
+    *     banded table — a broadcast semi-join, NO shuffle and NO
+    *     aggregation of the corpus, reading only the three banded columns;
+    *  3. surviving corpus rows bucket-join the batch bands, and candidate
+    *     corpus ids fetch their signatures by id for verification.
     *
     * Verification thresholds the signature match fraction (E[match] = J) —
     * signatures are all the corpus keeps, and at ingest scale the estimate
     * is the production default anyway ([[minHashDuplicatePairs]]'s
     * `verifyExact=false` mode). Returns `(batch_id, corpus_id, jaccard)`;
     * `batch ids ∉ result` are the novel docs to accept + append to the
-    * signature table. Run with `portable=true` signatures end to end and a
-    * SQL oracle replays the whole operation ([[graft.SparkEntry]]
-    * `q_dedup_incremental`). */
-  def incrementalNearDupPairs(corpusSigs: DataFrame, batch: DataFrame,
-                              idCol: String = "doc_id", textCol: String = "text",
-                              numHashes: Int = 64, numBands: Int = 16, shingleSize: Int = 3,
-                              threshold: Double = 0.5, maxBucket: Int = 1000,
-                              portable: Boolean = false): DataFrame = {
+    * signature/banded/width tables. Run with `portable=true` signatures
+    * end to end and a SQL oracle replays the whole operation
+    * ([[graft.SparkEntry]] `q_dedup_incremental`). */
+  def incrementalNearDupPairsIndexed(corpusSigs: DataFrame, corpusBands: DataFrame,
+                                     corpusWidths: DataFrame, batch: DataFrame,
+                                     idCol: String = "doc_id", textCol: String = "text",
+                                     numHashes: Int = 64, numBands: Int = 16,
+                                     shingleSize: Int = 3, threshold: Double = 0.5,
+                                     maxBucket: Int = 1000,
+                                     portable: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val batchSigs = Materialize( // one batch text scan feeds bands + verify
       signatureTable(batch, idCol, textCol, numHashes, shingleSize, portable))
-    val corpusBands = lshBands(corpusSigs, idCol, numBands, rowsPerBand, portable)
     val batchBands = lshBands(batchSigs, idCol, numBands, rowsPerBand, portable)
-    // guard on CORPUS bucket width — the side that can be 1000× the batch
-    val smallBuckets = corpusBands.groupBy("band", "band_hash")
-      .agg(count(col(idCol)).as("__n"))
-      .filter(col("__n") <= maxBucket)
+    val touched = batchBands.select("band", "band_hash").distinct()
+    // persisted widths × touched keys: the guard prunes to the batch's
+    // buckets without counting anything corpus-side
+    val smallTouched = corpusWidths
+      .join(broadcast(touched), Seq("band", "band_hash"))
+      .filter(col("bucket_n") <= maxBucket)
       .select("band", "band_hash")
-    val candidates = corpusBands.join(smallBuckets, Seq("band", "band_hash"))
+    // broadcast semi-prune of the banded face: the corpus is filtered, not
+    // shuffled — its only cost is the narrow three-column scan
+    val corpusCands = corpusBands.join(broadcast(smallTouched), Seq("band", "band_hash"))
       .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"))
+    val candidates = corpusCands
       .join(batchBands.select(col("band"), col("band_hash"), col(idCol).as("batch_id")),
         Seq("band", "band_hash"))
       .filter(col("corpus_id") =!= col("batch_id"))
@@ -328,6 +368,22 @@ object Dedup {
         .signatureMatchFraction(col("sig_b"), col("sig_c")), 6))
       .filter(col("jaccard") >= threshold)
       .select("batch_id", "corpus_id", "jaccard")
+  }
+
+  /** [[incrementalNearDupPairsIndexed]] for a corpus that only persisted
+    * its [[signatureTable]]: derives the banded face and widths on the fly
+    * (one extra corpus-side pass + aggregate). Same result; prefer the
+    * indexed form — with the banded table and widths maintained on append,
+    * ingest cost stops growing with history. */
+  def incrementalNearDupPairs(corpusSigs: DataFrame, batch: DataFrame,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              numHashes: Int = 64, numBands: Int = 16, shingleSize: Int = 3,
+                              threshold: Double = 0.5, maxBucket: Int = 1000,
+                              portable: Boolean = false): DataFrame = {
+    val corpusBands = lshBands(corpusSigs, idCol, numBands, numHashes / numBands, portable)
+    incrementalNearDupPairsIndexed(corpusSigs, corpusBands,
+      bucketWidths(corpusBands, idCol), batch,
+      idCol, textCol, numHashes, numBands, shingleSize, threshold, maxBucket, portable)
   }
 
   /** 64-bit SimHash fingerprint of the whitespace token stream: bit j is

@@ -242,10 +242,10 @@ object ConnectorQueries {
           |FROM vsm.gate_sqlmig_dst""".stripMargin)
     }),
 
-    // SQL UPDATE through the group-based row-level rewrite: the whole
-    // collection is scanned, Spark applies the SET to matching rows, the
-    // rewrite stages into a shadow collection and commit swaps it in —
-    // labels mutate, vectors survive the rewrite byte-for-byte
+    // SQL UPDATE through the delta-based row-level op: only rows matching
+    // the (pushable) condition are scanned, Spark computes per-row deltas,
+    // and the job-level commit applies them via native id-keyed upsert —
+    // labels mutate, untouched rows never move, vectors survive intact
     "q_catalog_update" -> ((s, dir) => {
       s.conf.set("spark.sql.catalog.vsu",
         classOf[graft.connectors.vectorstore.VSCatalog].getName)

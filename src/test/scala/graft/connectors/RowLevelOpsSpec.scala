@@ -97,6 +97,38 @@ class RowLevelOpsSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("multi-page UPDATE with a non-idempotent SET applies exactly once") {
+    // regression: deltas must NOT be applied while the op's scan is still
+    // paging the live collection — a writer that flushed eagerly would
+    // shift rows under another task's scroll cursor, re-reading (double-
+    // applying x = x + 1) or skipping rows. page_size 7 < 50 rows forces
+    // many scan partitions; batch_size 5 would have forced mid-scan
+    // flushes under the old eager writer.
+    spark.conf.set("spark.sql.catalog.vspg", classOf[VSCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vspg.page_size", "7")
+    spark.conf.set("spark.sql.catalog.vspg.batch_size", "5")
+    seed("rlo_page", 50)
+    spark.sql("UPDATE vspg.rlo_page SET metadata = map('lab', " +
+      "CAST(CAST(element_at(metadata, 'lab') AS INT) + 10 AS STRING))")
+    val rows = VectorStore.scroll("rlo_page", 0, 1000)
+    assert(rows.length == 50, s"row count drifted: ${rows.length}")
+    // every row advanced by exactly 10 — no double-apply, no skips
+    rows.foreach { r =>
+      assert(r.metadata("lab").toInt == r.id.toInt % 3 + 10,
+        s"id=${r.id} lab=${r.metadata("lab")}")
+    }
+    VectorStore.drop("rlo_page")
+  }
+
+  test("delta commit records the delete count in VSWriteStats") {
+    install("vsr"); seed("rlo_cnt", 12)
+    spark.sql("DELETE FROM vsr.rlo_cnt WHERE CAST(id AS INT) < 5")
+    assert(VSWriteStats.deleted("rlo_cnt") == 5L,
+      s"deleted=${VSWriteStats.deleted("rlo_cnt")}")
+    assert(VectorStore.scroll("rlo_cnt", 0, 100).length == 7)
+    VectorStore.drop("rlo_cnt")
+  }
+
   test("row-level DELETE with an un-pushable predicate ships only matching ids") {
     install("vsr"); seed("rlo_del", 9)
     // size(vector) predicates can never push to the store — the delta

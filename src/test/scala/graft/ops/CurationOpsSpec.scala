@@ -83,6 +83,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1.0)), out.toString)
   }
 
+  test("indexed incremental (persisted bands + widths) equals the derive-on-the-fly path") {
+    val docs = Tables(spark, sf(), "documents")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 =!= 0)
+    val sigs = Dedup.signatureTable(corpus, numHashes = 16, portable = true)
+    // persist the maintained artifacts the way an ingest pipeline would
+    val dir = java.nio.file.Files.createTempDirectory("sig_index").toString
+    Dedup.bandedSignatureTable(sigs, numBands = 4, rowsPerBand = 4, portable = true)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    val bands = spark.read.parquet(s"$dir/bands")
+    Dedup.bucketWidths(bands).write.mode("overwrite").parquet(s"$dir/widths")
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    val indexed = Dedup.incrementalNearDupPairsIndexed(
+      spark.read.parquet(s"$dir/sigs"), bands, spark.read.parquet(s"$dir/widths"),
+      batch, numHashes = 16, numBands = 4, threshold = 0.3, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val legacy = Dedup.incrementalNearDupPairs(sigs, batch,
+      numHashes = 16, numBands = 4, threshold = 0.3, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed == legacy && indexed.nonEmpty,
+      s"indexed=${indexed.size} legacy=${legacy.size}")
+  }
+
+  test("mergeBucketWidths on append equals recounting corpus+batch from scratch") {
+    val docs = Tables(spark, sf(), "documents")
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val other = docs.filter($"doc_id" % 2 =!= 0)
+    def widthsOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.bucketWidths(Dedup.bandedSignatureTable(
+        Dedup.signatureTable(d, numHashes = 16, portable = true),
+        numBands = 4, rowsPerBand = 4, portable = true))
+    val merged = Dedup.mergeBucketWidths(widthsOf(half), widthsOf(other))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val scratch = widthsOf(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == scratch && merged.nonEmpty, s"${merged.size} vs ${scratch.size}")
+  }
+
   test("incremental result equals the full self-join restricted to cross-parity pairs") {
     val docs = Tables(spark, sf(), "documents")
     val inc = Dedup.incrementalNearDupPairs(
