@@ -24,6 +24,8 @@ object Main {
     var verbose = false
     var validate = false
     var incremental = false
+    var buildIndex: Option[String] = None
+    var ingest: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -31,12 +33,17 @@ object Main {
         case "--transform" | "-t" => transformCls = Some(args(i + 1)); i += 2
         case "--validate" => validate = true; i += 1
         case "--incremental" => incremental = true; i += 1
+        case "--build-index" => buildIndex = Some(args(i + 1)); i += 2
+        case "--ingest" => ingest = Some(args(i + 1)); i += 2
         case "--verbose" | "-v" => verbose = true; i += 1
         case "--version" => println(s"graft $version"); return 0
         case "--help" | "-h" => println(usage); return 0
         case other => System.err.println(s"unknown argument: $other\n$usage"); return 1
       }
     }
+    // signature-index verbs: dedup today's crawl against history
+    if (buildIndex.isDefined || ingest.isDefined)
+      return runSigIndex(buildIndex, ingest, verbose)
     config match {
       case None => System.err.println(s"--config is required\n$usage"); 1
       case Some(path) =>
@@ -90,8 +97,46 @@ object Main {
     }
   }
 
+  /** `--build-index cfg.json` builds the persisted near-dedup signature
+    * index from a corpus; `--ingest cfg.json` checks a batch against it,
+    * writes the novel docs, and appends them to the index. Both may appear
+    * together: build from the corpus, then ingest (the configs differ in
+    * their `documents` block). */
+  private def runSigIndex(build: Option[String], ingest: Option[String],
+                          verbose: Boolean): Int = {
+    val preExisting = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).isDefined
+    val spark = GraftSession.local("graft-sig-index")
+    if (!verbose) spark.sparkContext.setLogLevel("WARN")
+    try {
+      build.foreach { path =>
+        val cfg = graft.core.SigIndex.configFromFile(path)
+        val n = graft.core.SigIndex.build(spark,
+          graft.core.SigIndex.readDocs(spark, cfg), cfg.indexDir, cfg.params)
+        println(s"index built: $n docs -> ${cfg.indexDir}")
+      }
+      ingest.foreach { path =>
+        val cfg = graft.core.SigIndex.configFromFile(path)
+        val r = graft.core.SigIndex.ingest(spark,
+          graft.core.SigIndex.readDocs(spark, cfg), cfg.indexDir, cfg.params,
+          cfg.novelOutput)
+        println(s"ingest complete: ${r.batchDocs} batch docs, " +
+          s"${r.duplicateDocs} near-duplicates of history, ${r.novelDocs} novel" +
+          cfg.novelOutput.map(o => s" -> $o").getOrElse(""))
+      }
+      0
+    } catch {
+      case e: Exception => System.err.println(s"sig-index failed: ${e.getMessage}"); 1
+    } finally if (!preExisting) spark.stop()
+  }
+
   private val usage =
     """usage: graft-migrate --config <config.json> [--transform <class>] [--validate] [--incremental] [--verbose] [--version]
+      |       graft-migrate --build-index <sig.json> | --ingest <sig.json>
+      |  --build-index   build the persisted near-dedup signature index
+      |                  (sigs/bands/bucket-widths) from a document corpus
+      |  --ingest        dedup a batch against the index: novel docs written
+      |                  to 'novel_output', then appended to the index
       |  --config/-c     migration config JSON (same shape as the reference tool)
       |  --transform/-t  fully-qualified class implementing DataFrame => DataFrame
       |  --validate      after a successful run, re-derive the expected target

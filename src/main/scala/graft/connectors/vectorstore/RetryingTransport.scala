@@ -48,6 +48,11 @@ case class RetryingTransport(
   override def describe(name: String): Option[CollectionConfig] = withRetry(inner.describe(name))
   override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] =
     withRetry(inner.scroll(name, fromIdx, pageSize))
+  override def cursorPaged: Boolean = inner.cursorPaged
+  // retry-safe: re-fetching the SAME cursor re-reads the same page
+  override def scrollPage(name: String, cursor: Option[String],
+                          pageSize: Int): (Seq[VSRecord], Option[String]) =
+    withRetry(inner.scrollPage(name, cursor, pageSize))
   override def count(name: String): Int = withRetry(inner.count(name))
   override def upsert(name: String, records: Seq[VSRecord]): Int =
     withRetry(inner.upsert(name, records))

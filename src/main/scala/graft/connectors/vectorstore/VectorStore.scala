@@ -42,6 +42,27 @@ trait VectorStoreTransport extends Serializable {
   def exists(name: String): Boolean
   def describe(name: String): Option[CollectionConfig]
   def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord]
+
+  /** True when the backend's native pagination is CURSOR-paged — Qdrant
+    * scrolls by `next_page_offset` point id, Pinecone lists by an opaque
+    * `pagination_token` — so an arbitrary integer offset is not wire-
+    * addressable. Scans over such transports run as one sequential cursor
+    * walk ([[VSScan.planInputPartitions]]) instead of parallel offset
+    * ranges; parallel range scans stay available on backends whose real
+    * API takes offsets (Milvus v2 query, pgvector OFFSET/LIMIT). */
+  def cursorPaged: Boolean = false
+
+  /** One page at `cursor` (None = first page); returns `(records,
+    * nextCursor)`, nextCursor None = exhausted. The default renders the
+    * integer offset as the cursor; cursor-paged backends override with
+    * their native verbs and treat the cursor as opaque. */
+  def scrollPage(name: String, cursor: Option[String],
+                 pageSize: Int): (Seq[VSRecord], Option[String]) = {
+    val from = cursor.map(_.toInt).getOrElse(0)
+    val recs = scroll(name, from, pageSize)
+    (recs, if (recs.length < pageSize) None else Some((from + recs.length).toString))
+  }
+
   def count(name: String): Int
   def upsert(name: String, records: Seq[VSRecord]): Int
   /** Delete by id (Qdrant `POST /points/delete`, Milvus `delete(expr)`,

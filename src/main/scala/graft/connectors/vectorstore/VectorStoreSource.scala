@@ -176,14 +176,18 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val pageSize = Option(opts.get("page_size")).map(_.toInt).getOrElse(1000)
     val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
-    var from = 0
-    var page = store.scroll(collection, from, pageSize)
-    while (page.nonEmpty) {
+    // native-cursor walk (point-id / pagination-token on the wire
+    // dialects; integer-rendered elsewhere) — ids resolve fully BEFORE
+    // any delete, so paging never races its own mutations
+    var cursor: Option[String] = None
+    var first = true
+    while (first || cursor.isDefined) {
+      val (page, next) = store.scrollPage(collection, cursor, pageSize)
+      first = false
       // three-valued: UNKNOWN (absent key) does not delete
       doomed ++= page.filter(r =>
         filters.forall(f => FilterEval.eval3(f, r).contains(true))).map(_.id)
-      from += page.length
-      page = store.scroll(collection, from, pageSize)
+      cursor = if (page.isEmpty && next.isEmpty) None else next
     }
     doomed.grouped(pageSize).foreach(b => store.delete(collection, b.toSeq))
   }
@@ -413,6 +417,45 @@ class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
 
 case class VSInputPartition(start: Int, end: Int) extends InputPartition
 
+/** Single sequential cursor walk over a cursor-paged backend (Qdrant
+  * point-id scroll, Pinecone pagination token): `skip` records dropped at
+  * the head (pushed OFFSET), `take` < 0 = unlimited (pushed LIMIT
+  * otherwise). The wire API offers no offset addressing, so the walk
+  * cannot be split into parallel ranges — fidelity over parallelism;
+  * backends with real offset params keep [[VSInputPartition]] ranges. */
+case class VSCursorPartition(skip: Int, take: Int) extends InputPartition
+
+/** Page-iterator over either partition shape — the one paging loop both
+  * readers share. */
+private[vectorstore] object VSPaging {
+  def pages(store: VectorStoreTransport, collection: String,
+            part: InputPartition, pageSize: Int): Iterator[Seq[VSRecord]] = part match {
+    case VSInputPartition(start, end) =>
+      (start until end by pageSize).iterator.map { c =>
+        store.scroll(collection, c, math.min(pageSize, end - c))
+      }
+    case VSCursorPartition(skip, takeN) => new Iterator[Seq[VSRecord]] {
+      private var cursor: Option[String] = None
+      private var first = true
+      private var toSkip = skip
+      private var remaining = takeN
+      override def hasNext: Boolean = (first || cursor.isDefined) && remaining != 0
+      override def next(): Seq[VSRecord] = {
+        val (recs, nxt) = store.scrollPage(collection, cursor, pageSize)
+        first = false
+        // an empty page without a continuation cursor ends the walk
+        cursor = if (recs.isEmpty && nxt.isEmpty) None else nxt
+        val afterSkip =
+          if (toSkip <= 0) recs
+          else { val d = math.min(toSkip, recs.length); toSkip -= d; recs.drop(d) }
+        if (remaining < 0) afterSkip
+        else { val t = afterSkip.take(remaining); remaining -= t.length; t }
+      }
+    }
+    case other => throw new IllegalArgumentException(s"unknown partition: $other")
+  }
+}
+
 class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
              required: StructType, limit: Option[Int], offset: Option[Int], pageSize: Int,
              search: Option[SearchSpec] = None, countColumns: Int = 0,
@@ -461,6 +504,11 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (store.cursorPaged)
+      // cursor-paged wire (Qdrant point-id scroll, Pinecone pagination
+      // token): offsets are not wire-addressable, so the scan is ONE
+      // sequential cursor walk with skip/take applied record-wise
+      return Array(VSCursorPartition(offset.getOrElse(0), limit.getOrElse(-1)))
     val total = store.count(collection)
     limit match {
       // pushed limit+offset: single scroll from the head — the reference's
@@ -488,17 +536,15 @@ class VSReaderFactory(collection: String, pushed: Array[Filter], required: Struc
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     if (countColumns > 0)
-      new VSCountReader(collection, partition.asInstanceOf[VSInputPartition], pushed,
-        pageSize, countColumns, spec)
+      new VSCountReader(collection, partition, pushed, pageSize, countColumns, spec)
     else
-      new VSPartitionReader(collection, partition.asInstanceOf[VSInputPartition], pushed,
-        required, pageSize, search, spec)
+      new VSPartitionReader(collection, partition, pushed, required, pageSize, search, spec)
 }
 
 /** Pushed-COUNT(*) reader: scrolls its assigned range, counts the records
   * the pushed filters keep, and emits exactly ONE row of longs — the
   * partial count Spark's final Aggregate sums. Rows never cross the seam. */
-class VSCountReader(collection: String, part: VSInputPartition, pushed: Array[Filter],
+class VSCountReader(collection: String, part: InputPartition, pushed: Array[Filter],
                     pageSize: Int, countColumns: Int,
                     spec: TransportSpec = TransportSpec.Local)
   extends PartitionReader[InternalRow] {
@@ -511,12 +557,8 @@ class VSCountReader(collection: String, part: VSInputPartition, pushed: Array[Fi
 
   override def get(): InternalRow = {
     var n = 0L
-    var c = part.start
-    while (c < part.end) {
-      val sz = math.min(pageSize, part.end - c)
-      n += store.scroll(collection, c, sz)
-        .count(r => pushed.forall(FilterEval.eval(_, r)))
-      c += sz
+    VSPaging.pages(store, collection, part, pageSize).foreach { page =>
+      n += page.count(r => pushed.forall(FilterEval.eval(_, r)))
     }
     InternalRow.fromSeq(Seq.fill(countColumns)(n))
   }
@@ -527,14 +569,14 @@ class VSCountReader(collection: String, part: VSInputPartition, pushed: Array[Fi
 /** Scrolls the assigned range page by page, applies the pushed filters
   * "backend-side" (this emulates the DB evaluating the rendered filter),
   * and emits only the pruned columns. */
-class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Array[Filter],
+class VSPartitionReader(collection: String, part: InputPartition, pushed: Array[Filter],
                         required: StructType, pageSize: Int,
                         search: Option[SearchSpec] = None,
                         spec: TransportSpec = TransportSpec.Local)
   extends PartitionReader[InternalRow] {
 
   private val store = VectorStore.resolve(spec)
-  private var cursor = part.start
+  private val pages = VSPaging.pages(store, collection, part, pageSize)
   private var page: Iterator[VSRecord] = Iterator.empty
   private var current: VSRecord = _
 
@@ -547,12 +589,7 @@ class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Arra
   private lazy val searched: Iterator[VSRecord] = {
     val sp = search.get
     val all = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
-    var c = part.start
-    while (c < part.end) {
-      val n = math.min(pageSize, part.end - c)
-      all ++= store.scroll(collection, c, n).filter(r => pushed.forall(FilterEval.eval(_, r)))
-      c += n
-    }
+    pages.foreach(p => all ++= p.filter(r => pushed.forall(FilterEval.eval(_, r))))
     if (sp.metric == "hamming")
       all.filter(_.binary != null)
         .sortBy(r => (hammingBytes(r.binary, sp.binary), r.id))
@@ -591,10 +628,8 @@ class VSPartitionReader(collection: String, part: VSInputPartition, pushed: Arra
       if (page.hasNext) {
         val r = page.next()
         if (pushed.forall(FilterEval.eval(_, r))) { current = r; return true }
-      } else if (cursor < part.end) {
-        val n = math.min(pageSize, part.end - cursor)
-        page = store.scroll(collection, cursor, n).iterator
-        cursor += n
+      } else if (pages.hasNext) {
+        page = pages.next().iterator
       } else return false
     }
     false

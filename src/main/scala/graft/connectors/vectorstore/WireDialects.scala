@@ -32,11 +32,17 @@ import scala.jdk.CollectionConverters._
   *    `namespace` on every data call, auth via `Api-Key` — the surface
   *    the reference documents in its Pinecone example config.
   *
+  * Pagination is wire-faithful per backend: Qdrant scrolls by the
+  * `next_page_offset` POINT-ID cursor, Pinecone lists by an opaque
+  * `pagination.next` token (echoed verbatim, never constructed
+  * client-side), and Milvus v2 `entities/query` takes real
+  * `offset`/`limit` params — so Qdrant/Pinecone scans walk the cursor
+  * chain sequentially while Milvus keeps parallel offset ranges
+  * ([[VectorStoreTransport.cursorPaged]]).
+  *
   * Emulation notes (documented divergences, all invisible to callers):
-  * scroll offsets travel as integers (real Qdrant pages by point id,
-  * Pinecone by pagination token — both are rendered from/to our integer
-  * cursor); binary vectors ride base64 in a reserved payload/field slot
-  * on backends whose float-only JSON APIs lack a binary face.
+  * binary vectors ride base64 in a reserved payload/field slot on
+  * backends whose float-only JSON APIs lack a binary face.
   */
 private[vectorstore] object WireJson {
   val mapper = HttpJson.mapper
@@ -184,15 +190,47 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
           else VectorTypes.Float))
     } catch { case _: NoSuchElementException => None }
 
-  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
+  /** Qdrant pages by POINT ID: the scroll response's `next_page_offset`
+    * is the id to pass as the next request's `offset` (qdrant_client's
+    * scroll cursor, `adapters/qdrant.py:99-106`). Numeric ids travel as
+    * JSON numbers, UUIDs as strings — both documented offset shapes. */
+  override def cursorPaged: Boolean = true
+
+  override def scrollPage(name: String, cursor: Option[String],
+                          pageSize: Int): (Seq[VSRecord], Option[String]) = {
     val b = obj()
-    b.put("offset", fromIdx)
+    cursor.foreach { c =>
+      if (c.nonEmpty && c.forall(_.isDigit)) b.put("offset", c.toLong)
+      else b.put("offset", c)
+    }
     b.put("limit", pageSize)
     b.put("with_payload", true)
     b.put("with_vector", true)
-    val pts = call("POST", s"/collections/${enc(name)}/points/scroll", Some(b))
-      .get("result").get("points").asInstanceOf[ArrayNode]
-    (0 until pts.size()).map(i => pointToRecord(pts.get(i)))
+    val res = call("POST", s"/collections/${enc(name)}/points/scroll", Some(b))
+      .get("result")
+    val pts = res.get("points").asInstanceOf[ArrayNode]
+    val next = Option(res.get("next_page_offset")).filterNot(_.isNull).map(_.asText())
+    ((0 until pts.size()).map(i => pointToRecord(pts.get(i))), next)
+  }
+
+  /** Integer-offset compat shim over the cursor walk: O(fromIdx) wire
+    * traffic — primary read paths go through [[scrollPage]] instead
+    * (cursor-paged scans, [[VSTable.deleteWhere]]). */
+  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
+    var skipped = 0
+    var cursor: Option[String] = None
+    var first = true
+    val out = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
+    while (out.length < pageSize && (first || cursor.isDefined)) {
+      val (recs, next) = scrollPage(name, cursor, pageSize)
+      first = false
+      if (recs.isEmpty) return out.toSeq
+      val drop = math.max(0, math.min(fromIdx - skipped, recs.length))
+      skipped += drop
+      out ++= recs.drop(drop).take(pageSize - out.length)
+      cursor = next
+    }
+    out.toSeq
   }
 
   override def count(name: String): Int = {
@@ -475,25 +513,54 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None)
     if (ns.isEmpty) s.namespaces.getOrElse("", 0) else s.namespaces.getOrElse(ns, 0)
   }
 
-  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
+  /** Pinecone pages by an OPAQUE `paginationToken`: `GET /vectors/list`
+    * returns ids plus `pagination.next`, which the client echoes verbatim
+    * on the next request — it never constructs or decodes a token. */
+  override def cursorPaged: Boolean = true
+
+  override def scrollPage(name: String, cursor: Option[String],
+                          pageSize: Int): (Seq[VSRecord], Option[String]) = {
     val (ix, ns) = split(name)
-    // two documented calls: list ids (paginationToken = rendered cursor),
-    // then fetch full vectors for the page
+    // two documented calls: list ids (cursor-paged), then fetch full
+    // vectors for the page
+    val tok = cursor.map(c => s"&paginationToken=${enc(c)}").getOrElse("")
     val listed = call("GET", s"/vectors/list?index=${enc(ix)}&namespace=${enc(ns)}" +
-      s"&limit=$pageSize&paginationToken=${b64(fromIdx.toString.getBytes(UTF_8))}")
+      s"&limit=$pageSize$tok")
     val idNodes = listed.get("vectors").asInstanceOf[ArrayNode]
     val ids = (0 until idNodes.size()).map(i => idNodes.get(i).get("id").asText())
-    if (ids.isEmpty) return Seq.empty
+    val next = Option(listed.get("pagination")).flatMap(p => Option(p.get("next")))
+      .filterNot(_.isNull).map(_.asText())
+    if (ids.isEmpty) return (Seq.empty, next)
     val fetched = call("GET", s"/vectors/fetch?index=${enc(ix)}&namespace=${enc(ns)}" +
       ids.map(i => s"&ids=${enc(i)}").mkString)
     val vecs = fetched.get("vectors")
-    ids.flatMap { id =>
+    val recs = ids.flatMap { id =>
       Option(vecs.get(id)).map { v =>
         VSRecord(id,
           if (v.hasNonNull("values")) floats(v.get("values")) else null,
           metadataFrom(v.get("metadata")))
       }
     }
+    (recs, next)
+  }
+
+  /** Integer-offset compat shim over the token walk — primary read paths
+    * use [[scrollPage]]. */
+  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
+    var skipped = 0
+    var cursor: Option[String] = None
+    var first = true
+    val out = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
+    while (out.length < pageSize && (first || cursor.isDefined)) {
+      val (recs, next) = scrollPage(name, cursor, pageSize)
+      first = false
+      if (recs.isEmpty && next.isEmpty) return out.toSeq
+      val drop = math.max(0, math.min(fromIdx - skipped, recs.length))
+      skipped += drop
+      out ++= recs.drop(drop).take(pageSize - out.length)
+      cursor = next
+    }
+    out.toSeq
   }
 
   override def upsert(name: String, records: Seq[VSRecord]): Int = {

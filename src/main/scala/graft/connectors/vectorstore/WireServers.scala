@@ -25,6 +25,10 @@ private[vectorstore] abstract class WireServer(port: Int) {
   def bodyOf(prefix: String): Option[String] =
     log.asScala.find(_._1.startsWith(prefix)).map(_._2)
 
+  /** Bodies of ALL requests whose line starts with `prefix`, in order. */
+  def bodiesOf(prefix: String): Seq[String] =
+    log.asScala.filter(_._1.startsWith(prefix)).map(_._2).toSeq
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => dispatch(ex))
   // DAEMON pool: gate queries start servers they cannot stop (the result
@@ -207,13 +211,28 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
         inner.drop(name)
         respond(ex, 200, okTrue())
       case ("POST", "points/scroll") =>
-        val recs = inner.scroll(name,
-          Option(body.get("offset")).map(_.asInt()).getOrElse(0),
-          Option(body.get("limit")).map(_.asInt()).getOrElse(10))
+        // real Qdrant cursor shape: `offset` is a point id (number or
+        // string), the page starts AT that point, and `next_page_offset`
+        // is the first id of the following page (null when exhausted)
+        val limit = Option(body.get("limit")).map(_.asInt()).getOrElse(10)
+        val all = inner.scroll(name, 0, Int.MaxValue)
+        val from = Option(body.get("offset")).filterNot(_.isNull).map(_.asText()) match {
+          case None => 0
+          case Some(id) =>
+            val i = all.indexWhere(_.id == id)
+            if (i < 0) all.length else i // unknown cursor id -> empty page
+        }
+        val recs = all.slice(from, from + limit)
         val r = obj()
         val a = r.putArray("points")
         recs.foreach(rec => a.add(recordToPoint(rec)))
-        r.putNull("next_page_offset")
+        all.lift(from + limit).map(_.id) match {
+          case Some(id) => id.toLongOption match {
+            case Some(l) => r.put("next_page_offset", l) // numeric point id
+            case None => r.put("next_page_offset", id)   // uuid/string id
+          }
+          case None => r.putNull("next_page_offset")
+        }
         respond(ex, 200, ok(r))
       case ("POST", "points/count") =>
         val r = obj()
@@ -504,8 +523,12 @@ class PineconeWireServer(inner: VectorStoreTransport, port: Int = 0,
         val ix = query.getOrElse("index", "")
         val ns = query.getOrElse("namespace", "")
         val limit = query.get("limit").map(_.toInt).getOrElse(100)
+        // the token is OPAQUE to clients (they echo it verbatim); this
+        // server's choice is url-safe base64 of its internal position,
+        // unpadded so it survives a query string without %-escaping
         val offset = query.get("paginationToken").filter(_.nonEmpty)
-          .map(t => new String(unb64(t), UTF_8).toInt).getOrElse(0)
+          .map(t => new String(
+            java.util.Base64.getUrlDecoder.decode(t), UTF_8).toInt).getOrElse(0)
         val target = coll(ix, ns)
         val recs = if (inner.exists(target)) inner.scroll(target, offset, limit) else Seq.empty
         val o = obj()
@@ -513,7 +536,9 @@ class PineconeWireServer(inner: VectorStoreTransport, port: Int = 0,
         recs.foreach(r => a.addObject().put("id", r.id))
         o.put("namespace", ns)
         if (recs.size == limit)
-          o.putObject("pagination").put("next", b64((offset + limit).toString.getBytes(UTF_8)))
+          o.putObject("pagination").put("next",
+            java.util.Base64.getUrlEncoder.withoutPadding
+              .encodeToString((offset + limit).toString.getBytes(UTF_8)))
         respond(ex, 200, o)
       case ("GET", Seq("vectors", "fetch")) =>
         val ix = query.getOrElse("index", "")

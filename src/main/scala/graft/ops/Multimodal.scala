@@ -1,19 +1,29 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed partition-wise.
   *
-  * The Spark-side machinery — schema, partitioning, batch shape, the
-  * `mapPartitions` feature-extraction hook — is real and tested. The codec
-  * itself is a STUB (`FakeCodec`): this container has no image/audio
-  * libraries, so decode produces deterministic fake features derived from
-  * the bytes. Swapping in a real decoder (JNI/javacpp ffmpeg, ImageIO) only
-  * replaces the function passed to [[extractFeatures]]; none of the plan
-  * shape changes.
+  * The image codec is REAL: `javax.imageio.ImageIO` ships in every JDK and
+  * decodes PNG/JPEG/BMP/GIF with no extra dependencies. Decoded features
+  * are kept integer-exact (luminance sums, exact-rational aHash votes) so a
+  * SQL oracle can adjudicate them bit-for-bit against the closed-form pixel
+  * math of the synthetic fixtures ([[syntheticPng]]). Audio/video decoding
+  * would follow the same partition-wise shape with an ffmpeg binding; the
+  * container-level metadata ops ([[sampleFrames]]) are pure column math
+  * and real today.
+  *
+  * Scale design: payloads never shuffle for feature extraction — it is
+  * embarrassingly parallel `mapPartitions` map work with per-partition
+  * codec init, and the feature columns (a few ints + a 64-bit hash) are
+  * what flows downstream, not the bytes.
   */
 object Multimodal {
 
@@ -27,7 +37,7 @@ object Multimodal {
       StructField("sha256", StringType, nullable = false))), nullable = false)))
 
   /** Wrap any (id, text) table into the media shape — the test stand-in for
-    * real image/audio payload ingestion (payload = utf-8 bytes). */
+    * real payload ingestion (payload = utf-8 bytes). */
   def packBinary(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  mime: String = "text/plain"): DataFrame = {
     val content = encode(col(textCol), "utf-8")
@@ -40,47 +50,145 @@ object Multimodal {
         sha2(content, 256).as("sha256")).as("meta"))
   }
 
-  /** STUBBED media codec. Deterministic fake features standing in for a real
-    * image/audio decode — byte-derived so tests are stable. A production
-    * build would replace `decode` with e.g. an ImageIO/ffmpeg call; the
-    * signature (bytes → features) and everything downstream stay as-is. */
-  object FakeCodec {
-    case class MediaFeatures(width: Int, height: Int, nFrames: Int, meanByte: Double)
+  /** Real image codec over the JDK's `javax.imageio`.
+    *
+    * Features are integer-exact where an oracle needs them exact:
+    *  - `lumSum`: Σ over pixels of the per-pixel luminance (the sum of the
+    *    first ≤3 color bands) — pure integer, no float rounding;
+    *  - `aHash`: the 8×8 average-hash. Pixel (x,y) votes into block
+    *    j = (y*8/h)*8 + (x*8/w); bit j is set iff the block's mean
+    *    luminance exceeds the image mean, compared as the exact rational
+    *    cross-product `blockSum * w * h > totalSum * blockPixels` — no
+    *    resampling, no division, deterministic for ANY w,h (blocks that
+    *    receive no pixels when w or h < 8 vote 0);
+    *  - `meanByte` (mean over all color samples) is the float convenience
+    *    for library callers.
+    *
+    * `decode` returns None for undecodable payloads — corrupt bytes in a
+    * 100 TB crawl are data, not exceptions. */
+  object ImageCodec {
+    case class ImageFeatures(width: Int, height: Int, channels: Int,
+                             lumSum: Long, meanByte: Double,
+                             aHash: Long, aHashBits: String)
 
-    def decode(bytes: Array[Byte]): MediaFeatures = {
-      // ??? <- real decoder goes here; deterministic fake below
-      val n = bytes.length
-      val mean = if (n == 0) 0.0 else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
-      MediaFeatures(width = 64 + n % 576, height = 64 + (n * 31) % 416,
-        nFrames = 1 + n % 16, meanByte = math.rint(mean * 1e6) / 1e6)
+    def decode(bytes: Array[Byte]): Option[ImageFeatures] = {
+      val img =
+        try ImageIO.read(new ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val colorBands = math.min(bands, 3) // exclude alpha from luminance
+      var total = 0L
+      var allSamples = 0L
+      val blockSum = new Array[Long](64)
+      val blockPix = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          var lum = 0L
+          var b = 0
+          while (b < colorBands) { lum += raster.getSample(x, y, b); b += 1 }
+          b = 0
+          while (b < bands) { allSamples += raster.getSample(x, y, b); b += 1 }
+          total += lum
+          val j = by * 8 + x * 8 / w
+          blockSum(j) += lum
+          blockPix(j) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      val bits = new StringBuilder(64)
+      val wh = w.toLong * h
+      var j = 0
+      while (j < 64) {
+        val set = blockSum(j) * wh > total * blockPix(j)
+        if (set) hash |= 1L << j
+        bits.append(if (set) '1' else '0')
+        j += 1
+      }
+      val mean = math.rint(allSamples.toDouble / (w.toLong * h * bands) * 1e6) / 1e6
+      Some(ImageFeatures(w, h, bands, total, mean, hash, bits.toString))
     }
+  }
+
+  /** Deterministic PNG fixture for id `d`: an 8- or 16-pixel-square RGB
+    * image whose pixel (x,y) carries gray value `(d*31 + x*7 + y*13) % 256`
+    * in all three channels. The closed form lets a SQL oracle compute the
+    * EXPECTED decoded features of the real codec from `d` alone — PNG is
+    * lossless, so encode→decode must round-trip every pixel. */
+  def syntheticPng(d: Long): Array[Byte] = {
+    val w = (8 * (1 + d % 2)).toInt
+    val h = (8 * (1 + (d / 2) % 2)).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((d * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   case class MediaMeta(mime: String, byte_len: Long, sha256: String)
   case class MediaRow(media_id: Long, content: Array[Byte], meta: MediaMeta)
-  case class MediaWithFeatures(media_id: Long, content: Array[Byte], meta: MediaMeta,
-                               width: Int, height: Int, n_frames: Int, mean_byte: Double)
+  case class MediaImageFeatures(media_id: Long, width: Option[Int], height: Option[Int],
+                                channels: Option[Int], lum_sum: Option[Long],
+                                mean_byte: Option[Double], ahash: Option[Long],
+                                ahash_bits: Option[String])
 
-  /** Partition-wise feature extraction: the batch shape a heavyweight codec
-    * needs (amortized per-partition init — one decoder context per task,
-    * mirroring `mapInPandas` batch semantics). Typed Dataset map, so the
-    * row↔object bridge is a compiled Encoder, not reflection per row. */
-  def extractFeatures(media: DataFrame): DataFrame = {
+  /** Media table of [[syntheticPng]] payloads — the image-ingestion test
+    * stand-in, one real PNG per input row. */
+  def imageTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      ids.map { id =>
+        val bytes = syntheticPng(id)
+        val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+        MediaRow(id, bytes, MediaMeta("image/png", bytes.length.toLong, sha))
+      }
+    }.toDF()
+  }
+
+  /** Partition-wise REAL image decode: the batch shape a heavyweight codec
+    * needs (per-partition init, one decoder context per task). Typed
+    * Dataset map, so the row↔object bridge is a compiled Encoder, not
+    * reflection per row. Undecodable payloads yield null features, not
+    * task failures. */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // ImageIO's plugin registry scans once per JVM; touching it here keeps
+    // the cost out of the per-row loop
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition init of the (stub) codec happens once here
+      javax.imageio.ImageIO.getUseCache // force registry init per task JVM
       rows.map { r =>
-        val bytes = Option(r.content).getOrElse(Array.emptyByteArray)
-        val f = FakeCodec.decode(bytes)
-        MediaWithFeatures(r.media_id, r.content, r.meta, f.width, f.height, f.nFrames, f.meanByte)
+        val f = Option(r.content).flatMap(ImageCodec.decode)
+        MediaImageFeatures(r.media_id, f.map(_.width), f.map(_.height),
+          f.map(_.channels), f.map(_.lumSum), f.map(_.meanByte),
+          f.map(_.aHash), f.map(_.aHashBits))
       }
     }.toDF()
   }
 
   /** Deterministic frame sampling plan for video-like payloads: every
-    * `stride`-th frame index up to `nFrames` — pure column math so the frame
-    * list is computed without touching payload bytes. */
+    * `stride`-th frame index up to `nFrames` — pure column math over the
+    * container-metadata frame count, so the frame list is computed without
+    * touching payload bytes. */
   def sampleFrames(media: DataFrame, nFramesCol: String = "n_frames", stride: Int = 4): DataFrame =
     media.withColumn("sampled_frames",
       sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride)))

@@ -199,6 +199,49 @@ object ConnectorQueries {
           element_at(col(Canonical.METADATA), "source_db").as("source_db"))
     }),
 
+    // The reference's full use-case at CROSS-DIALECT wire fidelity: source
+    // collection lives behind a Qdrant-dialect socket, target behind a
+    // Pinecone-dialect socket, and the config-driven Migrator moves the
+    // filtered rows between them — scroll cursor paging on one side, list/
+    // fetch/upsert on the other, endpoint-keyed transports throughout.
+    // require() pins that both sockets actually carried the verbs. The
+    // oracle adjudicates ids, labels, AND a vector component, proving the
+    // floats survived two JSON wire trips.
+    "q_migrate_wire_cross" -> ((s, dir) => {
+      import graft.connectors.vectorstore._
+      val src = new QdrantWireServer(new InMemoryStore, apiKey = Some("src-key"))
+      val dst = new PineconeWireServer(new InMemoryStore, apiKey = Some("dst-key"))
+      try {
+        loadFixture(s, dir, "graft-qdrant", "gate_xwire",
+          options = Map("url" -> src.url, "api_key" -> "src-key"))
+        // JSON-escaped Qdrant structured filter (label >= 5), nested as a
+        // string value inside the config JSON
+        val filterEsc = """{\"must\":[{\"key\":\"label\",\"range\":{\"gte\":5}}]}"""
+        val cfg = graft.config.MigrationConfig.fromJson(
+          s"""{"source": {"type": "qdrant",
+             |            "connection": {"url": "${src.url}", "api_key": "src-key"},
+             |            "query": {"collection": "gate_xwire",
+             |                      "filter": "$filterEsc"}},
+             | "target": {"type": "pinecone",
+             |            "connection": {"url": "${dst.url}", "api_key": "dst-key"},
+             |            "load": {"collection": "xix::mig", "recreate": true}}}""".stripMargin)
+        val report = new graft.core.Migrator(s).run(cfg)
+        require(report.success, s"cross-wire migration failed: ${report.error}")
+        require(src.requestLines.exists(
+          _.startsWith("POST /collections/gate_xwire/points/scroll")),
+          "source socket never scrolled")
+        require(dst.requestLines.exists(_.startsWith("POST /vectors/upsert")),
+          "target socket never upserted")
+        ConnectorRegistry("pinecone").read(s,
+          Map("url" -> dst.url, "api_key" -> "dst-key"),
+          QuerySpec(collection = "xix::mig"))
+          .select(col(Canonical.ID),
+            element_at(col(Canonical.METADATA), "label").as("label"),
+            round(element_at(col(Canonical.VECTOR), 1).cast("double"), 5).as("v1"))
+          .localCheckpoint(true)
+      } finally { src.stop(); dst.stop() }
+    }),
+
     // post-migration validation: the target is DERIVED from the source
     // with planted defects (drop %101, duplicate %103, corrupt %107's
     // vector, add shifted %109) — every check value oracle-replayed,
@@ -433,6 +476,10 @@ object ConnectorQueries {
     "q_migrate_e2e" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label, " +
         "'pgvector' AS source_db FROM embeddings"),
+    "q_migrate_wire_cross" ->
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label, " +
+        "round(CAST(embedding[1] AS DOUBLE), 5) AS v1 " +
+        "FROM embeddings WHERE label >= 5"),
     "q_validate_migration" -> {
       // portable vector signature: polynomial fold over 2^20-scaled
       // components mod P, replicating Validator.vectorSignature's pmod

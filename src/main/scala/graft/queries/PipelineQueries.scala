@@ -59,6 +59,25 @@ object PipelineQueries {
       "FROM cand JOIN s sa ON sa.id = cand.id_a JOIN s sb ON sb.id = cand.id_b)"
 
   // shared by the search gates (Spark call sites AND oracle SQL)
+  /** CTEs replaying [[graft.ops.Multimodal.syntheticPng]]'s closed-form
+    * pixel math to per-image (w, h, luminance sum) and the 64-char aHash
+    * bit string — shared by the q_mm_features / q_mm_ahash_dedup oracles. */
+  private val mmImageCtes =
+    "WITH d AS (SELECT doc_id AS media_id, 8 * (1 + doc_id % 2) AS w, " +
+      "8 * (1 + (doc_id // 2) % 2) AS h FROM documents), " +
+      "px AS (SELECT media_id, w, h, x, y, (media_id * 31 + x * 7 + y * 13) % 256 AS g " +
+      "FROM d CROSS JOIN range(0, 16) rx(x) CROSS JOIN range(0, 16) ry(y) " +
+      "WHERE x < w AND y < h), " +
+      "tot AS (SELECT media_id, min(w) AS w, min(h) AS h, sum(g) AS ts " +
+      "FROM px GROUP BY media_id), " +
+      "blk AS (SELECT media_id, (y * 8 // h) * 8 + (x * 8 // w) AS j, " +
+      "sum(g) AS bs, count(*) AS np FROM px GROUP BY media_id, j), " +
+      "bits AS (SELECT b.media_id, b.j, " +
+      "CASE WHEN b.bs * t.w * t.h > t.ts * b.np THEN '1' ELSE '0' END AS bit " +
+      "FROM blk b JOIN tot t USING (media_id)), " +
+      "hsh AS (SELECT media_id, string_agg(bit, '' ORDER BY j) AS ahash_bits " +
+      "FROM bits GROUP BY media_id)"
+
   private val SearchTerms = Seq("spark", "vector", "merge", "window")
   // fixture-dim (64) synthetic query vector for the hybrid gate
   private val HybridQueryVec = Array.tabulate(64)(i => ((i % 7) + 1).toDouble)
@@ -359,13 +378,37 @@ object PipelineQueries {
       Multimodal.packBinary(Tables(s, dir, "documents"))
         .select(col("media_id"), col("meta.mime").as("mime"),
           col("meta.byte_len").as("byte_len"), col("meta.sha256").as("sha256"))),
-    // Gate projection: no raw arrays (driver's pandas compare can't hash
-    // them) — the frame list goes out joined as a string. width/height/
-    // n_frames/frames are byte-length math, so DuckDB can oracle-check them.
+    // REAL image decode: one synthetic PNG per document (closed-form pixel
+    // values), decoded by javax.imageio in mapPartitions. The oracle
+    // recomputes width/height/channels, the integer-exact luminance sum,
+    // and the exact-rational 8x8 aHash from doc_id alone — PNG is lossless,
+    // so a correct decoder MUST reproduce them bit-for-bit.
     "q_mm_features" -> ((s, dir) =>
+      Multimodal.extractImageFeatures(
+        Multimodal.imageTable(Tables(s, dir, "documents")))
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          col("lum_sum"), col("ahash_bits"))),
+    // Image near-duplicate pairs by exact aHash: block-join on the 64-bit
+    // fingerprint of REAL decoded pixels. syntheticPng plants exact dups
+    // (ids congruent mod 256 share a pixel grid when sizes match), and the
+    // oracle recomputes every collision from the closed form — hash
+    // blocking over decoded features, the image face of the dedup family.
+    "q_mm_ahash_dedup" -> ((s, dir) => {
+      val f = Multimodal.extractImageFeatures(
+        Multimodal.imageTable(Tables(s, dir, "documents")))
+        .select(col("media_id"), col("ahash_bits"))
+      f.as("a").join(f.as("b"), Seq("ahash_bits"))
+        .filter(col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+          col("ahash_bits"))
+    }),
+    // Frame-sampling plumbing: container-metadata frame count (byte-length
+    // math stand-in) -> strided frame plan, all pure column math.
+    "q_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.extractFeatures(Multimodal.packBinary(Tables(s, dir, "documents"))))
-        .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        Multimodal.packBinary(Tables(s, dir, "documents"))
+          .withColumn("n_frames", (lit(1) + col("meta.byte_len") % 16).cast("int")))
+        .select(col("media_id"), col("n_frames"),
           concat_ws(",", col("sampled_frames").cast("array<string>")).as("sampled_frames_str"))),
 
     // ---- Training-data mixture sampling: portable multiplicative-hash
@@ -1119,13 +1162,31 @@ object PipelineQueries {
         ("SELECT doc_id AS media_id, 'text/plain' AS mime, " +
           "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256 " +
           "FROM documents"),
-      // mirrors FakeCodec.decode's byte-length feature math + sampleFrames'
+      // replays Multimodal.syntheticPng's closed-form pixel math: gray
+      // g(x,y) = (id*31 + x*7 + y*13) % 256 in all 3 channels of an
+      // 8/16-square PNG. lum_sum = 3·Σg (integer-exact); aHash bit
+      // j = (y*8//h)*8 + (x*8//w) set iff blockSum·w·h > totalSum·blockPix
+      // (the same exact rational compare the codec makes — the factor 3
+      // cancels). A real ImageIO decode MUST reproduce these: PNG is
+      // lossless.
+      "q_mm_features" ->
+        (mmImageCtes +
+          " SELECT t.media_id, CAST(t.w AS INT) AS width, CAST(t.h AS INT) AS height, " +
+          "3 AS channels, CAST(3 * t.ts AS BIGINT) AS lum_sum, h.ahash_bits " +
+          "FROM tot t JOIN hsh h USING (media_id)"),
+      // image near-dup pairs by exact aHash block: the 64-bit fingerprint
+      // derived from REAL decoded pixels must collide exactly where the
+      // closed-form math says it does
+      "q_mm_ahash_dedup" ->
+        (mmImageCtes +
+          " SELECT a.media_id AS media_a, b.media_id AS media_b, a.ahash_bits " +
+          "FROM hsh a JOIN hsh b ON a.ahash_bits = b.ahash_bits " +
+          "AND a.media_id < b.media_id"),
       // sequence(0, n_frames-1, 4) — DuckDB range() is stop-exclusive, so
       // range(0, n_frames, 4) enumerates the same indices
-      "q_mm_features" ->
+      "q_mm_frames" ->
         ("WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents) " +
-          "SELECT media_id, CAST(64 + n % 576 AS INT) AS width, " +
-          "CAST(64 + (n * 31) % 416 AS INT) AS height, CAST(1 + n % 16 AS INT) AS n_frames, " +
+          "SELECT media_id, CAST(1 + n % 16 AS INT) AS n_frames, " +
           "array_to_string(range(0, CAST(1 + n % 16 AS BIGINT), 4), ',') AS sampled_frames_str " +
           "FROM m"),
       "q_decontaminate" ->

@@ -131,6 +131,45 @@ class CliSpec extends SparkSpec {
     assert(MemoryStore.get("cli_spec2").get._1.length == 5)
   }
 
+  test("sig-index lifecycle: build corpus index, ingest batch, novel docs out") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf(), "documents")
+    val root = Files.createTempDirectory("sigcli")
+    val corpusPq = s"$root/corpus"; val batchPq = s"$root/batch"
+    val indexDir = s"$root/index"; val novelPq = s"$root/novel"
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(corpusPq)
+    docs.filter(col("doc_id") % 2 =!= 0).write.parquet(batchPq)
+    def cfg(path: String, novel: Boolean): String = {
+      val f = Files.createTempFile("sig", ".json")
+      Files.writeString(f,
+        s"""{"documents": {"path": "$path"}, "index_dir": "$indexDir",
+           | "params": {"num_hashes": 16, "num_bands": 4, "portable": true}
+           | ${if (novel) s""", "novel_output": "$novelPq"""" else ""}}""".stripMargin)
+      f.toString
+    }
+    // expected novel count from the library's legacy (derive-on-the-fly) path
+    val expectedDups = graft.ops.Dedup.incrementalNearDupPairs(
+      graft.ops.Dedup.signatureTable(docs.filter(col("doc_id") % 2 === 0),
+        numHashes = 16, portable = true),
+      docs.filter(col("doc_id") % 2 =!= 0), numHashes = 16, numBands = 4,
+      portable = true).select("batch_id").distinct().count()
+    val batchN = docs.filter(col("doc_id") % 2 =!= 0).count()
+
+    assert(graft.cli.Main.run(Array("--build-index", cfg(corpusPq, novel = false))) == 0)
+    assert(graft.cli.Main.run(Array("--ingest", cfg(batchPq, novel = true))) == 0)
+    assert(spark.read.parquet(novelPq).count() == batchN - expectedDups)
+    // re-ingest the same texts under NEW ids: every doc with shingles is
+    // now a near-duplicate of the (appended) index — nothing novel
+    val shifted = s"$root/shifted"
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L).write.parquet(shifted)
+    val emptyTexts = docs.filter(col("doc_id") % 2 =!= 0)
+      .filter(size(split(trim(lower(col("text"))), "\\s+")) < 3).count()
+    assert(graft.cli.Main.run(Array("--ingest", cfg(shifted, novel = true))) == 0)
+    val novel2 = spark.read.parquet(novelPq).count()
+    assert(novel2 <= emptyTexts, s"novel2=$novel2 emptyTexts=$emptyTexts")
+  }
+
   test("bad config path exits 1") {
     assert(graft.cli.Main.run(Array("--config", "/no/such/file.json")) == 1)
   }

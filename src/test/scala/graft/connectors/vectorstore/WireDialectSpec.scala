@@ -55,6 +55,45 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("qdrant wire: multi-page scroll pages by the next_page_offset point id") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    val t = new QdrantWireTransport(server.url)
+    try {
+      t.createCollection("qp", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("qp", canon(7))
+      val (p1, c1) = t.scrollPage("qp", None, 3)
+      assert(p1.map(_.id) == Seq("0", "1", "2") && c1.contains("3"), s"$c1")
+      val (p2, c2) = t.scrollPage("qp", c1, 3)
+      assert(p2.map(_.id) == Seq("3", "4", "5") && c2.contains("6"))
+      val (p3, c3) = t.scrollPage("qp", c2, 3)
+      assert(p3.map(_.id) == Seq("6") && c3.isEmpty, s"$c3")
+      // wire fidelity: the first request carries NO offset; later requests
+      // carry the server-issued point id as a JSON number (digit ids)
+      val b1 = server.bodiesOf("POST /collections/qp/points/scroll")
+      assert(b1.length == 3)
+      assert(!b1(0).contains("\"offset\""), b1(0))
+      assert(b1(1).contains("\"offset\":3"), b1(1))
+      assert(b1(2).contains("\"offset\":6"), b1(2))
+    } finally server.stop()
+  }
+
+  test("qdrant wire: string point ids travel as string cursors") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    val t = new QdrantWireTransport(server.url)
+    try {
+      t.createCollection("qs", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("qs", Seq("aa", "bb", "cc").map(id =>
+        VSRecord(id, Array(1f, 2f), Map.empty)))
+      val (p1, c1) = t.scrollPage("qs", None, 2)
+      assert(p1.map(_.id) == Seq("aa", "bb") && c1.contains("cc"))
+      val b = server.bodiesOf("POST /collections/qs/points/scroll")
+      val (p2, c2) = t.scrollPage("qs", c1, 2)
+      assert(p2.map(_.id) == Seq("cc") && c2.isEmpty)
+      assert(server.bodiesOf("POST /collections/qs/points/scroll")
+        .exists(_.contains("\"offset\":\"cc\"")))
+    } finally server.stop()
+  }
+
   // ------------------------------------------------------------- Milvus
 
   test("milvus wire: v2 vectordb verbs, code-0 envelopes, bearer auth") {
@@ -144,6 +183,28 @@ class WireDialectSpec extends SparkSpec {
       assert(lines.exists(_.startsWith("POST /vectors/delete?index=ix")))
       // namespace rides the body of every data-plane write
       assert(server.bodyOf("POST /vectors/upsert").get.contains("\"namespace\":\"nsa\""))
+    } finally server.stop()
+  }
+
+  test("pinecone wire: multi-page list walks the opaque pagination token") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("px::n", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("px::n", canon(5))
+      val (p1, c1) = t.scrollPage("px::n", None, 2)
+      assert(p1.map(_.id) == Seq("0", "1") && c1.isDefined)
+      val (p2, c2) = t.scrollPage("px::n", c1, 2)
+      assert(p2.map(_.id) == Seq("2", "3") && c2.isDefined)
+      val (p3, c3) = t.scrollPage("px::n", c2, 2)
+      assert(p3.map(_.id) == Seq("4") && c3.isEmpty)
+      val lists = server.requestLines.filter(_.startsWith("GET /vectors/list"))
+      assert(lists.length == 3)
+      // first request: no token; later requests echo the server's token
+      // VERBATIM (the client never constructs one)
+      assert(!lists(0).contains("paginationToken"), lists(0))
+      assert(lists(1).contains(s"paginationToken=${c1.get}"), lists(1))
+      assert(lists(2).contains(s"paginationToken=${c2.get}"), lists(2))
     } finally server.stop()
   }
 

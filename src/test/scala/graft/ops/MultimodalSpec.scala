@@ -19,21 +19,54 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[String]("sha256").length == 64)
   }
 
-  test("extractFeatures is deterministic and partition-parallel") {
-    val media = Multimodal.packBinary(docs).repartition(3)
-    val f1 = Multimodal.extractFeatures(media).select("media_id", "width", "mean_byte")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
-    val f2 = Multimodal.extractFeatures(media).select("media_id", "width", "mean_byte")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
-    assert(f1 == f2)
-    assert(f1.map(_._1) == Seq(1L, 2L, 3L))
-    // empty payload: defined, zero mean
-    assert(f1(1)._3 == 0.0)
+  test("ImageCodec decodes a real PNG to the closed-form pixel features") {
+    // id=0: 8x8, g(x,y) = (7x + 13y) % 256 — compute expectations directly
+    val d = 0L
+    val f = Multimodal.ImageCodec.decode(Multimodal.syntheticPng(d)).get
+    assert(f.width == 8 && f.height == 8 && f.channels == 3)
+    val g = for (y <- 0 until 8; x <- 0 until 8) yield (d * 31 + x * 7 + y * 13) % 256
+    assert(f.lumSum == 3 * g.sum, s"lumSum=${f.lumSum} expected=${3 * g.sum}")
+    // aHash: block (bx,by) is the single pixel (bx,by) at 8x8
+    val total = g.sum
+    val expectedBits = (0 until 64).map { j =>
+      val (bx, by) = (j % 8, j / 8)
+      if (g(by * 8 + bx) * 64 > total) '1' else '0'
+    }.mkString
+    assert(f.aHashBits == expectedBits, s"${f.aHashBits} vs $expectedBits")
+    // numeric hash agrees with the bit string (bit j = char j)
+    (0 until 64).foreach { j =>
+      assert(((f.aHash >>> j) & 1L) == (if (expectedBits(j) == '1') 1L else 0L))
+    }
+  }
+
+  test("16x16 fixture: varying block sizes, channels and size decode correctly") {
+    // id=3: w = 8*(1+3%2) = 16, h = 8*(1+(3/2)%2) = 16
+    val f = Multimodal.ImageCodec.decode(Multimodal.syntheticPng(3L)).get
+    assert(f.width == 16 && f.height == 16 && f.channels == 3)
+    val g = for (y <- 0 until 16; x <- 0 until 16) yield (3L * 31 + x * 7 + y * 13) % 256
+    assert(f.lumSum == 3 * g.sum)
+  }
+
+  test("extractImageFeatures is deterministic, partition-parallel, null-safe") {
+    val media = Multimodal.imageTable(docs).repartition(3)
+    def run() = Multimodal.extractImageFeatures(media)
+      .select("media_id", "width", "height", "lum_sum", "ahash_bits")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getString(4))).sortBy(_._1).toSeq
+    val f1 = run(); val f2 = run()
+    assert(f1 == f2 && f1.map(_._1) == Seq(1L, 2L, 3L))
+    // corrupt payload -> null features, not a task failure
+    val corrupt = Seq((9L, Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta("image/png", 3L, "x"))).toDF("media_id", "content", "meta")
+    val r = Multimodal.extractImageFeatures(corrupt).head()
+    assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("ahash_bits")))
   }
 
   test("sampleFrames emits strided frame indices without touching bytes") {
     val out = Multimodal.sampleFrames(
-      Multimodal.extractFeatures(Multimodal.packBinary(docs)), stride = 4)
+      Multimodal.packBinary(docs)
+        .withColumn("n_frames", (lit(1) + col("meta.byte_len") % 16).cast("int")),
+      stride = 4)
     val frames = out.filter(col("media_id") === 3).head()
       .getAs[scala.collection.Seq[Int]]("sampled_frames")
     assert(frames.nonEmpty && frames.head == 0 && frames.forall(_ % 4 == 0))

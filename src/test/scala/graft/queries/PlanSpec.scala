@@ -118,4 +118,33 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_text_extract")
     assert(!p.contains("Exchange"), p)
   }
+
+  test("indexed incremental dedup: corpus pruned by broadcast, never re-aggregated") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf(), "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("plan_sig").toString
+    val n = graft.core.SigIndex.build(spark, corpus, dir,
+      graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
+    assert(n > 0)
+    val p = graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true)
+    val indexed = graft.ops.Dedup.incrementalNearDupPairsIndexed(
+      spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/widths"), batch,
+      numHashes = 16, numBands = 4, portable = true)
+      .queryExecution.executedPlan.toString
+    val legacy = graft.ops.Dedup.incrementalNearDupPairs(
+      spark.read.parquet(s"$dir/sigs"), batch,
+      numHashes = 16, numBands = 4, portable = true)
+      .queryExecution.executedPlan.toString
+    // the touched-bucket prune arrives via broadcast...
+    assert("BroadcastHashJoin".r.findAllIn(indexed).length >= 2, indexed)
+    // ...and the per-ingest corpus-side aggregation (bucket recount) is
+    // gone: only the candidate distinct remains, so strictly fewer
+    // aggregates than the derive-on-the-fly path
+    val aggs = (s: String) => "HashAggregate".r.findAllIn(s).length
+    assert(aggs(indexed) < aggs(legacy),
+      s"indexed=${aggs(indexed)} legacy=${aggs(legacy)}")
+  }
 }
