@@ -241,6 +241,30 @@ object ScaleProbe {
       ops.Dedup.incrementalNearDupPairs(corpusSigs,
         docs.filter(col("doc_id") % 2 =!= 0), threshold = 0.3).count()
     }
+    // Corpus-growth probe for the INDEXED ingest: fixed batch, corpus 1x
+    // then factor x, index artifacts persisted (untimed — they are built
+    // once per corpus lifetime, not per ingest). The question: does
+    // per-ingest cost stay ~flat as history grows? (Output pairs DO grow
+    // with factor — every batch dup matches each replica — so read time
+    // against rows.)
+    if (only.forall(_.exists(s => "sig-index ingest (corpus)".contains(s)))) {
+      val base = Tables(spark, dir, "documents")
+      val batch = base.filter(col("doc_id") % 2 =!= 0)
+      val tmp = java.nio.file.Files.createTempDirectory("probe_sig").toString
+      def buildIdx(corpus: DataFrame, tag: String): String = {
+        val d = s"$tmp/$tag"
+        core.SigIndex.build(spark, corpus, d, core.SigIndex.Params())
+        d
+      }
+      val idx1 = buildIdx(base.filter(col("doc_id") % 2 === 0), "c1")
+      val idxN = buildIdx(docs.filter(col("doc_id") % 2 === 0), s"c$factor")
+      def ingest(d: String): Long =
+        ops.Dedup.incrementalNearDupPairsIndexed(
+          spark.read.parquet(s"$d/sigs"), spark.read.parquet(s"$d/bands"),
+          spark.read.parquet(s"$d/widths"), batch, threshold = 0.3).count()
+      time("sig-index ingest (corpus 1x)")(ingest(idx1))
+      time(s"sig-index ingest (corpus ${factor}x)")(ingest(idxN))
+    }
     time("hard negatives (5 queries, nCand=200)") {
       // positive = the query's first replica (cosine 1.0), so the margin
       // excludes only the replica cluster and real negatives survive
