@@ -368,6 +368,13 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
         }))
     } catch { case _: NoSuchElementException => None }
 
+  /** Milvus v2 `entities/query` takes real `offset`/`limit` params, so
+    * parallel offset-range scans are wire-faithful here — with the
+    * DOCUMENTED caveat that real Milvus bounds the query window at
+    * offset + limit ≤ 16384: beyond the first 16384 rows a real
+    * deployment pages the pk-sorted QueryIterator pattern (filter
+    * `id > last`, pymilvus' iterator) instead of offsets. The emulated
+    * store accepts any offset, so the bound is noted, not enforced. */
   override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
     val b = named(name)
     b.put("filter", "")
