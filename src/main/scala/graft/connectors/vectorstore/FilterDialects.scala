@@ -27,6 +27,13 @@ trait FilterDialect extends Serializable {
     * (Spark re-applies it post-scan — an upgrade on the reference, which
     * cannot evaluate anything engine-side). */
   def render(f: Filter): Option[String]
+
+  /** AND-combine several rendered filters into ONE backend predicate —
+    * what actually travels on the wire (scroll/search filter body).
+    * Default joins with the expression languages' `AND`; the Qdrant
+    * dialect overrides with a `must` clause list. */
+  def combine(rendered: Seq[String]): Option[String] =
+    rendered.reduceOption((a, b) => s"($a) AND ($b)")
 }
 
 private object DialectUtil {
@@ -93,6 +100,12 @@ class QdrantFilterDialect extends FilterDialect {
   import DialectUtil._
   override def name: String = "qdrant"
   @transient private lazy val mapper = new ObjectMapper()
+
+  /** Each rendered filter is already a complete clause object, so the AND
+    * of several is a `must` list of them. */
+  override def combine(rendered: Seq[String]): Option[String] =
+    if (rendered.length <= 1) rendered.headOption
+    else Some(rendered.mkString("""{"must":[""", ",", "]}"))
 
   override def parse(filter: String): Column = {
     val root = mapper.readTree(filter)
@@ -178,6 +191,9 @@ class QdrantFilterDialect extends FilterDialect {
 class MilvusExprDialect extends FilterDialect {
   import DialectUtil._
   override def name: String = "milvus"
+
+  override def combine(rendered: Seq[String]): Option[String] =
+    rendered.reduceOption((a, b) => s"($a && $b)")
 
   override def parse(filter: String): Column = new MilvusParser(filter).parseExpr()
 

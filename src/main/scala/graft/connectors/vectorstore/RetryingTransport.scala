@@ -53,6 +53,19 @@ case class RetryingTransport(
   override def scrollPage(name: String, cursor: Option[String],
                           pageSize: Int): (Seq[VSRecord], Option[String]) =
     withRetry(inner.scrollPage(name, cursor, pageSize))
+  override def scrollFiltered(name: String, fromIdx: Int, pageSize: Int,
+                              filter: Option[String]): Seq[VSRecord] =
+    withRetry(inner.scrollFiltered(name, fromIdx, pageSize, filter))
+  override def scrollPageFiltered(name: String, cursor: Option[String], pageSize: Int,
+                                  filter: Option[String]): (Seq[VSRecord], Option[String]) =
+    withRetry(inner.scrollPageFiltered(name, cursor, pageSize, filter))
+  override def serverSideFilters: Boolean = inner.serverSideFilters
+  override def supportsNativeSearch(metric: String): Boolean =
+    inner.supportsNativeSearch(metric)
+  override def supportsSearchFilter: Boolean = inner.supportsSearchFilter
+  override def nativeSearch(name: String, sp: SearchSpec,
+                            filter: Option[String]): Option[Seq[VSRecord]] =
+    withRetry(inner.nativeSearch(name, sp, filter))
   override def count(name: String): Int = withRetry(inner.count(name))
   override def upsert(name: String, records: Seq[VSRecord]): Int =
     withRetry(inner.upsert(name, records))

@@ -63,6 +63,50 @@ trait VectorStoreTransport extends Serializable {
     (recs, if (recs.length < pageSize) None else Some((from + recs.length).toString))
   }
 
+  /** Offset scroll with a SERVER-side filter (`filter` is the backend
+    * dialect's rendered predicate — Milvus expr, Qdrant JSON). The
+    * default ignores it: readers re-check pushed filters client-side
+    * regardless, so a backend without server filtering stays correct, it
+    * just ships non-matching rows over the wire. Backends with a real
+    * filter param override and prune at the source. NOTE: with a server
+    * filter, offsets index the FILTERED row sequence. */
+  def scrollFiltered(name: String, fromIdx: Int, pageSize: Int,
+                     filter: Option[String]): Seq[VSRecord] =
+    scroll(name, fromIdx, pageSize)
+
+  /** [[scrollPage]] with a server-side filter; same default-ignore
+    * contract as [[scrollFiltered]]. */
+  def scrollPageFiltered(name: String, cursor: Option[String], pageSize: Int,
+                         filter: Option[String]): (Seq[VSRecord], Option[String]) =
+    scrollPage(name, cursor, pageSize)
+
+  /** True when [[scrollFiltered]]/[[scrollPageFiltered]] actually apply
+    * the filter at the backend (vs the default ignore-and-let-the-reader-
+    * re-check). Gates LIMIT/OFFSET pushdown: with pushed filters, a
+    * pushed limit must slice the FILTERED row sequence — a transport
+    * that cannot filter server-side would slice raw rows first and
+    * silently drop matches, so the engine refuses the limit pushdown
+    * there and lets Spark's own Limit run above the scan. */
+  def serverSideFilters: Boolean = false
+
+  /** True when the backend serves `metric` top-k search natively
+    * (Qdrant `points/search`, Milvus `entities/search`, Pinecone
+    * `/query`) — the scan then issues ONE search call instead of
+    * scrolling the collection and scoring engine-side. */
+  def supportsNativeSearch(metric: String): Boolean = false
+
+  /** True when [[nativeSearch]] can apply the rendered filter BEFORE
+    * top-k (filtered search). When false and pushed filters exist, the
+    * engine must NOT use native search — filter-after-top-k drops rows a
+    * filtered search would have returned. */
+  def supportsSearchFilter: Boolean = false
+
+  /** Native top-k by the spec's metric, ties broken on id ascending (the
+    * engine's canonical search order), after the optional rendered
+    * filter. None = unsupported → caller scans + scores. */
+  def nativeSearch(name: String, sp: SearchSpec,
+                   filter: Option[String]): Option[Seq[VSRecord]] = None
+
   def count(name: String): Int
   def upsert(name: String, records: Seq[VSRecord]): Int
   /** Delete by id (Qdrant `POST /points/delete`, Milvus `delete(expr)`,

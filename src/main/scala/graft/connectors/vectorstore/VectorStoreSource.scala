@@ -382,8 +382,15 @@ class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
   // caught by the HTTP loopback suite's filtered .head()). pushFilters
   // runs before pushLimit in V2ScanRelationPushDown, so `pushed` is
   // final here.
-  override def pushLimit(n: Int): Boolean =
-    if (pushed.nonEmpty || backendFilters.nonEmpty) false else { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean = {
+    // limit composes with pushed filters ONLY when the backend evaluates
+    // the filters server-side (the limit must slice the FILTERED row
+    // sequence); otherwise refuse and let Spark's Limit run above
+    val fs = pushed ++ backendFilters
+    val ok = fs.isEmpty || (VectorStore.resolve(spec).serverSideFilters &&
+      fs.forall(dialect.render(_).isDefined))
+    if (ok) { limit = Some(n); true } else false
+  }
   override def isPartiallyPushed: Boolean = true
 
   override def pushOffset(n: Int): Boolean =
@@ -425,14 +432,62 @@ case class VSInputPartition(start: Int, end: Int) extends InputPartition
   * backends with real offset params keep [[VSInputPartition]] ranges. */
 case class VSCursorPartition(skip: Int, take: Int) extends InputPartition
 
+/** Marker partition for a scan whose work is ONE native top-k search
+  * call ([[VectorStoreTransport.nativeSearch]]) instead of a collection
+  * scroll — planned when the transport serves the metric natively and
+  * any pushed filters can ride the search (filtered search). */
+case class VSSearchPartition() extends InputPartition
+
+/** The ONE scoring definition shared by the scan readers and the loopback
+  * wire servers — so the emulated backend's native search can never
+  * disagree with the engine's scroll+score path about scores or ties
+  * (selection order everywhere: cosine desc / hamming asc, then id asc). */
+private[vectorstore] object VSScoring {
+  def hammingBytes(a: Array[Byte], q: Array[Byte]): Int = {
+    val n = math.min(a.length, q.length)
+    var d = 0; var i = 0
+    while (i < n) { d += Integer.bitCount((a(i) ^ q(i)) & 0xff); i += 1 }
+    (n until a.length).foreach(j => d += Integer.bitCount(a(j) & 0xff))
+    (n until q.length).foreach(j => d += Integer.bitCount(q(j) & 0xff))
+    d
+  }
+
+  def cosine(a: Array[Float], q: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, q.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = q(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Top-k records by `metric` against the query, ties on id. */
+  def topK(records: Seq[VSRecord], sp: SearchSpec): Seq[(VSRecord, Double)] =
+    if (sp.metric == "hamming")
+      records.filter(_.binary != null)
+        .map(r => r -> hammingBytes(r.binary, sp.binary).toDouble)
+        .sortBy { case (r, d) => (d, r.id) }.take(sp.k)
+    else
+      records.filter(_.vector != null)
+        .map(r => r -> cosine(r.vector, sp.vector))
+        .sortBy { case (r, s) => (-s, r.id) }.take(sp.k)
+}
+
 /** Page-iterator over either partition shape — the one paging loop both
-  * readers share. */
+  * readers share. `filter` is the dialect-rendered predicate shipped for
+  * SERVER-side evaluation where the transport supports it (readers
+  * re-check client-side regardless). */
 private[vectorstore] object VSPaging {
   def pages(store: VectorStoreTransport, collection: String,
-            part: InputPartition, pageSize: Int): Iterator[Seq[VSRecord]] = part match {
+            part: InputPartition, pageSize: Int,
+            wireFilter: Option[String] = None): Iterator[Seq[VSRecord]] = part match {
+    case VSSearchPartition() => // native-search fallback: full cursor walk
+      pages(store, collection, VSCursorPartition(0, -1), pageSize, wireFilter)
     case VSInputPartition(start, end) =>
       (start until end by pageSize).iterator.map { c =>
-        store.scroll(collection, c, math.min(pageSize, end - c))
+        store.scrollFiltered(collection, c, math.min(pageSize, end - c), wireFilter)
       }
     case VSCursorPartition(skip, takeN) => new Iterator[Seq[VSRecord]] {
       private var cursor: Option[String] = None
@@ -441,7 +496,7 @@ private[vectorstore] object VSPaging {
       private var remaining = takeN
       override def hasNext: Boolean = (first || cursor.isDefined) && remaining != 0
       override def next(): Seq[VSRecord] = {
-        val (recs, nxt) = store.scrollPage(collection, cursor, pageSize)
+        val (recs, nxt) = store.scrollPageFiltered(collection, cursor, pageSize, wireFilter)
         first = false
         // an empty page without a continuation cursor ends the walk
         cursor = if (recs.isEmpty && nxt.isEmpty) None else nxt
@@ -464,6 +519,13 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
 
   private def countMode = countColumns > 0
   private def store: VectorStoreTransport = VectorStore.resolve(spec)
+
+  /** The pushed filters AND-combined in the backend's own syntax — what
+    * travels on the wire for server-side evaluation (scroll filter body /
+    * filtered search). Rendered driver-side; readers only carry the
+    * string. */
+  private val wireFilter: Option[String] =
+    dialect.combine(pushed.flatMap(dialect.render).toSeq)
 
   override def readSchema(): StructType =
     if (countMode)
@@ -504,6 +566,17 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    search match {
+      // native top-k: ONE search call replaces the collection scroll —
+      // only when the backend serves the metric AND any pushed filters
+      // can ride the search (filter-after-top-k would drop rows a
+      // filtered search returns, so it is never attempted)
+      case Some(sp) if store.supportsNativeSearch(sp.metric) &&
+        (pushed.isEmpty || (store.supportsSearchFilter &&
+          pushed.forall(dialect.render(_).isDefined))) =>
+        return Array(VSSearchPartition())
+      case _ => ()
+    }
     if (store.cursorPaged)
       // cursor-paged wire (Qdrant point-id scroll, Pinecone pagination
       // token): offsets are not wire-addressable, so the scan is ONE
@@ -527,18 +600,22 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VSReaderFactory(collection, pushed, required, pageSize, search, countColumns, spec)
+    new VSReaderFactory(collection, pushed, required, pageSize, search, countColumns,
+      spec, wireFilter)
 }
 
 class VSReaderFactory(collection: String, pushed: Array[Filter], required: StructType,
                       pageSize: Int, search: Option[SearchSpec] = None, countColumns: Int = 0,
-                      spec: TransportSpec = TransportSpec.Local)
+                      spec: TransportSpec = TransportSpec.Local,
+                      wireFilter: Option[String] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     if (countColumns > 0)
-      new VSCountReader(collection, partition, pushed, pageSize, countColumns, spec)
+      new VSCountReader(collection, partition, pushed, pageSize, countColumns, spec,
+        wireFilter)
     else
-      new VSPartitionReader(collection, partition, pushed, required, pageSize, search, spec)
+      new VSPartitionReader(collection, partition, pushed, required, pageSize, search,
+        spec, wireFilter)
 }
 
 /** Pushed-COUNT(*) reader: scrolls its assigned range, counts the records
@@ -546,7 +623,8 @@ class VSReaderFactory(collection: String, pushed: Array[Filter], required: Struc
   * partial count Spark's final Aggregate sums. Rows never cross the seam. */
 class VSCountReader(collection: String, part: InputPartition, pushed: Array[Filter],
                     pageSize: Int, countColumns: Int,
-                    spec: TransportSpec = TransportSpec.Local)
+                    spec: TransportSpec = TransportSpec.Local,
+                    wireFilter: Option[String] = None)
   extends PartitionReader[InternalRow] {
 
   // resolved in the executor JVM where this reader was deserialized
@@ -557,7 +635,7 @@ class VSCountReader(collection: String, part: InputPartition, pushed: Array[Filt
 
   override def get(): InternalRow = {
     var n = 0L
-    VSPaging.pages(store, collection, part, pageSize).foreach { page =>
+    VSPaging.pages(store, collection, part, pageSize, wireFilter).foreach { page =>
       n += page.count(r => pushed.forall(FilterEval.eval(_, r)))
     }
     InternalRow.fromSeq(Seq.fill(countColumns)(n))
@@ -572,11 +650,12 @@ class VSCountReader(collection: String, part: InputPartition, pushed: Array[Filt
 class VSPartitionReader(collection: String, part: InputPartition, pushed: Array[Filter],
                         required: StructType, pageSize: Int,
                         search: Option[SearchSpec] = None,
-                        spec: TransportSpec = TransportSpec.Local)
+                        spec: TransportSpec = TransportSpec.Local,
+                        wireFilter: Option[String] = None)
   extends PartitionReader[InternalRow] {
 
   private val store = VectorStore.resolve(spec)
-  private val pages = VSPaging.pages(store, collection, part, pageSize)
+  private lazy val pages = VSPaging.pages(store, collection, part, pageSize, wireFilter)
   private var page: Iterator[VSRecord] = Iterator.empty
   private var current: VSRecord = _
 
@@ -588,37 +667,34 @@ class VSPartitionReader(collection: String, part: InputPartition, pushed: Array[
   // constantly; float cosines can too on planted duplicates).
   private lazy val searched: Iterator[VSRecord] = {
     val sp = search.get
-    val all = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
-    pages.foreach(p => all ++= p.filter(r => pushed.forall(FilterEval.eval(_, r))))
-    if (sp.metric == "hamming")
-      all.filter(_.binary != null)
-        .sortBy(r => (hammingBytes(r.binary, sp.binary), r.id))
-        .take(sp.k).iterator
-    else
-      all.filter(_.vector != null)
-        .sortBy(r => (-cosine(r.vector, sp.vector), r.id))
-        .take(sp.k).iterator
-  }
-
-  private def hammingBytes(a: Array[Byte], q: Array[Byte]): Int = {
-    val n = math.min(a.length, q.length)
-    var d = 0; var i = 0
-    while (i < n) { d += Integer.bitCount((a(i) ^ q(i)) & 0xff); i += 1 }
-    (n until a.length).foreach(j => d += Integer.bitCount(a(j) & 0xff))
-    (n until q.length).foreach(j => d += Integer.bitCount(q(j) & 0xff))
-    d
-  }
-
-  private def cosine(a: Array[Float], q: Array[Float]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, q.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = q(i).toDouble
-      dot += x * y; na += x * x; nb += y * y; i += 1
+    // native path: the backend serves top-k itself (one wire call, the
+    // scored selection the planner asked for); fall through to the
+    // scroll+score emulation when the transport declines at runtime
+    val native = part match {
+      case VSSearchPartition() => store.nativeSearch(collection, sp, wireFilter)
+      case _ => None
     }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
+    native match {
+      case Some(recs) =>
+        recs.filter(r => pushed.forall(FilterEval.eval(_, r))).iterator
+      case None =>
+        val all = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
+        pages.foreach(p => all ++= p.filter(r => pushed.forall(FilterEval.eval(_, r))))
+        if (sp.metric == "hamming")
+          all.filter(_.binary != null)
+            .sortBy(r => (hammingBytes(r.binary, sp.binary), r.id))
+            .take(sp.k).iterator
+        else
+          all.filter(_.vector != null)
+            .sortBy(r => (-cosine(r.vector, sp.vector), r.id))
+            .take(sp.k).iterator
+    }
   }
+
+  private def hammingBytes(a: Array[Byte], q: Array[Byte]): Int =
+    VSScoring.hammingBytes(a, q)
+  private def cosine(a: Array[Float], q: Array[Float]): Double =
+    VSScoring.cosine(a, q)
 
   override def next(): Boolean = {
     if (search.isDefined) {

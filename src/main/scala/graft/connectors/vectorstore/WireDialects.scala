@@ -197,7 +197,16 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
   override def cursorPaged: Boolean = true
 
   override def scrollPage(name: String, cursor: Option[String],
-                          pageSize: Int): (Seq[VSRecord], Option[String]) = {
+                          pageSize: Int): (Seq[VSRecord], Option[String]) =
+    scrollPageFiltered(name, cursor, pageSize, None)
+
+  /** The rendered structured filter rides the scroll body — real Qdrant
+    * evaluates it server-side, so non-matching points never cross the
+    * wire (the engine still re-checks client-side, by contract). */
+  override def serverSideFilters: Boolean = true
+
+  override def scrollPageFiltered(name: String, cursor: Option[String], pageSize: Int,
+                                  filter: Option[String]): (Seq[VSRecord], Option[String]) = {
     val b = obj()
     cursor.foreach { c =>
       if (c.nonEmpty && c.forall(_.isDigit)) b.put("offset", c.toLong)
@@ -206,11 +215,31 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
     b.put("limit", pageSize)
     b.put("with_payload", true)
     b.put("with_vector", true)
+    filter.foreach(f => b.set[ObjectNode]("filter", mapper.readTree(f)))
     val res = call("POST", s"/collections/${enc(name)}/points/scroll", Some(b))
       .get("result")
     val pts = res.get("points").asInstanceOf[ArrayNode]
     val next = Option(res.get("next_page_offset")).filterNot(_.isNull).map(_.asText())
     ((0 until pts.size()).map(i => pointToRecord(pts.get(i))), next)
+  }
+
+  /** Native `POST /points/search`: cosine top-k with ties on id, filter
+    * applied BEFORE selection (filtered search, the real API's contract). */
+  override def supportsNativeSearch(metric: String): Boolean = metric == "cosine"
+  override def supportsSearchFilter: Boolean = true
+
+  override def nativeSearch(name: String, sp: SearchSpec,
+                            filter: Option[String]): Option[Seq[VSRecord]] = {
+    if (sp.metric != "cosine") return None
+    val b = obj()
+    putFloats(b, "vector", sp.vector)
+    b.put("limit", sp.k)
+    b.put("with_payload", true)
+    b.put("with_vector", true)
+    filter.foreach(f => b.set[ObjectNode]("filter", mapper.readTree(f)))
+    val res = call("POST", s"/collections/${enc(name)}/points/search", Some(b))
+      .get("result").asInstanceOf[ArrayNode]
+    Some((0 until res.size()).map(i => pointToRecord(res.get(i))))
   }
 
   /** Integer-offset compat shim over the cursor walk: O(fromIdx) wire
@@ -375,27 +404,62 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     * deployment pages the pk-sorted QueryIterator pattern (filter
     * `id > last`, pymilvus' iterator) instead of offsets. The emulated
     * store accepts any offset, so the bound is noted, not enforced. */
-  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
+  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] =
+    scrollFiltered(name, fromIdx, pageSize, None)
+
+  /** The rendered boolean expression rides `entities/query`'s `filter`
+    * param — real Milvus evaluates it server-side. NOTE: offsets then
+    * index the FILTERED row sequence, which is exactly how the engine's
+    * offset partitions consume them. */
+  override def serverSideFilters: Boolean = true
+
+  override def scrollFiltered(name: String, fromIdx: Int, pageSize: Int,
+                              filter: Option[String]): Seq[VSRecord] = {
     val b = named(name)
-    b.put("filter", "")
+    b.put("filter", filter.getOrElse(""))
     b.put("offset", fromIdx)
     b.put("limit", pageSize)
     val of = b.putArray("outputFields"); of.add("*")
     val rows = post("entities/query", b).get("data").asInstanceOf[ArrayNode]
-    (0 until rows.size()).map { i =>
-      val row = rows.get(i)
-      val meta = row.properties().asScala
-        .filterNot(e => e.getKey == "id" || e.getKey == "vector")
-        .map(e => e.getKey -> (if (e.getValue.isNull) null
-        else if (e.getValue.isTextual) e.getValue.asText()
-        else e.getValue.toString)).toMap
-      val vecNode = row.get("vector")
-      val (vec, bin) =
-        if (vecNode == null || vecNode.isNull) (null, null)
-        else if (vecNode.isTextual) (null, unb64(vecNode.asText())) // binary face
-        else (floats(vecNode), null)
-      VSRecord(row.get("id").asText(), vec, meta, bin)
-    }
+    (0 until rows.size()).map(i => rowToRecord(rows.get(i)))
+  }
+
+  private def rowToRecord(row: JsonNode): VSRecord = {
+    val meta = row.properties().asScala
+      .filterNot(e => e.getKey == "id" || e.getKey == "vector" ||
+        e.getKey == "distance")
+      .map(e => e.getKey -> (if (e.getValue.isNull) null
+      else if (e.getValue.isTextual) e.getValue.asText()
+      else e.getValue.toString)).toMap
+    val vecNode = row.get("vector")
+    val (vec, bin) =
+      if (vecNode == null || vecNode.isNull) (null, null)
+      else if (vecNode.isTextual) (null, unb64(vecNode.asText())) // binary face
+      else (floats(vecNode), null)
+    VSRecord(row.get("id").asText(), vec, meta, bin)
+  }
+
+  /** Native `POST /v2/vectordb/entities/search`: COSINE over float
+    * collections, HAMMING over BINARY_VECTOR (Milvus's native binary
+    * metric) — filtered search via the `filter` expr, ties on id. The
+    * binary query vector rides base64 in `data`, the same reserved-slot
+    * divergence as the binary upsert face. */
+  override def supportsNativeSearch(metric: String): Boolean =
+    metric == "cosine" || metric == "hamming"
+  override def supportsSearchFilter: Boolean = true
+
+  override def nativeSearch(name: String, sp: SearchSpec,
+                            filter: Option[String]): Option[Seq[VSRecord]] = {
+    val b = named(name)
+    val data = b.putArray("data")
+    if (sp.metric == "hamming") data.add(b64(sp.binary))
+    else { val v = data.addArray(); sp.vector.foreach(v.add) }
+    b.put("limit", sp.k)
+    b.put("annsField", "vector")
+    filter.foreach(f => b.put("filter", f))
+    val of = b.putArray("outputFields"); of.add("*")
+    val rows = post("entities/search", b).get("data").asInstanceOf[ArrayNode]
+    Some((0 until rows.size()).map(i => rowToRecord(rows.get(i))))
   }
 
   override def count(name: String): Int = {
@@ -549,6 +613,33 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None)
       }
     }
     (recs, next)
+  }
+
+  /** Native `POST /query`: cosine top-k with `includeValues`/
+    * `includeMetadata`. Pinecone's query filter is Mongo-style JSON the
+    * engine's dialect does not render, so filtered search stays OFF
+    * (`supportsSearchFilter = false`) — with pushed filters present the
+    * engine scans + scores instead of risking filter-after-top-k. */
+  override def supportsNativeSearch(metric: String): Boolean = metric == "cosine"
+
+  override def nativeSearch(name: String, sp: SearchSpec,
+                            filter: Option[String]): Option[Seq[VSRecord]] = {
+    if (sp.metric != "cosine" || filter.isDefined) return None
+    val (ix, ns) = split(name)
+    val b = obj()
+    if (ns.nonEmpty) b.put("namespace", ns)
+    putFloats(b, "vector", sp.vector)
+    b.put("topK", sp.k)
+    b.put("includeValues", true)
+    b.put("includeMetadata", true)
+    val ms = call("POST", s"/query?index=${enc(ix)}", Some(b))
+      .get("matches").asInstanceOf[ArrayNode]
+    Some((0 until ms.size()).map { i =>
+      val m = ms.get(i)
+      VSRecord(m.get("id").asText(),
+        if (m.hasNonNull("values")) floats(m.get("values")) else null,
+        metadataFrom(m.get("metadata")))
+    })
   }
 
   /** Integer-offset compat shim over the token walk — primary read paths

@@ -1,0 +1,199 @@
+package graft.connectors.vectorstore
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.sources._
+import scala.jdk.CollectionConverters._
+
+/** Server-side decoding of wire filter payloads back into DSv2 [[Filter]]
+  * trees, so the loopback servers evaluate EXACTLY the engine's
+  * [[FilterEval]] semantics — the emulated backend and the engine can
+  * never disagree about what a filter matches.
+  *
+  * Scope: the syntax the engine's dialects RENDER (plus the documented
+  * conjunction/disjunction forms). Anything else raises — a server that
+  * silently ignored an unparseable filter would return unfiltered rows
+  * and quietly break filtered-search semantics. */
+object WireFilters {
+
+  // ----------------------------------------------------------- Qdrant
+
+  /** Qdrant structured-filter JSON → Filter. Accepts clause objects
+    * (`must`/`should`/`must_not`) over `match` (value/text/any), `range`
+    * (gt/gte/lt/lte), and `is_null`/`is_empty` conditions — the shapes
+    * [[QdrantFilterDialect]] renders and parses. */
+  def fromQdrantJson(node: JsonNode): Filter = clauseList(node)
+
+  private def clauseList(n: JsonNode): Filter = {
+    def conds(key: String): Seq[Filter] =
+      Option(n.get(key)).map(_.elements().asScala.map(cond).toSeq).getOrElse(Nil)
+    val must = conds("must")
+    val should = conds("should")
+    val mustNot = conds("must_not")
+    val parts =
+      (if (must.nonEmpty) Seq(must.reduce(And(_, _))) else Nil) ++
+        (if (should.nonEmpty) Seq(should.reduce(Or(_, _))) else Nil) ++
+        (if (mustNot.nonEmpty) Seq(Not(mustNot.reduce(Or(_, _)))) else Nil)
+    parts.reduceOption(And(_, _)).getOrElse(AlwaysTrue)
+  }
+
+  private def cond(c: JsonNode): Filter = {
+    if (c.has("must") || c.has("should") || c.has("must_not")) return clauseList(c)
+    if (c.has("is_null")) return IsNull(c.get("is_null").get("key").asText())
+    if (c.has("is_empty")) return IsNull(c.get("is_empty").get("key").asText())
+    val key = Option(c.get("key")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(s"qdrant condition missing key: $c"))
+    if (c.has("match")) {
+      val m = c.get("match")
+      if (m.has("any")) {
+        val vals = m.get("any").elements().asScala.toSeq.map(v =>
+          if (v.isNumber) (v.asDouble(): Any) else (v.asText(): Any))
+        In(key, vals.toArray)
+      } else {
+        val v = Option(m.get("value")).getOrElse(m.get("text"))
+        if (v.isNumber) EqualTo(key, v.asDouble()) else EqualTo(key, v.asText())
+      }
+    } else if (c.has("range")) {
+      val r = c.get("range")
+      val ops = Seq[(String, Double => Filter)](
+        "gt" -> (GreaterThan(key, _)), "gte" -> (GreaterThanOrEqual(key, _)),
+        "lt" -> (LessThan(key, _)), "lte" -> (LessThanOrEqual(key, _)))
+        .flatMap { case (k, f) => Option(r.get(k)).map(v => f(v.asDouble())) }
+      ops.reduceOption(And(_, _)).getOrElse(AlwaysTrue)
+    } else throw new IllegalArgumentException(s"unsupported qdrant condition: $c")
+  }
+
+  // ----------------------------------------------------------- Milvus
+
+  /** Milvus boolean expression → Filter: comparisons, `in [..]`,
+    * `&&`/`and`, `||`/`or`, `!`/`not`, parens — the
+    * [[MilvusExprDialect]] surface. */
+  def fromMilvusExpr(expr: String): Filter = new MilvusFilterParser(expr).parse()
+}
+
+/** Recursive-descent parser over the Milvus expression grammar, producing
+  * DSv2 [[Filter]]s (the Column-producing twin lives in
+  * [[MilvusExprDialect]]; this one runs server-side where no SparkSession
+  * exists). */
+private class MilvusFilterParser(input: String) {
+  private var pos = 0
+
+  def parse(): Filter = {
+    val f = parseOr()
+    skipWs()
+    if (pos < input.length)
+      throw new IllegalArgumentException(s"trailing input at $pos in: $input")
+    f
+  }
+
+  private def skipWs(): Unit = while (pos < input.length && input(pos).isWhitespace) pos += 1
+
+  private def peekWord(w: String): Boolean = {
+    skipWs()
+    input.regionMatches(true, pos, w, 0, w.length) &&
+      (pos + w.length >= input.length || !input(pos + w.length).isLetterOrDigit)
+  }
+
+  private def eat(s: String): Boolean = {
+    skipWs()
+    if (input.regionMatches(true, pos, s, 0, s.length)) { pos += s.length; true } else false
+  }
+
+  private def parseOr(): Filter = {
+    var l = parseAnd()
+    while ({ skipWs(); eat("||") || (peekWord("or") && eat("or")) })
+      l = Or(l, parseAnd())
+    l
+  }
+
+  private def parseAnd(): Filter = {
+    var l = parseNot()
+    while ({ skipWs(); eat("&&") || (peekWord("and") && eat("and")) })
+      l = And(l, parseNot())
+    l
+  }
+
+  private def parseNot(): Filter = {
+    skipWs()
+    if (peekWord("not") && eat("not")) Not(parseNot())
+    else if (pos < input.length && input(pos) == '!' &&
+      (pos + 1 >= input.length || input(pos + 1) != '=')) { pos += 1; Not(parseNot()) }
+    else parsePrimary()
+  }
+
+  private def parsePrimary(): Filter = {
+    skipWs()
+    if (eat("(")) {
+      val f = parseOr()
+      if (!eat(")")) throw new IllegalArgumentException(s"expected ) at $pos: $input")
+      return f
+    }
+    val field = parseIdent()
+    skipWs()
+    if (peekWord("in") && eat("in")) {
+      skipWs()
+      if (!eat("[")) throw new IllegalArgumentException(s"expected [ at $pos: $input")
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var first = true
+      while ({ skipWs(); !eat("]") }) {
+        if (!first && !eat(","))
+          throw new IllegalArgumentException(s"expected , at $pos: $input")
+        first = false
+        vals += parseLiteral()
+      }
+      In(field, vals.toArray)
+    } else {
+      val op =
+        if (eat("==")) "=="
+        else if (eat("!=")) "!="
+        else if (eat(">=")) ">="
+        else if (eat("<=")) "<="
+        else if (eat(">")) ">"
+        else if (eat("<")) "<"
+        else throw new IllegalArgumentException(s"expected operator at $pos: $input")
+      val v = parseLiteral()
+      op match {
+        case "==" => EqualTo(field, v)
+        case "!=" => Not(EqualTo(field, v))
+        case ">" => GreaterThan(field, v)
+        case ">=" => GreaterThanOrEqual(field, v)
+        case "<" => LessThan(field, v)
+        case "<=" => LessThanOrEqual(field, v)
+      }
+    }
+  }
+
+  private def parseIdent(): String = {
+    skipWs()
+    val start = pos
+    while (pos < input.length &&
+      (input(pos).isLetterOrDigit || input(pos) == '_' || input(pos) == '.')) pos += 1
+    if (pos == start) throw new IllegalArgumentException(s"expected identifier at $start: $input")
+    input.substring(start, pos)
+  }
+
+  private def parseLiteral(): Any = {
+    skipWs()
+    if (pos < input.length && (input(pos) == '\'' || input(pos) == '"')) {
+      val quote = input(pos); pos += 1
+      val sb = new StringBuilder
+      var closed = false
+      while (!closed && pos < input.length) {
+        if (input(pos) == quote) {
+          // '' escapes a quote inside single-quoted strings (litStr's form)
+          if (quote == '\'' && pos + 1 < input.length && input(pos + 1) == '\'') {
+            sb.append('\''); pos += 2
+          } else { pos += 1; closed = true }
+        } else { sb.append(input(pos)); pos += 1 }
+      }
+      if (!closed) throw new IllegalArgumentException(s"unterminated string: $input")
+      sb.toString
+    } else {
+      val start = pos
+      while (pos < input.length && (input(pos).isDigit || "+-.eE".contains(input(pos)))) pos += 1
+      if (pos == start) throw new IllegalArgumentException(s"expected literal at $start: $input")
+      val s = input.substring(start, pos)
+      s.toDoubleOption.getOrElse(
+        throw new IllegalArgumentException(s"bad number '$s' in: $input"))
+    }
+  }
+}

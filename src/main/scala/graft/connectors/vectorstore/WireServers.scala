@@ -128,6 +128,17 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
     o.put("status", "ok")
     o
   }
+
+  /** Evaluate the request's structured `filter` (if any) through the
+    * engine's own [[FilterEval]] — decoded via [[WireFilters]], so server
+    * and engine can never disagree about a match. */
+  private def applyFilter(recs: Seq[VSRecord], body: JsonNode): Seq[VSRecord] =
+    Option(body.get("filter")).filterNot(_.isNull) match {
+      case None => recs
+      case Some(f) =>
+        val filter = WireFilters.fromQdrantJson(f)
+        recs.filter(r => FilterEval.eval(filter, r))
+    }
   private def okTrue(): ObjectNode = {
     val o = obj()
     o.put("result", true)
@@ -215,7 +226,10 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
         // string), the page starts AT that point, and `next_page_offset`
         // is the first id of the following page (null when exhausted)
         val limit = Option(body.get("limit")).map(_.asInt()).getOrElse(10)
-        val all = inner.scroll(name, 0, Int.MaxValue)
+        // server-side structured filter: evaluated through the SAME
+        // FilterEval the engine uses, so non-matching points never leave
+        // the server — cursor ids then address the FILTERED sequence
+        val all = applyFilter(inner.scroll(name, 0, Int.MaxValue), body)
         val from = Option(body.get("offset")).filterNot(_.isNull).map(_.asText()) match {
           case None => 0
           case Some(id) =>
@@ -234,6 +248,21 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
           case None => r.putNull("next_page_offset")
         }
         respond(ex, 200, ok(r))
+      case ("POST", "points/search") =>
+        // native filtered cosine search: filter BEFORE top-k (the real
+        // API's contract), scored + tie-broken by the engine's canonical
+        // VSScoring so native and scroll+score paths agree exactly
+        val limit = Option(body.get("limit")).map(_.asInt()).getOrElse(10)
+        val qv = WireJson.floats(body.get("vector"))
+        val cands = applyFilter(inner.scroll(name, 0, Int.MaxValue), body)
+        val top = VSScoring.topK(cands, SearchSpec(qv, limit))
+        val arr = WireJson.mapper.createArrayNode()
+        top.foreach { case (rec, score) =>
+          val p = recordToPoint(rec)
+          p.put("score", score)
+          arr.add(p)
+        }
+        respond(ex, 200, ok(arr))
       case ("POST", "points/count") =>
         val r = obj()
         r.put("count", inner.count(name))
@@ -279,6 +308,27 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
     o.put("message", msg)
     respond(ex, 200, o) // Milvus REST reports errors with HTTP 200
   }
+
+  private def rowNode(r: VSRecord): ObjectNode = {
+    val row = obj()
+    row.put("id", r.id)
+    if (r.vector != null) putFloats(row, "vector", r.vector)
+    if (r.binary != null) row.put("vector", b64(r.binary))
+    r.metadata.foreach { case (k, v) =>
+      if (v == null) row.putNull(k) else row.put(k, v)
+    }
+    row
+  }
+
+  /** Evaluate the request's boolean-expression `filter` (if non-empty)
+    * through the engine's FilterEval, decoded via [[WireFilters]]. */
+  private def applyExprFilter(recs: Seq[VSRecord], body: JsonNode): Seq[VSRecord] =
+    Option(body.get("filter")).map(_.asText()).filter(_.nonEmpty) match {
+      case None => recs
+      case Some(expr) =>
+        val f = WireFilters.fromMilvusExpr(expr)
+        recs.filter(r => FilterEval.eval(f, r))
+    }
 
   override protected def route(method: String, parts: Array[String],
                                query: Map[String, String], body: JsonNode,
@@ -381,22 +431,36 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
             val o = obj(); o.put("code", 0); o.set[ObjectNode]("data", a)
             respond(ex, 200, o)
           } else {
-            val recs = inner.scroll(name,
-              Option(body.get("offset")).map(_.asInt()).getOrElse(0),
-              Option(body.get("limit")).map(_.asInt()).getOrElse(100))
+            // server-side boolean-expression filter: parsed via
+            // WireFilters into the engine's own Filter/FilterEval, then
+            // offset/limit index the FILTERED sequence — the real
+            // entities/query contract
+            val filtered = applyExprFilter(inner.scroll(name, 0, Int.MaxValue), body)
+            val off = Option(body.get("offset")).map(_.asInt()).getOrElse(0)
+            val lim = Option(body.get("limit")).map(_.asInt()).getOrElse(100)
+            val recs = filtered.slice(off, off + lim)
             val a = mapper.createArrayNode()
-            recs.foreach { r =>
-              val row = a.addObject()
-              row.put("id", r.id)
-              if (r.vector != null) putFloats(row, "vector", r.vector)
-              if (r.binary != null) row.put("vector", b64(r.binary))
-              r.metadata.foreach { case (k, v) =>
-                if (v == null) row.putNull(k) else row.put(k, v)
-              }
-            }
+            recs.foreach(r => a.add(rowNode(r)))
             val o = obj(); o.put("code", 0); o.set[ObjectNode]("data", a)
             respond(ex, 200, o)
           }
+        case "entities/search" =>
+          if (!inner.exists(name))
+            return milvusErr(ex, 100, s"collection not found[collection=$name]")
+          val lim = Option(body.get("limit")).map(_.asInt()).getOrElse(10)
+          val q = body.get("data").get(0)
+          val sp =
+            if (q.isTextual) SearchSpec(null, lim, unb64(q.asText()), "hamming")
+            else SearchSpec(floats(q), lim)
+          val cands = applyExprFilter(inner.scroll(name, 0, Int.MaxValue), body)
+          val a = mapper.createArrayNode()
+          VSScoring.topK(cands, sp).foreach { case (rec, score) =>
+            val row = rowNode(rec)
+            row.put("distance", score)
+            a.add(row)
+          }
+          val o = obj(); o.put("code", 0); o.set[ObjectNode]("data", a)
+          respond(ex, 200, o)
         case "entities/delete" =>
           if (!inner.exists(name))
             return milvusErr(ex, 100, s"collection not found[collection=$name]")
@@ -556,6 +620,30 @@ class PineconeWireServer(inner: VectorStoreTransport, port: Int = 0,
           v.put("id", r.id)
           if (r.vector != null) putFloats(v, "values", r.vector)
           if (r.metadata.nonEmpty) metadataToNode(v, "metadata", r.metadata)
+        }
+        o.put("namespace", ns)
+        respond(ex, 200, o)
+      case ("POST", Seq("query")) =>
+        // native top-k: {namespace, vector, topK, includeValues,
+        // includeMetadata} -> {matches: [{id, score, values, metadata}]},
+        // scored by the engine's canonical VSScoring
+        val ix = query.getOrElse("index", "")
+        val ns = Option(body.get("namespace")).map(_.asText()).getOrElse("")
+        val target = coll(ix, ns)
+        val topK = Option(body.get("topK")).map(_.asInt()).getOrElse(10)
+        val qv = floats(body.get("vector"))
+        val cands = if (inner.exists(target))
+          inner.scroll(target, 0, Int.MaxValue) else Seq.empty
+        val includeValues = Option(body.get("includeValues")).exists(_.asBoolean())
+        val includeMeta = Option(body.get("includeMetadata")).exists(_.asBoolean())
+        val o = obj()
+        val ms = o.putArray("matches")
+        VSScoring.topK(cands, SearchSpec(qv, topK)).foreach { case (rec, score) =>
+          val m = ms.addObject()
+          m.put("id", rec.id)
+          m.put("score", score)
+          if (includeValues && rec.vector != null) putFloats(m, "values", rec.vector)
+          if (includeMeta && rec.metadata.nonEmpty) metadataToNode(m, "metadata", rec.metadata)
         }
         o.put("namespace", ns)
         respond(ex, 200, o)

@@ -185,6 +185,108 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Real audio codec over the JDK's `javax.sound.sampled` (WAV/PCM —
+    * headless-safe file I/O, no audio device touched). Features are
+    * integer-exact over the decoded 16-bit samples: `absSum` = Σ|s|,
+    * `sqSum` = Σs² (energy; RMS = √(sqSum/n) for library callers),
+    * `zeroCrossings` = #{k>0 : s[k-1]·s[k] < 0} (strict sign product —
+    * zeros never count). A SQL oracle recomputes all of them from the
+    * closed-form fixture samples; the WAV container is lossless PCM, so a
+    * correct decode must match exactly. */
+  object AudioCodec {
+    case class AudioFeatures(sampleRate: Int, channels: Int, nSamples: Int,
+                             absSum: Long, sqSum: Long, zeroCrossings: Int)
+
+    def decode(bytes: Array[Byte]): Option[AudioFeatures] = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (in == null) return None
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None // PCM16 only
+        val data = in.readAllBytes()
+        val frameCh = fmt.getChannels
+        val n = data.length / 2
+        var absSum = 0L
+        var sqSum = 0L
+        var crossings = 0
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val lo = data(2 * i) & 0xff
+          val hi = data(2 * i + 1).toInt // WAV PCM16 is little-endian
+          val s = (hi << 8) | lo
+          absSum += math.abs(s)
+          sqSum += s.toLong * s
+          if (i > 0 && prev.toLong * s < 0) crossings += 1
+          prev = s
+          i += 1
+        }
+        Some(AudioFeatures(fmt.getSampleRate.toInt, frameCh, n / frameCh,
+          absSum, sqSum, crossings))
+      } catch { case _: Exception => None } finally in.close()
+    }
+  }
+
+  /** Deterministic WAV fixture for id `d`: 16-bit PCM mono at 8 kHz with
+    * `64 + d % 64` samples of closed-form value
+    * `s[k] = ((d*131 + k*17) % 65536) - 32768` — the audio twin of
+    * [[syntheticPng]], so a SQL oracle derives the expected decoded
+    * features from `d` alone. */
+  def syntheticWav(d: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = (64 + d % 64).toInt
+    val pcm = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = (((d * 131 + k * 17) % 65536) - 32768).toInt
+      pcm(2 * k) = (s & 0xff).toByte
+      pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed PCM16 LE mono
+    val stream = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  case class MediaAudioFeatures(media_id: Long, sample_rate: Option[Int],
+                                channels: Option[Int], n_samples: Option[Int],
+                                abs_sum: Option[Long], sq_sum: Option[Long],
+                                zero_crossings: Option[Int])
+
+  /** Media table of [[syntheticWav]] payloads — one real WAV per row. */
+  def audioTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      ids.map { id =>
+        val bytes = syntheticWav(id)
+        val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+        MediaRow(id, bytes, MediaMeta("audio/wav", bytes.length.toLong, sha))
+      }
+    }.toDF()
+  }
+
+  /** Partition-wise REAL audio decode — same batch shape and null-safety
+    * contract as [[extractImageFeatures]]. */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val f = Option(r.content).flatMap(AudioCodec.decode)
+        MediaAudioFeatures(r.media_id, f.map(_.sampleRate), f.map(_.channels),
+          f.map(_.nSamples), f.map(_.absSum), f.map(_.sqSum),
+          f.map(_.zeroCrossings))
+      }
+    }.toDF()
+  }
+
   /** Deterministic frame sampling plan for video-like payloads: every
     * `stride`-th frame index up to `nFrames` — pure column math over the
     * container-metadata frame count, so the frame list is computed without

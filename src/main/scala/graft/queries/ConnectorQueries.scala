@@ -133,6 +133,25 @@ object ConnectorQueries {
 
     "q_connector_search_hamming" -> ((s, dir) => hammingSearchQuery(s, dir)),
 
+    // The same pushed top-k, but the collection lives behind a REAL
+    // socket: the optimizer's native-search scan issues ONE
+    // POST /points/search (require()-pinned on the wire log) instead of
+    // scrolling the collection — the backend selects the top-k, the plan's
+    // Sort recomputes scores on the returned rows, and the oracle
+    // adjudicates the result equals exact brute-force cosine.
+    "q_connector_search_wire" -> ((s, dir) => {
+      import graft.connectors.vectorstore._
+      val server = new QdrantWireServer(new InMemoryStore)
+      try {
+        val out = searchQuery(s, dir, Map("url" -> server.url), "gate_srchw")
+          .localCheckpoint(true)
+        require(server.requestLines.exists(
+          _.startsWith("POST /collections/gate_srchw/points/search")),
+          "native search verb never hit the wire")
+        out
+      } finally server.stop()
+    }),
+
     // Pushed COUNT(*): counting a collection ships ONE long per scan
     // partition across the seam, never the rows — the plan shows
     // `agg=count(*)` inside the scan (PlanSpec asserts it; the
@@ -380,13 +399,14 @@ object ConnectorQueries {
   /** Native-search pushdown: ORDER BY cosine DESC LIMIT k over the DSv2
     * relation — [[graft.plans.PushVectorSearch]] rewrites it so each scan
     * partition emits only its local top-k. */
-  def searchQuery(s: SparkSession, dir: String): DataFrame = {
-    loadFixture(s, dir, "graft-qdrant", "gate_srch")
+  def searchQuery(s: SparkSession, dir: String, conn: Map[String, String] = Map.empty,
+                  coll: String = "gate_srch"): DataFrame = {
+    loadFixture(s, dir, "graft-qdrant", coll, options = conn)
     val qv = Canonical.from(Tables(s, dir, "embeddings"),
       idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Nil)
       .filter(col(Canonical.ID) === "0").select(col(Canonical.VECTOR))
       .head().getSeq[Float](0).toSeq
-    val df = s.read.format("graft-qdrant").option("collection", "gate_srch").load()
+    val df = s.read.format("graft-qdrant").options(conn).option("collection", coll).load()
     df.withColumn("score",
         graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
       .orderBy(col("score").desc, col(Canonical.ID).asc)
@@ -427,6 +447,12 @@ object ConnectorQueries {
         "FROM b, q) " +
         "SELECT id, hamming FROM s ORDER BY hamming, id LIMIT 10"),
     "q_connector_search" ->
+      ("WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0), " +
+        "c AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "s AS (SELECT id, list_dot_product(e, v)/(sqrt(list_dot_product(e, e))*sqrt(list_dot_product(v, v))) AS sc " +
+        "FROM c, qv) " +
+        "SELECT id, round(sc, 6) + 0.0 AS score FROM s ORDER BY sc DESC, id ASC LIMIT 10"),
+    "q_connector_search_wire" ->
       ("WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0), " +
         "c AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
         "s AS (SELECT id, list_dot_product(e, v)/(sqrt(list_dot_product(e, e))*sqrt(list_dot_product(v, v))) AS sc " +

@@ -394,14 +394,26 @@ object PipelineQueries {
     // oracle recomputes every collision from the closed form — hash
     // blocking over decoded features, the image face of the dedup family.
     "q_mm_ahash_dedup" -> ((s, dir) => {
-      val f = Multimodal.extractImageFeatures(
+      // materialized so the self-join's two branches share ONE decode pass
+      // (at scale the feature table is persisted; fingerprints are 3
+      // narrow columns, the payloads never reach the join)
+      val f = graft.ops.Materialize(Multimodal.extractImageFeatures(
         Multimodal.imageTable(Tables(s, dir, "documents")))
-        .select(col("media_id"), col("ahash_bits"))
+        .select(col("media_id"), col("ahash_bits")))
       f.as("a").join(f.as("b"), Seq("ahash_bits"))
         .filter(col("a.media_id") < col("b.media_id"))
         .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
           col("ahash_bits"))
     }),
+    // REAL audio decode: one synthetic 16-bit PCM WAV per document
+    // (closed-form samples), decoded by javax.sound.sampled in
+    // mapPartitions; integer-exact |s|/s² sums and strict zero-crossing
+    // count — the audio twin of q_mm_features, PCM is lossless.
+    "q_mm_audio" -> ((s, dir) =>
+      Multimodal.extractAudioFeatures(
+        Multimodal.audioTable(Tables(s, dir, "documents")))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("abs_sum"), col("sq_sum"), col("zero_crossings"))),
     // Frame-sampling plumbing: container-metadata frame count (byte-length
     // math stand-in) -> strided frame plan, all pure column math.
     "q_mm_frames" -> ((s, dir) =>
@@ -1182,6 +1194,24 @@ object PipelineQueries {
           " SELECT a.media_id AS media_a, b.media_id AS media_b, a.ahash_bits " +
           "FROM hsh a JOIN hsh b ON a.ahash_bits = b.ahash_bits " +
           "AND a.media_id < b.media_id"),
+      // replays Multimodal.syntheticWav's closed-form sample math:
+      // s[k] = ((id*131 + k*17) % 65536) - 32768 over n = 64 + id%64
+      // samples; zero crossings via lag (null first-row product never
+      // counts, matching the codec's strict s[k-1]*s[k] < 0)
+      "q_mm_audio" ->
+        ("WITH d AS (SELECT doc_id AS media_id, 64 + doc_id % 64 AS n FROM documents), " +
+          "sm AS (SELECT media_id, n, k, ((media_id * 131 + k * 17) % 65536) - 32768 AS s " +
+          "FROM d CROSS JOIN range(0, 128) rk(k) WHERE k < n), " +
+          "agg AS (SELECT media_id, min(n) AS n, sum(abs(s)) AS abs_sum, " +
+          "sum(s * s) AS sq_sum FROM sm GROUP BY media_id), " +
+          "zc AS (SELECT media_id, count(*) FILTER (WHERE prev * s < 0) AS zero_crossings " +
+          "FROM (SELECT media_id, s, lag(s) OVER (PARTITION BY media_id ORDER BY k) AS prev " +
+          "FROM sm) GROUP BY media_id) " +
+          "SELECT a.media_id, 8000 AS sample_rate, 1 AS channels, " +
+          "CAST(a.n AS INT) AS n_samples, CAST(abs_sum AS BIGINT) AS abs_sum, " +
+          "CAST(sq_sum AS BIGINT) AS sq_sum, " +
+          "CAST(coalesce(zero_crossings, 0) AS INT) AS zero_crossings " +
+          "FROM agg a LEFT JOIN zc USING (media_id)"),
       // sequence(0, n_frames-1, 4) — DuckDB range() is stop-exclusive, so
       // range(0, n_frames, 4) enumerates the same indices
       "q_mm_frames" ->

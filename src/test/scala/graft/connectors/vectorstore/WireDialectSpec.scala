@@ -94,6 +94,30 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("qdrant wire: scroll filter evaluated SERVER-side; search verb native") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    val t = new QdrantWireTransport(server.url)
+    try {
+      t.createCollection("qf", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("qf", canon(9)) // lbl cycles l0/l1/l2
+      // filtered scroll: only matching points cross the wire
+      val (recs, _) = t.scrollPageFiltered("qf", None, 100,
+        Some("""{"must":[{"key":"lbl","match":{"value":"l1"}}]}"""))
+      assert(recs.map(_.id) == Seq("1", "4", "7"), recs.map(_.id).toString)
+      assert(server.bodiesOf("POST /collections/qf/points/scroll")
+        .exists(_.contains(""""match":{"value":"l1"}""")))
+      // native filtered search: filter BEFORE top-k, ties on id
+      val hits = t.nativeSearch("qf", SearchSpec(Array(1f, 0f), 2),
+        Some("""{"must":[{"key":"lbl","match":{"value":"l2"}}]}""")).get
+      assert(hits.length == 2 && hits.forall(_.metadata("lbl") == "l2"),
+        hits.map(_.id).toString)
+      assert(server.requestLines.exists(
+        _.startsWith("POST /collections/qf/points/search")))
+      // the search returns full records: payload + vector round trip
+      assert(hits.head.vector != null)
+    } finally server.stop()
+  }
+
   // ------------------------------------------------------------- Milvus
 
   test("milvus wire: v2 vectordb verbs, code-0 envelopes, bearer auth") {
@@ -153,6 +177,46 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("milvus wire: expr filter evaluated server-side; entities/search native") {
+    val server = new MilvusWireServer(new InMemoryStore)
+    val t = new MilvusWireTransport(server.url)
+    try {
+      t.createCollection("mf", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("mf", canon(9))
+      // server-side expr filter: offsets index the FILTERED sequence
+      val recs = t.scrollFiltered("mf", 1, 2, Some("lbl == 'l0'"))
+      assert(recs.map(_.id) == Seq("3", "6"), recs.map(_.id).toString)
+      assert(server.bodyOf("POST /v2/vectordb/entities/query")
+        .exists(_.contains("lbl == 'l0'")) ||
+        server.bodiesOf("POST /v2/vectordb/entities/query")
+          .exists(_.contains("lbl == 'l0'")))
+      // native cosine search with a filter
+      val hits = t.nativeSearch("mf", SearchSpec(Array(1f, 0f), 2),
+        Some("lbl == 'l1'")).get
+      assert(hits.length == 2 && hits.forall(_.metadata("lbl") == "l1"))
+      assert(server.requestLines.contains("POST /v2/vectordb/entities/search"))
+    } finally server.stop()
+  }
+
+  test("milvus wire: native HAMMING search over a binary collection") {
+    val server = new MilvusWireServer(new InMemoryStore)
+    val t = new MilvusWireTransport(server.url)
+    try {
+      t.createCollection("mh", CollectionConfig(dim = 16, distance = "Hamming",
+        vectorType = VectorTypes.Binary), recreate = true)
+      t.upsert("mh", (0 until 6).map(i =>
+        VSRecord(s"$i", null, Map.empty, Array((i * 3).toByte, (255 - i).toByte))))
+      val q = Array(0.toByte, 255.toByte)
+      val hits = t.nativeSearch("mh", SearchSpec(null, 3, q, "hamming"), None).get
+      // exact-hamming order, ties on id — same selection as VSScoring
+      val expected = (0 until 6).map(i => i.toString -> VSScoring.hammingBytes(
+        Array((i * 3).toByte, (255 - i).toByte), q))
+        .sortBy { case (id, d) => (d, id) }.take(3).map(_._1)
+      assert(hits.map(_.id) == expected, s"${hits.map(_.id)} vs $expected")
+      assert(hits.head.binary != null) // binary payload round-trips
+    } finally server.stop()
+  }
+
   // ----------------------------------------------------------- Pinecone
 
   test("pinecone wire: control+data planes, namespaces, Api-Key auth") {
@@ -205,6 +269,25 @@ class WireDialectSpec extends SparkSpec {
       assert(!lists(0).contains("paginationToken"), lists(0))
       assert(lists(1).contains(s"paginationToken=${c1.get}"), lists(1))
       assert(lists(2).contains(s"paginationToken=${c2.get}"), lists(2))
+    } finally server.stop()
+  }
+
+  test("pinecone wire: native /query top-k with values + metadata") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("pq::n", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("pq::n", canon(6))
+      val hits = t.nativeSearch("pq::n", SearchSpec(Array(1f, -0.5f), 3), None).get
+      assert(hits.length == 3 && hits.head.vector != null)
+      // engine-canonical selection: cosine desc, ties on id
+      val exp = VSScoring.topK(canon(6), SearchSpec(Array(1f, -0.5f), 3)).map(_._1.id)
+      assert(hits.map(_.id) == exp, s"${hits.map(_.id)} vs $exp")
+      assert(server.requestLines.exists(_.startsWith("POST /query?index=pq")))
+      // a filter makes the client DECLINE native search (no Mongo-style
+      // filter rendering) — never filter-after-top-k
+      assert(t.nativeSearch("pq::n", SearchSpec(Array(1f, 0f), 3),
+        Some("""{"must":[]}""")).isEmpty)
     } finally server.stop()
   }
 

@@ -62,6 +62,29 @@ class MultimodalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("ahash_bits")))
   }
 
+  test("AudioCodec decodes a real WAV to the closed-form sample features") {
+    val d = 5L
+    val f = Multimodal.AudioCodec.decode(Multimodal.syntheticWav(d)).get
+    val n = (64 + d % 64).toInt
+    val s = (0 until n).map(k => ((d * 131 + k * 17) % 65536 - 32768).toInt)
+    assert(f.sampleRate == 8000 && f.channels == 1 && f.nSamples == n)
+    assert(f.absSum == s.map(x => math.abs(x).toLong).sum)
+    assert(f.sqSum == s.map(x => x.toLong * x).sum)
+    assert(f.zeroCrossings ==
+      s.sliding(2).count(p => p.head.toLong * p(1) < 0))
+    // corrupt payload -> None, not an exception
+    assert(Multimodal.AudioCodec.decode(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
+  test("extractAudioFeatures: null-safe typed decode over the media table") {
+    val media = Multimodal.audioTable(docs).repartition(2)
+    val rows = Multimodal.extractAudioFeatures(media)
+      .select("media_id", "n_samples", "sq_sum")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.forall(r => r._2 == 64 + r._1 % 64 && r._3 > 0))
+  }
+
   test("sampleFrames emits strided frame indices without touching bytes") {
     val out = Multimodal.sampleFrames(
       Multimodal.packBinary(docs)
