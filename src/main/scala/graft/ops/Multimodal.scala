@@ -287,6 +287,139 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Real MP4/ISO-BMFF container metadata parser — the video face of the
+    * codec family. The JDK has no video DECODER, but the metadata a
+    * training-data pipeline actually needs (duration, dimensions, track
+    * count, brand) lives in the container's box structure, which is pure
+    * byte parsing: `[u32 size][4cc type][payload]` boxes, `moov/mvhd`
+    * carrying timescale + duration, one `trak/tkhd` per track carrying
+    * 16.16-fixed width/height. Frame DECODING would need an ffmpeg
+    * binding; the parser is real. */
+  object Mp4Meta {
+    case class VideoMeta(brand: String, timescale: Int, durationMs: Long,
+                         nTracks: Int, width: Int, height: Int)
+
+    def parse(bytes: Array[Byte]): Option[VideoMeta] =
+      try parseBoxes(bytes) catch { case _: Exception => None }
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk `[lo, hi)` yielding (type, payloadStart, payloadEnd). */
+    private def boxes(b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var p = lo
+        override def hasNext: Boolean = p + 8 <= hi
+        override def next(): (String, Int, Int) = {
+          val size = u32(b, p)
+          val tpe = fourcc(b, p + 4)
+          if (size < 8 || p + size > hi)
+            throw new IllegalArgumentException(s"bad box size $size at $p")
+          val r = (tpe, p + 8, p + size.toInt)
+          p += size.toInt
+          r
+        }
+      }
+
+    private def parseBoxes(b: Array[Byte]): Option[VideoMeta] = {
+      var brand: String = null
+      var timescale = 0
+      var duration = 0L
+      var tracks = 0
+      var width = 0
+      var height = 0
+      boxes(b, 0, b.length).foreach {
+        case ("ftyp", s, _) => brand = fourcc(b, s)
+        case ("moov", ms, me) =>
+          boxes(b, ms, me).foreach {
+            case ("mvhd", s, _) =>
+              // version 0: [ver+flags 4][creation 4][modification 4]
+              // [timescale 4][duration 4]
+              timescale = u32(b, s + 12).toInt
+              duration = u32(b, s + 16)
+            case ("trak", ts, te) =>
+              tracks += 1
+              boxes(b, ts, te).foreach {
+                case ("tkhd", s, e) if width == 0 =>
+                  // v0 tkhd: width/height are the LAST two 16.16 fields
+                  width = (u32(b, e - 8) >> 16).toInt
+                  height = (u32(b, e - 4) >> 16).toInt
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (brand == null || timescale == 0) None
+      else Some(VideoMeta(brand, timescale, duration * 1000L / timescale,
+        tracks, width, height))
+    }
+  }
+
+  /** Deterministic minimal MP4 fixture for id `d`: `ftyp(isom)` + `moov`
+    * with an mvhd (timescale 1000, duration `1000 + d%9000` ms) and
+    * `1 + d%2` tracks whose tkhd carries width `16·(1 + d%4)` / height
+    * `16·(1 + (d/4)%4)` — closed-form, so a SQL oracle derives the
+    * expected parsed metadata from `d`. */
+  def syntheticMp4(d: Long): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII"))
+    val durMs = 1000 + d % 9000
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(durMs) ++ Array.fill[Byte](80)(0))
+    val w = (16 * (1 + d % 4)).toInt
+    val h = (16 * (1 + (d / 4) % 4)).toInt
+    def tkhd(trackId: Int) = box("tkhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(trackId.toLong) ++ be32(0) ++
+        be32(durMs) ++ Array.fill[Byte](52)(0) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val nTracks = (1 + d % 2).toInt
+    val traks = (1 to nTracks).map(i => box("trak", tkhd(i)))
+      .foldLeft(Array.emptyByteArray)(_ ++ _)
+    ftyp ++ box("moov", mvhd ++ traks)
+  }
+
+  case class MediaVideoMeta(media_id: Long, brand: Option[String],
+                            duration_ms: Option[Long], n_tracks: Option[Int],
+                            width: Option[Int], height: Option[Int])
+
+  /** Media table of [[syntheticMp4]] payloads — one real MP4 container
+    * per row. */
+  def videoTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      ids.map { id =>
+        val bytes = syntheticMp4(id)
+        val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+        MediaRow(id, bytes, MediaMeta("video/mp4", bytes.length.toLong, sha))
+      }
+    }.toDF()
+  }
+
+  /** Partition-wise container-metadata extraction — same batch shape and
+    * null-safety contract as the image/audio codecs. */
+  def extractVideoMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val m = Option(r.content).flatMap(Mp4Meta.parse)
+        MediaVideoMeta(r.media_id, m.map(_.brand), m.map(_.durationMs),
+          m.map(_.nTracks), m.map(_.width), m.map(_.height))
+      }
+    }.toDF()
+  }
+
   /** Deterministic frame sampling plan for video-like payloads: every
     * `stride`-th frame index up to `nFrames` — pure column math over the
     * container-metadata frame count, so the frame list is computed without

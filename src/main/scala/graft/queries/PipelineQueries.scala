@@ -414,6 +414,15 @@ object PipelineQueries {
         Multimodal.audioTable(Tables(s, dir, "documents")))
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_samples"), col("abs_sum"), col("sq_sum"), col("zero_crossings"))),
+    // REAL MP4 container parsing: one minimal ISO-BMFF file per document
+    // (ftyp + moov/mvhd/trak/tkhd boxes with closed-form fields), parsed
+    // byte-level in mapPartitions — duration/dimensions/track-count
+    // without any video decoder, which is the metadata a pipeline needs.
+    "q_mm_video" -> ((s, dir) =>
+      Multimodal.extractVideoMeta(
+        Multimodal.videoTable(Tables(s, dir, "documents")))
+        .select(col("media_id"), col("brand"), col("duration_ms"),
+          col("n_tracks"), col("width"), col("height"))),
     // Frame-sampling plumbing: container-metadata frame count (byte-length
     // math stand-in) -> strided frame plan, all pure column math.
     "q_mm_frames" -> ((s, dir) =>
@@ -1212,6 +1221,15 @@ object PipelineQueries {
           "CAST(sq_sum AS BIGINT) AS sq_sum, " +
           "CAST(coalesce(zero_crossings, 0) AS INT) AS zero_crossings " +
           "FROM agg a LEFT JOIN zc USING (media_id)"),
+      // replays Multimodal.syntheticMp4's closed-form box fields: a real
+      // ISO-BMFF parser must read them back exactly
+      "q_mm_video" ->
+        ("SELECT doc_id AS media_id, 'isom' AS brand, " +
+          "CAST(1000 + doc_id % 9000 AS BIGINT) AS duration_ms, " +
+          "CAST(1 + doc_id % 2 AS INT) AS n_tracks, " +
+          "CAST(16 * (1 + doc_id % 4) AS INT) AS width, " +
+          "CAST(16 * (1 + (doc_id // 4) % 4) AS INT) AS height " +
+          "FROM documents"),
       // sequence(0, n_frames-1, 4) — DuckDB range() is stop-exclusive, so
       // range(0, n_frames, 4) enumerates the same indices
       "q_mm_frames" ->

@@ -85,6 +85,18 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(r => r._2 == 64 + r._1 % 64 && r._3 > 0))
   }
 
+  test("Mp4Meta parses a real ISO-BMFF container to the closed-form fields") {
+    val d = 7L
+    val m = Multimodal.Mp4Meta.parse(Multimodal.syntheticMp4(d)).get
+    assert(m.brand == "isom" && m.timescale == 1000)
+    assert(m.durationMs == 1000 + d % 9000)
+    assert(m.nTracks == (1 + d % 2).toInt)
+    assert(m.width == 16 * (1 + d % 4) && m.height == 16 * (1 + (d / 4) % 4))
+    // truncated/garbage payloads -> None, never a task failure
+    assert(Multimodal.Mp4Meta.parse(Multimodal.syntheticMp4(d).take(10)).isEmpty)
+    assert(Multimodal.Mp4Meta.parse(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
   test("sampleFrames emits strided frame indices without touching bytes") {
     val out = Multimodal.sampleFrames(
       Multimodal.packBinary(docs)
