@@ -1,0 +1,90 @@
+package graft.connectors.vectorstore
+
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip glue: every Filter shape a dialect RENDERS must decode back
+  * through [[WireFilters]] to a predicate that matches exactly the same
+  * records under [[FilterEval]] — the server-side evaluation can then
+  * never drift from the engine's. */
+class WireFiltersSpec extends AnyFunSuite {
+
+  private val records = Seq(
+    VSRecord("1", null, Map("label" -> "3", "lang" -> "en")),
+    VSRecord("2", null, Map("label" -> "5", "lang" -> "de")),
+    VSRecord("3", null, Map("label" -> "8", "lang" -> "en", "extra" -> "x")),
+    VSRecord("4", null, Map("label" -> null, "lang" -> "fr")),
+    VSRecord("5", null, Map("lang" -> "en")))
+
+  private val shapes: Seq[Filter] = Seq(
+    EqualTo("metadata.label", 5),
+    EqualTo("metadata.lang", "en"),
+    GreaterThan("metadata.label", 3),
+    GreaterThanOrEqual("metadata.label", 5),
+    LessThan("metadata.label", 8),
+    LessThanOrEqual("metadata.label", 5),
+    In("metadata.lang", Array[Any]("en", "fr")),
+    In("metadata.label", Array[Any](3, 8)),
+    IsNull("metadata.extra"),
+    IsNotNull("metadata.extra"),
+    And(GreaterThan("metadata.label", 3), EqualTo("metadata.lang", "en")),
+    Or(EqualTo("metadata.lang", "de"), EqualTo("metadata.lang", "fr")),
+    Not(EqualTo("metadata.lang", "en")),
+    And(Or(EqualTo("metadata.lang", "en"), EqualTo("metadata.lang", "de")),
+      Not(LessThan("metadata.label", 5))))
+
+  /** The engine strips the `metadata.` prefix when rendering; the decoded
+    * wire filter addresses the bare key, which FilterEval resolves the
+    * same way — compare matches on the ORIGINAL vs the ROUND-TRIPPED. */
+  private def matches(f: Filter): Seq[String] =
+    records.filter(r => FilterEval.eval(f, r)).map(_.id)
+
+  test("qdrant: render -> JSON -> WireFilters decodes to the same matches") {
+    val d = new QdrantFilterDialect
+    shapes.foreach { f =>
+      val rendered = d.render(f).getOrElse(fail(s"unrenderable: $f"))
+      val back = WireFilters.fromQdrantJson(WireJson.mapper.readTree(rendered))
+      assert(matches(back) == matches(f), s"$f -> $rendered -> $back")
+    }
+  }
+
+  test("qdrant: combine() of several filters decodes to their conjunction") {
+    val d = new QdrantFilterDialect
+    val fs = Seq[Filter](GreaterThanOrEqual("metadata.label", 5),
+      EqualTo("metadata.lang", "en"))
+    val combined = d.combine(fs.flatMap(d.render)).get
+    val back = WireFilters.fromQdrantJson(WireJson.mapper.readTree(combined))
+    assert(matches(back) == matches(And(fs(0), fs(1))), combined)
+  }
+
+  test("milvus: render -> expr -> WireFilters decodes to the same matches") {
+    val d = new MilvusExprDialect
+    // the Milvus dialect renders no null-checks; everything else must
+    // round-trip (assert the coverage so a render regression is loud)
+    val renderable = shapes.flatMap(f => d.render(f).map(f -> _))
+    assert(renderable.length == shapes.length - 2, renderable.length.toString)
+    renderable.foreach { case (f, rendered) =>
+      val back = WireFilters.fromMilvusExpr(rendered)
+      assert(matches(back) == matches(f), s"$f -> $rendered -> $back")
+    }
+  }
+
+  test("milvus: combine() and quote escaping survive the round trip") {
+    val d = new MilvusExprDialect
+    val fs = Seq[Filter](EqualTo("metadata.lang", "it's"), // embedded quote
+      GreaterThan("metadata.label", 3))
+    val combined = d.combine(fs.flatMap(d.render)).get
+    val back = WireFilters.fromMilvusExpr(combined)
+    val probe = Seq(VSRecord("9", null, Map("lang" -> "it's", "label" -> "4")),
+      VSRecord("10", null, Map("lang" -> "it's", "label" -> "2")))
+    assert(probe.filter(r => FilterEval.eval(back, r)).map(_.id) == Seq("9"), combined)
+  }
+
+  test("unsupported wire payloads raise instead of silently matching all") {
+    intercept[IllegalArgumentException](
+      WireFilters.fromQdrantJson(WireJson.mapper.readTree(
+        """{"must":[{"key":"x","geo_radius":{}}]}""")))
+    intercept[IllegalArgumentException](WireFilters.fromMilvusExpr("label ~~ 3"))
+    intercept[IllegalArgumentException](WireFilters.fromMilvusExpr("label == "))
+  }
+}
