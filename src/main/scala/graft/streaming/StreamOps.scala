@@ -201,6 +201,57 @@ object StreamOps {
                                 watermark: String = "1 hour",
                                 portable: Boolean = true): DataFrame = {
     import graft.ops.Dedup
+    val rowsPerBand = numHashes / numBands
+    // static side: banded + skew-guarded ONCE (materialized so microbatches
+    // reuse it instead of re-banding the corpus every trigger)
+    val corpusBands0 = Dedup.lshBands(corpusSigs, idCol, numBands, rowsPerBand, portable,
+      carryCols = Seq("minhash_sig"))
+    val smallBuckets = corpusBands0.groupBy("band", "band_hash")
+      .agg(count(col(idCol)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band", "band_hash")
+    val staticSide = graft.ops.Materialize(
+      corpusBands0.join(smallBuckets, Seq("band", "band_hash"))
+        .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"),
+          col("minhash_sig").as("sig_c")))
+    incrementalDedupAgainst(docs, staticSide, idCol, textCol, tsCol,
+      numHashes, numBands, threshold, watermark, portable)
+  }
+
+  /** [[streamingIncrementalDedup]] over the PERSISTED index artifacts
+    * ([[graft.core.SigIndex]] / [[graft.ops.Dedup.bandedSignatureTable]] +
+    * [[graft.ops.Dedup.bucketWidths]]): the static side is assembled from
+    * the stored banded face and width table — no corpus re-banding and no
+    * corpus aggregation at stream start; the one-time setup cost is the
+    * id-keyed join attaching signatures to surviving banded rows. The
+    * streaming CLI twin of `--ingest`, for crawls that land as streams. */
+  def streamingIncrementalDedupIndexed(docs: DataFrame, corpusSigs: DataFrame,
+                                       corpusBands: DataFrame, corpusWidths: DataFrame,
+                                       idCol: String = "doc_id", textCol: String = "text",
+                                       tsCol: String = "ts",
+                                       numHashes: Int = 16, numBands: Int = 4,
+                                       threshold: Double = 0.3, maxBucket: Int = 1000,
+                                       watermark: String = "1 hour",
+                                       portable: Boolean = true): DataFrame = {
+    val smallBuckets = corpusWidths.filter(col("bucket_n") <= maxBucket)
+      .select("band", "band_hash")
+    val staticSide = graft.ops.Materialize(
+      corpusBands.join(smallBuckets, Seq("band", "band_hash"))
+        .join(corpusSigs.select(col(idCol), col("minhash_sig")), Seq(idCol))
+        .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"),
+          col("minhash_sig").as("sig_c")))
+    incrementalDedupAgainst(docs, staticSide, idCol, textCol, tsCol,
+      numHashes, numBands, threshold, watermark, portable)
+  }
+
+  /** Shared core: sign + band the stream, stream-static bucket join
+    * against the prepared `(band, band_hash, corpus_id, sig_c)` side,
+    * verify by signature match fraction, collapse multi-band hits. */
+  private def incrementalDedupAgainst(docs: DataFrame, staticSide: DataFrame,
+                                      idCol: String, textCol: String, tsCol: String,
+                                      numHashes: Int, numBands: Int,
+                                      threshold: Double, watermark: String,
+                                      portable: Boolean): DataFrame = {
+    import graft.ops.Dedup
     import graft.functions.HashExpressions
     val rowsPerBand = numHashes / numBands
     val sh =
@@ -214,19 +265,8 @@ object StreamOps {
       .select(col(idCol), col(tsCol), col("minhash_sig"))
     val streamBands = Dedup.lshBands(signed, idCol, numBands, rowsPerBand, portable,
       carryCols = Seq(tsCol, "minhash_sig"))
-    // static side: banded + skew-guarded ONCE (materialized so microbatches
-    // reuse it instead of re-banding the corpus every trigger)
-    val corpusBands0 = Dedup.lshBands(corpusSigs, idCol, numBands, rowsPerBand, portable,
-      carryCols = Seq("minhash_sig"))
-    val smallBuckets = corpusBands0.groupBy("band", "band_hash")
-      .agg(count(col(idCol)).as("__n")).filter(col("__n") <= maxBucket)
-      .select("band", "band_hash")
-    val corpusBands = graft.ops.Materialize(
-      corpusBands0.join(smallBuckets, Seq("band", "band_hash"))
-        .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"),
-          col("minhash_sig").as("sig_c")))
     streamBands
-      .join(corpusBands, Seq("band", "band_hash"))
+      .join(staticSide, Seq("band", "band_hash"))
       .filter(col(idCol) =!= col("corpus_id"))
       .withColumn("jaccard", round(HashExpressions
         .signatureMatchFraction(col("minhash_sig"), col("sig_c")), 6))

@@ -365,4 +365,27 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed == exact && streamed.nonEmpty, s"${streamed.size} vs ${exact.size}")
   }
+
+  test("indexed streaming dedup (persisted artifacts) equals the derive-on-the-fly face") {
+    val docs = graft.Tables(spark, sf(), "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    // persist the index the way SigIndex/--build-index does
+    val dir = java.nio.file.Files.createTempDirectory("stream_sig").toString
+    graft.core.SigIndex.build(spark, corpus, dir,
+      graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
+    val indexed = StreamOps.streamingIncrementalDedupIndexed(batch,
+        spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/bands"),
+        spark.read.parquet(s"$dir/widths"),
+        numHashes = 16, numBands = 4, threshold = 0.3)
+      .select("doc_id", "corpus_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val derived = StreamOps.streamingIncrementalDedup(batch,
+        graft.ops.Dedup.signatureTable(corpus, numHashes = 16, portable = true),
+        numHashes = 16, numBands = 4, threshold = 0.3)
+      .select("doc_id", "corpus_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed == derived && indexed.nonEmpty, s"${indexed.size} vs ${derived.size}")
+  }
 }
