@@ -32,6 +32,12 @@ case class LoadSpec(
     batchSize: Int = 100,
     distance: String = "Cosine",
     dimension: Option[Int] = None,
+    /** Repartition the frame to this many partitions before the write.
+      * The knob that matters when the SOURCE cannot parallelize — a
+      * cursor-paged wire scan (Qdrant/Pinecone) reads as ONE sequential
+      * walk, so without it the transform + write would also run on one
+      * task; one shuffle fans the rest of the pipeline back out. */
+    parallelism: Option[Int] = None,
     options: Map[String, String] = Map.empty)
 
 case class EndpointConfig(
@@ -151,7 +157,9 @@ object MigrationConfig {
     batchSize = Option(n.get("batch_size")).map(_.asInt()).getOrElse(100),
     distance = text(n, "distance", "metric").getOrElse("Cosine"),
     dimension = Option(n.get("dimension")).map(_.asInt()),
+    parallelism = Option(n.get("parallelism")).map(_.asInt()),
     options = strMap(n) -- Set("collection_name", "table_name", "index_name", "collection",
       "table", "id_column", "vector_column", "recreate_table", "recreate_collection",
-      "create_index", "recreate", "batch_size", "distance", "metric", "dimension"))
+      "create_index", "recreate", "batch_size", "distance", "metric", "dimension",
+      "parallelism"))
 }

@@ -71,14 +71,22 @@ class Migrator(spark: SparkSession) {
         case (Some(p), Some(f)) => Some(p andThen f)
         case (p, f) => p.orElse(f)
       }
+      // load.parallelism: one shuffle fans the pipeline out when the
+      // source scan cannot (a cursor-paged wire source reads as ONE
+      // sequential walk; without this the transform + write would also
+      // run single-task)
+      val fanned = load.parallelism match {
+        case Some(n) if n > 0 => extracted.repartition(n)
+        case _ => extracted
+      }
       val transformed = effective match {
         case Some(f) =>
-          try f(extracted)
+          try f(fanned)
           catch {
             case e: Exception =>
               throw new TransformException(s"transform failed: ${e.getMessage}", e)
           }
-        case None => extracted
+        case None => fanned
       }
 
       // QA counters ride along with the write action (Dataset.observe):

@@ -66,12 +66,17 @@ object SigIndex {
     val dupN = dupIds.count()
     if (append) {
       // batch-sized work only: sign + band the accepted docs, append both,
-      // and merge their width deltas into the standing statistic
-      val novelSigs = Dedup.signatureTable(novel, p.idCol, p.textCol, p.numHashes,
-        p.shingleSize, p.portable)
+      // and merge their width deltas into the standing statistic.
+      // MATERIALIZED first: `novel`'s lineage reads the index dirs, and an
+      // append job must never list the directory it is writing into —
+      // after Materialize each append writes from checkpointed data only.
+      val novelSigs = graft.ops.Materialize(
+        Dedup.signatureTable(novel, p.idCol, p.textCol, p.numHashes,
+          p.shingleSize, p.portable))
       novelSigs.write.mode("append").parquet(s"$indexDir/sigs")
-      val novelBands = Dedup.bandedSignatureTable(novelSigs, p.idCol,
-        p.numBands, p.numHashes / p.numBands, p.portable)
+      val novelBands = graft.ops.Materialize(
+        Dedup.bandedSignatureTable(novelSigs, p.idCol,
+          p.numBands, p.numHashes / p.numBands, p.portable))
       novelBands.write.mode("append").parquet(s"$indexDir/bands")
       // widths/ is both input and output: land the merge beside it, then
       // swap atomically-enough via the filesystem rename

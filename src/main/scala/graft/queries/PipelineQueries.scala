@@ -423,12 +423,15 @@ object PipelineQueries {
         Multimodal.videoTable(Tables(s, dir, "documents")))
         .select(col("media_id"), col("brand"), col("duration_ms"),
           col("n_tracks"), col("width"), col("height"))),
-    // Frame-sampling plumbing: container-metadata frame count (byte-length
-    // math stand-in) -> strided frame plan, all pure column math.
+    // Frame-sampling plan from REAL container metadata: the MP4 parser's
+    // duration at 24 fps gives the frame count, then the strided plan is
+    // pure column math — the decode-free part of video ingestion.
     "q_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-        Multimodal.packBinary(Tables(s, dir, "documents"))
-          .withColumn("n_frames", (lit(1) + col("meta.byte_len") % 16).cast("int")))
+        Multimodal.extractVideoMeta(
+          Multimodal.videoTable(Tables(s, dir, "documents")))
+          .withColumn("n_frames", (col("duration_ms") * 24 / 1000).cast("int")),
+        stride = 24)
         .select(col("media_id"), col("n_frames"),
           concat_ws(",", col("sampled_frames").cast("array<string>")).as("sampled_frames_str"))),
 
@@ -1230,13 +1233,14 @@ object PipelineQueries {
           "CAST(16 * (1 + doc_id % 4) AS INT) AS width, " +
           "CAST(16 * (1 + (doc_id // 4) % 4) AS INT) AS height " +
           "FROM documents"),
-      // sequence(0, n_frames-1, 4) — DuckDB range() is stop-exclusive, so
-      // range(0, n_frames, 4) enumerates the same indices
+      // n_frames = parsed duration at 24 fps; sequence(0, n-1, 24) —
+      // DuckDB range() is stop-exclusive, so range(0, n, 24) enumerates
+      // the same indices
       "q_mm_frames" ->
-        ("WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents) " +
-          "SELECT media_id, CAST(1 + n % 16 AS INT) AS n_frames, " +
-          "array_to_string(range(0, CAST(1 + n % 16 AS BIGINT), 4), ',') AS sampled_frames_str " +
-          "FROM m"),
+        ("WITH m AS (SELECT doc_id AS media_id, " +
+          "(1000 + doc_id % 9000) * 24 // 1000 AS n FROM documents) " +
+          "SELECT media_id, CAST(n AS INT) AS n_frames, " +
+          "array_to_string(range(0, n, 24), ',') AS sampled_frames_str FROM m"),
       "q_decontaminate" ->
         (s"WITH base AS (SELECT doc_id, $shingles AS sh FROM " +
           "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ltoks FROM documents)), " +

@@ -30,6 +30,19 @@ class ConfigSpec extends AnyFunSuite {
     assert(q.filter.contains("cat = 'a'"))
     val l = cfg.target.load.get
     assert(l.collection == "vectors" && l.recreate && l.distance == "Cosine" && l.batchSize == 500)
+    assert(l.parallelism.isEmpty) // absent -> no repartition
+  }
+
+  test("load.parallelism parses and stays out of the passthrough options") {
+    val cfg = MigrationConfig.fromJson(
+      """{"source": {"type": "memory", "connection": {},
+        |            "query": {"collection": "c"}},
+        | "target": {"type": "memory", "connection": {},
+        |            "load": {"collection": "d", "parallelism": 8,
+        |                     "shard_key": "s"}}}""".stripMargin)
+    val l = cfg.target.load.get
+    assert(l.parallelism.contains(8))
+    assert(l.options == Map("shard_key" -> "s"), l.options.toString)
   }
 
   test("tolerates the docker example's *_params key variant") {
