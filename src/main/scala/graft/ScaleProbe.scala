@@ -265,6 +265,17 @@ object ScaleProbe {
       time("sig-index ingest (corpus 1x)")(ingest(idx1))
       time(s"sig-index ingest (corpus ${factor}x)")(ingest(idxN))
     }
+    // real-codec throughput: encode+decode per row, embarrassingly
+    // parallel map work — the scaling claim for the multimodal family
+    time("image decode + ahash")(
+      ops.Multimodal.extractImageFeatures(ops.Multimodal.imageTable(docs))
+        .filter(col("ahash_bits").isNotNull).count())
+    time("wav decode")(
+      ops.Multimodal.extractAudioFeatures(ops.Multimodal.audioTable(docs))
+        .filter(col("sq_sum").isNotNull).count())
+    time("mp4 parse")(
+      ops.Multimodal.extractVideoMeta(ops.Multimodal.videoTable(docs))
+        .filter(col("duration_ms").isNotNull).count())
     time("hard negatives (5 queries, nCand=200)") {
       // positive = the query's first replica (cosine 1.0), so the margin
       // excludes only the replica cluster and real negatives survive

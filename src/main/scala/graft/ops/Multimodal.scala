@@ -197,11 +197,57 @@ object Multimodal {
     case class AudioFeatures(sampleRate: Int, channels: Int, nSamples: Int,
                              absSum: Long, sqSum: Long, zeroCrossings: Int)
 
+    /** SPI providers resolved ONCE per JVM. `AudioSystem.getAudioInputStream`
+      * funnels every call through `JDK13Services.getProviders`, a
+      * JVM-GLOBAL synchronized — measured: 150k tiny WAVs decoded in 50 s
+      * on 32 cores through AudioSystem vs ~1 s with the providers cached
+      * (32 threads convoying on one class lock, SLOWER than a single
+      * thread). Same public `javax.sound.sampled.spi` contract, lock paid
+      * once. */
+    private lazy val fileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.toList
+    }
+    private[Multimodal] lazy val fileWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .asScala.toList
+    }
+
+    /** Last reader that accepted a payload — tried FIRST. Provider order
+      * matters enormously: the JDK registers its MIDI reader before the
+      * WAVE reader, and the MIDI reader's REJECTION path itself calls
+      * `MidiSystem.getProviders` (the same global lock) — so without this
+      * memo every WAV decode paid a provider-scan lock just to be told
+      * "not MIDI" (thread-dump-confirmed convoy on
+      * JSSecurityManager.class). A homogeneous corpus hits its memoized
+      * reader directly after the first record. */
+    private val preferred =
+      new java.util.concurrent.atomic.AtomicReference[javax.sound.sampled.spi.AudioFileReader]()
+
+    private def readStream(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      val memo = preferred.get()
+      if (memo != null) {
+        try return memo.getAudioInputStream(new ByteArrayInputStream(bytes))
+        catch { case _: Exception => () } // different format: full scan below
+      }
+      val it = fileReaders.iterator
+      while (it.hasNext) {
+        val r = it.next()
+        if (r ne memo) {
+          try {
+            val s = r.getAudioInputStream(new ByteArrayInputStream(bytes))
+            preferred.set(r)
+            return s
+          } catch { case _: Exception => () } // not this provider's format
+        }
+      }
+      null
+    }
+
     def decode(bytes: Array[Byte]): Option[AudioFeatures] = {
-      val in =
-        try javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
+      val in = readStream(bytes)
       if (in == null) return None
       try {
         val fmt = in.getFormat
@@ -249,7 +295,11 @@ object Multimodal {
     val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed PCM16 LE mono
     val stream = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    // direct SPI writer (cached) — AudioSystem.write pays the same global
+    // provider lock as the read path; see AudioCodec.fileReaders
+    AudioCodec.fileWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, stream))
+      .getOrElse(throw new IllegalStateException("no WAVE writer in this JVM"))
+      .write(stream, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 
