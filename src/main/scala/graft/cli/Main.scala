@@ -121,7 +121,8 @@ object Main {
           graft.core.SigIndex.readDocs(spark, cfg), cfg.indexDir, cfg.params,
           cfg.novelOutput)
         println(s"ingest complete: ${r.batchDocs} batch docs, " +
-          s"${r.duplicateDocs} near-duplicates of history, ${r.novelDocs} novel" +
+          s"${r.corpusDups} near-duplicates of history, " +
+          s"${r.withinBatchDups} collapsed within the batch, ${r.novelDocs} novel" +
           cfg.novelOutput.map(o => s" -> $o").getOrElse(""))
       }
       0

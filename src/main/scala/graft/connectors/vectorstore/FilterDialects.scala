@@ -151,30 +151,45 @@ class QdrantFilterDialect extends FilterDialect {
     } else throw new IllegalArgumentException(s"unsupported qdrant condition: $c")
   }
 
+  /** JSON string escape — the rendered filter now actually TRAVELS as a
+    * parsed scroll/search body, so values and keys must survive
+    * `mapper.readTree` (quotes, backslashes, control chars). */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  private def jkey(a: String): String = jstr(stripMeta(a))
+
   override def render(f: Filter): Option[String] = f match {
     case _ if f.references.exists(!addressable(_)) => None
     case EqualTo(a, v: String) =>
-      Some(s"""{"must":[{"key":"${stripMeta(a)}","match":{"value":"$v"}}]}""")
+      Some(s"""{"must":[{"key":${jkey(a)},"match":{"value":${jstr(v)}}}]}""")
     case EqualTo(a, v: Number) =>
-      Some(s"""{"must":[{"key":"${stripMeta(a)}","match":{"value":$v}}]}""")
+      Some(s"""{"must":[{"key":${jkey(a)},"match":{"value":$v}}]}""")
     case GreaterThan(a, v: Number) =>
-      Some(s"""{"must":[{"key":"${stripMeta(a)}","range":{"gt":$v}}]}""")
+      Some(s"""{"must":[{"key":${jkey(a)},"range":{"gt":$v}}]}""")
     case GreaterThanOrEqual(a, v: Number) =>
-      Some(s"""{"must":[{"key":"${stripMeta(a)}","range":{"gte":$v}}]}""")
+      Some(s"""{"must":[{"key":${jkey(a)},"range":{"gte":$v}}]}""")
     case LessThan(a, v: Number) =>
-      Some(s"""{"must":[{"key":"${stripMeta(a)}","range":{"lt":$v}}]}""")
+      Some(s"""{"must":[{"key":${jkey(a)},"range":{"lt":$v}}]}""")
     case LessThanOrEqual(a, v: Number) =>
-      Some(s"""{"must":[{"key":"${stripMeta(a)}","range":{"lte":$v}}]}""")
+      Some(s"""{"must":[{"key":${jkey(a)},"range":{"lte":$v}}]}""")
     case In(a, vs) if vs.nonEmpty =>
       val rendered = vs.map {
-        case s: String => "\"" + s.replace("\"", "\\\"") + "\""
+        case s: String => jstr(s)
         case other => String.valueOf(other)
       }.mkString(",")
-      Some(s"""{"must":[{"key":"${stripMeta(a)}","match":{"any":[$rendered]}}]}""")
+      Some(s"""{"must":[{"key":${jkey(a)},"match":{"any":[$rendered]}}]}""")
     case IsNull(a) =>
-      Some(s"""{"must":[{"is_null":{"key":"${stripMeta(a)}"}}]}""")
+      Some(s"""{"must":[{"is_null":{"key":${jkey(a)}}}]}""")
     case IsNotNull(a) =>
-      Some(s"""{"must_not":[{"is_null":{"key":"${stripMeta(a)}"}}]}""")
+      Some(s"""{"must_not":[{"is_null":{"key":${jkey(a)}}}]}""")
     case And(l, r) => for { ls <- render(l); rs <- render(r) } yield
       s"""{"must":[$ls,$rs]}"""
     case Or(l, r) => for { ls <- render(l); rs <- render(r) } yield

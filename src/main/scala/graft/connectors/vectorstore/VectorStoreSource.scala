@@ -680,21 +680,9 @@ class VSPartitionReader(collection: String, part: InputPartition, pushed: Array[
       case None =>
         val all = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
         pages.foreach(p => all ++= p.filter(r => pushed.forall(FilterEval.eval(_, r))))
-        if (sp.metric == "hamming")
-          all.filter(_.binary != null)
-            .sortBy(r => (hammingBytes(r.binary, sp.binary), r.id))
-            .take(sp.k).iterator
-        else
-          all.filter(_.vector != null)
-            .sortBy(r => (-cosine(r.vector, sp.vector), r.id))
-            .take(sp.k).iterator
+        VSScoring.topK(all.toSeq, sp).map(_._1).iterator
     }
   }
-
-  private def hammingBytes(a: Array[Byte], q: Array[Byte]): Int =
-    VSScoring.hammingBytes(a, q)
-  private def cosine(a: Array[Float], q: Array[Float]): Double =
-    VSScoring.cosine(a, q)
 
   override def next(): Boolean = {
     if (search.isDefined) {

@@ -208,9 +208,14 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
   override def scrollPageFiltered(name: String, cursor: Option[String], pageSize: Int,
                                   filter: Option[String]): (Seq[VSRecord], Option[String]) = {
     val b = obj()
+    // numeric point ids ride as JSON numbers, but ONLY when the text
+    // round-trips through Long exactly ('007' and >19-digit ids stay
+    // strings — a lossy coercion would address the wrong point)
     cursor.foreach { c =>
-      if (c.nonEmpty && c.forall(_.isDigit)) b.put("offset", c.toLong)
-      else b.put("offset", c)
+      c.toLongOption.filter(_.toString == c) match {
+        case Some(l) => b.put("offset", l)
+        case None => b.put("offset", c)
+      }
     }
     b.put("limit", pageSize)
     b.put("with_payload", true)

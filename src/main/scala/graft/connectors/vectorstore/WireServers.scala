@@ -13,7 +13,13 @@ import scala.jdk.CollectionConverters._
   * the hermetic stand-ins the [[QdrantWireTransport]]/
   * [[MilvusWireTransport]]/[[PineconeWireTransport]] clients hit in
   * tests. Each records every request line so specs can assert the exact
-  * paths/queries the client emits match the backend's documented API. */
+  * paths/queries the client emits match the backend's documented API.
+  *
+  * These are TEST DOUBLES, not storage engines: cursor lookup, filter
+  * evaluation, and search each materialize the full collection per
+  * request (O(collection) per page, where a real backend serves them
+  * from its indexes) — exact semantics at fixture scale is the contract,
+  * not throughput. */
 private[vectorstore] abstract class WireServer(port: Int) {
   import WireJson.mapper
 
@@ -241,7 +247,9 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
         val a = r.putArray("points")
         recs.foreach(rec => a.add(recordToPoint(rec)))
         all.lift(from + limit).map(_.id) match {
-          case Some(id) => id.toLongOption match {
+          // numeric form only when it round-trips exactly ('007' must
+          // come back as the string '007', not 7)
+          case Some(id) => id.toLongOption.filter(_.toString == id) match {
             case Some(l) => r.put("next_page_offset", l) // numeric point id
             case None => r.put("next_page_offset", id)   // uuid/string id
           }

@@ -30,10 +30,16 @@ object SigIndex {
                     portable: Boolean = false,
                     idCol: String = "doc_id", textCol: String = "text")
 
-  case class IngestReport(batchDocs: Long, duplicateDocs: Long, novelDocs: Long)
+  case class IngestReport(batchDocs: Long, corpusDups: Long,
+                          withinBatchDups: Long, novelDocs: Long)
 
   /** Build the index from a corpus; returns the number of indexed docs
-    * (docs with at least one shingle). */
+    * (docs with at least one shingle). Writes a `params.json` MANIFEST
+    * alongside the artifacts: the hashing parameters (num_hashes /
+    * num_bands / shingle_size / portable) are STRUCTURAL — an ingest
+    * signed with different ones would never collide with the stored bands
+    * and silently admit every duplicate — so [[ingest]] always takes them
+    * from the manifest, never from its caller. */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String, p: Params): Long = {
     Dedup.signatureTable(docs, p.idCol, p.textCol, p.numHashes, p.shingleSize, p.portable)
       .write.mode("overwrite").parquet(s"$indexDir/sigs")
@@ -43,43 +49,81 @@ object SigIndex {
       .write.mode("overwrite").parquet(s"$indexDir/bands")
     val bands = spark.read.parquet(s"$indexDir/bands")
     Dedup.bucketWidths(bands, p.idCol).write.mode("overwrite").parquet(s"$indexDir/widths")
+    writeManifest(spark, indexDir, p)
     sigs.count()
   }
 
-  /** Check `batch` against the index: novel docs (no near-duplicate in the
-    * corpus at `threshold`) go to `novelOut` (if set) and — when `append`
-    * — their signatures/bands join the index and the width table absorbs
-    * their deltas. Duplicate batch docs are never indexed, so the corpus
-    * stays deduplicated. */
-  def ingest(spark: SparkSession, batch: DataFrame, indexDir: String, p: Params,
+  /** Check `batch` against the index. Three dedup legs, in order:
+    *
+    *  1. ids already IN the index are dropped upfront (anti-join on the
+    *     sig table's id column) — re-running a partially-applied or
+    *     overlapping batch never double-appends;
+    *  2. docs near-duplicating the CORPUS at `threshold` are flagged
+    *     (batch-proportional, [[Dedup.incrementalNearDupPairsIndexed]]);
+    *  3. the survivors are near-dedup'd WITHIN the batch
+    *     ([[Dedup.keepCanonical]] over estimate-mode pairs — batch-sized
+    *     work), because a crawl batch full of copies of one page that
+    *     history has never seen must still admit only ONE.
+    *
+    * Novel docs go to `novelOut` (if set) and — when `append` — their
+    * signatures/bands join the index and the width table absorbs their
+    * deltas, so the corpus stays deduplicated.
+    *
+    * Crash consistency: the three artifacts are plain parquet dirs, so a
+    * crash mid-append can leave them inconsistent. Appends are ordered to
+    * make that benign: BANDS land first (duplicate band rows from a
+    * replay only produce duplicate candidates, which the candidate
+    * `distinct()` collapses), SIGS second (a doc's sig row is the
+    * "fully indexed" marker leg 1 keys on), widths last (a replayed width
+    * delta only tightens the skew guard). A production deployment wanting
+    * real atomicity would keep the three tables in a transactional format
+    * (Iceberg/Delta) — the maintenance logic is unchanged. */
+  def ingest(spark: SparkSession, batch: DataFrame, indexDir: String, params: Params,
              novelOut: Option[String] = None, append: Boolean = true): IngestReport = {
+    // structural hashing params ALWAYS come from the manifest; the
+    // caller's Params keeps only per-ingest knobs + batch column names
+    val p = readManifest(spark, indexDir) match {
+      case Some(m) => params.copy(numHashes = m.numHashes, numBands = m.numBands,
+        shingleSize = m.shingleSize, portable = m.portable)
+      case None => params // pre-manifest index: trust the caller
+    }
     val sigs = spark.read.parquet(s"$indexDir/sigs")
     val bands = spark.read.parquet(s"$indexDir/bands")
     val widths = spark.read.parquet(s"$indexDir/widths")
-    val pairs = Dedup.incrementalNearDupPairsIndexed(sigs, bands, widths, batch,
+    // leg 1: already-indexed ids never re-process (idempotent re-ingest)
+    val fresh = batch.join(sigs.select(col(p.idCol)), Seq(p.idCol), "left_anti")
+    // leg 2: near-dups of the corpus
+    val pairs = Dedup.incrementalNearDupPairsIndexed(sigs, bands, widths, fresh,
       p.idCol, p.textCol, p.numHashes, p.numBands, p.shingleSize,
       p.threshold, p.maxBucket, p.portable)
-    val dupIds = pairs.select(col("batch_id").as(p.idCol)).distinct()
-    val novel = batch.join(dupIds, Seq(p.idCol), "left_anti")
+    val dupIds = graft.ops.Materialize( // one corpus-side pass feeds count + anti-join
+      pairs.select(col("batch_id").as(p.idCol)).distinct())
+    val corpusNovel = fresh.join(dupIds, Seq(p.idCol), "left_anti")
+    // leg 3: collapse near-dup groups WITHIN the surviving batch
+    val withinPairs = Dedup.minHashDuplicatePairs(corpusNovel, p.idCol, p.textCol,
+      p.numHashes, p.numBands, p.shingleSize, p.threshold, p.maxBucket,
+      verifyExact = false, portable = p.portable)
+    val novel = graft.ops.Materialize(
+      Dedup.keepCanonical(corpusNovel, withinPairs, p.idCol))
     novelOut.foreach(o => novel.write.mode("overwrite").parquet(o))
     val batchN = batch.count()
     val dupN = dupIds.count()
+    val novelN = novel.count()
     if (append) {
       // batch-sized work only: sign + band the accepted docs, append both,
       // and merge their width deltas into the standing statistic.
       // MATERIALIZED first: `novel`'s lineage reads the index dirs, and an
-      // append job must never list the directory it is writing into —
-      // after Materialize each append writes from checkpointed data only.
+      // append job must never list the directory it is writing into.
       val novelSigs = graft.ops.Materialize(
         Dedup.signatureTable(novel, p.idCol, p.textCol, p.numHashes,
           p.shingleSize, p.portable))
-      novelSigs.write.mode("append").parquet(s"$indexDir/sigs")
       val novelBands = graft.ops.Materialize(
         Dedup.bandedSignatureTable(novelSigs, p.idCol,
           p.numBands, p.numHashes / p.numBands, p.portable))
       novelBands.write.mode("append").parquet(s"$indexDir/bands")
+      novelSigs.write.mode("append").parquet(s"$indexDir/sigs")
       // widths/ is both input and output: land the merge beside it, then
-      // swap atomically-enough via the filesystem rename
+      // swap via the filesystem rename
       val merged = Dedup.mergeBucketWidths(widths,
         Dedup.bucketWidths(novelBands, p.idCol))
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -90,8 +134,43 @@ object SigIndex {
       fs.delete(cur, true)
       fs.rename(tmp, cur)
     }
-    IngestReport(batchN, dupN, batchN - dupN)
+    IngestReport(batchN, dupN, batchN - dupN - novelN, novelN)
   }
+
+  // ---------------------------------------------------------- manifest
+
+  private def writeManifest(spark: SparkSession, indexDir: String, p: Params): Unit = {
+    val json = s"""{"num_hashes": ${p.numHashes}, "num_bands": ${p.numBands}, """ +
+      s""""shingle_size": ${p.shingleSize}, "portable": ${p.portable}}"""
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$indexDir/params.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The structural hashing params the index was built with, if the
+    * manifest exists. Callers assembling their own plans over the
+    * artifacts (e.g. [[graft.streaming.StreamOps.streamingIncrementalDedupIndexed]])
+    * should use these, not guesses. */
+  def readManifest(spark: SparkSession, indexDir: String): Option[Params] =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+      val path = new org.apache.hadoop.fs.Path(s"$indexDir/params.json")
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        Some(Params(
+          numHashes = n.get("num_hashes").asInt(),
+          numBands = n.get("num_bands").asInt(),
+          shingleSize = n.get("shingle_size").asInt(),
+          portable = n.get("portable").asBoolean()))
+      }
+    } catch { case _: Exception => None }
 
   // ------------------------------------------------------------- config
 

@@ -251,7 +251,14 @@ object Multimodal {
       if (in == null) return None
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16) return None // PCM16 only
+        // signed 16-bit PCM only — and honor the container's byte order:
+        // WAV is little-endian but AIFF/AU decode as BIG-endian through
+        // the same reader set; assuming LE would emit byte-swapped
+        // garbage as valid-looking features
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
+        val big = fmt.isBigEndian
         val data = in.readAllBytes()
         val frameCh = fmt.getChannels
         val n = data.length / 2
@@ -261,9 +268,9 @@ object Multimodal {
         var prev = 0
         var i = 0
         while (i < n) {
-          val lo = data(2 * i) & 0xff
-          val hi = data(2 * i + 1).toInt // WAV PCM16 is little-endian
-          val s = (hi << 8) | lo
+          val s =
+            if (big) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+            else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
           absSum += math.abs(s)
           sqSum += s.toLong * s
           if (i > 0 && prev.toLong * s < 0) crossings += 1
@@ -386,10 +393,20 @@ object Multimodal {
         case ("moov", ms, me) =>
           boxes(b, ms, me).foreach {
             case ("mvhd", s, _) =>
-              // version 0: [ver+flags 4][creation 4][modification 4]
-              // [timescale 4][duration 4]
-              timescale = u32(b, s + 12).toInt
-              duration = u32(b, s + 16)
+              // v0: [ver+flags 4][creation 4][modification 4]
+              //     [timescale 4][duration 4]
+              // v1 (64-bit times, common ffmpeg output for long files):
+              //     [ver+flags 4][creation 8][modification 8]
+              //     [timescale 4][duration 8]
+              b(s) & 0xff match {
+                case 0 =>
+                  timescale = u32(b, s + 12).toInt
+                  duration = u32(b, s + 16)
+                case 1 =>
+                  timescale = u32(b, s + 20).toInt
+                  duration = (u32(b, s + 24) << 32) | u32(b, s + 28)
+                case v => throw new IllegalArgumentException(s"mvhd version $v")
+              }
             case ("trak", ts, te) =>
               tracks += 1
               boxes(b, ts, te).foreach {

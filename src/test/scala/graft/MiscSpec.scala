@@ -147,17 +147,26 @@ class CliSpec extends SparkSpec {
            | ${if (novel) s""", "novel_output": "$novelPq"""" else ""}}""".stripMargin)
       f.toString
     }
-    // expected novel count from the library's legacy (derive-on-the-fly) path
-    val expectedDups = graft.ops.Dedup.incrementalNearDupPairs(
+    // expected novel count from the library's legacy (derive-on-the-fly)
+    // path: corpus near-dups flagged, then the survivors collapsed
+    // within the batch (the ingest's third leg)
+    val batchDf = docs.filter(col("doc_id") % 2 =!= 0)
+    val expectedDupIds = graft.ops.Dedup.incrementalNearDupPairs(
       graft.ops.Dedup.signatureTable(docs.filter(col("doc_id") % 2 === 0),
         numHashes = 16, portable = true),
-      docs.filter(col("doc_id") % 2 =!= 0), numHashes = 16, numBands = 4,
-      portable = true).select("batch_id").distinct().count()
-    val batchN = docs.filter(col("doc_id") % 2 =!= 0).count()
+      batchDf, numHashes = 16, numBands = 4, portable = true)
+      .select(col("batch_id").as("doc_id")).distinct()
+    val corpusNovel = batchDf.join(expectedDupIds, Seq("doc_id"), "left_anti")
+    val expectedNovel = graft.ops.Dedup.keepCanonical(corpusNovel,
+      graft.ops.Dedup.minHashDuplicatePairs(corpusNovel, numHashes = 16,
+        numBands = 4, threshold = 0.5, verifyExact = false, portable = true)).count()
 
     assert(graft.cli.Main.run(Array("--build-index", cfg(corpusPq, novel = false))) == 0)
     assert(graft.cli.Main.run(Array("--ingest", cfg(batchPq, novel = true))) == 0)
-    assert(spark.read.parquet(novelPq).count() == batchN - expectedDups)
+    assert(spark.read.parquet(novelPq).count() == expectedNovel)
+    // manifest pins the structural hashing params
+    assert(graft.core.SigIndex.readManifest(spark, indexDir)
+      .contains(graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true)))
     // re-ingest the same texts under NEW ids: every doc with shingles is
     // now a near-duplicate of the (appended) index — nothing novel
     val shifted = s"$root/shifted"

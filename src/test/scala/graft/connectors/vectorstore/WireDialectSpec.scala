@@ -94,6 +94,42 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("qdrant wire: non-canonical numeric ids keep their string cursor form") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    val t = new QdrantWireTransport(server.url)
+    try {
+      t.createCollection("qz", CollectionConfig(dim = 2), recreate = true)
+      // '007' is digits but NOT a canonical Long rendering; a lossy
+      // numeric coercion would turn the cursor into 7 and lose the scan
+      t.upsert("qz", Seq("a", "007", "b").map(id =>
+        VSRecord(id, Array(1f, 2f), Map.empty)))
+      val (p1, c1) = t.scrollPage("qz", None, 1)
+      assert(p1.map(_.id) == Seq("a") && c1.contains("007"))
+      val (p2, c2) = t.scrollPage("qz", c1, 1)
+      assert(p2.map(_.id) == Seq("007") && c2.contains("b"))
+      assert(server.bodiesOf("POST /collections/qz/points/scroll")
+        .exists(_.contains("\"offset\":\"007\"")))
+      val (p3, c3) = t.scrollPage("qz", c2, 1)
+      assert(p3.map(_.id) == Seq("b") && c3.isEmpty)
+    } finally server.stop()
+  }
+
+  test("qdrant wire: quotes in pushed filter values survive the wire as JSON") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    val t = new QdrantWireTransport(server.url)
+    try {
+      t.createCollection("qq", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("qq", Seq(
+        VSRecord("1", Array(1f, 2f), Map("lbl" -> """he said "hi"""")),
+        VSRecord("2", Array(1f, 2f), Map("lbl" -> "plain"))))
+      val d = new QdrantFilterDialect
+      val rendered = d.render(
+        org.apache.spark.sql.sources.EqualTo("metadata.lbl", """he said "hi"""")).get
+      val (recs, _) = t.scrollPageFiltered("qq", None, 10, Some(rendered))
+      assert(recs.map(_.id) == Seq("1"), recs.map(_.id).toString)
+    } finally server.stop()
+  }
+
   test("qdrant wire: scroll filter evaluated SERVER-side; search verb native") {
     val server = new QdrantWireServer(new InMemoryStore)
     val t = new QdrantWireTransport(server.url)

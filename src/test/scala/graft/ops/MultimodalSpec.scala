@@ -97,6 +97,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Mp4Meta.parse(Array[Byte](1, 2, 3, 4)).isEmpty)
   }
 
+  test("Mp4Meta reads version-1 mvhd (64-bit times) correctly") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    // v1 mvhd: [ver=1 + flags][creation 8][modification 8][timescale 4]
+    // [duration 8] + the remaining 80 fixed bytes
+    val mvhdV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++
+        be32(600) ++ be32(0) ++ be32(3000) ++ Array.fill[Byte](80)(0))
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++ box("moov", mvhdV1)
+    val m = Multimodal.Mp4Meta.parse(mp4).get
+    assert(m.timescale == 600 && m.durationMs == 3000L * 1000 / 600, m.toString)
+    // unknown versions refuse rather than misparse
+    val mvhdV9 = box("mvhd", Array[Byte](9, 0, 0, 0) ++ Array.fill[Byte](96)(0))
+    assert(Multimodal.Mp4Meta.parse(
+      box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++ box("moov", mvhdV9)).isEmpty)
+  }
+
+  test("AudioCodec honors container byte order: AIFF decodes equal to WAV") {
+    import javax.sound.sampled._
+    val d = 11L
+    val wavFeatures = Multimodal.AudioCodec.decode(Multimodal.syntheticWav(d)).get
+    // same PCM samples packaged as big-endian AIFF via the JDK writer
+    val n = (64 + d % 64).toInt
+    val pcmBE = new Array[Byte](n * 2)
+    (0 until n).foreach { k =>
+      val s = (((d * 131 + k * 17) % 65536) - 32768).toInt
+      pcmBE(2 * k) = ((s >> 8) & 0xff).toByte
+      pcmBE(2 * k + 1) = (s & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, true) // signed PCM16 BE
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcmBE), fmt, n.toLong),
+      AudioFileFormat.Type.AIFF, out)
+    val aiff = Multimodal.AudioCodec.decode(out.toByteArray).get
+    assert(aiff.absSum == wavFeatures.absSum && aiff.sqSum == wavFeatures.sqSum &&
+      aiff.zeroCrossings == wavFeatures.zeroCrossings,
+      s"$aiff vs $wavFeatures")
+  }
+
   test("sampleFrames emits strided frame indices without touching bytes") {
     val out = Multimodal.sampleFrames(
       Multimodal.packBinary(docs)
