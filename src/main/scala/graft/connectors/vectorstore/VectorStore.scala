@@ -103,7 +103,15 @@ trait VectorStoreTransport extends Serializable {
 
   /** Native top-k by the spec's metric, ties broken on id ascending (the
     * engine's canonical search order), after the optional rendered
-    * filter. None = unsupported → caller scans + scores. */
+    * filter. None = unsupported → caller scans + scores.
+    *
+    * Fidelity note: the loopback servers compute EXACT top-k (and the
+    * plan's Sort re-scores returned rows, so ordering is always exact),
+    * but a real cluster answers from its ANN index (HNSW/IVF) — RECALL
+    * of the returned candidate set is then the backend's, tuned by its
+    * index params, exactly as for any client of that backend. A caller
+    * needing exact results against a real cluster scans + scores
+    * (disable the search pushdown) and pays the full read. */
   def nativeSearch(name: String, sp: SearchSpec,
                    filter: Option[String]): Option[Seq[VSRecord]] = None
 
