@@ -121,6 +121,7 @@ object Main {
           graft.core.SigIndex.readDocs(spark, cfg), cfg.indexDir, cfg.params,
           cfg.novelOutput)
         println(s"ingest complete: ${r.batchDocs} batch docs, " +
+          s"${r.alreadyIndexed} already indexed, " +
           s"${r.corpusDups} near-duplicates of history, " +
           s"${r.withinBatchDups} collapsed within the batch, ${r.novelDocs} novel" +
           cfg.novelOutput.map(o => s" -> $o").getOrElse(""))

@@ -90,8 +90,10 @@ abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
       .mode(if (load.recreate) "overwrite" else "append")
       .save()
     // true per-writer accounting from the commit messages — counts upserted
-    // AND skipped records, which a before/after size diff cannot see
-    val (written, skipped) = VSWriteStats.get(load.collection)
+    // AND skipped records, which a before/after size diff cannot see;
+    // keyed by THIS write's endpoint so concurrent same-named collections
+    // on other endpoints never alias
+    val (written, skipped) = VSWriteStats.get(specOf(connection), load.collection)
       .getOrElse((VectorStore.resolve(specOf(connection)).count(load.collection).toLong, 0L))
     WriteReport(written = written, skipped = skipped)
   }

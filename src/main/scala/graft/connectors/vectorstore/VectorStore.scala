@@ -80,6 +80,31 @@ trait VectorStoreTransport extends Serializable {
                          filter: Option[String]): (Seq[VSRecord], Option[String]) =
     scrollPage(name, cursor, pageSize)
 
+  /** Integer-offset compat shim over the native cursor walk, shared by
+    * cursor-paged transports (their wire cannot address offsets): walks
+    * [[scrollPage]], drops `fromIdx` records, returns up to `pageSize`.
+    * O(fromIdx) wire traffic — primary read paths use the cursor
+    * directly. An empty page only ends the walk when no continuation
+    * cursor came with it (a live cursor with an empty page can happen on
+    * real backends when records move between pages). */
+  protected def scrollViaCursor(name: String, fromIdx: Int,
+                                pageSize: Int): Seq[VSRecord] = {
+    var skipped = 0
+    var cursor: Option[String] = None
+    var first = true
+    val out = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
+    while (out.length < pageSize && (first || cursor.isDefined)) {
+      val (recs, next) = scrollPage(name, cursor, pageSize)
+      first = false
+      if (recs.isEmpty && next.isEmpty) return out.toSeq
+      val drop = math.max(0, math.min(fromIdx - skipped, recs.length))
+      skipped += drop
+      out ++= recs.drop(drop).take(pageSize - out.length)
+      cursor = next
+    }
+    out.toSeq
+  }
+
   /** True when [[scrollFiltered]]/[[scrollPageFiltered]] actually apply
     * the filter at the backend (vs the default ignore-and-let-the-reader-
     * re-check). Gates LIMIT/OFFSET pushdown: with pushed filters, a

@@ -285,7 +285,7 @@ class VSDeltaBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
     deltas.flatMap(_.upserts).grouped(batchSize).foreach { b =>
       written += store.upsert(collection, b.toSeq)
     }
-    VSWriteStats.record(collection, written, deltas.map(_.skipped).sum,
+    VSWriteStats.record(spec, collection, written, deltas.map(_.skipped).sum,
       deletes.length.toLong)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -923,12 +923,21 @@ case class VSCommit(written: Long, skipped: Long) extends WriterCommitMessage
   * (SQL UPDATE/MERGE/DELETE) additionally report rows removed. */
 object VSWriteStats {
   private val last = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
-  def record(collection: String, written: Long, skipped: Long, deleted: Long = 0L): Unit =
-    last.put(collection, (written, skipped, deleted))
+  // keyed by ENDPOINT + collection: two same-named collections on
+  // different endpoints (the dual-endpoint migration case TransportSpec
+  // exists for) must not clobber each other's accounting
+  private def key(spec: TransportSpec, collection: String): String =
+    s"${spec.url.getOrElse("local")}::$collection"
+  def record(spec: TransportSpec, collection: String, written: Long,
+             skipped: Long, deleted: Long = 0L): Unit =
+    last.put(key(spec, collection), (written, skipped, deleted))
+  def get(spec: TransportSpec, collection: String): Option[(Long, Long)] =
+    Option(last.get(key(spec, collection))).map { case (w, s, _) => (w, s) }
   def get(collection: String): Option[(Long, Long)] =
-    Option(last.get(collection)).map { case (w, s, _) => (w, s) }
-  def deleted(collection: String): Long =
-    Option(last.get(collection)).map(_._3).getOrElse(0L)
+    get(TransportSpec.Local, collection)
+  def deleted(spec: TransportSpec, collection: String): Long =
+    Option(last.get(key(spec, collection))).map(_._3).getOrElse(0L)
+  def deleted(collection: String): Long = deleted(TransportSpec.Local, collection)
 }
 
 class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
@@ -942,7 +951,7 @@ class VSBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
       case ((aw, as), VSCommit(cw, cs)) => (aw + cw, as + cs)
       case (acc, _) => acc
     }
-    VSWriteStats.record(collection, w, s)
+    VSWriteStats.record(spec, collection, w, s)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

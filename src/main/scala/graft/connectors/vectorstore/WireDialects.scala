@@ -211,12 +211,7 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
     // numeric point ids ride as JSON numbers, but ONLY when the text
     // round-trips through Long exactly ('007' and >19-digit ids stay
     // strings — a lossy coercion would address the wrong point)
-    cursor.foreach { c =>
-      c.toLongOption.filter(_.toString == c) match {
-        case Some(l) => b.put("offset", l)
-        case None => b.put("offset", c)
-      }
-    }
+    cursor.foreach(c => putId(b, "offset", c))
     b.put("limit", pageSize)
     b.put("with_payload", true)
     b.put("with_vector", true)
@@ -247,25 +242,8 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
     Some((0 until res.size()).map(i => pointToRecord(res.get(i))))
   }
 
-  /** Integer-offset compat shim over the cursor walk: O(fromIdx) wire
-    * traffic — primary read paths go through [[scrollPage]] instead
-    * (cursor-paged scans, [[VSTable.deleteWhere]]). */
-  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
-    var skipped = 0
-    var cursor: Option[String] = None
-    var first = true
-    val out = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
-    while (out.length < pageSize && (first || cursor.isDefined)) {
-      val (recs, next) = scrollPage(name, cursor, pageSize)
-      first = false
-      if (recs.isEmpty) return out.toSeq
-      val drop = math.max(0, math.min(fromIdx - skipped, recs.length))
-      skipped += drop
-      out ++= recs.drop(drop).take(pageSize - out.length)
-      cursor = next
-    }
-    out.toSeq
-  }
+  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] =
+    scrollViaCursor(name, fromIdx, pageSize)
 
   override def count(name: String): Int = {
     val b = obj(); b.put("exact", true)
@@ -273,12 +251,22 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
       .get("result").get("count").asInt()
   }
 
+  /** Real Qdrant accepts only UNSIGNED-INT or UUID point ids — digit
+    * ids (the exact form `WriteRules.coerceDigitIds` produces) must ride
+    * as JSON numbers; everything else travels as a string and a real
+    * cluster adjudicates it. Same round-trip rule as the scroll cursor. */
+  private def putId(node: ObjectNode, field: String, id: String): Unit =
+    id.toLongOption.filter(l => l >= 0 && l.toString == id) match {
+      case Some(l) => node.put(field, l)
+      case None => node.put(field, id)
+    }
+
   override def upsert(name: String, records: Seq[VSRecord]): Int = {
     val b = obj()
     val pts = b.putArray("points")
     records.foreach { r =>
       val p = pts.addObject()
-      p.put("id", r.id)
+      putId(p, "id", r.id)
       if (r.vector != null) putFloats(p, "vector", r.vector)
       val payload = p.putObject("payload")
       r.metadata.foreach { case (k, v) =>
@@ -294,7 +282,12 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
   override def delete(name: String, ids: Seq[String]): Int = {
     val b = obj()
     val pts = b.putArray("points")
-    ids.foreach(pts.add)
+    ids.foreach { id =>
+      id.toLongOption.filter(l => l >= 0 && l.toString == id) match {
+        case Some(l) => pts.add(l)
+        case None => pts.add(id)
+      }
+    }
     val r = call("POST", s"/collections/${enc(name)}/points/delete?wait=true", Some(b))
     Option(r.get("result")).flatMap(n => Option(n.get("deleted")))
       .map(_.asInt()).getOrElse(ids.length)
@@ -384,18 +377,37 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     try { post("collections/describe", named(name)); true }
     catch { case _: NoSuchElementException => false }
 
+  /** Real v2 `collections/describe` nests the metric inside the `indexes`
+    * array and renders `properties` / field `params` as `[{key,value}]`
+    * pair lists — this parser reads that shape first and falls back to
+    * the flat object forms, so both a real cluster and simpler doubles
+    * describe correctly (and nothing NPEs on an absent field). */
   override def describe(name: String): Option[CollectionConfig] =
     try {
       val d = post("collections/describe", named(name)).get("data")
-      val vecField = d.get("fields").asInstanceOf[ArrayNode].asScala
-        .find(f => f.get("type").asText().endsWith("Vector"))
+      // {key,value} pair-list OR flat object -> Map
+      def kvMap(n: JsonNode): Map[String, String] =
+        if (n == null || n.isNull) Map.empty
+        else if (n.isArray) n.asInstanceOf[ArrayNode].asScala
+          .flatMap(e => Option(e.get("key")).map(k =>
+            k.asText() -> Option(e.get("value")).map(_.asText()).orNull)).toMap
+        else metadataFrom(n)
+      val vecField = Option(d.get("fields")).filter(_.isArray)
+        .flatMap(_.asInstanceOf[ArrayNode].asScala
+          .find(f => Option(f.get("type")).exists(_.asText().endsWith("Vector"))))
+      val dim = vecField.flatMap(f => Option(f.get("params"))).map(kvMap)
+        .flatMap(_.get("dim")).flatMap(_.toIntOption).getOrElse(0)
+      val metric = Option(d.get("metricType")).map(_.asText())
+        .orElse(Option(d.get("indexes")).filter(_.isArray)
+          .flatMap(_.asInstanceOf[ArrayNode].asScala.iterator
+            .flatMap(i => Option(i.get("metricType")).map(_.asText())).nextOption()))
+        .getOrElse("COSINE")
+      val props = kvMap(d.get("properties"))
       Some(CollectionConfig(
-        distance = fromMetric(d.get("metricType").asText()),
-        dim = vecField.map(_.get("params").get("dim").asInt()).getOrElse(0),
-        onDisk = Option(d.get("properties")).exists(p =>
-          p.hasNonNull("on_disk") && p.get("on_disk").asText() == "true"),
-        props = Option(d.get("properties")).map(metadataFrom)
-          .getOrElse(Map.empty).removed("on_disk"),
+        distance = fromMetric(metric),
+        dim = dim,
+        onDisk = props.get("on_disk").contains("true"),
+        props = props.removed("on_disk"),
         vectorType = vecField.map(_.get("type").asText()) match {
           case Some("BinaryVector") => VectorTypes.Binary
           case _ => VectorTypes.Float
@@ -429,10 +441,13 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     (0 until rows.size()).map(i => rowToRecord(rows.get(i)))
   }
 
-  private def rowToRecord(row: JsonNode): VSRecord = {
+  /** `dropScore` only on SEARCH responses, where `distance` is the score
+    * field — a user metadata key legitimately named "distance" must
+    * survive plain query reads. */
+  private def rowToRecord(row: JsonNode, dropScore: Boolean = false): VSRecord = {
     val meta = row.properties().asScala
       .filterNot(e => e.getKey == "id" || e.getKey == "vector" ||
-        e.getKey == "distance")
+        (dropScore && e.getKey == "distance"))
       .map(e => e.getKey -> (if (e.getValue.isNull) null
       else if (e.getValue.isTextual) e.getValue.asText()
       else e.getValue.toString)).toMap
@@ -464,7 +479,7 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     filter.foreach(f => b.put("filter", f))
     val of = b.putArray("outputFields"); of.add("*")
     val rows = post("entities/search", b).get("data").asInstanceOf[ArrayNode]
-    Some((0 until rows.size()).map(i => rowToRecord(rows.get(i))))
+    Some((0 until rows.size()).map(i => rowToRecord(rows.get(i), dropScore = true)))
   }
 
   override def count(name: String): Int = {
@@ -491,7 +506,10 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
 
   override def delete(name: String, ids: Seq[String]): Int = {
     val b = named(name)
-    b.put("filter", ids.map(i => "\"" + i + "\"").mkString("id in [", ", ", "]"))
+    // litStr escaping ('' for embedded quotes) — the same literal form
+    // MilvusExprDialect renders, so ids with quotes survive the expr
+    b.put("filter", ids.map(i => s"'${i.replace("'", "''")}'")
+      .mkString("id in [", ", ", "]"))
     val r = post("entities/delete", b)
     Option(r.get("data")).flatMap(d => Option(d.get("deleteCount")))
       .map(_.asInt()).getOrElse(ids.length)
@@ -594,6 +612,13 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None)
     * on the next request — it never constructs or decodes a token. */
   override def cursorPaged: Boolean = true
 
+  /** Real Pinecone caps `/vectors/list` at limit ≤ 100, so a page
+    * request larger than that is served as a ≤100-record page — the
+    * cursor walk simply takes more pages ([[VSPaging]] consumes pages of
+    * ANY size). Fetches batch ≤100 ids per request to keep the URL
+    * within practical limits. */
+  private val listCap = 100
+
   override def scrollPage(name: String, cursor: Option[String],
                           pageSize: Int): (Seq[VSRecord], Option[String]) = {
     val (ix, ns) = split(name)
@@ -601,23 +626,25 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None)
     // vectors for the page
     val tok = cursor.map(c => s"&paginationToken=${enc(c)}").getOrElse("")
     val listed = call("GET", s"/vectors/list?index=${enc(ix)}&namespace=${enc(ns)}" +
-      s"&limit=$pageSize$tok")
+      s"&limit=${math.min(pageSize, listCap)}$tok")
     val idNodes = listed.get("vectors").asInstanceOf[ArrayNode]
     val ids = (0 until idNodes.size()).map(i => idNodes.get(i).get("id").asText())
     val next = Option(listed.get("pagination")).flatMap(p => Option(p.get("next")))
       .filterNot(_.isNull).map(_.asText())
     if (ids.isEmpty) return (Seq.empty, next)
-    val fetched = call("GET", s"/vectors/fetch?index=${enc(ix)}&namespace=${enc(ns)}" +
-      ids.map(i => s"&ids=${enc(i)}").mkString)
-    val vecs = fetched.get("vectors")
-    val recs = ids.flatMap { id =>
-      Option(vecs.get(id)).map { v =>
-        VSRecord(id,
-          if (v.hasNonNull("values")) floats(v.get("values")) else null,
-          metadataFrom(v.get("metadata")))
+    val byId = ids.grouped(listCap).flatMap { batch =>
+      val fetched = call("GET", s"/vectors/fetch?index=${enc(ix)}&namespace=${enc(ns)}" +
+        batch.map(i => s"&ids=${enc(i)}").mkString)
+      val vecs = fetched.get("vectors")
+      batch.flatMap { id =>
+        Option(vecs.get(id)).map { v =>
+          id -> VSRecord(id,
+            if (v.hasNonNull("values")) floats(v.get("values")) else null,
+            metadataFrom(v.get("metadata")))
+        }
       }
-    }
-    (recs, next)
+    }.toMap
+    (ids.flatMap(byId.get), next)
   }
 
   /** Native `POST /query`: cosine top-k with `includeValues`/
@@ -647,24 +674,8 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None)
     })
   }
 
-  /** Integer-offset compat shim over the token walk — primary read paths
-    * use [[scrollPage]]. */
-  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] = {
-    var skipped = 0
-    var cursor: Option[String] = None
-    var first = true
-    val out = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
-    while (out.length < pageSize && (first || cursor.isDefined)) {
-      val (recs, next) = scrollPage(name, cursor, pageSize)
-      first = false
-      if (recs.isEmpty && next.isEmpty) return out.toSeq
-      val drop = math.max(0, math.min(fromIdx - skipped, recs.length))
-      skipped += drop
-      out ++= recs.drop(drop).take(pageSize - out.length)
-      cursor = next
-    }
-    out.toSeq
-  }
+  override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] =
+    scrollViaCursor(name, fromIdx, pageSize)
 
   override def upsert(name: String, records: Seq[VSRecord]): Int = {
     val (ix, ns) = split(name)

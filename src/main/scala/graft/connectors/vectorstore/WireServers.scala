@@ -372,16 +372,19 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
           inner.describe(name) match {
             case None => milvusErr(ex, 100, s"collection not found[collection=$name]")
             case Some(cfg) =>
-              val d = obj()
-              d.put("collectionName", name)
-              d.put("metricType", cfg.distance match {
+              // REAL v2 response shape: the metric lives in the `indexes`
+              // array, and properties / field params are {key,value}
+              // pair LISTS, not flat objects
+              val metric = cfg.distance match {
                 case "Cosine" => "COSINE"
                 case "Euclid" | "Euclidean" => "L2"
                 case "Dot" | "DotProduct" => "IP"
                 case "Hamming" => "HAMMING"
                 case "Jaccard" => "JACCARD"
                 case other => other
-              })
+              }
+              val d = obj()
+              d.put("collectionName", name)
               val fields = d.putArray("fields")
               val idF = fields.addObject()
               idF.put("name", "id"); idF.put("type", "VarChar"); idF.put("primaryKey", true)
@@ -389,10 +392,17 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
               vecF.put("name", "vector")
               vecF.put("type",
                 if (cfg.vectorType == VectorTypes.Binary) "BinaryVector" else "FloatVector")
-              vecF.putObject("params").put("dim", cfg.dim)
-              val p = d.putObject("properties")
-              cfg.props.foreach { case (k, v) => p.put(k, v) }
-              if (cfg.onDisk) p.put("on_disk", "true")
+              val dimKv = vecF.putArray("params").addObject()
+              dimKv.put("key", "dim"); dimKv.put("value", cfg.dim.toString)
+              val ixs = d.putArray("indexes")
+              val ix = ixs.addObject()
+              ix.put("fieldName", "vector"); ix.put("indexName", "vector")
+              ix.put("metricType", metric)
+              val ps = d.putArray("properties")
+              (cfg.props ++ (if (cfg.onDisk) Map("on_disk" -> "true") else Map.empty))
+                .foreach { case (k, v) =>
+                  val kv = ps.addObject(); kv.put("key", k); kv.put("value", v)
+                }
               respond(ex, 200, ok(d))
           }
         case "collections/drop" =>
@@ -472,8 +482,13 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
         case "entities/delete" =>
           if (!inner.exists(name))
             return milvusErr(ex, 100, s"collection not found[collection=$name]")
+          // parse the expr through the engine's own parser instead of a
+          // regex — quotes in ids survive, and non-id filters raise
           val filter = Option(body.get("filter")).map(_.asText()).getOrElse("")
-          val ids = "\"([^\"]*)\"".r.findAllMatchIn(filter).map(_.group(1)).toSeq
+          val ids = WireFilters.fromMilvusExpr(filter) match {
+            case org.apache.spark.sql.sources.In("id", vs) => vs.map(String.valueOf).toSeq
+            case other => throw new IllegalArgumentException(s"unsupported delete filter: $other")
+          }
           val n = inner.delete(name, ids)
           val d = obj()
           d.put("deleteCount", n)

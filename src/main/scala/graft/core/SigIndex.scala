@@ -30,8 +30,9 @@ object SigIndex {
                     portable: Boolean = false,
                     idCol: String = "doc_id", textCol: String = "text")
 
-  case class IngestReport(batchDocs: Long, corpusDups: Long,
-                          withinBatchDups: Long, novelDocs: Long)
+  case class IngestReport(batchDocs: Long, alreadyIndexed: Long,
+                          corpusDups: Long, withinBatchDups: Long,
+                          novelDocs: Long)
 
   /** Build the index from a corpus; returns the number of indexed docs
     * (docs with at least one shingle). Writes a `params.json` MANIFEST
@@ -89,7 +90,16 @@ object SigIndex {
     }
     val sigs = spark.read.parquet(s"$indexDir/sigs")
     val bands = spark.read.parquet(s"$indexDir/bands")
-    val widths = spark.read.parquet(s"$indexDir/widths")
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    // self-heal: widths/ can be missing if a crash hit the swap window
+    // below — it is DERIVED state, rebuilt from the banded face.
+    // MATERIALIZED: the healed plan must not re-list bands/ after this
+    // ingest's own append lands there (it would double-count the batch)
+    val widths =
+      if (fsys.exists(new org.apache.hadoop.fs.Path(s"$indexDir/widths")))
+        spark.read.parquet(s"$indexDir/widths")
+      else graft.ops.Materialize(Dedup.bucketWidths(bands, params.idCol))
     // leg 1: already-indexed ids never re-process (idempotent re-ingest)
     val fresh = batch.join(sigs.select(col(p.idCol)), Seq(p.idCol), "left_anti")
     // leg 2: near-dups of the corpus
@@ -126,15 +136,16 @@ object SigIndex {
       // swap via the filesystem rename
       val merged = Dedup.mergeBucketWidths(widths,
         Dedup.bucketWidths(novelBands, p.idCol))
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
       val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/widths__next")
       val cur = new org.apache.hadoop.fs.Path(s"$indexDir/widths")
       merged.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(cur, true)
-      fs.rename(tmp, cur)
+      fsys.delete(cur, true)
+      if (!fsys.rename(tmp, cur))
+        throw new java.io.IOException(
+          s"rename $tmp -> $cur failed; widths/ is absent but self-heals on next ingest")
     }
-    IngestReport(batchN, dupN, batchN - dupN - novelN, novelN)
+    val freshN = fresh.count()
+    IngestReport(batchN, batchN - freshN, dupN, freshN - dupN - novelN, novelN)
   }
 
   // ---------------------------------------------------------- manifest
@@ -153,24 +164,38 @@ object SigIndex {
     * manifest exists. Callers assembling their own plans over the
     * artifacts (e.g. [[graft.streaming.StreamOps.streamingIncrementalDedupIndexed]])
     * should use these, not guesses. */
-  def readManifest(spark: SparkSession, indexDir: String): Option[Params] =
-    try {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-      val path = new org.apache.hadoop.fs.Path(s"$indexDir/params.json")
-      if (!fs.exists(path)) None
-      else {
-        val in = fs.open(path)
-        val text = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-        Some(Params(
-          numHashes = n.get("num_hashes").asInt(),
-          numBands = n.get("num_bands").asInt(),
-          shingleSize = n.get("shingle_size").asInt(),
-          portable = n.get("portable").asBoolean()))
-      }
-    } catch { case _: Exception => None }
+  def readManifest(spark: SparkSession, indexDir: String): Option[Params] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/params.json")
+    // ONLY a genuinely-absent manifest means "pre-manifest index". An IO
+    // or parse failure must RAISE: swallowing it would silently fall back
+    // to caller-supplied structural params — the exact corruption the
+    // manifest exists to prevent (mismatched hashes admit every dup).
+    if (!fs.exists(path)) None
+    else {
+      val text =
+        try {
+          val in = fs.open(path)
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        } catch { case e: java.io.IOException =>
+          throw new graft.config.ConfigException(
+            s"cannot read $path: ${e.getMessage} — refusing to guess hashing params")
+        }
+      val n =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        catch { case e: Exception =>
+          throw new graft.config.ConfigException(
+            s"corrupt index manifest $path: ${e.getMessage}")
+        }
+      Some(Params(
+        numHashes = n.get("num_hashes").asInt(),
+        numBands = n.get("num_bands").asInt(),
+        shingleSize = n.get("shingle_size").asInt(),
+        portable = n.get("portable").asBoolean()))
+    }
+  }
 
   // ------------------------------------------------------------- config
 
