@@ -94,6 +94,64 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("qdrant wire: digit ids ride as JSON numbers in upsert and delete") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    val t = new QdrantWireTransport(server.url)
+    try {
+      t.createCollection("qn", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("qn", Seq(
+        VSRecord("1", Array(1f, 2f), Map.empty),
+        VSRecord("aa", Array(1f, 2f), Map.empty),
+        VSRecord("007", Array(1f, 2f), Map.empty))) // non-canonical digits
+      val up = server.bodyOf("PUT /collections/qn/points").get
+      // real Qdrant accepts only uint/uuid ids: digits must be numbers,
+      // strings (and non-round-tripping digits) stay strings
+      assert(up.contains("\"id\":1") && up.contains("\"id\":\"aa\"") &&
+        up.contains("\"id\":\"007\""), up)
+      t.delete("qn", Seq("1", "aa"))
+      val del = server.bodyOf("POST /collections/qn/points/delete").get
+      assert(del.contains("[1,\"aa\"]") || del.contains("1,\"aa\""), del)
+      assert(t.count("qn") == 1)
+    } finally server.stop()
+  }
+
+  test("dual-endpoint writes: same collection name, separate accounting") {
+    import graft.model.Canonical
+    val sA = new QdrantWireServer(new InMemoryStore)
+    val sB = new QdrantWireServer(new InMemoryStore)
+    try {
+      def write(url: String, n: Int): Unit =
+        (0 until n).map(i => (s"$i", Seq(1f, 2f), Map("k" -> "v")))
+          .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+          .write.format("graft-qdrant").option("url", url)
+          .option("collection", "dual").option("recreate", "true")
+          .mode("overwrite").save()
+      write(sA.url, 7)
+      write(sB.url, 3)
+      def specFor(url: String) = TransportSpec(url = Some(url), backend = "qdrant")
+      // endpoint-keyed: B's write must not clobber A's counts
+      assert(VSWriteStats.get(specFor(sA.url), "dual").contains((7L, 0L)))
+      assert(VSWriteStats.get(specFor(sB.url), "dual").contains((3L, 0L)))
+    } finally { sA.stop(); sB.stop() }
+  }
+
+  test("milvus wire: describe serves and parses the REAL v2 response shape") {
+    val server = new MilvusWireServer(new InMemoryStore)
+    val t = new MilvusWireTransport(server.url)
+    try {
+      t.createCollection("md", CollectionConfig(distance = "Euclid", dim = 5,
+        props = Map("mmap" -> "on")), recreate = true)
+      val cfg = t.describe("md").get
+      assert(cfg.distance == "Euclid" && cfg.dim == 5 &&
+        cfg.props == Map("mmap" -> "on"), cfg.toString)
+      // the wire body is the real shape: metric inside `indexes`,
+      // properties/field params as {key,value} pair lists
+      val resp = server.requestLines.count(
+        _.startsWith("POST /v2/vectordb/collections/describe"))
+      assert(resp >= 1)
+    } finally server.stop()
+  }
+
   test("qdrant wire: non-canonical numeric ids keep their string cursor form") {
     val server = new QdrantWireServer(new InMemoryStore)
     val t = new QdrantWireTransport(server.url)
