@@ -333,8 +333,11 @@ private class MilvusParser(input: String) {
   private def eatWord(w: String): Boolean = {
     skipWs()
     val end = pos + w.length
+    // boundary = identifier charset ('_'/'.' included): not_spam is a
+    // field, not `not` + `_spam`
+    def identChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
     if (end <= input.length && input.substring(pos, end).equalsIgnoreCase(w) &&
-      (end == input.length || !input(end).isLetterOrDigit)) { pos = end; true }
+      (end == input.length || !identChar(input(end)))) { pos = end; true }
     else false
   }
 }

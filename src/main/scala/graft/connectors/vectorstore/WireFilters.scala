@@ -89,8 +89,11 @@ private class MilvusFilterParser(input: String) {
 
   private def peekWord(w: String): Boolean = {
     skipWs()
+    // boundary must match the IDENTIFIER charset ('_' and '.' included):
+    // a field named not_spam must not tokenize as `not` + `_spam`
+    def identChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
     input.regionMatches(true, pos, w, 0, w.length) &&
-      (pos + w.length >= input.length || !input(pos + w.length).isLetterOrDigit)
+      (pos + w.length >= input.length || !identChar(input(pos + w.length)))
   }
 
   private def eat(s: String): Boolean = {

@@ -106,12 +106,20 @@ private[vectorstore] abstract class WireServer(port: Int) {
       Option(uri.getRawQuery).map("?" + _).getOrElse("")
     val body = readBody(ex)
     log.add(line -> body.toString)
-    auth.foreach { case (header, value) =>
-      if (Option(ex.getRequestHeaders.getFirst(header)).forall(_ != value))
-        return err(ex, 401, s"invalid or missing $header")
+    // plain conditional, NOT a return inside the Option lambda: a
+    // non-local return throws NonLocalReturnControl, which the Throwable
+    // handler below would catch and answer a second time on the closed
+    // exchange
+    val denied = auth.collect {
+      case (header, value)
+        if Option(ex.getRequestHeaders.getFirst(header)).forall(_ != value) => header
     }
-    val parts = uri.getPath.split("/").filter(_.nonEmpty)
-    route(ex.getRequestMethod, parts, parseQuery(uri.getRawQuery), body, ex)
+    if (denied.isDefined)
+      err(ex, 401, s"invalid or missing ${denied.get}")
+    else {
+      val parts = uri.getPath.split("/").filter(_.nonEmpty)
+      route(ex.getRequestMethod, parts, parseQuery(uri.getRawQuery), body, ex)
+    }
   } catch {
     case e: NoSuchElementException =>
       err(ex, 404, Option(e.getMessage).getOrElse("not found"))
@@ -154,7 +162,12 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
 
   private def recordToPoint(r: VSRecord): ObjectNode = {
     val p = obj()
-    p.put("id", r.id)
+    // real Qdrant returns uint point ids as JSON NUMBERS — mirror the
+    // client's round-trip rule so response bodies are wire-faithful too
+    r.id.toLongOption.filter(l => l >= 0 && l.toString == r.id) match {
+      case Some(l) => p.put("id", l)
+      case None => p.put("id", r.id)
+    }
     if (r.vector != null) putFloats(p, "vector", r.vector)
     val payload = p.putObject("payload")
     r.metadata.foreach { case (k, v) => if (v == null) payload.putNull(k) else payload.put(k, v) }

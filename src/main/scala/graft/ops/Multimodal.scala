@@ -106,9 +106,15 @@ object Multimodal {
       var hash = 0L
       val bits = new StringBuilder(64)
       val wh = w.toLong * h
+      // the exact rational compare blockSum*wh > total*blockPix overflows
+      // Long past ~1e8 pixels (blockSum can reach 765*wh); rare gigapixel
+      // inputs take the BigInt path so the hash stays exact for ANY size
+      val big = wh > 100000000L
       var j = 0
       while (j < 64) {
-        val set = blockSum(j) * wh > total * blockPix(j)
+        val set =
+          if (big) BigInt(blockSum(j)) * wh > BigInt(total) * blockPix(j)
+          else blockSum(j) * wh > total * blockPix(j)
         if (set) hash |= 1L << j
         bits.append(if (set) '1' else '0')
         j += 1
@@ -375,11 +381,21 @@ object Multimodal {
         private var p = lo
         override def hasNext: Boolean = p + 8 <= hi
         override def next(): (String, Int, Int) = {
-          val size = u32(b, p)
+          val size32 = u32(b, p)
           val tpe = fourcc(b, p + 4)
-          if (size < 8 || p + size > hi)
+          // ISO-BMFF size escapes: 0 = box extends to end of enclosure;
+          // 1 = 64-bit largesize follows the type (files > 4 GB put it
+          // on mdat — metadata parsing must walk past, not abort)
+          val (payloadStart, size) =
+            if (size32 == 0) (p + 8, (hi - p).toLong)
+            else if (size32 == 1) {
+              if (p + 16 > hi)
+                throw new IllegalArgumentException(s"truncated largesize at $p")
+              (p + 16, (u32(b, p + 8) << 32) | u32(b, p + 12))
+            } else (p + 8, size32)
+          if (size < payloadStart - p || p + size > hi)
             throw new IllegalArgumentException(s"bad box size $size at $p")
-          val r = (tpe, p + 8, p + size.toInt)
+          val r = (tpe, payloadStart, p + size.toInt)
           p += size.toInt
           r
         }
@@ -497,5 +513,9 @@ object Multimodal {
     * touching payload bytes. */
   def sampleFrames(media: DataFrame, nFramesCol: String = "n_frames", stride: Int = 4): DataFrame =
     media.withColumn("sampled_frames",
-      sequence(lit(0), greatest(col(nFramesCol) - 1, lit(0)), lit(stride)))
+      // zero or NULL frames -> EMPTY plan, not [0]: there is no frame 0
+      // of a frameless (or undecodable) payload
+      when(col(nFramesCol).isNull || col(nFramesCol) <= 0,
+        array().cast("array<int>"))
+        .otherwise(sequence(lit(0), col(nFramesCol) - 1, lit(stride))))
 }

@@ -46,9 +46,14 @@ object StreamOps {
   case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long,
                         session_value: Double, duration_us: Long)
 
-  /** Stateful gap sessionization: emits a session when `gapMinutes` pass
-    * without events for a user (event-time via processing-timeout on the
-    * state — emitted on timeout or stream end). */
+  /** Stateful gap sessionization: a session is emitted when the
+    * event-time WATERMARK passes `gapMinutes` beyond its last event
+    * (EventTimeTimeout). NOTE the structural consequence: a trailing open
+    * session is only emitted once NEWER events advance the watermark past
+    * its gap — a stream that simply stops leaves its last sessions in
+    * state (flatMapGroupsWithState has no end-of-stream hook). Drain by
+    * appending a late heartbeat event past the gap, or read the final
+    * state via the batch twin [[graft.ops.Sessionize]]. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
@@ -65,11 +70,16 @@ object StreamOps {
             Iterator(SessionOut(user, s.sessionStart, s.nEvents, s.sumValue,
               s.lastSeen - s.sessionStart))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // microsecond-exact (Timestamp.getTime truncates to ms; the
+            // batch twin Sessionize compares unix_micros — boundary gaps
+            // within the same ms must split identically)
+            def micros(t: Timestamp): Long =
+              math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var st = state.getOption
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = micros(e.ts)
               st match {
                 case Some(s) if us - s.lastSeen <= gapUs =>
                   st = Some(s.copy(lastSeen = us, nEvents = s.nEvents + 1,
@@ -199,7 +209,8 @@ object StreamOps {
                                 numHashes: Int = 16, numBands: Int = 4,
                                 threshold: Double = 0.3, maxBucket: Int = 1000,
                                 watermark: String = "1 hour",
-                                portable: Boolean = true): DataFrame = {
+                                portable: Boolean = true,
+                                shingleSize: Int = 3): DataFrame = {
     import graft.ops.Dedup
     val rowsPerBand = numHashes / numBands
     // static side: banded + skew-guarded ONCE (materialized so microbatches
@@ -214,7 +225,7 @@ object StreamOps {
         .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"),
           col("minhash_sig").as("sig_c")))
     incrementalDedupAgainst(docs, staticSide, idCol, textCol, tsCol,
-      numHashes, numBands, threshold, watermark, portable)
+      numHashes, numBands, threshold, watermark, portable, shingleSize)
   }
 
   /** [[streamingIncrementalDedup]] over the PERSISTED index artifacts
@@ -231,7 +242,8 @@ object StreamOps {
                                        numHashes: Int = 16, numBands: Int = 4,
                                        threshold: Double = 0.3, maxBucket: Int = 1000,
                                        watermark: String = "1 hour",
-                                       portable: Boolean = true): DataFrame = {
+                                       portable: Boolean = true,
+                                       shingleSize: Int = 3): DataFrame = {
     val smallBuckets = corpusWidths.filter(col("bucket_n") <= maxBucket)
       .select("band", "band_hash")
     val staticSide = graft.ops.Materialize(
@@ -240,7 +252,7 @@ object StreamOps {
         .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"),
           col("minhash_sig").as("sig_c")))
     incrementalDedupAgainst(docs, staticSide, idCol, textCol, tsCol,
-      numHashes, numBands, threshold, watermark, portable)
+      numHashes, numBands, threshold, watermark, portable, shingleSize)
   }
 
   /** Shared core: sign + band the stream, stream-static bucket join
@@ -250,13 +262,16 @@ object StreamOps {
                                       idCol: String, textCol: String, tsCol: String,
                                       numHashes: Int, numBands: Int,
                                       threshold: Double, watermark: String,
-                                      portable: Boolean): DataFrame = {
+                                      portable: Boolean,
+                                      shingleSize: Int): DataFrame = {
     import graft.ops.Dedup
     import graft.functions.HashExpressions
     val rowsPerBand = numHashes / numBands
+    // shingleSize is STRUCTURAL: it must equal the corpus signatures'
+    // (SigIndex manifest) or band hashes never collide — see SigIndex
     val sh =
-      if (portable) HashExpressions.portableShingleHashes(col(textCol), 3)
-      else HashExpressions.wordShingleHashes(col(textCol), 3)
+      if (portable) HashExpressions.portableShingleHashes(col(textCol), shingleSize)
+      else HashExpressions.wordShingleHashes(col(textCol), shingleSize)
     val (as, bs) = Dedup.minhashParams(numHashes)
     val signed = docs
       .withColumn("__sh", sh)
@@ -356,9 +371,12 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val df = batch.toDF()
+        // null-safe: a row with op NULL (e.g. a drop missing the op
+        // column) is an UPSERT, not silently discarded by three-valued
+        // `op != 'delete'`
         graft.ops.SnapshotDiff.applyTo(
-          df.filter(col("op") =!= "delete").drop("op"),
-          df.filter(col("op") === "delete").select(graft.model.Canonical.ID),
+          df.filter(!(col("op") <=> "delete")).drop("op"),
+          df.filter(col("op") <=> "delete").select(graft.model.Canonical.ID),
           fmt, collection)
       }
   }

@@ -80,6 +80,22 @@ class WireFiltersSpec extends AnyFunSuite {
     assert(probe.filter(r => FilterEval.eval(back, r)).map(_.id) == Seq("9"), combined)
   }
 
+  test("keyword-prefixed field names parse as identifiers, not operators") {
+    // regression: peekWord treated '_'/'.' as word boundaries, so
+    // `not_spam == 1` tokenized as `not` + `_spam` and matched everything
+    assert(WireFilters.fromMilvusExpr("not_spam == 1") == EqualTo("not_spam", 1.0))
+    assert(WireFilters.fromMilvusExpr("in_list == 'x'") == EqualTo("in_list", "x"))
+    assert(WireFilters.fromMilvusExpr("and.b > 2") == GreaterThan("and.b", 2.0))
+    assert(WireFilters.fromMilvusExpr("not not_spam == 1") ==
+      Not(EqualTo("not_spam", 1.0)))
+    // the Column-producing twin must agree (same grammar, same fix)
+    val c = new MilvusExprDialect().parse("not_spam == 1")
+    val probe = Seq(VSRecord("1", null, Map("not_spam" -> "1")),
+      VSRecord("2", null, Map("other" -> "9")))
+    assert(probe.filter(r =>
+      FilterEval.eval(WireFilters.fromMilvusExpr("not_spam == 1"), r)).map(_.id) == Seq("1"))
+  }
+
   test("unsupported wire payloads raise instead of silently matching all") {
     intercept[IllegalArgumentException](
       WireFilters.fromQdrantJson(WireJson.mapper.readTree(

@@ -149,4 +149,34 @@ class MultimodalSpec extends SparkSpec {
       .getAs[scala.collection.Seq[Int]]("sampled_frames")
     assert(frames.nonEmpty && frames.head == 0 && frames.forall(_ % 4 == 0))
   }
+
+  test("sampleFrames: zero or NULL frame counts plan NO frames, not [0]") {
+    val m = Seq((1L, Some(0)), (2L, None), (3L, Some(5)))
+      .toDF("media_id", "n_frames")
+    val rows = Multimodal.sampleFrames(m, stride = 4)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Int]]("sampled_frames")).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, rows.toString)
+    assert(rows(3L) == Seq(0, 4), rows(3L).toString)
+  }
+
+  test("Mp4Meta walks largesize (size==1) and to-end (size==0) boxes") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    val base = Multimodal.syntheticMp4(0L)
+    // a largesize mdat BETWEEN ftyp and moov must be walked past, and a
+    // final size==0 free box (extends to EOF) must terminate cleanly
+    val ftypLen = 20 // built by syntheticMp4: 12B ftyp payload + 8B header
+    val (ftyp, rest) = base.splitAt(ftypLen)
+    val mdatPayload = Array.fill[Byte](10)(7)
+    val mdat64 = be32(1L) ++ "mdat".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0) ++ be32(16L + mdatPayload.length) ++ mdatPayload
+    val free0 = be32(0L) ++ "free".getBytes("US-ASCII") ++ Array.fill[Byte](4)(0)
+    val m = Multimodal.Mp4Meta.parse(ftyp ++ mdat64 ++ rest ++ free0).get
+    val expected = Multimodal.Mp4Meta.parse(base).get
+    assert(m == expected, s"$m vs $expected")
+  }
 }
