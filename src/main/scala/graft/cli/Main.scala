@@ -26,6 +26,7 @@ object Main {
     var incremental = false
     var buildIndex: Option[String] = None
     var ingest: Option[String] = None
+    var compactIndex: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -35,6 +36,7 @@ object Main {
         case "--incremental" => incremental = true; i += 1
         case "--build-index" => buildIndex = Some(args(i + 1)); i += 2
         case "--ingest" => ingest = Some(args(i + 1)); i += 2
+        case "--compact-index" => compactIndex = Some(args(i + 1)); i += 2
         case "--verbose" | "-v" => verbose = true; i += 1
         case "--version" => println(s"graft $version"); return 0
         case "--help" | "-h" => println(usage); return 0
@@ -42,8 +44,8 @@ object Main {
       }
     }
     // signature-index verbs: dedup today's crawl against history
-    if (buildIndex.isDefined || ingest.isDefined)
-      return runSigIndex(buildIndex, ingest, verbose)
+    if (buildIndex.isDefined || ingest.isDefined || compactIndex.isDefined)
+      return runSigIndex(buildIndex, ingest, compactIndex, verbose)
     config match {
       case None => System.err.println(s"--config is required\n$usage"); 1
       case Some(path) =>
@@ -103,7 +105,7 @@ object Main {
     * together: build from the corpus, then ingest (the configs differ in
     * their `documents` block). */
   private def runSigIndex(build: Option[String], ingest: Option[String],
-                          verbose: Boolean): Int = {
+                          compactIdx: Option[String], verbose: Boolean): Int = {
     val preExisting = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).isDefined
     val spark = GraftSession.local("graft-sig-index")
@@ -126,6 +128,13 @@ object Main {
           s"${r.withinBatchDups} collapsed within the batch, ${r.novelDocs} novel" +
           cfg.novelOutput.map(o => s" -> $o").getOrElse(""))
       }
+      compactIdx.foreach { path =>
+        val cfg = graft.core.SigIndex.configFromFile(path)
+        val r = graft.core.SigIndex.compact(spark, cfg.indexDir)
+        r.toSeq.sortBy(_._1).foreach { case (art, (before, after)) =>
+          println(s"compacted $art: $before -> $after files")
+        }
+      }
       0
     } catch {
       case e: Exception => System.err.println(s"sig-index failed: ${e.getMessage}"); 1
@@ -134,11 +143,13 @@ object Main {
 
   private val usage =
     """usage: graft-migrate --config <config.json> [--transform <class>] [--validate] [--incremental] [--verbose] [--version]
-      |       graft-migrate --build-index <sig.json> | --ingest <sig.json>
+      |       graft-migrate --build-index <sig.json> | --ingest <sig.json> | --compact-index <sig.json>
       |  --build-index   build the persisted near-dedup signature index
       |                  (sigs/bands/bucket-widths) from a document corpus
       |  --ingest        dedup a batch against the index: novel docs written
       |                  to 'novel_output', then appended to the index
+      |  --compact-index rewrite the index artifacts to bounded file counts
+      |                  (run offline; appends accumulate small files)
       |  --config/-c     migration config JSON (same shape as the reference tool)
       |  --transform/-t  fully-qualified class implementing DataFrame => DataFrame
       |  --validate      after a successful run, re-derive the expected target

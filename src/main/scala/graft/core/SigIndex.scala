@@ -119,6 +119,11 @@ object SigIndex {
     val batchN = batch.count()
     val dupN = dupIds.count()
     val novelN = novel.count()
+    // counted BEFORE the append below: `fresh`'s lineage anti-joins the
+    // sigs/ directory this ingest is about to append into, and the report
+    // must describe the batch against the PRE-ingest index, not depend on
+    // whether the cached file-index snapshot happens to be stale
+    val freshN = fresh.count()
     if (append) {
       // batch-sized work only: sign + band the accepted docs, append both,
       // and merge their width deltas into the standing statistic.
@@ -132,6 +137,15 @@ object SigIndex {
           p.numBands, p.numHashes / p.numBands, p.portable))
       novelBands.write.mode("append").parquet(s"$indexDir/bands")
       novelSigs.write.mode("append").parquet(s"$indexDir/sigs")
+      // zero-shingle docs (empty/too-short text) produce no signature, so
+      // without a marker the leg-1 anti-join would re-report the same doc
+      // as novel on every re-ingest. Index them by id with an EMPTY
+      // signature: leg 1 keys on the id column only, and no bands row ever
+      // makes an empty-sig doc a near-dup candidate.
+      if (novelSigs.count() < novelN) // only when the batch had any
+        novel.join(novelSigs.select(col(p.idCol)), Seq(p.idCol), "left_anti")
+          .select(col(p.idCol), typedLit(Array.empty[Long]).as("minhash_sig"))
+          .write.mode("append").parquet(s"$indexDir/sigs")
       // widths/ is both input and output: land the merge beside it, then
       // swap via the filesystem rename
       val merged = Dedup.mergeBucketWidths(widths,
@@ -144,8 +158,44 @@ object SigIndex {
         throw new java.io.IOException(
           s"rename $tmp -> $cur failed; widths/ is absent but self-heals on next ingest")
     }
-    val freshN = fresh.count()
     IngestReport(batchN, batchN - freshN, dupN, freshN - dupN - novelN, novelN)
+  }
+
+  /** Compact the index in place: daily ingests append small parquet files
+    * to `sigs/` and `bands/`, and after N ingests each artifact is N× more
+    * files than it needs — file-listing and task-scheduling overhead that
+    * grows without bound. Rewrites each artifact to `targetFileMB`-sized
+    * files (computed from the directory's current byte size, so a 100 TB
+    * index compacts to proportionally many files, not a fixed count) via
+    * the same write-beside-and-rename swap [[ingest]] uses for widths.
+    * Returns (files before, files after) per artifact. Run it offline —
+    * like the appends themselves, the swap is not atomic under a
+    * concurrent ingest. */
+  def compact(spark: SparkSession, indexDir: String,
+              targetFileMB: Int = 128): Map[String, (Int, Int)] = {
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    Seq("sigs", "bands", "widths").flatMap { art =>
+      val cur = new org.apache.hadoop.fs.Path(s"$indexDir/$art")
+      if (!fsys.exists(cur)) None
+      else {
+        val status = fsys.listStatus(cur).filter(_.getPath.getName.endsWith(".parquet"))
+        val before = status.length
+        val bytes = status.map(_.getLen).sum
+        val parts = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
+        // materialized: the rewrite's lineage reads the directory the swap
+        // is about to replace
+        val rewritten = graft.ops.Materialize(
+          spark.read.parquet(cur.toString).repartition(parts))
+        val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${art}__next")
+        rewritten.write.mode("overwrite").parquet(tmp.toString)
+        fsys.delete(cur, true)
+        if (!fsys.rename(tmp, cur))
+          throw new java.io.IOException(s"rename $tmp -> $cur failed during compaction")
+        val after = fsys.listStatus(cur).count(_.getPath.getName.endsWith(".parquet"))
+        Some(art -> (before, after))
+      }
+    }.toMap
   }
 
   // ---------------------------------------------------------- manifest

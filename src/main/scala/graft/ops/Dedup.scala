@@ -345,11 +345,22 @@ object Dedup {
     val batchBands = lshBands(batchSigs, idCol, numBands, rowsPerBand, portable)
     val touched = batchBands.select("band", "band_hash").distinct()
     // persisted widths × touched keys: the guard prunes to the batch's
-    // buckets without counting anything corpus-side
-    val smallTouched = corpusWidths
+    // buckets without counting anything corpus-side. The widths table is
+    // DERIVED state that can be STALE — SigIndex appends bands before it
+    // swaps widths, so a crash in that window leaves buckets that exist in
+    // bands/ with no widths row. The guard therefore EXCLUDES known-big
+    // buckets instead of selecting known-small ones: a touched bucket with
+    // no widths row is unknown, and unknown means "check it"
+    // (coalesce(bucket_n, 0) <= maxBucket) — the opposite default would
+    // permanently admit near-dups of docs stranded in the crash window.
+    // Both joins broadcast batch-proportional sides; widths is scanned,
+    // never shuffled.
+    val bigTouched = corpusWidths
       .join(broadcast(touched), Seq("band", "band_hash"))
-      .filter(col("bucket_n") <= maxBucket)
+      .filter(col("bucket_n") > maxBucket)
       .select("band", "band_hash")
+    val smallTouched = touched
+      .join(broadcast(bigTouched), Seq("band", "band_hash"), "left_anti")
     // broadcast semi-prune of the banded face: the corpus is filtered, not
     // shuffled — its only cost is the narrow three-column scan
     val corpusCands = corpusBands.join(broadcast(smallTouched), Seq("band", "band_hash"))
@@ -359,10 +370,14 @@ object Dedup {
         Seq("band", "band_hash"))
       .filter(col("corpus_id") =!= col("batch_id"))
       .select("batch_id", "corpus_id").distinct()
-    candidates
-      .join(corpusSigs.select(col(idCol).as("corpus_id"), col("minhash_sig").as("sig_c")),
-        "corpus_id")
-      .join(batchSigs.select(col(idCol).as("batch_id"), col("minhash_sig").as("sig_b")),
+    // verification: the corpus signature table is the BIG side (every sig
+    // ever indexed — ~500 GB at 100 TB of text), so it must stream through
+    // a broadcast build of the batch-proportional sides, never shuffle.
+    // Joining FROM corpusSigs with broadcast(candidates)/broadcast(batchSigs)
+    // as build sides pins that shape (PlanSpec asserts no SortMergeJoin).
+    corpusSigs.select(col(idCol).as("corpus_id"), col("minhash_sig").as("sig_c"))
+      .join(broadcast(candidates), "corpus_id")
+      .join(broadcast(batchSigs.select(col(idCol).as("batch_id"), col("minhash_sig").as("sig_b"))),
         "batch_id")
       .withColumn("jaccard", round(graft.functions.HashExpressions
         .signatureMatchFraction(col("sig_b"), col("sig_c")), 6))

@@ -244,10 +244,16 @@ object StreamOps {
                                        watermark: String = "1 hour",
                                        portable: Boolean = true,
                                        shingleSize: Int = 3): DataFrame = {
-    val smallBuckets = corpusWidths.filter(col("bucket_n") <= maxBucket)
+    // widths can be STALE (SigIndex appends bands before swapping widths;
+    // a crash in that window leaves band rows with no widths row), so the
+    // skew guard EXCLUDES known-big buckets via anti-join instead of
+    // selecting known-small ones: unknown buckets default to "check it"
+    // (coalesce(bucket_n, 0) <= maxBucket semantics). Known-big buckets
+    // are few by construction — broadcastable at any corpus size.
+    val bigBuckets = corpusWidths.filter(col("bucket_n") > maxBucket)
       .select("band", "band_hash")
     val staticSide = graft.ops.Materialize(
-      corpusBands.join(smallBuckets, Seq("band", "band_hash"))
+      corpusBands.join(broadcast(bigBuckets), Seq("band", "band_hash"), "left_anti")
         .join(corpusSigs.select(col(idCol), col("minhash_sig")), Seq(idCol))
         .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"),
           col("minhash_sig").as("sig_c")))

@@ -179,6 +179,63 @@ class CliSpec extends SparkSpec {
     assert(novel2 <= emptyTexts, s"novel2=$novel2 emptyTexts=$emptyTexts")
   }
 
+  test("sig-index: zero-shingle docs are marker-indexed — re-ingest reports alreadyIndexed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("sigzero")
+    val indexDir = s"$root/index"
+    val p = graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true)
+    graft.core.SigIndex.build(spark,
+      Seq((2L, "the quick brown fox jumps over the lazy dog right now")).toDF("doc_id", "text"),
+      indexDir, p)
+    val batch = Seq(
+      (10L, "a clearly novel document about shuffle partitions and broadcast joins"),
+      (11L, ""),   // zero shingles: empty text
+      (12L, "xy")  // zero shingles: below the shingle width
+    ).toDF("doc_id", "text")
+    val r1 = graft.core.SigIndex.ingest(spark, batch, indexDir, p)
+    assert(r1 == graft.core.SigIndex.IngestReport(3, 0, 0, 0, 3), r1.toString)
+    // the empty-text docs now carry id markers in sigs/: a replayed batch is
+    // wholly alreadyIndexed instead of re-reporting the empty docs as novel
+    val r2 = graft.core.SigIndex.ingest(spark, batch, indexDir, p)
+    assert(r2 == graft.core.SigIndex.IngestReport(3, 3, 0, 0, 0), r2.toString)
+  }
+
+  test("sig-index compaction: repeated ingests -> bounded files, identical detection") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("sigcompact")
+    val indexDir = s"$root/index"
+    val p = graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true)
+    graft.core.SigIndex.build(spark,
+      Seq((1L, "seed corpus document with enough words to shingle properly today")).toDF("doc_id", "text"),
+      indexDir, p)
+    (0 until 6).foreach { i =>
+      graft.core.SigIndex.ingest(spark,
+        Seq((100L + i, s"ingest wave $i adds a fresh unique document about topic number $i")).toDF("doc_id", "text"),
+        indexDir, p)
+    }
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    def nFiles(art: String) = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$indexDir/$art"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val sigsBefore = nFiles("sigs"); val bandsBefore = nFiles("bands")
+    // compaction runs through the CLI verb on the standard config shape
+    val cfgFile = Files.createTempFile("sig", ".json")
+    Files.writeString(cfgFile,
+      s"""{"documents": {"path": "$root/unused"}, "index_dir": "$indexDir",
+         | "params": {"num_hashes": 16, "num_bands": 4, "portable": true}}""".stripMargin)
+    assert(graft.cli.Main.run(Array("--compact-index", cfgFile.toString)) == 0)
+    assert(nFiles("sigs") < sigsBefore, s"sigs: ${nFiles("sigs")} vs $sigsBefore")
+    assert(nFiles("bands") < bandsBefore, s"bands: ${nFiles("bands")} vs $bandsBefore")
+    // detection behavior is unchanged: a near-dup of an ingested doc is
+    // flagged, a genuinely new doc is novel
+    val r = graft.core.SigIndex.ingest(spark, Seq(
+      (900L, "ingest wave 3 adds a fresh unique document about topic number 3"),
+      (901L, "an entirely different closing document mentioning watermarks and state stores")
+    ).toDF("doc_id", "text"), indexDir, p, append = false)
+    assert(r.corpusDups == 1 && r.novelDocs == 1, r.toString)
+  }
+
   test("bad config path exits 1") {
     assert(graft.cli.Main.run(Array("--config", "/no/such/file.json")) == 1)
   }

@@ -106,6 +106,43 @@ class CurationOpsSpec extends SparkSpec {
       s"indexed=${indexed.size} legacy=${legacy.size}")
   }
 
+  test("stale widths (bands appended, widths not swapped) still catch the near-dup") {
+    // SigIndex appends bands/ and sigs/ BEFORE swapping widths/; a crash in
+    // that window leaves widths present-but-stale. Candidate generation must
+    // treat buckets unknown to widths as small (check them), or near-dups of
+    // the stranded docs are admitted forever.
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "completely different corpus content about spark partitions and shuffles here")
+    ).toDF("doc_id", "text")
+    val stranded = Seq( // indexed into bands+sigs, but widths never saw it
+      (6L, "a stranded document appended during the crash window of the swap")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("stale_widths").toString
+    val sigs0 = Dedup.signatureTable(corpus, numHashes = 16, portable = true)
+    sigs0.write.parquet(s"$dir/sigs")
+    Dedup.bandedSignatureTable(sigs0, numBands = 4, rowsPerBand = 4, portable = true)
+      .write.parquet(s"$dir/bands")
+    // widths reflect ONLY the pre-crash corpus
+    Dedup.bucketWidths(spark.read.parquet(s"$dir/bands"))
+      .write.parquet(s"$dir/widths")
+    // replay the crash window: bands + sigs of the stranded doc land, widths stay stale
+    val strandedSigs = Dedup.signatureTable(stranded, numHashes = 16, portable = true)
+    strandedSigs.write.mode("append").parquet(s"$dir/sigs")
+    Dedup.bandedSignatureTable(strandedSigs, numBands = 4, rowsPerBand = 4, portable = true)
+      .write.mode("append").parquet(s"$dir/bands")
+    val batch = Seq(
+      (1L, "a stranded document appended during the crash window of the swap") // dup of 6
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDupPairsIndexed(
+      spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/widths"), batch,
+      numHashes = 16, numBands = 4, threshold = 0.5, portable = true)
+      .select("batch_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 6L, 1.0)), out.toString)
+  }
+
   test("mergeBucketWidths on append equals recounting corpus+batch from scratch") {
     val docs = Tables(spark, sf(), "documents")
     val half = docs.filter($"doc_id" % 2 === 0)

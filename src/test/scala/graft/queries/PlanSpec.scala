@@ -140,6 +140,12 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // the touched-bucket prune arrives via broadcast...
     assert("BroadcastHashJoin".r.findAllIn(indexed).length >= 2, indexed)
+    // ...every join in the indexed path — including the verify join against
+    // the full corpus signature table — builds on a broadcast of the
+    // batch-proportional side: no sort-merge join means no Exchange ever
+    // lands on a corpus-sized input (the 100 TB invariant)
+    assert(!indexed.contains("SortMergeJoin"),
+      "corpus-side join fell back to sort-merge:\n" + indexed)
     // ...and the per-ingest corpus-side aggregation (bucket recount) is
     // gone: only the candidate distinct remains, so strictly fewer
     // aggregates than the derive-on-the-fly path

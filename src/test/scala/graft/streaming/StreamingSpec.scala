@@ -388,4 +388,33 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(indexed == derived && indexed.nonEmpty, s"${indexed.size} vs ${derived.size}")
   }
+
+  test("indexed streaming dedup still flags near-dups of docs missing from stale widths") {
+    // SigIndex's crash window leaves bands/sigs appended but widths stale;
+    // the streaming static side must treat widths-unknown buckets as small
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val stranded = Seq(
+      (6L, "a stranded document appended during the crash window of the swap"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("stream_stale").toString
+    graft.core.SigIndex.build(spark, corpus, dir,
+      graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
+    val sSigs = graft.ops.Dedup.signatureTable(stranded, numHashes = 16, portable = true)
+    sSigs.write.mode("append").parquet(s"$dir/sigs")
+    graft.ops.Dedup.bandedSignatureTable(sSigs, numBands = 4, rowsPerBand = 4, portable = true)
+      .write.mode("append").parquet(s"$dir/bands") // widths NOT re-swapped
+    val batch = Seq(
+      (1L, "a stranded document appended during the crash window of the swap"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val got = StreamOps.streamingIncrementalDedupIndexed(batch,
+        spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/bands"),
+        spark.read.parquet(s"$dir/widths"),
+        numHashes = 16, numBands = 4, threshold = 0.5)
+      .select("doc_id", "corpus_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 6L, 1.0)), got.toString)
+  }
 }
