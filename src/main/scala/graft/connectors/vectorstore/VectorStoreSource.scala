@@ -219,12 +219,17 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
   * [[VSDeltaBatchWrite.commit]] applies them after every scan task has
   * drained — the same collect-then-apply shape as
   * [[VSTable.deleteWhere]]. Task failures are safe by construction
-  * (an aborted task's message is discarded; nothing was applied), and
-  * driver memory is bounded by the rows the command's condition touches —
-  * the pushable-condition scan prunes everything else backend-side. A
-  * deployment whose touched set exceeds driver memory would stage the
-  * delta batches to durable scratch storage instead; the commit protocol
-  * is unchanged. */
+  * (an aborted task's message is discarded; nothing was applied).
+  *
+  * Driver memory: with a staging directory configured
+  * ([[DeltaStaging.DirKey]] or `spark.graft.checkpoint.dir`), a task whose
+  * touched set crosses the spill threshold streams its deltas to durable
+  * scratch files and its commit message carries only the paths — commit
+  * then streams deletes-then-upserts in batch-size groups, so driver
+  * memory is O(batch_size) regardless of how many rows a MERGE touches.
+  * Without a staging dir, deltas ride the commit messages as before
+  * (bounded by the rows the condition touches — the pushable-condition
+  * scan prunes everything else backend-side). */
 class VSRowLevelOperation(cmd: RowLevelOperation.Command, collection: String,
                           dialect: FilterDialect, rules: WriteRules,
                           opts: CaseInsensitiveStringMap, spec: TransportSpec,
@@ -259,9 +264,22 @@ class VSRowLevelOperation(cmd: RowLevelOperation.Command, collection: String,
           def at(name: String): Int = ws.fields.indexWhere(_.name.equalsIgnoreCase(name))
           val binaryVec = ws.fields.find(_.name.equalsIgnoreCase(Canonical.VECTOR))
             .exists(_.dataType == BinaryType)
+          // staging resolved DRIVER-side at plan time: table option first,
+          // then session conf, then the library checkpoint dir
+          val staging = {
+            val conf = org.apache.spark.sql.SparkSession.active.conf
+            Option(opts.get("delta_stage_dir"))
+              .orElse(conf.getOption(DeltaStaging.DirKey))
+              .orElse(conf.getOption(graft.ops.Materialize.ConfKey)
+                .filter(_.nonEmpty).map(_ + "/vs-delta-staging"))
+              .map(dir => DeltaStaging.Spec(dir,
+                Option(opts.get("delta_stage_threshold"))
+                  .orElse(conf.getOption(DeltaStaging.ThresholdKey)).map(_.toInt)
+                  .getOrElse(DeltaStaging.DefaultThreshold)))
+          }
           new VSDeltaBatchWrite(collection, rules,
             Option(opts.get("batch_size")).map(_.toInt).getOrElse(100), binaryVec, spec,
-            (at(Canonical.ID), at(Canonical.VECTOR), at(Canonical.METADATA)))
+            (at(Canonical.ID), at(Canonical.VECTOR), at(Canonical.METADATA)), staging)
         }
       }
     }
@@ -273,35 +291,57 @@ class VSRowLevelOperation(cmd: RowLevelOperation.Command, collection: String,
   * rename-onto-a-deleted-id both resolve to the SQL-visible end state. */
 class VSDeltaBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
                         binaryVec: Boolean, spec: TransportSpec,
-                        cols: (Int, Int, Int)) extends DeltaBatchWrite {
+                        cols: (Int, Int, Int),
+                        staging: Option[DeltaStaging.Spec] = None) extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    VSDeltaWriterFactory(collection, rules, batchSize, binaryVec, spec, cols)
+    VSDeltaWriterFactory(collection, rules, batchSize, binaryVec, spec, cols, staging)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val deltas = messages.collect { case d: VSDeltaCommit => d }
     val store = VectorStore.resolve(spec)
-    val deletes = deltas.flatMap(_.deletes)
-    deletes.grouped(batchSize).foreach(b => store.delete(collection, b.toSeq))
+    // deletes first (in-message, then each task's staged file, streamed —
+    // never fully materialized on the driver), then upserts the same way
+    var deleted = 0L
+    deltas.iterator.flatMap(d =>
+        d.deletes.iterator ++ d.stagedDeletes.iterator.flatMap(DeltaStaging.lines))
+      .grouped(batchSize).foreach { b =>
+        store.delete(collection, b.toSeq); deleted += b.length
+      }
     var written = 0L
-    deltas.flatMap(_.upserts).grouped(batchSize).foreach { b =>
-      written += store.upsert(collection, b.toSeq)
+    deltas.iterator.flatMap(d =>
+        d.upserts.iterator ++ d.stagedUpserts.iterator.flatMap(p =>
+          DeltaStaging.lines(p).map(DeltaStaging.recordFromJson)))
+      .grouped(batchSize).foreach(b => written += store.upsert(collection, b.toSeq))
+    deltas.foreach { d =>
+      d.stagedUpserts.foreach(DeltaStaging.delete)
+      d.stagedDeletes.foreach(DeltaStaging.delete)
     }
-    VSWriteStats.record(spec, collection, written, deltas.map(_.skipped).sum,
-      deletes.length.toLong)
+    VSWriteStats.record(spec, collection, written, deltas.map(_.skipped).sum, deleted)
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // nothing was applied; drop whatever committed tasks staged
+    messages.collect { case d: VSDeltaCommit => d }.foreach { d =>
+      d.stagedUpserts.foreach(DeltaStaging.delete)
+      d.stagedDeletes.foreach(DeltaStaging.delete)
+    }
 }
 
 /** A task's buffered deltas: applied only at [[VSDeltaBatchWrite.commit]].
   * `deletes` carries both DELETE row ids and the OLD ids of id-changing
-  * UPDATEs; the replacing rows are in `upserts` of the same message. */
+  * UPDATEs; the replacing rows are in `upserts` of the same message. A
+  * task that spilled carries file PATHS instead of rows (`staged*`); the
+  * in-memory seqs are then empty. */
 case class VSDeltaCommit(upserts: Seq[VSRecord], deletes: Seq[String],
-                         skipped: Long) extends WriterCommitMessage
+                         skipped: Long,
+                         stagedUpserts: Option[String] = None,
+                         stagedDeletes: Option[String] = None) extends WriterCommitMessage
 
 case class VSDeltaWriterFactory(collection: String, rules: WriteRules, batchSize: Int,
                                 binaryVec: Boolean, spec: TransportSpec,
-                                cols: (Int, Int, Int)) extends DeltaWriterFactory {
+                                cols: (Int, Int, Int),
+                                staging: Option[DeltaStaging.Spec] = None)
+  extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new VSDeltaWriter(collection, rules, batchSize, binaryVec, spec, cols)
+    new VSDeltaWriter(collection, rules, batchSize, binaryVec, spec, cols, staging)
 }
 
 /** Executor-side delta writer: BUFFERS ONLY. Updates/inserts decode to
@@ -311,18 +351,50 @@ case class VSDeltaWriterFactory(collection: String, rules: WriteRules, batchSize
   * another task (see [[VSRowLevelOperation]]). */
 class VSDeltaWriter(collection: String, rules: WriteRules, batchSize: Int,
                     binaryVec: Boolean, spec: TransportSpec,
-                    cols: (Int, Int, Int)) extends DeltaWriter[InternalRow] {
+                    cols: (Int, Int, Int),
+                    staging: Option[DeltaStaging.Spec] = None)
+  extends DeltaWriter[InternalRow] {
 
   private val upserts = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
   private val deletes = scala.collection.mutable.ArrayBuffer.empty[String]
   private var skipped = 0L
   private val (idAt, _, _) = cols
 
+  // spill state: once the buffered-row count crosses the staging
+  // threshold, everything (existing buffers + subsequent ops) streams to
+  // per-task scratch files and only the paths ride the commit message
+  private var upsertOut: java.io.BufferedWriter = null
+  private var deleteOut: java.io.BufferedWriter = null
+  private var upsertPath: String = null
+  private var deletePath: String = null
+
   private def idOf(rowId: InternalRow): String = rowId.getUTF8String(0).toString
+
+  private def maybeSpill(): Unit = staging.foreach { s =>
+    if (upsertOut == null && upserts.length + deletes.length >= s.threshold) {
+      val uniq = java.util.UUID.randomUUID().toString
+      upsertPath = s"${s.dir}/ups-$uniq.jsonl"
+      deletePath = s"${s.dir}/del-$uniq.txt"
+      upsertOut = DeltaStaging.newWriter(upsertPath)
+      deleteOut = DeltaStaging.newWriter(deletePath)
+      upserts.foreach { r => upsertOut.write(DeltaStaging.recordToJson(r)); upsertOut.newLine() }
+      deletes.foreach { d => deleteOut.write(d); deleteOut.newLine() }
+      upserts.clear(); deletes.clear()
+      DeltaStaging.spillCount.incrementAndGet()
+    }
+  }
+
+  private def addUpsert(rec: VSRecord): Unit =
+    if (upsertOut != null) { upsertOut.write(DeltaStaging.recordToJson(rec)); upsertOut.newLine() }
+    else { upserts += rec; maybeSpill() }
+
+  private def addDelete(id: String): Unit =
+    if (deleteOut != null) { deleteOut.write(id); deleteOut.newLine() }
+    else { deletes += id; maybeSpill() }
 
   private def buffer(row: InternalRow): Option[VSRecord] =
     VSRowCodec.toRecord(row, rules, binaryVec, cols) match {
-      case Some(rec) => upserts += rec; Some(rec)
+      case Some(rec) => addUpsert(rec); Some(rec)
       case None => skipped += 1; None
     }
 
@@ -336,15 +408,24 @@ class VSDeltaWriter(collection: String, rules: WriteRules, batchSize: Int,
     val oldId = idOf(rowId)
     // the old-id delete travels in the SAME commit message as the new
     // row's upsert — either both apply at job commit or neither does
-    buffer(row).foreach(rec => if (rec.id != oldId) deletes += oldId)
+    buffer(row).foreach(rec => if (rec.id != oldId) addDelete(oldId))
   }
 
   override def delete(meta: InternalRow, rowId: InternalRow): Unit =
-    deletes += idOf(rowId)
+    addDelete(idOf(rowId))
 
-  override def commit(): WriterCommitMessage =
-    VSDeltaCommit(upserts.toSeq, deletes.toSeq, skipped)
-  override def abort(): Unit = { upserts.clear(); deletes.clear() }
+  override def commit(): WriterCommitMessage = {
+    if (upsertOut != null) { upsertOut.close(); deleteOut.close() }
+    VSDeltaCommit(upserts.toSeq, deletes.toSeq, skipped,
+      Option(upsertPath), Option(deletePath))
+  }
+  override def abort(): Unit = {
+    upserts.clear(); deletes.clear()
+    if (upsertOut != null) {
+      upsertOut.close(); deleteOut.close()
+      DeltaStaging.delete(upsertPath); DeltaStaging.delete(deletePath)
+    }
+  }
   override def close(): Unit = ()
 }
 

@@ -120,6 +120,38 @@ class RowLevelOpsSpec extends SparkSpec {
     VectorStore.drop("rlo_page")
   }
 
+  test("staged deltas: touched set >> threshold spills to scratch, identical result") {
+    // with a staging dir configured, tasks stream deltas to files past the
+    // threshold and the commit message carries only paths — driver memory
+    // stays O(batch_size) however many rows the command touches
+    val stageDir = java.nio.file.Files.createTempDirectory("vs_delta_stage").toString
+    spark.conf.set("spark.sql.catalog.vstg", classOf[VSCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vstg.delta_stage_dir", stageDir)
+    spark.conf.set("spark.sql.catalog.vstg.delta_stage_threshold", "8")
+    spark.conf.set("spark.sql.catalog.vstg.batch_size", "10")
+    seed("rlo_stage", 120)
+    val spillsBefore = DeltaStaging.spillCount.get()
+    spark.sql("UPDATE vstg.rlo_stage SET metadata = map('lab', 'bulk') " +
+      "WHERE CAST(id AS INT) >= 20")
+    assert(DeltaStaging.spillCount.get() > spillsBefore, "no task spilled")
+    val rows = VectorStore.scroll("rlo_stage", 0, 1000)
+    assert(rows.length == 120, s"row count drifted: ${rows.length}")
+    rows.foreach { r =>
+      val expect = if (r.id.toInt >= 20) "bulk" else (r.id.toInt % 3).toString
+      assert(r.metadata("lab") == expect, s"id=${r.id} lab=${r.metadata("lab")}")
+      assert(r.vector.toSeq == Seq(r.id.toFloat, 1f), s"vector drifted for ${r.id}")
+    }
+    // staged DELETEs stream the same way
+    spark.sql("DELETE FROM vstg.rlo_stage WHERE CAST(id AS INT) < 30")
+    assert(VSWriteStats.deleted("rlo_stage") == 30L,
+      s"deleted=${VSWriteStats.deleted("rlo_stage")}")
+    assert(VectorStore.scroll("rlo_stage", 0, 1000).length == 90)
+    // staged files are consumed and removed at commit
+    val left = Option(new java.io.File(stageDir).listFiles()).getOrElse(Array.empty)
+    assert(left.isEmpty, left.mkString(","))
+    VectorStore.drop("rlo_stage")
+  }
+
   test("delta commit records the delete count in VSWriteStats") {
     install("vsr"); seed("rlo_cnt", 12)
     spark.sql("DELETE FROM vsr.rlo_cnt WHERE CAST(id AS INT) < 5")
