@@ -146,7 +146,9 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VSScanBuilder(collection, dialect,
       Option(options.get("page_size")).map(_.toInt).getOrElse(1000), search, schema(),
-      backendFilters, spec)
+      backendFilters, spec,
+      Option(options.get("cursor_parallelism")).map(_.toInt)
+        .getOrElse(VSScan.DefaultCursorParallelism))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new VSWriteBuilder(collection, rules, info.options(), info.schema(), spec)
@@ -435,7 +437,8 @@ class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
                     search: Option[SearchSpec] = None,
                     tableSchema: StructType = Canonical.schema,
                     backendFilters: Array[Filter] = Array.empty,
-                    spec: TransportSpec = TransportSpec.Local)
+                    spec: TransportSpec = TransportSpec.Local,
+                    cursorParallelism: Int = VSScan.DefaultCursorParallelism)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset
     with SupportsPushDownAggregates {
@@ -500,7 +503,7 @@ class VSScanBuilder(collection: String, dialect: FilterDialect, pageSize: Int,
     // seam) but are NOT reported via pushedFilters() — Spark never took
     // responsibility for them, the plan's Filter node still re-checks
     new VSScan(collection, dialect, pushed ++ backendFilters, required, limit, offset,
-      pageSize, search, countColumns, spec)
+      pageSize, search, countColumns, spec, cursorParallelism)
 }
 
 case class VSInputPartition(start: Int, end: Int) extends InputPartition
@@ -508,10 +511,21 @@ case class VSInputPartition(start: Int, end: Int) extends InputPartition
 /** Single sequential cursor walk over a cursor-paged backend (Qdrant
   * point-id scroll, Pinecone pagination token): `skip` records dropped at
   * the head (pushed OFFSET), `take` < 0 = unlimited (pushed LIMIT
-  * otherwise). The wire API offers no offset addressing, so the walk
-  * cannot be split into parallel ranges — fidelity over parallelism;
-  * backends with real offset params keep [[VSInputPartition]] ranges. */
+  * otherwise). The wire API offers no offset addressing, so ONE walk
+  * cannot be split into ranges; [[VSCursorSlicePartition]] instead runs N
+  * concurrent walks over disjoint server-side id slices where the
+  * dialect can express them. Backends with real offset params keep
+  * [[VSInputPartition]] ranges. */
 case class VSCursorPartition(skip: Int, take: Int) extends InputPartition
+
+/** One of N CONCURRENT cursor walks over a cursor-paged backend: carries
+  * the COMPLETE wire filter for its disjoint id slice (numeric-range
+  * slices plus one non-numeric catch-all, each AND-composed with the
+  * query's own pushed filters at plan time). The slices partition the id
+  * space by construction, so the N walks together return exactly the
+  * single walk's rows — at 1/N of the sequential round-trip latency a
+  * 10 TB collection would otherwise pay. */
+case class VSCursorSlicePartition(sliceFilter: String) extends InputPartition
 
 /** Marker partition for a scan whose work is ONE native top-k search
   * call ([[VectorStoreTransport.nativeSearch]]) instead of a collection
@@ -566,6 +580,8 @@ private[vectorstore] object VSPaging {
             wireFilter: Option[String] = None): Iterator[Seq[VSRecord]] = part match {
     case VSSearchPartition() => // native-search fallback: full cursor walk
       pages(store, collection, VSCursorPartition(0, -1), pageSize, wireFilter)
+    case VSCursorSlicePartition(slice) => // slice filter already composed
+      pages(store, collection, VSCursorPartition(0, -1), pageSize, Some(slice))
     case VSInputPartition(start, end) =>
       (start until end by pageSize).iterator.map { c =>
         store.scrollFiltered(collection, c, math.min(pageSize, end - c), wireFilter)
@@ -592,10 +608,18 @@ private[vectorstore] object VSPaging {
   }
 }
 
+object VSScan {
+  /** Default concurrent cursor walks for a cursor-paged backend whose
+    * dialect can slice the id space server-side (`cursor_parallelism`
+    * table option overrides; 1 restores the sequential walk). */
+  val DefaultCursorParallelism = 8
+}
+
 class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
              required: StructType, limit: Option[Int], offset: Option[Int], pageSize: Int,
              search: Option[SearchSpec] = None, countColumns: Int = 0,
-             spec: TransportSpec = TransportSpec.Local)
+             spec: TransportSpec = TransportSpec.Local,
+             cursorParallelism: Int = VSScan.DefaultCursorParallelism)
   extends Scan with Batch with SupportsReportStatistics {
 
   private def countMode = countColumns > 0
@@ -658,11 +682,20 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
         return Array(VSSearchPartition())
       case _ => ()
     }
-    if (store.cursorPaged)
+    if (store.cursorPaged) {
       // cursor-paged wire (Qdrant point-id scroll, Pinecone pagination
-      // token): offsets are not wire-addressable, so the scan is ONE
-      // sequential cursor walk with skip/take applied record-wise
-      return Array(VSCursorPartition(offset.getOrElse(0), limit.getOrElse(-1)))
+      // token): offsets are not wire-addressable. A pushed limit/offset
+      // needs the global head order — ONE sequential walk with skip/take
+      // applied record-wise. Otherwise, when the backend evaluates filters
+      // server-side and the dialect can address the id column, plan N
+      // concurrent walks over disjoint id slices; backends that cannot
+      // express the slices (Pinecone: metadata-only filters) keep the
+      // single walk.
+      if (limit.isDefined || offset.isDefined || cursorParallelism <= 1 ||
+          !store.serverSideFilters)
+        return Array(VSCursorPartition(offset.getOrElse(0), limit.getOrElse(-1)))
+      return planCursorSlices(store)
+    }
     val total = store.count(collection)
     limit match {
       // pushed limit+offset: single scroll from the head — the reference's
@@ -678,6 +711,48 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
         else (0 until total by pageSize).map(s =>
           VSInputPartition(s, math.min(s + pageSize, total))).toArray
     }
+  }
+
+  /** N concurrent cursor walks over disjoint server-side id slices.
+    *
+    * Split points come from a one-page probe of the (filtered) id stream:
+    * the numeric ids of the first page, quantile-sampled — cheap, wire-
+    * honest, and only BALANCE depends on its quality, never correctness.
+    * The slices partition the whole id space by construction:
+    * `(-inf,s1), [s1,s2), ..., [sN,+inf)` over ids that parse as numbers,
+    * plus one catch-all `NOT(id < s1 OR id >= s1)` — which a non-numeric
+    * id satisfies (both comparisons are false) and every numeric id fails.
+    * Disjoint + covering holds for ANY id population, so the union of the
+    * walks is exactly the single walk's row set. Falls back to the single
+    * sequential walk when the collection fits in one page, the probe
+    * yields too few distinct numeric ids, or the dialect cannot render a
+    * slice (metadata-only filter languages). */
+  private def planCursorSlices(store: VectorStoreTransport): Array[InputPartition] = {
+    import org.apache.spark.sql.sources.{Filter => SFilter, _}
+    val single = Array[InputPartition](VSCursorPartition(0, -1))
+    val (probe, next) = store.scrollPageFiltered(collection, None, pageSize, wireFilter)
+    if (next.isEmpty) return single // fits in one page: nothing to parallelize
+    val numeric = probe.flatMap(r => Option(r.id)).flatMap(_.toDoubleOption)
+      .sorted.distinct
+    val want = math.min(cursorParallelism, numeric.length)
+    if (want <= 1) return single
+    val splits = (1 until want)
+      .map(i => numeric((i.toLong * numeric.length / want).toInt)).distinct
+    if (splits.isEmpty) return single
+    val id = Canonical.ID
+    val numericSlices: Seq[SFilter] =
+      LessThan(id, Double.box(splits.head)) +:
+        splits.sliding(2).collect { case Seq(a, b) =>
+          And(GreaterThanOrEqual(id, Double.box(a)), LessThan(id, Double.box(b)))
+        }.toSeq :+
+        GreaterThanOrEqual(id, Double.box(splits.last))
+    val catchAll: SFilter = // non-numeric ids: both range legs are false
+      Not(Or(LessThan(id, Double.box(splits.head)),
+        GreaterThanOrEqual(id, Double.box(splits.head))))
+    val rendered = (numericSlices :+ catchAll).map(dialect.render)
+    if (rendered.exists(_.isEmpty)) return single // dialect can't slice ids
+    rendered.flatten.flatMap(s => dialect.combine(wireFilter.toSeq :+ s))
+      .map(VSCursorSlicePartition(_): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -402,6 +402,35 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("qdrant cursor scan plans N concurrent walks over disjoint server-side id slices") {
+    val store = new InMemoryStore
+    val server = new QdrantWireServer(store)
+    try {
+      store.createCollection("qpar", CollectionConfig(dim = 2), recreate = true)
+      store.upsert("qpar", (0 until 1500).map(i =>
+        VSRecord(s"$i", Array(i.toFloat, 1f), Map("lbl" -> s"l${i % 3}"))))
+      // a non-numeric id must land in the catch-all slice, never vanish
+      store.upsert("qpar", Seq(VSRecord("alpha", Array(1f, 2f), Map("lbl" -> "lx"))))
+      spark.conf.set("spark.sql.catalog.vqp", classOf[VSCatalog].getName)
+      spark.conf.set("spark.sql.catalog.vqp.url", server.url)
+      spark.conf.set("spark.sql.catalog.vqp.page_size", "100")
+      val df = spark.table("vqp.qpar")
+      // 8 numeric range slices + the non-numeric catch-all
+      assert(df.rdd.getNumPartitions == 9, s"partitions=${df.rdd.getNumPartitions}")
+      val ids = df.select("id").as[String].collect()
+      assert(ids.length == 1501 && ids.distinct.length == 1501, // disjoint + covering
+        s"n=${ids.length} distinct=${ids.distinct.length}")
+      assert(ids.contains("alpha"))
+      // each walk shipped its slice filter in the documented scroll body
+      val bodies = server.bodiesOf("POST /collections/qpar/points/scroll")
+      assert(bodies.count(b => b.contains("\"range\"") && b.contains("\"filter\"")) >= 8,
+        bodies.take(3).mkString("\n"))
+      assert(bodies.exists(_.contains("must_not")), "catch-all slice never hit the wire")
+      // a pushed limit keeps the global-head single walk
+      assert(spark.table("vqp.qpar").limit(5).rdd.getNumPartitions == 1)
+    } finally server.stop()
+  }
+
   test("DSv2 write + scan through the pinecone wire, namespace option") {
     val server = new PineconeWireServer(new InMemoryStore)
     try {
