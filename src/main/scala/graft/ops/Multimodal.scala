@@ -71,11 +71,32 @@ object Multimodal {
                              lumSum: Long, meanByte: Double,
                              aHash: Long, aHashBits: String)
 
+    /** Whether the exact rational compare `blockSum*wh > total*blockPix`
+      * can overflow a signed Long: `blockSum ≤ maxPerPixelLum*wh`, so the
+      * left side is bounded by `maxPerPixelLum*wh²` — keyed on the ACTUAL
+      * per-pixel luminance ceiling (sample bit depth × color bands), not a
+      * fixed pixel count: a 16-bit raster overflows ~40× sooner than an
+      * 8-bit one. */
+    private[ops] def needsBigInt(maxPerPixelLum: Long, wh: Long): Boolean =
+      BigInt(math.max(maxPerPixelLum, 1L)) * wh * wh > BigInt(Long.MaxValue)
+
     def decode(bytes: Array[Byte]): Option[ImageFeatures] = {
-      val img =
+      val img0 =
         try ImageIO.read(new ByteArrayInputStream(bytes))
         catch { case _: Exception => null }
-      if (img == null) return None
+      if (img0 == null) return None
+      // palette images (GIF, PNG-8) store palette INDICES in the raster —
+      // hashing those compares palette layouts, not luminance. Expand to
+      // RGB first (transparent entries composite onto black,
+      // deterministically).
+      val img =
+        if (img0.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+          val rgb = new BufferedImage(img0.getWidth, img0.getHeight,
+            BufferedImage.TYPE_3BYTE_BGR)
+          val g = rgb.createGraphics()
+          try g.drawImage(img0, 0, 0, null) finally g.dispose()
+          rgb
+        } else img0
       val w = img.getWidth
       val h = img.getHeight
       val raster = img.getRaster
@@ -106,10 +127,13 @@ object Multimodal {
       var hash = 0L
       val bits = new StringBuilder(64)
       val wh = w.toLong * h
-      // the exact rational compare blockSum*wh > total*blockPix overflows
-      // Long past ~1e8 pixels (blockSum can reach 765*wh); rare gigapixel
-      // inputs take the BigInt path so the hash stays exact for ANY size
-      val big = wh > 100000000L
+      // large inputs take the BigInt path so the hash stays exact for ANY
+      // size AND sample depth (see needsBigInt)
+      val sm = raster.getSampleModel
+      var maxPerPixelLum = 0L
+      var mb = 0
+      while (mb < colorBands) { maxPerPixelLum += (1L << sm.getSampleSize(mb)) - 1; mb += 1 }
+      val big = needsBigInt(maxPerPixelLum, wh)
       var j = 0
       while (j < 64) {
         val set =

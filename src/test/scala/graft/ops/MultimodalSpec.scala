@@ -47,6 +47,53 @@ class MultimodalSpec extends SparkSpec {
     assert(f.lumSum == 3 * g.sum)
   }
 
+  test("palette GIF hashes expanded luminance, not palette indices") {
+    // adversarial palette: index 0 = WHITE, index 1 = BLACK — hashing raw
+    // raster indices would set the bits of exactly the WRONG half
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val cmap = new IndexColorModel(8, 2,
+      Array(255.toByte, 0.toByte), Array(255.toByte, 0.toByte),
+      Array(255.toByte, 0.toByte))
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_INDEXED, cmap)
+    val raster = img.getRaster
+    for (y <- 0 until 16; x <- 0 until 16)
+      raster.setSample(x, y, 0, if (x < 8) 0 else 1) // left WHITE, right BLACK
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    val f = Multimodal.ImageCodec.decode(out.toByteArray).get
+    // luminance: left half 3*255=765 per pixel, right half 0; mean 382.5 —
+    // the LEFT half's blocks (hash bit columns 0-3 of every row) are set
+    val expected = (0 until 8).map(r => "1111" + "0000").mkString
+    assert(f.aHashBits == expected, f.aHashBits)
+    assert(f.lumSum == 128L * 765, f.lumSum.toString)
+  }
+
+  test("16-bit raster: full sample depth honored; BigInt guard keys on depth") {
+    import java.awt.image.BufferedImage
+    // 8x8 16-bit gray: pixel (x,y) = 257*(8x+y) — distinct 16-bit values
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, 257 * (8 * x + y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val f = Multimodal.ImageCodec.decode(out.toByteArray).get
+    val vals = for (y <- 0 until 8; x <- 0 until 8) yield 257L * (8 * x + y)
+    assert(f.lumSum == vals.sum, s"${f.lumSum} vs ${vals.sum}") // 16-bit, not truncated
+    // 8x8 image: each hash block is one pixel; bit j=(y*8+x) set iff
+    // pixel*64 > total (mean = total/64)
+    val total = vals.sum
+    val expected = (for (y <- 0 until 8; x <- 0 until 8)
+      yield if (257L * (8 * x + y) * 64 > total) '1' else '0').mkString
+    assert(f.aHashBits == expected, f.aHashBits)
+    // the overflow guard triggers ~40x sooner for 16-bit than 8-bit rasters
+    import Multimodal.ImageCodec.needsBigInt
+    assert(!needsBigInt(765L, 100000000L))      // 8-bit RGB, 1e8 px: exact in Long
+    assert(needsBigInt(765L, 4000000000L))      // 8-bit RGB, 4e9 px: overflows
+    assert(needsBigInt(65535L, 100000000L))     // 16-bit gray, 1e8 px: overflows
+    assert(needsBigInt(65535L, 12000000L))      // 16-bit gray, 1.2e7 px: overflows
+    assert(!needsBigInt(65535L, 10000000L))     // 16-bit gray, 1e7 px: still exact
+  }
+
   test("extractImageFeatures is deterministic, partition-parallel, null-safe") {
     val media = Multimodal.imageTable(docs).repartition(3)
     def run() = Multimodal.extractImageFeatures(media)
