@@ -75,6 +75,10 @@ case class RetryingTransport(
     withRetry(inner.delete(name, ids))
   override def drop(name: String): Unit = withRetry(inner.drop(name))
   override def listCollections(): Seq[String] = withRetry(inner.listCollections())
+  // forwarded so a native-rename backend keeps its single atomic verb
+  // (the trait default would otherwise re-implement rename as copy+drop
+  // over this wrapper's retried calls)
+  override def rename(from: String, to: String): Unit = withRetry(inner.rename(from, to))
 }
 
 object RetryingTransport {

@@ -152,6 +152,27 @@ trait VectorStoreTransport extends Serializable {
     * `list_collections`) — backs [[VSCatalog.listTables]]. Default empty
     * so narrow test doubles keep compiling. */
   def listCollections(): Seq[String] = Seq.empty
+
+  /** Make `from`'s contents visible under `to` (replacing `to` if it
+    * exists) and remove `from` — the publish step of the exactly-once sink
+    * ([[VSAtomicBatchWrite]]). Backends with a native rename verb override
+    * with the single atomic call (Milvus v2:
+    * `POST /v2/vectordb/collections/rename`); this default is a
+    * copy-then-drop over the existing scroll/upsert verbs — correct but
+    * not atomic, the documented compatibility fallback for wire APIs
+    * without rename. */
+  def rename(from: String, to: String): Unit = {
+    describe(from).foreach(cfg => createCollection(to, cfg, recreate = true))
+    var cursor: Option[String] = None
+    var first = true
+    while (first || cursor.isDefined) {
+      val (recs, next) = scrollPage(from, cursor, 1000)
+      first = false
+      if (recs.nonEmpty) upsert(to, recs)
+      cursor = if (recs.isEmpty && next.isEmpty) None else next
+    }
+    drop(from)
+  }
 }
 
 /** Shared-JVM emulation of a vector store: collections of [[VSRecord]]s
@@ -217,6 +238,15 @@ class InMemoryStore extends VectorStoreTransport {
   }
 
   override def drop(name: String): Unit = { data.remove(name); configs.remove(name) }
+
+  /** Atomic in the emulation: one synchronized map move (the native-rename
+    * analog — real backends with a rename verb are one atomic call too). */
+  override def rename(from: String, to: String): Unit = synchronized {
+    val buf = Option(data.remove(from)).getOrElse(
+      throw new NoSuchElementException(s"collection not found: $from"))
+    data.put(to, buf)
+    Option(configs.remove(from)).foreach(configs.put(to, _))
+  }
 
   override def listCollections(): Seq[String] = {
     import scala.jdk.CollectionConverters._

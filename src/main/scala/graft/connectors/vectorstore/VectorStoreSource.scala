@@ -1048,27 +1048,89 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
         require(cfg.vectorType == vt,
           s"collection $collection holds ${cfg.vectorType}, cannot append $vt records")
       }
-      // collection DDL happens once, on the driver — like the reference's
-      // create-before-load (adapters/qdrant.py:188-212)
-      store.createCollection(collection,
-        CollectionConfig(distance = distance,
-          dim = Option(opts.get("dim")).map(_.toInt).getOrElse(0),
-          onDisk = Option(opts.get("on_disk")).exists(_.toBoolean),
-          // index tuning passthrough: hnsw_* / quantization_* config keys
-          // travel whole (adapters/qdrant.py:179-186 forwards hnsw_config
-          // and quantization_config the same way)
-          props = {
-            import scala.jdk.CollectionConverters._
-            opts.entrySet().asScala
-              .filter(e => e.getKey.startsWith("hnsw_") || e.getKey.startsWith("quantization_"))
-              .map(e => e.getKey -> e.getValue).toMap
-          },
-          vectorType = vt),
-        recreate = recreate)
-      new VSBatchWrite(collection, rules,
-        Option(opts.get("batch_size")).map(_.toInt).getOrElse(100), binaryVec, spec)
+      val cfg = CollectionConfig(distance = distance,
+        dim = Option(opts.get("dim")).map(_.toInt).getOrElse(0),
+        onDisk = Option(opts.get("on_disk")).exists(_.toBoolean),
+        // index tuning passthrough: hnsw_* / quantization_* config keys
+        // travel whole (adapters/qdrant.py:179-186 forwards hnsw_config
+        // and quantization_config the same way)
+        props = {
+          import scala.jdk.CollectionConverters._
+          opts.entrySet().asScala
+            .filter(e => e.getKey.startsWith("hnsw_") || e.getKey.startsWith("quantization_"))
+            .map(e => e.getKey -> e.getValue).toMap
+        },
+        vectorType = vt)
+      val batchSize = Option(opts.get("batch_size")).map(_.toInt).getOrElse(100)
+      if (Option(opts.get("atomic")).exists(_.toBoolean)) {
+        // exactly-once mode: tasks write an invisible SHADOW collection;
+        // the job-level commit publishes it (see VSAtomicBatchWrite). The
+        // target is NOT touched here — in recreate mode it keeps serving
+        // its old contents until the commit swap.
+        val shadow = s"${collection}__staging_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        store.createCollection(shadow, cfg, recreate = true)
+        new VSAtomicBatchWrite(collection, shadow, recreate, rules, batchSize,
+          binaryVec, spec)
+      } else {
+        // collection DDL happens once, on the driver — like the reference's
+        // create-before-load (adapters/qdrant.py:188-212)
+        store.createCollection(collection, cfg, recreate = recreate)
+        new VSBatchWrite(collection, rules, batchSize, binaryVec, spec)
+      }
     }
   }
+}
+
+/** Exactly-once (all-or-nothing) sink mode (`atomic` option): every task
+  * writes an invisible per-job SHADOW collection, so a failed task — or a
+  * whole failed job — leaves the target byte-identical; Spark calls
+  * [[abort]] and the shadow is dropped unpublished. On success the
+  * job-level [[commit]] publishes in one step:
+  *
+  *  - `recreate`: [[VectorStoreTransport.rename]] replaces the target with
+  *    the shadow — ONE verb on backends with native rename (Milvus v2
+  *    `POST /v2/vectordb/collections/rename`; the in-memory emulation's
+  *    synchronized map move), the documented copy-then-drop fallback
+  *    elsewhere;
+  *  - append: the shadow streams into the target in `batchSize` pages
+  *    (id-keyed upserts — re-publishing after a commit-time crash
+  *    converges), then drops.
+  *
+  * Without `atomic`, tasks upsert the live collection directly (retried
+  * tasks re-upsert the same ids, so duplicates never appear, but a failed
+  * JOB leaves the rows its successful tasks wrote). */
+class VSAtomicBatchWrite(target: String, shadow: String, recreate: Boolean,
+                         rules: WriteRules, batchSize: Int, binaryVec: Boolean,
+                         spec: TransportSpec) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new VSWriterFactory(shadow, rules, batchSize, binaryVec, spec)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val store = VectorStore.resolve(spec)
+    val (w, s) = messages.foldLeft((0L, 0L)) {
+      case ((aw, as), VSCommit(cw, cs)) => (aw + cw, as + cs)
+      case (acc, _) => acc
+    }
+    if (recreate) store.rename(shadow, target)
+    else {
+      // appending to a collection that does not exist yet: create it
+      // (recreate=false — an existing target is never touched here)
+      store.describe(shadow).foreach(cfg =>
+        store.createCollection(target, cfg, recreate = false))
+      var cursor: Option[String] = None
+      var first = true
+      while (first || cursor.isDefined) {
+        val (recs, next) = store.scrollPage(shadow, cursor, batchSize)
+        first = false
+        if (recs.nonEmpty) store.upsert(target, recs)
+        cursor = if (recs.isEmpty && next.isEmpty) None else next
+      }
+      store.drop(shadow)
+    }
+    VSWriteStats.record(spec, target, w, s)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    VectorStore.resolve(spec).drop(shadow) // nothing ever reached the target
 }
 
 case class VSCommit(written: Long, skipped: Long) extends WriterCommitMessage

@@ -517,6 +517,16 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
 
   override def drop(name: String): Unit = post("collections/drop", named(name))
 
+  /** Native rename — the documented v2 verb, ONE call instead of the
+    * trait's copy-then-drop fallback. The loopback server applies it as an
+    * atomic store move, replacing an existing target (the exactly-once
+    * sink's shadow swap). */
+  override def rename(from: String, to: String): Unit = {
+    val b = named(from)
+    b.put("newCollectionName", to)
+    post("collections/rename", b)
+  }
+
   override def listCollections(): Seq[String] = {
     val a = post("collections/list", obj()).get("data").asInstanceOf[ArrayNode]
     (0 until a.size()).map(i => a.get(i).asText())

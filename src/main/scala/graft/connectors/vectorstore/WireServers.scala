@@ -421,6 +421,15 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
         case "collections/drop" =>
           inner.drop(name)
           respond(ex, 200, ok(obj()))
+        case "collections/rename" =>
+          // documented v2 verb: {"collectionName": old, "newCollectionName": new}
+          val to = Option(body.get("newCollectionName")).map(_.asText()).getOrElse("")
+          if (!inner.exists(name))
+            return milvusErr(ex, 100, s"collection not found[collection=$name]")
+          if (to.isEmpty) return milvusErr(ex, 1100, "newCollectionName required")
+          if (inner.exists(to)) inner.drop(to) // engine renames replace (shadow swap)
+          inner.rename(name, to)
+          respond(ex, 200, ok(obj()))
         case "collections/list" =>
           val a = mapper.createArrayNode()
           inner.listCollections().foreach(a.add)

@@ -24,6 +24,37 @@ class VectorStoreSpec extends SparkSpec {
     assert(back.schema == Canonical.schema)
   }
 
+  test("atomic write: failed job leaves the target byte-identical; success publishes all") {
+    VectorStore.drop("atom")
+    VectorStore.createCollection("atom", CollectionConfig(dim = 4), recreate = true)
+    VectorStore.upsert("atom", Seq(VSRecord("old", Array(1f, 2f, 3f, 4f), Map("k" -> "v"))))
+    // poisoned batch: a null id kills its task mid-job (qdrant rules don't skip)
+    val poisoned = Seq(
+      ("g1", Seq(1f, 1f, 1f, 1f), Map.empty[String, String]),
+      (null.asInstanceOf[String], Seq(2f, 2f, 2f, 2f), Map.empty[String, String]))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA).repartition(2)
+    intercept[Exception] {
+      poisoned.write.format("graft-qdrant").option("collection", "atom")
+        .option("atomic", "true").mode("append").save()
+    }
+    // all-or-nothing: no partial rows in the target, no stranded shadow
+    assert(VectorStore.scroll("atom", 0, 100).map(_.id) == Seq("old"))
+    assert(!VectorStore.listCollections().exists(_.startsWith("atom__staging_")))
+    // the same shape without the poison publishes everything
+    canonDf(25, "g").write.format("graft-qdrant").option("collection", "atom")
+      .option("atomic", "true").mode("append").save()
+    assert(VectorStore.count("atom") == 26)
+    assert(VectorStore.scroll("atom", 0, 100).exists(_.id == "old"))
+    // atomic overwrite: target serves OLD contents until the commit swap,
+    // then the shadow replaces it wholesale
+    canonDf(10, "n").write.format("graft-qdrant").option("collection", "atom")
+      .option("atomic", "true").option("recreate", "true").mode("overwrite").save()
+    assert(VectorStore.count("atom") == 10)
+    assert(VectorStore.scroll("atom", 0, 100).forall(_.id.startsWith("n")))
+    assert(!VectorStore.listCollections().exists(_.startsWith("atom__staging_")))
+    VectorStore.drop("atom")
+  }
+
   test("filters push into the scan and are applied backend-side") {
     canonDf(100).write.format("graft-qdrant")
       .option("collection", "flt").option("recreate", "true").mode("overwrite").save()

@@ -402,6 +402,24 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("milvus wire: native collections/rename moves contents in one documented verb") {
+    val store = new InMemoryStore
+    val server = new MilvusWireServer(store)
+    val t = new MilvusWireTransport(server.url)
+    try {
+      t.createCollection("rn_src", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("rn_src", canon(5))
+      t.createCollection("rn_dst", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("rn_dst", Seq(VSRecord("zz", Array(9f, 9f), Map.empty)))
+      t.rename("rn_src", "rn_dst") // shadow-swap semantics: replaces the target
+      assert(!t.exists("rn_src"))
+      assert(t.count("rn_dst") == 5)
+      assert(t.scroll("rn_dst", 0, 10).map(_.id).sorted == (0 until 5).map(_.toString))
+      assert(server.requestLines.exists(_.startsWith("POST /v2/vectordb/collections/rename")),
+        server.requestLines.mkString("\n"))
+    } finally server.stop()
+  }
+
   test("qdrant cursor scan plans N concurrent walks over disjoint server-side id slices") {
     val store = new InMemoryStore
     val server = new QdrantWireServer(store)
