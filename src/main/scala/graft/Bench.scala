@@ -25,7 +25,7 @@ object Bench {
     * Verify. */
   val headline: Seq[String] = Seq(
     "q1_agg", "q_join_pricing", "q3_shipping", "q_topk_orders",
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_cosine",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_cosine", "q_dedup_cosine_lsh",
     "q_ann_topk", "q_text_stats", "q_sessionize", "q_vec_centroid",
     "q_connector_qdrant")
 
@@ -38,7 +38,15 @@ object Bench {
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     // full-corpus MinHash near-dedup on the xxhash64 production kernel
     "q_dedup_minhash" -> ((s, dir) =>
-      graft.ops.Dedup.minHashDuplicatePairs(Tables(s, dir, "documents"), threshold = 0.3)))
+      graft.ops.Dedup.minHashDuplicatePairs(Tables(s, dir, "documents"), threshold = 0.3)),
+    // the SCALE path for embedding near-dedup: hyperplane-LSH blocking
+    // with the bit width derived from the corpus size, so candidate work
+    // stays linear where the gated label-blocked q_dedup_cosine (fixed
+    // block cardinality) goes quadratic — the sf1 ramp exists to keep
+    // this delta visible
+    "q_dedup_cosine_lsh" -> ((s, dir) =>
+      graft.ops.Similarity.lshCosinePairsAuto(
+        Tables(s, dir, "embeddings"), threshold = 0.3)))
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
   private def iqr(xs: Seq[Double]): Double = {
@@ -46,18 +54,15 @@ object Bench {
     s(s.length * 3 / 4) - s(s.length / 4)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "5").toInt
-    val spark = GraftSession.local("graft-bench")
-    spark.sparkContext.setLogLevel("WARN")
+  private def measure(spark: SparkSession, sfDir: String,
+                      samples: Int): Seq[(String, Double, Double)] = {
     val qs = SparkEntry.queries ++ benchOnly
     val names = headline.filter(qs.contains)
     // Warm-up protocol: every headline query once, untimed (JIT/codegen).
     names.foreach { name =>
       try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = names.map { name =>
+    names.map { name =>
       val times = (1 to samples).map { _ =>
         val t0 = System.nanoTime()
         try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
@@ -65,13 +70,41 @@ object Bench {
       }
       (name, median(times), iqr(times))
     }
+  }
+
+  private def jsonMaps(results: Seq[(String, Double, Double)]): (String, String) = {
     def m(f: ((String, Double, Double)) => String): String =
       results.map(f).mkString("{", ",", "}")
-    val qjson = m { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-    val ijson = m { case (k, _, i) => "\"" + k + "\":" + f"$i%.3f" }
+    (m { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" },
+      m { case (k, _, i) => "\"" + k + "\":" + f"$i%.3f" })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "5").toInt
+    val spark = GraftSession.local("graft-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    val results = measure(spark, sfDir, samples)
+    val (qjson, ijson) = jsonMaps(results)
     val total = results.map(_._2).sum
+    // Scale ramp: when the materialized sf1 dataset exists (see
+    // [[BenchGen]] — 10x sf0.1, replicas de-correlated so dedup stays
+    // linear), the same headline queries run there too and ride the same
+    // JSON line under sf1_* keys. The sf0.1 board stopped discriminating
+    // (every query well under baseline), so plan regressions are expected
+    // to surface at sf1 first.
+    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .orElse(Some("target/sf1"))
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    val sf1Json = sf1Dir.map { d =>
+      val s1 = sys.env.getOrElse("SPARK_GRAFT_SF1_SAMPLES", "3").toInt
+      val r1 = measure(spark, d, s1)
+      val (q1, i1) = jsonMaps(r1)
+      s""","sf1_total":${f"${r1.map(_._2).sum}%.3f"},"sf1_queries":$q1,""" +
+        s""""sf1_queries_iqr":$i1,"sf1_samples":$s1,"sf1_dir":"$d""""
+    }.getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
-      s""""queries_iqr":$ijson,"samples":$samples,"sf":"$sfDir"}"""
+      s""""queries_iqr":$ijson,"samples":$samples,"sf":"$sfDir"$sf1Json}"""
     println(line)
     // Also land the JSON in a file: sbt interleaves log noise into stdout,
     // which has left the driver's `parsed` field null before.

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialize an sf1-scale bench dataset from the driver's sf0.1 tables:
+  * fact tables replicate `factor`× with shifted keys, dimension tables
+  * copy through — `graft.Bench` then runs unchanged against the output
+  * directory (`SPARK_GRAFT_SF_DIR=<out>`).
+  *
+  * Naive replication would plant every document/vector as a `factor`-
+  * clique of exact duplicates, turning the near-dedup queries into
+  * output-quadratic pathologies (the ScaleProbe measures that worst case
+  * separately — see BASELINE.md). A BENCH scale ramp wants the corpus
+  * 10× BIGGER, not 100× more duplicate pairs, so the replicas are
+  * de-correlated:
+  *
+  *  - `documents`: copy k>0 interleaves a copy-specific salt token after
+  *    every word, so every 3-shingle of a salted copy contains a token no
+  *    other copy has — cross-copy Jaccard ~0 — while two near-dup docs
+  *    WITHIN a copy salt identically and keep their similarity;
+  *  - `embeddings`: copy k>0 re-draws each component from a hash of
+  *    (vec_id, k, j) — new points in the same space, not clones;
+  *  - `lineitem`/`orders`: orderkeys shift per copy (join keys stay
+  *    consistent within a copy; dims are shared like a real star);
+  *  - `events`: event/user ids shift per copy — 10× users, same horizon.
+  *
+  * Usage: `runMain graft.BenchGen /root/testdata/sf0.1 <outDir> [factor]`.
+  */
+object BenchGen {
+
+  private val Shift = 1000000000L
+
+  def replicate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    def read(t: String): DataFrame = Tables(spark, src, t)
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    val copies = spark.range(factor).select(col("id").as("__k"))
+
+    // dimensions pass through unchanged (shared across replicas, like a
+    // real star schema at a bigger scale factor)
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(read(t), t))
+
+    write(read("lineitem").crossJoin(copies)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__k") * Shift)
+      .drop("__k"), "lineitem")
+    write(read("orders").crossJoin(copies)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__k") * Shift)
+      .drop("__k"), "orders")
+    write(read("events").crossJoin(copies)
+      .withColumn("event_id", col("event_id") + col("__k") * Shift)
+      .withColumn("user_id", col("user_id") + col("__k") * Shift)
+      .drop("__k"), "events")
+
+    // documents: salt every copy's token stream with a copy-unique word so
+    // replicas are not near-dups of each other (see scaladoc)
+    val salted = read("documents").crossJoin(copies)
+      .withColumn("text",
+        when(col("__k") === 0, col("text")).otherwise(concat_ws(" ",
+          flatten(transform(split(col("text"), "\\s+"),
+            w => array(w, concat(lit("zq"), col("__k"))))))))
+      .withColumn("doc_id", col("doc_id") + col("__k") * Shift)
+      .withColumn("n_chars", length(col("text")))
+      .drop("__k")
+    write(salted, "documents")
+
+    val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
+    write(read("embeddings").crossJoin(copies)
+      .withColumn("embedding",
+        when(col("__k") === 0, col("embedding")).otherwise(
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (hash(col("vec_id"), col("__k"), j) % 1000).cast("float") / 1000.0f)))
+      .withColumn("vec_id", col("vec_id") + col("__k") * Shift)
+      .drop("__k"), "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchGen <srcDir> <outDir> [factor]")
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.local("graft-benchgen")
+    spark.sparkContext.setLogLevel("WARN")
+    replicate(spark, args(0), args(1), factor)
+    println(s"[benchgen] wrote ${factor}x of ${args(0)} -> ${args(1)}")
+    spark.stop()
+    sys.exit(0)
+  }
+}

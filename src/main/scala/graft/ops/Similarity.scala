@@ -321,6 +321,25 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** [[lshCosinePairs]] with the bit width chosen FROM THE CORPUS SIZE:
+    * `bits = ceil(log2(n / targetBucket))` (clamped to [4, 24]), so the
+    * bucket count grows with the corpus and expected occupancy — and with
+    * it the Σ|bucket|² candidate work — stays ~`targetBucket` per bucket
+    * at any scale. Any fixed-width blocker goes quadratic the moment the
+    * corpus outgrows its bucket count: the sf1 bench ramp measured the
+    * label-blocked variant at 42× cost for 10× rows. Costs one extra
+    * `count()` pass to size the corpus. Recall trade: more bits split
+    * true near-dup pairs more often — run a second pass with rotated
+    * planes to recover, as with [[graft.ops.Dedup.simHashDuplicatePairs]]. */
+  def lshCosinePairsAuto(emb: DataFrame, threshold: Double, targetBucket: Int = 64,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         dim: Int = -1): DataFrame = {
+    val n = emb.count()
+    val want = math.max(1L, n / math.max(1, targetBucket))
+    val bits = math.max(4, math.min(24, 64 - java.lang.Long.numberOfLeadingZeros(want - 1)))
+    lshCosinePairs(emb, threshold, bits, idCol, vecCol, dim)
+  }
+
   /** IVF-Flat: deterministic coarse quantizer (lowest-id seeds, optionally
     * refined by Lloyd's rounds — `quantizerIters` > 1 trains the cells the
     * way a real IVF index build does, tightening recall-per-probe), then

@@ -160,4 +160,17 @@ class AnnRecallSpec extends SparkSpec {
       assert(recall > 0.2, s"pair recall $recall; exact=${exact.size} lsh=${lsh.size}")
     } else assert(lsh != null)
   }
+
+  test("lshCosinePairsAuto sizes the bit width from the corpus and matches the fixed path") {
+    // n/targetBucket rounds UP to the next power of two: bucket occupancy
+    // is bounded by the target at any corpus size (the linear-scale knob)
+    val n = emb.count()
+    val expBits = math.max(4, math.min(24,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64) - 1)))
+    val auto = Similarity.lshCosinePairsAuto(emb, threshold = 0.4, targetBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fixed = Similarity.lshCosinePairs(emb, threshold = 0.4, bits = expBits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == fixed, s"auto=${auto.size} fixed=${fixed.size} bits=$expBits")
+  }
 }
