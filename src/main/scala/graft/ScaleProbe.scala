@@ -296,6 +296,36 @@ object ScaleProbe {
           concat(lit("<html><body><p>"), col("text"),
             lit("</p><script>x()</script></body></html>")).as("html")))
         .filter(col("n_tokens") > 0).count())
+    // cursor-paged wire extraction: ONE sequential walk vs N sliced
+    // concurrent walks against a real loopback server — the speedup claim
+    // for VSCursorSlicePartition. .rdd defeats the count(*) pushdown so
+    // every record actually crosses the wire and decodes.
+    if (only.forall(_.exists(s => "wire cursor walk".contains(s)))) {
+      import graft.connectors.vectorstore._
+      val store = new InMemoryStore
+      val server = new QdrantWireServer(store)
+      try {
+        store.createCollection("probe_cursor", CollectionConfig(dim = 8), recreate = true)
+        val n = 2000 * factor
+        (0 until n).grouped(1000).foreach(g => store.upsert("probe_cursor",
+          g.map(i => VSRecord(s"$i", Array.fill(8)(i.toFloat), Map("m" -> s"v$i")))))
+        def scan(par: Int): Long =
+          spark.read.format("graft-qdrant").option("url", server.url)
+            .option("collection", "probe_cursor").option("page_size", "500")
+            .option("cursor_parallelism", par.toString).load()
+            .rdd.count()
+        time("wire cursor walk x1")(scan(1))
+        time("wire cursor walk x8")(scan(8))
+        // the realistic regime: a real backend charges network + service
+        // time per page; the walk is latency-bound and slicing approaches
+        // N x. (The zero-latency loopback above is codec-bound — it
+        // UNDERSTATES the parallel win.)
+        server.injectLatencyMs = 10
+        time("wire cursor walk x1 (10ms rtt)")(scan(1))
+        time("wire cursor walk x8 (10ms rtt)")(scan(8))
+        server.injectLatencyMs = 0
+      } finally server.stop()
+    }
     spark.stop()
     sys.exit(0) // don't let stray library threads pin the forked JVM open
   }

@@ -186,12 +186,25 @@ trait VectorStoreTransport extends Serializable {
 class InMemoryStore extends VectorStoreTransport {
   private val data = new ConcurrentHashMap[String, ArrayBuffer[VSRecord]]()
   private val configs = new ConcurrentHashMap[String, CollectionConfig]()
+  private val versions = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def bump(name: String): Unit =
+    versions.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet()
+
+  /** Monotone per-collection mutation counter. Lets the loopback wire
+    * servers memoize filtered views so a filtered scroll costs what an
+    * INDEXED backend charges (proportional to the result page, not a full
+    * re-scan per page) — the cost model a real cluster presents. */
+  def version(name: String): Long =
+    Option(versions.get(name)).map(_.get()).getOrElse(0L)
 
   override def createCollection(name: String, config: CollectionConfig, recreate: Boolean): Unit =
     synchronized {
       if (recreate || !data.containsKey(name)) {
         data.put(name, ArrayBuffer.empty)
         configs.put(name, config)
+        bump(name)
       }
     }
 
@@ -221,6 +234,7 @@ class InMemoryStore extends VectorStoreTransport {
       buf.clear()
       buf ++= kept ++= records
     }
+    bump(name)
     records.length
   }
 
@@ -233,11 +247,14 @@ class InMemoryStore extends VectorStoreTransport {
       val kept = buf.filterNot(r => doomed.contains(r.id))
       buf.clear()
       buf ++= kept
+      bump(name)
       before - buf.length
     }
   }
 
-  override def drop(name: String): Unit = { data.remove(name); configs.remove(name) }
+  override def drop(name: String): Unit = {
+    data.remove(name); configs.remove(name); bump(name)
+  }
 
   /** Atomic in the emulation: one synchronized map move (the native-rename
     * analog — real backends with a rename verb are one atomic call too). */
@@ -246,6 +263,7 @@ class InMemoryStore extends VectorStoreTransport {
       throw new NoSuchElementException(s"collection not found: $from"))
     data.put(to, buf)
     Option(configs.remove(from)).foreach(configs.put(to, _))
+    bump(from); bump(to)
   }
 
   override def listCollections(): Seq[String] = {

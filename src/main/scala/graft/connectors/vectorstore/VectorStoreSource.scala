@@ -715,29 +715,35 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
 
   /** N concurrent cursor walks over disjoint server-side id slices.
     *
-    * Split points come from a one-page probe of the (filtered) id stream:
-    * the numeric ids of the first page, quantile-sampled — cheap, wire-
-    * honest, and only BALANCE depends on its quality, never correctness.
     * The slices partition the whole id space by construction:
     * `(-inf,s1), [s1,s2), ..., [sN,+inf)` over ids that parse as numbers,
     * plus one catch-all `NOT(id < s1 OR id >= s1)` — which a non-numeric
     * id satisfies (both comparisons are false) and every numeric id fails.
     * Disjoint + covering holds for ANY id population, so the union of the
-    * walks is exactly the single walk's row set. Falls back to the single
-    * sequential walk when the collection fits in one page, the probe
-    * yields too few distinct numeric ids, or the dialect cannot render a
-    * slice (metadata-only filter languages). */
+    * walks is exactly the single walk's row set — only BALANCE depends on
+    * where the split points land, never correctness.
+    *
+    * Split points span `[min probe id, max(max probe id, min + count)]`:
+    * a one-page probe of the (filtered) id stream gives the low end, and
+    * the backend's count extends the high end under the dense-numeric-id
+    * assumption (the common shape after digit-id coercion). Quantiles of
+    * the probe page alone would be badly skewed — a first page of ids
+    * 0..499 over a 200k collection puts 99.8% of the rows in the last
+    * slice. Falls back to the single sequential walk when the collection
+    * fits in one page, the probe has no numeric ids, or the dialect
+    * cannot render a slice (metadata-only filter languages). */
   private def planCursorSlices(store: VectorStoreTransport): Array[InputPartition] = {
     import org.apache.spark.sql.sources.{Filter => SFilter, _}
     val single = Array[InputPartition](VSCursorPartition(0, -1))
     val (probe, next) = store.scrollPageFiltered(collection, None, pageSize, wireFilter)
     if (next.isEmpty) return single // fits in one page: nothing to parallelize
     val numeric = probe.flatMap(r => Option(r.id)).flatMap(_.toDoubleOption)
-      .sorted.distinct
-    val want = math.min(cursorParallelism, numeric.length)
-    if (want <= 1) return single
-    val splits = (1 until want)
-      .map(i => numeric((i.toLong * numeric.length / want).toInt)).distinct
+    if (numeric.isEmpty || cursorParallelism < 2) return single
+    val lo = numeric.min
+    val hi = math.max(numeric.max, lo + store.count(collection).toDouble)
+    if (!(hi > lo)) return single
+    val want = cursorParallelism
+    val splits = (1 until want).map(i => lo + (hi - lo) * i / want).distinct
     if (splits.isEmpty) return single
     val id = Canonical.ID
     val numericSlices: Seq[SFilter] =

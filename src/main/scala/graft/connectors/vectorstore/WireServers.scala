@@ -100,7 +100,15 @@ private[vectorstore] abstract class WireServer(port: Int) {
       }
     }
 
+  /** Test/probe knob: per-request latency injection, emulating the
+    * network + backend service time a real cluster charges every page of
+    * a cursor walk (the loopback answers in microseconds, which makes
+    * sequential walks look artificially cheap — see the "wire cursor
+    * walk" ScaleProbe). */
+  @volatile var injectLatencyMs: Int = 0
+
   private def dispatch(ex: HttpExchange): Unit = try {
+    if (injectLatencyMs > 0) Thread.sleep(injectLatencyMs.toLong)
     val uri = ex.getRequestURI
     val line = ex.getRequestMethod + " " + uri.getPath +
       Option(uri.getRawQuery).map("?" + _).getOrElse("")
@@ -153,6 +161,41 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
         val filter = WireFilters.fromQdrantJson(f)
         recs.filter(r => FilterEval.eval(filter, r))
     }
+
+  /** Filtered view of a collection plus an id→position index for cursor
+    * lookup. A REAL backend serves an indexed filter at result cost — it
+    * does not re-scan the collection for every page of a scroll — so the
+    * emulation matches that cost model by memoizing the filtered sequence
+    * per (collection, filter, collection-version); any mutation bumps the
+    * [[InMemoryStore.version]] and invalidates. Without this, an N-page
+    * filtered walk costs O(N·|collection|) and benchmarks of the sliced
+    * cursor scan measure the emulation's re-scan, not the wire pattern.
+    * Non-InMemoryStore transports (no version signal) recompute per
+    * request as before. */
+  private val viewCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (Long, Seq[VSRecord], Map[String, Int])]()
+  private def filteredView(name: String,
+                           body: JsonNode): (Seq[VSRecord], Map[String, Int]) = {
+    def compute(): (Seq[VSRecord], Map[String, Int]) = {
+      val recs = applyFilter(inner.scroll(name, 0, Int.MaxValue), body)
+      (recs, recs.iterator.map(_.id).zipWithIndex.toMap)
+    }
+    inner match {
+      case m: InMemoryStore =>
+        val v = m.version(name)
+        val key = (name,
+          Option(body.get("filter")).filterNot(_.isNull).map(_.toString).getOrElse(""))
+        val cached = viewCache.get(key)
+        if (cached != null && cached._1 == v) (cached._2, cached._3)
+        else {
+          if (viewCache.size > 64) viewCache.clear() // bound test-JVM memory
+          val (r, ix) = compute()
+          viewCache.put(key, (v, r, ix))
+          (r, ix)
+        }
+      case _ => compute()
+    }
+  }
   private def okTrue(): ObjectNode = {
     val o = obj()
     o.put("result", true)
@@ -248,12 +291,11 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
         // server-side structured filter: evaluated through the SAME
         // FilterEval the engine uses, so non-matching points never leave
         // the server — cursor ids then address the FILTERED sequence
-        val all = applyFilter(inner.scroll(name, 0, Int.MaxValue), body)
+        val (all, idIndex) = filteredView(name, body)
         val from = Option(body.get("offset")).filterNot(_.isNull).map(_.asText()) match {
           case None => 0
           case Some(id) =>
-            val i = all.indexWhere(_.id == id)
-            if (i < 0) all.length else i // unknown cursor id -> empty page
+            idIndex.getOrElse(id, all.length) // unknown cursor id -> empty page
         }
         val recs = all.slice(from, from + limit)
         val r = obj()
@@ -275,7 +317,7 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
         // VSScoring so native and scroll+score paths agree exactly
         val limit = Option(body.get("limit")).map(_.asInt()).getOrElse(10)
         val qv = WireJson.floats(body.get("vector"))
-        val cands = applyFilter(inner.scroll(name, 0, Int.MaxValue), body)
+        val cands = filteredView(name, body)._1
         val top = VSScoring.topK(cands, SearchSpec(qv, limit))
         val arr = WireJson.mapper.createArrayNode()
         top.foreach { case (rec, score) =>
