@@ -197,6 +197,27 @@ object ConnectorQueries {
       } finally server.stop()
     }),
 
+    // The sliced cursor walk end-to-end: a small page size forces a
+    // multi-page scroll, and the scan plans 4 CONCURRENT filtered walks
+    // over disjoint id slices (numeric ranges + the non-numeric
+    // catch-all). The oracle adjudicates exactly-once coverage — a slice
+    // overlap would duplicate rows, a gap would drop them, and either
+    // hash-mismatches.
+    "q_connector_cursor_sliced" -> ((s, dir) => {
+      import graft.connectors.vectorstore._
+      val server = new QdrantWireServer(new InMemoryStore)
+      val conn = Map("url" -> server.url)
+      try {
+        loadFixture(s, dir, "graft-qdrant", "gate_sliced", options = conn)
+        ConnectorRegistry("qdrant").read(s,
+          conn ++ Map("page_size" -> "100", "cursor_parallelism" -> "4"),
+          QuerySpec(collection = "gate_sliced"))
+          .select(col(Canonical.ID),
+            element_at(col(Canonical.METADATA), "label").as("label"))
+          .localCheckpoint(true)
+      } finally server.stop()
+    }),
+
     // M4 end-to-end: the full config-driven pipeline (read → transform →
     // write) through Migrator, then the target collection read back — the
     // reference's whole program as one checkable query
@@ -467,6 +488,9 @@ object ConnectorQueries {
     "q_connector_http" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings WHERE label >= 5"),
+    "q_connector_cursor_sliced" ->
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
+        "FROM embeddings"),
     "q_connector_count" ->
       "SELECT COUNT(*) AS n FROM embeddings",
     "q_connector_sql" ->

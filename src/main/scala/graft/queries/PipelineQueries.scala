@@ -607,6 +607,31 @@ object PipelineQueries {
         numHashes = 16, numBands = 4, threshold = 0.3, portable = true)
     }),
 
+    // The INDEXED incremental path under its crash-window state: the index
+    // is built from the even corpus MINUS a holdout, then the holdout's
+    // bands+sigs are appended while widths/ stays stale — exactly what a
+    // crash between SigIndex.ingest's appends and its widths swap leaves.
+    // The oracle computes the FRESH-index answer over the full even
+    // corpus, so the gate passes only because candidate generation treats
+    // widths-unknown buckets as small (coalesce(bucket_n,0) <= maxBucket)
+    // instead of dropping them.
+    "q_dedup_incremental_stale" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("gate_stale").toString
+      val p = graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true)
+      graft.core.SigIndex.build(s, even.filter(col("doc_id") % 10 =!= 0), tmp, p)
+      val stranded = Dedup.signatureTable(even.filter(col("doc_id") % 10 === 0),
+        numHashes = 16, portable = true)
+      stranded.write.mode("append").parquet(s"$tmp/sigs")
+      Dedup.bandedSignatureTable(stranded, numBands = 4, rowsPerBand = 4, portable = true)
+        .write.mode("append").parquet(s"$tmp/bands") // widths NOT swapped
+      Dedup.incrementalNearDupPairsIndexed(
+        s.read.parquet(s"$tmp/sigs"), s.read.parquet(s"$tmp/bands"),
+        s.read.parquet(s"$tmp/widths"), docs.filter(col("doc_id") % 2 =!= 0),
+        numHashes = 16, numBands = 4, threshold = 0.3, portable = true)
+    }),
+
     // ---- Corpus data card: per-(source, lang) doc/token/char counts,
     //      quality pass rate, and the exact grid mean quality — the table
     //      a mixture plan starts from ----
@@ -1606,7 +1631,10 @@ object PipelineQueries {
         "FROM documents GROUP BY source, lang")
     m + ("q_ann_mmr_tiered" -> m("q_ann_mmr")) + ("q_dsir_weights" -> dsirSql) +
       ("q_ann_hard_negatives" -> hardNegSql) + ("q_chunk_pool" -> chunkPoolSql) +
-      ("q_dedup_incremental" -> incrementalSql) + ("q_text_extract" -> extractSql) +
+      ("q_dedup_incremental" -> incrementalSql) +
+      // same oracle: the stale-widths gate must return the FRESH answer
+      ("q_dedup_incremental_stale" -> incrementalSql) +
+      ("q_text_extract" -> extractSql) +
       ("q_corpus_datacard" -> dataCardSql)
   }
 }
