@@ -1123,13 +1123,31 @@ class VSAtomicBatchWrite(target: String, shadow: String, recreate: Boolean,
       // (recreate=false — an existing target is never touched here)
       store.describe(shadow).foreach(cfg =>
         store.createCollection(target, cfg, recreate = false))
-      var cursor: Option[String] = None
-      var first = true
-      while (first || cursor.isDefined) {
-        val (recs, next) = store.scrollPage(shadow, cursor, batchSize)
-        first = false
-        if (recs.nonEmpty) store.upsert(target, recs)
-        cursor = if (recs.isEmpty && next.isEmpty) None else next
+      val n = store.count(shadow)
+      val session = org.apache.spark.sql.SparkSession.active
+      if (!store.cursorPaged && n > batchSize) {
+        // distributed publish: executors copy disjoint offset ranges of
+        // the shadow — rows never pass through the driver, and a re-run
+        // of a range converges (id-keyed upserts). Cursor-paged backends
+        // cannot address offsets on the wire and keep the driver-streamed
+        // copy below (still O(batch_size) driver memory).
+        val sp = spec; val sh = shadow; val tg = target; val bs = batchSize
+        val ranges = (0 until n by bs).map(s0 => (s0, math.min(s0 + bs, n)))
+        session.sparkContext.parallelize(ranges,
+            math.min(ranges.length, session.sparkContext.defaultParallelism))
+          .foreach { case (s0, e0) =>
+            val st = VectorStore.resolve(sp)
+            st.upsert(tg, st.scroll(sh, s0, e0 - s0))
+          }
+      } else {
+        var cursor: Option[String] = None
+        var first = true
+        while (first || cursor.isDefined) {
+          val (recs, next) = store.scrollPage(shadow, cursor, batchSize)
+          first = false
+          if (recs.nonEmpty) store.upsert(target, recs)
+          cursor = if (recs.isEmpty && next.isEmpty) None else next
+        }
       }
       store.drop(shadow)
     }

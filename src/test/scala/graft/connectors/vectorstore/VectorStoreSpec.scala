@@ -55,6 +55,21 @@ class VectorStoreSpec extends SparkSpec {
     VectorStore.drop("atom")
   }
 
+  test("atomic append publishes large shadows through executors, not the driver") {
+    VectorStore.drop("atom_dist")
+    VectorStore.createCollection("atom_dist", CollectionConfig(dim = 4), recreate = true)
+    VectorStore.upsert("atom_dist", Seq(VSRecord("seed", Array(0f, 0f, 0f, 0f), Map.empty)))
+    // n=250 >> batch_size=10 takes the distributed range-copy commit path
+    canonDf(250, "d").write.format("graft-qdrant").option("collection", "atom_dist")
+      .option("atomic", "true").option("batch_size", "10").mode("append").save()
+    val rows = VectorStore.scroll("atom_dist", 0, 1000)
+    assert(rows.length == 251, s"${rows.length}")
+    assert(rows.exists(_.id == "seed"))
+    assert((0 until 250).forall(i => rows.exists(_.id == s"d$i")))
+    assert(!VectorStore.listCollections().exists(_.startsWith("atom_dist__staging_")))
+    VectorStore.drop("atom_dist")
+  }
+
   test("filters push into the scan and are applied backend-side") {
     canonDf(100).write.format("graft-qdrant")
       .option("collection", "flt").option("recreate", "true").mode("overwrite").save()
