@@ -43,7 +43,11 @@ object Bench {
     // with the bit width derived from the corpus size, so candidate work
     // stays linear where the gated label-blocked q_dedup_cosine (fixed
     // block cardinality) goes quadratic — the sf1 ramp exists to keep
-    // this delta visible
+    // this delta visible. Deliberately SHADOWS the gated fixed-bits
+    // q_dedup_cosine_lsh here (benchOnly wins in `qs`): the gate pins
+    // bits=4 so its oracle can inline the planes, while the bench must
+    // scale bits with the corpus or sf1 re-creates the quadratic it exists
+    // to catch.
     "q_dedup_cosine_lsh" -> ((s, dir) =>
       graft.ops.Similarity.lshCosinePairsAuto(
         Tables(s, dir, "embeddings"), threshold = 0.3)))

@@ -44,7 +44,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes: `bits` planes of dimension
     * `dim`, components from a seeded Gaussian. Plain Scala literals —
     * identical on every executor. */
-  private[ops] def hyperplanes(bits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+  private[graft] def hyperplanes(bits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(bits, dim)(rnd.nextGaussian())
   }

@@ -206,6 +206,16 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), blockCol = "source", threshold = 0.05)),
     "q_dedup_cosine" -> ((s, dir) =>
       Dedup.cosineNearDupPairs(Tables(s, dir, "embeddings"), blockCol = "label", threshold = 0.3)),
+    // The SCALE path for embedding near-dedup: hyperplane-LSH buckets
+    // instead of a fixed-cardinality block column — Σ|block|² over a fixed
+    // block count is quadratic in corpus size (the sf1 ramp measured the
+    // label-blocked face at 44× cost for 10× rows; the production entry is
+    // Similarity.lshCosinePairsAuto, which scales the bit width with the
+    // corpus). The oracle replays the 4 sign-planes as inline double
+    // literals, so BOTH the bucketing and the verification are
+    // adjudicated, not just the survivors.
+    "q_dedup_cosine_lsh" -> ((s, dir) =>
+      Similarity.lshCosinePairs(Tables(s, dir, "embeddings"), threshold = 0.3, bits = 4)),
     // SemDeDup: blocks from the data's own k-means geometry (1 Lloyd's
     // step keeps the quantizer SQL-replayable for the oracle)
     "q_dedup_semantic" -> ((s, dir) =>
@@ -933,6 +943,22 @@ object PipelineQueries {
           s"round(${cosSql("a.v", "b.v")}, 6) AS cosine " +
           "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) " +
           "SELECT * FROM p WHERE cosine >= 0.3"),
+      "q_dedup_cosine_lsh" -> {
+        // the gate's 4 sign-planes, inlined from the SAME generator the
+        // engine uses (seed 7, dim 64) — the oracle replays bucket
+        // assignment bit by bit, then the in-bucket cosine verify
+        val planes = Similarity.hyperplanes(4, 64)
+        val bucket = planes.zipWithIndex.map { case (p, j) =>
+          val lit = p.mkString("[", ",", "]")
+          s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+          s"b AS (SELECT vec_id, v, $bucket AS bucket FROM e), " +
+          "p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, " +
+          s"round(${cosSql("a.v", "c.v")}, 6) AS cosine " +
+          "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) " +
+          "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3"
+      },
       "q_dedup_semantic" ->
         // the 1-step k-means assignment (same CTE as q_kmeans_assign) as
         // the blocking key, then exact cosine within each cluster
