@@ -305,9 +305,13 @@ object ScaleProbe {
       val store = new InMemoryStore
       val server = new QdrantWireServer(store)
       try {
-        store.createCollection("probe_cursor", CollectionConfig(dim = 8), recreate = true)
+        // seed through the WIRE CLIENT: the upsert mirrors numeric ids
+        // into the __gid payload field the id slices range-filter — the
+        // same state a real migration leaves behind
+        val t = new QdrantWireTransport(server.url)
+        t.createCollection("probe_cursor", CollectionConfig(dim = 8), recreate = true)
         val n = 2000 * factor
-        (0 until n).grouped(1000).foreach(g => store.upsert("probe_cursor",
+        (0 until n).grouped(1000).foreach(g => t.upsert("probe_cursor",
           g.map(i => VSRecord(s"$i", Array.fill(8)(i.toFloat), Map("m" -> s"v$i")))))
         def scan(par: Int): Long =
           spark.read.format("graft-qdrant").option("url", server.url)

@@ -47,25 +47,42 @@ object DeltaStaging {
   val ThresholdKey = "spark.graft.delta.stage.threshold"
   val DefaultThreshold = 100000
 
-  case class Spec(dir: String, threshold: Int)
+  /** `hadoopProps` are the session's `spark.hadoop.*` entries (prefix
+    * stripped), captured DRIVER-side at plan time and shipped to
+    * executors — a bare `new Configuration()` on an executor would miss
+    * the fs credentials/endpoints (s3a keys etc.) configured the standard
+    * Spark way, failing the spill on exactly the DFS deployments staging
+    * exists for. */
+  case class Spec(dir: String, threshold: Int,
+                  hadoopProps: Map[String, String] = Map.empty)
 
   /** Spill events since JVM start — observability for specs and tuning. */
   val spillCount = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def fs(path: String): FileSystem =
-    FileSystem.get(new URI(path), new Configuration())
+  private def fs(path: String, props: Map[String, String]): FileSystem = {
+    // driver side gets the session's full hadoopConfiguration; executors
+    // reconstruct from defaults + the shipped spark.hadoop.* overlay
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(s => new Configuration(s.sparkContext.hadoopConfiguration))
+      .getOrElse(new Configuration())
+    props.foreach { case (k, v) => conf.set(k, v) }
+    FileSystem.get(new URI(path), conf)
+  }
 
-  def newWriter(path: String): BufferedWriter =
+  def newWriter(path: String, props: Map[String, String]): BufferedWriter =
     new BufferedWriter(new OutputStreamWriter(
-      fs(path).create(new Path(path), true), StandardCharsets.UTF_8))
+      fs(path, props).create(new Path(path), true), StandardCharsets.UTF_8))
 
-  /** Stream a staged file's lines; the handle closes on exhaustion (commit
-    * always drains) and file deletion below releases the rest. */
-  def lines(path: String): Iterator[String] = {
+  /** Stream a staged file's lines; the handle closes as soon as the end is
+    * known — immediately for an empty file (commit opens one reader per
+    * staged file; leaking the empty-file handles of id-preserving UPDATEs
+    * would accumulate on a long-lived driver). */
+  def lines(path: String, props: Map[String, String] = Map.empty): Iterator[String] = {
     val reader = new BufferedReader(new InputStreamReader(
-      fs(path).open(new Path(path)), StandardCharsets.UTF_8))
+      fs(path, props).open(new Path(path)), StandardCharsets.UTF_8))
     new Iterator[String] {
       private var nextLine = reader.readLine()
+      if (nextLine == null) reader.close()
       override def hasNext: Boolean = nextLine != null
       override def next(): String = {
         val l = nextLine
@@ -76,9 +93,18 @@ object DeltaStaging {
     }
   }
 
-  def delete(path: String): Unit =
-    try fs(path).delete(new Path(path), false)
+  def delete(path: String, props: Map[String, String] = Map.empty): Unit =
+    try fs(path, props).delete(new Path(path), false)
     catch { case _: java.io.IOException => () } // best-effort cleanup
+
+  // ------------------------------------------------------- delete-id codec
+
+  /** Delete ids stage as JSON strings, one per line — ids are arbitrary
+    * user strings, and a raw id containing a newline would split into two
+    * bogus lines (two no-op deletes; the real row silently survives). */
+  def idToLine(id: String): String = mapper.writeValueAsString(
+    mapper.getNodeFactory.textNode(id))
+  def idFromLine(line: String): String = mapper.readTree(line).asText()
 
   // ---------------------------------------------------------- record codec
 

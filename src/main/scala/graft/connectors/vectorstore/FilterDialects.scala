@@ -28,6 +28,15 @@ trait FilterDialect extends Serializable {
     * cannot evaluate anything engine-side). */
   def render(f: Filter): Option[String]
 
+  /** The attribute the engine's parallel cursor slices may range-filter to
+    * address a record's numeric identity server-side, or None when the
+    * backend has no such face (metadata-only filter languages, or APIs
+    * that cannot range-filter any id-valued field). Qdrant cannot filter
+    * POINT ids by range, so its writer mirrors numeric ids into the
+    * reserved `__gid` numeric payload field and slices address that —
+    * real payload range filters, wire-honest end to end. */
+  def idSliceAttribute: Option[String] = None
+
   /** AND-combine several rendered filters into ONE backend predicate —
     * what actually travels on the wire (scroll/search filter body).
     * Default joins with the expression languages' `AND`; the Qdrant
@@ -100,6 +109,12 @@ class QdrantFilterDialect extends FilterDialect {
   import DialectUtil._
   override def name: String = "qdrant"
   @transient private lazy val mapper = new ObjectMapper()
+
+  /** Cursor slices range-filter the reserved numeric `__gid` payload field
+    * the Qdrant writer mirrors numeric ids into ([[QdrantWireTransport
+    * .upsert]]) — real Qdrant evaluates numeric payload ranges, point-id
+    * ranges do not exist on its wire. */
+  override def idSliceAttribute: Option[String] = Some("metadata.__gid")
 
   /** Each rendered filter is already a complete clause object, so the AND
     * of several is a `must` list of them. */

@@ -162,7 +162,10 @@ trait VectorStoreTransport extends Serializable {
     * not atomic, the documented compatibility fallback for wire APIs
     * without rename. */
   def rename(from: String, to: String): Unit = {
-    describe(from).foreach(cfg => createCollection(to, cfg, recreate = true))
+    // ALWAYS recreate the target — "replacing `to` if it exists" is the
+    // contract, and a transport whose describe returns None (narrow
+    // doubles) must not silently merge into an existing target
+    createCollection(to, describe(from).getOrElse(CollectionConfig()), recreate = true)
     var cursor: Option[String] = None
     var first = true
     while (first || cursor.isDefined) {

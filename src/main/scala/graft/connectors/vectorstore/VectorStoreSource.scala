@@ -277,7 +277,12 @@ class VSRowLevelOperation(cmd: RowLevelOperation.Command, collection: String,
               .map(dir => DeltaStaging.Spec(dir,
                 Option(opts.get("delta_stage_threshold"))
                   .orElse(conf.getOption(DeltaStaging.ThresholdKey)).map(_.toInt)
-                  .getOrElse(DeltaStaging.DefaultThreshold)))
+                  .getOrElse(DeltaStaging.DefaultThreshold),
+                // fs credentials/endpoints configured the standard Spark
+                // way must reach the executor-side spill writers
+                org.apache.spark.sql.SparkSession.active.sparkContext.getConf.getAll
+                  .collect { case (k, v) if k.startsWith("spark.hadoop.") =>
+                    k.stripPrefix("spark.hadoop.") -> v }.toMap))
           }
           new VSDeltaBatchWrite(collection, rules,
             Option(opts.get("batch_size")).map(_.toInt).getOrElse(100), binaryVec, spec,
@@ -304,7 +309,8 @@ class VSDeltaBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
     // never fully materialized on the driver), then upserts the same way
     var deleted = 0L
     deltas.iterator.flatMap(d =>
-        d.deletes.iterator ++ d.stagedDeletes.iterator.flatMap(DeltaStaging.lines))
+        d.deletes.iterator ++ d.stagedDeletes.iterator.flatMap(p =>
+          DeltaStaging.lines(p).map(DeltaStaging.idFromLine)))
       .grouped(batchSize).foreach { b =>
         store.delete(collection, b.toSeq); deleted += b.length
       }
@@ -314,16 +320,16 @@ class VSDeltaBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
           DeltaStaging.lines(p).map(DeltaStaging.recordFromJson)))
       .grouped(batchSize).foreach(b => written += store.upsert(collection, b.toSeq))
     deltas.foreach { d =>
-      d.stagedUpserts.foreach(DeltaStaging.delete)
-      d.stagedDeletes.foreach(DeltaStaging.delete)
+      d.stagedUpserts.foreach(DeltaStaging.delete(_))
+      d.stagedDeletes.foreach(DeltaStaging.delete(_))
     }
     VSWriteStats.record(spec, collection, written, deltas.map(_.skipped).sum, deleted)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // nothing was applied; drop whatever committed tasks staged
     messages.collect { case d: VSDeltaCommit => d }.foreach { d =>
-      d.stagedUpserts.foreach(DeltaStaging.delete)
-      d.stagedDeletes.foreach(DeltaStaging.delete)
+      d.stagedUpserts.foreach(DeltaStaging.delete(_))
+      d.stagedDeletes.foreach(DeltaStaging.delete(_))
     }
 }
 
@@ -377,10 +383,10 @@ class VSDeltaWriter(collection: String, rules: WriteRules, batchSize: Int,
       val uniq = java.util.UUID.randomUUID().toString
       upsertPath = s"${s.dir}/ups-$uniq.jsonl"
       deletePath = s"${s.dir}/del-$uniq.txt"
-      upsertOut = DeltaStaging.newWriter(upsertPath)
-      deleteOut = DeltaStaging.newWriter(deletePath)
+      upsertOut = DeltaStaging.newWriter(upsertPath, s.hadoopProps)
+      deleteOut = DeltaStaging.newWriter(deletePath, s.hadoopProps)
       upserts.foreach { r => upsertOut.write(DeltaStaging.recordToJson(r)); upsertOut.newLine() }
-      deletes.foreach { d => deleteOut.write(d); deleteOut.newLine() }
+      deletes.foreach { d => deleteOut.write(DeltaStaging.idToLine(d)); deleteOut.newLine() }
       upserts.clear(); deletes.clear()
       DeltaStaging.spillCount.incrementAndGet()
     }
@@ -391,7 +397,7 @@ class VSDeltaWriter(collection: String, rules: WriteRules, batchSize: Int,
     else { upserts += rec; maybeSpill() }
 
   private def addDelete(id: String): Unit =
-    if (deleteOut != null) { deleteOut.write(id); deleteOut.newLine() }
+    if (deleteOut != null) { deleteOut.write(DeltaStaging.idToLine(id)); deleteOut.newLine() }
     else { deletes += id; maybeSpill() }
 
   private def buffer(row: InternalRow): Option[VSRecord] =
@@ -425,7 +431,7 @@ class VSDeltaWriter(collection: String, rules: WriteRules, batchSize: Int,
     upserts.clear(); deletes.clear()
     if (upsertOut != null) {
       upsertOut.close(); deleteOut.close()
-      DeltaStaging.delete(upsertPath); DeltaStaging.delete(deletePath)
+      DeltaStaging.delete(upsertPath, staging.map(_.hadoopProps).getOrElse(Map.empty)); DeltaStaging.delete(deletePath, staging.map(_.hadoopProps).getOrElse(Map.empty))
     }
   }
   override def close(): Unit = ()
@@ -735,6 +741,11 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
   private def planCursorSlices(store: VectorStoreTransport): Array[InputPartition] = {
     import org.apache.spark.sql.sources.{Filter => SFilter, _}
     val single = Array[InputPartition](VSCursorPartition(0, -1))
+    // the attribute the backend can actually range-filter for a record's
+    // numeric identity (Qdrant: the reserved __gid payload mirror — point
+    // ids are not range-filterable on the real wire); no attribute = no
+    // honest slicing
+    val id = dialect.idSliceAttribute.getOrElse(return single)
     val (probe, next) = store.scrollPageFiltered(collection, None, pageSize, wireFilter)
     if (next.isEmpty) return single // fits in one page: nothing to parallelize
     val numeric = probe.flatMap(r => Option(r.id)).flatMap(_.toDoubleOption)
@@ -745,7 +756,6 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     val want = cursorParallelism
     val splits = (1 until want).map(i => lo + (hi - lo) * i / want).distinct
     if (splits.isEmpty) return single
-    val id = Canonical.ID
     val numericSlices: Seq[SFilter] =
       LessThan(id, Double.box(splits.head)) +:
         splits.sliding(2).collect { case Seq(a, b) =>
@@ -1128,16 +1138,25 @@ class VSAtomicBatchWrite(target: String, shadow: String, recreate: Boolean,
       if (!store.cursorPaged && n > batchSize) {
         // distributed publish: executors copy disjoint offset ranges of
         // the shadow — rows never pass through the driver, and a re-run
-        // of a range converges (id-keyed upserts). Cursor-paged backends
-        // cannot address offsets on the wire and keep the driver-streamed
-        // copy below (still O(batch_size) driver memory).
+        // of a range converges (id-keyed upserts). One COARSE range per
+        // task (the driver holds O(parallelism) tuples, not O(n/batch));
+        // each task pages its span in batchSize chunks executor-side.
+        // Cursor-paged backends cannot address offsets on the wire and
+        // keep the driver-streamed copy below (still O(batch_size) driver
+        // memory).
         val sp = spec; val sh = shadow; val tg = target; val bs = batchSize
-        val ranges = (0 until n by bs).map(s0 => (s0, math.min(s0 + bs, n)))
-        session.sparkContext.parallelize(ranges,
-            math.min(ranges.length, session.sparkContext.defaultParallelism))
+        val par = math.max(1, math.min(session.sparkContext.defaultParallelism,
+          (n + bs - 1) / bs))
+        val span = (n + par - 1) / par
+        val ranges = (0 until n by span).map(s0 => (s0, math.min(s0 + span, n)))
+        session.sparkContext.parallelize(ranges, ranges.length)
           .foreach { case (s0, e0) =>
             val st = VectorStore.resolve(sp)
-            st.upsert(tg, st.scroll(sh, s0, e0 - s0))
+            var c = s0
+            while (c < e0) {
+              st.upsert(tg, st.scroll(sh, c, math.min(bs, e0 - c)))
+              c += bs
+            }
           }
       } else {
         var cursor: Option[String] = None

@@ -274,6 +274,15 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
       }
       // no binary face in Qdrant's JSON point — base64 in a reserved slot
       if (r.binary != null) payload.put("__binary_b64", b64(r.binary))
+      // numeric ids ALSO land as a reserved numeric payload field: real
+      // Qdrant cannot range-filter POINT ids, but it range-filters numeric
+      // payload — __gid is what the engine's parallel cursor slices
+      // address (VSScan.planCursorSlices), the standard migrator pattern
+      // of storing a filterable id copy for parallel export. Stripped on
+      // read; collections written by other tools simply lack it and
+      // degrade to the catch-all (sequential) walk.
+      r.id.toLongOption.filter(l => l >= 0 && l.toString == r.id)
+        .foreach(l => payload.put("__gid", l))
     }
     call("PUT", s"/collections/${enc(name)}/points?wait=true", Some(b))
     records.length
@@ -308,7 +317,7 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
     VSRecord(
       id = p.get("id").asText(),
       vector = if (p.hasNonNull("vector")) floats(p.get("vector")) else null,
-      metadata = payload - "__binary_b64",
+      metadata = payload - "__binary_b64" - "__gid",
       binary = binary)
   }
 }
@@ -517,11 +526,14 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
 
   override def drop(name: String): Unit = post("collections/drop", named(name))
 
-  /** Native rename — the documented v2 verb, ONE call instead of the
-    * trait's copy-then-drop fallback. The loopback server applies it as an
-    * atomic store move, replacing an existing target (the exactly-once
-    * sink's shadow swap). */
+  /** Native rename — the documented v2 verb instead of the trait's
+    * copy-then-drop fallback. Real Milvus REJECTS an existing
+    * `newCollectionName` (and the loopback reproduces that error), so the
+    * replace contract is drop-then-rename: two documented verbs, with the
+    * one crash window (target dropped, rename not yet applied) recoverable
+    * by re-running the publish — the shadow still holds every row. */
   override def rename(from: String, to: String): Unit = {
+    if (exists(to)) drop(to)
     val b = named(from)
     b.put("newCollectionName", to)
     post("collections/rename", b)

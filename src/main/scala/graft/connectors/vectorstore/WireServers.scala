@@ -469,7 +469,11 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
           if (!inner.exists(name))
             return milvusErr(ex, 100, s"collection not found[collection=$name]")
           if (to.isEmpty) return milvusErr(ex, 1100, "newCollectionName required")
-          if (inner.exists(to)) inner.drop(to) // engine renames replace (shadow swap)
+          if (inner.exists(to)) // real Milvus REJECTS an existing target —
+            // reproducing the error keeps the client's drop-then-rename
+            // swap honest (a server that silently replaced would mask a
+            // production commit failure of the atomic sink)
+            return milvusErr(ex, 65535, s"duplicated new collection name[collection=$to]")
           inner.rename(name, to)
           respond(ex, 200, ok(obj()))
         case "collections/list" =>

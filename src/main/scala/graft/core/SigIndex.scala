@@ -166,15 +166,22 @@ object SigIndex {
     * files than it needs — file-listing and task-scheduling overhead that
     * grows without bound. Rewrites each artifact to `targetFileMB`-sized
     * files (computed from the directory's current byte size, so a 100 TB
-    * index compacts to proportionally many files, not a fixed count) via
-    * the same write-beside-and-rename swap [[ingest]] uses for widths.
-    * Returns (files before, files after) per artifact. Run it offline —
-    * like the appends themselves, the swap is not atomic under a
-    * concurrent ingest. */
+    * index compacts to proportionally many files, not a fixed count).
+    *
+    * Crash safety: unlike `widths/`, the `sigs/`/`bands/` artifacts are
+    * PRIMARY state with no self-heal, so the swap never has a window with
+    * the data deleted — the old directory is renamed ASIDE
+    * (`<art>__old`), the rewrite renamed in, and only then is the old
+    * copy removed. A crash between the two renames leaves `<art>` absent
+    * but `<art>__old` intact; the next compact (or any caller invoking
+    * [[healCompaction]]) restores it. Returns (files before, files after)
+    * per artifact. Run it offline — like the appends themselves, the swap
+    * is not atomic under a concurrent ingest. */
   def compact(spark: SparkSession, indexDir: String,
               targetFileMB: Int = 128): Map[String, (Int, Int)] = {
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    healCompaction(fsys, indexDir) // recover any interrupted prior swap
     Seq("sigs", "bands", "widths").flatMap { art =>
       val cur = new org.apache.hadoop.fs.Path(s"$indexDir/$art")
       if (!fsys.exists(cur)) None
@@ -188,15 +195,32 @@ object SigIndex {
         val rewritten = graft.ops.Materialize(
           spark.read.parquet(cur.toString).repartition(parts))
         val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${art}__next")
+        val old = new org.apache.hadoop.fs.Path(s"$indexDir/${art}__old")
         rewritten.write.mode("overwrite").parquet(tmp.toString)
-        fsys.delete(cur, true)
+        fsys.delete(old, true) // stale leftover from a healed crash
+        if (!fsys.rename(cur, old))
+          throw new java.io.IOException(s"rename $cur -> $old failed during compaction")
         if (!fsys.rename(tmp, cur))
-          throw new java.io.IOException(s"rename $tmp -> $cur failed during compaction")
+          throw new java.io.IOException(
+            s"rename $tmp -> $cur failed; original preserved at $old — " +
+              "re-run --compact-index to heal")
+        fsys.delete(old, true)
         val after = fsys.listStatus(cur).count(_.getPath.getName.endsWith(".parquet"))
         Some(art -> (before, after))
       }
     }.toMap
   }
+
+  /** Restore any artifact stranded by a crash between compaction's two
+    * renames: `<art>` absent + `<art>__old` present → rename the old copy
+    * back. Idempotent; called at the start of every [[compact]]. */
+  def healCompaction(fsys: org.apache.hadoop.fs.FileSystem, indexDir: String): Unit =
+    Seq("sigs", "bands", "widths").foreach { art =>
+      val cur = new org.apache.hadoop.fs.Path(s"$indexDir/$art")
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir/${art}__old")
+      if (!fsys.exists(cur) && fsys.exists(old) && !fsys.rename(old, cur))
+        throw new java.io.IOException(s"could not restore $old -> $cur")
+    }
 
   // ---------------------------------------------------------- manifest
 

@@ -234,6 +234,17 @@ class CliSpec extends SparkSpec {
       (901L, "an entirely different closing document mentioning watermarks and state stores")
     ).toDF("doc_id", "text"), indexDir, p, append = false)
     assert(r.corpusDups == 1 && r.novelDocs == 1, r.toString)
+    // crash between compaction's two renames: sigs/ absent, sigs__old
+    // intact — the next compact heals before doing anything else
+    fsys.rename(new org.apache.hadoop.fs.Path(s"$indexDir/sigs"),
+      new org.apache.hadoop.fs.Path(s"$indexDir/sigs__old"))
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sigs")))
+    graft.core.SigIndex.compact(spark, indexDir)
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sigs")))
+    val r2 = graft.core.SigIndex.ingest(spark, Seq(
+      (902L, "ingest wave 3 adds a fresh unique document about topic number 3")
+    ).toDF("doc_id", "text"), indexDir, p, append = false)
+    assert(r2.corpusDups == 1, r2.toString) // healed index still detects
   }
 
   test("bad config path exits 1") {

@@ -152,6 +152,24 @@ class RowLevelOpsSpec extends SparkSpec {
     VectorStore.drop("rlo_stage")
   }
 
+  test("staged delete of an id containing a newline survives the line codec") {
+    // ids are arbitrary strings; staged delete lines are JSON-escaped so a
+    // raw '\n' cannot split one delete into two bogus ones
+    val stageDir = java.nio.file.Files.createTempDirectory("vs_delta_nl").toString
+    spark.conf.set("spark.sql.catalog.vsnl", classOf[VSCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vsnl.delta_stage_dir", stageDir)
+    spark.conf.set("spark.sql.catalog.vsnl.delta_stage_threshold", "1")
+    VectorStore.drop("rlo_nl")
+    VectorStore.createCollection("rlo_nl", CollectionConfig(dim = 2), recreate = true)
+    VectorStore.upsert("rlo_nl", Seq(
+      VSRecord("a\nb", Array(1f, 1f), Map("k" -> "v")),
+      VSRecord("keep", Array(2f, 2f), Map("k" -> "v"))))
+    spark.sql("DELETE FROM vsnl.rlo_nl WHERE element_at(metadata, 'k') = 'v' AND id != 'keep'")
+    val ids = VectorStore.scroll("rlo_nl", 0, 10).map(_.id)
+    assert(ids == Seq("keep"), ids.toString)
+    VectorStore.drop("rlo_nl")
+  }
+
   test("delta commit records the delete count in VSWriteStats") {
     install("vsr"); seed("rlo_cnt", 12)
     spark.sql("DELETE FROM vsr.rlo_cnt WHERE CAST(id AS INT) < 5")

@@ -424,11 +424,16 @@ class WireDialectSpec extends SparkSpec {
     val store = new InMemoryStore
     val server = new QdrantWireServer(store)
     try {
-      store.createCollection("qpar", CollectionConfig(dim = 2), recreate = true)
-      store.upsert("qpar", (0 until 1500).map(i =>
+      // seeded through the WIRE CLIENT so numeric ids get their __gid
+      // payload mirror — the field the id slices range-filter (real
+      // Qdrant cannot range-filter point ids)
+      val t = new QdrantWireTransport(server.url)
+      t.createCollection("qpar", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("qpar", (0 until 1500).map(i =>
         VSRecord(s"$i", Array(i.toFloat, 1f), Map("lbl" -> s"l${i % 3}"))))
-      // a non-numeric id must land in the catch-all slice, never vanish
-      store.upsert("qpar", Seq(VSRecord("alpha", Array(1f, 2f), Map("lbl" -> "lx"))))
+      // a non-numeric id gets no __gid: lands in the catch-all slice,
+      // never vanishes
+      t.upsert("qpar", Seq(VSRecord("alpha", Array(1f, 2f), Map("lbl" -> "lx"))))
       spark.conf.set("spark.sql.catalog.vqp", classOf[VSCatalog].getName)
       spark.conf.set("spark.sql.catalog.vqp.url", server.url)
       spark.conf.set("spark.sql.catalog.vqp.page_size", "100")
