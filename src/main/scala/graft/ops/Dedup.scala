@@ -440,7 +440,14 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs within a blocking key (e.g. `source`):
     * the blocked-join verification pattern without LSH — SQL-expressible,
-    * so it doubles as the DuckDB-checkable face of the fuzzy-dedup family. */
+    * so it doubles as the DuckDB-checkable face of the fuzzy-dedup family.
+    *
+    * SCALE WARNING: a block column whose cardinality does not grow with
+    * the corpus makes Σ|block|² quadratic in corpus size (the sf1 ramp
+    * measured 44× cost at 10× rows for the analogous label-blocked cosine
+    * face). At scale use [[minHashDuplicatePairs]] or
+    * [[graft.ops.SetSimilarityJoin.prefixJaccardPairs]], whose candidate
+    * sets are bounded by bucket/prefix collisions, not block sizes. */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
                         textCol: String = "text", shingleSize: Int = 3,
                         threshold: Double = 0.2): DataFrame = {
@@ -585,7 +592,15 @@ object Dedup {
   def semanticNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
                            vecCol: String = "embedding", threshold: Double = 0.9,
                            nClusters: Int = 16, iters: Int = 1): DataFrame = {
-    val assigned = Clustering.kmeans(emb, nClusters, iters, vecCol, idCol)
+    // A FIXED cluster count is quadratic in corpus size (Σ|cluster|² ≈
+    // n²/k — the same anti-pattern the sf1 ramp measured at 44× cost for
+    // 10× rows on the label-blocked variant). nClusters <= 0 picks
+    // k = max(16, ceil(sqrt(n))), the balance point of the total cost
+    // n·k (assignment) + n²/k (in-cluster pairs) → O(n^1.5); pass an
+    // explicit k only when the corpus size is known and stable.
+    val k = if (nClusters > 0) nClusters
+      else math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val assigned = Clustering.kmeans(emb, k, iters, vecCol, idCol)
       .select(col(idCol), col("cluster_id"))
     cosineNearDupPairs(emb.join(assigned, idCol), "cluster_id", idCol, vecCol, threshold)
       .withColumnRenamed("blk", "cluster_id")

@@ -147,6 +147,16 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall > 0.2, s"semantic recall $recall; all=${all.size} sem=${sem.size}")
   }
 
+  test("semantic dedup auto cluster count = max(16, ceil(sqrt(n))) matches explicit k") {
+    val n = emb.count()
+    val expK = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val auto = Dedup.semanticNearDupPairs(emb, threshold = 0.3, nClusters = -1, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val fixed = Dedup.semanticNearDupPairs(emb, threshold = 0.3, nClusters = expK, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(auto == fixed && auto.nonEmpty, s"auto=${auto.size} fixed=${fixed.size} k=$expK")
+  }
+
   test("lshCosinePairs finds the same high-similarity pairs as the exact blocked scan") {
     val exact = Dedup.cosineNearDupPairs(emb, blockCol = "label", threshold = 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
