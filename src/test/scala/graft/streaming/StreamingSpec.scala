@@ -389,6 +389,34 @@ class StreamingSpec extends SparkSpec {
     assert(indexed == derived && indexed.nonEmpty, s"${indexed.size} vs ${derived.size}")
   }
 
+  test("foreachBatch + atomic sink: each microbatch publishes all-or-nothing") {
+    import graft.connectors.vectorstore._
+    implicit val sqlCtx = spark.sqlContext
+    VectorStore.drop("stream_atomic")
+    VectorStore.createCollection("stream_atomic", CollectionConfig(dim = 2), recreate = true)
+    val input = MemoryStream[(String, Seq[Float])]
+    val query = input.toDF().toDF("id", "vector")
+      .withColumn("metadata", map(lit("src"), lit("stream")))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the exactly-once batch sink composes with Structured Streaming's
+        // microbatches: a failed batch leaves the collection untouched and
+        // the retry re-publishes the SAME shadow contents (id-keyed)
+        batch.write.format("graft-qdrant").option("collection", "stream_atomic")
+          .option("atomic", "true").mode("append").save()
+      }
+      .start()
+    try {
+      input.addData(("a", Seq(1f, 0f)), ("b", Seq(0f, 1f)))
+      query.processAllAvailable()
+      input.addData(("c", Seq(1f, 1f)))
+      query.processAllAvailable()
+      val ids = VectorStore.scroll("stream_atomic", 0, 10).map(_.id).sorted
+      assert(ids == Seq("a", "b", "c"), ids.toString)
+      assert(!VectorStore.listCollections().exists(_.startsWith("stream_atomic__staging_")))
+    } finally { query.stop(); VectorStore.drop("stream_atomic") }
+  }
+
   test("indexed streaming dedup still flags near-dups of docs missing from stale widths") {
     // SigIndex's crash window leaves bands/sigs appended but widths stale;
     // the streaming static side must treat widths-unknown buckets as small
