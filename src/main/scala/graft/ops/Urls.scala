@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-crawl corpora — the first dedup a crawl
+  * pipeline runs is BY URL, and raw URLs disagree on case, default ports,
+  * fragments, tracking params, and parameter order long before content
+  * enters the picture.
+  *
+  * The normal form (deterministic, documented, SQL-replayable — the
+  * DuckDB oracle replays every step):
+  *
+  *  1. fragment dropped (`#...` never reaches the server);
+  *  2. scheme and host lowercased (RFC 3986 §6.2.2.1 case normalization);
+  *  3. default ports dropped (`:80` for http, `:443` for https);
+  *  4. empty path → `/`;
+  *  5. query parameters: tracking params removed (`utm_*`, `gclid`,
+  *     `fbclid`, `msclkid`, `mc_eid` — the cross-site noise that makes
+  *     one page a thousand "distinct" URLs), the rest SORTED (param order
+  *     is server-irrelevant in practice and the #1 cause of URL-dedup
+  *     misses), empty query dropped entirely.
+  *
+  * Everything is built from codegen'd column functions (regexp + array
+  * HOFs) — no UDFs, embarrassingly parallel, no shuffle. URL-level exact
+  * dedup is then [[Dedup.exactDuplicates]] on the canonical column.
+  */
+object Urls {
+
+  private val TrackingParam = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid)="
+
+  /** `scheme://host[:port]` of a URL with scheme+host lowercased and the
+    * scheme's default port removed; NULL-safe (null → null). */
+  private def schemeHostPort(u: Column): (Column, Column) = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val cleaned = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    (concat(scheme, lit("://"), cleaned), rest)
+  }
+
+  /** Lowercased host (no port) — the crawl-politeness / per-site
+    * aggregation key. */
+  def urlHost(u: Column): Column = {
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    lower(regexp_replace(regexp_extract(rest, "^([^/?#]*)", 1), ":\\d+$", ""))
+  }
+
+  /** The canonical form (see object doc). Non-URL strings (no `://`) pass
+    * through trimmed — garbage in a crawl is data, not an exception. */
+  def canonicalizeUrl(u0: Column): Column = {
+    val u = regexp_replace(trim(u0), "#.*$", "") // 1. fragment
+    val (prefix, rest) = schemeHostPort(u)       // 2-3. scheme/host/port
+    val pathQs = regexp_replace(rest, "^[^/?#]*", "")
+    val path = regexp_replace(pathQs, "\\?.*$", "")
+    val normPath = when(path === "", lit("/")).otherwise(path) // 4. path
+    val query = regexp_extract(pathQs, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike(TrackingParam)))      // 5. params
+    val normQuery = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(u0.isNull, lit(null))
+      .when(!u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), trim(u0))
+      .otherwise(concat(prefix, normPath, normQuery))
+  }
+}

@@ -642,6 +642,18 @@ object PipelineQueries {
         numHashes = 16, numBands = 4, threshold = 0.3, portable = true)
     }),
 
+    // ---- URL canonicalization (the FIRST dedup a crawl pipeline runs):
+    //      case/port/fragment/tracking-param/param-order normalization
+    //      over deterministically constructed URLs; the oracle computes
+    //      the expected canonical form in closed form ----
+    "q_url_canonical" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTP://"), upper(col("source")), lit(".Example.COM:80/doc/"),
+          col("doc_id"), lit("?utm_source=feed&b=2&a=1#sec")).as("url"))
+        .select(col("doc_id"),
+          Urls.canonicalizeUrl(col("url")).as("canonical_url"),
+          Urls.urlHost(col("url")).as("host"))),
+
     // ---- Corpus data card: per-(source, lang) doc/token/char counts,
     //      quality pass rate, and the exact grid mean quality — the table
     //      a mixture plan starts from ----
@@ -1657,6 +1669,10 @@ object PipelineQueries {
         "FROM documents GROUP BY source, lang")
     m + ("q_ann_mmr_tiered" -> m("q_ann_mmr")) + ("q_dsir_weights" -> dsirSql) +
       ("q_ann_hard_negatives" -> hardNegSql) + ("q_chunk_pool" -> chunkPoolSql) +
+      ("q_url_canonical" ->
+        ("SELECT doc_id, 'http://' || lower(source) || '.example.com/doc/' || " +
+          "CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical_url, " +
+          "lower(source) || '.example.com' AS host FROM documents")) +
       ("q_dedup_incremental" -> incrementalSql) +
       // same oracle: the stale-widths gate must return the FRESH answer
       ("q_dedup_incremental_stale" -> incrementalSql) +

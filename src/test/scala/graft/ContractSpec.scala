@@ -37,7 +37,7 @@ class ContractSpec extends AnyFunSuite {
     // +q_ann_mmr_tiered, +q_dsir_weights, +q_ann_hard_negatives,
     // +q_chunk_pool, +q_dedup_incremental, +q_text_extract,
     // +q_catalog_update, +q_catalog_merge, +q_corpus_datacard
-    assert(SparkEntry.queries.size == 162, SparkEntry.queries.size.toString)
+    assert(SparkEntry.queries.size == 163, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {

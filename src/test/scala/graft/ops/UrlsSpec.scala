@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** URL canonicalization: the crawl pipeline's first dedup key. */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: (String, String)*): Unit = {
+    val got = urls.map(_._1).toDF("u")
+      .select(Urls.canonicalizeUrl($"u")).as[String].collect().toSeq
+    got.zip(urls.map(_._2)).foreach { case (g, e) => assert(g == e, s"[$g] != [$e]") }
+  }
+
+  test("canonicalizeUrl: case, default ports, fragments, tracking params, order") {
+    canon(
+      ("HTTP://WWW.Example.COM:80/Path/A?b=2&utm_source=x&a=1#frag",
+        "http://www.example.com/Path/A?a=1&b=2"), // host low, path case KEPT
+      ("https://example.com:443", "https://example.com/"),       // default port + empty path
+      ("https://example.com:8443/x", "https://example.com:8443/x"), // non-default port kept
+      ("http://example.com/?utm_campaign=c&gclid=1&fbclid=2", "http://example.com/"),
+      ("http://example.com/a?z=1&y=2&z=0", "http://example.com/a?y=2&z=0&z=1"), // sorted, dups kept
+      ("  http://example.com/a  ", "http://example.com/a"),      // trimmed
+      ("not a url", "not a url"))                                 // garbage passes through
+  }
+
+  test("canonicalizeUrl is null-safe; urlHost strips port and lowercases") {
+    val r = Seq((1, null: String)).toDF("i", "u")
+      .select(Urls.canonicalizeUrl($"u")).collect()(0)
+    assert(r.isNullAt(0))
+    val hosts = Seq("HTTPS://WWW.Ex.COM:8443/a?q=1", "http://a.b.c/x")
+      .toDF("u").select(Urls.urlHost($"u")).as[String].collect().toSeq
+    assert(hosts == Seq("www.ex.com", "a.b.c"), hosts.toString)
+  }
+
+  test("url-level exact dedup: canonical forms collapse tracking/order variants") {
+    val urls = Seq(
+      (1L, "http://site.com/p?a=1&b=2"),
+      (2L, "HTTP://SITE.com:80/p?b=2&a=1&utm_source=tw#x"), // same page
+      (3L, "http://site.com/p?a=1&b=3")                      // different
+    ).toDF("id", "url")
+    val groups = urls.select($"id", Urls.canonicalizeUrl($"url").as("cu"))
+      .groupBy("cu").agg(min("id").as("keep"), count(lit(1)).as("n"))
+      .orderBy("keep").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(groups == Seq((1L, 2L), (3L, 1L)), groups.toString)
+  }
+}
