@@ -144,6 +144,9 @@ class QdrantFilterDialect extends FilterDialect {
     if (c.has("must") || c.has("should") || c.has("must_not")) return parseClauseList(c)
     if (c.has("is_null")) return attr(c.get("is_null").get("key").asText()).isNull
     if (c.has("is_empty")) return attr(c.get("is_empty").get("key").asText()).isNull
+    if (c.has("has_id")) // documented point-id membership condition
+      return attr("id").isInCollection(
+        c.get("has_id").elements().asScala.map(_.asText()).toSeq)
     val key = Option(c.get("key")).map(_.asText())
       .getOrElse(throw new IllegalArgumentException(s"qdrant condition missing key: $c"))
     if (c.has("match")) {
@@ -181,8 +184,31 @@ class QdrantFilterDialect extends FilterDialect {
     } + "\""
   private def jkey(a: String): String = jstr(stripMeta(a))
 
+  /** Point-id literal for a `has_id` list: canonical uints ride as JSON
+    * numbers, everything else as strings — the same round-trip rule as
+    * the wire client's point ids. */
+  private def idVal(v: Any): String = {
+    val s = String.valueOf(v)
+    s.toLongOption.filter(l => l >= 0 && l.toString == s)
+      .map(_.toString).getOrElse(jstr(s))
+  }
+
   override def render(f: Filter): Option[String] = f match {
     case _ if f.references.exists(!addressable(_)) => None
+    // Point ids are NOT payload: real Qdrant addresses them only through
+    // the documented has_id condition (equality/membership). Id RANGES do
+    // not exist on its wire (the parallel cursor slices use the __gid
+    // payload mirror instead), and is_null on a missing payload key
+    // MATCHES in real Qdrant — so a pushed IsNotNull(id) rendered as
+    // must_not(is_null) would return ZERO rows on a real cluster. All
+    // such shapes return None and Spark evaluates them client-side.
+    case EqualTo("id", v) =>
+      Some(s"""{"must":[{"has_id":[${idVal(v)}]}]}""")
+    case In("id", vs) if vs.nonEmpty =>
+      Some(s"""{"must":[{"has_id":[${vs.map(idVal).mkString(",")}]}]}""")
+    case GreaterThan("id", _) | GreaterThanOrEqual("id", _) |
+         LessThan("id", _) | LessThanOrEqual("id", _) |
+         IsNull("id") | IsNotNull("id") => None
     case EqualTo(a, v: String) =>
       Some(s"""{"must":[{"key":${jkey(a)},"match":{"value":${jstr(v)}}}]}""")
     case EqualTo(a, v: Number) =>

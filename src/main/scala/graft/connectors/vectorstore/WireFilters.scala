@@ -40,6 +40,9 @@ object WireFilters {
     if (c.has("must") || c.has("should") || c.has("must_not")) return clauseList(c)
     if (c.has("is_null")) return IsNull(c.get("is_null").get("key").asText())
     if (c.has("is_empty")) return IsNull(c.get("is_empty").get("key").asText())
+    if (c.has("has_id")) // documented point-id membership condition
+      return In("id", c.get("has_id").elements().asScala
+        .map(v => (v.asText(): Any)).toArray)
     val key = Option(c.get("key")).map(_.asText()).getOrElse(
       throw new IllegalArgumentException(s"qdrant condition missing key: $c"))
     if (c.has("match")) {

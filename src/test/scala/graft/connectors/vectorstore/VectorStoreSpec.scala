@@ -134,7 +134,9 @@ class VectorStoreSpec extends SparkSpec {
       .filter(col("id").isin("7", "17", "27", "missing"))
       .agg(count(lit(1)).as("n"))
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("agg=count(*)") && plan.contains("\"any\""), plan)
+    // id membership rides the documented has_id condition (point ids are
+    // not payload keys on the real wire)
+    assert(plan.contains("agg=count(*)") && plan.contains("has_id"), plan)
     assert(df.collect()(0).getLong(0) == 3L)
   }
 

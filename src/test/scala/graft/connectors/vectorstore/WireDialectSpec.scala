@@ -402,6 +402,31 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("qdrant wire: id equality/membership push as the documented has_id condition") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    try {
+      spark.conf.set("spark.sql.catalog.vhi", classOf[VSCatalog].getName)
+      spark.conf.set("spark.sql.catalog.vhi.url", server.url)
+      val t = new QdrantWireTransport(server.url)
+      t.createCollection("qhid", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("qhid", Seq("1", "2", "007", "aa").map(id =>
+        VSRecord(id, Array(1f, 2f), Map("lbl" -> "x"))))
+      val one = spark.table("vhi.qhid").filter($"id" === "2")
+        .select("id").as[String].collect().toSeq
+      assert(one == Seq("2"), one.toString)
+      val many = spark.table("vhi.qhid").filter($"id".isin("1", "007", "aa"))
+        .select("id").as[String].collect().toSeq.sorted
+      assert(many == Seq("007", "1", "aa"), many.toString)
+      val bodies = server.bodiesOf("POST /collections/qhid/points/scroll")
+      // point ids are NOT payload keys on the real wire: the filter is the
+      // documented has_id condition, uints as numbers, the rest as strings
+      assert(bodies.exists(_.contains("\"has_id\":[2]")), bodies.mkString("\n"))
+      assert(bodies.exists(b => b.contains("\"has_id\"") && b.contains("\"007\"")
+        && b.contains("\"aa\"") && b.contains("[1,")), bodies.mkString("\n"))
+      assert(!bodies.exists(_.contains("\"key\":\"id\"")), "id leaked as a payload key")
+    } finally server.stop()
+  }
+
   test("milvus wire: native collections/rename moves contents in one documented verb") {
     val store = new InMemoryStore
     val server = new MilvusWireServer(store)
