@@ -296,6 +296,29 @@ object ScaleProbe {
           concat(lit("<html><body><p>"), col("text"),
             lit("</p><script>x()</script></body></html>")).as("html")))
         .filter(col("n_tokens") > 0).count())
+    // staged row-level deltas: a MERGE-scale UPDATE with the spill path
+    // active — rows stream through scratch files, never the driver; the
+    // number proves the touched-set size does not bound driver memory
+    if (only.forall(_.exists(s => "staged delta update".contains(s)))) {
+      import graft.connectors.vectorstore._
+      val stageDir = java.nio.file.Files.createTempDirectory("probe_stage").toString
+      spark.conf.set("spark.sql.catalog.vsprobe", classOf[VSCatalog].getName)
+      spark.conf.set("spark.sql.catalog.vsprobe.delta_stage_dir", stageDir)
+      spark.conf.set("spark.sql.catalog.vsprobe.delta_stage_threshold", "1000")
+      VectorStore.drop("probe_delta")
+      VectorStore.createCollection("probe_delta", CollectionConfig(dim = 8), recreate = true)
+      val n = 2000 * factor
+      (0 until n).grouped(10000).foreach(g => VectorStore.upsert("probe_delta",
+        g.map(i => VSRecord(s"$i", Array.fill(8)(i.toFloat), Map("m" -> s"${i % 2}")))))
+      time(s"staged delta update (${n / 2} rows)") {
+        spark.sql("UPDATE vsprobe.probe_delta SET metadata = map('m', 'hit') " +
+          "WHERE element_at(metadata, 'm') = '1'")
+        val hit = VectorStore.scroll("probe_delta", 0, n + 1)
+          .count(_.metadata("m") == "hit").toLong
+        VectorStore.drop("probe_delta")
+        hit
+      }
+    }
     // cursor-paged wire extraction: ONE sequential walk vs N sliced
     // concurrent walks against a real loopback server — the speedup claim
     // for VSCursorSlicePartition. .rdd defeats the count(*) pushdown so
