@@ -304,12 +304,16 @@ object ScaleProbe {
       val stageDir = java.nio.file.Files.createTempDirectory("probe_stage").toString
       spark.conf.set("spark.sql.catalog.vsprobe", classOf[VSCatalog].getName)
       spark.conf.set("spark.sql.catalog.vsprobe.delta_stage_dir", stageDir)
-      spark.conf.set("spark.sql.catalog.vsprobe.delta_stage_threshold", "1000")
+      // the scan plans ~total/page_size tasks (200 at factor 100), so the
+      // PER-TASK threshold must sit below touched/tasks for the spill to
+      // actually fire — the require below proves it did
+      spark.conf.set("spark.sql.catalog.vsprobe.delta_stage_threshold", "100")
       VectorStore.drop("probe_delta")
       VectorStore.createCollection("probe_delta", CollectionConfig(dim = 8), recreate = true)
       val n = 2000 * factor
       (0 until n).grouped(10000).foreach(g => VectorStore.upsert("probe_delta",
         g.map(i => VSRecord(s"$i", Array.fill(8)(i.toFloat), Map("m" -> s"${i % 2}")))))
+      val spills0 = DeltaStaging.spillCount.get()
       time(s"staged delta update (${n / 2} rows)") {
         spark.sql("UPDATE vsprobe.probe_delta SET metadata = map('m', 'hit') " +
           "WHERE element_at(metadata, 'm') = '1'")
@@ -318,6 +322,10 @@ object ScaleProbe {
         VectorStore.drop("probe_delta")
         hit
       }
+      // the number is only a SPILL-path datapoint if tasks actually
+      // spilled (per-task threshold vs shuffle-partition row share)
+      require(DeltaStaging.spillCount.get() > spills0,
+        "staged-delta probe did not exercise the spill path — raise the factor")
     }
     // cursor-paged wire extraction: ONE sequential walk vs N sliced
     // concurrent walks against a real loopback server — the speedup claim

@@ -63,6 +63,7 @@ object DeltaStaging {
     // driver side gets the session's full hadoopConfiguration; executors
     // reconstruct from defaults + the shipped spark.hadoop.* overlay
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(s => new Configuration(s.sparkContext.hadoopConfiguration))
       .getOrElse(new Configuration())
     props.foreach { case (k, v) => conf.set(k, v) }

@@ -162,9 +162,16 @@ trait VectorStoreTransport extends Serializable {
     * not atomic, the documented compatibility fallback for wire APIs
     * without rename. */
   def rename(from: String, to: String): Unit = {
-    // ALWAYS recreate the target — "replacing `to` if it exists" is the
-    // contract, and a transport whose describe returns None (narrow
-    // doubles) must not silently merge into an existing target
+    // IDEMPOTENT under retries, and never destructive when the source is
+    // gone: a retried publish whose first attempt applied (response lost)
+    // sees from-absent/to-present and must treat that as success — NOT
+    // touch the target. Only when the source exists may the target be
+    // recreated ("replacing `to` if it exists" is the contract, and a
+    // transport whose describe returns None must not silently merge).
+    if (!exists(from)) {
+      if (exists(to)) return // already renamed (retried publish)
+      throw new NoSuchElementException(s"collection not found: $from")
+    }
     createCollection(to, describe(from).getOrElse(CollectionConfig()), recreate = true)
     var cursor: Option[String] = None
     var first = true
@@ -260,11 +267,15 @@ class InMemoryStore extends VectorStoreTransport {
   }
 
   /** Atomic in the emulation: one synchronized map move (the native-rename
-    * analog — real backends with a rename verb are one atomic call too). */
+    * analog — real backends with a rename verb are one atomic call too).
+    * Same idempotency contract as the trait: from-absent/to-present is a
+    * retried already-applied rename, not an error. */
   override def rename(from: String, to: String): Unit = synchronized {
-    val buf = Option(data.remove(from)).getOrElse(
-      throw new NoSuchElementException(s"collection not found: $from"))
-    data.put(to, buf)
+    if (!data.containsKey(from)) {
+      if (data.containsKey(to)) return
+      throw new NoSuchElementException(s"collection not found: $from")
+    }
+    data.put(to, data.remove(from))
     Option(configs.remove(from)).foreach(configs.put(to, _))
     bump(from); bump(to)
   }

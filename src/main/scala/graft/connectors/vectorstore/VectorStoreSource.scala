@@ -302,6 +302,10 @@ class VSDeltaBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
                         staging: Option[DeltaStaging.Spec] = None) extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     VSDeltaWriterFactory(collection, rules, batchSize, binaryVec, spec, cols, staging)
+  // the same fs credentials the executor-side writers used — the driver's
+  // commit/abort must not depend on a thread-local active session
+  private def props: Map[String, String] =
+    staging.map(_.hadoopProps).getOrElse(Map.empty)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val deltas = messages.collect { case d: VSDeltaCommit => d }
     val store = VectorStore.resolve(spec)
@@ -310,26 +314,26 @@ class VSDeltaBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
     var deleted = 0L
     deltas.iterator.flatMap(d =>
         d.deletes.iterator ++ d.stagedDeletes.iterator.flatMap(p =>
-          DeltaStaging.lines(p).map(DeltaStaging.idFromLine)))
+          DeltaStaging.lines(p, props).map(DeltaStaging.idFromLine)))
       .grouped(batchSize).foreach { b =>
         store.delete(collection, b.toSeq); deleted += b.length
       }
     var written = 0L
     deltas.iterator.flatMap(d =>
         d.upserts.iterator ++ d.stagedUpserts.iterator.flatMap(p =>
-          DeltaStaging.lines(p).map(DeltaStaging.recordFromJson)))
+          DeltaStaging.lines(p, props).map(DeltaStaging.recordFromJson)))
       .grouped(batchSize).foreach(b => written += store.upsert(collection, b.toSeq))
     deltas.foreach { d =>
-      d.stagedUpserts.foreach(DeltaStaging.delete(_))
-      d.stagedDeletes.foreach(DeltaStaging.delete(_))
+      d.stagedUpserts.foreach(DeltaStaging.delete(_, props))
+      d.stagedDeletes.foreach(DeltaStaging.delete(_, props))
     }
     VSWriteStats.record(spec, collection, written, deltas.map(_.skipped).sum, deleted)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // nothing was applied; drop whatever committed tasks staged
     messages.collect { case d: VSDeltaCommit => d }.foreach { d =>
-      d.stagedUpserts.foreach(DeltaStaging.delete(_))
-      d.stagedDeletes.foreach(DeltaStaging.delete(_))
+      d.stagedUpserts.foreach(DeltaStaging.delete(_, props))
+      d.stagedDeletes.foreach(DeltaStaging.delete(_, props))
     }
 }
 
@@ -431,7 +435,9 @@ class VSDeltaWriter(collection: String, rules: WriteRules, batchSize: Int,
     upserts.clear(); deletes.clear()
     if (upsertOut != null) {
       upsertOut.close(); deleteOut.close()
-      DeltaStaging.delete(upsertPath, staging.map(_.hadoopProps).getOrElse(Map.empty)); DeltaStaging.delete(deletePath, staging.map(_.hadoopProps).getOrElse(Map.empty))
+      val props = staging.map(_.hadoopProps).getOrElse(Map.empty)
+      DeltaStaging.delete(upsertPath, props)
+      DeltaStaging.delete(deletePath, props)
     }
   }
   override def close(): Unit = ()

@@ -268,6 +268,11 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
       val p = pts.addObject()
       putId(p, "id", r.id)
       if (r.vector != null) putFloats(p, "vector", r.vector)
+      // reserved payload names: silently overwriting a user's value (or
+      // stripping it back out on read) would be silent data alteration —
+      // reject loudly instead
+      Seq("__gid", "__binary_b64").foreach(k => require(!r.metadata.contains(k),
+        s"metadata key '$k' is reserved by the qdrant wire codec"))
       val payload = p.putObject("payload")
       r.metadata.foreach { case (k, v) =>
         if (v == null) payload.putNull(k) else payload.put(k, v)
@@ -279,8 +284,9 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
       // payload — __gid is what the engine's parallel cursor slices
       // address (VSScan.planCursorSlices), the standard migrator pattern
       // of storing a filterable id copy for parallel export. Stripped on
-      // read; collections written by other tools simply lack it and
-      // degrade to the catch-all (sequential) walk.
+      // read only when it matches the point id (a foreign tool's
+      // unrelated __gid survives); collections written by other tools
+      // simply lack it and degrade to the catch-all (sequential) walk.
       r.id.toLongOption.filter(l => l >= 0 && l.toString == r.id)
         .foreach(l => payload.put("__gid", l))
     }
@@ -314,10 +320,15 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
   private def pointToRecord(p: JsonNode): VSRecord = {
     val payload = metadataFrom(p.get("payload"))
     val binary = payload.get("__binary_b64").map(unb64).orNull
+    val id = p.get("id").asText()
+    // strip ONLY the mirror this codec wrote (value == the point id); a
+    // foreign collection's unrelated __gid payload is user data and stays
+    val meta0 = payload - "__binary_b64"
+    val meta = if (payload.get("__gid").contains(id)) meta0 - "__gid" else meta0
     VSRecord(
-      id = p.get("id").asText(),
+      id = id,
       vector = if (p.hasNonNull("vector")) floats(p.get("vector")) else null,
-      metadata = payload - "__binary_b64" - "__gid",
+      metadata = meta,
       binary = binary)
   }
 }
@@ -533,6 +544,15 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     * one crash window (target dropped, rename not yet applied) recoverable
     * by re-running the publish — the shadow still holds every row. */
   override def rename(from: String, to: String): Unit = {
+    // IDEMPOTENT under the retry wrapper: if a prior attempt applied but
+    // its response was lost, the source is gone and the target populated —
+    // dropping the target here would DESTROY the published data and the
+    // follow-up rename would fail with the shadow already consumed. Probe
+    // the source first; from-absent/to-present is success.
+    if (!exists(from)) {
+      if (exists(to)) return
+      throw new NoSuchElementException(s"collection not found: $from")
+    }
     if (exists(to)) drop(to)
     val b = named(from)
     b.put("newCollectionName", to)

@@ -88,10 +88,15 @@ object SigIndex {
         shingleSize = m.shingleSize, portable = m.portable)
       case None => params // pre-manifest index: trust the caller
     }
-    val sigs = spark.read.parquet(s"$indexDir/sigs")
-    val bands = spark.read.parquet(s"$indexDir/bands")
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    // a compaction crashed mid-swap leaves an artifact parked at
+    // <art>__old — restore it HERE, at index-open altitude, so the daily
+    // ingest never fails on a missing directory waiting for an operator
+    // to re-run --compact-index
+    healCompaction(fsys, indexDir)
+    val sigs = spark.read.parquet(s"$indexDir/sigs")
+    val bands = spark.read.parquet(s"$indexDir/bands")
     // self-heal: widths/ can be missing if a crash hit the swap window
     // below — it is DERIVED state, rebuilt from the banded face.
     // MATERIALIZED: the healed plan must not re-list bands/ after this
@@ -213,7 +218,9 @@ object SigIndex {
 
   /** Restore any artifact stranded by a crash between compaction's two
     * renames: `<art>` absent + `<art>__old` present → rename the old copy
-    * back. Idempotent; called at the start of every [[compact]]. */
+    * back. Idempotent; called at the start of every [[compact]] AND every
+    * [[ingest]] (index-open altitude — the daily operation must not fail
+    * waiting for an operator to re-run the repair tool). */
   def healCompaction(fsys: org.apache.hadoop.fs.FileSystem, indexDir: String): Unit =
     Seq("sigs", "bands", "widths").foreach { art =>
       val cur = new org.apache.hadoop.fs.Path(s"$indexDir/$art")

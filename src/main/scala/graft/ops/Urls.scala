@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  private val TrackingParam = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid)="
+  // case-insensitive (param names arrive in the wild in any case) and
+  // valueless-tolerant ("?fbclid" with no '=' is still tracking noise)
+  private val TrackingParam = "(?i)^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid)(=|$)"
 
   /** `scheme://host[:port]` of a URL with scheme+host lowercased and the
     * scheme's default port removed; NULL-safe (null → null). */

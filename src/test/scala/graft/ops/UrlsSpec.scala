@@ -20,6 +20,8 @@ class UrlsSpec extends SparkSpec {
       ("https://example.com:443", "https://example.com/"),       // default port + empty path
       ("https://example.com:8443/x", "https://example.com:8443/x"), // non-default port kept
       ("http://example.com/?utm_campaign=c&gclid=1&fbclid=2", "http://example.com/"),
+      ("http://example.com/?UTM_SOURCE=x&FbClId=2&a=1", "http://example.com/?a=1"), // any case
+      ("http://example.com/p?fbclid&a=1", "http://example.com/p?a=1"),              // valueless
       ("http://example.com/a?z=1&y=2&z=0", "http://example.com/a?y=2&z=0&z=1"), // sorted, dups kept
       ("  http://example.com/a  ", "http://example.com/a"),      // trimmed
       ("not a url", "not a url"))                                 // garbage passes through
