@@ -442,6 +442,13 @@ class WireDialectSpec extends SparkSpec {
       assert(t.scroll("rn_dst", 0, 10).map(_.id).sorted == (0 until 5).map(_.toString))
       assert(server.requestLines.exists(_.startsWith("POST /v2/vectordb/collections/rename")),
         server.requestLines.mkString("\n"))
+      // retry idempotency: a re-delivered rename whose first attempt
+      // applied (source gone, target populated) must be a no-op — the old
+      // drop-then-rename would have DESTROYED the published target here
+      t.rename("rn_src", "rn_dst")
+      assert(t.count("rn_dst") == 5, "retried rename destroyed the published data")
+      // a rename whose source never existed (and no published target) errors
+      intercept[Exception](t.rename("rn_never", "rn_nowhere"))
     } finally server.stop()
   }
 
