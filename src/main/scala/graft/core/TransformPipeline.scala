@@ -46,6 +46,8 @@ object TransformPipeline {
     "quality_gate" -> (p => Transforms.qualityGate(
       dbl(p, "min_score", 0.35), p.getOrElse("text_key", "text"))),
     "exact_dedup" -> (p => Transforms.exactDedupByText(p.getOrElse("text_key", "text"))),
+    "canonicalize_urls" -> (p => Transforms.canonicalizeUrls(
+      p.getOrElse("url_key", "url"), p.get("dedup").exists(_.toBoolean))),
     "keep_best_dedup" -> (p => Transforms.keepBestDedup(
       p.getOrElse("text_key", "text"), p.getOrElse("score_key", ""))),
     // shares syntax: "web=0.6,books=0.4" — sources absent from it are dropped

@@ -57,6 +57,34 @@ object Transforms {
     * survives, so re-runs are stable). Only text rows enter the
     * fingerprint window — no single hot null-fingerprint partition. One
     * shuffle on the fingerprint. */
+  /** Canonicalize a URL metadata key in place ([[Urls.canonicalizeUrl]]:
+    * fragment/case/default-port/tracking-param/param-order normalization)
+    * and optionally DEDUP by the canonical URL keeping the lowest id —
+    * the first dedup a crawl pipeline runs, before any content hashing.
+    * Records without the key pass through untouched. */
+  def canonicalizeUrls(urlKey: String = "url",
+                       dedup: Boolean = false): DataFrame => DataFrame = { df =>
+    val url = element_at(col(Canonical.METADATA), urlKey)
+    val hasUrl = col(Canonical.METADATA).isNotNull && url.isNotNull
+    val canon = df.withColumn(Canonical.METADATA,
+      when(hasUrl, map_concat(
+        map_filter(col(Canonical.METADATA), (k, _) => k =!= urlKey),
+        map(lit(urlKey), Urls.canonicalizeUrl(url))))
+        .otherwise(col(Canonical.METADATA)))
+    if (!dedup) canon
+    else {
+      val cu = element_at(col(Canonical.METADATA), urlKey)
+      val hasCu = col(Canonical.METADATA).isNotNull && cu.isNotNull
+      val deduped = canon.filter(hasCu)
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(cu).orderBy(col(Canonical.ID))))
+        .filter(col("__rk") === 1)
+        .drop("__rk")
+      canon.filter(!hasCu).unionByName(deduped)
+    }
+  }
+
   def exactDedupByText(textKey: String = "text"): DataFrame => DataFrame = { df =>
     val text = element_at(col(Canonical.METADATA), textKey)
     val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull

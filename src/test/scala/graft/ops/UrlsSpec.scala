@@ -36,6 +36,26 @@ class UrlsSpec extends SparkSpec {
     assert(hosts == Seq("www.ex.com", "a.b.c"), hosts.toString)
   }
 
+  test("canonicalize_urls transform: in-place normalization + optional url dedup") {
+    import graft.model.Canonical
+    val df = Seq(
+      ("1", Map("url" -> "HTTP://Site.com:80/p?b=2&a=1&utm_source=x", "k" -> "v1")),
+      ("2", Map("url" -> "http://site.com/p?a=1&b=2", "k" -> "v2")), // same page
+      ("3", Map("k" -> "nourl")),                                     // passes through
+      ("4", Map("url" -> "http://other.com/q", "k" -> "v4")))
+      .toDF(Canonical.ID, Canonical.METADATA)
+    val canon = Transforms.canonicalizeUrls()(df)
+      .select($"id", element_at(col(Canonical.METADATA), "url").as("u"),
+        element_at(col(Canonical.METADATA), "k").as("k"))
+      .orderBy("id").collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(canon(0) == ("1", "http://site.com/p?a=1&b=2", "v1"), canon(0).toString)
+    assert(canon(1) == ("2", "http://site.com/p?a=1&b=2", "v2"))
+    assert(canon(2) == ("3", null, "nourl"))
+    val deduped = Transforms.canonicalizeUrls(dedup = true)(df)
+      .select("id").as[String].collect().toSeq.sorted
+    assert(deduped == Seq("1", "3", "4"), deduped.toString) // 2 collapsed into 1
+  }
+
   test("url-level exact dedup: canonical forms collapse tracking/order variants") {
     val urls = Seq(
       (1L, "http://site.com/p?a=1&b=2"),
