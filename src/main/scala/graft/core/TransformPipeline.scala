@@ -33,6 +33,11 @@ object TransformPipeline {
   private def req(p: Map[String, String], key: String, step: String): String =
     p.getOrElse(key, throw new ConfigException(s"pipeline step '$step' needs param '$key'"))
 
+  private def bool(p: Map[String, String], key: String, default: Boolean): Boolean =
+    p.get(key).map(v => v.toBooleanOption.getOrElse(
+      throw new ConfigException(s"pipeline param '$key' must be true/false, got '$v'")))
+      .getOrElse(default)
+
   /** Step catalog: name → (params → transform). */
   private val registry: Map[String, (Map[String, String]) => DataFrame => DataFrame] = Map(
     "add_source_tracking" -> (p => Transforms.addSourceTracking(
@@ -47,7 +52,7 @@ object TransformPipeline {
       dbl(p, "min_score", 0.35), p.getOrElse("text_key", "text"))),
     "exact_dedup" -> (p => Transforms.exactDedupByText(p.getOrElse("text_key", "text"))),
     "canonicalize_urls" -> (p => Transforms.canonicalizeUrls(
-      p.getOrElse("url_key", "url"), p.get("dedup").exists(_.toBoolean))),
+      p.getOrElse("url_key", "url"), bool(p, "dedup", default = false))),
     "keep_best_dedup" -> (p => Transforms.keepBestDedup(
       p.getOrElse("text_key", "text"), p.getOrElse("score_key", ""))),
     // shares syntax: "web=0.6,books=0.4" — sources absent from it are dropped

@@ -73,15 +73,22 @@ object Transforms {
         .otherwise(col(Canonical.METADATA)))
     if (!dedup) canon
     else {
-      val cu = element_at(col(Canonical.METADATA), urlKey)
-      val hasCu = col(Canonical.METADATA).isNotNull && cu.isNotNull
-      val deduped = canon.filter(hasCu)
+      // key computed ONCE into a temp column (the house __fp pattern —
+      // the canonicalization chain is a dozen regexps; re-evaluating it
+      // as the window key would run it several times per row). Blank /
+      // whitespace urls are NOT a dedup group: collapsing "no real url"
+      // records into one survivor would silently destroy data (and pile
+      // them all onto one hot window partition first).
+      val keyed = canon.withColumn("__cu",
+        element_at(col(Canonical.METADATA), urlKey))
+      val dedupable = col("__cu").isNotNull && trim(col("__cu")) =!= ""
+      val deduped = keyed.filter(dedupable)
         .withColumn("__rk", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy(cu).orderBy(col(Canonical.ID))))
+            .partitionBy(col("__cu")).orderBy(col(Canonical.ID))))
         .filter(col("__rk") === 1)
         .drop("__rk")
-      canon.filter(!hasCu).unionByName(deduped)
+      keyed.filter(!dedupable).unionByName(deduped).drop("__cu")
     }
   }
 

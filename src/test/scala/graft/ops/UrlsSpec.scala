@@ -54,6 +54,19 @@ class UrlsSpec extends SparkSpec {
     val deduped = Transforms.canonicalizeUrls(dedup = true)(df)
       .select("id").as[String].collect().toSeq.sorted
     assert(deduped == Seq("1", "3", "4"), deduped.toString) // 2 collapsed into 1
+    // blank urls are NOT a dedup group — collapsing "no real url" records
+    // would silently destroy data
+    val blanks = Seq(
+      ("10", Map("url" -> "")), ("11", Map("url" -> "  ")), ("12", Map("url" -> "")))
+      .toDF(Canonical.ID, Canonical.METADATA)
+    val kept = Transforms.canonicalizeUrls(dedup = true)(blanks)
+      .select("id").as[String].collect().toSeq.sorted
+    assert(kept == Seq("10", "11", "12"), kept.toString)
+    // malformed dedup param fails at resolve time with the param named
+    val e = intercept[graft.config.ConfigException](
+      graft.core.TransformPipeline.resolve(
+        graft.config.TransformStep("canonicalize_urls", Map("dedup" -> "1"))))
+    assert(e.getMessage.contains("dedup"), e.getMessage)
   }
 
   test("url-level exact dedup: canonical forms collapse tracking/order variants") {
