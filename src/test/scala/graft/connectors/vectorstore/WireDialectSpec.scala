@@ -452,6 +452,28 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("atomic overwrite publishes through the milvus wire's native rename verb") {
+    val server = new MilvusWireServer(new InMemoryStore)
+    val t = new MilvusWireTransport(server.url)
+    try {
+      t.createCollection("atom_m", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("atom_m", Seq(VSRecord("old", Array(0f, 0f), Map("k" -> "v"))))
+      (0 until 6).map(i => (s"n$i", Seq(i.toFloat, 1f), Map("k" -> "v")))
+        .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+        .write.format("graft-milvus").option("url", server.url)
+        .option("collection", "atom_m").option("atomic", "true")
+        .option("recreate", "true").mode("overwrite").save()
+      // old contents replaced wholesale; the publish was the documented
+      // drop-then-rename verbs over the socket; no stranded shadow
+      assert(t.count("atom_m") == 6)
+      assert(t.scroll("atom_m", 0, 10).forall(_.id.startsWith("n")))
+      assert(server.requestLines.exists(
+        _.startsWith("POST /v2/vectordb/collections/rename")),
+        server.requestLines.mkString("\n"))
+      assert(!t.listCollections().exists(_.startsWith("atom_m__staging_")))
+    } finally server.stop()
+  }
+
   test("qdrant cursor scan plans N concurrent walks over disjoint server-side id slices") {
     val store = new InMemoryStore
     val server = new QdrantWireServer(store)
