@@ -51,14 +51,31 @@ object Urls {
   }
 
   /** The canonical form (see object doc). Non-URL strings (no `://`) pass
-    * through trimmed — garbage in a crawl is data, not an exception. */
-  def canonicalizeUrl(u0: Column): Column = {
-    val u = regexp_replace(trim(u0), "#.*$", "") // 1. fragment
+    * through trimmed — garbage in a crawl is data, not an exception.
+    *
+    * Implemented by the single-pass compiled kernel
+    * ([[graft.functions.UrlCanonicalizeExpr]]): the column-chain twin
+    * below runs ~12 regexp/array passes with an intermediate string per
+    * stage — measurable at crawl scale. The two faces are
+    * differential-tested byte-for-byte over a combinatorial URL
+    * population (UrlsSpec). */
+  def canonicalizeUrl(u0: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.UrlCanonicalizeExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(u0)))
+
+  /** The declarative reference face of [[canonicalizeUrl]] — pure column
+    * functions, kept as the differential-test twin of the kernel (and the
+    * shape a SQL oracle replays). Fragment and query split on the FIRST
+    * '#'/'?' by index, exactly like the kernel. */
+  private[graft] def canonicalizeUrlColumns(u0: Column): Column = {
+    val u = substring_index(trim(u0), "#", 1)    // 1. fragment (first '#')
     val (prefix, rest) = schemeHostPort(u)       // 2-3. scheme/host/port
     val pathQs = regexp_replace(rest, "^[^/?#]*", "")
-    val path = regexp_replace(pathQs, "\\?.*$", "")
+    val qPos = instr(pathQs, "?")
+    val path = when(qPos > 0, substring_index(pathQs, "?", 1)).otherwise(pathQs)
     val normPath = when(path === "", lit("/")).otherwise(path) // 4. path
-    val query = regexp_extract(pathQs, "\\?(.*)$", 1)
+    val query = when(qPos > 0, pathQs.substr(qPos + 1, length(pathQs))).otherwise(lit(""))
     val params = array_sort(filter(split(query, "&"), p =>
       p =!= "" && !p.rlike(TrackingParam)))      // 5. params
     val normQuery = when(size(params) > 0,

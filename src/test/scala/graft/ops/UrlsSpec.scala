@@ -27,6 +27,28 @@ class UrlsSpec extends SparkSpec {
       ("not a url", "not a url"))                                 // garbage passes through
   }
 
+  test("compiled kernel == column chain, byte for byte, over a combinatorial population") {
+    val schemes = Seq("http://", "HTTPS://", "ftp://", "", "ht tp://")
+    val hosts = Seq("Example.COM", "example.com:80", "EXAMPLE.com:443", "a.b:8080", "müNchen.DE")
+    val paths = Seq("", "/", "/Path/A", "/p/q r")
+    val queries = Seq("", "?", "?b=2&a=1", "?utm_source=x", "?A=1&a=1&z",
+      "?x=%20&Y=2&UTM_X", "?fbclid&GCLID=2&k=v&k=u")
+    val frags = Seq("", "#f", "#a#b")
+    val urls = for { s <- schemes; h <- hosts; p <- paths; q <- queries; f <- frags }
+      yield s + h + p + q + f
+    val extra = Seq(null, "", "   ", "not a url", "http://", "http://?a=1",
+      "http://#f", "a://b", "http://h/p?&&a=1&", "http://h:80?a=1")
+    val df = (urls ++ extra).zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "u")
+    val rows = df.select(Urls.canonicalizeUrl($"u").as("k"),
+      Urls.canonicalizeUrlColumns($"u").as("c"), $"u").collect()
+    assert(rows.length == urls.length + extra.length)
+    rows.foreach { r =>
+      val k = if (r.isNullAt(0)) null else r.getString(0)
+      val c = if (r.isNullAt(1)) null else r.getString(1)
+      assert(k == c, s"url=[${r.getString(2)}] kernel=[$k] chain=[$c]")
+    }
+  }
+
   test("canonicalizeUrl is null-safe; urlHost strips port and lowercases") {
     val r = Seq((1, null: String)).toDF("i", "u")
       .select(Urls.canonicalizeUrl($"u")).collect()(0)
