@@ -296,6 +296,19 @@ object ScaleProbe {
           concat(lit("<html><body><p>"), col("text"),
             lit("</p><script>x()</script></body></html>")).as("html")))
         .filter(col("n_tokens") > 0).count())
+    // URL canonicalization: compiled single-pass kernel vs the 12-regexp
+    // column chain — the crawl pipeline's first hot path
+    if (only.forall(_.exists(s => "url canonicalize".contains(s)))) {
+      val urls = spark.range(200000L * factor).selectExpr(
+        """concat('HTTP://Host', id % 1000, '.Example.COM:80/p/', id,
+           |'?utm_source=x&b=', id % 7, '&a=1#s') AS u""".stripMargin.replace("\n", " "))
+      time("url canonicalize (kernel)")(
+        urls.select(ops.Urls.canonicalizeUrl(col("u")).as("c"))
+          .filter(col("c").isNotNull).count())
+      time("url canonicalize (chain)")(
+        urls.select(ops.Urls.canonicalizeUrlColumns(col("u")).as("c"))
+          .filter(col("c").isNotNull).count())
+    }
     // staged row-level deltas: a MERGE-scale UPDATE with the spill path
     // active — rows stream through scratch files, never the driver; the
     // number proves the touched-set size does not bound driver memory
