@@ -68,5 +68,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           "array<struct<item,count,err>> in O(k) memory"),
       (args: Seq[Expression]) => graft.functions.SpaceSavingAgg(args(0),
         args(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+
+    ext.injectFunction((FunctionIdentifier("url_canonicalize"),
+      info("url_canonicalize",
+        "url_canonicalize(url) - crawl-dedup canonical form: fragment/case/" +
+          "default-port/tracking-param/param-order normalization (single-pass kernel)"),
+      (args: Seq[Expression]) => graft.functions.UrlCanonicalizeExpr(args(0))))
   }
 }

@@ -36,6 +36,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(hh(1).getString(0) == "b" && hh(1).getLong(1) == 1L)
   }
 
+  test("url_canonicalize is SQL-callable") {
+    val c = spark.sql(
+      "SELECT url_canonicalize('HTTP://Ex.COM:80/p?b=2&utm_source=x&a=1#f') AS c")
+      .head().getString(0)
+    assert(c == "http://ex.com/p?a=1&b=2", c)
+  }
+
   test("SQL vec_cosine equals the Scala API on real embeddings") {
     Tables(spark, sf(), "embeddings").createOrReplaceTempView("emb_ext")
     val viaSql = spark.sql(
