@@ -101,11 +101,19 @@ object Bench {
       .orElse(Some("target/sf1"))
       .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
     val sf1Json = sf1Dir.map { d =>
-      val s1 = sys.env.getOrElse("SPARK_GRAFT_SF1_SAMPLES", "3").toInt
+      // ≥5 samples: the round-10 artifact carried 3-sample medians with
+      // IQR > median on 3 queries — statistically unusable. 5 is the floor;
+      // SPARK_GRAFT_SF1_SAMPLES can only raise it.
+      val s1 = math.max(5, sys.env.getOrElse("SPARK_GRAFT_SF1_SAMPLES", "5").toInt)
       val r1 = measure(spark, d, s1)
       val (q1, i1) = jsonMaps(r1)
+      // a query whose dispersion exceeds its median is not a measurement —
+      // name the offenders so the artifact carries its own health check
+      val noisy = r1.collect { case (n, med, iq) if iq > med => n }
+      val warn = if (noisy.isEmpty) ""
+        else s""","sf1_noisy_iqr":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       s""","sf1_total":${f"${r1.map(_._2).sum}%.3f"},"sf1_queries":$q1,""" +
-        s""""sf1_queries_iqr":$i1,"sf1_samples":$s1,"sf1_dir":"$d""""
+        s""""sf1_queries_iqr":$i1,"sf1_samples":$s1,"sf1_dir":"$d"$warn"""
     }.getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
       s""""queries_iqr":$ijson,"samples":$samples,"sf":"$sfDir"$sf1Json}"""

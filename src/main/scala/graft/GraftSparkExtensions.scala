@@ -30,49 +30,62 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     def info(name: String, usage: String) =
       new ExpressionInfo("graft", null, name, usage, "")
 
+    // wrong arity must surface as an ANALYSIS error naming the function,
+    // not an IndexOutOfBounds from the builder indexing args
+    def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+        (args: Seq[Expression]): Expression = {
+      if (args.length != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> args.length.toString, "docroot" -> ""))
+      build(args)
+    }
+
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
-      (args: Seq[Expression]) => VectorKernel(args(0), args(1), VectorKernel.Dot)))
+      arity("vec_dot", 2)(args => VectorKernel(args(0), args(1), VectorKernel.Dot)) _))
 
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity (0 when a norm is 0)"),
-      (args: Seq[Expression]) => VectorKernel(args(0), args(1), VectorKernel.Cosine)))
+      arity("vec_cosine", 2)(args => VectorKernel(args(0), args(1), VectorKernel.Cosine)) _))
 
     ext.injectFunction((FunctionIdentifier("vec_l2"),
       info("vec_l2", "vec_l2(a, b) - Euclidean distance"),
-      (args: Seq[Expression]) => VectorKernel(args(0), args(1), VectorKernel.L2)))
+      arity("vec_l2", 2)(args => VectorKernel(args(0), args(1), VectorKernel.L2)) _))
 
     ext.injectFunction((FunctionIdentifier("vec_sum"),
       info("vec_sum", "vec_sum(v) - element-wise sum aggregate over vector columns"),
-      (args: Seq[Expression]) =>
-        graft.functions.VectorSumAgg(args.head).toAggregateExpression()))
+      arity("vec_sum", 1)(args =>
+        graft.functions.VectorSumAgg(args.head).toAggregateExpression()) _))
 
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<bigint>) - 64-bit SimHash of pre-hashed tokens"),
-      (args: Seq[Expression]) => SimHash64Expr(args(0))))
+      arity("simhash64", 1)(args => SimHash64Expr(args(0))) _))
 
     ext.injectFunction((FunctionIdentifier("word_shingle_hashes"),
       info("word_shingle_hashes", "word_shingle_hashes(text, n) - distinct hashed word n-grams"),
-      (args: Seq[Expression]) => WordShingleHashesExpr(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      arity("word_shingle_hashes", 2)(args => WordShingleHashesExpr(args(0),
+        args(1).eval().asInstanceOf[Int])) _))
 
     ext.injectFunction((FunctionIdentifier("hashed_bow_embed"),
       info("hashed_bow_embed",
         "hashed_bow_embed(text, dim) - L2-normalized feature-hashing text embedding"),
-      (args: Seq[Expression]) => graft.functions.HashedBowEmbedExpr(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      arity("hashed_bow_embed", 2)(args => graft.functions.HashedBowEmbedExpr(args(0),
+        args(1).eval().asInstanceOf[Int])) _))
 
     ext.injectFunction((FunctionIdentifier("space_saving_topk"),
       info("space_saving_topk",
         "space_saving_topk(item, k) - heavy-hitters sketch aggregate: " +
           "array<struct<item,count,err>> in O(k) memory"),
-      (args: Seq[Expression]) => graft.functions.SpaceSavingAgg(args(0),
-        args(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+      arity("space_saving_topk", 2)(args => graft.functions.SpaceSavingAgg(args(0),
+        args(1).eval().asInstanceOf[Int]).toAggregateExpression()) _))
 
     ext.injectFunction((FunctionIdentifier("url_canonicalize"),
       info("url_canonicalize",
         "url_canonicalize(url) - crawl-dedup canonical form: fragment/case/" +
           "default-port/tracking-param/param-order normalization (single-pass kernel)"),
-      (args: Seq[Expression]) => graft.functions.UrlCanonicalizeExpr(args(0))))
+      arity("url_canonicalize", 1)(args => graft.functions.UrlCanonicalizeExpr(args(0))) _))
   }
 }

@@ -77,26 +77,72 @@ object DeltaStaging {
   /** Stream a staged file's lines; the handle closes as soon as the end is
     * known — immediately for an empty file (commit opens one reader per
     * staged file; leaking the empty-file handles of id-preserving UPDATEs
-    * would accumulate on a long-lived driver). */
-  def lines(path: String, props: Map[String, String] = Map.empty): Iterator[String] = {
+    * would accumulate on a long-lived driver). A fully-drained iterator
+    * self-closes; `tracker` catches the NOT-drained case — a commit that
+    * throws mid-stream closes every registered reader in its finally. */
+  def lines(path: String, props: Map[String, String] = Map.empty,
+            tracker: LineStreams = null): Iterator[String] = {
     val reader = new BufferedReader(new InputStreamReader(
       fs(path, props).open(new Path(path)), StandardCharsets.UTF_8))
+    if (tracker != null) tracker.register(reader)
+    def done(): Unit = { reader.close(); if (tracker != null) tracker.unregister(reader) }
     new Iterator[String] {
       private var nextLine = reader.readLine()
-      if (nextLine == null) reader.close()
+      if (nextLine == null) done()
       override def hasNext: Boolean = nextLine != null
       override def next(): String = {
         val l = nextLine
         nextLine = reader.readLine()
-        if (nextLine == null) reader.close()
+        if (nextLine == null) done()
         l
       }
+    }
+  }
+
+  /** Open-reader registry for a streaming commit: [[lines]] self-closes on
+    * drain, but a commit aborted mid-stream (store.delete/upsert threw)
+    * abandons partially-read iterators — `close()` in the caller's finally
+    * reclaims those handles on a long-lived driver. */
+  final class LineStreams extends AutoCloseable {
+    private val open = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[BufferedReader, java.lang.Boolean]())
+    private[DeltaStaging] def register(r: BufferedReader): Unit = open.add(r)
+    private[DeltaStaging] def unregister(r: BufferedReader): Unit = open.remove(r)
+    override def close(): Unit = {
+      open.forEach(r => try r.close() catch { case _: java.io.IOException => () })
+      open.clear()
     }
   }
 
   def delete(path: String, props: Map[String, String] = Map.empty): Unit =
     try fs(path, props).delete(new Path(path), false)
     catch { case _: java.io.IOException => () } // best-effort cleanup
+
+  /** Session conf: stale-staging TTL in hours (default 24). Files older
+    * than the TTL in the staging dir are swept when a delta write plans —
+    * a driver crash between spill and commit otherwise accumulates
+    * orphaned `ups-*`/`del-*` files forever. The TTL (vs delete-all)
+    * protects CONCURRENT jobs sharing the directory. */
+  val TtlKey = "spark.graft.delta.stage.ttl.hours"
+  val DefaultTtlHours = 24
+
+  /** Best-effort sweep of staged files older than `ttlMs` under `dir`.
+    * Only this codec's own names (`ups-*.jsonl` / `del-*.txt`) are
+    * touched — the dir may be a shared checkpoint location. */
+  def sweepStale(dir: String, props: Map[String, String], ttlMs: Long): Unit =
+    try {
+      val f = fs(dir, props)
+      val p = new Path(dir)
+      if (!f.exists(p)) return
+      val cutoff = System.currentTimeMillis() - ttlMs
+      f.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        val ours = (n.startsWith("ups-") && n.endsWith(".jsonl")) ||
+          (n.startsWith("del-") && n.endsWith(".txt"))
+        if (ours && st.isFile && st.getModificationTime < cutoff)
+          f.delete(st.getPath, false)
+      }
+    } catch { case _: java.io.IOException => () }
 
   // ------------------------------------------------------- delete-id codec
 

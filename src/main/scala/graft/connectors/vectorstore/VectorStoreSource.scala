@@ -284,6 +284,14 @@ class VSRowLevelOperation(cmd: RowLevelOperation.Command, collection: String,
                   .collect { case (k, v) if k.startsWith("spark.hadoop.") =>
                     k.stripPrefix("spark.hadoop.") -> v }.toMap))
           }
+          // sweep orphans from crashed drivers (older than the TTL, so
+          // concurrent jobs sharing the dir keep their in-flight files)
+          staging.foreach { s =>
+            val ttlH = org.apache.spark.sql.SparkSession.active.conf
+              .getOption(DeltaStaging.TtlKey).map(_.toLong)
+              .getOrElse(DeltaStaging.DefaultTtlHours.toLong)
+            DeltaStaging.sweepStale(s.dir, s.hadoopProps, ttlH * 3600 * 1000L)
+          }
           new VSDeltaBatchWrite(collection, rules,
             Option(opts.get("batch_size")).map(_.toInt).getOrElse(100), binaryVec, spec,
             (at(Canonical.ID), at(Canonical.VECTOR), at(Canonical.METADATA)), staging)
@@ -309,25 +317,34 @@ class VSDeltaBatchWrite(collection: String, rules: WriteRules, batchSize: Int,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val deltas = messages.collect { case d: VSDeltaCommit => d }
     val store = VectorStore.resolve(spec)
-    // deletes first (in-message, then each task's staged file, streamed —
-    // never fully materialized on the driver), then upserts the same way
-    var deleted = 0L
-    deltas.iterator.flatMap(d =>
-        d.deletes.iterator ++ d.stagedDeletes.iterator.flatMap(p =>
-          DeltaStaging.lines(p, props).map(DeltaStaging.idFromLine)))
-      .grouped(batchSize).foreach { b =>
-        store.delete(collection, b.toSeq); deleted += b.length
+    val streams = new DeltaStaging.LineStreams
+    // a mid-stream store failure fails the job — the finally still closes
+    // any partially-read staged-file handles and removes the staged files
+    // (the delta protocol has no replay, so a failed commit's files are
+    // dead weight either way)
+    try {
+      // deletes first (in-message, then each task's staged file, streamed —
+      // never fully materialized on the driver), then upserts the same way
+      var deleted = 0L
+      deltas.iterator.flatMap(d =>
+          d.deletes.iterator ++ d.stagedDeletes.iterator.flatMap(p =>
+            DeltaStaging.lines(p, props, streams).map(DeltaStaging.idFromLine)))
+        .grouped(batchSize).foreach { b =>
+          store.delete(collection, b.toSeq); deleted += b.length
+        }
+      var written = 0L
+      deltas.iterator.flatMap(d =>
+          d.upserts.iterator ++ d.stagedUpserts.iterator.flatMap(p =>
+            DeltaStaging.lines(p, props, streams).map(DeltaStaging.recordFromJson)))
+        .grouped(batchSize).foreach(b => written += store.upsert(collection, b.toSeq))
+      VSWriteStats.record(spec, collection, written, deltas.map(_.skipped).sum, deleted)
+    } finally {
+      streams.close()
+      deltas.foreach { d =>
+        d.stagedUpserts.foreach(DeltaStaging.delete(_, props))
+        d.stagedDeletes.foreach(DeltaStaging.delete(_, props))
       }
-    var written = 0L
-    deltas.iterator.flatMap(d =>
-        d.upserts.iterator ++ d.stagedUpserts.iterator.flatMap(p =>
-          DeltaStaging.lines(p, props).map(DeltaStaging.recordFromJson)))
-      .grouped(batchSize).foreach(b => written += store.upsert(collection, b.toSeq))
-    deltas.foreach { d =>
-      d.stagedUpserts.foreach(DeltaStaging.delete(_, props))
-      d.stagedDeletes.foreach(DeltaStaging.delete(_, props))
     }
-    VSWriteStats.record(spec, collection, written, deltas.map(_.skipped).sum, deleted)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // nothing was applied; drop whatever committed tasks staged

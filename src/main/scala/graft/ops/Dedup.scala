@@ -546,17 +546,77 @@ object Dedup {
   }
 
   /** Embedding near-duplicates: cosine similarity >= threshold, blocked on
-    * `blockCol` to avoid the full cross join (at 100 TB use
-    * [[graft.ops.Similarity.lshCosinePairs]] instead — hyperplane buckets
-    * replace the semantic block). */
+    * `blockCol` to avoid the full cross join.
+    *
+    * Pair work is Σ|block|² — a FIXED-cardinality block column goes
+    * quadratic the moment the corpus outgrows its block count (the sf1
+    * bench ramp measured 44× cost at 10× rows on a label-blocked corpus).
+    * `maxBlock` is the guard (mirror of the banded paths' `maxBucket`):
+    *  - `oversized = "error"` (default): any block larger than `maxBlock`
+    *    fails the job with a named block and a pointer at the scale paths —
+    *    enforced INSIDE the plan (a codegen'd assert riding the existing
+    *    block join), no extra driver action.
+    *  - `oversized = "lsh"`: oversized blocks re-block on (block ×
+    *    hyperplane bucket) via [[graft.ops.Similarity.lshCosinePairs]]'s
+    *    planes — candidate work returns to ~targetBucket per bucket at the
+    *    LSH recall trade (near-dups split across buckets are missed; rerun
+    *    with rotated planes to recover). Small blocks stay exact.
+    * At 100 TB prefer [[graft.ops.Similarity.lshCosinePairsAuto]] outright. */
   def cosineNearDupPairs(emb: DataFrame, blockCol: String, idCol: String = "vec_id",
-                         vecCol: String = "embedding", threshold: Double = 0.9): DataFrame = {
-    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, "blk").filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6))
-      .filter(col("cosine") >= threshold)
-      .select(col("blk"), col("id_a"), col("id_b"), col("cosine"))
+                         vecCol: String = "embedding", threshold: Double = 0.9,
+                         maxBlock: Int = 8192, oversized: String = "error",
+                         targetBucket: Int = 64): DataFrame = {
+    require(oversized == "error" || oversized == "lsh",
+      s"oversized must be 'error' or 'lsh', got '$oversized'")
+    val src = emb.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
+    // block sizes join back on blk — the same key the pair join shuffles
+    // on, so the exchange is shared, not doubled
+    val sizes = src.groupBy("blk").agg(count(lit(1)).as("__blk_n"))
+
+    def exactPairs(rows: DataFrame): DataFrame = {
+      val a = rows.select(col("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+      val b = rows.select(col("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+      a.join(b, "blk").filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("blk"), col("id_a"), col("id_b"), col("cosine"))
+    }
+
+    if (oversized == "error") {
+      // assert_true returns null (or raises): the filter keeps every row
+      // but forces per-row evaluation — lazy, codegen'd, no extra action
+      val guarded = src.join(sizes, "blk")
+        .filter(assert_true(col("__blk_n") <= maxBlock,
+          concat(lit(s"cosineNearDupPairs: block '"), col("blk").cast("string"),
+            lit(s"' holds "), col("__blk_n").cast("string"),
+            lit(s" rows (> maxBlock=$maxBlock); pair work is quadratic in the " +
+              "block — raise maxBlock, pass oversized=\"lsh\", or use " +
+              "Similarity.lshCosinePairsAuto"))).isNull)
+        .drop("__blk_n")
+      exactPairs(guarded)
+    } else {
+      // bits sized like lshCosinePairsAuto, from the BIGGEST block (the
+      // occupancy that matters); one bounded count on the narrow sizes agg.
+      // No oversized block → the plan stays the plain exact pair join.
+      val maxN = Option(sizes.agg(max("__blk_n")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (maxN <= maxBlock) return exactPairs(src)
+      val small = src.join(sizes.filter(col("__blk_n") <= maxBlock).select("blk"), "blk")
+      val big = src.join(sizes.filter(col("__blk_n") > maxBlock).select("blk"), "blk")
+      val wantBuckets = math.max(1L, maxN / math.max(1, targetBucket))
+      val bits = math.max(4, math.min(24,
+        64 - java.lang.Long.numberOfLeadingZeros(wantBuckets - 1)))
+      val planes = Similarity.hyperplanes(bits, Similarity.resolveDim(big, vecCol, -1))
+      val bk = big.withColumn("bucket", Similarity.bucketExpr(vecCol, planes))
+      val a = bk.select(col("blk"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+      val b = bk.select(col("blk"), col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+      val lshPairs = a.join(b, Seq("blk", "bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("blk"), col("id_a"), col("id_b"), col("cosine"))
+      exactPairs(small).unionByName(lshPairs)
+    }
   }
 
   /** Binary near-duplicate pairs over sign-bit-quantized embeddings:

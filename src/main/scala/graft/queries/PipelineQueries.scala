@@ -204,8 +204,15 @@ object PipelineQueries {
         .select("keep_id", "n_copies")),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), blockCol = "source", threshold = 0.05)),
+    // Guarded label-blocked face: blocks stay under maxBlock at the oracle
+    // scales (≤ ~220 rows/label at sf0.1), so the output is the plain exact
+    // in-block join the SQL twin replays; past the cap (sf1 ramp: ~2000/
+    // label) oversized blocks re-block on (label × hyperplane bucket) and
+    // the bench stops paying Σ|block|² — the guard, not the anti-pattern,
+    // is what this gate now pins.
     "q_dedup_cosine" -> ((s, dir) =>
-      Dedup.cosineNearDupPairs(Tables(s, dir, "embeddings"), blockCol = "label", threshold = 0.3)),
+      Dedup.cosineNearDupPairs(Tables(s, dir, "embeddings"), blockCol = "label",
+        threshold = 0.3, maxBlock = 1000, oversized = "lsh")),
     // The SCALE path for embedding near-dedup: hyperplane-LSH buckets
     // instead of a fixed-cardinality block column — Σ|block|² over a fixed
     // block count is quadratic in corpus size (the sf1 ramp measured the

@@ -286,7 +286,13 @@ object StreamOps {
       .select(col(idCol), col(tsCol), col("minhash_sig"))
     val streamBands = Dedup.lshBands(signed, idCol, numBands, rowsPerBand, portable,
       carryCols = Seq(tsCol, "minhash_sig"))
-    streamBands
+    // broadcast the MICROBATCH side: without the hint each trigger plans a
+    // SortMergeJoin that re-shuffles and re-sorts the corpus-sized static
+    // side (caught by the StreamingSpec plan pin) — the 100 TB invariant is
+    // that only trigger-proportional data ever crosses an exchange. Batch
+    // bulk ingest belongs on the Dedup.incrementalNearDupPairs* faces,
+    // which prune the corpus by broadcast instead.
+    broadcast(streamBands)
       .join(staticSide, Seq("band", "band_hash"))
       .filter(col(idCol) =!= col("corpus_id"))
       .withColumn("jaccard", round(HashExpressions

@@ -171,6 +171,40 @@ class AnnRecallSpec extends SparkSpec {
     } else assert(lsh != null)
   }
 
+  test("cosineNearDupPairs maxBlock guard trips on an oversized block (error mode)") {
+    // every label block exceeds maxBlock=10 at sf0.01 (≥ 44 rows/label)
+    val ex = intercept[Exception] {
+      Dedup.cosineNearDupPairs(emb, blockCol = "label", threshold = 0.4,
+        maxBlock = 10).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxBlock")), ex.toString)
+  }
+
+  test("cosineNearDupPairs oversized=lsh routes big blocks, keeps small blocks exact") {
+    val exact = Dedup.cosineNearDupPairs(emb, blockCol = "label", threshold = 0.4)
+      .select("blk", "id_a", "id_b", "cosine")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // cap above every block: identical plan and output, no LSH leg
+    val unrouted = Dedup.cosineNearDupPairs(emb, blockCol = "label", threshold = 0.4,
+        maxBlock = 1000, oversized = "lsh")
+      .select("blk", "id_a", "id_b", "cosine")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(unrouted == exact && exact.nonEmpty)
+    // cap below every block: all blocks route through (label × bucket) —
+    // a strict-precision subset of the exact pairs (LSH recall trade)
+    val routed = Dedup.cosineNearDupPairs(emb, blockCol = "label", threshold = 0.4,
+        maxBlock = 10, oversized = "lsh")
+      .select("blk", "id_a", "id_b", "cosine")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(routed.subsetOf(exact), s"routed ${routed.size} not ⊆ exact ${exact.size}")
+    if (exact.nonEmpty) {
+      val recall = (exact intersect routed).size.toDouble / exact.size
+      assert(recall > 0.1, s"routed recall $recall")
+    }
+  }
+
   test("lshCosinePairsAuto sizes the bit width from the corpus and matches the fixed path") {
     // n/targetBucket rounds UP to the next power of two: bucket occupancy
     // is bounded by the target at any corpus size (the linear-scale knob)

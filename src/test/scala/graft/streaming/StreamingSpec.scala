@@ -389,6 +389,38 @@ class StreamingSpec extends SparkSpec {
     assert(indexed == derived && indexed.nonEmpty, s"${indexed.size} vs ${derived.size}")
   }
 
+  test("indexed streaming dedup microbatch plan never sort-merge-joins the corpus") {
+    // the batch twin is plan-pinned in PlanSpec; this pins the REAL
+    // microbatch plan (IncrementalExecution), where stream-static joins
+    // could re-plan differently
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables(spark, sf(), "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("stream_plan_sig").toString
+    graft.core.SigIndex.build(spark, corpus, dir,
+      graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamOps.streamingIncrementalDedupIndexed(
+        input.toDF().toDF("doc_id", "ts", "text"),
+        spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/bands"),
+        spark.read.parquet(s"$dir/widths"),
+        numHashes = 16, numBands = 4, threshold = 0.3)
+      .writeStream.format("memory").queryName("incdedup_plan")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "the quick brown fox jumps over the lazy dog today"))
+      query.processAllAvailable()
+      val exec = query
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution
+      assert(exec != null, "no microbatch executed")
+      val p = exec.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"),
+        "streaming corpus-side join fell back to sort-merge:\n" + p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    } finally query.stop()
+  }
+
   test("foreachBatch + atomic sink: each microbatch publishes all-or-nothing") {
     import graft.connectors.vectorstore._
     implicit val sqlCtx = spark.sqlContext
