@@ -374,6 +374,33 @@ object ScaleProbe {
         server.injectLatencyMs = 0
       } finally server.stop()
     }
+    // the Pinecone twin: x1 walks the token-paged /vectors/list (+fetch);
+    // xN rides N concurrent /query interval walks over the __gid mirror —
+    // fewer, fatter pages (queryCap 1000 vs listCap 100) AND parallelism,
+    // so the win over x1 compounds both effects
+    if (only.forall(_.exists(s => "pinecone cursor walk".contains(s)))) {
+      import graft.connectors.vectorstore._
+      val server = new PineconeWireServer(new InMemoryStore)
+      try {
+        val t = new PineconeWireTransport(server.url)
+        t.createCollection("probe_pc::ns", CollectionConfig(dim = 8), recreate = true)
+        val n = 2000 * factor
+        (0 until n).grouped(1000).foreach(g => t.upsert("probe_pc::ns",
+          g.map(i => VSRecord(s"$i", Array.fill(8)(i.toFloat), Map("m" -> s"v$i")))))
+        def scan(par: Int): Long =
+          spark.read.format("graft-pinecone").option("url", server.url)
+            .option("collection", "probe_pc").option("namespace", "ns")
+            .option("page_size", "500")
+            .option("cursor_parallelism", par.toString).load()
+            .rdd.count()
+        time("pinecone cursor walk x1")(scan(1))
+        time("pinecone cursor walk x8")(scan(8))
+        server.injectLatencyMs = 10
+        time("pinecone cursor walk x1 (10ms rtt)")(scan(1))
+        time("pinecone cursor walk x8 (10ms rtt)")(scan(8))
+        server.injectLatencyMs = 0
+      } finally server.stop()
+    }
     spark.stop()
     sys.exit(0) // don't let stray library threads pin the forked JVM open
   }

@@ -31,7 +31,7 @@ class MilvusProvider extends VectorStoreProvider {
   * importing it crashes the package). Implemented here for real. */
 class PineconeProvider extends VectorStoreProvider {
   override def shortName(): String = "graft-pinecone"
-  override def dialect: FilterDialect = new QdrantFilterDialect() // Pinecone's metadata filter is Mongo-ish JSON; the structured dialect covers the shared subset
+  override def dialect: FilterDialect = new PineconeFilterDialect()
   override def rules: WriteRules = WriteRules()
 }
 
@@ -118,7 +118,7 @@ class MilvusConnector extends VectorStoreConnector("graft-milvus", new MilvusExp
   override def name: String = "milvus"
 }
 
-class PineconeConnector extends VectorStoreConnector("graft-pinecone", new QdrantFilterDialect()) {
+class PineconeConnector extends VectorStoreConnector("graft-pinecone", new PineconeFilterDialect()) {
   override def name: String = "pinecone"
 
   /** Pinecone addresses data as index::namespace. */

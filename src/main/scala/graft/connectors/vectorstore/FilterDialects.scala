@@ -240,6 +240,121 @@ class QdrantFilterDialect extends FilterDialect {
   }
 }
 
+/** Pinecone metadata-filter dialect: the Mongo-style JSON of the public
+  * query API — `{"genre": {"$eq": "drama"}}`, `{"$and": [...]}`, with
+  * `$eq/$ne/$gt/$gte/$lt/$lte/$in/$nin/$exists` operators. Filters address
+  * METADATA ONLY (vector ids are not filterable on Pinecone's wire, so
+  * id predicates return None and Spark evaluates them client-side).
+  *
+  * Emulation notes: `$ne`/`$nin` here require the key to be present
+  * (missing-key records do not match), and `$exists: false` matches only
+  * missing keys — a record whose key holds a non-numeric value where a
+  * numeric range is expected simply fails the range, like the real
+  * service's typed metadata. */
+class PineconeFilterDialect extends FilterDialect {
+  import DialectUtil._
+  override def name: String = "pinecone"
+  @transient private lazy val mapper = new ObjectMapper()
+
+  /** Parallel cursor slices range-filter the reserved numeric `__gid`
+    * metadata field the Pinecone writer mirrors numeric ids into
+    * ([[PineconeWireTransport.upsert]]) — Pinecone's `/query` evaluates
+    * numeric metadata `$gte`/`$lt` natively; vector ids are not
+    * range-addressable on its wire. */
+  override def idSliceAttribute: Option[String] = Some("metadata.__gid")
+
+  override def combine(rendered: Seq[String]): Option[String] =
+    if (rendered.length <= 1) rendered.headOption
+    else Some(rendered.mkString("""{"$and":[""", ",", "]}"))
+
+  // ------------------------------------------------------------- parse
+
+  override def parse(filter: String): Column = parseNode(mapper.readTree(filter))
+
+  private def parseNode(n: JsonNode): Column = {
+    val parts = n.properties().asScala.map { e =>
+      (e.getKey, e.getValue) match {
+        case ("$and", arr) => arr.elements().asScala.map(parseNode).reduce(_ && _)
+        case ("$or", arr) => arr.elements().asScala.map(parseNode).reduce(_ || _)
+        case (key, v) if v.isObject => parseOps(key, v)
+        case (key, v) => cmpEq(key, v) // implicit $eq shorthand
+      }
+    }.toSeq
+    if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
+  }
+
+  private def cmpEq(key: String, v: JsonNode): Column =
+    if (v.isNumber) attr(key).cast("double") === v.asDouble()
+    else if (v.isBoolean) attr(key) === v.asBoolean().toString
+    else attr(key) === v.asText()
+
+  private def parseOps(key: String, ops: JsonNode): Column =
+    ops.properties().asScala.map { e =>
+      def num = e.getValue.asDouble()
+      def numAttr = attr(key).cast("double")
+      e.getKey match {
+        case "$eq" => cmpEq(key, e.getValue)
+        case "$ne" =>
+          if (e.getValue.isNumber) numAttr =!= num else attr(key) =!= e.getValue.asText()
+        case "$gt" => numAttr > num
+        case "$gte" => numAttr >= num
+        case "$lt" => numAttr < num
+        case "$lte" => numAttr <= num
+        case "$in" | "$nin" =>
+          val vals = e.getValue.elements().asScala.toSeq
+          val in = if (vals.forall(_.isNumber))
+            numAttr.isInCollection(vals.map(_.asDouble()))
+          else attr(key).isInCollection(vals.map(_.asText()))
+          if (e.getKey == "$in") in else !in
+        case "$exists" =>
+          if (e.getValue.asBoolean()) attr(key).isNotNull else attr(key).isNull
+        case other => throw new IllegalArgumentException(
+          s"unsupported pinecone filter operator: $other")
+      }
+    }.reduce(_ && _)
+
+  // ------------------------------------------------------------ render
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  private def jkey(a: String): String = jstr(stripMeta(a))
+  private def jval(v: Any): String = v match {
+    case n: Number => String.valueOf(n)
+    case other => jstr(String.valueOf(other))
+  }
+
+  override def render(f: Filter): Option[String] = f match {
+    case _ if f.references.exists(a => !addressable(a) || a == "id") => None
+    case EqualTo(a, v) => Some(s"""{${jkey(a)}:{"$$eq":${jval(v)}}}""")
+    case GreaterThan(a, v: Number) => Some(s"""{${jkey(a)}:{"$$gt":$v}}""")
+    case GreaterThanOrEqual(a, v: Number) => Some(s"""{${jkey(a)}:{"$$gte":$v}}""")
+    case LessThan(a, v: Number) => Some(s"""{${jkey(a)}:{"$$lt":$v}}""")
+    case LessThanOrEqual(a, v: Number) => Some(s"""{${jkey(a)}:{"$$lte":$v}}""")
+    case In(a, vs) if vs.nonEmpty =>
+      Some(s"""{${jkey(a)}:{"$$in":[${vs.map(jval).mkString(",")}]}}""")
+    // the cursor planner's catch-all `NOT(a < x OR a >= y)` is true exactly
+    // when `a` is missing/non-numeric — Pinecone's `$exists: false`
+    case Not(Or(LessThan(a1, _), GreaterThanOrEqual(a2, _))) if a1 == a2 =>
+      Some(s"""{${jkey(a1)}:{"$$exists":false}}""")
+    case Not(EqualTo(a, v)) => Some(s"""{${jkey(a)}:{"$$ne":${jval(v)}}}""")
+    case Not(In(a, vs)) if vs.nonEmpty =>
+      Some(s"""{${jkey(a)}:{"$$nin":[${vs.map(jval).mkString(",")}]}}""")
+    case And(l, r) => for { ls <- render(l); rs <- render(r) } yield
+      s"""{"$$and":[$ls,$rs]}"""
+    case Or(l, r) => for { ls <- render(l); rs <- render(r) } yield
+      s"""{"$$or":[$ls,$rs]}"""
+    case _ => None // $exists cannot express IsNull-on-present-key; no $not
+  }
+}
+
 /** Milvus boolean-expression dialect: `field == value && other > 3`
   * (`adapters/milvus.py:101-111`). Recursive-descent parser for the
   * documented grammar subset: comparisons, `in`, `like`, `&&`/`and`,

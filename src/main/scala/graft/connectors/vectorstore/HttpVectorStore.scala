@@ -315,10 +315,13 @@ object HttpTransport {
     * REST dialect (see [[QdrantWireTransport]]/[[MilvusWireTransport]]/
     * [[PineconeWireTransport]]); unknown backends fall back to the
     * generic JSON transport. */
-  def forSpec(spec: TransportSpec): VectorStoreTransport = spec.backend match {
-    case "qdrant" => new QdrantWireTransport(spec.url.get, spec.apiKey)
-    case "milvus" => new MilvusWireTransport(spec.url.get, spec.apiKey)
-    case "pinecone" => new PineconeWireTransport(spec.url.get, spec.apiKey)
-    case _ => new HttpTransport(spec.url.get, apiKey = spec.apiKey)
+  def forSpec(spec: TransportSpec): VectorStoreTransport = {
+    val strip = spec.reservedKeys == "strip"
+    spec.backend match {
+      case "qdrant" => new QdrantWireTransport(spec.url.get, spec.apiKey, strip)
+      case "milvus" => new MilvusWireTransport(spec.url.get, spec.apiKey)
+      case "pinecone" => new PineconeWireTransport(spec.url.get, spec.apiKey, strip)
+      case _ => new HttpTransport(spec.url.get, apiKey = spec.apiKey)
+    }
   }
 }

@@ -302,7 +302,15 @@ object InMemoryTransport extends InMemoryStore
   * would read the source collection from the TARGET backend (silently
   * wrong data when a same-named collection exists there). */
 case class TransportSpec(url: Option[String] = None, backend: String = "qdrant",
-                         apiKey: Option[String] = None, maxRetries: Int = 3) {
+                         apiKey: Option[String] = None, maxRetries: Int = 3,
+                         /** `reject` (default) fails an upsert whose
+                           * metadata carries a codec-reserved key
+                           * (`__gid`/`__binary_b64`); `strip` drops the
+                           * key with a warning — the escape hatch for
+                           * migrating FOREIGN collections that happen to
+                           * carry an unrelated `__gid` (readable but
+                           * otherwise unwritable). */
+                         reservedKeys: String = "reject") {
   def isRemote: Boolean = url.isDefined
 }
 
@@ -312,13 +320,20 @@ object TransportSpec {
 
   /** From a connection/options map: `url` selects the HTTP wire (absent →
     * in-process default), `api_key` rides as the backend's auth header,
-    * `max_retries` bounds the transient-fault retry wrapper. */
-  def fromOptions(get: String => Option[String], backend: String): TransportSpec =
+    * `max_retries` bounds the transient-fault retry wrapper,
+    * `reserved_key_policy` ∈ {reject, strip} decides what an upsert does
+    * with codec-reserved metadata keys. */
+  def fromOptions(get: String => Option[String], backend: String): TransportSpec = {
+    val rk = get("reserved_key_policy").filter(_.nonEmpty).getOrElse("reject")
+    require(rk == "reject" || rk == "strip",
+      s"reserved_key_policy must be 'reject' or 'strip', got '$rk'")
     TransportSpec(
       url = get("url").map(_.trim).filter(_.nonEmpty),
       backend = backend,
       apiKey = get("api_key").filter(_.nonEmpty),
-      maxRetries = get("max_retries").map(_.toInt).getOrElse(3))
+      maxRetries = get("max_retries").map(_.toInt).getOrElse(3),
+      reservedKeys = rk)
+  }
 }
 
 /** Routing facade the source code calls: delegates every store call to the

@@ -134,12 +134,43 @@ private[vectorstore] abstract class WireClient(baseUrl: String,
 // Qdrant
 // ======================================================================
 
+/** Reserved-key policy applied to upsert metadata: default REJECT (silent
+  * overwrite — or strip-on-read of a user's value — would be silent data
+  * alteration); `reserved_key_policy=strip` drops the keys with one
+  * warning — the escape hatch for migrating a FOREIGN collection that
+  * carries an unrelated reserved key (readable either way; only the
+  * write needed an answer). */
+private[vectorstore] trait ReservedKeyPolicy {
+  protected def stripReserved: Boolean
+  @transient private var warnedReserved = false
+  protected def applyReservedPolicy(meta: Map[String, String], reserved: Seq[String],
+                                    codec: String): Map[String, String] = {
+    val hit = reserved.filter(meta.contains)
+    if (hit.isEmpty) meta
+    else if (!stripReserved)
+      throw new IllegalArgumentException(
+        s"metadata key '${hit.head}' is reserved by the $codec wire codec " +
+          "(pass reserved_key_policy=strip to drop it with a warning)")
+    else {
+      if (!warnedReserved) {
+        warnedReserved = true
+        System.err.println(s"[graft] WARNING: stripping reserved metadata " +
+          s"key(s) ${hit.mkString(", ")} on upsert ($codec codec, " +
+          "reserved_key_policy=strip)")
+      }
+      meta -- hit
+    }
+  }
+}
+
 /** Client speaking Qdrant's REST API. Collection config maps onto the
   * documented create body: `vectors.size/distance/on_disk/datatype`
   * (datatype `uint8` marks our BINARY_VECTOR face), `hnsw_config` /
   * `quantization_config` carry the `hnsw_*`/`quantization_*` props. */
-class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
-  extends WireClient(baseUrl, apiKey.map("api-key" -> _).toMap) {
+class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None,
+                          protected val stripReserved: Boolean = false)
+  extends WireClient(baseUrl, apiKey.map("api-key" -> _).toMap)
+    with ReservedKeyPolicy {
   import WireJson._
 
   override def createCollection(name: String, config: CollectionConfig,
@@ -268,13 +299,11 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None)
       val p = pts.addObject()
       putId(p, "id", r.id)
       if (r.vector != null) putFloats(p, "vector", r.vector)
-      // reserved payload names: silently overwriting a user's value (or
-      // stripping it back out on read) would be silent data alteration —
-      // reject loudly instead
-      Seq("__gid", "__binary_b64").foreach(k => require(!r.metadata.contains(k),
-        s"metadata key '$k' is reserved by the qdrant wire codec"))
+      // reserved payload names: reject by default, strip-with-warning
+      // under reserved_key_policy=strip (see ReservedKeyPolicy)
+      val meta = applyReservedPolicy(r.metadata, Seq("__gid", "__binary_b64"), "qdrant")
       val payload = p.putObject("payload")
-      r.metadata.foreach { case (k, v) =>
+      meta.foreach { case (k, v) =>
         if (v == null) payload.putNull(k) else payload.put(k, v)
       }
       // no binary face in Qdrant's JSON point — base64 in a reserved slot
@@ -573,8 +602,10 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
   * address splits onto the wire: the index rides the control-plane path,
   * the namespace rides every data-plane body/query — namespaces
   * auto-create on upsert, exactly like the real service. */
-class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None)
-  extends WireClient(baseUrl, apiKey.map("Api-Key" -> _).toMap) {
+class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
+                            protected val stripReserved: Boolean = false)
+  extends WireClient(baseUrl, apiKey.map("Api-Key" -> _).toMap)
+    with ReservedKeyPolicy {
   import WireJson._
 
   private def split(name: String): (String, String) = name.split("::", 2) match {
@@ -654,6 +685,16 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None)
     * on the next request — it never constructs or decodes a token. */
   override def cursorPaged: Boolean = true
 
+  /** Mirror rule shared with the Qdrant codec: strip the reserved `__gid`
+    * metadata mirror on read ONLY when it addresses this record's own id
+    * (string- or numerically-equal — the wire may echo `123` as `123.0`);
+    * a foreign tool's unrelated `__gid` is user data and stays. */
+  private def stripMirror(id: String, meta: Map[String, String]): Map[String, String] =
+    if (meta.get("__gid").exists(g => g == id ||
+      (for { gd <- g.toDoubleOption; il <- id.toLongOption } yield gd == il.toDouble)
+        .getOrElse(false))) meta - "__gid"
+    else meta
+
   /** Real Pinecone caps `/vectors/list` at limit ≤ 100, so a page
     * request larger than that is served as a ≤100-record page — the
     * cursor walk simply takes more pages ([[VSPaging]] consumes pages of
@@ -682,23 +723,166 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None)
         Option(vecs.get(id)).map { v =>
           id -> VSRecord(id,
             if (v.hasNonNull("values")) floats(v.get("values")) else null,
-            metadataFrom(v.get("metadata")))
+            stripMirror(id, metadataFrom(v.get("metadata"))))
         }
       }
     }.toMap
     (ids.flatMap(byId.get), next)
   }
 
+  // -------------------------------------------------- filtered scrolls
+
+  /** Filtered scans ride the PUBLIC `/query` endpoint (Pinecone's only
+    * filter-evaluating verb — `/vectors/list` takes no metadata filter),
+    * so the rendered Mongo-style predicate is evaluated server-side. */
+  override def serverSideFilters: Boolean = true
+
+  /** The public query limits: topK ≤ 1,000 when includeValues /
+    * includeMetadata ride along — the page granularity of filtered scans. */
+  private val queryCap = 1000
+
+  @transient private lazy val dimCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  /** Vector dim for the dummy query vector: the index description when it
+    * carries one, else one listed record's vector length (indexes created
+    * through the engine's writer may register before the dim is known). */
+  private def dimOf(name: String): Int = {
+    val ix = split(name)._1
+    dimCache.getOrElseUpdate(ix,
+      describe(name).map(_.dim).filter(_ > 0).getOrElse(
+        scrollPage(name, None, 1)._1.headOption.flatMap(r => Option(r.vector))
+          .map(_.length).getOrElse(throw new NoSuchElementException(
+            s"cannot determine vector dim for a filtered query on $name"))))
+  }
+
+  /** One filtered `/query` call: the caller's filter AND-composed with a
+    * `__gid` work-item condition, a constant non-zero query vector (scores
+    * are irrelevant — the filter does the selection), full values +
+    * metadata back. */
+  private def filteredQuery(name: String, f: String, gidCond: String,
+                            topK: Int): Seq[VSRecord] = {
+    val (ix, ns) = split(name)
+    val b = obj()
+    if (ns.nonEmpty) b.put("namespace", ns)
+    putFloats(b, "vector", Array.fill(dimOf(name))(1.0f))
+    b.put("topK", topK)
+    b.put("includeValues", true)
+    b.put("includeMetadata", true)
+    b.set[ObjectNode]("filter", mapper.readTree(s"""{"$$and":[$f,$gidCond]}"""))
+    val ms = call("POST", s"/query?index=${enc(ix)}", Some(b))
+      .get("matches").asInstanceOf[ArrayNode]
+    (0 until ms.size()).map { i =>
+      val m = ms.get(i)
+      val id = m.get("id").asText()
+      VSRecord(id,
+        if (m.hasNonNull("values")) floats(m.get("values")) else null,
+        stripMirror(id, metadataFrom(m.get("metadata"))))
+    }
+  }
+
+  /** Filtered cursor walk as a WORK-LIST of `__gid` intervals, bisected on
+    * truncation — the only exactly-once filtered scan Pinecone's public
+    * API admits (`/query` returns an ARBITRARY topK subset of the matches,
+    * so advancing a gid lower bound past "the max seen" would skip rows;
+    * disjoint intervals never can).
+    *
+    * The universe splits into records WITH a numeric `__gid` (range
+    * intervals, splittable without bound) and records WITHOUT the key
+    * (`$exists: false` — one query, NOT paginatable: if it truncates at
+    * the cap the scan fails fast with a pointer at the `backfill-gid` CLI
+    * verb rather than silently dropping rows). Records carrying a
+    * NON-NUMERIC `__gid` value (no known writer produces one — this
+    * codec's mirror is always a JSON number and rejects user `__gid`)
+    * are reachable only while the root interval fits in one page;
+    * documented unsupported beyond that.
+    *
+    * The cursor serializes the pending work list, so [[VSPaging]]'s
+    * stateless page loop drives it like any other cursor walk. A split
+    * emits an EMPTY page with a live cursor (the paging loop's documented
+    * continue case). Each split strictly shrinks its interval's
+    * population (the pivot is a returned member), so the walk terminates:
+    * ≤ 2× the minimal ceil(n/cap) query calls. */
+  override def scrollPageFiltered(name: String, cursor: Option[String], pageSize: Int,
+                                  filter: Option[String]): (Seq[VSRecord], Option[String]) =
+    filter match {
+      case None => scrollPage(name, cursor, pageSize)
+      case Some(f) =>
+        val st = cursor.map(decodeScanState).getOrElse(
+          ScanState(List((None, None)), existsLeg = true))
+        st.ranges match {
+          case (lo, hi) :: rest =>
+            val conds = lo.map(l => s""""$$gte":$l""").toSeq ++
+              hi.map(h => s""""$$lt":$h""").toSeq
+            val gidCond =
+              if (conds.isEmpty) """{"__gid":{"$exists":true}}"""
+              else s"""{"__gid":{${conds.mkString(",")}}}"""
+            val recs = filteredQuery(name, f, gidCond, queryCap)
+            if (recs.size < queryCap)
+              (recs, encodeScanState(ScanState(rest, st.existsLeg)))
+            else {
+              // possibly truncated: bisect on the median returned gid
+              val vals = recs.flatMap(r => r.id.toDoubleOption
+                  .orElse(r.metadata.get("__gid").flatMap(_.toDoubleOption)))
+                .distinct.sorted
+              if (vals.size < 2)
+                throw new java.io.IOException(
+                  s"filtered scan of $name cannot make progress: >= $queryCap matches " +
+                    s"share one __gid value in [$lo,$hi) — duplicate mirrors from a " +
+                    "foreign writer; rewrite them with the backfill-gid CLI verb")
+              val pivot = vals(vals.size / 2)
+              (Seq.empty, encodeScanState(
+                ScanState((lo, Some(pivot)) :: (Some(pivot), hi) :: rest, st.existsLeg)))
+            }
+          case Nil =>
+            val recs = filteredQuery(name, f, """{"__gid":{"$exists":false}}""", queryCap)
+            if (recs.size >= queryCap)
+              throw new java.io.IOException(
+                s"filtered scan of $name: >= $queryCap matching records lack the numeric " +
+                  "__gid mirror, and Pinecone's /query cannot paginate a filtered set — " +
+                  "run the backfill-gid CLI verb on this namespace (or scan unfiltered)")
+            (recs, None)
+        }
+    }
+
+  private case class ScanState(ranges: List[(Option[Double], Option[Double])],
+                               existsLeg: Boolean)
+
+  /** None only when the whole work list (ranges + exists-false leg) is
+    * drained. */
+  private def encodeScanState(st: ScanState): Option[String] = {
+    if (st.ranges.isEmpty && !st.existsLeg) return None
+    val o = obj()
+    val a = o.putArray("iv")
+    st.ranges.foreach { case (lo, hi) =>
+      val p = a.addArray()
+      lo.fold(p.addNull())(p.add); hi.fold(p.addNull())(p.add)
+    }
+    o.put("ef", st.existsLeg)
+    Some(mapper.writeValueAsString(o))
+  }
+
+  private def decodeScanState(s: String): ScanState = {
+    val n = mapper.readTree(s)
+    val ranges = n.get("iv").asInstanceOf[ArrayNode].asScala.map { p =>
+      def side(i: Int): Option[Double] =
+        Option(p.get(i)).filterNot(_.isNull).map(_.asDouble())
+      (side(0), side(1))
+    }.toList
+    // the exists-false leg runs AFTER every range: drop it from the state
+    // only once consumed
+    ScanState(ranges, n.get("ef").asBoolean())
+  }
+
   /** Native `POST /query`: cosine top-k with `includeValues`/
-    * `includeMetadata`. Pinecone's query filter is Mongo-style JSON the
-    * engine's dialect does not render, so filtered search stays OFF
-    * (`supportsSearchFilter = false`) — with pushed filters present the
-    * engine scans + scores instead of risking filter-after-top-k. */
+    * `includeMetadata`; pushed filters ride the `filter` body in the
+    * Mongo-style JSON [[PineconeFilterDialect]] renders — real filtered
+    * search, applied BEFORE top-k selection like the live service. */
   override def supportsNativeSearch(metric: String): Boolean = metric == "cosine"
+  override def supportsSearchFilter: Boolean = true
 
   override def nativeSearch(name: String, sp: SearchSpec,
                             filter: Option[String]): Option[Seq[VSRecord]] = {
-    if (sp.metric != "cosine" || filter.isDefined) return None
+    if (sp.metric != "cosine") return None
     val (ix, ns) = split(name)
     val b = obj()
     if (ns.nonEmpty) b.put("namespace", ns)
@@ -706,13 +890,15 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None)
     b.put("topK", sp.k)
     b.put("includeValues", true)
     b.put("includeMetadata", true)
+    filter.foreach(f => b.set[ObjectNode]("filter", mapper.readTree(f)))
     val ms = call("POST", s"/query?index=${enc(ix)}", Some(b))
       .get("matches").asInstanceOf[ArrayNode]
     Some((0 until ms.size()).map { i =>
       val m = ms.get(i)
-      VSRecord(m.get("id").asText(),
+      val id = m.get("id").asText()
+      VSRecord(id,
         if (m.hasNonNull("values")) floats(m.get("values")) else null,
-        metadataFrom(m.get("metadata")))
+        stripMirror(id, metadataFrom(m.get("metadata"))))
     })
   }
 
@@ -728,7 +914,19 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None)
       val v = vs.addObject()
       v.put("id", r.id)
       if (r.vector != null) putFloats(v, "values", r.vector)
-      if (r.metadata.nonEmpty) metadataToNode(v, "metadata", r.metadata)
+      // reserved metadata name — same policy as the Qdrant codec
+      val meta = applyReservedPolicy(r.metadata, Seq("__gid"), "pinecone")
+      if (meta.nonEmpty) metadataToNode(v, "metadata", meta)
+      // numeric ids mirror into the reserved numeric __gid metadata field:
+      // Pinecone cannot filter vector IDS, but /query range-filters numeric
+      // metadata — __gid is what the parallel cursor slices address
+      // (VSScan.planCursorSlices), stripped back out on read when it
+      // matches the id
+      r.id.toLongOption.filter(l => l >= 0 && l.toString == r.id).foreach { l =>
+        val m = if (v.has("metadata")) v.get("metadata").asInstanceOf[ObjectNode]
+          else v.putObject("metadata")
+        m.put("__gid", l)
+      }
     }
     call("POST", s"/vectors/upsert?index=${enc(ix)}", Some(b))
       .get("upsertedCount").asInt()

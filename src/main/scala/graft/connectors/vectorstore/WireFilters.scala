@@ -65,6 +65,53 @@ object WireFilters {
     } else throw new IllegalArgumentException(s"unsupported qdrant condition: $c")
   }
 
+  // --------------------------------------------------------- Pinecone
+
+  /** Pinecone Mongo-style metadata filter JSON → Filter: `$and`/`$or`
+    * lists, `{key: primitive}` shorthand, and per-key operator objects
+    * (`$eq/$ne/$gt/$gte/$lt/$lte/$in/$nin/$exists`) — the
+    * [[PineconeFilterDialect]] surface. `$ne`/`$nin` require the key to be
+    * PRESENT (the dialect's Column semantics: a null comparison never
+    * matches), hence the IsNotNull conjunct — [[FilterEval]]'s bare
+    * `Not(EqualTo)` would match missing keys. */
+  def fromPineconeJson(node: JsonNode): Filter = {
+    val parts = node.properties().asScala.map { e =>
+      (e.getKey, e.getValue) match {
+        case ("$and", arr) =>
+          arr.elements().asScala.map(fromPineconeJson).reduce(And(_, _))
+        case ("$or", arr) =>
+          arr.elements().asScala.map(fromPineconeJson).reduce(Or(_, _))
+        case (key, v) if v.isObject => pineconeOps(key, v)
+        case (key, v) => EqualTo(key, prim(v))
+      }
+    }.toSeq
+    parts.reduceOption(And(_, _)).getOrElse(AlwaysTrue)
+  }
+
+  private def prim(v: JsonNode): Any =
+    if (v.isNumber) v.asDouble() else if (v.isBoolean) v.asBoolean().toString
+    else v.asText()
+
+  private def pineconeOps(key: String, ops: JsonNode): Filter =
+    ops.properties().asScala.map { e =>
+      val v = e.getValue
+      e.getKey match {
+        case "$eq" => EqualTo(key, prim(v))
+        case "$ne" => And(IsNotNull(key), Not(EqualTo(key, prim(v))))
+        case "$gt" => GreaterThan(key, v.asDouble())
+        case "$gte" => GreaterThanOrEqual(key, v.asDouble())
+        case "$lt" => LessThan(key, v.asDouble())
+        case "$lte" => LessThanOrEqual(key, v.asDouble())
+        case "$in" => In(key, v.elements().asScala.map(prim).toArray)
+        case "$nin" =>
+          And(IsNotNull(key), Not(In(key, v.elements().asScala.map(prim).toArray)))
+        case "$exists" => if (v.asBoolean()) IsNotNull(key) else IsNull(key)
+        case other => throw new IllegalArgumentException(
+          s"unsupported pinecone filter operator: $other")
+      }
+    }.reduceOption(And(_, _)).getOrElse(
+      throw new IllegalArgumentException(s"empty operator object for key $key"))
+
   // ----------------------------------------------------------- Milvus
 
   /** Milvus boolean expression → Filter: comparisons, `in [..]`,

@@ -590,6 +590,89 @@ class PineconeWireServer(inner: VectorStoreTransport, port: Int = 0,
       case c if c.startsWith(ix + "::") => c.stripPrefix(ix + "::")
     }
 
+  /** Memoized id→record map per collection MUTATION VERSION (when the
+    * inner store exposes one) — keyed lookups then cost O(page), the cost
+    * model of the real service's fetch. */
+  @volatile private var fetchCache: (String, Long, Map[String, VSRecord]) = null
+  private def fetchIndex(target: String): Map[String, VSRecord] = {
+    if (!inner.exists(target)) return Map.empty
+    val ver = inner match {
+      case s: InMemoryStore => s.version(target)
+      case _ => -1L
+    }
+    val cached = fetchCache
+    if (ver >= 0 && cached != null && cached._1 == target && cached._2 == ver)
+      return cached._3
+    val built = inner.scroll(target, 0, Int.MaxValue).map(r => r.id -> r).toMap
+    if (ver >= 0) fetchCache = (target, ver, built)
+    built
+  }
+
+  /** Memoized numeric-`__gid` ordering per collection version: real
+    * Pinecone serves metadata range filters from an index, so the
+    * emulation must answer a gid-range query in O(log n + matches), not
+    * O(collection) per call — otherwise every cost comparison against the
+    * sliced-walk client is fiction. Sorted gid array + the no-gid rest. */
+  @volatile private var gidCache: (String, Long, Array[(Double, VSRecord)], Seq[VSRecord]) = null
+  private def gidIndex(target: String): (Array[(Double, VSRecord)], Seq[VSRecord]) = {
+    if (!inner.exists(target)) return (Array.empty, Seq.empty)
+    val ver = inner match {
+      case s: InMemoryStore => s.version(target)
+      case _ => -1L
+    }
+    val cached = gidCache
+    if (ver >= 0 && cached != null && cached._1 == target && cached._2 == ver)
+      return (cached._3, cached._4)
+    val all = inner.scroll(target, 0, Int.MaxValue)
+    val (withGid, rest) = all.partition(r =>
+      r.metadata.get("__gid").exists(g => g != null && g.toDoubleOption.isDefined))
+    val sorted = withGid.map(r => r.metadata("__gid").toDouble -> r)
+      .sortBy(_._1).toArray
+    if (ver >= 0) gidCache = (target, ver, sorted, rest)
+    (sorted, rest)
+  }
+
+  /** Candidate pre-selection for a /query filter: when the filter's
+    * top-level conjuncts bound `__gid` (the sliced-walk shapes), answer
+    * from the gid index; otherwise scan. The FULL filter is re-evaluated
+    * over the candidates either way, so pre-selection is pure pruning. */
+  private def queryCandidates(target: String,
+                              filter: Option[org.apache.spark.sql.sources.Filter]): Seq[VSRecord] = {
+    import org.apache.spark.sql.sources._
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val cs = filter.map(conjuncts).getOrElse(Seq.empty)
+    var lo = Double.NegativeInfinity
+    var hi = Double.PositiveInfinity
+    var hasRange = false
+    var noGid = false
+    var hasGid = false
+    cs.foreach {
+      case GreaterThanOrEqual("__gid", v: Number) => lo = math.max(lo, v.doubleValue()); hasRange = true
+      case GreaterThan("__gid", v: Number) => lo = math.max(lo, v.doubleValue()); hasRange = true
+      case LessThan("__gid", v: Number) => hi = math.min(hi, v.doubleValue()); hasRange = true
+      case LessThanOrEqual("__gid", v: Number) => hi = math.min(hi, v.doubleValue()); hasRange = true
+      case IsNull("__gid") => noGid = true
+      case IsNotNull("__gid") => hasGid = true
+      case _ => ()
+    }
+    if (noGid) return gidIndex(target)._2
+    if (!hasRange && !hasGid)
+      return if (inner.exists(target)) inner.scroll(target, 0, Int.MaxValue) else Seq.empty
+    val (sorted, _) = gidIndex(target)
+    // first index with gid >= lo / gid >= hi (exclusive upper by re-check)
+    def lowerBound(x: Double): Int = {
+      var a = 0; var b = sorted.length
+      while (a < b) { val m = (a + b) >>> 1; if (sorted(m)._1 < x) a = m + 1 else b = m }
+      a
+    }
+    val from = if (lo.isNegInfinity) 0 else lowerBound(lo)
+    val until = if (hi.isPosInfinity) sorted.length else lowerBound(hi)
+    sorted.slice(from, until).map(_._2).toSeq
+  }
+
   override protected def route(method: String, parts: Array[String],
                                query: Map[String, String], body: JsonNode,
                                ex: HttpExchange): Unit = {
@@ -700,10 +783,11 @@ class PineconeWireServer(inner: VectorStoreTransport, port: Int = 0,
         val ns = query.getOrElse("namespace", "")
         val ids = multi(rawQuery, "ids")
         val target = coll(ix, ns)
-        // the emulation seam has no fetch-by-id, so resolve via scroll
-        val byId = (if (inner.exists(target))
-          inner.scroll(target, 0, Int.MaxValue) else Seq.empty)
-          .map(r => r.id -> r).toMap
+        // the emulation seam has no fetch-by-id; memoize the id index per
+        // collection version so a fetch costs what a REAL keyed lookup
+        // charges (a rebuild per page would be O(n) per fetch — a cost
+        // model no real backend presents)
+        val byId = fetchIndex(target)
         val o = obj()
         val vs = o.putObject("vectors")
         ids.flatMap(byId.get).foreach { r =>
@@ -715,16 +799,21 @@ class PineconeWireServer(inner: VectorStoreTransport, port: Int = 0,
         o.put("namespace", ns)
         respond(ex, 200, o)
       case ("POST", Seq("query")) =>
-        // native top-k: {namespace, vector, topK, includeValues,
+        // native top-k: {namespace, vector, topK, filter, includeValues,
         // includeMetadata} -> {matches: [{id, score, values, metadata}]},
-        // scored by the engine's canonical VSScoring
+        // scored by the engine's canonical VSScoring; the Mongo-style
+        // metadata filter applies BEFORE selection (the real service's
+        // filtered-query contract), decoded through WireFilters so the
+        // server can never disagree with the engine's FilterEval
         val ix = query.getOrElse("index", "")
         val ns = Option(body.get("namespace")).map(_.asText()).getOrElse("")
         val target = coll(ix, ns)
         val topK = Option(body.get("topK")).map(_.asInt()).getOrElse(10)
         val qv = floats(body.get("vector"))
-        val cands = if (inner.exists(target))
-          inner.scroll(target, 0, Int.MaxValue) else Seq.empty
+        val filterF = Option(body.get("filter")).filterNot(_.isNull)
+          .map(WireFilters.fromPineconeJson)
+        val cands = filterF.fold(queryCandidates(target, None))(f =>
+          queryCandidates(target, Some(f)).filter(FilterEval.eval(f, _)))
         val includeValues = Option(body.get("includeValues")).exists(_.asBoolean())
         val includeMeta = Option(body.get("includeMetadata")).exists(_.asBoolean())
         val o = obj()

@@ -91,7 +91,7 @@ object ConnectorQueries {
       // behavior is spec-tested instead, VectorStoreSpec)
       ConnectorRegistry("pinecone").read(s, Map("namespace" -> "ns"), QuerySpec(
         collection = "gate_p",
-        filter = Some("""{"must":[{"key":"label","match":{"value":1}}]}""")))
+        filter = Some("""{"label": {"$eq": 1}}"""))) // Pinecone's Mongo-style filter
         .select(col(Canonical.ID), element_at(col(Canonical.METADATA), "label").as("label"))
     }),
 
@@ -123,7 +123,7 @@ object ConnectorQueries {
         loadFixture(s, dir, "graft-pinecone", "gate_pw", options = conn)
         ConnectorRegistry("pinecone").read(s, conn, QuerySpec(
           collection = "gate_pw",
-          filter = Some("""{"must":[{"key":"label","match":{"value":1}}]}""")))
+          filter = Some("""{"label": {"$eq": 1}}""")))
           .select(col(Canonical.ID), element_at(col(Canonical.METADATA), "label").as("label"))
           .localCheckpoint(true)
       } finally server.stop()
@@ -212,6 +212,26 @@ object ConnectorQueries {
         ConnectorRegistry("qdrant").read(s,
           conn ++ Map("page_size" -> "100", "cursor_parallelism" -> "4"),
           QuerySpec(collection = "gate_sliced"))
+          .select(col(Canonical.ID),
+            element_at(col(Canonical.METADATA), "label").as("label"))
+          .localCheckpoint(true)
+      } finally server.stop()
+    }),
+
+    // The Pinecone twin of the sliced walk: /vectors/list has no filter
+    // face, so the 4 concurrent slices ride the public /query endpoint as
+    // Mongo-style $gte/$lt ranges over the __gid metadata mirror, bisected
+    // on truncation; the non-numeric catch-all is one $exists:false query.
+    // The oracle adjudicates exactly-once coverage across all walks.
+    "q_connector_cursor_sliced_pinecone" -> ((s, dir) => {
+      import graft.connectors.vectorstore._
+      val server = new PineconeWireServer(new InMemoryStore)
+      val conn = Map("url" -> server.url, "namespace" -> "ns")
+      try {
+        loadFixture(s, dir, "graft-pinecone", "gate_sp", options = conn)
+        ConnectorRegistry("pinecone").read(s,
+          conn ++ Map("page_size" -> "100", "cursor_parallelism" -> "4"),
+          QuerySpec(collection = "gate_sp"))
           .select(col(Canonical.ID),
             element_at(col(Canonical.METADATA), "label").as("label"))
           .localCheckpoint(true)
@@ -489,6 +509,9 @@ object ConnectorQueries {
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings WHERE label >= 5"),
     "q_connector_cursor_sliced" ->
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
+        "FROM embeddings"),
+    "q_connector_cursor_sliced_pinecone" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label " +
         "FROM embeddings"),
     "q_connector_count" ->

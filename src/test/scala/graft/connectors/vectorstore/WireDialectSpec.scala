@@ -377,10 +377,116 @@ class WireDialectSpec extends SparkSpec {
       val exp = VSScoring.topK(canon(6), SearchSpec(Array(1f, -0.5f), 3)).map(_._1.id)
       assert(hits.map(_.id) == exp, s"${hits.map(_.id)} vs $exp")
       assert(server.requestLines.exists(_.startsWith("POST /query?index=pq")))
-      // a filter makes the client DECLINE native search (no Mongo-style
-      // filter rendering) — never filter-after-top-k
-      assert(t.nativeSearch("pq::n", SearchSpec(Array(1f, 0f), 3),
-        Some("""{"must":[]}""")).isEmpty)
+      // FILTERED search: the Mongo-style filter rides the query body and
+      // applies BEFORE top-k selection (the real filtered-query contract)
+      val filtered = t.nativeSearch("pq::n", SearchSpec(Array(1f, 0f), 3),
+        Some("""{"lbl":{"$eq":"l1"}}""")).get
+      assert(filtered.nonEmpty && filtered.forall(_.metadata("lbl") == "l1"), filtered)
+      val qBodies = server.bodiesOf("POST /query")
+      assert(qBodies.exists(_.contains(""""filter":{"lbl":{"$eq":"l1"}}""")),
+        qBodies.toString)
+    } finally server.stop()
+  }
+
+  test("pinecone wire: __gid mirror written on upsert, stripped on read, foreign __gid kept") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("gm::n", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("gm::n", Seq(
+        VSRecord("7", Array(1f, 0f), Map("lbl" -> "a")),   // numeric id -> mirrored
+        VSRecord("uuid-x", Array(0f, 1f), Map("lbl" -> "b")))) // non-numeric -> not
+      // the mirror travels as a JSON NUMBER in the documented upsert body
+      val body = server.bodyOf("POST /vectors/upsert").get
+      assert(body.contains("\"__gid\":7"), body)
+      // stored server-side (what /query range filters address)...
+      val stored = inner.scroll("gm::n", 0, 10).map(r => r.id -> r.metadata).toMap
+      assert(stored("7").get("__gid").contains("7"), stored.toString)
+      assert(!stored("uuid-x").contains("__gid"))
+      // ...but invisible to readers: metadata round-trips clean
+      val read = t.scroll("gm::n", 0, 10).map(r => r.id -> r.metadata).toMap
+      assert(read("7") == Map("lbl" -> "a"), read.toString)
+      assert(read("uuid-x") == Map("lbl" -> "b"))
+      // a FOREIGN collection's unrelated __gid is user data and survives
+      inner.upsert("gm::n", Seq(VSRecord("f1", Array(1f, 1f), Map("__gid" -> "999"))))
+      assert(t.scroll("gm::n", 0, 10).find(_.id == "f1").get.metadata == Map("__gid" -> "999"))
+      // writing it back through the codec REJECTS by default...
+      val ex = intercept[Exception] {
+        t.upsert("gm::n", Seq(VSRecord("f2", Array(1f, 1f), Map("__gid" -> "999"))))
+      }
+      assert(ex.getMessage.contains("reserved"), ex.getMessage)
+      // ...and strips under the escape hatch (foreign-collection migration)
+      val ts = new PineconeWireTransport(server.url, stripReserved = true)
+      ts.upsert("gm::n", Seq(VSRecord("f2", Array(1f, 1f), Map("__gid" -> "999", "k" -> "v"))))
+      assert(t.scroll("gm::n", 0, 10).find(_.id == "f2").get.metadata == Map("k" -> "v"))
+    } finally server.stop()
+  }
+
+  test("qdrant wire: reserved_key_policy=strip drops __gid with a warning instead of failing") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    try {
+      val reject = new QdrantWireTransport(server.url)
+      reject.createCollection("rk", CollectionConfig(dim = 2), recreate = true)
+      intercept[Exception] {
+        reject.upsert("rk", Seq(VSRecord("1", Array(1f, 0f), Map("__gid" -> "5"))))
+      }
+      val strip = new QdrantWireTransport(server.url, stripReserved = true)
+      assert(strip.upsert("rk", Seq(
+        VSRecord("1", Array(1f, 0f), Map("__gid" -> "5", "lbl" -> "x")))) == 1)
+      assert(strip.scroll("rk", 0, 10).head.metadata == Map("lbl" -> "x"))
+    } finally server.stop()
+  }
+
+  test("pinecone wire: filtered scroll rides /query and pins the slice bodies") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("fs::n", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("fs::n", canon(50))
+      // a numeric-range slice filter (what planCursorSlices renders):
+      // exactly the [10, 30) ids, via /query — not /vectors/list
+      val slice = """{"$and":[{"__gid":{"$gte":10}},{"__gid":{"$lt":30}}]}"""
+      val (page, next) = t.scrollPageFiltered("fs::n", None, 100, Some(slice))
+      assert(page.map(_.id.toInt).sorted == (10 until 30).toList, page.map(_.id))
+      // the work list continues to the $exists:false catch-all leg, which
+      // is EMPTY here (every id is numeric -> mirrored)
+      val (rest, end) = t.scrollPageFiltered("fs::n", next, 100, Some(slice))
+      assert(rest.isEmpty && end.isEmpty)
+      val qBodies = server.requestLines.zipWithIndex.collect {
+        case (l, _) if l.startsWith("POST /query") => l }
+      assert(qBodies.size == 2, qBodies.toString)
+      val body = server.bodyOf("POST /query").get
+      assert(body.contains(""""$gte":10""") || body.contains(""""$exists":false"""), body)
+      assert(!server.requestLines.exists(_.startsWith("GET /vectors/list")), "slices must not walk the list")
+    } finally server.stop()
+  }
+
+  test("pinecone wire: filtered scroll bisects past the /query cap, exactly-once") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("big::n", CollectionConfig(dim = 2), recreate = true)
+      // 2500 matching records > the 1000-row documented query cap: the
+      // interval engine must split on returned-gid medians until every
+      // leaf fits, and the union must be exactly-once
+      val recs = (0 until 2500).map(i =>
+        VSRecord(s"$i", Array(i.toFloat, 1f), Map("lbl" -> s"l${i % 2}")))
+      recs.grouped(500).foreach(g => t.upsert("big::n", g))
+      val got = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
+      var cursor: Option[String] = None
+      var first = true
+      val filter = """{"lbl":{"$eq":"l0"}}"""
+      while (first || cursor.isDefined) {
+        val (page, next) = t.scrollPageFiltered("big::n", cursor, 1000, Some(filter))
+        first = false
+        got ++= page
+        cursor = if (page.isEmpty && next.isEmpty) None else next
+      }
+      val expect = (0 until 2500).filter(_ % 2 == 0).map(_.toString).toSet
+      assert(got.map(_.id).toSet == expect, s"${got.size} vs ${expect.size}")
+      assert(got.size == expect.size, "duplicates across intervals")
+      assert(got.forall(_.metadata == Map("lbl" -> "l0")))
     } finally server.stop()
   }
 
