@@ -27,6 +27,7 @@ object Main {
     var buildIndex: Option[String] = None
     var ingest: Option[String] = None
     var compactIndex: Option[String] = None
+    var backfillGid: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -37,12 +38,14 @@ object Main {
         case "--build-index" => buildIndex = Some(args(i + 1)); i += 2
         case "--ingest" => ingest = Some(args(i + 1)); i += 2
         case "--compact-index" => compactIndex = Some(args(i + 1)); i += 2
+        case "--backfill-gid" => backfillGid = Some(args(i + 1)); i += 2
         case "--verbose" | "-v" => verbose = true; i += 1
         case "--version" => println(s"graft $version"); return 0
         case "--help" | "-h" => println(usage); return 0
         case other => System.err.println(s"unknown argument: $other\n$usage"); return 1
       }
     }
+    backfillGid.foreach { path => return runBackfillGid(path) }
     // signature-index verbs: dedup today's crawl against history
     if (buildIndex.isDefined || ingest.isDefined || compactIndex.isDefined)
       return runSigIndex(buildIndex, ingest, compactIndex, verbose)
@@ -141,6 +144,38 @@ object Main {
     } finally if (!preExisting) spark.stop()
   }
 
+  /** `--backfill-gid cfg.json`: mirror numeric record ids into the
+    * reserved `__gid` metadata field of a FOREIGN collection so later
+    * extractions run as parallel sliced cursor walks (one sequential walk,
+    * driver-side, no SparkSession — see
+    * [[graft.connectors.vectorstore.GidBackfill]]). Config:
+    * `{"type": "qdrant"|"pinecone", "connection": {"url": ..,
+    * "api_key": ..}, "collection": "c", "batch_size": 200}` (Pinecone
+    * namespaces via `connection.namespace`, like a migration source). */
+  private def runBackfillGid(path: String): Int = {
+    import graft.connectors.vectorstore.{GidBackfill, TransportSpec}
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+      def str(n: com.fasterxml.jackson.databind.JsonNode, k: String): Option[String] =
+        Option(n.get(k)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+      val backend = str(root, "type").getOrElse(
+        throw new graft.config.ConfigException("backfill-gid config needs 'type'"))
+      val conn = Option(root.get("connection")).getOrElse(mapper.createObjectNode())
+      val base = str(root, "collection").getOrElse(
+        throw new graft.config.ConfigException("backfill-gid config needs 'collection'"))
+      val collection = str(conn, "namespace").map(ns => s"$base::$ns").getOrElse(base)
+      val spec = TransportSpec.fromOptions(str(conn, _), backend = backend)
+      val batch = Option(root.get("batch_size")).map(_.asInt()).getOrElse(200)
+      val r = GidBackfill.run(spec, collection, batch)
+      println(s"backfill-gid complete on $collection: $r")
+      0
+    } catch {
+      case e: Exception => System.err.println(s"backfill-gid failed: ${e.getMessage}"); 1
+    }
+  }
+
   private val usage =
     """usage: graft-migrate --config <config.json> [--transform <class>] [--validate] [--incremental] [--verbose] [--version]
       |       graft-migrate --build-index <sig.json> | --ingest <sig.json> | --compact-index <sig.json>
@@ -150,6 +185,9 @@ object Main {
       |                  to 'novel_output', then appended to the index
       |  --compact-index rewrite the index artifacts to bounded file counts
       |                  (run offline; appends accumulate small files)
+      |  --backfill-gid  mirror numeric ids into the __gid metadata field of
+      |                  a foreign collection (one sequential walk) so later
+      |                  extractions run as parallel sliced cursor walks
       |  --config/-c     migration config JSON (same shape as the reference tool)
       |  --transform/-t  fully-qualified class implementing DataFrame => DataFrame
       |  --validate      after a successful run, re-derive the expected target

@@ -234,15 +234,24 @@ class InMemoryStore extends VectorStoreTransport {
   override def count(name: String): Int =
     Option(data.get(name)).map(b => b.synchronized(b.length)).getOrElse(0)
 
-  /** Batched upsert (id-keyed replace), returns records written. */
+  /** Batched upsert (id-keyed replace), returns records written. Updates
+    * replace IN PLACE — a record keeps its stored position, like any real
+    * id-addressed store (recency-reordering would break position-paged
+    * walks that update records behind the cursor, e.g. the `backfill-gid`
+    * verb walking Pinecone's list tokens); new ids append in batch order,
+    * last occurrence of a duplicated id wins. */
   override def upsert(name: String, records: Seq[VSRecord]): Int = {
     val buf = Option(data.get(name)).getOrElse(
       throw new NoSuchElementException(s"collection not found: $name (create it first)"))
     buf.synchronized {
-      val byId = records.map(r => r.id -> r).toMap
-      val kept = buf.filterNot(r => byId.contains(r.id))
-      buf.clear()
-      buf ++= kept ++= records
+      val byId = scala.collection.mutable.LinkedHashMap.empty[String, VSRecord]
+      records.foreach(r => byId(r.id) = r)
+      var i = 0
+      while (i < buf.length) {
+        byId.remove(buf(i).id).foreach(r => buf(i) = r)
+        i += 1
+      }
+      buf ++= byId.values
     }
     bump(name)
     records.length

@@ -337,13 +337,70 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None,
       .map(_.asInt()).getOrElse(ids.length)
   }
 
-  override def drop(name: String): Unit =
-    call("DELETE", s"/collections/${enc(name)}")
+  /** Alias map on the wire (`GET /aliases`) — the face of Qdrant's
+    * documented atomic-publish mechanism. */
+  private def listAliases(): Map[String, String] = {
+    val a = call("GET", "/aliases").get("result").get("aliases")
+      .asInstanceOf[ArrayNode]
+    (0 until a.size()).map(i => a.get(i).get("alias_name").asText() ->
+      a.get(i).get("collection_name").asText()).toMap
+  }
 
+  /** Publish via the documented ATOMIC alias swap — real Qdrant has no
+    * collection-rename verb, and the trait's copy-then-drop fallback
+    * drops the LIVE target before copying (a crash mid-copy leaves it
+    * partial). Here `to` becomes an alias of `from` in ONE
+    * `POST /collections/aliases` actions call (delete_alias +
+    * create_alias applied atomically by the service); the previous
+    * generation — the collection the alias pointed at — is retired after
+    * the swap. The FIRST publish over a REAL collection named `to` must
+    * drop it before aliasing (alias names cannot shadow collection
+    * names): that one-time window is recoverable by re-running the
+    * publish, exactly like the Milvus drop-then-rename. Readers keep
+    * addressing `to` — aliases resolve on every data-plane call. */
+  override def rename(from: String, to: String): Unit = {
+    // idempotent under retries: an applied rename leaves `from` as the
+    // alias's underlying collection — re-running repoints to the same
+    // place and retires nothing
+    if (!exists(from)) {
+      if (exists(to)) return
+      throw new NoSuchElementException(s"collection not found: $from")
+    }
+    val oldGen = listAliases().get(to)
+    if (oldGen.isEmpty && exists(to)) call("DELETE", s"/collections/${enc(to)}")
+    val b = obj()
+    val acts = b.putArray("actions")
+    if (oldGen.isDefined)
+      acts.addObject().putObject("delete_alias").put("alias_name", to)
+    val ca = acts.addObject().putObject("create_alias")
+    ca.put("collection_name", from)
+    ca.put("alias_name", to)
+    call("POST", "/collections/aliases", Some(b))
+    oldGen.filter(_ != from).foreach(g => call("DELETE", s"/collections/${enc(g)}"))
+  }
+
+  override def drop(name: String): Unit = listAliases().get(name) match {
+    case Some(underlying) => // dropping an aliased name = alias + generation
+      val b = obj()
+      b.putArray("actions").addObject().putObject("delete_alias").put("alias_name", name)
+      call("POST", "/collections/aliases", Some(b))
+      call("DELETE", s"/collections/${enc(underlying)}")
+    case None => call("DELETE", s"/collections/${enc(name)}")
+  }
+
+  /** Catalog view: alias names stand in for the generation collections
+    * they point at (`GET /collections` + `GET /aliases`, merged client-
+    * side) — callers address published names, not `__staging_*`
+    * generations. */
   override def listCollections(): Seq[String] = {
     val a = call("GET", "/collections").get("result").get("collections")
       .asInstanceOf[ArrayNode]
-    (0 until a.size()).map(i => a.get(i).get("name").asText())
+    val raw = (0 until a.size()).map(i => a.get(i).get("name").asText())
+    val al = listAliases()
+    if (al.isEmpty) return raw
+    val targets = al.values.toSet
+    val kept = raw.filterNot(targets.contains)
+    kept ++ al.keys.toSeq.sorted.filterNot(kept.contains)
   }
 
   private def pointToRecord(p: JsonNode): VSRecord = {

@@ -226,9 +226,25 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
       payload.get("__binary_b64").map(unb64).orNull)
   }
 
+  /** Collection aliases, the real API's atomic-swap face:
+    * `POST /collections/aliases` applies an ACTIONS list in one atomic
+    * step (the documented blue/green publish verb), `GET /aliases` lists
+    * them, and alias names resolve on the collection-info and points
+    * routes like the live service. */
+  private val aliases = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def resolved(name: String): String = aliases.getOrDefault(name, name)
+
   override protected def route(method: String, parts: Array[String],
                                query: Map[String, String], body: JsonNode,
                                ex: HttpExchange): Unit = {
+    if (parts.toSeq == Seq("aliases") && method == "GET") {
+      val r = obj()
+      val a = r.putArray("aliases")
+      aliases.forEach { (al, c) =>
+        val o = a.addObject(); o.put("alias_name", al); o.put("collection_name", c)
+      }
+      return respond(ex, 200, ok(r))
+    }
     if (parts.isEmpty || parts(0) != "collections") return err(ex, 400, "bad path")
     if (parts.length == 1) {
       if (method != "GET") return err(ex, 400, s"unsupported: $method /collections")
@@ -237,7 +253,34 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
       inner.listCollections().foreach(c => a.addObject().put("name", c))
       return respond(ex, 200, ok(r))
     }
-    val name = parts(1)
+    if (parts.toSeq == Seq("collections", "aliases")) {
+      if (method != "POST") return err(ex, 400, "aliases updates are POST")
+      // the whole actions list applies atomically, like real Qdrant
+      aliases.synchronized {
+        val actions = Option(body.get("actions")).map(_.elements().asScala.toSeq)
+          .getOrElse(Seq.empty)
+        // validate everything BEFORE applying anything (atomicity)
+        actions.foreach { act =>
+          Option(act.get("create_alias")).foreach { c =>
+            val coll = c.get("collection_name").asText()
+            val al = c.get("alias_name").asText()
+            if (!inner.exists(coll))
+              return err(ex, 404, s"Collection `$coll` doesn't exist!")
+            if (inner.exists(al))
+              return err(ex, 400, s"alias `$al` conflicts with an existing collection")
+          }
+        }
+        actions.foreach { act =>
+          Option(act.get("delete_alias")).foreach(d =>
+            aliases.remove(d.get("alias_name").asText()))
+          Option(act.get("create_alias")).foreach { c =>
+            aliases.put(c.get("alias_name").asText(), c.get("collection_name").asText())
+          }
+        }
+      }
+      return respond(ex, 200, okTrue())
+    }
+    val name = resolved(parts(1))
     val verb = parts.drop(2).mkString("/")
     (method, verb) match {
       case ("PUT", "") =>
@@ -282,6 +325,8 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
         }
       case ("DELETE", "") =>
         inner.drop(name)
+        // no dangling aliases: entries pointing at the dropped collection go
+        aliases.entrySet().removeIf(e => e.getValue == name)
         respond(ex, 200, okTrue())
       case ("POST", "points/scroll") =>
         // real Qdrant cursor shape: `offset` is a point id (number or

@@ -42,16 +42,66 @@ object SigIndex {
     * and silently admit every duplicate — so [[ingest]] always takes them
     * from the manifest, never from its caller. */
   def build(spark: SparkSession, docs: DataFrame, indexDir: String, p: Params): Long = {
-    Dedup.signatureTable(docs, p.idCol, p.textCol, p.numHashes, p.shingleSize, p.portable)
-      .write.mode("overwrite").parquet(s"$indexDir/sigs")
-    // band the PERSISTED sigs: one text scan total, banding is integer math
-    val sigs = spark.read.parquet(s"$indexDir/sigs")
-    Dedup.bandedSignatureTable(sigs, p.idCol, p.numBands, p.numHashes / p.numBands, p.portable)
-      .write.mode("overwrite").parquet(s"$indexDir/bands")
-    val bands = spark.read.parquet(s"$indexDir/bands")
-    Dedup.bucketWidths(bands, p.idCol).write.mode("overwrite").parquet(s"$indexDir/widths")
-    writeManifest(spark, indexDir, p)
-    sigs.count()
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    withLease(fsys, indexDir, "build") {
+      Dedup.signatureTable(docs, p.idCol, p.textCol, p.numHashes, p.shingleSize, p.portable)
+        .write.mode("overwrite").parquet(s"$indexDir/sigs")
+      // band the PERSISTED sigs: one text scan total, banding is integer math
+      val sigs = spark.read.parquet(s"$indexDir/sigs")
+      Dedup.bandedSignatureTable(sigs, p.idCol, p.numBands, p.numHashes / p.numBands, p.portable)
+        .write.mode("overwrite").parquet(s"$indexDir/bands")
+      val bands = spark.read.parquet(s"$indexDir/bands")
+      Dedup.bucketWidths(bands, p.idCol).write.mode("overwrite").parquet(s"$indexDir/widths")
+      writeManifest(spark, indexDir, p)
+      sigs.count()
+    }
+  }
+
+  /** Index mutation lease: `build`/`ingest`/`compact` hold `.lease` under
+    * the index dir for their whole run and FAIL FAST on contention —
+    * compaction's directory swap under a concurrent ingest (or two
+    * concurrent ingests appending + swapping `widths/`) would corrupt the
+    * banded artifacts, and "run it offline" as a comment enforced nothing.
+    * Create-exclusive on the index filesystem (atomic on HDFS-like
+    * stores); a crash leaves a stale lease, which EXPIRES after `ttlMs`
+    * (default 1 h — longer than any sane ingest; override via
+    * `spark.graft.sigindex.lease.ttl.minutes`) so the index never bricks
+    * waiting for an operator. Release deletes only the lease this call
+    * created (token-checked). */
+  private[graft] def withLease[A](fsys: org.apache.hadoop.fs.FileSystem, indexDir: String,
+                                  verb: String)(body: => A): A = {
+    val ttlMs = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.sigindex.lease.ttl.minutes"))
+      .map(_.toLong * 60000L).getOrElse(60 * 60000L)
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/.lease")
+    val token = java.util.UUID.randomUUID().toString
+    val payload = s"""{"verb":"$verb","token":"$token","ts":${System.currentTimeMillis()}}"""
+    def readLease(): String =
+      try {
+        val in = fsys.open(path)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: java.io.IOException => "" }
+    def tryAcquire(): Boolean =
+      try {
+        val out = fsys.create(path, false) // create-exclusive
+        out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val held = readLease()
+      val ts = """"ts":(\d+)""".r.findFirstMatchIn(held).map(_.group(1).toLong)
+      val stale = ts.exists(t => System.currentTimeMillis() - t > ttlMs)
+      if (!stale || { fsys.delete(path, false); !tryAcquire() })
+        throw new IllegalStateException(
+          s"sig-index $indexDir is locked by a concurrent operation ($held); " +
+            s"a concurrent $verb would corrupt the banded artifacts — retry " +
+            s"after it finishes (stale leases expire after ${ttlMs / 60000} min)")
+    }
+    try body
+    finally if (readLease().contains(token)) fsys.delete(path, false)
   }
 
   /** Check `batch` against the index. Three dedup legs, in order:
@@ -90,6 +140,7 @@ object SigIndex {
     }
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    withLease(fsys, indexDir, "ingest") {
     // a compaction crashed mid-swap leaves an artifact parked at
     // <art>__old — restore it HERE, at index-open altitude, so the daily
     // ingest never fails on a missing directory waiting for an operator
@@ -164,6 +215,7 @@ object SigIndex {
           s"rename $tmp -> $cur failed; widths/ is absent but self-heals on next ingest")
     }
     IngestReport(batchN, batchN - freshN, dupN, freshN - dupN - novelN, novelN)
+    } // withLease
   }
 
   /** Compact the index in place: daily ingests append small parquet files
@@ -186,6 +238,7 @@ object SigIndex {
               targetFileMB: Int = 128): Map[String, (Int, Int)] = {
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    withLease(fsys, indexDir, "compact") {
     healCompaction(fsys, indexDir) // recover any interrupted prior swap
     Seq("sigs", "bands", "widths").flatMap { art =>
       val cur = new org.apache.hadoop.fs.Path(s"$indexDir/$art")
@@ -214,6 +267,7 @@ object SigIndex {
         Some(art -> (before, after))
       }
     }.toMap
+    } // withLease
   }
 
   /** Restore any artifact stranded by a crash between compaction's two

@@ -131,6 +131,78 @@ class CliSpec extends SparkSpec {
     assert(MemoryStore.get("cli_spec2").get._1.length == 5)
   }
 
+  test("--backfill-gid: foreign collection -> mirrored -> sliced scan exactly-once") {
+    import graft.connectors.vectorstore._
+    import org.apache.spark.sql.functions._
+    // FOREIGN pinecone namespace: records land in the inner store without
+    // the __gid mirror (another tool wrote them), two non-numeric ids and
+    // one record carrying an unrelated __gid stay untouched
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    try {
+      inner.createCollection("fix::ns", CollectionConfig(dim = 2), recreate = false)
+      // (a foreign STRING-valued __gid would be unreachable by Pinecone's
+      // real filter language — range filters skip non-numeric values and
+      // $exists:false skips present keys; documented scrollPageFiltered
+      // limitation. A numeric foreign __gid rides the range slices.)
+      val recs = (0 until 350).map(i =>
+        VSRecord(s"$i", Array(i.toFloat, 1f), Map("lbl" -> s"l${i % 3}"))) ++ Seq(
+        VSRecord("uuid-a", Array(1f, 1f), Map("lbl" -> "x")),
+        VSRecord("uuid-b", Array(2f, 2f), Map("lbl" -> "y")),
+        VSRecord("351", Array(3f, 3f), Map("__gid" -> "999")))
+      inner.upsert("fix::ns", recs)
+      val cfg = Files.createTempFile("bg", ".json")
+      Files.writeString(cfg,
+        s"""{"type": "pinecone",
+           | "connection": {"url": "${server.url}", "namespace": "ns"},
+           | "collection": "fix", "batch_size": 100}""".stripMargin)
+      assert(graft.cli.Main.run(Array("--backfill-gid", cfg.toString)) == 0)
+      // mirrors landed server-side for numeric ids only
+      val stored = inner.scroll("fix::ns", 0, 1000).map(r => r.id -> r.metadata).toMap
+      assert(stored("0").get("__gid").contains("0"))
+      assert(stored("349").get("__gid").contains("349"))
+      assert(!stored("uuid-a").contains("__gid"))
+      assert(stored("351")("__gid") == "999") // foreign value untouched
+      // the sliced extraction now covers the namespace exactly once
+      // (uuid ids + the foreign-__gid record ride the catch-all /
+      // exists-false legs)
+      val back = spark.read.format("graft-pinecone")
+        .option("url", server.url).option("namespace", "ns")
+        .option("collection", "fix")
+        .option("page_size", "100").option("cursor_parallelism", "4").load()
+        .select(col(graft.model.Canonical.ID)).as[String](
+          org.apache.spark.sql.Encoders.STRING).collect().toSeq
+      assert(back.size == back.distinct.size, "duplicate rows across slices")
+      assert(back.toSet == recs.map(_.id).toSet, s"${back.size} vs ${recs.size}")
+    } finally server.stop()
+  }
+
+  test("--backfill-gid on qdrant walks only unmirrored points (is_null filter on the wire)") {
+    import graft.connectors.vectorstore._
+    val inner = new InMemoryStore
+    val server = new QdrantWireServer(inner)
+    try {
+      // half the points already mirrored (engine-written), half foreign
+      val t = new QdrantWireTransport(server.url)
+      t.createCollection("qbf", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("qbf", (0 until 50).map(i =>
+        VSRecord(s"$i", Array(i.toFloat, 1f), Map("lbl" -> "m")))) // mirrored
+      inner.upsert("qbf", (50 until 120).map(i =>
+        VSRecord(s"$i", Array(i.toFloat, 1f), Map("lbl" -> "f")))) // foreign
+      val cfg = Files.createTempFile("bgq", ".json")
+      Files.writeString(cfg,
+        s"""{"type": "qdrant", "connection": {"url": "${server.url}"},
+           | "collection": "qbf", "batch_size": 40}""".stripMargin)
+      assert(graft.cli.Main.run(Array("--backfill-gid", cfg.toString)) == 0)
+      val stored = inner.scroll("qbf", 0, 1000).map(r => r.id -> r.metadata).toMap
+      assert((0 until 120).forall(i => stored(s"$i").get("__gid").contains(s"$i")))
+      // the walk was FILTERED server-side: scroll bodies carry is_null
+      val scrolls = server.bodiesOf("POST /collections/qbf/points/scroll")
+      assert(scrolls.nonEmpty && scrolls.forall(_.contains(""""is_null"""")),
+        scrolls.mkString("\n"))
+    } finally server.stop()
+  }
+
   test("sig-index lifecycle: build corpus index, ingest batch, novel docs out") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf(), "documents")
@@ -198,6 +270,44 @@ class CliSpec extends SparkSpec {
     // wholly alreadyIndexed instead of re-reporting the empty docs as novel
     val r2 = graft.core.SigIndex.ingest(spark, batch, indexDir, p)
     assert(r2 == graft.core.SigIndex.IngestReport(3, 3, 0, 0, 0), r2.toString)
+  }
+
+  test("sig-index lease: concurrent compact-during-ingest rejected, stale lease expires") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf(), "documents").limit(50)
+    val root = Files.createTempDirectory("siglease")
+    val indexDir = s"$root/index"
+    val p = graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true)
+    graft.core.SigIndex.build(spark, docs, indexDir, p)
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    // simulate an in-flight ingest holding the lease
+    val lease = new org.apache.hadoop.fs.Path(s"$indexDir/.lease")
+    val out = fsys.create(lease, false)
+    out.write(s"""{"verb":"ingest","token":"other","ts":${System.currentTimeMillis()}}"""
+      .getBytes("UTF-8"))
+    out.close()
+    val filesBefore = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$indexDir/sigs")).map(_.getPath.getName).toSet
+    val ex = intercept[IllegalStateException] {
+      graft.core.SigIndex.compact(spark, indexDir)
+    }
+    assert(ex.getMessage.contains("locked"), ex.getMessage)
+    // and the same guard on a second ingest
+    intercept[IllegalStateException] {
+      graft.core.SigIndex.ingest(spark, docs, indexDir, p, append = false)
+    }
+    // index intact: nothing swapped or appended under contention
+    assert(fsys.listStatus(new org.apache.hadoop.fs.Path(s"$indexDir/sigs"))
+      .map(_.getPath.getName).toSet == filesBefore)
+    assert(fsys.exists(lease), "a rejected operation must not release someone else's lease")
+    // a STALE lease (crashed holder) expires instead of bricking the index
+    val stale = fsys.create(lease, true)
+    stale.write("""{"verb":"ingest","token":"dead","ts":1}""".getBytes("UTF-8"))
+    stale.close()
+    val r = graft.core.SigIndex.ingest(spark, docs, indexDir, p, append = false)
+    assert(r.batchDocs == 50 && r.alreadyIndexed == 50) // all known -> no-op
+    assert(!fsys.exists(lease), "completed operation must release its lease")
   }
 
   test("sig-index compaction: repeated ingests -> bounded files, identical detection") {

@@ -310,6 +310,63 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("qdrant wire: atomic publish = alias swap on the real wire, generations retired") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    val t = new QdrantWireTransport(server.url)
+    try {
+      // live target serving old data
+      t.createCollection("pub", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("pub", Seq(VSRecord("1", Array(1f, 0f), Map("v" -> "old"))))
+      // generation 1 shadow -> publish
+      t.createCollection("pub__staging_a", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("pub__staging_a", Seq(
+        VSRecord("1", Array(1f, 0f), Map("v" -> "g1")),
+        VSRecord("2", Array(0f, 1f), Map("v" -> "g1"))))
+      t.rename("pub__staging_a", "pub")
+      assert(t.count("pub") == 2)
+      assert(t.scroll("pub", 0, 10).forall(_.metadata("v") == "g1"))
+      val aliasBodies = server.bodiesOf("POST /collections/aliases")
+      assert(aliasBodies.exists(b => b.contains("create_alias") &&
+        b.contains("\"alias_name\":\"pub\"")), aliasBodies.toString)
+      // catalog shows the published name, never the generation
+      assert(t.listCollections() == Seq("pub"))
+      // generation 2: ONE atomic actions call carries delete+create, and
+      // the previous generation is retired after the swap
+      t.createCollection("pub__staging_b", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("pub__staging_b", Seq(VSRecord("3", Array(1f, 1f), Map("v" -> "g2"))))
+      t.rename("pub__staging_b", "pub")
+      assert(t.count("pub") == 1)
+      assert(t.scroll("pub", 0, 10).head.metadata("v") == "g2")
+      assert(t.listCollections() == Seq("pub"))
+      val last = server.bodiesOf("POST /collections/aliases").last
+      assert(last.contains("delete_alias") && last.contains("create_alias"), last)
+      // retried publish (response lost after apply) converges, no data loss
+      t.rename("pub__staging_b", "pub")
+      assert(t.count("pub") == 1)
+      // dropping the published name removes alias AND generation
+      t.drop("pub")
+      assert(!t.exists("pub") && t.listCollections().isEmpty)
+    } finally server.stop()
+  }
+
+  test("DSv2 atomic overwrite over the qdrant wire rides the alias swap") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    try {
+      val df = Seq(
+        ("a", Seq(1f, 0f), Map("k" -> "1")),
+        ("b", Seq(0f, 1f), Map("k" -> "2")))
+        .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+      df.write.format("graft-qdrant").option("url", server.url)
+        .option("collection", "aw").option("atomic", "true")
+        .mode("overwrite").save()
+      val t = new QdrantWireTransport(server.url)
+      assert(t.count("aw") == 2)
+      assert(t.listCollections() == Seq("aw"), t.listCollections().toString)
+      assert(server.bodiesOf("POST /collections/aliases").nonEmpty,
+        "publish did not ride the aliases verb")
+    } finally server.stop()
+  }
+
   // ----------------------------------------------------------- Pinecone
 
   test("pinecone wire: control+data planes, namespaces, Api-Key auth") {
