@@ -374,6 +374,56 @@ object ScaleProbe {
         server.injectLatencyMs = 0
       } finally server.stop()
     }
+    // atomic publish cost by transport: Qdrant rides the alias swap (a
+    // handful of verbs regardless of size), Pinecone has no rename/alias
+    // on its wire so the recreate publish is the documented copy-then-drop
+    // fallback — a full re-read + re-write of the shadow (2x write
+    // volume, latency-bound like any walk). The numbers quantify what the
+    // fallback WARNING costs an operator who stays on it.
+    if (only.forall(_.exists(s => "atomic publish".contains(s)))) {
+      import graft.connectors.vectorstore._
+      val n = 2000 * factor
+      def recsOf(r: Range) = r.map(i =>
+        VSRecord(s"$i", Array.fill(8)(i.toFloat), Map("m" -> s"v$i")))
+      val qs = new QdrantWireServer(new InMemoryStore)
+      try {
+        val t = new QdrantWireTransport(qs.url)
+        t.createCollection("pub", CollectionConfig(dim = 8), recreate = true)
+        t.upsert("pub", recsOf(0 until 1))
+        def seed(tag: String): String = {
+          val shadow = s"pub__staging_$tag"
+          t.createCollection(shadow, CollectionConfig(dim = 8), recreate = true)
+          (0 until n).grouped(1000).foreach(g => t.upsert(shadow, recsOf(g.head to g.last)))
+          shadow
+        }
+        val s1 = seed("a")
+        time(s"atomic publish qdrant-alias ($n rows)") { t.rename(s1, "pub"); t.count("pub").toLong }
+        val s2 = seed("b")
+        qs.injectLatencyMs = 10
+        time(s"atomic publish qdrant-alias ($n rows, 10ms)") { t.rename(s2, "pub"); t.count("pub").toLong }
+        qs.injectLatencyMs = 0
+      } finally qs.stop()
+      val ps = new PineconeWireServer(new InMemoryStore)
+      try {
+        val t = new PineconeWireTransport(ps.url)
+        def seed(tag: String): String = {
+          val shadow = s"pix::live__staging_$tag"
+          t.createCollection(shadow, CollectionConfig(dim = 8), recreate = true)
+          (0 until n).grouped(1000).foreach(g => t.upsert(shadow, recsOf(g.head to g.last)))
+          shadow
+        }
+        val s1 = seed("a")
+        time(s"atomic publish pinecone-copy ($n rows)") {
+          t.rename(s1, "pix::live"); t.count("pix::live").toLong
+        }
+        val s2 = seed("b")
+        ps.injectLatencyMs = 10
+        time(s"atomic publish pinecone-copy ($n rows, 10ms)") {
+          t.rename(s2, "pix::live"); t.count("pix::live").toLong
+        }
+        ps.injectLatencyMs = 0
+      } finally ps.stop()
+    }
     // the Pinecone twin: x1 walks the token-paged /vectors/list (+fetch);
     // xN rides N concurrent /query interval walks over the __gid mirror —
     // fewer, fatter pages (queryCap 1000 vs listCap 100) AND parallelism,

@@ -67,6 +67,8 @@ case class RetryingTransport(
                             filter: Option[String]): Option[Seq[VSRecord]] =
     withRetry(inner.nativeSearch(name, sp, filter))
   override def count(name: String): Int = withRetry(inner.count(name))
+  override def countFiltered(name: String, filter: Option[String]): Int =
+    withRetry(inner.countFiltered(name, filter))
   override def upsert(name: String, records: Seq[VSRecord]): Int =
     withRetry(inner.upsert(name, records))
   // idempotent like upsert: a re-delivered delete of an already-removed id

@@ -141,6 +141,14 @@ trait VectorStoreTransport extends Serializable {
                    filter: Option[String]): Option[Seq[VSRecord]] = None
 
   def count(name: String): Int
+
+  /** Count under a rendered server-side filter, where the wire offers one
+    * (Qdrant `POST /points/count` takes the same filter body as scroll).
+    * Default falls back to the unfiltered count — callers treat the
+    * result as an ESTIMATE for planning (cursor-slice balance), never for
+    * correctness. */
+  def countFiltered(name: String, filter: Option[String]): Int = count(name)
+
   def upsert(name: String, records: Seq[VSRecord]): Int
   /** Delete by id (Qdrant `POST /points/delete`, Milvus `delete(expr)`,
     * Pinecone `delete(ids)`); returns how many stored records this call
@@ -172,6 +180,12 @@ trait VectorStoreTransport extends Serializable {
       if (exists(to)) return // already renamed (retried publish)
       throw new NoSuchElementException(s"collection not found: $from")
     }
+    // the unsafe path must be LOUD: callers chose `atomic` for its safety
+    // claim, and this fallback drops the live target before copying
+    System.err.println(s"[graft] WARNING: ${getClass.getSimpleName} has no " +
+      s"native rename/alias publish; replacing '$to' by copy-then-drop — NOT " +
+      s"atomic. A crash mid-copy leaves '$to' partial; every row survives in " +
+      s"the shadow '$from' — re-run the publish to recover.")
     createCollection(to, describe(from).getOrElse(CollectionConfig()), recreate = true)
     var cursor: Option[String] = None
     var first = true

@@ -774,7 +774,15 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     val numeric = probe.flatMap(r => Option(r.id)).flatMap(_.toDoubleOption)
     if (numeric.isEmpty || cursorParallelism < 2) return single
     val lo = numeric.min
-    val hi = math.max(numeric.max, lo + store.count(collection).toDouble)
+    // hi extension under a SELECTIVE pushed filter must size from the
+    // FILTERED population — the unfiltered count overshoots the id range
+    // and collapses every matching row into the last slice (balance only;
+    // disjoint+covering holds for any split points). Backends without a
+    // filtered count keep the unfiltered estimate.
+    val total =
+      if (wireFilter.isDefined) store.countFiltered(collection, wireFilter)
+      else store.count(collection)
+    val hi = math.max(numeric.max, lo + total.toDouble)
     if (!(hi > lo)) return single
     val want = cursorParallelism
     val splits = (1 until want).map(i => lo + (hi - lo) * i / want).distinct

@@ -276,8 +276,14 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None,
   override def scroll(name: String, fromIdx: Int, pageSize: Int): Seq[VSRecord] =
     scrollViaCursor(name, fromIdx, pageSize)
 
-  override def count(name: String): Int = {
+  override def count(name: String): Int = countFiltered(name, None)
+
+  /** The documented count body takes the same structured filter as scroll
+    * — real Qdrant counts server-side, so slice planning under a pushed
+    * filter sizes splits from the FILTERED population. */
+  override def countFiltered(name: String, filter: Option[String]): Int = {
     val b = obj(); b.put("exact", true)
+    filter.foreach(f => b.set[ObjectNode]("filter", mapper.readTree(f)))
     call("POST", s"/collections/${enc(name)}/points/count", Some(b))
       .get("result").get("count").asInt()
   }

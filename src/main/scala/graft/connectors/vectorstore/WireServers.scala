@@ -372,8 +372,13 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
         }
         respond(ex, 200, ok(arr))
       case ("POST", "points/count") =>
+        // the documented count body carries the same structured filter as
+        // scroll — evaluate it like the real service
         val r = obj()
-        r.put("count", inner.count(name))
+        val n = if (Option(body.get("filter")).exists(!_.isNull))
+          filteredView(name, body)._1.length
+        else inner.count(name)
+        r.put("count", n)
         respond(ex, 200, ok(r))
       case ("PUT", "points") =>
         val pts = body.get("points").asInstanceOf[ArrayNode]
@@ -638,18 +643,21 @@ class PineconeWireServer(inner: VectorStoreTransport, port: Int = 0,
   /** Memoized id→record map per collection MUTATION VERSION (when the
     * inner store exposes one) — keyed lookups then cost O(page), the cost
     * model of the real service's fetch. */
-  @volatile private var fetchCache: (String, Long, Map[String, VSRecord]) = null
+  private val fetchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, VSRecord])]()
   private def fetchIndex(target: String): Map[String, VSRecord] = {
     if (!inner.exists(target)) return Map.empty
     val ver = inner match {
       case s: InMemoryStore => s.version(target)
       case _ => -1L
     }
-    val cached = fetchCache
-    if (ver >= 0 && cached != null && cached._1 == target && cached._2 == ver)
-      return cached._3
+    val cached = fetchCache.get(target)
+    if (ver >= 0 && cached != null && cached._1 == ver) return cached._2
     val built = inner.scroll(target, 0, Int.MaxValue).map(r => r.id -> r).toMap
-    if (ver >= 0) fetchCache = (target, ver, built)
+    if (ver >= 0) {
+      if (fetchCache.size > 16) fetchCache.clear() // bound test-JVM memory
+      fetchCache.put(target, (ver, built))
+    }
     built
   }
 

@@ -310,6 +310,20 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("qdrant wire: filtered count evaluates the scroll filter server-side") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    val t = new QdrantWireTransport(server.url)
+    try {
+      t.createCollection("fc", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("fc", canon(9)) // lbl cycles l0/l1/l2
+      assert(t.count("fc") == 9)
+      assert(t.countFiltered("fc",
+        Some("""{"must":[{"key":"lbl","match":{"value":"l1"}}]}""")) == 3)
+      val cntBody = server.bodiesOf("POST /collections/fc/points/count").last
+      assert(cntBody.contains(""""filter""""), cntBody)
+    } finally server.stop()
+  }
+
   test("qdrant wire: atomic publish = alias swap on the real wire, generations retired") {
     val server = new QdrantWireServer(new InMemoryStore)
     val t = new QdrantWireTransport(server.url)
