@@ -162,6 +162,12 @@ object Main {
         Option(n.get(k)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
       val backend = str(root, "type").getOrElse(
         throw new graft.config.ConfigException("backfill-gid config needs 'type'"))
+      // only these codecs inject the mirror on upsert — any other backend
+      // would rewrite the whole collection and accomplish nothing
+      if (backend != "qdrant" && backend != "pinecone")
+        throw new graft.config.ConfigException(
+          s"backfill-gid supports qdrant and pinecone (the __gid-mirroring " +
+            s"codecs), got '$backend'")
       val conn = Option(root.get("connection")).getOrElse(mapper.createObjectNode())
       val base = str(root, "collection").getOrElse(
         throw new graft.config.ConfigException("backfill-gid config needs 'collection'"))

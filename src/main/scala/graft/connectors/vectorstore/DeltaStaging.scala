@@ -122,7 +122,10 @@ object DeltaStaging {
     * than the TTL in the staging dir are swept when a delta write plans —
     * a driver crash between spill and commit otherwise accumulates
     * orphaned `ups-*`/`del-*` files forever. The TTL (vs delete-all)
-    * protects CONCURRENT jobs sharing the directory. */
+    * protects CONCURRENT jobs sharing the directory — but only jobs
+    * SHORTER than the TTL: mtime cannot distinguish in-flight from
+    * orphaned, so a delta write expected to run longer than the TTL must
+    * raise it (or use a private staging dir). */
   val TtlKey = "spark.graft.delta.stage.ttl.hours"
   val DefaultTtlHours = 24
 

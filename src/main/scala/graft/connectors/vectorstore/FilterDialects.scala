@@ -286,7 +286,14 @@ class PineconeFilterDialect extends FilterDialect {
   private def cmpEq(key: String, v: JsonNode): Column =
     if (v.isNumber) attr(key).cast("double") === v.asDouble()
     else if (v.isBoolean) attr(key) === v.asBoolean().toString
-    else attr(key) === v.asText()
+    else if (v.isTextual) attr(key) === v.asText()
+    else throw new IllegalArgumentException(
+      // a silently-coerced array/object (asText = "") would match NOTHING —
+      // a config carrying the OLD Qdrant-style filter shape must fail
+      // loudly here, not "succeed" having migrated zero rows
+      s"pinecone filter value for '$key' must be a string/number/boolean, " +
+        s"got: $v (Qdrant-style structured filters are not valid Pinecone " +
+        "filters — use the Mongo-style operators)")
 
   private def parseOps(key: String, ops: JsonNode): Column =
     ops.properties().asScala.map { e =>

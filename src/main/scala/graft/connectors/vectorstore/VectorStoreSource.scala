@@ -769,8 +769,18 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     // ids are not range-filterable on the real wire); no attribute = no
     // honest slicing
     val id = dialect.idSliceAttribute.getOrElse(return single)
-    val (probe, next) = store.scrollPageFiltered(collection, None, pageSize, wireFilter)
-    if (next.isEmpty) return single // fits in one page: nothing to parallelize
+    // probe one page of the (filtered) stream. Some transports return
+    // EMPTY pages with a live cursor while they plan (Pinecone's interval
+    // walk bisects before its first data page exactly when the filtered
+    // set is big — the case slicing exists for), so follow the cursor a
+    // few hops until data or exhaustion.
+    var (probe, next) = store.scrollPageFiltered(collection, None, pageSize, wireFilter)
+    var hops = 0
+    while (probe.isEmpty && next.isDefined && hops < 8) {
+      val (p2, n2) = store.scrollPageFiltered(collection, next, pageSize, wireFilter)
+      probe = p2; next = n2; hops += 1
+    }
+    if (probe.isEmpty || next.isEmpty) return single // fits in one page / empty
     val numeric = probe.flatMap(r => Option(r.id)).flatMap(_.toDoubleOption)
     if (numeric.isEmpty || cursorParallelism < 2) return single
     val lo = numeric.min
@@ -1158,8 +1168,19 @@ class VSAtomicBatchWrite(target: String, shadow: String, recreate: Boolean,
       case ((aw, as), VSCommit(cw, cs)) => (aw + cw, as + cs)
       case (acc, _) => acc
     }
-    if (recreate) store.rename(shadow, target)
-    else {
+    if (recreate) {
+      store.rename(shadow, target)
+      // a LOST rename response + retry can strand the pre-swap generation
+      // on alias-publish transports (the retry sees the alias already on
+      // `shadow` and retires nothing): sweep sibling `__staging_*`
+      // collections of this target after a successful publish. A
+      // CONCURRENT atomic write to the same target would lose its shadow
+      // here and fail loudly — concurrent same-target publishes are
+      // already last-swap-wins; a loud failure beats a silent storage leak.
+      store.listCollections()
+        .filter(c => c.startsWith(s"${target}__staging_") && c != shadow)
+        .foreach(store.drop)
+    } else {
       // appending to a collection that does not exist yet: create it
       // (recreate=false — an existing target is never touched here)
       store.describe(shadow).foreach(cfg =>

@@ -699,30 +699,46 @@ class PineconeWireServer(inner: VectorStoreTransport, port: Int = 0,
     val cs = filter.map(conjuncts).getOrElse(Seq.empty)
     var lo = Double.NegativeInfinity
     var hi = Double.PositiveInfinity
+    var hiInclusive = false
     var hasRange = false
     var noGid = false
     var hasGid = false
     cs.foreach {
       case GreaterThanOrEqual("__gid", v: Number) => lo = math.max(lo, v.doubleValue()); hasRange = true
       case GreaterThan("__gid", v: Number) => lo = math.max(lo, v.doubleValue()); hasRange = true
-      case LessThan("__gid", v: Number) => hi = math.min(hi, v.doubleValue()); hasRange = true
-      case LessThanOrEqual("__gid", v: Number) => hi = math.min(hi, v.doubleValue()); hasRange = true
+      case LessThan("__gid", v: Number) =>
+        if (v.doubleValue() <= hi) { hi = v.doubleValue(); hiInclusive = false }
+        hasRange = true
+      case LessThanOrEqual("__gid", v: Number) =>
+        if (v.doubleValue() < hi) { hi = v.doubleValue(); hiInclusive = true }
+        hasRange = true
       case IsNull("__gid") => noGid = true
       case IsNotNull("__gid") => hasGid = true
       case _ => ()
     }
-    if (noGid) return gidIndex(target)._2
+    if (noGid) return gidIndex(target)._2 // superset: FilterEval re-checks
     if (!hasRange && !hasGid)
       return if (inner.exists(target)) inner.scroll(target, 0, Int.MaxValue) else Seq.empty
-    val (sorted, _) = gidIndex(target)
-    // first index with gid >= lo / gid >= hi (exclusive upper by re-check)
-    def lowerBound(x: Double): Int = {
+    val (sorted, rest) = gidIndex(target)
+    if (!hasRange) // $exists:true alone: PRESENT keys include non-numeric
+      return sorted.map(_._2).toSeq ++
+        rest.filter(_.metadata.get("__gid").exists(_ != null))
+    // candidates must be a SUPERSET of matches; a numeric range can only
+    // match numerically-valued keys, so the sorted index suffices here.
+    // lowerBound = first index with gid >= x; the $lte upper bound is
+    // INCLUSIVE, so `until` steps past ties of hi when one was seen.
+    def lowerBound(x: Double, strictlyGreater: Boolean): Int = {
       var a = 0; var b = sorted.length
-      while (a < b) { val m = (a + b) >>> 1; if (sorted(m)._1 < x) a = m + 1 else b = m }
+      while (a < b) {
+        val m = (a + b) >>> 1
+        val below = if (strictlyGreater) sorted(m)._1 <= x else sorted(m)._1 < x
+        if (below) a = m + 1 else b = m
+      }
       a
     }
-    val from = if (lo.isNegInfinity) 0 else lowerBound(lo)
-    val until = if (hi.isPosInfinity) sorted.length else lowerBound(hi)
+    val from = if (lo.isNegInfinity) 0 else lowerBound(lo, strictlyGreater = false)
+    val until = if (hi.isPosInfinity) sorted.length
+      else lowerBound(hi, strictlyGreater = hiInclusive)
     sorted.slice(from, until).map(_._2).toSeq
   }
 

@@ -94,7 +94,20 @@ object SigIndex {
       val held = readLease()
       val ts = """"ts":(\d+)""".r.findFirstMatchIn(held).map(_.group(1).toLong)
       val stale = ts.exists(t => System.currentTimeMillis() - t > ttlMs)
-      if (!stale || { fsys.delete(path, false); !tryAcquire() })
+      // expire by RENAME-ASIDE, not delete: two contenders both seeing the
+      // stale lease race the expiry, and an unconditional delete could
+      // remove the WINNER's freshly-created lease (classic TOCTOU —
+      // two mutators inside the "lease"). Rename is atomic on HDFS-like
+      // stores and exactly one renamer succeeds; the loser falls through
+      // to tryAcquire and loses that too.
+      val broke = stale && {
+        val aside = new org.apache.hadoop.fs.Path(s"$indexDir/.lease.expired-$token")
+        val renamed = try fsys.rename(path, aside)
+          catch { case _: java.io.IOException => false }
+        if (renamed) fsys.delete(aside, false)
+        renamed
+      }
+      if (!(broke || stale) || !tryAcquire())
         throw new IllegalStateException(
           s"sig-index $indexDir is locked by a concurrent operation ($held); " +
             s"a concurrent $verb would corrupt the banded artifacts — retry " +

@@ -210,7 +210,8 @@ object StreamOps {
                                 threshold: Double = 0.3, maxBucket: Int = 1000,
                                 watermark: String = "1 hour",
                                 portable: Boolean = true,
-                                shingleSize: Int = 3): DataFrame = {
+                                shingleSize: Int = 3,
+                                broadcastBatch: Boolean = true): DataFrame = {
     import graft.ops.Dedup
     val rowsPerBand = numHashes / numBands
     // static side: banded + skew-guarded ONCE (materialized so microbatches
@@ -225,7 +226,8 @@ object StreamOps {
         .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"),
           col("minhash_sig").as("sig_c")))
     incrementalDedupAgainst(docs, staticSide, idCol, textCol, tsCol,
-      numHashes, numBands, threshold, watermark, portable, shingleSize)
+      numHashes, numBands, threshold, watermark, portable, shingleSize,
+      broadcastBatch)
   }
 
   /** [[streamingIncrementalDedup]] over the PERSISTED index artifacts
@@ -243,7 +245,8 @@ object StreamOps {
                                        threshold: Double = 0.3, maxBucket: Int = 1000,
                                        watermark: String = "1 hour",
                                        portable: Boolean = true,
-                                       shingleSize: Int = 3): DataFrame = {
+                                       shingleSize: Int = 3,
+                                       broadcastBatch: Boolean = true): DataFrame = {
     // widths can be STALE (SigIndex appends bands before swapping widths;
     // a crash in that window leaves band rows with no widths row), so the
     // skew guard EXCLUDES known-big buckets via anti-join instead of
@@ -258,7 +261,8 @@ object StreamOps {
         .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"),
           col("minhash_sig").as("sig_c")))
     incrementalDedupAgainst(docs, staticSide, idCol, textCol, tsCol,
-      numHashes, numBands, threshold, watermark, portable, shingleSize)
+      numHashes, numBands, threshold, watermark, portable, shingleSize,
+      broadcastBatch)
   }
 
   /** Shared core: sign + band the stream, stream-static bucket join
@@ -269,7 +273,8 @@ object StreamOps {
                                       numHashes: Int, numBands: Int,
                                       threshold: Double, watermark: String,
                                       portable: Boolean,
-                                      shingleSize: Int): DataFrame = {
+                                      shingleSize: Int,
+                                      broadcastBatch: Boolean = true): DataFrame = {
     import graft.ops.Dedup
     import graft.functions.HashExpressions
     val rowsPerBand = numHashes / numBands
@@ -289,10 +294,14 @@ object StreamOps {
     // broadcast the MICROBATCH side: without the hint each trigger plans a
     // SortMergeJoin that re-shuffles and re-sorts the corpus-sized static
     // side (caught by the StreamingSpec plan pin) — the 100 TB invariant is
-    // that only trigger-proportional data ever crosses an exchange. Batch
-    // bulk ingest belongs on the Dedup.incrementalNearDupPairs* faces,
-    // which prune the corpus by broadcast instead.
-    broadcast(streamBands)
+    // that only trigger-proportional data ever crosses an exchange. The
+    // hint assumes triggers are BOUNDED (set maxOffsetsPerTrigger/
+    // maxFilesPerTrigger); an unbounded catch-up batch would blow Spark's
+    // broadcast limit, so `broadcastBatch = false` restores the shuffle
+    // plan for that regime. Batch bulk ingest belongs on the
+    // Dedup.incrementalNearDupPairs* faces, which prune the corpus by
+    // broadcast instead.
+    (if (broadcastBatch) broadcast(streamBands) else streamBands)
       .join(staticSide, Seq("band", "band_hash"))
       .filter(col(idCol) =!= col("corpus_id"))
       .withColumn("jaccard", round(HashExpressions

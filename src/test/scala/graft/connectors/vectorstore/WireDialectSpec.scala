@@ -366,6 +366,12 @@ class WireDialectSpec extends SparkSpec {
   test("DSv2 atomic overwrite over the qdrant wire rides the alias swap") {
     val server = new QdrantWireServer(new InMemoryStore)
     try {
+      // an orphan generation from a lost-response publish retry: the next
+      // successful publish must sweep it (it would otherwise leak forever,
+      // invisible behind the alias-merged catalog)
+      val t = new QdrantWireTransport(server.url)
+      t.createCollection("aw__staging_orphan", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("aw__staging_orphan", Seq(VSRecord("9", Array(1f, 1f), Map.empty)))
       val df = Seq(
         ("a", Seq(1f, 0f), Map("k" -> "1")),
         ("b", Seq(0f, 1f), Map("k" -> "2")))
@@ -373,7 +379,6 @@ class WireDialectSpec extends SparkSpec {
       df.write.format("graft-qdrant").option("url", server.url)
         .option("collection", "aw").option("atomic", "true")
         .mode("overwrite").save()
-      val t = new QdrantWireTransport(server.url)
       assert(t.count("aw") == 2)
       assert(t.listCollections() == Seq("aw"), t.listCollections().toString)
       assert(server.bodiesOf("POST /collections/aliases").nonEmpty,
@@ -530,6 +535,68 @@ class WireDialectSpec extends SparkSpec {
       val body = server.bodyOf("POST /query").get
       assert(body.contains(""""$gte":10""") || body.contains(""""$exists":false"""), body)
       assert(!server.requestLines.exists(_.startsWith("GET /vectors/list")), "slices must not walk the list")
+    } finally server.stop()
+  }
+
+  test("pinecone wire: $exists:true reaches present non-numeric __gid; $lte bound inclusive") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("eb::n", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("eb::n", (0 until 5).map(i =>
+        VSRecord(s"$i", Array(i.toFloat, 1f), Map("lbl" -> "x"))))
+      // foreign records: one STRING __gid (present key!), one without
+      inner.upsert("eb::n", Seq(
+        VSRecord("s1", Array(9f, 9f), Map("__gid" -> "abc")),
+        VSRecord("n1", Array(8f, 8f), Map("lbl" -> "y"))))
+      // the unfiltered-root interval ({"__gid":{"$exists":true}} leg) must
+      // see the string-gid record — pruning to the numeric index alone
+      // would silently drop it
+      val got = {
+        var out = List.empty[VSRecord]
+        var cur: Option[String] = None; var first = true
+        while (first || cur.isDefined) {
+          val (p, n) = t.scrollPageFiltered("eb::n", cur, 100, Some("""{"$and":[{},{}]}"""))
+          first = false; out ++= p
+          cur = if (p.isEmpty && n.isEmpty) None else n
+        }
+        out
+      }
+      assert(got.map(_.id).toSet == Set("0", "1", "2", "3", "4", "s1", "n1"),
+        got.map(_.id).toString)
+      // $lte is INCLUSIVE on the gid index
+      val lte = t.nativeSearch("eb::n", SearchSpec(Array(1f, 0f), 10),
+        Some("""{"__gid":{"$lte":3}}""")).get
+      assert(lte.map(_.id).toSet == Set("0", "1", "2", "3"), lte.map(_.id).toString)
+    } finally server.stop()
+  }
+
+  test("pinecone dialect rejects legacy Qdrant-style filter strings loudly") {
+    val d = new PineconeFilterDialect
+    val ex = intercept[IllegalArgumentException] {
+      d.parse("""{"must":[{"key":"label","match":{"value":1}}]}""")
+    }
+    assert(ex.getMessage.contains("Mongo-style"), ex.getMessage)
+  }
+
+  test("pinecone DSv2 filtered scan still slices when the filter matches >= the query cap") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("bigf::n", CollectionConfig(dim = 2), recreate = true)
+      (0 until 2400).map(i => VSRecord(s"$i", Array(i.toFloat, 1f), Map("lbl" -> s"l${i % 2}")))
+        .grouped(500).foreach(g => t.upsert("bigf::n", g.toSeq))
+      // pushed filter matches 1200 rows (> the 1000 /query cap): the
+      // planner's probe must follow the bisecting cursor instead of
+      // collapsing to one sequential walk, and coverage stays exactly-once
+      val back = spark.read.format("graft-pinecone").option("url", server.url)
+        .option("collection", "bigf").option("namespace", "n")
+        .option("page_size", "100").option("cursor_parallelism", "4").load()
+        .filter(element_at(col(Canonical.METADATA), "lbl") === "l0")
+        .select(col(Canonical.ID)).collect().map(_.getString(0)).toSeq
+      assert(back.size == back.distinct.size, "duplicates across slices")
+      assert(back.toSet == (0 until 2400 by 2).map(_.toString).toSet, s"${back.size}")
     } finally server.stop()
   }
 
