@@ -573,9 +573,9 @@ object Dedup {
     // on, so the exchange is shared, not doubled
     val sizes = src.groupBy("blk").agg(count(lit(1)).as("__blk_n"))
 
-    def exactPairs(rows: DataFrame): DataFrame = {
-      val a = rows.select(col("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-      val b = rows.select(col("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    def exactPairs(aRows: DataFrame, bRows: DataFrame): DataFrame = {
+      val a = aRows.select(col("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+      val b = bRows.select(col("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
       a.join(b, "blk").filter(col("id_a") < col("id_b"))
         .withColumn("cosine", round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6))
         .filter(col("cosine") >= threshold)
@@ -584,7 +584,9 @@ object Dedup {
 
     if (oversized == "error") {
       // assert_true returns null (or raises): the filter keeps every row
-      // but forces per-row evaluation — lazy, codegen'd, no extra action
+      // but forces per-row evaluation — lazy, codegen'd, no extra action.
+      // Guarding ONE join side suffices (every block appears there), so
+      // the sizes-agg subtree is scanned once, not per side.
       val guarded = src.join(sizes, "blk")
         .filter(assert_true(col("__blk_n") <= maxBlock,
           concat(lit(s"cosineNearDupPairs: block '"), col("blk").cast("string"),
@@ -593,14 +595,14 @@ object Dedup {
               "block — raise maxBlock, pass oversized=\"lsh\", or use " +
               "Similarity.lshCosinePairsAuto"))).isNull)
         .drop("__blk_n")
-      exactPairs(guarded)
+      exactPairs(guarded, src)
     } else {
       // bits sized like lshCosinePairsAuto, from the BIGGEST block (the
       // occupancy that matters); one bounded count on the narrow sizes agg.
       // No oversized block → the plan stays the plain exact pair join.
       val maxN = Option(sizes.agg(max("__blk_n")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      if (maxN <= maxBlock) return exactPairs(src)
+      if (maxN <= maxBlock) return exactPairs(src, src)
       val small = src.join(sizes.filter(col("__blk_n") <= maxBlock).select("blk"), "blk")
       val big = src.join(sizes.filter(col("__blk_n") > maxBlock).select("blk"), "blk")
       val wantBuckets = math.max(1L, maxN / math.max(1, targetBucket))
@@ -615,7 +617,7 @@ object Dedup {
           round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6))
         .filter(col("cosine") >= threshold)
         .select(col("blk"), col("id_a"), col("id_b"), col("cosine"))
-      exactPairs(small).unionByName(lshPairs)
+      exactPairs(small, small).unionByName(lshPairs)
     }
   }
 
