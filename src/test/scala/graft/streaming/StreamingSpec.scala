@@ -389,6 +389,24 @@ class StreamingSpec extends SparkSpec {
     assert(indexed == derived && indexed.nonEmpty, s"${indexed.size} vs ${derived.size}")
   }
 
+  test("broadcastBatch=false opts out of the microbatch broadcast, same results") {
+    val docs = graft.Tables(spark, sf(), "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 =!= 0)
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val sigs = graft.ops.Dedup.signatureTable(corpus, numHashes = 16, portable = true)
+    def run(bc: Boolean) = StreamOps.streamingIncrementalDedup(batch, sigs,
+        numHashes = 16, numBands = 4, threshold = 0.3, broadcastBatch = bc)
+    val on = run(true)
+    val off = run(false)
+    assert(on.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // the opt-out (for unbounded catch-up triggers) must not change results
+    def set(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "corpus_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(set(on) == set(off) && set(on).nonEmpty)
+  }
+
   test("indexed streaming dedup microbatch plan never sort-merge-joins the corpus") {
     // the batch twin is plan-pinned in PlanSpec; this pins the REAL
     // microbatch plan (IncrementalExecution), where stream-static joins
