@@ -28,6 +28,7 @@ object Main {
     var ingest: Option[String] = None
     var compactIndex: Option[String] = None
     var backfillGid: Option[String] = None
+    var sweepStaging: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -39,6 +40,7 @@ object Main {
         case "--ingest" => ingest = Some(args(i + 1)); i += 2
         case "--compact-index" => compactIndex = Some(args(i + 1)); i += 2
         case "--backfill-gid" => backfillGid = Some(args(i + 1)); i += 2
+        case "--sweep-staging" => sweepStaging = Some(args(i + 1)); i += 2
         case "--verbose" | "-v" => verbose = true; i += 1
         case "--version" => println(s"graft $version"); return 0
         case "--help" | "-h" => println(usage); return 0
@@ -46,6 +48,7 @@ object Main {
       }
     }
     backfillGid.foreach { path => return runBackfillGid(path) }
+    sweepStaging.foreach { path => return runSweepStaging(path) }
     // signature-index verbs: dedup today's crawl against history
     if (buildIndex.isDefined || ingest.isDefined || compactIndex.isDefined)
       return runSigIndex(buildIndex, ingest, compactIndex, verbose)
@@ -182,6 +185,40 @@ object Main {
     }
   }
 
+  /** `--sweep-staging cfg.json`: drop `__staging_*` generations of a
+    * target stranded by crashed or lost-response atomic publishes. An
+    * OPERATOR verb by design — dropping staging siblings from a running
+    * commit could destroy a concurrent publish's live shadow, so the
+    * engine never sweeps automatically; run this when no publish to the
+    * target is in flight. Config: `{"type": ..., "connection": {...},
+    * "collection": "target"}` (same shape as backfill-gid). */
+  private def runSweepStaging(path: String): Int = {
+    import graft.connectors.vectorstore.{TransportSpec, VectorStore}
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+      def str(n: com.fasterxml.jackson.databind.JsonNode, k: String): Option[String] =
+        Option(n.get(k)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+      val backend = str(root, "type").getOrElse(
+        throw new graft.config.ConfigException("sweep-staging config needs 'type'"))
+      val conn = Option(root.get("connection")).getOrElse(mapper.createObjectNode())
+      val base = str(root, "collection").getOrElse(
+        throw new graft.config.ConfigException("sweep-staging config needs 'collection'"))
+      val target = str(conn, "namespace").map(ns => s"$base::$ns").getOrElse(base)
+      val store = VectorStore.resolve(TransportSpec.fromOptions(str(conn, _), backend))
+      val doomed = store.listCollections()
+        .filter(_.startsWith(s"${target}__staging_"))
+      doomed.foreach(store.drop)
+      println(s"sweep-staging complete on $target: " +
+        s"${doomed.length} stranded generation(s) dropped" +
+        (if (doomed.nonEmpty) doomed.mkString(" (", ", ", ")") else ""))
+      0
+    } catch {
+      case e: Exception => System.err.println(s"sweep-staging failed: ${e.getMessage}"); 1
+    }
+  }
+
   private val usage =
     """usage: graft-migrate --config <config.json> [--transform <class>] [--validate] [--incremental] [--verbose] [--version]
       |       graft-migrate --build-index <sig.json> | --ingest <sig.json> | --compact-index <sig.json>
@@ -194,6 +231,9 @@ object Main {
       |  --backfill-gid  mirror numeric ids into the __gid metadata field of
       |                  a foreign collection (one sequential walk) so later
       |                  extractions run as parallel sliced cursor walks
+      |  --sweep-staging drop __staging_* generations stranded by crashed or
+      |                  lost-response atomic publishes (run when no publish
+      |                  to the target is in flight)
       |  --config/-c     migration config JSON (same shape as the reference tool)
       |  --transform/-t  fully-qualified class implementing DataFrame => DataFrame
       |  --validate      after a successful run, re-derive the expected target

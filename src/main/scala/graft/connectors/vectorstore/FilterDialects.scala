@@ -297,18 +297,34 @@ class PineconeFilterDialect extends FilterDialect {
 
   private def parseOps(key: String, ops: JsonNode): Column =
     ops.properties().asScala.map { e =>
-      def num = e.getValue.asDouble()
+      // every operator validates its value SHAPE — a structured value
+      // silently coerced via asText() would compare against "" and match
+      // nothing (or nearly everything under $ne): the zero-row/-all-rows
+      // failure must be a parse error, not a quiet result
+      def requirePrim(v: JsonNode): JsonNode =
+        if (v.isNumber || v.isTextual || v.isBoolean) v
+        else throw new IllegalArgumentException(
+          s"pinecone filter value for '$key'.${e.getKey} must be a " +
+            s"string/number/boolean, got: $v")
+      def num = {
+        if (!e.getValue.isNumber) throw new IllegalArgumentException(
+          s"pinecone filter '$key'.${e.getKey} needs a numeric value, got: ${e.getValue}")
+        e.getValue.asDouble()
+      }
       def numAttr = attr(key).cast("double")
       e.getKey match {
         case "$eq" => cmpEq(key, e.getValue)
         case "$ne" =>
-          if (e.getValue.isNumber) numAttr =!= num else attr(key) =!= e.getValue.asText()
+          val v = requirePrim(e.getValue)
+          if (v.isNumber) numAttr =!= v.asDouble() else attr(key) =!= v.asText()
         case "$gt" => numAttr > num
         case "$gte" => numAttr >= num
         case "$lt" => numAttr < num
         case "$lte" => numAttr <= num
         case "$in" | "$nin" =>
-          val vals = e.getValue.elements().asScala.toSeq
+          if (!e.getValue.isArray) throw new IllegalArgumentException(
+            s"pinecone filter '$key'.${e.getKey} needs an array value, got: ${e.getValue}")
+          val vals = e.getValue.elements().asScala.toSeq.map(requirePrim)
           val in = if (vals.forall(_.isNumber))
             numAttr.isInCollection(vals.map(_.asDouble()))
           else attr(key).isInCollection(vals.map(_.asText()))

@@ -772,13 +772,24 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     // probe one page of the (filtered) stream. Some transports return
     // EMPTY pages with a live cursor while they plan (Pinecone's interval
     // walk bisects before its first data page exactly when the filtered
-    // set is big — the case slicing exists for), so follow the cursor a
-    // few hops until data or exhaustion.
+    // set is big — the case slicing exists for), so follow the cursor
+    // until data or exhaustion. The hop budget scales with the population
+    // (bisection needs ~log2(n/page) splits before its first data page;
+    // filtered count where the wire offers one, else the total as an
+    // overestimate — extra budget is harmless, a too-small one silently
+    // forfeits the parallel slicing for exactly the biggest scans).
     var (probe, next) = store.scrollPageFiltered(collection, None, pageSize, wireFilter)
-    var hops = 0
-    while (probe.isEmpty && next.isDefined && hops < 8) {
-      val (p2, n2) = store.scrollPageFiltered(collection, next, pageSize, wireFilter)
-      probe = p2; next = n2; hops += 1
+    if (probe.isEmpty && next.isDefined) {
+      val est = math.max(2L, store.countFiltered(collection, wireFilter).toLong)
+      val maxHops = 8 + 2 * (64 - java.lang.Long.numberOfLeadingZeros(est))
+      var hops = 0
+      while (probe.isEmpty && next.isDefined && hops < maxHops) {
+        val (p2, n2) = store.scrollPageFiltered(collection, next, pageSize, wireFilter)
+        probe = p2; next = n2; hops += 1
+      }
+      if (probe.isEmpty && next.isDefined)
+        System.err.println(s"[graft] WARNING: slice probe of $collection gave up " +
+          s"after $maxHops empty pages — falling back to ONE sequential walk")
     }
     if (probe.isEmpty || next.isEmpty) return single // fits in one page / empty
     val numeric = probe.flatMap(r => Option(r.id)).flatMap(_.toDoubleOption)
@@ -1170,16 +1181,16 @@ class VSAtomicBatchWrite(target: String, shadow: String, recreate: Boolean,
     }
     if (recreate) {
       store.rename(shadow, target)
-      // a LOST rename response + retry can strand the pre-swap generation
-      // on alias-publish transports (the retry sees the alias already on
-      // `shadow` and retires nothing): sweep sibling `__staging_*`
-      // collections of this target after a successful publish. A
-      // CONCURRENT atomic write to the same target would lose its shadow
-      // here and fail loudly — concurrent same-target publishes are
-      // already last-swap-wins; a loud failure beats a silent storage leak.
-      store.listCollections()
-        .filter(c => c.startsWith(s"${target}__staging_") && c != shadow)
-        .foreach(store.drop)
+      // NOTE a lost rename response + retry can strand the PRE-swap
+      // generation on alias-publish transports (the retry sees the alias
+      // already on `shadow` and retires nothing). The sweep is
+      // deliberately NOT automatic here: dropping sibling `__staging_*`
+      // collections from a commit would destroy a CONCURRENT same-target
+      // job's live shadow — and rename's retry idempotency would then
+      // convert that job's publish into a silent no-op (or, on
+      // namespace-auto-create backends, a PARTIAL publish). Stranded
+      // generations are swept by the operator-invoked maintenance verb
+      // (CLI `--sweep-staging`), which runs when no publish is in flight.
     } else {
       // appending to a collection that does not exist yet: create it
       // (recreate=false — an existing target is never touched here)

@@ -94,20 +94,32 @@ object SigIndex {
       val held = readLease()
       val ts = """"ts":(\d+)""".r.findFirstMatchIn(held).map(_.group(1).toLong)
       val stale = ts.exists(t => System.currentTimeMillis() - t > ttlMs)
-      // expire by RENAME-ASIDE, not delete: two contenders both seeing the
-      // stale lease race the expiry, and an unconditional delete could
-      // remove the WINNER's freshly-created lease (classic TOCTOU —
-      // two mutators inside the "lease"). Rename is atomic on HDFS-like
-      // stores and exactly one renamer succeeds; the loser falls through
-      // to tryAcquire and loses that too.
+      // expire by RENAME-ASIDE + verify, not delete: two contenders both
+      // seeing the stale lease race the expiry, and an unconditional
+      // delete (or blind rename) could remove the WINNER's freshly-created
+      // lease — two mutators inside the "lease" (classic TOCTOU). Rename
+      // is atomic on HDFS-like stores, so exactly one renamer moves any
+      // given file; the renamer then CONFIRMS the moved file is the stale
+      // payload it observed, and if it grabbed someone's fresh lease
+      // instead, puts it back and reports contention.
       val broke = stale && {
         val aside = new org.apache.hadoop.fs.Path(s"$indexDir/.lease.expired-$token")
         val renamed = try fsys.rename(path, aside)
           catch { case _: java.io.IOException => false }
-        if (renamed) fsys.delete(aside, false)
-        renamed
+        renamed && {
+          val moved = try {
+            val in = fsys.open(aside)
+            try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          } catch { case _: java.io.IOException => "" }
+          if (moved == held) { fsys.delete(aside, false); true }
+          else { // a fresh lease landed between our read and rename: restore it
+            try fsys.rename(aside, path) catch { case _: java.io.IOException => () }
+            false
+          }
+        }
       }
-      if (!(broke || stale) || !tryAcquire())
+      if (!broke || !tryAcquire())
         throw new IllegalStateException(
           s"sig-index $indexDir is locked by a concurrent operation ($held); " +
             s"a concurrent $verb would corrupt the banded artifacts — retry " +

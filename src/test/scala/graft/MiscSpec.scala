@@ -177,6 +177,27 @@ class CliSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("--sweep-staging drops stranded generations, never the live alias target") {
+    import graft.connectors.vectorstore._
+    val server = new QdrantWireServer(new InMemoryStore)
+    try {
+      val t = new QdrantWireTransport(server.url)
+      // a published target (alias -> live generation) + two strandeds
+      t.createCollection("swt__staging_live", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("swt__staging_live", Seq(VSRecord("1", Array(1f, 0f), Map.empty)))
+      t.rename("swt__staging_live", "swt")
+      t.createCollection("swt__staging_dead1", CollectionConfig(dim = 2), recreate = true)
+      t.createCollection("swt__staging_dead2", CollectionConfig(dim = 2), recreate = true)
+      val cfg = Files.createTempFile("sw", ".json")
+      Files.writeString(cfg,
+        s"""{"type": "qdrant", "connection": {"url": "${server.url}"},
+           | "collection": "swt"}""".stripMargin)
+      assert(graft.cli.Main.run(Array("--sweep-staging", cfg.toString)) == 0)
+      assert(t.count("swt") == 1, "live data must survive the sweep")
+      assert(t.listCollections() == Seq("swt"), t.listCollections().toString)
+    } finally server.stop()
+  }
+
   test("--backfill-gid on qdrant walks only unmirrored points (is_null filter on the wire)") {
     import graft.connectors.vectorstore._
     val inner = new InMemoryStore

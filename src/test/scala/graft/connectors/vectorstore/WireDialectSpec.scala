@@ -366,9 +366,9 @@ class WireDialectSpec extends SparkSpec {
   test("DSv2 atomic overwrite over the qdrant wire rides the alias swap") {
     val server = new QdrantWireServer(new InMemoryStore)
     try {
-      // an orphan generation from a lost-response publish retry: the next
-      // successful publish must sweep it (it would otherwise leak forever,
-      // invisible behind the alias-merged catalog)
+      // an orphan generation from a lost-response publish retry: a commit
+      // must NOT sweep it (it could be a concurrent publish's live
+      // shadow) — it stays visible for the operator's --sweep-staging verb
       val t = new QdrantWireTransport(server.url)
       t.createCollection("aw__staging_orphan", CollectionConfig(dim = 2), recreate = true)
       t.upsert("aw__staging_orphan", Seq(VSRecord("9", Array(1f, 1f), Map.empty)))
@@ -380,7 +380,8 @@ class WireDialectSpec extends SparkSpec {
         .option("collection", "aw").option("atomic", "true")
         .mode("overwrite").save()
       assert(t.count("aw") == 2)
-      assert(t.listCollections() == Seq("aw"), t.listCollections().toString)
+      assert(t.listCollections() == Seq("aw__staging_orphan", "aw"),
+        t.listCollections().toString)
       assert(server.bodiesOf("POST /collections/aliases").nonEmpty,
         "publish did not ride the aliases verb")
     } finally server.stop()
