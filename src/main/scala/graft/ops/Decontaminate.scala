@@ -80,4 +80,70 @@ object Decontaminate {
         round(col("n_shared").cast("double") / col("n_shingles"), 6).as("containment"))
       .withColumn("contaminated", col("containment") >= threshold)
   }
+
+  /** SEMANTIC decontamination: flag TRAIN documents whose embedding is
+    * within cosine `threshold` of ANY eval-set embedding — the leakage
+    * check lexical shingles miss (paraphrases, translations, format
+    * shifts of a benchmark item). Direction is the actionable one: the
+    * flagged side is the training corpus (drop the rows), where
+    * [[containment]] scores the eval side.
+    *
+    * Shape: the eval set is SMALL by nature (benchmarks are thousands of
+    * rows, train is the 100 TB side), so it broadcasts and each train row
+    * scores |eval| codegen'd cosines map-side; the only shuffle is the
+    * partial-aggregated per-train-row max — O(train rows), never O(pairs).
+    * Ties on the rounded cosine break to the LOWEST eval id, so a SQL
+    * oracle replays the argmax exactly.
+    *
+    * @return one row per train doc: `max_cosine`, `nearest_eval_id`, and
+    *         the `contaminated` flag. */
+  def semanticContainment(train: DataFrame, eval: DataFrame,
+                          threshold: Double = 0.8,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val t = train.select(col(idCol), col(vecCol).as("__tv"))
+    val e = broadcast(eval.select(col(idCol).as("__eid"), col(vecCol).as("__ev")))
+    t.crossJoin(e)
+      .withColumn("__c",
+        round(graft.functions.VectorFunctions.cosineSimilarity(col("__tv"), col("__ev")), 6))
+      .groupBy(idCol)
+      .agg(max(struct(col("__c").as("c"), (-col("__eid")).as("negid"))).as("best"))
+      .select(col(idCol),
+        col("best.c").as("max_cosine"),
+        (-col("best.negid")).as("nearest_eval_id"),
+        (col("best.c") >= threshold).as("contaminated"))
+  }
+
+  /** The scale face of [[semanticContainment]]: hyperplane-bucket BOTH
+    * sides on shared planes and verify cosine only for bucket collisions
+    * — per-train-row work drops from |eval| dot products to the handful
+    * of eval rows sharing its bucket. LSH recall trade: a contaminated
+    * pair split across buckets is missed (collision probability
+    * `(1 − θ/π)^bits` per plane set); rerun with a different `seed` and
+    * union the flags to recover, exactly like the rotated-planes recipe
+    * on [[graft.ops.Similarity.lshCosinePairs]]. Output contains ONLY
+    * train docs with at least one colliding eval candidate — absent rows
+    * are clean at this recall, which is the useful direction (the flag
+    * list is what gets dropped). */
+  def semanticContainmentLsh(train: DataFrame, eval: DataFrame,
+                             threshold: Double = 0.8, bits: Int = 8,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             seed: Long = 7L): DataFrame = {
+    val planes = Similarity.hyperplanes(bits,
+      Similarity.resolveDim(train, vecCol, -1), seed)
+    val tb = train.select(col(idCol), col(vecCol).as("__tv"))
+      .withColumn("__bkt", Similarity.bucketExpr("__tv", planes))
+    val eb = broadcast(eval.select(col(idCol).as("__eid"), col(vecCol).as("__ev"))
+      .withColumn("__bkt", Similarity.bucketExpr("__ev", planes)))
+    tb.join(eb, "__bkt")
+      .withColumn("__c",
+        round(graft.functions.VectorFunctions.cosineSimilarity(col("__tv"), col("__ev")), 6))
+      .groupBy(idCol)
+      .agg(max(struct(col("__c").as("c"), (-col("__eid")).as("negid"))).as("best"))
+      .select(col(idCol),
+        col("best.c").as("max_cosine"),
+        (-col("best.negid")).as("nearest_eval_id"),
+        (col("best.c") >= threshold).as("contaminated"))
+  }
 }

@@ -472,6 +472,21 @@ object PipelineQueries {
         eval = docs.filter(col("doc_id") < 20))
     }),
 
+    // ---- SEMANTIC decontamination: embedding-space leakage the lexical
+    // shingle check misses (paraphrases/translations of benchmark items);
+    // flags the TRAIN side — the actionable direction. Eval broadcasts
+    // (benchmarks are small), each train row scores |eval| codegen'd
+    // cosines map-side, the only shuffle is the per-row argmax. The
+    // oracle replays the full cross-scores and the rounded-cosine/
+    // lowest-eval-id argmax tie-break exactly.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Decontaminate.semanticContainment(
+        train = emb.filter(col("vec_id") % 20 =!= 0),
+        eval = emb.filter(col("vec_id") % 20 === 0),
+        threshold = 0.5)
+    }),
+
     // ---- Training-sequence packing (concat-then-split layout) ----
     "q_pack_sequences" -> ((s, dir) =>
       Packing.concatSplitPack(Tables(s, dir, "documents"), tokenBudget = 512, numShards = 8)),
@@ -1323,6 +1338,14 @@ object PipelineQueries {
           "round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) AS containment, " +
           "round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) >= 0.5 AS contaminated " +
           "FROM tot t LEFT JOIN shr ON t.doc_id = shr.doc_id"),
+      "q_decontaminate_semantic" ->
+        ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id % 20 <> 0), " +
+          "e AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id % 20 = 0), " +
+          s"p AS (SELECT t.vec_id, e.eid, round(${cosSql("t.v", "e.v")}, 6) AS c FROM t CROSS JOIN e), " +
+          "r AS (SELECT vec_id, c, eid, row_number() OVER " +
+          "(PARTITION BY vec_id ORDER BY c DESC, eid ASC) AS rn FROM p) " +
+          "SELECT vec_id, c AS max_cosine, eid AS nearest_eval_id, " +
+          "c >= 0.5 AS contaminated FROM r WHERE rn = 1"),
       "q_pack_sequences" ->
         // same portable shard hash + per-shard running sum; CAST the window
         // sum (DuckDB sums BIGINT into HUGEINT) and use // for int division

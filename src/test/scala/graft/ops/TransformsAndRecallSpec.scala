@@ -171,6 +171,28 @@ class AnnRecallSpec extends SparkSpec {
     } else assert(lsh != null)
   }
 
+  test("semantic decontamination: LSH face is precision-1 vs exact, useful recall") {
+    val train = emb.filter(col("vec_id") % 20 =!= 0)
+    val evalSet = emb.filter(col("vec_id") % 20 === 0)
+    val exact = Decontaminate.semanticContainment(train, evalSet, threshold = 0.4)
+      .filter(col("contaminated"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bits=2: collision prob for a cosine-0.4 pair ≈ 0.4 per plane pair —
+    // same rationale as the lshCosinePairs recall test
+    val lsh = Decontaminate.semanticContainmentLsh(train, evalSet, threshold = 0.4, bits = 2)
+      .filter(col("contaminated"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // flagged-by-LSH ⊆ flagged-by-exact, and the max_cosine it reports
+    // never exceeds the true max (it saw a subset of candidates)
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      s"LSH flagged ${lsh.keySet -- exact.keySet} that exact did not")
+    lsh.foreach { case (id, c) => assert(c <= exact(id) + 1e-9, s"$id: $c > ${exact(id)}") }
+    if (exact.nonEmpty) {
+      val recall = (exact.keySet intersect lsh.keySet).size.toDouble / exact.size
+      assert(recall > 0.2, s"decontamination recall $recall; exact=${exact.size}")
+    }
+  }
+
   test("cosineNearDupPairs maxBlock guard trips on an oversized block (error mode)") {
     // every label block exceeds maxBlock=10 at sf0.01 (≥ 44 rows/label)
     val ex = intercept[Exception] {
