@@ -487,6 +487,21 @@ object PipelineQueries {
         threshold = 0.5)
     }),
 
+    // The SCALE face of semantic decontamination: both sides bucket on
+    // the SAME 4 seeded hyperplanes and cosine runs only for bucket
+    // collisions — per-train-row work drops from |eval| dot products to
+    // the colliding handful. The oracle inlines the planes as double
+    // literals (same generator, seed 7, dim 64) and replays bucketing,
+    // collision join, and the rounded-cosine/lowest-eval-id argmax, so
+    // the LSH path itself — not just its survivors — is adjudicated.
+    "q_decontaminate_semantic_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Decontaminate.semanticContainmentLsh(
+        train = emb.filter(col("vec_id") % 20 =!= 0),
+        eval = emb.filter(col("vec_id") % 20 === 0),
+        threshold = 0.5, bits = 4)
+    }),
+
     // ---- Training-sequence packing (concat-then-split layout) ----
     "q_pack_sequences" -> ((s, dir) =>
       Packing.concatSplitPack(Tables(s, dir, "documents"), tokenBudget = 512, numShards = 8)),
@@ -1346,6 +1361,26 @@ object PipelineQueries {
           "(PARTITION BY vec_id ORDER BY c DESC, eid ASC) AS rn FROM p) " +
           "SELECT vec_id, c AS max_cosine, eid AS nearest_eval_id, " +
           "c >= 0.5 AS contaminated FROM r WHERE rn = 1"),
+      "q_decontaminate_semantic_lsh" -> {
+        // the gate's 4 sign-planes from the SAME generator the engine
+        // uses (seed 7, dim 64); oracle replays bucketing, the collision
+        // join, and the argmax tie-break bit by bit
+        val planes = Similarity.hyperplanes(4, 64)
+        val bucket = planes.zipWithIndex.map { case (p, j) =>
+          val lit = p.mkString("[", ",", "]")
+          s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id % 20 <> 0), " +
+          "e AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id % 20 = 0), " +
+          s"tb AS (SELECT vec_id, v, $bucket AS bkt FROM t), " +
+          s"eb AS (SELECT eid, v, $bucket AS bkt FROM e), " +
+          s"p AS (SELECT tb.vec_id, eb.eid, round(${cosSql("tb.v", "eb.v")}, 6) AS c " +
+          "FROM tb JOIN eb ON tb.bkt = eb.bkt), " +
+          "r AS (SELECT vec_id, c, eid, row_number() OVER " +
+          "(PARTITION BY vec_id ORDER BY c DESC, eid ASC) AS rn FROM p) " +
+          "SELECT vec_id, c AS max_cosine, eid AS nearest_eval_id, " +
+          "c >= 0.5 AS contaminated FROM r WHERE rn = 1"
+      },
       "q_pack_sequences" ->
         // same portable shard hash + per-shard running sum; CAST the window
         // sum (DuckDB sums BIGINT into HUGEINT) and use // for int division

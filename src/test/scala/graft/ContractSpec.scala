@@ -37,8 +37,9 @@ class ContractSpec extends AnyFunSuite {
     // +q_ann_mmr_tiered, +q_dsir_weights, +q_ann_hard_negatives,
     // +q_chunk_pool, +q_dedup_incremental, +q_text_extract,
     // +q_catalog_update, +q_catalog_merge, +q_corpus_datacard
-    // round 11: +q_connector_cursor_sliced_pinecone, +q_decontaminate_semantic
-    assert(SparkEntry.queries.size == 165, SparkEntry.queries.size.toString)
+    // round 11: +q_connector_cursor_sliced_pinecone, +q_decontaminate_semantic,
+    // +q_decontaminate_semantic_lsh
+    assert(SparkEntry.queries.size == 166, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {

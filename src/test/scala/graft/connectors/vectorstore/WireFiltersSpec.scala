@@ -80,6 +80,28 @@ class WireFiltersSpec extends AnyFunSuite {
     assert(probe.filter(r => FilterEval.eval(back, r)).map(_.id) == Seq("9"), combined)
   }
 
+  test("pinecone: render -> JSON -> WireFilters decodes to the same matches") {
+    val d = new PineconeFilterDialect
+    // Pinecone's Mongo-style grammar has no IsNull-on-present-key, no
+    // IsNotNull, and no general $not — assert exactly which shapes render
+    // so a render regression is loud, then round-trip the renderable set
+    val renderable = shapes.flatMap(f => d.render(f).map(f -> _))
+    assert(renderable.length == shapes.length - 3, renderable.map(_._1).toString)
+    renderable.foreach { case (f, rendered) =>
+      val back = WireFilters.fromPineconeJson(WireJson.mapper.readTree(rendered))
+      assert(matches(back) == matches(f), s"$f -> $rendered -> $back")
+    }
+  }
+
+  test("pinecone: combine() of several filters decodes to their conjunction") {
+    val d = new PineconeFilterDialect
+    val fs = Seq[Filter](GreaterThanOrEqual("metadata.label", 5),
+      EqualTo("metadata.lang", "en"))
+    val combined = d.combine(fs.flatMap(d.render)).get
+    val back = WireFilters.fromPineconeJson(WireJson.mapper.readTree(combined))
+    assert(matches(back) == matches(And(fs(0), fs(1))), combined)
+  }
+
   test("keyword-prefixed field names parse as identifiers, not operators") {
     // regression: peekWord treated '_'/'.' as word boundaries, so
     // `not_spam == 1` tokenized as `not` + `_spam` and matched everything

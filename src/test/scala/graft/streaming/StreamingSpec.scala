@@ -128,6 +128,43 @@ class StreamingSpec extends SparkSpec {
     assert(stream == exact) // at fpp 1e-6 on this corpus: no false positives
   }
 
+  test("streaming semantic decontamination flags embedding-space leakage in-flight") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq((100L, Seq(1.0f, 0.0f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = StreamOps.streamingSemanticDecontaminate(
+        input.toDF().toDF("vec_id", "embedding"), evalSet, threshold = 0.9)
+      .writeStream.format("memory").queryName("semdecon_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Seq(0.99f, 0.05f, 0.0f)),   // near-parallel to eval 100 → flagged
+        (2L, Seq(0.0f, 0.0f, 1.0f)),     // orthogonal to both → clean
+        (3L, Seq(0.0f, 2.0f, 0.0f)))     // scaled copy of eval 101 → cosine 1
+      query.processAllAvailable()
+      val rows = spark.table("semdecon_out")
+        .select("vec_id", "contaminated", "nearest_eval_id")
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      assert(rows(1L) == ((true, 100L)))
+      assert(!rows(2L)._1)
+      assert(rows(3L) == ((true, 101L)))
+    } finally query.stop()
+  }
+
+  test("streaming semantic decontamination reproduces the batch face bit for bit") {
+    val emb = graft.Tables(spark, sf(), "embeddings")
+    val train = emb.filter(col("vec_id") % 20 =!= 0)
+    val evalSet = emb.filter(col("vec_id") % 20 === 0)
+    val stream = StreamOps.streamingSemanticDecontaminate(train, evalSet, threshold = 0.5)
+      .select("vec_id", "max_cosine", "nearest_eval_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val batch = graft.ops.Decontaminate.semanticContainment(train, evalSet, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(stream == batch)
+  }
+
   test("streaming quality filter is stateless and keeps only scorers above the bar") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
