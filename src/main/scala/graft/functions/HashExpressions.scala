@@ -78,6 +78,14 @@ object HashExpressions {
   def portableShingleHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(PortableShingleHashesExpr(GraftColumnBridge.expression(text), n))
 
+  /** Codegen'd probe of a broadcast Bloom filter — see
+    * [[BloomMightContainExpr]]. */
+  def bloomMightContain(
+      hash: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    GraftColumnBridge.column(
+      BloomMightContainExpr(GraftColumnBridge.expression(hash), bloom))
+
   /** Strided rolling-window fingerprints over a pre-hashed token stream —
     * see [[RollingWindowHashesExpr]]. */
   def rollingWindowHashes(tokenHashes: Column, width: Int, stride: Int): Column =
@@ -711,4 +719,48 @@ case class SigMatchFractionExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): SigMatchFractionExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd membership probe against a BROADCAST Bloom filter: `true` iff
+  * the filter might contain the long-hash child. Replaces the boxed `udf`
+  * probe on the decontamination hot path (`Decontaminate.bloomContainment`)
+  * — a UDF forces an interpreted row boundary mid-aggregate, while this
+  * stays inside whole-stage codegen and resolves the broadcast ONCE per
+  * task (lazy mutable state), not per row.
+  *
+  * The expression carries the `Broadcast` handle, not the filter bytes:
+  * the plan serializes a small stub and each executor pulls the (possibly
+  * hundreds-of-MB) bit array over the torrent protocol exactly once —
+  * same contract as the UDF closure it replaces, minus the boxing.
+  */
+case class BloomMightContainExpr(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${child.dataType.simpleString}")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_bc"
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.value.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h => {
+      val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      val filterCls = classOf[org.apache.spark.util.sketch.BloomFilter].getName
+      val f = ctx.addMutableState(filterCls, "graftBloomFilter")
+      s"""
+         |if ($f == null) $f = ($filterCls) $bcRef.value();
+         |${ev.value} = $f.mightContainLong($h);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
 }

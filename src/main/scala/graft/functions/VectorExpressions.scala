@@ -40,6 +40,22 @@ object VectorExpressions {
     GraftColumnBridge.column(
       NearestResidualExpr(GraftColumnBridge.expression(v), centers))
 
+  /** struct(max_cosine, nearest_eval_id) over a small eval embedding set —
+    * see [[NearestEvalExpr]]. `ids` must be sorted ascending. */
+  def nearestEval(v: Column, ids: Array[Long], vecs: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      NearestEvalExpr(GraftColumnBridge.expression(v), ids, vecs))
+
+  /** Spark's `round(x, 6)` for doubles, callable from generated code:
+    * `BigDecimal(Double.toString(x))` (what `scala.BigDecimal(double)`
+    * builds) with HALF_UP at scale 6 — NaN/±Inf pass through like Spark's
+    * RoundBase. Parity with the SQL surface is pinned by RoundParitySpec. */
+  def roundHalfUp6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else new java.math.BigDecimal(java.lang.Double.toString(x),
+      java.math.MathContext.DECIMAL128)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   private def make(a: Column, b: Column, op: Int): Column =
     GraftColumnBridge.column(VectorKernel(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), op))
@@ -501,5 +517,118 @@ case class Int8QuantizeExpr(child: Expression)
     })
 
   override protected def withNewChildInternal(newChild: Expression): Int8QuantizeExpr =
+    copy(child = newChild)
+}
+
+/** Fused semantic-decontamination argmax: for one train/stream vector,
+  * the best (rounded cosine, eval id) over a SMALL eval embedding set
+  * carried as a codegen reference object — struct(max_cosine,
+  * nearest_eval_id). Replaces both the crossJoin(broadcast(eval)) →
+  * max(struct(c, −eid)) batch plan (n×|eval| row inflation + a groupBy
+  * shuffle) and the interpreted `transform(evalLit, …)` streaming lambda
+  * (higher-order functions are CodegenFallback): this is ONE compiled
+  * loop per row, no join, no shuffle, no state.
+  *
+  * Parity contract (the DuckDB oracle replays it):
+  *  - cosine is the [[VectorKernel]] math — cast each element to double,
+  *    accumulate dot/na/nb left-to-right over min(len), 0.0 on zero norm;
+  *  - the per-candidate cosine is rounded EXACTLY like Spark's
+  *    `round(c, 6)` (BigDecimal of `Double.toString`, HALF_UP — pinned by
+  *    RoundParitySpec), so scoring through this kernel or through the SQL
+  *    surface is bit-identical;
+  *  - `ids` must arrive sorted ascending and ties on the rounded cosine
+  *    keep the FIRST (= lowest) eval id, matching
+  *    `row_number() OVER (ORDER BY c DESC, eid ASC)`.
+  *
+  * Eval ids are widened to long by the caller (both decontamination faces
+  * cast `idCol` to bigint), so batch and streaming emit the same
+  * `nearest_eval_id` schema for any integral id column.
+  */
+case class NearestEvalExpr(child: Expression, ids: Array[Long], vecs: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(ids.nonEmpty && ids.length == vecs.length,
+    "nearest_eval needs a non-empty eval set with one id per vector")
+  require(ids.zip(ids.tail).forall { case (a, b) => a <= b },
+    "nearest_eval ids must be sorted ascending (ties keep the first = lowest id)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_cosine", DoubleType, nullable = false),
+    StructField("nearest_eval_id", LongType, nullable = false)))
+  override def prettyName: String = "nearest_eval"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var bestC = Double.NegativeInfinity
+    var bestId = 0L
+    var j = 0
+    while (j < vecs.length) {
+      val e = vecs(j)
+      val n = math.min(v.numElements(), e.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val yi = e(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val rc = VectorExpressions.roundHalfUp6(if (denom == 0.0) 0.0 else dot / denom)
+      if (rc > bestC) { bestC = rc; bestId = ids(j) }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestC, bestId))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val idRef = ctx.addReferenceObj("evalIds", ids, "long[]")
+      val vecRef = ctx.addReferenceObj("evalVecs", vecs, "double[][]")
+      val bestC = ctx.freshName("bestC")
+      val bestId = ctx.freshName("bestId")
+      val j = ctx.freshName("j")
+      val e = ctx.freshName("evalVec")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      val rc = ctx.freshName("rc")
+      val getX = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |double $bestC = Double.NEGATIVE_INFINITY;
+         |long $bestId = 0L;
+         |for (int $j = 0; $j < ${vecs.length}; $j++) {
+         |  double[] $e = $vecRef[$j];
+         |  int $n = Math.min($v.numElements(), $e.length);
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $getX;
+         |    double $yi = $e[$i];
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |  double $rc = graft.functions.VectorExpressions.roundHalfUp6(
+         |    ($denom == 0.0) ? 0.0 : $dot / $denom);
+         |  if ($rc > $bestC) { $bestC = $rc; $bestId = $idRef[$j]; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $bestC, $bestId });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestEvalExpr =
     copy(child = newChild)
 }

@@ -68,17 +68,37 @@ object Decontaminate {
         HashExpressions.wordShingleHashes(col(textCol), shingleSize)).as("sh"): _*)
     val filter = shingleHashes(train).stat.bloomFilter("sh", expectedShingles, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(filter)
-    val hit = udf((h: Long) => bc.value.mightContainLong(h))
+    // codegen'd probe over the broadcast handle — stays inside whole-stage
+    // codegen where a udf() would force an interpreted boxing boundary
+    val hit = HashExpressions.bloomMightContain(col("sh"), bc)
     shingleHashes(eval, col(idCol))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shingles"),
-        count(when(hit(col("sh")), 1)).as("n_shared"))
+        count(when(hit, 1)).as("n_shared"))
       .select(
         col(idCol),
         col("n_shingles"),
         col("n_shared"),
         round(col("n_shared").cast("double") / col("n_shingles"), 6).as("containment"))
       .withColumn("contaminated", col("containment") >= threshold)
+  }
+
+  /** Collect + sort a SMALL eval embedding set for the fused argmax kernel
+    * — ids widened to long (so both decontamination faces emit the same
+    * `nearest_eval_id` schema for any integral id column), vectors to
+    * double (value-exact from float), sorted ascending so the kernel's
+    * first-wins tie-break means lowest id. Bounded by contract: benchmarks
+    * are thousands of rows — the same collect the streaming face has
+    * always done, now shared. */
+  private[graft] def collectEvalSet(eval: DataFrame, idCol: String, vecCol: String)
+      : (Array[Long], Array[Array[Double]]) = {
+    val rows = eval
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "semantic decontamination needs a non-empty eval set")
+    (rows.map(_._1), rows.map(_._2))
   }
 
   /** SEMANTIC decontamination: flag TRAIN documents whose embedding is
@@ -89,29 +109,29 @@ object Decontaminate {
     * [[containment]] scores the eval side.
     *
     * Shape: the eval set is SMALL by nature (benchmarks are thousands of
-    * rows, train is the 100 TB side), so it broadcasts and each train row
-    * scores |eval| codegen'd cosines map-side; the only shuffle is the
-    * partial-aggregated per-train-row max — O(train rows), never O(pairs).
-    * Ties on the rounded cosine break to the LOWEST eval id, so a SQL
-    * oracle replays the argmax exactly.
+    * rows, train is the 100 TB side), so it rides each task as a codegen
+    * reference object and every train row computes its own fused argmax
+    * ([[graft.functions.NearestEvalExpr]]) — a PURE MAP: no join, no row
+    * inflation, no shuffle at all (the previous crossJoin(broadcast) →
+    * max(struct) plan paid n×|eval| rows plus an O(train) groupBy). Ties
+    * on the rounded cosine break to the LOWEST eval id, so a SQL oracle
+    * replays the argmax exactly. One row out per train ROW (ids are
+    * expected unique — this is a flag pass, not an aggregate).
     *
-    * @return one row per train doc: `max_cosine`, `nearest_eval_id`, and
-    *         the `contaminated` flag. */
+    * @return one row per train doc: `max_cosine`, `nearest_eval_id`
+    *         (bigint for any integral eval id), and the flag. */
   def semanticContainment(train: DataFrame, eval: DataFrame,
                           threshold: Double = 0.8,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
-    val t = train.select(col(idCol), col(vecCol).as("__tv"))
-    val e = broadcast(eval.select(col(idCol).as("__eid"), col(vecCol).as("__ev")))
-    t.crossJoin(e)
-      .withColumn("__c",
-        round(graft.functions.VectorFunctions.cosineSimilarity(col("__tv"), col("__ev")), 6))
-      .groupBy(idCol)
-      .agg(max(struct(col("__c").as("c"), (-col("__eid")).as("negid"))).as("best"))
+    val (ids, vecs) = collectEvalSet(eval, idCol, vecCol)
+    train
+      .withColumn("__best",
+        graft.functions.VectorExpressions.nearestEval(col(vecCol), ids, vecs))
       .select(col(idCol),
-        col("best.c").as("max_cosine"),
-        (-col("best.negid")).as("nearest_eval_id"),
-        (col("best.c") >= threshold).as("contaminated"))
+        col("__best.max_cosine").as("max_cosine"),
+        col("__best.nearest_eval_id").as("nearest_eval_id"),
+        (col("__best.max_cosine") >= threshold).as("contaminated"))
   }
 
   /** The scale face of [[semanticContainment]]: hyperplane-bucket BOTH
@@ -134,7 +154,9 @@ object Decontaminate {
       Similarity.resolveDim(train, vecCol, -1), seed)
     val tb = train.select(col(idCol), col(vecCol).as("__tv"))
       .withColumn("__bkt", Similarity.bucketExpr("__tv", planes))
-    val eb = broadcast(eval.select(col(idCol).as("__eid"), col(vecCol).as("__ev"))
+    // eid widened to long like the exact + streaming faces, so every
+    // semantic-decontamination face emits the same nearest_eval_id schema
+    val eb = broadcast(eval.select(col(idCol).cast("long").as("__eid"), col(vecCol).as("__ev"))
       .withColumn("__bkt", Similarity.bucketExpr("__ev", planes)))
     tb.join(eb, "__bkt")
       .withColumn("__c",

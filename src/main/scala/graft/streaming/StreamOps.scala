@@ -188,35 +188,30 @@ object StreamOps {
     * training row against the full eval-set embedding table and flag rows
     * within cosine `threshold` of ANY benchmark item, while the crawl
     * lands. The eval set is collected once at plan time (benchmarks are
-    * thousands of rows — the train side is the stream) and embedded as ONE
-    * array-of-structs literal; each row then computes its argmax with the
-    * SAME codegen'd cosine kernel + `round(…, 6)` + (c, −eid) struct-max
-    * tie-break as the batch face, entirely row-locally: no join, no
+    * thousands of rows — the train side is the stream) and rides each task
+    * as a codegen reference object inside the SAME fused argmax kernel as
+    * the batch face ([[graft.functions.NearestEvalExpr]] via
+    * [[graft.ops.Decontaminate.collectEvalSet]] — one compiled loop per
+    * row, where the earlier `transform(evalLit, …)` lambda paid |eval|·dim
+    * interpreted-HOF work per stream row). Entirely row-local: no join, no
     * streaming aggregation, zero state, any output mode.
     *
-    * Exactness: float→double widening is value-exact, so scoring the
-    * literal's `DOUBLE` eval vectors against the stream's float vectors
-    * reproduces the batch face bit for bit (parity spec-asserted).
+    * Exactness: float→double widening is value-exact and both faces share
+    * one kernel + eval-set collection (ids widened to long on BOTH), so
+    * streaming output equals the batch face bit for bit for any integral
+    * id column (parity spec-asserted).
     *
     * @return input columns + (max_cosine, nearest_eval_id, contaminated) */
   def streamingSemanticDecontaminate(docs: DataFrame, evalSet: DataFrame,
                                      threshold: Double = 0.8,
                                      idCol: String = "vec_id",
                                      vecCol: String = "embedding"): DataFrame = {
-    val evalRows: Seq[(Long, Seq[Double])] = evalSet
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    require(evalRows.nonEmpty, "semantic decontamination needs a non-empty eval set")
-    val evalLit = typedlit(evalRows) // one literal: (_1 = eid, _2 = vector)
-    val scored = transform(evalLit, e => struct(
-      round(graft.functions.VectorFunctions.cosineSimilarity(col(vecCol), e.getField("_2")), 6)
-        .as("c"),
-      (-e.getField("_1")).as("negid")))
+    val (ids, vecs) = graft.ops.Decontaminate.collectEvalSet(evalSet, idCol, vecCol)
     docs
-      .withColumn("__best", array_max(scored))
-      .withColumn("max_cosine", col("__best.c"))
-      .withColumn("nearest_eval_id", -col("__best.negid"))
+      .withColumn("__best",
+        graft.functions.VectorExpressions.nearestEval(col(vecCol), ids, vecs))
+      .withColumn("max_cosine", col("__best.max_cosine"))
+      .withColumn("nearest_eval_id", col("__best.nearest_eval_id"))
       .withColumn("contaminated", col("max_cosine") >= threshold)
       .drop("__best")
   }

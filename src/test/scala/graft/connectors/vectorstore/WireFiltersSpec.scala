@@ -118,6 +118,46 @@ class WireFiltersSpec extends AnyFunSuite {
       FilterEval.eval(WireFilters.fromMilvusExpr("not_spam == 1"), r)).map(_.id) == Seq("1"))
   }
 
+  test("$ne / must_not on a MISSING key: decode matches Column semantics, not bare Not") {
+    // The shared fixture above gives every record a 'lang' key, so the
+    // Not/$ne round trips there never see the documented divergence. This
+    // record has NO 'lang' at all:
+    val noLang = VSRecord("6", null, Map("label" -> "9"))
+    val rs = records :+ noLang
+    val f = Not(EqualTo("metadata.lang", "en"))
+    // Under SQL/Column three-valued semantics — what Spark applies when it
+    // fully pushes the predicate — `NOT(missing = 'en')` is NULL: no match.
+    def columnMatches(g: Filter): Seq[String] =
+      rs.filter(r => FilterEval.eval3(g, r).contains(true)).map(_.id)
+    assert(columnMatches(f) == Seq("2", "4"))
+    // FilterEval's bare two-valued Not DOES match the missing-key record —
+    // the divergence this test exists to pin:
+    assert(rs.filter(r => FilterEval.eval(f, r)).map(_.id) == Seq("2", "4", "6"))
+
+    // Pinecone renders Not(EqualTo) as $ne, which real Pinecone evaluates
+    // as present-AND-different; the decode's IsNotNull conjunct reproduces
+    // that, agreeing with Column semantics on the missing-key record:
+    val pc = new PineconeFilterDialect
+    val pcBack = WireFilters.fromPineconeJson(
+      WireJson.mapper.readTree(pc.render(f).get))
+    assert(pcBack == And(IsNotNull("lang"), Not(EqualTo("lang", "en"))))
+    assert(rs.filter(r => FilterEval.eval(pcBack, r)).map(_.id) == columnMatches(f))
+
+    // Qdrant's must_not DOES match missing-key records (like bare Not) —
+    // safe in practice because Spark never pushes a null-intolerant Not
+    // without its IsNotNull companion; the conjunction it actually pushes
+    // round-trips to the Column-semantics matches:
+    val qd = new QdrantFilterDialect
+    val qdBareBack = WireFilters.fromQdrantJson(
+      WireJson.mapper.readTree(qd.render(f).get))
+    assert(rs.filter(r => FilterEval.eval(qdBareBack, r)).map(_.id) == Seq("2", "4", "6"))
+    val pushed = And(IsNotNull("metadata.lang"), f)
+    val qdBack = WireFilters.fromQdrantJson(
+      WireJson.mapper.readTree(qd.render(pushed).get))
+    assert(rs.filter(r => FilterEval.eval(qdBack, r)).map(_.id) == columnMatches(f))
+    assert(columnMatches(pushed) == columnMatches(f))
+  }
+
   test("unsupported wire payloads raise instead of silently matching all") {
     intercept[IllegalArgumentException](
       WireFilters.fromQdrantJson(WireJson.mapper.readTree(
