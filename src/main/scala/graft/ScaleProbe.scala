@@ -413,12 +413,12 @@ object ScaleProbe {
           shadow
         }
         val s1 = seed("a")
-        time(s"atomic publish pinecone-copy ($n rows)") {
+        time(s"atomic publish pinecone-flip ($n rows)") {
           t.rename(s1, "pix::live"); t.count("pix::live").toLong
         }
         val s2 = seed("b")
         ps.injectLatencyMs = 10
-        time(s"atomic publish pinecone-copy ($n rows, 10ms)") {
+        time(s"atomic publish pinecone-flip ($n rows, 10ms)") {
           t.rename(s2, "pix::live"); t.count("pix::live").toLong
         }
         ps.injectLatencyMs = 0
@@ -450,6 +450,46 @@ object ScaleProbe {
         time("pinecone cursor walk x8 (10ms rtt)")(scan(8))
         server.injectLatencyMs = 0
       } finally server.stop()
+    }
+    // ---- minhash sf1 profile (opt-in: `"minhash profile"`) -----------
+    // Task: q_dedup_minhash is the bench board's worst scaler (8.1x at
+    // 10x rows in the round-11 sf1 ramp). Break the pipeline into its
+    // stages over the SAME de-correlated BenchGen ramp the bench uses —
+    // NOT this probe's amplify() clones, which plant duplicate cliques —
+    // so the growth decomposes into: signature scan, band shuffle,
+    // candidate generation, verify output. The BASELINE.md "minhash at
+    // sf1" section records the measured split and the resulting decision.
+    if (only.exists(_.exists(s => "minhash profile".contains(s)))) {
+      val ramp = Bench.ensureSf1(spark, dir)._1.getOrElse(
+        sys.error("minhash profile needs the sf1 ramp"))
+      Seq("sf0.1" -> dir, "sf1  " -> ramp).foreach { case (tag, d) =>
+        val dd = Tables(spark, d, "documents")
+        dd.count() // touch the files so read-side caching is comparable
+        time(s"[$tag] signatures")(
+          ops.Dedup.withMinHashSignature(dd).select("minhash_sig")
+            .filter(size(col("minhash_sig")) > 0).count())
+        // band rows + the guard's bucket histogram (shuffle volume view)
+        val bands = ops.Dedup.lshBands(
+          ops.Dedup.withMinHashSignature(dd), "doc_id", 16, 4, portable = false)
+        time(s"[$tag] band rows")(bands.count())
+        time(s"[$tag] candidate pairs")({
+          val small = bands.groupBy("band", "band_hash")
+            .agg(count(col("doc_id")).as("__n")).filter(col("__n") <= 1000)
+            .select("band", "band_hash")
+          val bounded = bands.join(small, Seq("band", "band_hash"))
+          bounded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+            .join(bounded.select(col("band"), col("band_hash"), col("doc_id").as("id_b")),
+              Seq("band", "band_hash"))
+            .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct().count()
+        })
+        time(s"[$tag] verified pairs")(
+          ops.Dedup.minHashDuplicatePairs(dd, threshold = 0.3).count())
+        time(s"[$tag] estimate pairs")(
+          ops.Dedup.minHashDuplicatePairs(dd, threshold = 0.3, verifyExact = false).count())
+        time(s"[$tag] OPH estimate")(
+          ops.Dedup.minHashDuplicatePairs(dd, threshold = 0.3, verifyExact = false,
+            onePerm = true).count())
+      }
     }
     spark.stop()
     sys.exit(0) // don't let stray library threads pin the forked JVM open

@@ -207,8 +207,13 @@ object Main {
         throw new graft.config.ConfigException("sweep-staging config needs 'collection'"))
       val target = str(conn, "namespace").map(ns => s"$base::$ns").getOrElse(base)
       val store = VectorStore.resolve(TransportSpec.fromOptions(str(conn, _), backend))
+      // two shadow shapes: sibling collections (`t__staging_*`) and, for
+      // backends that stage in a namespace of a bare-index target
+      // (Pinecone), `t::__staging_*`. Live generations never appear here:
+      // listCollections hides pointer targets behind their logical name.
       val doomed = store.listCollections()
-        .filter(_.startsWith(s"${target}__staging_"))
+        .filter(c => c.startsWith(s"${target}__staging_") ||
+          c.startsWith(s"$target::__staging_"))
       doomed.foreach(store.drop)
       println(s"sweep-staging complete on $target: " +
         s"${doomed.length} stranded generation(s) dropped" +

@@ -33,6 +33,13 @@ case class RetryingTransport(
     while (true) {
       try return f
       catch {
+        // a rate limit is not a fault to blind-backoff through: the
+        // service SAID when to come back — honor Retry-After exactly
+        // (fall back to the exponential schedule when it sent none)
+        case e: RateLimitedException if attempt < maxAttempts - 1 && retryOn(e) =>
+          val wait = e.retryAfterMs.getOrElse(math.min(backoffMs << attempt, maxBackoffMs))
+          if (wait > 0) Thread.sleep(wait)
+          attempt += 1
         case e: Throwable if attempt < maxAttempts - 1 && retryOn(e) =>
           val wait = math.min(backoffMs << attempt, maxBackoffMs)
           if (wait > 0) Thread.sleep(wait)
@@ -81,6 +88,9 @@ case class RetryingTransport(
   // (the trait default would otherwise re-implement rename as copy+drop
   // over this wrapper's retried calls)
   override def rename(from: String, to: String): Unit = withRetry(inner.rename(from, to))
+  // naming is pure (no wire call) but MUST delegate: the inner backend
+  // chooses the staging granularity (Pinecone: namespace, not index)
+  override def stagingName(target: String): String = inner.stagingName(target)
 }
 
 object RetryingTransport {
@@ -89,4 +99,55 @@ object RetryingTransport {
     case _: NoSuchElementException => false
     case _ => true
   }
+}
+
+/** HTTP 429 from the service, carrying its `Retry-After` (milliseconds,
+  * already converted from the header's delta-seconds) when it sent one.
+  * An IOException subclass so every existing "transient fault" retry
+  * policy keeps catching it. */
+class RateLimitedException(msg: String, val retryAfterMs: Option[Long])
+  extends java.io.IOException(msg)
+
+/** Per-endpoint concurrency brake for rate-limit windows: when any call
+  * to an endpoint draws a 429, EVERY caller of that endpoint in this JVM
+  * is capped to [[throttledPermits]] concurrent in-flight requests until
+  * the window passes. This is what keeps 8 parallel sliced cursor walks
+  * from retry-storming a throttled account in lockstep — each walk still
+  * makes progress, single-file, honoring the service's pushback. Outside
+  * a throttle window the gate is a lock-free no-op on the hot path. */
+private[vectorstore] object ThrottleGate {
+  val throttledPermits = 2
+  val defaultWindowMs = 1000L
+
+  private case class Gate(until: java.util.concurrent.atomic.AtomicLong,
+                          sem: java.util.concurrent.Semaphore)
+  private val gates =
+    scala.collection.concurrent.TrieMap.empty[String, Gate]
+
+  private def gate(key: String): Gate = gates.getOrElseUpdate(key,
+    Gate(new java.util.concurrent.atomic.AtomicLong(0L),
+      new java.util.concurrent.Semaphore(throttledPermits, true)))
+
+  /** Record a 429: the endpoint is throttled for `windowMs` from now. */
+  def throttled(key: String, windowMs: Long): Unit = {
+    val g = gate(key)
+    val until = System.currentTimeMillis() + math.max(0L, windowMs)
+    var cur = g.until.get()
+    while (until > cur && !g.until.compareAndSet(cur, until)) cur = g.until.get()
+  }
+
+  /** Call before a request; returns the release hook. No-op unless the
+    * endpoint is inside a throttle window. */
+  def enter(key: String): () => Unit = {
+    val g = gates.get(key).orNull
+    if (g == null || System.currentTimeMillis() >= g.until.get()) () => ()
+    else {
+      g.sem.acquire()
+      val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+      () => if (released.compareAndSet(false, true)) g.sem.release()
+    }
+  }
+
+  /** Test hook: forget an endpoint's window. */
+  private[vectorstore] def reset(key: String): Unit = gates.remove(key)
 }

@@ -161,6 +161,18 @@ trait VectorStoreTransport extends Serializable {
     * so narrow test doubles keep compiling. */
   def listCollections(): Seq[String] = Seq.empty
 
+  /** Name for an invisible per-job shadow of `target` — the atomic sink
+    * writes here and [[rename]]s onto the target at commit. Default is a
+    * sibling collection; backends where a sibling collection is the wrong
+    * granularity override (Pinecone: a sibling INDEX would pay real
+    * index-provisioning latency and force the copy-then-drop publish, so
+    * its shadow is a NAMESPACE of the target's own index and publish is a
+    * same-index pointer flip). The `__staging_` marker is load-bearing:
+    * the operator `--sweep-staging` verb finds strandable generations by
+    * it. */
+  def stagingName(target: String): String =
+    s"${target}__staging_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
   /** Make `from`'s contents visible under `to` (replacing `to` if it
     * exists) and remove `from` — the publish step of the exactly-once sink
     * ([[VSAtomicBatchWrite]]). Backends with a native rename verb override

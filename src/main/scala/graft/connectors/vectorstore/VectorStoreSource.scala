@@ -1135,8 +1135,7 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
         // the job-level commit publishes it (see VSAtomicBatchWrite). The
         // target is NOT touched here — in recreate mode it keeps serving
         // its old contents until the commit swap.
-        val shadow = s"${collection}__staging_" +
-          java.util.UUID.randomUUID().toString.replace("-", "")
+        val shadow = store.stagingName(collection)
         store.createCollection(shadow, cfg, recreate = true)
         new VSAtomicBatchWrite(collection, shadow, recreate, rules, batchSize,
           binaryVec, spec)

@@ -87,9 +87,9 @@ private[vectorstore] abstract class WireClient(baseUrl: String,
 
   protected def enc(s: String): String = URLEncoder.encode(s, UTF_8)
 
-  /** Raw exchange; returns (status, parsed body). */
+  /** Raw exchange; returns (status, parsed body, Retry-After header). */
   protected def http(method: String, path: String,
-                     body: Option[JsonNode]): (Int, JsonNode) = {
+                     body: Option[JsonNode]): (Int, JsonNode, Option[String]) = {
     val conn = new URI(s"$baseUrl$path").toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
@@ -104,20 +104,35 @@ private[vectorstore] abstract class WireClient(baseUrl: String,
       conn.getOutputStream.write(bytes)
     }
     val code = conn.getResponseCode
+    val retryAfter = Option(conn.getHeaderField("Retry-After"))
     val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
     val text = if (stream == null) "{}" else new String(stream.readAllBytes(), UTF_8)
     conn.disconnect()
-    (code, if (text.isEmpty) WireJson.obj() else mapper.readTree(text))
+    (code, if (text.isEmpty) WireJson.obj() else mapper.readTree(text), retryAfter)
   }
 
   /** Exchange with the shared error contract: 404 → NoSuchElementException
-    * (logic error, never retried), other 4xx/5xx → IOException (the
+    * (logic error, never retried), 429 → [[RateLimitedException]] carrying
+    * the service's `Retry-After` (the retry layer honors it instead of its
+    * own schedule, and the per-endpoint [[ThrottleGate]] caps concurrent
+    * calls — 8 sliced walks each retry-storming a throttled account is how
+    * parallel extraction gets banned), other 4xx/5xx → IOException (the
     * retry layer's transient class). */
   protected def call(method: String, path: String,
                      body: Option[JsonNode] = None): JsonNode = {
-    val (code, node) = http(method, path, body)
+    val release = ThrottleGate.enter(baseUrl)
+    val (code, node, retryAfter) =
+      try http(method, path, body)
+      finally release()
     if (code == 404)
       throw new NoSuchElementException(errText(node, s"not found: $path"))
+    if (code == 429) {
+      // Retry-After is RFC delta-seconds; fractional accepted leniently
+      val ms = retryAfter.flatMap(_.trim.toDoubleOption).map(s => (s * 1000).toLong)
+      ThrottleGate.throttled(baseUrl, ms.getOrElse(ThrottleGate.defaultWindowMs))
+      throw new RateLimitedException(
+        s"HTTP 429 on $method $path: ${errText(node, node.toString)}", ms)
+    }
     if (code >= 400)
       throw new java.io.IOException(s"HTTP $code on $method $path: " +
         errText(node, node.toString))
@@ -715,7 +730,10 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     val (ix, ns) = split(name)
     if (!indexExists(ix)) false
     else if (ns.isEmpty) true
-    else stats(ix).namespaces.contains(ns)
+    else if (isReservedNs(ns)) stats(ix).namespaces.contains(ns)
+    // a pointered logical namespace exists even when its current
+    // generation is empty (stats omits empty namespaces)
+    else pointerOf(ix, ns).isDefined || stats(ix).namespaces.contains(ns)
   }
 
   override def describe(name: String): Option[CollectionConfig] = {
@@ -738,7 +756,7 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
   }
 
   override def count(name: String): Int = {
-    val (ix, ns) = split(name)
+    val (ix, ns) = resolved(name)
     val s = stats(ix)
     if (ns.isEmpty) s.namespaces.getOrElse("", 0) else s.namespaces.getOrElse(ns, 0)
   }
@@ -758,6 +776,172 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
         .getOrElse(false))) meta - "__gid"
     else meta
 
+  // ----------------------------- namespace-pointer publish (atomic mode)
+
+  /** Pinecone's public wire has no collection rename and no alias verb, so
+    * the engine maintains its own indirection: a POINTER record in the
+    * reserved `__graft_meta` namespace maps each logical namespace to the
+    * GENERATION namespace currently published under it. Every data-plane
+    * verb resolves the pointer first (cached ~2 s, invalidated by local
+    * flips), so `rename(shadow, target)` = one single-record upsert — the
+    * same O(1)-verb publish shape as Qdrant's alias swap, replacing the
+    * trait's 2×-write drop-before-copy fallback (BASELINE.md priced it at
+    * 78.8 s for 200k rows at 10 ms RTT; the flip is one RTT at any size).
+    *
+    * Pointer record: id `__graft_ptr::<logical-ns>`, metadata
+    * `{"target": <generation-ns>, "prev": <retiring-ns>?}`. `prev` is the
+    * retire leg's write-ahead note: it is set in the SAME upsert that
+    * flips the pointer and cleared only after the old generation's rows
+    * are deleted, so a crash between flip and retire leaves a retried
+    * publish (or `--sweep-staging`) everything it needs to finish the
+    * job. The flip itself is one call — there is no window in which
+    * readers see a partial target. */
+  private val metaNs = "__graft_meta"
+  private def ptrId(ns: String): String = s"__graft_ptr::$ns"
+  private case class NsPointer(target: String, prev: Option[String])
+
+  /** Reserved namespaces are never logical names: the meta namespace
+    * itself, and staging/generation namespaces (resolving those would add
+    * a pointless fetch to every shadow-write page). */
+  private def isReservedNs(ns: String): Boolean =
+    ns == metaNs || ns.contains("__staging_")
+
+  @transient private lazy val ptrCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Option[NsPointer], Long)]
+  private val ptrTtlMs = 2000L
+
+  private def invalidatePtr(ix: String, ns: String): Unit = ptrCache.remove((ix, ns))
+
+  private def fetchPointer(ix: String, ns: String): Option[NsPointer] =
+    try {
+      val id = ptrId(ns)
+      val r = call("GET", s"/vectors/fetch?index=${enc(ix)}&namespace=${enc(metaNs)}" +
+        s"&ids=${enc(id)}")
+      Option(r.get("vectors")).flatMap(v => Option(v.get(id))).map { v =>
+        val meta = metadataFrom(v.get("metadata"))
+        NsPointer(meta.getOrElse("target", ns), meta.get("prev").filter(_.nonEmpty))
+      }
+    } catch { case _: NoSuchElementException => None }
+
+  private def pointerOf(ix: String, ns: String): Option[NsPointer] = {
+    val key = (ix, ns)
+    val now = System.currentTimeMillis()
+    ptrCache.get(key) match {
+      case Some((p, at)) if now - at < ptrTtlMs => p
+      case _ =>
+        val p = fetchPointer(ix, ns)
+        ptrCache.put(key, (p, now))
+        p
+    }
+  }
+
+  /** Logical namespace → the generation currently published under it.
+    * Readers "resolve the pointer before scanning"; writers land rows
+    * where readers look. */
+  private def resolveNs(ix: String, ns: String): String =
+    if (isReservedNs(ns)) ns else pointerOf(ix, ns).map(_.target).getOrElse(ns)
+
+  private def resolved(name: String): (String, String) = {
+    val (ix, ns) = split(name)
+    (ix, resolveNs(ix, ns))
+  }
+
+  private def statsHas(ix: String, ns: String): Boolean =
+    stats(ix).namespaces.contains(ns)
+
+  private def writePointer(ix: String, ns: String, target: String,
+                           prev: Option[String]): Unit = {
+    // direct wire upsert: the pointer is engine bookkeeping — no reserved
+    // key policy, no __gid mirror, and a dim-length dummy vector (real
+    // Pinecone rejects wrong-width values)
+    val dim = math.max(1, describe(ix).map(_.dim).getOrElse(1))
+    val b = obj()
+    b.put("namespace", metaNs)
+    val v = b.putArray("vectors").addObject()
+    v.put("id", ptrId(ns))
+    putFloats(v, "values", Array.fill(dim)(1.0f))
+    metadataToNode(v, "metadata", Map("target" -> target) ++ prev.map("prev" -> _))
+    call("POST", s"/vectors/upsert?index=${enc(ix)}", Some(b))
+    invalidatePtr(ix, ns)
+  }
+
+  private def deleteAllNs(ix: String, ns: String): Unit = {
+    val b = obj()
+    b.put("deleteAll", true)
+    b.put("namespace", ns)
+    call("POST", s"/vectors/delete?index=${enc(ix)}", Some(b))
+  }
+
+  private def deletePointer(ix: String, ns: String): Unit = {
+    val b = obj()
+    b.put("namespace", metaNs)
+    b.putArray("ids").add(ptrId(ns))
+    call("POST", s"/vectors/delete?index=${enc(ix)}", Some(b))
+    invalidatePtr(ix, ns)
+  }
+
+  /** Atomic-mode shadows live in a NAMESPACE of the target's own index —
+    * a sibling index would pay real index-provisioning latency and could
+    * only publish via copy-then-drop. A bare-index target stages in
+    * `ix::__staging_*` (logical namespace ""), a namespaced one in
+    * `ix::<ns>__staging_*`; both carry the `__staging_` marker the sweep
+    * verb and [[isReservedNs]] key on. */
+  override def stagingName(target: String): String = {
+    val (ix, ns) = split(target)
+    s"$ix::${ns}__staging_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+  }
+
+  /** Publish via the engine's namespace-pointer flip (same-index
+    * generations; cross-index renames keep the trait's loud copy
+    * fallback). Steps, each idempotent under retries:
+    *   1. pointer already on `from` → a lost-response retry: just finish
+    *      any pending retire leg (`prev`) and return;
+    *   2. ONE pointer upsert flips readers to the new generation,
+    *      recording the retiring one as `prev` — the atomic publish;
+    *   3. the old generation's rows are deleted and `prev` cleared.
+    * A crash before 2 leaves the old target serving untouched; between 2
+    * and 3 readers already see the new generation and the retire is
+    * re-runnable from `prev`. An EMPTY shadow (zero-row overwrite)
+    * publishes an empty target, exactly like the recreate-and-copy
+    * fallback would. */
+  override def rename(from: String, to: String): Unit = {
+    val (ixF, nsF) = split(from)
+    val (ixT, nsT) = split(to)
+    if (ixF != ixT || nsF.isEmpty || isReservedNs(nsT)) {
+      super.rename(from, to)
+      return
+    }
+    invalidatePtr(ixT, nsT) // decide on fresh wire state, never the cache
+    val p = pointerOf(ixT, nsT)
+    if (p.exists(_.target == nsF)) {
+      p.get.prev.foreach { og => deleteAllNs(ixT, og); writePointer(ixT, nsT, nsF, None) }
+      return
+    }
+    val oldGen = p.map(_.target).orElse(if (statsHas(ixT, nsT)) Some(nsT) else None)
+    writePointer(ixT, nsT, nsF, oldGen) // THE publish: one call, any size
+    oldGen.foreach(deleteAllNs(ixT, _))
+    if (oldGen.isDefined) writePointer(ixT, nsT, nsF, None)
+  }
+
+  /** Pointer mappings of an index: logical namespace → generation. One
+    * cursor walk of the meta namespace (empty when the engine never
+    * published here). */
+  private def listPointers(ix: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var cursor: Option[String] = None
+    var first = true
+    while (first || cursor.isDefined) {
+      val (recs, next) = scrollPage(s"$ix::$metaNs", cursor, 100)
+      first = false
+      recs.foreach { r =>
+        if (r.id.startsWith("__graft_ptr::"))
+          out(r.id.stripPrefix("__graft_ptr::")) = r.metadata.getOrElse("target", "")
+      }
+      cursor = if (recs.isEmpty && next.isEmpty) None else next
+    }
+    out.toMap
+  }
+
   /** Real Pinecone caps `/vectors/list` at limit ≤ 100, so a page
     * request larger than that is served as a ≤100-record page — the
     * cursor walk simply takes more pages ([[VSPaging]] consumes pages of
@@ -767,7 +951,7 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
 
   override def scrollPage(name: String, cursor: Option[String],
                           pageSize: Int): (Seq[VSRecord], Option[String]) = {
-    val (ix, ns) = split(name)
+    val (ix, ns) = resolved(name)
     // two documented calls: list ids (cursor-paged), then fetch full
     // vectors for the page
     val tok = cursor.map(c => s"&paginationToken=${enc(c)}").getOrElse("")
@@ -824,7 +1008,7 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     * metadata back. */
   private def filteredQuery(name: String, f: String, gidCond: String,
                             topK: Int): Seq[VSRecord] = {
-    val (ix, ns) = split(name)
+    val (ix, ns) = resolved(name)
     val b = obj()
     if (ns.nonEmpty) b.put("namespace", ns)
     putFloats(b, "vector", Array.fill(dimOf(name))(1.0f))
@@ -946,7 +1130,7 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
   override def nativeSearch(name: String, sp: SearchSpec,
                             filter: Option[String]): Option[Seq[VSRecord]] = {
     if (sp.metric != "cosine") return None
-    val (ix, ns) = split(name)
+    val (ix, ns) = resolved(name)
     val b = obj()
     if (ns.nonEmpty) b.put("namespace", ns)
     putFloats(b, "vector", sp.vector)
@@ -969,7 +1153,7 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     scrollViaCursor(name, fromIdx, pageSize)
 
   override def upsert(name: String, records: Seq[VSRecord]): Int = {
-    val (ix, ns) = split(name)
+    val (ix, ns) = resolved(name) // rows land where readers resolve to
     val b = obj()
     if (ns.nonEmpty) b.put("namespace", ns)
     val vs = b.putArray("vectors")
@@ -996,7 +1180,7 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
   }
 
   override def delete(name: String, ids: Seq[String]): Int = {
-    val (ix, ns) = split(name)
+    val (ix, ns) = resolved(name)
     val b = obj()
     if (ns.nonEmpty) b.put("namespace", ns)
     val a = b.putArray("ids")
@@ -1007,12 +1191,17 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
 
   override def drop(name: String): Unit = {
     val (ix, ns) = split(name)
-    if (ns.isEmpty) call("DELETE", s"/indexes/${enc(ix)}")
-    else { // namespace-scoped drop: deleteAll within the namespace
-      val b = obj()
-      b.put("deleteAll", true)
-      b.put("namespace", ns)
-      call("POST", s"/vectors/delete?index=${enc(ix)}", Some(b))
+    if (ns.isEmpty) call("DELETE", s"/indexes/${enc(ix)}") // whole index: gens + meta go with it
+    else if (isReservedNs(ns)) deleteAllNs(ix, ns) // staging/meta never have pointers
+    else pointerOf(ix, ns) match {
+      case Some(p) =>
+        // dropping a published logical name retires pointer + generation +
+        // any literal rows a crashed retire stranded — Qdrant's
+        // drop-alias-and-generation, namespace-shaped
+        deleteAllNs(ix, p.target)
+        deleteAllNs(ix, ns)
+        deletePointer(ix, ns)
+      case None => deleteAllNs(ix, ns)
     }
   }
 
@@ -1021,9 +1210,14 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     (0 until a.size()).flatMap { i =>
       val ix = a.get(i).get("name").asText()
       val s = stats(ix)
-      val named = s.namespaces.keys.filter(_.nonEmpty).toSeq.sorted
-        .map(ns => s"$ix::$ns")
-      val bare = if (s.namespaces.contains("") || s.namespaces.isEmpty) Seq(ix) else Seq.empty
+      // catalog shows LOGICAL names: the meta namespace and live
+      // generations (pointer targets) are engine plumbing — hiding them
+      // is what keeps --sweep-staging from ever seeing a published
+      // generation as a strandable __staging_ sibling
+      val ptrs = listPointers(ix)
+      val visible = (s.namespaces.keySet - metaNs -- ptrs.values) ++ ptrs.keySet
+      val named = visible.filter(_.nonEmpty).toSeq.sorted.map(ns => s"$ix::$ns")
+      val bare = if (visible.contains("") || visible.isEmpty) Seq(ix) else Seq.empty
       bare ++ named
     }
   }

@@ -107,13 +107,47 @@ private[vectorstore] abstract class WireServer(port: Int) {
     * walk" ScaleProbe). */
   @volatile var injectLatencyMs: Int = 0
 
+  /** Test/probe knob: answer the next N requests with `429 Too Many
+    * Requests` + a `Retry-After` header (delta-seconds, fractional
+    * accepted), the shape real Pinecone/Qdrant rate limiters send.
+    * Negative `inject429RetryAfterSec` omits the header (some services
+    * send a bare 429). */
+  val inject429Next = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var inject429RetryAfterSec: Double = 1.0
+
+  private val inflight = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val inflightHigh = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** High-water mark of concurrently-served requests since [[resetInflight]]
+    * — what the throttle-window concurrency cap is asserted against. */
+  def maxInflight: Int = inflightHigh.get()
+  def resetInflight(): Unit = inflightHigh.set(0)
+
   private def dispatch(ex: HttpExchange): Unit = try {
+    val cur = inflight.incrementAndGet()
+    var high = inflightHigh.get()
+    while (cur > high && !inflightHigh.compareAndSet(high, cur)) high = inflightHigh.get()
+    try dispatchInner(ex)
+    finally inflight.decrementAndGet()
+  } catch {
+    case e: Throwable => err(ex, 500, String.valueOf(e.getMessage))
+  }
+
+  private def dispatchInner(ex: HttpExchange): Unit = try {
     if (injectLatencyMs > 0) Thread.sleep(injectLatencyMs.toLong)
     val uri = ex.getRequestURI
     val line = ex.getRequestMethod + " " + uri.getPath +
       Option(uri.getRawQuery).map("?" + _).getOrElse("")
     val body = readBody(ex)
     log.add(line -> body.toString)
+    if (inject429Next.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      if (inject429RetryAfterSec >= 0)
+        ex.getResponseHeaders.set("Retry-After",
+          if (inject429RetryAfterSec == inject429RetryAfterSec.toLong)
+            inject429RetryAfterSec.toLong.toString
+          else inject429RetryAfterSec.toString)
+      err(ex, 429, "rate limited")
+      return
+    }
     // plain conditional, NOT a return inside the Option lambda: a
     // non-local return throws NonLocalReturnControl, which the Throwable
     // handler below would catch and answer a second time on the closed

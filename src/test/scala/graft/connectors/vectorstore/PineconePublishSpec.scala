@@ -1,0 +1,231 @@
+package graft.connectors.vectorstore
+
+import graft.SparkSpec
+import graft.model.Canonical
+import java.nio.file.Files
+
+/** Pinecone atomic publish via the engine-maintained NAMESPACE POINTER —
+  * the alias-swap analog for a wire with no rename and no alias verb
+  * (cf. `/root/reference` pinecone adapter: an empty module; the public
+  * API surface is index/namespace/vector CRUD only). The shadow is a
+  * namespace of the target's own index, publish is ONE pointer upsert,
+  * and the retiring generation is deleted afterwards — replacing the
+  * 2×-write drop-before-copy fallback whose crash window BASELINE.md
+  * priced at 78.8 s / 200k rows at 10 ms RTT. */
+class PineconePublishSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(id: String, tag: String) =
+    VSRecord(id, Array(id.hashCode.toFloat % 7, 1f), Map("v" -> tag))
+
+  /** Raw (pointer-blind) row count of a namespace in the loopback's inner
+    * store — deleteAll drops the inner collection, so absent == retired. */
+  private def rawRows(inner: InMemoryStore, name: String): Int =
+    if (inner.exists(name)) inner.scroll(name, 0, 1000).size else 0
+
+  test("atomic publish = pointer flip on the wire, generations retired") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      // live target serving old data in the LITERAL namespace
+      t.createCollection("ix::pub", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert("ix::pub", Seq(rec("1", "old")))
+      // generation 1 shadow (a namespace of the same index) -> publish
+      val sh1 = t.stagingName("ix::pub")
+      assert(sh1.startsWith("ix::pub__staging_"), sh1)
+      t.createCollection(sh1, CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert(sh1, Seq(rec("1", "g1"), rec("2", "g1")))
+      t.rename(sh1, "ix::pub")
+      assert(t.count("ix::pub") == 2)
+      assert(t.scroll("ix::pub", 0, 10).forall(_.metadata("v") == "g1"))
+      // the pointer record rode the documented upsert verb into __graft_meta
+      assert(server.bodiesOf("POST /vectors/upsert").exists(_.contains("__graft_ptr::pub")))
+      // literal-namespace rows were retired at publish
+      assert(rawRows(inner, "ix::pub") == 0)
+      // catalog shows the published name, never generation or meta plumbing
+      assert(t.listCollections() == Seq("ix::pub"), t.listCollections().toString)
+
+      // generation 2: publish again, generation 1 retired
+      val sh2 = t.stagingName("ix::pub")
+      t.createCollection(sh2, CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert(sh2, Seq(rec("3", "g2")))
+      t.rename(sh2, "ix::pub")
+      assert(t.count("ix::pub") == 1)
+      assert(t.scroll("ix::pub", 0, 10).head.metadata("v") == "g2")
+      assert(rawRows(inner, sh1) == 0, "generation 1 must be retired")
+      assert(t.listCollections() == Seq("ix::pub"))
+
+      // retried publish (lost response) converges, no data loss
+      t.rename(sh2, "ix::pub")
+      assert(t.count("ix::pub") == 1)
+      assert(t.scroll("ix::pub", 0, 10).head.metadata("v") == "g2")
+
+      // non-atomic writes to the logical name land in the LIVE generation
+      t.upsert("ix::pub", Seq(rec("4", "patch")))
+      assert(t.count("ix::pub") == 2)
+
+      // dropping the published name removes pointer AND generation; the
+      // INDEX itself remains (bare), like dropping one namespace always did
+      t.drop("ix::pub")
+      assert(!t.exists("ix::pub"))
+      assert(t.listCollections() == Seq("ix"), t.listCollections().toString)
+    } finally server.stop()
+  }
+
+  test("publish cost is O(1) verbs at any size — no per-row copy traffic") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("big::ns", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert("big::ns", (0 until 500).map(i => rec(s"o$i", "old")))
+      val sh = t.stagingName("big::ns")
+      t.createCollection(sh, CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      (0 until 500).grouped(100).foreach(g =>
+        t.upsert(sh, g.map(i => rec(s"n$i", "new"))))
+      val before = server.requests
+      t.rename(sh, "big::ns")
+      val delta = server.requests - before
+      // pointer fetch + stats + describe + 2 pointer upserts + 1 deleteAll:
+      // a fixed handful, where the copy fallback paid >= 2*ceil(500/100)
+      // scroll+upsert pages AND a drop-before-copy crash window
+      assert(delta <= 8, s"publish issued $delta wire calls — not O(1)")
+      val lines = server.requestLines.drop(before.toInt)
+      assert(!lines.exists(_.startsWith("GET /vectors/list")),
+        s"publish scanned the shadow — copy fallback still in play: $lines")
+      assert(t.count("big::ns") == 500)
+      assert(t.scroll("big::ns", 0, 1).head.metadata("v") == "new")
+    } finally server.stop()
+  }
+
+  test("crash before the flip leaves the old target serving, untouched") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("cw::t", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert("cw::t", Seq(rec("1", "old"), rec("2", "old")))
+      val sh = t.stagingName("cw::t")
+      t.createCollection(sh, CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert(sh, Seq(rec("9", "new")))
+      // ... job dies here: no rename. Readers see exactly the old rows.
+      assert(t.count("cw::t") == 2)
+      assert(t.scroll("cw::t", 0, 10).forall(_.metadata("v") == "old"))
+    } finally server.stop()
+  }
+
+  test("crash between flip and retire: readers serve the new generation; retry finishes") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("cr::t", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert("cr::t", Seq(rec("1", "old")))
+      val sh = "cr::t__staging_gen1"
+      t.createCollection(sh, CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert(sh, Seq(rec("2", "new"), rec("3", "new")))
+      // the flip applied but the process died before the retire leg:
+      // pointer carries target + prev, old rows still physically present
+      t.upsert("cr::__graft_meta", Seq(VSRecord("__graft_ptr::t", Array(1f, 1f),
+        Map("target" -> "t__staging_gen1", "prev" -> "t"))))
+      assert(inner.count("cr::t") == 1, "old generation rows still on disk")
+      // READERS already resolve to the new generation — publish is atomic.
+      // (A fresh client, like any reader arriving after the crash: the
+      // writer that died holds no cache, and a surviving client's pointer
+      // cache re-reads the wire within its 2 s TTL.)
+      val reader = new PineconeWireTransport(server.url)
+      assert(reader.count("cr::t") == 2)
+      assert(reader.scroll("cr::t", 0, 10).forall(_.metadata("v") == "new"))
+      // a retried publish is a no-op flip that FINISHES the retire from `prev`
+      t.rename(sh, "cr::t")
+      assert(rawRows(inner, "cr::t") == 0, "retry must retire the old rows")
+      assert(t.count("cr::t") == 2)
+      assert(t.scroll("cr::t", 0, 10).forall(_.metadata("v") == "new"))
+      assert(reader.count("cr::t") == 2)
+    } finally server.stop()
+  }
+
+  test("DSv2 atomic overwrite rides the pointer flip — bare index AND namespace targets") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      val df = Seq(
+        ("a", Seq(1f, 0f), Map("k" -> "1")),
+        ("b", Seq(0f, 1f), Map("k" -> "2")))
+        .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+      // bare-index target: shadow must be a NAMESPACE (ix::__staging_*),
+      // never a sibling index paying provisioning latency + copy publish
+      df.write.format("graft-pinecone").option("url", server.url)
+        .option("collection", "aw").option("atomic", "true").option("dim", "2")
+        .mode("overwrite").save()
+      assert(t.count("aw") == 2)
+      val ixs = WireJson.mapper.readTree(
+        java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"${server.url}/indexes")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+        .get("indexes")
+      assert((0 until ixs.size()).map(ixs.get(_).get("name").asText()) == Seq("aw"),
+        "atomic write created a sibling index — namespace staging regressed")
+      assert(server.bodiesOf("POST /vectors/upsert").exists(_.contains("__graft_ptr::")),
+        "publish did not ride the pointer flip")
+      assert(t.listCollections() == Seq("aw"), t.listCollections().toString)
+
+      // namespaced target
+      df.write.format("graft-pinecone").option("url", server.url)
+        .option("collection", "aw").option("namespace", "n1")
+        .option("atomic", "true").option("dim", "2")
+        .mode("overwrite").save()
+      assert(t.count("aw::n1") == 2)
+      assert(t.listCollections().sorted == Seq("aw", "aw::n1"),
+        t.listCollections().toString)
+      // read back through the DSv2 scan: pointer resolution is transparent
+      val back = spark.read.format("graft-pinecone").option("url", server.url)
+        .option("collection", "aw").option("namespace", "n1").load()
+      assert(back.count() == 2)
+    } finally server.stop()
+  }
+
+  test("--sweep-staging drops stranded namespace shadows, never the live generation") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      // published target: live generation behind the pointer
+      t.createCollection("sw::ns", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      val live = t.stagingName("sw::ns")
+      t.createCollection(live, CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert(live, Seq(rec("1", "live")))
+      t.rename(live, "sw::ns")
+      // two strandeds: one under the namespaced target, one under the bare
+      t.upsert("sw::ns__staging_dead", Seq(rec("d", "dead")))
+      t.upsert("sw::__staging_deadbare", Seq(rec("d", "dead")))
+      val cfg = Files.createTempFile("swp", ".json")
+      Files.writeString(cfg,
+        s"""{"type": "pinecone", "connection": {"url": "${server.url}",
+           | "namespace": "ns"}, "collection": "sw"}""".stripMargin)
+      assert(graft.cli.Main.run(Array("--sweep-staging", cfg.toString)) == 0)
+      assert(t.count("sw::ns") == 1, "live generation must survive the sweep")
+      assert(!t.listCollections().exists(_.contains("ns__staging_")),
+        t.listCollections().toString)
+      // the bare-target stranded needs the bare-target sweep
+      val cfg2 = Files.createTempFile("swp2", ".json")
+      Files.writeString(cfg2,
+        s"""{"type": "pinecone", "connection": {"url": "${server.url}"},
+           | "collection": "sw"}""".stripMargin)
+      assert(graft.cli.Main.run(Array("--sweep-staging", cfg2.toString)) == 0)
+      assert(!t.listCollections().exists(_.contains("__staging_")),
+        t.listCollections().toString)
+      assert(t.count("sw::ns") == 1)
+    } finally server.stop()
+  }
+}
