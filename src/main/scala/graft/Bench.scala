@@ -17,6 +17,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the same 5 samples) under "queries_iqr" plus "samples", so a
   * round-over-round delta can be read against dispersion: a shift
   * inside the IQR band is noise, outside it is a plan change.
+  *
+  * Self-defense (round 12): the artifact carries a HOST-CONTENTION
+  * sentinel — a fixed-cost calibration stage timed before the first and
+  * after the last measurement ("calib_first_sec"/"calib_last_sec", plus
+  * /proc/loadavg brackets); >2x drift sets "noisy_host": true, marking
+  * the whole run co-tenant-polluted (per-query IQR can't see a run-long
+  * uniform slowdown — rounds 10/11 shipped 1.5x/5x-inflated artifacts
+  * that only idle re-runs could arbitrate). The sf1 ramp is GENERATED
+  * when missing (with a `.source` marker keyed to the input dir), so the
+  * artifact can no longer silently drop its sf1 section on a fresh
+  * checkout.
   */
 object Bench {
   /** Headline subset: one representative per operator family (agg, join,
@@ -58,6 +69,63 @@ object Bench {
     s(s.length * 3 / 4) - s(s.length / 4)
   }
 
+  /** Fixed-cost calibration job: 32M codegen'd hashes + one aggregate —
+    * the same resource profile (all-core CPU through a Spark stage) the
+    * bench queries contend for, with ZERO data dependence. Run once warm
+    * before the first measurement and once after the last: any drift is
+    * the HOST's, not the code's. */
+  def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(1L << 25).selectExpr("sum(xxhash64(id))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Uniform co-tenant load slows first and last calibration differently
+    * than the fixed-cost work predicts; >2x drift between them marks the
+    * whole artifact suspect. (Round 11's driver artifact was 5x inflated
+    * by exactly this; the per-query IQR self-report cannot see a
+    * run-long uniform slowdown — bracketing calibration can.) */
+  def noisyHost(first: Double, last: Double): Boolean =
+    math.max(first, last) / math.max(1e-9, math.min(first, last)) > 2.0
+
+  private def loadAvg1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** The sf1 ramp directory, GENERATING it when absent — round 11's
+    * artifact silently lost its sf1 section because the driver's fresh
+    * checkout had no `target/sf1` (gitignored) and Bench only ramped when
+    * it existed. A `.source` marker records what the ramp was built from,
+    * so switching SPARK_GRAFT_SF_DIR (e.g. local sf0.01 iteration vs the
+    * driver's sf0.1) rebuilds instead of silently reusing a stale ramp.
+    * `SPARK_GRAFT_SF1=off` skips the ramp entirely. */
+  private[graft] def ensureSf1(spark: SparkSession, srcDir: String,
+                               rampDir: String = "target/sf1"): (Option[String], Boolean) = {
+    import java.nio.file.{Files, Paths}
+    if (sys.env.get("SPARK_GRAFT_SF1").contains("off")) return (None, false)
+    sys.env.get("SPARK_GRAFT_SF1_DIR").filter(d => Files.exists(Paths.get(d))) match {
+      case some @ Some(_) => (some, false)
+      case None =>
+        val d = rampDir
+        val marker = Paths.get(d, ".source")
+        val want = s"$srcDir x10"
+        val fresh = Files.exists(marker) &&
+          new String(Files.readAllBytes(marker)).trim == want
+        if (fresh) (Some(d), false)
+        else try {
+          BenchGen.replicate(spark, srcDir, d, 10)
+          Files.write(marker, (want + "\n").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          (Some(d), true)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] sf1 ramp generation failed: ${e.getMessage}")
+            (None, false)
+        }
+    }
+  }
+
   private def measure(spark: SparkSession, sfDir: String,
                       samples: Int): Seq[(String, Double, Double)] = {
     val qs = SparkEntry.queries ++ benchOnly
@@ -88,18 +156,21 @@ object Bench {
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "5").toInt
     val spark = GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // contention sentinel, leg 1: warm the calibration plan, then time it
+    val loadBefore = loadAvg1m()
+    calibrate(spark)
+    val calibFirst = calibrate(spark)
     val results = measure(spark, sfDir, samples)
     val (qjson, ijson) = jsonMaps(results)
     val total = results.map(_._2).sum
-    // Scale ramp: when the materialized sf1 dataset exists (see
-    // [[BenchGen]] — 10x sf0.1, replicas de-correlated so dedup stays
-    // linear), the same headline queries run there too and ride the same
+    // Scale ramp: the materialized sf1 dataset (see [[BenchGen]] — 10x,
+    // replicas de-correlated so dedup stays linear) is GENERATED when
+    // absent, so the artifact can never silently ship without its sf1
+    // section; the same headline queries run there and ride the same
     // JSON line under sf1_* keys. The sf0.1 board stopped discriminating
     // (every query well under baseline), so plan regressions are expected
     // to surface at sf1 first.
-    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
-      .orElse(Some("target/sf1"))
-      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    val (sf1Dir, sf1Generated) = ensureSf1(spark, sfDir)
     val sf1Json = sf1Dir.map { d =>
       // ≥5 samples: the round-10 artifact carried 3-sample medians with
       // IQR > median on 3 queries — statistically unusable. 5 is the floor;
@@ -113,10 +184,19 @@ object Bench {
       val warn = if (noisy.isEmpty) ""
         else s""","sf1_noisy_iqr":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       s""","sf1_total":${f"${r1.map(_._2).sum}%.3f"},"sf1_queries":$q1,""" +
-        s""""sf1_queries_iqr":$i1,"sf1_samples":$s1,"sf1_dir":"$d"$warn"""
+        s""""sf1_queries_iqr":$i1,"sf1_samples":$s1,"sf1_dir":"$d"""" +
+        s""","sf1_generated":$sf1Generated$warn"""
     }.getOrElse("")
+    // contention sentinel, leg 2: same fixed-cost plan after everything —
+    // drift between the legs is co-tenant load, flagged in the artifact
+    val calibLast = calibrate(spark)
+    val loadAfter = loadAvg1m()
+    val sentinel =
+      s""","calib_first_sec":${f"$calibFirst%.3f"},"calib_last_sec":${f"$calibLast%.3f"}""" +
+        s""","load_1m_before":$loadBefore,"load_1m_after":$loadAfter""" +
+        s""","noisy_host":${noisyHost(calibFirst, calibLast)}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
-      s""""queries_iqr":$ijson,"samples":$samples,"sf":"$sfDir"$sf1Json}"""
+      s""""queries_iqr":$ijson,"samples":$samples,"sf":"$sfDir"$sf1Json$sentinel}"""
     println(line)
     // Also land the JSON in a file: sbt interleaves log noise into stdout,
     // which has left the driver's `parsed` field null before.

@@ -1,0 +1,56 @@
+package graft
+
+/** The bench artifact must defend itself: a host-contention sentinel that
+  * actually trips under load, and an sf1 ramp that regenerates instead of
+  * silently vanishing (round 11's driver artifact lost its sf1 section on
+  * a fresh checkout and shipped 5x-inflated timings with no flag). */
+class BenchSentinelSpec extends SparkSpec {
+
+  test("noisyHost decision: >2x calibration drift in either direction") {
+    assert(Bench.noisyHost(0.1, 0.25))
+    assert(Bench.noisyHost(0.25, 0.1)) // symmetric: slow start, idle end
+    assert(!Bench.noisyHost(0.1, 0.15))
+    assert(!Bench.noisyHost(0.2, 0.2))
+  }
+
+  test("sentinel trips under synthetic co-tenant load") {
+    Bench.calibrate(spark) // pay codegen/JIT once, like the real protocol
+    val idle = Bench.calibrate(spark)
+    // co-tenant: 2 spin threads per core, so the Spark stage gets at most
+    // ~1/3 of the machine — well past the 2x sentinel threshold
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val spinners = (0 until 2 * Runtime.getRuntime.availableProcessors()).map { _ =>
+      val th = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) { x += 1; if (x == Long.MaxValue) x = 0 }
+      })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    val loaded =
+      try Bench.calibrate(spark)
+      finally { stop.set(true); spinners.foreach(_.join(1000)) }
+    assert(Bench.noisyHost(idle, loaded),
+      f"calibration did not trip: idle $idle%.3f s vs loaded $loaded%.3f s")
+  }
+
+  test("sf1 ramp generates when missing, reuses when fresh, rebuilds on source change") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sf1_test")
+      .resolve("sf1").toString
+    // absent -> generated
+    val (d1, gen1) = Bench.ensureSf1(spark, sf(), rampDir = dir)
+    assert(d1.contains(dir) && gen1)
+    val docs0 = Tables(spark, sf(), "documents").count()
+    assert(Tables(spark, dir, "documents").count() == 10 * docs0)
+    // fresh marker -> reused, NOT regenerated
+    val (d2, gen2) = Bench.ensureSf1(spark, sf(), rampDir = dir)
+    assert(d2.contains(dir) && !gen2)
+    // a DIFFERENT source invalidates the marker -> rebuilt (a stale ramp
+    // from local sf0.01 iteration must never serve a driver sf0.1 run)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".source"),
+      "somewhere/else x10\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (d3, gen3) = Bench.ensureSf1(spark, sf(), rampDir = dir)
+    assert(d3.contains(dir) && gen3)
+  }
+}
