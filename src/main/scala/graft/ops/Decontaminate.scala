@@ -139,28 +139,39 @@ object Decontaminate {
     * — per-train-row work drops from |eval| dot products to the handful
     * of eval rows sharing its bucket. LSH recall trade: a contaminated
     * pair split across buckets is missed (collision probability
-    * `(1 − θ/π)^bits` per plane set); rerun with a different `seed` and
-    * union the flags to recover, exactly like the rotated-planes recipe
-    * on [[graft.ops.Similarity.lshCosinePairs]]. Output contains ONLY
-    * train docs with at least one colliding eval candidate — absent rows
-    * are clean at this recall, which is the useful direction (the flag
-    * list is what gets dropped). */
+    * `(1 − θ/π)^bits` per plane set). Recall recovery is a PARAMETER:
+    * every extra entry in `seeds` re-buckets both sides on independently
+    * rotated planes and the collision sets union BEFORE the one per-train
+    * argmax, so a pair any plane set keeps together is found — miss
+    * probability multiplies per seed, cost is one broadcast bucket-join
+    * per seed. Output contains ONLY train docs with at least one
+    * colliding eval candidate — absent rows are clean at this recall,
+    * which is the useful direction (the flag list is what gets dropped). */
   def semanticContainmentLsh(train: DataFrame, eval: DataFrame,
                              threshold: Double = 0.8, bits: Int = 8,
                              idCol: String = "vec_id",
                              vecCol: String = "embedding",
-                             seed: Long = 7L): DataFrame = {
-    val planes = Similarity.hyperplanes(bits,
-      Similarity.resolveDim(train, vecCol, -1), seed)
-    val tb = train.select(col(idCol), col(vecCol).as("__tv"))
-      .withColumn("__bkt", Similarity.bucketExpr("__tv", planes))
-    // eid widened to long like the exact + streaming faces, so every
-    // semantic-decontamination face emits the same nearest_eval_id schema
-    val eb = broadcast(eval.select(col(idCol).cast("long").as("__eid"), col(vecCol).as("__ev"))
-      .withColumn("__bkt", Similarity.bucketExpr("__ev", planes)))
-    tb.join(eb, "__bkt")
-      .withColumn("__c",
-        round(graft.functions.VectorFunctions.cosineSimilarity(col("__tv"), col("__ev")), 6))
+                             seeds: Seq[Long] = Seq(7L)): DataFrame = {
+    require(seeds.nonEmpty, "semanticContainmentLsh needs at least one plane seed")
+    val dim = Similarity.resolveDim(train, vecCol, -1)
+    def collisions(seed: Long): DataFrame = {
+      val planes = Similarity.hyperplanes(bits, dim, seed)
+      val tb = train.select(col(idCol), col(vecCol).as("__tv"))
+        .withColumn("__bkt", Similarity.bucketExpr("__tv", planes))
+      // eid widened to long like the exact + streaming faces, so every
+      // semantic-decontamination face emits the same nearest_eval_id schema
+      val eb = broadcast(eval.select(col(idCol).cast("long").as("__eid"),
+        col(vecCol).as("__ev"))
+        .withColumn("__bkt", Similarity.bucketExpr("__ev", planes)))
+      tb.join(eb, "__bkt")
+        .withColumn("__c",
+          round(graft.functions.VectorFunctions.cosineSimilarity(col("__tv"), col("__ev")), 6))
+        .select(col(idCol), col("__eid"), col("__c"))
+    }
+    // union collisions across plane sets, ONE argmax: a (train, eval) pair
+    // colliding under several seeds scores identically, so no pre-dedup is
+    // needed before the max
+    seeds.map(collisions).reduce(_ unionByName _)
       .groupBy(idCol)
       .agg(max(struct(col("__c").as("c"), (-col("__eid")).as("negid"))).as("best"))
       .select(col(idCol),

@@ -154,6 +154,13 @@ object Multimodal {
     * EXPECTED decoded features of the real codec from `d` alone — PNG is
     * lossless, so encode→decode must round-trip every pixel. */
   def syntheticPng(d: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(syntheticImage(d), "png", out)
+    out.toByteArray
+  }
+
+  /** The shared closed-form raster behind both fixture encoders. */
+  private def syntheticImage(d: Long): BufferedImage = {
     val w = (8 * (1 + d % 2)).toInt
     val h = (8 * (1 + (d / 2) % 2)).toInt
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
@@ -167,8 +174,29 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** JPEG encode of the SAME closed-form raster as [[syntheticPng]] —
+    * real multimodal corpora are JPEG-heavy, and the codec path must
+    * prove itself on a LOSSY container too. No closed-form oracle exists
+    * for lossy pixels (DCT quantization is encoder-defined), so JPEG
+    * features are pinned from committed fixture bytes in MultimodalSpec,
+    * and the operational contract is the near-dup one: a JPEG re-encode
+    * aHashes within a small Hamming distance of its PNG original (that
+    * robustness-to-re-encoding is the entire point of average-hash). */
+  def syntheticJpeg(d: Long, quality: Float = 0.9f): Array[Byte] = {
+    val img = syntheticImage(d)
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
     out.toByteArray
   }
 
@@ -179,18 +207,24 @@ object Multimodal {
                                 mean_byte: Option[Double], ahash: Option[Long],
                                 ahash_bits: Option[String])
 
-  /** Media table of [[syntheticPng]] payloads — the image-ingestion test
-    * stand-in, one real PNG per input row. */
-  def imageTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  /** Media table of synthetic image payloads — the image-ingestion test
+    * stand-in, one real encoded image per input row. `format` selects the
+    * container: `"png"` (lossless, closed-form-oracle-adjudicated) or
+    * `"jpeg"` (lossy — see [[syntheticJpeg]]); the decode side
+    * ([[extractImageFeatures]]) is container-agnostic either way. */
+  def imageTable(docs: DataFrame, idCol: String = "doc_id",
+                 format: String = "png"): DataFrame = {
+    require(format == "png" || format == "jpeg",
+      s"imageTable format must be png|jpeg, got $format")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false) // no temp file per encode
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       ids.map { id =>
-        val bytes = syntheticPng(id)
+        val bytes = if (format == "png") syntheticPng(id) else syntheticJpeg(id)
         val sha = digest.digest(bytes).map("%02x".format(_)).mkString
-        MediaRow(id, bytes, MediaMeta("image/png", bytes.length.toLong, sha))
+        MediaRow(id, bytes, MediaMeta(s"image/$format", bytes.length.toLong, sha))
       }
     }.toDF()
   }
@@ -217,6 +251,54 @@ object Multimodal {
           f.map(_.aHash), f.map(_.aHashBits))
       }
     }.toDF()
+  }
+
+  /** Image NEAR-duplicate pairs by banded aHash Hamming join — the
+    * cross-container face of image dedup: a JPEG re-encode of a PNG (or
+    * any lossy re-save) shifts a few marginal aHash bits, so the exact
+    * fingerprint equality of `q_mm_ahash_dedup` misses exactly the pairs
+    * that matter most in a crawled corpus.
+    *
+    * Plan shape: the 64-bit hash splits into `maxHamming + 1`
+    * non-overlapping bands (each as WIDE as the budget allows — fewer
+    * flips tolerated means fewer, more selective band keys); rows explode
+    * to (band, band_bits) keys, candidates equi-join per band (ONE
+    * shuffle on the band key — never all-pairs), and the full Hamming
+    * distance verifies inside the bucket. Pigeonhole makes candidate
+    * recall EXACT: ≤ `maxHamming` flipped bits cannot touch all
+    * `maxHamming + 1` bands, so every qualifying pair agrees on at least
+    * one band key. Same banding guarantee as MinHash LSH, but
+    * deterministic — and `maxHamming = 0` degenerates to the exact
+    * 64-bit equality join, one band, no overhead. */
+  def aHashNearDupPairs(features: DataFrame, maxHamming: Int = 3,
+                        idCol: String = "media_id",
+                        fpCol: String = "ahash"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"banded aHash join stays selective only for maxHamming in [0,7], got $maxHamming")
+    val bands = maxHamming + 1
+    val starts = Array.tabulate(bands)(b => (b * 64 / bands).toLong)
+    val masks = Array.tabulate(bands) { b =>
+      val len = (b + 1) * 64 / bands - b * 64 / bands
+      if (len >= 64) -1L else (1L << len) - 1L
+    }
+    val banded = features
+      .where(col(fpCol).isNotNull)
+      .select(col(idCol), col(fpCol).as("__fp"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_bits",
+        expr(s"shiftrightunsigned(__fp, element_at(array(${starts.mkString(",")}), band + 1))")
+          .bitwiseAND(expr(s"element_at(array(${masks.map(_ + "L").mkString(",")}), band + 1)")))
+    val a = banded.select(col("band"), col("band_bits"),
+      col(idCol).as("id_a"), col("__fp").as("fp_a"))
+    val b = banded.select(col("band"), col("band_bits"),
+      col(idCol).as("id_b"), col("__fp").as("fp_b"))
+    a.join(b, Seq("band", "band_bits")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      // a close pair matches several bands; the distance is a pure
+      // function of the pair, so the dedup keys on the ids alone
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Real audio codec over the JDK's `javax.sound.sampled` (WAV/PCM —

@@ -306,19 +306,35 @@ object Similarity {
   }
 
   /** LSH near-pair generator (the scale path for cosine near-dedup):
-    * pairs sharing a hyperplane bucket, verified by exact cosine. */
+    * pairs sharing a hyperplane bucket, verified by exact cosine.
+    *
+    * Recall recovery is a PARAMETER, not a doc-comment recipe: each extra
+    * entry in `seeds` re-buckets the corpus on independently-rotated
+    * planes and the passes union with one pair-dedup — a near-dup pair
+    * split by one plane set survives if ANY set keeps it together (miss
+    * probability multiplies per seed: (1 − (1 − θ/π)^bits)^|seeds|).
+    * Cost is linear in |seeds| (one bucket-join each); the single-seed
+    * default keeps the historical plan byte-for-byte (no dedup node). */
   def lshCosinePairs(emb: DataFrame, threshold: Double, bits: Int = 8,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     dim: Int = -1): DataFrame = {
-    val planes = hyperplanes(bits, resolveDim(emb, vecCol, dim))
-    val bk = emb.select(col(idCol), col(vecCol))
-      .withColumn("bucket", bucketExpr(vecCol, planes))
-    val a = bk.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = bk.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+                     dim: Int = -1, seeds: Seq[Long] = Seq(7L)): DataFrame = {
+    require(seeds.nonEmpty, "lshCosinePairs needs at least one plane seed")
+    val d = resolveDim(emb, vecCol, dim)
+    def pass(seed: Long): DataFrame = {
+      val planes = hyperplanes(bits, d, seed)
+      val bk = emb.select(col(idCol), col(vecCol))
+        .withColumn("bucket", bucketExpr(vecCol, planes))
+      val a = bk.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+      val b = bk.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+      a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")), 6))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
+    if (seeds.length == 1) pass(seeds.head)
+    // cosine is a pure function of the pair, so the dedup keys on the pair
+    // alone — one hash-aggregate over the unioned passes
+    else seeds.map(pass).reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
   }
 
   /** [[lshCosinePairs]] with the bit width chosen FROM THE CORPUS SIZE:
@@ -329,15 +345,15 @@ object Similarity {
     * corpus outgrows its bucket count: the sf1 bench ramp measured the
     * label-blocked variant at 42× cost for 10× rows. Costs one extra
     * `count()` pass to size the corpus. Recall trade: more bits split
-    * true near-dup pairs more often — run a second pass with rotated
-    * planes to recover, as with [[graft.ops.Dedup.simHashDuplicatePairs]]. */
+    * true near-dup pairs more often — pass extra `seeds` to union
+    * rotated-plane passes (see [[lshCosinePairs]]). */
   def lshCosinePairsAuto(emb: DataFrame, threshold: Double, targetBucket: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         dim: Int = -1): DataFrame = {
+                         dim: Int = -1, seeds: Seq[Long] = Seq(7L)): DataFrame = {
     val n = emb.count()
     val want = math.max(1L, n / math.max(1, targetBucket))
     val bits = math.max(4, math.min(24, 64 - java.lang.Long.numberOfLeadingZeros(want - 1)))
-    lshCosinePairs(emb, threshold, bits, idCol, vecCol, dim)
+    lshCosinePairs(emb, threshold, bits, idCol, vecCol, dim, seeds)
   }
 
   /** IVF-Flat: deterministic coarse quantizer (lowest-id seeds, optionally

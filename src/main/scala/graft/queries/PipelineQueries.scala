@@ -422,6 +422,18 @@ object PipelineQueries {
         .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
           col("ahash_bits"))
     }),
+    // Image NEAR-dup pairs by banded Hamming join over the same decoded
+    // fingerprints: maxHamming+1 non-overlapping bands, pigeonhole-exact
+    // candidate recall, full-distance verify in the bucket — the lossy
+    // re-encode case exact equality misses (the PNG↔JPEG face is pinned
+    // in MultimodalSpec; this gate adjudicates the banding + verify plan
+    // on the lossless table, where the oracle replays bands and Hamming
+    // from the closed-form bit strings).
+    "q_mm_ahash_neardup" -> ((s, dir) =>
+      Multimodal.aHashNearDupPairs(
+        Multimodal.extractImageFeatures(
+          Multimodal.imageTable(Tables(s, dir, "documents"))),
+        maxHamming = 3)),
     // REAL audio decode: one synthetic 16-bit PCM WAV per document
     // (closed-form samples), decoded by javax.sound.sampled in
     // mapPartitions; integer-exact |s|/s² sums and strict zero-crossing
@@ -1306,6 +1318,23 @@ object PipelineQueries {
           " SELECT a.media_id AS media_a, b.media_id AS media_b, a.ahash_bits " +
           "FROM hsh a JOIN hsh b ON a.ahash_bits = b.ahash_bits " +
           "AND a.media_id < b.media_id"),
+      // banded Hamming near-dup: replays the engine's 4x16-bit bands
+      // (bit j of the hash = char j of the bit string, band = j // 16),
+      // candidate join per band, full Hamming verify <= 3 on candidates
+      "q_mm_ahash_neardup" ->
+        (mmImageCtes +
+          ", bnd AS (SELECT media_id, j // 16 AS band, " +
+          "string_agg(bit, '' ORDER BY j) AS bb FROM bits GROUP BY media_id, band), " +
+          "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b " +
+          "FROM bnd a JOIN bnd b ON a.band = b.band AND a.bb = b.bb " +
+          "AND a.media_id < b.media_id), " +
+          "ham AS (SELECT c.id_a, c.id_b, " +
+          "count(*) FILTER (WHERE x.bit <> y.bit) AS hamming FROM cand c " +
+          "JOIN bits x ON x.media_id = c.id_a " +
+          "JOIN bits y ON y.media_id = c.id_b AND y.j = x.j " +
+          "GROUP BY c.id_a, c.id_b) " +
+          "SELECT id_a, id_b, CAST(hamming AS INT) AS hamming " +
+          "FROM ham WHERE hamming <= 3"),
       // replays Multimodal.syntheticWav's closed-form sample math:
       // s[k] = ((id*131 + k*17) % 65536) - 32768 over n = 64 + id%64
       // samples; zero crossings via lag (null first-row product never

@@ -226,4 +226,82 @@ class MultimodalSpec extends SparkSpec {
     val expected = Multimodal.Mp4Meta.parse(base).get
     assert(m == expected, s"$m vs $expected")
   }
+
+  test("JPEG: committed fixture bytes decode to the pinned features") {
+    // JPEG is lossy with encoder-defined quantization, so there is no
+    // closed-form oracle; the contract is pinned against COMMITTED bytes
+    // (decode is standardized and stable; re-encoding is not — regenerate
+    // via graft.tools.GenJpegFixtures only when the contract changes).
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/$name")
+      assert(in != null, s"missing committed fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val f0 = Multimodal.ImageCodec.decode(fixture("img_d0_q90.jpg")).get
+    assert(f0.width == 8 && f0.height == 8 && f0.channels == 3)
+    assert(f0.lumSum == 13416L, s"lumSum drifted: ${f0.lumSum}")
+    assert(f0.aHashBits ==
+      "0000000000000000000000010000011100011111011111111111111111111111",
+      f0.aHashBits)
+    val f3 = Multimodal.ImageCodec.decode(fixture("img_d3_q90.jpg")).get
+    assert(f3.width == 16 && f3.height == 16 && f3.channels == 3)
+    assert(f3.lumSum == 99816L, s"lumSum drifted: ${f3.lumSum}")
+    assert(f3.aHashBits ==
+      "0011111101111111111111101111110011110000110000000000000000000000",
+      f3.aHashBits)
+    // the lossy decode stays CLOSE to the lossless original - the whole
+    // premise of hashing decoded pixels (PNG d0 lumSum is 13440: 0.2% off)
+    val p0 = Multimodal.ImageCodec.decode(Multimodal.syntheticPng(0L)).get
+    assert(math.abs(f0.lumSum - p0.lumSum) * 100 < p0.lumSum,
+      s"JPEG luminance >1% off PNG: ${f0.lumSum} vs ${p0.lumSum}")
+  }
+
+  test("imageTable(format=jpeg): real JPEGs flow the same decode plumbing") {
+    val ids = (0L until 12L).map(d => (d, s"t$d")).toDF("doc_id", "text")
+    val feats = Multimodal.extractImageFeatures(
+      Multimodal.imageTable(ids, format = "jpeg"))
+    val rows = feats.collect()
+    assert(rows.length == 12 && rows.forall(!_.isNullAt(1)), "undecodable JPEG")
+    val mimes = Multimodal.imageTable(ids, format = "jpeg")
+      .select("meta.mime").distinct().collect().map(_.getString(0)).toSeq
+    assert(mimes == Seq("image/jpeg"))
+    intercept[IllegalArgumentException] {
+      Multimodal.imageTable(ids, format = "tiff")
+    }
+  }
+
+  test("aHash near-dup pairs every PNG with its JPEG re-encode across containers") {
+    // the actual corpus-cleaning case: the same image saved twice, once
+    // lossless and once lossy - exact-hash dedup misses it, banded
+    // Hamming join must catch it
+    val n = 24L
+    val ids = (0L until n).map(d => (d, s"t$d")).toDF("doc_id", "text")
+    val png = Multimodal.extractImageFeatures(Multimodal.imageTable(ids))
+    val jpg = Multimodal.extractImageFeatures(
+        Multimodal.imageTable(ids, format = "jpeg"))
+      .withColumn("media_id", col("media_id") + 1000L)
+    val pairs = Multimodal.aHashNearDupPairs(png.unionByName(jpg), maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val crossCodec = pairs.collect { case (a, b, h) if b == a + 1000L => a -> h }.toMap
+    val missing = (0L until n).filterNot(crossCodec.contains)
+    assert(missing.isEmpty,
+      s"re-encodes not paired for ids $missing (found ${crossCodec.keySet.toSeq.sorted})")
+    // and the distances are genuinely small - aHash robustness, measured
+    assert(crossCodec.values.forall(_ <= 7))
+  }
+
+  test("aHashNearDupPairs at maxHamming=0 equals the exact-equality join") {
+    val ids = (0L until 40L).map(d => (d, s"t$d")).toDF("doc_id", "text")
+    val f = Multimodal.extractImageFeatures(Multimodal.imageTable(ids))
+    val banded = Multimodal.aHashNearDupPairs(f, maxHamming = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = f.as("a").join(f.as("b"), Seq("ahash"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id"), col("b.media_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact)
+    intercept[IllegalArgumentException] {
+      Multimodal.aHashNearDupPairs(f, maxHamming = 8)
+    }
+  }
 }

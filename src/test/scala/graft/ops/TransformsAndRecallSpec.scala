@@ -171,6 +171,37 @@ class AnnRecallSpec extends SparkSpec {
     } else assert(lsh != null)
   }
 
+  test("multi-seed LSH: 3 rotated plane sets recover recall a single set loses") {
+    val exact = Dedup.cosineNearDupPairs(emb, blockCol = "label", threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(exact.nonEmpty)
+    def recallAt(seeds: Seq[Long]): (Double, Set[(Long, Long)]) = {
+      val got = Similarity.lshCosinePairs(emb, threshold = 0.4, bits = 4, seeds = seeds)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((exact intersect got).size.toDouble / exact.size, got)
+    }
+    val (r1, p1) = recallAt(Seq(7L))
+    val (r3, p3) = recallAt(Seq(7L, 8L, 9L))
+    // the 3-seed union is a superset of the seed-7 pass by construction
+    assert(p1.subsetOf(p3), s"union lost pairs: ${p1 -- p3}")
+    assert(r3 >= r1, s"recall fell with more seeds: $r1 -> $r3")
+    // at bits=4 a cosine-0.4 pair collides with p≈0.16 per set; 3 sets
+    // lift that to ≈0.4 — require a real, not incidental, improvement
+    assert(r3 > r1 + 0.05 || r1 > 0.95,
+      s"3 seeds did not move recall: $r1 -> $r3 (exact=${exact.size})")
+    // same API on the decontamination face: flags monotonically grow
+    val train = emb.filter(col("vec_id") % 20 =!= 0)
+    val evalSet = emb.filter(col("vec_id") % 20 === 0)
+    def flagged(seeds: Seq[Long]): Set[Long] =
+      Decontaminate.semanticContainmentLsh(train, evalSet, threshold = 0.4,
+          bits = 4, seeds = seeds)
+        .filter(col("contaminated")).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    val f1 = flagged(Seq(7L))
+    val f3 = flagged(Seq(7L, 8L, 9L))
+    assert(f1.subsetOf(f3), s"multi-seed lost flags: ${f1 -- f3}")
+  }
+
   test("semantic decontamination: LSH face is precision-1 vs exact, useful recall") {
     val train = emb.filter(col("vec_id") % 20 =!= 0)
     val evalSet = emb.filter(col("vec_id") % 20 === 0)
