@@ -109,7 +109,7 @@ object Bench {
       case None =>
         val d = rampDir
         val marker = Paths.get(d, ".source")
-        val want = s"$srcDir x10"
+        val want = s"$srcDir x10 v${BenchGen.rampVersion}"
         val fresh = Files.exists(marker) &&
           new String(Files.readAllBytes(marker)).trim == want
         if (fresh) (Some(d), false)

@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   * 10× BIGGER, not 100× more duplicate pairs, so the replicas are
   * de-correlated:
   *
-  *  - `documents`: copy k>0 interleaves a copy-specific salt token after
-  *    every word, so every 3-shingle of a salted copy contains a token no
-  *    other copy has — cross-copy Jaccard ~0 — while two near-dup docs
-  *    WITHIN a copy salt identically and keep their similarity;
+  *  - `documents`: copy k>0 SUFFIXES every token with a copy-specific
+  *    tag (`w` → `wzqK`) — a bijection on the token vocabulary, so two
+  *    docs within a copy have EXACTLY the original corpus's shingle
+  *    Jaccard, while cross-copy shingle sets are disjoint. (The round-11
+  *    ramp instead INTERLEAVED a shared salt token after every word;
+  *    that handed every within-copy doc pair a 50%-common token stream,
+  *    inflating MinHash band collisions ~6,400× at sf1 — the measured
+  *    "8.1× at 10× rows" growth of q_dedup_minhash was this generator
+  *    artifact, not the operator: true ≥0.3-Jaccard pairs grew exactly
+  *    10×. See BASELINE.md "minhash profile at sf1".);
   *  - `embeddings`: copy k>0 re-draws each component from a hash of
   *    (vec_id, k, j) — new points in the same space, not clones;
   *  - `lineitem`/`orders`: orderkeys shift per copy (join keys stay
@@ -28,6 +34,12 @@ import org.apache.spark.sql.functions._
   * Usage: `runMain graft.BenchGen /root/testdata/sf0.1 <outDir> [factor]`.
   */
 object BenchGen {
+
+  /** Bumped whenever replicate()'s output changes; rides the sf1 ramp's
+    * `.source` marker so a ramp built by an older generator is rebuilt,
+    * never silently reused (v2: token-suffix de-correlation replaced the
+    * interleaved-salt scheme that inflated MinHash band collisions). */
+  val rampVersion = 2
 
   private val Shift = 1000000000L
 
@@ -53,13 +65,15 @@ object BenchGen {
       .withColumn("user_id", col("user_id") + col("__k") * Shift)
       .drop("__k"), "events")
 
-    // documents: salt every copy's token stream with a copy-unique word so
-    // replicas are not near-dups of each other (see scaladoc)
+    // documents: per-copy token SUFFIX — a vocabulary bijection, so
+    // within-copy similarity is preserved exactly and cross-copy shingle
+    // sets are disjoint (see scaladoc for why interleaving a shared salt
+    // token was wrong)
     val salted = read("documents").crossJoin(copies)
       .withColumn("text",
         when(col("__k") === 0, col("text")).otherwise(concat_ws(" ",
-          flatten(transform(split(col("text"), "\\s+"),
-            w => array(w, concat(lit("zq"), col("__k"))))))))
+          transform(split(col("text"), "\\s+"),
+            w => concat(w, lit("zq"), col("__k"))))))
       .withColumn("doc_id", col("doc_id") + col("__k") * Shift)
       .withColumn("n_chars", length(col("text")))
       .drop("__k")

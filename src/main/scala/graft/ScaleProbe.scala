@@ -465,14 +465,14 @@ object ScaleProbe {
       Seq("sf0.1" -> dir, "sf1  " -> ramp).foreach { case (tag, d) =>
         val dd = Tables(spark, d, "documents")
         dd.count() // touch the files so read-side caching is comparable
-        time(s"[$tag] signatures")(
+        time(s"minhash profile [$tag] signatures")(
           ops.Dedup.withMinHashSignature(dd).select("minhash_sig")
             .filter(size(col("minhash_sig")) > 0).count())
         // band rows + the guard's bucket histogram (shuffle volume view)
         val bands = ops.Dedup.lshBands(
           ops.Dedup.withMinHashSignature(dd), "doc_id", 16, 4, portable = false)
-        time(s"[$tag] band rows")(bands.count())
-        time(s"[$tag] candidate pairs")({
+        time(s"minhash profile [$tag] band rows")(bands.count())
+        time(s"minhash profile [$tag] cand pairs")({
           val small = bands.groupBy("band", "band_hash")
             .agg(count(col("doc_id")).as("__n")).filter(col("__n") <= 1000)
             .select("band", "band_hash")
@@ -482,11 +482,11 @@ object ScaleProbe {
               Seq("band", "band_hash"))
             .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct().count()
         })
-        time(s"[$tag] verified pairs")(
+        time(s"minhash profile [$tag] verified")(
           ops.Dedup.minHashDuplicatePairs(dd, threshold = 0.3).count())
-        time(s"[$tag] estimate pairs")(
+        time(s"minhash profile [$tag] estimate")(
           ops.Dedup.minHashDuplicatePairs(dd, threshold = 0.3, verifyExact = false).count())
-        time(s"[$tag] OPH estimate")(
+        time(s"minhash profile [$tag] OPH est")(
           ops.Dedup.minHashDuplicatePairs(dd, threshold = 0.3, verifyExact = false,
             onePerm = true).count())
       }
