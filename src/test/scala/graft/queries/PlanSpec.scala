@@ -153,4 +153,21 @@ class PlanSpec extends SparkSpec {
     assert(aggs(indexed) < aggs(legacy),
       s"indexed=${aggs(indexed)} legacy=${aggs(legacy)}")
   }
+
+  test("semantic decontamination is a PURE MAP: no join, no exchange, no agg") {
+    // the fused NearestEvalExpr replaced crossJoin(broadcast) + groupBy;
+    // at 100 TB that is the difference between zero shuffle and an
+    // O(train-rows) one
+    val p = plan("q_decontaminate_semantic")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("nearest_eval"), p)
+  }
+
+  test("q_mm_ahash_neardup: banded join, never a cartesian/nested-loop product") {
+    val p = plan("q_mm_ahash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
