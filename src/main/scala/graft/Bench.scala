@@ -104,8 +104,16 @@ object Bench {
                                rampDir: String = "target/sf1"): (Option[String], Boolean) = {
     import java.nio.file.{Files, Paths}
     if (sys.env.get("SPARK_GRAFT_SF1").contains("off")) return (None, false)
-    sys.env.get("SPARK_GRAFT_SF1_DIR").filter(d => Files.exists(Paths.get(d))) match {
-      case some @ Some(_) => (some, false)
+    sys.env.get("SPARK_GRAFT_SF1_DIR") match {
+      case Some(d) if Files.exists(Paths.get(d)) => (Some(d), false)
+      case Some(d) =>
+        // an EXPLICIT override that can't be honored must fail loudly —
+        // silently measuring a self-generated ramp instead of the dataset
+        // the operator pointed at is the exact substitution this method
+        // exists to prevent
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_SF1_DIR=$d does not exist; fix the path or unset it " +
+            "(unset -> the ramp auto-generates into target/sf1)")
       case None =>
         val d = rampDir
         val marker = Paths.get(d, ".source")

@@ -23,7 +23,8 @@ case class RetryingTransport(
     maxAttempts: Int = 3,
     backoffMs: Long = 100L,
     maxBackoffMs: Long = 5000L,
-    retryOn: Throwable => Boolean = RetryingTransport.defaultRetryOn)
+    retryOn: Throwable => Boolean = RetryingTransport.defaultRetryOn,
+    maxRetryAfterMs: Long = 30000L)
   extends VectorStoreTransport {
 
   require(maxAttempts >= 1, "maxAttempts must be >= 1")
@@ -34,10 +35,14 @@ case class RetryingTransport(
       try return f
       catch {
         // a rate limit is not a fault to blind-backoff through: the
-        // service SAID when to come back — honor Retry-After exactly
-        // (fall back to the exponential schedule when it sent none)
+        // service SAID when to come back — honor Retry-After (fall back
+        // to the exponential schedule when it sent none). CAPPED at
+        // maxRetryAfterMs: an uninterruptible Thread.sleep on an executor
+        // thread must never be hostage to a misbehaving header
+        // ("Retry-After: 86400" would otherwise hang a task for a day)
         case e: RateLimitedException if attempt < maxAttempts - 1 && retryOn(e) =>
-          val wait = e.retryAfterMs.getOrElse(math.min(backoffMs << attempt, maxBackoffMs))
+          val wait = e.retryAfterMs.map(math.min(_, maxRetryAfterMs))
+            .getOrElse(math.min(backoffMs << attempt, maxBackoffMs))
           if (wait > 0) Thread.sleep(wait)
           attempt += 1
         case e: Throwable if attempt < maxAttempts - 1 && retryOn(e) =>

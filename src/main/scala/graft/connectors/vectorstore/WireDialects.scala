@@ -710,7 +710,7 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
       // recreate is scoped to the addressed collection: a bare index drops
       // whole; a namespace clears just that namespace (deleteAll), like
       // the real service — other namespaces are untouched
-      if (ns.isEmpty) call("DELETE", s"/indexes/${enc(ix)}")
+      if (ns.isEmpty) { call("DELETE", s"/indexes/${enc(ix)}"); invalidateIndexPtrs(ix) }
       else drop(name)
     }
     if (!indexExists(ix)) {
@@ -794,8 +794,16 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     * flips the pointer and cleared only after the old generation's rows
     * are deleted, so a crash between flip and retire leaves a retried
     * publish (or `--sweep-staging`) everything it needs to finish the
-    * job. The flip itself is one call — there is no window in which
-    * readers see a partial target. */
+    * job. The flip itself is one call, so a scan STARTED after the
+    * publish never sees a partial target. The standing caveat — shared
+    * with every swap-then-retire publish, Qdrant's alias flavor
+    * included — is concurrent IN-FLIGHT readers: a cursor walk that
+    * began before the flip keeps addressing the retiring generation
+    * (via its own ≤2 s pointer cache or an already-minted cursor) while
+    * the retire deletes under it. Publishing under active scans is an
+    * operator-level coordination problem on every one of these wires;
+    * schedule publishes off the read path, or re-run scans that spanned
+    * one. */
   private val metaNs = "__graft_meta"
   private def ptrId(ns: String): String = s"__graft_ptr::$ns"
   private case class NsPointer(target: String, prev: Option[String])
@@ -811,6 +819,13 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
   private val ptrTtlMs = 2000L
 
   private def invalidatePtr(ix: String, ns: String): Unit = ptrCache.remove((ix, ns))
+
+  /** Index-wide cache purge — index deletion/recreation kills every
+    * pointer with it; a cached entry surviving that would route writes
+    * into a dead generation namespace of the FRESH index (silent loss
+    * once the cache expired and readers resolved to the empty literal). */
+  private def invalidateIndexPtrs(ix: String): Unit =
+    ptrCache.keys.filter(_._1 == ix).foreach(ptrCache.remove)
 
   private def fetchPointer(ix: String, ns: String): Option[NsPointer] =
     try {
@@ -1191,7 +1206,10 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
 
   override def drop(name: String): Unit = {
     val (ix, ns) = split(name)
-    if (ns.isEmpty) call("DELETE", s"/indexes/${enc(ix)}") // whole index: gens + meta go with it
+    if (ns.isEmpty) { // whole index: gens + meta (and their pointers) go with it
+      call("DELETE", s"/indexes/${enc(ix)}")
+      invalidateIndexPtrs(ix)
+    }
     else if (isReservedNs(ns)) deleteAllNs(ix, ns) // staging/meta never have pointers
     else pointerOf(ix, ns) match {
       case Some(p) =>

@@ -538,7 +538,10 @@ case class Int8QuantizeExpr(child: Expression)
   *    surface is bit-identical;
   *  - `ids` must arrive sorted ascending and ties on the rounded cosine
   *    keep the FIRST (= lowest) eval id, matching
-  *    `row_number() OVER (ORDER BY c DESC, eid ASC)`.
+  *    `row_number() OVER (ORDER BY c DESC, eid ASC)`;
+  *  - NaN cosines (corrupt embeddings) rank GREATEST, Spark's ordering —
+  *    a row the engine cannot score flags `contaminated` (Spark's
+  *    `NaN >= threshold` is true), never silently passes.
   *
   * Eval ids are widened to long by the caller (both decontamination faces
   * cast `idCol` to bigint), so batch and streaming emit the same
@@ -582,7 +585,10 @@ case class NearestEvalExpr(child: Expression, ids: Array[Long], vecs: Array[Arra
       }
       val denom = math.sqrt(na) * math.sqrt(nb)
       val rc = VectorExpressions.roundHalfUp6(if (denom == 0.0) 0.0 else dot / denom)
-      if (rc > bestC) { bestC = rc; bestId = ids(j) }
+      // Spark ordering: NaN is GREATER than every double (a corrupt
+      // embedding must flag contaminated — fail closed — exactly like the
+      // retired max(struct) plan); NaN vs NaN keeps the first = lowest id
+      if (if (rc.isNaN) !bestC.isNaN else rc > bestC) { bestC = rc; bestId = ids(j) }
       j += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -622,7 +628,9 @@ case class NearestEvalExpr(child: Expression, ids: Array[Long], vecs: Array[Arra
          |  double $denom = Math.sqrt($na) * Math.sqrt($nb);
          |  double $rc = graft.functions.VectorExpressions.roundHalfUp6(
          |    ($denom == 0.0) ? 0.0 : $dot / $denom);
-         |  if ($rc > $bestC) { $bestC = $rc; $bestId = $idRef[$j]; }
+         |  if (Double.isNaN($rc) ? !Double.isNaN($bestC) : $rc > $bestC) {
+         |    $bestC = $rc; $bestId = $idRef[$j];
+         |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |  new Object[] { $bestC, $bestId });

@@ -93,6 +93,10 @@ object Decontaminate {
   private[graft] def collectEvalSet(eval: DataFrame, idCol: String, vecCol: String)
       : (Array[Long], Array[Array[Double]]) = {
     val rows = eval
+      // a null id or vector can never win an argmax — the retired
+      // crossJoin plan ignored such rows via null cosines; dropping them
+      // here keeps that tolerance (instead of an NPE at plan time)
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

@@ -264,6 +264,41 @@ class RoundParitySpec extends SparkSpec {
     }
   }
 
+  test("NaN embeddings fail CLOSED: flagged contaminated, lowest eval id, both faces") {
+    import spark.implicits._
+    val evalSet = Seq((5L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(Float.NaN, 0.5f)),       // corrupt -> must flag
+      (2L, Seq(1.0f, 0.0f)))            // clean twin of eval 5
+      .toDF("vec_id", "embedding")
+    def check(out: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = out.collect().map(r =>
+        r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getBoolean(3)))).toMap
+      val (c1, id1, flag1) = rows(1L)
+      assert(c1.isNaN && flag1, s"corrupt row passed: $c1 flagged=$flag1")
+      assert(id1 == 3L, s"NaN tie must keep the LOWEST eval id, got $id1")
+      val (c2, id2, flag2) = rows(2L)
+      assert(c2 == 1.0 && id2 == 5L && flag2)
+    }
+    check(graft.ops.Decontaminate.semanticContainment(train, evalSet, threshold = 0.9))
+    check(graft.streaming.StreamOps.streamingSemanticDecontaminate(
+        train, evalSet, threshold = 0.9)
+      .select("vec_id", "max_cosine", "nearest_eval_id", "contaminated"))
+  }
+
+  test("null eval rows are ignored, not an NPE at plan time") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (5L, Seq(1.0f, 0.0f)),
+      (9L, null.asInstanceOf[Seq[Float]])) // crawl debris in the eval table
+      .toDF("vec_id", "embedding")
+    val train = Seq((2L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Decontaminate.semanticContainment(train, evalSet, threshold = 0.9)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(2) == 5L && out.head.getBoolean(3))
+  }
+
   test("fused argmax equals the crossJoin/groupBy formulation on real embeddings") {
     val emb = Tables(spark, sf(), "embeddings")
     val train = emb.filter(col("vec_id") % 20 =!= 0)

@@ -228,4 +228,36 @@ class PineconePublishSpec extends SparkSpec {
       assert(t.count("sw::ns") == 1)
     } finally server.stop()
   }
+
+  test("index drop/recreate purges cached pointers - no writes into dead generations") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      // publish so the pointer ns->gen is CACHED by this client
+      t.createCollection("pg::ns", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      val gen = t.stagingName("pg::ns")
+      t.createCollection(gen, CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert(gen, Seq(rec("1", "g1")))
+      t.rename(gen, "pg::ns")
+      assert(t.count("pg::ns") == 1) // resolves + caches ns -> gen
+      // drop the WHOLE index (pointers die with it), recreate, write
+      // through the SAME client within the cache TTL: rows must land in
+      // the literal namespace of the fresh index, not the dead generation
+      t.drop("pg")
+      t.createCollection("pg::ns", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = false)
+      t.upsert("pg::ns", Seq(rec("7", "fresh"), rec("8", "fresh")))
+      assert(t.count("pg::ns") == 2, "stale cached pointer routed the write")
+      assert(inner.count("pg::ns") == 2, "rows landed outside the literal namespace")
+      // same purge on createCollection(bare index, recreate = true)
+      assert(t.count("pg::ns") == 2)
+      t.createCollection("pg", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert("pg::ns", Seq(rec("9", "fresh2")))
+      assert(t.count("pg::ns") == 1)
+    } finally server.stop()
+  }
 }

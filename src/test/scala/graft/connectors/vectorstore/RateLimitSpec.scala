@@ -118,4 +118,22 @@ class RateLimitSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  test("a hostile Retry-After is capped, never slept verbatim") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    try {
+      val wire = new QdrantWireTransport(server.url)
+      freshStore(wire)
+      val t = RetryingTransport(wire, maxAttempts = 3, backoffMs = 10L,
+        maxRetryAfterMs = 100L)
+      server.inject429RetryAfterSec = 3600 // "come back in an hour"
+      server.inject429Next.set(2)
+      ThrottleGate.reset(server.url)
+      val t0 = System.nanoTime()
+      assert(t.count("rl") == 5)
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(sec < 5.0, f"slept the hostile Retry-After verbatim: $sec%.1f s")
+      assert(sec >= 0.2, f"did not wait the cap at all: $sec%.2f s")
+    } finally { ThrottleGate.reset(server.url); server.stop() }
+  }
 }
