@@ -272,7 +272,8 @@ object Multimodal {
     * 64-bit equality join, one band, no overhead. */
   def aHashNearDupPairs(features: DataFrame, maxHamming: Int = 3,
                         idCol: String = "media_id",
-                        fpCol: String = "ahash"): DataFrame = {
+                        fpCol: String = "ahash",
+                        maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"banded aHash join stays selective only for maxHamming in [0,7], got $maxHamming")
     val bands = maxHamming + 1
@@ -281,6 +282,8 @@ object Multimodal {
       val len = (b + 1) * 64 / bands - b * 64 / bands
       if (len >= 64) -1L else (1L << len) - 1L
     }
+    // repartition on the bucket key so the skew guard's count aggregate
+    // and the pair join share ONE exchange (the minhash guard's pattern)
     val banded = features
       .where(col(fpCol).isNotNull)
       .select(col(idCol), col(fpCol).as("__fp"),
@@ -288,9 +291,23 @@ object Multimodal {
       .withColumn("band_bits",
         expr(s"shiftrightunsigned(__fp, element_at(array(${starts.mkString(",")}), band + 1))")
           .bitwiseAND(expr(s"element_at(array(${masks.map(_ + "L").mkString(",")}), band + 1)")))
-    val a = banded.select(col("band"), col("band_bits"),
+      .repartition(col("band"), col("band_bits"))
+    // Skew guard (the repo's no-unguarded-quadratic rule): a boilerplate
+    // image class — blank pages, one logo crawled a million times — puts
+    // its whole duplicate clique into ONE band bucket and Σ|bucket|² goes
+    // quadratic exactly like an unguarded MinHash band. Oversized buckets
+    // are excluded from candidate generation; a pair inside one can still
+    // surface through its other maxHamming bands — only pairs whose EVERY
+    // agreeing band is oversized are lost, and for boilerplate classes
+    // that is the intended outcome (collapse those with exact dedup
+    // first, the same staging order as text).
+    val smallBuckets = banded.groupBy("band", "band_bits")
+      .agg(count(col(idCol)).as("__n")).filter(col("__n") <= maxBucket)
+      .select("band", "band_bits")
+    val bounded = banded.join(smallBuckets, Seq("band", "band_bits"))
+    val a = bounded.select(col("band"), col("band_bits"),
       col(idCol).as("id_a"), col("__fp").as("fp_a"))
-    val b = banded.select(col("band"), col("band_bits"),
+    val b = bounded.select(col("band"), col("band_bits"),
       col(idCol).as("id_b"), col("__fp").as("fp_b"))
     a.join(b, Seq("band", "band_bits")).filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))

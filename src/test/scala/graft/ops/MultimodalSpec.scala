@@ -304,4 +304,20 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.aHashNearDupPairs(f, maxHamming = 8)
     }
   }
+
+  test("aHashNearDupPairs skew guard drops boilerplate cliques, keeps honest pairs") {
+    import spark.implicits._
+    // 40 copies of ONE hash (the blank-page clique) + two near twins
+    val clique = (0L until 40L).map(id => (id, 0x0123456789abcdefL))
+    val twins = Seq((100L, 0x7000000000000001L), (101L, 0x7000000000000003L)) // hamming 1
+    val f = (clique ++ twins).toDF("media_id", "ahash")
+    val guarded = Multimodal.aHashNearDupPairs(f, maxHamming = 3, maxBucket = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every band of the clique is one 40-member bucket > 10 -> excluded;
+    // the twins' buckets are tiny -> kept
+    assert(guarded == Set((100L, 101L)), guarded.toString)
+    // without the guard the clique contributes C(40,2) = 780 pairs
+    val unguarded = Multimodal.aHashNearDupPairs(f, maxHamming = 3).count()
+    assert(unguarded == 781L, unguarded.toString)
+  }
 }
