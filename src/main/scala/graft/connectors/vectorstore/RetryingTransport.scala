@@ -96,6 +96,7 @@ case class RetryingTransport(
   // naming is pure (no wire call) but MUST delegate: the inner backend
   // chooses the staging granularity (Pinecone: namespace, not index)
   override def stagingName(target: String): String = inner.stagingName(target)
+  override def snapshotName(name: String): String = withRetry(inner.snapshotName(name))
 }
 
 object RetryingTransport {

@@ -173,6 +173,15 @@ trait VectorStoreTransport extends Serializable {
   def stagingName(target: String): String =
     s"${target}__staging_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
+  /** Physical name a SCAN should address for a consistent snapshot of
+    * `name`. Identity by default; backends with an engine-level
+    * indirection (Pinecone's namespace pointer) resolve it ONCE here at
+    * plan time, so every task of a scan job reads the SAME generation —
+    * a publish landing mid-job flips new scans, never a running one —
+    * and tasks address the generation directly instead of re-resolving
+    * the pointer page by page. */
+  def snapshotName(name: String): String = name
+
   /** Make `from`'s contents visible under `to` (replacing `to` if it
     * exists) and remove `from` — the publish step of the exactly-once sink
     * ([[VSAtomicBatchWrite]]). Backends with a native rename verb override

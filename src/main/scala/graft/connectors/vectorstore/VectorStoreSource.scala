@@ -824,8 +824,12 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VSReaderFactory(collection, pushed, required, pageSize, search, countColumns,
-      spec, wireFilter)
+    // snapshot pinning, on the driver, once per job: tasks address the
+    // resolved physical name (identity on backends without an engine
+    // indirection; the live generation on Pinecone's namespace pointer) —
+    // one consistent generation per scan, zero per-page pointer fetches
+    new VSReaderFactory(store.snapshotName(collection), pushed, required, pageSize,
+      search, countColumns, spec, wireFilter)
 }
 
 class VSReaderFactory(collection: String, pushed: Array[Filter], required: StructType,

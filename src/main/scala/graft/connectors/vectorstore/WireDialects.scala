@@ -895,6 +895,16 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     invalidatePtr(ix, ns)
   }
 
+  /** Scan-snapshot pinning: resolve the pointer ONCE at plan time and
+    * hand partitions the generation's own (reserved) name — every task
+    * of the job then reads one consistent generation with ZERO pointer
+    * fetches per page, and a publish landing mid-job flips the next scan,
+    * never this one. */
+  override def snapshotName(name: String): String = {
+    val (ix, ns) = resolved(name)
+    if (ns.isEmpty) ix else s"$ix::$ns"
+  }
+
   /** Atomic-mode shadows live in a NAMESPACE of the target's own index —
     * a sibling index would pay real index-provisioning latency and could
     * only publish via copy-then-drop. A bare-index target stages in

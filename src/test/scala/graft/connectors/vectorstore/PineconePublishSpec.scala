@@ -260,4 +260,35 @@ class PineconePublishSpec extends SparkSpec {
       assert(t.count("pg::ns") == 1)
     } finally server.stop()
   }
+
+  test("DSv2 scans pin the generation at plan time: zero pointer fetches per page") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("sp::ns", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      val gen = t.stagingName("sp::ns")
+      t.createCollection(gen, CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert(gen, (0 until 300).map(i => rec(s"r$i", "live")))
+      t.rename(gen, "sp::ns")
+      // snapshotName resolves to the generation's own (reserved) name
+      assert(t.snapshotName("sp::ns") == gen, t.snapshotName("sp::ns"))
+      val before = server.requests
+      val n = spark.read.format("graft-pinecone").option("url", server.url)
+        .option("collection", "sp").option("namespace", "ns")
+        .option("page_size", "100").load().count()
+      assert(n == 300)
+      val lines = server.requestLines.drop(before.toInt)
+      // tasks address the generation directly: list calls name the
+      // generation namespace, and NO task-side pointer fetch happens
+      // (the only __graft_ptr fetch is the driver's one plan-time resolve)
+      val genEnc = java.net.URLEncoder.encode(gen.split("::")(1), "UTF-8")
+      assert(lines.exists(l => l.startsWith("GET /vectors/list") && l.contains(genEnc)),
+        lines.filter(_.startsWith("GET /vectors/list")).toString)
+      val ptrFetches = lines.count(l =>
+        l.startsWith("GET /vectors/fetch") && l.contains("__graft_ptr"))
+      assert(ptrFetches <= 1, s"$ptrFetches pointer fetches - per-page resolution is back")
+    } finally server.stop()
+  }
 }
