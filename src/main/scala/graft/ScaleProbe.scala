@@ -451,6 +451,21 @@ object ScaleProbe {
         server.injectLatencyMs = 0
       } finally server.stop()
     }
+    // Banded aHash Hamming join at probe scale: synthetic 64-bit hashes
+    // (deterministic per id), 1% planted near-dups at Hamming ≤ 3 — the
+    // candidate volume is collision-bound, the output pair-bound; both
+    // should stay linear in n (the maxBucket guard owns the boilerplate
+    // pathology separately).
+    time("ahash near-dup pairs") {
+      val n = 20000L * factor
+      val hashes = spark.range(n).select(
+        col("id").as("media_id"),
+        when(col("id") % 100 === 99, // twin of the previous id, 1 bit off
+          expr("xxhash64(cast(id - 1 as string))").bitwiseXOR(lit(1L)))
+          .otherwise(expr("xxhash64(cast(id as string))")).as("ahash"))
+      ops.Multimodal.aHashNearDupPairs(hashes, maxHamming = 3).count()
+    }
+
     // ---- minhash sf1 profile (opt-in: `"minhash profile"`) -----------
     // Task: q_dedup_minhash is the bench board's worst scaler (8.1x at
     // 10x rows in the round-11 sf1 ramp). Break the pipeline into its
