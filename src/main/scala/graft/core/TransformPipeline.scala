@@ -66,6 +66,20 @@ object TransformPipeline {
         p.getOrElse("source_key", "source"), p.getOrElse("text_key", "text"),
         int(p, "n_buckets", 1024))
     },
+    // benchmark-leakage gates, both directions of the decontamination
+    // family as pipeline verbs: lexical (shingle containment vs a
+    // benchmark parquet, Bloom fast path) and semantic (fused cosine
+    // argmax on the record vectors — pure map, NaN fails closed)
+    "decontaminate" -> (p => Transforms.decontaminate(
+      req(p, "eval_path", "decontaminate"),
+      dbl(p, "threshold", 0.5), int(p, "shingle_size", 3),
+      p.getOrElse("text_key", "text"), p.getOrElse("eval_text_key", "text"),
+      bool(p, "bloom", default = true),
+      p.getOrElse("expected_shingles", "1000000").toLong)),
+    "semantic_decontaminate" -> (p => Transforms.semanticDecontaminate(
+      req(p, "eval_path", "semantic_decontaminate"),
+      dbl(p, "threshold", 0.8),
+      p.getOrElse("eval_id_key", "vec_id"), p.getOrElse("eval_vector_key", "embedding"))),
     "chunk_embed" -> (p => Transforms.chunkAndEmbed(
       int(p, "width", 64), int(p, "stride", 48), int(p, "dim", 64),
       p.getOrElse("text_key", "text"))),

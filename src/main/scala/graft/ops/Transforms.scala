@@ -191,6 +191,63 @@ object Transforms {
     import spark.implicits._
     df.as[CanonicalRecord].mapPartitions(_.flatMap(r => f(r))).toDF()
   }
+
+  /** LEXICAL decontamination as a declarative pipeline verb: drop records
+    * whose `metadata[textKey]` word-shingles are contained in a BENCHMARK
+    * corpus above `threshold` — the "don't migrate eval data into the
+    * training store" gate, composable before dedup/chunking like any
+    * other step. The benchmark is read from `evalPath` (parquet, text in
+    * `evalTextCol`); direction note: [[Decontaminate.containment]] scores
+    * its `eval` argument against its `train` shingle set, so here the
+    * BENCHMARK plays `train` and the migrating records are the scored
+    * side — flagged ids are anti-joined out. `bloom = true` (default)
+    * folds the benchmark into a broadcast Bloom filter (no join on the
+    * record side; one-sided error can only OVER-flag, the safe
+    * direction). Records without the text key pass through untouched. */
+  def decontaminate(evalPath: String, threshold: Double = 0.5,
+                    shingleSize: Int = 3, textKey: String = "text",
+                    evalTextCol: String = "text", bloom: Boolean = true,
+                    expectedShingles: Long = 1000000L): DataFrame => DataFrame = { df =>
+    val bench = df.sparkSession.read.parquet(evalPath)
+      .select(col(evalTextCol).as("__text"))
+    val text = element_at(col(Canonical.METADATA), textKey)
+    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
+    val candidates = df.filter(hasText)
+      .select(col(Canonical.ID).as("__did"), text.as("__text"))
+    val scored =
+      if (bloom) Decontaminate.bloomContainment(bench, candidates,
+        idCol = "__did", textCol = "__text", shingleSize = shingleSize,
+        threshold = threshold, expectedShingles = expectedShingles)
+      else Decontaminate.containment(bench, candidates,
+        idCol = "__did", textCol = "__text", shingleSize = shingleSize,
+        threshold = threshold)
+    val doomed = scored.filter(col("contaminated"))
+      .select(col("__did").as(Canonical.ID))
+    df.join(doomed, Seq(Canonical.ID), "left_anti")
+  }
+
+  /** SEMANTIC decontamination as a declarative pipeline verb: drop
+    * records whose VECTOR is within cosine `threshold` of any benchmark
+    * embedding (`evalPath` parquet, `evalIdCol`/`evalVecCol`) — the
+    * paraphrase-leakage gate the lexical step misses. Rides the fused
+    * [[graft.functions.NearestEvalExpr]] argmax: a PURE MAP over the
+    * stream, no join, no shuffle. NaN cosines (corrupt vectors) fail
+    * CLOSED — dropped, never silently migrated. Records without a vector
+    * pass through untouched. */
+  def semanticDecontaminate(evalPath: String, threshold: Double = 0.8,
+                            evalIdCol: String = "vec_id",
+                            evalVecCol: String = "embedding"): DataFrame => DataFrame = { df =>
+    val (ids, vecs) = Decontaminate.collectEvalSet(
+      df.sparkSession.read.parquet(evalPath), evalIdCol, evalVecCol)
+    val hasVec = col(Canonical.VECTOR).isNotNull
+    df.filter(!hasVec).unionByName(
+      df.filter(hasVec)
+        .withColumn("__best", graft.functions.VectorExpressions.nearestEval(
+          col(Canonical.VECTOR), ids, vecs))
+        // strict <: a NaN max_cosine fails this predicate -> dropped
+        .filter(col("__best.max_cosine") < threshold)
+        .drop("__best"))
+  }
 }
 
 case class CanonicalRecord(id: String, vector: Seq[Float], metadata: Map[String, String])

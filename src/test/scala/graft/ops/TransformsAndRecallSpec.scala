@@ -97,6 +97,60 @@ class TransformsSpec extends SparkSpec {
   }
 }
 
+/** The decontamination family as DECLARATIVE pipeline verbs — reachable
+  * from a reviewed JSON config, not just the Scala API. */
+class DecontaminateStepSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.core.TransformPipeline
+  import graft.config.TransformStep
+
+  // canonical records: 1 = verbatim benchmark item, 2 = novel text,
+  // 3 = no text key at all (must pass through)
+  private def records = Seq(
+    ("1", Seq(1.0f, 0.0f), Map("text" -> "the quick brown fox jumps over the lazy dog")),
+    ("2", Seq(0.0f, 1.0f), Map("text" -> "completely unrelated training prose about spark plans")),
+    ("3", Seq(0.5f, 0.5f), Map("lang" -> "en")))
+    .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("eval").toString
+
+  test("decontaminate pipeline step drops benchmark-contained records (bloom + exact)") {
+    val evalPath = tmp("lexdecon")
+    Seq("the quick brown fox jumps over the lazy dog and more")
+      .toDF("text").write.parquet(evalPath)
+    Seq(true, false).foreach { bloom =>
+      val step = TransformPipeline.resolve(TransformStep("decontaminate",
+        Map("eval_path" -> evalPath, "threshold" -> "0.8", "bloom" -> bloom.toString)))
+      val ids = step(records).select(Canonical.ID).as[String].collect().sorted.toSeq
+      assert(ids == Seq("2", "3"), s"bloom=$bloom -> $ids")
+    }
+  }
+
+  test("semantic_decontaminate step drops near-benchmark vectors; NaN fails closed") {
+    val evalPath = tmp("semdecon")
+    Seq((10L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding").write.parquet(evalPath)
+    val withNaN = records.unionByName(Seq(
+      ("4", Seq(Float.NaN, 1.0f), Map("text" -> "corrupt vector")))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA))
+    val step = TransformPipeline.resolve(TransformStep("semantic_decontaminate",
+      Map("eval_path" -> evalPath, "threshold" -> "0.9")))
+    val ids = step(withNaN).select(Canonical.ID).as[String].collect().sorted.toSeq
+    // 1 is cosine~0.999 to the benchmark vector -> dropped; 4 is NaN ->
+    // dropped (fail closed); 2 orthogonal and 3 mid both survive
+    assert(ids == Seq("2", "3"), ids.toString)
+  }
+
+  test("missing eval_path aborts with a config error, not a silent no-op") {
+    intercept[graft.config.ConfigException] {
+      TransformPipeline.resolve(TransformStep("decontaminate", Map.empty))
+    }
+    intercept[graft.config.ConfigException] {
+      TransformPipeline.resolve(TransformStep("semantic_decontaminate", Map.empty))
+    }
+  }
+}
+
 /** ANN quality: the approximate paths must actually approximate the exact
   * answer, not just run. */
 class AnnRecallSpec extends SparkSpec {
