@@ -416,6 +416,7 @@ class CliSpec extends SparkSpec {
     for ((cfg, transform, coll) <- Seq(
       ("documents_to_chunks.json", Some("graft.examples.ChunkAndEmbed"), "doc_chunks"),
       ("corpus_prep.json", Some("graft.examples.PrepareTrainingCorpus"), "prepared_corpus"),
+      ("decontaminated_corpus.json", None, "decontaminated_corpus"),
       ("embeddings_incremental.json", None, "emb_incr"))) {
       MemoryStore.drop(coll)
       val args = Array("--config", s"examples/configs/$cfg") ++
