@@ -100,12 +100,17 @@ object Bench {
     * so switching SPARK_GRAFT_SF_DIR (e.g. local sf0.01 iteration vs the
     * driver's sf0.1) rebuilds instead of silently reusing a stale ramp.
     * `SPARK_GRAFT_SF1=off` skips the ramp entirely. */
+  /** @return (ramp dir if usable, generated-this-run, error). A
+    *         generation failure is NOT swallowed into a bare missing
+    *         section: the error rides the artifact as `sf1_error`, so a
+    *         ramp-less BENCH_rN.json always says WHY. */
   private[graft] def ensureSf1(spark: SparkSession, srcDir: String,
-                               rampDir: String = "target/sf1"): (Option[String], Boolean) = {
+                               rampDir: String = "target/sf1")
+      : (Option[String], Boolean, Option[String]) = {
     import java.nio.file.{Files, Paths}
-    if (sys.env.get("SPARK_GRAFT_SF1").contains("off")) return (None, false)
+    if (sys.env.get("SPARK_GRAFT_SF1").contains("off")) return (None, false, None)
     sys.env.get("SPARK_GRAFT_SF1_DIR") match {
-      case Some(d) if Files.exists(Paths.get(d)) => (Some(d), false)
+      case Some(d) if Files.exists(Paths.get(d)) => (Some(d), false, None)
       case Some(d) =>
         // an EXPLICIT override that can't be honored must fail loudly —
         // silently measuring a self-generated ramp instead of the dataset
@@ -120,16 +125,16 @@ object Bench {
         val want = s"$srcDir x10 v${BenchGen.rampVersion}"
         val fresh = Files.exists(marker) &&
           new String(Files.readAllBytes(marker)).trim == want
-        if (fresh) (Some(d), false)
+        if (fresh) (Some(d), false, None)
         else try {
           BenchGen.replicate(spark, srcDir, d, 10)
           Files.write(marker, (want + "\n").getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
-          (Some(d), true)
+          (Some(d), true, None)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] sf1 ramp generation failed: ${e.getMessage}")
-            (None, false)
+            (None, false, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
         }
     }
   }
@@ -178,7 +183,10 @@ object Bench {
     // JSON line under sf1_* keys. The sf0.1 board stopped discriminating
     // (every query well under baseline), so plan regressions are expected
     // to surface at sf1 first.
-    val (sf1Dir, sf1Generated) = ensureSf1(spark, sfDir)
+    val (sf1Dir, sf1Generated, sf1Error) = ensureSf1(spark, sfDir)
+    val sf1ErrJson = sf1Error.map(e =>
+      s""","sf1_error":${"\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}""")
+      .getOrElse("")
     val sf1Json = sf1Dir.map { d =>
       // ≥5 samples: the round-10 artifact carried 3-sample medians with
       // IQR > median on 3 queries — statistically unusable. 5 is the floor;
@@ -194,7 +202,7 @@ object Bench {
       s""","sf1_total":${f"${r1.map(_._2).sum}%.3f"},"sf1_queries":$q1,""" +
         s""""sf1_queries_iqr":$i1,"sf1_samples":$s1,"sf1_dir":"$d"""" +
         s""","sf1_generated":$sf1Generated$warn"""
-    }.getOrElse("")
+    }.getOrElse("") + sf1ErrJson
     // contention sentinel, leg 2: same fixed-cost plan after everything —
     // drift between the legs is co-tenant load, flagged in the artifact
     val calibLast = calibrate(spark)

@@ -125,6 +125,12 @@ private[vectorstore] object ThrottleGate {
   val throttledPermits = 2
   val defaultWindowMs = 1000L
 
+  /** Window ceiling: the retry layer caps its SLEEP against a hostile
+    * `Retry-After: 86400`, and the gate must cap its WINDOW for the same
+    * reason — one bad header must not serialize every caller of an
+    * endpoint in this JVM for a day. */
+  val maxWindowMs = 30000L
+
   private case class Gate(until: java.util.concurrent.atomic.AtomicLong,
                           sem: java.util.concurrent.Semaphore)
   private val gates =
@@ -134,10 +140,12 @@ private[vectorstore] object ThrottleGate {
     Gate(new java.util.concurrent.atomic.AtomicLong(0L),
       new java.util.concurrent.Semaphore(throttledPermits, true)))
 
-  /** Record a 429: the endpoint is throttled for `windowMs` from now. */
+  /** Record a 429: the endpoint is throttled for `windowMs` from now
+    * (clamped to [[maxWindowMs]]). */
   def throttled(key: String, windowMs: Long): Unit = {
     val g = gate(key)
-    val until = System.currentTimeMillis() + math.max(0L, windowMs)
+    val until = System.currentTimeMillis() +
+      math.min(maxWindowMs, math.max(0L, windowMs))
     var cur = g.until.get()
     while (until > cur && !g.until.compareAndSet(cur, until)) cur = g.until.get()
   }
@@ -156,4 +164,8 @@ private[vectorstore] object ThrottleGate {
 
   /** Test hook: forget an endpoint's window. */
   private[vectorstore] def reset(key: String): Unit = gates.remove(key)
+
+  /** Test hook: when the endpoint's window ends (0 = never throttled). */
+  private[vectorstore] def throttledUntil(key: String): Long =
+    gates.get(key).map(_.until.get()).getOrElse(0L)
 }

@@ -942,6 +942,23 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
       p.get.prev.foreach { og => deleteAllNs(ixT, og); writePointer(ixT, nsT, nsF, None) }
       return
     }
+    // STALE-RETRY guard — the pointer path's analog of the trait's "never
+    // destructive when the source is gone": a delayed duplicate of an
+    // OLDER publish (its generation already retired and emptied by a
+    // newer one) must not flip the live pointer onto an empty namespace
+    // and then delete the live generation as "old". An absent source with
+    // a live pointer elsewhere is exactly that shape → no-op. (The one
+    // legitimate absent-source publish — a ZERO-ROW overwrite of an
+    // already-pointered target — no-ops too, keeping the old data; the
+    // copy fallback's !exists(from) branch made the same call.)
+    if (p.isDefined && !statsHas(ixT, nsF)) return
+    // a PENDING retire from a crashed earlier publish (prev set, target
+    // != this shadow) is finished FIRST, so its generation's rows can
+    // never be stranded by prev being overwritten below
+    p.flatMap(_.prev).filter(og => og != nsF).foreach { og =>
+      deleteAllNs(ixT, og)
+      writePointer(ixT, nsT, p.get.target, None)
+    }
     val oldGen = p.map(_.target).orElse(if (statsHas(ixT, nsT)) Some(nsT) else None)
     writePointer(ixT, nsT, nsF, oldGen) // THE publish: one call, any size
     oldGen.foreach(deleteAllNs(ixT, _))

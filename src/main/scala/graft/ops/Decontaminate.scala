@@ -90,6 +90,13 @@ object Decontaminate {
     * first-wins tie-break means lowest id. Bounded by contract: benchmarks
     * are thousands of rows — the same collect the streaming face has
     * always done, now shared. */
+  /** Driver-materialization ceiling for [[collectEvalSet]]: at 768-dim
+    * doubles this is ~3 GB of eval vectors — far past "benchmarks are
+    * thousands of rows", and the signal the caller grabbed the TRAIN
+    * side by mistake. The guard fails with the fix (swap arguments, or
+    * use the LSH face) instead of a driver OOM mid-collect. */
+  private[graft] val MaxEvalRows = 500000
+
   private[graft] def collectEvalSet(eval: DataFrame, idCol: String, vecCol: String)
       : (Array[Long], Array[Array[Double]]) = {
     val rows = eval
@@ -98,10 +105,15 @@ object Decontaminate {
       // here keeps that tolerance (instead of an NPE at plan time)
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(MaxEvalRows + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(rows.nonEmpty, "semantic decontamination needs a non-empty eval set")
+    require(rows.length <= MaxEvalRows,
+      s"semantic decontamination eval set exceeds $MaxEvalRows rows — the eval " +
+        "side must be the SMALL benchmark set (did the arguments get swapped?); " +
+        "for genuinely large eval sets use semanticContainmentLsh")
     (rows.map(_._1), rows.map(_._2))
   }
 

@@ -239,14 +239,14 @@ object Transforms {
                             evalVecCol: String = "embedding"): DataFrame => DataFrame = { df =>
     val (ids, vecs) = Decontaminate.collectEvalSet(
       df.sparkSession.read.parquet(evalPath), evalIdCol, evalVecCol)
-    val hasVec = col(Canonical.VECTOR).isNotNull
-    df.filter(!hasVec).unionByName(
-      df.filter(hasVec)
-        .withColumn("__best", graft.functions.VectorExpressions.nearestEval(
-          col(Canonical.VECTOR), ids, vecs))
-        // strict <: a NaN max_cosine fails this predicate -> dropped
-        .filter(col("__best.max_cosine") < threshold)
-        .drop("__best"))
+    // ONE pass (a union of complementary filters would scan the 100 TB
+    // source twice): a null vector yields a null score — coalesce keeps
+    // the row (pass-through) — while NaN < threshold is false — dropped,
+    // fail closed
+    df.withColumn("__best", graft.functions.VectorExpressions.nearestEval(
+        col(Canonical.VECTOR), ids, vecs))
+      .filter(coalesce(col("__best.max_cosine") < threshold, lit(true)))
+      .drop("__best")
   }
 }
 

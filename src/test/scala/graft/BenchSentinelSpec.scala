@@ -39,18 +39,26 @@ class BenchSentinelSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_sf1_test")
       .resolve("sf1").toString
     // absent -> generated
-    val (d1, gen1) = Bench.ensureSf1(spark, sf(), rampDir = dir)
+    val (d1, gen1, _) = Bench.ensureSf1(spark, sf(), rampDir = dir)
     assert(d1.contains(dir) && gen1)
     val docs0 = Tables(spark, sf(), "documents").count()
     assert(Tables(spark, dir, "documents").count() == 10 * docs0)
     // fresh marker -> reused, NOT regenerated
-    val (d2, gen2) = Bench.ensureSf1(spark, sf(), rampDir = dir)
+    val (d2, gen2, _) = Bench.ensureSf1(spark, sf(), rampDir = dir)
     assert(d2.contains(dir) && !gen2)
     // a DIFFERENT source invalidates the marker -> rebuilt (a stale ramp
     // from local sf0.01 iteration must never serve a driver sf0.1 run)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".source"),
       "somewhere/else x10\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val (d3, gen3) = Bench.ensureSf1(spark, sf(), rampDir = dir)
+    val (d3, gen3, _) = Bench.ensureSf1(spark, sf(), rampDir = dir)
     assert(d3.contains(dir) && gen3)
+  }
+
+  test("sf1 generation failure surfaces as an error, never a silent missing section") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sf1_err")
+      .resolve("sf1").toString
+    val (d, gen, err) = Bench.ensureSf1(spark, "/nonexistent/source/dir", rampDir = dir)
+    assert(d.isEmpty && !gen)
+    assert(err.isDefined, "generation failure produced no sf1_error payload")
   }
 }

@@ -287,6 +287,19 @@ class RoundParitySpec extends SparkSpec {
       .select("vec_id", "max_cosine", "nearest_eval_id", "contaminated"))
   }
 
+  test("an oversized eval set fails with the fix, not a driver OOM mid-collect") {
+    // 500k+ "eval" rows is the signature of swapped arguments (the TRAIN
+    // side handed to the collect) - the guard names that and the LSH face
+    val big = spark.range(graft.ops.Decontaminate.MaxEvalRows + 5L)
+      .selectExpr("id as vec_id", "array(cast(id as float)) as embedding")
+    val tiny = spark.range(3).selectExpr("id as vec_id",
+      "array(cast(id as float)) as embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Decontaminate.semanticContainment(tiny, big, threshold = 0.5)
+    }
+    assert(e.getMessage.contains("semanticContainmentLsh"), e.getMessage)
+  }
+
   test("null eval rows are ignored, not an NPE at plan time") {
     import spark.implicits._
     val evalSet = Seq(

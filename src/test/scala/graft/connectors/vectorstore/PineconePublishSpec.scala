@@ -291,4 +291,57 @@ class PineconePublishSpec extends SparkSpec {
       assert(ptrFetches <= 1, s"$ptrFetches pointer fetches - per-page resolution is back")
     } finally server.stop()
   }
+
+  test("stale retry of a SUPERSEDED publish is a no-op, never a flip to an empty gen") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("sr::t", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      val gA = "sr::t__staging_jobA"
+      t.createCollection(gA, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(gA, Seq(rec("1", "A")))
+      t.rename(gA, "sr::t") // job A publishes
+      val gB = "sr::t__staging_jobB"
+      t.createCollection(gB, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(gB, Seq(rec("2", "B"), rec("3", "B")))
+      t.rename(gB, "sr::t") // job B publishes; gA retired and EMPTY
+      assert(t.count("sr::t") == 2)
+      // a delayed duplicate of job A's publish arrives: its generation is
+      // gone - flipping to it (and deleting gB as "old") would be total
+      // data loss. Must be a no-op.
+      t.rename(gA, "sr::t")
+      val reader = new PineconeWireTransport(server.url)
+      assert(reader.count("sr::t") == 2, "stale retry destroyed the live generation")
+      assert(reader.scroll("sr::t", 0, 10).forall(_.metadata("v") == "B"))
+    } finally server.stop()
+  }
+
+  test("a NEW publish finishes a crashed predecessor's pending retire first") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("pp::t", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      // crash state: pointer {target: gen2, prev: gen1}, gen1 rows intact
+      val g1 = "pp::t__staging_g1"; val g2 = "pp::t__staging_g2"
+      t.createCollection(g1, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(g1, Seq(rec("1", "g1"), rec("2", "g1")))
+      t.createCollection(g2, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(g2, Seq(rec("3", "g2")))
+      t.upsert("pp::__graft_meta", Seq(VSRecord("__graft_ptr::t", Array(1f, 1f),
+        Map("target" -> "t__staging_g2", "prev" -> "t__staging_g1"))))
+      assert(inner.count(g1) == 2, "precondition: pending retire")
+      // a brand-new publish (gen3, NOT a retry) must not strand gen1
+      val g3 = "pp::t__staging_g3"
+      t.createCollection(g3, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(g3, Seq(rec("4", "g3")))
+      t.rename(g3, "pp::t")
+      assert(rawRows(inner, g1) == 0, "predecessor's pending retire was stranded")
+      assert(rawRows(inner, g2) == 0, "old live generation not retired")
+      assert(t.count("pp::t") == 1)
+      assert(t.scroll("pp::t", 0, 10).head.metadata("v") == "g3")
+    } finally server.stop()
+  }
 }

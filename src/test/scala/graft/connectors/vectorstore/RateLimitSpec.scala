@@ -136,4 +136,13 @@ class RateLimitSpec extends AnyFunSuite {
       assert(sec >= 0.2, f"did not wait the cap at all: $sec%.2f s")
     } finally { ThrottleGate.reset(server.url); server.stop() }
   }
+
+  test("the throttle WINDOW is capped too - one bad header cannot gate a JVM for a day") {
+    ThrottleGate.reset("cap-test")
+    ThrottleGate.throttled("cap-test", 86400000L) // "Retry-After: 86400"
+    val remaining = ThrottleGate.throttledUntil("cap-test") - System.currentTimeMillis()
+    assert(remaining <= ThrottleGate.maxWindowMs + 1000,
+      s"window of ${remaining} ms survived the cap")
+    ThrottleGate.reset("cap-test")
+  }
 }
