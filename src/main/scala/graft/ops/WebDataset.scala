@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar shards — the de-facto layout of multimodal
+  * training corpora (cf. the public webdataset format: a corpus is a set
+  * of `.tar` files; a SAMPLE is the group of members sharing a basename,
+  * `000123.jpg` + `000123.json` + `000123.txt`; shards are the unit of
+  * sequential I/O and of parallelism).
+  *
+  * Scale design: a shard (100 MB–1 GB by convention) is one `binaryFile`
+  * row and one tar decode — embarrassingly parallel over shards, the same
+  * partition-wise shape as the image/audio codecs; member bytes never
+  * shuffle except through the explicit sample regroup (one hash
+  * aggregation on the sample key). Writing assigns samples to shards by a
+  * PORTABLE hash of the key (re-runs land identically), builds each tar
+  * in one task, and commits through a temp-file rename so a crashed job
+  * never leaves a half-written shard looking complete.
+  *
+  * Tar parsing/writing rides `org.apache.commons.compress` (shipped with
+  * Spark itself — no new dependency).
+  */
+object WebDataset {
+
+  /** JVM-side portable string bucket: the same codepoint-polynomial fold
+    * the portable hash kernels use (`acc·B + cp  mod P`), then modulo
+    * shards — deterministic across runs, engines, and partitionings. */
+  private[ops] def shardOf(key: String, numShards: Int): Int = {
+    var acc = 0L
+    var i = 0
+    while (i < key.length) {
+      val cp = key.codePointAt(i)
+      acc = (acc * graft.functions.HashExpressions.B + cp) % Sampling.PortableP
+      i += Character.charCount(cp)
+    }
+    (acc % numShards).toInt
+  }
+
+  /** One row per TAR MEMBER: (shard, key, ext, content, byte_len).
+    * `key` is the member basename up to the FIRST dot — webdataset's
+    * sample grouping rule (`a/b/000123.seg.png` → key `a/b/000123`, ext
+    * `seg.png`). Directories and zero-length PAX/metadata members are
+    * skipped. */
+  def readShards(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = path.substring(path.lastIndexOf('/') + 1)
+        val in = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = scala.collection.mutable.ArrayBuffer.empty[
+          (String, String, String, Array[Byte], Long)]
+        var e = in.getNextEntry
+        while (e != null) {
+          if (e.isFile) {
+            val name = e.getName
+            val base = name.substring(name.lastIndexOf('/') + 1)
+            val dot = base.indexOf('.')
+            val dir = name.substring(0, name.length - base.length)
+            val (key, ext) =
+              if (dot < 0) (dir + base, "")
+              else (dir + base.substring(0, dot), base.substring(dot + 1))
+            val content = in.readAllBytes()
+            out += ((shard, key, ext, content, content.length.toLong))
+          }
+          e = in.getNextEntry
+        }
+        out
+      }
+      .toDF("shard", "key", "ext", "content", "byte_len")
+  }
+
+  /** Members regrouped into SAMPLES: one row per key with
+    * `files: map<ext, binary>` — the unit downstream multimodal ops
+    * consume (decode the `png`/`jpg` member, parse the `json` member).
+    * One shuffle on the key; keys are expected unique across shards
+    * (webdataset's contract — a duplicated key merges here, last-ext
+    * wins within the map builder, so the spec pins uniqueness). */
+  def groupSamples(members: DataFrame): DataFrame =
+    members.groupBy("key")
+      .agg(map_from_entries(collect_list(struct(col("ext"), col("content"))))
+        .as("files"),
+        count(lit(1)).as("n_members"))
+
+  /** Pack samples into `numShards` tar shards under `outDir`:
+    * `shard-00000.tar`, … Sample → shard by the engine's PORTABLE hash of
+    * the key (deterministic across runs and engines, same kernel as the
+    * sampling ops); within a shard, members are written key-sorted and
+    * grouped — the contiguity the webdataset readers stream on. Each
+    * shard builds in ONE task (shards are the parallel unit) and lands
+    * via write-temp-then-rename, so observers never see a partial tar
+    * under its final name.
+    *
+    * @param samples (key: string, files: map<ext, binary>) — the
+    *                [[groupSamples]] shape. */
+  def writeShards(samples: DataFrame, outDir: String, numShards: Int): Long = {
+    require(numShards > 0, "numShards must be positive")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val written = samples
+      .select(col("key"), col("files"))
+      .as[(String, Map[String, Array[Byte]])]
+      .groupByKey { case (key, _) => shardOf(key, numShards) }
+      .mapGroups { (shardId: Int, it: Iterator[(String, Map[String, Array[Byte]])]) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(outDir), conf.value)
+        val finalPath = new org.apache.hadoop.fs.Path(outDir, f"shard-$shardId%05d.tar")
+        val tmpPath = new org.apache.hadoop.fs.Path(outDir,
+          f".shard-$shardId%05d.tar.inprogress")
+        val samplesSorted = it.toArray.sortBy(_._1)
+        val bytes = new java.io.ByteArrayOutputStream()
+        val tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(bytes)
+        tar.setLongFileMode(
+          org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
+        samplesSorted.foreach { case (key, files) =>
+          files.toSeq.sortBy(_._1).foreach { case (ext, content) =>
+            val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(
+              if (ext.isEmpty) key else s"$key.$ext")
+            e.setSize(content.length.toLong)
+            tar.putArchiveEntry(e)
+            tar.write(content)
+            tar.closeArchiveEntry()
+          }
+        }
+        tar.close()
+        val o = fs.create(tmpPath, true)
+        try o.write(bytes.toByteArray) finally o.close()
+        if (fs.exists(finalPath)) fs.delete(finalPath, false)
+        fs.rename(tmpPath, finalPath)
+        samplesSorted.length.toLong
+      }
+      .collect()
+    written.sum
+  }
+}

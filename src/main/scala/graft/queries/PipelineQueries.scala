@@ -514,6 +514,24 @@ object PipelineQueries {
         threshold = 0.5, bits = 4)
     }),
 
+    // ---- WebDataset tar shards: pack the corpus into the multimodal
+    // training layout (one .tar member per sample part), read the shards
+    // back, and emit (key, shard, ext, byte_len). The oracle recomputes
+    // every row WITHOUT touching a tar: byte_len = the text's UTF-8
+    // length, shard = the portable codepoint-fold of the key mod 8 — so
+    // a dropped/duplicated/truncated member, or a non-deterministic
+    // shard assignment, hash-fails the gate.
+    "q_wds_roundtrip" -> ((s, dir) => {
+      val samples = Tables(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id").cast("string").as("key"),
+          map(lit("txt"), encode(col("text"), "UTF-8")).as("files"))
+      val out = java.nio.file.Files.createTempDirectory("wds_gate").toString
+      graft.ops.WebDataset.writeShards(samples, out, numShards = 8)
+      graft.ops.WebDataset.readShards(s, s"$out/*.tar")
+        .select(col("key"), col("shard"), col("ext"), col("byte_len"))
+    }),
+
     // ---- Training-sequence packing (concat-then-split layout) ----
     "q_pack_sequences" -> ((s, dir) =>
       Packing.concatSplitPack(Tables(s, dir, "documents"), tokenBudget = 512, numShards = 8)),
@@ -1410,6 +1428,14 @@ object PipelineQueries {
           "SELECT vec_id, c AS max_cosine, eid AS nearest_eval_id, " +
           "c >= 0.5 AS contaminated FROM r WHERE rn = 1"
       },
+      "q_wds_roundtrip" ->
+        // shard = portable codepoint fold of the decimal key mod 8;
+        // byte_len = UTF-8 byte length (DuckDB strlen is byte-counting)
+        ("SELECT CAST(doc_id AS VARCHAR) AS key, " +
+          s"'shard-' || lpad(CAST(${strHashSql("CAST(doc_id AS VARCHAR)")} % 8 AS VARCHAR), 5, '0') " +
+          "|| '.tar' AS shard, 'txt' AS ext, " +
+          "CAST(strlen(text) AS BIGINT) AS byte_len " +
+          "FROM documents WHERE text IS NOT NULL"),
       "q_pack_sequences" ->
         // same portable shard hash + per-shard running sum; CAST the window
         // sum (DuckDB sums BIGINT into HUGEINT) and use // for int division

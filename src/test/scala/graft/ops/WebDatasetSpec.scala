@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** WebDataset tar shards: write → read → regroup must round-trip every
+  * byte, shard assignment must be deterministic, and the decoded image
+  * features of shard-packed PNGs must equal the direct decode — the
+  * multimodal corpus layout face of the pipeline. */
+class WebDatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("pack/read round trip: every member byte-identical, samples regroup") {
+    val n = 40L
+    val ids = (0L until n).map(d => (d, s"t$d")).toDF("doc_id", "text")
+    // one PNG + one JSON member per sample, like a real image corpus
+    val samples = Multimodal.imageTable(ids)
+      .select(col("media_id").cast("string").as("key"),
+        map(lit("png"), col("content"),
+          lit("json"), encode(concat(lit("""{"id":"""),
+            col("media_id"), lit("}")), "UTF-8")).as("files"))
+    val dir = tmp("wds_rt")
+    val written = WebDataset.writeShards(samples, dir, numShards = 4)
+    assert(written == n)
+    val shardFiles = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // drop Hadoop's .crc sidecars
+    assert(shardFiles.forall(_.matches("shard-\\d{5}\\.tar")), shardFiles.mkString(","))
+    assert(shardFiles.length >= 2, "keys should spread over several shards")
+
+    val members = WebDataset.readShards(spark, s"$dir/*.tar")
+    assert(members.count() == 2 * n) // png + json per sample
+    assert(members.select("ext").distinct().as[String].collect().toSet ==
+      Set("png", "json"))
+    val grouped = WebDataset.groupSamples(members)
+    assert(grouped.count() == n)
+    assert(grouped.filter(col("n_members") =!= 2).isEmpty)
+
+    // bytes survive exactly: decode the shard-packed PNGs and compare
+    // EVERY feature against the direct (never-tarred) decode
+    val viaShards = grouped
+      .select(col("key").cast("long").as("media_id"),
+        element_at(col("files"), "png").as("content"),
+        struct(lit("image/png").as("mime"), lit(0L).as("byte_len"),
+          lit("").as("sha256")).as("meta"))
+    val packed = Multimodal.extractImageFeatures(viaShards)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val direct = Multimodal.extractImageFeatures(Multimodal.imageTable(ids))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(packed == direct)
+    // the JSON member round-trips too
+    val j = grouped.filter(col("key") === "7")
+      .select(decode(element_at(col("files"), "json"), "UTF-8")).as[String].head()
+    assert(j == """{"id":7}""", j)
+  }
+
+  test("shard assignment is deterministic and repartition-proof") {
+    val s1 = (0 until 100).map(i => WebDataset.shardOf(s"key$i", 8))
+    val s2 = (0 until 100).map(i => WebDataset.shardOf(s"key$i", 8))
+    assert(s1 == s2)
+    assert(s1.distinct.size > 1, "keys all landed in one shard")
+    // a re-written corpus lands byte-identical shard membership
+    val samples = (0L until 30L).map(d => (s"k$d", Map("txt" -> s"doc $d".getBytes("UTF-8"))))
+      .toDF("key", "files")
+    val d1 = tmp("wds_det1"); val d2 = tmp("wds_det2")
+    WebDataset.writeShards(samples, d1, 4)
+    WebDataset.writeShards(samples.repartition(7), d2, 4)
+    def membership(d: String): Map[String, String] =
+      WebDataset.readShards(spark, s"$d/*.tar")
+        .select("key", "shard").as[(String, String)].collect().toMap
+    assert(membership(d1) == membership(d2))
+  }
+
+  test("sample keys split on the FIRST dot; directories and re-runs behave") {
+    val samples = Seq(
+      ("a/000001", Map("seg.png" -> Array[Byte](1, 2), "json" -> Array[Byte](3))),
+      ("a/000002", Map("txt" -> Array[Byte](4))))
+      .toDF("key", "files")
+    val dir = tmp("wds_keys")
+    WebDataset.writeShards(samples, dir, 1)
+    val m = WebDataset.readShards(spark, s"$dir/*.tar")
+      .select("key", "ext", "byte_len").as[(String, String, Long)].collect().toSet
+    assert(m == Set(("a/000001", "seg.png", 2L), ("a/000001", "json", 1L),
+      ("a/000002", "txt", 1L)), m.toString)
+    // overwrite in place: re-run replaces, never appends a second copy
+    WebDataset.writeShards(samples, dir, 1)
+    assert(WebDataset.readShards(spark, s"$dir/*.tar").count() == 3)
+  }
+}
