@@ -113,23 +113,26 @@ object WebDataset {
         val tmpPath = new org.apache.hadoop.fs.Path(outDir,
           f".shard-$shardId%05d.tar.inprogress")
         val samplesSorted = it.toArray.sortBy(_._1)
-        val bytes = new java.io.ByteArrayOutputStream()
-        val tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(bytes)
-        tar.setLongFileMode(
-          org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
-        samplesSorted.foreach { case (key, files) =>
-          files.toSeq.sortBy(_._1).foreach { case (ext, content) =>
-            val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(
-              if (ext.isEmpty) key else s"$key.$ext")
-            e.setSize(content.length.toLong)
-            tar.putArchiveEntry(e)
-            tar.write(content)
-            tar.closeArchiveEntry()
-          }
-        }
-        tar.close()
+        // stream the tar straight into the (temp) file: a shard is
+        // 100 MB-1 GB by convention, and buffering it whole on the task
+        // heap would make shard size a memory ceiling instead of an I/O
+        // unit. Only one sample's members are in memory at a time.
         val o = fs.create(tmpPath, true)
-        try o.write(bytes.toByteArray) finally o.close()
+        val tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(o)
+        try {
+          tar.setLongFileMode(
+            org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
+          samplesSorted.foreach { case (key, files) =>
+            files.toSeq.sortBy(_._1).foreach { case (ext, content) =>
+              val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(
+                if (ext.isEmpty) key else s"$key.$ext")
+              e.setSize(content.length.toLong)
+              tar.putArchiveEntry(e)
+              tar.write(content)
+              tar.closeArchiveEntry()
+            }
+          }
+        } finally tar.close() // closes the FS stream too
         if (fs.exists(finalPath)) fs.delete(finalPath, false)
         fs.rename(tmpPath, finalPath)
         samplesSorted.length.toLong
