@@ -50,6 +50,7 @@ object ConnectorRegistry {
     new PgVectorConnector(),
     new FileConnector("csv"),
     new FileConnector("json"),
+    new WebDatasetConnector(),
     new vectorstore.QdrantConnector(),
     new vectorstore.MilvusConnector(),
     new vectorstore.PineconeConnector())

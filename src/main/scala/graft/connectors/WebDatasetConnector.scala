@@ -1,0 +1,125 @@
+package graft.connectors
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.{LoadSpec, QuerySpec}
+import graft.model.Canonical
+import graft.ops.WebDataset
+
+/** WebDataset tar shards as a MIGRATION endpoint (`"type":
+  * "webdataset"`): the layout multimodal training corpora ship in
+  * becomes a config-addressable source AND sink, so "index this corpus
+  * into a vector store" and "export this collection as a training
+  * corpus" are both one reviewed JSON block.
+  *
+  * Canonical mapping (one sample per record):
+  *  - id ⇄ the sample key;
+  *  - metadata ⇄ the `json` member (flat string map, Jackson round
+  *    trip). READING a foreign corpus also lifts a `txt` member into
+  *    `metadata["text"]` when the json carries none — the common
+  *    caption/document layout;
+  *  - vector ⇄ the `vec.json` member (JSON float array; absent member =
+  *    null vector). Binary members (`png`/`jpg`/`wav`/…) are NOT
+  *    silently dropped on read: their BYTES stay out of the canonical
+  *    record (metadata is a string map, not a payload store) but their
+  *    presence is recorded as `metadata["__members"]` so a pipeline can
+  *    route samples by modality; process payload bytes with
+  *    [[graft.ops.WebDataset.readShards]] + the codec ops directly.
+  *
+  * `connection.path` is the corpus root; a collection is the
+  * subdirectory `<path>/<collection>/shard-*.tar`. `load.options`:
+  * `num_shards` (default 16). */
+class WebDatasetConnector extends VectorConnector {
+  override def name: String = "webdataset"
+
+  private def dir(connection: Map[String, String], collection: String): String = {
+    val root = connection.getOrElse("path",
+      throw new graft.config.ConfigException("webdataset connector needs connection.path"))
+    s"$root/$collection"
+  }
+
+  override def read(spark: SparkSession, connection: Map[String, String],
+                    query: QuerySpec): DataFrame = {
+    import spark.implicits._
+    val samples = WebDataset.groupSamples(
+      WebDataset.readShards(spark, s"${dir(connection, query.collection)}/*.tar"))
+    var df = samples.select(col("key"), col("files"))
+      .as[(String, Map[String, Array[Byte]])]
+      .map { case (key, files) =>
+        def utf8(ext: String): Option[String] =
+          files.get(ext).map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        val mapper = WebDatasetConnector.mapper
+        val fromJson: Map[String, String] = utf8("json").map { j =>
+          val n = mapper.readTree(j)
+          import scala.jdk.CollectionConverters._
+          n.properties().asScala.map(e => e.getKey ->
+            (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString)).toMap
+        }.getOrElse(Map.empty)
+        val withTxt =
+          if (!fromJson.contains("text")) fromJson ++ utf8("txt").map("text" -> _)
+          else fromJson
+        val binaryExts = files.keys.filterNot(Set("json", "txt", "vec.json")).toSeq.sorted
+        val meta =
+          if (binaryExts.isEmpty) withTxt
+          else withTxt + ("__members" -> binaryExts.mkString(","))
+        val vector: Seq[Float] = utf8("vec.json").map { v =>
+          val a = mapper.readTree(v)
+          (0 until a.size()).map(i => a.get(i).floatValue())
+        }.getOrElse(null)
+        (key, vector, meta)
+      }
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    query.filter.foreach(f => df = df.filter(expr(f)))
+    query.offset.filter(_ > 0).foreach(o => df = df.orderBy(Canonical.ID).offset(o.toInt))
+    query.limit.foreach(l => df = df.limit(l.toInt))
+    df
+  }
+
+  override def write(df: DataFrame, connection: Map[String, String],
+                     load: LoadSpec): WriteReport = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numShards = load.options.get("num_shards").map(_.toInt).getOrElse(16)
+    val out = dir(connection, load.collection)
+    if (load.recreate) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(out)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val samples = df
+      .select(col(Canonical.ID), col(Canonical.VECTOR), col(Canonical.METADATA))
+      .as[(String, Seq[Float], Map[String, String])]
+      .map { case (id, vec, meta) =>
+        val mapper = WebDatasetConnector.mapper
+        val files = scala.collection.mutable.Map.empty[String, Array[Byte]]
+        files("json") = mapper.writeValueAsBytes(
+          Option(meta).getOrElse(Map.empty[String, String]) match {
+            case m =>
+              val o = mapper.createObjectNode()
+              m.foreach { case (k, v) => if (v == null) o.putNull(k) else o.put(k, v) }
+              o
+          })
+        if (vec != null) {
+          val a = WebDatasetConnector.mapper.createArrayNode()
+          vec.foreach(a.add)
+          files("vec.json") = mapper.writeValueAsBytes(a)
+        }
+        (id, files.toMap)
+      }
+      .toDF("key", "files")
+    val n = WebDataset.writeShards(samples, out, numShards)
+    WriteReport(written = n)
+  }
+
+  override def schemaInfo(spark: SparkSession, connection: Map[String, String],
+                          collection: String): SchemaInfo = {
+    val df = read(spark, connection, QuerySpec(collection = collection))
+    val dim = Canonical.inferDim(df.select(col(Canonical.VECTOR)))
+    SchemaInfo(collection, Canonical.schema, dim, distance = None)
+  }
+}
+
+object WebDatasetConnector {
+  private[connectors] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+}

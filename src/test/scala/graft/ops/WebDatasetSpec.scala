@@ -88,4 +88,69 @@ class WebDatasetSpec extends SparkSpec {
     WebDataset.writeShards(samples, dir, 1)
     assert(WebDataset.readShards(spark, s"$dir/*.tar").count() == 3)
   }
+
+  test("webdataset connector: config-driven corpus -> vector store -> corpus round trip") {
+    val root = tmp("wds_conn")
+    // seed a corpus through the MIGRATOR from the embeddings parquet
+    val toWds = graft.config.MigrationConfig.fromJson(
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+         |                      "vector_column": "embedding",
+         |                      "metadata_columns": ["label"], "limit": 50}},
+         | "target": {"type": "webdataset", "connection": {"path": "$root"},
+         |            "load": {"collection": "corpus", "recreate": true,
+         |                     "num_shards": "4"}}}""".stripMargin)
+    val r1 = new graft.core.Migrator(spark).run(toWds)
+    assert(r1.success, r1.error)
+    assert(r1.written == 50, r1.toString)
+    // shards on disk, readable raw
+    assert(WebDataset.readShards(spark, s"$root/corpus/*.tar")
+      .filter(org.apache.spark.sql.functions.col("ext") === "vec.json").count() == 50)
+    // corpus -> memory store, then compare against the original parquet rows
+    val coll = "wds_rt_mem"
+    graft.connectors.MemoryStore.drop(coll)
+    val toMem = graft.config.MigrationConfig.fromJson(
+      s"""{"source": {"type": "webdataset", "connection": {"path": "$root"},
+         |            "query": {"table_name": "corpus"}},
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "$coll", "recreate": true}}}""".stripMargin)
+    val r2 = new graft.core.Migrator(spark).run(toMem)
+    assert(r2.success, r2.error)
+    def canonMap(df: org.apache.spark.sql.DataFrame): Map[String, (Seq[Float], Map[String, String])] =
+      df.collect().map(r => r.getString(0) ->
+        ((Option(r.getSeq[Float](1)).map(_.toSeq).orNull,
+          r.getAs[Map[String, String]](2)))).toMap
+    val got = canonMap(graft.connectors.ConnectorRegistry("memory")
+      .read(spark, Map.empty, graft.config.QuerySpec(collection = coll)))
+    val want = canonMap(graft.connectors.ConnectorRegistry("parquet")
+      .read(spark, Map("path" -> sf()), graft.config.QuerySpec(
+        collection = "embeddings", idColumn = "vec_id",
+        vectorColumn = Some("embedding"), metadataColumns = Seq("label"),
+        limit = Some(50))))
+    assert(got.keySet == want.keySet, s"${got.size} vs ${want.size}")
+    // vectors survive the JSON member bit-exactly (Float.toString round
+    // trips), metadata survives the json member verbatim
+    got.foreach { case (id, (vec, meta)) =>
+      assert(vec == want(id)._1, s"$id vector drifted")
+      assert(meta == want(id)._2, s"$id metadata drifted: $meta vs ${want(id)._2}")
+    }
+  }
+
+  test("webdataset connector reads a FOREIGN caption corpus: txt member -> text") {
+    val root = tmp("wds_foreign")
+    val samples = Seq(
+      ("cap1", Map("txt" -> "a photo of a cat".getBytes("UTF-8"),
+        "jpg" -> Array[Byte](1, 2, 3))),
+      ("cap2", Map("txt" -> "a dog on grass".getBytes("UTF-8"))))
+      .toDF("key", "files")
+    WebDataset.writeShards(samples, s"$root/captions", 1)
+    val recs = graft.connectors.ConnectorRegistry("webdataset")
+      .read(spark, Map("path" -> root), graft.config.QuerySpec(collection = "captions"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getSeq[Float](1)).orNull, r.getAs[Map[String, String]](2)))).toMap
+    assert(recs("cap1")._1 == null) // no vec.json member -> null vector
+    assert(recs("cap1")._2("text") == "a photo of a cat")
+    assert(recs("cap1")._2("__members") == "jpg") // payload presence recorded
+    assert(recs("cap2")._2 == Map("text" -> "a dog on grass"))
+  }
 }
