@@ -418,12 +418,22 @@ class CliSpec extends SparkSpec {
       ("corpus_prep.json", Some("graft.examples.PrepareTrainingCorpus"), "prepared_corpus"),
       ("decontaminated_corpus.json", None, "decontaminated_corpus"),
       ("embeddings_incremental.json", None, "emb_incr"))) {
+      // (the webdataset export example has its own test below — its
+      // target is a shard directory, not a memory collection)
       MemoryStore.drop(coll)
       val args = Array("--config", s"examples/configs/$cfg") ++
         transform.toSeq.flatMap(t => Seq("--transform", t))
       assert(graft.cli.Main.run(args) == 0, cfg)
       assert(MemoryStore.get(coll).get._1.nonEmpty, cfg)
     }
+  }
+
+  test("webdataset export example config ships real tar shards") {
+    assert(graft.cli.Main.run(Array("--config",
+      "examples/configs/export_corpus_webdataset.json")) == 0)
+    val members = graft.ops.WebDataset.readShards(spark,
+      "target/examples_out/corpus_export/*.tar")
+    assert(members.filter(col("ext") === "vec.json").count() > 0)
   }
 
   test("declarative pipeline config runs the recipe; equals the --transform class run") {
