@@ -451,6 +451,17 @@ object ScaleProbe {
         server.injectLatencyMs = 0
       } finally server.stop()
     }
+    // WebDataset shard pack + unpack: one tar per shard built in one
+    // task, read back member-wise — both sides are embarrassingly
+    // parallel over shards, so the law should be linear in corpus bytes.
+    time("webdataset pack+read") {
+      val dir = java.nio.file.Files.createTempDirectory("wds_probe").toString
+      val samples = docs.select(col("doc_id").cast("string").as("key"),
+        map(lit("txt"), encode(col("text"), "UTF-8")).as("files"))
+      ops.WebDataset.writeShards(samples, dir, numShards = 32)
+      ops.WebDataset.readShards(spark, s"$dir/*.tar").count()
+    }
+
     // Banded aHash Hamming join at probe scale: synthetic 64-bit hashes
     // (deterministic per id), 1% planted near-dups at Hamming ≤ 3 — the
     // candidate volume is collision-bound, the output pair-bound; both
