@@ -184,9 +184,16 @@ object Bench {
     // (every query well under baseline), so plan regressions are expected
     // to surface at sf1 first.
     val (sf1Dir, sf1Generated, sf1Error) = ensureSf1(spark, sfDir)
-    val sf1ErrJson = sf1Error.map(e =>
-      s""","sf1_error":${"\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}""")
-      .getOrElse("")
+    // full JSON string escaping: Spark exception messages carry newlines
+    // and tabs, and one raw control char makes the whole artifact line
+    // unparseable — the exact failure the file-landing exists to avoid
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val sf1ErrJson = sf1Error.map(e => s""","sf1_error":${jstr(e)}""").getOrElse("")
     val sf1Json = sf1Dir.map { d =>
       // ≥5 samples: the round-10 artifact carried 3-sample medians with
       // IQR > median on 3 queries — statistically unusable. 5 is the floor;

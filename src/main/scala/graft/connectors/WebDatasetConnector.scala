@@ -54,7 +54,8 @@ class WebDatasetConnector extends VectorConnector {
           import scala.jdk.CollectionConverters._
           n.properties().asScala.map(e => e.getKey ->
             (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString)).toMap
-        }.getOrElse(Map.empty)
+        }.getOrElse(Map.empty) - "__members" // ACTUAL members are authoritative,
+        // never a stale claim serialized by an earlier export
         val withTxt =
           if (!fromJson.contains("text")) fromJson ++ utf8("txt").map("text" -> _)
           else fromJson
@@ -81,11 +82,20 @@ class WebDatasetConnector extends VectorConnector {
     import spark.implicits._
     val numShards = load.options.get("num_shards").map(_.toInt).getOrElse(16)
     val out = dir(connection, load.collection)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(out)
     if (load.recreate) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
-      val p = new org.apache.hadoop.fs.Path(out)
       if (fs.exists(p)) fs.delete(p, true)
+    } else if (fs.exists(p)) {
+      // a shard SET has no append semantics: a second write with a
+      // different num_shards (or fewer populated ids) would leave the
+      // old run's surviving shards interleaved with the new ones under
+      // the same glob — neither append nor replace, just silent
+      // corruption. Refuse; recreate=true is the whole-set replace.
+      throw new graft.config.ConfigException(
+        s"webdataset collection '$out' already exists and shard sets have " +
+          "no append semantics - set recreate=true to replace the corpus")
     }
     val samples = df
       .select(col(Canonical.ID), col(Canonical.VECTOR), col(Canonical.METADATA))
@@ -93,13 +103,15 @@ class WebDatasetConnector extends VectorConnector {
       .map { case (id, vec, meta) =>
         val mapper = WebDatasetConnector.mapper
         val files = scala.collection.mutable.Map.empty[String, Array[Byte]]
-        files("json") = mapper.writeValueAsBytes(
-          Option(meta).getOrElse(Map.empty[String, String]) match {
-            case m =>
-              val o = mapper.createObjectNode()
-              m.foreach { case (k, v) => if (v == null) o.putNull(k) else o.put(k, v) }
-              o
-          })
+        files("json") = mapper.writeValueAsBytes({
+          // __members is a READ-side synthesis (presence of payload
+          // members this canonical projection does not carry) — writing
+          // it would make a re-exported corpus claim members it lacks
+          val m = Option(meta).getOrElse(Map.empty[String, String]) - "__members"
+          val o = mapper.createObjectNode()
+          m.foreach { case (k, v) => if (v == null) o.putNull(k) else o.put(k, v) }
+          o
+        })
         if (vec != null) {
           val a = WebDatasetConnector.mapper.createArrayNode()
           vec.foreach(a.add)

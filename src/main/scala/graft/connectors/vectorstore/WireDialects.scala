@@ -942,15 +942,25 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
       p.get.prev.foreach { og => deleteAllNs(ixT, og); writePointer(ixT, nsT, nsF, None) }
       return
     }
-    // STALE-RETRY guard — the pointer path's analog of the trait's "never
-    // destructive when the source is gone": a delayed duplicate of an
-    // OLDER publish (its generation already retired and emptied by a
-    // newer one) must not flip the live pointer onto an empty namespace
-    // and then delete the live generation as "old". An absent source with
-    // a live pointer elsewhere is exactly that shape → no-op. (The one
-    // legitimate absent-source publish — a ZERO-ROW overwrite of an
-    // already-pointered target — no-ops too, keeping the old data; the
-    // copy fallback's !exists(from) branch made the same call.)
+    // STALE-RETRY guards — the pointer path's analog of the trait's
+    // "never destructive when the source is gone". A delayed duplicate of
+    // an OLDER publish shows up in exactly two shapes, and both must
+    // no-op rather than flip the live pointer backwards and delete the
+    // NEWEST generation as "old":
+    //  1. the stale generation is the live pointer's PREV — a newer
+    //    publish superseded it but crashed before the retire, so its
+    //    rows still exist. Finishing that pending retire is this retry's
+    //    only legitimate work;
+    //  2. the stale generation is already retired AND emptied — an
+    //    absent source with a live pointer elsewhere. (The one
+    //    legitimate absent-source publish — a ZERO-ROW overwrite of an
+    //    already-pointered target — no-ops too, keeping the old data;
+    //    the copy fallback's !exists(from) branch made the same call.)
+    if (p.exists(_.prev.contains(nsF))) {
+      deleteAllNs(ixT, nsF)
+      writePointer(ixT, nsT, p.get.target, None)
+      return
+    }
     if (p.isDefined && !statsHas(ixT, nsF)) return
     // a PENDING retire from a crashed earlier publish (prev set, target
     // != this shadow) is finished FIRST, so its generation's rows can

@@ -30,6 +30,11 @@ object TransformPipeline {
       throw new ConfigException(s"pipeline param '$key' must be an integer, got '$v'")))
       .getOrElse(default)
 
+  private def lng(p: Map[String, String], key: String, default: Long): Long =
+    p.get(key).map(v => v.toLongOption.getOrElse(
+      throw new ConfigException(s"pipeline param '$key' must be an integer, got '$v'")))
+      .getOrElse(default)
+
   private def req(p: Map[String, String], key: String, step: String): String =
     p.getOrElse(key, throw new ConfigException(s"pipeline step '$step' needs param '$key'"))
 
@@ -67,15 +72,17 @@ object TransformPipeline {
         int(p, "n_buckets", 1024))
     },
     // benchmark-leakage gates, both directions of the decontamination
-    // family as pipeline verbs: lexical (shingle containment vs a
-    // benchmark parquet, Bloom fast path) and semantic (fused cosine
-    // argmax on the record vectors — pure map, NaN fails closed)
+    // family as pipeline verbs: lexical (n-gram COLLISION vs a benchmark
+    // parquet — drop on >= min_hits shared ngram-grams, Bloom single-pass
+    // fast path) and semantic (fused cosine argmax on the record vectors
+    // — pure map, NaN fails closed)
     "decontaminate" -> (p => Transforms.decontaminate(
       req(p, "eval_path", "decontaminate"),
-      dbl(p, "threshold", 0.5), int(p, "shingle_size", 3),
+      int(p, "ngram", 8), int(p, "min_hits", 1),
       p.getOrElse("text_key", "text"), p.getOrElse("eval_text_key", "text"),
       bool(p, "bloom", default = true),
-      p.getOrElse("expected_shingles", "1000000").toLong)),
+      lng(p, "expected_shingles", 1000000L),
+      dbl(p, "fpp", 1e-6))),
     "semantic_decontaminate" -> (p => Transforms.semanticDecontaminate(
       req(p, "eval_path", "semantic_decontaminate"),
       dbl(p, "threshold", 0.8),

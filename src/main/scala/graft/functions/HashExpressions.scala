@@ -78,6 +78,14 @@ object HashExpressions {
   def portableShingleHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(PortableShingleHashesExpr(GraftColumnBridge.expression(text), n))
 
+  /** Codegen'd Bloom-hit COUNT over an array of pre-hashed shingles —
+    * see [[BloomHitCountExpr]]. */
+  def bloomHitCount(
+      hashes: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    GraftColumnBridge.column(
+      BloomHitCountExpr(GraftColumnBridge.expression(hashes), bloom))
+
   /** Codegen'd probe of a broadcast Bloom filter — see
     * [[BloomMightContainExpr]]. */
   def bloomMightContain(
@@ -762,5 +770,60 @@ case class BloomMightContainExpr(
     })
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd COUNT of broadcast-Bloom hits over an `array<bigint>` of
+  * pre-hashed shingles — the single-pass kernel of the n-gram-collision
+  * decontamination verb: one compiled loop per row, no explode, no
+  * groupBy, broadcast resolved once per task. One-sided error is the
+  * Bloom filter's: the count can only be >= the true hit count, so a
+  * `count >= minHits` DROP gate can only over-drop (the safe direction
+  * for a leakage filter; size `fpp` accordingly). */
+case class BloomHitCountExpr(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${child.dataType.simpleString}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bloom_hit_count_bc"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val f = bloom.value
+    var c = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      if (f.mightContainLong(arr.getLong(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      val filterCls = classOf[org.apache.spark.util.sketch.BloomFilter].getName
+      val f = ctx.addMutableState(filterCls, "graftBloomFilter")
+      val c = ctx.freshName("hits")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($f == null) $f = ($filterCls) $bcRef.value();
+         |int $c = 0;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if ($f.mightContainLong($arr.getLong($i))) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BloomHitCountExpr =
     copy(child = newChild)
 }

@@ -192,38 +192,56 @@ object Transforms {
     df.as[CanonicalRecord].mapPartitions(_.flatMap(r => f(r))).toDF()
   }
 
-  /** LEXICAL decontamination as a declarative pipeline verb: drop records
-    * whose `metadata[textKey]` word-shingles are contained in a BENCHMARK
-    * corpus above `threshold` — the "don't migrate eval data into the
-    * training store" gate, composable before dedup/chunking like any
-    * other step. The benchmark is read from `evalPath` (parquet, text in
-    * `evalTextCol`); direction note: [[Decontaminate.containment]] scores
-    * its `eval` argument against its `train` shingle set, so here the
-    * BENCHMARK plays `train` and the migrating records are the scored
-    * side — flagged ids are anti-joined out. `bloom = true` (default)
-    * folds the benchmark into a broadcast Bloom filter (no join on the
-    * record side; one-sided error can only OVER-flag, the safe
-    * direction). Records without the text key pass through untouched. */
-  def decontaminate(evalPath: String, threshold: Double = 0.5,
-                    shingleSize: Int = 3, textKey: String = "text",
-                    evalTextCol: String = "text", bloom: Boolean = true,
-                    expectedShingles: Long = 1000000L): DataFrame => DataFrame = { df =>
+  /** LEXICAL decontamination as a declarative pipeline verb, with the
+    * N-GRAM COLLISION rule the published web-scale pipelines use (GPT-3 /
+    * PaLM style): DROP a record whose `metadata[textKey]` shares at least
+    * `minHits` word `ngram`-grams with the benchmark corpus at
+    * `evalPath`. Collision — not whole-document containment — is the
+    * correct direction for a drop gate: a 20-word benchmark question
+    * pasted into a 1,000-word page is 2% of the page's shingles (any
+    * containment threshold that catches it drowns in false positives)
+    * but is 13 distinct 8-gram collisions, which `minHits = 1` catches
+    * outright.
+    *
+    * `bloom = true` (default) is a SINGLE PASS over the stream: the
+    * benchmark's shingle hashes fold into a broadcast Bloom filter once,
+    * and each record pays one codegen'd hit-count loop
+    * ([[graft.functions.BloomHitCountExpr]]) — no explode, no join, no
+    * second scan of a 100 TB source. One-sided error can only OVER-drop
+    * (~`fpp` per probe; default 1e-6 ⇒ ~0.1% of 1,000-shingle docs — the
+    * safe direction; lower `fpp` or use `bloom = false` when that
+    * matters). The exact mode joins against the distinct benchmark
+    * shingle set and anti-joins flagged ids (two passes, zero error).
+    * Records without the text key pass through untouched. */
+  def decontaminate(evalPath: String, ngram: Int = 8, minHits: Int = 1,
+                    textKey: String = "text", evalTextCol: String = "text",
+                    bloom: Boolean = true, expectedShingles: Long = 1000000L,
+                    fpp: Double = 1e-6): DataFrame => DataFrame = { df =>
+    require(minHits >= 1, "minHits must be >= 1")
     val bench = df.sparkSession.read.parquet(evalPath)
       .select(col(evalTextCol).as("__text"))
     val text = element_at(col(Canonical.METADATA), textKey)
-    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
-    val candidates = df.filter(hasText)
-      .select(col(Canonical.ID).as("__did"), text.as("__text"))
-    val scored =
-      if (bloom) Decontaminate.bloomContainment(bench, candidates,
-        idCol = "__did", textCol = "__text", shingleSize = shingleSize,
-        threshold = threshold, expectedShingles = expectedShingles)
-      else Decontaminate.containment(bench, candidates,
-        idCol = "__did", textCol = "__text", shingleSize = shingleSize,
-        threshold = threshold)
-    val doomed = scored.filter(col("contaminated"))
-      .select(col("__did").as(Canonical.ID))
-    df.join(doomed, Seq(Canonical.ID), "left_anti")
+    def shingles(c: org.apache.spark.sql.Column) =
+      graft.functions.HashExpressions.wordShingleHashes(c, ngram)
+    if (bloom) {
+      val filter = bench
+        .select(explode(shingles(col("__text"))).as("sh"))
+        .stat.bloomFilter("sh", expectedShingles, fpp)
+      val bc = df.sparkSession.sparkContext.broadcast(filter)
+      val hits = graft.functions.HashExpressions.bloomHitCount(shingles(text), bc)
+      // null text -> null hits -> coalesce keeps the row (pass-through)
+      df.filter(coalesce(hits < minHits, lit(true)))
+    } else {
+      val benchSet = bench.select(explode(shingles(col("__text"))).as("sh")).distinct()
+      val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
+      val doomed = df.filter(hasText)
+        .select(col(Canonical.ID), explode(shingles(text)).as("sh"))
+        .join(benchSet, "sh")
+        .groupBy(Canonical.ID).agg(count(lit(1)).as("__hits"))
+        .filter(col("__hits") >= minHits)
+        .select(Canonical.ID)
+      df.join(doomed, Seq(Canonical.ID), "left_anti")
+    }
   }
 
   /** SEMANTIC decontamination as a declarative pipeline verb: drop

@@ -51,11 +51,20 @@ object WebDataset {
         val shard = path.substring(path.lastIndexOf('/') + 1)
         val in = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        val out = scala.collection.mutable.ArrayBuffer.empty[
-          (String, String, String, Array[Byte], Long)]
-        var e = in.getNextEntry
-        while (e != null) {
-          if (e.isFile) {
+        // LAZY member iterator: one member's bytes in flight at a time on
+        // top of the tar buffer (an eager ArrayBuffer would hold a second
+        // full copy of the shard on the task heap). Safe because the
+        // backing stream is in-memory — no file handle outlives the row.
+        new Iterator[(String, String, String, Array[Byte], Long)] {
+          private var entry = advance()
+          private def advance(): org.apache.commons.compress.archivers.tar.TarArchiveEntry = {
+            var e = in.getNextEntry
+            while (e != null && !e.isFile) e = in.getNextEntry
+            e
+          }
+          override def hasNext: Boolean = entry != null
+          override def next(): (String, String, String, Array[Byte], Long) = {
+            val e = entry
             val name = e.getName
             val base = name.substring(name.lastIndexOf('/') + 1)
             val dot = base.indexOf('.')
@@ -64,11 +73,10 @@ object WebDataset {
               if (dot < 0) (dir + base, "")
               else (dir + base.substring(0, dot), base.substring(dot + 1))
             val content = in.readAllBytes()
-            out += ((shard, key, ext, content, content.length.toLong))
+            entry = advance()
+            (shard, key, ext, content, content.length.toLong)
           }
-          e = in.getNextEntry
         }
-        out
       }
       .toDF("shard", "key", "ext", "content", "byte_len")
   }
@@ -76,9 +84,11 @@ object WebDataset {
   /** Members regrouped into SAMPLES: one row per key with
     * `files: map<ext, binary>` — the unit downstream multimodal ops
     * consume (decode the `png`/`jpg` member, parse the `json` member).
-    * One shuffle on the key; keys are expected unique across shards
-    * (webdataset's contract — a duplicated key merges here, last-ext
-    * wins within the map builder, so the spec pins uniqueness). */
+    * One shuffle on the key. Keys are unique across shards by
+    * webdataset's contract; a corpus violating it (the same key.ext in
+    * two shards) FAILS LOUDLY here — Spark's default
+    * `mapKeyDedupPolicy=EXCEPTION` raises DUPLICATE_MAP_KEY — rather
+    * than silently keeping one of two different payloads (spec-pinned). */
   def groupSamples(members: DataFrame): DataFrame =
     members.groupBy("key")
       .agg(map_from_entries(collect_list(struct(col("ext"), col("content"))))
@@ -105,37 +115,54 @@ object WebDataset {
     val written = samples
       .select(col("key"), col("files"))
       .as[(String, Map[String, Array[Byte]])]
-      .groupByKey { case (key, _) => shardOf(key, numShards) }
-      .mapGroups { (shardId: Int, it: Iterator[(String, Map[String, Array[Byte]])]) =>
+      .map { case (key, files) => (shardOf(key, numShards), key, files) }
+      // same shard id -> same partition (hash repartition on the id);
+      // several shards may share a partition, written sequentially. The
+      // key order comes from Spark's SPILLABLE external sort, so the task
+      // never holds more than one sample's members in memory — a shard is
+      // an I/O unit, not a heap ceiling (an it.toArray.sortBy here would
+      // buffer the whole shard).
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .as[(Int, String, Map[String, Array[Byte]])]
+      .mapPartitions { it =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(outDir), conf.value)
-        val finalPath = new org.apache.hadoop.fs.Path(outDir, f"shard-$shardId%05d.tar")
-        val tmpPath = new org.apache.hadoop.fs.Path(outDir,
-          f".shard-$shardId%05d.tar.inprogress")
-        val samplesSorted = it.toArray.sortBy(_._1)
-        // stream the tar straight into the (temp) file: a shard is
-        // 100 MB-1 GB by convention, and buffering it whole on the task
-        // heap would make shard size a memory ceiling instead of an I/O
-        // unit. Only one sample's members are in memory at a time.
-        val o = fs.create(tmpPath, true)
-        val tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(o)
-        try {
-          tar.setLongFileMode(
-            org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
-          samplesSorted.foreach { case (key, files) =>
-            files.toSeq.sortBy(_._1).foreach { case (ext, content) =>
-              val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(
-                if (ext.isEmpty) key else s"$key.$ext")
-              e.setSize(content.length.toLong)
-              tar.putArchiveEntry(e)
-              tar.write(content)
-              tar.closeArchiveEntry()
-            }
+        var cur = -1
+        var tar: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream = null
+        var n = 0L
+        def close(): Unit = if (cur >= 0) {
+          tar.close() // closes the FS stream too
+          val finalPath = new org.apache.hadoop.fs.Path(outDir, f"shard-$cur%05d.tar")
+          val tmpPath = new org.apache.hadoop.fs.Path(outDir,
+            f".shard-$cur%05d.tar.inprogress")
+          if (fs.exists(finalPath)) fs.delete(finalPath, false)
+          fs.rename(tmpPath, finalPath)
+          cur = -1
+        }
+        it.foreach { case (shardId, key, files) =>
+          if (shardId != cur) {
+            close()
+            cur = shardId
+            val tmpPath = new org.apache.hadoop.fs.Path(outDir,
+              f".shard-$cur%05d.tar.inprogress")
+            tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+              fs.create(tmpPath, true))
+            tar.setLongFileMode(
+              org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
           }
-        } finally tar.close() // closes the FS stream too
-        if (fs.exists(finalPath)) fs.delete(finalPath, false)
-        fs.rename(tmpPath, finalPath)
-        samplesSorted.length.toLong
+          files.toSeq.sortBy(_._1).foreach { case (ext, content) =>
+            val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(
+              if (ext.isEmpty) key else s"$key.$ext")
+            e.setSize(content.length.toLong)
+            tar.putArchiveEntry(e)
+            tar.write(content)
+            tar.closeArchiveEntry()
+          }
+          n += 1
+        }
+        close()
+        Iterator.single(n)
       }
       .collect()
     written.sum

@@ -37,7 +37,7 @@ class DecontaminationE2ESpec extends SparkSpec {
            |                      "metadata_columns": ["text"]}},
            | "pipeline": [
            |   {"transform": "decontaminate",
-           |    "eval_path": "examples/data/benchmark_eval.parquet", "threshold": 0.5},
+           |    "eval_path": "examples/data/benchmark_eval.parquet", "ngram": 8},
            |   {"transform": "chunk_embed", "width": 64, "stride": 48, "dim": 64},
            |   {"transform": "semantic_decontaminate",
            |    "eval_path": "examples/data/benchmark_eval_vectors.parquet",

@@ -75,6 +75,23 @@ class CodegenStrictSpec extends SparkSpec {
     }
   }
 
+  test("BloomHitCountExpr generated code compiles (n-gram collision gate)") {
+    strict {
+      import spark.implicits._
+      val evalDir = java.nio.file.Files.createTempDirectory("cg_bloomhits")
+        .resolve("eval").toString
+      Seq("the quick brown fox jumps over the lazy dog every day")
+        .toDF("text").write.parquet(evalDir)
+      val docs = Seq(
+        ("1", Seq(1.0f), Map("text" -> "the quick brown fox jumps over the lazy dog every day")),
+        ("2", Seq(1.0f), Map("text" -> "nothing shared with any benchmark item at all today")))
+        .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+      val out = graft.ops.Transforms.decontaminate(evalDir)(docs)
+        .select(Canonical.ID).collect().map(_.getString(0)).toSeq
+      assert(out == Seq("2"), out.toString)
+    }
+  }
+
   test("NearestEvalExpr generated code compiles (semantic decontamination argmax)") {
     strict {
       val emb = Tables(spark, sf(), "embeddings")

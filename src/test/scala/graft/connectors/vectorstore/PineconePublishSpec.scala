@@ -344,4 +344,31 @@ class PineconePublishSpec extends SparkSpec {
       assert(t.scroll("pp::t", 0, 10).head.metadata("v") == "g3")
     } finally server.stop()
   }
+
+  test("stale retry of the SUPERSEDED publish with rows still present: no flip-back") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("sp2::t", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      // job A published gA; job B flipped to gB but CRASHED before the
+      // retire - pointer {target: gB, prev: gA}, gA rows still present
+      val gA = "sp2::t__staging_jobA"; val gB = "sp2::t__staging_jobB"
+      t.createCollection(gA, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(gA, Seq(rec("1", "A")))
+      t.createCollection(gB, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(gB, Seq(rec("2", "B"), rec("3", "B")))
+      t.upsert("sp2::__graft_meta", Seq(VSRecord("__graft_ptr::t", Array(1f, 1f),
+        Map("target" -> "t__staging_jobB", "prev" -> "t__staging_jobA"))))
+      // a delayed duplicate of JOB A's publish arrives. Flipping back to
+      // gA and deleting gB as "old" would destroy the NEWEST generation.
+      // The only legitimate work is finishing B's pending retire of gA.
+      t.rename(gA, "sp2::t")
+      val reader = new PineconeWireTransport(server.url)
+      assert(reader.count("sp2::t") == 2, "stale retry flipped the pointer backwards")
+      assert(reader.scroll("sp2::t", 0, 10).forall(_.metadata("v") == "B"))
+      assert(rawRows(inner, gA) == 0, "the pending retire of gA was not finished")
+    } finally server.stop()
+  }
 }

@@ -115,15 +115,43 @@ class DecontaminateStepSpec extends graft.SparkSpec {
   private def tmp(name: String): String =
     java.nio.file.Files.createTempDirectory(name).resolve("eval").toString
 
-  test("decontaminate pipeline step drops benchmark-contained records (bloom + exact)") {
+  test("decontaminate pipeline step drops n-gram collisions (bloom + exact)") {
     val evalPath = tmp("lexdecon")
     Seq("the quick brown fox jumps over the lazy dog and more")
       .toDF("text").write.parquet(evalPath)
     Seq(true, false).foreach { bloom =>
       val step = TransformPipeline.resolve(TransformStep("decontaminate",
-        Map("eval_path" -> evalPath, "threshold" -> "0.8", "bloom" -> bloom.toString)))
+        Map("eval_path" -> evalPath, "ngram" -> "8", "bloom" -> bloom.toString)))
       val ids = step(records).select(Canonical.ID).as[String].collect().sorted.toSeq
       assert(ids == Seq("2", "3"), s"bloom=$bloom -> $ids")
+    }
+  }
+
+  test("decontaminate catches a benchmark item DILUTED inside a long document") {
+    // the primary leakage pattern: a verbatim benchmark question pasted
+    // into a much longer page. Whole-document containment dilutes to ~2%
+    // and passes any sane threshold; the n-gram COLLISION rule drops it.
+    val evalPath = tmp("lexdecon_dilute")
+    Seq("the quick brown fox jumps over the lazy dog every single day")
+      .toDF("text").write.parquet(evalPath)
+    val filler = (1 to 300).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      ("L1", Seq(1.0f, 0.0f), Map("text" ->
+        (filler + " the quick brown fox jumps over the lazy dog every single day " + filler))),
+      ("L2", Seq(0.0f, 1.0f), Map("text" -> (filler + " nothing borrowed here " + filler))))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    Seq(true, false).foreach { bloom =>
+      val step = TransformPipeline.resolve(TransformStep("decontaminate",
+        Map("eval_path" -> evalPath, "bloom" -> bloom.toString)))
+      val ids = step(docs).select(Canonical.ID).as[String].collect().toSeq
+      assert(ids == Seq("L2"), s"bloom=$bloom: diluted benchmark item leaked -> $ids")
+    }
+  }
+
+  test("decontaminate: malformed numeric params are config errors, not NumberFormat") {
+    intercept[graft.config.ConfigException] {
+      TransformPipeline.resolve(TransformStep("decontaminate",
+        Map("eval_path" -> "/x", "expected_shingles" -> "1e6")))
     }
   }
 

@@ -153,4 +153,56 @@ class WebDatasetSpec extends SparkSpec {
     assert(recs("cap1")._2("__members") == "jpg") // payload presence recorded
     assert(recs("cap2")._2 == Map("text" -> "a dog on grass"))
   }
+
+  test("a corpus with a duplicated key.ext fails LOUDLY at regroup, never merges silently") {
+    val dir = tmp("wds_dup")
+    WebDataset.writeShards(
+      Seq(("k1", Map("txt" -> "first copy".getBytes("UTF-8")))).toDF("key", "files"),
+      dir, 1)
+    // forge the contract violation: the same key.ext in a second shard
+    val src = java.nio.file.Paths.get(dir, "shard-00000.tar")
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(dir, "shard-00001.tar"))
+    val e = intercept[Exception] {
+      WebDataset.groupSamples(WebDataset.readShards(spark, s"$dir/*.tar")).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("DUPLICATE"), e.getMessage)
+  }
+
+  test("connector write without recreate refuses to interleave shard generations") {
+    val root = tmp("wds_norecreate")
+    val recs = Seq(("1", Seq(1.0f), Map("k" -> "v")))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    val c = graft.connectors.ConnectorRegistry("webdataset")
+    c.write(recs, Map("path" -> root),
+      graft.config.LoadSpec(collection = "c1", recreate = true,
+        options = Map("num_shards" -> "2")))
+    val e = intercept[graft.config.ConfigException] {
+      c.write(recs, Map("path" -> root),
+        graft.config.LoadSpec(collection = "c1", recreate = false))
+    }
+    assert(e.getMessage.contains("no append semantics"), e.getMessage)
+  }
+
+  test("__members never survives an export: re-exported corpora claim only real members") {
+    val root = tmp("wds_members")
+    // foreign corpus with a binary member -> read lifts __members
+    WebDataset.writeShards(Seq(
+      ("m1", Map("txt" -> "caption".getBytes("UTF-8"), "jpg" -> Array[Byte](9))))
+      .toDF("key", "files"), s"$root/src", 1)
+    val c = graft.connectors.ConnectorRegistry("webdataset")
+    val recs = c.read(spark, Map("path" -> root),
+      graft.config.QuerySpec(collection = "src"))
+    assert(recs.head().getAs[Map[String, String]](2)("__members") == "jpg")
+    // export those records (payload bytes are NOT carried by canonical
+    // records) and re-read: no phantom member claim
+    c.write(recs, Map("path" -> root),
+      graft.config.LoadSpec(collection = "dst", recreate = true,
+        options = Map("num_shards" -> "1")))
+    val back = c.read(spark, Map("path" -> root),
+      graft.config.QuerySpec(collection = "dst"))
+    val meta = back.head().getAs[Map[String, String]](2)
+    assert(!meta.contains("__members"), meta.toString)
+    assert(meta("text") == "caption")
+  }
 }
