@@ -455,7 +455,7 @@ object ScaleProbe {
     // task, read back member-wise — both sides are embarrassingly
     // parallel over shards, so the law should be linear in corpus bytes.
     time("webdataset pack+read") {
-      val dir = java.nio.file.Files.createTempDirectory("wds_probe").toString
+      val dir = "target/tmp/wds_probe" // fixed + fully replaced: no /tmp leak
       val samples = docs.select(col("doc_id").cast("string").as("key"),
         map(lit("txt"), encode(col("text"), "UTF-8")).as("files"))
       ops.WebDataset.writeShards(samples, dir, numShards = 32)

@@ -53,13 +53,20 @@ class WebDatasetConnector extends VectorConnector {
           val n = mapper.readTree(j)
           import scala.jdk.CollectionConverters._
           n.properties().asScala.map(e => e.getKey ->
-            (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString)).toMap
+            (if (e.getValue.isNull) null // a written JSON null must not read back as "null"
+            else if (e.getValue.isTextual) e.getValue.asText()
+            else e.getValue.toString)).toMap
         }.getOrElse(Map.empty) - "__members" // ACTUAL members are authoritative,
         // never a stale claim serialized by an earlier export
+        val txtLifted = !fromJson.contains("text") && files.contains("txt")
         val withTxt =
-          if (!fromJson.contains("text")) fromJson ++ utf8("txt").map("text" -> _)
+          if (txtLifted) fromJson ++ utf8("txt").map("text" -> _)
           else fromJson
-        val binaryExts = files.keys.filterNot(Set("json", "txt", "vec.json")).toSeq.sorted
+        // every member must leave a trace: an UNLIFTED txt (the json
+        // already carries 'text') is still a real member — record it in
+        // __members with the payload exts rather than vanish
+        val binaryExts = (files.keys.filterNot(Set("json", "vec.json")).toSet --
+          (if (txtLifted) Set("txt") else Set.empty[String])).toSeq.sorted
         val meta =
           if (binaryExts.isEmpty) withTxt
           else withTxt + ("__members" -> binaryExts.mkString(","))
@@ -80,7 +87,11 @@ class WebDatasetConnector extends VectorConnector {
                      load: LoadSpec): WriteReport = {
     val spark = df.sparkSession
     import spark.implicits._
-    val numShards = load.options.get("num_shards").map(_.toInt).getOrElse(16)
+    val numShards = load.options.get("num_shards")
+      .map(v => v.toIntOption.filter(_ > 0).getOrElse(
+        throw new graft.config.ConfigException(
+          s"webdataset load option 'num_shards' must be a positive integer, got '$v'")))
+      .getOrElse(16)
     val out = dir(connection, load.collection)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
@@ -101,6 +112,14 @@ class WebDatasetConnector extends VectorConnector {
       .select(col(Canonical.ID), col(Canonical.VECTOR), col(Canonical.METADATA))
       .as[(String, Seq[Float], Map[String, String])]
       .map { case (id, vec, meta) =>
+        // readShards splits sample keys at the FIRST dot, so an id
+        // containing '.' would silently corrupt on round trip ('a.1' ->
+        // key 'a', ext '1.json'); refuse rather than mangle
+        if (id.contains('.'))
+          throw new IllegalArgumentException(
+            s"webdataset sample keys cannot contain '.' (id '$id'): the " +
+              "format splits member names at the first dot - rename ids " +
+              "before export (e.g. replace '.' with '_')")
         val mapper = WebDatasetConnector.mapper
         val files = scala.collection.mutable.Map.empty[String, Array[Byte]]
         files("json") = mapper.writeValueAsBytes({

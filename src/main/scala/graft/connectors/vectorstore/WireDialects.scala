@@ -964,8 +964,9 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     if (p.isDefined && !statsHas(ixT, nsF)) return
     // a PENDING retire from a crashed earlier publish (prev set, target
     // != this shadow) is finished FIRST, so its generation's rows can
-    // never be stranded by prev being overwritten below
-    p.flatMap(_.prev).filter(og => og != nsF).foreach { og =>
+    // never be stranded by prev being overwritten below. (prev == nsF
+    // cannot reach here — the stale-retry guard above returned on it.)
+    p.flatMap(_.prev).foreach { og =>
       deleteAllNs(ixT, og)
       writePointer(ixT, nsT, p.get.target, None)
     }

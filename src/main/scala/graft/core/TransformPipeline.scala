@@ -76,13 +76,22 @@ object TransformPipeline {
     // parquet — drop on >= min_hits shared ngram-grams, Bloom single-pass
     // fast path) and semantic (fused cosine argmax on the record vectors
     // — pure map, NaN fails closed)
-    "decontaminate" -> (p => Transforms.decontaminate(
+    "decontaminate" -> (p => {
+      // the round-12 semantics change (containment fraction -> n-gram
+      // collision) renamed the knobs; an OLD config must abort loudly,
+      // not silently run a different rule with different defaults
+      Seq("threshold", "shingle_size").foreach(k => if (p.contains(k))
+        throw new ConfigException(s"decontaminate no longer takes '$k': it " +
+          "now drops records sharing >= min_hits word ngram-grams with the " +
+          "benchmark (params: ngram, min_hits, fpp, bloom, expected_shingles)"))
+      Transforms.decontaminate(
       req(p, "eval_path", "decontaminate"),
       int(p, "ngram", 8), int(p, "min_hits", 1),
       p.getOrElse("text_key", "text"), p.getOrElse("eval_text_key", "text"),
       bool(p, "bloom", default = true),
       lng(p, "expected_shingles", 1000000L),
-      dbl(p, "fpp", 1e-6))),
+      dbl(p, "fpp", 1e-6))
+    }),
     "semantic_decontaminate" -> (p => Transforms.semanticDecontaminate(
       req(p, "eval_path", "semantic_decontaminate"),
       dbl(p, "threshold", 0.8),

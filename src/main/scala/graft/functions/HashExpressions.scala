@@ -35,6 +35,16 @@ object HashExpressions {
   def wordShingleHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingleHashesExpr(GraftColumnBridge.expression(text), n))
 
+  /** FULL-64-bit distinct shingle hashes — for collision GATES, where the
+    * MinHash family's mod-P reduction (31 bits) would make chance hash
+    * collisions, not the Bloom fpp, the false-drop floor: at ~1e6
+    * benchmark shingles, 31 bits collide at ~4.7e-4 per probe (a clean
+    * 1,000-shingle document would be falsely dropped with P ≈ 37%);
+    * 64 bits push that to ~5e-14 per probe. */
+  def wordShingleHashes64(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      WordShingleHashesExpr(GraftColumnBridge.expression(text), n, reduceModP = false))
+
   /** Merge-join Jaccard over two SORTED distinct long arrays — see
     * [[SortedLongJaccardExpr]]. */
   def sortedJaccard(a: Column, b: Column): Column =
@@ -431,7 +441,8 @@ case class PolyFoldHashExpr(child: Expression) extends UnaryExpression {
   * higher-order functions. CodegenFallback: eval is tight compiled Scala;
   * the per-row boxing it pays is nothing next to per-ELEMENT interpretation
   * of the HOF chain it replaces. */
-case class WordShingleHashesExpr(child: Expression, n: Int)
+case class WordShingleHashesExpr(child: Expression, n: Int,
+                                 reduceModP: Boolean = true)
   extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -456,10 +467,14 @@ case class WordShingleHashesExpr(child: Expression, n: Int)
       var j = 0
       while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
       val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      // same XXH64(seed=42) core as Spark's xxhash64, then reduce mod P
+      // same XXH64(seed=42) core as Spark's xxhash64; reduced mod P only
+      // for the MinHash family (a·x+b must stay below 2^62). Collision
+      // GATES need the full 64 bits: 31-bit hashes collide by chance at
+      // ~n_bench/2^31 per probe — enough to falsely drop whole documents.
       val h = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
-      seen.add(((h % HashExpressions.P) + HashExpressions.P) % HashExpressions.P)
+      seen.add(if (reduceModP) ((h % HashExpressions.P) + HashExpressions.P) % HashExpressions.P
+        else h)
       i += 1
     }
     val out = new Array[Long](seen.size)

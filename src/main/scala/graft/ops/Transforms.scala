@@ -221,8 +221,13 @@ object Transforms {
     val bench = df.sparkSession.read.parquet(evalPath)
       .select(col(evalTextCol).as("__text"))
     val text = element_at(col(Canonical.METADATA), textKey)
+    // FULL 64-bit shingle hashes: the MinHash family's mod-P (31-bit)
+    // reduction would make chance collisions the false-drop floor
+    // (~4.7e-4 per probe at 1e6 benchmark shingles -> ~37% of clean
+    // 1,000-shingle docs dropped); at 64 bits the floor is ~5e-14 and
+    // the Bloom fpp genuinely dominates, as the error analysis claims
     def shingles(c: org.apache.spark.sql.Column) =
-      graft.functions.HashExpressions.wordShingleHashes(c, ngram)
+      graft.functions.HashExpressions.wordShingleHashes64(c, ngram)
     if (bloom) {
       val filter = bench
         .select(explode(shingles(col("__text"))).as("sh"))

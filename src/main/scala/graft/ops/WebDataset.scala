@@ -137,7 +137,12 @@ object WebDataset {
           val tmpPath = new org.apache.hadoop.fs.Path(outDir,
             f".shard-$cur%05d.tar.inprogress")
           if (fs.exists(finalPath)) fs.delete(finalPath, false)
-          fs.rename(tmpPath, finalPath)
+          // some FileSystems (HDFS included) report rename failure by
+          // RETURNING FALSE, not throwing — unchecked, a whole shard
+          // would silently vanish while still counted as written
+          if (!fs.rename(tmpPath, finalPath))
+            throw new java.io.IOException(
+              s"failed to commit shard $tmpPath -> $finalPath")
           cur = -1
         }
         it.foreach { case (shardId, key, files) =>

@@ -155,6 +155,18 @@ class DecontaminateStepSpec extends graft.SparkSpec {
     }
   }
 
+  test("decontaminate: a pre-round-12 config aborts loudly, never silently re-interprets") {
+    // the semantics changed (containment fraction -> n-gram collision);
+    // an old config's knobs must be a hard error, not ignored keys
+    Seq("threshold" -> "0.9", "shingle_size" -> "3").foreach { case (k, v) =>
+      val e = intercept[graft.config.ConfigException] {
+        TransformPipeline.resolve(TransformStep("decontaminate",
+          Map("eval_path" -> "/x", k -> v)))
+      }
+      assert(e.getMessage.contains("no longer takes"), e.getMessage)
+    }
+  }
+
   test("semantic_decontaminate step drops near-benchmark vectors; NaN fails closed") {
     val evalPath = tmp("semdecon")
     Seq((10L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding").write.parquet(evalPath)

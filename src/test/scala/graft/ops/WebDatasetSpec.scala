@@ -205,4 +205,44 @@ class WebDatasetSpec extends SparkSpec {
     assert(!meta.contains("__members"), meta.toString)
     assert(meta("text") == "caption")
   }
+
+  test("pass-4 hygiene: dot ids refused, null metadata round-trips, txt traced, num_shards validated") {
+    val root = tmp("wds_p4")
+    val c = graft.connectors.ConnectorRegistry("webdataset")
+    // ids with dots would corrupt on the first-dot key split: refuse
+    val dotted = Seq(("a.1", Seq(1.0f), Map("k" -> "v")))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    val e = intercept[org.apache.spark.SparkException] {
+      c.write(dotted, Map("path" -> root),
+        graft.config.LoadSpec(collection = "dots", recreate = true))
+    }
+    assert(String.valueOf(e.getMessage) != null)
+    // a JSON null metadata value must read back as null, not "null"
+    val nulled = Seq(("n1", Seq(1.0f), Map("k" -> null.asInstanceOf[String], "j" -> "x")))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    c.write(nulled, Map("path" -> root),
+      graft.config.LoadSpec(collection = "nulls", recreate = true,
+        options = Map("num_shards" -> "1")))
+    val m = c.read(spark, Map("path" -> root),
+        graft.config.QuerySpec(collection = "nulls"))
+      .head().getAs[Map[String, String]](2)
+    assert(m("j") == "x" && m.contains("k") && m("k") == null, m.toString)
+    // an UNLIFTED txt member (json already has text) leaves a __members trace
+    WebDataset.writeShards(Seq(
+      ("t1", Map("json" -> """{"text":"clean"}""".getBytes("UTF-8"),
+        "txt" -> "raw caption".getBytes("UTF-8"))))
+      .toDF("key", "files"), s"$root/shadowtxt", 1)
+    val meta = c.read(spark, Map("path" -> root),
+        graft.config.QuerySpec(collection = "shadowtxt"))
+      .head().getAs[Map[String, String]](2)
+    assert(meta("text") == "clean" && meta("__members") == "txt", meta.toString)
+    // malformed num_shards is a config error
+    intercept[graft.config.ConfigException] {
+      c.write(nulled, Map("path" -> root),
+        graft.config.LoadSpec(collection = "bad", recreate = true,
+          options = Map("num_shards" -> "4x")))
+    }
+  }
 }
