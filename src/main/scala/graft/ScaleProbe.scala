@@ -458,7 +458,7 @@ object ScaleProbe {
       val dir = "target/tmp/wds_probe" // fixed + fully replaced: no /tmp leak
       val samples = docs.select(col("doc_id").cast("string").as("key"),
         map(lit("txt"), encode(col("text"), "UTF-8")).as("files"))
-      ops.WebDataset.writeShards(samples, dir, numShards = 32)
+      ops.WebDataset.writeShards(samples, dir, numShards = 32, overwrite = true)
       ops.WebDataset.readShards(spark, s"$dir/*.tar").count()
     }
 

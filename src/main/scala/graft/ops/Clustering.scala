@@ -19,6 +19,15 @@ import graft.functions.{VectorAggFunctions, VectorExpressions}
   */
 object Clustering {
 
+  /** Driver-materialization ceiling for the center set: every k-means
+    * round collects k·dim doubles into the fused argmin kernel's reference
+    * object — at 768-dim that's ~400 MB of codegen literals at this cap,
+    * already past sensible. A k above it is virtually always a swapped or
+    * mis-scaled argument (k should be cells/clusters, not rows); failing
+    * with the knob's name beats a driver OOM mid-collect — the same
+    * contract-enforcement shape as `Decontaminate.MaxEvalRows`. */
+  private[graft] val MaxCenters = 65536
+
   /** Deterministic seed centers: the k lowest-id vectors (k-means++ is a
     * quality upgrade, not a scale requirement — sorted ids keep the gate
     * SQL-replayable). */
@@ -179,8 +188,13 @@ object Clustering {
   private def collectCenters(centers: DataFrame): (Column, Array[Array[Double]]) = {
     val rows = centers
       .select(col("center_id"), transform(col("center"), _.cast("double")))
-      .orderBy("center_id").collect()
+      .orderBy("center_id").limit(MaxCenters + 1).collect()
     require(rows.nonEmpty, "empty center set")
+    require(rows.length <= MaxCenters,
+      s"center set exceeds Clustering.MaxCenters ($MaxCenters rows) — centers are " +
+        "driver-collected into the fused argmin kernel by contract (k is a cell/cluster " +
+        "count, not a row count); lower k, or assign via assignViaShuffle for an " +
+        "uncollectable center relation")
     (array(rows.map(r => lit(r.get(0))).toIndexedSeq: _*),
       rows.map(_.getSeq[Double](1).toArray))
   }
@@ -233,6 +247,10 @@ object Clustering {
   def fitCenters(df: DataFrame, k: Int, iters: Int, vecCol: String = "embedding",
                  idCol: String = "vec_id", farthestInit: Boolean = false): DataFrame = {
     require(k > 0)
+    require(k <= MaxCenters,
+      s"k = $k exceeds Clustering.MaxCenters ($MaxCenters) — every Lloyd's round " +
+        "collects the k centers to the driver for the fused argmin kernel; a larger " +
+        "k is out of the collectable-centers contract")
     val vecs = df.select(col(idCol), col(vecCol))
     val init =
       if (farthestInit) initCentersFarthest(vecs, k, vecCol, idCol)

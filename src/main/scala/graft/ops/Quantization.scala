@@ -21,6 +21,33 @@ import graft.functions.PqExpressions
   */
 object Quantization {
 
+  /** Codebook-size ceiling: every subspace's ksub codewords live on the
+    * driver and ride into the fused encode kernel; PQ codes address them
+    * with small ints (256 is the canonical choice — Jégou et al. 2011), so
+    * a ksub past this cap is a mis-scaled argument, not a bigger index.
+    * Named like `Decontaminate.MaxEvalRows`: fail with the knob, not an
+    * OOM. */
+  private[graft] val MaxKsub = 65536
+
+  /** Query-set ceiling for the ADC search faces: queries are collected to
+    * the driver and expanded into per-query (or per-query-per-cell)
+    * distance tables by contract — "queries are FEW" is now enforced, not
+    * just documented. A query relation past this cap is a swapped
+    * argument (the COLLECTION goes in `candidates`). */
+  private[graft] val MaxQueryRows = 65536
+
+  private def collectQueries(queries: DataFrame, idCol: String, vecCol: String) = {
+    val rows = queries
+      .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
+      .orderBy(col(idCol)).limit(MaxQueryRows + 1).collect()
+    require(rows.nonEmpty, "empty query set")
+    require(rows.length <= MaxQueryRows,
+      s"query set exceeds Quantization.MaxQueryRows ($MaxQueryRows rows) — queries " +
+        "are driver-collected into broadcast ADC tables by contract (did the " +
+        "candidates/queries arguments get swapped?)")
+    rows
+  }
+
   /** Train per-subspace codebooks: split `vecCol` into `m` contiguous
     * subvectors of dim/m components and run `iters` Lloyd's rounds on each
     * (deterministic lowest-id seeds — `iters = 1` IS the seed set, which
@@ -42,6 +69,10 @@ object Quantization {
   def pqTrain(df: DataFrame, m: Int, ksub: Int, iters: Int = 1,
               vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Array[Double]]] = {
     require(m > 0 && ksub > 0 && iters > 0)
+    require(ksub <= MaxKsub,
+      s"ksub = $ksub exceeds Quantization.MaxKsub ($MaxKsub) — codebooks are " +
+        "driver-held and codes index them with small ints; a larger sub-codebook " +
+        "is out of the PQ contract (use more subspaces m, not a wider ksub)")
     val dim = Similarity.resolveDim(df, vecCol, -1)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
@@ -120,12 +151,9 @@ object Quantization {
     val coded = candidates.select(col(idCol).as("cand_id"),
       pqEncode(col(vecCol), codebooks).getField("codes").as("codes"))
 
-    // bounded collect: the query set (broadcast by contract), one l2² table
-    // per query against every codeword
-    val qRows = queries
-      .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
-      .orderBy(col(idCol)).collect()
-    require(qRows.nonEmpty, "empty query set")
+    // bounded collect: the query set (broadcast by contract, enforced via
+    // MaxQueryRows), one l2² table per query against every codeword
+    val qRows = collectQueries(queries, idCol, vecCol)
     val tables: Array[Array[Array[Double]]] = qRows.map { r =>
       val qv = r.getSeq[Double](1).toArray
       codebooks.zipWithIndex.map { case (cb, s) =>
@@ -281,10 +309,8 @@ object Quantization {
     val dsub = cb(0)(0).length
 
     // per-(query, cell) ADC tables over the query's residual in that cell
-    val qRows = queries
-      .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
-      .orderBy(col(idCol)).collect()
-    require(qRows.nonEmpty, "empty query set")
+    // (query set driver-collected under the MaxQueryRows contract)
+    val qRows = collectQueries(queries, idCol, vecCol)
     val nC = cellVecs.length
     val tables: Array[Array[Array[Double]]] = qRows.flatMap { r =>
       val qv = r.getSeq[Double](1).toArray

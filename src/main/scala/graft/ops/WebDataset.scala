@@ -102,16 +102,35 @@ object WebDataset {
     * grouped — the contiguity the webdataset readers stream on. Each
     * shard builds in ONE task (shards are the parallel unit) and lands
     * via write-temp-then-rename, so observers never see a partial tar
-    * under its final name.
+    * under its final name. Temp names are ATTEMPT-unique (they embed the
+    * Spark task attempt id), so a speculative or zombie attempt of the
+    * same partition never interleaves bytes into a live attempt's file —
+    * the final rename stays last-writer-wins idempotent.
     *
-    * @param samples (key: string, files: map<ext, binary>) — the
-    *                [[groupSamples]] shape. */
-  def writeShards(samples: DataFrame, outDir: String, numShards: Int): Long = {
+    * @param samples   (key: string, files: map<ext, binary>) — the
+    *                  [[groupSamples]] shape.
+    * @param overwrite when true, deletes every existing `shard-*.tar`
+    *                  under `outDir` before writing. A re-run that emits
+    *                  FEWER populated shards (smaller corpus, different
+    *                  `numShards`) otherwise leaves stale shards behind
+    *                  that a later `readShards` glob silently mixes in. */
+  def writeShards(samples: DataFrame, outDir: String, numShards: Int,
+                  overwrite: Boolean = false): Long = {
     require(numShards > 0, "numShards must be positive")
     val spark = samples.sparkSession
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    if (overwrite) {
+      // driver-side, before the job launches: clear prior-generation
+      // shards so the output dir holds exactly this run's corpus
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(outDir), conf.value)
+      val dir = new org.apache.hadoop.fs.Path(outDir)
+      if (fs.exists(dir))
+        fs.globStatus(new org.apache.hadoop.fs.Path(dir, "shard-*.tar"))
+          .foreach(st => fs.delete(st.getPath, false))
+    }
     val written = samples
       .select(col("key"), col("files"))
       .as[(String, Map[String, Array[Byte]])]
@@ -128,14 +147,22 @@ object WebDataset {
       .mapPartitions { it =>
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(outDir), conf.value)
+        // attempt-unique temp suffix: two attempts of the same partition
+        // (speculation, or a zombie surviving a retry) must never share a
+        // temp file, or their interleaved bytes could be renamed into a
+        // committed-looking but corrupt tar. The rename target is still
+        // the bare shard name — last writer wins, idempotent.
+        val attemptTag =
+          Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+        def tmpPathOf(shardId: Int) = new org.apache.hadoop.fs.Path(outDir,
+          f".shard-$shardId%05d.tar.$attemptTag.inprogress")
         var cur = -1
         var tar: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream = null
         var n = 0L
         def close(): Unit = if (cur >= 0) {
           tar.close() // closes the FS stream too
           val finalPath = new org.apache.hadoop.fs.Path(outDir, f"shard-$cur%05d.tar")
-          val tmpPath = new org.apache.hadoop.fs.Path(outDir,
-            f".shard-$cur%05d.tar.inprogress")
+          val tmpPath = tmpPathOf(cur)
           if (fs.exists(finalPath)) fs.delete(finalPath, false)
           // some FileSystems (HDFS included) report rename failure by
           // RETURNING FALSE, not throwing — unchecked, a whole shard
@@ -149,10 +176,8 @@ object WebDataset {
           if (shardId != cur) {
             close()
             cur = shardId
-            val tmpPath = new org.apache.hadoop.fs.Path(outDir,
-              f".shard-$cur%05d.tar.inprogress")
             tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
-              fs.create(tmpPath, true))
+              fs.create(tmpPathOf(cur), true))
             tar.setLongFileMode(
               org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
           }

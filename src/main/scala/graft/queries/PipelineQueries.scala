@@ -526,11 +526,12 @@ object PipelineQueries {
         .where(col("text").isNotNull)
         .select(col("doc_id").cast("string").as("key"),
           map(lit("txt"), encode(col("text"), "UTF-8")).as("files"))
-      // FIXED scratch path, fully replaced per run (writeShards rewrites
-      // every shard id) — a fresh temp dir per invocation would leak a
-      // corpus copy on every evaluation
+      // FIXED scratch path, cleared per run (overwrite=true deletes prior
+      // shard-*.tar, since a smaller re-run would otherwise leave stale
+      // shards for the glob) — a fresh temp dir per invocation would leak
+      // a corpus copy on every evaluation
       val out = "target/tmp/wds_gate"
-      graft.ops.WebDataset.writeShards(samples, out, numShards = 8)
+      graft.ops.WebDataset.writeShards(samples, out, numShards = 8, overwrite = true)
       graft.ops.WebDataset.readShards(s, s"$out/*.tar")
         .select(col("key"), col("shard"), col("ext"), col("byte_len"))
     }),

@@ -152,9 +152,12 @@ object StreamOps {
     * benchmark set — the production shape of the leakage check, applied
     * to the crawl stream before it ever lands. The benchmark folds into
     * a Bloom filter once at stream setup (one batch aggregate) and is
-    * broadcast; each document then scores with ONE row-local UDF over its
-    * shingle-hash array — no explode, no join, no streaming aggregation,
-    * so this composes with any output mode and holds zero state. Bloom
+    * broadcast; each document then scores with ONE row-local codegen'd
+    * probe ([[graft.functions.BloomHitCountExpr]] — the same compiled
+    * kernel family as the batch face, no boxing boundary on the ingestion
+    * hot path) over its shingle-hash array — no explode, no join, no
+    * streaming aggregation, so this composes with any output mode and
+    * holds zero state. Bloom
     * error is one-sided (never under-reports containment), the safe
     * direction for a filter that protects eval integrity. Works on batch
     * frames too (parity with [[graft.ops.Decontaminate]] spec-asserted).
@@ -171,12 +174,14 @@ object StreamOps {
       .select(explode(HashExpressions.wordShingleHashes(col(textCol), shingleSize)).as("sh"))
       .stat.bloomFilter("sh", expectedShingles, fpp)
     val bc = benchmark.sparkSession.sparkContext.broadcast(filter)
-    val shared = udf((hs: Seq[Long]) =>
-      if (hs == null) 0 else hs.count(bc.value.mightContainLong))
     docs
       .withColumn("__sh", HashExpressions.wordShingleHashes(col(textCol), shingleSize))
       .withColumn("n_shingles", size(col("__sh")))
-      .withColumn("n_shared", shared(col("__sh")))
+      // coalesce pins the historical null-text contract (n_shared = 0,
+      // matching the retired boxed udf) — the codegen'd kernel itself is
+      // null-propagating like every UnaryExpression
+      .withColumn("n_shared",
+        coalesce(HashExpressions.bloomHitCount(col("__sh"), bc), lit(0)))
       .withColumn("containment", round(when(col("n_shingles") === 0, 0.0)
         .otherwise(col("n_shared").cast("double") / col("n_shingles")), 6))
       .withColumn("contaminated", col("containment") >= threshold)

@@ -128,6 +128,30 @@ class StreamingSpec extends SparkSpec {
     assert(stream == exact) // at fpp 1e-6 on this corpus: no false positives
   }
 
+  test("streaming decontamination plan is codegen'd: no boxed udf on the hot path") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val docs = graft.Tables(spark, sf(), "documents").limit(50)
+    val qe = StreamOps.streamingDecontaminate(docs, docs.limit(5)).queryExecution
+    val udfs = qe.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect { case u: ScalaUDF => u })
+    }.flatten
+    assert(udfs.isEmpty, s"boxed udf survived in the ingestion plan: $udfs")
+    assert(qe.executedPlan.toString.contains("bloom_hit_count_bc"),
+      qe.executedPlan.toString.take(2000))
+  }
+
+  test("streaming decontamination null-text rows keep the n_shared=0 contract") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val benchmark = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = StreamOps.streamingDecontaminate(
+        Seq((1L, "alpha beta gamma delta"), (2L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), benchmark, expectedShingles = 100L)
+      .select("doc_id", "n_shared").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) > 0 && out(2L) == 0, out.toString)
+  }
+
   test("streaming semantic decontamination flags embedding-space leakage in-flight") {
     implicit val sqlCtx = spark.sqlContext
     val evalSet = Seq((100L, Seq(1.0f, 0.0f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.0f)))
