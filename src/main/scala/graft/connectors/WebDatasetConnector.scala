@@ -17,7 +17,14 @@ import graft.ops.WebDataset
   *  - metadata ⇄ the `json` member (flat string map, Jackson round
   *    trip). READING a foreign corpus also lifts a `txt` member into
   *    `metadata["text"]` when the json carries none — the common
-  *    caption/document layout;
+  *    caption/document layout. Non-textual json values (numbers,
+  *    booleans, nested objects/arrays) are carried as their JSON
+  *    serialization in the string map, and the keys that were typed are
+  *    recorded in `metadata["__typed"]` (a JSON string array) — WRITING
+  *    re-parses exactly those keys back into typed JSON, so a
+  *    read → write round trip preserves value kinds for downstream
+  *    webdataset consumers instead of silently stringifying `42` into
+  *    `"42"`;
   *  - vector ⇄ the `vec.json` member (JSON float array; absent member =
   *    null vector). Binary members (`png`/`jpg`/`wav`/…) are NOT
   *    silently dropped on read: their BYTES stay out of the canonical
@@ -49,15 +56,27 @@ class WebDatasetConnector extends VectorConnector {
         def utf8(ext: String): Option[String] =
           files.get(ext).map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8))
         val mapper = WebDatasetConnector.mapper
-        val fromJson: Map[String, String] = utf8("json").map { j =>
+        val (fromJsonAll, typedKeys) = utf8("json").map { j =>
           val n = mapper.readTree(j)
           import scala.jdk.CollectionConverters._
-          n.properties().asScala.map(e => e.getKey ->
+          val entries = n.properties().asScala.map(e => e.getKey ->
             (if (e.getValue.isNull) null // a written JSON null must not read back as "null"
             else if (e.getValue.isTextual) e.getValue.asText()
             else e.getValue.toString)).toMap
-        }.getOrElse(Map.empty) - "__members" // ACTUAL members are authoritative,
-        // never a stale claim serialized by an earlier export
+          // typed keys (number/boolean/object/array) are remembered so the
+          // write side can restore their JSON kind instead of stringifying
+          val typed = n.properties().asScala.collect {
+            case e if !e.getValue.isNull && !e.getValue.isTextual &&
+              e.getKey != "__members" && e.getKey != "__typed" => e.getKey
+          }.toSeq.sorted
+          (entries, typed)
+        }.getOrElse((Map.empty[String, String], Seq.empty[String]))
+        // ACTUAL members and ACTUAL value kinds are authoritative — never
+        // a stale claim serialized by an earlier export
+        val fromJson = fromJsonAll - "__members" - "__typed" ++
+          (if (typedKeys.nonEmpty)
+            Map("__typed" -> mapper.writeValueAsString(typedKeys.toArray))
+          else Map.empty)
         val txtLifted = !fromJson.contains("text") && files.contains("txt")
         val withTxt =
           if (txtLifted) fromJson ++ utf8("txt").map("text" -> _)
@@ -125,10 +144,26 @@ class WebDatasetConnector extends VectorConnector {
         files("json") = mapper.writeValueAsBytes({
           // __members is a READ-side synthesis (presence of payload
           // members this canonical projection does not carry) — writing
-          // it would make a re-exported corpus claim members it lacks
-          val m = Option(meta).getOrElse(Map.empty[String, String]) - "__members"
+          // it would make a re-exported corpus claim members it lacks.
+          // __typed is consumed here: the keys it lists are re-parsed
+          // back into their JSON kind, so a read → write round trip
+          // emits 42, true, and nested objects — not their quoted forms
+          val all = Option(meta).getOrElse(Map.empty[String, String])
+          val typedKeys: Set[String] = all.get("__typed").map { t =>
+            val a = mapper.readTree(t)
+            (0 until a.size()).map(a.get(_).asText()).toSet
+          }.getOrElse(Set.empty)
+          val m = all - "__members" - "__typed"
           val o = mapper.createObjectNode()
-          m.foreach { case (k, v) => if (v == null) o.putNull(k) else o.put(k, v) }
+          m.foreach { case (k, v) =>
+            if (v == null) o.putNull(k)
+            else if (typedKeys(k))
+              // defensive: a hand-edited value that no longer parses
+              // falls back to the string it actually is
+              try o.set[com.fasterxml.jackson.databind.JsonNode](k, mapper.readTree(v))
+              catch { case _: Exception => o.put(k, v) }
+            else o.put(k, v)
+          }
           o
         })
         if (vec != null) {

@@ -720,6 +720,9 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
       b.put("metric", toMetric(config.distance))
       call("POST", "/indexes", Some(b))
     }
+    // a shadow namespace records its generation marker at birth, so a
+    // zero-row publish is distinguishable from a retired generation later
+    if (ns.contains("__staging_")) writeGenMarker(ix, ns)
   }
 
   private def indexExists(ix: String): Boolean =
@@ -895,6 +898,55 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     invalidatePtr(ix, ns)
   }
 
+  /** Generation marker: proof a `__staging_` namespace was INTENTIONALLY
+    * created as a shadow in the current publish cycle. Written at shadow
+    * creation ([[createCollection]]), deleted when the generation is
+    * retired (its rows emptied). This is what lets [[rename]] distinguish
+    * the two row-less publish shapes that stats alone cannot: a GENUINE
+    * zero-row overwrite (marker present — publish an empty generation)
+    * from a delayed duplicate of an already-retired publish (marker AND
+    * rows gone — no-op, keep the live data). */
+  private def genId(ns: String): String = s"__graft_gen::$ns"
+
+  private def writeGenMarker(ix: String, ns: String): Unit = {
+    val dim = math.max(1, describe(ix).map(_.dim).getOrElse(1))
+    val b = obj()
+    b.put("namespace", metaNs)
+    val v = b.putArray("vectors").addObject()
+    v.put("id", genId(ns))
+    putFloats(v, "values", Array.fill(dim)(1.0f))
+    call("POST", s"/vectors/upsert?index=${enc(ix)}", Some(b))
+  }
+
+  private def genMarkerExists(ix: String, ns: String): Boolean =
+    try {
+      val id = genId(ns)
+      val r = call("GET", s"/vectors/fetch?index=${enc(ix)}&namespace=${enc(metaNs)}" +
+        s"&ids=${enc(id)}")
+      Option(r.get("vectors")).flatMap(v => Option(v.get(id))).isDefined
+    } catch { case _: NoSuchElementException => false }
+
+  private def deleteGenMarker(ix: String, ns: String): Unit =
+    try {
+      val b = obj()
+      b.put("namespace", metaNs)
+      b.putArray("ids").add(genId(ns))
+      call("POST", s"/vectors/delete?index=${enc(ix)}", Some(b))
+    } catch {
+      // no meta namespace yet = nothing was ever marked here — retiring
+      // a generation on a never-published index has no marker to drop
+      case _: NoSuchElementException =>
+    }
+
+  /** Retire a generation: empty its rows, then drop its marker — in that
+    * order, so a crash between the two leaves a marker whose generation
+    * is provably prev-linked (the retry finishes through the pending-
+    * retire legs), never a marker-less generation that still holds rows. */
+  private def retireGen(ix: String, ns: String): Unit = {
+    deleteAllNs(ix, ns)
+    deleteGenMarker(ix, ns)
+  }
+
   /** Scan-snapshot pinning: resolve the pointer ONCE at plan time and
     * hand partitions the generation's own (reserved) name — every task
     * of the job then reads one consistent generation with ZERO pointer
@@ -927,8 +979,10 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     * A crash before 2 leaves the old target serving untouched; between 2
     * and 3 readers already see the new generation and the retire is
     * re-runnable from `prev`. An EMPTY shadow (zero-row overwrite)
-    * publishes an empty target, exactly like the recreate-and-copy
-    * fallback would. */
+    * publishes an empty target on pointered and never-pointered targets
+    * alike — its GENERATION MARKER (written at shadow creation) is what
+    * separates it from a delayed duplicate of a retired publish, which
+    * has neither rows nor marker and must no-op. */
   override def rename(from: String, to: String): Unit = {
     val (ixF, nsF) = split(from)
     val (ixT, nsT) = split(to)
@@ -939,7 +993,7 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     invalidatePtr(ixT, nsT) // decide on fresh wire state, never the cache
     val p = pointerOf(ixT, nsT)
     if (p.exists(_.target == nsF)) {
-      p.get.prev.foreach { og => deleteAllNs(ixT, og); writePointer(ixT, nsT, nsF, None) }
+      p.get.prev.foreach { og => retireGen(ixT, og); writePointer(ixT, nsT, nsF, None) }
       return
     }
     // STALE-RETRY guards — the pointer path's analog of the trait's
@@ -951,28 +1005,28 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     //    publish superseded it but crashed before the retire, so its
     //    rows still exist. Finishing that pending retire is this retry's
     //    only legitimate work;
-    //  2. the stale generation is already retired AND emptied — an
-    //    absent source with a live pointer elsewhere. (The one
-    //    legitimate absent-source publish — a ZERO-ROW overwrite of an
-    //    already-pointered target — no-ops too, keeping the old data;
-    //    the copy fallback's !exists(from) branch made the same call.)
+    //  2. the stale generation is already RETIRED — rows emptied AND its
+    //    generation marker deleted. A genuine zero-row overwrite also has
+    //    no rows, but its marker (written at shadow creation, deleted
+    //    only at retirement) is still present — that one publishes an
+    //    empty generation like any other.
     if (p.exists(_.prev.contains(nsF))) {
-      deleteAllNs(ixT, nsF)
+      retireGen(ixT, nsF)
       writePointer(ixT, nsT, p.get.target, None)
       return
     }
-    if (p.isDefined && !statsHas(ixT, nsF)) return
+    if (p.isDefined && !statsHas(ixT, nsF) && !genMarkerExists(ixT, nsF)) return
     // a PENDING retire from a crashed earlier publish (prev set, target
     // != this shadow) is finished FIRST, so its generation's rows can
     // never be stranded by prev being overwritten below. (prev == nsF
     // cannot reach here — the stale-retry guard above returned on it.)
     p.flatMap(_.prev).foreach { og =>
-      deleteAllNs(ixT, og)
+      retireGen(ixT, og)
       writePointer(ixT, nsT, p.get.target, None)
     }
     val oldGen = p.map(_.target).orElse(if (statsHas(ixT, nsT)) Some(nsT) else None)
     writePointer(ixT, nsT, nsF, oldGen) // THE publish: one call, any size
-    oldGen.foreach(deleteAllNs(ixT, _))
+    oldGen.foreach(retireGen(ixT, _))
     if (oldGen.isDefined) writePointer(ixT, nsT, nsF, None)
   }
 
@@ -1248,13 +1302,17 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
       call("DELETE", s"/indexes/${enc(ix)}")
       invalidateIndexPtrs(ix)
     }
-    else if (isReservedNs(ns)) deleteAllNs(ix, ns) // staging/meta never have pointers
+    // staging/meta never have pointers; retiring the marker with the rows
+    // makes sweep the explicit ABORT of a stranded generation — a delayed
+    // rename of a swept shadow must no-op, not publish emptiness over
+    // live data
+    else if (isReservedNs(ns)) retireGen(ix, ns)
     else pointerOf(ix, ns) match {
       case Some(p) =>
         // dropping a published logical name retires pointer + generation +
         // any literal rows a crashed retire stranded — Qdrant's
         // drop-alias-and-generation, namespace-shaped
-        deleteAllNs(ix, p.target)
+        retireGen(ix, p.target)
         deleteAllNs(ix, ns)
         deletePointer(ix, ns)
       case None => deleteAllNs(ix, ns)

@@ -345,6 +345,61 @@ class PineconePublishSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("zero-row overwrite of a POINTERED target publishes an EMPTY generation") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("ze::t", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      val g1 = t.stagingName("ze::t")
+      t.createCollection(g1, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(g1, Seq(rec("1", "g1")))
+      t.rename(g1, "ze::t")
+      assert(t.count("ze::t") == 1)
+      // a legitimate recreate-to-empty: the shadow was CREATED (so its
+      // generation marker exists) but received zero rows. Before the
+      // marker, this publish was indistinguishable from a stale retry of
+      // a retired generation and silently KEPT the old data.
+      val g2 = t.stagingName("ze::t")
+      t.createCollection(g2, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.rename(g2, "ze::t")
+      assert(t.count("ze::t") == 0, "zero-row overwrite must replace, not keep stale rows")
+      assert(rawRows(inner, g1) == 0, "the old generation must be retired")
+      assert(t.exists("ze::t"), "the pointered logical name survives an empty publish")
+      // and the guard still holds: a stale duplicate of g1's publish
+      // (retired: rows AND marker gone) must not resurrect anything
+      t.rename(g1, "ze::t")
+      assert(t.count("ze::t") == 0)
+    } finally server.stop()
+  }
+
+  test("a delayed rename of a SWEPT shadow no-ops — sweep is the explicit abort") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("ab::t", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      val live = t.stagingName("ab::t")
+      t.createCollection(live, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(live, Seq(rec("1", "live")))
+      t.rename(live, "ab::t")
+      // a zombie job's shadow gets swept (drop on the reserved name, the
+      // --sweep-staging verb's path) — the sweep must retire the marker
+      // WITH the rows, or the zombie's eventual rename would publish an
+      // empty generation over the live data
+      val zombie = t.stagingName("ab::t")
+      t.createCollection(zombie, CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert(zombie, Seq(rec("9", "zombie")))
+      t.drop(zombie)
+      t.rename(zombie, "ab::t") // the zombie wakes up and publishes
+      assert(t.count("ab::t") == 1, "swept shadow's rename emptied the live target")
+      assert(t.scroll("ab::t", 0, 10).head.metadata("v") == "live")
+    } finally server.stop()
+  }
+
   test("stale retry of the SUPERSEDED publish with rows still present: no flip-back") {
     val inner = new InMemoryStore
     val server = new PineconeWireServer(inner)

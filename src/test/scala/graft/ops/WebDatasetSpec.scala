@@ -136,6 +136,50 @@ class WebDatasetSpec extends SparkSpec {
     }
   }
 
+  test("typed json values survive a read -> write round trip (42 stays a number)") {
+    val root = tmp("wds_typed")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // foreign corpus with a TYPED json member: number, boolean, nested
+    // object, and a genuine string that merely looks numeric
+    val json = """{"count": 42, "score": 4.5, "flag": true,
+                  |"nested": {"a": [1, 2]}, "zip": "01234", "note": null}"""
+      .stripMargin.replaceAll("\n", " ")
+    WebDataset.writeShards(Seq(
+      ("t1", Map("json" -> json.getBytes("UTF-8"))))
+      .toDF("key", "files"), s"$root/src", 1)
+    val c = graft.connectors.ConnectorRegistry("webdataset")
+    val meta = c.read(spark, Map("path" -> root),
+        graft.config.QuerySpec(collection = "src"))
+      .head().getAs[Map[String, String]](2)
+    // the string map carries JSON serializations + the typed-key record
+    assert(meta("count") == "42" && meta("flag") == "true" &&
+      meta("zip") == "01234" && meta("note") == null, meta.toString)
+    val typed = mapper.readTree(meta("__typed"))
+    assert((0 until typed.size()).map(typed.get(_).asText()).toSet ==
+      Set("count", "score", "flag", "nested"), meta("__typed"))
+    // export: the json member must carry the ORIGINAL value kinds back
+    c.write(c.read(spark, Map("path" -> root),
+        graft.config.QuerySpec(collection = "src")),
+      Map("path" -> root),
+      graft.config.LoadSpec(collection = "out", recreate = true))
+    val outJson = WebDataset.readShards(spark, s"$root/out/*.tar")
+      .filter(col("ext") === "json").head().getAs[Array[Byte]]("content")
+    val n = mapper.readTree(new String(outJson, "UTF-8"))
+    assert(n.get("count").isIntegralNumber && n.get("count").asInt() == 42, n.toString)
+    assert(n.get("score").isDouble || n.get("score").isFloatingPointNumber, n.toString)
+    assert(n.get("flag").isBoolean && n.get("flag").asBoolean(), n.toString)
+    assert(n.get("nested").isObject && n.get("nested").get("a").isArray, n.toString)
+    assert(n.get("zip").isTextual && n.get("zip").asText() == "01234", n.toString)
+    assert(n.get("note").isNull, n.toString)
+    assert(!n.has("__typed"), "the type tag must be consumed, not re-exported")
+    // and a SECOND round trip is stable (read of our own export re-derives
+    // the same typed-key set)
+    val meta2 = c.read(spark, Map("path" -> root),
+        graft.config.QuerySpec(collection = "out"))
+      .head().getAs[Map[String, String]](2)
+    assert(meta2 == meta, s"$meta2 vs $meta")
+  }
+
   test("webdataset connector reads a FOREIGN caption corpus: txt member -> text") {
     val root = tmp("wds_foreign")
     val samples = Seq(
