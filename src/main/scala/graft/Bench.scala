@@ -18,13 +18,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * round-over-round delta can be read against dispersion: a shift
   * inside the IQR band is noise, outside it is a plan change.
   *
-  * Self-defense (round 12): the artifact carries a HOST-CONTENTION
-  * sentinel — a fixed-cost calibration stage timed before the first and
-  * after the last measurement ("calib_first_sec"/"calib_last_sec", plus
-  * /proc/loadavg brackets); >2x drift sets "noisy_host": true, marking
-  * the whole run co-tenant-polluted (per-query IQR can't see a run-long
-  * uniform slowdown — rounds 10/11 shipped 1.5x/5x-inflated artifacts
-  * that only idle re-runs could arbitrate). The sf1 ramp is GENERATED
+  * Self-defense (round 12, granularity fixed round 13): the artifact
+  * carries a HOST-CONTENTION sentinel — a fixed-cost calibration stage +
+  * /proc/loadavg read bracketing EACH SECTION (sf0.1 headline, sf0.1
+  * pipeline, sf1 headline, sf1 pipeline), not just the whole run. A
+  * section is flagged noisy when its calibration brackets drift >2x OR
+  * its loadavg delta exceeds ncores/8; "noisy_host" is true when ANY
+  * section (or the run-long bracket) trips. Round 12's artifact showed
+  * why run-long granularity is one notch too coarse: co-tenant load
+  * arrived during the sf1 section (~2x the idle floor) while the
+  * whole-run calibration drift stayed at 1.58x — under the 2x bar.
+  * Per-query IQR still rides each section ("*_noisy_iqr") for load that
+  * arrives AND leaves inside one section. The sf1 ramp is GENERATED
   * when missing (with a `.source` marker keyed to the input dir), so the
   * artifact can no longer silently drop its sf1 section on a fresh
   * checkout.
@@ -39,6 +44,16 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_cosine", "q_dedup_cosine_lsh",
     "q_ann_topk", "q_text_stats", "q_sessionize", "q_vec_centroid",
     "q_connector_qdrant")
+
+  /** LLM-pipeline heavies (round 13): the operator families that grew past
+    * the original 13-query board — chunk+embed, perplexity scoring,
+    * image-hash near-dedup, tar-shard round trip, semantic
+    * decontamination. Measured as their own SECTION at both scales so a
+    * regression in the newest families is visible between rounds instead
+    * of only in Verify wall-clock. */
+  val pipelineHeadline: Seq[String] = Seq(
+    "q_chunk_embed", "q_text_perplexity", "q_mm_ahash_neardup",
+    "q_wds_roundtrip", "q_decontaminate_semantic")
 
   /** Bench-only queries: production-kernel configurations whose output
     * has no SQL-replayable twin, kept OUT of the oracle-gated
@@ -93,6 +108,38 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Per-section sentinel readings: calibration + loadavg bracketing ONE
+    * measured section. */
+  private[graft] case class SectionStats(calibPre: Double, calibPost: Double,
+                                         loadPre: Double, loadPost: Double) {
+    def noisy: Boolean = sectionNoisy(this)
+    def json: String =
+      s"""{"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},""" +
+        s""""load_pre":$loadPre,"load_post":$loadPost,"noisy":$noisy}"""
+  }
+
+  /** A section is contention-suspect when its own calibration brackets
+    * drift >2x (co-tenant CPU visible to an all-core fixed-cost job) OR
+    * its 1-minute loadavg rose by more than ncores/8 across the section
+    * (load that an all-core calibration under-feels — round 12's sf1
+    * section ran at loadavg 5 on 32 cores, only 1.58x calibration drift,
+    * and was ~2x inflated). Loadavg readings of -1 (no /proc) disable the
+    * load term. */
+  private[graft] def sectionNoisy(s: SectionStats): Boolean =
+    noisyHost(s.calibPre, s.calibPost) ||
+      (s.loadPre >= 0 && s.loadPost >= 0 &&
+        s.loadPost - s.loadPre > Runtime.getRuntime.availableProcessors() / 8.0)
+
+  /** Run `body` bracketed by its own calibration + loadavg reads. */
+  private[graft] def bracketed[A](spark: SparkSession)(body: => A): (A, SectionStats) = {
+    val lp = loadAvg1m()
+    val cp = calibrate(spark)
+    val a = body
+    val cq = calibrate(spark)
+    val lq = loadAvg1m()
+    (a, SectionStats(cp, cq, lp, lq))
+  }
+
   /** The sf1 ramp directory, GENERATING it when absent — round 11's
     * artifact silently lost its sf1 section because the driver's fresh
     * checkout had no `target/sf1` (gitignored) and Bench only ramped when
@@ -139,11 +186,11 @@ object Bench {
     }
   }
 
-  private def measure(spark: SparkSession, sfDir: String,
-                      samples: Int): Seq[(String, Double, Double)] = {
+  private def measure(spark: SparkSession, sfDir: String, samples: Int,
+                      queryNames: Seq[String]): Seq[(String, Double, Double)] = {
     val qs = SparkEntry.queries ++ benchOnly
-    val names = headline.filter(qs.contains)
-    // Warm-up protocol: every headline query once, untimed (JIT/codegen).
+    val names = queryNames.filter(qs.contains)
+    // Warm-up protocol: every measured query once, untimed (JIT/codegen).
     names.foreach { name =>
       try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
     }
@@ -164,18 +211,34 @@ object Bench {
       m { case (k, _, i) => "\"" + k + "\":" + f"$i%.3f" })
   }
 
+  /** A query whose dispersion exceeds its median is not a measurement —
+    * name the offenders so the artifact carries its own health check. */
+  private def noisyIqrJson(key: String, r: Seq[(String, Double, Double)]): String = {
+    val noisy = r.collect { case (n, med, iq) if iq > med => n }
+    if (noisy.isEmpty) ""
+    else s""","$key":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "5").toInt
     val spark = GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    // contention sentinel, leg 1: warm the calibration plan, then time it
+    calibrate(spark) // warm the calibration plan (untimed)
     val loadBefore = loadAvg1m()
-    calibrate(spark)
-    val calibFirst = calibrate(spark)
-    val results = measure(spark, sfDir, samples)
+    // each SECTION rides its own calibration/loadavg bracket (round 13) —
+    // run-long brackets missed round 12's late-arriving sf1 co-tenant
+    val (results, stHead) = bracketed(spark)(measure(spark, sfDir, samples, headline))
+    val calibFirst = stHead.calibPre
     val (qjson, ijson) = jsonMaps(results)
     val total = results.map(_._2).sum
+    // LLM-pipeline heavies: their own section at the same scale
+    val (resPipe, stPipe) =
+      bracketed(spark)(measure(spark, sfDir, samples, pipelineHeadline))
+    val (pq, pi) = jsonMaps(resPipe)
+    val pipeJson =
+      s""","pipeline_total":${f"${resPipe.map(_._2).sum}%.3f"},"pipeline_queries":$pq,""" +
+        s""""pipeline_queries_iqr":$pi""" + noisyIqrJson("pipeline_noisy_iqr", resPipe)
     // Scale ramp: the materialized sf1 dataset (see [[BenchGen]] — 10x,
     // replicas de-correlated so dedup stays linear) is GENERATED when
     // absent, so the artifact can never silently ship without its sf1
@@ -194,32 +257,41 @@ object Bench {
       case c => c.toString
     } + "\""
     val sf1ErrJson = sf1Error.map(e => s""","sf1_error":${jstr(e)}""").getOrElse("")
+    var sf1Sections = Map.empty[String, SectionStats]
     val sf1Json = sf1Dir.map { d =>
       // ≥5 samples: the round-10 artifact carried 3-sample medians with
       // IQR > median on 3 queries — statistically unusable. 5 is the floor;
       // SPARK_GRAFT_SF1_SAMPLES can only raise it.
       val s1 = math.max(5, sys.env.getOrElse("SPARK_GRAFT_SF1_SAMPLES", "5").toInt)
-      val r1 = measure(spark, d, s1)
+      val (r1, st1) = bracketed(spark)(measure(spark, d, s1, headline))
       val (q1, i1) = jsonMaps(r1)
-      // a query whose dispersion exceeds its median is not a measurement —
-      // name the offenders so the artifact carries its own health check
-      val noisy = r1.collect { case (n, med, iq) if iq > med => n }
-      val warn = if (noisy.isEmpty) ""
-        else s""","sf1_noisy_iqr":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      val (rp1, stp1) = bracketed(spark)(measure(spark, d, s1, pipelineHeadline))
+      val (qp1, ip1) = jsonMaps(rp1)
+      sf1Sections = Map("sf1" -> st1, "sf1_pipeline" -> stp1)
       s""","sf1_total":${f"${r1.map(_._2).sum}%.3f"},"sf1_queries":$q1,""" +
         s""""sf1_queries_iqr":$i1,"sf1_samples":$s1,"sf1_dir":"$d"""" +
-        s""","sf1_generated":$sf1Generated$warn"""
+        s""","sf1_generated":$sf1Generated""" + noisyIqrJson("sf1_noisy_iqr", r1) +
+        s""","sf1_pipeline_total":${f"${rp1.map(_._2).sum}%.3f"}""" +
+        s""","sf1_pipeline_queries":$qp1,"sf1_pipeline_queries_iqr":$ip1""" +
+        noisyIqrJson("sf1_pipeline_noisy_iqr", rp1)
     }.getOrElse("") + sf1ErrJson
-    // contention sentinel, leg 2: same fixed-cost plan after everything —
-    // drift between the legs is co-tenant load, flagged in the artifact
+    // run-long bracket kept for continuity with r12 artifacts; the
+    // per-section brackets above are the authoritative sentinel
     val calibLast = calibrate(spark)
     val loadAfter = loadAvg1m()
+    val sections = Map("sf_headline" -> stHead, "sf_pipeline" -> stPipe) ++ sf1Sections
+    val sectionsJson = sections.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v.json }.mkString("{", ",", "}")
+    val noisySections = sections.toSeq.sortBy(_._1).collect { case (k, v) if v.noisy => k }
+    val anyNoisy = noisyHost(calibFirst, calibLast) || noisySections.nonEmpty
     val sentinel =
       s""","calib_first_sec":${f"$calibFirst%.3f"},"calib_last_sec":${f"$calibLast%.3f"}""" +
         s""","load_1m_before":$loadBefore,"load_1m_after":$loadAfter""" +
-        s""","noisy_host":${noisyHost(calibFirst, calibLast)}"""
+        s""","sections":$sectionsJson""" +
+        s""","noisy_sections":${noisySections.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        s""","noisy_host":$anyNoisy"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
-      s""""queries_iqr":$ijson,"samples":$samples,"sf":"$sfDir"$sf1Json$sentinel}"""
+      s""""queries_iqr":$ijson,"samples":$samples,"sf":"$sfDir"$pipeJson$sf1Json$sentinel}"""
     println(line)
     // Also land the JSON in a file: sbt interleaves log noise into stdout,
     // which has left the driver's `parsed` field null before.

@@ -40,6 +40,62 @@ class BenchSentinelSpec extends SparkSpec {
       f"calibration did not trip: idle $idle%.3f s vs loaded $loaded%.3f s")
   }
 
+  test("sectionNoisy decision: calib drift OR loadavg delta, either trips") {
+    val cores = Runtime.getRuntime.availableProcessors()
+    // calm section: tight calibration, loadavg flat
+    assert(!Bench.sectionNoisy(Bench.SectionStats(0.2, 0.25, 1.0, 1.5)))
+    // calibration drift >2x trips regardless of loadavg
+    assert(Bench.sectionNoisy(Bench.SectionStats(0.2, 0.5, 1.0, 1.0)))
+    // loadavg rising past ncores/8 trips even at <2x calibration drift —
+    // the round-12 sf1 shape (load 1.67 -> 5.11 on 32 cores, drift 1.58x)
+    assert(Bench.sectionNoisy(
+      Bench.SectionStats(0.2, 0.3, 1.0, 1.0 + cores / 8.0 + 0.5)))
+    // load FALLING is not co-tenancy (a prior section's decay)
+    assert(!Bench.sectionNoisy(
+      Bench.SectionStats(0.2, 0.25, 1.0 + cores / 8.0 + 0.5, 1.0)))
+    // no /proc/loadavg (-1 sentinel) disables the load term, not the calib term
+    assert(!Bench.sectionNoisy(Bench.SectionStats(0.2, 0.25, -1.0, -1.0)))
+    assert(Bench.sectionNoisy(Bench.SectionStats(0.2, 0.5, -1.0, -1.0)))
+  }
+
+  test("section-scoped sentinel: load during ONE section flags that section only") {
+    Bench.calibrate(spark) // pay codegen/JIT once
+    // the clean section: retry up to 3x — a shared test host can inflate a
+    // single bracket; if every attempt is noisy the HOST is noisy and the
+    // clean-side assertion is unanswerable here
+    val cleanRuns = (1 to 3).map(_ =>
+      Bench.bracketed(spark)(Bench.calibrate(spark))._2)
+    assume(cleanRuns.exists(!_.noisy),
+      s"host too noisy for the clean-side assertion: $cleanRuns")
+    // the loaded section: co-tenant load ARRIVES INSIDE the section (the
+    // round-12 shape) and persists through its post bracket — spinners
+    // start in the body, after the pre bracket was measured idle
+    def loadedSection(): Bench.SectionStats = {
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      var spinners = Seq.empty[Thread]
+      try {
+        Bench.bracketed(spark) {
+          spinners = (0 until 3 * Runtime.getRuntime.availableProcessors()).map { _ =>
+            val th = new Thread(() => {
+              var x = 0L
+              while (!stop.get()) { x += 1; if (x == Long.MaxValue) x = 0 }
+            })
+            th.setDaemon(true)
+            th.start()
+            th
+          }
+          Thread.sleep(300) // let the spinners bite before the post bracket
+          Bench.calibrate(spark)
+        }._2
+      } finally { stop.set(true); spinners.foreach(_.join(1000)) }
+    }
+    // worst of 3 attempts: same extreme-sampling defense as above
+    val loaded = (1 to 3).map(_ => loadedSection())
+      .maxBy(s => s.calibPost / math.max(1e-9, s.calibPre))
+    assert(loaded.noisy,
+      s"sf1-shaped co-tenant load did not trip the section sentinel: $loaded")
+  }
+
   test("sf1 ramp generates when missing, reuses when fresh, rebuilds on source change") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sf1_test")
       .resolve("sf1").toString
