@@ -42,6 +42,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q_join_pricing", "q3_shipping", "q_topk_orders",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_cosine", "q_dedup_cosine_lsh",
+    "q_dedup_cosine_lsh_ms",
     "q_ann_topk", "q_text_stats", "q_sessionize", "q_vec_centroid",
     "q_connector_qdrant")
 
@@ -75,6 +76,19 @@ object Bench {
     // scale bits with the corpus or sf1 re-creates the quadratic it exists
     // to catch.
     "q_dedup_cosine_lsh" -> ((s, dir) =>
+      // single-seed PINNED: the historical floor, directly comparable to
+      // the BASELINE.md row at every round
+      graft.ops.Similarity.lshCosinePairsAuto(
+        Tables(s, dir, "embeddings"), threshold = 0.3, seeds = Seq(7L))),
+    // the recall-targeted MULTI-SEED DEFAULT (Similarity.recallSeeds —
+    // seed count derives from threshold + corpus-scaled bits): what a
+    // production caller gets with no seed argument. Measured as its own
+    // row so the default's linear |seeds|× cost is a priced, visible
+    // choice — not a silent regression on the pinned floor above.
+    // Shadows the gated q_dedup_cosine_lsh_ms (fixed bits=4 for the SQL
+    // oracle) for the same reason q_dedup_cosine_lsh shadows its gate:
+    // the bench must scale bits with the corpus.
+    "q_dedup_cosine_lsh_ms" -> ((s, dir) =>
       graft.ops.Similarity.lshCosinePairsAuto(
         Tables(s, dir, "embeddings"), threshold = 0.3)))
 

@@ -160,15 +160,20 @@ object Decontaminate {
     * rotated planes and the collision sets union BEFORE the one per-train
     * argmax, so a pair any plane set keeps together is found — miss
     * probability multiplies per seed, cost is one broadcast bucket-join
-    * per seed. Output contains ONLY train docs with at least one
-    * colliding eval candidate — absent rows are clean at this recall,
-    * which is the useful direction (the flag list is what gets dropped). */
+    * per seed. When `seeds` is empty (the default) the count derives from
+    * (threshold, bits) via [[Similarity.recallSeeds]]: ≥80% recall for
+    * duplicate-grade leakage (cosine ≥ max(threshold, 0.9)), which is the
+    * grade decontamination exists to catch. Output contains ONLY train
+    * docs with at least one colliding eval candidate — absent rows are
+    * clean at this recall, which is the useful direction (the flag list
+    * is what gets dropped). */
   def semanticContainmentLsh(train: DataFrame, eval: DataFrame,
                              threshold: Double = 0.8, bits: Int = 8,
                              idCol: String = "vec_id",
                              vecCol: String = "embedding",
-                             seeds: Seq[Long] = Seq(7L)): DataFrame = {
-    require(seeds.nonEmpty, "semanticContainmentLsh needs at least one plane seed")
+                             seeds: Seq[Long] = Nil): DataFrame = {
+    val seedsResolved =
+      if (seeds.nonEmpty) seeds else Similarity.recallSeeds(threshold, bits)
     val dim = Similarity.resolveDim(train, vecCol, -1)
     def collisions(seed: Long): DataFrame = {
       val planes = Similarity.hyperplanes(bits, dim, seed)
@@ -187,7 +192,7 @@ object Decontaminate {
     // union collisions across plane sets, ONE argmax: a (train, eval) pair
     // colliding under several seeds scores identically, so no pre-dedup is
     // needed before the max
-    seeds.map(collisions).reduce(_ unionByName _)
+    seedsResolved.map(collisions).reduce(_ unionByName _)
       .groupBy(idCol)
       .agg(max(struct(col("__c").as("c"), (-col("__eid")).as("negid"))).as("best"))
       .select(col(idCol),

@@ -337,6 +337,35 @@ object Similarity {
     else seeds.map(pass).reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
   }
 
+  /** Recall-targeted seed-count policy (round 13): the smallest number of
+    * independently rotated plane sets whose unioned passes catch a
+    * DUPLICATE-GRADE pair — cosine ≥ max(threshold, 0.9) — with
+    * probability ≥ `targetRecall`, capped at `maxSeeds`. Derivation: a
+    * pair at angle θ collides under one `bits`-plane set with probability
+    * p = (1−θ/π)^bits, so s independent sets catch it with 1−(1−p)^s;
+    * solving for s gives ceil(ln(1−R)/ln(1−p)). The reference similarity
+    * is duplicate-grade, NOT the raw threshold: at corpus-scaled bit
+    * widths a pair barely AT a low threshold is near-orthogonal and has
+    * vanishing collision probability — no affordable seed count fixes
+    * that, and the exact/blocked faces own the low-threshold regime.
+    * Seeds are consecutive from `base` (7, 8, 9, …), the same ladder the
+    * multi-seed recall spec measures. Cost of the returned policy is one
+    * bucket-join per seed — linear, never quadratic. */
+  def recallSeeds(threshold: Double, bits: Int, targetRecall: Double = 0.8,
+                  maxSeeds: Int = 5, base: Long = 7L): Seq[Long] = {
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    require(bits > 0 && maxSeeds > 0)
+    val simRef = math.min(0.999, math.max(threshold, 0.9))
+    val theta = math.acos(simRef)
+    val p = math.pow(1.0 - theta / math.Pi, bits)
+    val s =
+      if (p >= 1.0 - 1e-12) 1
+      else math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - p)).toInt
+    val n = math.max(1, math.min(maxSeeds, s))
+    (0 until n).map(base + _.toLong)
+  }
+
   /** [[lshCosinePairs]] with the bit width chosen FROM THE CORPUS SIZE:
     * `bits = ceil(log2(n / targetBucket))` (clamped to [4, 24]), so the
     * bucket count grows with the corpus and expected occupancy — and with
@@ -344,16 +373,22 @@ object Similarity {
     * at any scale. Any fixed-width blocker goes quadratic the moment the
     * corpus outgrows its bucket count: the sf1 bench ramp measured the
     * label-blocked variant at 42× cost for 10× rows. Costs one extra
-    * `count()` pass to size the corpus. Recall trade: more bits split
-    * true near-dup pairs more often — pass extra `seeds` to union
-    * rotated-plane passes (see [[lshCosinePairs]]). */
+    * `count()` pass to size the corpus. Recall is a POLICY here, not a
+    * doc-comment recipe: when `seeds` is empty (the default) the seed
+    * count derives from the corpus-scaled bit width via [[recallSeeds]] —
+    * ≥80% recall for duplicate-grade pairs at any corpus size, cost
+    * linear in the derived count. Pass explicit `seeds` to pin a
+    * configuration (the bench pins the single-seed floor for
+    * round-over-round comparability; `q_dedup_cosine_lsh_ms` measures
+    * this default). */
   def lshCosinePairsAuto(emb: DataFrame, threshold: Double, targetBucket: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         dim: Int = -1, seeds: Seq[Long] = Seq(7L)): DataFrame = {
+                         dim: Int = -1, seeds: Seq[Long] = Nil): DataFrame = {
     val n = emb.count()
     val want = math.max(1L, n / math.max(1, targetBucket))
     val bits = math.max(4, math.min(24, 64 - java.lang.Long.numberOfLeadingZeros(want - 1)))
-    lshCosinePairs(emb, threshold, bits, idCol, vecCol, dim, seeds)
+    val ss = if (seeds.nonEmpty) seeds else recallSeeds(threshold, bits)
+    lshCosinePairs(emb, threshold, bits, idCol, vecCol, dim, ss)
   }
 
   /** IVF-Flat: deterministic coarse quantizer (lowest-id seeds, optionally

@@ -499,13 +499,14 @@ object PipelineQueries {
         threshold = 0.5)
     }),
 
-    // The SCALE face of semantic decontamination: both sides bucket on
-    // the SAME 4 seeded hyperplanes and cosine runs only for bucket
-    // collisions — per-train-row work drops from |eval| dot products to
-    // the colliding handful. The oracle inlines the planes as double
-    // literals (same generator, seed 7, dim 64) and replays bucketing,
-    // collision join, and the rounded-cosine/lowest-eval-id argmax, so
-    // the LSH path itself — not just its survivors — is adjudicated.
+    // The SCALE face of semantic decontamination, running the MULTI-SEED
+    // DEFAULT policy (round 13): seeds derive from (threshold, bits) via
+    // Similarity.recallSeeds — here 3 rotated plane sets whose collision
+    // sets union before the argmax. The oracle inlines all three plane
+    // sets as double literals (same generator, seeds 7/8/9, dim 64) and
+    // replays bucketing, the unioned collision join, and the rounded-
+    // cosine/lowest-eval-id argmax, so the policy path itself — not just
+    // its survivors — is adjudicated.
     "q_decontaminate_semantic_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Decontaminate.semanticContainmentLsh(
@@ -513,6 +514,15 @@ object PipelineQueries {
         eval = emb.filter(col("vec_id") % 20 === 0),
         threshold = 0.5, bits = 4)
     }),
+
+    // The pairs face of the same multi-seed default: lshCosinePairs under
+    // the recallSeeds(threshold, bits) policy (3 plane sets at these
+    // knobs), pairs deduped across passes. Complements the single-seed
+    // q_dedup_cosine_lsh gate — both the historical floor and the
+    // recall-targeted default stay oracle-adjudicated.
+    "q_dedup_cosine_lsh_ms" -> ((s, dir) =>
+      Similarity.lshCosinePairs(Tables(s, dir, "embeddings"), threshold = 0.3,
+        bits = 4, seeds = Similarity.recallSeeds(0.3, 4))),
 
     // ---- WebDataset tar shards: pack the corpus into the multimodal
     // training layout (one .tar member per sample part), read the shards
@@ -1413,24 +1423,51 @@ object PipelineQueries {
           "SELECT vec_id, c AS max_cosine, eid AS nearest_eval_id, " +
           "c >= 0.5 AS contaminated FROM r WHERE rn = 1"),
       "q_decontaminate_semantic_lsh" -> {
-        // the gate's 4 sign-planes from the SAME generator the engine
-        // uses (seed 7, dim 64); oracle replays bucketing, the collision
-        // join, and the argmax tie-break bit by bit
-        val planes = Similarity.hyperplanes(4, 64)
-        val bucket = planes.zipWithIndex.map { case (p, j) =>
-          val lit = p.mkString("[", ",", "]")
-          s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1 << j} ELSE 0 END)"
-        }.mkString(" + ")
+        // the gate's multi-seed DEFAULT: one 4-plane set per derived seed
+        // (recallSeeds(0.5, 4) = seeds 7/8/9), each inlined from the SAME
+        // generator the engine uses (dim 64); the oracle replays every
+        // bucketing, unions the collision sets, and runs the argmax
+        // tie-break bit by bit
+        val passes = Similarity.recallSeeds(0.5, 4).zipWithIndex.map { case (seed, k) =>
+          val bucket = Similarity.hyperplanes(4, 64, seed).zipWithIndex.map { case (p, j) =>
+            val lit = p.mkString("[", ",", "]")
+            s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1 << j} ELSE 0 END)"
+          }.mkString(" + ")
+          (s"tb$k AS (SELECT vec_id, v, $bucket AS bkt FROM t), " +
+            s"eb$k AS (SELECT eid, v, $bucket AS bkt FROM e), " +
+            s"p$k AS (SELECT tb$k.vec_id, eb$k.eid, " +
+            s"round(${cosSql(s"tb$k.v", s"eb$k.v")}, 6) AS c " +
+            s"FROM tb$k JOIN eb$k ON tb$k.bkt = eb$k.bkt)",
+            s"SELECT * FROM p$k")
+        }
         "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id % 20 <> 0), " +
           "e AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id % 20 = 0), " +
-          s"tb AS (SELECT vec_id, v, $bucket AS bkt FROM t), " +
-          s"eb AS (SELECT eid, v, $bucket AS bkt FROM e), " +
-          s"p AS (SELECT tb.vec_id, eb.eid, round(${cosSql("tb.v", "eb.v")}, 6) AS c " +
-          "FROM tb JOIN eb ON tb.bkt = eb.bkt), " +
+          passes.map(_._1).mkString(", ") + ", " +
+          s"p AS (${passes.map(_._2).mkString(" UNION ")}), " +
           "r AS (SELECT vec_id, c, eid, row_number() OVER " +
           "(PARTITION BY vec_id ORDER BY c DESC, eid ASC) AS rn FROM p) " +
           "SELECT vec_id, c AS max_cosine, eid AS nearest_eval_id, " +
           "c >= 0.5 AS contaminated FROM r WHERE rn = 1"
+      },
+      "q_dedup_cosine_lsh_ms" -> {
+        // the pairs face of the multi-seed default: recallSeeds(0.3, 4) =
+        // seeds 7/8/9, union-distinct over the per-seed bucket joins
+        // (cosine is pair-determined, so UNION is the pair dedup)
+        val passes = Similarity.recallSeeds(0.3, 4).zipWithIndex.map { case (seed, k) =>
+          val bucket = Similarity.hyperplanes(4, 64, seed).zipWithIndex.map { case (p, j) =>
+            val lit = p.mkString("[", ",", "]")
+            s"(CASE WHEN list_dot_product(v, $lit) > 0 THEN ${1 << j} ELSE 0 END)"
+          }.mkString(" + ")
+          (s"b$k AS (SELECT vec_id, v, $bucket AS bucket FROM e), " +
+            s"p$k AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, " +
+            s"round(${cosSql("a.v", "c.v")}, 6) AS cosine " +
+            s"FROM b$k a JOIN b$k c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
+            "WHERE " + s"round(${cosSql("a.v", "c.v")}, 6) >= 0.3)",
+            s"SELECT * FROM p$k")
+        }
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+          passes.map(_._1).mkString(", ") + " " +
+          passes.map(_._2).mkString(" UNION ")
       },
       "q_wds_roundtrip" ->
         // shard = portable codepoint fold of the decimal key mod 8;

@@ -358,10 +358,41 @@ class AnnRecallSpec extends SparkSpec {
     val n = emb.count()
     val expBits = math.max(4, math.min(24,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64) - 1)))
+    // the default derives its seed set from (threshold, bits) — the fixed
+    // path must be handed the SAME policy output to match
+    val expSeeds = Similarity.recallSeeds(0.4, expBits)
     val auto = Similarity.lshCosinePairsAuto(emb, threshold = 0.4, targetBucket = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val fixed = Similarity.lshCosinePairs(emb, threshold = 0.4, bits = expBits)
+    val fixed = Similarity.lshCosinePairs(emb, threshold = 0.4, bits = expBits,
+        seeds = expSeeds)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(auto == fixed, s"auto=${auto.size} fixed=${fixed.size} bits=$expBits")
+    // and an explicit seed argument still pins exactly that configuration
+    val pinned = Similarity.lshCosinePairsAuto(emb, threshold = 0.4,
+        targetBucket = 64, seeds = Seq(7L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pinnedFixed = Similarity.lshCosinePairs(emb, threshold = 0.4, bits = expBits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pinned == pinnedFixed)
+  }
+
+  test("recallSeeds policy: derived counts follow the collision math") {
+    // p = (1-θ/π)^bits at simRef = max(threshold, 0.9); s = ⌈ln(1-R)/ln(1-p)⌉
+    def expected(threshold: Double, bits: Int, r: Double, cap: Int): Int = {
+      val p = math.pow(1.0 - math.acos(math.min(0.999, math.max(threshold, 0.9))) / math.Pi, bits)
+      math.max(1, math.min(cap, math.ceil(math.log(1.0 - r) / math.log(1.0 - p)).toInt))
+    }
+    for (bits <- Seq(4, 8, 12); t <- Seq(0.3, 0.8, 0.95)) {
+      val got = Similarity.recallSeeds(t, bits)
+      assert(got.length == expected(t, bits, 0.8, 5), s"t=$t bits=$bits -> $got")
+      assert(got == (0 until got.length).map(7L + _), s"seed ladder broke: $got")
+    }
+    // more bits split pairs more often -> never FEWER seeds
+    val counts = Seq(4, 6, 8, 10, 12).map(b => Similarity.recallSeeds(0.8, b).length)
+    assert(counts == counts.sorted, s"not monotone in bits: $counts")
+    // the gate constants pinned in the oracles: 3 seeds at bits=4 for both
+    // threshold 0.3 (pairs gate) and 0.5 (decontamination gate)
+    assert(Similarity.recallSeeds(0.3, 4) == Seq(7L, 8L, 9L))
+    assert(Similarity.recallSeeds(0.5, 4) == Seq(7L, 8L, 9L))
   }
 }
