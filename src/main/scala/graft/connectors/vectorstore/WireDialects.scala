@@ -864,6 +864,32 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     (ix, resolveNs(ix, ns))
   }
 
+  /** [[resolveNs]] + retired-generation staleness check: a cached pointer
+    * can outlive its generation by the cache TTL when ANOTHER client
+    * published meanwhile — and because the publisher retires (deletes)
+    * the old generation, that stale resolution reads, or WRITES, a
+    * namespace that no longer exists: emptiness, not even old data. A
+    * retired generation has no marker, so one marker fetch detects the
+    * stale entry and forces a fresh pointer read. Used where it matters
+    * and stays cheap: plan time (once per scan JOB — never per page) and
+    * the batched write verbs (one fetch per ≥batch-size rows). The
+    * verb-level reads (count/describe/single scrolls) keep the documented
+    * ≤TTL bounded staleness. Resolutions that return the caller's own
+    * (reserved/literal) name skip the check — shadow writers during an
+    * atomic publish never pay it. */
+  private def resolveNsFresh(ix: String, ns: String): String = {
+    val r = resolveNs(ix, ns)
+    if (r != ns && r.contains("__staging_") && !genMarkerExists(ix, r)) {
+      invalidatePtr(ix, ns)
+      resolveNs(ix, ns)
+    } else r
+  }
+
+  private def resolvedFresh(name: String): (String, String) = {
+    val (ix, ns) = split(name)
+    (ix, resolveNsFresh(ix, ns))
+  }
+
   private def statsHas(ix: String, ns: String): Boolean =
     stats(ix).namespaces.contains(ns)
 
@@ -953,7 +979,9 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     * fetches per page, and a publish landing mid-job flips the next scan,
     * never this one. */
   override def snapshotName(name: String): String = {
-    val (ix, ns) = resolved(name)
+    // resolvedFresh: a scan must never pin a RETIRED generation off a
+    // stale cache entry (one marker fetch per scan job, not per page)
+    val (ix, ns) = resolvedFresh(name)
     if (ns.isEmpty) ix else s"$ix::$ns"
   }
 
@@ -1260,7 +1288,9 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     scrollViaCursor(name, fromIdx, pageSize)
 
   override def upsert(name: String, records: Seq[VSRecord]): Int = {
-    val (ix, ns) = resolved(name) // rows land where readers resolve to
+    // rows land where readers resolve to; resolvedFresh so a stale cached
+    // pointer can never route a batch into a retired (deleted) generation
+    val (ix, ns) = resolvedFresh(name)
     val b = obj()
     if (ns.nonEmpty) b.put("namespace", ns)
     val vs = b.putArray("vectors")
@@ -1287,7 +1317,10 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
   }
 
   override def delete(name: String, ids: Seq[String]): Int = {
-    val (ix, ns) = resolved(name)
+    // resolvedFresh like upsert: a stale cached pointer would aim the
+    // delete at a retired namespace — a silent no-op that KEEPS the rows
+    // the caller asked to remove from the live generation
+    val (ix, ns) = resolvedFresh(name)
     val b = obj()
     if (ns.nonEmpty) b.put("namespace", ns)
     val a = b.putArray("ids")

@@ -345,6 +345,64 @@ class PineconePublishSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("a publish landing MID-SCAN never tears the scan: one generation per job") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("ov::t", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      val g1 = t.stagingName("ov::t")
+      t.createCollection(g1, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      (0 until 300).grouped(100).foreach(g =>
+        t.upsert(g1, g.map(i => rec(f"a$i%03d", "g1"))))
+      t.rename(g1, "ov::t")
+      val genNs = java.net.URLEncoder.encode(g1.split("::")(1), "UTF-8")
+      // slow every page so the scan is still walking when the publish lands
+      server.injectLatencyMs = 25
+      val markBefore = server.requests
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val scan = Future {
+        spark.read.format("graft-pinecone").option("url", server.url)
+          .option("collection", "ov").option("namespace", "t")
+          .option("page_size", "50").load()
+          .select("id", "metadata").collect()
+      }(scala.concurrent.ExecutionContext.global)
+      // wait until the scan has actually served a page of the PINNED
+      // generation, so the publish provably lands mid-walk
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!server.requestLines.drop(markBefore.toInt).exists(l =>
+        l.startsWith("GET /vectors/list") && l.contains(genNs)) &&
+        System.nanoTime() < deadline) Thread.sleep(10)
+      // generation 2 publishes while the scan walks generation 1; the
+      // retire leg DELETES g1's rows under the reader's feet
+      val g2 = t.stagingName("ov::t")
+      t.createCollection(g2, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(g2, Seq(rec("n1", "g2"), rec("n2", "g2")))
+      t.rename(g2, "ov::t")
+      val rows = Await.result(scan, 120.seconds)
+      server.injectLatencyMs = 0
+      // the documented overlap window: the scan may see a PREFIX of its
+      // pinned generation (the retire can empty the tail mid-walk), but
+      // NEVER a row of another generation — snapshot pinning means a scan
+      // is one consistent generation or less, not a mix
+      val tags = rows.map(_.getAs[Map[String, String]](1)("v")).toSet
+      assert(rows.nonEmpty, "the overlapped scan served no pre-publish page")
+      assert(tags == Set("g1"), s"scan mixed generations: $tags")
+      assert(rows.length <= 300)
+      // ids within the pinned generation are never duplicated either
+      assert(rows.map(_.getString(0)).distinct.length == rows.length)
+      // the NEXT scan (fresh plan-time resolution) sees exactly the new
+      // generation
+      val after = spark.read.format("graft-pinecone").option("url", server.url)
+        .option("collection", "ov").option("namespace", "t").load()
+        .select("metadata").collect()
+        .map(_.getAs[Map[String, String]](0)("v"))
+      assert(after.length == 2 && after.forall(_ == "g2"), after.mkString(","))
+    } finally { server.injectLatencyMs = 0; server.stop() }
+  }
+
   test("zero-row overwrite of a POINTERED target publishes an EMPTY generation") {
     val inner = new InMemoryStore
     val server = new PineconeWireServer(inner)
