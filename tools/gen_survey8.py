@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Regenerate SURVEY.md section 8 as a greppable gate -> file:line table.
+
+Scans the query-family sources for every gate definition ("q_name" ->) and
+its oracle twin, and emits one markdown row per gate. Run from the repo
+root; prints the section to stdout:
+
+    python3 tools/gen_survey8.py > /tmp/sec8.md
+"""
+import re
+import subprocess
+from pathlib import Path
+
+QUERY_DIR = Path("src/main/scala/graft/queries")
+BENCH = Path("src/main/scala/graft/Bench.scala")
+
+
+def gate_sites():
+    """gate -> [(file, line), ...] in definition order (query map first,
+    oracle map second)."""
+    sites = {}
+    for f in sorted(QUERY_DIR.glob("*.scala")):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            m = re.search(r'"(q[0-9a-z_]+)" ->', line)
+            if m:
+                sites.setdefault(m.group(1), []).append((str(f), i))
+    return sites
+
+
+def family_of(path):
+    return {
+        "RelationalQueries.scala": "relational",
+        "VectorQueries.scala": "vector/ANN",
+        "PipelineQueries.scala": "LLM pipeline",
+        "ConnectorQueries.scala": "connector",
+        "AdvancedQueries.scala": "advanced SQL",
+    }.get(Path(path).name, Path(path).stem)
+
+
+def main():
+    sites = gate_sites()
+    rows = []
+    for gate in sorted(sites):
+        occ = sites[gate]
+        qfile, qline = occ[0]
+        oracle = f"{Path(occ[1][0]).name}:{occ[1][1]}" if len(occ) > 1 else "—"
+        rows.append((gate, family_of(qfile), f"{qfile}:{qline}", oracle))
+    bench_only = []
+    in_bench = BENCH.read_text()
+    for m in re.finditer(r'"(q[0-9a-z_]+)" ->', in_bench):
+        if m.group(1) not in sites:
+            bench_only.append(m.group(1))
+    print(f"Gates: {len(rows)} oracle-adjudicated "
+          f"(+{len(set(bench_only))} bench-only). One row per gate;")
+    print("`queries` entry first, `oracleSql` twin second — regenerate with")
+    print("`python3 tools/gen_survey8.py`.")
+    print()
+    print("| gate | family | query definition | oracle twin |")
+    print("|---|---|---|---|")
+    for gate, fam, qsite, osite in rows:
+        print(f"| `{gate}` | {fam} | `{qsite}` | `{osite}` |")
+    if bench_only:
+        print()
+        print("Bench-only (production-kernel configurations without a"
+              " SQL-replayable twin, measured not gated):",
+              ", ".join(f"`{g}`" for g in sorted(set(bench_only))),
+              f"— `{BENCH}`.")
+
+
+if __name__ == "__main__":
+    main()
