@@ -246,6 +246,9 @@ object Bench {
     val calibFirst = stHead.calibPre
     val (qjson, ijson) = jsonMaps(results)
     val total = results.map(_._2).sum
+    // the sf0.1 headline gets the same dispersion health-check key every
+    // other section carries (absent when every IQR < its median)
+    val headNoisy = noisyIqrJson("noisy_iqr", results)
     // LLM-pipeline heavies: their own section at the same scale
     val (resPipe, stPipe) =
       bracketed(spark)(measure(spark, sfDir, samples, pipelineHeadline))
@@ -305,7 +308,7 @@ object Bench {
         s""","noisy_sections":${noisySections.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","noisy_host":$anyNoisy"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,""" +
-      s""""queries_iqr":$ijson,"samples":$samples,"sf":"$sfDir"$pipeJson$sf1Json$sentinel}"""
+      s""""queries_iqr":$ijson,"samples":$samples,"sf":"$sfDir"$headNoisy$pipeJson$sf1Json$sentinel}"""
     println(line)
     // Also land the JSON in a file: sbt interleaves log noise into stdout,
     // which has left the driver's `parsed` field null before.

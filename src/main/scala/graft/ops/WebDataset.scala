@@ -110,10 +110,13 @@ object WebDataset {
     * @param samples   (key: string, files: map<ext, binary>) — the
     *                  [[groupSamples]] shape.
     * @param overwrite when true, deletes every existing `shard-*.tar`
-    *                  under `outDir` before writing. A re-run that emits
-    *                  FEWER populated shards (smaller corpus, different
+    *                  AND every orphaned `.shard-*.inprogress` temp under
+    *                  `outDir` before writing. A re-run that emits FEWER
+    *                  populated shards (smaller corpus, different
     *                  `numShards`) otherwise leaves stale shards behind
-    *                  that a later `readShards` glob silently mixes in. */
+    *                  that a later `readShards` glob silently mixes in,
+    *                  and crashed attempts' temps (attempt-unique names —
+    *                  nothing renames them) would accumulate forever. */
   def writeShards(samples: DataFrame, outDir: String, numShards: Int,
                   overwrite: Boolean = false): Long = {
     require(numShards > 0, "numShards must be positive")
@@ -127,9 +130,15 @@ object WebDataset {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(outDir), conf.value)
       val dir = new org.apache.hadoop.fs.Path(outDir)
-      if (fs.exists(dir))
+      if (fs.exists(dir)) {
         fs.globStatus(new org.apache.hadoop.fs.Path(dir, "shard-*.tar"))
           .foreach(st => fs.delete(st.getPath, false))
+        // crashed attempts' temps are attempt-unique and nothing ever
+        // renames them — overwrite is the one safe moment to reap them
+        // (no writer task of THIS run has launched yet)
+        fs.globStatus(new org.apache.hadoop.fs.Path(dir, ".shard-*.inprogress"))
+          .foreach(st => fs.delete(st.getPath, false))
+      }
     }
     val written = samples
       .select(col("key"), col("files"))

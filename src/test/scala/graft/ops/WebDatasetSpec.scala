@@ -89,6 +89,34 @@ class WebDatasetSpec extends SparkSpec {
     assert(WebDataset.readShards(spark, s"$dir/*.tar").count() == 3)
   }
 
+  test("overwrite=true reaps stale shards and orphaned .inprogress temps; default keeps them") {
+    val samples = (0L until 20L)
+      .map(d => (s"k$d", Map("txt" -> s"doc $d".getBytes("UTF-8"))))
+      .toDF("key", "files")
+    val dir = tmp("wds_ow")
+    WebDataset.writeShards(samples, dir, numShards = 8)
+    val before = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.matches("shard-\\d{5}\\.tar")).toSet
+    assert(before.size > 1, before.toString)
+    // plant a crashed attempt's orphan temp: attempt-unique names mean
+    // nothing in a later run would ever rename or collide with it
+    val orphan = new java.io.File(dir, ".shard-00000.tar.99.inprogress")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // a SMALLER re-run without overwrite leaves stale shards + the orphan
+    val one = samples.limit(1)
+    WebDataset.writeShards(one, dir, numShards = 8)
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.matches("shard-\\d{5}\\.tar")).toSet == before)
+    assert(orphan.exists())
+    // overwrite=true: exactly this run's shards survive, orphan reaped
+    WebDataset.writeShards(one, dir, numShards = 8, overwrite = true)
+    val after = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.matches("shard-\\d{5}\\.tar")).toSet
+    assert(after.size == 1, after.toString)
+    assert(!orphan.exists(), "orphaned .inprogress temp must be reaped")
+    assert(WebDataset.readShards(spark, s"$dir/*.tar").count() == 1)
+  }
+
   test("webdataset connector: config-driven corpus -> vector store -> corpus round trip") {
     val root = tmp("wds_conn")
     // seed a corpus through the MIGRATOR from the embeddings parquet
