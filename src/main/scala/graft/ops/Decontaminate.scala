@@ -161,9 +161,14 @@ object Decontaminate {
     * argmax, so a pair any plane set keeps together is found — miss
     * probability multiplies per seed, cost is one broadcast bucket-join
     * per seed. When `seeds` is empty (the default) the count derives from
-    * (threshold, bits) via [[Similarity.recallSeeds]]: ≥80% recall for
-    * duplicate-grade leakage (cosine ≥ max(threshold, 0.9)), which is the
-    * grade decontamination exists to catch. Output contains ONLY train
+    * (threshold, bits) via [[Similarity.recallSeeds]]: targets ≥80%
+    * recall for duplicate-grade leakage (cosine ≥ max(threshold, 0.9)),
+    * which is the grade decontamination exists to catch — met at this
+    * face's default narrow codes (bits ≤ 8); at wider codes the policy's
+    * 5-seed cap binds and only near-exact leakage stays fully covered
+    * (read the achieved number with [[Similarity.lshRecall]]; verbatim
+    * benchmark pastes score cosine ≈ 1 and are kept at any width). Output
+    * contains ONLY train
     * docs with at least one colliding eval candidate — absent rows are
     * clean at this recall, which is the useful direction (the flag list
     * is what gets dropped). */

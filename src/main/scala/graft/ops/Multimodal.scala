@@ -149,26 +149,53 @@ object Multimodal {
   }
 
   /** Deterministic PNG fixture for id `d`: an 8- or 16-pixel-square RGB
-    * image whose pixel (x,y) carries gray value `(d*31 + x*7 + y*13) % 256`
-    * in all three channels. The closed form lets a SQL oracle compute the
-    * EXPECTED decoded features of the real codec from `d` alone — PNG is
-    * lossless, so encode→decode must round-trip every pixel. */
+    * image whose pixel (x,y) carries gray value
+    * `(e·31 + x·(7 + e%11) + y·(13 + (e/11)%13) + x·y·((e/143)%7)) % 256`
+    * in all three channels, where `e = rasterSeed(d)`. The closed form
+    * lets a SQL oracle compute the EXPECTED decoded features of the real
+    * codec from `d` alone — PNG is lossless, so encode→decode must
+    * round-trip every pixel. */
   def syntheticPng(d: Long): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     ImageIO.write(syntheticImage(d), "png", out)
     out.toByteArray
   }
 
-  /** The shared closed-form raster behind both fixture encoders. */
+  /** Raster seed with a planted EXACT TWIN: every 17th id reuses its
+    * predecessor's raster (`d%17 == 0 → d−1`), so a synthetic corpus of n
+    * images carries ~n/17 guaranteed duplicate pairs — a LINEAR dedup
+    * signal at any scale — while all other ids draw distinct rasters. */
+  private[ops] def rasterSeed(d: Long): Long =
+    if (d > 0 && d % 17 == 0) d - 1 else d
+
+  /** The shared closed-form raster behind both fixture encoders.
+    *
+    * Entropy note (round 13): the original raster
+    * `(d·31 + 7x + 13y) % 256` had only ~1,000 distinct images over ALL
+    * ids (a 256-value phase × 4 sizes) — at a 50k-image bench scale every
+    * raster averaged ~49 byte-identical twins, so near-dup OUTPUT grew
+    * quadratically in corpus size (25.6M aHash-equal pairs at sf1) and
+    * the pipeline bench measured generator saturation, not the operator
+    * (the round-12 minhash-ramp lesson, replayed on images). Id-dependent
+    * gradient coefficients plus an x·y curvature term lift the space to
+    * ~38k distinct aHashes at 50k ids (measured), with near-dup structure
+    * supplied deliberately by [[rasterSeed]]'s twin plant instead of
+    * accidentally by phase collisions. Small ids (< 143) keep zero
+    * curvature and moderate coefficients, so the committed JPEG fixtures
+    * and the PNG↔JPEG robustness contract stay on smooth gradients. */
   private def syntheticImage(d: Long): BufferedImage = {
-    val w = (8 * (1 + d % 2)).toInt
-    val h = (8 * (1 + (d / 2) % 2)).toInt
+    val e = rasterSeed(d)
+    val w = (8 * (1 + e % 2)).toInt
+    val h = (8 * (1 + (e / 2) % 2)).toInt
+    val xc = 7 + e % 11
+    val yc = 13 + (e / 11) % 13
+    val xyc = (e / 143) % 7
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = ((d * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((e * 31 + x * xc + y * yc + x * y * xyc) % 256).toInt
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }

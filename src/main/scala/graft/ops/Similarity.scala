@@ -337,17 +337,44 @@ object Similarity {
     else seeds.map(pass).reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
   }
 
+  /** Achieved recall of `seeds` unioned sign-LSH passes for a pair at
+    * cosine `sim`: a pair at angle θ = acos(sim) collides under one
+    * `bits`-plane set with probability p = (1−θ/π)^bits, so s independent
+    * sets catch it with 1−(1−p)^s. This is the closed form both
+    * [[recallSeeds]] and its honesty story rest on — callers sizing their
+    * own (bits, seeds) trade can read the number instead of trusting a
+    * docstring: e.g. lshRecall(0.9, 8, 5) ≈ 0.82 but
+    * lshRecall(0.9, 24, 5) ≈ 0.11, while lshRecall(0.999, 24, 5) ≈ 1.0 —
+    * wide codes keep near-exact duplicates and shed the 0.9-grade band. */
+  def lshRecall(sim: Double, bits: Int, seeds: Int): Double = {
+    require(sim > -1.0 && sim <= 1.0, s"cosine sim must be in (-1, 1], got $sim")
+    require(bits > 0 && seeds > 0)
+    val p = math.pow(1.0 - math.acos(sim) / math.Pi, bits)
+    1.0 - math.pow(1.0 - p, seeds)
+  }
+
   /** Recall-targeted seed-count policy (round 13): the smallest number of
     * independently rotated plane sets whose unioned passes catch a
     * DUPLICATE-GRADE pair — cosine ≥ max(threshold, 0.9) — with
-    * probability ≥ `targetRecall`, capped at `maxSeeds`. Derivation: a
-    * pair at angle θ collides under one `bits`-plane set with probability
-    * p = (1−θ/π)^bits, so s independent sets catch it with 1−(1−p)^s;
-    * solving for s gives ceil(ln(1−R)/ln(1−p)). The reference similarity
-    * is duplicate-grade, NOT the raw threshold: at corpus-scaled bit
-    * widths a pair barely AT a low threshold is near-orthogonal and has
-    * vanishing collision probability — no affordable seed count fixes
-    * that, and the exact/blocked faces own the low-threshold regime.
+    * probability ≥ `targetRecall`, CAPPED at `maxSeeds`. Derivation: see
+    * [[lshRecall]]; solving 1−(1−p)^s ≥ R for s gives
+    * ceil(ln(1−R)/ln(1−p)). The reference similarity is duplicate-grade,
+    * NOT the raw threshold: at corpus-scaled bit widths a pair barely AT
+    * a low threshold is near-orthogonal and has vanishing collision
+    * probability — no affordable seed count fixes that, and the
+    * exact/blocked faces own the low-threshold regime.
+    *
+    * THE CAP BINDS past ~8 bits: at the 0.9-grade anchor one pass keeps a
+    * pair with p = 0.856^bits, so from bits = 9 even `maxSeeds` = 5 passes
+    * land under the 0.8 target (lshRecall(0.9, 12, 5) ≈ 0.57,
+    * (0.9, 24, 5) ≈ 0.11) — only NEAR-EXACT pairs stay covered at wide
+    * codes (lshRecall(0.999, 24, 5) ≈ 1.0). That is a deliberate budget
+    * choice, not an oversight: meeting 0.8 at bits = 24 needs ~66 passes.
+    * Callers who need guaranteed 0.9-grade recall at corpus-scaled widths
+    * should trade bits down per pass and raise `maxSeeds` (the banding
+    * trade: smaller codes, more passes, fatter buckets), checking the
+    * result with [[lshRecall]].
+    *
     * Seeds are consecutive from `base` (7, 8, 9, …), the same ladder the
     * multi-seed recall spec measures. Cost of the returned policy is one
     * bucket-join per seed — linear, never quadratic. */
@@ -375,12 +402,16 @@ object Similarity {
     * label-blocked variant at 42× cost for 10× rows. Costs one extra
     * `count()` pass to size the corpus. Recall is a POLICY here, not a
     * doc-comment recipe: when `seeds` is empty (the default) the seed
-    * count derives from the corpus-scaled bit width via [[recallSeeds]] —
-    * ≥80% recall for duplicate-grade pairs at any corpus size, cost
-    * linear in the derived count. Pass explicit `seeds` to pin a
-    * configuration (the bench pins the single-seed floor for
-    * round-over-round comparability; `q_dedup_cosine_lsh_ms` measures
-    * this default). */
+    * count derives from the corpus-scaled bit width via [[recallSeeds]],
+    * targeting ≥80% recall for duplicate-grade pairs — MET while the
+    * derived count stays under the policy's 5-seed cap (bits ≤ 8, i.e.
+    * corpora up to ~`targetBucket`·2⁸ rows); past that the cap binds and
+    * achieved 0.9-grade recall degrades with width while near-exact pairs
+    * (cosine ≥ 0.99) remain well-covered — read the exact number with
+    * [[lshRecall]] and see the cap discussion on [[recallSeeds]]. Pass
+    * explicit `seeds` to pin a configuration (the bench pins the
+    * single-seed floor for round-over-round comparability;
+    * `q_dedup_cosine_lsh_ms` measures this default). */
   def lshCosinePairsAuto(emb: DataFrame, threshold: Double, targetBucket: Int = 64,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          dim: Int = -1, seeds: Seq[Long] = Nil): DataFrame = {

@@ -63,9 +63,17 @@ object PipelineQueries {
     * pixel math to per-image (w, h, luminance sum) and the 64-char aHash
     * bit string — shared by the q_mm_features / q_mm_ahash_dedup oracles. */
   private val mmImageCtes =
-    "WITH d AS (SELECT doc_id AS media_id, 8 * (1 + doc_id % 2) AS w, " +
-      "8 * (1 + (doc_id // 2) % 2) AS h FROM documents), " +
-      "px AS (SELECT media_id, w, h, x, y, (media_id * 31 + x * 7 + y * 13) % 256 AS g " +
+    // e = rasterSeed(doc_id): every 17th id reuses its predecessor's
+    // raster (the planted twin); pixels follow Multimodal.syntheticImage's
+    // id-coefficient gradient + x*y curvature closed form exactly
+    "WITH s AS (SELECT doc_id AS media_id, " +
+      "CASE WHEN doc_id > 0 AND doc_id % 17 = 0 THEN doc_id - 1 ELSE doc_id END AS e " +
+      "FROM documents), " +
+      "d AS (SELECT media_id, e, 8 * (1 + e % 2) AS w, " +
+      "8 * (1 + (e // 2) % 2) AS h FROM s), " +
+      "px AS (SELECT media_id, w, h, x, y, " +
+      "(e * 31 + x * (7 + e % 11) + y * (13 + (e // 11) % 13) " +
+      "+ x * y * ((e // 143) % 7)) % 256 AS g " +
       "FROM d CROSS JOIN range(0, 16) rx(x) CROSS JOIN range(0, 16) ry(y) " +
       "WHERE x < w AND y < h), " +
       "tot AS (SELECT media_id, min(w) AS w, min(h) AS h, sum(g) AS ts " +

@@ -395,4 +395,25 @@ class AnnRecallSpec extends SparkSpec {
     assert(Similarity.recallSeeds(0.3, 4) == Seq(7L, 8L, 9L))
     assert(Similarity.recallSeeds(0.5, 4) == Seq(7L, 8L, 9L))
   }
+
+  test("lshRecall closed form; the 5-seed cap binds past 8 bits and the docs say so") {
+    // the closed form: 1 - (1 - (1-acos(sim)/pi)^bits)^seeds
+    def ref(sim: Double, bits: Int, s: Int): Double = {
+      val p = math.pow(1.0 - math.acos(sim) / math.Pi, bits)
+      1.0 - math.pow(1.0 - p, s)
+    }
+    for (sim <- Seq(0.9, 0.95, 0.99, 0.999); bits <- Seq(4, 8, 16, 24); s <- Seq(1, 3, 5))
+      assert(math.abs(Similarity.lshRecall(sim, bits, s) - ref(sim, bits, s)) < 1e-12)
+    // monotone the right ways: more seeds help, more bits hurt
+    assert(Similarity.lshRecall(0.9, 8, 3) > Similarity.lshRecall(0.9, 8, 1))
+    assert(Similarity.lshRecall(0.9, 16, 5) < Similarity.lshRecall(0.9, 8, 5))
+    // THE HONESTY PIN: at the 0.9-grade anchor the capped policy meets
+    // the 0.8 target through bits = 8 and misses from bits = 9 on — the
+    // policy docstring's cap discussion must stay true to this boundary
+    assert(Similarity.lshRecall(0.9, 8, Similarity.recallSeeds(0.9, 8).length) >= 0.8)
+    assert(Similarity.recallSeeds(0.9, 9).length == 5, "cap expected to bind at bits=9")
+    assert(Similarity.lshRecall(0.9, 9, 5) < 0.8)
+    assert(Similarity.lshRecall(0.9, 24, 5) < 0.15) // wide codes shed the 0.9 band...
+    assert(Similarity.lshRecall(0.999, 24, 5) > 0.99) // ...but keep near-exact pairs
+  }
 }
