@@ -109,6 +109,17 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Min of 3 calibration runs: ONE sample is disturbed by the JVM's own
+    * state — a GC or JIT deopt right after a heavy section inflated a
+    * post-bracket 4× on a QUIET host (round-13 false positive: sf1
+    * section flagged at calib 0.08 → 0.33 with loadavg 1.2 → 1.5). The
+    * min is robust to self-inflicted pauses while staying honest about
+    * co-tenancy: sustained external load inflates every sample, so the
+    * min stays high and the 2× drift bar still trips (the sentinel spec
+    * drives real spinner load against exactly this reading). */
+  def calibrateMin3(spark: SparkSession): Double =
+    (1 to 3).map(_ => calibrate(spark)).min
+
   /** Uniform co-tenant load slows first and last calibration differently
     * than the fixed-cost work predicts; >2x drift between them marks the
     * whole artifact suspect. (Round 11's driver artifact was 5x inflated
@@ -144,12 +155,14 @@ object Bench {
       (s.loadPre >= 0 && s.loadPost >= 0 &&
         s.loadPost - s.loadPre > Runtime.getRuntime.availableProcessors() / 8.0)
 
-  /** Run `body` bracketed by its own calibration + loadavg reads. */
+  /** Run `body` bracketed by its own calibration + loadavg reads. Each
+    * bracket is a min-of-3 calibration ([[calibrateMin3]]) so the JVM's
+    * own post-section GC state cannot fake a contention flag. */
   private[graft] def bracketed[A](spark: SparkSession)(body: => A): (A, SectionStats) = {
     val lp = loadAvg1m()
-    val cp = calibrate(spark)
+    val cp = calibrateMin3(spark)
     val a = body
-    val cq = calibrate(spark)
+    val cq = calibrateMin3(spark)
     val lq = loadAvg1m()
     (a, SectionStats(cp, cq, lp, lq))
   }
@@ -238,7 +251,13 @@ object Bench {
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "5").toInt
     val spark = GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    calibrate(spark) // warm the calibration plan (untimed)
+    // warm the calibration job to NEAR-STEADY state (untimed): a single
+    // warm-up run leaves the first bracket ~2.5-3x the late-run cost on a
+    // PROVABLY idle host (measured 3.31 -> 0.22 -> ... -> 0.12 over 12
+    // fresh-JVM runs; late-bench steady state is ~0.08 once the heavy
+    // sections mature the JIT) — JVM maturation would structurally fake
+    // the first section's 2x drift bar without this
+    (1 to 8).foreach(_ => calibrate(spark))
     val loadBefore = loadAvg1m()
     // each SECTION rides its own calibration/loadavg bracket (round 13) —
     // run-long brackets missed round 12's late-arriving sf1 co-tenant
@@ -294,7 +313,7 @@ object Bench {
     }.getOrElse("") + sf1ErrJson
     // run-long bracket kept for continuity with r12 artifacts; the
     // per-section brackets above are the authoritative sentinel
-    val calibLast = calibrate(spark)
+    val calibLast = calibrateMin3(spark)
     val loadAfter = loadAvg1m()
     val sections = Map("sf_headline" -> stHead, "sf_pipeline" -> stPipe) ++ sf1Sections
     val sectionsJson = sections.toSeq.sortBy(_._1)
