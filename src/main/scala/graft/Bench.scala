@@ -22,8 +22,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * carries a HOST-CONTENTION sentinel — a fixed-cost calibration stage +
   * /proc/loadavg read bracketing EACH SECTION (sf0.1 headline, sf0.1
   * pipeline, sf1 headline, sf1 pipeline), not just the whole run. A
-  * section is flagged noisy when its calibration brackets drift >2x OR
-  * its loadavg delta exceeds ncores/8; "noisy_host" is true when ANY
+  * section is flagged noisy when its calibration brackets drift >2x, or
+  * >1.4x with the loadavg delta also exceeding ncores/8 (see
+  * [[sectionNoisy]] for why the load term is calibration-gated);
+  * "noisy_host" is true when ANY
   * section (or the run-long bracket) trips. Round 12's artifact showed
   * why run-long granularity is one notch too coarse: co-tenant load
   * arrived during the sf1 section (~2x the idle floor) while the
@@ -144,16 +146,24 @@ object Bench {
   }
 
   /** A section is contention-suspect when its own calibration brackets
-    * drift >2x (co-tenant CPU visible to an all-core fixed-cost job) OR
-    * its 1-minute loadavg rose by more than ncores/8 across the section
-    * (load that an all-core calibration under-feels — round 12's sf1
-    * section ran at loadavg 5 on 32 cores, only 1.58x calibration drift,
-    * and was ~2x inflated). Loadavg readings of -1 (no /proc) disable the
-    * load term. */
-  private[graft] def sectionNoisy(s: SectionStats): Boolean =
-    noisyHost(s.calibPre, s.calibPost) ||
-      (s.loadPre >= 0 && s.loadPost >= 0 &&
+    * drift >2x (co-tenant CPU visible to an all-core fixed-cost job), OR
+    * when a SOFTER calibration drift (>1.4x) coincides with the 1-minute
+    * loadavg rising past ncores/8 across the section — the round-12 sf1
+    * shape (loadavg 1.67 → 5.11 on 32 cores at only 1.58x drift, ~2x
+    * inflated timings). The load term is DELIBERATELY gated on the soft
+    * calibration bar: 1-minute loadavg integrates the bench's OWN
+    * all-core stages, so on a small or fully-saturated host the delta
+    * alone would flag an idle machine — but self-load cannot inflate the
+    * POST calibration (brackets run after the section's jobs finish), so
+    * requiring both makes the term self-load-immune. Loadavg readings of
+    * -1 (no /proc) disable the load term. */
+  private[graft] def sectionNoisy(s: SectionStats): Boolean = {
+    val drift = math.max(s.calibPre, s.calibPost) /
+      math.max(1e-9, math.min(s.calibPre, s.calibPost))
+    drift > 2.0 ||
+      (drift > 1.4 && s.loadPre >= 0 && s.loadPost >= 0 &&
         s.loadPost - s.loadPre > Runtime.getRuntime.availableProcessors() / 8.0)
+  }
 
   /** Run `body` bracketed by its own calibration + loadavg reads. Each
     * bracket is a min-of-3 calibration ([[calibrateMin3]]) so the JVM's

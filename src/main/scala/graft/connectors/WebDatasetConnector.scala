@@ -149,9 +149,17 @@ class WebDatasetConnector extends VectorConnector {
           // back into their JSON kind, so a read → write round trip
           // emits 42, true, and nested objects — not their quoted forms
           val all = Option(meta).getOrElse(Map.empty[String, String])
-          val typedKeys: Set[String] = all.get("__typed").map { t =>
-            val a = mapper.readTree(t)
-            (0 until a.size()).map(a.get(_).asText()).toSet
+          // defensive like the per-value parse below: a FOREIGN corpus
+          // (another connector's metadata) may carry a user key named
+          // __typed whose value is not JSON — treat it as untyped rather
+          // than failing the export task
+          val typedKeys: Set[String] = all.get("__typed").flatMap { t =>
+            try {
+              val a = mapper.readTree(t)
+              if (a != null && a.isArray)
+                Some((0 until a.size()).map(a.get(_).asText()).toSet)
+              else None
+            } catch { case _: Exception => None }
           }.getOrElse(Set.empty)
           val m = all - "__members" - "__typed"
           val o = mapper.createObjectNode()

@@ -881,7 +881,16 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     val r = resolveNs(ix, ns)
     if (r != ns && r.contains("__staging_") && !genMarkerExists(ix, r)) {
       invalidatePtr(ix, ns)
-      resolveNs(ix, ns)
+      val r2 = resolveNs(ix, ns)
+      // the same generation on a FRESH pointer read is not staleness — it
+      // is a LIVE generation published before markers existed. Adopt it
+      // (write its marker once) so the documented cached resolution
+      // returns; without this every scan plan and write batch against a
+      // pre-marker generation would invalidate + re-fetch forever. A
+      // publish racing the adoption deletes the marker with the
+      // generation, so a wrong adoption cannot outlive its generation.
+      if (r2 == r) writeGenMarker(ix, r2)
+      r2
     } else r
   }
 
@@ -964,13 +973,19 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
       case _: NoSuchElementException =>
     }
 
-  /** Retire a generation: empty its rows, then drop its marker — in that
-    * order, so a crash between the two leaves a marker whose generation
-    * is provably prev-linked (the retry finishes through the pending-
-    * retire legs), never a marker-less generation that still holds rows. */
+  /** Retire a generation: drop its MARKER first, then empty its rows. The
+    * order is what bounds the cross-client lost-write window: a stale-
+    * cached writer re-verifies its resolution via [[genMarkerExists]], so
+    * once the marker is gone no marker-verified write can begin against a
+    * namespace whose rows are about to vanish — the race narrows to a
+    * check already in flight when the marker delete lands (one RTT),
+    * instead of the whole rows-then-marker gap. A crash between the two
+    * legs leaves rows without a marker — the same shape as a pre-marker
+    * legacy generation — and every path that can reach it retries through
+    * the pointer's `prev` link, which re-runs this retire to completion. */
   private def retireGen(ix: String, ns: String): Unit = {
-    deleteAllNs(ix, ns)
     deleteGenMarker(ix, ns)
+    deleteAllNs(ix, ns)
   }
 
   /** Scan-snapshot pinning: resolve the pointer ONCE at plan time and
@@ -1043,7 +1058,14 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
       writePointer(ixT, nsT, p.get.target, None)
       return
     }
-    if (p.isDefined && !statsHas(ixT, nsF) && !genMarkerExists(ixT, nsF)) return
+    // gone-source no-op holds WITHOUT a pointer too: a swept zombie
+    // shadow renamed onto a target serving LITERAL rows (never published
+    // atomically, so no pointer exists) must not flip a pointer onto the
+    // retired namespace and delete the live rows as "old". ONE stats
+    // fetch serves this guard and the oldGen probe below (the publish
+    // stays O(1) wire calls).
+    val statsNow = stats(ixT).namespaces
+    if (!statsNow.contains(nsF) && !genMarkerExists(ixT, nsF)) return
     // a PENDING retire from a crashed earlier publish (prev set, target
     // != this shadow) is finished FIRST, so its generation's rows can
     // never be stranded by prev being overwritten below. (prev == nsF
@@ -1052,7 +1074,7 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
       retireGen(ixT, og)
       writePointer(ixT, nsT, p.get.target, None)
     }
-    val oldGen = p.map(_.target).orElse(if (statsHas(ixT, nsT)) Some(nsT) else None)
+    val oldGen = p.map(_.target).orElse(if (statsNow.contains(nsT)) Some(nsT) else None)
     writePointer(ixT, nsT, nsF, oldGen) // THE publish: one call, any size
     oldGen.foreach(retireGen(ixT, _))
     if (oldGen.isDefined) writePointer(ixT, nsT, nsF, None)

@@ -415,8 +415,9 @@ object PipelineQueries {
           col("lum_sum"), col("ahash_bits"))),
     // Image near-duplicate pairs by exact aHash: block-join on the 64-bit
     // fingerprint of REAL decoded pixels. syntheticPng plants exact dups
-    // (ids congruent mod 256 share a pixel grid when sizes match), and the
-    // oracle recomputes every collision from the closed form — hash
+    // (rasterSeed reuses the predecessor's raster every 17th id; see
+    // Multimodal.syntheticImage for the id-coefficient closed form), and
+    // the oracle recomputes every collision from that closed form — hash
     // blocking over decoded features, the image face of the dedup family.
     "q_mm_ahash_dedup" -> ((s, dir) => {
       // materialized so the self-join's two branches share ONE decode pass
@@ -1338,8 +1339,10 @@ object PipelineQueries {
         ("SELECT doc_id AS media_id, 'text/plain' AS mime, " +
           "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS sha256 " +
           "FROM documents"),
-      // replays Multimodal.syntheticPng's closed-form pixel math: gray
-      // g(x,y) = (id*31 + x*7 + y*13) % 256 in all 3 channels of an
+      // replays Multimodal.syntheticPng's closed-form pixel math: with
+      // e = rasterSeed(id) (the %17 twin plant), gray g(x,y) =
+      // (e*31 + x*(7+e%11) + y*(13+(e/11)%13) + x*y*((e/143)%7)) % 256
+      // in all 3 channels of an
       // 8/16-square PNG. lum_sum = 3·Σg (integer-exact); aHash bit
       // j = (y*8//h)*8 + (x*8//w) set iff blockSum·w·h > totalSum·blockPix
       // (the same exact rational compare the codec makes — the factor 3

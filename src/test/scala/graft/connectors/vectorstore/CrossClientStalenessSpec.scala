@@ -48,6 +48,34 @@ class CrossClientStalenessSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("a LIVE generation without a marker (pre-marker publish) is adopted, not treated stale") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("lg::t", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      publish(t, "lg::t", Seq(rec("a1", "g1")))
+      // simulate a generation published BEFORE markers existed: remove its
+      // marker record from the meta namespace through the public verb
+      val gen = t.snapshotName("lg::t").split("::")(1)
+      t.delete("lg::__graft_meta", Seq(s"__graft_gen::$gen"))
+      assert(!t.scroll("lg::__graft_meta", 0, 100).exists(_.id == s"__graft_gen::$gen"))
+      // the next marker-verified call sees marker-missing but the FRESH
+      // pointer still naming the same generation -> adopt (heal) it
+      t.upsert("lg::t", Seq(rec("a2", "late")))
+      assert(t.scroll("lg::t", 0, 100).map(_.metadata("v")).sorted == Seq("g1", "late"))
+      assert(t.scroll("lg::__graft_meta", 0, 100).exists(_.id == s"__graft_gen::$gen"),
+        "legacy generation was not adopted — every future call would re-resolve")
+      // and the heal is one-shot: the next verified call pays only its
+      // marker fetch, no pointer invalidation/re-resolution churn
+      val mark = server.requests
+      t.upsert("lg::t", Seq(rec("a3", "late2")))
+      val lines = server.requestLines.drop(mark.toInt)
+      assert(!lines.exists(_.startsWith("GET /vectors/list")),
+        s"post-heal upsert should not walk pointers: $lines")
+    } finally server.stop()
+  }
+
   test("a write INSIDE the cache TTL of an external publish lands in the live generation") {
     val inner = new InMemoryStore
     val server = new PineconeWireServer(inner)

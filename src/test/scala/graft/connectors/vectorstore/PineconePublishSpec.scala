@@ -432,6 +432,64 @@ class PineconePublishSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("a swept shadow's delayed rename no-ops on a NEVER-POINTERED target too") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      // the target serves LITERAL rows: upserted directly, never published
+      // atomically, so NO pointer exists for it
+      t.createCollection("np::t", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert("np::t", Seq(rec("1", "live"), rec("2", "live")))
+      // a zombie job's shadow is built, then swept
+      val zombie = t.stagingName("np::t")
+      t.createCollection(zombie, CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      t.upsert(zombie, Seq(rec("9", "zombie")))
+      t.drop(zombie)
+      // the zombie wakes and publishes: with the old pointer-gated guard
+      // this flipped a pointer onto the retired namespace and deleted the
+      // literal rows as "old" — total silent loss on an unpointered target
+      t.rename(zombie, "np::t")
+      val tags = t.scroll("np::t", 0, 10).map(_.metadata("v")).sorted
+      assert(tags == Seq("live", "live"),
+        s"swept shadow's rename destroyed literal rows: $tags")
+    } finally server.stop()
+  }
+
+  test("retire drops the generation MARKER before the rows (bounds the stale-writer window)") {
+    val inner = new InMemoryStore
+    val server = new PineconeWireServer(inner)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      t.createCollection("ro::t", CollectionConfig(distance = "Cosine", dim = 2),
+        recreate = true)
+      val g1 = t.stagingName("ro::t")
+      t.createCollection(g1, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(g1, Seq(rec("1", "g1")))
+      t.rename(g1, "ro::t")
+      val g1ns = g1.split("::")(1)
+      val before = server.bodiesOf("POST /vectors/delete").size
+      // publish g2: the retire of g1 must delete g1's MARKER (a targeted
+      // id-delete in __graft_meta) BEFORE g1's deleteAll — a stale-cached
+      // writer re-verifies through the marker, so marker-first means no
+      // marker-verified write can begin once row deletion is underway
+      val g2 = t.stagingName("ro::t")
+      t.createCollection(g2, CollectionConfig(distance = "Cosine", dim = 2), recreate = true)
+      t.upsert(g2, Seq(rec("2", "g2")))
+      t.rename(g2, "ro::t")
+      val deletes = server.bodiesOf("POST /vectors/delete").drop(before)
+      val markerAt = deletes.indexWhere(b =>
+        b.contains("__graft_meta") && b.contains(s"__graft_gen::$g1ns"))
+      val rowsAt = deletes.indexWhere(b =>
+        b.contains("\"deleteAll\"") && b.contains(g1ns))
+      assert(markerAt >= 0 && rowsAt >= 0, s"retire legs missing: $deletes")
+      assert(markerAt < rowsAt,
+        s"marker delete (#$markerAt) must precede the rows delete (#$rowsAt)")
+    } finally server.stop()
+  }
+
   test("a delayed rename of a SWEPT shadow no-ops — sweep is the explicit abort") {
     val inner = new InMemoryStore
     val server = new PineconeWireServer(inner)
