@@ -127,8 +127,13 @@ object Bench {
     * whole artifact suspect. (Round 11's driver artifact was 5x inflated
     * by exactly this; the per-query IQR self-report cannot see a
     * run-long uniform slowdown — bracketing calibration can.) */
-  def noisyHost(first: Double, last: Double): Boolean =
-    math.max(first, last) / math.max(1e-9, math.min(first, last)) > 2.0
+  def noisyHost(first: Double, last: Double): Boolean = drift(first, last) > 2.0
+
+  /** Symmetric calibration-drift ratio (≥1); shared by the run-long
+    * bracket and the per-section sentinel so their bars can never
+    * silently diverge. */
+  private[graft] def drift(a: Double, b: Double): Double =
+    math.max(a, b) / math.max(1e-9, math.min(a, b))
 
   private def loadAvg1m(): Double =
     try new String(java.nio.file.Files.readAllBytes(
@@ -158,10 +163,9 @@ object Bench {
     * requiring both makes the term self-load-immune. Loadavg readings of
     * -1 (no /proc) disable the load term. */
   private[graft] def sectionNoisy(s: SectionStats): Boolean = {
-    val drift = math.max(s.calibPre, s.calibPost) /
-      math.max(1e-9, math.min(s.calibPre, s.calibPost))
-    drift > 2.0 ||
-      (drift > 1.4 && s.loadPre >= 0 && s.loadPost >= 0 &&
+    val d = drift(s.calibPre, s.calibPost)
+    d > 2.0 ||
+      (d > 1.4 && s.loadPre >= 0 && s.loadPost >= 0 &&
         s.loadPost - s.loadPre > Runtime.getRuntime.availableProcessors() / 8.0)
   }
 

@@ -151,17 +151,22 @@ class WebDatasetConnector extends VectorConnector {
           val all = Option(meta).getOrElse(Map.empty[String, String])
           // defensive like the per-value parse below: a FOREIGN corpus
           // (another connector's metadata) may carry a user key named
-          // __typed whose value is not JSON — treat it as untyped rather
-          // than failing the export task
-          val typedKeys: Set[String] = all.get("__typed").flatMap { t =>
+          // __typed whose value is not our JSON key array — keep it as the
+          // ordinary string field it is rather than failing the export
+          // task OR silently dropping the user's data
+          val typedParsed: Option[Set[String]] = all.get("__typed").flatMap { t =>
             try {
               val a = mapper.readTree(t)
               if (a != null && a.isArray)
                 Some((0 until a.size()).map(a.get(_).asText()).toSet)
               else None
             } catch { case _: Exception => None }
-          }.getOrElse(Set.empty)
-          val m = all - "__members" - "__typed"
+          }
+          val typedKeys: Set[String] = typedParsed.getOrElse(Set.empty)
+          // strip __typed only when it WAS our type tag (it parsed); a
+          // foreign string survives the round trip verbatim
+          val m = all - "__members" --
+            (if (typedParsed.isDefined) Seq("__typed") else Nil)
           val o = mapper.createObjectNode()
           m.foreach { case (k, v) =>
             if (v == null) o.putNull(k)

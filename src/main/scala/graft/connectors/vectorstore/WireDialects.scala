@@ -827,8 +827,10 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     * pointer with it; a cached entry surviving that would route writes
     * into a dead generation namespace of the FRESH index (silent loss
     * once the cache expired and readers resolved to the empty literal). */
-  private def invalidateIndexPtrs(ix: String): Unit =
+  private def invalidateIndexPtrs(ix: String): Unit = {
     ptrCache.keys.filter(_._1 == ix).foreach(ptrCache.remove)
+    legacyVerified.keys.filter(_._1 == ix).foreach(legacyVerified.remove)
+  }
 
   private def fetchPointer(ix: String, ns: String): Option[NsPointer] =
     try {
@@ -877,30 +879,41 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     * ≤TTL bounded staleness. Resolutions that return the caller's own
     * (reserved/literal) name skip the check — shadow writers during an
     * atomic publish never pay it. */
+  /** Legacy (pre-marker) generations a FRESH pointer read confirmed live,
+    * remembered CLIENT-LOCALLY for one TTL. Deliberately NOT healed by
+    * writing the missing marker to the server: that write would race a
+    * concurrent retire's marker delete last-writer-wins, and a marker
+    * stranded on a retired generation defeats [[rename]]'s gone-source
+    * guard (a delayed duplicate rename would then retire the LIVE
+    * generation — data loss). A local memo has no cross-client blast
+    * radius and expires with the pointer cache, so legacy generations get
+    * exactly the documented ≤TTL bounded staleness. */
+  @transient private lazy val legacyVerified =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
   private def resolveNsFresh(ix: String, ns: String): String = {
     val r = resolveNs(ix, ns)
-    if (r != ns && r.contains("__staging_") && !genMarkerExists(ix, r)) {
-      invalidatePtr(ix, ns)
-      val r2 = resolveNs(ix, ns)
-      // the same generation on a FRESH pointer read is not staleness — it
-      // is a LIVE generation published before markers existed. Adopt it
-      // (write its marker once) so the documented cached resolution
-      // returns; without this every scan plan and write batch against a
-      // pre-marker generation would invalidate + re-fetch forever. A
-      // publish racing the adoption deletes the marker with the
-      // generation, so a wrong adoption cannot outlive its generation.
-      if (r2 == r) writeGenMarker(ix, r2)
-      r2
-    } else r
+    if (r == ns || !r.contains("__staging_")) r
+    else {
+      val now = System.currentTimeMillis()
+      if (legacyVerified.get((ix, r)).exists(now - _ < ptrTtlMs)) r
+      else if (genMarkerExists(ix, r)) r
+      else {
+        invalidatePtr(ix, ns)
+        val r2 = resolveNs(ix, ns)
+        // the same generation on a FRESH pointer read is not staleness —
+        // it is a LIVE generation published before markers existed; memo
+        // it locally (see legacyVerified for why not a server-side heal)
+        if (r2 == r) legacyVerified.put((ix, r), now)
+        r2
+      }
+    }
   }
 
   private def resolvedFresh(name: String): (String, String) = {
     val (ix, ns) = split(name)
     (ix, resolveNsFresh(ix, ns))
   }
-
-  private def statsHas(ix: String, ns: String): Boolean =
-    stats(ix).namespaces.contains(ns)
 
   private def writePointer(ix: String, ns: String, target: String,
                            prev: Option[String]): Unit = {
@@ -1366,10 +1379,17 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
       case Some(p) =>
         // dropping a published logical name retires pointer + generation +
         // any literal rows a crashed retire stranded — Qdrant's
-        // drop-alias-and-generation, namespace-shaped
+        // drop-alias-and-generation, namespace-shaped. POINTER FIRST: with
+        // the pointer still live, a concurrent client's marker-verified
+        // resolve would see the half-retired generation as a legacy one
+        // and keep routing at it; once the pointer is gone, fresh resolves
+        // land on the (empty) literal name. A crash after the pointer
+        // delete leaves the generation's rows stranded under a reserved
+        // name — exactly what --sweep-staging reaps.
+        deletePointer(ix, ns)
+        invalidatePtr(ix, ns)
         retireGen(ix, p.target)
         deleteAllNs(ix, ns)
-        deletePointer(ix, ns)
       case None => deleteAllNs(ix, ns)
     }
   }

@@ -48,7 +48,7 @@ class CrossClientStalenessSpec extends SparkSpec {
     } finally server.stop()
   }
 
-  test("a LIVE generation without a marker (pre-marker publish) is adopted, not treated stale") {
+  test("a LIVE generation without a marker (pre-marker publish) is memoized, not treated stale") {
     val server = new PineconeWireServer(new InMemoryStore)
     val t = new PineconeWireTransport(server.url)
     try {
@@ -61,18 +61,23 @@ class CrossClientStalenessSpec extends SparkSpec {
       t.delete("lg::__graft_meta", Seq(s"__graft_gen::$gen"))
       assert(!t.scroll("lg::__graft_meta", 0, 100).exists(_.id == s"__graft_gen::$gen"))
       // the next marker-verified call sees marker-missing but the FRESH
-      // pointer still naming the same generation -> adopt (heal) it
+      // pointer still naming the same generation -> verified legacy,
+      // memoized CLIENT-LOCALLY (deliberately NOT healed server-side: a
+      // marker write would race a concurrent retire last-writer-wins and
+      // could strand a marker on a retired generation)
       t.upsert("lg::t", Seq(rec("a2", "late")))
       assert(t.scroll("lg::t", 0, 100).map(_.metadata("v")).sorted == Seq("g1", "late"))
-      assert(t.scroll("lg::__graft_meta", 0, 100).exists(_.id == s"__graft_gen::$gen"),
-        "legacy generation was not adopted — every future call would re-resolve")
-      // and the heal is one-shot: the next verified call pays only its
-      // marker fetch, no pointer invalidation/re-resolution churn
+      assert(!t.scroll("lg::__graft_meta", 0, 100).exists(_.id == s"__graft_gen::$gen"),
+        "legacy verification must not write a server-side marker")
+      // the memo is effective: the NEXT verified call inside the TTL pays
+      // neither a marker fetch nor a pointer re-fetch (both ride
+      // GET /vectors/fetch against the meta namespace)
       val mark = server.requests
       t.upsert("lg::t", Seq(rec("a3", "late2")))
-      val lines = server.requestLines.drop(mark.toInt)
-      assert(!lines.exists(_.startsWith("GET /vectors/list")),
-        s"post-heal upsert should not walk pointers: $lines")
+      val metaFetches = server.requestLines.drop(mark.toInt)
+        .filter(l => l.startsWith("GET /vectors/fetch") && l.contains("__graft_meta"))
+      assert(metaFetches.isEmpty,
+        s"memoized legacy gen still paying verification churn: $metaFetches")
     } finally server.stop()
   }
 

@@ -206,6 +206,21 @@ class WebDatasetSpec extends SparkSpec {
         graft.config.QuerySpec(collection = "out"))
       .head().getAs[Map[String, String]](2)
     assert(meta2 == meta, s"$meta2 vs $meta")
+    // a FOREIGN metadata map (another connector's) whose user key happens
+    // to be named __typed but is not our JSON key array: exported as the
+    // ordinary string it is — neither a task failure nor a silent drop
+    val foreign = Seq(("f1", Seq(1.0f), Map("__typed" -> "hello", "k" -> "v")))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    c.write(foreign, Map("path" -> root),
+      graft.config.LoadSpec(collection = "foreign", recreate = true,
+        options = Map("num_shards" -> "1")))
+    val fj = WebDataset.readShards(spark, s"$root/foreign/*.tar")
+      .filter(col("ext") === "json").head().getAs[Array[Byte]]("content")
+    val fn = mapper.readTree(new String(fj, "UTF-8"))
+    assert(fn.get("__typed").isTextual && fn.get("__typed").asText() == "hello",
+      fn.toString)
+    assert(fn.get("k").asText() == "v")
   }
 
   test("webdataset connector reads a FOREIGN caption corpus: txt member -> text") {
