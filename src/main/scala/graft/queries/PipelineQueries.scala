@@ -443,6 +443,17 @@ object PipelineQueries {
         Multimodal.extractImageFeatures(
           Multimodal.imageTable(Tables(s, dir, "documents"))),
         maxHamming = 3)),
+    // The GUARDED configuration, oracle-adjudicated: maxBucket = 12 is
+    // chosen BELOW the sf0.01 corpus's largest band bucket (19), so the
+    // skew guard actually fires inside the gate (6 buckets excluded,
+    // 281 -> 257 pairs) and DuckDB replays the exclusion bit for bit —
+    // the 100 TB code path (oversized boilerplate buckets dropped, pairs
+    // recovered through their other bands) is verified, not just spec'd.
+    "q_mm_ahash_neardup_guarded" -> ((s, dir) =>
+      Multimodal.aHashNearDupPairs(
+        Multimodal.extractImageFeatures(
+          Multimodal.imageTable(Tables(s, dir, "documents"))),
+        maxHamming = 3, maxBucket = 12)),
     // REAL audio decode: one synthetic 16-bit PCM WAV per document
     // (closed-form samples), decoded by javax.sound.sampled in
     // mapPartitions; integer-exact |s|/s² sums and strict zero-crossing
@@ -1370,6 +1381,28 @@ object PipelineQueries {
           "string_agg(bit, '' ORDER BY j) AS bb FROM bits GROUP BY media_id, band), " +
           "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b " +
           "FROM bnd a JOIN bnd b ON a.band = b.band AND a.bb = b.bb " +
+          "AND a.media_id < b.media_id), " +
+          "ham AS (SELECT c.id_a, c.id_b, " +
+          "count(*) FILTER (WHERE x.bit <> y.bit) AS hamming FROM cand c " +
+          "JOIN bits x ON x.media_id = c.id_a " +
+          "JOIN bits y ON y.media_id = c.id_b AND y.j = x.j " +
+          "GROUP BY c.id_a, c.id_b) " +
+          "SELECT id_a, id_b, CAST(hamming AS INT) AS hamming " +
+          "FROM ham WHERE hamming <= 3"),
+      // the GUARDED variant: band buckets holding more than maxBucket=12
+      // members are excluded from candidate generation (the skew guard's
+      // exclusion, replayed as a HAVING over the same band key) — at
+      // sf0.01 the largest bucket is 19, so the exclusion genuinely
+      // fires and the guard path is adjudicated, not just spec'd
+      "q_mm_ahash_neardup_guarded" ->
+        (mmImageCtes +
+          ", bnd AS (SELECT media_id, j // 16 AS band, " +
+          "string_agg(bit, '' ORDER BY j) AS bb FROM bits GROUP BY media_id, band), " +
+          "ok AS (SELECT band, bb FROM bnd GROUP BY band, bb " +
+          "HAVING count(*) <= 12), " +
+          "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b " +
+          "FROM bnd a JOIN ok USING (band, bb) JOIN bnd b " +
+          "ON a.band = b.band AND a.bb = b.bb " +
           "AND a.media_id < b.media_id), " +
           "ham AS (SELECT c.id_a, c.id_b, " +
           "count(*) FILTER (WHERE x.bit <> y.bit) AS hamming FROM cand c " +
