@@ -170,4 +170,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_mm_ahash_neardup_guarded: the bucket-size filter joins, never a cartesian") {
+    // the guard adds a count aggregate + semi-shaped join on the band key;
+    // the candidate join must stay an equi-join on (band, band_bits)
+    val p = plan("q_mm_ahash_neardup_guarded")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
