@@ -62,6 +62,37 @@ object PipelineQueries {
   /** CTEs replaying [[graft.ops.Multimodal.syntheticPng]]'s closed-form
     * pixel math to per-image (w, h, luminance sum) and the 64-char aHash
     * bit string — shared by the q_mm_features / q_mm_ahash_dedup oracles. */
+  /** Bucket bound of the GUARDED near-dup gate — one constant shared by
+    * the Spark call and the oracle's HAVING literal so the twins cannot
+    * drift. Chosen BELOW the sf0.01 corpus's largest band bucket (19), so
+    * the guard genuinely fires inside the gate; a spec asserts that. */
+  val AHashGateMaxBucket = 12
+
+  /** The banded-Hamming near-dup oracle, optionally with the skew guard's
+    * bucket exclusion replayed as a HAVING over the same band key. ONE
+    * builder for both gates — the guarded SQL is the unguarded SQL plus
+    * the `ok` CTE, never a divergent copy. */
+  private def aHashNearDupSql(maxBucket: Option[Int]): String = {
+    val okCte = maxBucket.map(b =>
+      "ok AS (SELECT band, bb FROM bnd GROUP BY band, bb " +
+        s"HAVING count(*) <= $b), ").getOrElse("")
+    val okJoin = if (maxBucket.isDefined) "JOIN ok USING (band, bb) " else ""
+    mmImageCtes +
+      ", bnd AS (SELECT media_id, j // 16 AS band, " +
+      "string_agg(bit, '' ORDER BY j) AS bb FROM bits GROUP BY media_id, band), " +
+      okCte +
+      "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b " +
+      s"FROM bnd a ${okJoin}JOIN bnd b ON a.band = b.band AND a.bb = b.bb " +
+      "AND a.media_id < b.media_id), " +
+      "ham AS (SELECT c.id_a, c.id_b, " +
+      "count(*) FILTER (WHERE x.bit <> y.bit) AS hamming FROM cand c " +
+      "JOIN bits x ON x.media_id = c.id_a " +
+      "JOIN bits y ON y.media_id = c.id_b AND y.j = x.j " +
+      "GROUP BY c.id_a, c.id_b) " +
+      "SELECT id_a, id_b, CAST(hamming AS INT) AS hamming " +
+      "FROM ham WHERE hamming <= 3"
+  }
+
   private val mmImageCtes =
     // e = rasterSeed(doc_id): every 17th id reuses its predecessor's
     // raster (the planted twin); pixels follow Multimodal.syntheticImage's
@@ -443,17 +474,18 @@ object PipelineQueries {
         Multimodal.extractImageFeatures(
           Multimodal.imageTable(Tables(s, dir, "documents"))),
         maxHamming = 3)),
-    // The GUARDED configuration, oracle-adjudicated: maxBucket = 12 is
-    // chosen BELOW the sf0.01 corpus's largest band bucket (19), so the
-    // skew guard actually fires inside the gate (6 buckets excluded,
-    // 281 -> 257 pairs) and DuckDB replays the exclusion bit for bit —
-    // the 100 TB code path (oversized boilerplate buckets dropped, pairs
+    // The GUARDED configuration, oracle-adjudicated: AHashGateMaxBucket
+    // (12) is chosen BELOW the sf0.01 corpus's largest band bucket (19),
+    // so the skew guard actually fires inside the gate (6 buckets
+    // excluded, 281 -> 257 pairs — a spec asserts guarded < unguarded at
+    // gate scale) and DuckDB replays the exclusion bit for bit — the
+    // 100 TB code path (oversized boilerplate buckets dropped, pairs
     // recovered through their other bands) is verified, not just spec'd.
     "q_mm_ahash_neardup_guarded" -> ((s, dir) =>
       Multimodal.aHashNearDupPairs(
         Multimodal.extractImageFeatures(
           Multimodal.imageTable(Tables(s, dir, "documents"))),
-        maxHamming = 3, maxBucket = 12)),
+        maxHamming = 3, maxBucket = AHashGateMaxBucket)),
     // REAL audio decode: one synthetic 16-bit PCM WAV per document
     // (closed-form samples), decoded by javax.sound.sampled in
     // mapPartitions; integer-exact |s|/s² sums and strict zero-crossing
@@ -1375,42 +1407,14 @@ object PipelineQueries {
       // banded Hamming near-dup: replays the engine's 4x16-bit bands
       // (bit j of the hash = char j of the bit string, band = j // 16),
       // candidate join per band, full Hamming verify <= 3 on candidates
-      "q_mm_ahash_neardup" ->
-        (mmImageCtes +
-          ", bnd AS (SELECT media_id, j // 16 AS band, " +
-          "string_agg(bit, '' ORDER BY j) AS bb FROM bits GROUP BY media_id, band), " +
-          "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b " +
-          "FROM bnd a JOIN bnd b ON a.band = b.band AND a.bb = b.bb " +
-          "AND a.media_id < b.media_id), " +
-          "ham AS (SELECT c.id_a, c.id_b, " +
-          "count(*) FILTER (WHERE x.bit <> y.bit) AS hamming FROM cand c " +
-          "JOIN bits x ON x.media_id = c.id_a " +
-          "JOIN bits y ON y.media_id = c.id_b AND y.j = x.j " +
-          "GROUP BY c.id_a, c.id_b) " +
-          "SELECT id_a, id_b, CAST(hamming AS INT) AS hamming " +
-          "FROM ham WHERE hamming <= 3"),
-      // the GUARDED variant: band buckets holding more than maxBucket=12
-      // members are excluded from candidate generation (the skew guard's
-      // exclusion, replayed as a HAVING over the same band key) — at
-      // sf0.01 the largest bucket is 19, so the exclusion genuinely
-      // fires and the guard path is adjudicated, not just spec'd
+      "q_mm_ahash_neardup" -> aHashNearDupSql(maxBucket = None),
+      // the GUARDED variant: band buckets holding more than
+      // AHashGateMaxBucket members are excluded from candidate generation
+      // (the skew guard's exclusion, replayed as a HAVING over the same
+      // band key via the SHARED builder — the bound is one constant, so
+      // the Spark gate and its twin cannot drift)
       "q_mm_ahash_neardup_guarded" ->
-        (mmImageCtes +
-          ", bnd AS (SELECT media_id, j // 16 AS band, " +
-          "string_agg(bit, '' ORDER BY j) AS bb FROM bits GROUP BY media_id, band), " +
-          "ok AS (SELECT band, bb FROM bnd GROUP BY band, bb " +
-          "HAVING count(*) <= 12), " +
-          "cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b " +
-          "FROM bnd a JOIN ok USING (band, bb) JOIN bnd b " +
-          "ON a.band = b.band AND a.bb = b.bb " +
-          "AND a.media_id < b.media_id), " +
-          "ham AS (SELECT c.id_a, c.id_b, " +
-          "count(*) FILTER (WHERE x.bit <> y.bit) AS hamming FROM cand c " +
-          "JOIN bits x ON x.media_id = c.id_a " +
-          "JOIN bits y ON y.media_id = c.id_b AND y.j = x.j " +
-          "GROUP BY c.id_a, c.id_b) " +
-          "SELECT id_a, id_b, CAST(hamming AS INT) AS hamming " +
-          "FROM ham WHERE hamming <= 3"),
+        aHashNearDupSql(maxBucket = Some(AHashGateMaxBucket)),
       // replays Multimodal.syntheticWav's closed-form sample math:
       // s[k] = ((id*131 + k*17) % 65536) - 32768 over n = 64 + id%64
       // samples; zero crossings via lag (null first-row product never

@@ -327,6 +327,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("the guarded GATE's bucket bound genuinely fires at gate scale (sf0.01)") {
+    // q_mm_ahash_neardup_guarded exists to adjudicate the guard PATH; if
+    // corpus generation or the bound ever drifts so that no sf0.01 band
+    // bucket exceeds AHashGateMaxBucket, the gate silently degrades into
+    // a duplicate of the unguarded one — this pin goes red instead
+    import graft.queries.PipelineQueries
+    val qs = graft.SparkEntry.queries
+    val unguarded = qs("q_mm_ahash_neardup")(spark, sf("sf0.01")).count()
+    val guarded = qs("q_mm_ahash_neardup_guarded")(spark, sf("sf0.01")).count()
+    assert(guarded < unguarded,
+      s"guard did not fire at gate scale: $guarded vs $unguarded " +
+        s"(bound ${PipelineQueries.AHashGateMaxBucket})")
+    assert(guarded > 0, "guard must drop buckets, not the whole result")
+  }
+
   test("aHashNearDupPairs skew guard drops boilerplate cliques, keeps honest pairs") {
     import spark.implicits._
     // 40 copies of ONE hash (the blank-page clique) + two near twins
