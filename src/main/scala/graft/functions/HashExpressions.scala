@@ -70,6 +70,16 @@ object HashExpressions {
   def portableTokenHashes(text: Column): Column =
     GraftColumnBridge.column(PortableTokenHashesExpr(GraftColumnBridge.expression(text)))
 
+  /** Portable codepoint-polynomial fold of ONE whole string into [0, P) —
+    * h = (h·B + cp) mod P over every codepoint, whitespace included (the
+    * same math as `WebDataset.shardOf`'s JVM fold, spec-pinned equal).
+    * This is the string face of `Sampling.portableBucket`: ids that are
+    * not numeric (crawl UUIDs, URL keys) fold here instead of silently
+    * casting to NULL. Replayable in any SQL engine via the same
+    * codepoint arithmetic. */
+  def portableStringFold(s: Column): Column =
+    GraftColumnBridge.column(PortableStringFoldExpr(GraftColumnBridge.expression(s)))
+
   /** Order-sensitive polynomial fold of a long array mod P — see
     * [[PolyFoldHashExpr]]. */
   def polyFoldHash(hashes: Column): Column =
@@ -389,6 +399,53 @@ case class PortableTokenHashesExpr(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PortableTokenHashesExpr =
+    copy(child = newChild)
+}
+
+/** JVM face of the whole-string portable fold — a named serializable
+  * object so the codegen'd expression can reference it (the UrlKernel
+  * pattern). Same math as `WebDataset.shardOf`'s fold, spec-pinned. */
+object PortableStringFold extends Serializable {
+  def fold(s: String): Long = {
+    var h = 0L
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      h = (h * HashExpressions.B + cp) % HashExpressions.P
+      ci += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** `portable_string_fold(string) -> long` — ONE whole string folded by
+  * codepoints into [0, P), whitespace and all (unlike the per-token
+  * kernel above). The string face of `Sampling.portableBucket`. */
+case class PortableStringFoldExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_string_fold"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableStringFold.fold(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val k = ctx.addReferenceObj("psFold", PortableStringFold,
+        PortableStringFold.getClass.getName)
+      s"${ev.value} = $k.fold($c.toString());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PortableStringFoldExpr =
     copy(child = newChild)
 }
 

@@ -68,7 +68,13 @@ object UrlKernel extends Serializable {
     val scheme = lower(u.substring(0, si - 3))
     var he = si
     while (he < u.length && u.charAt(he) != '/' && u.charAt(he) != '?') he += 1
-    var hostport = lower(u.substring(si, he))
+    // userinfo (through the LAST '@' of the authority, RFC 3986 §3.2) is
+    // case-SENSITIVE credentials — preserved verbatim; only the host part
+    // is lowercased (§6.2.2.1 covers scheme and host alone)
+    val auth = u.substring(si, he)
+    val at = auth.lastIndexOf('@')
+    val userinfo = if (at >= 0) auth.substring(0, at + 1) else ""
+    var hostport = lower(auth.substring(at + 1))
     if (scheme == "http" && hostport.endsWith(":80"))
       hostport = hostport.substring(0, hostport.length - 3)
     else if (scheme == "https" && hostport.endsWith(":443"))
@@ -82,7 +88,7 @@ object UrlKernel extends Serializable {
       .filter(p => p.nonEmpty && !Tracking.matcher(p).find())
     java.util.Arrays.sort(params, Utf8Order)
     val sb = new java.lang.StringBuilder(u.length + 1)
-    sb.append(scheme).append("://").append(hostport).append(path)
+    sb.append(scheme).append("://").append(userinfo).append(hostport).append(path)
     if (params.nonEmpty) {
       sb.append('?')
       var i = 0

@@ -28,6 +28,7 @@ object Layout {
     * is static (bits×k shift/and/shift terms), all core expressions —
     * whole-stage codegen compiles it to straight-line long ops. */
   def interleaveBits(buckets: Seq[Column], bits: Int): Column = {
+    require(bits > 0, s"bits must be positive: $bits") // 0 -> empty.reduce
     require(buckets.nonEmpty && bits * buckets.size <= 62,
       s"${buckets.size} cols x $bits bits must fit a positive long")
     val k = buckets.size

@@ -40,7 +40,13 @@ object Packing {
                       tokenCount: Option[Column] = None): DataFrame = {
     require(tokenBudget > 0 && numShards > 0)
     val shard = pmod(Sampling.portableBucket(col(idCol)), lit(numShards.toLong))
+    // explicit ROWS frame: the default RANGE frame treats rows with EQUAL
+    // order keys as peers and sums them together, so duplicate doc ids
+    // would both receive the same start offset and double-book their slot
+    // — with ROWS each row gets its own running sum and the layout stays
+    // non-overlapping even on non-deduped input
     val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L))
     // null text packs as 0 tokens rather than poisoning the running sum
     // for every later doc in the shard (size(null) is -1 under Spark's
@@ -64,13 +70,20 @@ object Packing {
 
   /** Per-(shard, sequence) fill statistics for the layout above — the
     * packing-efficiency audit (how many docs per sequence, how full the
-    * last partial sequence is). Same two windows, one extra aggregate. */
+    * last partial sequence is). One aggregate over the packed layout.
+    *
+    * COVERAGE CAVEAT: rows exist only for sequences where at least one
+    * document STARTS (`seq_id` is the first-token sequence). A sequence
+    * lying wholly inside one long spanning document has no starting doc
+    * and therefore NO ROW here — by construction such sequences are 100%
+    * filled (`n_docs_starting = 0`, `filled_to = tokenBudget`), so a
+    * consumer averaging fill must treat the seq_id gaps within a shard as
+    * full sequences, not missing data. */
   def packStats(packed: DataFrame, tokenBudget: Int): DataFrame =
     packed
       .groupBy("shard", "seq_id")
       .agg(
         count(lit(1)).as("n_docs_starting"),
-        sum(col("n_tokens")).as("toks_started"),
         max(col("token_offset") + col("n_tokens")).as("last_end"))
       .select(
         col("shard"), col("seq_id"), col("n_docs_starting"),

@@ -28,7 +28,12 @@ object Resample {
                   valueCol: String = "value", idCol: String = "event_id"): DataFrame = {
     require(bucketMicros > 0, "bucketMicros > 0")
     val keyed = events
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      // a NULL value is a non-observation, not an observation of null:
+      // without this filter a null-valued event arriving LAST in a bucket
+      // won the row_number and silently erased an earlier real reading in
+      // the same bucket (carrying the previous bucket forward instead)
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
       .withColumn("__us", unix_micros(col(tsCol)))
       .withColumn("__b", floor(col("__us") / bucketMicros))
     val lastWins = Window.partitionBy(col(keyCol), col("__b"))

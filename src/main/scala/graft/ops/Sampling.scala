@@ -29,6 +29,9 @@ object Sampling {
             seed: Long = 42L): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0))
     val total = weights.map(_._2).sum
+    // all-zero weights would make every cut NaN -> every row silently
+    // labeled with the LAST split; fail loudly instead
+    require(total > 0, "split weights must not all be zero")
     val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
     val cuts = weights.scanLeft(0.0)(_ + _._2 / total).tail.map(c => (c * 1000000L).toLong)
     val labeled = weights.map(_._1).zip(cuts).foldRight(lit(weights.last._1)) {
@@ -54,9 +57,18 @@ object Sampling {
   /** Portable deterministic bucket in [0, P): Knuth multiplicative mixing
     * over pure int64 arithmetic, so ANY SQL engine reproduces it bit-exactly
     * (xxhash64 has no cross-engine twin). The id is reduced mod P first so
-    * the product stays below 2^62 — no overflow even for 100 TB-scale ids. */
-  def portableBucket(id: Column, seed: Long = 42L): Column =
-    pmod(pmod(id.cast("long"), lit(PortableP)) * lit(2654435761L) + lit(seed), lit(PortableP))
+    * the product stays below 2^62 — no overflow even for 100 TB-scale ids.
+    *
+    * NON-NUMERIC ids (crawl UUIDs, URL keys): `cast("long")` yields NULL
+    * under non-ANSI Spark, which used to silently drop EVERY row from the
+    * mix/split/sample ops built on this bucket. Such ids now fold their
+    * codepoints portably instead (h·B + cp mod P, the `shardOf` fold) —
+    * numeric ids and numeric STRINGS keep the exact historical bucket. */
+  def portableBucket(id: Column, seed: Long = 42L): Column = {
+    val reduced = coalesce(pmod(id.cast("long"), lit(PortableP)),
+      graft.functions.HashExpressions.portableStringFold(id.cast("string")))
+    pmod(reduced * lit(2654435761L) + lit(seed), lit(PortableP))
+  }
 
   /** Weighted sample WITHOUT replacement of k rows: the exponential-keys
     * method (Efraimidis & Spirakis 2006) — each row draws the deterministic
@@ -65,12 +77,14 @@ object Sampling {
     * with inclusion probability ∝ weight. One TakeOrdered — no shuffle of
     * the collection, no driver state, reproducible across partitionings
     * (Spark's `sample()` is per-partition-RNG and neither weighted nor
-    * stable). Non-positive weights are excluded outright. */
+    * stable). Non-positive weights are excluded outright — and so are NaN
+    * weights (x/0.0 upstream): Spark orders NaN ABOVE every number, so an
+    * unfiltered NaN key would crowd the whole top-k with garbage rows. */
   def weightedSample(df: DataFrame, weightCol: String, k: Int,
                      idCol: String, seed: Long = 42L): DataFrame = {
     require(k > 0, "k must be positive")
     val u = (portableBucket(col(idCol), seed) + 1).cast("double") / lit(PortableP.toDouble)
-    df.filter(col(weightCol) > 0)
+    df.filter(col(weightCol) > 0 && !isnan(col(weightCol).cast("double")))
       .withColumn("__key", log(u) / col(weightCol).cast("double"))
       .orderBy(col("__key").desc, col(idCol))
       .limit(k)
@@ -96,6 +110,8 @@ object Sampling {
                     seed: Long = 42L): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 >= 0))
     val total = weights.map(_._2).sum
+    require(total > 0, "split weights must not all be zero") // NaN cuts otherwise
+
     val bucket = portableBucket(col(idCol), seed)
     val cuts = weights.scanLeft(0.0)(_ + _._2 / total).tail
       .map(c => math.floor(c * PortableP.toDouble).toLong)
@@ -128,7 +144,16 @@ object Sampling {
       .filter(col(sourceCol).isNotNull && col(sourceCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(sourceCol)).agg(count(lit(1)).cast("double").as("__n"))
       .withColumn("__w", wCol)
-    // binding source: min over sources of n/w = the total the mixture scales to
+    applyMixRates(df, counts, sourceCol, idCol, seed)
+  }
+
+  /** Shared binding-source machinery of [[mixToTarget]] and
+    * [[temperatureMix]]: `counts` carries (__n, __w) per source; the
+    * binding source (min n/w) sets the total, every source's keep-rate is
+    * least(1, w·total/n), and membership is the portable bucket under the
+    * per-source rate broadcast back — one tiny aggregate, no collect. */
+  private def applyMixRates(df: DataFrame, counts: DataFrame, sourceCol: String,
+                            idCol: String, seed: Long): DataFrame = {
     val totalN = counts.agg(min(col("__n") / col("__w")).as("__total"))
     val rates = counts.crossJoin(broadcast(totalN))
       .select(col(sourceCol),
@@ -160,14 +185,7 @@ object Sampling {
     val counts = df.filter(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol)).agg(count(lit(1)).cast("double").as("__n"))
       .withColumn("__w", powInvT(col("__n")))
-    val totalN = counts.agg(min(col("__n") / col("__w")).as("__total"))
-    val rates = counts.crossJoin(broadcast(totalN))
-      .select(col(sourceCol),
-        least(lit(1.0), col("__w") * col("__total") / col("__n")).as("__rate"))
-    df.join(broadcast(rates), Seq(sourceCol))
-      .filter(portableBucket(col(idCol), seed) <
-        floor(col("__rate") * lit(PortableP.toDouble)).cast("long"))
-      .drop("__rate")
+    applyMixRates(df, counts, sourceCol, idCol, seed)
   }
 
   /** Downsample to a per-source TOKEN budget — mixture planning the way

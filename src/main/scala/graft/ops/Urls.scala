@@ -31,23 +31,31 @@ object Urls {
   // valueless-tolerant ("?fbclid" with no '=' is still tracking noise)
   private val TrackingParam = "(?i)^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid)(=|$)"
 
-  /** `scheme://host[:port]` of a URL with scheme+host lowercased and the
-    * scheme's default port removed; NULL-safe (null → null). */
+  /** `scheme://[userinfo@]host[:port]` of a URL with scheme+host
+    * lowercased and the scheme's default port removed; userinfo (through
+    * the LAST '@' of the authority, RFC 3986 §3.2) is case-SENSITIVE
+    * credentials and passes through verbatim — §6.2.2.1's case
+    * normalization covers scheme and host only. NULL-safe (null → null). */
   private def schemeHostPort(u: Column): (Column, Column) = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val auth = regexp_extract(rest, "^([^/?#]*)", 1)
+    val userinfo = regexp_extract(auth, "^(.*@)", 1) // greedy → last '@'
+    val hostport = lower(regexp_replace(auth, "^.*@", ""))
     val cleaned = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
-    (concat(scheme, lit("://"), cleaned), rest)
+    (concat(scheme, lit("://"), userinfo, cleaned), rest)
   }
 
-  /** Lowercased host (no port) — the crawl-politeness / per-site
-    * aggregation key. */
+  /** Lowercased host (no port, no userinfo) — the crawl-politeness /
+    * per-site aggregation key. Userinfo is STRIPPED, not lowercased: a
+    * "user:pass@host" key would fragment one site into many AND leak
+    * credentials into host-level aggregates. */
   def urlHost(u: Column): Column = {
     val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    lower(regexp_replace(regexp_extract(rest, "^([^/?#]*)", 1), ":\\d+$", ""))
+    val auth = regexp_extract(rest, "^([^/?#]*)", 1)
+    lower(regexp_replace(regexp_replace(auth, "^.*@", ""), ":\\d+$", ""))
   }
 
   /** The canonical form (see object doc). Non-URL strings (no `://`) pass

@@ -1336,7 +1336,10 @@ object PipelineQueries {
         // per-key dense spine, IGNORE NULLS carry-forward
         ("WITH e AS (SELECT user_id, event_id, value, " +
           "epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events " +
-          "WHERE user_id % 50 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL), " +
+          // value IS NOT NULL mirrors the engine: a null value is a
+          // non-observation, never a bucket-winning observation of null
+          "WHERE user_id % 50 = 0 AND user_id IS NOT NULL AND ts IS NOT NULL " +
+          "AND value IS NOT NULL), " +
           "b AS (SELECT *, CAST(floor(us / 21600000000.0) AS BIGINT) AS bk FROM e), " +
           "lastv AS (SELECT user_id, bk, value AS v FROM " +
           "(SELECT *, row_number() OVER (PARTITION BY user_id, bk " +
@@ -1531,8 +1534,8 @@ object PipelineQueries {
         ("WITH t AS (SELECT doc_id, " +
           "((doc_id % 2147483647) * 2654435761 + 42) % 2147483647 % 8 AS shard, " +
           s"CAST($ntok AS BIGINT) AS n_tokens FROM documents), " +
-          "s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) " +
-          "AS BIGINT) - n_tokens AS start_tok FROM t) " +
+          "s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok FROM t) " +
           "SELECT doc_id, shard, n_tokens, start_tok // 512 AS seq_id, " +
           "start_tok % 512 AS token_offset, " +
           "(start_tok % 512) + n_tokens > 512 AS spans_boundary FROM s"),
@@ -1540,8 +1543,8 @@ object PipelineQueries {
         ("WITH t AS (SELECT doc_id, " +
           "((doc_id % 2147483647) * 2654435761 + 42) % 2147483647 % 8 AS shard, " +
           s"CAST($ntok AS BIGINT) AS n_tokens FROM documents), " +
-          "s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) " +
-          "AS BIGINT) - n_tokens AS start_tok FROM t), " +
+          "s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok FROM t), " +
           "p AS (SELECT shard, start_tok // 512 AS seq_id, n_tokens, " +
           "start_tok % 512 AS token_offset FROM s) " +
           "SELECT shard, seq_id, count(*) AS n_docs_starting, " +

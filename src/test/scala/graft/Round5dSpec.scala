@@ -281,6 +281,24 @@ class ResampleSpec extends SparkSpec {
       .as[(Long, Long, Double, Boolean)].collect()
     assert(got.toSeq == Seq((7L, 0L, 2.0, true)))
   }
+
+  test("a NULL value is a non-observation: it never erases a real same-bucket reading") {
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // bucket 0 holds a real 5.0 at t1 and a LATER null at t2: last-wins
+    // used to crown the null, report observed=false, and carry nothing
+    val ev = Seq(
+      (1L, 7L, ts(10000), java.lang.Double.valueOf(5.0)),
+      (2L, 7L, ts(90000), null.asInstanceOf[java.lang.Double]),
+      (3L, 7L, ts(250000), java.lang.Double.valueOf(8.0)))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = graft.ops.Resample.forwardFill(ev, bucketMicros = 100000L)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      0L -> ((5.0, true)),   // the real reading survives the later null
+      100000L -> ((5.0, false)),
+      200000L -> ((8.0, true))))
+  }
 }
 
 class TranscriptSpec extends SparkSpec {

@@ -6,6 +6,13 @@ import graft.SparkSpec
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("interleaveBits refuses bits <= 0 with a named precondition") {
+    val e = intercept[IllegalArgumentException] {
+      Layout.interleaveBits(Seq(org.apache.spark.sql.functions.lit(1L)), bits = 0)
+    }
+    assert(e.getMessage.contains("bits"), e.getMessage) // not empty.reduce
+  }
+
   test("interleaveBits matches hand-computed Morton codes") {
     // x=3 (0b11), y=1 (0b01), 2 bits: z = y1 x1 y0 x0 = 0 1 1 1 = 7
     val df = Seq((3L, 1L)).toDF("x", "y")

@@ -24,6 +24,22 @@ class PackingSpec extends SparkSpec {
       (4L, 1L, 3L, true))) // toks 9-13: spills into seq 2
   }
 
+  test("duplicate doc ids never double-book a slot (ROWS frame, not RANGE peers)") {
+    // the default RANGE frame sums equal-key PEERS together, handing both
+    // copies the same start offset — the layout must stay non-overlapping
+    // even on non-deduped input
+    val dup = Seq((1L, "a b c"), (1L, "a b c"), (2L, "d e"))
+      .toDF("doc_id", "text")
+    val out = Packing.concatSplitPack(dup, tokenBudget = 100, numShards = 1)
+      .select("doc_id", "n_tokens", "token_offset")
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._3)).toSeq
+    val offsets = out.map(_._3)
+    assert(offsets.distinct.length == offsets.length,
+      s"overlapping slots: $out")
+    // slots tile the stream exactly: total span == total tokens
+    assert(offsets.zip(out.map(_._2)).map { case (o, n) => o + n }.max == 8L)
+  }
+
   test("null text packs as zero tokens without corrupting later offsets") {
     val withNull = Seq((1L, "a b c"), (2L, null: String), (3L, "d e"))
       .toDF("doc_id", "text")
