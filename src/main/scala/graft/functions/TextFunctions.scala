@@ -16,7 +16,10 @@ object TextFunctions {
 
   /** Whitespace tokens of the trimmed text (empty string → 0 tokens). */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
+    // explicit null guard: without it tokens(null) is null, and under
+    // legacy sizeOfNull a downstream size() yields -1 — which silently
+    // skewed BM25's avgdl (dl = -1 rows) before this was centralized
+    when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
   /** Whitespace token count. */

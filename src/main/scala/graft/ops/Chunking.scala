@@ -29,9 +29,9 @@ object Chunking {
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(width > 0 && stride > 0 && stride <= width,
       "need width > 0 and 0 < stride <= width")
-    val toks = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
-      array().cast("array<string>"))
-      .otherwise(split(trim(col(textCol)), "\\s+"))
+    // ONE tokenization definition across Chunking/TextSearch/Bpe — the
+    // shared helper carries the null/empty guard since round 13
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
     val n = size(col("__toks"))
     // ceil((n - width)/stride) + 1 via integer math (n > width); else 1
     val nChunks = when(n <= width, lit(1))

@@ -83,6 +83,13 @@ object Clustering {
   def initCentersParallel(df: DataFrame, k: Int, rounds: Int = 3, oversample: Int = -1,
                           vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(k > 0 && rounds > 0)
+    // the driver-side weighted reduction keys candidates by LONG id; a
+    // string id would cast to null and NPE (or silently coerce) in the
+    // collect below — fail loudly and name the string-id-capable path
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"initCentersParallel requires a numeric '$idCol' (got " +
+        s"${df.schema(idCol).dataType.simpleString}); for string ids use " +
+        "fitCenters/initCenters, whose centers stay DataFrames end to end")
     val l = if (oversample > 0) oversample else 2 * k
     val spark = df.sparkSession
     val vecs = df.select(col(idCol), col(vecCol))
@@ -125,8 +132,13 @@ object Clustering {
             org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false))))
     if (chosen.length >= k) Materialize(base)
     else {
+      // orderBy BEFORE limit: the left_anti join destroys initCenters'
+      // ordering, and an unordered limit picks an arbitrary subset —
+      // breaking the documented determinism on exactly the tiny inputs
+      // this fill path exists for
       val fill = initCenters(vecs, k, vecCol, idCol)
         .join(base.select(col("center_id")), Seq("center_id"), "left_anti")
+        .orderBy(col("center_id"))
         .limit(k - chosen.length)
       Materialize(base.union(fill))
     }
@@ -185,7 +197,7 @@ object Clustering {
     * the center vectors for the kernel's reference object. The only driver
     * materialization in the k-means path, same shape as the IVF seed
     * collect (`Similarity.ivfTopK`). */
-  private def collectCenters(centers: DataFrame): (Column, Array[Array[Double]]) = {
+  private[graft] def collectCenters(centers: DataFrame): (Column, Array[Array[Double]]) = {
     val rows = centers
       .select(col("center_id"), transform(col("center"), _.cast("double")))
       .orderBy("center_id").limit(MaxCenters + 1).collect()
@@ -259,7 +271,13 @@ object Clustering {
   }
 
   /** Lloyd's rounds from a caller-provided seed set (e.g.
-    * [[initCentersParallel]] for large k). `iters = 1` returns the seeds. */
+    * [[initCentersParallel]] for large k). `iters = 1` returns the seeds.
+    *
+    * Each round is ONE corpus scan: the fused nearest-center kernel and
+    * the centroid aggregate share a single projection that carries the
+    * vector through — no corpus self-join to re-fetch the vector the map
+    * just read (the pre-round-13 shape paid an O(n) shuffle join per
+    * round for exactly that). */
   def fitCentersFrom(df: DataFrame, init: DataFrame, iters: Int,
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(iters > 0)
@@ -267,7 +285,12 @@ object Clustering {
     var centers = init
     var i = 1
     while (i < iters) {
-      centers = Materialize(assign(vecs, centers, vecCol, idCol).join(vecs, idCol)
+      val (idArr, cs) = collectCenters(centers)
+      centers = Materialize(vecs
+        .select(col(vecCol),
+          element_at(idArr,
+            VectorExpressions.nearestCenter(col(vecCol), cs).getField("idx") + 1)
+            .as("cluster_id"))
         .groupBy(col("cluster_id"))
         .agg(VectorAggFunctions.vecCentroid(col(vecCol)).as("center"))
         .select(col("cluster_id").as("center_id"), col("center")))

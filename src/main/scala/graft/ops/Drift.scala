@@ -35,13 +35,19 @@ object Drift {
     require(bins > 0, "bins > 0")
     val v = col(valueCol).cast("double")
     val stats = ref.filter(v.isNotNull)
-      .agg(min(v).as("__min"), max(v).as("__max"), count(lit(1)).as("__n_ref"))
+      .agg(min(v).as("__min"), max(v).as("__max"))
 
     def binned(df: DataFrame, side: String) = df
       .filter(v.isNotNull)
       .crossJoin(broadcast(stats))
       .select(least(greatest(
-        when(col("__max") === col("__min"), 0)  // constant reference: one bin
+        // constant reference: the ref's single point sits in the MIDDLE
+        // bin; current values BELOW it land in bin 0, ABOVE in the last
+        // bin. (Mapping everything to one bin here made an arbitrarily
+        // large shift against a constant reference report PSI = 0.)
+        when(col("__max") === col("__min"),
+          when(v < col("__min"), 0).when(v > col("__max"), bins - 1)
+            .otherwise(bins / 2))
           .otherwise(floor((v - col("__min")) / ((col("__max") - col("__min")) / bins)))
           .cast("int"),
         lit(0)), lit(bins - 1)).as("bin"))

@@ -13,9 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** @param idCol    tie-break column for same-timestamp events (also the
+    *                  deterministic ordering inside a session)
+    * @param valueCol  per-event value summed into `session_value` — the
+    *                  sum rides a 1e6-scaled LONG (exact integer addition,
+    *                  order-independent) and is rounded to 2 dp at the
+    *                  end: a plain double sum is not associative, so the
+    *                  digit could flip between partitionings/engines at a
+    *                  .005 boundary (the repo's portable-sum standard). */
   def sessions(events: DataFrame, gapMinutes: Int = 30,
-               userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
-    val order = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+               userCol: String = "user_id", tsCol: String = "ts",
+               idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    val order = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val withId = events
       .withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(order))
@@ -27,7 +36,8 @@ object Sessionize {
       .groupBy(col(userCol), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("session_value"),
+        round(sum(round(col(valueCol).cast("double") * 1e6).cast("long")) / 1e6, 2)
+          .as("session_value"),
         (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol)))).as("duration_us"))
   }
 
@@ -45,8 +55,9 @@ object Sessionize {
     */
   def transcripts(events: DataFrame, gapMinutes: Int = 30,
                   userCol: String = "user_id", tsCol: String = "ts",
-                  typeCol: String = "event_type", sep: String = " -> "): DataFrame = {
-    val order = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+                  typeCol: String = "event_type", sep: String = " -> ",
+                  idCol: String = "event_id"): DataFrame = {
+    val order = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     events
       .withColumn("__us", unix_micros(col(tsCol)))
@@ -58,7 +69,7 @@ object Sessionize {
       .agg(
         count(lit(1)).as("n_events"),
         concat_ws(sep, transform(
-          sort_array(collect_list(struct(col("__us"), col("event_id"), col(typeCol)))),
+          sort_array(collect_list(struct(col("__us"), col(idCol), col(typeCol)))),
           x => x.getField(typeCol))).as("transcript"))
   }
 }

@@ -41,12 +41,18 @@ object SnapshotDiff {
       else oldSnap.columns.filter(c => c != idCol && newSnap.columns.contains(c)).toSeq
     require(cols.nonEmpty, s"no comparable columns besides '$idCol'")
 
-    val o = oldSnap.select((idCol +: cols).map(c => col(c).as(s"__o_$c")): _*)
-    val n = newSnap.select((idCol +: cols).map(c => col(c).as(s"__n_$c")): _*)
+    // presence is tracked with explicit side MARKERS, not id nullity: a
+    // null-key row from the old side is unmatched in the full outer join
+    // and id-nullity would classify it "insert" — re-shipping a stale
+    // deleted row through upserts() instead of deleting it
+    val o = oldSnap.select(lit(true).as("__in_old") +:
+      (idCol +: cols).map(c => col(c).as(s"__o_$c")): _*)
+    val n = newSnap.select(lit(true).as("__in_new") +:
+      (idCol +: cols).map(c => col(c).as(s"__n_$c")): _*)
     val joined = o.join(n, col(s"__o_$idCol") === col(s"__n_$idCol"), "full_outer")
 
-    val inOld = col(s"__o_$idCol").isNotNull
-    val inNew = col(s"__n_$idCol").isNotNull
+    val inOld = coalesce(col("__in_old"), lit(false))
+    val inNew = coalesce(col("__in_new"), lit(false))
     def changed(c: String): Column = !(col(s"__o_$c") <=> col(s"__n_$c"))
 
     val anyChanged = cols.map(changed).reduce(_ || _)

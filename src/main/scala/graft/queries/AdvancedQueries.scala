@@ -268,11 +268,15 @@ object AdvancedQueries {
         "FROM o WHERE o_orderkey % 97 != 0 " +
         "UNION ALL SELECT o_orderkey + 100000000, o_custkey, o_totalprice " +
         "FROM o WHERE o_orderkey % 93 = 0), " +
-        "j AS (SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey, " +
-        "o.o_orderkey IS NOT NULL AS in_old, n.o_orderkey IS NOT NULL AS in_new, " +
-        "o.o_custkey AS oc, o.o_totalprice AS ot, " +
-        "n.o_custkey AS nc, n.o_totalprice AS nt " +
-        "FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey) " +
+        // presence via side MARKERS like the engine (id-nullity would
+        // misclassify a null-key row; gate data has none, but the twins
+        // must share semantics, not just outputs)
+        "om AS (SELECT true AS mo, * FROM o), nm AS (SELECT true AS mn, * FROM n), " +
+        "j AS (SELECT coalesce(nm.o_orderkey, om.o_orderkey) AS o_orderkey, " +
+        "coalesce(mo, false) AS in_old, coalesce(mn, false) AS in_new, " +
+        "om.o_custkey AS oc, om.o_totalprice AS ot, " +
+        "nm.o_custkey AS nc, nm.o_totalprice AS nt " +
+        "FROM om FULL JOIN nm ON om.o_orderkey = nm.o_orderkey) " +
         "SELECT o_orderkey, " +
         "CASE WHEN NOT in_old THEN 'insert' WHEN NOT in_new THEN 'delete' " +
         "ELSE 'update' END AS op, " +

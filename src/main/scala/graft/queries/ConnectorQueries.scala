@@ -640,10 +640,12 @@ object ConnectorQueries {
         "cur AS (SELECT o_totalprice * CASE WHEN o_orderkey % 89 = 0 THEN 1.10 ELSE 1.0 END AS v " +
         "FROM orders WHERE o_orderkey % 97 != 0), " +
         "st AS (SELECT min(v) AS mn, max(v) AS mx FROM ref), " +
-        "rb AS (SELECT least(greatest(CAST(CASE WHEN mx = mn THEN 0 ELSE " +
+        "rb AS (SELECT least(greatest(CAST(CASE WHEN mx = mn THEN " +
+        "CASE WHEN v < mn THEN 0 WHEN v > mx THEN 9 ELSE 5 END ELSE " +
         "floor((v - mn) / ((mx - mn) / 10.0)) END AS INT), 0), 9) AS bin, " +
         "count(*) AS nr FROM ref, st GROUP BY 1), " +
-        "cb AS (SELECT least(greatest(CAST(CASE WHEN mx = mn THEN 0 ELSE " +
+        "cb AS (SELECT least(greatest(CAST(CASE WHEN mx = mn THEN " +
+        "CASE WHEN v < mn THEN 0 WHEN v > mx THEN 9 ELSE 5 END ELSE " +
         "floor((v - mn) / ((mx - mn) / 10.0)) END AS INT), 0), 9) AS bin, " +
         "count(*) AS nc FROM cur, st WHERE v IS NOT NULL GROUP BY 1), " +
         "sp AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin), " +

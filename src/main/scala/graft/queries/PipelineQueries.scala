@@ -15,7 +15,11 @@ import graft.ops._
 object PipelineQueries {
 
   // ---- shared SQL fragments (DuckDB dialect) ----
-  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  // mirrors TextFunctions.tokens exactly, INCLUDING the null/empty guard
+  // (tokens(null) = [], so count faces see 0, never legacy size(null) = -1)
+  private val toksSql =
+    "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] " +
+      "ELSE string_split_regex(trim(text), '\\s+') END"
   private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("(", ", ", ")")
   private val stopSql = sqlList(TextFunctions.defaultStopwords)
   // cosine over DOUBLE[] exactly as VectorFunctions.cosineSimilarity: dot/(|a||b|)
@@ -420,7 +424,9 @@ object PipelineQueries {
     "q_session_window" -> ((s, dir) =>
       Tables(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+        // scaled-long sum like Sessionize.sessions: order-independent
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(round(col("value") * 1e6).cast("long")) / 1e6, 2).as("session_value"))
         .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start_us"),
           col("n_events"), col("session_value"))),
 
@@ -1329,7 +1335,7 @@ object PipelineQueries {
           "s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) " +
           "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM w) " +
           "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, " +
-          "round(sum(value), 2) AS session_value, " +
+          "round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 2) AS session_value, " +
           "max(us) - min(us) AS duration_us FROM s GROUP BY user_id, session_id"),
       "q_resample_ffill" ->
         // identical grid: floor(us / 6h), last-by-(ts,id) per bucket,
@@ -1366,7 +1372,7 @@ object PipelineQueries {
           "s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) " +
           "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM w) " +
           "SELECT user_id, min(us) AS session_start_us, count(*) AS n_events, " +
-          "round(sum(value), 2) AS session_value FROM s GROUP BY user_id, sid"),
+          "round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 2) AS session_value FROM s GROUP BY user_id, sid"),
       "q_funnel" ->
         ("WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
           "u AS (SELECT DISTINCT user_id FROM e), " +

@@ -324,6 +324,41 @@ class KMeansParallelSpec extends SparkSpec {
     val centers = Clustering.initCentersParallel(tiny, k = 5, rounds = 1, oversample = 1)
     assert(centers.count() == 5)
     assert(centers.select("center_id").collect().map(_.getLong(0)).distinct.length == 5)
+    // the fill is DETERMINISTIC: repeated runs pick the same seed set (an
+    // unordered limit after the anti-join used to pick arbitrary rows)
+    def ids() = Clustering.initCentersParallel(tiny, k = 5, rounds = 1, oversample = 1)
+      .select("center_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() == ids())
+  }
+
+  test("string ids are refused loudly (the driver reduction keys on long ids)") {
+    import spark.implicits._
+    val strIds = (0 until 6).map(i => (s"v$i", Seq.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.initCentersParallel(strIds, k = 3, rounds = 1)
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
+  test("fitCentersFrom is one scan per round: no corpus self-join") {
+    val init = Clustering.initCenters(emb, 8)
+    // build one round's un-materialized plan the same way the loop does
+    val (idArr, cs) = Clustering.collectCenters(init)
+    val round = emb.select(col("embedding"),
+        element_at(idArr,
+          graft.functions.VectorExpressions.nearestCenter(col("embedding"), cs)
+            .getField("idx") + 1).as("cluster_id"))
+      .groupBy(col("cluster_id"))
+      .agg(graft.functions.VectorAggFunctions.vecCentroid(col("embedding")).as("center"))
+    val joins = round.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"Lloyd's round plans a join: $joins")
+    // and the public path still converges: inertia non-increasing
+    val c2 = Clustering.fitCentersFrom(emb, init, iters = 2)
+    val c3 = Clustering.fitCentersFrom(emb, init, iters = 3)
+    assert(Clustering.inertia(Clustering.assign(emb, c3)) <=
+      Clustering.inertia(Clustering.assign(emb, c2)) + 1e-9)
   }
 }
 

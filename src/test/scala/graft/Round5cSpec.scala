@@ -39,6 +39,24 @@ class Bm25Spec extends SparkSpec {
     got.foreach(r => assert((r._2 * 1e6).round / 1e6 == r._2))
   }
 
+  test("null-text docs count as length-0, never poisoning avgdl with size(null) = -1") {
+    // under legacy sizeOfNull an unguarded tokenizer made dl = -1 rows
+    // drag avgdl down and skew every score; null text must behave exactly
+    // like empty text (both tokenize to [])
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String]), (10L, "")).toDF("doc_id", "text"))
+    val withEmpty = docs.unionByName(
+      Seq((9L, ""), (10L, "")).toDF("doc_id", "text"))
+    def scores(d: org.apache.spark.sql.DataFrame) =
+      TextSearch.bm25Search(d, Seq("spark", "vector"), k = 5)
+        .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(scores(withNull) == scores(withEmpty))
+    // and the shared tokenizer's null face is pinned directly
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(graft.functions.TextFunctions.tokenCount(col("text"))).head().getInt(0)
+    assert(n == 0, s"tokenCount(null) = $n")
+  }
+
   test("query terms are lowercased and deduped") {
     val a = TextSearch.bm25Search(docs, Seq("SPARK", "spark"), k = 5)
       .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap

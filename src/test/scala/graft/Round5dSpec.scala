@@ -52,6 +52,24 @@ class SnapshotDiffSpec extends SparkSpec {
       }
     assert(joins.length == 1 && joins.head.joinType.sql == "FULL OUTER")
   }
+
+  test("a NULL-key old row classifies as delete, never re-shipped as insert") {
+    // presence rides side MARKERS: id-nullity would see the unmatched
+    // null-key old row as "came from the new side only" and upserts()
+    // would write the stale row back to the sink
+    val o = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "ghost")).toDF("id", "s")
+    val n = Seq((java.lang.Long.valueOf(1L), "a")).toDF("id", "s")
+    val got = SnapshotDiff.diff(o, n, "id")
+      .select("op", "s").as[(String, String)].collect().toSeq
+    assert(got == Seq(("delete", "ghost")), got.toString)
+    assert(SnapshotDiff.upserts(o, n, "id").isEmpty,
+      "stale null-key row re-shipped")
+    // and a null-key NEW row is an insert, not a delete
+    val got2 = SnapshotDiff.diff(n, o, "id")
+      .select("op", "s").as[(String, String)].collect().toSeq
+    assert(got2 == Seq(("insert", "ghost")), got2.toString)
+  }
 }
 
 class EditDistanceJoinSpec extends SparkSpec {
@@ -479,6 +497,24 @@ class DriftSpec extends SparkSpec {
     assert(rows.forall(r => r._2 == r._3))
   }
 
+  test("a shift against a CONSTANT reference is visible, not PSI = 0") {
+    // the old one-bin constant branch mapped every current value to the
+    // same bin, so a 100x shift reported perfectly stable
+    val constRef = Seq.fill(100)(5.0).toDF("v")
+    val shifted = Seq.fill(100)(500.0).toDF("v")
+    val psiUp = Drift.psi(constRef, shifted, "v", bins = 10)
+      .agg(org.apache.spark.sql.functions.sum("psi_term")).head().getDouble(0)
+    assert(psiUp > 0.25, s"100x shift reported stable: $psiUp")
+    // downward shifts land in bin 0, upward in the last bin
+    val psiDown = Drift.psi(constRef, Seq.fill(100)(0.01).toDF("v"), "v", bins = 10)
+      .agg(org.apache.spark.sql.functions.sum("psi_term")).head().getDouble(0)
+    assert(psiDown > 0.25, s"downward shift reported stable: $psiDown")
+    // and a constant CURRENT equal to the constant reference stays 0
+    val psiSame = Drift.psi(constRef, constRef, "v", bins = 10)
+      .agg(org.apache.spark.sql.functions.sum("psi_term")).head().getDouble(0)
+    assert(psiSame == 0.0)
+  }
+
   test("shift shows up where it happened, and PSI grows with it") {
     val small = (1 to 1000).map(i => (i % 900 + 1).toDouble).toDF("v")
     val big = (1 to 1000).map(i => (i % 500 + 1).toDouble).toDF("v")
@@ -500,7 +536,9 @@ class DriftSpec extends SparkSpec {
     val rows = Drift.psi(const, const, "v", bins = 4)
       .as[(Int, Double, Double, Double)].collect()
     assert(rows.forall(r => !r._2.isNaN && !r._4.isNaN))
-    assert(rows.find(_._1 == 0).get._2 == 1.0)
+    // the constant sits in the MIDDLE bin (bins/2), leaving the edge bins
+    // free to expose current values that deviate in either direction
+    assert(rows.find(_._1 == 2).get._2 == 1.0)
   }
 }
 
