@@ -36,12 +36,22 @@ object AsOfJoin {
     // right row is visible to the left row)
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned) { (d, v) =>
-      d.withColumn(s"asof_$v",
-        last(when(col("__side") === 0, col(v)), ignoreNulls = true).over(w))
+    // ONE struct carries the whole right ROW forward: per-column
+    // last(..., ignoreNulls) would fill each value independently, so a
+    // null inside a right row made the asof_* columns mix values from
+    // DIFFERENT right rows — a composite matching no actual row. The
+    // struct is non-null exactly on right rows; its fields ride along,
+    // nulls included, which is what point-in-time semantics mean.
+    val carried = unioned.withColumn("__rv",
+      last(when(col("__side") === 0, struct(rightVals.map(col): _*)),
+        ignoreNulls = true).over(w))
+    val expanded = rightVals.foldLeft(carried) { (d, v) =>
+      d.withColumn(s"asof_$v", col("__rv").getField(v))
     }
-    carried.filter(col("__side") === 1)
-      .drop("__side", "__t")
-      .drop(rightVals.filterNot(left.columns.contains): _*)
+    expanded.filter(col("__side") === 1)
+      .drop("__side", "__t", "__rv")
+      // drop EVERY right-only helper column the union added, rightTime
+      // included (it used to leak as an always-null column on the output)
+      .drop((rightVals :+ rightTime).distinct.filterNot(left.columns.contains): _*)
   }
 }

@@ -53,7 +53,21 @@ object EditDistanceJoin {
   val LeftPad = "\u0001"
   val RightPad = "\u0002"
 
+  /** Ceiling on the SHORT-STRING pool (strings with too few grams for the
+    * prefix theorem — see below): its candidates come from a bounded
+    * non-equi self-join, and the bound is what keeps the operator's
+    * exactness claim from hiding a quadratic. */
+  val MaxShortPool = 5000L
+
   /** All pairs with Levenshtein distance <= `maxDistance`, exactly.
+    *
+    * Exactness fine print: the prefix theorem needs a string to HAVE
+    * q·k+1 grams — a string with fewer (len <= q·(k−1)+1) can be within
+    * distance k of a partner while sharing NO gram at all (q=3, k=1:
+    * "a" vs "b" — disjoint padded gram sets). Those strings form a SHORT
+    * POOL whose pairs come from a direct length-filtered self-join
+    * instead; the pool is tiny by construction (single chars at k=1) and
+    * capped at [[MaxShortPool]] with a named error.
     *
     * @return (id_a, id_b, dist) with id_a < id_b.
     */
@@ -62,6 +76,7 @@ object EditDistanceJoin {
     require(maxDistance >= 0 && q >= 2, "need maxDistance >= 0, q >= 2")
     val k = maxDistance
     val prefixLen = q * k + 1
+    val shortLen = q * (k - 1) + 1 // fewer than prefixLen grams below this
 
     // one materialized (id, string) sliver: it feeds the gram explode AND
     // both verify sides — without it the plan re-scans the source per
@@ -91,10 +106,30 @@ object EditDistanceJoin {
 
     val a = prefix.select(col("__g"), col("__id").as("id_a"), col("__len").as("len_a"))
     val b = prefix.select(col("__g"), col("__id").as("id_b"), col("__len").as("len_b"))
-    val candidates = a.join(b, "__g")
+    val gramCands = a.join(b, "__g")
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("len_a") - col("len_b")) <= k)
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+
+    // short-pool candidates: any evading pair has min(len) <= shortLen and
+    // max(len) <= shortLen + k, so BOTH members sit in this pool
+    val candidates = (if (k == 0) gramCands else {
+      val sp = base.select(col("__id"), length(col("__s")).as("__len"))
+        .filter(col("__len") <= shortLen + k)
+      val n = sp.count()
+      require(n <= MaxShortPool,
+        s"$n strings of length <= ${shortLen + k} exceed MaxShortPool " +
+          s"($MaxShortPool): their pairs need a direct self-join the gram " +
+          "prefixes cannot prune — collapse exact duplicates first or use " +
+          "deletionNeighborhoodPairs for short low-entropy corpora")
+      val shortCands = sp.select(col("__id").as("id_a"), col("__len").as("len_a"))
+        .join(sp.select(col("__id").as("id_b"), col("__len").as("len_b")),
+          col("id_a") < col("id_b") &&
+            abs(col("len_a") - col("len_b")) <= k &&
+            least(col("len_a"), col("len_b")) <= shortLen)
+        .select("id_a", "id_b")
+      gramCands.unionByName(shortCands)
+    }).distinct()
 
     candidates
       .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")

@@ -88,13 +88,16 @@ object SetSimilarityJoin {
         >= greatest(col("sz_a"), col("sz_b")) * threshold - lit(1e-9))
       .select("id_a", "id_b").distinct()
 
-    // exact verify on the sorted hash arrays (two-pointer merge kernel)
+    // exact verify on the sorted hash arrays (two-pointer merge kernel).
+    // The threshold compares the UNROUNDED similarity — rounding first
+    // would admit pairs up to 5e-7 BELOW the threshold, quietly breaking
+    // the ">= threshold, exactly" contract; 6-dp rounding is display-only.
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        round(graft.functions.HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("__j",
+        graft.functions.HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
   }
 }

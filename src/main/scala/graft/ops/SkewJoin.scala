@@ -16,11 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types that stay CORRECT under right-side replication: every
+    * left row carries exactly one salt, so left-preserving semantics
+    * hold; a right/full outer (or right semi/anti) would emit each
+    * unmatched right row once PER SALT — `saltFactor`−1 spurious rows. */
+  private val SafeJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
                  saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
-    // left rows get a deterministic-per-row salt in [0, saltFactor)
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin cannot run '$joinType': the right side is replicated " +
+        s"$saltFactor times, so right-preserving joins emit every unmatched " +
+        "right row once per salt — use inner/left_outer/left_semi/left_anti")
+    // left rows get a deterministic-per-row salt in [0, saltFactor): the
+    // hash covers EVERY left column, never a nondeterministic row id — a
+    // stage retry after a shuffle-fetch failure must re-derive the same
+    // salt for the same row, or the join silently drops/duplicates rows
+    // (monotonically_increasing_id is not stable across attempts)
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int"))
     // right rows are replicated across every salt value
     val saltedRight = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))

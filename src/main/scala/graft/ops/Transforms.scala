@@ -18,7 +18,13 @@ object Transforms {
     * transform. */
   def addSourceTracking(sourceDb: String, timestamp: String): DataFrame => DataFrame =
     df => df.withColumn(Canonical.METADATA,
-      map_concat(col(Canonical.METADATA),
+      // filter first: re-running the transform (a resumed migration) or
+      // input that already carries these keys would otherwise throw
+      // DUPLICATE_MAP_KEY under Spark's default EXCEPTION dedup policy —
+      // a stamp transform must be idempotent (latest stamp wins)
+      map_concat(
+        map_filter(col(Canonical.METADATA),
+          (k, _) => k =!= "source_db" && k =!= "migration_timestamp"),
         map(lit("source_db"), lit(sourceDb),
           lit("migration_timestamp"), lit(timestamp))))
 
@@ -27,10 +33,13 @@ object Transforms {
   def filterByMetadata(sqlPredicate: String): DataFrame => DataFrame =
     df => df.filter(expr(sqlPredicate))
 
-  /** Rename a metadata key (no-op when absent). */
+  /** Rename a metadata key (no-op when absent; an existing `to` key is
+    * OVERWRITTEN — without filtering it, a rename onto an occupied key
+    * threw DUPLICATE_MAP_KEY under the default EXCEPTION dedup policy). */
   def renameMetadataKey(from: String, to: String): DataFrame => DataFrame =
     df => df.withColumn(Canonical.METADATA, {
-      val without = map_filter(col(Canonical.METADATA), (k, _) => k =!= from)
+      val without = map_filter(col(Canonical.METADATA),
+        (k, _) => k =!= from && k =!= to)
       when(map_contains_key(col(Canonical.METADATA), from),
         map_concat(without, map(lit(to), element_at(col(Canonical.METADATA), from))))
         .otherwise(col(Canonical.METADATA))
@@ -158,7 +167,12 @@ object Transforms {
   def chunkAndEmbed(width: Int = 64, stride: Int = 48, dim: Int = 64,
                     textKey: String = "text"): DataFrame => DataFrame = { df =>
     val text = element_at(col(Canonical.METADATA), textKey)
-    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull
+    // "has text" means it TOKENIZES to something: a whitespace-only text
+    // used to fall between the two branches (hasText routed it into the
+    // chunker, whose empty-token filter removed it) and the record
+    // silently vanished from the output
+    val hasText = col(Canonical.METADATA).isNotNull && text.isNotNull &&
+      graft.functions.TextFunctions.tokenCount(text) > 0
     val chunked = graft.ops.Chunking.chunkByTokens(
       df.filter(hasText)
         .withColumn("__parent", col(Canonical.ID))
@@ -171,8 +185,12 @@ object Transforms {
         transform(
           graft.functions.TextFunctions.hashedTokenEmbedding(col("chunk_text"), dim),
           _.cast("float")))
+      // parent_id/chunk_idx are filtered BEFORE re-adding: feeding a
+      // previous run's chunks back in (the documented-safe re-run) would
+      // otherwise DUPLICATE_MAP_KEY on them
       .withColumn(Canonical.METADATA, map_concat(
-        map_filter(col(Canonical.METADATA), (k, _) => k =!= textKey),
+        map_filter(col(Canonical.METADATA),
+          (k, _) => k =!= textKey && k =!= "parent_id" && k =!= "chunk_idx"),
         map(lit(textKey), col("chunk_text"),
           lit("parent_id"), col("__parent"),
           lit("chunk_idx"), col("chunk_idx").cast("string"))))

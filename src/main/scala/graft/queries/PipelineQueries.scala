@@ -1244,11 +1244,13 @@ object PipelineQueries {
           "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
           "FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id " +
           "AND least(a.sz, b.sz) >= greatest(a.sz, b.sz) * 0.4 - 1.0E-9), " +
-          "v AS (SELECT id_a, id_b, round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 " +
+          // threshold on the UNROUNDED jaccard like the engine; round only
+          // the emitted column
+          "v AS (SELECT id_a, id_b, CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 " +
           "THEN 0.0 ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)" +
-          "/len(list_distinct(a.sh || b.sh)) END, 6) AS jaccard " +
+          "/len(list_distinct(a.sh || b.sh)) END AS j " +
           "FROM cand JOIN nz a ON a.doc_id = cand.id_a JOIN nz b ON b.doc_id = cand.id_b) " +
-          "SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.4"),
+          "SELECT id_a, id_b, round(j, 6) AS jaccard FROM v WHERE j >= 0.4"),
       "q_dedup_span_rewrite" ->
         ("WITH d AS (SELECT doc_id, text, " +
           "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] " +
@@ -1710,8 +1712,15 @@ object PipelineQueries {
           "rk AS (SELECT id, len, g, row_number() OVER (PARTITION BY id " +
           "ORDER BY df, g) AS rn FROM e JOIN dfq USING (g)), " +
           "pf AS (SELECT id, len, g FROM rk WHERE rn <= 4), " +
-          "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM pf a " +
-          "JOIN pf b ON a.g = b.g AND a.id < b.id AND abs(a.len - b.len) <= 1), " +
+          // short pool mirrored: strings with < q*k+1 grams (len <= 1 at
+          // k=1) can evade the prefix theorem; their pairs come from a
+          // direct length-filtered self-join on both faces
+          "sp AS (SELECT id, length(str) AS len FROM s WHERE length(str) <= 2), " +
+          "cand AS (SELECT DISTINCT id_a, id_b FROM (" +
+          "SELECT a.id AS id_a, b.id AS id_b FROM pf a " +
+          "JOIN pf b ON a.g = b.g AND a.id < b.id AND abs(a.len - b.len) <= 1 " +
+          "UNION ALL SELECT a.id, b.id FROM sp a JOIN sp b ON a.id < b.id " +
+          "AND abs(a.len - b.len) <= 1 AND least(a.len, b.len) <= 1)), " +
           "v AS (SELECT id_a, id_b, levenshtein(sa.str, sb.str) AS dist " +
           "FROM cand JOIN s sa ON sa.id = cand.id_a JOIN s sb ON sb.id = cand.id_b) " +
           "SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM v WHERE dist <= 1"

@@ -76,4 +76,18 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.length == plain.length)
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("saltedJoin refuses right-preserving join types (replication would duplicate)") {
+    import spark.implicits._
+    val left = Seq((1L, "x")).toDF("k", "payload")
+    val right = Seq((2L, "orphan")).toDF("rk", "attr")
+    // a full outer would emit the unmatched right row once PER SALT
+    for (jt <- Seq("full_outer", "right_outer", "full", "right"))
+      assert(intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(left, right, "k", "rk", saltFactor = 8, joinType = jt)
+      }.getMessage.contains("replicated"), jt)
+    // left-preserving types stay available
+    val lo = SkewJoin.saltedJoin(left, right, "k", "rk", joinType = "left_outer")
+    assert(lo.count() == 1)
+  }
 }

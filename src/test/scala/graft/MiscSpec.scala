@@ -94,6 +94,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(104L).isEmpty)        // key 2's quote is later
     assert(out(105L).isEmpty)        // key 3 has no quotes
   }
+
+  test("asof carries WHOLE right rows: a null field never mixes two rows") {
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // latest quote has px but a NULL sz — per-column fills used to hand the
+    // left row px from t=10 and sz from t=0: a composite matching no row
+    val quotes = Seq(
+      (1L, ts(0), Some(10.0), Some(100.0)),
+      (1L, ts(10), Some(11.0), None: Option[Double]))
+      .toDF("key", "qts", "px", "sz")
+    val trades = Seq((101L, 1L, ts(20))).toDF("trade_id", "key", "ts")
+    val row = AsOfJoin.asof(trades, quotes, "key", "ts", "qts", Seq("px", "sz"))
+      .select("trade_id", "asof_px", "asof_sz").head()
+    assert(row.getDouble(1) == 11.0)
+    assert(row.isNullAt(2), "asof_sz mixed in a value from an older right row")
+    // and the right-only time column does not leak into the output
+    val cols = AsOfJoin.asof(trades, quotes, "key", "ts", "qts", Seq("px", "sz")).columns
+    assert(!cols.contains("qts"), cols.mkString(","))
+  }
 }
 
 class CliSpec extends SparkSpec {

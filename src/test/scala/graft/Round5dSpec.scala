@@ -86,6 +86,25 @@ class EditDistanceJoinSpec extends SparkSpec {
     EditDistanceJoin.editDistancePairs(names, "name", "id", maxDistance = k)
       .as[(Long, Long, Int)].collect().toSet
 
+  test("short strings with disjoint gram sets still pair (the prefix theorem's blind spot)") {
+    // "a" vs "b": ed = 1 but the padded 3-gram sets share NOTHING — the
+    // gram prefix join alone can never produce this candidate; the short
+    // pool must
+    val short = Seq((1L, "a"), (2L, "b"), (3L, "ab"), (4L, "xy"), (5L, "hello"))
+      .toDF("id", "name")
+    val got = EditDistanceJoin.editDistancePairs(short, "name", "id", maxDistance = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    // exhaustive truth at k=1: a~b (sub), a~ab (ins), b~ab (ins)
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1)), got.toString)
+    // the pool is capped with a named error, never a silent quadratic
+    val big = (0L until EditDistanceJoin.MaxShortPool + 1)
+      .map(i => (i, (i % 90 + 33).toChar.toString)).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      EditDistanceJoin.editDistancePairs(big, "name", "id", maxDistance = 1).count()
+    }
+    assert(e.getMessage.contains("MaxShortPool"), e.getMessage)
+  }
+
   test("matches the exhaustive cross join exactly (recall 1, k=1 and k=2)") {
     for (k <- Seq(1, 2)) {
       val a = names.select(col("id").as("id_a"), col("name").as("na"))

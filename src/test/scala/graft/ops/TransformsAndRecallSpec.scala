@@ -19,6 +19,43 @@ class TransformsSpec extends SparkSpec {
     assert(m.contains("label")) // original keys preserved
   }
 
+  test("addSourceTracking is idempotent: a re-run restamps, never DUPLICATE_MAP_KEY") {
+    val once = Transforms.addSourceTracking("pgvector", "2026-08-12T00:00:00")(canon)
+    val twice = Transforms.addSourceTracking("qdrant", "2026-08-15T00:00:00")(once)
+    val m = twice.select(Canonical.METADATA).head().getAs[Map[String, String]](0)
+    assert(m("source_db") == "qdrant") // latest stamp wins
+    assert(m("migration_timestamp") == "2026-08-15T00:00:00")
+    assert(m.contains("label"))
+  }
+
+  test("renameMetadataKey onto an OCCUPIED key overwrites, never DUPLICATE_MAP_KEY") {
+    val withBoth = Transforms.addSourceTracking("pg", "t0")(canon) // adds source_db
+    val out = Transforms.renameMetadataKey("label", "source_db")(withBoth)
+    val m = out.select(Canonical.METADATA).head().getAs[Map[String, String]](0)
+    assert(!m.contains("label") && m.contains("source_db"))
+    assert(m("source_db") != "pg", "rename must overwrite the occupied key")
+  }
+
+  test("chunkAndEmbed: whitespace-only text passes through; chunk re-runs are safe") {
+    val spark2 = spark
+    import spark2.implicits._
+    val mixed = Seq(
+      ("1", Seq(1.0f), Map("text" -> "alpha beta gamma delta")),
+      ("2", Seq(2.0f), Map("text" -> "   ")), // used to VANISH entirely
+      ("3", Seq(3.0f), Map("k" -> "v")))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+    val out = Transforms.chunkAndEmbed(width = 2, stride = 2)(mixed)
+    val ids = out.select(Canonical.ID).as[String].collect().toSet
+    assert(ids.contains("2"), "whitespace-only-text record dropped")
+    assert(ids.contains("3") && ids.contains("1#0") && ids.contains("1#1"))
+    // feeding the output back in (the documented-safe re-run): chunk rows
+    // carry parent_id/chunk_idx already — must not DUPLICATE_MAP_KEY
+    val again = Transforms.chunkAndEmbed(width = 2, stride = 2)(out)
+    val m = again.filter(col(Canonical.ID) === "1#0#0")
+      .select(Canonical.METADATA).head().getAs[Map[String, String]](0)
+    assert(m("parent_id") == "1#0" && m("chunk_idx") == "0")
+  }
+
   test("filterByMetadata drops records") {
     val out = Transforms.filterByMetadata("metadata['label'] >= '5'")(canon)
     assert(out.count() > 0 && out.count() < 20)
