@@ -16,6 +16,37 @@ import graft.core.Migrator
 object Main {
   val version = "0.2.0"
 
+  /** Control-flow marker for a value-taking flag with no value (usage is
+    * already printed when it is thrown). */
+  private case object MissingFlagValue extends RuntimeException
+
+  /** The operator verbs' shared config shape: `{"type": .., "connection":
+    * {..}, "collection": ..}` with a namespace suffix. One parser so the
+    * null-node and namespace rules can never drift between verbs. */
+  private case class OpConfig(backend: String, collection: String,
+                              conn: com.fasterxml.jackson.databind.JsonNode,
+                              root: com.fasterxml.jackson.databind.JsonNode) {
+    def connStr(k: String): Option[String] =
+      Option(conn.get(k)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+  }
+
+  private def readOpConfig(path: String, verb: String): OpConfig = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+    def str(k: String): Option[String] =
+      Option(root.get(k)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
+    val backend = str("type").getOrElse(
+      throw new graft.config.ConfigException(s"$verb config needs 'type'"))
+    val conn = Option(root.get("connection"))
+      .getOrElse(mapper.createObjectNode(): com.fasterxml.jackson.databind.JsonNode)
+    val base = str("collection").getOrElse(
+      throw new graft.config.ConfigException(s"$verb config needs 'collection'"))
+    val ns = Option(conn.get("namespace")).filterNot(_.isNull)
+      .map(_.asText()).filter(_.nonEmpty)
+    OpConfig(backend, ns.map(n => s"$base::$n").getOrElse(base), conn, root)
+  }
+
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
   def run(args: Array[String]): Int = {
@@ -30,23 +61,32 @@ object Main {
     var backfillGid: Option[String] = None
     var sweepStaging: Option[String] = None
     var i = 0
-    while (i < args.length) {
+    // value-taking flags guard the index: `--config` as the LAST token
+    // used to throw a raw ArrayIndexOutOfBoundsException instead of usage
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) {
+        System.err.println(s"$flag needs a value\n$usage")
+        throw MissingFlagValue
+      }
+      args(i + 1)
+    }
+    try while (i < args.length) {
       args(i) match {
-        case "--config" | "-c" => config = Some(args(i + 1)); i += 2
-        case "--transform" | "-t" => transformCls = Some(args(i + 1)); i += 2
+        case f @ ("--config" | "-c") => config = Some(value(f)); i += 2
+        case f @ ("--transform" | "-t") => transformCls = Some(value(f)); i += 2
         case "--validate" => validate = true; i += 1
         case "--incremental" => incremental = true; i += 1
-        case "--build-index" => buildIndex = Some(args(i + 1)); i += 2
-        case "--ingest" => ingest = Some(args(i + 1)); i += 2
-        case "--compact-index" => compactIndex = Some(args(i + 1)); i += 2
-        case "--backfill-gid" => backfillGid = Some(args(i + 1)); i += 2
-        case "--sweep-staging" => sweepStaging = Some(args(i + 1)); i += 2
+        case f @ "--build-index" => buildIndex = Some(value(f)); i += 2
+        case f @ "--ingest" => ingest = Some(value(f)); i += 2
+        case f @ "--compact-index" => compactIndex = Some(value(f)); i += 2
+        case f @ "--backfill-gid" => backfillGid = Some(value(f)); i += 2
+        case f @ "--sweep-staging" => sweepStaging = Some(value(f)); i += 2
         case "--verbose" | "-v" => verbose = true; i += 1
         case "--version" => println(s"graft $version"); return 0
         case "--help" | "-h" => println(usage); return 0
         case other => System.err.println(s"unknown argument: $other\n$usage"); return 1
       }
-    }
+    } catch { case MissingFlagValue => return 1 }
     backfillGid.foreach { path => return runBackfillGid(path) }
     sweepStaging.foreach { path => return runSweepStaging(path) }
     // signature-index verbs: dedup today's crawl against history
@@ -158,27 +198,18 @@ object Main {
   private def runBackfillGid(path: String): Int = {
     import graft.connectors.vectorstore.{GidBackfill, TransportSpec}
     try {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = mapper.readTree(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
-      def str(n: com.fasterxml.jackson.databind.JsonNode, k: String): Option[String] =
-        Option(n.get(k)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
-      val backend = str(root, "type").getOrElse(
-        throw new graft.config.ConfigException("backfill-gid config needs 'type'"))
+      val cfg = readOpConfig(path, "backfill-gid")
       // only these codecs inject the mirror on upsert — any other backend
       // would rewrite the whole collection and accomplish nothing
-      if (backend != "qdrant" && backend != "pinecone")
+      if (cfg.backend != "qdrant" && cfg.backend != "pinecone")
         throw new graft.config.ConfigException(
           s"backfill-gid supports qdrant and pinecone (the __gid-mirroring " +
-            s"codecs), got '$backend'")
-      val conn = Option(root.get("connection")).getOrElse(mapper.createObjectNode())
-      val base = str(root, "collection").getOrElse(
-        throw new graft.config.ConfigException("backfill-gid config needs 'collection'"))
-      val collection = str(conn, "namespace").map(ns => s"$base::$ns").getOrElse(base)
-      val spec = TransportSpec.fromOptions(str(conn, _), backend = backend)
-      val batch = Option(root.get("batch_size")).map(_.asInt()).getOrElse(200)
-      val r = GidBackfill.run(spec, collection, batch)
-      println(s"backfill-gid complete on $collection: $r")
+            s"codecs), got '${cfg.backend}'")
+      val spec = TransportSpec.fromOptions(cfg.connStr, backend = cfg.backend)
+      val batch = Option(cfg.root.get("batch_size"))
+        .filterNot(_.isNull).map(_.asInt()).getOrElse(200)
+      val r = GidBackfill.run(spec, cfg.collection, batch)
+      println(s"backfill-gid complete on ${cfg.collection}: $r")
       0
     } catch {
       case e: Exception => System.err.println(s"backfill-gid failed: ${e.getMessage}"); 1
@@ -195,18 +226,9 @@ object Main {
   private def runSweepStaging(path: String): Int = {
     import graft.connectors.vectorstore.{TransportSpec, VectorStore}
     try {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = mapper.readTree(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
-      def str(n: com.fasterxml.jackson.databind.JsonNode, k: String): Option[String] =
-        Option(n.get(k)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)
-      val backend = str(root, "type").getOrElse(
-        throw new graft.config.ConfigException("sweep-staging config needs 'type'"))
-      val conn = Option(root.get("connection")).getOrElse(mapper.createObjectNode())
-      val base = str(root, "collection").getOrElse(
-        throw new graft.config.ConfigException("sweep-staging config needs 'collection'"))
-      val target = str(conn, "namespace").map(ns => s"$base::$ns").getOrElse(base)
-      val store = VectorStore.resolve(TransportSpec.fromOptions(str(conn, _), backend))
+      val cfg = readOpConfig(path, "sweep-staging")
+      val target = cfg.collection
+      val store = VectorStore.resolve(TransportSpec.fromOptions(cfg.connStr, cfg.backend))
       // two shadow shapes: sibling collections (`t__staging_*`) and, for
       // backends that stage in a namespace of a bare-index target
       // (Pinecone), `t::__staging_*`. Live generations never appear here:

@@ -129,7 +129,11 @@ object MigrationConfig {
   private def strSeq(n: JsonNode): Seq[String] = n.elements().asScala.map(_.asText()).toSeq
 
   private def text(n: JsonNode, keys: String*): Option[String] =
-    keys.iterator.flatMap(k => Option(n.get(k))).map(_.asText()).nextOption()
+    // filter JSON null NODES: {"vector_column": null} means "none", and an
+    // unfiltered NullNode.asText() is the literal string "null" — which
+    // would make the connector select a column named 'null'
+    keys.iterator.flatMap(k => Option(n.get(k))).filterNot(_.isNull)
+      .map(_.asText()).nextOption()
 
   private def parseQuery(n: JsonNode): QuerySpec = QuerySpec(
     // backends name the scan target differently: table_name (pgvector),

@@ -164,9 +164,19 @@ object IncrementalMigrator {
     val target = graft.connectors.ConnectorRegistry(config.target.kind)
     val load = config.target.load.getOrElse(
       throw new graft.config.ConfigException("target block needs a 'load' section"))
-    val existing = scala.util.Try(
-      target.read(spark, config.target.connection,
-        graft.config.QuerySpec(collection = load.collection))).toOption
+    // ONLY an absent collection falls back to the full-copy path. A
+    // blanket Try(existing read).toOption here once degraded TRANSIENT
+    // read failures (auth expiry, timeouts, rate limits) into a full
+    // re-append that duplicated every pre-existing target record. The
+    // cheap metadata probe decides existence; once the collection is
+    // known to exist, a failure during the HEAVY diff read propagates
+    // into the run report as a loud abort instead of an append.
+    val exists = scala.util.Try(
+      target.schemaInfo(spark, config.target.connection, load.collection)).isSuccess
+    val existing =
+      if (!exists) None
+      else Some(target.read(spark, config.target.connection,
+        graft.config.QuerySpec(collection = load.collection)))
     val deltaTransform: DataFrame => DataFrame = { df =>
       val base = transform.map(_(df)).getOrElse(df)
       existing.map(t => changedRecords(base, t)).getOrElse(base)

@@ -62,11 +62,21 @@ object TransformPipeline {
       p.getOrElse("text_key", "text"), p.getOrElse("score_key", ""))),
     // shares syntax: "web=0.6,books=0.4" — sources absent from it are dropped
     "mix_token_budget" -> { p =>
-      val shares = req(p, "shares", "mix_token_budget").split(',').map { kv =>
-        val Array(k, v) = kv.split('=')
-        k.trim -> v.trim.toDouble
+      // same ConfigException contract as every other param: a malformed
+      // shares string or total must name the param, never leak a
+      // MatchError/NumberFormatException into the run report
+      val sharesRaw = req(p, "shares", "mix_token_budget")
+      val shares = sharesRaw.split(',').map { kv =>
+        kv.split('=') match {
+          case Array(k, v) if v.trim.toDoubleOption.isDefined =>
+            k.trim -> v.trim.toDouble
+          case _ => throw new ConfigException(
+            s"pipeline param 'shares' must be 'name=weight,...' pairs, got '$kv'")
+        }
       }.toMap
-      val total = req(p, "total_tokens", "mix_token_budget").toLong
+      val total = req(p, "total_tokens", "mix_token_budget").toLongOption.getOrElse(
+        throw new ConfigException("pipeline param 'total_tokens' must be an integer, " +
+          s"got '${p("total_tokens")}'"))
       Transforms.mixTokenBudget(shares, total,
         p.getOrElse("source_key", "source"), p.getOrElse("text_key", "text"),
         int(p, "n_buckets", 1024))
@@ -117,12 +127,19 @@ object TransformPipeline {
       p.getOrElse("key", "source")) {}),
     "cluster_by_similarity" -> { p =>
       val bits = int(p, "bits", 8)
-      df => {
-        import org.apache.spark.sql.functions._
-        if (df.filter(col(graft.model.Canonical.VECTOR).isNotNull).isEmpty) df
-        else graft.ops.Layout.clusterBySimilarity(df, bits = bits,
+      df =>
+        // the dim probe is a LIMIT-1 job (scan-until-first-hit), not the
+        // full-corpus isEmpty pre-action this step used to run — the
+        // composed pipeline stays one read + one write except in the
+        // all-null-vector corner, where the probe itself must see the end
+        try graft.ops.Layout.clusterBySimilarity(df, bits = bits,
           vecCol = graft.model.Canonical.VECTOR)
-      }
+        catch {
+          // resolveDim's "cannot infer embedding dim": no vectors at all —
+          // the layout is a no-op on such a corpus, not an error
+          case e: IllegalArgumentException
+            if String.valueOf(e.getMessage).contains("cannot infer embedding dim") => df
+        }
     },
     "prepare_corpus" -> (p =>
       Transforms.qualityGate(dbl(p, "min_score", 0.35), p.getOrElse("text_key", "text"))

@@ -74,11 +74,14 @@ object Validator {
 
     val informational = Set("rows_source", "rows_target",
       "distinct_ids_source", "distinct_ids_target")
-    val checks = agg.columns.map { c =>
+    // na.fill: an agg over an EMPTY join (a transform/pipeline that
+    // filtered everything) returns NULL sums — the report must carry 0s,
+    // not nulls that NPE the caller's getLong
+    val checks = agg.na.fill(0L).columns.map { c =>
       struct(lit(c).as("check"), col(c).as("value"),
         (if (informational(c)) lit(true) else col(c) === 0L).as("passed"))
     }
-    agg.select(explode(array(checks: _*)).as("r")).select("r.*")
+    agg.na.fill(0L).select(explode(array(checks: _*)).as("r")).select("r.*")
   }
 
   /** Validate a FINISHED migration: re-derive the expected target from the
@@ -96,7 +99,17 @@ object Validator {
       throw new graft.config.ConfigException("target block needs a 'load' section"))
     val src = ConnectorRegistry(config.source.kind)
       .read(spark, config.source.connection, query)
-    val expected = transform.map(_(src)).getOrElse(src)
+    // EXPECTED must be derived exactly like Migrator.run derives what it
+    // writes: the config's declarative pipeline FIRST, then the
+    // programmatic/--transform hook. Skipping the pipeline here made
+    // --validate fail every pipelined migration (expected = the raw
+    // source) — or, worse, compare against the wrong baseline.
+    val pipelined = TransformPipeline.compose(config.pipeline)
+    val effective: Option[DataFrame => DataFrame] = (pipelined, transform) match {
+      case (Some(p), Some(f)) => Some(p andThen f)
+      case (p, f) => p.orElse(f)
+    }
+    val expected = effective.map(_(src)).getOrElse(src)
     val actual = ConnectorRegistry(config.target.kind)
       .read(spark, config.target.connection,
         graft.config.QuerySpec(collection = load.collection))

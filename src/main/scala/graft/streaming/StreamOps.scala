@@ -82,7 +82,16 @@ object StreamOps {
               val us = micros(e.ts)
               st match {
                 case Some(s) if us - s.lastSeen <= gapUs =>
-                  st = Some(s.copy(lastSeen = us, nEvents = s.nEvents + 1,
+                  // a LATE (within-watermark) event can arrive with
+                  // us < lastSeen or even us < sessionStart: extend the
+                  // window with min/max instead of overwriting, or the
+                  // regressed lastSeen splits later events spuriously and
+                  // duration_us can go negative (the batch twin sorts
+                  // globally and never regresses)
+                  st = Some(s.copy(
+                    sessionStart = math.min(s.sessionStart, us),
+                    lastSeen = math.max(s.lastSeen, us),
+                    nEvents = s.nEvents + 1,
                     sumValue = s.sumValue + e.value))
                 case Some(s) =>
                   out += SessionOut(user, s.sessionStart, s.nEvents, s.sumValue,
@@ -268,21 +277,62 @@ object StreamOps {
       broadcastBatch)
   }
 
+  /** [[streamingIncrementalDedupIndexed]] resolving the STRUCTURAL hashing
+    * params (numHashes/numBands/portable/shingleSize + maxBucket) from the
+    * index's own MANIFEST — the safe entry point: guessed params that
+    * mismatch the build silently admit EVERY duplicate (the stream's band
+    * hashes never collide with the corpus's), which is why
+    * [[graft.core.SigIndex.ingest]] also refuses caller-supplied
+    * structural params. A manifest-less (pre-manifest) index must go
+    * through the raw-frames overload with explicitly matching params. */
+  def streamingIncrementalDedupIndexed(docs: DataFrame, indexDir: String,
+                                       idCol: String, textCol: String,
+                                       tsCol: String, threshold: Double,
+                                       watermark: String,
+                                       broadcastBatch: Boolean): DataFrame = {
+    val spark = docs.sparkSession
+    val p = graft.core.SigIndex.readManifest(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no params.json manifest under $indexDir — a pre-manifest index " +
+          "must use the raw-frames overload with params matching its build"))
+    streamingIncrementalDedupIndexed(docs,
+      spark.read.parquet(s"$indexDir/sigs"),
+      spark.read.parquet(s"$indexDir/bands"),
+      spark.read.parquet(s"$indexDir/widths"),
+      idCol = idCol, textCol = textCol, tsCol = tsCol,
+      numHashes = p.numHashes, numBands = p.numBands, threshold = threshold,
+      maxBucket = p.maxBucket, watermark = watermark, portable = p.portable,
+      shingleSize = p.shingleSize, broadcastBatch = broadcastBatch)
+  }
+
+  /** Manifest-resolving face with the usual defaults. */
+  def streamingIncrementalDedupIndexed(docs: DataFrame, indexDir: String): DataFrame =
+    streamingIncrementalDedupIndexed(docs, indexDir, idCol = "doc_id",
+      textCol = "text", tsCol = "ts", threshold = 0.3, watermark = "1 hour",
+      broadcastBatch = true)
+
   /** [[streamingIncrementalDedup]] over the PERSISTED index artifacts
     * ([[graft.core.SigIndex]] / [[graft.ops.Dedup.bandedSignatureTable]] +
     * [[graft.ops.Dedup.bucketWidths]]): the static side is assembled from
     * the stored banded face and width table — no corpus re-banding and no
     * corpus aggregation at stream start; the one-time setup cost is the
     * id-keyed join attaching signatures to surviving banded rows. The
-    * streaming CLI twin of `--ingest`, for crawls that land as streams. */
+    * streaming CLI twin of `--ingest`, for crawls that land as streams.
+    *
+    * STRUCTURAL params (numHashes/numBands/portable/shingleSize) MUST
+    * match the index build exactly — a mismatch never errors, it silently
+    * admits every duplicate (band hashes that never collide). Prefer the
+    * `indexDir` overload, which reads them from the index manifest; the
+    * defaults here mirror [[graft.core.SigIndex.Params]] so a
+    * default-built index and a default-called stream agree. */
   def streamingIncrementalDedupIndexed(docs: DataFrame, corpusSigs: DataFrame,
                                        corpusBands: DataFrame, corpusWidths: DataFrame,
                                        idCol: String = "doc_id", textCol: String = "text",
                                        tsCol: String = "ts",
-                                       numHashes: Int = 16, numBands: Int = 4,
+                                       numHashes: Int = 64, numBands: Int = 16,
                                        threshold: Double = 0.3, maxBucket: Int = 1000,
                                        watermark: String = "1 hour",
-                                       portable: Boolean = true,
+                                       portable: Boolean = false,
                                        shingleSize: Int = 3,
                                        broadcastBatch: Boolean = true): DataFrame = {
     // widths can be STALE (SigIndex appends bands before swapping widths;

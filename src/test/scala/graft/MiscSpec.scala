@@ -548,6 +548,27 @@ class CliSpec extends SparkSpec {
     assert(r("ids_missing_in_target")._2 == 2 && !r("ids_missing_in_target")._3)
   }
 
+  test("--validate derives expected through the config PIPELINE (not the raw source)") {
+    // the validator used to skip the declarative pipeline block, so every
+    // pipelined migration spuriously failed --validate: expected was the
+    // raw source while the target held the pipelined rows
+    MemoryStore.drop("cli_val_pipe")
+    val cfg = Files.createTempFile("graft", ".json")
+    Files.writeString(cfg,
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+         |                      "vector_column": "embedding", "limit": 30}},
+         | "pipeline": [{"name": "normalize_vectors"}],
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "cli_val_pipe", "recreate": true}}}""".stripMargin)
+    assert(graft.cli.Main.run(Array("--config", cfg.toString, "--validate")) == 0)
+  }
+
+  test("value-taking flags as the LAST token print usage, never a raw index crash") {
+    for (f <- Seq("--config", "--transform", "--build-index", "--sweep-staging"))
+      assert(graft.cli.Main.run(Array(f)) == 1, f)
+  }
+
   test("DedupVectors and SemanticDedup transforms drop (near-)duplicate vectors") {
     import spark.implicits._
     val dim = 8

@@ -468,6 +468,17 @@ class ValidatorSpec extends SparkSpec {
     assert(r("rows_source") == ((4L, true)) && r("rows_target") == ((4L, true)))
   }
 
+  test("validating an EMPTY pair yields zero counts, never null sums") {
+    // a pipeline that filters everything makes both sides empty; the agg's
+    // sums over an empty join are NULL without na.fill — which used to NPE
+    // the CLI's getLong after "migration complete" was already printed
+    val empty = src.filter(col("id") === "nope")
+    val r = Validator.validate(empty, empty, "id", "vector")
+      .as[(String, Long, Boolean)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r.values.forall(_._2), r.toString)
+    assert(r("rows_source") == ((0L, true)) && r("vector_mismatches") == ((0L, true)))
+  }
+
   test("each planted defect is caught by its check") {
     val t = src.filter(col("id") =!= "a")                       // a missing
       .unionByName(src.filter(col("id") === "b"))               // b duplicated

@@ -107,6 +107,34 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.target.load.get.distance == "Cosine")
   }
 
+  test("explicit JSON null values mean absent, never the literal string \"null\"") {
+    // {"vector_column": null} used to become Some("null") and the
+    // connector selected a column literally named 'null'
+    val cfg = MigrationConfig.fromJson(
+      """{"source": {"type": "memory", "connection": {},
+        |            "query": {"collection": "a", "vector_column": null,
+        |                      "id_column": null}},
+        | "target": {"type": "memory", "connection": {}, "load": {"collection": "b"}}}"""
+        .stripMargin)
+    assert(cfg.source.query.get.vectorColumn.contains("vector")) // default, not "null"
+    assert(cfg.source.query.get.idColumn == "id")
+  }
+
+  test("mix_token_budget params fail as ConfigException naming the param, never MatchError") {
+    import graft.core.TransformPipeline
+    import graft.config.TransformStep
+    val bad = intercept[ConfigException] {
+      TransformPipeline.resolve(TransformStep("mix_token_budget",
+        Map("shares" -> "web:0.6,books:0.4", "total_tokens" -> "1000")))
+    }
+    assert(bad.getMessage.contains("shares"), bad.getMessage)
+    val badTotal = intercept[ConfigException] {
+      TransformPipeline.resolve(TransformStep("mix_token_budget",
+        Map("shares" -> "web=0.6", "total_tokens" -> "1e9")))
+    }
+    assert(badTotal.getMessage.contains("total_tokens"), badTotal.getMessage)
+  }
+
   test("pipeline block: string steps, object steps with inline params, errors") {
     val cfg = MigrationConfig.fromJson(
       """{"source": {"type": "memory", "connection": {}, "query": {"collection": "a"}},

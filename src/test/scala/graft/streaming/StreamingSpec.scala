@@ -52,6 +52,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a late (within-watermark) event never regresses session state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("late_sess").outputMode("append").start()
+    try {
+      // batch 1 establishes lastSeen = t10; batch 2 delivers a LATE t5
+      // event (watermark still behind) — overwriting lastSeen with t5
+      // used to make the t39 event split spuriously (34min from the
+      // regressed t5, though only 29min from the true last event t10)
+      input.addData(Event(1, ts(0), 10, "a", 1.0), Event(2, ts(10), 10, "a", 2.0))
+      query.processAllAvailable()
+      input.addData(Event(3, ts(5), 10, "a", 4.0)) // late, within watermark
+      query.processAllAvailable()
+      input.addData(Event(4, ts(39), 10, "a", 8.0)) // 29min after t10: SAME session
+      query.processAllAvailable()
+      input.addData(Event(5, ts(240), 10, "a", 16.0)) // closes it + advances watermark
+      query.processAllAvailable()
+      val rows = spark.table("late_sess")
+        .select("n_events", "session_value", "duration_us").orderBy("session_start_us")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(rows.nonEmpty)
+      // one session holding all four events, duration t0 -> t39, no split
+      assert(rows.head == ((4L, 15.0, 39L * 60000000L)), rows.toString)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
@@ -436,10 +463,18 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("stream_sig").toString
     graft.core.SigIndex.build(spark, corpus, dir,
       graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
+    // the MANIFEST overload resolves structural params from the index
+    // itself — a caller can't silently mismatch them (mismatched hashes
+    // admit every duplicate with no error)
+    val viaManifest = StreamOps.streamingIncrementalDedupIndexed(batch, dir,
+        idCol = "doc_id", textCol = "text", tsCol = "ts", threshold = 0.3,
+        watermark = "1 hour", broadcastBatch = true)
+      .select("doc_id", "corpus_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val indexed = StreamOps.streamingIncrementalDedupIndexed(batch,
         spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/bands"),
         spark.read.parquet(s"$dir/widths"),
-        numHashes = 16, numBands = 4, threshold = 0.3)
+        numHashes = 16, numBands = 4, portable = true, threshold = 0.3)
       .select("doc_id", "corpus_id", "jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val derived = StreamOps.streamingIncrementalDedup(batch,
@@ -448,6 +483,7 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "corpus_id", "jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(indexed == derived && indexed.nonEmpty, s"${indexed.size} vs ${derived.size}")
+    assert(viaManifest == derived, s"${viaManifest.size} vs ${derived.size}")
   }
 
   test("broadcastBatch=false opts out of the microbatch broadcast, same results") {
