@@ -186,7 +186,10 @@ object SigIndex {
     // leg 2: near-dups of the corpus
     val pairs = Dedup.incrementalNearDupPairsIndexed(sigs, bands, widths, fresh,
       p.idCol, p.textCol, p.numHashes, p.numBands, p.shingleSize,
-      p.threshold, p.maxBucket, p.portable)
+      p.threshold, p.maxBucket, p.portable,
+      // params come from this index's OWN manifest — no mismatch possible;
+      // skipping the probe keeps ingest cost flat in corpus history
+      verifyStructure = false)
     val dupIds = graft.ops.Materialize( // one corpus-side pass feeds count + anti-join
       pairs.select(col("batch_id").as(p.idCol)).distinct())
     val corpusNovel = fresh.join(dupIds, Seq(p.idCol), "left_anti")

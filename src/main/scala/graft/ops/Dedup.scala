@@ -300,6 +300,77 @@ object Dedup {
     standing.union(delta).groupBy("band", "band_hash")
       .agg(sum("bucket_n").as("bucket_n"))
 
+  /** LOUD structural-compatibility probe for the raw-frames indexed faces:
+    * caller-supplied `numHashes`/`numBands`/`portable` that mismatch the
+    * index BUILD never error downstream — band hashes simply never collide
+    * and every duplicate is silently admitted (the exact failure mode that
+    * bit round 13's snapshot). This probe makes the mismatch fail at call
+    * time instead:
+    *
+    *  1. one sampled signature's length must equal `numHashes` (the
+    *     signature table stores the build's width in every row);
+    *  2. that doc's band keys, recomputed under the caller's
+    *     `(numBands, rowsPerBand, portable)`, must coincide with its
+    *     persisted rows in the banded face — count AND hash values. A
+    *     `portable` flip or a different banding changes every hash, so
+    *     any structural drift collapses the intersection to zero.
+    *
+    * `shingleSize` (and a `portable` flip's effect on the BATCH side's
+    * shingling) is NOT verifiable from the index alone — signatures don't
+    * retain text — which is why the manifest overloads remain the safe
+    * entry point; this probe closes every mode the index can witness.
+    *
+    * Cost: two driver-side actions — a `limit(1)` signature sample and a
+    * pushdown-filtered scan of the banded face for one id (parquet
+    * min/max page stats usually prune it; worst case one narrow
+    * three-column pass). Setup-time only, never per-trigger/per-row.
+    * Samples whose doc is stranded sig-only (crash window between the
+    * sigs and bands appends) are inconclusive and skipped — up to
+    * `ProbeSamples` signatures are tried before giving up silently. */
+  private[graft] val ProbeSamples = 8
+
+  def requireIndexCompatible(corpusSigs: DataFrame, corpusBands: DataFrame,
+                             idCol: String, numHashes: Int, numBands: Int,
+                             portable: Boolean): Unit = {
+    val spark = corpusSigs.sparkSession
+    val proj = corpusSigs.select(col(idCol), col("minhash_sig"))
+    val sigRows = proj.limit(ProbeSamples).collect()
+    if (sigRows.isEmpty) return // fresh/empty index: nothing to contradict
+    sigRows.foreach { r =>
+      val got = r.getSeq[Any](1).length
+      require(got == numHashes,
+        s"structural mismatch: the index's signatures carry $got hashes " +
+          s"but the caller passed numHashes=$numHashes — a mismatched call " +
+          "silently admits every duplicate; pass the index build's params " +
+          "(or use the manifest/indexDir overload, which reads them)")
+    }
+    val rowsPerBand = numHashes / numBands
+    val bandHit = sigRows.view.map { r =>
+      val persisted = corpusBands.filter(col(idCol) === lit(r.get(0)))
+        .select("band", "band_hash").limit(4096).collect()
+        .map(b => (b.getInt(0), b.getLong(1))).toSet
+      if (persisted.isEmpty) None // stranded sig-only doc: inconclusive
+      else {
+        val one = spark.createDataFrame(
+          java.util.Collections.singletonList(r), proj.schema)
+        val recomputed = lshBands(one, idCol, numBands, rowsPerBand, portable)
+          .select("band", "band_hash").collect()
+          .map(b => (b.getInt(0), b.getLong(1))).toSet
+        Some(recomputed == persisted)
+      }
+    }.collectFirst { case Some(ok) => ok }
+    bandHit.foreach { ok =>
+      require(ok,
+        s"structural mismatch: band keys recomputed under the caller's " +
+          s"(numBands=$numBands, rowsPerBand=$rowsPerBand, " +
+          s"portable=$portable) do not match the banded face's persisted " +
+          "rows for a sampled doc — the index was built with different " +
+          "structural params, so band hashes would never collide and " +
+          "every duplicate would be silently admitted; pass the build's " +
+          "params (or use the manifest/indexDir overload)")
+    }
+  }
+
   /** Incremental near-duplicate detection: a NEW batch of documents checked
     * against an EXISTING corpus — the shape every production ingest runs
     * (dedup the day's crawl against the 100 TB history), where re-pairing
@@ -338,7 +409,16 @@ object Dedup {
                                      numHashes: Int = 64, numBands: Int = 16,
                                      shingleSize: Int = 3, threshold: Double = 0.5,
                                      maxBucket: Int = 1000,
-                                     portable: Boolean = false): DataFrame = {
+                                     portable: Boolean = false,
+                                     verifyStructure: Boolean = true): DataFrame = {
+    // structural params that mismatch the index build would silently admit
+    // every duplicate (band hashes never collide) — fail loudly up front.
+    // Manifest-driven callers (SigIndex.ingest) pass verifyStructure=false:
+    // their params come from the build's own manifest, and skipping keeps
+    // ingest cost flat in history.
+    if (verifyStructure)
+      requireIndexCompatible(corpusSigs, corpusBands, idCol, numHashes,
+        numBands, portable)
     val rowsPerBand = numHashes / numBands
     val batchSigs = Materialize( // one batch text scan feeds bands + verify
       signatureTable(batch, idCol, textCol, numHashes, shingleSize, portable))

@@ -302,7 +302,9 @@ object StreamOps {
       idCol = idCol, textCol = textCol, tsCol = tsCol,
       numHashes = p.numHashes, numBands = p.numBands, threshold = threshold,
       maxBucket = p.maxBucket, watermark = watermark, portable = p.portable,
-      shingleSize = p.shingleSize, broadcastBatch = broadcastBatch)
+      shingleSize = p.shingleSize, broadcastBatch = broadcastBatch,
+      // params come from the index's own manifest — no mismatch possible
+      verifyStructure = false)
   }
 
   /** Manifest-resolving face with the usual defaults. */
@@ -320,11 +322,19 @@ object StreamOps {
     * streaming CLI twin of `--ingest`, for crawls that land as streams.
     *
     * STRUCTURAL params (numHashes/numBands/portable/shingleSize) MUST
-    * match the index build exactly — a mismatch never errors, it silently
-    * admits every duplicate (band hashes that never collide). Prefer the
-    * `indexDir` overload, which reads them from the index manifest; the
-    * defaults here mirror [[graft.core.SigIndex.Params]] so a
-    * default-built index and a default-called stream agree. */
+    * match the index build exactly — a mismatch would otherwise silently
+    * admit every duplicate (band hashes that never collide), so this
+    * overload probes the index at plan-build time and THROWS on any
+    * mismatch the index itself can witness
+    * ([[graft.ops.Dedup.requireIndexCompatible]]: signature width +
+    * recomputed-vs-persisted band keys; `shingleSize` alone is not
+    * index-witnessable — signatures don't retain text). Prefer the
+    * `indexDir` overload, which reads every param from the index
+    * manifest; the defaults here mirror [[graft.core.SigIndex.Params]]
+    * so a default-built index and a default-called stream agree.
+    * `verifyStructure = false` skips the probe (two setup-time driver
+    * actions) for callers with an authoritative out-of-band source of the
+    * build params — opting back into the silent-zero failure mode. */
   def streamingIncrementalDedupIndexed(docs: DataFrame, corpusSigs: DataFrame,
                                        corpusBands: DataFrame, corpusWidths: DataFrame,
                                        idCol: String = "doc_id", textCol: String = "text",
@@ -334,7 +344,11 @@ object StreamOps {
                                        watermark: String = "1 hour",
                                        portable: Boolean = false,
                                        shingleSize: Int = 3,
-                                       broadcastBatch: Boolean = true): DataFrame = {
+                                       broadcastBatch: Boolean = true,
+                                       verifyStructure: Boolean = true): DataFrame = {
+    if (verifyStructure)
+      graft.ops.Dedup.requireIndexCompatible(corpusSigs, corpusBands, idCol,
+        numHashes, numBands, portable)
     // widths can be STALE (SigIndex appends bands before swapping widths;
     // a crash in that window leaves band rows with no widths row), so the
     // skew guard EXCLUDES known-big buckets via anti-join instead of

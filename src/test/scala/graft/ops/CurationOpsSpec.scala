@@ -143,6 +143,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 6L, 1.0)), out.toString)
   }
 
+  test("batch indexed incremental THROWS on structural params mismatching the build") {
+    // same trap as the streaming face: mismatched structural params used
+    // to silently admit every duplicate (band hashes never collide).
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.signatureTable(corpus, numHashes = 16, portable = true)
+    val bands = Dedup.bandedSignatureTable(sigs, numBands = 4, rowsPerBand = 4,
+      portable = true)
+    val widths = Dedup.bucketWidths(bands)
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    def call(nh: Int, nb: Int, portable: Boolean) =
+      Dedup.incrementalNearDupPairsIndexed(sigs, bands, widths, batch,
+        numHashes = nh, numBands = nb, threshold = 0.5, portable = portable)
+    val e1 = intercept[IllegalArgumentException](call(16, 4, portable = false))
+    assert(e1.getMessage.contains("structural mismatch"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](call(64, 16, portable = true))
+    assert(e2.getMessage.contains("numHashes=64"), e2.getMessage)
+    // a stranded sig-only doc (no band rows yet) is inconclusive, not an
+    // error: an empty-bands index must not false-alarm on matching params
+    val out = Dedup.incrementalNearDupPairsIndexed(sigs,
+      bands.filter(lit(false)), Dedup.bucketWidths(bands.filter(lit(false))),
+      batch, numHashes = 16, numBands = 4, threshold = 0.5, portable = true)
+    assert(out.collect().isEmpty) // no bands -> no candidates, but no throw
+    assert(call(16, 4, portable = true).collect().nonEmpty)
+  }
+
   test("mergeBucketWidths on append equals recounting corpus+batch from scratch") {
     val docs = Tables(spark, sf(), "documents")
     val half = docs.filter($"doc_id" % 2 === 0)

@@ -519,7 +519,7 @@ class StreamingSpec extends SparkSpec {
         input.toDF().toDF("doc_id", "ts", "text"),
         spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/bands"),
         spark.read.parquet(s"$dir/widths"),
-        numHashes = 16, numBands = 4, threshold = 0.3)
+        numHashes = 16, numBands = 4, portable = true, threshold = 0.3)
       .writeStream.format("memory").queryName("incdedup_plan")
       .outputMode("append").start()
     try {
@@ -587,9 +587,44 @@ class StreamingSpec extends SparkSpec {
     val got = StreamOps.streamingIncrementalDedupIndexed(batch,
         spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/bands"),
         spark.read.parquet(s"$dir/widths"),
-        numHashes = 16, numBands = 4, threshold = 0.5)
+        numHashes = 16, numBands = 4, portable = true, threshold = 0.5)
       .select("doc_id", "corpus_id", "jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 6L, 1.0)), got.toString)
+  }
+
+  test("raw-frames overload THROWS on structural params mismatching the index build") {
+    // round 13's failure mode: a portable=true index probed with the
+    // overload's portable=false default returned ZERO pairs silently.
+    // The structural probe must turn every index-witnessable mismatch
+    // into a loud call-time error instead.
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("stream_mismatch").toString
+    graft.core.SigIndex.build(spark, corpus, dir,
+      graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
+    val batch = Seq((1L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    def call(nh: Int, nb: Int, portable: Boolean, verify: Boolean = true) =
+      StreamOps.streamingIncrementalDedupIndexed(batch,
+        spark.read.parquet(s"$dir/sigs"), spark.read.parquet(s"$dir/bands"),
+        spark.read.parquet(s"$dir/widths"),
+        numHashes = nh, numBands = nb, portable = portable, threshold = 0.5,
+        verifyStructure = verify)
+    // the exact round-13 trap: right widths, wrong portable
+    val e1 = intercept[IllegalArgumentException](call(16, 4, portable = false))
+    assert(e1.getMessage.contains("structural mismatch"), e1.getMessage)
+    // wrong signature width
+    val e2 = intercept[IllegalArgumentException](call(64, 16, portable = true))
+    assert(e2.getMessage.contains("numHashes=64"), e2.getMessage)
+    // wrong banding at the right width
+    val e3 = intercept[IllegalArgumentException](call(16, 8, portable = true))
+    assert(e3.getMessage.contains("structural mismatch"), e3.getMessage)
+    // matching params sail through and find the duplicate
+    assert(call(16, 4, portable = true).collect().nonEmpty)
+    // the documented opt-out really does opt out (and silently finds nothing)
+    assert(call(16, 4, portable = false, verify = false).collect().isEmpty)
   }
 }
