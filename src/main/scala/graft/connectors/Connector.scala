@@ -38,6 +38,17 @@ trait VectorConnector {
   /** Collection introspection. */
   def schemaInfo(spark: SparkSession, connection: Map[String, String],
                  collection: String): SchemaInfo
+
+  /** Definitive existence probe: `false` ONLY on positive evidence of
+    * absence (missing path / no catalog row / describe miss); every other
+    * failure — connectivity, auth expiry, timeout, rate limit — PROPAGATES.
+    * Deliberately NOT a `Try(schemaInfo).isSuccess` default: the caller
+    * that branches on this ([[graft.core.IncrementalMigrator.run]]) falls
+    * back to the FULL-COPY path on absence, so a transient probe failure
+    * misread as "absent" silently re-appends and duplicates every
+    * pre-existing target record. */
+  def exists(spark: SparkSession, connection: Map[String, String],
+             collection: String): Boolean
 }
 
 /** Adapter registry: string type → connector, case-insensitive lookup with

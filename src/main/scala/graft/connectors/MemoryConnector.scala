@@ -46,6 +46,10 @@ class MemoryConnector extends VectorConnector {
     WriteReport(written = rows.length.toLong)
   }
 
+  override def exists(spark: SparkSession, connection: Map[String, String],
+                      collection: String): Boolean =
+    MemoryStore.get(collection).isDefined
+
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],
                           collection: String): SchemaInfo = {
     val (rows, props) = MemoryStore.get(collection)

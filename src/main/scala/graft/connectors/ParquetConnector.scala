@@ -53,6 +53,14 @@ class ParquetConnector extends VectorConnector {
       (if (mode == SaveMode.Append) "count includes pre-existing rows (append mode)" else "")))
   }
 
+  /** Filesystem-definitive: a missing path is absence; FS faults (bad
+    * scheme, remote store down) propagate rather than read as absent. */
+  override def exists(spark: SparkSession, connection: Map[String, String],
+                      collection: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(connection, collection))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],
                           collection: String): SchemaInfo = {
     val df = spark.read.parquet(path(connection, collection))

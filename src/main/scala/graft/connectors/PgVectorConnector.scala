@@ -149,6 +149,20 @@ class PgVectorConnector extends VectorConnector {
     WriteReport(written = obs.get.get("rows").map(String.valueOf(_).toLong).getOrElse(0L))
   }
 
+  /** Catalog-definitive: zero information_schema rows = absent (NOTE the
+    * same query inside [[schemaInfo]] does NOT throw for a missing table —
+    * it returns an empty schema — so a Try-around-schemaInfo probe would
+    * misreport missing pg tables as present); JDBC faults propagate. */
+  override def exists(spark: SparkSession, connection: Map[String, String],
+                      collection: String): Boolean =
+    spark.read.format("jdbc")
+      .option("url", jdbcUrl(connection))
+      .option("query",
+        s"SELECT 1 FROM information_schema.tables WHERE table_name = '$collection'")
+      .option("user", connection.getOrElse("user", "postgres"))
+      .option("password", connection.getOrElse("password", ""))
+      .load().limit(1).count() > 0
+
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],
                           collection: String): SchemaInfo = {
     // information_schema introspection (adapters/pgvector.py:244-289)

@@ -153,13 +153,23 @@ class WebDatasetConnector extends VectorConnector {
           // (another connector's metadata) may carry a user key named
           // __typed whose value is not our JSON key array — keep it as the
           // ordinary string field it is rather than failing the export
-          // task OR silently dropping the user's data
+          // task OR silently dropping the user's data. "Parses as a JSON
+          // array" alone is NOT enough evidence (a foreign "[1,2]" would
+          // be eaten and its siblings JSON-reparsed): the tag is honored
+          // only when every element is a STRING naming a key actually
+          // PRESENT in this record's metadata — the invariant our own
+          // read side constructs by definition
           val typedParsed: Option[Set[String]] = all.get("__typed").flatMap { t =>
             try {
               val a = mapper.readTree(t)
-              if (a != null && a.isArray)
-                Some((0 until a.size()).map(a.get(_).asText()).toSet)
-              else None
+              if (a != null && a.isArray) {
+                val els = (0 until a.size()).map(a.get)
+                // nonEmpty too: our read side never writes an empty tag
+                if (els.nonEmpty &&
+                    els.forall(e => e.isTextual && all.contains(e.asText())))
+                  Some(els.map(_.asText()).toSet)
+                else None
+              } else None
             } catch { case _: Exception => None }
           }
           val typedKeys: Set[String] = typedParsed.getOrElse(Set.empty)
@@ -189,6 +199,14 @@ class WebDatasetConnector extends VectorConnector {
       .toDF("key", "files")
     val n = WebDataset.writeShards(samples, out, numShards)
     WriteReport(written = n)
+  }
+
+  /** Filesystem-definitive: the collection subdirectory must exist; FS
+    * faults propagate. */
+  override def exists(spark: SparkSession, connection: Map[String, String],
+                      collection: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir(connection, collection))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],

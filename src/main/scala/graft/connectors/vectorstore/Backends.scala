@@ -98,6 +98,12 @@ abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
     WriteReport(written = written, skipped = skipped)
   }
 
+  /** Store-definitive: a describe MISS (the backend answered, and said no)
+    * is absence; resolve/transport failures propagate. */
+  override def exists(spark: SparkSession, connection: Map[String, String],
+                      collection: String): Boolean =
+    VectorStore.resolve(specOf(connection)).describe(collection).isDefined
+
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],
                           collection: String): SchemaInfo = {
     val store = VectorStore.resolve(specOf(connection))

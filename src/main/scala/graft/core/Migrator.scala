@@ -165,14 +165,23 @@ object IncrementalMigrator {
     val load = config.target.load.getOrElse(
       throw new graft.config.ConfigException("target block needs a 'load' section"))
     // ONLY an absent collection falls back to the full-copy path. A
-    // blanket Try(existing read).toOption here once degraded TRANSIENT
-    // read failures (auth expiry, timeouts, rate limits) into a full
-    // re-append that duplicated every pre-existing target record. The
-    // cheap metadata probe decides existence; once the collection is
-    // known to exist, a failure during the HEAVY diff read propagates
-    // into the run report as a loud abort instead of an append.
-    val exists = scala.util.Try(
-      target.schemaInfo(spark, config.target.connection, load.collection)).isSuccess
+    // blanket Try(probe).isSuccess here once degraded TRANSIENT probe
+    // failures (auth expiry, timeouts, rate limits) into a full
+    // re-append that duplicated every pre-existing target record — so
+    // existence is decided by the connector's TYPED probe, which returns
+    // false only on positive evidence of absence and throws on every
+    // other failure; a probe failure becomes a FAILED run (reference
+    // semantics: migrate() returns False), never an append.
+    val exists =
+      try target.exists(spark, config.target.connection, load.collection)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          return RunReport(success = false, extracted = -1, written = 0,
+            skipped = 0, sourceType = config.source.kind,
+            targetType = config.target.kind,
+            error = Some("target existence probe failed (NOT treating as " +
+              s"absent): ${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
     val existing =
       if (!exists) None
       else Some(target.read(spark, config.target.connection,

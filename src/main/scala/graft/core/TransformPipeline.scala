@@ -135,10 +135,9 @@ object TransformPipeline {
         try graft.ops.Layout.clusterBySimilarity(df, bits = bits,
           vecCol = graft.model.Canonical.VECTOR)
         catch {
-          // resolveDim's "cannot infer embedding dim": no vectors at all —
-          // the layout is a no-op on such a corpus, not an error
-          case e: IllegalArgumentException
-            if String.valueOf(e.getMessage).contains("cannot infer embedding dim") => df
+          // typed, not message-matched: a reworded require message must
+          // never silently revert vectorless corpora to hard failures
+          case _: graft.ops.Similarity.NoVectorsException => df
         }
     },
     "prepare_corpus" -> (p =>

@@ -44,8 +44,14 @@ object Packing {
     // order keys as peers and sums them together, so duplicate doc ids
     // would both receive the same start offset and double-book their slot
     // — with ROWS each row gets its own running sum and the layout stays
-    // non-overlapping even on non-deduped input
-    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    // non-overlapping even on non-deduped input. n_tokens is the SECONDARY
+    // order key so the layout is deterministic on non-deduped input too:
+    // same-id rows with different counts order by count, and same-id rows
+    // with EQUAL counts are interchangeable (swapping them yields the
+    // identical output rows), so the result is a deterministic multiset
+    // under any partitioning/scheduling — and any SQL engine replays it
+    // (the DuckDB oracle orders by the same two keys)
+    val w = Window.partitionBy("shard").orderBy(col(idCol), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L))
     // null text packs as 0 tokens rather than poisoning the running sum

@@ -60,11 +60,21 @@ object Similarity {
     * positive, else read off ONE row (a LocalLimit(1) scan — cheap and
     * scale-safe; the alternative, silently assuming a fixed dim, produces
     * wrong-length hyperplanes and garbage buckets with no error). */
+  /** Thrown by [[resolveDim]] when a corpus has NO non-empty vectors to
+    * infer the embedding dim from. A dedicated TYPE (not a message to
+    * substring-match): callers that treat vectorless corpora as a no-op
+    * (pipeline `cluster_by_similarity`) catch this and must not silently
+    * revert to hard failures if the message is ever reworded. Subclasses
+    * IllegalArgumentException so `require`-style handling keeps working. */
+  class NoVectorsException(msg: String) extends IllegalArgumentException(msg)
+
   private[ops] def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int = {
     if (dim > 0) dim
     else {
       val rows = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).limit(1).collect()
-      require(rows.nonEmpty, s"cannot infer embedding dim: no non-empty '$vecCol' values")
+      if (rows.isEmpty)
+        throw new NoVectorsException(
+          s"cannot infer embedding dim: no non-empty '$vecCol' values")
       rows(0).getInt(0)
     }
   }

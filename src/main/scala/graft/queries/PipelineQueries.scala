@@ -1542,7 +1542,7 @@ object PipelineQueries {
         ("WITH t AS (SELECT doc_id, " +
           "((doc_id % 2147483647) * 2654435761 + 42) % 2147483647 % 8 AS shard, " +
           s"CAST($ntok AS BIGINT) AS n_tokens FROM documents), " +
-          "s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+          "s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, n_tokens " +
           "ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok FROM t) " +
           "SELECT doc_id, shard, n_tokens, start_tok // 512 AS seq_id, " +
           "start_tok % 512 AS token_offset, " +
@@ -1551,7 +1551,7 @@ object PipelineQueries {
         ("WITH t AS (SELECT doc_id, " +
           "((doc_id % 2147483647) * 2654435761 + 42) % 2147483647 % 8 AS shard, " +
           s"CAST($ntok AS BIGINT) AS n_tokens FROM documents), " +
-          "s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+          "s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, n_tokens " +
           "ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok FROM t), " +
           "p AS (SELECT shard, start_tok // 512 AS seq_id, n_tokens, " +
           "start_tok % 512 AS token_offset FROM s) " +

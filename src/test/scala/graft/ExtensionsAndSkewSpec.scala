@@ -90,4 +90,39 @@ class SkewJoinSpec extends SparkSpec {
     val lo = SkewJoin.saltedJoin(left, right, "k", "rk", joinType = "left_outer")
     assert(lo.count() == 1)
   }
+
+  test("map-typed left columns (canonical metadata) don't break the salt") {
+    // xxhash64 over a MapType throws AnalysisException; the salt must skip
+    // map columns rather than refuse canonical frames outright
+    val left = (1 to 200)
+      .map(i => (if (i <= 150) 1L else i.toLong % 10, s"v$i", Map("m" -> s"$i")))
+      .toDF("k", "payload", "metadata")
+    val right = (0L to 10L).map(k => (k, s"dim$k")).toDF("rk", "attr")
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "payload", "attr").collect().map(_.toString).sorted
+    val salted = SkewJoin.saltedJoin(left, right, "k", "rk", saltFactor = 4)
+      .select("k", "payload", "attr").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq && salted.nonEmpty)
+    // the hot key really spreads: distinct salts on the payload-bearing rows
+    val spread = SkewJoin.saltedJoin(left, right, "k", "rk", saltFactor = 4)
+    assert(spread.count() == plain.length)
+  }
+
+  test("saltCols override: explicit tiebreak column, unknown name refused") {
+    val left = (1 to 100).map(i => (1L, i)).toDF("k", "tiebreak")
+    val right = Seq((1L, "hot")).toDF("rk", "attr")
+    val out = SkewJoin.saltedJoin(left, right, "k", "rk", saltFactor = 8,
+      saltCols = Seq("tiebreak"))
+    assert(out.count() == 100)
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(left, right, "k", "rk", saltCols = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+    // an all-map frame can't derive a salt and must say so
+    val allMap = Seq(Map("a" -> "b")).toDF("metadata")
+    val e2 = intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(allMap, right, "metadata", "rk")
+    }
+    assert(e2.getMessage.contains("hash-safe"), e2.getMessage)
+  }
 }

@@ -111,6 +111,49 @@ class MigratorSpec extends SparkSpec {
     assert(IncrementalMigrator.deletedIds(narrowSource, target).count() == 10)
   }
 
+  test("transient target probe failure fails the incremental run, never full-copies") {
+    // a Try(schemaInfo).isSuccess probe once read ANY probe failure (auth
+    // expiry, timeout, rate limit) as "collection absent" and fell back to
+    // the full-copy path — silently re-appending every pre-existing record
+    val full = cfg(extraQuery = """, "limit": 100""", targetColl = "inc_probe")
+    assert(new Migrator(spark).run(full).success)
+    assert(MemoryStore.get("inc_probe").get._1.length == 100)
+    val flaky = new graft.connectors.MemoryConnector {
+      override def name: String = "flaky-memory"
+      override def exists(spark: org.apache.spark.sql.SparkSession,
+                          connection: Map[String, String],
+                          collection: String): Boolean =
+        throw new RuntimeException("simulated probe timeout")
+    }
+    graft.connectors.ConnectorRegistry.register(flaky)
+    val incCfg = MigrationConfig.fromJson(
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+         |                      "vector_column": "embedding",
+         |                      "metadata_columns": ["label"], "limit": 100}},
+         | "target": {"type": "flaky-memory", "connection": {},
+         |            "load": {"collection": "inc_probe"}}}""".stripMargin)
+    val report = IncrementalMigrator.run(spark, incCfg)
+    assert(!report.success, report)
+    assert(report.error.exists(_.contains("existence probe failed")), report)
+    // nothing was re-appended behind the failure
+    assert(MemoryStore.get("inc_probe").get._1.length == 100)
+  }
+
+  test("connector exists() is definitive: absence = false, presence = true") {
+    import graft.connectors._
+    val pq = new ParquetConnector()
+    assert(pq.exists(spark, Map("path" -> sf()), "embeddings"))
+    assert(!pq.exists(spark, Map("path" -> sf()), "no_such_table"))
+    MemoryStore.put("ex_probe", Seq.empty, Map.empty)
+    assert(new MemoryConnector().exists(spark, Map.empty, "ex_probe"))
+    assert(!new MemoryConnector().exists(spark, Map.empty, "ex_probe_missing"))
+    vectorstore.VectorStore.createCollection("ex_vs",
+      vectorstore.CollectionConfig(dim = 2), recreate = true)
+    assert(ConnectorRegistry("qdrant").exists(spark, Map.empty, "ex_vs"))
+    assert(!ConnectorRegistry("qdrant").exists(spark, Map.empty, "ex_vs_missing"))
+  }
+
   test("memory -> parquet round trip preserves data") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mig").toString
     val report1 = new Migrator(spark).run(cfg(targetColl = "rt"))

@@ -62,6 +62,25 @@ class PackingSpec extends SparkSpec {
     assert(a.values.map(_._1).toSet.size == 4, "all shards populated")
   }
 
+  test("duplicate-id layout is deterministic under repartitioning (n_tokens tiebreak)") {
+    // same id, DIFFERENT lengths: without a secondary order key, which
+    // duplicate gets which offset was an arbitrary tie-break that could
+    // differ across partitionings — the n_tokens tiebreak pins it (and
+    // equal-length duplicates are interchangeable: identical output rows)
+    val dup = Seq((1L, "a b c d e"), (1L, "x y"), (1L, "x y"), (2L, "p q r"))
+      .toDF("doc_id", "text")
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      Packing.concatSplitPack(df, tokenBudget = 100, numShards = 1)
+        .select("doc_id", "n_tokens", "token_offset")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+    val runs = Seq(dup, dup.repartition(5), dup.orderBy(col("text").desc),
+      dup.repartition(3, col("text"))).map(layout)
+    assert(runs.distinct.size == 1, runs.toString)
+    // the short duplicates pack BEFORE the long one (ascending n_tokens)
+    val one = runs.head.filter(_._1 == 1L)
+    assert(one == Seq((1L, 2L, 0L), (1L, 2L, 2L), (1L, 5L, 4L)), one.toString)
+  }
+
   test("packStats shows every non-final sequence filled to the budget") {
     val packed = Packing.concatSplitPack(Tables(spark, sf(), "documents"), 256, numShards = 2)
     val stats = Packing.packStats(packed, 256)

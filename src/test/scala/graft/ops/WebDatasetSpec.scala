@@ -221,6 +221,36 @@ class WebDatasetSpec extends SparkSpec {
     assert(fn.get("__typed").isTextual && fn.get("__typed").asText() == "hello",
       fn.toString)
     assert(fn.get("k").asText() == "v")
+    // STRICTER: a foreign __typed that PARSES as a JSON array but does not
+    // name present metadata keys (e.g. "[1,2]", "[\"ghost\"]", "[]") is
+    // still the user's data — previously it was eaten as a type tag and
+    // its listed siblings JSON-reparsed, silently mutating foreign metadata
+    for (v <- Seq("[1,2]", """["ghost"]""", "[]")) {
+      val f2 = Seq(("f2", Seq(1.0f), Map("__typed" -> v, "k" -> "007")))
+        .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+          graft.model.Canonical.METADATA)
+      c.write(f2, Map("path" -> root),
+        graft.config.LoadSpec(collection = "foreign2", recreate = true,
+          options = Map("num_shards" -> "1")))
+      val j2 = WebDataset.readShards(spark, s"$root/foreign2/*.tar")
+        .filter(col("ext") === "json").head().getAs[Array[Byte]]("content")
+      val n2 = mapper.readTree(new String(j2, "UTF-8"))
+      assert(n2.get("__typed").isTextual && n2.get("__typed").asText() == v,
+        s"$v -> ${n2.toString}")
+      // the sibling stays the string it was, never JSON-reparsed to 7
+      assert(n2.get("k").isTextual && n2.get("k").asText() == "007", n2.toString)
+    }
+    // and a __typed naming a PRESENT key is still honored (our own tag)
+    val f3 = Seq(("f3", Seq(1.0f), Map("__typed" -> """["k"]""", "k" -> "7")))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    c.write(f3, Map("path" -> root),
+      graft.config.LoadSpec(collection = "foreign3", recreate = true,
+        options = Map("num_shards" -> "1")))
+    val j3 = WebDataset.readShards(spark, s"$root/foreign3/*.tar")
+      .filter(col("ext") === "json").head().getAs[Array[Byte]]("content")
+    val n3 = mapper.readTree(new String(j3, "UTF-8"))
+    assert(!n3.has("__typed") && n3.get("k").isIntegralNumber, n3.toString)
   }
 
   test("webdataset connector reads a FOREIGN caption corpus: txt member -> text") {
