@@ -21,8 +21,10 @@ def gate_sites():
     sites = {}
     for f in sorted(QUERY_DIR.glob("*.scala")):
         for i, line in enumerate(f.read_text().splitlines(), 1):
-            m = re.search(r'"(q[0-9a-z_]+)" ->', line)
-            if m:
+            # finditer, not search: programmatic oracle maps chain several
+            # ("q_x" -> expr) entries on ONE line — search() saw only the
+            # first and under-reported their twins as missing
+            for m in re.finditer(r'"(q[0-9a-z_]+)" ->', line):
                 sites.setdefault(m.group(1), []).append((str(f), i))
     return sites
 
