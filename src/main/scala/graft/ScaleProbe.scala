@@ -273,6 +273,35 @@ object ScaleProbe {
     time("wav decode")(
       ops.Multimodal.extractAudioFeatures(ops.Multimodal.audioTable(docs))
         .filter(col("sq_sum").isNotNull).count())
+    // Clip-length probe for the WAV kernel: the 64–127-sample synthetic
+    // clips are dominated by javax.sound PER-CLIP setup, so tiny-clip
+    // clips/s drifts with JVM/host state (round 13 measured 88k/s vs the
+    // round-8 190k/s record on UNCHANGED code). This prints throughput
+    // with clip length on the x-axis: if setup amortizes as claimed,
+    // Msamples/s must RISE toward a decode-bound plateau as clips grow
+    // toward realistic (0.5 s+) lengths, while clips/s falls slower than
+    // length grows. Fixed 50k clips per row so the fleet of lengths is
+    // comparable; generation+sha+decode per row, the same work shape as
+    // "wav decode".
+    if (only.forall(_.exists(s => "wav clip-length".contains(s)))) {
+      // untimed warmup: the first decode job otherwise pays JVM/codegen
+      // setup and distorts the shortest-clip row
+      ops.Multimodal.extractAudioFeatures(
+        ops.Multimodal.audioTable(spark.range(5000L).toDF("doc_id"),
+          nSamples = 64)).count()
+      for (len <- Seq(64, 512, 4096, 32768)) {
+        val clips = 50000L
+        val ids = spark.range(clips).toDF("doc_id")
+        val t0 = System.nanoTime()
+        val n = ops.Multimodal.extractAudioFeatures(
+            ops.Multimodal.audioTable(ids, nSamples = len))
+          .filter(col("sq_sum").isNotNull).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-probe] wav clip-length $len%6d samples " +
+          f"${secs}%7.2fs clips=$n kclips/s=${n / secs / 1e3}%8.1f " +
+          f"Msamples/s=${n.toDouble * len / secs / 1e6}%8.2f")
+      }
+    }
     time("mp4 parse")(
       ops.Multimodal.extractVideoMeta(ops.Multimodal.videoTable(docs))
         .filter(col("duration_ms").isNotNull).count())

@@ -447,10 +447,15 @@ object Multimodal {
     * `64 + d % 64` samples of closed-form value
     * `s[k] = ((d*131 + k*17) % 65536) - 32768` — the audio twin of
     * [[syntheticPng]], so a SQL oracle derives the expected decoded
-    * features from `d` alone. */
-  def syntheticWav(d: Long): Array[Byte] = {
+    * features from `d` alone.
+    *
+    * @param nSamples override the clip length (>0) — the probe knob for
+    *                 measuring how per-clip decoder setup amortizes on
+    *                 realistic (ms-to-seconds) clips; `-1` keeps the
+    *                 oracle-gated 64–127-sample closed form. */
+  def syntheticWav(d: Long, nSamples: Int = -1): Array[Byte] = {
     import javax.sound.sampled._
-    val n = (64 + d % 64).toInt
+    val n = if (nSamples > 0) nSamples else (64 + d % 64).toInt
     val pcm = new Array[Byte](n * 2)
     var k = 0
     while (k < n) {
@@ -475,14 +480,17 @@ object Multimodal {
                                 abs_sum: Option[Long], sq_sum: Option[Long],
                                 zero_crossings: Option[Int])
 
-  /** Media table of [[syntheticWav]] payloads — one real WAV per row. */
-  def audioTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  /** Media table of [[syntheticWav]] payloads — one real WAV per row.
+    * `nSamples > 0` fixes every clip's length (probe use only; the
+    * default keeps the oracle-gated id-derived lengths). */
+  def audioTable(docs: DataFrame, idCol: String = "doc_id",
+                 nSamples: Int = -1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       ids.map { id =>
-        val bytes = syntheticWav(id)
+        val bytes = syntheticWav(id, nSamples)
         val sha = digest.digest(bytes).map("%02x".format(_)).mkString
         MediaRow(id, bytes, MediaMeta("audio/wav", bytes.length.toLong, sha))
       }
