@@ -103,7 +103,15 @@ class HttpVectorStoreServer(inner: VectorStoreTransport, port: Int = 0,
                               * the `api-key` header (Qdrant's scheme) or
                               * get 401 — lets tests assert the credential
                               * actually crosses the wire. */
-                            apiKey: Option[String] = None) {
+                            apiKey: Option[String] = None,
+                            /** `> 0`: every Nth request answers 429 before
+                              * touching the store — deterministic
+                              * rate-limit injection (the Pinecone failure
+                              * mode) for end-to-end Retry-After tests. */
+                            rateLimitEveryNth: Int = 0,
+                            /** Sent as the 429's `Retry-After` header
+                              * (RFC delta-seconds) when set. */
+                            retryAfterSecs: Option[Int] = None) {
   import HttpJson._
 
   private val reqCount = new AtomicLong(0)
@@ -148,9 +156,14 @@ class HttpVectorStoreServer(inner: VectorStoreTransport, port: Int = 0,
   }
 
   private def handle(ex: HttpExchange): Unit = try {
-    if (failEveryNth > 0 && reqCount.incrementAndGet() % failEveryNth == 0)
+    val rc = reqCount.incrementAndGet()
+    if (failEveryNth > 0 && rc % failEveryNth == 0)
       return err(ex, 503, "injected transient fault")
-    else if (failEveryNth <= 0) reqCount.incrementAndGet()
+    if (rateLimitEveryNth > 0 && rc % rateLimitEveryNth == 0) {
+      retryAfterSecs.foreach(s =>
+        ex.getResponseHeaders.set("Retry-After", s.toString))
+      return err(ex, 429, "injected rate limit")
+    }
     apiKey.foreach { k =>
       if (Option(ex.getRequestHeaders.getFirst("api-key")).forall(_ != k))
         return err(ex, 401, "invalid or missing api-key")
@@ -228,7 +241,8 @@ class HttpTransport(baseUrl: String, connectTimeoutMs: Int = 2000,
 
   private def enc(name: String): String = URLEncoder.encode(name, UTF_8)
 
-  private def request(method: String, path: String, body: Option[JsonNode]): (Int, JsonNode) = {
+  private def request(method: String, path: String,
+                      body: Option[JsonNode]): (Int, JsonNode, Option[Long]) = {
     val conn = new URI(s"$baseUrl$path").toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
@@ -246,15 +260,27 @@ class HttpTransport(baseUrl: String, connectTimeoutMs: Int = 2000,
     val text =
       if (stream == null) "{}"
       else new String(stream.readAllBytes(), UTF_8)
+    // Retry-After is RFC delta-seconds; fractional accepted leniently
+    val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
+      .flatMap(_.toDoubleOption).map(s => (s * 1000).toLong)
     conn.disconnect()
-    (code, if (text.isEmpty) mapper.createObjectNode() else mapper.readTree(text))
+    (code,
+      if (text.isEmpty) mapper.createObjectNode() else mapper.readTree(text),
+      retryAfterMs)
   }
 
   private def call(method: String, path: String, body: Option[JsonNode] = None): JsonNode = {
-    val (code, node) = request(method, path, body)
+    val (code, node, retryAfterMs) = request(method, path, body)
     if (code == 404)
       throw new NoSuchElementException(
         if (node.has("error")) node.get("error").asText() else s"not found: $path")
+    if (code == 429)
+      // typed, carrying the service's own pacing: the retry layer honors
+      // Retry-After instead of its blind exponential schedule (same
+      // mapping as WireClient — a 429 is not a fault to backoff through)
+      throw new RateLimitedException(s"HTTP 429 on $method $path: " +
+        (if (node.has("error")) node.get("error").asText() else node.toString),
+        retryAfterMs)
     if (code >= 400)
       throw new java.io.IOException(s"HTTP $code on $method $path: " +
         (if (node.has("error")) node.get("error").asText() else node.toString))

@@ -75,6 +75,33 @@ class HttpLoopbackSpec extends SparkSpec {
     }
   }
 
+  test("injected 429s: Retry-After honored end-to-end over the socket") {
+    // every 4th request answers 429 with Retry-After: 0 (delta-seconds);
+    // HttpTransport must map it to RateLimitedException carrying the
+    // header and RetryingTransport must ride through honoring it — the
+    // Pinecone rate-limit mode, proven across a real HTTP exchange
+    val server = new HttpVectorStoreServer(InMemoryTransport,
+      rateLimitEveryNth = 4, retryAfterSecs = Some(0))
+    val http = new HttpTransport(server.url)
+    val prev = VectorStore.use(RetryingTransport(http, maxAttempts = 3, backoffMs = 1L))
+    try {
+      canonDf(200).write.format("graft-qdrant")
+        .option("collection", "http_limited").option("recreate", "true")
+        .option("batch_size", "25").mode("overwrite").save()
+      val n = spark.read.format("graft-qdrant").option("collection", "http_limited")
+        .option("page_size", "50").load().count()
+      assert(n == 200)
+      assert(server.requests >= 4, "enough traffic that 429s were injected")
+      // the raw transport (no retry layer) surfaces the typed exception
+      // with the parsed header
+      val e = intercept[RateLimitedException] {
+        var i = 0
+        while (i < 8) { http.count("http_limited"); i += 1 }
+      }
+      assert(e.retryAfterMs.contains(0L), e.retryAfterMs.toString)
+    } finally { VectorStore.use(prev); server.stop() }
+  }
+
   test("404 maps to NoSuchElementException and is never retried") {
     withServer(retries = 3) { (server, _) =>
       VectorStore.drop("http_missing")
