@@ -310,10 +310,13 @@ object Dedup {
     *  1. one sampled signature's length must equal `numHashes` (the
     *     signature table stores the build's width in every row);
     *  2. that doc's band keys, recomputed under the caller's
-    *     `(numBands, rowsPerBand, portable)`, must coincide with its
-    *     persisted rows in the banded face — count AND hash values. A
-    *     `portable` flip or a different banding changes every hash, so
-    *     any structural drift collapses the intersection to zero.
+    *     `(numBands, rowsPerBand, portable)`, must INTERSECT its
+    *     persisted rows in the banded face. A `portable` flip or a
+    *     different banding changes every hash, so any structural drift
+    *     collapses the intersection to zero; matching params always
+    *     overlap (the doc's own rows are persisted), so legitimate
+    *     indexes with extra rows under one id (re-appends, id
+    *     collisions) never false-alarm.
     *
     * `shingleSize` (and a `portable` flip's effect on the BATCH side's
     * shingling) is NOT verifiable from the index alone — signatures don't
@@ -334,6 +337,7 @@ object Dedup {
                              portable: Boolean): Unit = {
     val spark = corpusSigs.sparkSession
     val proj = corpusSigs.select(col(idCol), col("minhash_sig"))
+      .filter(col(idCol).isNotNull && col("minhash_sig").isNotNull)
     val sigRows = proj.limit(ProbeSamples).collect()
     if (sigRows.isEmpty) return // fresh/empty index: nothing to contradict
     sigRows.foreach { r =>
@@ -356,7 +360,13 @@ object Dedup {
         val recomputed = lshBands(one, idCol, numBands, rowsPerBand, portable)
           .select("band", "band_hash").collect()
           .map(b => (b.getInt(0), b.getLong(1))).toSet
-        Some(recomputed == persisted)
+        // INTERSECTION, not equality: matching params guarantee overlap
+        // (the doc's own rows are there), while mismatched hashing makes
+        // the sets disjoint (a cross-scheme 64-bit collision aside) —
+        // equality would false-alarm on legitimate indexes where the id
+        // carries EXTRA rows (re-appends beyond the sample cap, or two
+        // docs colliding on one id)
+        Some(recomputed.intersect(persisted).nonEmpty)
       }
     }.collectFirst { case Some(ok) => ok }
     bandHit.foreach { ok =>

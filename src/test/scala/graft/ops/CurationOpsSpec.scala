@@ -170,6 +170,20 @@ class CurationOpsSpec extends SparkSpec {
       batch, numHashes = 16, numBands = 4, threshold = 0.5, portable = true)
     assert(out.collect().isEmpty) // no bands -> no candidates, but no throw
     assert(call(16, 4, portable = true).collect().nonEmpty)
+    // a RE-APPENDED doc (its band rows duplicated) and a second doc
+    // colliding on the same id must not false-alarm matching params:
+    // the probe tests intersection, not set equality
+    val collided = Seq(
+      (2L, "an entirely different second text stored under the same doc id"))
+      .toDF("doc_id", "text")
+    val sigs2 = sigs.union(Dedup.signatureTable(collided, numHashes = 16, portable = true))
+    val bands2 = bands.union(bands).union(Dedup.bandedSignatureTable(
+      Dedup.signatureTable(collided, numHashes = 16, portable = true),
+      numBands = 4, rowsPerBand = 4, portable = true))
+    val out2 = Dedup.incrementalNearDupPairsIndexed(sigs2, bands2,
+      Dedup.bucketWidths(bands2), batch,
+      numHashes = 16, numBands = 4, threshold = 0.5, portable = true)
+    assert(out2.collect().nonEmpty) // no throw, duplicate still found
   }
 
   test("mergeBucketWidths on append equals recounting corpus+batch from scratch") {
