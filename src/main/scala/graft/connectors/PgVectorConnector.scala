@@ -158,7 +158,7 @@ class PgVectorConnector extends VectorConnector {
     spark.read.format("jdbc")
       .option("url", jdbcUrl(connection))
       .option("query",
-        s"SELECT 1 FROM information_schema.tables WHERE table_name = '$collection'")
+        s"SELECT 1 FROM information_schema.tables WHERE table_name = '${ident(collection)}'")
       .option("user", connection.getOrElse("user", "postgres"))
       .option("password", connection.getOrElse("password", ""))
       .load().limit(1).count() > 0
@@ -169,8 +169,10 @@ class PgVectorConnector extends VectorConnector {
     val df = spark.read.format("jdbc")
       .option("url", jdbcUrl(connection))
       .option("query",
+        // ident-whitelisted even inside a string literal — same
+        // defense-in-depth as the data path's buildSelect
         s"SELECT column_name, data_type, udt_name FROM information_schema.columns " +
-          s"WHERE table_name = '$collection' ORDER BY ordinal_position")
+          s"WHERE table_name = '${ident(collection)}' ORDER BY ordinal_position")
       .option("user", connection.getOrElse("user", "postgres"))
       .option("password", connection.getOrElse("password", ""))
       .load()
