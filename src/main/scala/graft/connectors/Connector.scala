@@ -49,6 +49,16 @@ trait VectorConnector {
     * pre-existing target record. */
   def exists(spark: SparkSession, connection: Map[String, String],
              collection: String): Boolean
+
+  /** Shared [[exists]] substrate for the filesystem-backed connectors:
+    * a missing path is definitive absence; FS faults (bad scheme, remote
+    * store down) propagate rather than read as absent. ONE definition so
+    * a future refinement (e.g. treating a `_temporary`-only directory as
+    * absent) can't be applied to one connector and missed in another. */
+  protected final def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 }
 
 /** Adapter registry: string type → connector, case-insensitive lookup with

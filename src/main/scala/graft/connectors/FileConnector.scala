@@ -55,12 +55,9 @@ class FileConnector(fmt: String) extends VectorConnector {
     WriteReport(written = n)
   }
 
-  /** Filesystem-definitive: missing path = absent; FS faults propagate. */
   override def exists(spark: SparkSession, connection: Map[String, String],
-                      collection: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path(connection, collection))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+                      collection: String): Boolean =
+    pathExists(spark, path(connection, collection))
 
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],
                           collection: String): SchemaInfo = {

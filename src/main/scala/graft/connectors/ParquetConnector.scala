@@ -53,13 +53,9 @@ class ParquetConnector extends VectorConnector {
       (if (mode == SaveMode.Append) "count includes pre-existing rows (append mode)" else "")))
   }
 
-  /** Filesystem-definitive: a missing path is absence; FS faults (bad
-    * scheme, remote store down) propagate rather than read as absent. */
   override def exists(spark: SparkSession, connection: Map[String, String],
-                      collection: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path(connection, collection))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+                      collection: String): Boolean =
+    pathExists(spark, path(connection, collection))
 
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],
                           collection: String): SchemaInfo = {

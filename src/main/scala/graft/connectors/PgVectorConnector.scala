@@ -149,6 +149,26 @@ class PgVectorConnector extends VectorConnector {
     WriteReport(written = obs.get.get("rows").map(String.valueOf(_).toLong).getOrElse(0L))
   }
 
+  /** information_schema match for a table reference: Postgres stores
+    * UNQUOTED identifiers case-folded to lowercase, and the JDBC write
+    * path ships `dbtable` unquoted — so the probe must match the FOLDED
+    * name or an existing 'MyTable' target reads as absent (and the
+    * incremental migrator would full-copy re-append). The verbatim name
+    * is matched too (a foreign tool may have created it quoted), and a
+    * `schema.table` reference constrains `table_schema`. Both parts are
+    * ident-whitelisted before interpolation. */
+  private[connectors] def catalogPredicate(collection: String): String = {
+    val parts = ident(collection).split('.')
+    val table = parts.last
+    val schema = if (parts.length >= 2) Some(parts(parts.length - 2)) else None
+    def matches(colName: String, v: String) = {
+      val alts = Seq(v, v.toLowerCase).distinct.map(x => s"'$x'").mkString(", ")
+      s"$colName IN ($alts)"
+    }
+    matches("table_name", table) +
+      schema.map(s => " AND " + matches("table_schema", s)).getOrElse("")
+  }
+
   /** Catalog-definitive: zero information_schema rows = absent (NOTE the
     * same query inside [[schemaInfo]] does NOT throw for a missing table —
     * it returns an empty schema — so a Try-around-schemaInfo probe would
@@ -158,7 +178,7 @@ class PgVectorConnector extends VectorConnector {
     spark.read.format("jdbc")
       .option("url", jdbcUrl(connection))
       .option("query",
-        s"SELECT 1 FROM information_schema.tables WHERE table_name = '${ident(collection)}'")
+        s"SELECT 1 FROM information_schema.tables WHERE ${catalogPredicate(collection)}")
       .option("user", connection.getOrElse("user", "postgres"))
       .option("password", connection.getOrElse("password", ""))
       .load().limit(1).count() > 0
@@ -169,10 +189,9 @@ class PgVectorConnector extends VectorConnector {
     val df = spark.read.format("jdbc")
       .option("url", jdbcUrl(connection))
       .option("query",
-        // ident-whitelisted even inside a string literal — same
-        // defense-in-depth as the data path's buildSelect
+        // same folded-name predicate (and ident whitelist) as exists()
         s"SELECT column_name, data_type, udt_name FROM information_schema.columns " +
-          s"WHERE table_name = '${ident(collection)}' ORDER BY ordinal_position")
+          s"WHERE ${catalogPredicate(collection)} ORDER BY ordinal_position")
       .option("user", connection.getOrElse("user", "postgres"))
       .option("password", connection.getOrElse("password", ""))
       .load()

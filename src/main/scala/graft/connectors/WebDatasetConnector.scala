@@ -156,19 +156,22 @@ class WebDatasetConnector extends VectorConnector {
           // task OR silently dropping the user's data. "Parses as a JSON
           // array" alone is NOT enough evidence (a foreign "[1,2]" would
           // be eaten and its siblings JSON-reparsed): the tag is honored
-          // only when every element is a STRING naming a key actually
-          // PRESENT in this record's metadata — the invariant our own
-          // read side constructs by definition
+          // only when every element is a STRING and at least one names a
+          // key PRESENT in this record's metadata — the shape our own
+          // read side constructs. The INTERSECTION of listed and present
+          // keys is what gets reparsed: a transform/projection that
+          // dropped a listed key must not void the round trip for the
+          // keys that survived (nor leak the stale tag into the export)
           val typedParsed: Option[Set[String]] = all.get("__typed").flatMap { t =>
             try {
               val a = mapper.readTree(t)
               if (a != null && a.isArray) {
                 val els = (0 until a.size()).map(a.get)
                 // nonEmpty too: our read side never writes an empty tag
-                if (els.nonEmpty &&
-                    els.forall(e => e.isTextual && all.contains(e.asText())))
-                  Some(els.map(_.asText()).toSet)
-                else None
+                if (els.nonEmpty && els.forall(_.isTextual)) {
+                  val present = els.map(_.asText()).filter(all.contains).toSet
+                  if (present.nonEmpty) Some(present) else None
+                } else None
               } else None
             } catch { case _: Exception => None }
           }
@@ -201,13 +204,9 @@ class WebDatasetConnector extends VectorConnector {
     WriteReport(written = n)
   }
 
-  /** Filesystem-definitive: the collection subdirectory must exist; FS
-    * faults propagate. */
   override def exists(spark: SparkSession, connection: Map[String, String],
-                      collection: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir(connection, collection))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+                      collection: String): Boolean =
+    pathExists(spark, dir(connection, collection))
 
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],
                           collection: String): SchemaInfo = {

@@ -158,10 +158,11 @@ object SigIndex {
              novelOut: Option[String] = None, append: Boolean = true): IngestReport = {
     // structural hashing params ALWAYS come from the manifest; the
     // caller's Params keeps only per-ingest knobs + batch column names
-    val p = readManifest(spark, indexDir) match {
+    val manifest = readManifest(spark, indexDir)
+    val p = manifest match {
       case Some(m) => params.copy(numHashes = m.numHashes, numBands = m.numBands,
         shingleSize = m.shingleSize, portable = m.portable)
-      case None => params // pre-manifest index: trust the caller
+      case None => params // pre-manifest index: trust the caller...
     }
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
@@ -187,9 +188,11 @@ object SigIndex {
     val pairs = Dedup.incrementalNearDupPairsIndexed(sigs, bands, widths, fresh,
       p.idCol, p.textCol, p.numHashes, p.numBands, p.shingleSize,
       p.threshold, p.maxBucket, p.portable,
-      // params come from this index's OWN manifest — no mismatch possible;
-      // skipping the probe keeps ingest cost flat in corpus history
-      verifyStructure = false)
+      // ...but trust is branch-scoped: with a manifest the params are the
+      // index's own (no mismatch possible — skip the probe, keeping ingest
+      // cost flat in history); a PRE-MANIFEST index runs on caller-guessed
+      // params, exactly the population the structural probe exists for
+      verifyStructure = manifest.isEmpty)
     val dupIds = graft.ops.Materialize( // one corpus-side pass feeds count + anti-join
       pairs.select(col("batch_id").as(p.idCol)).distinct())
     val corpusNovel = fresh.join(dupIds, Seq(p.idCol), "left_anti")

@@ -56,10 +56,6 @@ object Similarity {
       graft.functions.HyperplaneBucketExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(col(vecCol)), planes))
 
-  /** Embedding dimensionality of `vecCol`: the caller's explicit value if
-    * positive, else read off ONE row (a LocalLimit(1) scan — cheap and
-    * scale-safe; the alternative, silently assuming a fixed dim, produces
-    * wrong-length hyperplanes and garbage buckets with no error). */
   /** Thrown by [[resolveDim]] when a corpus has NO non-empty vectors to
     * infer the embedding dim from. A dedicated TYPE (not a message to
     * substring-match): callers that treat vectorless corpora as a no-op
@@ -68,6 +64,10 @@ object Similarity {
     * IllegalArgumentException so `require`-style handling keeps working. */
   class NoVectorsException(msg: String) extends IllegalArgumentException(msg)
 
+  /** Embedding dimensionality of `vecCol`: the caller's explicit value if
+    * positive, else read off ONE row (a LocalLimit(1) scan — cheap and
+    * scale-safe; the alternative, silently assuming a fixed dim, produces
+    * wrong-length hyperplanes and garbage buckets with no error). */
   private[ops] def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int = {
     if (dim > 0) dim
     else {

@@ -311,6 +311,35 @@ class CliSpec extends SparkSpec {
     assert(r2 == graft.core.SigIndex.IngestReport(3, 3, 0, 0, 0), r2.toString)
   }
 
+  test("sig-index: PRE-MANIFEST ingest with guessed-wrong params throws, right params work") {
+    // the manifest-less branch trusts caller params — exactly the
+    // population the structural probe exists for: a portable=true legacy
+    // index ingested with default portable=false must error loudly, not
+    // silently admit every duplicate
+    import spark.implicits._
+    val root = Files.createTempDirectory("sigpremanifest")
+    val indexDir = s"$root/index"
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val sigs = graft.ops.Dedup.signatureTable(corpus, numHashes = 16, portable = true)
+    sigs.write.parquet(s"$indexDir/sigs")
+    graft.ops.Dedup.bandedSignatureTable(sigs, numBands = 4, rowsPerBand = 4,
+      portable = true).write.parquet(s"$indexDir/bands")
+    // no params.json, no widths — a hand-rolled legacy index
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.core.SigIndex.ingest(spark, batch, indexDir,
+        graft.core.SigIndex.Params(numHashes = 16, numBands = 4)) // portable=false guess
+    }
+    assert(e.getMessage.contains("structural mismatch"), e.getMessage)
+    val r = graft.core.SigIndex.ingest(spark, batch, indexDir,
+      graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
+    assert(r.corpusDups == 1, r.toString)
+  }
+
   test("sig-index lease: concurrent compact-during-ingest rejected, stale lease expires") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf(), "documents").limit(50)

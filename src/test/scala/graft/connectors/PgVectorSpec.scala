@@ -49,4 +49,20 @@ class PgVectorSpec extends SparkSpec {
         vectorColumn = None, metadataColumns = Nil))
     }
   }
+
+  test("catalogPredicate matches Postgres case folding and schema qualifiers") {
+    val c = new PgVectorConnector()
+    // the unquoted JDBC write path case-folds: the probe must match the
+    // folded name too, or an existing 'MyTable' target reads as absent and
+    // the incremental migrator full-copy re-appends
+    assert(c.catalogPredicate("MyTable") == "table_name IN ('MyTable', 'mytable')")
+    assert(c.catalogPredicate("items") == "table_name IN ('items')")
+    assert(c.catalogPredicate("Analytics.Embeddings") ==
+      "table_name IN ('Embeddings', 'embeddings') " +
+        "AND table_schema IN ('Analytics', 'analytics')")
+    // still ident-whitelisted before interpolation
+    assertThrows[IllegalArgumentException] {
+      c.catalogPredicate("x'; DROP TABLE y--")
+    }
+  }
 }

@@ -240,6 +240,19 @@ class WebDatasetSpec extends SparkSpec {
       // the sibling stays the string it was, never JSON-reparsed to 7
       assert(n2.get("k").isTextual && n2.get("k").asText() == "007", n2.toString)
     }
+    // a STALE tag (a transform dropped listed key 'a') must not void the
+    // round trip for the surviving key nor leak the tag into the export
+    val stale = Seq(("fs", Seq(1.0f), Map("__typed" -> """["a","k"]""", "k" -> "7")))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    c.write(stale, Map("path" -> root),
+      graft.config.LoadSpec(collection = "stale_tag", recreate = true,
+        options = Map("num_shards" -> "1")))
+    val js = WebDataset.readShards(spark, s"$root/stale_tag/*.tar")
+      .filter(col("ext") === "json").head().getAs[Array[Byte]]("content")
+    val ns = mapper.readTree(new String(js, "UTF-8"))
+    assert(!ns.has("__typed") && ns.get("k").isIntegralNumber
+      && ns.get("k").asInt() == 7, ns.toString)
     // and a __typed naming a PRESENT key is still honored (our own tag)
     val f3 = Seq(("f3", Seq(1.0f), Map("__typed" -> """["k"]""", "k" -> "7")))
       .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,

@@ -6,23 +6,49 @@
 # source change and BEFORE the snapshot commit; it appends a timestamped,
 # commit-anchored record to ROUND_NOTES.md only when everything passes.
 #
+# Exit-status discipline: every failing step prints its own RED line and
+# the log path BEFORE exiting — no bare `cmd | grep` pipelines on the
+# critical path, which under `set -euo pipefail` would abort the script
+# before the diagnostic.
+#
 # Usage: tools/presnapshot.sh [sf-dir]   (default /root/testdata/sf0.01)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
 OUT=$(mktemp -d /tmp/presnapshot.XXXXXX)
-echo "[presnapshot] full sbt test..."
-sbt -batch test 2>&1 | tee "$OUT/test.log" | grep -E "Tests:|All tests|\*\*\* FAILED" | tail -3
-grep -q "All tests passed." "$OUT/test.log" || {
-  echo "[presnapshot] RED: sbt test failed — NOT snapshot-ready"; exit 1; }
-echo "[presnapshot] full oracle sweep at $SF..."
-sbt -batch "runMain graft.Verify $SF $OUT/verify" >"$OUT/verify.log" 2>&1 || {
-  echo "[presnapshot] RED: graft.Verify crashed (see $OUT/verify.log)"; exit 1; }
-python3 tools/check.py "$SF" "$OUT/verify" | tee "$OUT/check.log" | tail -3
-grep -q "ALL GREEN" "$OUT/check.log" || {
-  echo "[presnapshot] RED: oracle compare failed — NOT snapshot-ready"; exit 1; }
-TESTS=$(grep -oE "Tests: succeeded [0-9]+" "$OUT/test.log" | tail -1 | grep -oE "[0-9]+")
-GATES=$(grep -cE "^ok " "$OUT/check.log" || true)
+
+echo "[presnapshot] full sbt test (log: $OUT/test.log)..."
+if ! sbt -batch test >"$OUT/test.log" 2>&1; then
+  tail -20 "$OUT/test.log" || true
+  echo "[presnapshot] RED: sbt test failed — NOT snapshot-ready ($OUT/test.log)"
+  exit 1
+fi
+if ! grep -q "All tests passed." "$OUT/test.log"; then
+  echo "[presnapshot] RED: sbt exited 0 but no 'All tests passed.' marker" \
+       "— inspect $OUT/test.log before snapshotting"
+  exit 1
+fi
+grep -E "Tests: succeeded" "$OUT/test.log" | tail -1 || true
+
+echo "[presnapshot] full oracle sweep at $SF (log: $OUT/verify.log)..."
+if ! sbt -batch "runMain graft.Verify $SF $OUT/verify" >"$OUT/verify.log" 2>&1; then
+  tail -20 "$OUT/verify.log" || true
+  echo "[presnapshot] RED: graft.Verify crashed ($OUT/verify.log)"
+  exit 1
+fi
+if ! python3 tools/check.py "$SF" "$OUT/verify" >"$OUT/check.log" 2>&1; then
+  tail -10 "$OUT/check.log" || true
+  echo "[presnapshot] RED: oracle compare failed — NOT snapshot-ready ($OUT/check.log)"
+  exit 1
+fi
+if ! grep -q "ALL GREEN" "$OUT/check.log"; then
+  tail -10 "$OUT/check.log" || true
+  echo "[presnapshot] RED: check.py exited 0 without ALL GREEN ($OUT/check.log)"
+  exit 1
+fi
+
+TESTS=$(grep -oE "Tests: succeeded [0-9]+" "$OUT/test.log" | tail -1 | grep -oE "[0-9]+" || echo "?")
+GATES=$(grep -cE "^ok " "$OUT/check.log" || echo "?")
 STAMP=$(date -u +"%Y-%m-%dT%H:%M:%SZ")
 HEAD_SHA=$(git rev-parse --short HEAD)
 DIRTY=$(git status --porcelain | wc -l)
@@ -34,4 +60,4 @@ DIRTY=$(git status --porcelain | wc -l)
   echo "- sbt test: $TESTS tests, all passed (final tree)"
   echo "- oracle sweep ($SF): $GATES gates ALL GREEN via tools/check.py"
 } >> ROUND_NOTES.md
-echo "[presnapshot] GREEN — recorded in ROUND_NOTES.md (HEAD=$HEAD_SHA, $TESTS tests)"
+echo "[presnapshot] GREEN — recorded in ROUND_NOTES.md (HEAD=$HEAD_SHA, $TESTS tests, $GATES gates)"
