@@ -157,13 +157,25 @@ class PgVectorConnector extends VectorConnector {
     * is matched too (a foreign tool may have created it quoted), and a
     * `schema.table` reference constrains `table_schema`. Both parts are
     * ident-whitelisted before interpolation. */
-  private[connectors] def catalogPredicate(collection: String): String = {
-    val parts = ident(collection).split('.')
+  private[connectors] def catalogPredicate(collection: String,
+                                           mode: String = "either"): String = {
+    val c = ident(collection)
+    require(!c.endsWith("."), s"invalid table reference (trailing dot): $c")
+    val parts = c.split('.')
+    require(parts.length <= 2,
+      s"cross-database references are unsupported (use schema.table): $c")
     val table = parts.last
-    val schema = if (parts.length >= 2) Some(parts(parts.length - 2)) else None
+    val schema = if (parts.length == 2) Some(parts.head) else None
     def matches(colName: String, v: String) = {
-      val alts = Seq(v, v.toLowerCase).distinct.map(x => s"'$x'").mkString(", ")
-      s"$colName IN ($alts)"
+      // Locale.ROOT: a tr_TR default locale folds 'I' to dotless 'ı',
+      // which matches neither Postgres's fold nor anything else
+      val folded = v.toLowerCase(java.util.Locale.ROOT)
+      val names = mode match {
+        case "verbatim" => Seq(v)
+        case "folded" => Seq(folded)
+        case _ => Seq(v, folded)
+      }
+      s"$colName IN (${names.distinct.map(x => s"'$x'").mkString(", ")})"
     }
     matches("table_name", table) +
       schema.map(s => " AND " + matches("table_schema", s)).getOrElse("")
@@ -185,17 +197,26 @@ class PgVectorConnector extends VectorConnector {
 
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],
                           collection: String): SchemaInfo = {
-    // information_schema introspection (adapters/pgvector.py:244-289)
-    val df = spark.read.format("jdbc")
+    // information_schema introspection (adapters/pgvector.py:244-289).
+    // TWO-STEP name resolution, unlike exists(): a column query against
+    // IN ('Name', 'name') could match a quoted-mixed-case table AND the
+    // folded one at once and silently interleave their columns into one
+    // garbled schema — so the verbatim name is tried first, then the
+    // Postgres-folded name only if verbatim matched nothing. exists()
+    // keeps the combined IN: either match IS existence.
+    def columnsOf(mode: String) = spark.read.format("jdbc")
       .option("url", jdbcUrl(connection))
       .option("query",
-        // same folded-name predicate (and ident whitelist) as exists()
         s"SELECT column_name, data_type, udt_name FROM information_schema.columns " +
-          s"WHERE ${catalogPredicate(collection)} ORDER BY ordinal_position")
+          s"WHERE ${catalogPredicate(collection, mode)} ORDER BY ordinal_position")
       .option("user", connection.getOrElse("user", "postgres"))
       .option("password", connection.getOrElse("password", ""))
-      .load()
-    val fields = df.collect().map { r =>
+      .load().collect()
+    val rows = {
+      val verbatim = columnsOf("verbatim")
+      if (verbatim.nonEmpty) verbatim else columnsOf("folded")
+    }
+    val fields = rows.map { r =>
       val dt = r.getString(2) match {
         case "vector" => ArrayType(FloatType)
         case "int4" | "int8" => LongType

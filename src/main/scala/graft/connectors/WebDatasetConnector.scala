@@ -161,7 +161,13 @@ class WebDatasetConnector extends VectorConnector {
           // read side constructs. The INTERSECTION of listed and present
           // keys is what gets reparsed: a transform/projection that
           // dropped a listed key must not void the round trip for the
-          // keys that survived (nor leak the stale tag into the export)
+          // keys that survived (nor leak the stale tag into the export).
+          // DELIBERATE tradeoff: a foreign string-array __typed naming
+          // one coincidentally-present key is consumed by this rule —
+          // accepted because __typed is this engine's own reserved name
+          // and the stale-our-tag shape arises from documented transforms,
+          // while the foreign shape requires a field literally named
+          // __typed holding a JSON string array naming sibling keys
           val typedParsed: Option[Set[String]] = all.get("__typed").flatMap { t =>
             try {
               val a = mapper.readTree(t)

@@ -191,7 +191,12 @@ object SigIndex {
       // ...but trust is branch-scoped: with a manifest the params are the
       // index's own (no mismatch possible — skip the probe, keeping ingest
       // cost flat in history); a PRE-MANIFEST index runs on caller-guessed
-      // params, exactly the population the structural probe exists for
+      // params — the population the probe exists for. The probe covers
+      // every INDEX-WITNESSABLE axis (numHashes/numBands/portable);
+      // shingleSize is NOT witnessable (signatures retain no text), so a
+      // guessed-wrong shingleSize on a legacy index still silently
+      // under-detects — adopt legacy indexes into a manifest
+      // ([[adoptManifest]]) rather than ingesting on guesses
       verifyStructure = manifest.isEmpty)
     val dupIds = graft.ops.Materialize( // one corpus-side pass feeds count + anti-join
       pairs.select(col("batch_id").as(p.idCol)).distinct())
@@ -324,6 +329,26 @@ object SigIndex {
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$indexDir/params.json"), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Adopt a PRE-MANIFEST (legacy) index: record its known build params
+    * as the manifest, so every future ingest/stream resolves structural
+    * params from the index itself instead of caller guesses — including
+    * `shingleSize`, the one axis the structural probe cannot witness
+    * (signatures retain no text). The witnessable axes
+    * (numHashes/numBands/portable) ARE cross-checked against the
+    * artifacts before writing, so adopting wrong params fails here
+    * rather than poisoning every future ingest. One-time operator
+    * action; refuses to overwrite an existing manifest. */
+  def adoptManifest(spark: SparkSession, indexDir: String, p: Params): Unit = {
+    require(readManifest(spark, indexDir).isEmpty,
+      s"$indexDir already has a params.json manifest — adoption is only " +
+        "for pre-manifest indexes (the existing manifest is authoritative)")
+    graft.ops.Dedup.requireIndexCompatible(
+      spark.read.parquet(s"$indexDir/sigs"),
+      spark.read.parquet(s"$indexDir/bands"),
+      p.idCol, p.numHashes, p.numBands, p.portable)
+    writeManifest(spark, indexDir, p)
   }
 
   /** The structural hashing params the index was built with, if the

@@ -336,8 +336,11 @@ object Dedup {
                              idCol: String, numHashes: Int, numBands: Int,
                              portable: Boolean): Unit = {
     val spark = corpusSigs.sparkSession
+    // size > 0, not just isNotNull: zero-shingle docs are marker-indexed
+    // with EMPTY signatures (SigIndex ingest leg 1), and a marker row
+    // would fail the width check on perfectly correct params
     val proj = corpusSigs.select(col(idCol), col("minhash_sig"))
-      .filter(col(idCol).isNotNull && col("minhash_sig").isNotNull)
+      .filter(col(idCol).isNotNull && size(col("minhash_sig")) > 0)
     val sigRows = proj.limit(ProbeSamples).collect()
     if (sigRows.isEmpty) return // fresh/empty index: nothing to contradict
     sigRows.foreach { r =>

@@ -338,6 +338,28 @@ class CliSpec extends SparkSpec {
     val r = graft.core.SigIndex.ingest(spark, batch, indexDir,
       graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
     assert(r.corpusDups == 1, r.toString)
+    // that successful ingest appended EMPTY marker sigs for zero-shingle
+    // docs in earlier indexes — replay that shape: a marker row must be
+    // skipped by the probe, not fail the width check on correct params
+    Seq((99L, Seq.empty[Long])).toDF("doc_id", "minhash_sig")
+      .write.mode("append").parquet(s"$indexDir/sigs")
+    val r2 = graft.core.SigIndex.ingest(spark, batch, indexDir,
+      graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
+    assert(r2.corpusDups == 1, r2.toString) // probed fine, still detected
+    // adoptManifest: cross-checks witnessable axes, then pins ALL params
+    // (incl. shingleSize, the non-witnessable one) for future ingests
+    intercept[IllegalArgumentException] {
+      graft.core.SigIndex.adoptManifest(spark, indexDir,
+        graft.core.SigIndex.Params(numHashes = 16, numBands = 4)) // portable wrong
+    }
+    graft.core.SigIndex.adoptManifest(spark, indexDir,
+      graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
+    assert(graft.core.SigIndex.readManifest(spark, indexDir)
+      .exists(_.portable), "manifest adopted")
+    intercept[IllegalArgumentException] { // refuses a second adoption
+      graft.core.SigIndex.adoptManifest(spark, indexDir,
+        graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
+    }
   }
 
   test("sig-index lease: concurrent compact-during-ingest rejected, stale lease expires") {

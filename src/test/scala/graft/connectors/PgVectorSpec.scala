@@ -64,5 +64,14 @@ class PgVectorSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       c.catalogPredicate("x'; DROP TABLE y--")
     }
+    // cross-database references and trailing-dot typos are rejected, not
+    // silently truncated into a different table's predicate
+    assertThrows[IllegalArgumentException] {
+      c.catalogPredicate("mydb.analytics.embeddings")
+    }
+    assertThrows[IllegalArgumentException] { c.catalogPredicate("items.") }
+    // schemaInfo's two-step resolution uses single-name modes
+    assert(c.catalogPredicate("MyTable", "verbatim") == "table_name IN ('MyTable')")
+    assert(c.catalogPredicate("MyTable", "folded") == "table_name IN ('mytable')")
   }
 }

@@ -48,7 +48,9 @@ if ! grep -q "ALL GREEN" "$OUT/check.log"; then
 fi
 
 TESTS=$(grep -oE "Tests: succeeded [0-9]+" "$OUT/test.log" | tail -1 | grep -oE "[0-9]+" || echo "?")
-GATES=$(grep -cE "^ok " "$OUT/check.log" || echo "?")
+# grep -c prints the 0 itself before exiting nonzero — '|| true', not a
+# fallback echo, or GATES becomes the two-line string "0\n?"
+GATES=$(grep -cE "^ok " "$OUT/check.log" || true)
 STAMP=$(date -u +"%Y-%m-%dT%H:%M:%SZ")
 HEAD_SHA=$(git rev-parse --short HEAD)
 DIRTY=$(git status --porcelain | wc -l)
