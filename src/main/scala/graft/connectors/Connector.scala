@@ -81,16 +81,16 @@ object ConnectorRegistry {
   /** Programmatic registration — the library surface the reference exposes
     * via `DBMigrator(ADAPTERS + custom)` (`tests/test_core.py:47-119`). */
   def register(c: VectorConnector): Unit = synchronized {
-    extra = extra + (c.name.toLowerCase -> c)
+    extra = extra + (c.name.toLowerCase(java.util.Locale.ROOT) -> c)
   }
 
   def all: Map[String, VectorConnector] =
-    builtin.map(c => c.name.toLowerCase -> c).toMap ++ extra
+    builtin.map(c => c.name.toLowerCase(java.util.Locale.ROOT) -> c).toMap ++ extra
 
   def apply(name: String): VectorConnector =
-    all.getOrElse(name.toLowerCase,
+    all.getOrElse(name.toLowerCase(java.util.Locale.ROOT),
       throw new graft.config.ConfigException(
         s"unknown connector type: $name. Valid types: ${all.keys.toSeq.sorted.mkString(", ")}"))
 
-  def get(name: String): Option[VectorConnector] = all.get(name.toLowerCase)
+  def get(name: String): Option[VectorConnector] = all.get(name.toLowerCase(java.util.Locale.ROOT))
 }

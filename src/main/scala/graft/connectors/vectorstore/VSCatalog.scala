@@ -40,7 +40,7 @@ class VSCatalog extends TableCatalog {
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     catalogOptions = options
-    val backend = Option(options.get("backend")).map(_.toLowerCase).getOrElse("qdrant")
+    val backend = Option(options.get("backend")).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("qdrant")
     spec = TransportSpec.fromOptions(k => Option(options.get(k)), backend)
     provider = backend match {
       case "qdrant" => new QdrantProvider
@@ -83,7 +83,7 @@ class VSCatalog extends TableCatalog {
     if (partitions.nonEmpty)
       throw new UnsupportedOperationException("vector-store tables are unpartitioned")
     val vectorType =
-      Option(properties.get("vector_type")).map(_.toUpperCase).getOrElse {
+      Option(properties.get("vector_type")).map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse {
         // infer the collection face from the declared vector column type
         schema.fields.find(_.name == Canonical.VECTOR).map(_.dataType) match {
           case Some(org.apache.spark.sql.types.BinaryType) => VectorTypes.Binary

@@ -55,7 +55,7 @@ abstract class VectorStoreProvider extends TableProvider with DataSourceRegister
     * reference's schema-driven field heuristic, `adapters/milvus.py:82` —
     * first FLOAT_VECTOR or BINARY_VECTOR field is THE vector field). */
   protected def vectorTypeOf(opts: CaseInsensitiveStringMap): String =
-    Option(opts.get("vector_type")).map(_.toUpperCase)
+    Option(opts.get("vector_type")).map(_.toUpperCase(java.util.Locale.ROOT))
       .orElse(Option(opts.get("collection"))
         .flatMap(_ => VectorStore.resolve(specOf(opts)).describe(collectionName(opts)))
         .map(_.vectorType))
@@ -1092,7 +1092,7 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
       // case-insensitive + alias-tolerant, like the reference's lowercase
       // distance map (adapters/qdrant.py:163-169 accepts "cosine")
       val raw = Option(opts.get("distance")).getOrElse(if (binaryVec) "Hamming" else "Cosine")
-      val distance = raw.toLowerCase match {
+      val distance = raw.toLowerCase(java.util.Locale.ROOT) match {
         case "cosine" => "Cosine"
         case "euclid" | "euclidean" | "l2" => "Euclid"
         case "dot" | "dotproduct" | "ip" => "Dot"

@@ -694,7 +694,7 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     case "Cosine" => "cosine"
     case "Euclid" | "Euclidean" => "euclidean"
     case "Dot" | "DotProduct" => "dotproduct"
-    case other => other.toLowerCase
+    case other => other.toLowerCase(java.util.Locale.ROOT)
   }
   private def fromMetric(m: String): String = m match {
     case "cosine" => "Cosine"

@@ -814,7 +814,7 @@ class PineconeWireServer(inner: VectorStoreTransport, port: Int = 0,
               case "Cosine" => "cosine"
               case "Euclid" | "Euclidean" => "euclidean"
               case "Dot" | "DotProduct" => "dotproduct"
-              case other => other.toLowerCase
+              case other => other.toLowerCase(java.util.Locale.ROOT)
             })
             respond(ex, 200, o)
         }

@@ -73,7 +73,7 @@ case class BpeEncodeExpr(child: Expression, merges: Array[(String, String)])
   override def prettyName: String = "bpe_encode"
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+    val text = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
     if (text.isEmpty) return new GenericArrayData(Array.empty[Any])
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     text.split("\\s+").foreach { w =>

@@ -54,7 +54,7 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
                  saltFactor: Int = 8, joinType: String = "inner",
                  saltCols: Seq[String] = Nil): DataFrame = {
-    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+    require(SafeJoinTypes.contains(joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")),
       s"saltedJoin cannot run '$joinType': the right side is replicated " +
         s"$saltFactor times, so right-preserving joins emit every unmatched " +
         "right row once per salt — use inner/left_outer/left_semi/left_anti")

@@ -33,7 +33,7 @@ object TextSearch {
                  k1: Double = 1.2, b: Double = 0.75,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
-    val terms = queryTerms.map(_.toLowerCase).distinct
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val toks = TextFunctions.tokens(lower(col(textCol)))
     // ONE corpus scan: per doc, its length and the multiset of matching
     // query tokens (usually empty — the filter runs inside the scan
