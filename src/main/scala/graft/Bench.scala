@@ -37,6 +37,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * checkout.
   */
 object Bench {
+  /** 3-decimal JSON number, Locale.ROOT: an f-interpolator uses the JVM
+    * default locale, so a de_DE host would print "0,215" and corrupt the
+    * one JSON line the driver parses into BENCH_r{N}.json. */
+  private def d3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
   /** Headline subset: one representative per operator family (agg, join,
     * window top-k, sort-limit, dedup exact/fuzzy/vector, ANN, text,
     * sessionization, centroid, connector scan). Full inventory runs in
@@ -146,7 +152,7 @@ object Bench {
                                          loadPre: Double, loadPost: Double) {
     def noisy: Boolean = sectionNoisy(this)
     def json: String =
-      s"""{"calib_pre":${f"$calibPre%.3f"},"calib_post":${f"$calibPost%.3f"},""" +
+      s"""{"calib_pre":${d3(calibPre)},"calib_post":${d3(calibPost)},""" +
         s""""load_pre":$loadPre,"load_post":$loadPost,"noisy":$noisy}"""
   }
 
@@ -248,8 +254,8 @@ object Bench {
   private def jsonMaps(results: Seq[(String, Double, Double)]): (String, String) = {
     def m(f: ((String, Double, Double)) => String): String =
       results.map(f).mkString("{", ",", "}")
-    (m { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" },
-      m { case (k, _, i) => "\"" + k + "\":" + f"$i%.3f" })
+    (m { case (k, v, _) => "\"" + k + "\":" + d3(v) },
+      m { case (k, _, i) => "\"" + k + "\":" + d3(i) })
   }
 
   /** A query whose dispersion exceeds its median is not a measurement —
@@ -287,7 +293,7 @@ object Bench {
       bracketed(spark)(measure(spark, sfDir, samples, pipelineHeadline))
     val (pq, pi) = jsonMaps(resPipe)
     val pipeJson =
-      s""","pipeline_total":${f"${resPipe.map(_._2).sum}%.3f"},"pipeline_queries":$pq,""" +
+      s""","pipeline_total":${d3(resPipe.map(_._2).sum)},"pipeline_queries":$pq,""" +
         s""""pipeline_queries_iqr":$pi""" + noisyIqrJson("pipeline_noisy_iqr", resPipe)
     // Scale ramp: the materialized sf1 dataset (see [[BenchGen]] — 10x,
     // replicas de-correlated so dedup stays linear) is GENERATED when
@@ -318,10 +324,10 @@ object Bench {
       val (rp1, stp1) = bracketed(spark)(measure(spark, d, s1, pipelineHeadline))
       val (qp1, ip1) = jsonMaps(rp1)
       sf1Sections = Map("sf1" -> st1, "sf1_pipeline" -> stp1)
-      s""","sf1_total":${f"${r1.map(_._2).sum}%.3f"},"sf1_queries":$q1,""" +
+      s""","sf1_total":${d3(r1.map(_._2).sum)},"sf1_queries":$q1,""" +
         s""""sf1_queries_iqr":$i1,"sf1_samples":$s1,"sf1_dir":"$d"""" +
         s""","sf1_generated":$sf1Generated""" + noisyIqrJson("sf1_noisy_iqr", r1) +
-        s""","sf1_pipeline_total":${f"${rp1.map(_._2).sum}%.3f"}""" +
+        s""","sf1_pipeline_total":${d3(rp1.map(_._2).sum)}""" +
         s""","sf1_pipeline_queries":$qp1,"sf1_pipeline_queries_iqr":$ip1""" +
         noisyIqrJson("sf1_pipeline_noisy_iqr", rp1)
     }.getOrElse("") + sf1ErrJson
@@ -335,7 +341,7 @@ object Bench {
     val noisySections = sections.toSeq.sortBy(_._1).collect { case (k, v) if v.noisy => k }
     val anyNoisy = noisyHost(calibFirst, calibLast) || noisySections.nonEmpty
     val sentinel =
-      s""","calib_first_sec":${f"$calibFirst%.3f"},"calib_last_sec":${f"$calibLast%.3f"}""" +
+      s""","calib_first_sec":${d3(calibFirst)},"calib_last_sec":${d3(calibLast)}""" +
         s""","load_1m_before":$loadBefore,"load_1m_after":$loadAfter""" +
         s""","sections":$sectionsJson""" +
         s""","noisy_sections":${noisySections.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
