@@ -29,6 +29,16 @@ object Chunking {
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(width > 0 && stride > 0 && stride <= width,
       "need width > 0 and 0 < stride <= width")
+    // loud on collision, not silent overwrite: the doc promise is that
+    // every caller column rides along — a frame already carrying these
+    // names (e.g. re-chunking an exported chunk table) would have its
+    // metadata silently replaced by the new indexes
+    val reserved = Seq("chunk_idx", "n_tokens", "chunk_text", "__toks")
+    val clash = reserved.filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"chunkByTokens writes ${clash.mkString(", ")} but the input already " +
+        "carries such column(s) — rename them first (they would be " +
+        "silently overwritten)")
     // ONE tokenization definition across Chunking/TextSearch/Bpe — the
     // shared helper carries the null/empty guard since round 13
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
@@ -66,7 +76,10 @@ object Chunking {
     chunks
       .select(col(docIdCol), posexplode(col(vecCol)).as(Seq("i", "v")))
       .groupBy(col(docIdCol), col("i"))
-      .agg(floor(sum(round(col("v").cast("double") * 1e6)) / count(lit(1)) + 0.5)
+      // count(v), not count(*): sum() skips null components, so counting
+      // their rows would silently dilute the mean toward zero on arrays
+      // with containsNull — numerator and denominator must agree
+      .agg(floor(sum(round(col("v").cast("double") * 1e6)) / count(col("v")) + 0.5)
         .cast("long").as("pooled6"))
       .select(col(docIdCol), (col("i") + 1).as("pos"), col("pooled6"),
         (col("pooled6") / 1e6).as("pooled_v"))

@@ -45,8 +45,35 @@ object Quantization {
       s"query set exceeds Quantization.MaxQueryRows ($MaxQueryRows rows) — queries " +
         "are driver-collected into broadcast ADC tables by contract (did the " +
         "candidates/queries arguments get swapped?)")
+    // loud, not an opaque NPE three calls later: the ADC faces key their
+    // broadcast tables by LONG query id (unlike the id-type-agnostic
+    // Similarity.bruteForceTopK/lshTopK) — a UUID/string id nulls out
+    // under the cast
+    require(rows.forall(r => !r.isNullAt(0)),
+      s"query '$idCol' must be non-null and castable to long — the PQ/IVF-PQ " +
+        "ADC faces address driver-built tables by numeric query id; for " +
+        "string ids use Similarity.bruteForceTopK/lshTopK, or map ids first")
     rows
   }
+
+  /** Per-subspace l2² table of `vec` against every codeword: entry
+    * (s)(c) = Σ_i (vec[s·dsub+i] − codebooks(s)(c)(i))², clamped to the
+    * vector's tail for ragged inputs. ONE definition for the ADC faces
+    * (plain PQ queries and IVF-PQ residuals) so the clamping can never
+    * silently diverge between them. */
+  private def subspaceL2Tables(vec: Array[Double],
+                               codebooks: Array[Array[Array[Double]]],
+                               dsub: Int): Array[Array[Double]] =
+    codebooks.zipWithIndex.map { case (subCb, s) =>
+      subCb.map { cw =>
+        var acc = 0.0
+        var i = 0
+        val base = s * dsub
+        val lim = math.min(dsub, math.max(vec.length - base, 0))
+        while (i < lim) { val d = vec(base + i) - cw(i); acc += d * d; i += 1 }
+        acc
+      }
+    }
 
   /** Train per-subspace codebooks: split `vecCol` into `m` contiguous
     * subvectors of dim/m components and run `iters` Lloyd's rounds on each
@@ -154,19 +181,8 @@ object Quantization {
     // bounded collect: the query set (broadcast by contract, enforced via
     // MaxQueryRows), one l2² table per query against every codeword
     val qRows = collectQueries(queries, idCol, vecCol)
-    val tables: Array[Array[Array[Double]]] = qRows.map { r =>
-      val qv = r.getSeq[Double](1).toArray
-      codebooks.zipWithIndex.map { case (cb, s) =>
-        cb.map { cw =>
-          var acc = 0.0
-          var i = 0
-          val base = s * dsub
-          val lim = math.min(dsub, math.max(qv.length - base, 0))
-          while (i < lim) { val d = qv(base + i) - cw(i); acc += d * d; i += 1 }
-          acc
-        }
-      }
-    }
+    val tables: Array[Array[Array[Double]]] =
+      qRows.map(r => subspaceL2Tables(r.getSeq[Double](1).toArray, codebooks, dsub))
     val spark = candidates.sparkSession
     import spark.implicits._
     val qdf = qRows.zipWithIndex.map { case (r, i) => (r.getLong(0), i) }
@@ -253,11 +269,15 @@ object Quantization {
       .select(transform(col("center"), _.cast("double")))
       .collect().map(_.getSeq[Double](0).toArray)
 
-    // one scan: cell assignment + residual, fused
-    val resDf = candidates
+    // one scan: cell assignment + residual, fused. MATERIALIZED: this is
+    // the most expensive kernel in the build (full-collection nearest-
+    // center argmin + residual) and has several consumers — pqTrain's
+    // seed collect + each Lloyd round + the final encode scan — which
+    // would each recompute it from lineage otherwise
+    val resDf = Materialize(candidates
       .select(col(idCol),
         graft.functions.VectorExpressions.nearestResidual(col(vecCol), cellVecs).as("nr"))
-      .select(col(idCol), col("nr.idx").as("cell_id"), col("nr.residual").as("res"))
+      .select(col(idCol), col("nr.idx").as("cell_id"), col("nr.residual").as("res")))
 
     // PQ codebooks over residuals; encode = second scan producing the
     // narrow (cand_id, cell_id, codes) index table
@@ -308,31 +328,10 @@ object Quantization {
       "exact re-rank needs the original vector collection")
     val dsub = cb(0)(0).length
 
-    // per-(query, cell) ADC tables over the query's residual in that cell
-    // (query set driver-collected under the MaxQueryRows contract)
+    // probe list FIRST: the nProbe cells nearest each query (l2, ties to
+    // the lowest cell) — driver-derived, queries are bounded
     val qRows = collectQueries(queries, idCol, vecCol)
-    val nC = cellVecs.length
-    val tables: Array[Array[Array[Double]]] = qRows.flatMap { r =>
-      val qv = r.getSeq[Double](1).toArray
-      cellVecs.map { cv =>
-        val qres = Array.tabulate(qv.length)(i => qv(i) - (if (i < cv.length) cv(i) else 0.0))
-        cb.zipWithIndex.map { case (subCb, s) =>
-          subCb.map { cw =>
-            var acc = 0.0
-            var i = 0
-            val base = s * dsub
-            val lim = math.min(dsub, math.max(qres.length - base, 0))
-            while (i < lim) { val d = qres(base + i) - cw(i); acc += d * d; i += 1 }
-            acc
-          }
-        }
-      }
-    }
-    // probe list: the nProbe cells nearest the query (l2, ties to the
-    // lowest cell) — driver-derived, queries are bounded
-    val spark = coded.sparkSession
-    import spark.implicits._
-    val probes = qRows.zipWithIndex.flatMap { case (r, qi) =>
+    val probed: Array[(Int, Int)] = qRows.zipWithIndex.flatMap { case (r, qi) =>
       val qv = r.getSeq[Double](1).toArray
       cellVecs.zipWithIndex.map { case (cv, ci) =>
         var acc = 0.0
@@ -340,10 +339,23 @@ object Quantization {
         var i = 0
         while (i < n) { val d = qv(i) - cv(i); acc += d * d; i += 1 }
         (acc, ci)
-      }.sortBy(identity).take(nProbe)
-        .map { case (_, ci) => (r.getLong(0), ci, qi * nC + ci) }
-    }.toSeq
-    val qdf = probes.toDF("query_id", "cell_id", "tbl_idx")
+      }.sortBy(identity).take(nProbe).map { case (_, ci) => (qi, ci) }
+    }
+    // ADC tables ONLY for the (query, probed-cell) pairs, densely indexed:
+    // building all nCells tables per query wasted (nCells−nProbe)/nCells
+    // of the driver work AND of the reference object serialized into
+    // every executor task — only probed indexes are ever addressed
+    val tables: Array[Array[Array[Double]]] = probed.map { case (qi, ci) =>
+      val qv = qRows(qi).getSeq[Double](1).toArray
+      val cv = cellVecs(ci)
+      val qres = Array.tabulate(qv.length)(i => qv(i) - (if (i < cv.length) cv(i) else 0.0))
+      subspaceL2Tables(qres, cb, dsub)
+    }
+    val spark = coded.sparkSession
+    import spark.implicits._
+    val qdf = probed.zipWithIndex
+      .map { case ((qi, ci), ti) => (qRows(qi).getLong(0), ci, ti) }
+      .toSeq.toDF("query_id", "cell_id", "tbl_idx")
 
     val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
     val adc = coded.join(broadcast(qdf), Seq("cell_id"))

@@ -33,7 +33,13 @@ object TextSearch {
                  k1: Double = 1.2, b: Double = 0.75,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
-    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    // tokenize the QUERY with the same whitespace split as the corpus: a
+    // multi-word term ("machine learning") can never equal a document
+    // token, so it used to contribute silently nothing — now it means its
+    // tokens, the standard bag-of-words reading
+    val terms = queryTerms.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    require(terms.nonEmpty, "bm25Search query terms are all whitespace")
     val toks = TextFunctions.tokens(lower(col(textCol)))
     // ONE corpus scan: per doc, its length and the multiset of matching
     // query tokens (usually empty — the filter runs inside the scan
@@ -52,7 +58,10 @@ object TextSearch {
       .select(col(idCol), col("dl"), explode(col("__mt")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
-    val dfreq = posting.groupBy("term").agg(count_distinct(col(idCol)).as("df"))
+    // plain count: posting is unique per (id, term) BY CONSTRUCTION (it is
+    // a groupBy(id, term) output), so count(DISTINCT id) would only add an
+    // expand + second shuffle stage for identical df values
+    val dfreq = posting.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
     val w = idf * (col("tf") * (k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))

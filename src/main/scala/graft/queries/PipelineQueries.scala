@@ -1824,7 +1824,7 @@ object PipelineQueries {
         "unnest(list_transform(cnt, x -> CAST(round(round(x / nn, 6) * 1000000) AS BIGINT))) " +
         "AS v6 FROM nrm) " +
         "SELECT doc_id, i + 1 AS pos, " +
-        "CAST(floor(CAST(sum(v6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS pooled6 " +
+        "CAST(floor(CAST(sum(v6) AS DOUBLE) / count(v6) + 0.5) AS BIGINT) AS pooled6 " +
         "FROM v6 GROUP BY doc_id, i"
     }
     val incrementalSql = {

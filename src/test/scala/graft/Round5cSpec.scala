@@ -16,6 +16,21 @@ class Bm25Spec extends SparkSpec {
     (4L, "nothing relevant here"),
     (5L, "spark vector")).toDF("doc_id", "text")
 
+  test("multi-word query terms mean their tokens (bag-of-words), never silent zero") {
+    // "spark vector" as ONE term can never equal a whitespace token; it
+    // must read as its tokens, identical to passing them separately
+    val phrase = TextSearch.bm25Search(docs, Seq("spark vector"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq
+    val words = TextSearch.bm25Search(docs, Seq("spark", "vector"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(phrase == words && phrase.nonEmpty)
+    // all-whitespace query is a loud error, not an empty result
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.bm25Search(docs, Seq("  ", "\t"))
+    }
+    assert(e.getMessage.contains("whitespace"), e.getMessage)
+  }
+
   test("ranking follows tf, idf, and length normalization") {
     val got = TextSearch.bm25Search(docs, Seq("spark", "vector"), k = 5)
       .as[(Long, Double, Long)].collect()

@@ -208,6 +208,17 @@ class ChunkingSpec extends SparkSpec {
     val exchanges = out.queryExecution.executedPlan.toString
     assert(!exchanges.contains("Exchange"), exchanges)
   }
+
+  test("re-chunking a frame that already carries chunk columns is a loud error") {
+    // the op promises caller columns ride along — it must not silently
+    // overwrite a pre-existing chunk_idx with its new window index
+    val already = Chunking.chunkByTokens(docs, width = 4, stride = 4)
+      .withColumn("text", col("chunk_text"))
+    val e = intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(already, width = 2, stride = 2)
+    }
+    assert(e.getMessage.contains("chunk_idx"), e.getMessage)
+  }
 }
 
 class CohortSpec extends SparkSpec {

@@ -48,6 +48,18 @@ class BoundedCollectSpec extends SparkSpec {
     assert(e.getMessage.contains("swapped"), e.getMessage) // diagnoses the likely cause
   }
 
+  test("pqTopK: string query ids fail loudly, not as an opaque NPE") {
+    import spark.implicits._
+    val cands = vecsDf(16)
+    val strQueries = Seq(("a-uuid-like-id", Seq(0.1f, 0.2f, 0.3f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Quantization.pqTopK(cands, strQueries, k = 2, m = 2, ksub = 4, iters = 1)
+    }
+    assert(e.getMessage.contains("castable to long"), e.getMessage)
+    assert(e.getMessage.contains("bruteForceTopK"), e.getMessage) // names the alternative
+  }
+
   test("searchIvfPq: the per-cell-table face enforces the same query ceiling") {
     val (index, coded) = Quantization.buildIvfPqIndex(vecsDf(8), nCells = 2,
       m = 2, ksub = 4)
