@@ -16,7 +16,12 @@ import graft.functions.{HashExpressions, TextFunctions}
   */
 object Decontaminate {
 
-  /** @return one row per eval doc: total shingles, how many appear
+  /** @return one row per eval doc — INCLUDING docs too short to shingle
+    *         (empty/null text, fewer than `shingleSize` tokens), which
+    *         report `n_shingles = 0, containment = 0.0, contaminated =
+    *         false` rather than silently vanishing: a consumer treating
+    *         absence as "audited clean" must never skip the short
+    *         benchmark items. Columns: total shingles, how many appear
     *         anywhere in train, the containment fraction, and the flag. */
   def containment(train: DataFrame, eval: DataFrame,
                   idCol: String = "doc_id", textCol: String = "text",
@@ -24,20 +29,24 @@ object Decontaminate {
     val trainShingles = train
       .select(explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
       .distinct()
+    // explode_OUTER: a zero-shingle eval doc keeps one null-shingle row
+    // (excluded from both counts) instead of dropping out of the report
     val evalShingles = eval
-      .select(col(idCol), explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .select(col(idCol), explode_outer(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
     // One pass over the eval side: a left-outer probe against the DISTINCT
     // train set cannot fan out, so total and shared counts come from the
     // same aggregate (two scans + two aggs otherwise).
     evalShingles
       .join(trainShingles.withColumn("__hit", lit(1)), Seq("sh"), "left_outer")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_shared"))
+      .agg(count(col("sh")).as("n_shingles"), count(col("__hit")).as("n_shared"))
       .select(
         col(idCol),
         col("n_shingles"),
         col("n_shared"),
-        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("containment"))
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_shared").cast("double") / col("n_shingles"), 6))
+          .as("containment"))
       .withColumn("contaminated", col("containment") >= threshold)
   }
 
@@ -61,25 +70,36 @@ object Decontaminate {
                        idCol: String = "doc_id", textCol: String = "text",
                        shingleSize: Int = 3, threshold: Double = 0.5,
                        expectedShingles: Long = 1000000L, fpp: Double = 0.001): DataFrame = {
-    // hash shingles to long first: the filter stores 8-byte keys, not text,
-    // and the SAME kernel hashes both sides so membership is consistent
+    // hash shingles to FULL-64-bit longs: the filter stores 8-byte keys,
+    // not text, and the SAME kernel hashes both sides so membership is
+    // consistent. 64 bits, NOT the MinHash family's mod-P reduction —
+    // at the billions-of-train-shingles scale this face advertises, a
+    // 31-bit space saturates (occupancy 1−exp(−D/2³¹) → every clean eval
+    // doc reports high containment from chance collisions alone); full
+    // 64-bit keys keep the Bloom fpp the actual error floor, preserving
+    // the documented "over-reports by at most ~fpp" bound.
     def shingleHashes(df: DataFrame, cols: org.apache.spark.sql.Column*) =
-      df.select(cols :+ explode(
-        HashExpressions.wordShingleHashes(col(textCol), shingleSize)).as("sh"): _*)
-    val filter = shingleHashes(train).stat.bloomFilter("sh", expectedShingles, fpp)
+      df.select(cols :+ explode_outer(
+        HashExpressions.wordShingleHashes64(col(textCol), shingleSize)).as("sh"): _*)
+    val filter = shingleHashes(train).filter(col("sh").isNotNull)
+      .stat.bloomFilter("sh", expectedShingles, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(filter)
     // codegen'd probe over the broadcast handle — stays inside whole-stage
     // codegen where a udf() would force an interpreted boxing boundary
     val hit = HashExpressions.bloomMightContain(col("sh"), bc)
+    // explode_outer + count(sh): zero-shingle eval docs stay in the report
+    // (same one-row-per-eval-doc contract as the exact face)
     shingleHashes(eval, col(idCol))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shingles"),
+      .agg(count(col("sh")).as("n_shingles"),
         count(when(hit, 1)).as("n_shared"))
       .select(
         col(idCol),
         col("n_shingles"),
         col("n_shared"),
-        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("containment"))
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_shared").cast("double") / col("n_shingles"), 6))
+          .as("containment"))
       .withColumn("contaminated", col("containment") >= threshold)
   }
 
@@ -185,9 +205,14 @@ object Decontaminate {
       val tb = train.select(col(idCol), col(vecCol).as("__tv"))
         .withColumn("__bkt", Similarity.bucketExpr("__tv", planes))
       // eid widened to long like the exact + streaming faces, so every
-      // semantic-decontamination face emits the same nearest_eval_id schema
-      val eb = broadcast(eval.select(col(idCol).cast("long").as("__eid"),
-        col(vecCol).as("__ev"))
+      // semantic-decontamination face emits the same nearest_eval_id
+      // schema — and filtered like collectEvalSet (null ids/vectors can
+      // never meaningfully win an argmax; unfiltered, a null-id eval row
+      // could win and report nearest_eval_id = null, so the two faces
+      // would disagree on identical input)
+      val eb = broadcast(eval
+        .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("__eid"), col(vecCol).as("__ev"))
         .withColumn("__bkt", Similarity.bucketExpr("__ev", planes)))
       tb.join(eb, "__bkt")
         .withColumn("__c",

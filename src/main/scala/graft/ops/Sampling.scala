@@ -37,7 +37,14 @@ object Sampling {
     val labeled = weights.map(_._1).zip(cuts).foldRight(lit(weights.last._1)) {
       case ((label, cut), acc) => when(bucket < cut, lit(label)).otherwise(acc)
     }
-    df.withColumn("split", labeled)
+    // xxhash64 of a NULL id is seed-constant, so every id-less row would
+    // land in ONE deterministic split together — fail loudly like
+    // splitPortable's null-bucket guard
+    df.withColumn("split",
+      when(col(idCol).isNotNull, labeled).otherwise(raise_error(concat(
+        lit(s"split: null '$idCol' cannot be assigned a split (all null " +
+          "ids hash identically and pile into one label) — filter or " +
+          "fill ids first")))))
   }
 
   /** Per-stratum deterministic sampling; strata absent from `fractions`
@@ -118,7 +125,14 @@ object Sampling {
     val labeled = weights.map(_._1).zip(cuts).foldRight(lit(weights.last._1)) {
       case ((label, cut), acc) => when(bucket < cut, lit(label)).otherwise(acc)
     }
-    df.withColumn("split", labeled)
+    // a NULL id gives a NULL bucket: every when() is null and the chain's
+    // fallback would silently dump ALL id-less rows into the LAST split —
+    // polluting exactly the eval/test label. Fail loudly at the row
+    // instead (same stance as the NaN-cut guard above).
+    df.withColumn("split",
+      when(bucket.isNotNull, labeled).otherwise(raise_error(concat(
+        lit(s"splitPortable: null '$idCol' cannot be assigned a split " +
+          "(it would silently land in the last label) — filter or fill ids first")))))
   }
 
   /** Downsample to a TARGET MIXTURE: given desired proportions per source

@@ -150,7 +150,13 @@ object TextAnalysis {
         sum(length(col(textCol)).cast("long")).as("n_chars"),
         sum(when(TextFunctions.qualityScore(col(textCol)) >= 0.5, 1L).otherwise(0L))
           .as("n_quality_pass"),
-        floor(sum(q6) / count(lit(1)) + 0.5).cast("long").as("mean_quality6"))
+        // floor(s/n + 0.5) in EXACT integer form, (2s+n) div 2n: the
+        // double-division form loses low bits once sum(q6) passes 2^53
+        // (~9e9 docs in one group at the 100 TB regime), where different
+        // engines' double rounding can disagree by one grid step —
+        // decimal arithmetic keeps the card bit-exact at any size
+        floor((sum(q6).cast("decimal(38,0)") * 2 + count(lit(1))) /
+          (count(lit(1)) * 2)).cast("long").as("mean_quality6"))
   }
 
   /** Markup-stripping text extraction — the first stage of every
@@ -301,10 +307,17 @@ object TextAnalysis {
     require(rate >= 0 && rate <= 1, s"rate out of range: $rate")
     val P = Sampling.PortableP
     val cut = math.floor(rate * P.toDouble).toLong
+    // id reduced like Sampling.portableBucket: string/UUID ids fold via
+    // the portable codepoint hash instead of nulling out under the long
+    // cast — a bare cast made hit() NULL at every position and the op
+    // silently masked NOTHING for an entire non-numeric-id corpus
+    val reducedId = coalesce(
+      pmod(col(idCol).cast("long"), lit(P)),
+      graft.functions.HashExpressions.portableStringFold(col(idCol).cast("string")))
     // per-(doc, position) bucket: fold the position into the reduced id
     // before the multiplicative mix; all intermediates stay < 2^63
     def hit(i: org.apache.spark.sql.Column) =
-      pmod(pmod(pmod(col(idCol).cast("long"), lit(P)) * 131 + i, lit(P)) *
+      pmod(pmod(reducedId * 131 + i, lit(P)) *
         lit(2654435761L) + lit(seed), lit(P)) < cut
     val toks = TextFunctions.tokens(col(textCol))
     val masked = transform(toks, (x, i) => when(hit(i), lit(maskTok)).otherwise(x))
@@ -346,15 +359,20 @@ object TextAnalysis {
     val corpus = grp.groupBy("token").agg(sum(col("cg")).as("c"))
     val totals = grp.groupBy(col("__g")).agg(sum(col("cg")).as("tg"))
     val corpusTotal = corpus.agg(sum(col("c")).as("t"))
-    // p_g·ln(p_g/p) = (cg/tg)·ln((cg·t)/(c·tg)); the log argument is a
-    // rational of exact ints, the weight is applied AFTER scaling so each
-    // term is round(ln(...)·1e9)·cg — exact integer math until the final
-    // divide by tg
+    // p_g·ln(p_g/p) = (cg/tg)·ln((cg·t)/(c·tg)); each factor is cast to
+    // double BEFORE the multiply — an int64 product cg·t overflows past
+    // ~9.2e18 (a 2e11-token corpus × a 5e7-count token), wrapping
+    // negative → log(NaN) → the dominant high-count terms silently
+    // vanishing from the sum. The log argument needs no exactness (it is
+    // rounded to the 1e-9 grid); the weight is applied AFTER scaling so
+    // each term is round(ln(...)·1e9)·cg — exact integer math until the
+    // final divide by tg
     grp.join(corpus, Seq("token"))
       .join(broadcast(totals), Seq("__g"))
       .crossJoin(broadcast(corpusTotal))
       .select(col("__g"), col("tg"),
-        (round(log((col("cg") * col("t")).cast("double") / (col("c") * col("tg"))) * 1e9)
+        (round(log((col("cg").cast("double") * col("t").cast("double")) /
+            (col("c").cast("double") * col("tg").cast("double"))) * 1e9)
           .cast("decimal(38,0)") * col("cg")).as("w9"))
       .groupBy(col("__g"))
       .agg(first(col("tg")).as("n_tokens"), sum(col("w9")).as("sw"))
@@ -469,7 +487,13 @@ object TextAnalysis {
       .filter(col("__n") >= minCount &&
         !(col("__canon.i") === col(idCol) && col("__canon.j") === col("j")))
       .groupBy(idCol).agg(collect_list(col("j")).as("__dj"))
-    val toks = split(trim(col(textCol)), "\\s+")
+    // rebuild tokenization MUST equal pass-1's (PortableTokenHashesExpr =
+    // Java String.trim + split): Spark's trim strips only ' ' — a leading
+    // newline would leave a phantom "" first token, shifting every index
+    // and cutting spans OFFSET BY ONE from the fingerprinted windows.
+    // Filtering empties equals Java-trim semantics for all inputs (split
+    // on \s+ can only produce "" at the ends).
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
     val kept = filter(toks, (_, i) => !array_contains(col("__dj"), (i / width).cast("int")))
     docs.join(dropped, Seq(idCol), "left_outer")
       .select(col(idCol),

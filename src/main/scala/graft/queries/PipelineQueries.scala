@@ -1018,7 +1018,11 @@ object PipelineQueries {
           "corpus AS (SELECT token, count(*) AS c FROM tok GROUP BY token), " +
           "tot AS (SELECT g, CAST(sum(cg) AS BIGINT) AS tg FROM grp GROUP BY g), " +
           "ct AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM corpus), " +
-          "w AS (SELECT grp.g AS g, tg, CAST(round(ln(CAST(cg * t AS DOUBLE)/(c * tg)) " +
+          // factors to DOUBLE before multiplying, mirroring the operator's
+          // int64-overflow guard (DuckDB would promote to HUGEINT — exact —
+          // while Spark wrapped; both sides now compute the same doubles)
+          "w AS (SELECT grp.g AS g, tg, CAST(round(ln((CAST(cg AS DOUBLE) * CAST(t AS DOUBLE))" +
+          "/(CAST(c AS DOUBLE) * CAST(tg AS DOUBLE))) " +
           "* 1000000000.0, 0) AS HUGEINT) * cg AS w9 " +
           "FROM grp JOIN corpus USING (token) JOIN tot USING (g), ct), " +
           "s AS (SELECT g, CAST(max(tg) AS BIGINT) AS n_tokens, sum(w9) AS sw " +
@@ -1252,9 +1256,12 @@ object PipelineQueries {
           "FROM cand JOIN nz a ON a.doc_id = cand.id_a JOIN nz b ON b.doc_id = cand.id_b) " +
           "SELECT id_a, id_b, round(j, 6) AS jaccard FROM v WHERE j >= 0.4"),
       "q_dedup_span_rewrite" ->
+        // rebuild toks mirror the operator: split then drop empty tokens
+        // (= Java-trim semantics), so indices align with the fingerprint
+        // windows even under leading/trailing non-space whitespace
         ("WITH d AS (SELECT doc_id, text, " +
-          "CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] " +
-          "ELSE string_split_regex(trim(text), '\\s+') END AS toks, " +
+          "CASE WHEN text IS NULL THEN [] " +
+          "ELSE list_filter(string_split_regex(text, '\\s+'), t -> t <> '') END AS toks, " +
           ltoksSql + " AS ltoks FROM documents), " +
           s"th AS (SELECT doc_id, text, toks, list_transform(ltoks, t -> ${tokHashSql("t")}) AS th FROM d), " +
           "w AS (SELECT doc_id, text, toks, list_transform(range(0, CASE WHEN len(th) >= 16 " +
@@ -1462,16 +1469,22 @@ object PipelineQueries {
           "SELECT media_id, CAST(n AS INT) AS n_frames, " +
           "array_to_string(range(0, n, 24), ',') AS sampled_frames_str FROM m"),
       "q_decontaminate" ->
+        // totals come from the eval DOCS, not the exploded shingles: a
+        // zero-shingle eval doc must still report (n_shingles 0,
+        // containment 0.0) — one row per eval doc, same as the operator
         (s"WITH base AS (SELECT doc_id, $shingles AS sh FROM " +
           "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ltoks FROM documents)), " +
           "tsh AS (SELECT DISTINCT unnest(sh) AS s FROM base WHERE doc_id >= 20), " +
           "esh AS (SELECT doc_id, unnest(sh) AS s FROM base WHERE doc_id < 20), " +
-          "tot AS (SELECT doc_id, count(*) AS n_shingles FROM esh GROUP BY doc_id), " +
+          "tot AS (SELECT doc_id, CAST(coalesce(len(sh), 0) AS BIGINT) AS n_shingles " +
+          "FROM base WHERE doc_id < 20), " +
           "shr AS (SELECT e.doc_id, count(*) AS n_shared FROM esh e " +
           "WHERE EXISTS (SELECT 1 FROM tsh t WHERE t.s = e.s) GROUP BY e.doc_id) " +
           "SELECT t.doc_id, n_shingles, coalesce(n_shared, 0) AS n_shared, " +
-          "round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) AS containment, " +
-          "round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) >= 0.5 AS contaminated " +
+          "CASE WHEN n_shingles = 0 THEN 0.0 ELSE " +
+          "round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) END AS containment, " +
+          "CASE WHEN n_shingles = 0 THEN 0.0 ELSE " +
+          "round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles, 6) END >= 0.5 AS contaminated " +
           "FROM tot t LEFT JOIN shr ON t.doc_id = shr.doc_id"),
       "q_decontaminate_semantic" ->
         ("WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id % 20 <> 0), " +
@@ -1891,8 +1904,9 @@ object PipelineQueries {
         s"CAST(sum($ntok) AS BIGINT) AS n_tokens, " +
         "CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
         s"CAST(sum(CASE WHEN $quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass, " +
-        s"CAST(floor(CAST(sum(CAST(round($quality * 1000000) AS BIGINT)) AS DOUBLE) " +
-        "/ count(*) + 0.5) AS BIGINT) AS mean_quality6 " +
+        // exact integer rounding (2s+n) div 2n, mirroring the operator
+        s"CAST((CAST(sum(CAST(round($quality * 1000000) AS BIGINT)) AS HUGEINT) * 2 " +
+        "+ count(*)) // (count(*) * 2) AS BIGINT) AS mean_quality6 " +
         "FROM documents GROUP BY source, lang")
     m + ("q_ann_mmr_tiered" -> m("q_ann_mmr")) + ("q_dsir_weights" -> dsirSql) +
       ("q_ann_hard_negatives" -> hardNegSql) + ("q_chunk_pool" -> chunkPoolSql) +

@@ -79,6 +79,65 @@ class SamplingSpec extends SparkSpec {
     assert(out(2L)._1 == 0.0 && !out(2L)._2)
   }
 
+  test("short/empty eval docs stay in the containment report, never vanish") {
+    import spark.implicits._
+    val train = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "alpha beta gamma delta"),  // shingles fine
+      (2L, "what is"),                 // 2 tokens < shingleSize: zero shingles
+      (3L, ""),                        // empty
+      (4L, null.asInstanceOf[String])) // null
+      .toDF("doc_id", "text")
+    def report(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toMap
+    for (face <- Seq(
+        Decontaminate.containment(train, eval),
+        Decontaminate.bloomContainment(train, eval))) {
+      val out = report(face)
+      // one row per eval doc — a consumer diffing ids against the report
+      // must never read absence as "audited clean"
+      assert(out.keySet == Set(1L, 2L, 3L, 4L), out.toString)
+      for (id <- Seq(2L, 3L, 4L))
+        assert(out(id) == ((0L, 0.0, false)), s"$id -> ${out(id)}")
+      assert(out(1L)._2 == 1.0 && out(1L)._3) // planted containment intact
+    }
+  }
+
+  test("null ids fail split assignment loudly instead of polluting one label") {
+    import spark.implicits._
+    val withNull = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b")).toDF("doc_id", "text")
+    for (face <- Seq(
+        () => Sampling.split(withNull, "doc_id", Seq("train" -> 0.9, "test" -> 0.1)),
+        () => Sampling.splitPortable(withNull, "doc_id", Seq("train" -> 0.9, "test" -> 0.1)))) {
+      val e = intercept[Exception] { face().collect() }
+      assert(String.valueOf(e.getMessage).contains("null") ||
+        Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("null")),
+        e.toString)
+    }
+    // and clean frames are unaffected
+    assert(Sampling.splitPortable(docs, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1)).count() == docs.count())
+  }
+
+  test("maskTokens masks at ~rate for STRING ids (no silent zero-mask)") {
+    import spark.implicits._
+    val strDocs = (1 to 300)
+      .map(i => (s"crawl-$i-uuid", Seq.fill(20)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.maskTokens(strDocs, rate = 0.15)
+    val masked = out.agg(org.apache.spark.sql.functions.sum("n_masked"))
+      .collect()(0).getLong(0)
+    val totalToks = 300L * 20L
+    val frac = masked.toDouble / totalToks
+    assert(math.abs(frac - 0.15) < 0.05, s"masked fraction $frac")
+    // deterministic across partitionings
+    val again = graft.ops.TextAnalysis.maskTokens(strDocs.repartition(7), rate = 0.15)
+      .agg(org.apache.spark.sql.functions.sum("n_masked")).collect()(0).getLong(0)
+    assert(again == masked)
+  }
+
   test("stratified drops unlisted strata and biases listed ones") {
     val out = Sampling.stratified(docs, "lang",
       Map("en" -> 1.0, "de" -> 0.0), idCol = "doc_id")
