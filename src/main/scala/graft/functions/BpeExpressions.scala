@@ -27,6 +27,34 @@ object BpeExpressions {
     * then apply the learned merges in rank order. */
   def bpeEncode(text: Column, merges: Array[(String, String)]): Column =
     GraftColumnBridge.column(BpeEncodeExpr(GraftColumnBridge.expression(text), merges))
+
+  /** Locale.ROOT lowercase — the SAME fold [[BpeEncodeExpr]] applies, so
+    * the trainer's symbolization and the encoder's agree on any host
+    * locale. Spark's `lower()` delegates to the JVM DEFAULT locale for
+    * non-ASCII strings (UTF8String.toLowerCaseSlow), so a tr_TR host
+    * would train merges over 'ı' symbols the ROOT-folding encoder never
+    * produces — breaking the documented train/encode round trip. */
+  def lowerRoot(text: Column): Column =
+    GraftColumnBridge.column(LowerRootExpr(GraftColumnBridge.expression(text)))
+}
+
+/** See [[BpeExpressions.lowerRoot]]. */
+case class LowerRootExpr(child: Expression)
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lower_root"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
+
+  override protected def withNewChildInternal(newChild: Expression): LowerRootExpr =
+    copy(child = newChild)
 }
 
 /** See [[BpeExpressions.charSymbols]]. */

@@ -29,9 +29,14 @@ object Bpe {
   /** Learned merge list; rank = position. */
   case class BpeModel(merges: Seq[(String, String)])
 
-  /** (word, freq) over lowercased whitespace tokens — the one corpus scan. */
+  /** (word, freq) over lowercased whitespace tokens — the one corpus scan.
+    * Lowercasing is [[BpeExpressions.lowerRoot]] (Locale.ROOT), the exact
+    * fold the encode kernel applies — Spark's `lower()` uses the JVM
+    * default locale for non-ASCII and would train merges the encoder can
+    * never reproduce on a tr/az/lt host. */
   def wordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(graft.functions.TextFunctions.tokens(lower(col(textCol)))).as("w"))
+    docs.select(explode(graft.functions.TextFunctions.tokens(
+        BpeExpressions.lowerRoot(col(textCol)))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
 

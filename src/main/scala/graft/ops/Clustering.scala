@@ -53,13 +53,21 @@ object Clustering {
     var centers = Materialize(initCenters(vecs, 1, vecCol, idCol))
     var i = 1
     while (i < k) {
-      val next = assign(vecs, centers, vecCol, idCol)
+      // !isnan: a corrupt (NaN-component) vector sorts ABOVE every finite
+      // distance under desc and would be re-picked forever; left_anti on
+      // the chosen set: when k exceeds the number of distinct points all
+      // remaining dists are 0 and the max would re-pick an existing
+      // center — dedup makes the round come up EMPTY instead, and the
+      // loop stops with the centers that exist (fewer than k)
+      val next = Materialize(assign(vecs, centers, vecCol, idCol)
+        .filter(!isnan(col("dist")))
+        .join(centers.select(col("center_id").as(idCol)), Seq(idCol), "left_anti")
         .orderBy(col("dist").desc, col(idCol).asc).limit(1)
         .join(vecs, idCol)
         .select(col(idCol).as("center_id"),
-          transform(col(vecCol), _.cast("double")).as("center"))
-      centers = Materialize(centers.union(next))
-      i += 1
+          transform(col(vecCol), _.cast("double")).as("center")))
+      if (next.isEmpty) i = k
+      else { centers = Materialize(centers.union(next)); i += 1 }
     }
     centers
   }
@@ -83,12 +91,21 @@ object Clustering {
   def initCentersParallel(df: DataFrame, k: Int, rounds: Int = 3, oversample: Int = -1,
                           vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(k > 0 && rounds > 0)
-    // the driver-side weighted reduction keys candidates by LONG id; a
-    // string id would cast to null and NPE (or silently coerce) in the
-    // collect below — fail loudly and name the string-id-capable path
-    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"initCentersParallel requires a numeric '$idCol' (got " +
-        s"${df.schema(idCol).dataType.simpleString}); for string ids use " +
+    require(k <= MaxCenters,
+      s"k = $k exceeds Clustering.MaxCenters ($MaxCenters) — same " +
+        "collectable-centers contract as fitCenters")
+    // the driver-side weighted reduction keys candidates by LONG id;
+    // INTEGRAL only: a string id would cast to null and NPE in the collect
+    // below, and a FRACTIONAL id (1.7) truncates to a long (1) that the
+    // fill path's anti-join then fails to match — re-adding the same
+    // vector under a fabricated id. Fail loudly and name the
+    // any-id-type-capable path.
+    require({
+      import org.apache.spark.sql.types._
+      Seq(LongType, IntegerType, ShortType, ByteType).contains(df.schema(idCol).dataType)
+    },
+      s"initCentersParallel requires an integral '$idCol' (got " +
+        s"${df.schema(idCol).dataType.simpleString}); for string/fractional ids use " +
         "fitCenters/initCenters, whose centers stay DataFrames end to end")
     val l = if (oversample > 0) oversample else 2 * k
     val spark = df.sparkSession
@@ -98,7 +115,14 @@ object Clustering {
     var r = 0
     while (r < rounds) {
       val assigned = assign(vecs, cands, vecCol, idCol)
-      val cost = assigned.agg(sum(col("dist") * col("dist"))).head().getDouble(0)
+      // NaN-dist rows (corrupt embeddings) are excluded from the cost: a
+      // single NaN would make cost NaN, every `cost > 0` false, and ALL
+      // k-means|| sampling silently skipped — degrading to lowest-id
+      // seeds while claiming parallel-init quality. (Such rows also never
+      // sample themselves: NaN > coin is false.)
+      val costRow = assigned
+        .agg(sum(when(!isnan(col("dist")), col("dist") * col("dist")))).head()
+      val cost = if (costRow.isNullAt(0)) 0.0 else costRow.getDouble(0)
       if (cost > 0) {
         val coin = pmod(xxhash64(col(idCol), lit(r)), lit(P)).cast("double") / lit(P.toDouble)
         val picked = assigned
@@ -107,7 +131,13 @@ object Clustering {
         val next = vecs.join(picked, idCol)
           .select(col(idCol).as("center_id"),
             transform(col(vecCol), _.cast("double")).as("center"))
-        cands = Materialize(cands.union(next).dropDuplicates("center_id"))
+        // cap the candidate set at MaxCenters (deterministic lowest-id
+        // trim): expected size ~1 + rounds·2k can exceed the per-round
+        // assign's collect contract for large-but-valid k — saturating
+        // the cap trades a little init spread for never aborting a k
+        // that fitCenters itself accepts
+        cands = Materialize(cands.union(next).dropDuplicates("center_id")
+          .orderBy(col("center_id")).limit(MaxCenters))
       }
       r += 1
     }
@@ -156,23 +186,29 @@ object Clustering {
     val sorted = cands.sortBy(_._1)
     val n = sorted.length
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // membership as a mask, not chosen.contains (a linear buffer scan
+    // inside the candidate loop made the reduction O(k²·n) at exactly the
+    // large k this path targets)
+    val chosenMask = new Array[Boolean](n)
     var first = 0
     var i = 1
     while (i < n) { if (sorted(i)._3 > sorted(first)._3) first = i; i += 1 }
     chosen += first
+    chosenMask(first) = true
     val minD2 = Array.tabulate(n)(j => d2(sorted(j)._2, sorted(first)._2))
     while (chosen.length < math.min(k, n)) {
       var best = -1
       var bestScore = -1.0
       var j = 0
       while (j < n) {
-        if (!chosen.contains(j)) {
+        if (!chosenMask(j)) {
           val score = sorted(j)._3.toDouble * minD2(j)
           if (score > bestScore) { bestScore = score; best = j }
         }
         j += 1
       }
       chosen += best
+      chosenMask(best) = true
       var t = 0
       while (t < n) {
         val d = d2(sorted(t)._2, sorted(best)._2)

@@ -48,7 +48,17 @@ object Layout {
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
-    val scale = div(maxV.cast("long") - minV.cast("long"), lit(m)) + 1
+    // max − min wraps NEGATIVE when the column spans more than 2^63 (a
+    // hash-valued column covering [Long.Min, Long.Max]); a wrapped range
+    // would make scale/buckets garbage and the z-order silently lose all
+    // locality — fail loudly instead (x − min is then safe: x ∈
+    // [min, max] ⇒ x − min ∈ [0, range])
+    val range = maxV.cast("long") - minV.cast("long")
+    val safeRange = when(range >= 0, range).otherwise(raise_error(lit(
+      "intBucket: column range exceeds Long.MaxValue (max - min " +
+        "overflowed) - z-order layout columns must span < 2^63; " +
+        "pre-reduce the column (e.g. shiftrightunsigned) first")).cast("long"))
+    val scale = div(safeRange, lit(m)) + 1
     div(x.cast("long") - minV.cast("long"), scale)
   }
 
@@ -116,14 +126,22 @@ object Layout {
     * sort; the final ordering is a range repartition.
     *
     * @return input rows + `interleave_rank`, range-sorted by
-    *         (interleave_rank, source).
+    *         (interleave_rank, source). ALL input rows: a null source is
+    *         its own stratum (window partitions treat nulls as one group),
+    *         never dropped — this is a WRITE-path operator and silently
+    *         losing unattributed rows would corrupt the shards; a null id
+    *         raises (no deterministic rank exists for it).
     */
   def interleaveBySource(df: DataFrame, sourceCol: String, idCol: String,
                          numPartitions: Int = 0, seed: Long = 42L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(sourceCol)
       .orderBy(Sampling.portableBucket(col(idCol), seed), col(idCol))
-    val ranked = df.filter(col(sourceCol).isNotNull && col(idCol).isNotNull)
-      .withColumn("interleave_rank", row_number().over(w))
+    val ranked = df
+      .withColumn("interleave_rank",
+        when(col(idCol).isNotNull, row_number().over(w))
+          .otherwise(raise_error(lit(
+            s"interleaveBySource: null '$idCol' has no deterministic " +
+              "rank - filter or fill ids first")).cast("int")))
     val ranged =
       if (numPartitions > 0)
         ranked.repartitionByRange(numPartitions, col("interleave_rank"), col(sourceCol))

@@ -43,9 +43,15 @@ object Pca {
   /** Fit a PCA model on `vecCol` (k <= 0 keeps all components). One
     * distributed pass + a driver-side d×d `eigSym`. */
   def fit(df: DataFrame, k: Int, vecCol: String = "embedding"): PcaModel = {
-    val vecs = df.select(col(vecCol).cast("array<double>")).rdd
+    // null vectors filtered up front (a null Seq would NPE inside the
+    // aggregate with no hint which input was bad); emptiness checked via
+    // take(1) so the message is ours, not first()'s NoSuchElementException
+    val vecs = df.select(col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull).rdd
       .map(_.getSeq[Double](0).toArray)
-    val d = vecs.first().length
+    val head = vecs.take(1)
+    require(head.nonEmpty, "fit on an empty dataset (or all-null vectors)")
+    val d = head(0).length
     require(k <= d, s"k out of range: $k (dim $d)")
     // accumulator: (n, sum[d], moment[d*d] row-major upper triangle incl. diag)
     val zero = (0L, new Array[Double](d), new Array[Double](d * d))
@@ -120,10 +126,15 @@ object Pca {
         posexplode(col("__v")).as(Seq("j", "__y")))
       .select(col("i"), col("j"), col("x"), col("__y").cast("double").as("y"))
       .groupBy("i", "j")
+      // per-row terms are exact scaled longs; the SUMS accumulate in
+      // decimal(38,0) — a long sum wraps silently past ~1.3e8 unit-scale
+      // rows (each term ~2^36), and DuckDB's integer sum is HUGEINT, so
+      // the long-summing side was both wrong at scale AND the only side
+      // that could diverge
       .agg(count(lit(1)).as("n"),
-        sum(round(col("x") * col("y") * CovScale).cast("long")).as("sxy"),
-        sum(round(col("x") * CovScale).cast("long")).as("sx"),
-        sum(round(col("y") * CovScale).cast("long")).as("sy"))
+        sum(round(col("x") * col("y") * CovScale).cast("decimal(38,0)")).as("sxy"),
+        sum(round(col("x") * CovScale).cast("decimal(38,0)")).as("sx"),
+        sum(round(col("y") * CovScale).cast("decimal(38,0)")).as("sy"))
       .select(col("i"), col("j"),
         // Snap to the 1e-6 grid via floor(x*1e6 + 0.5) through a LONG, not
         // round(…, 6): Spark's Round goes through BigDecimal (never yields
