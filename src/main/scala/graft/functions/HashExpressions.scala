@@ -135,6 +135,11 @@ object HashExpressions {
 case class PortableShingleHashesExpr(child: Expression, n: Int)
   extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
+  // n <= 0 would hash the EMPTY window for every position: all docs emit
+  // one identical hash, Jaccard = 1.0 for every pair, and dedup silently
+  // drops the whole corpus -- n reaches here from user JSON config
+  require(n > 0, s"shingle size must be positive: $n")
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -156,15 +161,9 @@ case class PortableShingleHashesExpr(child: Expression, n: Int)
       sb.setLength(0)
       var j = 0
       while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-      val sh = sb.toString
-      var h = 0L
-      var ci = 0
-      while (ci < sh.length) {
-        val cp = sh.codePointAt(ci)
-        h = (h * HashExpressions.B + cp) % HashExpressions.P
-        ci += Character.charCount(cp)
-      }
-      seen.add(h)
+      // ONE spec-pinned fold implementation (PortableStringFold) — the
+      // portable contract must not be able to drift between copies
+      seen.add(PortableStringFold.fold(sb.toString))
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -295,7 +294,11 @@ case class OnePermMinHashExpr(child: Expression, k: Int, a: Long, b: Long)
     var filled = 0
     var i = 0
     while (i < arr.numElements()) {
-      val v = (a * arr.getLong(i) + b) % HashExpressions.P
+      // normalize out-of-contract inputs into [0, P): raw/negative hashes
+      // otherwise drive v (and the bin index) negative -> AIOOBE mid-query;
+      // in-contract inputs are unchanged (x % P == x for x in [0, P))
+      val x = ((arr.getLong(i) % HashExpressions.P) + HashExpressions.P) % HashExpressions.P
+      val v = (a * x + b) % HashExpressions.P
       val bin = ((v * k) / HashExpressions.P).toInt
       if (v < sig(bin)) {
         if (sig(bin) == Long.MaxValue) filled += 1
@@ -334,7 +337,8 @@ case class OnePermMinHashExpr(child: Expression, k: Int, a: Long, b: Long)
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |int $filled = 0;
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
-         |  long $v = (${a}L * $arr.getLong($i) + ${b}L) % $pLit;
+         |  long $v = (($arr.getLong($i) % $pLit) + $pLit) % $pLit;
+         |  $v = (${a}L * $v + ${b}L) % $pLit;
          |  int $bin = (int) (($v * $k) / $pLit);
          |  if ($v < $sig[$bin]) {
          |    if ($sig[$bin] == Long.MAX_VALUE) $filled++;
@@ -384,15 +388,7 @@ case class PortableTokenHashesExpr(child: Expression)
     val out = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
-      val t = toks(i)
-      var h = 0L
-      var ci = 0
-      while (ci < t.length) {
-        val cp = t.codePointAt(ci)
-        h = (h * HashExpressions.B + cp) % HashExpressions.P
-        ci += Character.charCount(cp)
-      }
-      out(i) = h
+      out(i) = PortableStringFold.fold(toks(i))
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
@@ -501,6 +497,10 @@ case class PolyFoldHashExpr(child: Expression) extends UnaryExpression {
 case class WordShingleHashesExpr(child: Expression, n: Int,
                                  reduceModP: Boolean = true)
   extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  // same guard as PortableShingleHashesExpr: a non-positive n silently
+  // maps every document to the single hash of the empty window
+  require(n > 0, s"shingle size must be positive: $n")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -770,7 +770,15 @@ case class SigMatchFractionExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // equal length is STRUCTURAL: scoring min(length) on a 64-vs-128 pair
+    // would be a silently biased Jaccard estimate on exactly the
+    // numHashes-drift mismatch the indexed dedup faces fail loudly on
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: signature lengths differ (${x.numElements()} vs " +
+          s"${y.numElements()}) — the two sides were built with different " +
+          "numHashes; rebuild or re-sign with the index's params")
+    val n = x.numElements()
     if (n == 0) return 0.0
     var c = 0
     var i = 0
@@ -787,7 +795,13 @@ case class SigMatchFractionExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val c = ctx.freshName("c")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "sig_match_fraction: signature lengths differ (" + $a.numElements() +
+         |    " vs " + $b.numElements() + ") — the two sides were built with " +
+         |    "different numHashes; rebuild or re-sign with the index's params");
+         |}
+         |int $n = $a.numElements();
          |int $c = 0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.getLong($i) == $b.getLong($i)) $c++;

@@ -16,6 +16,15 @@ import org.apache.spark.sql.types._
   * interpreted lambda per element.
   *
   * op ∈ dot | cosine | l2. Inputs: array<float> or array<double>.
+  *
+  * NULL-ELEMENT CAVEAT (deliberate): a null ELEMENT inside a vector reads
+  * as 0.0 through the primitive getters — the kernels do not pay a
+  * per-element isNullAt branch in the hot loop for a state the engine
+  * never produces (canonical vectors and every generator emit
+  * containsNull = false arrays; a null VECTOR null-propagates normally).
+  * This diverges from the HOF forms, where a null element nulls the
+  * aggregate: corpora ingested with genuinely null components should be
+  * cleaned (`array_compact` / filter) before scoring.
   */
 object VectorExpressions {
   def dot(a: Column, b: Column): Column = make(a, b, VectorKernel.Dot)
@@ -84,8 +93,8 @@ case class VectorKernel(left: Expression, right: Expression, op: Int)
     case L2 => "vec_l2"
   }
 
-  private def isFloatL = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  private def isFloatR = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val isFloatL = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val isFloatR = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -167,6 +176,13 @@ object VectorKernel {
 case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  // the bucket is one bit per plane in a long: a 65th plane's shift count
+  // would MASK to bit 0 (Java shift semantics) and silently XOR its sign
+  // into another plane's bit — wrong buckets, not just lower resolution
+  require(planes.length <= 63,
+    s"at most 63 hyperplanes fit the long bucket (got ${planes.length}) — " +
+      "use fewer bits, or multiple seeded plane sets")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -175,7 +191,7 @@ case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_bucket"
 
-  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -261,12 +277,13 @@ case class NearestCenterExpr(child: Expression, centers: Array[Array[Double]])
     StructField("dist", DoubleType, nullable = false)))
   override def prettyName: String = "nearest_center"
 
-  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     var best = 0
     var bestAcc = Double.PositiveInfinity
+    var sawNonNaN = false
     var j = 0
     while (j < centers.length) {
       val c = centers(j)
@@ -278,11 +295,17 @@ case class NearestCenterExpr(child: Expression, centers: Array[Array[Double]])
         acc += d * d
         i += 1
       }
+      if (!acc.isNaN) sawNonNaN = true
       if (acc < bestAcc) { bestAcc = acc; best = j }
       j += 1
     }
+    // NaN parity with the shuffle twin: a NaN vector makes every acc NaN,
+    // `acc < bestAcc` never fires, and bestAcc would leak +Infinity —
+    // while crossJoin+min(struct) emits dist = NaN. Emitting NaN keeps a
+    // downstream isnan(dist) corrupt-row filter working on either plan.
+    val dist = if (sawNonNaN) math.sqrt(bestAcc) else Double.NaN
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](best, math.sqrt(bestAcc)))
+      Array[Any](best, dist))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -297,9 +320,11 @@ case class NearestCenterExpr(child: Expression, centers: Array[Array[Double]])
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      val sawNonNaN = ctx.freshName("sawNonNaN")
       s"""
          |int $best = 0;
          |double $bestAcc = Double.POSITIVE_INFINITY;
+         |boolean $sawNonNaN = false;
          |for (int $j = 0; $j < ${centers.length}; $j++) {
          |  double[] $c = $csRef[$j];
          |  int $n = Math.min($v.numElements(), $c.length);
@@ -308,10 +333,11 @@ case class NearestCenterExpr(child: Expression, centers: Array[Array[Double]])
          |    double $d = $get - $c[$i];
          |    $acc += $d * $d;
          |  }
+         |  if (!Double.isNaN($acc)) $sawNonNaN = true;
          |  if ($acc < $bestAcc) { $bestAcc = $acc; $best = $j; }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{ $best, Math.sqrt($bestAcc) });
+         |  new Object[]{ $best, $sawNonNaN ? Math.sqrt($bestAcc) : Double.NaN });
        """.stripMargin
     })
 
@@ -341,7 +367,7 @@ case class NearestResidualExpr(child: Expression, centers: Array[Array[Double]])
     StructField("residual", ArrayType(DoubleType, containsNull = false), nullable = false)))
   override def prettyName: String = "nearest_residual"
 
-  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -444,7 +470,7 @@ case class Int8QuantizeExpr(child: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "int8_quantize"
 
-  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -565,7 +591,7 @@ case class NearestEvalExpr(child: Expression, ids: Array[Long], vecs: Array[Arra
     StructField("nearest_eval_id", LongType, nullable = false)))
   override def prettyName: String = "nearest_eval"
 
-  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

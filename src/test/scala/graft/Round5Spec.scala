@@ -96,6 +96,42 @@ class OnePermMinHashSpec extends SparkSpec {
     sig.filter(_ >= P).foreach { v => assert(native.contains(v % P), s"bad densified $v") }
   }
 
+  test("kernel guards: mismatched sig lengths throw; raw hashes don't crash OPH") {
+    import spark.implicits._
+    // structural mismatch (different numHashes) must be LOUD, not a
+    // silently biased min-length score
+    val pair = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      pair.select(graft.functions.HashExpressions
+        .signatureMatchFraction(col("a"), col("b"))).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("lengths differ") ||
+      Option(e.getCause).exists(c =>
+        String.valueOf(c.getMessage).contains("lengths differ")), e.toString)
+    // out-of-contract inputs (raw xxhash64: negative longs) are normalized
+    // into [0, P) instead of driving a negative bin index (AIOOBE)
+    val raw = Seq((1L, Seq(-5L, Long.MinValue + 7, 1234567890123L)))
+      .toDF("doc_id", "hs")
+    val sig = raw.select(graft.functions.HashExpressions
+      .onePermMinHash(col("hs"), 16, 1103515245L, 12345L).as("s"))
+      .as[Seq[Long]].head()
+    assert(sig.length == 16)
+    // shingle size must be positive (reachable from user JSON config)
+    assertThrows[IllegalArgumentException] {
+      graft.functions.HashExpressions.wordShingleHashes(col("hs").cast("string"), 0)
+    }
+    // >63 hyperplanes would alias bucket bits via Java shift masking
+    assertThrows[IllegalArgumentException] {
+      graft.functions.VectorExpressions.nearestCenter(col("hs"), Array.empty)
+    }
+    assertThrows[IllegalArgumentException] {
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.HyperplaneBucketExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("hs")),
+          Array.fill(64)(Array(1.0, 0.0))))
+    }
+  }
+
   test("signature match fraction estimates Jaccard (planted fixture)") {
     // planted near-dups (exact J >= 0.8): the OPH match fraction must
     // land near J on average — the property banding depends on
