@@ -177,6 +177,26 @@ object Similarity {
     * [[graft.ops.Quantization.ivfPqTopK]], …): at corpus scale the exact
     * all-pairs stage is the bottleneck, the diversification windows are
     * not, so the scale path is ANN shortlist → same two windows. */
+  /** Rescore an ANN tier's MEMBERSHIP (query_id, cand_id) as exact grid
+    * cosine against `candProj` (must carry `cand_id`, `c_vec`, plus any
+    * rider columns) — ONE definition for the three shortlist consumers
+    * (diversifiedTopK, mmrTopK, hardNegatives), which had drifted:
+    * membership is deduped and self-pairs dropped here, because an
+    * EXTERNAL tier may echo the query document itself (a common ANN-
+    * service behavior) or repeat a pair, and a self-pair rescored to
+    * cosine 1.0 would burn the top slot of every downstream ranking. */
+  private def rescoreMembership(shortlist: DataFrame, candProj: DataFrame,
+                                queries: DataFrame, idCol: String,
+                                vecCol: String): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    shortlist.select(col("query_id"), col("cand_id")).distinct()
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(candProj, "cand_id")
+      .join(q, "query_id")
+      .withColumn("score",
+        round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+  }
+
   def diversifiedTopK(candidates: DataFrame, queries: DataFrame, k: Int,
                       groupCol: String, maxPerGroup: Int = 2,
                       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -187,13 +207,8 @@ object Similarity {
         // the tier contributes MEMBERSHIP (query, cand) pairs; relevance
         // is recomputed as exact cosine so ranking semantics don't depend
         // on the tier's own score scale (PQ tiers emit L2 dist)
-        val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-        s.select(col("query_id"), col("cand_id"))
-          .join(candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
-            col(groupCol).as("grp")), "cand_id")
-          .join(q, "query_id")
-          .withColumn("score",
-            round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+        rescoreMembership(s, candidates.select(col(idCol).as("cand_id"),
+          col(vecCol).as("c_vec"), col(groupCol).as("grp")), queries, idCol, vecCol)
       case None =>
         val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
         val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
@@ -257,12 +272,8 @@ object Similarity {
     // shortlist covering the brute-force top-nCand the results are
     // IDENTICAL to the default path
     val short = shortlist.map { s =>
-      val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-      s.select(col("query_id"), col("cand_id"))
-        .join(candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec")), "cand_id")
-        .join(q, "query_id")
-        .withColumn("score",
-          round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+      rescoreMembership(s, candidates.select(col(idCol).as("cand_id"),
+          col(vecCol).as("c_vec")), queries, idCol, vecCol)
         .select("query_id", "cand_id", "score")
     }.getOrElse(bruteForceTopK(candidates, queries, nCand, idCol, vecCol))
     val withVec = short.join(
@@ -281,21 +292,19 @@ object Similarity {
           (cid, grid6(rel), u)
         }.toArray.sortBy(c => (-c._2, c._1))
         val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         val used = new Array[Boolean](cands.length)
+        // INCREMENTAL redundancy: maxSim(i) = max dot against the selected
+        // set so far, updated with ONE dot per candidate per round (max is
+        // associative, so this equals rescanning the whole selected set —
+        // which was O(k²·nCand·dim) per query for identical values)
+        val maxSim = Array.fill(cands.length)(Double.NegativeInfinity)
         while (selected.length < math.min(k, cands.length)) {
           var bestI = -1; var bestScore = Long.MinValue
           var i = 0
           while (i < cands.length) {
             if (!used(i)) {
-              val (_, rel6, u) = cands(i)
-              var maxSim = Double.NegativeInfinity
-              selVecs.foreach { s =>
-                var d = 0.0; var j = 0
-                while (j < u.length) { d += u(j) * s(j); j += 1 }
-                if (d > maxSim) maxSim = d
-              }
-              val pen6 = if (selVecs.isEmpty) 0L else grid6(maxSim)
+              val rel6 = cands(i)._2
+              val pen6 = if (selected.isEmpty) 0L else grid6(maxSim(i))
               val m = lam * rel6 - (1000 - lam) * pen6
               // strict > : equal MMR scores fall back to the (rel desc,
               // id asc) array order, making selection deterministic
@@ -305,7 +314,18 @@ object Similarity {
           }
           used(bestI) = true
           selected += ((cands(bestI)._1, bestScore))
-          selVecs += cands(bestI)._3
+          val su = cands(bestI)._3
+          var t = 0
+          while (t < cands.length) {
+            if (!used(t)) {
+              val u = cands(t)._3
+              var d = 0.0; var j = 0
+              val nn = math.min(u.length, su.length)
+              while (j < nn) { d += u(j) * su(j); j += 1 }
+              if (d > maxSim(t)) maxSim(t) = d
+            }
+            t += 1
+          }
         }
         (qid, selected.toSeq)
       }
@@ -396,9 +416,17 @@ object Similarity {
     val simRef = math.min(0.999, math.max(threshold, 0.9))
     val theta = math.acos(simRef)
     val p = math.pow(1.0 - theta / math.Pi, bits)
+    // log1p, not log(1 - p): for p below double precision (huge bit
+    // widths), 1.0 - p rounds to 1.0, log gives -0.0, and the quotient
+    // collapses to -Infinity -> Int.MinValue -> ONE seed exactly where
+    // the cap should bind with ALL maxSeeds passes
     val s =
       if (p >= 1.0 - 1e-12) 1
-      else math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - p)).toInt
+      else if (p <= 0.0) maxSeeds
+      else {
+        val raw = math.ceil(math.log(1.0 - targetRecall) / math.log1p(-p))
+        if (raw.isInfinite || raw > maxSeeds) maxSeeds else raw.toInt
+      }
     val n = math.max(1, math.min(maxSeeds, s))
     (0 until n).map(base + _.toLong)
   }
@@ -509,10 +537,7 @@ object Similarity {
     val cv = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
     val scored = shortlist match {
       case Some(s) => // tier contributes membership; exact grid score op-side
-        s.select(col("query_id"), col("cand_id")).join(cv, "cand_id").join(qv, "query_id")
-          .filter(col("cand_id") =!= col("query_id"))
-          .withColumn("score",
-            round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6))
+        rescoreMembership(s, cv, queries, idCol, vecCol)
           .select("query_id", "cand_id", "score")
       case None => bruteForceTopK(candidates, queries, nCand, idCol, vecCol)
         .select("query_id", "cand_id", "score")

@@ -179,13 +179,20 @@ object StreamOps {
                              expectedShingles: Long = 1000000L,
                              fpp: Double = 0.001): DataFrame = {
     import graft.functions.HashExpressions
+    // FULL-64-bit shingle hashes, matching the batch bloomContainment:
+    // the mod-P (31-bit) space saturates at the billions-of-shingles
+    // scale and chance collisions (not the Bloom fpp) would dominate
     val filter = benchmark
-      .select(explode(HashExpressions.wordShingleHashes(col(textCol), shingleSize)).as("sh"))
+      .select(explode(HashExpressions.wordShingleHashes64(col(textCol), shingleSize)).as("sh"))
       .stat.bloomFilter("sh", expectedShingles, fpp)
     val bc = benchmark.sparkSession.sparkContext.broadcast(filter)
     docs
-      .withColumn("__sh", HashExpressions.wordShingleHashes(col(textCol), shingleSize))
-      .withColumn("n_shingles", size(col("__sh")))
+      .withColumn("__sh", HashExpressions.wordShingleHashes64(col(textCol), shingleSize))
+      // coalesce: a NULL text yields a NULL array (null-intolerant kernel),
+      // and size(null) is null — without the 0 the containment math goes
+      // three-valued and a keep-gate filter(!contaminated) silently drops
+      // every null-text row; the batch faces report 0 / 0.0 / false
+      .withColumn("n_shingles", coalesce(size(col("__sh")), lit(0)))
       // coalesce pins the historical null-text contract (n_shared = 0,
       // matching the retired boxed udf) — the codegen'd kernel itself is
       // null-propagating like every UnaryExpression
