@@ -373,7 +373,15 @@ class KMeansParallelSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Clustering.initCentersParallel(strIds, k = 3, rounds = 1)
     }
-    assert(e.getMessage.contains("numeric"), e.getMessage)
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // fractional ids are refused too: the long truncation in the collect
+    // used to miss the fill anti-join and fabricate duplicate centers
+    val dblIds = (0 until 6).map(i => (i.toDouble + 0.5, Seq.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Clustering.initCentersParallel(dblIds, k = 3, rounds = 1)
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
   }
 
   test("fitCentersFrom is one scan per round: no corpus self-join") {
