@@ -87,6 +87,16 @@ object Main {
         case other => System.err.println(s"unknown argument: $other\n$usage"); return 1
       }
     } catch { case MissingFlagValue => return 1 }
+    // a migration config combined with an op verb used to run ONLY the
+    // verb and exit 0 — the user's migration silently never happened.
+    // One invocation does one thing; refuse the ambiguity loudly.
+    val opVerbs = Seq(buildIndex, ingest, compactIndex, backfillGid, sweepStaging)
+    if (config.isDefined && opVerbs.exists(_.isDefined)) {
+      System.err.println("--config cannot be combined with an operational verb " +
+        "(--build-index/--ingest/--compact-index/--backfill-gid/--sweep-staging): " +
+        s"only the verb would run and the migration would be silently skipped\n$usage")
+      return 1
+    }
     backfillGid.foreach { path => return runBackfillGid(path) }
     sweepStaging.foreach { path => return runSweepStaging(path) }
     // signature-index verbs: dedup today's crawl against history

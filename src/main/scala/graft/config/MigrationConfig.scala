@@ -71,7 +71,11 @@ object MigrationConfig {
   private val mapper = new ObjectMapper()
 
   def fromFile(path: String): MigrationConfig = {
-    val text = try scala.io.Source.fromFile(path).mkString
+    // Files.readString, not scala.io.Source: Source leaks the handle (no
+    // close on this path) and decodes with the PLATFORM default charset —
+    // a windows-1252 JVM would mojibake UTF-8 collection names/filters
+    val text = try java.nio.file.Files.readString(
+      java.nio.file.Path.of(path), java.nio.charset.StandardCharsets.UTF_8)
     catch { case e: java.io.IOException => throw new ConfigException(s"cannot read config: $e") }
     fromJson(text)
   }
@@ -123,6 +127,12 @@ object MigrationConfig {
       val v = e.getValue
       if (v.isNull) Nil
       else if (v.isObject) strMap(v, key.stripSuffix("_config") + "_")
+      else if (v.isArray)
+        // ArrayNode.asText() is "" — a silently emptied param is worse
+        // than a loud config error naming the key
+        throw new ConfigException(
+          s"'$key' is a JSON array — connection/load/step params take " +
+            "scalar values (lists are not part of the reference's shape)")
       else Seq(key -> v.asText())
     }.toMap
 
@@ -143,10 +153,13 @@ object MigrationConfig {
     idColumn = text(n, "id_column").getOrElse("id"),
     vectorColumn = text(n, "vector_column").orElse(Some("vector")),
     metadataColumns = Option(n.get("metadata_columns")).map(strSeq).getOrElse(Nil),
-    limit = Option(n.get("limit")).map(_.asLong()),
-    offset = Option(n.get("offset")).map(_.asLong()),
+    // filterNot(isNull) everywhere a generated config may carry an explicit
+    // JSON null: NullNode coerces to 0 (limit 0 -> "no data extracted") or
+    // the literal string "null" — "absent" is the only sane reading
+    limit = Option(n.get("limit")).filterNot(_.isNull).map(_.asLong()),
+    offset = Option(n.get("offset")).filterNot(_.isNull).map(_.asLong()),
     filter = Seq("filter_condition", "filter_expr", "filter").iterator
-      .flatMap(k => Option(n.get(k)))
+      .flatMap(k => Option(n.get(k))).filterNot(_.isNull)
       // Qdrant filters are JSON objects, pgvector/milvus are strings
       .map(fn => if (fn.isTextual) fn.asText() else fn.toString)
       .nextOption())
@@ -158,10 +171,10 @@ object MigrationConfig {
     vectorColumn = text(n, "vector_column").getOrElse("vector"),
     recreate = Seq("recreate_table", "recreate_collection", "create_index", "recreate")
       .exists(k => Option(n.get(k)).exists(_.asBoolean(false))),
-    batchSize = Option(n.get("batch_size")).map(_.asInt()).getOrElse(100),
+    batchSize = Option(n.get("batch_size")).filterNot(_.isNull).map(_.asInt()).getOrElse(100),
     distance = text(n, "distance", "metric").getOrElse("Cosine"),
-    dimension = Option(n.get("dimension")).map(_.asInt()),
-    parallelism = Option(n.get("parallelism")).map(_.asInt()),
+    dimension = Option(n.get("dimension")).filterNot(_.isNull).map(_.asInt()),
+    parallelism = Option(n.get("parallelism")).filterNot(_.isNull).map(_.asInt()),
     options = strMap(n) -- Set("collection_name", "table_name", "index_name", "collection",
       "table", "id_column", "vector_column", "recreate_table", "recreate_collection",
       "create_index", "recreate", "batch_size", "distance", "metric", "dimension",

@@ -52,8 +52,11 @@ class Migrator(spark: SparkSession) {
 
     try {
       // config-declared pipeline resolves before anything is read —
-      // a typo'd step name or param aborts upfront, not after extraction
-      val pipelined = TransformPipeline.compose(config.pipeline)
+      // a typo'd step name or param aborts upfront, not after extraction.
+      // Composition order (pipeline, then hook) is the SHARED definition
+      // TransformPipeline.effective — Validator derives its expectation
+      // from the same helper, so the two can never drift again
+      val effective = TransformPipeline.effective(config.pipeline, transform)
 
       val extracted = source.read(spark, config.source.connection, query)
 
@@ -66,11 +69,6 @@ class Migrator(spark: SparkSession) {
           error = Some("no data extracted from source"))
       }
 
-      // config pipeline first, then the programmatic/--transform hook
-      val effective: Option[DataFrame => DataFrame] = (pipelined, transform) match {
-        case (Some(p), Some(f)) => Some(p andThen f)
-        case (p, f) => p.orElse(f)
-      }
       // load.parallelism: one shuffle fans the pipeline out when the
       // source scan cannot (a cursor-paged wire source reads as ONE
       // sequential walk; without this the transform + write would also
@@ -92,8 +90,21 @@ class Migrator(spark: SparkSession) {
       // QA counters ride along with the write action (Dataset.observe):
       // rows, missing vectors/ids, mean vector dim — zero extra scans
       import org.apache.spark.sql.functions._
+      // the vector column must be ARRAY-typed for size/avg_dim: a
+      // BINARY_VECTOR collection (Canonical.binarySchema) would fail
+      // analysis inside observe() and flunk the whole run
       val canObserve = transformed.columns.contains(graft.model.Canonical.VECTOR) &&
-        transformed.columns.contains(graft.model.Canonical.ID)
+        transformed.columns.contains(graft.model.Canonical.ID) &&
+        transformed.schema(graft.model.Canonical.VECTOR).dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      // resolve the target dimension BEFORE attaching the observation: a
+      // connector-side inferDim fallback would run a limit(1) probe over
+      // the OBSERVED plan, and Observation latches on the FIRST completed
+      // action — the report would claim rows=1 for a full migration
+      val loadResolved =
+        if (load.dimension.isEmpty && canObserve)
+          load.copy(dimension = graft.model.Canonical.inferDim(transformed))
+        else load
       val observation = new org.apache.spark.sql.Observation(s"graft-run-${System.nanoTime()}")
       val observed = if (canObserve)
         transformed.observe(observation,
@@ -103,7 +114,7 @@ class Migrator(spark: SparkSession) {
           round(avg(size(col(graft.model.Canonical.VECTOR))), 2).as("avg_dim"))
       else transformed
 
-      val report: WriteReport = target.write(observed, config.target.connection, load)
+      val report: WriteReport = target.write(observed, config.target.connection, loadResolved)
       val metrics = if (canObserve)
         observation.get.map { case (k, v) => k -> String.valueOf(v) }
       else Map.empty[String, String]
@@ -146,8 +157,14 @@ object IncrementalMigrator {
   /** Rows of `source` whose (id, vector+metadata hash) is absent from
     * `target` — inserts and updates; deletions are [[deletedIds]]. */
   def changedRecords(source: DataFrame, target: DataFrame): DataFrame = {
+    // hash SORTED map entries, not the raw map: to_json serializes map
+    // entries in construction order, and a round trip through a wire
+    // store can return the same logical metadata in a different key
+    // order — which would re-classify every row as "changed" and re-ship
+    // the whole collection on each incremental run
     def keyed(df: DataFrame) = df.withColumn("__h",
-      xxhash64(to_json(struct(col(Canonical.VECTOR), col(Canonical.METADATA)))))
+      xxhash64(to_json(struct(col(Canonical.VECTOR),
+        array_sort(map_entries(col(Canonical.METADATA)))))))
     keyed(source).join(keyed(target).select(col(Canonical.ID), col("__h")),
         Seq(Canonical.ID, "__h"), "left_anti")
       .drop("__h")
@@ -184,8 +201,23 @@ object IncrementalMigrator {
       }
     val existing =
       if (!exists) None
-      else Some(target.read(spark, config.target.connection,
-        graft.config.QuerySpec(collection = load.collection)))
+      else
+        // read the target back under ITS OWN column names (LoadSpec) —
+        // the default QuerySpec("id"/"vector"/no metadata) broke renamed
+        // targets and dropped the stored metadata map, hash-mismatching
+        // EVERY row so each "incremental" run re-appended the full
+        // collection. Eager read-side failures (JDBC schema resolution)
+        // become a failed report, like every other step.
+        try Some(target.read(spark, config.target.connection,
+          graft.config.QuerySpec(collection = load.collection,
+            idColumn = load.idColumn, vectorColumn = Some(load.vectorColumn))))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            return RunReport(success = false, extracted = -1, written = 0,
+              skipped = 0, sourceType = config.source.kind,
+              targetType = config.target.kind,
+              error = Some(s"target read-back failed: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
     val deltaTransform: DataFrame => DataFrame = { df =>
       val base = transform.map(_(df)).getOrElse(df)
       existing.map(t => changedRecords(base, t)).getOrElse(base)

@@ -169,4 +169,17 @@ object TransformPipeline {
   def compose(steps: Seq[TransformStep]): Option[DataFrame => DataFrame] =
     if (steps.isEmpty) None
     else Some(steps.map(resolve).reduceLeft(_ andThen _))
+
+  /** The EFFECTIVE transform of a run: the config's declarative pipeline
+    * FIRST, then the programmatic/--transform hook. ONE definition shared
+    * by [[Migrator.run]] (what gets written) and
+    * [[Validator.validateMigration]] (what to expect) — the two once
+    * drifted, and --validate compared every pipelined migration against
+    * the raw source. */
+  def effective(steps: Seq[TransformStep],
+                hook: Option[DataFrame => DataFrame]): Option[DataFrame => DataFrame] =
+    (compose(steps), hook) match {
+      case (Some(p), Some(f)) => Some(p andThen f)
+      case (p, f) => p.orElse(f)
+    }
 }

@@ -104,11 +104,7 @@ object Validator {
     // programmatic/--transform hook. Skipping the pipeline here made
     // --validate fail every pipelined migration (expected = the raw
     // source) — or, worse, compare against the wrong baseline.
-    val pipelined = TransformPipeline.compose(config.pipeline)
-    val effective: Option[DataFrame => DataFrame] = (pipelined, transform) match {
-      case (Some(p), Some(f)) => Some(p andThen f)
-      case (p, f) => p.orElse(f)
-    }
+    val effective = TransformPipeline.effective(config.pipeline, transform)
     val expected = effective.map(_(src)).getOrElse(src)
     val actual = ConnectorRegistry(config.target.kind)
       .read(spark, config.target.connection,

@@ -57,10 +57,18 @@ object Canonical {
       case None => lit(null).cast(ArrayType(FloatType, containsNull = false)).as(VECTOR)
     }
     val meta: Column =
-      if (metadataCols.isEmpty) map().cast(MapType(StringType, StringType)).as(METADATA)
-      else map_from_arrays(
+      if (metadataCols.nonEmpty) map_from_arrays(
         array(metadataCols.map(lit): _*),
         array(metadataCols.map(c => col(c).cast("string")): _*)).as(METADATA)
+      else if (df.columns.contains(METADATA) &&
+          df.schema(METADATA).dataType.isInstanceOf[MapType])
+        // an ALREADY-CANONICAL metadata map (a round trip through a
+        // canonical export — parquet/csv/json of our own write path)
+        // passes through instead of being silently EMPTIED: the
+        // incremental migrator's content hash reads the target back this
+        // way, and a dropped map re-classified every row as changed
+        col(METADATA).cast(MapType(StringType, StringType)).as(METADATA)
+      else map().cast(MapType(StringType, StringType)).as(METADATA)
     df.select(col(idCol).cast("string").as(ID), vec, meta)
   }
 

@@ -447,6 +447,15 @@ class CliSpec extends SparkSpec {
     assert(r2.corpusDups == 1, r2.toString) // healed index still detects
   }
 
+  test("--config combined with an op verb is refused, not silently half-run") {
+    // only the verb used to run (exit 0) while the migration silently
+    // never happened
+    val f = Files.createTempFile("conflict", ".json")
+    Files.writeString(f, """{"documents": {"path": "/nope"}, "index_dir": "/nope"}""")
+    assert(graft.cli.Main.run(Array("--config", f.toString, "--ingest", f.toString)) == 1)
+    assert(graft.cli.Main.run(Array("--config", f.toString, "--sweep-staging", "x")) == 1)
+  }
+
   test("bad config path exits 1") {
     assert(graft.cli.Main.run(Array("--config", "/no/such/file.json")) == 1)
   }

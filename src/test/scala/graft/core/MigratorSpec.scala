@@ -111,6 +111,57 @@ class MigratorSpec extends SparkSpec {
     assert(IncrementalMigrator.deletedIds(narrowSource, target).count() == 10)
   }
 
+  test("incremental is idempotent on a parquet target WITH metadata (map round trip)") {
+    // the read-back used to drop the stored metadata map (Canonical.from
+    // with no metadata columns emptied it), hash-mismatching EVERY row so
+    // each "incremental" run re-appended the full collection
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incmeta").toString
+    def cfg(limit: Int) = MigrationConfig.fromJson(
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+         |                      "vector_column": "embedding",
+         |                      "metadata_columns": ["label"], "limit": $limit}},
+         | "target": {"type": "parquet", "connection": {"path": "$tmp"},
+         |            "load": {"collection": "inc_meta"}}}""".stripMargin)
+    def targetCount() = spark.read.parquet(s"$tmp/inc_meta.parquet").count()
+    val first = IncrementalMigrator.run(spark, cfg(100))
+    assert(first.success && targetCount() == 100, first)
+    // identical re-run: the delta must be EMPTY — metadata map and vector
+    // hash equal through the parquet round trip (the observe metric is the
+    // per-run row count; parquet's WriteReport counts the whole dir in
+    // append mode by documented design)
+    val again = IncrementalMigrator.run(spark, cfg(100))
+    assert(again.success && again.metrics("rows") == "0", again)
+    assert(targetCount() == 100)
+    // widening ships only the new rows
+    val wider = IncrementalMigrator.run(spark, cfg(120))
+    assert(wider.success && wider.metrics("rows") == "20", wider)
+    assert(targetCount() == 120)
+  }
+
+  test("explicit JSON nulls in config fields mean absent, not zero/'null'") {
+    val c = MigrationConfig.fromJson(
+      s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+         |            "query": {"table_name": "embeddings", "limit": null,
+         |                      "offset": null, "filter": null}},
+         | "target": {"type": "memory", "connection": {},
+         |            "load": {"collection": "x", "batch_size": null,
+         |                     "dimension": null, "parallelism": null}}}""".stripMargin)
+    val q = c.source.query.get
+    assert(q.limit.isEmpty && q.offset.isEmpty && q.filter.isEmpty, q.toString)
+    val l = c.target.load.get
+    assert(l.batchSize == 100 && l.dimension.isEmpty && l.parallelism.isEmpty, l.toString)
+    // array-valued params are a loud config error, not an emptied string
+    val e = intercept[graft.config.ConfigException] {
+      MigrationConfig.fromJson(
+        """{"source": {"type": "memory", "connection": {"hosts": ["a", "b"]},
+          |            "query": {"collection": "x"}},
+          | "target": {"type": "memory", "connection": {},
+          |            "load": {"collection": "y"}}}""".stripMargin)
+    }
+    assert(e.getMessage.contains("hosts"), e.getMessage)
+  }
+
   test("transient target probe failure fails the incremental run, never full-copies") {
     // a Try(schemaInfo).isSuccess probe once read ANY probe failure (auth
     // expiry, timeout, rate limit) as "collection absent" and fell back to
