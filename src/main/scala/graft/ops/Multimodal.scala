@@ -101,7 +101,10 @@ object Multimodal {
       val h = img.getHeight
       val raster = img.getRaster
       val bands = raster.getNumBands
-      val colorBands = math.min(bands, 3) // exclude alpha from luminance
+      // COLOR components only: min(bands, 3) stripped alpha from RGBA but
+      // not from 2-band gray+alpha rasters, where it summed transparency
+      // into "luminance" and split the aHash of identical gray channels
+      val colorBands = img.getColorModel.getNumColorComponents
       var total = 0L
       var allSamples = 0L
       val blockSum = new Array[Long](64)
@@ -184,7 +187,10 @@ object Multimodal {
     * curvature and moderate coefficients, so the committed JPEG fixtures
     * and the PNG↔JPEG robustness contract stay on smooth gradients. */
   private def syntheticImage(d: Long): BufferedImage = {
-    val e = rasterSeed(d)
+    // floorMod everywhere: a NEGATIVE id's remainders go negative, giving
+    // width 0 (BufferedImage throws) or negative gray values; for the
+    // non-negative ids the oracle replays, floorMod == %
+    val e = java.lang.Math.floorMod(rasterSeed(d), 1L << 56)
     val w = (8 * (1 + e % 2)).toInt
     val h = (8 * (1 + (e / 2) % 2)).toInt
     val xc = 7 + e % 11
@@ -425,7 +431,13 @@ object Multimodal {
         var absSum = 0L
         var sqSum = 0L
         var crossings = 0
-        var prev = 0
+        // PER-CHANNEL previous sample: the stream is channel-interleaved,
+        // and comparing neighbors across channels counts L/R polarity
+        // differences as "crossings" (a stereo clip of two constant
+        // opposite-sign channels would report ~2 crossings per frame);
+        // mono behavior is unchanged
+        val prevCh = new Array[Int](math.max(frameCh, 1))
+        val seenCh = new Array[Boolean](math.max(frameCh, 1))
         var i = 0
         while (i < n) {
           val s =
@@ -433,8 +445,10 @@ object Multimodal {
             else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
           absSum += math.abs(s)
           sqSum += s.toLong * s
-          if (i > 0 && prev.toLong * s < 0) crossings += 1
-          prev = s
+          val ch = i % math.max(frameCh, 1)
+          if (seenCh(ch) && prevCh(ch).toLong * s < 0) crossings += 1
+          prevCh(ch) = s
+          seenCh(ch) = true
           i += 1
         }
         Some(AudioFeatures(fmt.getSampleRate.toInt, frameCh, n / frameCh,
@@ -455,11 +469,15 @@ object Multimodal {
     *                 oracle-gated 64–127-sample closed form. */
   def syntheticWav(d: Long, nSamples: Int = -1): Array[Byte] = {
     import javax.sound.sampled._
-    val n = if (nSamples > 0) nSamples else (64 + d % 64).toInt
+    val n = if (nSamples > 0) nSamples
+      else (64 + java.lang.Math.floorMod(d, 64L)).toInt
     val pcm = new Array[Byte](n * 2)
     var k = 0
     while (k < n) {
-      val s = (((d * 131 + k * 17) % 65536) - 32768).toInt
+      // floorMod: a negative id's % lands below -32768 and the 16-bit
+      // packing silently wraps it to a DIFFERENT sample than the
+      // documented closed form; for non-negative ids floorMod == %
+      val s = (java.lang.Math.floorMod(d * 131 + k * 17, 65536L) - 32768L).toInt
       pcm(2 * k) = (s & 0xff).toByte
       pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
       k += 1
@@ -669,11 +687,16 @@ object Multimodal {
     * `stride`-th frame index up to `nFrames` — pure column math over the
     * container-metadata frame count, so the frame list is computed without
     * touching payload bytes. */
-  def sampleFrames(media: DataFrame, nFramesCol: String = "n_frames", stride: Int = 4): DataFrame =
+  def sampleFrames(media: DataFrame, nFramesCol: String = "n_frames", stride: Int = 4): DataFrame = {
+    // fail at the API boundary, not as a per-row 'step must not be zero'
+    // stage failure deep inside the job (the writeShards/maxBucket guard
+    // convention)
+    require(stride > 0, s"stride must be positive: $stride")
     media.withColumn("sampled_frames",
       // zero or NULL frames -> EMPTY plan, not [0]: there is no frame 0
       // of a frameless (or undecodable) payload
       when(col(nFramesCol).isNull || col(nFramesCol) <= 0,
         array().cast("array<int>"))
         .otherwise(sequence(lit(0), col(nFramesCol) - 1, lit(stride))))
+  }
 }

@@ -68,8 +68,13 @@ object Sessionize {
       .groupBy(col(userCol), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
+        // coalesce: concat_ws SKIPS null elements, so a NULL event_type
+        // silently shortened the transcript while n_events still counted
+        // the event — a sequence consumer splitting by `sep` saw a length
+        // that disagreed with n_events with no error
         concat_ws(sep, transform(
-          sort_array(collect_list(struct(col("__us"), col(idCol), col(typeCol)))),
+          sort_array(collect_list(struct(col("__us"), col(idCol),
+            coalesce(col(typeCol), lit("(null)")).as(typeCol)))),
           x => x.getField(typeCol))).as("transcript"))
   }
 }

@@ -26,16 +26,10 @@ object WebDataset {
   /** JVM-side portable string bucket: the same codepoint-polynomial fold
     * the portable hash kernels use (`acc·B + cp  mod P`), then modulo
     * shards — deterministic across runs, engines, and partitionings. */
-  private[ops] def shardOf(key: String, numShards: Int): Int = {
-    var acc = 0L
-    var i = 0
-    while (i < key.length) {
-      val cp = key.codePointAt(i)
-      acc = (acc * graft.functions.HashExpressions.B + cp) % Sampling.PortableP
-      i += Character.charCount(cp)
-    }
-    (acc % numShards).toInt
-  }
+  private[ops] def shardOf(key: String, numShards: Int): Int =
+    // ONE spec-pinned fold implementation — write-side shard assignment
+    // must never drift from the engine's portable hash kernels
+    (graft.functions.PortableStringFold.fold(key) % numShards).toInt
 
   /** One row per TAR MEMBER: (shard, key, ext, content, byte_len).
     * `key` is the member basename up to the FIRST dot — webdataset's
@@ -172,13 +166,16 @@ object WebDataset {
           tar.close() // closes the FS stream too
           val finalPath = new org.apache.hadoop.fs.Path(outDir, f"shard-$cur%05d.tar")
           val tmpPath = tmpPathOf(cur)
-          if (fs.exists(finalPath)) fs.delete(finalPath, false)
-          // some FileSystems (HDFS included) report rename failure by
-          // RETURNING FALSE, not throwing — unchecked, a whole shard
-          // would silently vanish while still counted as written
-          if (!fs.rename(tmpPath, finalPath))
-            throw new java.io.IOException(
-              s"failed to commit shard $tmpPath -> $finalPath")
+          // ATOMIC overwrite-rename (FileContext + Rename.OVERWRITE), not
+          // delete-then-rename: a zombie attempt killed BETWEEN its delete
+          // and its rename would permanently remove a shard the job
+          // already committed and counted — silent data loss a later
+          // readShards glob never sees. FileContext also throws on
+          // failure instead of HDFS's return-false mode.
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            finalPath.toUri, fs.getConf)
+          fc.rename(tmpPath, finalPath,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
           cur = -1
         }
         it.foreach { case (shardId, key, files) =>

@@ -1373,7 +1373,9 @@ object PipelineQueries {
           "s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) " +
           "OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM w) " +
           "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, " +
-          "string_agg(event_type, ' -> ' ORDER BY us, event_id) AS transcript " +
+          // coalesce mirrors the operator: null event types appear as
+          // '(null)' entries, never silently shortening the transcript
+          "string_agg(coalesce(event_type, '(null)'), ' -> ' ORDER BY us, event_id) AS transcript " +
           "FROM s GROUP BY user_id, session_id"),
       "q_session_window" ->
         ("WITH e AS (SELECT user_id, event_id, value, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
