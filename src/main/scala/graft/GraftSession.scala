@@ -12,8 +12,20 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   /** SPARK_GRAFT_CPUS parsed once, validated; every consumer (library,
-    * Bench, Verify, tests) sees the same value. */
-  val cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(32)
+    * Bench, Verify, tests) sees the same value. A SET-but-garbage value
+    * is a loud error, not a silent fall-back to 32 (which would skew
+    * bench shuffle sizing with no warning); zero/negative likewise — they
+    * would reach `local[0]` and shuffle.partitions=0 as an
+    * unrelated-looking Spark failure. */
+  val cpus: Int = sys.env.get("SPARK_GRAFT_CPUS") match {
+    case None => 32
+    case Some(raw) =>
+      val v = raw.trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CPUS is set but not an integer: '$raw'"))
+      require(v > 0, s"SPARK_GRAFT_CPUS must be positive: $v")
+      v
+  }
 
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession.builder()

@@ -22,16 +22,25 @@ object Tables {
     // DuckDB applies, so oracle timestamps agree bit-for-bit.
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) =>
-        // integer DIV, not `/`: ns epochs exceed 2^53 so double division
-        // would lose microsecond precision
+        // FLOOR division in integer math: `DIV` truncates toward zero, so
+        // a pre-1970 ns epoch would round the OTHER way from DuckDB's
+        // floor conversion (ts − pmod keeps everything exact integers —
+        // ns epochs exceed 2^53, so double division is out)
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+          org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) DIV 1000")))
       case Some(org.apache.spark.sql.types.TimestampNTZType) =>
         // Belt-and-braces for sessions built without GraftSession (which
-        // disables NTZ inference): reinterpret the naive micros as UTC,
-        // matching the DuckDB oracle's reading.
-        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-          .cast(org.apache.spark.sql.types.TimestampType))
+        // disables NTZ inference): reinterpret the naive micros as UTC.
+        // A bare cast interprets them in the SESSION zone — wrong by the
+        // zone offset on exactly the non-GraftSession sessions this branch
+        // exists for — so un-shift through from_utc_timestamp. (Caveat:
+        // offsets are evaluated per-value; a non-UTC session reading rows
+        // inside its own DST transition hour can still shift those rows —
+        // the real fix is a UTC session, which GraftSession sets.)
+        df.withColumn("ts", org.apache.spark.sql.functions.from_utc_timestamp(
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType),
+          spark.conf.get("spark.sql.session.timeZone")))
       case _ => df
     }
   }

@@ -27,8 +27,21 @@ object AsOfJoin {
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String, rightVals: Seq[String]): DataFrame = {
+    // loud on name collisions: the helper columns and asof_<v> outputs
+    // would otherwise silently clobber caller data (e.g. a second asof
+    // call carrying the same rightVals name)
+    val reserved = Seq("__side", "__t", "__rv") ++ rightVals.map(v => s"asof_$v")
+    val clash = reserved.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"asof writes ${clash.mkString(", ")} but the left frame already " +
+        "carries such column(s) — rename them first")
+    // SQL ASOF semantics for nulls: a right row with a NULL time (or NULL
+    // key) matches nothing — unfiltered, a null time sorts NULLS FIRST and
+    // its values would be carried into left rows with NO true preceding
+    // right row (and null keys would group and "match" each other)
     val l = left.withColumn("__side", lit(1)).withColumn("__t", col(leftTime))
     val r = right.select((Seq(key, rightTime) ++ rightVals).distinct.map(col): _*)
+      .filter(col(rightTime).isNotNull && col(key).isNotNull)
       .withColumn("__side", lit(0)).withColumn("__t", col(rightTime))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 

@@ -34,7 +34,17 @@ object Materialize {
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (applied.put(sc.applicationId, dir) != dir) sc.setCheckpointDir(dir)
+        // synchronized + record-AFTER-success: a put-then-set let a
+        // concurrent caller observe the dir as applied and checkpoint()
+        // BEFORE setCheckpointDir ran ('Checkpoint directory has not been
+        // set'), and a failing set poisoned the map so every later call
+        // skipped it and failed with the same misleading error
+        applied.synchronized {
+          if (applied.get(sc.applicationId) != dir) {
+            sc.setCheckpointDir(dir)
+            applied.put(sc.applicationId, dir)
+          }
+        }
         df.checkpoint(eager = true)
       case None =>
         df.localCheckpoint(eager = true)

@@ -21,13 +21,20 @@ object RangeJoin {
   def pointInWindow(points: DataFrame, windows: DataFrame,
                     pointTs: String, windowStart: String,
                     windowMinutes: Int): DataFrame = {
+    // windowMinutes <= 0 would DIV-by-zero into NULL bins under the
+    // session's ANSI-off config — every join key null, EMPTY result, no
+    // error (silent data loss, not an exception)
+    require(windowMinutes > 0, s"windowMinutes must be positive: $windowMinutes")
     val winUs = windowMinutes.toLong * 60L * 1000000L
+    // bins derive from the ALREADY-COMPUTED __*_us columns: interpolating
+    // the raw column name into expr() recomputed unix_micros up to three
+    // times and broke for names needing backticks
     val p = points.withColumn("__pt_us", unix_micros(col(pointTs)))
-      .withColumn("__bin", expr(s"unix_micros($pointTs) DIV ${winUs}L"))
+      .withColumn("__bin", expr(s"__pt_us DIV ${winUs}L"))
     val w = windows.withColumn("__ws_us", unix_micros(col(windowStart)))
       .withColumn("__bin",
-        explode(array(expr(s"unix_micros($windowStart) DIV ${winUs}L"),
-          expr(s"unix_micros($windowStart) DIV ${winUs}L") + 1)))
+        explode(array(expr(s"__ws_us DIV ${winUs}L"),
+          expr(s"__ws_us DIV ${winUs}L") + 1)))
     p.join(w, "__bin")
       .filter(col("__pt_us") >= col("__ws_us") && col("__pt_us") < col("__ws_us") + winUs)
       .drop("__bin", "__pt_us", "__ws_us")
