@@ -83,16 +83,26 @@ class SqlWhereDialect extends FilterDialect {
 
   override def parse(filter: String): Column = expr(filter)
 
+  /** SQL-land addressability: unlike the structured dialects, metadata
+    * keys here are real SQL COLUMNS (the pgvector model), so any bare
+    * column name is addressable — EXCEPT the canonical map/vector columns
+    * themselves. Spark infers `IsNotNull(metadata)` on the map column,
+    * and rendering it as a column reference would scan a column that
+    * does not exist backend-side (the silent zero-row mode the three
+    * structured dialects guard with [[DialectUtil.addressable]]). */
+  private def sqlAddressable(name: String): Boolean =
+    addressable(name) || (name != "metadata" && name != "vector")
+
   override def render(f: Filter): Option[String] = f match {
-    case EqualTo(a, v) => Some(s"${stripMeta(a)} = ${litStr(v)}")
-    case GreaterThan(a, v) => Some(s"${stripMeta(a)} > ${litStr(v)}")
-    case GreaterThanOrEqual(a, v) => Some(s"${stripMeta(a)} >= ${litStr(v)}")
-    case LessThan(a, v) => Some(s"${stripMeta(a)} < ${litStr(v)}")
-    case LessThanOrEqual(a, v) => Some(s"${stripMeta(a)} <= ${litStr(v)}")
-    case In(a, vs) => Some(s"${stripMeta(a)} IN (${vs.map(litStr).mkString(", ")})")
-    case IsNull(a) => Some(s"${stripMeta(a)} IS NULL")
-    case IsNotNull(a) => Some(s"${stripMeta(a)} IS NOT NULL")
-    case StringStartsWith(a, p) => Some(s"${stripMeta(a)} LIKE ${litStr(p + "%")}")
+    case EqualTo(a, v) if sqlAddressable(a) => Some(s"${stripMeta(a)} = ${litStr(v)}")
+    case GreaterThan(a, v) if sqlAddressable(a) => Some(s"${stripMeta(a)} > ${litStr(v)}")
+    case GreaterThanOrEqual(a, v) if sqlAddressable(a) => Some(s"${stripMeta(a)} >= ${litStr(v)}")
+    case LessThan(a, v) if sqlAddressable(a) => Some(s"${stripMeta(a)} < ${litStr(v)}")
+    case LessThanOrEqual(a, v) if sqlAddressable(a) => Some(s"${stripMeta(a)} <= ${litStr(v)}")
+    case In(a, vs) if sqlAddressable(a) => Some(s"${stripMeta(a)} IN (${vs.map(litStr).mkString(", ")})")
+    case IsNull(a) if sqlAddressable(a) => Some(s"${stripMeta(a)} IS NULL")
+    case IsNotNull(a) if sqlAddressable(a) => Some(s"${stripMeta(a)} IS NOT NULL")
+    case StringStartsWith(a, p) if sqlAddressable(a) => Some(s"${stripMeta(a)} LIKE ${litStr(p + "%")}")
     case And(l, r) => for { ls <- render(l); rs <- render(r) } yield s"($ls AND $rs)"
     case Or(l, r) => for { ls <- render(l); rs <- render(r) } yield s"($ls OR $rs)"
     case Not(c) => render(c).map(s => s"NOT ($s)")

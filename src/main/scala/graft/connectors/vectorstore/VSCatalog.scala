@@ -83,7 +83,13 @@ class VSCatalog extends TableCatalog {
     if (partitions.nonEmpty)
       throw new UnsupportedOperationException("vector-store tables are unpartitioned")
     val vectorType =
-      Option(properties.get("vector_type")).map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse {
+      Option(properties.get("vector_type")).map(_.toUpperCase(java.util.Locale.ROOT)).map { vt =>
+        // unknown values must throw, not silently select the float face
+        require(vt == VectorTypes.Float || vt == VectorTypes.Binary,
+          s"unknown vector_type: ${properties.get("vector_type")} " +
+            s"(valid: ${VectorTypes.Float}, ${VectorTypes.Binary})")
+        vt
+      }.getOrElse {
         // infer the collection face from the declared vector column type
         schema.fields.find(_.name == Canonical.VECTOR).map(_.dataType) match {
           case Some(org.apache.spark.sql.types.BinaryType) => VectorTypes.Binary
@@ -98,12 +104,14 @@ class VSCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"vector-store tables use the canonical schema ${canonical.simpleString}; got " +
           schema.simpleString)
-    val distance = Option(properties.get("distance")).getOrElse("Cosine")
-    if (!provider.rules.allowedDistances.contains(distance) &&
-        vectorType != VectorTypes.Binary)
-      throw new IllegalArgumentException(
-        s"distance '$distance' not supported by ${provider.shortName()} " +
-          s"(one of ${provider.rules.allowedDistances.mkString(", ")})")
+    // the SAME alias-tolerant rule as the DataFrame write face — exact-
+    // match here and alias-tolerant there would make `CREATE TABLE ...
+    // ('distance'='cosine')` fail while df.write option("distance",
+    // "cosine") succeeds on the same backend
+    val binaryVec = vectorType == VectorTypes.Binary
+    val distance = VSDistances.requireAllowed(
+      Option(properties.get("distance")).getOrElse(if (binaryVec) "Hamming" else "Cosine"),
+      provider.rules, binaryVec)
     store.createCollection(coll, CollectionConfig(
       distance = distance,
       dim = Option(properties.get("dim")).map(_.toInt).getOrElse(0),

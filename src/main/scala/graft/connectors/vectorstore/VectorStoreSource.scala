@@ -56,6 +56,15 @@ abstract class VectorStoreProvider extends TableProvider with DataSourceRegister
     * first FLOAT_VECTOR or BINARY_VECTOR field is THE vector field). */
   protected def vectorTypeOf(opts: CaseInsensitiveStringMap): String =
     Option(opts.get("vector_type")).map(_.toUpperCase(java.util.Locale.ROOT))
+      .map { vt =>
+        // an unrecognized value must throw, not silently select the float
+        // schema (which would null every scanned vector and bypass the
+        // binary-capability rejection above)
+        require(vt == VectorTypes.Float || vt == VectorTypes.Binary,
+          s"unknown vector_type: ${opts.get("vector_type")} " +
+            s"(valid: ${VectorTypes.Float}, ${VectorTypes.Binary})")
+        vt
+      }
       .orElse(Option(opts.get("collection"))
         .flatMap(_ => VectorStore.resolve(specOf(opts)).describe(collectionName(opts)))
         .map(_.vectorType))
@@ -67,6 +76,37 @@ abstract class VectorStoreProvider extends TableProvider with DataSourceRegister
     // Pinecone addresses data as index + namespace (examples/
     // pinecone_to_pgvector_config.json "query" block)
     Option(opts.get("namespace")).filter(_.nonEmpty).map(ns => s"$base::$ns").getOrElse(base)
+  }
+}
+
+/** THE distance-name rule, shared by every DDL face (DataFrame write
+  * options, catalog CREATE TABLE): case-insensitive + alias-tolerant,
+  * like the reference's lowercase distance map (`adapters/qdrant.py:
+  * 163-169` accepts "cosine"). */
+private[vectorstore] object VSDistances {
+  /** Canonical distance name for any accepted alias; unknown names pass
+    * through for [[requireAllowed]] to reject against the whitelist. */
+  def canonical(raw: String): String = raw.toLowerCase(java.util.Locale.ROOT) match {
+    case "cosine" => "Cosine"
+    case "euclid" | "euclidean" | "l2" => "Euclid"
+    case "dot" | "dotproduct" | "ip" => "Dot"
+    case "hamming" => "Hamming"
+    case "jaccard" => "Jaccard"
+    case other => other
+  }
+
+  /** Validates + canonicalizes: binary collections take binary metrics
+    * (Milvus: HAMMING/JACCARD), never the float whitelist — and vice
+    * versa. Returns the canonical name to store. */
+  def requireAllowed(raw: String, rules: WriteRules, binaryVec: Boolean): String = {
+    val distance = canonical(raw)
+    if (binaryVec)
+      require(distance == "Hamming" || distance == "Jaccard",
+        s"unsupported distance for BINARY_VECTOR: $raw (valid: Hamming, Jaccard)")
+    else
+      require(rules.allowedDistances.exists(_.equalsIgnoreCase(distance)),
+        s"unsupported distance: $raw (valid: ${rules.allowedDistances.mkString(", ")})")
+    distance
   }
 }
 
@@ -181,15 +221,10 @@ class VSTable(collection: String, source: String, dialect: FilterDialect, rules:
     // native-cursor walk (point-id / pagination-token on the wire
     // dialects; integer-rendered elsewhere) — ids resolve fully BEFORE
     // any delete, so paging never races its own mutations
-    var cursor: Option[String] = None
-    var first = true
-    while (first || cursor.isDefined) {
-      val (page, next) = store.scrollPage(collection, cursor, pageSize)
-      first = false
+    VSPaging.cursorWalk(c => store.scrollPage(collection, c, pageSize)).foreach { page =>
       // three-valued: UNKNOWN (absent key) does not delete
       doomed ++= page.filter(r =>
         filters.forall(f => FilterEval.eval3(f, r).contains(true))).map(_.id)
-      cursor = if (page.isEmpty && next.isEmpty) None else next
     }
     doomed.grouped(pageSize).foreach(b => store.delete(collection, b.toSeq))
   }
@@ -587,16 +622,43 @@ private[vectorstore] object VSScoring {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Selection key: smaller is better for BOTH metrics (Hamming distance
+    * ascending; cosine negated), ties on id ascending — the same order the
+    * pushed query sorts by. */
+  private def key(sp: SearchSpec)(r: VSRecord): Option[(Double, String)] =
+    if (sp.metric == "hamming")
+      Option(r.binary).map(b => (hammingBytes(b, sp.binary).toDouble, r.id))
+    else
+      Option(r.vector).map(v => (-cosine(v, sp.vector), r.id))
+
+  /** Top-k records by `metric` against the query, ties on id — streaming:
+    * a k-bounded heap over the record stream, O(n log k) time and O(k)
+    * memory, so scoring a 100M-row partition never materializes it
+    * (the collection-scan fallback when a backend declines native
+    * search at runtime rides this). Returns (record, score) sorted best
+    * first, score in the metric's own orientation. */
+  def topKStreaming(records: Iterator[VSRecord], sp: SearchSpec): Seq[(VSRecord, Double)] = {
+    val keyOf = key(sp) _
+    // max-at-head over the selection key: the heap holds the k BEST seen,
+    // its head is the current worst of them — evicted when beaten
+    implicit val ord: Ordering[((Double, String), VSRecord)] =
+      Ordering.by[((Double, String), VSRecord), (Double, String)](_._1)
+    val heap = scala.collection.mutable.PriorityQueue.empty[((Double, String), VSRecord)]
+    records.foreach { r =>
+      keyOf(r).foreach { k =>
+        if (heap.size < sp.k) heap.enqueue((k, r))
+        else if (sp.k > 0 && Ordering[(Double, String)].lt(k, heap.head._1)) {
+          heap.dequeue(); heap.enqueue((k, r))
+        }
+      }
+    }
+    val best: Seq[((Double, String), VSRecord)] = heap.dequeueAll.reverse.toSeq
+    best.map(kv => kv._2 -> (if (sp.metric == "hamming") kv._1._1 else -kv._1._1))
+  }
+
   /** Top-k records by `metric` against the query, ties on id. */
   def topK(records: Seq[VSRecord], sp: SearchSpec): Seq[(VSRecord, Double)] =
-    if (sp.metric == "hamming")
-      records.filter(_.binary != null)
-        .map(r => r -> hammingBytes(r.binary, sp.binary).toDouble)
-        .sortBy { case (r, d) => (d, r.id) }.take(sp.k)
-    else
-      records.filter(_.vector != null)
-        .map(r => r -> cosine(r.vector, sp.vector))
-        .sortBy { case (r, s) => (-s, r.id) }.take(sp.k)
+    topKStreaming(records.iterator, sp)
 }
 
 /** Page-iterator over either partition shape — the one paging loop both
@@ -604,6 +666,25 @@ private[vectorstore] object VSScoring {
   * SERVER-side evaluation where the transport supports it (readers
   * re-check client-side regardless). */
 private[vectorstore] object VSPaging {
+  /** THE cursor-walk termination rule, in one place: an empty page only
+    * ends the walk when no continuation cursor came with it (a live
+    * cursor with an empty page happens on real backends while records
+    * move between pages / the server bisects). Every native-cursor walk
+    * in the engine — scan partitions, deleteWhere's id resolution, the
+    * atomic publish's shadow copy — iterates this. */
+  def cursorWalk(fetch: Option[String] => (Seq[VSRecord], Option[String]))
+      : Iterator[Seq[VSRecord]] = new Iterator[Seq[VSRecord]] {
+    private var cursor: Option[String] = None
+    private var first = true
+    override def hasNext: Boolean = first || cursor.isDefined
+    override def next(): Seq[VSRecord] = {
+      val (recs, nxt) = fetch(cursor)
+      first = false
+      cursor = if (recs.isEmpty && nxt.isEmpty) None else nxt
+      recs
+    }
+  }
+
   def pages(store: VectorStoreTransport, collection: String,
             part: InputPartition, pageSize: Int,
             wireFilter: Option[String] = None): Iterator[Seq[VSRecord]] = part match {
@@ -616,16 +697,13 @@ private[vectorstore] object VSPaging {
         store.scrollFiltered(collection, c, math.min(pageSize, end - c), wireFilter)
       }
     case VSCursorPartition(skip, takeN) => new Iterator[Seq[VSRecord]] {
-      private var cursor: Option[String] = None
-      private var first = true
+      private val walk =
+        cursorWalk(c => store.scrollPageFiltered(collection, c, pageSize, wireFilter))
       private var toSkip = skip
       private var remaining = takeN
-      override def hasNext: Boolean = (first || cursor.isDefined) && remaining != 0
+      override def hasNext: Boolean = walk.hasNext && remaining != 0
       override def next(): Seq[VSRecord] = {
-        val (recs, nxt) = store.scrollPageFiltered(collection, cursor, pageSize, wireFilter)
-        first = false
-        // an empty page without a continuation cursor ends the walk
-        cursor = if (recs.isEmpty && nxt.isEmpty) None else nxt
+        val recs = walk.next()
         val afterSkip =
           if (toSkip <= 0) recs
           else { val d = math.min(toSkip, recs.length); toSkip -= d; recs.drop(d) }
@@ -725,7 +803,14 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
         return Array(VSCursorPartition(offset.getOrElse(0), limit.getOrElse(-1)))
       return planCursorSlices(store)
     }
-    val total = store.count(collection)
+    // with a server-applied filter, offsets index the FILTERED row
+    // sequence (scrollFiltered contract) — so the ranges must cover the
+    // filtered count, not the collection total: sizing from the raw count
+    // would plan thousands of empty wire calls for a selective filter
+    val total =
+      if (wireFilter.isDefined && store.serverSideFilters)
+        store.countFiltered(collection, wireFilter)
+      else store.count(collection)
     limit match {
       // pushed limit+offset: single scroll from the head — the reference's
       // pagination semantics (one ordered page)
@@ -769,6 +854,10 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     // ids are not range-filterable on the real wire); no attribute = no
     // honest slicing
     val id = dialect.idSliceAttribute.getOrElse(return single)
+    // issued AT MOST once per planning pass (both the probe's hop budget
+    // and the hi-extension below read it) — it is a wire call
+    lazy val filteredPopulation: Long =
+      store.countFiltered(collection, wireFilter).toLong
     // probe one page of the (filtered) stream. Some transports return
     // EMPTY pages with a live cursor while they plan (Pinecone's interval
     // walk bisects before its first data page exactly when the filtered
@@ -780,7 +869,7 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     // forfeits the parallel slicing for exactly the biggest scans).
     var (probe, next) = store.scrollPageFiltered(collection, None, pageSize, wireFilter)
     if (probe.isEmpty && next.isDefined) {
-      val est = math.max(2L, store.countFiltered(collection, wireFilter).toLong)
+      val est = math.max(2L, filteredPopulation)
       val maxHops = 8 + 2 * (64 - java.lang.Long.numberOfLeadingZeros(est))
       var hops = 0
       while (probe.isEmpty && next.isDefined && hops < maxHops) {
@@ -801,8 +890,8 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     // disjoint+covering holds for any split points). Backends without a
     // filtered count keep the unfiltered estimate.
     val total =
-      if (wireFilter.isDefined) store.countFiltered(collection, wireFilter)
-      else store.count(collection)
+      if (wireFilter.isDefined) filteredPopulation
+      else store.count(collection).toLong
     val hi = math.max(numeric.max, lo + total.toDouble)
     if (!(hi > lo)) return single
     val want = cursorParallelism
@@ -906,9 +995,11 @@ class VSPartitionReader(collection: String, part: InputPartition, pushed: Array[
       case Some(recs) =>
         recs.filter(r => pushed.forall(FilterEval.eval(_, r))).iterator
       case None =>
-        val all = scala.collection.mutable.ArrayBuffer.empty[VSRecord]
-        pages.foreach(p => all ++= p.filter(r => pushed.forall(FilterEval.eval(_, r))))
-        VSScoring.topK(all.toSeq, sp).map(_._1).iterator
+        // stream the page walk through the k-bounded heap — O(k) executor
+        // memory however large the collection (never buffer the partition)
+        val filtered = pages.flatMap(_.iterator.filter(r =>
+          pushed.forall(FilterEval.eval(_, r))))
+        VSScoring.topKStreaming(filtered, sp).map(_._1).iterator
     }
   }
 
@@ -1089,26 +1180,8 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
       if (binaryVec && !rules.binaryVectors)
         throw new IllegalArgumentException(
           "this backend does not support BINARY_VECTOR collections")
-      // case-insensitive + alias-tolerant, like the reference's lowercase
-      // distance map (adapters/qdrant.py:163-169 accepts "cosine")
       val raw = Option(opts.get("distance")).getOrElse(if (binaryVec) "Hamming" else "Cosine")
-      val distance = raw.toLowerCase(java.util.Locale.ROOT) match {
-        case "cosine" => "Cosine"
-        case "euclid" | "euclidean" | "l2" => "Euclid"
-        case "dot" | "dotproduct" | "ip" => "Dot"
-        case "hamming" => "Hamming"
-        case "jaccard" => "Jaccard"
-        case other => other
-      }
-      // binary collections take binary metrics (Milvus: HAMMING/JACCARD),
-      // never the float whitelist — and vice versa
-      if (binaryVec)
-        require(distance == "Hamming" || distance == "Jaccard",
-          s"unsupported distance for BINARY_VECTOR: $raw (valid: Hamming, Jaccard)")
-      else
-        require(rules.allowedDistances.exists(_.equalsIgnoreCase(distance)) ||
-          rules.allowedDistances.contains(distance),
-          s"unsupported distance: $raw (valid: ${rules.allowedDistances.mkString(", ")})")
+      val distance = VSDistances.requireAllowed(raw, rules, binaryVec)
       val recreate = doTruncate || Option(opts.get("recreate")).exists(_.toBoolean)
       if (rules.requireExisting && !recreate && !store.exists(collection))
         throw new IllegalStateException(
@@ -1225,14 +1298,8 @@ class VSAtomicBatchWrite(target: String, shadow: String, recreate: Boolean,
             }
           }
       } else {
-        var cursor: Option[String] = None
-        var first = true
-        while (first || cursor.isDefined) {
-          val (recs, next) = store.scrollPage(shadow, cursor, batchSize)
-          first = false
-          if (recs.nonEmpty) store.upsert(target, recs)
-          cursor = if (recs.isEmpty && next.isEmpty) None else next
-        }
+        VSPaging.cursorWalk(c => store.scrollPage(shadow, c, batchSize))
+          .foreach(recs => if (recs.nonEmpty) store.upsert(target, recs))
       }
       store.drop(shadow)
     }

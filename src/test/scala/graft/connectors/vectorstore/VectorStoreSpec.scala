@@ -307,4 +307,83 @@ class FilterDialectSpec extends SparkSpec {
     assert(s.render(And(IsNotNull("a"), StringStartsWith("b", "pre")))
       .contains("(a IS NOT NULL AND b LIKE 'pre%')"))
   }
+
+  test("sql dialect refuses the bare canonical map/vector columns") {
+    val s = new SqlWhereDialect()
+    // Spark infers IsNotNull(metadata) on the map column — rendering it as
+    // a column reference would be the silent zero-row scan the three
+    // structured dialects already guard against
+    assert(s.render(IsNotNull("metadata")).isEmpty)
+    assert(s.render(EqualTo("vector", "x")).isEmpty)
+    assert(s.render(And(IsNotNull("metadata"), EqualTo("cat", "a"))).isEmpty)
+    // id and metadata.<key> addressing still renders
+    assert(s.render(IsNotNull("metadata.cat")).contains("cat IS NOT NULL"))
+    assert(s.render(EqualTo("id", "7")).contains("id = '7'"))
+  }
+}
+
+class VectorStoreHardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canonDf(n: Int) = {
+    val rows = (0 until n).map(i =>
+      (s"h$i", Seq.fill(4)(i.toFloat), Map("cat" -> s"c${i % 3}")))
+    rows.toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+  }
+
+  test("misspelled vector_type throws instead of silently selecting the float schema") {
+    canonDf(5).write.format("graft-qdrant")
+      .option("collection", "vt_guard").option("recreate", "true")
+      .mode("overwrite").save()
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-qdrant").option("collection", "vt_guard")
+        .option("vector_type", "BIANRY").load()
+    }
+    assert(e.getMessage.contains("unknown vector_type"))
+    // valid values (any case) still resolve
+    assert(spark.read.format("graft-qdrant").option("collection", "vt_guard")
+      .option("vector_type", "float_vector").load().count() == 5)
+    VectorStore.drop("vt_guard")
+  }
+
+  test("topKStreaming matches a full sort, bounds memory, breaks ties on id") {
+    val recs = (0 until 500).map { i =>
+      VSRecord(f"r$i%03d", Array(i.toFloat, (500 - i).toFloat), Map.empty)
+    } :+ VSRecord("rzzz", null, Map.empty) // null vector: skipped, not NPE
+    val sp = SearchSpec(Array(1f, 0f), 7)
+    val full = recs.filter(_.vector != null)
+      .map(r => r -> VSScoring.cosine(r.vector, sp.vector))
+      .sortBy { case (r, s) => (-s, r.id) }.take(sp.k)
+    val streamed = VSScoring.topKStreaming(recs.iterator, sp)
+    assert(streamed.map(_._1.id) == full.map(_._1.id))
+    assert(streamed.map(_._2).zip(full.map(_._2)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // planted exact duplicates: selection is id-deterministic at the boundary
+    val dup = (0 until 20).map(i => VSRecord(s"d$i", Array(1f, 0f), Map.empty))
+    val topDup = VSScoring.topKStreaming(dup.iterator, SearchSpec(Array(1f, 0f), 5))
+    assert(topDup.map(_._1.id) == Seq("d0", "d1", "d10", "d11", "d12"))
+    // hamming face through the same heap
+    val bins = (0 until 16).map(i => VSRecord(s"b$i", null, Map.empty, binary = Array(i.toByte)))
+    val topBin = VSScoring.topKStreaming(bins.iterator,
+      SearchSpec(null, 3, metric = "hamming", binary = Array(0.toByte)))
+    assert(topBin.map(_._1.id) == Seq("b0", "b1", "b2"))
+    assert(topBin.map(_._2) == Seq(0.0, 1.0, 1.0))
+    assert(VSScoring.topKStreaming(recs.iterator, SearchSpec(Array(1f, 0f), 0)).isEmpty)
+  }
+
+  test("catalog CREATE TABLE accepts distance aliases like the write face") {
+    spark.conf.set("spark.sql.catalog.vs_cat_t", classOf[VSCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vs_cat_t.backend", "qdrant")
+    VectorStore.drop("alias_ok"); VectorStore.drop("alias_bad")
+    spark.sql(
+      """CREATE TABLE vs_cat_t.alias_ok (id STRING, vector ARRAY<FLOAT>,
+        |metadata MAP<STRING, STRING>) TBLPROPERTIES('distance'='cosine')""".stripMargin)
+    assert(VectorStore.config("alias_ok").exists(_.distance == "Cosine"))
+    val bad = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE vs_cat_t.alias_bad (id STRING, vector ARRAY<FLOAT>,
+          |metadata MAP<STRING, STRING>) TBLPROPERTIES('distance'='chebyshev')""".stripMargin)
+    }
+    assert(bad.getMessage.contains("unsupported distance"))
+    spark.sql("DROP TABLE vs_cat_t.alias_ok")
+  }
 }
