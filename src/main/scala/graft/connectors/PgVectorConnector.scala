@@ -177,8 +177,15 @@ class PgVectorConnector extends VectorConnector {
       }
       s"$colName IN (${names.distinct.map(x => s"'$x'").mkString(", ")})"
     }
+    // unqualified references resolve along the connection's search_path —
+    // so the probe must too: without the constraint a same-named relation
+    // in ANY schema (views included) reads as present, and the incremental
+    // migrator's read-back of the invisible "existing" table then fails a
+    // valid first migration. current_schemas(false) is exactly the
+    // resolution order the subsequent unqualified read/write will use.
     matches("table_name", table) +
-      schema.map(s => " AND " + matches("table_schema", s)).getOrElse("")
+      schema.map(s => " AND " + matches("table_schema", s))
+        .getOrElse(" AND table_schema = ANY (current_schemas(false))")
   }
 
   /** Catalog-definitive: zero information_schema rows = absent (NOTE the

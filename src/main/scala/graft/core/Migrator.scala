@@ -101,9 +101,14 @@ class Migrator(spark: SparkSession) {
       // connector-side inferDim fallback would run a limit(1) probe over
       // the OBSERVED plan, and Observation latches on the FIRST completed
       // action — the report would claim rows=1 for a full migration
+      // inferDim = None (every vector null/empty) must STILL pin the
+      // dimension — Some(0), the same value the connector's own fallback
+      // would land on — or the connector-side orElse(inferDim) re-probes
+      // the observed plan and latches the Observation anyway
       val loadResolved =
         if (load.dimension.isEmpty && canObserve)
-          load.copy(dimension = graft.model.Canonical.inferDim(transformed))
+          load.copy(dimension =
+            graft.model.Canonical.inferDim(transformed).orElse(Some(0)))
         else load
       val observation = new org.apache.spark.sql.Observation(s"graft-run-${System.nanoTime()}")
       val observed = if (canObserve)

@@ -38,9 +38,11 @@ object BpeExpressions {
     GraftColumnBridge.column(LowerRootExpr(GraftColumnBridge.expression(text)))
 }
 
-/** See [[BpeExpressions.lowerRoot]]. */
-case class LowerRootExpr(child: Expression)
-  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+/** See [[BpeExpressions.lowerRoot]]. Codegen'd (not CodegenFallback): it
+  * now sits under every corpus tokenize (BM25, vocabulary, perplexity,
+  * fingerprints), and a fallback expression there would break the scan's
+  * whole-stage codegen span. */
+case class LowerRootExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -52,6 +54,13 @@ case class LowerRootExpr(child: Expression)
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(
       input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString($c.toString().toLowerCase(java.util.Locale.ROOT))")
 
   override protected def withNewChildInternal(newChild: Expression): LowerRootExpr =
     copy(child = newChild)

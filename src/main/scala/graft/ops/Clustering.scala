@@ -111,10 +111,13 @@ object Clustering {
     val spark = df.sparkSession
     val vecs = df.select(col(idCol), col(vecCol))
     val P = 2147483647L // the MinHash Mersenne prime doubles as the coin modulus
-    var cands = Materialize(initCenters(vecs, 1, vecCol, idCol))
+    // __r tags the round each candidate FIRST appeared in, so the cap
+    // below can evict oldest-first instead of keeping lowest ids
+    var cands = Materialize(initCenters(vecs, 1, vecCol, idCol)
+      .withColumn("__r", lit(0)))
     var r = 0
     while (r < rounds) {
-      val assigned = assign(vecs, cands, vecCol, idCol)
+      val assigned = assign(vecs, cands.drop("__r"), vecCol, idCol)
       // NaN-dist rows (corrupt embeddings) are excluded from the cost: a
       // single NaN would make cost NaN, every `cost > 0` false, and ALL
       // k-means|| sampling silently skipped — degrading to lowest-id
@@ -131,20 +134,30 @@ object Clustering {
         val next = vecs.join(picked, idCol)
           .select(col(idCol).as("center_id"),
             transform(col(vecCol), _.cast("double")).as("center"))
-        // cap the candidate set at MaxCenters (deterministic lowest-id
-        // trim): expected size ~1 + rounds·2k can exceed the per-round
-        // assign's collect contract for large-but-valid k — saturating
-        // the cap trades a little init spread for never aborting a k
-        // that fitCenters itself accepts
-        cands = Materialize(cands.union(next).dropDuplicates("center_id")
-          .orderBy(col("center_id")).limit(MaxCenters))
+          .withColumn("__r", lit(r + 1))
+        // cap the candidate set at MaxCenters: expected size ~1 + rounds·2k
+        // can exceed the per-round assign's collect contract for large-but-
+        // valid k. Trim FRESHEST-ROUND-FIRST (then lowest id, for
+        // determinism): the round's new picks were sampled far from the
+        // current candidates — evicting them (as a lowest-id trim did once
+        // higher ids dominated new picks) would spend every round's
+        // sampling on candidates the cap immediately discards, degrading
+        // k-means|| spread toward lowest-id seeds. A re-picked candidate
+        // keeps its ORIGINAL round tag (min) — it is not fresh.
+        cands = Materialize(cands.union(next)
+          .groupBy(col("center_id"))
+          .agg(min(col("__r")).as("__r"), first(col("center")).as("center"))
+          .orderBy(col("__r").desc, col("center_id"))
+          .limit(MaxCenters)
+          .select(col("center_id"), col("center"), col("__r")))
       }
       r += 1
     }
     // coverage weights: one more assign pass, counts per candidate
-    val weights = assign(vecs, cands, vecCol, idCol)
+    val candsFinal = cands.drop("__r")
+    val weights = assign(vecs, candsFinal, vecCol, idCol)
       .groupBy(col("cluster_id").as("center_id")).agg(count(lit(1)).as("w"))
-    val weighted = cands.join(weights, Seq("center_id"), "left_outer")
+    val weighted = candsFinal.join(weights, Seq("center_id"), "left_outer")
       .select(col("center_id").cast("long"),
         transform(col("center"), _.cast("double")), coalesce(col("w"), lit(0L)))
       .collect()

@@ -59,7 +59,7 @@ object TextAnalysis {
   def vocabulary(docs: DataFrame, topK: Int, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =
     docs
-      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .select(col(idCol), explode(TextFunctions.tokens(graft.functions.BpeExpressions.lowerRoot(col(textCol)))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), count_distinct(col(idCol)).as("df"))
       .orderBy(col("tf").desc, col("token").asc)
@@ -211,7 +211,7 @@ object TextAnalysis {
                      minCount: Long = 2, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val wh = graft.functions.HashExpressions.rollingWindowHashes(
-      graft.functions.HashExpressions.portableTokenHashes(lower(col(textCol))), width, stride)
+      graft.functions.HashExpressions.portableTokenHashes(graft.functions.BpeExpressions.lowerRoot(col(textCol))), width, stride)
     // Explicit repartition on the fingerprint: the count aggregate and the
     // count join-back below both need hash(h) partitioning, and without a
     // shared exchange each would re-run the scan+tokenize+fingerprint pass
@@ -263,7 +263,7 @@ object TextAnalysis {
   def unigramPerplexity(docs: DataFrame, lm: Option[DataFrame] = None,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     def tokenRows(d: DataFrame, cols: org.apache.spark.sql.Column*) =
-      d.select(cols :+ explode(TextFunctions.tokens(lower(col(textCol)))).as("token"): _*)
+      d.select(cols :+ explode(TextFunctions.tokens(graft.functions.BpeExpressions.lowerRoot(col(textCol)))).as("token"): _*)
     // NOT staged, by measurement: the totals aggregate and the log-prob
     // projection both sit on the counts aggregate's exchange, which AQE
     // reuses — a Materialize here ran 20% SLOWER at the 30× probe (4.0 s
@@ -351,7 +351,7 @@ object TextAnalysis {
   def tokenKlDivergence(docs: DataFrame, groupCol: String = "source",
                         textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(groupCol).as("__g"),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      explode(TextFunctions.tokens(graft.functions.BpeExpressions.lowerRoot(col(textCol)))).as("token"))
     // ONE corpus tokenize: the staged (group, token) counts are the root
     // every other table derives from — corpus counts are the group-sum,
     // not a second scan
@@ -401,7 +401,7 @@ object TextAnalysis {
     */
   def bigramPerplexity(docs: DataFrame, lm: Option[DataFrame] = None,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toksOf = TextFunctions.tokens(lower(col(textCol)))
+    val toksOf = TextFunctions.tokens(graft.functions.BpeExpressions.lowerRoot(col(textCol)))
     val pairsOf = when(size(col("__t")) <= 1,
         array().cast("array<struct<prev:string,tok:string>>"))
       .otherwise(transform(sequence(lit(1), size(col("__t")) - 1),
@@ -468,7 +468,7 @@ object TextAnalysis {
   def removeDuplicateSpans(docs: DataFrame, width: Int = 16, minCount: Long = 2,
                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val wh = graft.functions.HashExpressions.rollingWindowHashes(
-      graft.functions.HashExpressions.portableTokenHashes(lower(col(textCol))), width, width)
+      graft.functions.HashExpressions.portableTokenHashes(graft.functions.BpeExpressions.lowerRoot(col(textCol))), width, width)
     // upfront not-null filters: the INNER join below infers isnotnull(h)
     // on its probe side only — without the explicit filter the count/canon
     // aggregate's subtree canonicalizes differently and the shared wpos

@@ -40,7 +40,11 @@ object TextSearch {
     val terms = queryTerms.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
       .map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     require(terms.nonEmpty, "bm25Search query terms are all whitespace")
-    val toks = TextFunctions.tokens(lower(col(textCol)))
+    // corpus fold MUST equal the query-term fold above (Locale.ROOT):
+    // Spark's lower() delegates to the JVM default locale for non-ASCII,
+    // so a tr/az/lt host would fold corpus tokens the ROOT-folded query
+    // can never match
+    val toks = TextFunctions.tokens(graft.functions.BpeExpressions.lowerRoot(col(textCol)))
     // ONE corpus scan: per doc, its length and the multiset of matching
     // query tokens (usually empty — the filter runs inside the scan
     // projection). Staged (Materialize = localCheckpoint, or reliable

@@ -52,11 +52,15 @@ class PgVectorSpec extends SparkSpec {
 
   test("catalogPredicate matches Postgres case folding and schema qualifiers") {
     val c = new PgVectorConnector()
+    val Visible = " AND table_schema = ANY (current_schemas(false))"
     // the unquoted JDBC write path case-folds: the probe must match the
     // folded name too, or an existing 'MyTable' target reads as absent and
     // the incremental migrator full-copy re-appends
-    assert(c.catalogPredicate("MyTable") == "table_name IN ('MyTable', 'mytable')")
-    assert(c.catalogPredicate("items") == "table_name IN ('items')")
+    // unqualified names are additionally pinned to VISIBLE schemas — a
+    // same-named relation in an unrelated schema must not read as present
+    assert(c.catalogPredicate("MyTable") ==
+      "table_name IN ('MyTable', 'mytable')" + Visible)
+    assert(c.catalogPredicate("items") == "table_name IN ('items')" + Visible)
     assert(c.catalogPredicate("Analytics.Embeddings") ==
       "table_name IN ('Embeddings', 'embeddings') " +
         "AND table_schema IN ('Analytics', 'analytics')")
@@ -71,7 +75,9 @@ class PgVectorSpec extends SparkSpec {
     }
     assertThrows[IllegalArgumentException] { c.catalogPredicate("items.") }
     // schemaInfo's two-step resolution uses single-name modes
-    assert(c.catalogPredicate("MyTable", "verbatim") == "table_name IN ('MyTable')")
-    assert(c.catalogPredicate("MyTable", "folded") == "table_name IN ('mytable')")
+    assert(c.catalogPredicate("MyTable", "verbatim") ==
+      "table_name IN ('MyTable')" + Visible)
+    assert(c.catalogPredicate("MyTable", "folded") ==
+      "table_name IN ('mytable')" + Visible)
   }
 }

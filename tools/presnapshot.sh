@@ -47,6 +47,26 @@ if ! grep -q "ALL GREEN" "$OUT/check.log"; then
   exit 1
 fi
 
+echo "[presnapshot] bench artifact sentinel check..."
+# Round-14 lesson: the final commit replaced a clean bench.json with a
+# sentinel-flagged run while its message claimed "artifact unchanged".
+# The gate now refuses to go green over a flagged artifact, and records
+# the artifact's hash so any later replacement diffs against the record.
+if ! python3 - <<'PYEOF'
+import json, sys
+d = json.load(open("bench.json"))
+bad = d.get("noisy_sections") or []
+if bad or d.get("noisy_host"):
+    print("[presnapshot] RED: committed bench.json is a sentinel-flagged run "
+          f"(noisy_sections={bad}, noisy_host={d.get('noisy_host')}) — "
+          "re-run graft.Bench on an idle host and commit the clean artifact")
+    sys.exit(1)
+PYEOF
+then
+  exit 1
+fi
+BENCH_SHA=$(sha256sum bench.json | cut -c1-12)
+
 TESTS=$(grep -oE "Tests: succeeded [0-9]+" "$OUT/test.log" | tail -1 | grep -oE "[0-9]+" || echo "?")
 # grep -c prints the 0 itself before exiting nonzero — '|| true', not a
 # fallback echo, or GATES becomes the two-line string "0\n?"
@@ -61,5 +81,6 @@ DIRTY=$(git status --porcelain | wc -l)
   echo "- tree: HEAD=$HEAD_SHA, uncommitted files: $DIRTY"
   echo "- sbt test: $TESTS tests, all passed (final tree)"
   echo "- oracle sweep ($SF): $GATES gates ALL GREEN via tools/check.py"
+  echo "- bench.json: sha256 $BENCH_SHA…, sentinel-clean (noisy_sections: [])"
 } >> ROUND_NOTES.md
 echo "[presnapshot] GREEN — recorded in ROUND_NOTES.md (HEAD=$HEAD_SHA, $TESTS tests, $GATES gates)"
