@@ -609,9 +609,15 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     Some((0 until rows.size()).map(i => rowToRecord(rows.get(i), dropScore = true)))
   }
 
-  override def count(name: String): Int = {
+  override def count(name: String): Int = countFiltered(name, None)
+
+  /** `entities/query` with `count(*)` takes the same `filter` expr as a
+    * row query — real Milvus counts the FILTERED population, which is
+    * exactly what the engine's filtered offset-range planning needs
+    * (offsets index the filtered sequence on this wire). */
+  override def countFiltered(name: String, filter: Option[String]): Int = {
     val b = named(name)
-    b.put("filter", "")
+    b.put("filter", filter.getOrElse(""))
     val of = b.putArray("outputFields"); of.add("count(*)")
     post("entities/query", b).get("data").get(0).get("count(*)").asInt()
   }

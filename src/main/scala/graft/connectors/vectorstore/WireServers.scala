@@ -596,8 +596,12 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
             .map(_.asInstanceOf[ArrayNode].asScala.map(_.asText()).toSeq)
             .getOrElse(Seq("*"))
           if (outputFields == Seq("count(*)")) {
+            // real Milvus applies the query's filter expr to count(*) —
+            // an unfiltered count here would overstate filtered scans'
+            // range planning (empty filter string = no-op, like query)
             val a = mapper.createArrayNode()
-            a.addObject().put("count(*)", inner.count(name))
+            a.addObject().put("count(*)",
+              applyExprFilter(inner.scroll(name, 0, Int.MaxValue), body).size)
             val o = obj(); o.put("code", 0); o.set[ObjectNode]("data", a)
             respond(ex, 200, o)
           } else {

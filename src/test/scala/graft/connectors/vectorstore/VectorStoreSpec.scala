@@ -370,6 +370,43 @@ class VectorStoreHardeningSpec extends SparkSpec {
     assert(VSScoring.topKStreaming(recs.iterator, SearchSpec(Array(1f, 0f), 0)).isEmpty)
   }
 
+  test("filtered offset scan sizes ranges from the filtered count (milvus wire)") {
+    val server = new MilvusWireServer(new InMemoryStore)
+    try {
+      val url = server.url
+      (0 until 400).map(i =>
+        (s"m$i", Seq.fill(4)(i.toFloat), Map("cat" -> s"c${i % 100}")))
+        .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+        .write.format("graft-milvus").option("collection", "fcount")
+        .option("url", url).option("recreate", "true").mode("overwrite").save()
+      val mark = server.requestLines.size
+      val df = spark.read.format("graft-milvus").option("collection", "fcount")
+        .option("url", url).option("page_size", "50").load()
+        .filter(element_at(col("metadata"), "cat") === "c7")
+      assert(df.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("m107", "m207", "m307", "m7"))
+      // offsets index the FILTERED sequence on this wire, so ranges must
+      // cover the filtered count (4 rows → 1 page): sizing from the raw
+      // 400 would have planned 8 offset pages, 7 of them empty wire calls
+      val rowQueries = server.requestLines.drop(mark)
+        .count(_.startsWith("POST /v2/vectordb/entities/query"))
+      assert(rowQueries <= 5, s"too many entities/query wire calls: $rowQueries")
+    } finally server.stop()
+  }
+
+  test("milvus wire count(*) honors the filter expr like real milvus") {
+    val server = new MilvusWireServer(new InMemoryStore)
+    try {
+      val t = new MilvusWireTransport(server.url)
+      t.createCollection("fcnt", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("fcnt", (0 until 10).map(i =>
+        VSRecord(s"c$i", Array(1f, 2f), Map("par" -> (i % 2).toString))))
+      assert(t.count("fcnt") == 10)
+      assert(t.countFiltered("fcnt", Some("par == '1'")) == 5)
+      assert(t.countFiltered("fcnt", None) == 10)
+    } finally server.stop()
+  }
+
   test("catalog CREATE TABLE accepts distance aliases like the write face") {
     spark.conf.set("spark.sql.catalog.vs_cat_t", classOf[VSCatalog].getName)
     spark.conf.set("spark.sql.catalog.vs_cat_t.backend", "qdrant")
