@@ -158,7 +158,8 @@ class PgVectorConnector extends VectorConnector {
     * `schema.table` reference constrains `table_schema`. Both parts are
     * ident-whitelisted before interpolation. */
   private[connectors] def catalogPredicate(collection: String,
-                                           mode: String = "either"): String = {
+                                           mode: String = "either",
+                                           firstVisibleOnly: Boolean = false): String = {
     val c = ident(collection)
     require(!c.endsWith("."), s"invalid table reference (trailing dot): $c")
     val parts = c.split('.')
@@ -181,11 +182,23 @@ class PgVectorConnector extends VectorConnector {
     // so the probe must too: without the constraint a same-named relation
     // in ANY schema (views included) reads as present, and the incremental
     // migrator's read-back of the invisible "existing" table then fails a
-    // valid first migration. current_schemas(false) is exactly the
-    // resolution order the subsequent unqualified read/write will use.
+    // valid first migration. ANY(current_schemas(false)) is MEMBERSHIP
+    // (existence: any visible match IS existence); column introspection
+    // needs the FIRST schema in resolution order instead — with the same
+    // table name in two visible schemas, a membership match would
+    // interleave both schemas' columns into one garbled SchemaInfo while
+    // the unqualified read resolves only the first. firstVisibleOnly
+    // pins table_schema to the first search_path entry holding the table,
+    // exactly Postgres's own resolution.
+    val unqualified =
+      if (firstVisibleOnly)
+        " AND table_schema = (SELECT s.n FROM unnest(current_schemas(false))" +
+          " WITH ORDINALITY AS s(n, ord) WHERE EXISTS (SELECT 1 FROM" +
+          " information_schema.tables t2 WHERE t2.table_schema = s.n AND " +
+          matches("t2.table_name", table) + ") ORDER BY s.ord LIMIT 1)"
+      else " AND table_schema = ANY (current_schemas(false))"
     matches("table_name", table) +
-      schema.map(s => " AND " + matches("table_schema", s))
-        .getOrElse(" AND table_schema = ANY (current_schemas(false))")
+      schema.map(s => " AND " + matches("table_schema", s)).getOrElse(unqualified)
   }
 
   /** Catalog-definitive: zero information_schema rows = absent (NOTE the
@@ -211,11 +224,15 @@ class PgVectorConnector extends VectorConnector {
     // garbled schema — so the verbatim name is tried first, then the
     // Postgres-folded name only if verbatim matched nothing. exists()
     // keeps the combined IN: either match IS existence.
+    // firstVisibleOnly: an unqualified name present in TWO visible schemas
+    // must introspect only the first in search_path order (what the
+    // unqualified read resolves), not interleave both column sets
     def columnsOf(mode: String) = spark.read.format("jdbc")
       .option("url", jdbcUrl(connection))
       .option("query",
         s"SELECT column_name, data_type, udt_name FROM information_schema.columns " +
-          s"WHERE ${catalogPredicate(collection, mode)} ORDER BY ordinal_position")
+          s"WHERE ${catalogPredicate(collection, mode, firstVisibleOnly = true)} " +
+          "ORDER BY ordinal_position")
       .option("user", connection.getOrElse("user", "postgres"))
       .option("password", connection.getOrElse("password", ""))
       .load().collect()

@@ -109,6 +109,13 @@ class VSCatalog extends TableCatalog {
     // ('distance'='cosine')` fail while df.write option("distance",
     // "cosine") succeeds on the same backend
     val binaryVec = vectorType == VectorTypes.Binary
+    // capability check BEFORE createCollection: the write face would
+    // reject binary on this backend anyway, but only after the catalog
+    // had already created the collection — an orphan that makes the
+    // corrected re-CREATE fail with TableAlreadyExists
+    if (binaryVec && !provider.rules.binaryVectors)
+      throw new IllegalArgumentException(
+        s"${provider.shortName()} does not support BINARY_VECTOR collections")
     val distance = VSDistances.requireAllowed(
       Option(properties.get("distance")).getOrElse(if (binaryVec) "Hamming" else "Cosine"),
       provider.rules, binaryVec)

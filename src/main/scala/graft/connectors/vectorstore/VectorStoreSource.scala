@@ -644,10 +644,11 @@ private[vectorstore] object VSScoring {
     implicit val ord: Ordering[((Double, String), VSRecord)] =
       Ordering.by[((Double, String), VSRecord), (Double, String)](_._1)
     val heap = scala.collection.mutable.PriorityQueue.empty[((Double, String), VSRecord)]
-    records.foreach { r =>
+    val keyOrd = Ordering[(Double, String)] // hoisted: per-record implicit
+    records.foreach { r =>                  // lookup allocates in the hot loop
       keyOf(r).foreach { k =>
         if (heap.size < sp.k) heap.enqueue((k, r))
-        else if (sp.k > 0 && Ordering[(Double, String)].lt(k, heap.head._1)) {
+        else if (sp.k > 0 && keyOrd.lt(k, heap.head._1)) {
           heap.dequeue(); heap.enqueue((k, r))
         }
       }
@@ -666,12 +667,13 @@ private[vectorstore] object VSScoring {
   * SERVER-side evaluation where the transport supports it (readers
   * re-check client-side regardless). */
 private[vectorstore] object VSPaging {
-  /** THE cursor-walk termination rule, in one place: an empty page only
-    * ends the walk when no continuation cursor came with it (a live
-    * cursor with an empty page happens on real backends while records
-    * move between pages / the server bisects). Every native-cursor walk
-    * in the engine — scan partitions, deleteWhere's id resolution, the
-    * atomic publish's shadow copy — iterates this. */
+  /** THE cursor-walk termination rule, in one place: the walk continues
+    * exactly while the backend returns a continuation cursor — an empty
+    * page with a LIVE cursor continues (real backends emit those while
+    * records move between pages / the server bisects); no cursor ends it,
+    * whatever the page held. Every native-cursor walk in the engine —
+    * scan partitions, deleteWhere's id resolution, the atomic publish's
+    * shadow copy — iterates this. */
   def cursorWalk(fetch: Option[String] => (Seq[VSRecord], Option[String]))
       : Iterator[Seq[VSRecord]] = new Iterator[Seq[VSRecord]] {
     private var cursor: Option[String] = None
@@ -680,7 +682,7 @@ private[vectorstore] object VSPaging {
     override def next(): Seq[VSRecord] = {
       val (recs, nxt) = fetch(cursor)
       first = false
-      cursor = if (recs.isEmpty && nxt.isEmpty) None else nxt
+      cursor = nxt
       recs
     }
   }

@@ -80,6 +80,20 @@ class CatalogSpec extends SparkSpec {
     VectorStore.drop("sql_bin")
   }
 
+  test("binary CREATE TABLE on a non-binary backend throws and leaves no orphan") {
+    installCatalog("vsq") // qdrant: binaryVectors = false
+    VectorStore.drop("sql_bin_no")
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE vsq.sql_bin_no
+          |  (id string, vector binary, metadata map<string,string>)""".stripMargin)
+    }
+    assert(e.getMessage.contains("BINARY_VECTOR"), e.getMessage)
+    // the capability check runs BEFORE createCollection: no orphan
+    // collection that would make a corrected re-CREATE fail
+    assert(!VectorStore.exists("sql_bin_no"))
+  }
+
   test("DELETE FROM removes matching rows; unsupported predicates are rejected") {
     installCatalog("vsc")
     VectorStore.drop("sql_del")

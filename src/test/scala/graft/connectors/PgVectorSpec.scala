@@ -79,5 +79,15 @@ class PgVectorSpec extends SparkSpec {
       "table_name IN ('MyTable')" + Visible)
     assert(c.catalogPredicate("MyTable", "folded") ==
       "table_name IN ('mytable')" + Visible)
+    // column introspection pins the FIRST visible schema holding the
+    // table (search_path resolution order), not any-visible membership —
+    // a same-named table in two visible schemas must not interleave
+    val first = c.catalogPredicate("MyTable", "verbatim", firstVisibleOnly = true)
+    assert(first.startsWith("table_name IN ('MyTable') AND table_schema = (SELECT"))
+    assert(first.contains("WITH ORDINALITY") && first.contains("ORDER BY s.ord LIMIT 1"))
+    assert(first.contains("t2.table_name IN ('MyTable')"))
+    // qualified references are unaffected by the flag
+    assert(c.catalogPredicate("a.b", "verbatim", firstVisibleOnly = true) ==
+      "table_name IN ('b') AND table_schema IN ('a')")
   }
 }
