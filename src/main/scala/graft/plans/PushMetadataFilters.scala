@@ -78,7 +78,9 @@ object PushMetadataFilters extends Rule[LogicalPlan] with PredicateHelper {
         }
     }
 
-  private def translate(e: Expression): Option[f.Filter] = e match {
+  /** Shared with [[PushVectorSearch]], which absorbs a whole Filter into a
+    * pushed search only when EVERY conjunct translates. */
+  private[plans] def translate(e: Expression): Option[f.Filter] = e match {
     case EqualTo(l, r) => cmp(l, r)(f.EqualTo, f.EqualTo)
     case GreaterThan(l, r) => cmp(l, r)(f.GreaterThan, f.LessThan)
     case GreaterThanOrEqual(l, r) => cmp(l, r)(f.GreaterThanOrEqual, f.LessThanOrEqual)

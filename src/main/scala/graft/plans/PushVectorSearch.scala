@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -25,11 +26,23 @@ import graft.functions.{BinaryHammingExpr, VectorKernel}
   * `SparkSessionExtensions.injectOptimizerRule` in
   * [[graft.GraftSparkExtensions]].
   *
-  * Conservative by design: only fires when the sort child is the relation
-  * itself or a pure Project over it (an intervening Filter could drop
-  * partition winners after selection, so those plans are left alone).
+  * Filtered search: `df.filter(<metadata predicates>).orderBy(score)
+  * .limit(k)` — THE canonical vector query — also rewrites, PROVIDED every
+  * conjunct of the Filter reaches the store BEFORE top-k selection: each
+  * must translate to a `metadata.<key>` source filter (the
+  * [[PushMetadataFilters.translate]] surface — what `FilterDialects`
+  * renders and the readers' `FilterEval` applies ahead of local top-k),
+  * or be one of the optimizer's inferred `isnotnull(<canonical column>)`
+  * tautologies (the canonical record model has no null ids/metadata maps,
+  * so those drop nothing). A single conjunct outside that surface blocks
+  * the rewrite — it would re-filter AFTER per-partition selection and
+  * drop winners (the filter-after-top-k hazard), so such plans keep the
+  * scan + Spark TakeOrdered shape. The Filter node itself stays in the
+  * plan as the correctness backstop, same contract as
+  * [[PushMetadataFilters]].
   */
-object PushVectorSearch extends Rule[LogicalPlan] {
+object PushVectorSearch extends Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // Limit over Sort, optionally with a pure Project in between (the
@@ -60,9 +73,37 @@ object PushVectorSearch extends Rule[LogicalPlan] {
         case p @ Project(_, r @ DataSourceV2Relation(t: VSTable, _, _, _, _, _))
           if t.search.isEmpty =>
           Some(p.copy(child = r.copy(table = t.withSearch(spec))))
+        case filt @ LFilter(cond, r @ DataSourceV2Relation(t: VSTable, _, _, _, _, _))
+          if t.search.isEmpty =>
+          absorb(cond, t).map(t2 =>
+            filt.copy(child = r.copy(table = t2.withSearch(spec))))
+        case p @ Project(_,
+            filt @ LFilter(cond, r @ DataSourceV2Relation(t: VSTable, _, _, _, _, _)))
+          if t.search.isEmpty =>
+          absorb(cond, t).map(t2 => p.copy(child =
+            filt.copy(child = r.copy(table = t2.withSearch(spec)))))
         case _ => None
       }
     }
+  }
+
+  /** The whole Filter condition as store-side filters, or None when any
+    * conjunct cannot reach the store before top-k. Inferred
+    * `isnotnull(<bare canonical column>)` conjuncts are tautologies over
+    * this source (records carry non-null ids and materialized metadata
+    * maps by the write-path model) and may stay plan-side; everything
+    * else must translate. Installed filters are deduplicated against any
+    * [[PushMetadataFilters]] copy already on the table (rule order within
+    * the optimizer batch is not fixed). */
+  private def absorb(cond: Expression, t: VSTable): Option[VSTable] = {
+    val rest = splitConjunctivePredicates(cond).filterNot {
+      case IsNotNull(_: AttributeReference) => true
+      case _ => false
+    }
+    val translated = rest.map(PushMetadataFilters.translate)
+    if (translated.forall(_.isDefined))
+      Some(t.withBackendFilters((t.backendFilters ++ translated.flatten).distinct))
+    else None
   }
 
   /** Extract a [[SearchSpec]] from the score expression: best-first means

@@ -133,6 +133,26 @@ object ConnectorQueries {
 
     "q_connector_search_hamming" -> ((s, dir) => hammingSearchQuery(s, dir)),
 
+    // FILTERED top-k: metadata predicate + ORDER BY cosine LIMIT k — the
+    // canonical vector query. PushVectorSearch absorbs the translatable
+    // Filter into the pushed search (PushVectorSearchSpec pins the plan +
+    // the single filtered /points/search wire call); the oracle
+    // adjudicates it equals exact brute-force cosine over the filtered set.
+    "q_connector_search_filtered" -> ((s, dir) => {
+      loadFixture(s, dir, "graft-qdrant", "gate_srchf")
+      val qv = Canonical.from(Tables(s, dir, "embeddings"),
+        idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Nil)
+        .filter(col(Canonical.ID) === "0").select(col(Canonical.VECTOR))
+        .head().getSeq[Float](0).toSeq
+      s.read.format("graft-qdrant").option("collection", "gate_srchf").load()
+        .filter(element_at(col(Canonical.METADATA), "label").cast("double") >= 5)
+        .withColumn("score",
+          graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+        .orderBy(col("score").desc, col(Canonical.ID).asc)
+        .limit(10)
+        .select(col(Canonical.ID), round(col("score"), 6).as("score"))
+    }),
+
     // The same pushed top-k, but the collection lives behind a REAL
     // socket: the optimizer's native-search scan issues ONE
     // POST /points/search (require()-pinned on the wire log) instead of
@@ -490,6 +510,13 @@ object ConnectorQueries {
     "q_connector_search" ->
       ("WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0), " +
         "c AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "s AS (SELECT id, list_dot_product(e, v)/(sqrt(list_dot_product(e, e))*sqrt(list_dot_product(v, v))) AS sc " +
+        "FROM c, qv) " +
+        "SELECT id, round(sc, 6) + 0.0 AS score FROM s ORDER BY sc DESC, id ASC LIMIT 10"),
+    "q_connector_search_filtered" ->
+      ("WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0), " +
+        "c AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings WHERE label >= 5), " +
         "s AS (SELECT id, list_dot_product(e, v)/(sqrt(list_dot_product(e, e))*sqrt(list_dot_product(v, v))) AS sc " +
         "FROM c, qv) " +
         "SELECT id, round(sc, 6) + 0.0 AS score FROM s ORDER BY sc DESC, id ASC LIMIT 10"),

@@ -49,15 +49,97 @@ class PushVectorSearchSpec extends SparkSpec {
     assert(pushed == exact)
   }
 
-  test("an intervening Filter disables the rewrite (conservative correctness)") {
+  test("a Filter outside the translatable surface disables the rewrite") {
     load("pvs3", 1000)
+    // id predicates are not on the metadata.<key> translate surface, so
+    // this Filter cannot be guaranteed to run BEFORE top-k at the store —
+    // the rewrite must not fire (filter-after-top-k would drop winners)
     val df = spark.read.format("graft-qdrant").option("collection", "pvs3").load()
-      .filter(col(Canonical.ID) =!= "climate") // non-pushable shape guard irrelevant; any Filter
+      .filter(col(Canonical.ID) =!= "climate")
       .withColumn("score",
         graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
       .orderBy(col("score").desc, col(Canonical.ID).asc).limit(5)
     val physical = df.queryExecution.executedPlan.toString
     assert(!physical.contains("search=topk"), physical)
     assert(df.count() == 5)
+  }
+
+  private def loadMeta(coll: String, n: Int): Unit = {
+    val rnd = new scala.util.Random(5)
+    (0 until n).map(i => (i.toString, Seq.fill(8)(rnd.nextFloat()),
+      Map("cat" -> s"c${i % 5}", "rank" -> i.toString)))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+      .write.format("graft-qdrant").option("collection", coll)
+      .option("recreate", "true").option("page_size", "500").mode("overwrite").save()
+  }
+
+  private def filteredTopk(coll: String, extra: Option[org.apache.spark.sql.Column] = None) = {
+    val base = spark.read.format("graft-qdrant").option("collection", coll).load()
+    val cond = element_at(col(Canonical.METADATA), "cat") === "c1"
+    base.filter(extra.map(cond && _).getOrElse(cond))
+      .withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .orderBy(col("score").desc, col(Canonical.ID).asc)
+      .limit(7)
+      .select(Canonical.ID)
+  }
+
+  test("metadata-filtered top-k rewrites into a FILTERED search scan") {
+    loadMeta("pvsf", 3000)
+    val df = filteredTopk("pvsf")
+    val physical = df.queryExecution.executedPlan.toString
+    // search spec AND the metadata predicate both inside the scan
+    assert(physical.contains("search=topk(k=7"), physical)
+    val scanLine = physical.linesIterator.find(_.contains("VectorStoreScan")).getOrElse("")
+    assert(scanLine.contains("cat"), physical)
+    // exact same rows as the non-rewritable shape (distinct breaks the
+    // Limit(Sort(Filter(relation))) pattern -> brute-force reference)
+    val exact = spark.read.format("graft-qdrant").option("collection", "pvsf").load()
+      .filter(element_at(col(Canonical.METADATA), "cat") === "c1")
+      .withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .select(col(Canonical.ID), col("score")).distinct()
+      .orderBy(col("score").desc, col(Canonical.ID).asc).limit(7)
+      .select(Canonical.ID).as[String].collect().toSeq
+    assert(df.as[String].collect().toSeq == exact)
+  }
+
+  test("one untranslatable conjunct blocks the filtered-search rewrite") {
+    loadMeta("pvsg", 500)
+    // length(id) > 0 is outside the translate surface: the WHOLE filter
+    // must stay Spark-side and the plan keeps the scan + TakeOrdered shape
+    val df = filteredTopk("pvsg", Some(length(col(Canonical.ID)) > 0))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("search=topk"), physical)
+    assert(df.count() == 7)
+  }
+
+  test("filtered search over the wire is ONE filtered /points/search call") {
+    import graft.connectors.vectorstore._
+    val server = new QdrantWireServer(new InMemoryStore)
+    try {
+      val rnd = new scala.util.Random(5)
+      (0 until 2000).map(i => (i.toString, Seq.fill(8)(rnd.nextFloat()),
+        Map("cat" -> s"c${i % 5}")))
+        .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+        .write.format("graft-qdrant").option("collection", "pvsw")
+        .option("url", server.url).option("recreate", "true").mode("overwrite").save()
+      val mark = server.requestLines.size
+      val got = spark.read.format("graft-qdrant").option("collection", "pvsw")
+        .option("url", server.url).load()
+        .filter(element_at(col(Canonical.METADATA), "cat") === "c1")
+        .withColumn("score",
+          graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+        .orderBy(col("score").desc, col(Canonical.ID).asc).limit(7)
+        .select(Canonical.ID).as[String].collect().toSeq
+      assert(got.length == 7)
+      val lines = server.requestLines.drop(mark)
+      assert(lines.count(_.startsWith("POST /collections/pvsw/points/search")) == 1, lines)
+      // the whole collection never scrolled: the filtered search replaced it
+      assert(!lines.exists(_.startsWith("POST /collections/pvsw/points/scroll")), lines)
+      // and the search body carried the filter (pre-top-k at the backend)
+      assert(server.bodiesOf("POST /collections/pvsw/points/search")
+        .exists(b => b.contains("\"filter\"") && b.contains("cat")), "filter missing from search body")
+    } finally server.stop()
   }
 }
