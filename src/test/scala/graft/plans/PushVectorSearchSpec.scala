@@ -142,4 +142,55 @@ class PushVectorSearchSpec extends SparkSpec {
         .exists(b => b.contains("\"filter\"") && b.contains("cat")), "filter missing from search body")
     } finally server.stop()
   }
+
+  private def filteredWireTopk(fmt: String, url: String, coll: String): Seq[String] = {
+    val rnd = new scala.util.Random(5)
+    (0 until 1200).map(i => (i.toString, Seq.fill(8)(rnd.nextFloat()),
+      Map("cat" -> s"c${i % 5}")))
+      .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+      .write.format(fmt).option("collection", coll)
+      .option("url", url).option("recreate", "true").mode("overwrite").save()
+    spark.read.format(fmt).option("collection", coll).option("url", url).load()
+      .filter(element_at(col(Canonical.METADATA), "cat") === "c1")
+      .withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .orderBy(col("score").desc, col(Canonical.ID).asc).limit(7)
+      .select(Canonical.ID).as[String].collect().toSeq
+  }
+
+  test("filtered search rides the milvus and pinecone wires too (one call each)") {
+    import graft.connectors.vectorstore._
+    // the exact answer is backend-independent: brute force on the local frame
+    val rnd = new scala.util.Random(5)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb == 0.0) 0.0 else dot / (na * nb)
+    }
+    val rows = (0 until 1200).map(i => (i.toString, Seq.fill(8)(rnd.nextFloat())))
+    val exact = rows.filter(_._1.toInt % 5 == 1)
+      .map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, s) => (-s, id) }.take(7).map(_._1)
+
+    val ms = new MilvusWireServer(new InMemoryStore)
+    try {
+      val mark = ms.requestLines.size
+      assert(filteredWireTopk("graft-milvus", ms.url, "pvsm") == exact)
+      val lines = ms.requestLines.drop(mark)
+      assert(lines.count(_.startsWith("POST /v2/vectordb/entities/search")) == 1, lines)
+      assert(ms.bodiesOf("POST /v2/vectordb/entities/search")
+        .exists(b => b.contains("\"filter\"") && b.contains("cat")))
+    } finally ms.stop()
+
+    val ps = new PineconeWireServer(new InMemoryStore)
+    try {
+      val mark = ps.requestLines.size
+      assert(filteredWireTopk("graft-pinecone", ps.url, "pvsp") == exact)
+      val lines = ps.requestLines.drop(mark)
+      assert(lines.count(_.startsWith("POST /query")) == 1, lines)
+      assert(ps.bodiesOf("POST /query")
+        .exists(b => b.contains("\"filter\"") && b.contains("cat")))
+    } finally ps.stop()
+  }
 }
