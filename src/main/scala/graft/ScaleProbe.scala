@@ -546,6 +546,36 @@ object ScaleProbe {
             onePerm = true).count())
       }
     }
+    // vector-store search FALLBACK at growing collection size: the local
+    // transport declines native search, so the filtered top-k runs the
+    // scroll+score path — pages stream through the k-bounded heap
+    // (VSScoring.topKStreaming, O(k) executor memory). The probe's law of
+    // interest is wall-time vs rows (linear = the heap never re-sorts) and
+    // that the filtered variant tracks the unfiltered one (filters
+    // evaluate inside the page walk, before selection).
+    if (only.exists(_.exists(s => "vs search".contains(s)))) {
+      import graft.model.Canonical
+      val canon = Canonical.from(emb, idCol = "vec_id",
+        vectorCol = Some("embedding"), metadataCols = Seq("label"))
+      canon.write.format("graft-qdrant").option("collection", "probe_srch")
+        .option("recreate", "true").option("page_size", "2000")
+        .mode("overwrite").save()
+      val qv = canon.filter(col(Canonical.ID) === "0")
+        .select(col(Canonical.VECTOR)).head().getSeq[Float](0).toSeq
+      def topk(filtered: Boolean) = {
+        val base = spark.read.format("graft-qdrant")
+          .option("collection", "probe_srch").load()
+        val src = if (filtered)
+          base.filter(element_at(col(Canonical.METADATA), "label").cast("double") >= 5)
+        else base
+        src.withColumn("score", graft.functions.VectorExpressions
+            .cosine(col(Canonical.VECTOR), typedLit(qv)))
+          .orderBy(col("score").desc, col(Canonical.ID).asc).limit(10)
+          .count()
+      }
+      time("vs search fallback (full)")(topk(filtered = false))
+      time("vs search fallback (filt)")(topk(filtered = true))
+    }
     spark.stop()
     sys.exit(0) // don't let stray library threads pin the forked JVM open
   }
