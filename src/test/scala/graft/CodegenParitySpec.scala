@@ -175,4 +175,24 @@ class CodegenParitySpec extends SparkSpec {
   test("parity: lowerRoot fold") {
     assertParity(docs.select($"id", BpeExpressions.lowerRoot($"text").as("lr")))
   }
+
+  test("parity: hyperplane bucket") {
+    val rnd = new scala.util.Random(7)
+    val planes = Array.fill(5)(Array.fill(4)(rnd.nextGaussian()))
+    val bucket = org.apache.spark.sql.GraftColumnBridge.column(
+      HyperplaneBucketExpr(org.apache.spark.sql.GraftColumnBridge.expression($"a"), planes))
+    assertParity(vecs.select($"id", bucket.as("bkt")))
+  }
+
+  test("parity: url canonicalize") {
+    val urls = Seq(
+      (0L, "HTTP://Example.COM:80/a/../b/?utm_source=x&q=1#frag"),
+      (1L, "https://example.com/b/?q=1"),
+      (2L, "not a url at all"),
+      (3L, ""),
+      (4L, "ftp://Mixed.Case/Path//double")).toDF("id", "u").orderBy("id")
+    val canon = org.apache.spark.sql.GraftColumnBridge.column(
+      UrlCanonicalizeExpr(org.apache.spark.sql.GraftColumnBridge.expression($"u")))
+    assertParity(urls.select($"id", canon.as("cu")))
+  }
 }
