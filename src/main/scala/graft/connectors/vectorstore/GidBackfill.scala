@@ -45,12 +45,9 @@ object GidBackfill {
       case "qdrant" => Some("""{"must":[{"is_null":{"key":"__gid"}}]}""")
       case _ => None
     }
-    var cursor: Option[String] = None
-    var first = true
     var scanned = 0L; var backfilled = 0L; var skippedNon = 0L; var skippedForeign = 0L
-    while (first || cursor.isDefined) {
-      val (recs, next) = store.scrollPageFiltered(collection, cursor, batchSize, filter)
-      first = false
+    VSPaging.cursorWalk(c =>
+      store.scrollPageFiltered(collection, c, batchSize, filter)).foreach { recs =>
       scanned += recs.length
       val (foreign, clean) = recs.partition(_.metadata.contains("__gid"))
       skippedForeign += foreign.length
@@ -61,7 +58,6 @@ object GidBackfill {
         store.upsert(collection, numeric) // the codec injects the mirror
         backfilled += numeric.length
       }
-      cursor = if (recs.isEmpty && next.isEmpty) None else next
     }
     Report(scanned, backfilled, skippedNon, skippedForeign)
   }
