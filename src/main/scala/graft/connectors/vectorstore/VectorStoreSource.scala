@@ -762,7 +762,15 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     * a small collection joined against a big fact table instead of
     * shuffling the fact side. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val total = store.count(collection)
+    // filtered population when the backend evaluates the pushed filters
+    // server-side: a 100M-row collection filtered to 10k must report 10k,
+    // or Catalyst/AQE never picks the broadcast join this scan deserves
+    // (countFiltered degrades to the raw count on backends without a
+    // filtered-count verb — the prior estimate, never worse)
+    private val total =
+      if (wireFilter.isDefined && store.serverSideFilters)
+        store.countFiltered(collection, wireFilter)
+      else store.count(collection)
     private val rows: Long = limit match {
       case Some(l) => math.min(l.toLong, math.max(0L, total.toLong - offset.getOrElse(0)))
       case None if countMode => 1L

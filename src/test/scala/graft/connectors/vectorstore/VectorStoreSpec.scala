@@ -394,6 +394,29 @@ class VectorStoreHardeningSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("filtered scan reports the FILTERED row estimate (broadcast planning)") {
+    val server = new MilvusWireServer(new InMemoryStore)
+    try {
+      (0 until 300).map(i =>
+        (s"s$i", Seq.fill(4)(i.toFloat), Map("cat" -> s"c${i % 100}")))
+        .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+        .write.format("graft-milvus").option("collection", "statf")
+        .option("url", server.url).option("recreate", "true").mode("overwrite").save()
+      def stats(filtered: Boolean): BigInt = {
+        val base = spark.read.format("graft-milvus").option("collection", "statf")
+          .option("url", server.url).load()
+        val df = if (filtered)
+          base.filter(element_at(col(Canonical.METADATA), "cat") === "c7") else base
+        df.queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes / 48)
+      }
+      // a 300-row collection filtered to 3 must plan as ~3 rows, not 300 —
+      // the difference between broadcasting this side of a join and not
+      assert(stats(filtered = false) >= 300)
+      assert(stats(filtered = true) <= 30, s"filtered estimate too big: ${stats(true)}")
+    } finally server.stop()
+  }
+
   test("milvus wire count(*) honors the filter expr like real milvus") {
     val server = new MilvusWireServer(new InMemoryStore)
     try {
