@@ -42,7 +42,9 @@ class ContractSpec extends AnyFunSuite {
     // round 13: +q_dedup_cosine_lsh_ms (the multi-seed recall default),
     // +q_mm_ahash_neardup_guarded (the skew-guard path, oracle-replayed
     // at a bucket bound the sf0.01 corpus genuinely exceeds)
-    assert(SparkEntry.queries.size == 170, SparkEntry.queries.size.toString)
+    // round 15: +q_connector_search_filtered (metadata filter absorbed
+    // into the pushed search — the canonical filtered vector query)
+    assert(SparkEntry.queries.size == 171, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {
