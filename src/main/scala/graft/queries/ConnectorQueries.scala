@@ -133,6 +133,29 @@ object ConnectorQueries {
 
     "q_connector_search_hamming" -> ((s, dir) => hammingSearchQuery(s, dir)),
 
+    // FILTERED binary top-k: metadata predicate + ORDER BY hamming ASC
+    // LIMIT k over a BINARY_VECTOR collection — the binary face of the
+    // filtered-search rewrite (same absorb rule, Milvus's native metric).
+    "q_connector_search_filtered_hamming" -> ((s, dir) => {
+      Tables(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as(Canonical.ID),
+        graft.functions.BinaryVectors.pack(col("embedding")).as(Canonical.VECTOR),
+        map(lit("label"), col("label").cast("string")).as(Canonical.METADATA))
+        .write.format("graft-milvus").option("collection", "gate_srchbf")
+        .option("vector_type", "BINARY_VECTOR").option("distance", "Hamming")
+        .option("recreate", "true").mode("overwrite").save()
+      val qb = Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(graft.functions.BinaryVectors.pack(col("embedding")).as("b"))
+        .head().getAs[Array[Byte]](0)
+      s.read.format("graft-milvus").option("collection", "gate_srchbf").load()
+        .filter(element_at(col(Canonical.METADATA), "label").cast("double") >= 5)
+        .withColumn("hamming",
+          graft.functions.BinaryVectors.hamming(col(Canonical.VECTOR), lit(qb)))
+        .orderBy(col("hamming").asc, col(Canonical.ID).asc)
+        .limit(10)
+        .select(col(Canonical.ID), col("hamming"))
+    }),
+
     // FILTERED top-k: metadata predicate + ORDER BY cosine LIMIT k — the
     // canonical vector query. PushVectorSearch absorbs the translatable
     // Filter into the pushed search (PushVectorSearchSpec pins the plan +
@@ -513,6 +536,14 @@ object ConnectorQueries {
         "s AS (SELECT id, list_dot_product(e, v)/(sqrt(list_dot_product(e, e))*sqrt(list_dot_product(v, v))) AS sc " +
         "FROM c, qv) " +
         "SELECT id, round(sc, 6) + 0.0 AS score FROM s ORDER BY sc DESC, id ASC LIMIT 10"),
+    "q_connector_search_filtered_hamming" ->
+      ("WITH b AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bits FROM embeddings), " +
+        "q AS (SELECT bits AS qb FROM b WHERE vec_id = 0), " +
+        "s AS (SELECT CAST(vec_id AS VARCHAR) AS id, " +
+        "CAST(len(list_filter(range(len(bits)), i -> bits[i+1] != qb[i+1])) AS INT) AS hamming " +
+        "FROM b, q WHERE label >= 5) " +
+        "SELECT id, hamming FROM s ORDER BY hamming, id LIMIT 10"),
     "q_connector_search_filtered" ->
       ("WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0), " +
         "c AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS e " +

@@ -43,8 +43,9 @@ class ContractSpec extends AnyFunSuite {
     // +q_mm_ahash_neardup_guarded (the skew-guard path, oracle-replayed
     // at a bucket bound the sf0.01 corpus genuinely exceeds)
     // round 15: +q_connector_search_filtered (metadata filter absorbed
-    // into the pushed search — the canonical filtered vector query)
-    assert(SparkEntry.queries.size == 171, SparkEntry.queries.size.toString)
+    // into the pushed search — the canonical filtered vector query),
+    // +q_connector_search_filtered_hamming (its binary face)
+    assert(SparkEntry.queries.size == 172, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {
