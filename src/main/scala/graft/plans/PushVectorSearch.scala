@@ -46,18 +46,25 @@ object PushVectorSearch extends Rule[LogicalPlan]
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // Limit over Sort, optionally with a pure Project in between (the
-    // optimizer hoists output pruning above the Sort)
+    // optimizer hoists output pruning above the Sort). The two shapes are
+    // disjoint, and each evaluates the (traversing) extraction ONCE —
+    // returning the node unchanged when it does not rewrite.
     case limit @ GlobalLimit(IntegerLiteral(k), ll @ LocalLimit(_,
-        sort @ Sort(SortOrder(scoreExpr, dir, _, _) +: _, true, child, _)))
-      if findRewrite(scoreExpr, dir, child, k).isDefined =>
-      limit.copy(child = ll.copy(child =
-        sort.copy(child = findRewrite(scoreExpr, dir, child, k).get)))
+        sort @ Sort(SortOrder(scoreExpr, dir, _, _) +: _, true, child, _))) =>
+      findRewrite(scoreExpr, dir, child, k) match {
+        case Some(rewritten) =>
+          limit.copy(child = ll.copy(child = sort.copy(child = rewritten)))
+        case None => limit
+      }
 
     case limit @ GlobalLimit(IntegerLiteral(k), ll @ LocalLimit(_, proj @ Project(_,
-        sort @ Sort(SortOrder(scoreExpr, dir, _, _) +: _, true, child, _))))
-      if findRewrite(scoreExpr, dir, child, k).isDefined =>
-      limit.copy(child = ll.copy(child = proj.copy(child =
-        sort.copy(child = findRewrite(scoreExpr, dir, child, k).get))))
+        sort @ Sort(SortOrder(scoreExpr, dir, _, _) +: _, true, child, _)))) =>
+      findRewrite(scoreExpr, dir, child, k) match {
+        case Some(rewritten) =>
+          limit.copy(child = ll.copy(child = proj.copy(child =
+            sort.copy(child = rewritten))))
+        case None => limit
+      }
   }
 
   /** Returns the child with the relation swapped for a search-enabled one,
@@ -92,18 +99,44 @@ object PushVectorSearch extends Rule[LogicalPlan]
     * `isnotnull(<bare canonical column>)` conjuncts are tautologies over
     * this source (records carry non-null ids and materialized metadata
     * maps by the write-path model) and may stay plan-side; everything
-    * else must translate. Installed filters are deduplicated against any
-    * [[PushMetadataFilters]] copy already on the table (rule order within
-    * the optimizer batch is not fixed). */
+    * else must translate AND be null-strict (below). Installed filters
+    * are deduplicated against any [[PushMetadataFilters]] copy already on
+    * the table (rule order within the optimizer batch is not fixed). */
   private def absorb(cond: Expression, t: VSTable): Option[VSTable] = {
     val rest = splitConjunctivePredicates(cond).filterNot {
       case IsNotNull(_: AttributeReference) => true
       case _ => false
     }
     val translated = rest.map(PushMetadataFilters.translate)
-    if (translated.forall(_.isDefined))
+    if (translated.forall(f => f.isDefined && nullStrict(f.get)))
       Some(t.withBackendFilters((t.backendFilters ++ translated.flatten).distinct))
     else None
+  }
+
+  /** Store-side filter evaluation is 2-valued (a missing metadata key is
+    * plain FALSE — `FilterEval`, and real services match the same way:
+    * Qdrant renders Not as `must_not`, which MATCHES records lacking the
+    * key) while Spark is 3-valued (missing → NULL → row dropped). For a
+    * positive predicate the two agree on what's EXCLUDED, so the store is
+    * never looser — but under Not they invert differently: the store
+    * passes missing-key rows Spark would drop, those rows occupy top-k
+    * slots, and the retained plan Filter then drops them AFTER selection —
+    * evicting genuine winners (the filter-after-top-k hazard, reached
+    * through null semantics instead of an untranslated conjunct). So
+    * absorption refuses any Not whose child can be null-valued; Not over
+    * the null-UNAMBIGUOUS IsNull/IsNotNull stays eligible, and the same
+    * divergence cannot hide under And/Or of positive atoms. Plain scans
+    * keep pushing Not (their plan Filter re-check is sound — looseness
+    * only ships extra rows); only SEARCH absorption needs null-strictness. */
+  private def nullStrict(filter: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.{sources => f}
+    filter match {
+      case f.Not(f.IsNull(_)) | f.Not(f.IsNotNull(_)) => true
+      case f.Not(_) => false
+      case f.And(l, r) => nullStrict(l) && nullStrict(r)
+      case f.Or(l, r) => nullStrict(l) && nullStrict(r)
+      case _ => true
+    }
   }
 
   /** Extract a [[SearchSpec]] from the score expression: best-first means

@@ -136,45 +136,16 @@ object ConnectorQueries {
     // FILTERED binary top-k: metadata predicate + ORDER BY hamming ASC
     // LIMIT k over a BINARY_VECTOR collection — the binary face of the
     // filtered-search rewrite (same absorb rule, Milvus's native metric).
-    "q_connector_search_filtered_hamming" -> ((s, dir) => {
-      Tables(s, dir, "embeddings").select(
-        col("vec_id").cast("string").as(Canonical.ID),
-        graft.functions.BinaryVectors.pack(col("embedding")).as(Canonical.VECTOR),
-        map(lit("label"), col("label").cast("string")).as(Canonical.METADATA))
-        .write.format("graft-milvus").option("collection", "gate_srchbf")
-        .option("vector_type", "BINARY_VECTOR").option("distance", "Hamming")
-        .option("recreate", "true").mode("overwrite").save()
-      val qb = Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
-        .select(graft.functions.BinaryVectors.pack(col("embedding")).as("b"))
-        .head().getAs[Array[Byte]](0)
-      s.read.format("graft-milvus").option("collection", "gate_srchbf").load()
-        .filter(element_at(col(Canonical.METADATA), "label").cast("double") >= 5)
-        .withColumn("hamming",
-          graft.functions.BinaryVectors.hamming(col(Canonical.VECTOR), lit(qb)))
-        .orderBy(col("hamming").asc, col(Canonical.ID).asc)
-        .limit(10)
-        .select(col(Canonical.ID), col("hamming"))
-    }),
+    "q_connector_search_filtered_hamming" -> ((s, dir) =>
+      hammingSearchQuery(s, dir, coll = "gate_srchbf", minLabel = Some(5))),
 
     // FILTERED top-k: metadata predicate + ORDER BY cosine LIMIT k — the
     // canonical vector query. PushVectorSearch absorbs the translatable
     // Filter into the pushed search (PushVectorSearchSpec pins the plan +
     // the single filtered /points/search wire call); the oracle
     // adjudicates it equals exact brute-force cosine over the filtered set.
-    "q_connector_search_filtered" -> ((s, dir) => {
-      loadFixture(s, dir, "graft-qdrant", "gate_srchf")
-      val qv = Canonical.from(Tables(s, dir, "embeddings"),
-        idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Nil)
-        .filter(col(Canonical.ID) === "0").select(col(Canonical.VECTOR))
-        .head().getSeq[Float](0).toSeq
-      s.read.format("graft-qdrant").option("collection", "gate_srchf").load()
-        .filter(element_at(col(Canonical.METADATA), "label").cast("double") >= 5)
-        .withColumn("score",
-          graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
-        .orderBy(col("score").desc, col(Canonical.ID).asc)
-        .limit(10)
-        .select(col(Canonical.ID), round(col("score"), 6).as("score"))
-    }),
+    "q_connector_search_filtered" -> ((s, dir) =>
+      searchQuery(s, dir, coll = "gate_srchf", minLabel = Some(5))),
 
     // The same pushed top-k, but the collection lives behind a REAL
     // socket: the optimizer's native-search scan issues ONE
@@ -484,14 +455,18 @@ object ConnectorQueries {
     * relation — [[graft.plans.PushVectorSearch]] rewrites it so each scan
     * partition emits only its local top-k. */
   def searchQuery(s: SparkSession, dir: String, conn: Map[String, String] = Map.empty,
-                  coll: String = "gate_srch"): DataFrame = {
+                  coll: String = "gate_srch", minLabel: Option[Int] = None): DataFrame = {
     loadFixture(s, dir, "graft-qdrant", coll, options = conn)
     val qv = Canonical.from(Tables(s, dir, "embeddings"),
       idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Nil)
       .filter(col(Canonical.ID) === "0").select(col(Canonical.VECTOR))
       .head().getSeq[Float](0).toSeq
     val df = s.read.format("graft-qdrant").options(conn).option("collection", coll).load()
-    df.withColumn("score",
+    // optional metadata predicate: PushVectorSearch absorbs it into the
+    // pushed search (the FILTERED-search gate variant)
+    val src = minLabel.map(m => df.filter(
+      element_at(col(Canonical.METADATA), "label").cast("double") >= m)).getOrElse(df)
+    src.withColumn("score",
         graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
       .orderBy(col("score").desc, col(Canonical.ID).asc)
       .limit(10)
@@ -502,19 +477,22 @@ object ConnectorQueries {
     * ORDER BY binary_hamming ASC LIMIT k — [[graft.plans.PushVectorSearch]]
     * rewrites it so each scan partition emits only its local best-k (ties
     * on id, matching the query's sort), Milvus's native binary metric. */
-  def hammingSearchQuery(s: SparkSession, dir: String): DataFrame = {
+  def hammingSearchQuery(s: SparkSession, dir: String, coll: String = "gate_srchb",
+                         minLabel: Option[Int] = None): DataFrame = {
     Tables(s, dir, "embeddings").select(
       col("vec_id").cast("string").as(Canonical.ID),
       graft.functions.BinaryVectors.pack(col("embedding")).as(Canonical.VECTOR),
-      map().cast("map<string,string>").as(Canonical.METADATA))
-      .write.format("graft-milvus").option("collection", "gate_srchb")
+      map(lit("label"), col("label").cast("string")).as(Canonical.METADATA))
+      .write.format("graft-milvus").option("collection", coll)
       .option("vector_type", "BINARY_VECTOR").option("distance", "Hamming")
       .option("recreate", "true").mode("overwrite").save()
     val qb = Tables(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(graft.functions.BinaryVectors.pack(col("embedding")).as("b"))
       .head().getAs[Array[Byte]](0)
-    val df = s.read.format("graft-milvus").option("collection", "gate_srchb").load()
-    df.withColumn("hamming",
+    val df = s.read.format("graft-milvus").option("collection", coll).load()
+    val src = minLabel.map(m => df.filter(
+      element_at(col(Canonical.METADATA), "label").cast("double") >= m)).getOrElse(df)
+    src.withColumn("hamming",
         graft.functions.BinaryVectors.hamming(col(Canonical.VECTOR), lit(qb)))
       .orderBy(col("hamming").asc, col(Canonical.ID).asc)
       .limit(10)

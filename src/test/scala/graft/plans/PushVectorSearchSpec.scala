@@ -104,6 +104,48 @@ class PushVectorSearchSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == exact)
   }
 
+  test("negated predicates block the rewrite (3-valued vs store 2-valued Not)") {
+    // records LACKING the key: Spark drops them under =!= (null), but the
+    // store's 2-valued Not would PASS them into top-k slots — evicting
+    // genuine winners the plan Filter can't restore. The rewrite must not
+    // fire; the results must still be Spark-exact.
+    val rnd = new scala.util.Random(11)
+    (0 until 600).map { i =>
+      val meta = if (i % 3 == 0) Map.empty[String, String]
+      else Map("cat" -> s"c${i % 4}")
+      (f"n$i%03d", Seq.fill(8)(rnd.nextFloat()), meta)
+    }.toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+      .write.format("graft-qdrant").option("collection", "pvsn")
+      .option("recreate", "true").option("page_size", "200").mode("overwrite").save()
+    val base = spark.read.format("graft-qdrant").option("collection", "pvsn").load()
+    val df = base
+      .filter(element_at(col(Canonical.METADATA), "cat") =!= "c2")
+      .withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .orderBy(col("score").desc, col(Canonical.ID).asc).limit(5)
+      .select(Canonical.ID)
+    assert(!df.queryExecution.executedPlan.toString.contains("search=topk"),
+      df.queryExecution.executedPlan.toString)
+    // Spark-exact: only rows WITH the key and != c2, never the keyless ones
+    val exact = base
+      .filter(element_at(col(Canonical.METADATA), "cat") =!= "c2")
+      .withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .select(col(Canonical.ID), col("score")).distinct()
+      .orderBy(col("score").desc, col(Canonical.ID).asc).limit(5)
+      .select(Canonical.ID).as[String].collect().toSeq
+    assert(df.as[String].collect().toSeq == exact)
+    // IsNotNull on a metadata KEY stays absorbable (null-unambiguous):
+    val notNull = base
+      .filter(element_at(col(Canonical.METADATA), "cat").isNotNull)
+      .withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .orderBy(col("score").desc, col(Canonical.ID).asc).limit(5)
+    assert(notNull.queryExecution.executedPlan.toString.contains("search=topk(k=5"),
+      notNull.queryExecution.executedPlan.toString)
+    assert(notNull.count() == 5)
+  }
+
   test("one untranslatable conjunct blocks the filtered-search rewrite") {
     loadMeta("pvsg", 500)
     // length(id) > 0 is outside the translate surface: the WHOLE filter
