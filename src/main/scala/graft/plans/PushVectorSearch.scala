@@ -128,7 +128,7 @@ object PushVectorSearch extends Rule[LogicalPlan]
     * divergence cannot hide under And/Or of positive atoms. Plain scans
     * keep pushing Not (their plan Filter re-check is sound — looseness
     * only ships extra rows); only SEARCH absorption needs null-strictness. */
-  private def nullStrict(filter: org.apache.spark.sql.sources.Filter): Boolean = {
+  private[graft] def nullStrict(filter: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.{sources => f}
     filter match {
       case f.Not(f.IsNull(_)) | f.Not(f.IsNotNull(_)) => true
