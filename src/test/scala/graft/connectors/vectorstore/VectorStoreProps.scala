@@ -98,6 +98,32 @@ object VectorStoreProps extends Properties("vectorstore") {
         (!FilterEval.eval(filter, r) || FilterEval.eval3(filter, r).contains(true))
     }
 
+  // ------------------------------------------------------- cursorWalk
+
+  private val genSchedule: Gen[List[List[String]]] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(
+        3 -> Gen.chooseNum(1, 4).flatMap(m =>
+          Gen.listOfN(m, Gen.identifier.map(_.take(6)))),
+        1 -> Gen.const(List.empty[String])))) // empty page, cursor LIVE
+
+  property("cursorWalk drains any paging schedule exactly once, empty pages included") =
+    forAll(genSchedule) { pages =>
+      // fetch(cursor): cursor None = page 0; Some(i) = page i; the cursor
+      // chain is positional, exhausted after the last page — including
+      // trailing empty pages (real backends emit those while bisecting)
+      def fetch(cursor: Option[String]): (Seq[VSRecord], Option[String]) = {
+        val i = cursor.map(_.toInt).getOrElse(0)
+        val recs =
+          if (i < pages.length) pages(i).map(id => VSRecord(id, Array(1f), Map.empty))
+          else Seq.empty
+        val next = if (i + 1 < pages.length) Some((i + 1).toString) else None
+        (recs, next)
+      }
+      val walked = VSPaging.cursorWalk(fetch).flatten.map(_.id).toList
+      walked == pages.flatten
+    }
+
   property("Not over a value predicate violates the invariant (the hazard is real)") = {
     // the counterexample class the classifier exists to exclude: a record
     // MISSING the key passes 2-valued Not(EqualTo) but is dropped 3-valued
