@@ -124,6 +124,53 @@ object VectorStoreProps extends Properties("vectorstore") {
       walked == pages.flatten
     }
 
+  // ---------------------------------- dialect round-trips, hostile values
+
+  private val genNastyString: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('\'', '"', '\\', '\t', ' ', 'ü', '€', '中'),
+      1 -> Gen.const('\n'))).map(_.mkString))
+
+  private val genValueAtom: Gen[f.Filter] = for {
+    key <- Gen.oneOf("lang", "cat").map(k => s"metadata.$k")
+    v <- genNastyString
+    v2 <- genNastyString
+    num <- Gen.chooseNum(-50, 50)
+    atom <- Gen.oneOf[f.Filter](
+      f.EqualTo(key, v), f.StringStartsWith(key, v),
+      f.In(key, Array[Any](v, v2)), f.GreaterThan(key, num))
+  } yield atom
+
+  private val genValueRecord: Gen[VSRecord] = for {
+    id <- Gen.chooseNum(0, 99)
+    lang <- Gen.option(genNastyString)
+    cat <- Gen.option(Gen.oneOf(genNastyString, Gen.chooseNum(-50, 50).map(_.toString)))
+  } yield VSRecord(s"v$id", Array(1f),
+    (lang.map("lang" -> _) ++ cat.map("cat" -> _)).toMap)
+
+  /** render → wire string → WireFilters decode → FilterEval must select
+    * the SAME records as the original filter — for values with quotes,
+    * backslashes, newlines, and non-ASCII (the escaping paths). */
+  private def roundTrips(name: String,
+                         decode: String => f.Filter,
+                         dialect: FilterDialect): Unit =
+    property(s"$name: hostile values survive render -> decode -> eval") =
+      forAll(genValueAtom, Gen.listOfN(12, genValueRecord)) { (filter, recs) =>
+        dialect.render(filter) match {
+          case None => true // shape outside this dialect's grammar
+          case Some(rendered) =>
+            val back = decode(rendered)
+            recs.forall(r => FilterEval.eval(back, r) == FilterEval.eval(filter, r))
+        }
+      }
+
+  roundTrips("qdrant", s => WireFilters.fromQdrantJson(WireJson.mapper.readTree(s)),
+    new QdrantFilterDialect)
+  roundTrips("milvus", WireFilters.fromMilvusExpr, new MilvusExprDialect)
+  roundTrips("pinecone", s => WireFilters.fromPineconeJson(WireJson.mapper.readTree(s)),
+    new PineconeFilterDialect)
+
   property("Not over a value predicate violates the invariant (the hazard is real)") = {
     // the counterexample class the classifier exists to exclude: a record
     // MISSING the key passes 2-valued Not(EqualTo) but is dropped 3-valued
