@@ -136,7 +136,15 @@ object MigrationConfig {
       else Seq(key -> v.asText())
     }.toMap
 
-  private def strSeq(n: JsonNode): Seq[String] = n.elements().asScala.map(_.asText()).toSeq
+  /** String list, tolerating a bare scalar as a one-element list — Jackson's
+    * `elements()` on a TextNode is EMPTY, so `"metadata_columns": "lang"`
+    * (the classic hand-written-config mistake) used to silently parse as
+    * NO metadata columns and the migration dropped every metadata value
+    * without a word. Anything else (numbers, objects) is a loud error. */
+  private def strSeq(n: JsonNode): Seq[String] =
+    if (n.isArray) n.elements().asScala.map(_.asText()).toSeq
+    else if (n.isTextual) Seq(n.asText())
+    else throw new ConfigException(s"expected a string array, got: $n")
 
   private def text(n: JsonNode, keys: String*): Option[String] =
     // filter JSON null NODES: {"vector_column": null} means "none", and an
@@ -152,7 +160,8 @@ object MigrationConfig {
       .getOrElse(throw new ConfigException("query block needs a collection/table/index name")),
     idColumn = text(n, "id_column").getOrElse("id"),
     vectorColumn = text(n, "vector_column").orElse(Some("vector")),
-    metadataColumns = Option(n.get("metadata_columns")).map(strSeq).getOrElse(Nil),
+    metadataColumns = Option(n.get("metadata_columns"))
+      .filterNot(_.isNull).map(strSeq).getOrElse(Nil),
     // filterNot(isNull) everywhere a generated config may carry an explicit
     // JSON null: NullNode coerces to 0 (limit 0 -> "no data extracted") or
     // the literal string "null" — "absent" is the only sane reading

@@ -178,4 +178,24 @@ class ConfigSpec extends AnyFunSuite {
       TransformStep("chunk_embed"))).isDefined)
     assert(graft.core.TransformPipeline.compose(Nil).isEmpty)
   }
+
+  test("metadata_columns: scalar means one column, null means none, junk is loud") {
+    def cfg(mc: String) = MigrationConfig.fromJson(
+      s"""{"source": {"type": "parquet", "connection": {"path": "/x"},
+         |  "query": {"collection_name": "t", $mc "id_column": "id"}},
+         | "target": {"type": "parquet", "connection": {"path": "/y"},
+         |  "load": {"collection_name": "u"}}}""".stripMargin)
+    // a bare string is ONE column — Jackson's elements() on a TextNode is
+    // empty, so this used to silently parse as NO metadata columns and the
+    // migration dropped every metadata value without a word
+    assert(cfg(""""metadata_columns": "lang",""").source.query.get
+      .metadataColumns == Seq("lang"))
+    assert(cfg(""""metadata_columns": ["lang", "cat"],""").source.query.get
+      .metadataColumns == Seq("lang", "cat"))
+    assert(cfg(""""metadata_columns": null,""").source.query.get
+      .metadataColumns == Nil)
+    assert(cfg("").source.query.get.metadataColumns == Nil)
+    val e = intercept[ConfigException] { cfg(""""metadata_columns": 7,""") }
+    assert(e.getMessage.contains("string array"))
+  }
 }
