@@ -137,9 +137,19 @@ class QdrantFilterDialect extends FilterDialect {
     parseClauseList(root)
   }
 
+  /** Clause lists must BE lists: Jackson's `elements()` on a scalar is
+    * empty, so `{"must": "lang=en"}` (a malformed hand-written filter)
+    * would silently parse as NO constraints — a subset migration quietly
+    * copying the whole collection. Real Qdrant 400s on the shape. */
+  private def jarr(n: JsonNode, what: String): Seq[JsonNode] = {
+    if (!n.isArray) throw new IllegalArgumentException(
+      s"qdrant filter: '$what' must be an array, got: $n")
+    n.elements().asScala.toSeq
+  }
+
   private def parseClauseList(n: JsonNode): Column = {
     def conds(key: String): Seq[Column] =
-      Option(n.get(key)).map(_.elements().asScala.map(parseCond).toSeq).getOrElse(Nil)
+      Option(n.get(key)).map(v => jarr(v, key).map(parseCond)).getOrElse(Nil)
     val must = conds("must")
     val should = conds("should")
     val mustNot = conds("must_not")
@@ -156,13 +166,13 @@ class QdrantFilterDialect extends FilterDialect {
     if (c.has("is_empty")) return attr(c.get("is_empty").get("key").asText()).isNull
     if (c.has("has_id")) // documented point-id membership condition
       return attr("id").isInCollection(
-        c.get("has_id").elements().asScala.map(_.asText()).toSeq)
+        jarr(c.get("has_id"), "has_id").map(_.asText()))
     val key = Option(c.get("key")).map(_.asText())
       .getOrElse(throw new IllegalArgumentException(s"qdrant condition missing key: $c"))
     if (c.has("match")) {
       val m = c.get("match")
       if (m.has("any")) {
-        val vals = m.get("any").elements().asScala.toSeq
+        val vals = jarr(m.get("any"), "match.any")
         return if (vals.forall(_.isNumber))
           attr(key).cast("double").isInCollection(vals.map(_.asDouble()))
         else attr(key).isInCollection(vals.map(_.asText()))
@@ -284,8 +294,14 @@ class PineconeFilterDialect extends FilterDialect {
   private def parseNode(n: JsonNode): Column = {
     val parts = n.properties().asScala.map { e =>
       (e.getKey, e.getValue) match {
-        case ("$and", arr) => arr.elements().asScala.map(parseNode).reduce(_ && _)
-        case ("$or", arr) => arr.elements().asScala.map(parseNode).reduce(_ || _)
+        case ("$and", arr) =>
+          if (!arr.isArray || arr.isEmpty) throw new IllegalArgumentException(
+            s"pinecone filter: '$$and' needs a non-empty array, got: $arr")
+          arr.elements().asScala.map(parseNode).reduce(_ && _)
+        case ("$or", arr) =>
+          if (!arr.isArray || arr.isEmpty) throw new IllegalArgumentException(
+            s"pinecone filter: '$$or' needs a non-empty array, got: $arr")
+          arr.elements().asScala.map(parseNode).reduce(_ || _)
         case (key, v) if v.isObject => parseOps(key, v)
         case (key, v) => cmpEq(key, v) // implicit $eq shorthand
       }

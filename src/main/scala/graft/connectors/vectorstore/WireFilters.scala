@@ -23,9 +23,18 @@ object WireFilters {
     * [[QdrantFilterDialect]] renders and parses. */
   def fromQdrantJson(node: JsonNode): Filter = clauseList(node)
 
+  /** Clause lists must BE lists — `elements()` on a scalar is empty, so a
+    * malformed `{"must": "x"}` would decode as match-ALL server-side (the
+    * loopback would then hide the client bug real Qdrant 400s on). */
+  private def jarr(n: JsonNode, what: String): Seq[JsonNode] = {
+    if (!n.isArray) throw new IllegalArgumentException(
+      s"qdrant filter: '$what' must be an array, got: $n")
+    n.elements().asScala.toSeq
+  }
+
   private def clauseList(n: JsonNode): Filter = {
     def conds(key: String): Seq[Filter] =
-      Option(n.get(key)).map(_.elements().asScala.map(cond).toSeq).getOrElse(Nil)
+      Option(n.get(key)).map(v => jarr(v, key).map(cond)).getOrElse(Nil)
     val must = conds("must")
     val should = conds("should")
     val mustNot = conds("must_not")
@@ -41,14 +50,14 @@ object WireFilters {
     if (c.has("is_null")) return IsNull(c.get("is_null").get("key").asText())
     if (c.has("is_empty")) return IsNull(c.get("is_empty").get("key").asText())
     if (c.has("has_id")) // documented point-id membership condition
-      return In("id", c.get("has_id").elements().asScala
+      return In("id", jarr(c.get("has_id"), "has_id")
         .map(v => (v.asText(): Any)).toArray)
     val key = Option(c.get("key")).map(_.asText()).getOrElse(
       throw new IllegalArgumentException(s"qdrant condition missing key: $c"))
     if (c.has("match")) {
       val m = c.get("match")
       if (m.has("any")) {
-        val vals = m.get("any").elements().asScala.toSeq.map(v =>
+        val vals = jarr(m.get("any"), "match.any").map(v =>
           if (v.isNumber) (v.asDouble(): Any) else (v.asText(): Any))
         In(key, vals.toArray)
       } else {
@@ -78,8 +87,12 @@ object WireFilters {
     val parts = node.properties().asScala.map { e =>
       (e.getKey, e.getValue) match {
         case ("$and", arr) =>
+          if (!arr.isArray || arr.isEmpty) throw new IllegalArgumentException(
+            s"pinecone filter: '$$and' needs a non-empty array, got: $arr")
           arr.elements().asScala.map(fromPineconeJson).reduce(And(_, _))
         case ("$or", arr) =>
+          if (!arr.isArray || arr.isEmpty) throw new IllegalArgumentException(
+            s"pinecone filter: '$$or' needs a non-empty array, got: $arr")
           arr.elements().asScala.map(fromPineconeJson).reduce(Or(_, _))
         case (key, v) if v.isObject => pineconeOps(key, v)
         case (key, v) => EqualTo(key, prim(v))

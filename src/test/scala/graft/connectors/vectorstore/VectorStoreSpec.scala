@@ -308,6 +308,26 @@ class FilterDialectSpec extends SparkSpec {
       .contains("(a IS NOT NULL AND b LIKE 'pre%')"))
   }
 
+  test("malformed filter lists throw loudly instead of matching all/none") {
+    // Jackson's elements() on a scalar is EMPTY: these shapes used to
+    // parse as "no constraints" (must) or "match nothing" (has_id/any) —
+    // a subset migration silently copying everything / zero rows
+    val qd = new QdrantFilterDialect()
+    intercept[IllegalArgumentException] { qd.parse("""{"must": "lang=en"}""") }
+    intercept[IllegalArgumentException] {
+      qd.parse("""{"must": [{"has_id": "7"}]}""") }
+    intercept[IllegalArgumentException] {
+      qd.parse("""{"must": [{"key": "k", "match": {"any": "x"}}]}""") }
+    intercept[IllegalArgumentException] {
+      WireFilters.fromQdrantJson(
+        WireJson.mapper.readTree("""{"must": {"key": "k"}}""")) }
+    val pc = new PineconeFilterDialect()
+    intercept[IllegalArgumentException] { pc.parse("""{"$and": {"k": "v"}}""") }
+    intercept[IllegalArgumentException] {
+      WireFilters.fromPineconeJson(
+        WireJson.mapper.readTree("""{"$or": "oops"}""")) }
+  }
+
   test("sql dialect refuses the bare canonical map/vector columns") {
     val s = new SqlWhereDialect()
     // Spark infers IsNotNull(metadata) on the map column — rendering it as
