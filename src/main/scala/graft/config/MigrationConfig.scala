@@ -146,6 +146,22 @@ object MigrationConfig {
     else if (n.isTextual) Seq(n.asText())
     else throw new ConfigException(s"expected a string array, got: $n")
 
+  /** Numeric field, loudly: Jackson coerces non-numeric nodes to 0
+    * (`"limit": "abc"` → asLong 0 = "extract nothing"; `"batch_size":
+    * {"n":5}` → 0 = grouped(0) crash far from the config). Numbers and
+    * numeric STRINGS pass (the reference's configs carry both). */
+  private def numLong(n: JsonNode, key: String): Long =
+    if (n.isNumber) n.asLong()
+    else if (n.isTextual && n.asText().trim.toLongOption.isDefined) n.asText().trim.toLong
+    else throw new ConfigException(s"'$key' must be a number, got: $n")
+
+  private def numInt(n: JsonNode, key: String): Int = {
+    val l = numLong(n, key)
+    if (l < Int.MinValue || l > Int.MaxValue)
+      throw new ConfigException(s"'$key' out of int range: $l")
+    l.toInt
+  }
+
   private def text(n: JsonNode, keys: String*): Option[String] =
     // filter JSON null NODES: {"vector_column": null} means "none", and an
     // unfiltered NullNode.asText() is the literal string "null" — which
@@ -165,8 +181,8 @@ object MigrationConfig {
     // filterNot(isNull) everywhere a generated config may carry an explicit
     // JSON null: NullNode coerces to 0 (limit 0 -> "no data extracted") or
     // the literal string "null" — "absent" is the only sane reading
-    limit = Option(n.get("limit")).filterNot(_.isNull).map(_.asLong()),
-    offset = Option(n.get("offset")).filterNot(_.isNull).map(_.asLong()),
+    limit = Option(n.get("limit")).filterNot(_.isNull).map(numLong(_, "limit")),
+    offset = Option(n.get("offset")).filterNot(_.isNull).map(numLong(_, "offset")),
     filter = Seq("filter_condition", "filter_expr", "filter").iterator
       .flatMap(k => Option(n.get(k))).filterNot(_.isNull)
       // Qdrant filters are JSON objects, pgvector/milvus are strings
@@ -180,10 +196,13 @@ object MigrationConfig {
     vectorColumn = text(n, "vector_column").getOrElse("vector"),
     recreate = Seq("recreate_table", "recreate_collection", "create_index", "recreate")
       .exists(k => Option(n.get(k)).exists(_.asBoolean(false))),
-    batchSize = Option(n.get("batch_size")).filterNot(_.isNull).map(_.asInt()).getOrElse(100),
+    batchSize = Option(n.get("batch_size")).filterNot(_.isNull)
+      .map(numInt(_, "batch_size")).getOrElse(100),
     distance = text(n, "distance", "metric").getOrElse("Cosine"),
-    dimension = Option(n.get("dimension")).filterNot(_.isNull).map(_.asInt()),
-    parallelism = Option(n.get("parallelism")).filterNot(_.isNull).map(_.asInt()),
+    dimension = Option(n.get("dimension")).filterNot(_.isNull)
+      .map(numInt(_, "dimension")),
+    parallelism = Option(n.get("parallelism")).filterNot(_.isNull)
+      .map(numInt(_, "parallelism")),
     options = strMap(n) -- Set("collection_name", "table_name", "index_name", "collection",
       "table", "id_column", "vector_column", "recreate_table", "recreate_collection",
       "create_index", "recreate", "batch_size", "distance", "metric", "dimension",

@@ -198,4 +198,26 @@ class ConfigSpec extends AnyFunSuite {
     val e = intercept[ConfigException] { cfg(""""metadata_columns": 7,""") }
     assert(e.getMessage.contains("string array"))
   }
+
+  test("numeric fields reject non-numeric values instead of coercing to 0") {
+    def cfg(extra: String) = MigrationConfig.fromJson(
+      s"""{"source": {"type": "parquet", "connection": {"path": "/x"},
+         |  "query": {"collection_name": "t", $extra "id_column": "id"}},
+         | "target": {"type": "parquet", "connection": {"path": "/y"},
+         |  "load": {"collection_name": "u"}}}""".stripMargin)
+    // "abc" used to asLong() to 0 — limit 0 = a migration that silently
+    // extracts NOTHING and reports success
+    val e = intercept[ConfigException] { cfg(""""limit": "abc",""") }
+    assert(e.getMessage.contains("limit"))
+    // numeric strings stay accepted (configs in the wild carry both)
+    assert(cfg(""""limit": "250",""").source.query.get.limit.contains(250L))
+    assert(cfg(""""limit": 250,""").source.query.get.limit.contains(250L))
+    intercept[ConfigException] {
+      MigrationConfig.fromJson(
+        """{"source": {"type": "parquet", "connection": {"path": "/x"},
+          |  "query": {"collection_name": "t"}},
+          | "target": {"type": "parquet", "connection": {"path": "/y"},
+          |  "load": {"collection_name": "u", "batch_size": "fast"}}}""".stripMargin)
+    }
+  }
 }
