@@ -48,6 +48,16 @@ if ! grep -q "ALL GREEN" "$OUT/check.log"; then
 fi
 
 echo "[presnapshot] bench artifact sentinel check..."
+# graft.Bench writes bench.json into the CWD as a side effect — a stray
+# (possibly sentinel-flagged) working-tree copy must not shadow the
+# committed artifact, and an uncommitted clean one must be committed
+# before the record pins its hash
+if ! git diff --quiet -- bench.json; then
+  echo "[presnapshot] RED: working-tree bench.json differs from HEAD" \
+       "(graft.Bench writes into the CWD) — commit the intended artifact" \
+       "or 'git checkout -- bench.json' first"
+  exit 1
+fi
 # Round-14 lesson: the final commit replaced a clean bench.json with a
 # sentinel-flagged run while its message claimed "artifact unchanged".
 # The gate now refuses to go green over a flagged artifact, and records
