@@ -91,6 +91,36 @@ object KernelProps extends Properties("kernels") {
       dxy == dyx && dxx == 0 && dxy >= 0 && dxy <= 8
     }
 
+  property("minhash signature: multiset-invariant, superset-monotone, MaxValue on empty") = {
+    val (as, bs) = graft.ops.Dedup.minhashParams(8)
+    def sig(xs: List[Long]): Seq[Long] =
+      Seq(Tuple1(xs)).toDF("h")
+        .select(graft.functions.HashExpressions.minHashSignature(col("h"), as, bs).as("s"))
+        .as[Seq[Long]].collect().head
+    forAll(Gen.listOf(Gen.chooseNum(0L, 2147483646L)), Gen.listOf(Gen.chooseNum(0L, 2147483646L))) {
+      (xs, extra) =>
+        val base = sig(xs)
+        // order-independent (the LSH banding contract: shingle ORDER never
+        // changes the signature) and element-wise monotone under union
+        // (each register is a min — more hashes can only lower it)
+        sig(scala.util.Random.shuffle(xs)) == base &&
+          sig(xs ++ extra).zip(base).forall { case (u, b) => u <= b } &&
+          (xs.nonEmpty || base.forall(_ == Long.MaxValue))
+    }
+  }
+
+  property("one-perm minhash: multiset-invariant, fixed width, nonnegative") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 2147483646L)), Gen.chooseNum(2, 16)) { (xs, k) =>
+      def sig(ys: List[Long]): Seq[Long] =
+        Seq(Tuple1(ys)).toDF("h")
+          .select(graft.functions.HashExpressions
+            .onePermMinHash(col("h"), k, 1234567L, 891011L).as("s"))
+          .as[Seq[Long]].collect().head
+      val base = sig(xs)
+      base.length == k && base.forall(_ >= 0L) &&
+        sig(scala.util.Random.shuffle(xs)) == base
+    }
+
   property("chunking covers every token exactly; boundaries follow the stride") = {
     val gen = for {
       n <- Gen.chooseNum(0, 60)
