@@ -147,14 +147,24 @@ object Bench {
     catch { case _: Throwable => -1.0 }
 
   /** Per-section sentinel readings: calibration + loadavg bracketing ONE
-    * measured section. */
+    * measured section, plus the section's own dispersion health
+    * (`iqrNoisy`: any query with IQR > median — not a measurement). The
+    * dispersion term folds into `noisy` so a "clean" section can never
+    * carry garbage medians: round 15's sf1 section passed the
+    * calibration bars while holding two IQR>4x-median rows. */
   private[graft] case class SectionStats(calibPre: Double, calibPost: Double,
-                                         loadPre: Double, loadPost: Double) {
-    def noisy: Boolean = sectionNoisy(this)
+                                         loadPre: Double, loadPost: Double,
+                                         iqrNoisy: Boolean = false) {
+    def noisy: Boolean = sectionNoisy(this) || iqrNoisy
     def json: String =
       s"""{"calib_pre":${d3(calibPre)},"calib_post":${d3(calibPost)},""" +
-        s""""load_pre":$loadPre,"load_post":$loadPost,"noisy":$noisy}"""
+        s""""load_pre":$loadPre,"load_post":$loadPost,""" +
+        s""""iqr_noisy":$iqrNoisy,"noisy":$noisy}"""
   }
+
+  /** Any query whose dispersion exceeds its median taints the section. */
+  private[graft] def hasIqrNoise(r: Seq[(String, Double, Double)]): Boolean =
+    r.exists { case (_, med, iq) => iq > med }
 
   /** A section is contention-suspect when its own calibration brackets
     * drift >2x (co-tenant CPU visible to an all-core fixed-cost job), OR
@@ -323,7 +333,8 @@ object Bench {
       val (q1, i1) = jsonMaps(r1)
       val (rp1, stp1) = bracketed(spark)(measure(spark, d, s1, pipelineHeadline))
       val (qp1, ip1) = jsonMaps(rp1)
-      sf1Sections = Map("sf1" -> st1, "sf1_pipeline" -> stp1)
+      sf1Sections = Map("sf1" -> st1.copy(iqrNoisy = hasIqrNoise(r1)),
+        "sf1_pipeline" -> stp1.copy(iqrNoisy = hasIqrNoise(rp1)))
       s""","sf1_total":${d3(r1.map(_._2).sum)},"sf1_queries":$q1,""" +
         s""""sf1_queries_iqr":$i1,"sf1_samples":$s1,"sf1_dir":"$d"""" +
         s""","sf1_generated":$sf1Generated""" + noisyIqrJson("sf1_noisy_iqr", r1) +
@@ -335,7 +346,9 @@ object Bench {
     // per-section brackets above are the authoritative sentinel
     val calibLast = calibrateMin3(spark)
     val loadAfter = loadAvg1m()
-    val sections = Map("sf_headline" -> stHead, "sf_pipeline" -> stPipe) ++ sf1Sections
+    val sections = Map(
+      "sf_headline" -> stHead.copy(iqrNoisy = hasIqrNoise(results)),
+      "sf_pipeline" -> stPipe.copy(iqrNoisy = hasIqrNoise(resPipe))) ++ sf1Sections
     val sectionsJson = sections.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v.json }.mkString("{", ",", "}")
     val noisySections = sections.toSeq.sortBy(_._1).collect { case (k, v) if v.noisy => k }

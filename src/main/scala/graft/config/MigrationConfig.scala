@@ -151,7 +151,15 @@ object MigrationConfig {
     * {"n":5}` → 0 = grouped(0) crash far from the config). Numbers and
     * numeric STRINGS pass (the reference's configs carry both). */
   private def numLong(n: JsonNode, key: String): Long =
-    if (n.isNumber) n.asLong()
+    if (n.isNumber) {
+      // reject-don't-coerce applies to fractions too: asLong truncates
+      // `"limit": 2.5` to 2 while the same value as a STRING errors —
+      // integral-valued floats (2.0) pass, anything lossy is loud.
+      // canConvertToLong additionally rejects out-of-range big integers.
+      if (!n.canConvertToExactIntegral || !n.canConvertToLong)
+        throw new ConfigException(s"'$key' must be an integer, got: $n")
+      n.asLong()
+    }
     else if (n.isTextual && n.asText().trim.toLongOption.isDefined) n.asText().trim.toLong
     else throw new ConfigException(s"'$key' must be a number, got: $n")
 

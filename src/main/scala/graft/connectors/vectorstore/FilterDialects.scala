@@ -46,21 +46,32 @@ trait FilterDialect extends Serializable {
 }
 
 private object DialectUtil {
+  import graft.model.Canonical
+
+  private val MetaPrefix = Canonical.METADATA + "."
+
   /** Backend filter languages can address the id or a metadata KEY — not
     * the bare map/vector columns. Renderers must refuse anything else
     * (e.g. Spark's inferred `IsNotNull(metadata)` on the map column),
     * otherwise the reader would treat "metadata" as a key lookup and
     * filter every record out. */
   def addressable(name: String): Boolean =
-    name == "id" || name.startsWith("metadata.")
+    name == Canonical.ID || name.startsWith(MetaPrefix)
+
+  /** The bare canonical map/vector columns, which no backend filter
+    * language can address — shared with [[SqlWhereDialect.sqlAddressable]]
+    * so the two guards cannot desynchronize under a canonical rename. */
+  def bareCanonical(name: String): Boolean =
+    name == Canonical.METADATA || name == Canonical.VECTOR
 
   /** Canonical column for an attribute name: `id` stays, anything else is a
     * metadata key lookup. */
   def attr(name: String): Column =
-    if (name == "id") col("id") else element_at(col("metadata"), stripMeta(name))
+    if (name == Canonical.ID) col(Canonical.ID)
+    else element_at(col(Canonical.METADATA), stripMeta(name))
 
   def stripMeta(name: String): String =
-    if (name.startsWith("metadata.")) name.substring("metadata.".length) else name
+    if (name.startsWith(MetaPrefix)) name.substring(MetaPrefix.length) else name
 
   def litStr(v: Any): String = v match {
     case s: String => s"'${s.replace("'", "''")}'"
@@ -91,7 +102,7 @@ class SqlWhereDialect extends FilterDialect {
     * does not exist backend-side (the silent zero-row mode the three
     * structured dialects guard with [[DialectUtil.addressable]]). */
   private def sqlAddressable(name: String): Boolean =
-    addressable(name) || (name != "metadata" && name != "vector")
+    addressable(name) || !bareCanonical(name)
 
   override def render(f: Filter): Option[String] = f match {
     case EqualTo(a, v) if sqlAddressable(a) => Some(s"${stripMeta(a)} = ${litStr(v)}")

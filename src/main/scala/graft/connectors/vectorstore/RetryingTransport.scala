@@ -100,9 +100,12 @@ case class RetryingTransport(
 }
 
 object RetryingTransport {
-  /** Retry transient-looking faults; never retry a missing collection. */
+  /** Retry transient-looking faults; never retry a missing collection, and
+    * never a [[WireShapeException]] — a protocol-shape mismatch is
+    * deterministic (the retry would replay the same wrong shape). */
   val defaultRetryOn: Throwable => Boolean = {
     case _: NoSuchElementException => false
+    case _: WireShapeException => false
     case _ => true
   }
 }

@@ -741,6 +741,17 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
   private val wireFilter: Option[String] =
     dialect.combine(pushed.flatMap(dialect.render).toSeq)
 
+  /** The scan's (filtered) population — the backend's filtered count when
+    * the pushed filters run server-side, else the raw count. Fetched AT
+    * MOST ONCE per scan instance and shared by the stats estimate,
+    * offset-range sizing, and cursor-slice planning, each of which used
+    * to issue its own wire count (gated by FallbackInventorySpec's
+    * call-count assertion). */
+  private lazy val population: Int =
+    if (wireFilter.isDefined && store.serverSideFilters)
+      store.countFiltered(collection, wireFilter)
+    else store.count(collection)
+
   override def readSchema(): StructType =
     if (countMode)
       StructType((0 until countColumns).map(i =>
@@ -767,10 +778,7 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     // or Catalyst/AQE never picks the broadcast join this scan deserves
     // (countFiltered degrades to the raw count on backends without a
     // filtered-count verb — the prior estimate, never worse)
-    private val total =
-      if (wireFilter.isDefined && store.serverSideFilters)
-        store.countFiltered(collection, wireFilter)
-      else store.count(collection)
+    private val total = population
     private val rows: Long = limit match {
       case Some(l) => math.min(l.toLong, math.max(0L, total.toLong - offset.getOrElse(0)))
       case None if countMode => 1L
@@ -817,10 +825,7 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     // sequence (scrollFiltered contract) — so the ranges must cover the
     // filtered count, not the collection total: sizing from the raw count
     // would plan thousands of empty wire calls for a selective filter
-    val total =
-      if (wireFilter.isDefined && store.serverSideFilters)
-        store.countFiltered(collection, wireFilter)
-      else store.count(collection)
+    val total = population
     limit match {
       // pushed limit+offset: single scroll from the head — the reference's
       // pagination semantics (one ordered page)
@@ -864,10 +869,10 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     // ids are not range-filterable on the real wire); no attribute = no
     // honest slicing
     val id = dialect.idSliceAttribute.getOrElse(return single)
-    // issued AT MOST once per planning pass (both the probe's hop budget
-    // and the hi-extension below read it) — it is a wire call
-    lazy val filteredPopulation: Long =
-      store.countFiltered(collection, wireFilter).toLong
+    // the shared per-scan population (filtered where the wire filters
+    // server-side — the only way into this method): AT MOST one wire
+    // count per scan instance, stats estimate included
+    lazy val filteredPopulation: Long = population.toLong
     // probe one page of the (filtered) stream. Some transports return
     // EMPTY pages with a live cursor while they plan (Pinecone's interval
     // walk bisects before its first data page exactly when the filtered
@@ -1065,11 +1070,21 @@ object FilterEval {
     name == Canonical.ID ||
       (name != Canonical.VECTOR && name != Canonical.METADATA)
 
+  /** String order = Spark's order: UTF8String compares UTF-8 BYTES, while
+    * Java String.compareTo compares UTF-16 code units — the two disagree
+    * above the BMP (supplementary characters sort below U+E000..U+FFFF in
+    * code-unit order, above them in byte order). A search-absorbed range
+    * predicate evaluated store-side in the wrong order would pass rows
+    * Spark's retained Filter then drops AFTER top-k selection — evicting
+    * genuine winners. One order everywhere closes that divergence. */
+  private def utf8Cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
   private def cmp(name: String, v: Any, r: VSRecord)(op: Int => Boolean): Boolean =
     attr(name, r).exists { s =>
       v match {
         case n: Number => s.toDoubleOption.exists(d => op(d.compareTo(n.doubleValue())))
-        case other => op(s.compareTo(String.valueOf(other)))
+        case other => op(utf8Cmp(s, String.valueOf(other)))
       }
     }
 
@@ -1128,7 +1143,7 @@ object FilterEval {
       attr(name, r).map { s =>
         v match {
           case n: Number => s.toDoubleOption.exists(d => op(d.compareTo(n.doubleValue())))
-          case other => op(s.compareTo(String.valueOf(other)))
+          case other => op(utf8Cmp(s, String.valueOf(other)))
         }
       }
     f match {

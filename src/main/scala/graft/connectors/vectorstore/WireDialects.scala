@@ -62,6 +62,8 @@ private[vectorstore] object WireJson {
       else e.getValue.toString)).toMap
 
   def floats(n: JsonNode): Array[Float] = {
+    if (n == null || !n.isArray)
+      throw new WireShapeException(s"expected a JSON float array, got: $n")
     val a = n.asInstanceOf[ArrayNode]
     Array.tabulate(a.size())(i => a.get(i).floatValue())
   }
@@ -188,10 +190,24 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None,
     with ReservedKeyPolicy {
   import WireJson._
 
+  /** Recreate of a LIVE collection routes through the alias-swap publish
+    * ([[rename]]) instead of drop-then-PUT: a fresh empty generation is
+    * created under a staging name and swapped in with ONE atomic alias
+    * action, so concurrent readers of a PUBLISHED (aliased) name never
+    * see a 404 window — the reference client drops first and leaves one
+    * (`adapters/qdrant.py:42-50`). A LITERAL live collection keeps the
+    * same one-time window as the first atomic publish (alias names
+    * cannot shadow collection names on this wire), recoverable by
+    * re-running — documented at [[rename]]. */
   override def createCollection(name: String, config: CollectionConfig,
                                 recreate: Boolean): Unit = {
-    if (recreate && exists(name)) drop(name)
-    else if (!recreate && exists(name)) return
+    if (recreate && exists(name)) {
+      val staging = stagingName(name)
+      createCollection(staging, config, recreate = false)
+      rename(staging, name)
+      return
+    }
+    if (!recreate && exists(name)) return
     val b = obj()
     val v = b.putObject("vectors")
     v.put("size", config.dim)
@@ -214,25 +230,27 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None,
     try { call("GET", s"/collections/${enc(name)}"); true }
     catch { case _: NoSuchElementException => false }
 
+  /** Shape-checked ([[WireShape]]): an unexpected response — proxy error
+    * page, API drift — raises a typed "unexpected describe response from
+    * qdrant: missing '<path>'" instead of a context-free NPE, and is
+    * NEVER swallowed into None (absent collection ≠ wrong protocol). */
   override def describe(name: String): Option[CollectionConfig] =
     try {
-      val r = call("GET", s"/collections/${enc(name)}").get("result")
-      val v = r.get("config").get("params").get("vectors")
-      def cfgProps(field: String, prefix: String): Map[String, String] = {
-        val n = r.get("config").get(field)
-        if (n == null || n.isNull) Map.empty
-        else n.properties().asScala.map(e => s"$prefix${e.getKey}" ->
-          (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString)).toMap
-      }
+      val sh = WireShape("qdrant", "describe", call("GET", s"/collections/${enc(name)}"))
+      val v = sh.down("result", "config", "params", "vectors")
+      def cfgProps(field: String, prefix: String): Map[String, String] =
+        sh.opt("result", "config", field).map(_.properties().asScala
+          .map(e => s"$prefix${e.getKey}" ->
+            (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString))
+          .toMap).getOrElse(Map.empty)
       Some(CollectionConfig(
-        distance = v.get("distance").asText(),
-        dim = v.get("size").asInt(),
-        onDisk = v.hasNonNull("on_disk") && v.get("on_disk").asBoolean(),
+        distance = v.text("distance"),
+        dim = v.int("size"),
+        onDisk = v.opt("on_disk").exists(_.asBoolean()),
         props = cfgProps("hnsw_config", "hnsw_") ++
           cfgProps("quantization_config", "quantization_"),
         vectorType =
-          if (v.hasNonNull("datatype") && v.get("datatype").asText() == "uint8")
-            VectorTypes.Binary
+          if (v.opt("datatype").exists(_.asText() == "uint8")) VectorTypes.Binary
           else VectorTypes.Float))
     } catch { case _: NoSuchElementException => None }
 
@@ -262,10 +280,10 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None,
     b.put("with_payload", true)
     b.put("with_vector", true)
     filter.foreach(f => b.set[ObjectNode]("filter", mapper.readTree(f)))
-    val res = call("POST", s"/collections/${enc(name)}/points/scroll", Some(b))
-      .get("result")
-    val pts = res.get("points").asInstanceOf[ArrayNode]
-    val next = Option(res.get("next_page_offset")).filterNot(_.isNull).map(_.asText())
+    val sh = WireShape("qdrant", "scroll",
+      call("POST", s"/collections/${enc(name)}/points/scroll", Some(b)))
+    val pts = sh.down("result").arr("points")
+    val next = sh.opt("result", "next_page_offset").map(_.asText())
     ((0 until pts.size()).map(i => pointToRecord(pts.get(i))), next)
   }
 
@@ -283,8 +301,8 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None,
     b.put("with_payload", true)
     b.put("with_vector", true)
     filter.foreach(f => b.set[ObjectNode]("filter", mapper.readTree(f)))
-    val res = call("POST", s"/collections/${enc(name)}/points/search", Some(b))
-      .get("result").asInstanceOf[ArrayNode]
+    val res = WireShape("qdrant", "search",
+      call("POST", s"/collections/${enc(name)}/points/search", Some(b))).arr("result")
     Some((0 until res.size()).map(i => pointToRecord(res.get(i))))
   }
 
@@ -299,8 +317,9 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None,
   override def countFiltered(name: String, filter: Option[String]): Int = {
     val b = obj(); b.put("exact", true)
     filter.foreach(f => b.set[ObjectNode]("filter", mapper.readTree(f)))
-    call("POST", s"/collections/${enc(name)}/points/count", Some(b))
-      .get("result").get("count").asInt()
+    WireShape("qdrant", "count",
+      call("POST", s"/collections/${enc(name)}/points/count", Some(b)))
+      .int("result", "count")
   }
 
   /** Real Qdrant accepts only UNSIGNED-INT or UUID point ids — digit
@@ -361,10 +380,12 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None,
   /** Alias map on the wire (`GET /aliases`) — the face of Qdrant's
     * documented atomic-publish mechanism. */
   private def listAliases(): Map[String, String] = {
-    val a = call("GET", "/aliases").get("result").get("aliases")
-      .asInstanceOf[ArrayNode]
-    (0 until a.size()).map(i => a.get(i).get("alias_name").asText() ->
-      a.get(i).get("collection_name").asText()).toMap
+    val sh = WireShape("qdrant", "aliases", call("GET", "/aliases"))
+    val a = sh.down("result").arr("aliases")
+    (0 until a.size()).map { i =>
+      val e = sh.at(a.get(i), s"aliases[$i]")
+      e.text("alias_name") -> e.text("collection_name")
+    }.toMap
   }
 
   /** Publish via the documented ATOMIC alias swap — real Qdrant has no
@@ -414,9 +435,9 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None,
     * side) — callers address published names, not `__staging_*`
     * generations. */
   override def listCollections(): Seq[String] = {
-    val a = call("GET", "/collections").get("result").get("collections")
-      .asInstanceOf[ArrayNode]
-    val raw = (0 until a.size()).map(i => a.get(i).get("name").asText())
+    val sh = WireShape("qdrant", "collections", call("GET", "/collections"))
+    val a = sh.down("result").arr("collections")
+    val raw = (0 until a.size()).map(i => sh.at(a.get(i), s"collections[$i]").text("name"))
     val al = listAliases()
     if (al.isEmpty) return raw
     val targets = al.values.toSet
@@ -425,16 +446,17 @@ class QdrantWireTransport(baseUrl: String, apiKey: Option[String] = None,
   }
 
   private def pointToRecord(p: JsonNode): VSRecord = {
+    val sh = WireShape("qdrant", "point", p)
     val payload = metadataFrom(p.get("payload"))
     val binary = payload.get("__binary_b64").map(unb64).orNull
-    val id = p.get("id").asText()
+    val id = sh.text("id")
     // strip ONLY the mirror this codec wrote (value == the point id); a
     // foreign collection's unrelated __gid payload is user data and stays
     val meta0 = payload - "__binary_b64"
     val meta = if (payload.get("__gid").contains(id)) meta0 - "__gid" else meta0
     VSRecord(
       id = id,
-      vector = if (p.hasNonNull("vector")) floats(p.get("vector")) else null,
+      vector = if (p.hasNonNull("vector")) sh.floats("vector") else null,
       metadata = meta,
       binary = binary)
   }
@@ -511,7 +533,8 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     * describe correctly (and nothing NPEs on an absent field). */
   override def describe(name: String): Option[CollectionConfig] =
     try {
-      val d = post("collections/describe", named(name)).get("data")
+      val d = WireShape("milvus", "describe",
+        post("collections/describe", named(name))).node("data")
       // {key,value} pair-list OR flat object -> Map
       def kvMap(n: JsonNode): Map[String, String] =
         if (n == null || n.isNull) Map.empty
@@ -564,7 +587,7 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     b.put("offset", fromIdx)
     b.put("limit", pageSize)
     val of = b.putArray("outputFields"); of.add("*")
-    val rows = post("entities/query", b).get("data").asInstanceOf[ArrayNode]
+    val rows = WireShape("milvus", "query", post("entities/query", b)).arr("data")
     (0 until rows.size()).map(i => rowToRecord(rows.get(i)))
   }
 
@@ -572,6 +595,7 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     * field — a user metadata key legitimately named "distance" must
     * survive plain query reads. */
   private def rowToRecord(row: JsonNode, dropScore: Boolean = false): VSRecord = {
+    val sh = WireShape("milvus", "row", row)
     val meta = row.properties().asScala
       .filterNot(e => e.getKey == "id" || e.getKey == "vector" ||
         (dropScore && e.getKey == "distance"))
@@ -582,8 +606,8 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     val (vec, bin) =
       if (vecNode == null || vecNode.isNull) (null, null)
       else if (vecNode.isTextual) (null, unb64(vecNode.asText())) // binary face
-      else (floats(vecNode), null)
-    VSRecord(row.get("id").asText(), vec, meta, bin)
+      else (sh.floats("vector"), null)
+    VSRecord(sh.text("id"), vec, meta, bin)
   }
 
   /** Native `POST /v2/vectordb/entities/search`: COSINE over float
@@ -605,7 +629,7 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     b.put("annsField", "vector")
     filter.foreach(f => b.put("filter", f))
     val of = b.putArray("outputFields"); of.add("*")
-    val rows = post("entities/search", b).get("data").asInstanceOf[ArrayNode]
+    val rows = WireShape("milvus", "search", post("entities/search", b)).arr("data")
     Some((0 until rows.size()).map(i => rowToRecord(rows.get(i), dropScore = true)))
   }
 
@@ -619,7 +643,10 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     val b = named(name)
     b.put("filter", filter.getOrElse(""))
     val of = b.putArray("outputFields"); of.add("count(*)")
-    post("entities/query", b).get("data").get(0).get("count(*)").asInt()
+    val sh = WireShape("milvus", "count", post("entities/query", b))
+    val data = sh.arr("data")
+    if (data.size() < 1) sh.fail("'data' has no count(*) row")
+    sh.at(data.get(0), "data[0]").int("count(*)")
   }
 
   override def upsert(name: String, records: Seq[VSRecord]): Int = {
@@ -634,7 +661,8 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
         if (v == null) row.putNull(k) else row.put(k, v)
       }
     }
-    post("entities/upsert", b).get("data").get("upsertCount").asInt()
+    WireShape("milvus", "upsert", post("entities/upsert", b))
+      .int("data", "upsertCount")
   }
 
   override def delete(name: String, ids: Seq[String]): Int = {
@@ -673,7 +701,7 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
   }
 
   override def listCollections(): Seq[String] = {
-    val a = post("collections/list", obj()).get("data").asInstanceOf[ArrayNode]
+    val a = WireShape("milvus", "list", post("collections/list", obj())).arr("data")
     (0 until a.size()).map(i => a.get(i).asText())
   }
 }
@@ -748,20 +776,22 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
   override def describe(name: String): Option[CollectionConfig] = {
     val (ix, _) = split(name)
     try {
-      val d = call("GET", s"/indexes/${enc(ix)}")
+      val sh = WireShape("pinecone", "describe", call("GET", s"/indexes/${enc(ix)}"))
       Some(CollectionConfig(
-        distance = fromMetric(d.get("metric").asText()),
-        dim = d.get("dimension").asInt()))
+        distance = fromMetric(sh.text("metric")),
+        dim = sh.int("dimension")))
     } catch { case _: NoSuchElementException => None }
   }
 
   private case class Stats(namespaces: Map[String, Int], total: Int)
   private def stats(ix: String): Stats = {
-    val r = call("POST", s"/describe_index_stats?index=${enc(ix)}", Some(obj()))
-    val ns = Option(r.get("namespaces")).map(_.properties().asScala
-      .map(e => e.getKey -> e.getValue.get("vectorCount").asInt()).toMap)
+    val sh = WireShape("pinecone", "stats",
+      call("POST", s"/describe_index_stats?index=${enc(ix)}", Some(obj())))
+    val ns = sh.opt("namespaces").map(_.properties().asScala
+      .map(e => e.getKey ->
+        sh.at(e.getValue, s"namespaces.${e.getKey}").int("vectorCount")).toMap)
       .getOrElse(Map.empty[String, Int])
-    Stats(ns, Option(r.get("totalVectorCount")).map(_.asInt()).getOrElse(0))
+    Stats(ns, sh.opt("totalVectorCount").map(_.asInt()).getOrElse(0))
   }
 
   override def count(name: String): Int = {
@@ -1131,21 +1161,23 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     // two documented calls: list ids (cursor-paged), then fetch full
     // vectors for the page
     val tok = cursor.map(c => s"&paginationToken=${enc(c)}").getOrElse("")
-    val listed = call("GET", s"/vectors/list?index=${enc(ix)}&namespace=${enc(ns)}" +
-      s"&limit=${math.min(pageSize, listCap)}$tok")
-    val idNodes = listed.get("vectors").asInstanceOf[ArrayNode]
-    val ids = (0 until idNodes.size()).map(i => idNodes.get(i).get("id").asText())
-    val next = Option(listed.get("pagination")).flatMap(p => Option(p.get("next")))
-      .filterNot(_.isNull).map(_.asText())
+    val sh = WireShape("pinecone", "list",
+      call("GET", s"/vectors/list?index=${enc(ix)}&namespace=${enc(ns)}" +
+        s"&limit=${math.min(pageSize, listCap)}$tok"))
+    val idNodes = sh.arr("vectors")
+    val ids = (0 until idNodes.size()).map(i =>
+      sh.at(idNodes.get(i), s"vectors[$i]").text("id"))
+    val next = sh.opt("pagination", "next").map(_.asText())
     if (ids.isEmpty) return (Seq.empty, next)
     val byId = ids.grouped(listCap).flatMap { batch =>
-      val fetched = call("GET", s"/vectors/fetch?index=${enc(ix)}&namespace=${enc(ns)}" +
-        batch.map(i => s"&ids=${enc(i)}").mkString)
-      val vecs = fetched.get("vectors")
+      val fsh = WireShape("pinecone", "fetch",
+        call("GET", s"/vectors/fetch?index=${enc(ix)}&namespace=${enc(ns)}" +
+          batch.map(i => s"&ids=${enc(i)}").mkString))
+      val vecs = fsh.node("vectors")
       batch.flatMap { id =>
         Option(vecs.get(id)).map { v =>
           id -> VSRecord(id,
-            if (v.hasNonNull("values")) floats(v.get("values")) else null,
+            if (v.hasNonNull("values")) fsh.at(v, id).floats("values") else null,
             stripMirror(id, metadataFrom(v.get("metadata"))))
         }
       }
@@ -1192,14 +1224,15 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     b.put("includeValues", true)
     b.put("includeMetadata", true)
     b.set[ObjectNode]("filter", mapper.readTree(s"""{"$$and":[$f,$gidCond]}"""))
-    val ms = call("POST", s"/query?index=${enc(ix)}", Some(b))
-      .get("matches").asInstanceOf[ArrayNode]
+    val sh = WireShape("pinecone", "query",
+      call("POST", s"/query?index=${enc(ix)}", Some(b)))
+    val ms = sh.arr("matches")
     (0 until ms.size()).map { i =>
-      val m = ms.get(i)
-      val id = m.get("id").asText()
+      val m = sh.at(ms.get(i), s"matches[$i]")
+      val id = m.text("id")
       VSRecord(id,
-        if (m.hasNonNull("values")) floats(m.get("values")) else null,
-        stripMirror(id, metadataFrom(m.get("metadata"))))
+        if (ms.get(i).hasNonNull("values")) m.floats("values") else null,
+        stripMirror(id, metadataFrom(ms.get(i).get("metadata"))))
     }
   }
 
@@ -1314,14 +1347,15 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     b.put("includeValues", true)
     b.put("includeMetadata", true)
     filter.foreach(f => b.set[ObjectNode]("filter", mapper.readTree(f)))
-    val ms = call("POST", s"/query?index=${enc(ix)}", Some(b))
-      .get("matches").asInstanceOf[ArrayNode]
+    val sh = WireShape("pinecone", "query",
+      call("POST", s"/query?index=${enc(ix)}", Some(b)))
+    val ms = sh.arr("matches")
     Some((0 until ms.size()).map { i =>
-      val m = ms.get(i)
-      val id = m.get("id").asText()
+      val m = sh.at(ms.get(i), s"matches[$i]")
+      val id = m.text("id")
       VSRecord(id,
-        if (m.hasNonNull("values")) floats(m.get("values")) else null,
-        stripMirror(id, metadataFrom(m.get("metadata"))))
+        if (ms.get(i).hasNonNull("values")) m.floats("values") else null,
+        stripMirror(id, metadataFrom(ms.get(i).get("metadata"))))
     })
   }
 
@@ -1353,8 +1387,9 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
         m.put("__gid", l)
       }
     }
-    call("POST", s"/vectors/upsert?index=${enc(ix)}", Some(b))
-      .get("upsertedCount").asInt()
+    WireShape("pinecone", "upsert",
+      call("POST", s"/vectors/upsert?index=${enc(ix)}", Some(b)))
+      .int("upsertedCount")
   }
 
   override def delete(name: String, ids: Seq[String]): Int = {
@@ -1401,9 +1436,10 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
   }
 
   override def listCollections(): Seq[String] = {
-    val a = call("GET", "/indexes").get("indexes").asInstanceOf[ArrayNode]
+    val sh = WireShape("pinecone", "indexes", call("GET", "/indexes"))
+    val a = sh.arr("indexes")
     (0 until a.size()).flatMap { i =>
-      val ix = a.get(i).get("name").asText()
+      val ix = sh.at(a.get(i), s"indexes[$i]").text("name")
       val s = stats(ix)
       // catalog shows LOGICAL names: the meta namespace and live
       // generations (pointer targets) are engine plumbing — hiding them

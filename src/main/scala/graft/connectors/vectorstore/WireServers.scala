@@ -304,13 +304,21 @@ class QdrantWireServer(inner: VectorStoreTransport, port: Int = 0,
               return err(ex, 400, s"alias `$al` conflicts with an existing collection")
           }
         }
+        // commit the NET effect of the batch: compute the post-batch map
+        // locally, then apply per-key diffs with put (atomic replace)
+        // BEFORE removes — the data-plane reader resolves aliases without
+        // this monitor, and a naive remove-then-put of the same alias
+        // would expose a gap real Qdrant's atomic batch never shows
+        val after = new java.util.HashMap[String, String](aliases)
         actions.foreach { act =>
           Option(act.get("delete_alias")).foreach(d =>
-            aliases.remove(d.get("alias_name").asText()))
+            after.remove(d.get("alias_name").asText()))
           Option(act.get("create_alias")).foreach { c =>
-            aliases.put(c.get("alias_name").asText(), c.get("collection_name").asText())
+            after.put(c.get("alias_name").asText(), c.get("collection_name").asText())
           }
         }
+        after.forEach((k, v) => aliases.put(k, v))
+        aliases.keySet.removeIf(k => !after.containsKey(k))
       }
       return respond(ex, 200, okTrue())
     }
@@ -477,6 +485,35 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
         recs.filter(r => FilterEval.eval(f, r))
     }
 
+  /** Filtered view of a collection, memoized per (collection, filter expr,
+    * mutation version) — the same cost model the Qdrant server's
+    * [[QdrantWireServer.filteredView]] documents: a REAL backend answers a
+    * filtered query (count(*) included) from an index at result cost, it
+    * does not re-materialize the collection per request. Every
+    * `entities/query`/`count(*)`/`entities/search` planning probe rides
+    * this; non-InMemoryStore inners (no version signal) recompute. */
+  private val viewCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (Long, Seq[VSRecord])]()
+  private def filteredView(name: String, body: JsonNode): Seq[VSRecord] = {
+    def compute(): Seq[VSRecord] =
+      applyExprFilter(inner.scroll(name, 0, Int.MaxValue), body)
+    inner match {
+      case m: InMemoryStore =>
+        val v = m.version(name)
+        val key = (name,
+          Option(body.get("filter")).map(_.asText()).filter(_.nonEmpty).getOrElse(""))
+        val cached = viewCache.get(key)
+        if (cached != null && cached._1 == v) cached._2
+        else {
+          if (viewCache.size > 64) viewCache.clear() // bound test-JVM memory
+          val r = compute()
+          viewCache.put(key, (v, r))
+          r
+        }
+      case _ => compute()
+    }
+  }
+
   override protected def route(method: String, parts: Array[String],
                                query: Map[String, String], body: JsonNode,
                                ex: HttpExchange): Unit = {
@@ -600,8 +637,7 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
             // an unfiltered count here would overstate filtered scans'
             // range planning (empty filter string = no-op, like query)
             val a = mapper.createArrayNode()
-            a.addObject().put("count(*)",
-              applyExprFilter(inner.scroll(name, 0, Int.MaxValue), body).size)
+            a.addObject().put("count(*)", filteredView(name, body).size)
             val o = obj(); o.put("code", 0); o.set[ObjectNode]("data", a)
             respond(ex, 200, o)
           } else {
@@ -609,7 +645,7 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
             // WireFilters into the engine's own Filter/FilterEval, then
             // offset/limit index the FILTERED sequence — the real
             // entities/query contract
-            val filtered = applyExprFilter(inner.scroll(name, 0, Int.MaxValue), body)
+            val filtered = filteredView(name, body)
             val off = Option(body.get("offset")).map(_.asInt()).getOrElse(0)
             val lim = Option(body.get("limit")).map(_.asInt()).getOrElse(100)
             val recs = filtered.slice(off, off + lim)
@@ -626,7 +662,7 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
           val sp =
             if (q.isTextual) SearchSpec(null, lim, unb64(q.asText()), "hamming")
             else SearchSpec(floats(q), lim)
-          val cands = applyExprFilter(inner.scroll(name, 0, Int.MaxValue), body)
+          val cands = filteredView(name, body)
           val a = mapper.createArrayNode()
           VSScoring.topK(cands, sp).foreach { case (rec, score) =>
             val row = rowNode(rec)

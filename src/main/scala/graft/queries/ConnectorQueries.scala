@@ -147,6 +147,16 @@ object ConnectorQueries {
     "q_connector_search_filtered" -> ((s, dir) =>
       searchQuery(s, dir, coll = "gate_srchf", minLabel = Some(5))),
 
+    // The SAME filtered top-k written the way users write it: score column
+    // FIRST (withColumn), the metadata filter ABOVE it, sort by NAME
+    // (desc("score")) — the kernel then lives in a lower Project and the
+    // Sort references the attribute through the alias. The optimizer
+    // normalizes the shape (predicate pushdown through the Project) and
+    // PushVectorSearch resolves the score through the alias; the gate
+    // require()s the rewrite actually FIRED, and the oracle adjudicates
+    // it equals exact brute-force cosine over the filtered set.
+    "q_connector_search_aliased" -> ((s, dir) => searchQueryAliased(s, dir)),
+
     // The same pushed top-k, but the collection lives behind a REAL
     // socket: the optimizer's native-search scan issues ONE
     // POST /points/search (require()-pinned on the wire log) instead of
@@ -473,6 +483,30 @@ object ConnectorQueries {
       .select(col(Canonical.ID), round(col("score"), 6).as("score"))
   }
 
+  /** [[searchQuery]]'s user-ordered twin: `withColumn("score", cosine)` →
+    * `filter(metadata)` → `orderBy(desc("score"))` → `limit(k)` — the
+    * filter sits ABOVE the score Project and the sort key is the alias by
+    * NAME. Pins (via require) that the rewrite fires on this shape. */
+  def searchQueryAliased(s: SparkSession, dir: String): DataFrame = {
+    val coll = "gate_srcha"
+    loadFixture(s, dir, "graft-qdrant", coll)
+    val qv = Canonical.from(Tables(s, dir, "embeddings"),
+      idCol = "vec_id", vectorCol = Some("embedding"), metadataCols = Nil)
+      .filter(col(Canonical.ID) === "0").select(col(Canonical.VECTOR))
+      .head().getSeq[Float](0).toSeq
+    val df = s.read.format("graft-qdrant").option("collection", coll).load()
+      .withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .filter(element_at(col(Canonical.METADATA), "label").cast("double") >= 5)
+      .orderBy(desc("score"), asc(Canonical.ID))
+      .limit(10)
+      .select(col(Canonical.ID), round(col("score"), 6).as("score"))
+    require(df.queryExecution.executedPlan.toString.contains("search=topk(k=10"),
+      "aliased-score shape did not rewrite into a native search scan:\n" +
+        df.queryExecution.executedPlan.toString)
+    df
+  }
+
   /** Native HAMMING search pushdown over a BINARY_VECTOR collection:
     * ORDER BY binary_hamming ASC LIMIT k — [[graft.plans.PushVectorSearch]]
     * rewrites it so each scan partition emits only its local best-k (ties
@@ -523,6 +557,13 @@ object ConnectorQueries {
         "FROM b, q WHERE label >= 5) " +
         "SELECT id, hamming FROM s ORDER BY hamming, id LIMIT 10"),
     "q_connector_search_filtered" ->
+      ("WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0), " +
+        "c AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings WHERE label >= 5), " +
+        "s AS (SELECT id, list_dot_product(e, v)/(sqrt(list_dot_product(e, e))*sqrt(list_dot_product(v, v))) AS sc " +
+        "FROM c, qv) " +
+        "SELECT id, round(sc, 6) + 0.0 AS score FROM s ORDER BY sc DESC, id ASC LIMIT 10"),
+    "q_connector_search_aliased" ->
       ("WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0), " +
         "c AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS e " +
         "FROM embeddings WHERE label >= 5), " +

@@ -65,6 +65,22 @@ class BenchSentinelSpec extends SparkSpec {
     assert(Bench.sectionNoisy(Bench.SectionStats(0.2, 0.5, -1.0, -1.0)))
   }
 
+  test("per-query IQR noise taints its section's verdict (and its json)") {
+    // calibration-calm section carrying one IQR>median row: noisy anyway —
+    // the r15 sf1 artifact passed the calibration bars while holding two
+    // IQR>4x-median medians, which are not measurements
+    val calm = Bench.SectionStats(0.2, 0.22, 1.0, 1.0)
+    assert(!calm.noisy)
+    val tainted = calm.copy(iqrNoisy = true)
+    assert(tainted.noisy)
+    assert(tainted.json.contains("\"iqr_noisy\":true") &&
+      tainted.json.contains("\"noisy\":true"), tainted.json)
+    // the fold rule itself
+    assert(Bench.hasIqrNoise(Seq(("q", 1.0, 1.5), ("r", 2.0, 0.1))))
+    assert(!Bench.hasIqrNoise(Seq(("q", 1.0, 0.9), ("r", 2.0, 0.1))))
+    assert(!Bench.hasIqrNoise(Nil))
+  }
+
   test("section-scoped sentinel: load during ONE section flags that section only") {
     Bench.calibrate(spark) // pay codegen/JIT once
     // the clean section: retry up to 3x — a shared test host can inflate a

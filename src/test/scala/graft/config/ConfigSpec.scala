@@ -212,6 +212,14 @@ class ConfigSpec extends AnyFunSuite {
     // numeric strings stay accepted (configs in the wild carry both)
     assert(cfg(""""limit": "250",""").source.query.get.limit.contains(250L))
     assert(cfg(""""limit": 250,""").source.query.get.limit.contains(250L))
+    // fractional NUMBERS reject like fractional strings (2.5 used to
+    // silently truncate to 2 via asLong while "2.5" errored); integral
+    // floats and out-of-range big integers follow the same rule
+    val ef = intercept[ConfigException] { cfg(""""limit": 2.5,""") }
+    assert(ef.getMessage.contains("limit") && ef.getMessage.contains("integer"),
+      ef.getMessage)
+    assert(cfg(""""limit": 250.0,""").source.query.get.limit.contains(250L))
+    intercept[ConfigException] { cfg(""""limit": 99999999999999999999999999,""") }
     intercept[ConfigException] {
       MigrationConfig.fromJson(
         """{"source": {"type": "parquet", "connection": {"path": "/x"},

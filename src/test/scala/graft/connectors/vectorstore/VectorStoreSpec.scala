@@ -466,4 +466,24 @@ class VectorStoreHardeningSpec extends SparkSpec {
     assert(bad.getMessage.contains("unsupported distance"))
     spark.sql("DROP TABLE vs_cat_t.alias_ok")
   }
+
+  test("FilterEval string order is Spark's UTF-8 byte order, not UTF-16") {
+    // U+1F600 (a supplementary char, UTF-16 surrogates D83D DE00) vs
+    // U+FFFF: Java String.compareTo says surrogate < FFFF, UTF-8 byte
+    // order (Spark's UTF8String) says the opposite. A store-side range
+    // filter in the wrong order passes rows Spark's retained plan Filter
+    // then drops AFTER top-k selection — evicting genuine winners.
+    val hi = "￿"
+    val emoji = "😀"
+    assert(emoji.compareTo(hi) < 0) // the UTF-16 trap exists…
+    val r = VSRecord("1", null, Map("s" -> emoji))
+    val gt = GreaterThan("metadata.s", hi)
+    assert(FilterEval.eval(gt, r), "eval must use UTF-8 byte order")
+    assert(FilterEval.eval3(gt, r).contains(true))
+    assert(!FilterEval.eval(LessThan("metadata.s", hi), r))
+    // …and Spark itself agrees with the store-side verdict
+    import spark.implicits._
+    val sparkSays = Seq(emoji).toDF("s").filter(col("s") > lit(hi)).count()
+    assert(sparkSays == 1L)
+  }
 }

@@ -115,6 +115,51 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("qdrant recreate of a PUBLISHED collection: atomic alias swap, no 404 window") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    val t = new QdrantWireTransport(server.url)
+    try {
+      // publish "live" atomically: gen1 under the alias
+      t.createCollection("gen1", CollectionConfig(dim = 2), recreate = false)
+      t.upsert("gen1", canon(5))
+      t.rename("gen1", "live")
+      assert(t.count("live") == 5)
+      // concurrent reader: poll existence of the published name throughout
+      val missed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val probe = new Thread(() => {
+        val p = new QdrantWireTransport(server.url)
+        while (!stop.get()) {
+          polls.incrementAndGet()
+          if (!p.exists("live")) missed.incrementAndGet()
+        }
+      })
+      probe.setDaemon(true)
+      probe.start()
+      val mark = server.requestLines.size
+      t.createCollection("live", CollectionConfig(dim = 4), recreate = true)
+      stop.set(true)
+      probe.join(5000)
+      assert(polls.get() > 0)
+      assert(missed.get() == 0,
+        s"concurrent reader saw ${missed.get()}/${polls.get()} 404s during recreate " +
+          "— drop-then-PUT window regressed")
+      // recreated: empty, the NEW config, still addressable under the name
+      assert(t.count("live") == 0)
+      assert(t.describe("live").exists(_.dim == 4))
+      // wire shape: the published name is never DELETEd; the swap (one
+      // atomic actions POST) precedes the old generation's retirement
+      val lines = server.requestLines.drop(mark)
+      assert(!lines.exists(_.startsWith("DELETE /collections/live")), lines)
+      val swap = lines.indexWhere(_.startsWith("POST /collections/aliases"))
+      val retire = lines.indexWhere(_.startsWith("DELETE /collections/gen1"))
+      assert(swap >= 0 && retire > swap, lines)
+      t.drop("live")
+      assert(!t.exists("live"))
+    } finally server.stop()
+  }
+
   test("dual-endpoint writes: same collection name, separate accounting") {
     import graft.model.Canonical
     val sA = new QdrantWireServer(new InMemoryStore)

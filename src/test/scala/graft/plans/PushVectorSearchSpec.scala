@@ -104,6 +104,52 @@ class PushVectorSearchSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == exact)
   }
 
+  test("user-ordered aliased shape rewrites: withColumn → filter → desc(name)") {
+    loadMeta("pvsa", 2000)
+    // score column FIRST, metadata filter ABOVE it, sort by the alias NAME
+    // — the kernel lives in a lower Project and the Sort references the
+    // attribute; the optimizer pushes the filter through the Project and
+    // resolveScore follows the alias
+    val df = spark.read.format("graft-qdrant").option("collection", "pvsa").load()
+      .withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .filter(element_at(col(Canonical.METADATA), "cat") === "c1")
+      .orderBy(desc("score"), asc(Canonical.ID))
+      .limit(7)
+      .select(Canonical.ID)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("search=topk(k=7"), physical)
+    val scanLine = physical.linesIterator.find(_.contains("VectorStoreScan")).getOrElse("")
+    assert(scanLine.contains("cat"), physical)
+    // exact same rows as the non-rewritable brute-force shape
+    val exact = spark.read.format("graft-qdrant").option("collection", "pvsa").load()
+      .filter(element_at(col(Canonical.METADATA), "cat") === "c1")
+      .withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .select(col(Canonical.ID), col("score")).distinct()
+      .orderBy(col("score").desc, col(Canonical.ID).asc).limit(7)
+      .select(Canonical.ID).as[String].collect().toSeq
+    assert(df.as[String].collect().toSeq == exact)
+    // pruned-projection variant: select(id, score) BETWEEN score and sort
+    val pruned = spark.read.format("graft-qdrant").option("collection", "pvsa").load()
+      .withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .select("id", "score")
+      .orderBy(desc("score"), asc(Canonical.ID)).limit(7).select(Canonical.ID)
+    assert(pruned.queryExecution.executedPlan.toString.contains("search=topk(k=7"),
+      pruned.queryExecution.executedPlan.toString)
+    // a filter ON the score alias is NOT a metadata filter: no rewrite,
+    // results still Spark-exact through the ordinary scan
+    val onScore = spark.read.format("graft-qdrant").option("collection", "pvsa").load()
+      .withColumn("score",
+        graft.functions.VectorExpressions.cosine(col(Canonical.VECTOR), typedLit(qv)))
+      .filter(col("score") > -2.0)
+      .orderBy(desc("score"), asc(Canonical.ID)).limit(7).select(Canonical.ID)
+    assert(!onScore.queryExecution.executedPlan.toString.contains("search=topk"),
+      onScore.queryExecution.executedPlan.toString)
+    assert(onScore.count() == 7)
+  }
+
   test("negated predicates block the rewrite (3-valued vs store 2-valued Not)") {
     // records LACKING the key: Spark drops them under =!= (null), but the
     // store's 2-valued Not would PASS them into top-k slots — evicting
