@@ -781,6 +781,37 @@ object PipelineQueries {
         numHashes = 16, numBands = 4, threshold = 0.3, portable = true)
     }),
 
+    // ---- The STREAMING face of the indexed incremental dedup: the odd-id
+    //      batch replayed as a FILE STREAM through
+    //      StreamOps.streamingIncrementalDedupIndexed (params resolved
+    //      from the index's own manifest, watermarked pair collapse),
+    //      landed via foreachBatch — adjudicated by the SAME DuckDB
+    //      oracle as the batch twin q_dedup_incremental, so
+    //      batch ≡ streaming is hash-checked, not just spec-asserted ----
+    "q_dedup_incremental_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("gate_incstr").toString
+      graft.core.SigIndex.build(s, docs.filter(col("doc_id") % 2 === 0), tmp,
+        graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
+      val inDir = s"$tmp/in"
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+        .select("doc_id", "text", "ts")
+        .write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema).parquet(inDir)
+      val flagged = graft.streaming.StreamOps.streamingIncrementalDedupIndexed(
+        stream, tmp, idCol = "doc_id", textCol = "text", tsCol = "ts",
+        threshold = 0.3, watermark = "1 hour", broadcastBatch = true)
+      val outDir = s"$tmp/out"
+      val land: (DataFrame, Long) => Unit =
+        (b, _) => b.write.mode("append").parquet(outDir)
+      val q = flagged.writeStream.foreachBatch(land)
+        .option("checkpointLocation", s"$tmp/chk").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .select(col("doc_id").as("batch_id"), col("corpus_id"), col("jaccard"))
+    }),
+
     // ---- URL canonicalization (the FIRST dedup a crawl pipeline runs):
     //      case/port/fragment/tracking-param/param-order normalization
     //      over deterministically constructed URLs; the oracle computes
@@ -1919,6 +1950,8 @@ object PipelineQueries {
       ("q_dedup_incremental" -> incrementalSql) +
       // same oracle: the stale-widths gate must return the FRESH answer
       ("q_dedup_incremental_stale" -> incrementalSql) +
+      // same oracle again: the streaming replay must equal the batch twin
+      ("q_dedup_incremental_stream" -> incrementalSql) +
       ("q_text_extract" -> extractSql) +
       ("q_corpus_datacard" -> dataCardSql)
   }
