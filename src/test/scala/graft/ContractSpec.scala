@@ -45,7 +45,10 @@ class ContractSpec extends AnyFunSuite {
     // round 15: +q_connector_search_filtered (metadata filter absorbed
     // into the pushed search — the canonical filtered vector query),
     // +q_connector_search_filtered_hamming (its binary face)
-    assert(SparkEntry.queries.size == 172, SparkEntry.queries.size.toString)
+    // round 16: +q_connector_search_aliased (withColumn-then-filter
+    // top-k shape, require()-pinned to rewrite), +q_dedup_incremental_stream
+    // (the streaming dedup face hash-checked against the batch oracle)
+    assert(SparkEntry.queries.size == 174, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {
