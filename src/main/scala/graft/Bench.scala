@@ -243,14 +243,25 @@ object Bench {
     }
   }
 
+  /** Warm-up protocol: every measured query once, untimed (JIT/codegen).
+    * Runs BEFORE the section's calibration bracket — the first heavy
+    * query pass is what matures the JVM from ~2.4x-steady calibration
+    * down to steady, and a bracket that spans the maturation reads it as
+    * co-tenant drift (round-16: calib_pre 0.135 vs post 0.055 on a
+    * PROVABLY idle host, structurally flagging every first section). */
+  private def warmup(spark: SparkSession, sfDir: String,
+                     queryNames: Seq[String]): Unit = {
+    val qs = SparkEntry.queries ++ benchOnly
+    queryNames.filter(qs.contains).foreach { name =>
+      try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+  }
+
+  /** TIMED samples only — call [[warmup]] first, outside the bracket. */
   private def measure(spark: SparkSession, sfDir: String, samples: Int,
                       queryNames: Seq[String]): Seq[(String, Double, Double)] = {
     val qs = SparkEntry.queries ++ benchOnly
     val names = queryNames.filter(qs.contains)
-    // Warm-up protocol: every measured query once, untimed (JIT/codegen).
-    names.foreach { name =>
-      try qs(name)(spark, sfDir).count() catch { case _: Throwable => () }
-    }
     names.map { name =>
       val times = (1 to samples).map { _ =>
         val t0 = System.nanoTime()
@@ -281,16 +292,26 @@ object Bench {
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "5").toInt
     val spark = GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    // warm the calibration job to NEAR-STEADY state (untimed): a single
+    // warm the calibration job to STEADY state (untimed): a single
     // warm-up run leaves the first bracket ~2.5-3x the late-run cost on a
     // PROVABLY idle host (measured 3.31 -> 0.22 -> ... -> 0.12 over 12
     // fresh-JVM runs; late-bench steady state is ~0.08 once the heavy
     // sections mature the JIT) — JVM maturation would structurally fake
-    // the first section's 2x drift bar without this
-    (1 to 8).foreach(_ => calibrate(spark))
+    // the first section's 2x drift bar without this. ADAPTIVE: a fixed
+    // 8 rounds still left calib_pre at 2.2x steady on an idle host
+    // (round-16 run, load 0.54), so warm until two consecutive
+    // calibrations agree within 1.3x (bounded — a genuinely loaded host
+    // never converges and the section brackets flag it instead)
+    var wPrev = calibrate(spark)
+    var wCur = calibrate(spark)
+    var warmups = 2
+    while (warmups < 20 && drift(wPrev, wCur) > 1.3) {
+      wPrev = wCur; wCur = calibrate(spark); warmups += 1
+    }
     val loadBefore = loadAvg1m()
     // each SECTION rides its own calibration/loadavg bracket (round 13) —
     // run-long brackets missed round 12's late-arriving sf1 co-tenant
+    warmup(spark, sfDir, headline)
     val (results, stHead) = bracketed(spark)(measure(spark, sfDir, samples, headline))
     val calibFirst = stHead.calibPre
     val (qjson, ijson) = jsonMaps(results)
@@ -300,7 +321,8 @@ object Bench {
     val headNoisy = noisyIqrJson("noisy_iqr", results)
     // LLM-pipeline heavies: their own section at the same scale
     val (resPipe, stPipe) =
-      bracketed(spark)(measure(spark, sfDir, samples, pipelineHeadline))
+      { warmup(spark, sfDir, pipelineHeadline)
+        bracketed(spark)(measure(spark, sfDir, samples, pipelineHeadline)) }
     val (pq, pi) = jsonMaps(resPipe)
     val pipeJson =
       s""","pipeline_total":${d3(resPipe.map(_._2).sum)},"pipeline_queries":$pq,""" +
@@ -329,8 +351,10 @@ object Bench {
       // IQR > median on 3 queries — statistically unusable. 5 is the floor;
       // SPARK_GRAFT_SF1_SAMPLES can only raise it.
       val s1 = math.max(5, sys.env.getOrElse("SPARK_GRAFT_SF1_SAMPLES", "5").toInt)
+      warmup(spark, d, headline)
       val (r1, st1) = bracketed(spark)(measure(spark, d, s1, headline))
       val (q1, i1) = jsonMaps(r1)
+      warmup(spark, d, pipelineHeadline)
       val (rp1, stp1) = bracketed(spark)(measure(spark, d, s1, pipelineHeadline))
       val (qp1, ip1) = jsonMaps(rp1)
       sf1Sections = Map("sf1" -> st1.copy(iqrNoisy = hasIqrNoise(r1)),

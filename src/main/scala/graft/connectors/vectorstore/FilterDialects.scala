@@ -171,10 +171,18 @@ class QdrantFilterDialect extends FilterDialect {
     if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
   }
 
+  /** `{"is_null": {"key": k}}`-shaped conditions, loudly — mirror of
+    * [[WireFilters.keyOf]]: a scalar/key-less body raises the parse
+    * error, never an NPE. */
+  private def keyOf(c: JsonNode, cond: String): String =
+    Option(c.get(cond)).flatMap(n => Option(n.get("key"))).filterNot(_.isNull)
+      .map(_.asText()).getOrElse(throw new IllegalArgumentException(
+        s"""qdrant $cond condition needs {"key": ...}: $c"""))
+
   private def parseCond(c: JsonNode): Column = {
     if (c.has("must") || c.has("should") || c.has("must_not")) return parseClauseList(c)
-    if (c.has("is_null")) return attr(c.get("is_null").get("key").asText()).isNull
-    if (c.has("is_empty")) return attr(c.get("is_empty").get("key").asText()).isNull
+    if (c.has("is_null")) return attr(keyOf(c, "is_null")).isNull
+    if (c.has("is_empty")) return attr(keyOf(c, "is_empty")).isNull
     if (c.has("has_id")) // documented point-id membership condition
       return attr("id").isInCollection(
         jarr(c.get("has_id"), "has_id").map(_.asText()))
@@ -188,7 +196,9 @@ class QdrantFilterDialect extends FilterDialect {
           attr(key).cast("double").isInCollection(vals.map(_.asDouble()))
         else attr(key).isInCollection(vals.map(_.asText()))
       }
-      val v = Option(m.get("value")).getOrElse(m.get("text"))
+      val v = Option(m.get("value")).orElse(Option(m.get("text")))
+        .filterNot(_.isNull).getOrElse(throw new IllegalArgumentException(
+          s"qdrant match condition needs value/text/any: $c"))
       if (v.isNumber) attr(key).cast("double") === v.asDouble() else attr(key) === v.asText()
     } else if (c.has("range")) {
       val r = c.get("range")

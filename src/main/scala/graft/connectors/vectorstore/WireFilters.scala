@@ -45,10 +45,18 @@ object WireFilters {
     parts.reduceOption(And(_, _)).getOrElse(AlwaysTrue)
   }
 
+  /** `{"is_null": {"key": k}}`-shaped conditions, loudly: a scalar or
+    * key-less body (`{"is_null": "x"}` — the hand-written-config typo)
+    * must raise the same parse error as the sibling branches, never NPE. */
+  private def keyOf(c: JsonNode, cond: String): String =
+    Option(c.get(cond)).flatMap(n => Option(n.get("key"))).filterNot(_.isNull)
+      .map(_.asText()).getOrElse(throw new IllegalArgumentException(
+        s"""qdrant $cond condition needs {"key": ...}: $c"""))
+
   private def cond(c: JsonNode): Filter = {
     if (c.has("must") || c.has("should") || c.has("must_not")) return clauseList(c)
-    if (c.has("is_null")) return IsNull(c.get("is_null").get("key").asText())
-    if (c.has("is_empty")) return IsNull(c.get("is_empty").get("key").asText())
+    if (c.has("is_null")) return IsNull(keyOf(c, "is_null"))
+    if (c.has("is_empty")) return IsNull(keyOf(c, "is_empty"))
     if (c.has("has_id")) // documented point-id membership condition
       return In("id", jarr(c.get("has_id"), "has_id")
         .map(v => (v.asText(): Any)).toArray)
@@ -61,7 +69,9 @@ object WireFilters {
           if (v.isNumber) (v.asDouble(): Any) else (v.asText(): Any))
         In(key, vals.toArray)
       } else {
-        val v = Option(m.get("value")).getOrElse(m.get("text"))
+        val v = Option(m.get("value")).orElse(Option(m.get("text")))
+          .filterNot(_.isNull).getOrElse(throw new IllegalArgumentException(
+            s"qdrant match condition needs value/text/any: $c"))
         if (v.isNumber) EqualTo(key, v.asDouble()) else EqualTo(key, v.asText())
       }
     } else if (c.has("range")) {

@@ -326,6 +326,19 @@ class FilterDialectSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       WireFilters.fromPineconeJson(
         WireJson.mapper.readTree("""{"$or": "oops"}""")) }
+    // key-less / scalar condition bodies raise the parse error, never NPE
+    intercept[IllegalArgumentException] {
+      qd.parse("""{"must": [{"is_null": "k"}]}""") }
+    intercept[IllegalArgumentException] {
+      qd.parse("""{"must": [{"is_empty": {}}]}""") }
+    intercept[IllegalArgumentException] {
+      qd.parse("""{"must": [{"key": "k", "match": {}}]}""") }
+    intercept[IllegalArgumentException] {
+      WireFilters.fromQdrantJson(
+        WireJson.mapper.readTree("""{"must": [{"is_null": "k"}]}""")) }
+    intercept[IllegalArgumentException] {
+      WireFilters.fromQdrantJson(
+        WireJson.mapper.readTree("""{"must": [{"key": "k", "match": {}}]}""")) }
   }
 
   test("sql dialect refuses the bare canonical map/vector columns") {
