@@ -302,10 +302,13 @@ object Bench {
     // (round-16 run, load 0.54), so warm until two consecutive
     // calibrations agree within 1.3x (bounded — a genuinely loaded host
     // never converges and the section brackets flag it instead)
+    // at least the historical 8 rounds (an early JIT PLATEAU can satisfy
+    // the convergence test while still far above steady), then extend
+    // adaptively until two consecutive calibrations agree within 1.3x
     var wPrev = calibrate(spark)
     var wCur = calibrate(spark)
     var warmups = 2
-    while (warmups < 20 && drift(wPrev, wCur) > 1.3) {
+    while (warmups < 20 && (warmups < 8 || drift(wPrev, wCur) > 1.3)) {
       wPrev = wCur; wCur = calibrate(spark); warmups += 1
     }
     val loadBefore = loadAvg1m()

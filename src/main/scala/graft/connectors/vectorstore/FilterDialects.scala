@@ -101,8 +101,7 @@ class SqlWhereDialect extends FilterDialect {
     * and rendering it as a column reference would scan a column that
     * does not exist backend-side (the silent zero-row mode the three
     * structured dialects guard with [[DialectUtil.addressable]]). */
-  private def sqlAddressable(name: String): Boolean =
-    addressable(name) || !bareCanonical(name)
+  private def sqlAddressable(name: String): Boolean = !bareCanonical(name)
 
   override def render(f: Filter): Option[String] = f match {
     case EqualTo(a, v) if sqlAddressable(a) => Some(s"${stripMeta(a)} = ${litStr(v)}")
@@ -171,18 +170,12 @@ class QdrantFilterDialect extends FilterDialect {
     if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
   }
 
-  /** `{"is_null": {"key": k}}`-shaped conditions, loudly — mirror of
-    * [[WireFilters.keyOf]]: a scalar/key-less body raises the parse
-    * error, never an NPE. */
-  private def keyOf(c: JsonNode, cond: String): String =
-    Option(c.get(cond)).flatMap(n => Option(n.get("key"))).filterNot(_.isNull)
-      .map(_.asText()).getOrElse(throw new IllegalArgumentException(
-        s"""qdrant $cond condition needs {"key": ...}: $c"""))
-
   private def parseCond(c: JsonNode): Column = {
     if (c.has("must") || c.has("should") || c.has("must_not")) return parseClauseList(c)
-    if (c.has("is_null")) return attr(keyOf(c, "is_null")).isNull
-    if (c.has("is_empty")) return attr(keyOf(c, "is_empty")).isNull
+    // condition-shape checks shared with the server-side decoder
+    // (WireFilters) so the two qdrant parsers cannot drift
+    if (c.has("is_null")) return attr(WireFilters.keyOf(c, "is_null")).isNull
+    if (c.has("is_empty")) return attr(WireFilters.keyOf(c, "is_empty")).isNull
     if (c.has("has_id")) // documented point-id membership condition
       return attr("id").isInCollection(
         jarr(c.get("has_id"), "has_id").map(_.asText()))
@@ -196,9 +189,7 @@ class QdrantFilterDialect extends FilterDialect {
           attr(key).cast("double").isInCollection(vals.map(_.asDouble()))
         else attr(key).isInCollection(vals.map(_.asText()))
       }
-      val v = Option(m.get("value")).orElse(Option(m.get("text")))
-        .filterNot(_.isNull).getOrElse(throw new IllegalArgumentException(
-          s"qdrant match condition needs value/text/any: $c"))
+      val v = WireFilters.matchValue(c, m)
       if (v.isNumber) attr(key).cast("double") === v.asDouble() else attr(key) === v.asText()
     } else if (c.has("range")) {
       val r = c.get("range")

@@ -902,11 +902,11 @@ class VSScan(collection: String, dialect: FilterDialect, pushed: Array[Filter],
     // hi extension under a SELECTIVE pushed filter must size from the
     // FILTERED population — the unfiltered count overshoots the id range
     // and collapses every matching row into the last slice (balance only;
-    // disjoint+covering holds for any split points). Backends without a
-    // filtered count keep the unfiltered estimate.
-    val total =
-      if (wireFilter.isDefined) filteredPopulation
-      else store.count(collection).toLong
+    // disjoint+covering holds for any split points). `population` already
+    // resolves to the raw count when no filter is pushed, so the shared
+    // per-scan value serves BOTH branches (a fresh store.count here would
+    // be the second wire count the at-most-one invariant forbids).
+    val total = filteredPopulation
     val hi = math.max(numeric.max, lo + total.toDouble)
     if (!(hi > lo)) return single
     val want = cursorParallelism

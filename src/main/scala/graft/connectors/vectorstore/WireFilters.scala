@@ -47,11 +47,20 @@ object WireFilters {
 
   /** `{"is_null": {"key": k}}`-shaped conditions, loudly: a scalar or
     * key-less body (`{"is_null": "x"}` — the hand-written-config typo)
-    * must raise the same parse error as the sibling branches, never NPE. */
-  private def keyOf(c: JsonNode, cond: String): String =
+    * must raise the same parse error as the sibling branches, never NPE.
+    * SHARED with [[QdrantFilterDialect.parseCond]] so the two qdrant
+    * parsers (dialect Column side, server Filter side) cannot drift. */
+  private[vectorstore] def keyOf(c: JsonNode, cond: String): String =
     Option(c.get(cond)).flatMap(n => Option(n.get("key"))).filterNot(_.isNull)
       .map(_.asText()).getOrElse(throw new IllegalArgumentException(
         s"""qdrant $cond condition needs {"key": ...}: $c"""))
+
+  /** The `match` condition's scalar (`value` or legacy `text`), loudly —
+    * shared with the dialect parser for the same no-drift reason. */
+  private[vectorstore] def matchValue(c: JsonNode, m: JsonNode): JsonNode =
+    Option(m.get("value")).orElse(Option(m.get("text")))
+      .filterNot(_.isNull).getOrElse(throw new IllegalArgumentException(
+        s"qdrant match condition needs value/text/any: $c"))
 
   private def cond(c: JsonNode): Filter = {
     if (c.has("must") || c.has("should") || c.has("must_not")) return clauseList(c)
@@ -69,9 +78,7 @@ object WireFilters {
           if (v.isNumber) (v.asDouble(): Any) else (v.asText(): Any))
         In(key, vals.toArray)
       } else {
-        val v = Option(m.get("value")).orElse(Option(m.get("text")))
-          .filterNot(_.isNull).getOrElse(throw new IllegalArgumentException(
-            s"qdrant match condition needs value/text/any: $c"))
+        val v = matchValue(c, m)
         if (v.isNumber) EqualTo(key, v.asDouble()) else EqualTo(key, v.asText())
       }
     } else if (c.has("range")) {

@@ -80,10 +80,15 @@ private[vectorstore] final class WireShape private (
     case other => fail(s"'${joined(path)}' is not an array: $other")
   }
 
+  /** Integral only — a fractional number from a drifted endpoint must
+    * raise the typed error, not silently truncate (`"size": 2.5` would
+    * otherwise describe a wrong dim; same reject-don't-coerce rule as
+    * the config parser's numeric fields). */
   def int(path: String*): Int = {
     val n = node(path: _*)
-    if (n.isNumber || (n.isTextual && n.asText().toIntOption.isDefined)) n.asInt()
-    else fail(s"'${joined(path)}' is not a number: $n")
+    if (n.isNumber && n.canConvertToExactIntegral && n.canConvertToInt) n.asInt()
+    else if (n.isTextual && n.asText().toIntOption.isDefined) n.asText().toInt
+    else fail(s"'${joined(path)}' is not an integer: $n")
   }
 
   def text(path: String*): String = {
@@ -92,12 +97,12 @@ private[vectorstore] final class WireShape private (
     else fail(s"'${joined(path)}' is not a scalar: $n")
   }
 
-  /** Float vector at `path` (required). */
+  /** Float vector at `path` (required): shape-checked here for the
+    * context-rich error, decoded by the ONE shared [[WireJson.floats]]. */
   def floats(path: String*): Array[Float] = {
     val n = node(path: _*)
     if (!n.isArray) fail(s"'${joined(path)}' is not a float array: $n")
-    val a = n.asInstanceOf[ArrayNode]
-    Array.tabulate(a.size())(i => a.get(i).floatValue())
+    WireJson.floats(n)
   }
 
   /** Sub-context rooted at an ELEMENT of this response (an array member a

@@ -177,4 +177,32 @@ class FallbackInventorySpec extends SparkSpec {
       } finally VectorStore.clearRemotes()
     } finally server.stop()
   }
+
+  test("UNfiltered sliced scan also issues at most one wire count (qdrant)") {
+    val server = new QdrantWireServer(new InMemoryStore)
+    try {
+      val spec = TransportSpec(url = Some(server.url), backend = "qdrant")
+      val counting = new CountingTransport(HttpTransport.forSpec(spec))
+      VectorStore.pin(spec, counting)
+      try {
+        (0 until 400).map(i => (s"$i", Seq.fill(2)(i.toFloat), Map("k" -> "v")))
+          .toDF(Canonical.ID, Canonical.VECTOR, Canonical.METADATA)
+          .write.format("graft-qdrant").option("collection", "fb_qun")
+          .option("url", server.url).option("recreate", "true")
+          .mode("overwrite").save()
+        counting.rawCountCalls.set(0)
+        counting.filteredCountCalls.set(0)
+        val n = spark.read.format("graft-qdrant").option("collection", "fb_qun")
+          .option("url", server.url).option("page_size", "50").load()
+          .select(Canonical.ID).as[String].collect().length
+        assert(n == 400)
+        // stats estimate + slice-planning hi-extension share ONE lazy
+        // population — the unfiltered branch used to issue a second raw
+        // count per scan
+        assert(counting.rawCountCalls.get() <= 1,
+          s"${counting.rawCountCalls.get()} raw-count calls in one unfiltered scan")
+        assert(counting.filteredCountCalls.get() == 0)
+      } finally VectorStore.clearRemotes()
+    } finally server.stop()
+  }
 }

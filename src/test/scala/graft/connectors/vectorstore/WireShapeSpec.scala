@@ -72,6 +72,17 @@ class WireShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       """{"result":{"config":{"params":{"vectors":{"distance":"Cosine","size":"x"}}}}}""")(
       shapeError(qdrant.describe("c")))
     assert(e3.getMessage.contains("size"), e3.getMessage)
+    // FRACTIONAL numbers reject like non-numbers — a drifted endpoint's
+    // "size": 2.5 must not silently truncate into a wrong dim
+    val e4 = withBody(
+      """{"result":{"config":{"params":{"vectors":{"distance":"Cosine","size":2.5}}}}}""")(
+      shapeError(qdrant.describe("c")))
+    assert(e4.getMessage.contains("size") && e4.getMessage.contains("integer"), e4.getMessage)
+    // …while integral floats pass (2.0 is a lossless int)
+    val ok = withBody(
+      """{"result":{"config":{"params":{"vectors":{"distance":"Cosine","size":2.0}}}}}""")(
+      qdrant.describe("c"))
+    assert(ok.exists(_.dim == 2))
   }
 
   test("qdrant count/scroll/aliases: hostile shapes raise typed errors") {
