@@ -186,11 +186,16 @@ class WireShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
           a
       }
     }
+    val rec = VSRecord("1", Array(1f, 2f), Map("k" -> "v"))
     val probes: Seq[(String, VectorStoreTransport => Any)] = Seq(
       ("describe", _.describe("c")),
       ("count", _.count("c")),
       ("scroll", _.scroll("c", 0, 5)),
-      ("list", _.listCollections()))
+      ("list", _.listCollections()),
+      ("upsert", _.upsert("c", Seq(rec))),
+      ("delete", _.delete("c", Seq("1"))),
+      ("search", _.nativeSearch("c", SearchSpec(Array(1f, 2f), 3), None)),
+      ("exists", _.exists("c")))
     val transports = Seq("qdrant" -> qdrant, "milvus" -> milvus, "pinecone" -> pinecone)
     for (_ <- 1 to 120) {
       stub.body = mapper.writeValueAsString(randNode(4))
