@@ -117,6 +117,23 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-cost IO-state probe: scan one pinned parquet table and sum a
+    * column. The CPU calibration job is deliberately data-free, so it
+    * CANNOT see page-cache / IO-scheduler drift — round 16 measured
+    * three sentinel-clean runs spreading 18.4–19.9 s at sf1 with
+    * calibrations flat at 0.05–0.095 s, i.e. the spread lived entirely
+    * in the IO axis. This probe brackets the whole run (`io_first_sec`/
+    * `io_last_sec` in the artifact, INFO-ONLY — page-cache warmth
+    * legitimately differs between a fresh host and a warmed one, so it
+    * explains cross-round deltas rather than flagging them). */
+  def ioCalibrate(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("sum(l_quantity)").collect()
+    catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Min of 3 calibration runs: ONE sample is disturbed by the JVM's own
     * state — a GC or JIT deopt right after a heavy section inflated a
     * post-bracket 4× on a QUIET host (round-13 false positive: sf1
@@ -312,6 +329,7 @@ object Bench {
       wPrev = wCur; wCur = calibrate(spark); warmups += 1
     }
     val loadBefore = loadAvg1m()
+    val ioFirst = { ioCalibrate(spark, sfDir); ioCalibrate(spark, sfDir) } // warm once, read second
     // each SECTION rides its own calibration/loadavg bracket (round 13) —
     // run-long brackets missed round 12's late-arriving sf1 co-tenant
     warmup(spark, sfDir, headline)
@@ -372,6 +390,7 @@ object Bench {
     // run-long bracket kept for continuity with r12 artifacts; the
     // per-section brackets above are the authoritative sentinel
     val calibLast = calibrateMin3(spark)
+    val ioLast = ioCalibrate(spark, sfDir)
     val loadAfter = loadAvg1m()
     val sections = Map(
       "sf_headline" -> stHead.copy(iqrNoisy = hasIqrNoise(results)),
@@ -382,6 +401,7 @@ object Bench {
     val anyNoisy = noisyHost(calibFirst, calibLast) || noisySections.nonEmpty
     val sentinel =
       s""","calib_first_sec":${d3(calibFirst)},"calib_last_sec":${d3(calibLast)}""" +
+        s""","io_first_sec":${d3(ioFirst)},"io_last_sec":${d3(ioLast)}""" +
         s""","load_1m_before":$loadBefore,"load_1m_after":$loadAfter""" +
         s""","sections":$sectionsJson""" +
         s""","noisy_sections":${noisySections.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
