@@ -65,18 +65,25 @@ object SigIndex {
     * banded artifacts, and "run it offline" as a comment enforced nothing.
     * Create-exclusive on the index filesystem (atomic on HDFS-like
     * stores); a crash leaves a stale lease, which EXPIRES after `ttlMs`
-    * (default 1 h — longer than any sane ingest; override via
-    * `spark.graft.sigindex.lease.ttl.minutes`) so the index never bricks
-    * waiting for an operator. Release deletes only the lease this call
-    * created (token-checked). */
+    * (default 1 h; override via `spark.graft.sigindex.lease.ttl.minutes`,
+    * or `.ttl.ms` for tests) so the index never bricks waiting for an
+    * operator. A LIVE holder heartbeats the lease ts every ttl/4, so a
+    * mutation longer than the TTL is never mistaken for a crash — only a
+    * holder frozen for a full TTL can lose its lease. Release claims the
+    * lease file by atomic rename and verifies the token before deleting. */
   private[graft] def withLease[A](fsys: org.apache.hadoop.fs.FileSystem, indexDir: String,
                                   verb: String)(body: => A): A = {
-    val ttlMs = org.apache.spark.sql.SparkSession.getActiveSession
-      .flatMap(_.conf.getOption("spark.graft.sigindex.lease.ttl.minutes"))
-      .map(_.toLong * 60000L).getOrElse(60 * 60000L)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+    val ttlMs = conf.flatMap(_.conf.getOption("spark.graft.sigindex.lease.ttl.ms"))
+      .map(_.toLong)
+      .orElse(conf.flatMap(_.conf.getOption("spark.graft.sigindex.lease.ttl.minutes"))
+        .map(_.toLong * 60000L))
+      .getOrElse(60 * 60000L)
     val path = new org.apache.hadoop.fs.Path(s"$indexDir/.lease")
     val token = java.util.UUID.randomUUID().toString
-    val payload = s"""{"verb":"$verb","token":"$token","ts":${System.currentTimeMillis()}}"""
+    def payloadNow() =
+      s"""{"verb":"$verb","token":"$token","ts":${System.currentTimeMillis()}}"""
+    val payload = payloadNow()
     def readLease(): String =
       try {
         val in = fsys.open(path)
@@ -114,7 +121,12 @@ object SigIndex {
           } catch { case _: java.io.IOException => "" }
           if (moved == held) { fsys.delete(aside, false); true }
           else { // a fresh lease landed between our read and rename: restore it
-            try fsys.rename(aside, path) catch { case _: java.io.IOException => () }
+            val restored =
+              try fsys.rename(aside, path) catch { case _: java.io.IOException => false }
+            if (!restored)
+              System.err.println(s"[graft] WARNING: could not restore a " +
+                s"concurrently-created lease at $indexDir (parked at $aside) — " +
+                "check for heavy lease contention")
             false
           }
         }
@@ -125,8 +137,66 @@ object SigIndex {
             s"a concurrent $verb would corrupt the banded artifacts — retry " +
             s"after it finishes (stale leases expire after ${ttlMs / 60000} min)")
     }
+    // HEARTBEAT: refresh the lease ts every ttl/4 while the body runs, so
+    // a mutation LONGER than the TTL (a compact of a huge index) is never
+    // indistinguishable from a crash — without renewal a contender would
+    // "expire" the live lease and mutate concurrently, the exact
+    // corruption the lease exists to prevent. The refresh rewrites only
+    // when the lease still carries OUR token (if a contender somehow
+    // broke us — possible only after we missed heartbeats for a full
+    // TTL, i.e. a JVM frozen that long — we must not clobber theirs). A
+    // reader that catches the rewrite mid-write sees an empty/partial
+    // payload, parses no ts, and fails SAFE (no expiry without a ts).
+    @volatile var beating = true
+    val hb = new Thread(() => {
+      val interval = math.max(50L, ttlMs / 4)
+      while (beating) {
+        try Thread.sleep(interval)
+        catch { case _: InterruptedException => beating = false }
+        if (beating) try {
+          if (readLease().contains(token)) {
+            val out = fsys.create(path, true)
+            out.write(payloadNow().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.close()
+          }
+        } catch { case _: Throwable => () }
+      }
+    }, s"sigindex-lease-heartbeat-$verb")
+    hb.setDaemon(true)
+    hb.start()
+    // RELEASE by atomic rename-then-verify, not read-then-delete: between
+    // a read seeing our token and the delete, a contender could expire a
+    // (genuinely stale) lease and create its own — the plain delete would
+    // then remove the CONTENDER's fresh lease. Rename is atomic, so we
+    // only ever remove a file we atomically claimed; if the moved payload
+    // is not ours we put it back (restore failing means a third party
+    // already acquired — warn, the narrow multi-contender window of any
+    // filesystem lock).
+    def release(): Unit = try {
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.lease.release-$token")
+      val renamed = try fsys.rename(path, tmp)
+        catch { case _: java.io.IOException => false }
+      if (renamed) {
+        val moved = try {
+          val in = fsys.open(tmp)
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+        if (moved.contains(token)) fsys.delete(tmp, false)
+        else if (!(try fsys.rename(tmp, path) catch { case _: java.io.IOException => false })) {
+          fsys.delete(tmp, false)
+          System.err.println(s"[graft] WARNING: sig-index lease at $indexDir " +
+            "changed hands during release and could not be restored — " +
+            "check for concurrent mutators")
+        }
+      }
+    } catch { case _: Throwable => () }
     try body
-    finally if (readLease().contains(token)) fsys.delete(path, false)
+    finally {
+      beating = false
+      hb.interrupt()
+      release()
+    }
   }
 
   /** Check `batch` against the index. Three dedup legs, in order:
@@ -167,27 +237,27 @@ object SigIndex {
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     withLease(fsys, indexDir, "ingest") {
-    // a compaction crashed mid-swap leaves an artifact parked at
-    // <art>__old — restore it HERE, at index-open altitude, so the daily
-    // ingest never fails on a missing directory waiting for an operator
-    // to re-run --compact-index
-    healCompaction(fsys, indexDir)
-    val sigs = spark.read.parquet(s"$indexDir/sigs")
-    val bands = spark.read.parquet(s"$indexDir/bands")
-    // self-heal: widths/ can be missing if a crash hit the swap window
-    // below — it is DERIVED state, rebuilt from the banded face.
-    // MATERIALIZED: the healed plan must not re-list bands/ after this
-    // ingest's own append lands there (it would double-count the batch)
-    val widths =
-      if (fsys.exists(new org.apache.hadoop.fs.Path(s"$indexDir/widths")))
-        spark.read.parquet(s"$indexDir/widths")
-      else graft.ops.Materialize(Dedup.bucketWidths(bands, params.idCol))
+    val (sigs, bands, widths) = openFrames(spark, indexDir, params.idCol)
+    // ids are the idempotence key (leg 1 anti-joins on them, the marker
+    // rows key on them): a NULL id can never match its own marker, so it
+    // would be re-reported as novel and re-append a (null, []) marker row
+    // on EVERY re-ingest — refuse loudly instead of drifting forever
+    if (batch.filter(col(p.idCol).isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"ingest batch contains rows with NULL ${p.idCol} — ids are the " +
+          "index's idempotence key; assign ids before ingesting")
     // leg 1: already-indexed ids never re-process (idempotent re-ingest)
     val fresh = batch.join(sigs.select(col(p.idCol)), Seq(p.idCol), "left_anti")
+    // ONE signing pass over the surviving batch feeds all three dedup
+    // legs AND the append below — signing (shingle + MinHash over full
+    // text) is the dominant row-local cost of an ingest, and the previous
+    // shape paid it three times (corpus leg, within-batch leg, append)
+    val freshSigs = graft.ops.Materialize(
+      Dedup.signatureTable(fresh, p.idCol, p.textCol, p.numHashes,
+        p.shingleSize, p.portable))
     // leg 2: near-dups of the corpus
-    val pairs = Dedup.incrementalNearDupPairsIndexed(sigs, bands, widths, fresh,
-      p.idCol, p.textCol, p.numHashes, p.numBands, p.shingleSize,
-      p.threshold, p.maxBucket, p.portable,
+    val pairs = Dedup.incrementalNearDupPairsFromSigs(sigs, bands, widths, freshSigs,
+      p.idCol, p.numHashes, p.numBands, p.threshold, p.maxBucket, p.portable,
       // ...but trust is branch-scoped: with a manifest the params are the
       // index's own (no mismatch possible — skip the probe, keeping ingest
       // cost flat in history); a PRE-MANIFEST index runs on caller-guessed
@@ -201,10 +271,12 @@ object SigIndex {
     val dupIds = graft.ops.Materialize( // one corpus-side pass feeds count + anti-join
       pairs.select(col("batch_id").as(p.idCol)).distinct())
     val corpusNovel = fresh.join(dupIds, Seq(p.idCol), "left_anti")
-    // leg 3: collapse near-dup groups WITHIN the surviving batch
-    val withinPairs = Dedup.minHashDuplicatePairs(corpusNovel, p.idCol, p.textCol,
-      p.numHashes, p.numBands, p.shingleSize, p.threshold, p.maxBucket,
-      verifyExact = false, portable = p.portable)
+    // leg 3: collapse near-dup groups WITHIN the surviving batch — from
+    // the SAME signature table (estimate-mode pairs, identical to
+    // minHashDuplicatePairs(verifyExact = false) over these docs)
+    val withinPairs = Dedup.duplicatePairsFromSigs(
+      freshSigs.join(dupIds, Seq(p.idCol), "left_anti"),
+      p.idCol, p.numHashes, p.numBands, p.threshold, p.maxBucket, p.portable)
     val novel = graft.ops.Materialize(
       Dedup.keepCanonical(corpusNovel, withinPairs, p.idCol))
     novelOut.foreach(o => novel.write.mode("overwrite").parquet(o))
@@ -217,13 +289,13 @@ object SigIndex {
     // whether the cached file-index snapshot happens to be stale
     val freshN = fresh.count()
     if (append) {
-      // batch-sized work only: sign + band the accepted docs, append both,
-      // and merge their width deltas into the standing statistic.
-      // MATERIALIZED first: `novel`'s lineage reads the index dirs, and an
-      // append job must never list the directory it is writing into.
+      // batch-sized work only: the accepted docs' signatures come from the
+      // ONE signing pass above (novel ⊆ fresh, so a semi-join selects
+      // them); bands derive from those signatures. Both sides read only
+      // checkpoints, so the append job never lists the directory it is
+      // writing into.
       val novelSigs = graft.ops.Materialize(
-        Dedup.signatureTable(novel, p.idCol, p.textCol, p.numHashes,
-          p.shingleSize, p.portable))
+        freshSigs.join(novel.select(col(p.idCol)), Seq(p.idCol), "left_semi"))
       val novelBands = graft.ops.Materialize(
         Dedup.bandedSignatureTable(novelSigs, p.idCol,
           p.numBands, p.numHashes / p.numBands, p.portable))
@@ -284,13 +356,14 @@ object SigIndex {
         val before = status.length
         val bytes = status.map(_.getLen).sum
         val parts = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
-        // materialized: the rewrite's lineage reads the directory the swap
-        // is about to replace
-        val rewritten = graft.ops.Materialize(
-          spark.read.parquet(cur.toString).repartition(parts))
+        // no checkpoint needed: the write to <art>__next is an ACTION that
+        // fully consumes the read of <art> BEFORE either rename runs — an
+        // extra Materialize here copied the whole artifact through
+        // executor storage once more for nothing (review finding r16)
         val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${art}__next")
         val old = new org.apache.hadoop.fs.Path(s"$indexDir/${art}__old")
-        rewritten.write.mode("overwrite").parquet(tmp.toString)
+        spark.read.parquet(cur.toString).repartition(parts)
+          .write.mode("overwrite").parquet(tmp.toString)
         fsys.delete(old, true) // stale leftover from a healed crash
         if (!fsys.rename(cur, old))
           throw new java.io.IOException(s"rename $cur -> $old failed during compaction")
@@ -304,6 +377,30 @@ object SigIndex {
       }
     }.toMap
     } // withLease
+  }
+
+  /** Open the three artifact frames at index-open altitude: heal any
+    * interrupted compaction swap, and rebuild `widths/` when a crash hit
+    * ingest's swap window (it is DERIVED state; the rebuild is
+    * MATERIALIZED so the healed plan can never re-list `bands/` after a
+    * subsequent append lands there). Shared by [[ingest]] and the
+    * streaming face ([[graft.streaming.StreamOps.streamingIncrementalDedupIndexed]])
+    * — a crash window must not fail stream startup waiting for a batch
+    * ingest to happen to run. Reading during a LIVE compact is not safe
+    * (same as reading any parquet dir mid-swap); mutations hold the
+    * lease, readers start outside compaction windows. */
+  def openFrames(spark: SparkSession, indexDir: String,
+                 idCol: String = "doc_id"): (DataFrame, DataFrame, DataFrame) = {
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    healCompaction(fsys, indexDir)
+    val sigs = spark.read.parquet(s"$indexDir/sigs")
+    val bands = spark.read.parquet(s"$indexDir/bands")
+    val widths =
+      if (fsys.exists(new org.apache.hadoop.fs.Path(s"$indexDir/widths")))
+        spark.read.parquet(s"$indexDir/widths")
+      else graft.ops.Materialize(Dedup.bucketWidths(bands, idCol))
+    (sigs, bands, widths)
   }
 
   /** Restore any artifact stranded by a crash between compaction's two
@@ -321,9 +418,13 @@ object SigIndex {
 
   // ---------------------------------------------------------- manifest
 
+  /** `max_bucket` rides the manifest as the BUILD's skew-guard value: the
+    * streaming face (no per-call knob) resolves it from here; batch
+    * [[ingest]] keeps the caller's per-ingest override. */
   private def writeManifest(spark: SparkSession, indexDir: String, p: Params): Unit = {
     val json = s"""{"num_hashes": ${p.numHashes}, "num_bands": ${p.numBands}, """ +
-      s""""shingle_size": ${p.shingleSize}, "portable": ${p.portable}}"""
+      s""""shingle_size": ${p.shingleSize}, "portable": ${p.portable}, """ +
+      s""""max_bucket": ${p.maxBucket}}"""
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$indexDir/params.json"), true)
@@ -380,11 +481,22 @@ object SigIndex {
           throw new graft.config.ConfigException(
             s"corrupt index manifest $path: ${e.getMessage}")
         }
+      // required keys raise the same typed error as an unreadable file —
+      // a bare .get(...) would NPE with no mention of the manifest path,
+      // masking the refuse-to-guess diagnostic this method exists for
+      def req(k: String): JsonNode =
+        Option(n.get(k)).filterNot(_.isNull).getOrElse(
+          throw new graft.config.ConfigException(
+            s"index manifest $path is missing '$k' — refusing to guess " +
+              "hashing params (fix or re-adopt the manifest)"))
       Some(Params(
-        numHashes = n.get("num_hashes").asInt(),
-        numBands = n.get("num_bands").asInt(),
-        shingleSize = n.get("shingle_size").asInt(),
-        portable = n.get("portable").asBoolean()))
+        numHashes = req("num_hashes").asInt(),
+        numBands = req("num_bands").asInt(),
+        shingleSize = req("shingle_size").asInt(),
+        portable = req("portable").asBoolean(),
+        // absent on pre-r16 manifests: the historical default
+        maxBucket = Option(n.get("max_bucket")).filterNot(_.isNull)
+          .map(_.asInt()).getOrElse(1000)))
     }
   }
 

@@ -256,6 +256,43 @@ object Dedup {
     }
   }
 
+  /** Estimate-mode near-dup pairs from a PRECOMPUTED signature table — the
+    * banding / skew-guard / candidate / signature-verify legs of
+    * [[minHashDuplicatePairs]] (estimate mode) without its signing pass.
+    * The reuse face for callers that already hold a [[signatureTable]]
+    * (e.g. [[graft.core.SigIndex.ingest]]'s within-batch leg, which would
+    * otherwise re-sign text it signed for the corpus leg). Results are
+    * identical to `minHashDuplicatePairs(docs, …, verifyExact = false)`
+    * over the documents the signatures were built from. */
+  def duplicatePairsFromSigs(sigs: DataFrame, idCol: String = "doc_id",
+                             numHashes: Int = 64, numBands: Int = 16,
+                             threshold: Double = 0.5, maxBucket: Int = 1000,
+                             portable: Boolean = false): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    // same exchange-sharing shape as minHashDuplicatePairs: one
+    // repartition on the bucket key feeds the guard count and the pair join
+    val bands = lshBands(sigs, idCol, numBands, rowsPerBand, portable)
+      .repartition(col("band"), col("band_hash"))
+    val smallBuckets = bands.groupBy("band", "band_hash")
+      .agg(count(col(idCol)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "band_hash")
+    val bounded = bands.join(smallBuckets, Seq("band", "band_hash"))
+    val candidates = bounded
+      .select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+      .join(bounded.select(col("band"), col("band_hash"), col(idCol).as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sigs.select(col(idCol).as("id_a"), col("minhash_sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("minhash_sig").as("sig_b")), "id_b")
+      .withColumn("jaccard", round(graft.functions.HashExpressions
+        .signatureMatchFraction(col("sig_a"), col("sig_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** The persisted face of the MinHash index: `(id, minhash_sig)` for every
     * doc — fixed `numHashes` longs per row (~0.5% of text width), the table
     * a production corpus keeps next to itself so each INCREMENTAL batch
@@ -429,12 +466,30 @@ object Dedup {
     // Manifest-driven callers (SigIndex.ingest) pass verifyStructure=false:
     // their params come from the build's own manifest, and skipping keeps
     // ingest cost flat in history.
+    val batchSigs = Materialize( // one batch text scan feeds bands + verify
+      signatureTable(batch, idCol, textCol, numHashes, shingleSize, portable))
+    incrementalNearDupPairsFromSigs(corpusSigs, corpusBands, corpusWidths, batchSigs,
+      idCol, numHashes, numBands, threshold, maxBucket, portable, verifyStructure)
+  }
+
+  /** [[incrementalNearDupPairsIndexed]] over a PRECOMPUTED batch signature
+    * table — the reuse face for callers that already signed the batch
+    * once ([[graft.core.SigIndex.ingest]] signs its surviving batch a
+    * single time and feeds all three dedup legs plus the append from that
+    * one table; signing is the dominant row-local cost of an ingest).
+    * `batchSigs` must be the [[signatureTable]] shape (id, minhash_sig),
+    * built with the SAME structural params as the index. */
+  def incrementalNearDupPairsFromSigs(corpusSigs: DataFrame, corpusBands: DataFrame,
+                                      corpusWidths: DataFrame, batchSigs: DataFrame,
+                                      idCol: String = "doc_id",
+                                      numHashes: Int = 64, numBands: Int = 16,
+                                      threshold: Double = 0.5, maxBucket: Int = 1000,
+                                      portable: Boolean = false,
+                                      verifyStructure: Boolean = true): DataFrame = {
     if (verifyStructure)
       requireIndexCompatible(corpusSigs, corpusBands, idCol, numHashes,
         numBands, portable)
     val rowsPerBand = numHashes / numBands
-    val batchSigs = Materialize( // one batch text scan feeds bands + verify
-      signatureTable(batch, idCol, textCol, numHashes, shingleSize, portable))
     val batchBands = lshBands(batchSigs, idCol, numBands, rowsPerBand, portable)
     val touched = batchBands.select("band", "band_hash").distinct()
     // persisted widths × touched keys: the guard prunes to the batch's

@@ -87,7 +87,17 @@ object StreamOps {
                   // window with min/max instead of overwriting, or the
                   // regressed lastSeen splits later events spuriously and
                   // duration_us can go negative (the batch twin sorts
-                  // globally and never regresses)
+                  // globally and never regresses).
+                  // BACKWARD merges are always batch-correct HERE because
+                  // the watermark delay equals the gap (withWatermark
+                  // above): Spark drops rows older than the watermark
+                  // before this function, and wm = maxSeenTs - gap >=
+                  // lastSeen - gap >= sessionStart - gap — so every
+                  // surviving event is within `gap` of the live window's
+                  // start, never across a silence the batch twin would
+                  // split at. That equality is LOAD-BEARING: shrink the
+                  // watermark delay below the gap and a far-before late
+                  // event could merge across a split boundary.
                   st = Some(s.copy(
                     sessionStart = math.min(s.sessionStart, us),
                     lastSeen = math.max(s.lastSeen, us),
@@ -302,10 +312,12 @@ object StreamOps {
       throw new IllegalArgumentException(
         s"no params.json manifest under $indexDir — a pre-manifest index " +
           "must use the raw-frames overload with params matching its build"))
-    streamingIncrementalDedupIndexed(docs,
-      spark.read.parquet(s"$indexDir/sigs"),
-      spark.read.parquet(s"$indexDir/bands"),
-      spark.read.parquet(s"$indexDir/widths"),
+    // openFrames, not bare directory reads: a crash window (compaction
+    // swap interrupted, widths/ absent from ingest's swap) must not fail
+    // STREAM startup waiting for a batch ingest to happen to run — the
+    // same index-open healing altitude ingest gets
+    val (sigs, bands, widths) = graft.core.SigIndex.openFrames(spark, indexDir, idCol)
+    streamingIncrementalDedupIndexed(docs, sigs, bands, widths,
       idCol = idCol, textCol = textCol, tsCol = tsCol,
       numHashes = p.numHashes, numBands = p.numBands, threshold = threshold,
       maxBucket = p.maxBucket, watermark = watermark, portable = p.portable,

@@ -1,0 +1,150 @@
+package graft.core
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-16 hardening of the persisted signature index: lease heartbeat
+  * (a long mutation is never mistaken for a crash), null-id refusal (the
+  * idempotence key must exist), manifest completeness (typed errors +
+  * max_bucket), crash-window healing at READ altitude (openFrames), and
+  * the single-signing ingest (one text pass feeds all three legs +
+  * the append — verified by result identity with the multi-pass shape). */
+class SigIndexHardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val p = SigIndex.Params(numHashes = 16, numBands = 4, portable = true)
+
+  private def corpus(n: Int, seed: String = "alpha") = (0 until n).map(i =>
+    (i.toLong, s"document $seed number $i with enough words to shingle " +
+      s"properly and ${"repeat " * (i % 4)}some variation"))
+    .toDF("doc_id", "text")
+
+  private def fs(dir: String) = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  test("lease heartbeat: a mutation LONGER than the TTL is not broken by a contender") {
+    val dir = s"${Files.createTempDirectory("sighb")}/index"
+    SigIndex.build(spark, corpus(20), dir, p)
+    spark.conf.set("spark.graft.sigindex.lease.ttl.ms", "400")
+    try {
+      val fsys = fs(dir)
+      val contended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ok = new java.util.concurrent.atomic.AtomicInteger(0)
+      val holder = new Thread(() => {
+        SigIndex.withLease(fsys, dir, "slow-op") {
+          Thread.sleep(1500) // nearly 4x the TTL — heartbeat must keep it live
+        }
+      })
+      holder.start()
+      Thread.sleep(600) // well past the TTL; the lease would be "stale" without hb
+      // a contender must still see the lease as HELD (fresh heartbeat ts)
+      try { SigIndex.withLease(fsys, dir, "contender") { ok.incrementAndGet() } }
+      catch { case _: IllegalStateException => contended.incrementAndGet() }
+      holder.join(5000)
+      assert(contended.get() == 1 && ok.get() == 0,
+        "contender broke a LIVE lease whose holder simply outran the TTL")
+      // after release, the lease file is gone and the index is free
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/.lease")))
+      SigIndex.withLease(fsys, dir, "post") { () } // acquires cleanly
+    } finally spark.conf.unset("spark.graft.sigindex.lease.ttl.ms")
+  }
+
+  test("ingest refuses NULL ids loudly (the idempotence key)") {
+    val dir = s"${Files.createTempDirectory("signull")}/index"
+    SigIndex.build(spark, corpus(10), dir, p)
+    val withNull = corpus(3).unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "a stray row without any id at all"))
+        .toDF("doc_id", "text"))
+    val e = intercept[IllegalArgumentException] {
+      SigIndex.ingest(spark, withNull, dir, p, append = false)
+    }
+    assert(e.getMessage.contains("NULL doc_id"), e.getMessage)
+  }
+
+  test("manifest: missing keys raise ConfigException naming the path, never NPE") {
+    val dir = s"${Files.createTempDirectory("sigman")}/index"
+    SigIndex.build(spark, corpus(10), dir, p)
+    // manifest round-trips max_bucket
+    assert(SigIndex.readManifest(spark, dir).exists(_.maxBucket == p.maxBucket))
+    val fsys = fs(dir)
+    val path = new org.apache.hadoop.fs.Path(s"$dir/params.json")
+    val out = fsys.create(path, true)
+    out.write("""{"num_hashes": 16, "num_bands": 4}""".getBytes("UTF-8"))
+    out.close()
+    val e = intercept[graft.config.ConfigException] {
+      SigIndex.readManifest(spark, dir)
+    }
+    assert(e.getMessage.contains("shingle_size") && e.getMessage.contains("params.json"),
+      e.getMessage)
+    // LEGACY manifest (pre-max_bucket) still reads, with the historical default
+    val out2 = fsys.create(path, true)
+    out2.write(
+      """{"num_hashes": 16, "num_bands": 4, "shingle_size": 3, "portable": true}"""
+        .getBytes("UTF-8"))
+    out2.close()
+    assert(SigIndex.readManifest(spark, dir).exists(_.maxBucket == 1000))
+  }
+
+  test("openFrames heals crash windows for READ-side callers (streaming startup)") {
+    val dir = s"${Files.createTempDirectory("sigheal")}/index"
+    SigIndex.build(spark, corpus(30), dir, p)
+    val fsys = fs(dir)
+    // simulate a compaction crash between its two renames: bands parked
+    fsys.rename(new org.apache.hadoop.fs.Path(s"$dir/bands"),
+      new org.apache.hadoop.fs.Path(s"$dir/bands__old"))
+    // and an ingest crash inside the widths swap: widths gone entirely
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/widths"), true)
+    val (sigs, bands, widths) = SigIndex.openFrames(spark, dir, "doc_id")
+    assert(sigs.count() == 30 && bands.count() == 30 * 4)
+    assert(widths.count() > 0) // rebuilt from the banded face
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/bands")))
+    // the streaming face starts on the healed index (plan-time only here)
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+      .parquet(s"${Files.createTempDirectory("sigheal-in")}")
+    val flagged = graft.streaming.StreamOps.streamingIncrementalDedupIndexed(stream, dir)
+    assert(flagged.isStreaming)
+  }
+
+  test("single-signing ingest reports and flags exactly like the multi-pass shape") {
+    // the refactor's ground truth: dedup legs fed from ONE signature table
+    // must produce the identical report and novel set as before (the gate
+    // q_dedup_incremental pins the pair kernel itself against DuckDB)
+    val dir = s"${Files.createTempDirectory("sigone")}/index"
+    val base = corpus(40)
+    SigIndex.build(spark, base.filter(col("doc_id") < 30), dir, p)
+    // batch: 10 already-indexed, 10 new (of which some near-dup the corpus
+    // via identical text), plus two in-batch copies of one new doc
+    val batch = base.filter(col("doc_id") >= 20)
+      .unionByName(Seq(
+        (100L, "a brand new page that exists exactly once"),
+        (101L, "a brand new page that exists exactly once"),
+        (102L, "another page that is entirely unlike the rest of them"))
+        .toDF("doc_id", "text"))
+    val novelDir = s"${Files.createTempDirectory("signovel")}"
+    val r = SigIndex.ingest(spark, batch, dir, p.copy(threshold = 0.9),
+      novelOut = Some(s"$novelDir/out"), append = true)
+    assert(r.batchDocs == 23)
+    assert(r.alreadyIndexed == 10) // ids 20..29
+    // ids 30..39 have near-identical text to NOTHING in corpus (distinct i),
+    // 100/101 are in-batch dups of each other, one survives
+    assert(r.withinBatchDups == 1L, r.toString)
+    assert(r.novelDocs == r.batchDocs - r.alreadyIndexed - r.corpusDups - r.withinBatchDups)
+    val novel = spark.read.parquet(s"$novelDir/out")
+    assert(novel.count() == r.novelDocs)
+    // idempotence: replaying the SAME batch admits nothing new — every
+    // appended id is known, and the one in-batch-dup LOSER (never
+    // appended, by design) now reads as a corpus dup of its winner
+    val r2 = SigIndex.ingest(spark, batch, dir, p.copy(threshold = 0.9), append = true)
+    assert(r2.novelDocs == 0 && r2.withinBatchDups == 0, r2.toString)
+    assert(r2.alreadyIndexed == r.batchDocs - r.withinBatchDups &&
+      r2.corpusDups == r.withinBatchDups, r2.toString)
+  }
+}
