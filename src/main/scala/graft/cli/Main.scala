@@ -11,7 +11,12 @@ import graft.core.Migrator
   * `--transform` names a class implementing `DataFrame => DataFrame` with a
   * no-arg constructor — the JVM equivalent of the reference's dynamic
   * module loading (`cli/migrate.py:66-93`). Like the reference, a transform
-  * that cannot be loaded degrades to a warning + no-op, not an abort.
+  * that cannot be LOADED degrades to a warning + no-op, not an abort.
+  * (A loadable class implementing the WRONG `Function1` type passes the
+  * erasure-blind cast and fails the run at apply time as a
+  * TransformException — a loud failure, deliberately not a silent no-op:
+  * by then the operator explicitly named a class that exists but does not
+  * transform DataFrames, which is a config error, not a missing plugin.)
   */
 object Main {
   val version = "0.2.0"
@@ -97,6 +102,26 @@ object Main {
         s"only the verb would run and the migration would be silently skipped\n$usage")
       return 1
     }
+    // the same silent-skip hazard BETWEEN verbs: dispatch order would run
+    // only the first of --backfill-gid + --sweep-staging (exit 0, sweep
+    // never happened). Exception: the sig-index trio composes by design
+    // (build, then ingest, then compact — one session, documented).
+    val sigVerbs = Seq(buildIndex, ingest, compactIndex).count(_.isDefined)
+    val soloVerbs = Seq(backfillGid, sweepStaging).count(_.isDefined)
+    if (soloVerbs > 1 || (soloVerbs > 0 && sigVerbs > 0)) {
+      System.err.println("--backfill-gid / --sweep-staging cannot be combined " +
+        "with each other or with the sig-index verbs: only the first would " +
+        s"run and the rest would be silently skipped\n$usage")
+      return 1
+    }
+    // migration-only flags alongside a verb would be silently ignored
+    if (opVerbs.exists(_.isDefined) &&
+        (validate || incremental || transformCls.isDefined)) {
+      System.err.println("--validate/--incremental/--transform apply only to a " +
+        s"--config migration; combined with an operational verb they would be " +
+        s"silently ignored\n$usage")
+      return 1
+    }
     backfillGid.foreach { path => return runBackfillGid(path) }
     sweepStaging.foreach { path => return runSweepStaging(path) }
     // signature-index verbs: dedup today's crawl against history
@@ -120,7 +145,11 @@ object Main {
         val preExisting = org.apache.spark.sql.SparkSession.getActiveSession
           .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).isDefined
         val spark = GraftSession.local("graft-migrate")
-        if (!verbose) spark.sparkContext.setLogLevel("WARN")
+        // only quiet logs on a session this CLI created: setLogLevel is a
+        // CONTEXT-global mutation, and downgrading an embedding host
+        // application's logging for the rest of its lifetime is a side
+        // effect on a session we explicitly treat as not-owned
+        if (!verbose && !preExisting) spark.sparkContext.setLogLevel("WARN")
         try {
           val report =
             if (incremental)
@@ -133,8 +162,17 @@ object Main {
               s"${report.sourceType} -> ${report.targetType}" +
               (if (report.skipped > 0) s" (${report.skipped} skipped)" else ""))
             if (validate) {
+              val cfgV = graft.config.MigrationConfig.fromFile(path)
+              // Validator's contract: the comparison is meaningful for a
+              // FRESH collection; appends onto prior contents (and every
+              // incremental run) legitimately hold extra rows
+              if (!cfgV.target.load.exists(_.recreate))
+                System.err.println("warning: --validate compares the " +
+                  "transformed source against the FULL target — on an " +
+                  "append/incremental run onto prior contents, extras or " +
+                  "duplicates may be pre-existing rows, not defects")
               val rows = graft.core.Validator.validateMigration(spark,
-                graft.config.MigrationConfig.fromFile(path), transform).collect()
+                cfgV, transform).collect()
               rows.foreach(r => println(f"validate: ${r.getString(0)}%-24s " +
                 f"${r.getLong(1)}%10d  ${if (r.getBoolean(2)) "ok" else "FAIL"}"))
               val failed = rows.count(!_.getBoolean(2))
@@ -165,7 +203,8 @@ object Main {
     val preExisting = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).isDefined
     val spark = GraftSession.local("graft-sig-index")
-    if (!verbose) spark.sparkContext.setLogLevel("WARN")
+    // not-owned sessions keep their host's log level (see run())
+    if (!verbose && !preExisting) spark.sparkContext.setLogLevel("WARN")
     try {
       build.foreach { path =>
         val cfg = graft.core.SigIndex.configFromFile(path)
@@ -216,8 +255,15 @@ object Main {
           s"backfill-gid supports qdrant and pinecone (the __gid-mirroring " +
             s"codecs), got '${cfg.backend}'")
       val spec = TransportSpec.fromOptions(cfg.connStr, backend = cfg.backend)
-      val batch = Option(cfg.root.get("batch_size"))
-        .filterNot(_.isNull).map(_.asInt()).getOrElse(200)
+      // reject-don't-coerce, like MigrationConfig's numeric fields: a raw
+      // asInt() turns "abc"/objects into 0 and the walk pages with limit 0
+      val batch = Option(cfg.root.get("batch_size")).filterNot(_.isNull).map { n =>
+        if (n.isNumber && n.canConvertToExactIntegral && n.canConvertToInt) n.asInt()
+        else if (n.isTextual && n.asText().trim.toIntOption.isDefined) n.asText().trim.toInt
+        else throw new graft.config.ConfigException(s"'batch_size' must be an integer, got: $n")
+      }.getOrElse(200)
+      if (batch <= 0)
+        throw new graft.config.ConfigException(s"'batch_size' must be positive, got: $batch")
       val r = GidBackfill.run(spec, cfg.collection, batch)
       println(s"backfill-gid complete on ${cfg.collection}: $r")
       0

@@ -39,6 +39,28 @@ trait VectorConnector {
   def schemaInfo(spark: SparkSession, connection: Map[String, String],
                  collection: String): SchemaInfo
 
+  /** Read BACK what this connector's own [[write]] persisted, in CANONICAL
+    * shape — the write codec's inverse. Most writers keep the canonical
+    * column names and shapes, so the default plain read suffices;
+    * connectors whose storage format renames columns (pgvector writes
+    * under `load.idColumn`/`load.vectorColumn`) or flattens the metadata
+    * map (pgvector/csv: `to_json` string; json: object inferred back as a
+    * STRUCT) must override and restore it. Used wherever the engine
+    * compares a target against a source — the incremental migrator's
+    * content hash and `--validate` — where a lossy read-back silently
+    * re-classifies every row as changed (re-appending the whole
+    * collection each run) or fails on renamed columns. */
+  def readBack(spark: SparkSession, connection: Map[String, String],
+               load: LoadSpec): DataFrame =
+    read(spark, connection, QuerySpec(collection = load.collection))
+
+  /** Whether [[write]] REPLACES records by id (id-keyed upsert). Insert-
+    * only sinks (JDBC append, files, the in-memory test connector) return
+    * false: appending a CHANGED record there creates a second copy of its
+    * id — the incremental migrator ships inserts only and warns about
+    * withheld updates instead of silently duplicating the target. */
+  def upsertsById: Boolean = false
+
   /** Definitive existence probe: `false` ONLY on positive evidence of
     * absence (missing path / no catalog row / describe miss); every other
     * failure — connectivity, auth expiry, timeout, rate limit — PROPAGATES.

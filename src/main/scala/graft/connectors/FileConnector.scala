@@ -40,6 +40,37 @@ class FileConnector(fmt: String) extends VectorConnector {
     out
   }
 
+  /** The write codec's inverse: csv flattens the canonical metadata map
+    * to a `to_json` STRING; json keeps the object but Spark's schema
+    * inference reads it back as a STRUCT — either way a plain read
+    * returns an EMPTY map (only a MapType column passes through
+    * [[Canonical.from]]), which hash-mismatches every metadata-bearing
+    * row in the incremental migrator. Restore the map here. */
+  override def readBack(spark: SparkSession, connection: Map[String, String],
+                        load: LoadSpec): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType, StructType}
+    val raw = spark.read.format(fmt)
+      .option("header", "true").option("inferSchema", "true")
+      .load(path(connection, load.collection))
+    val vecCol = Option(Canonical.VECTOR).filter(raw.columns.contains)
+    val decoded = vecCol match {
+      case Some(v) if fmt == "csv" => raw.withColumn(v, PgVectorCodec.textToVector(col(v)))
+      case _ => raw
+    }
+    val mapT = MapType(StringType, StringType)
+    val norm =
+      if (!decoded.columns.contains(Canonical.METADATA)) decoded
+      else decoded.schema(Canonical.METADATA).dataType match {
+        case _: MapType => decoded // parquet-style native map: pass through
+        case _: StructType => decoded.withColumn(Canonical.METADATA,
+          coalesce(from_json(to_json(col(Canonical.METADATA)), mapT), map().cast(mapT)))
+        case _: StringType => decoded.withColumn(Canonical.METADATA,
+          coalesce(from_json(col(Canonical.METADATA), mapT), map().cast(mapT)))
+        case _ => decoded
+      }
+    Canonical.from(norm, Canonical.ID, vecCol, Nil)
+  }
+
   override def write(df: DataFrame, connection: Map[String, String],
                      load: LoadSpec): WriteReport = {
     val out = if (fmt == "csv")

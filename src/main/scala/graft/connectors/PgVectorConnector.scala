@@ -123,6 +123,24 @@ class PgVectorConnector extends VectorConnector {
     Canonical.from(decoded, query.idColumn, query.vectorColumn, query.metadataColumns)
   }
 
+  /** The write codec's inverse: [[write]] renames id/vector to the load
+    * spec's columns and flattens the canonical metadata map to a
+    * `to_json` string column named `metadata` — a plain read would both
+    * miss renamed columns and return an EMPTY map (hash-mismatching
+    * every metadata-bearing row in the incremental migrator, which then
+    * re-appends the whole collection per run). */
+  override def readBack(spark: SparkSession, connection: Map[String, String],
+                        load: LoadSpec): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    read(spark, connection, QuerySpec(collection = load.collection,
+      idColumn = load.idColumn, vectorColumn = Some(load.vectorColumn),
+      metadataColumns = Seq("metadata")))
+      .withColumn(Canonical.METADATA, coalesce(
+        from_json(element_at(col(Canonical.METADATA), "metadata"),
+          MapType(StringType, StringType)),
+        map().cast(MapType(StringType, StringType))))
+  }
+
   override def write(df: DataFrame, connection: Map[String, String],
                      load: LoadSpec): WriteReport = {
     val dim = load.dimension.orElse(Canonical.inferDim(df)).getOrElse(0)

@@ -43,6 +43,10 @@ class PineconeProvider extends VectorStoreProvider {
 abstract class VectorStoreConnector(fmt: String, dialect: FilterDialect)
   extends VectorConnector {
 
+  /** Vector stores REPLACE by id on upsert — the incremental migrator may
+    * ship CHANGED records here without duplicating the target. */
+  override def upsertsById: Boolean = true
+
   /** Config-driven transport: a `url` connection key points THIS
     * connector's reads/writes at an HTTP endpoint (auth via `api_key`,
     * bounded retries via `max_retries`). The endpoint rides the options

@@ -207,15 +207,14 @@ object IncrementalMigrator {
     val existing =
       if (!exists) None
       else
-        // read the target back under ITS OWN column names (LoadSpec) —
-        // the default QuerySpec("id"/"vector"/no metadata) broke renamed
-        // targets and dropped the stored metadata map, hash-mismatching
-        // EVERY row so each "incremental" run re-appended the full
-        // collection. Eager read-side failures (JDBC schema resolution)
-        // become a failed report, like every other step.
-        try Some(target.read(spark, config.target.connection,
-          graft.config.QuerySpec(collection = load.collection,
-            idColumn = load.idColumn, vectorColumn = Some(load.vectorColumn))))
+        // read the target back through the connector's OWN write-codec
+        // inverse (readBack): a plain read broke renamed pgvector targets
+        // AND returned the flattened metadata as an empty map — hash-
+        // mismatching EVERY metadata-bearing row, so each "incremental"
+        // run re-appended the full collection. Eager read-side failures
+        // (JDBC schema resolution) become a failed report, like every
+        // other step.
+        try Some(target.readBack(spark, config.target.connection, load))
         catch {
           case scala.util.control.NonFatal(e) =>
             return RunReport(success = false, extracted = -1, written = 0,
@@ -225,7 +224,27 @@ object IncrementalMigrator {
         }
     val deltaTransform: DataFrame => DataFrame = { df =>
       val base = transform.map(_(df)).getOrElse(df)
-      existing.map(t => changedRecords(base, t)).getOrElse(base)
+      existing match {
+        case None => base
+        case Some(t) =>
+          val changed = changedRecords(base, t)
+          if (target.upsertsById) changed
+          else {
+            // insert-only sink (JDBC append, files): shipping a CHANGED
+            // record would append a SECOND copy of its id — ship new ids
+            // only, and make the withheld updates loud instead of letting
+            // the target silently accumulate duplicates
+            val updates = changed
+              .join(t.select(col(Canonical.ID)), Seq(Canonical.ID), "left_semi")
+            val withheld = updates.count()
+            if (withheld > 0)
+              System.err.println(s"[graft] WARNING: $withheld changed record(s) " +
+                s"NOT shipped — the ${config.target.kind} sink is insert-only " +
+                "(appending an update would duplicate its id); re-run a full " +
+                "migration with recreate to apply updates")
+            changed.join(t.select(col(Canonical.ID)), Seq(Canonical.ID), "left_anti")
+          }
+      }
     }
     new Migrator(spark).run(
       config.copy(target = config.target.copy(load = Some(load.copy(recreate = false)))),

@@ -68,8 +68,13 @@ object Validator {
       sum(when(col("__id_s").isNull, 1L).otherwise(0L)).as("ids_extra_in_target"),
       sum(when(col("__n_s") > 1, 1L).otherwise(0L)).as("dup_ids_source"),
       sum(when(col("__n_t") > 1, 1L).otherwise(0L)).as("dup_ids_target"),
+      // null-SAFE signature compare (<=>): a corrupted vector whose
+      // ELEMENT decodes to null folds the signature itself to null, and
+      // `=!=` would evaluate to NULL -> counted 0 -> corruption reads as
+      // "validation passed". With <=> a null-vs-real signature is a
+      // mismatch; both-null (same corruption both sides) stays equal.
       sum(when(col("__id_s").isNotNull && col("__id_t").isNotNull &&
-        (col("__sig_s") =!= col("__sig_t") || col("__nsig_s") > 1 || col("__nsig_t") > 1),
+        (!(col("__sig_s") <=> col("__sig_t")) || col("__nsig_s") > 1 || col("__nsig_t") > 1),
         1L).otherwise(0L)).as("vector_mismatches"))
 
     val informational = Set("rows_source", "rows_target",
@@ -106,9 +111,11 @@ object Validator {
     // source) — or, worse, compare against the wrong baseline.
     val effective = TransformPipeline.effective(config.pipeline, transform)
     val expected = effective.map(_(src)).getOrElse(src)
+    // readBack, not a default-column read: a pgvector target written
+    // under renamed id/vector columns would otherwise fail the read
+    // (column not found) and report a successful migration as failed
     val actual = ConnectorRegistry(config.target.kind)
-      .read(spark, config.target.connection,
-        graft.config.QuerySpec(collection = load.collection))
+      .readBack(spark, config.target.connection, load)
     validate(expected, actual)
   }
 }

@@ -139,6 +139,76 @@ class MigratorSpec extends SparkSpec {
     assert(targetCount() == 120)
   }
 
+  test("incremental is idempotent on csv AND json targets WITH metadata (readBack)") {
+    // csv flattens metadata to a to_json STRING, json round-trips the map
+    // as an inferred STRUCT — both used to read back as an EMPTY map,
+    // hash-mismatching every row so each incremental re-appended the
+    // whole collection (and csv/json are insert-only, so that also
+    // DUPLICATED every id). readBack restores the canonical map.
+    for (fmt <- Seq("csv", "json")) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-inc$fmt").toString
+      def c(limit: Int) = MigrationConfig.fromJson(
+        s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
+           |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+           |                      "vector_column": "embedding",
+           |                      "metadata_columns": ["label"], "limit": $limit}},
+           | "target": {"type": "$fmt", "connection": {"path": "$tmp"},
+           |            "load": {"collection": "inc_t"}}}""".stripMargin)
+      assert(IncrementalMigrator.run(spark, c(100)).success)
+      val again = IncrementalMigrator.run(spark, c(100))
+      assert(again.success && again.metrics("rows") == "0",
+        s"$fmt re-run shipped ${again.metrics.get("rows")} rows — readBack lost data")
+      val wider = IncrementalMigrator.run(spark, c(120))
+      assert(wider.success && wider.metrics("rows") == "20", s"$fmt: $wider")
+      // and no id was ever duplicated on the insert-only sink
+      val back = graft.connectors.ConnectorRegistry(fmt)
+        .readBack(spark, Map("path" -> tmp),
+          graft.config.LoadSpec(collection = "inc_t"))
+      assert(back.count() == 120 && back.select("id").distinct().count() == 120)
+      // metadata survived the round trip in canonical shape
+      assert(back.filter(element_at(col("metadata"), "label").isNotNull).count() == 120)
+    }
+  }
+
+  test("insert-only sinks withhold CHANGED records instead of duplicating ids") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-withheld").toString
+    val v1 = s"$tmp/src_v1"
+    Seq(("a", Seq(1f, 2f), Map("k" -> "1")), ("b", Seq(3f, 4f), Map("k" -> "2")))
+      .toDF("id", "vector", "metadata").write.parquet(s"$v1/docs.parquet")
+    def c(srcPath: String) = MigrationConfig.fromJson(
+      s"""{"source": {"type": "parquet", "connection": {"path": "$srcPath"},
+         |            "query": {"table_name": "docs"}},
+         | "target": {"type": "parquet", "connection": {"path": "$tmp"},
+         |            "load": {"collection": "wh_t"}}}""".stripMargin)
+    assert(IncrementalMigrator.run(spark, c(v1)).success)
+    // v2: record "a" CHANGES, record "c" is new
+    val v2 = s"$tmp/src_v2"
+    Seq(("a", Seq(9f, 9f), Map("k" -> "1")), ("b", Seq(3f, 4f), Map("k" -> "2")),
+      ("c", Seq(5f, 6f), Map("k" -> "3")))
+      .toDF("id", "vector", "metadata").write.parquet(s"$v2/docs.parquet")
+    val r = IncrementalMigrator.run(spark, c(v2))
+    assert(r.success && r.metrics("rows") == "1", r) // "c" only; "a" withheld
+    val target = spark.read.parquet(s"$tmp/wh_t.parquet")
+    assert(target.count() == 3)
+    assert(target.select("id").distinct().count() == 3,
+      "a changed record was appended onto an insert-only sink — duplicate id")
+    // the stale version of "a" is what the target still holds (documented)
+    assert(target.filter(col("id") === "a")
+      .select(element_at(col("vector"), 1)).head().getFloat(0) == 1f)
+  }
+
+  test("validate counts a null-element vector signature as a mismatch, not ok") {
+    import spark.implicits._
+    val src = Seq(("x", Seq(1f, 2f))).toDF("id", "vector")
+    // a corrupted target cell decodes to [1.0, null] — the signature folds
+    // to null, and the old =!= comparison evaluated to NULL -> counted 0
+    val tgt = Seq(("x", Seq[java.lang.Float](1f, null))).toDF("id", "vector")
+    val rows = Validator.validate(src, tgt).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("vector_mismatches") == 1L, rows.toString)
+  }
+
   test("explicit JSON nulls in config fields mean absent, not zero/'null'") {
     val c = MigrationConfig.fromJson(
       s"""{"source": {"type": "parquet", "connection": {"path": "${sf()}"},
