@@ -53,6 +53,12 @@ object Quantization {
       s"query '$idCol' must be non-null and castable to long — the PQ/IVF-PQ " +
         "ADC faces address driver-built tables by numeric query id; for " +
         "string ids use Similarity.bruteForceTopK/lshTopK, or map ids first")
+    // same loud-not-NPE contract for the vector side: a null embedding
+    // otherwise NPEs three calls later inside the ADC table build with no
+    // mention of which query or why
+    require(rows.forall(r => !r.isNullAt(1)),
+      s"query '$vecCol' must be non-null — a query without an embedding " +
+        "cannot be searched (filter null-vector rows out first)")
     rows
   }
 
@@ -190,7 +196,12 @@ object Quantization {
 
     val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
     val adc = coded.crossJoin(broadcast(qdf))
-      .filter(col("cand_id") =!= col("query_id"))
+      // STRING-face self-pair compare: cand ids are the corpus's own (often
+      // strings); comparing them to the LONG query id would coerce the
+      // string side to bigint -> null -> three-valued filter drops EVERY
+      // row -> silently empty top-k (the loud id check in collectQueries
+      // only covers the query side)
+      .filter(col("cand_id").cast("string") =!= col("query_id").cast("string"))
       .withColumn("dist",
         round(PqExpressions.pqAdcDistance(col("codes"), col("query_idx"), tables), 6))
       .withColumn("rk", row_number().over(w))
@@ -359,7 +370,12 @@ object Quantization {
 
     val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
     val adc = coded.join(broadcast(qdf), Seq("cell_id"))
-      .filter(col("cand_id") =!= col("query_id"))
+      // STRING-face self-pair compare: cand ids are the corpus's own (often
+      // strings); comparing them to the LONG query id would coerce the
+      // string side to bigint -> null -> three-valued filter drops EVERY
+      // row -> silently empty top-k (the loud id check in collectQueries
+      // only covers the query side)
+      .filter(col("cand_id").cast("string") =!= col("query_id").cast("string"))
       .withColumn("dist",
         round(PqExpressions.pqAdcDistance(col("codes"), col("tbl_idx"), tables), 6))
       .withColumn("rk", row_number().over(w))

@@ -148,7 +148,10 @@ object Similarity {
   def hammingTopKReRank(candidates: DataFrame, queries: DataFrame, k: Int,
                         shortlist: Int = 50,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val short = hammingTopK(candidates, queries, shortlist, idCol, vecCol)
+    // the shortlist must be at least k wide or every query silently gets
+    // fewer than the k rows it asked for (pqTopK guards the same shape
+    // with max(k, reRank)); recall still tunes by widening past k
+    val short = hammingTopK(candidates, queries, math.max(k, shortlist), idCol, vecCol)
       .select("query_id", "cand_id")
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
     val cv = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
@@ -279,7 +282,11 @@ object Similarity {
     val withVec = short.join(
         candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec")), "cand_id")
       .select(col("query_id").cast("long"), col("cand_id").cast("long"),
-        col("score").cast("double"), col("c_vec"))
+        col("score").cast("double"),
+        // accept array<double> corpora too (VectorFunctions.normalize —
+        // this face's own recommended pre-step — emits doubles); the
+        // greedy's math is double either way
+        transform(col("c_vec"), _.cast("float")).as("c_vec"))
       .as[(Long, Long, Double, Array[Float])]
     withVec.groupByKey(_._1)
       .mapGroups { (qid, it) =>
@@ -469,17 +476,22 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               quantizerIters: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe " +
+      "(nProbe = 0 would probe no cells and silently return nothing)")
     // Centers: the ONLY collect in the ANN path, bounded by nCells
     // (16 rows), turned into literal expressions so cell assignment is a
-    // pure map (no shuffle, no join) over candidates.
-    val seeds: Array[(Long, Array[Double])] =
+    // pure map (no shuffle, no join) over candidates. Only the center
+    // VECTORS are collected — center ids are corpus ids (often strings,
+    // not long-castable) and the cells are addressed by position.
+    val seeds: Array[Array[Double]] =
       Clustering.fitCenters(candidates, nCells, quantizerIters, vecCol, idCol)
         .orderBy(col("center_id"))
-        .select(col("center_id").cast("long"), transform(col("center"), _.cast("double")))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .select(transform(col("center"), _.cast("double")))
+        .collect().map(_.getSeq[Double](0).toArray)
 
     def cellScores(vec: String): Seq[org.apache.spark.sql.Column] =
-      seeds.toIndexedSeq.zipWithIndex.map { case ((_, sv), i) =>
+      seeds.toIndexedSeq.zipWithIndex.map { case (sv, i) =>
         struct(
           VectorFunctions.cosineSimilarity(col(vec), typedLit(sv.toSeq)).as("s"),
           lit(-i).as("t"), lit(i).as("cell"))
