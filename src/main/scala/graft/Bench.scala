@@ -59,10 +59,40 @@ object Bench {
     * image-hash near-dedup, tar-shard round trip, semantic
     * decontamination. Measured as their own SECTION at both scales so a
     * regression in the newest families is visible between rounds instead
-    * of only in Verify wall-clock. */
+    * of only in Verify wall-clock.
+    *
+    * Round 17: `q_mm_ahash_neardup` RETIRED from this board — the r16
+    * probe attributed ~70% of its row to fixture PNG encode + decode,
+    * not the operator (BASELINE.md note). Successors measure the two
+    * costs separately: `q_mm_fixture_features` = the synthetic-image
+    * encode + real decode + feature extraction; `q_mm_ahash_neardup_v2`
+    * = the banded Hamming join ALONE over a feature table materialized
+    * once per input dir (built during the untimed warm-up pass, read by
+    * every timed sample — the production shape, where fingerprints are
+    * a persisted narrow table, not re-decoded per query). */
   val pipelineHeadline: Seq[String] = Seq(
-    "q_chunk_embed", "q_text_perplexity", "q_mm_ahash_neardup",
-    "q_wds_roundtrip", "q_decontaminate_semantic")
+    "q_chunk_embed", "q_text_perplexity", "q_mm_fixture_features",
+    "q_mm_ahash_neardup_v2", "q_wds_roundtrip", "q_decontaminate_semantic")
+
+  /** Feature table for `q_mm_ahash_neardup_v2`, materialized once per
+    * input dir under target/ with a `.source` marker (the [[ensureSf1]]
+    * pattern): the join row must not re-pay the encode per sample. */
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    val out = s"target/bench_mm_feats_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val marker = Paths.get(s"$out.source")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker)).trim == dir
+    if (!fresh) {
+      graft.ops.Multimodal.extractImageFeatures(
+          graft.ops.Multimodal.imageTable(Tables(s, dir, "documents")))
+        .select(col("media_id"), col("ahash"))
+        .write.mode("overwrite").parquet(out)
+      Files.write(marker, (dir + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    s.read.parquet(out)
+  }
 
   /** Bench-only queries: production-kernel configurations whose output
     * has no SQL-replayable twin, kept OUT of the oracle-gated
@@ -98,7 +128,17 @@ object Bench {
     // the bench must scale bits with the corpus.
     "q_dedup_cosine_lsh_ms" -> ((s, dir) =>
       graft.ops.Similarity.lshCosinePairsAuto(
-        Tables(s, dir, "embeddings"), threshold = 0.3)))
+        Tables(s, dir, "embeddings"), threshold = 0.3)),
+    // fixture-cost row: synthetic PNG encode + real javax.imageio decode +
+    // feature extraction — the measurement-honesty split of the retired
+    // q_mm_ahash_neardup row (this was ~70% of it at sf1)
+    "q_mm_fixture_features" -> ((s, dir) =>
+      graft.ops.Multimodal.extractImageFeatures(
+        graft.ops.Multimodal.imageTable(Tables(s, dir, "documents")))),
+    // operator row: the banded Hamming near-dup join ALONE, over the
+    // pre-materialized fingerprint table ([[mmFeatures]])
+    "q_mm_ahash_neardup_v2" -> ((s, dir) =>
+      graft.ops.Multimodal.aHashNearDupPairs(mmFeatures(s, dir), maxHamming = 3)))
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
   private def iqr(xs: Seq[Double]): Double = {

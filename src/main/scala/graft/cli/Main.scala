@@ -163,14 +163,16 @@ object Main {
               (if (report.skipped > 0) s" (${report.skipped} skipped)" else ""))
             if (validate) {
               val cfgV = graft.config.MigrationConfig.fromFile(path)
-              // Validator's contract: the comparison is meaningful for a
-              // FRESH collection; appends onto prior contents (and every
-              // incremental run) legitimately hold extra rows
+              // Validator's append contract: on a recreate run extras are
+              // defects (strict); on an append run ids_extra_in_target is
+              // informational (prior contents are legitimate) while the
+              // shipped-id checks — missing, dups, vector mismatches —
+              // stay strict in both modes
               if (!cfgV.target.load.exists(_.recreate))
-                System.err.println("warning: --validate compares the " +
-                  "transformed source against the FULL target — on an " +
-                  "append/incremental run onto prior contents, extras or " +
-                  "duplicates may be pre-existing rows, not defects")
+                System.err.println("note: --validate on an append run — " +
+                  "ids_extra_in_target reports prior target contents " +
+                  "informationally (not a failure); duplicate-id and " +
+                  "vector-mismatch checks remain strict")
               val rows = graft.core.Validator.validateMigration(spark,
                 cfgV, transform).collect()
               rows.foreach(r => println(f"validate: ${r.getString(0)}%-24s " +
@@ -321,7 +323,9 @@ object Main {
       |  --transform/-t  fully-qualified class implementing DataFrame => DataFrame
       |  --validate      after a successful run, re-derive the expected target
       |                  and check the collection (counts, ids, dups, vector
-      |                  signatures); exit 1 on any failed check
+      |                  signatures); exit 1 on any failed check. On append
+      |                  runs (recreate: false) ids_extra_in_target is
+      |                  informational — prior contents are not defects
       |  --incremental   ship only records NEW or CHANGED vs the target
       |                  collection (the reference's named future work);
       |                  appends regardless of 'recreate'

@@ -1258,8 +1258,9 @@ class VSWriteBuilder(collection: String, rules: WriteRules, opts: CaseInsensitiv
   * job-level [[commit]] publishes in one step:
   *
   *  - `recreate`: [[VectorStoreTransport.rename]] replaces the target with
-  *    the shadow — ONE verb on backends with native rename (Milvus v2
-  *    `POST /v2/vectordb/collections/rename`; the in-memory emulation's
+  *    the shadow — ONE atomic verb on alias/pointer backends (Qdrant's
+  *    alias-actions swap, Milvus v2 `POST /v2/vectordb/aliases/alter`,
+  *    Pinecone's namespace-pointer flip; the in-memory emulation's
   *    synchronized map move), the documented copy-then-drop fallback
   *    elsewhere;
   *  - append: the shadow streams into the target in `batchSize` pages

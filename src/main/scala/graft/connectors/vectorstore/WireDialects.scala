@@ -505,10 +505,23 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
     case other => other
   }
 
+  /** Recreate of a LIVE collection routes through the alias publish
+    * ([[rename]]) instead of drop-then-create: a fresh empty generation
+    * is created under a staging name and published with ONE
+    * `aliases/alter` repoint, so concurrent readers of a PUBLISHED
+    * (aliased) name never see a not-found window. A LITERAL live
+    * collection keeps the same one-time window as the first alias
+    * publish (alias names cannot shadow collection names on this wire),
+    * recoverable by re-running — documented at [[rename]]. */
   override def createCollection(name: String, config: CollectionConfig,
                                 recreate: Boolean): Unit = {
-    if (recreate && exists(name)) drop(name)
-    else if (!recreate && exists(name)) return
+    if (recreate && exists(name)) {
+      val staging = stagingName(name)
+      createCollection(staging, config, recreate = false)
+      rename(staging, name)
+      return
+    }
+    if (!recreate && exists(name)) return
     val b = named(name)
     b.put("dimension", config.dim)
     b.put("metricType", toMetric(config.distance))
@@ -676,33 +689,72 @@ class MilvusWireTransport(baseUrl: String, apiKey: Option[String] = None)
       .map(_.asInt()).getOrElse(ids.length)
   }
 
-  override def drop(name: String): Unit = post("collections/drop", named(name))
+  override def drop(name: String): Unit = listAliases().get(name) match {
+    case Some(underlying) => // dropping an aliased name = alias + generation
+      post("aliases/drop", aliasBody(name))
+      post("collections/drop", named(underlying))
+    case None => post("collections/drop", named(name))
+  }
 
-  /** Native rename — the documented v2 verb instead of the trait's
-    * copy-then-drop fallback. Real Milvus REJECTS an existing
-    * `newCollectionName` (and the loopback reproduces that error), so the
-    * replace contract is drop-then-rename: two documented verbs, with the
-    * one crash window (target dropped, rename not yet applied) recoverable
-    * by re-running the publish — the shadow still holds every row. */
+  private def aliasBody(alias: String, coll: String = null): ObjectNode = {
+    val b = obj()
+    b.put("aliasName", alias)
+    if (coll != null) b.put("collectionName", coll)
+    b
+  }
+
+  /** Alias map on the wire (`aliases/list` + `aliases/describe`) — the
+    * face of Milvus's documented atomic-publish mechanism
+    * (`POST /v2/vectordb/aliases/alter` repoints in one call). */
+  private def listAliases(): Map[String, String] = {
+    val a = WireShape("milvus", "aliases", post("aliases/list", obj())).arr("data")
+    (0 until a.size()).map { i =>
+      val al = a.get(i).asText()
+      al -> WireShape("milvus", "alias", post("aliases/describe", aliasBody(al)))
+        .text("data", "collectionName")
+    }.toMap
+  }
+
+  /** Publish via the documented ATOMIC alias repoint — `aliases/alter`
+    * moves a published name onto the new generation in ONE call, the
+    * same blue/green shape as Qdrant's alias-actions swap (the native
+    * `collections/rename` verb cannot replace: real Milvus REJECTS an
+    * existing `newCollectionName`, so a rename-based swap is
+    * drop-then-rename with a reader-visible not-found window). The FIRST
+    * publish over a REAL collection named `to` must drop it before
+    * aliasing (alias names cannot shadow collection names): that
+    * one-time window is recoverable by re-running the publish. Readers
+    * keep addressing `to` — aliases resolve on every data-plane verb. */
   override def rename(from: String, to: String): Unit = {
     // IDEMPOTENT under the retry wrapper: if a prior attempt applied but
-    // its response was lost, the source is gone and the target populated —
-    // dropping the target here would DESTROY the published data and the
-    // follow-up rename would fail with the shadow already consumed. Probe
-    // the source first; from-absent/to-present is success.
+    // its response was lost, re-running repoints the alias to the same
+    // generation and retires nothing. A source gone WITH the target
+    // present is a completed publish, not an error.
     if (!exists(from)) {
       if (exists(to)) return
       throw new NoSuchElementException(s"collection not found: $from")
     }
-    if (exists(to)) drop(to)
-    val b = named(from)
-    b.put("newCollectionName", to)
-    post("collections/rename", b)
+    val oldGen = listAliases().get(to)
+    if (oldGen.isDefined) post("aliases/alter", aliasBody(to, from)) // THE atomic flip
+    else {
+      if (exists(to)) post("collections/drop", named(to)) // one-time literal window
+      post("aliases/create", aliasBody(to, from))
+    }
+    oldGen.filter(_ != from).foreach(g => post("collections/drop", named(g)))
   }
 
+  /** Catalog view: alias names stand in for the generation collections
+    * they point at (`collections/list` + the alias map, merged client-
+    * side) — callers address published names, not `__staging_*`
+    * generations. */
   override def listCollections(): Seq[String] = {
     val a = WireShape("milvus", "list", post("collections/list", obj())).arr("data")
-    (0 until a.size()).map(i => a.get(i).asText())
+    val raw = (0 until a.size()).map(i => a.get(i).asText())
+    val al = listAliases()
+    if (al.isEmpty) return raw
+    val targets = al.values.toSet
+    val kept = raw.filterNot(targets.contains)
+    kept ++ al.keys.toSeq.sorted.filterNot(kept.contains)
   }
 }
 
@@ -742,10 +794,19 @@ class PineconeWireTransport(baseUrl: String, apiKey: Option[String] = None,
     val (ix, ns) = split(name)
     if (recreate && indexExists(ix)) {
       // recreate is scoped to the addressed collection: a bare index drops
-      // whole; a namespace clears just that namespace (deleteAll), like
-      // the real service — other namespaces are untouched
+      // whole (index-level config — dim/metric — can only change that
+      // way); a LIVE namespace rides the SAME pointer machinery as the
+      // atomic sink — a fresh EMPTY generation (gen marker at birth) is
+      // published with ONE pointer flip and the old generation retired
+      // after it, so readers of the logical namespace never see the
+      // half-cleared window an in-place deleteAll left them
       if (ns.isEmpty) { call("DELETE", s"/indexes/${enc(ix)}"); invalidateIndexPtrs(ix) }
-      else drop(name)
+      else if (exists(name)) {
+        val staging = stagingName(name)
+        createCollection(staging, config, recreate = false)
+        rename(staging, name)
+        return
+      }
     }
     if (!indexExists(ix)) {
       val b = obj()

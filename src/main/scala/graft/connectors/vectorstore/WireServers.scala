@@ -475,6 +475,13 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
     row
   }
 
+  /** Collection aliases, the real API's atomic-publish face: the
+    * documented `/v2/vectordb/aliases` verbs (`create`, `alter` — the
+    * one-call repoint, `drop`, `list`, `describe`), with alias names
+    * resolving on every data-plane verb like the live service. */
+  private val aliases = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def resolved(name: String): String = aliases.getOrDefault(name, name)
+
   /** Evaluate the request's boolean-expression `filter` (if non-empty)
     * through the engine's FilterEval, decoded via [[WireFilters]]. */
   private def applyExprFilter(recs: Seq[VSRecord], body: JsonNode): Seq[VSRecord] =
@@ -522,9 +529,14 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
       return err(ex, 400, "bad path")
     val verb = parts.drop(2).mkString("/")
     val name = Option(body.get("collectionName")).map(_.asText()).getOrElse("")
+    // alias names resolve on every data-plane verb, like the live service
+    val entity = resolved(name)
     try {
       verb match {
         case "collections/create" =>
+          if (aliases.containsKey(name))
+            return milvusErr(ex, 65535,
+              s"collection name conflicts with an existing alias[collection=$name]")
           val vt = Option(body.get("vectorDataType")).map(_.asText()) match {
             case Some("BinaryVector") => VectorTypes.Binary
             case _ => VectorTypes.Float
@@ -545,7 +557,7 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
             vectorType = vt), recreate = false)
           respond(ex, 200, ok(obj()))
         case "collections/describe" =>
-          inner.describe(name) match {
+          inner.describe(resolved(name)) match {
             case None => milvusErr(ex, 100, s"collection not found[collection=$name]")
             case Some(cfg) =>
               // REAL v2 response shape: the metric lives in the `indexes`
@@ -582,21 +594,73 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
               respond(ex, 200, ok(d))
           }
         case "collections/drop" =>
+          // real Milvus refuses to drop a collection through its alias —
+          // the client must drop the alias, then the underlying name
+          if (aliases.containsKey(name))
+            return milvusErr(ex, 65535, s"cannot drop an alias[alias=$name]")
           inner.drop(name)
+          // no dangling aliases: entries pointing at the dropped collection go
+          aliases.entrySet().removeIf(e => e.getValue == name)
           respond(ex, 200, ok(obj()))
         case "collections/rename" =>
           // documented v2 verb: {"collectionName": old, "newCollectionName": new}
           val to = Option(body.get("newCollectionName")).map(_.asText()).getOrElse("")
+          if (aliases.containsKey(name))
+            return milvusErr(ex, 65535, s"cannot rename an alias[alias=$name]")
           if (!inner.exists(name))
             return milvusErr(ex, 100, s"collection not found[collection=$name]")
           if (to.isEmpty) return milvusErr(ex, 1100, "newCollectionName required")
-          if (inner.exists(to)) // real Milvus REJECTS an existing target —
-            // reproducing the error keeps the client's drop-then-rename
-            // swap honest (a server that silently replaced would mask a
-            // production commit failure of the atomic sink)
+          if (inner.exists(to) || aliases.containsKey(to))
+            // real Milvus REJECTS an existing target — reproducing the
+            // error keeps any rename-based swap honest (a server that
+            // silently replaced would mask a production commit failure)
             return milvusErr(ex, 65535, s"duplicated new collection name[collection=$to]")
           inner.rename(name, to)
           respond(ex, 200, ok(obj()))
+        case "aliases/create" =>
+          val alias = Option(body.get("aliasName")).map(_.asText()).getOrElse("")
+          if (alias.isEmpty) return milvusErr(ex, 1100, "aliasName required")
+          if (!inner.exists(name))
+            return milvusErr(ex, 100, s"collection not found[collection=$name]")
+          if (inner.exists(alias))
+            return milvusErr(ex, 65535,
+              s"alias name conflicts with an existing collection[alias=$alias]")
+          if (aliases.containsKey(alias))
+            return milvusErr(ex, 1601, s"alias already exists[alias=$alias]")
+          aliases.put(alias, name)
+          respond(ex, 200, ok(obj()))
+        case "aliases/alter" =>
+          // the documented atomic repoint: one map put, no window — like
+          // the real service's AlterAlias
+          val alias = Option(body.get("aliasName")).map(_.asText()).getOrElse("")
+          if (!inner.exists(name))
+            return milvusErr(ex, 100, s"collection not found[collection=$name]")
+          if (!aliases.containsKey(alias))
+            return milvusErr(ex, 1600, s"alias not found[alias=$alias]")
+          aliases.put(alias, name)
+          respond(ex, 200, ok(obj()))
+        case "aliases/drop" =>
+          val alias = Option(body.get("aliasName")).map(_.asText()).getOrElse("")
+          aliases.remove(alias) // idempotent, like the real verb
+          respond(ex, 200, ok(obj()))
+        case "aliases/list" =>
+          val collFilter = Option(body.get("collectionName")).map(_.asText()).filter(_.nonEmpty)
+          val a = mapper.createArrayNode()
+          aliases.forEach { (al, c) =>
+            if (collFilter.forall(_ == c)) a.add(al)
+          }
+          val o = obj(); o.put("code", 0); o.set[ObjectNode]("data", a)
+          respond(ex, 200, o)
+        case "aliases/describe" =>
+          val alias = Option(body.get("aliasName")).map(_.asText()).getOrElse("")
+          Option(aliases.get(alias)) match {
+            case None => milvusErr(ex, 1600, s"alias not found[alias=$alias]")
+            case Some(c) =>
+              val d = obj()
+              d.put("aliasName", alias)
+              d.put("collectionName", c)
+              respond(ex, 200, ok(d))
+          }
         case "collections/list" =>
           val a = mapper.createArrayNode()
           inner.listCollections().foreach(a.add)
@@ -605,7 +669,7 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
           o.set[ObjectNode]("data", a)
           respond(ex, 200, o)
         case "entities/upsert" | "entities/insert" =>
-          if (!inner.exists(name))
+          if (!inner.exists(entity))
             return milvusErr(ex, 100, s"collection not found[collection=$name]")
           val data = body.get("data").asInstanceOf[ArrayNode]
           val recs = (0 until data.size()).map { i =>
@@ -622,12 +686,12 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
               else (floats(vecNode), null)
             VSRecord(row.get("id").asText(), vec, meta, bin)
           }
-          val n = inner.upsert(name, recs)
+          val n = inner.upsert(entity, recs)
           val d = obj()
           d.put("upsertCount", n)
           respond(ex, 200, ok(d))
         case "entities/query" =>
-          if (!inner.exists(name))
+          if (!inner.exists(entity))
             return milvusErr(ex, 100, s"collection not found[collection=$name]")
           val outputFields = Option(body.get("outputFields"))
             .map(_.asInstanceOf[ArrayNode].asScala.map(_.asText()).toSeq)
@@ -637,7 +701,7 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
             // an unfiltered count here would overstate filtered scans'
             // range planning (empty filter string = no-op, like query)
             val a = mapper.createArrayNode()
-            a.addObject().put("count(*)", filteredView(name, body).size)
+            a.addObject().put("count(*)", filteredView(entity, body).size)
             val o = obj(); o.put("code", 0); o.set[ObjectNode]("data", a)
             respond(ex, 200, o)
           } else {
@@ -645,7 +709,7 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
             // WireFilters into the engine's own Filter/FilterEval, then
             // offset/limit index the FILTERED sequence — the real
             // entities/query contract
-            val filtered = filteredView(name, body)
+            val filtered = filteredView(entity, body)
             val off = Option(body.get("offset")).map(_.asInt()).getOrElse(0)
             val lim = Option(body.get("limit")).map(_.asInt()).getOrElse(100)
             val recs = filtered.slice(off, off + lim)
@@ -655,14 +719,14 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
             respond(ex, 200, o)
           }
         case "entities/search" =>
-          if (!inner.exists(name))
+          if (!inner.exists(entity))
             return milvusErr(ex, 100, s"collection not found[collection=$name]")
           val lim = Option(body.get("limit")).map(_.asInt()).getOrElse(10)
           val q = body.get("data").get(0)
           val sp =
             if (q.isTextual) SearchSpec(null, lim, unb64(q.asText()), "hamming")
             else SearchSpec(floats(q), lim)
-          val cands = filteredView(name, body)
+          val cands = filteredView(entity, body)
           val a = mapper.createArrayNode()
           VSScoring.topK(cands, sp).foreach { case (rec, score) =>
             val row = rowNode(rec)
@@ -672,7 +736,7 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
           val o = obj(); o.put("code", 0); o.set[ObjectNode]("data", a)
           respond(ex, 200, o)
         case "entities/delete" =>
-          if (!inner.exists(name))
+          if (!inner.exists(entity))
             return milvusErr(ex, 100, s"collection not found[collection=$name]")
           // parse the expr through the engine's own parser instead of a
           // regex — quotes in ids survive, and non-id filters raise
@@ -681,7 +745,7 @@ class MilvusWireServer(inner: VectorStoreTransport, port: Int = 0,
             case org.apache.spark.sql.sources.In("id", vs) => vs.map(String.valueOf).toSeq
             case other => throw new IllegalArgumentException(s"unsupported delete filter: $other")
           }
-          val n = inner.delete(name, ids)
+          val n = inner.delete(entity, ids)
           val d = obj()
           d.put("deleteCount", n)
           respond(ex, 200, ok(d))

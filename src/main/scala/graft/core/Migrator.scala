@@ -17,7 +17,13 @@ case class RunReport(
     error: Option[String] = None,
     /** Data-quality counters collected via `Dataset.observe` DURING the
       * write action — no extra pass over the data. */
-    metrics: Map[String, String] = Map.empty)
+    metrics: Map[String, String] = Map.empty,
+    /** CHANGED records an insert-only sink could not apply (appending
+      * them would duplicate their ids) — withheld from the write and
+      * counted in the SAME action via `Dataset.observe`, so automation
+      * consuming the report can detect an incomplete incremental apply
+      * without parsing stderr. 0 on upserting sinks and full runs. */
+    withheldUpdates: Long = 0)
 
 /** Thrown when the user transform fails — aborts the migration like
   * `core/migrator.py:79-87`. */
@@ -90,12 +96,27 @@ class Migrator(spark: SparkSession) {
       // QA counters ride along with the write action (Dataset.observe):
       // rows, missing vectors/ids, mean vector dim — zero extra scans
       import org.apache.spark.sql.functions._
+      // WITHHELD-ROW contract: a transform may mark rows with a boolean
+      // `__graft_withheld` column (IncrementalMigrator's insert-only
+      // delta does). Marked rows are EXCLUDED from the write and counted
+      // in the same action (an observation attached BELOW the filter),
+      // so the report carries the withheld count with zero extra passes
+      // — the previous design paid a dedicated count() join per
+      // incremental run even when nothing changed.
+      val wCol = "__graft_withheld"
+      val hasWithheld = transformed.columns.contains(wCol)
+      // probe/schema plan WITHOUT observations: the dimension-inference
+      // probe below runs a bounded action, and an Observation latches on
+      // the FIRST completed action over its plan — probing an observed
+      // plan would freeze the withheld count at the probe's row sample
+      val shipped0 =
+        if (hasWithheld) transformed.filter(!col(wCol)).drop(wCol) else transformed
       // the vector column must be ARRAY-typed for size/avg_dim: a
       // BINARY_VECTOR collection (Canonical.binarySchema) would fail
       // analysis inside observe() and flunk the whole run
-      val canObserve = transformed.columns.contains(graft.model.Canonical.VECTOR) &&
-        transformed.columns.contains(graft.model.Canonical.ID) &&
-        transformed.schema(graft.model.Canonical.VECTOR).dataType
+      val canObserve = shipped0.columns.contains(graft.model.Canonical.VECTOR) &&
+        shipped0.columns.contains(graft.model.Canonical.ID) &&
+        shipped0.schema(graft.model.Canonical.VECTOR).dataType
           .isInstanceOf[org.apache.spark.sql.types.ArrayType]
       // resolve the target dimension BEFORE attaching the observation: a
       // connector-side inferDim fallback would run a limit(1) probe over
@@ -108,25 +129,47 @@ class Migrator(spark: SparkSession) {
       val loadResolved =
         if (load.dimension.isEmpty && canObserve)
           load.copy(dimension =
-            graft.model.Canonical.inferDim(transformed).orElse(Some(0)))
+            graft.model.Canonical.inferDim(shipped0).orElse(Some(0)))
         else load
+      // write plan, rebuilt fresh so both observations latch on the write
+      // action and nothing else: [transformed] -> withheld observation ->
+      // withheld filter -> QA observation -> write
+      val withheldObs =
+        new org.apache.spark.sql.Observation(s"graft-withheld-${System.nanoTime()}")
+      val afterWithheld =
+        if (hasWithheld)
+          transformed.observe(withheldObs,
+              sum(when(col(wCol), 1L).otherwise(0L)).as("withheld_updates"))
+            .filter(!col(wCol)).drop(wCol)
+        else transformed
       val observation = new org.apache.spark.sql.Observation(s"graft-run-${System.nanoTime()}")
       val observed = if (canObserve)
-        transformed.observe(observation,
+        afterWithheld.observe(observation,
           count(lit(1)).as("rows"),
           sum(when(col(graft.model.Canonical.VECTOR).isNull, 1L).otherwise(0L)).as("null_vectors"),
           sum(when(col(graft.model.Canonical.ID).isNull, 1L).otherwise(0L)).as("null_ids"),
           round(avg(size(col(graft.model.Canonical.VECTOR))), 2).as("avg_dim"))
-      else transformed
+      else afterWithheld
 
       val report: WriteReport = target.write(observed, config.target.connection, loadResolved)
       val metrics = if (canObserve)
         observation.get.map { case (k, v) => k -> String.valueOf(v) }
       else Map.empty[String, String]
+      val withheld = if (hasWithheld)
+        withheldObs.get.get("withheld_updates") match {
+          case Some(n: Number) => n.longValue()
+          case _ => 0L
+        }
+      else 0L
+      if (withheld > 0)
+        System.err.println(s"[graft] WARNING: $withheld changed record(s) " +
+          s"NOT shipped — the $targetType sink is insert-only (appending " +
+          "an update would duplicate its id); re-run a full migration " +
+          "with recreate to apply updates")
       RunReport(success = true,
         extracted = report.written + report.skipped, written = report.written,
         skipped = report.skipped, sourceType = sourceType, targetType = targetType,
-        metrics = metrics)
+        metrics = metrics, withheldUpdates = withheld)
     } catch {
       case e: TransformException =>
         RunReport(success = false, extracted = -1, written = 0, skipped = 0,
@@ -232,17 +275,21 @@ object IncrementalMigrator {
           else {
             // insert-only sink (JDBC append, files): shipping a CHANGED
             // record would append a SECOND copy of its id — ship new ids
-            // only, and make the withheld updates loud instead of letting
-            // the target silently accumulate duplicates
-            val updates = changed
-              .join(t.select(col(Canonical.ID)), Seq(Canonical.ID), "left_semi")
-            val withheld = updates.count()
-            if (withheld > 0)
-              System.err.println(s"[graft] WARNING: $withheld changed record(s) " +
-                s"NOT shipped — the ${config.target.kind} sink is insert-only " +
-                "(appending an update would duplicate its id); re-run a full " +
-                "migration with recreate to apply updates")
-            changed.join(t.select(col(Canonical.ID)), Seq(Canonical.ID), "left_anti")
+            // only. Updates are MARKED `__graft_withheld` instead of
+            // anti-joined away: the Migrator filters them before the
+            // write and counts them in the same action (Dataset.observe),
+            // so the report's withheldUpdates field is exact with ZERO
+            // extra joins/actions — the old semi-join count() re-ran the
+            // whole delta pipeline even when nothing changed.
+            // distinct: the semi/anti joins this replaces were duplicate-
+            // safe; a plain left join against a target that already holds
+            // duplicated ids (the very corruption this guard prevents)
+            // would otherwise MULTIPLY the changed rows
+            changed.join(
+                t.select(col(Canonical.ID)).distinct().withColumn("__graft_t", lit(1)),
+                Seq(Canonical.ID), "left")
+              .withColumn("__graft_withheld", col("__graft_t").isNotNull)
+              .drop("__graft_t")
           }
       }
     }

@@ -147,6 +147,17 @@ object SigIndex {
     // TTL, i.e. a JVM frozen that long — we must not clobber theirs). A
     // reader that catches the rewrite mid-write sees an empty/partial
     // payload, parses no ts, and fails SAFE (no expiry without a ts).
+    // Renewal is read-then-overwrite, guarded by the token check. A
+    // rename-based renewal (claim .lease aside, verify, rename a fresh
+    // payload over) was considered and REJECTED: it leaves .lease absent
+    // for a metadata-op window on EVERY beat, during which any entering
+    // contender's create-exclusive acquires instantly — a silent dual
+    // mutator with NO precondition. The overwrite's clobber window needs
+    // a holder frozen for a full TTL first (at which point the contender
+    // legitimately holds and corruption is already possible regardless of
+    // which file survives); the beat below at least DETECTS that loss,
+    // warns loudly, and stops beating rather than resurrecting our lease
+    // over the contender's.
     @volatile var beating = true
     val hb = new Thread(() => {
       val interval = math.max(50L, ttlMs / 4)
@@ -154,11 +165,22 @@ object SigIndex {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => beating = false }
         if (beating) try {
-          if (readLease().contains(token)) {
+          val held = readLease()
+          if (held.contains(token)) {
             val out = fsys.create(path, true)
             out.write(payloadNow().getBytes(java.nio.charset.StandardCharsets.UTF_8))
             out.close()
-          }
+          } else if (held.contains("\"token\"")) {
+            // a WELL-FORMED foreign lease = a contender legitimately
+            // expired us (we missed beats for a full TTL). Do NOT write —
+            // that would clobber the rightful holder — and do not keep
+            // checking; surface the dual-mutator hazard once, loudly.
+            beating = false
+            System.err.println(s"[graft] WARNING: sig-index lease at " +
+              s"$indexDir was taken over by a concurrent $verb while this " +
+              "one was still running (holder paused past the lease TTL?) — " +
+              "two mutators may now be active; verify the index artifacts")
+          } // empty/partial read: transient (our own rewrite mid-flight) — retry next beat
         } catch { case _: Throwable => () }
       }
     }, s"sigindex-lease-heartbeat-$verb")
@@ -195,6 +217,16 @@ object SigIndex {
     finally {
       beating = false
       hb.interrupt()
+      // JOIN (bounded) before release: a beat that already passed the
+      // token check could otherwise land its fsys.create AFTER release()
+      // removed the lease — orphaning a fresh-ts lease that blocks every
+      // mutation for a full TTL with a misleading contention error.
+      try hb.join(10000L)
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      if (hb.isAlive)
+        System.err.println(s"[graft] WARNING: sig-index lease heartbeat at " +
+          s"$indexDir did not stop within 10s of release — a stale lease " +
+          "may be left behind (expires after the TTL)")
       release()
     }
   }

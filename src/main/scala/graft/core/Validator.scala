@@ -43,10 +43,18 @@ object Validator {
     * `ids_missing_in_target`, `ids_extra_in_target`, `dup_ids_source`,
     * `dup_ids_target`, `vector_mismatches` (same id, different signature
     * — covers dim changes, value changes, dropped/added vectors).
-    */
+    *
+    * `appendMode`: the documented contract for validating a run that
+    * APPENDED onto prior target contents (`recreate: false`) — ids
+    * present only in the target are then the legitimate prior
+    * collection, not a defect, so `ids_extra_in_target` is reported
+    * with its count but `passed` = true (informational). Every check
+    * that inspects the ids the run DID ship (missing, dups, vector
+    * mismatches) keeps its strict gate in both modes. */
   def validate(source: DataFrame, target: DataFrame,
                idCol: String = Canonical.ID,
-               vecCol: String = Canonical.VECTOR): DataFrame = {
+               vecCol: String = Canonical.VECTOR,
+               appendMode: Boolean = false): DataFrame = {
     def perId(df: DataFrame, side: String) = df
       .select(col(idCol).as("__id"), vectorSignature(col(vecCol)).as("__sig"))
       .groupBy("__id")
@@ -78,7 +86,8 @@ object Validator {
         1L).otherwise(0L)).as("vector_mismatches"))
 
     val informational = Set("rows_source", "rows_target",
-      "distinct_ids_source", "distinct_ids_target")
+      "distinct_ids_source", "distinct_ids_target") ++
+      (if (appendMode) Set("ids_extra_in_target") else Set.empty)
     // na.fill: an agg over an EMPTY join (a transform/pipeline that
     // filtered everything) returns NULL sums — the report must carry 0s,
     // not nulls that NPE the caller's getLong
@@ -91,9 +100,11 @@ object Validator {
 
   /** Validate a FINISHED migration: re-derive the expected target from the
     * config (source read + the same transform) and compare it to what the
-    * target collection actually holds. Meaningful when the run wrote a
-    * fresh collection (`recreate: true` or first load) — an append onto
-    * prior contents legitimately reports extras. */
+    * target collection actually holds. A `recreate: true` run replaced
+    * the collection, so extras are defects (strict); a `recreate: false`
+    * run appended onto prior contents, so `ids_extra_in_target` is
+    * reported informationally ([[validate]]'s `appendMode`) instead of
+    * flunking every legitimate append. */
   def validateMigration(spark: org.apache.spark.sql.SparkSession,
                         config: graft.config.MigrationConfig,
                         transform: Option[DataFrame => DataFrame] = None): DataFrame = {
@@ -116,6 +127,6 @@ object Validator {
     // (column not found) and report a successful migration as failed
     val actual = ConnectorRegistry(config.target.kind)
       .readBack(spark, config.target.connection, load)
-    validate(expected, actual)
+    validate(expected, actual, appendMode = !load.recreate)
   }
 }

@@ -36,6 +36,31 @@ object Quantization {
     * argument (the COLLECTION goes in `candidates`). */
   private[graft] val MaxQueryRows = 65536
 
+  /** Self-pair exclusion that survives id-type mismatches: a plain
+    * string compare misses a corpus id that STRINGIFIES differently from
+    * the long query id — a DoubleType id column renders "5.0", zero-
+    * padded string ids "05" — letting the query's own point occupy a
+    * top-k slot it never did on long-id corpora. Integral corpora
+    * compare as longs (exact); fractional as doubles (the column's own
+    * precision); string corpora exclude on numeric-equal (when the id
+    * parses as a long) OR exact string match, so "05" and "5" both
+    * exclude query id 5 while "aa" never NULLs the filter. */
+  private def notSelfPair(candIdType: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    val cand = col("cand_id")
+    val q = col("query_id")
+    candIdType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        cand.cast("long") =!= q
+      case _: NumericType =>
+        cand.cast("double") =!= q.cast("double")
+      case _ =>
+        val asLong = cand.cast("long")
+        !(coalesce(asLong === q, lit(false)) ||
+          cand.cast("string") === q.cast("string"))
+    }
+  }
+
   private def collectQueries(queries: DataFrame, idCol: String, vecCol: String) = {
     val rows = queries
       .select(col(idCol).cast("long"), transform(col(vecCol), _.cast("double")))
@@ -196,12 +221,10 @@ object Quantization {
 
     val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
     val adc = coded.crossJoin(broadcast(qdf))
-      // STRING-face self-pair compare: cand ids are the corpus's own (often
-      // strings); comparing them to the LONG query id would coerce the
-      // string side to bigint -> null -> three-valued filter drops EVERY
-      // row -> silently empty top-k (the loud id check in collectQueries
-      // only covers the query side)
-      .filter(col("cand_id").cast("string") =!= col("query_id").cast("string"))
+      // type-aware self-pair compare: a naive long==string coercion NULLs
+      // the three-valued filter (silently empty top-k), and a naive
+      // string compare misses "5.0"/"05" faces — see [[notSelfPair]]
+      .filter(notSelfPair(coded.schema("cand_id").dataType))
       .withColumn("dist",
         round(PqExpressions.pqAdcDistance(col("codes"), col("query_idx"), tables), 6))
       .withColumn("rk", row_number().over(w))
@@ -370,12 +393,10 @@ object Quantization {
 
     val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cand_id").asc)
     val adc = coded.join(broadcast(qdf), Seq("cell_id"))
-      // STRING-face self-pair compare: cand ids are the corpus's own (often
-      // strings); comparing them to the LONG query id would coerce the
-      // string side to bigint -> null -> three-valued filter drops EVERY
-      // row -> silently empty top-k (the loud id check in collectQueries
-      // only covers the query side)
-      .filter(col("cand_id").cast("string") =!= col("query_id").cast("string"))
+      // type-aware self-pair compare: a naive long==string coercion NULLs
+      // the three-valued filter (silently empty top-k), and a naive
+      // string compare misses "5.0"/"05" faces — see [[notSelfPair]]
+      .filter(notSelfPair(coded.schema("cand_id").dataType))
       .withColumn("dist",
         round(PqExpressions.pqAdcDistance(col("codes"), col("tbl_idx"), tables), 6))
       .withColumn("rk", row_number().over(w))

@@ -274,13 +274,18 @@ object Similarity {
     // tier's score scale (PQ tiers emit L2 dist, not cosine) — with a
     // shortlist covering the brute-force top-nCand the results are
     // IDENTICAL to the default path
+    // the shortlist path keeps the c_vec rescoreMembership already joined
+    // (a second candidates join for data in hand was pure wasted work);
+    // only the brute-force path — whose top-k output is vector-less —
+    // joins the corpus for the greedy's vectors
     val short = shortlist.map { s =>
       rescoreMembership(s, candidates.select(col(idCol).as("cand_id"),
           col(vecCol).as("c_vec")), queries, idCol, vecCol)
-        .select("query_id", "cand_id", "score")
-    }.getOrElse(bruteForceTopK(candidates, queries, nCand, idCol, vecCol))
-    val withVec = short.join(
-        candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec")), "cand_id")
+        .select(col("query_id"), col("cand_id"), col("score"), col("c_vec"))
+    }.getOrElse(
+      bruteForceTopK(candidates, queries, nCand, idCol, vecCol).join(
+        candidates.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec")), "cand_id"))
+    val withVec = short
       .select(col("query_id").cast("long"), col("cand_id").cast("long"),
         col("score").cast("double"),
         // accept array<double> corpora too (VectorFunctions.normalize —

@@ -812,6 +812,58 @@ object PipelineQueries {
         .select(col("doc_id").as("batch_id"), col("corpus_id"), col("jaccard"))
     }),
 
+    // ---- The streaming NEAR-dedup face (SimHash fingerprint dedup within
+    //      the watermark horizon), replayed as a MULTI-microbatch file
+    //      stream (maxFilesPerTrigger=1 forces cross-batch state): which
+    //      document survives per fingerprint is arrival-order dependent,
+    //      but the surviving FINGERPRINT SET is split-invariant — one row
+    //      per distinct fp, hash-compared to the SAME portable-SimHash
+    //      oracle as q_dedup_simhash (DISTINCT-wrapped) ----
+    "q_dedup_near_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("gate_nearstr").toString
+      val inDir = s"$tmp/in"
+      docs.withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+        .select("doc_id", "text", "ts")
+        .repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val kept = graft.streaming.StreamOps.streamingNearDedup(
+        stream, portable = true)
+      val outDir = s"$tmp/out"
+      val land: (DataFrame, Long) => Unit =
+        (b, _) => b.write.mode("append").parquet(outDir)
+      val q = kept.writeStream.foreachBatch(land)
+        .option("checkpointLocation", s"$tmp/chk").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir).select("simhash_fp")
+    }),
+
+    // ---- The streaming SEMANTIC decontaminate face (fused argmax kernel
+    //      against the broadcast eval set), replayed as a multi-microbatch
+    //      file stream and adjudicated by the SAME DuckDB oracle as the
+    //      batch twin q_decontaminate_semantic — batch ≡ streaming is
+    //      hash-checked per row, not just spec-asserted ----
+    "q_decontaminate_semantic_stream" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("gate_decstr").toString
+      val inDir = s"$tmp/in"
+      emb.filter(col("vec_id") % 20 =!= 0).select("vec_id", "embedding")
+        .repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val flagged = graft.streaming.StreamOps.streamingSemanticDecontaminate(
+        stream, emb.filter(col("vec_id") % 20 === 0), threshold = 0.5)
+      val outDir = s"$tmp/out"
+      val land: (DataFrame, Long) => Unit =
+        (b, _) => b.write.mode("append").parquet(outDir)
+      val q = flagged.writeStream.foreachBatch(land)
+        .option("checkpointLocation", s"$tmp/chk").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .select("vec_id", "max_cosine", "nearest_eval_id", "contaminated")
+    }),
+
     // ---- URL canonicalization (the FIRST dedup a crawl pipeline runs):
     //      case/port/fragment/tracking-param/param-order normalization
     //      over deterministically constructed URLs; the oracle computes
@@ -1952,6 +2004,13 @@ object PipelineQueries {
       ("q_dedup_incremental_stale" -> incrementalSql) +
       // same oracle again: the streaming replay must equal the batch twin
       ("q_dedup_incremental_stream" -> incrementalSql) +
+      // fingerprint-set identity: the streaming near-dedup survivors carry
+      // exactly the distinct portable-SimHash fingerprints of the corpus
+      ("q_dedup_near_stream" ->
+        ("WITH fps AS (" + m("q_dedup_simhash") + ") " +
+          "SELECT DISTINCT fp AS simhash_fp FROM fps")) +
+      // same oracle as the batch twin: streaming ≡ batch, row for row
+      ("q_decontaminate_semantic_stream" -> m("q_decontaminate_semantic")) +
       ("q_text_extract" -> extractSql) +
       ("q_corpus_datacard" -> dataCardSql)
   }

@@ -141,9 +141,15 @@ object StreamOps {
     * needs the batch path (pairs need a self-join; streaming state lookups
     * are exact-key only — documented trade-off). */
   def streamingNearDedup(docs: DataFrame, textCol: String = "text",
-                         tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+                         tsCol: String = "ts", watermark: String = "1 hour",
+                         portable: Boolean = false): DataFrame =
     docs
-      .withColumn("simhash_fp", graft.ops.Dedup.simHash(col(textCol)))
+      .withColumn("simhash_fp",
+        // portable = the 31-bit codepoint-hash fingerprint an external
+        // engine can replay (the q_dedup_near_stream oracle re-votes it
+        // in SQL); the 64-bit xxhash64 SimHash stays the default
+        if (portable) graft.ops.Dedup.simHashPortable(col(textCol))
+        else graft.ops.Dedup.simHash(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("simhash_fp")
 

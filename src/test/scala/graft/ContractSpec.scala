@@ -48,7 +48,10 @@ class ContractSpec extends AnyFunSuite {
     // round 16: +q_connector_search_aliased (withColumn-then-filter
     // top-k shape, require()-pinned to rewrite), +q_dedup_incremental_stream
     // (the streaming dedup face hash-checked against the batch oracle)
-    assert(SparkEntry.queries.size == 174, SparkEntry.queries.size.toString)
+    // round 17: +q_dedup_near_stream (streaming SimHash near-dedup,
+    // fingerprint-set oracle = DISTINCT-wrapped q_dedup_simhash),
+    // +q_decontaminate_semantic_stream (streaming ≡ batch, same oracle)
+    assert(SparkEntry.queries.size == 176, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {

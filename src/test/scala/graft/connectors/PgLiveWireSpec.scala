@@ -1,0 +1,212 @@
+package graft.connectors
+
+import graft.SparkSpec
+import graft.config.QuerySpec
+import graft.connectors.pgwire.{PgWireClient, PgWireException}
+import org.apache.spark.sql.functions._
+
+import scala.sys.process._
+import scala.util.control.NonFatal
+
+/** Throwaway PostgreSQL server for live SQL-surface verification: initdb
+  * + pg_ctl under /tmp as the `postgres` system user (the server refuses
+  * root), trust auth on a loopback port. Returns None — and every
+  * dependent test CANCELS, not fails — when the binaries or the user are
+  * absent, so the suite is environment-portable. */
+object PgTestServer {
+  case class Running(port: Int, root: java.io.File, pgCtl: String) {
+    def stop(): Unit = {
+      try Seq("runuser", "-u", "postgres", "--", pgCtl,
+        "-D", s"${root.getAbsolutePath}/data", "-m", "immediate", "stop").!(devNull)
+      catch { case NonFatal(_) => () }
+      try Seq("rm", "-rf", root.getAbsolutePath).!(devNull)
+      catch { case NonFatal(_) => () }
+    }
+  }
+
+  private val devNull = ProcessLogger(_ => (), _ => ())
+
+  private def binDir: Option[java.io.File] =
+    Option(new java.io.File("/usr/lib/postgresql").listFiles())
+      .getOrElse(Array.empty).sortBy(_.getName).reverse
+      .map(v => new java.io.File(v, "bin"))
+      .find(b => new java.io.File(b, "initdb").canExecute &&
+        new java.io.File(b, "pg_ctl").canExecute)
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  /** One attempt; any failure (no binaries, no postgres user, no runuser,
+    * sandboxed exec) yields None. */
+  def start(): Option[Running] = try {
+    val bin = binDir.getOrElse(return None)
+    if (Seq("id", "-u", "postgres").!(devNull) != 0) return None
+    val root = java.nio.file.Files.createTempDirectory("graft-pgwire").toFile
+    val data = new java.io.File(root, "data").getAbsolutePath
+    if (Seq("chown", "-R", "postgres:postgres", root.getAbsolutePath).!(devNull) != 0) {
+      root.delete(); return None
+    }
+    val initdb = Seq("runuser", "-u", "postgres", "--",
+      s"${bin.getAbsolutePath}/initdb", "-D", data, "-A", "trust",
+      "-U", "postgres", "--no-sync").!(devNull)
+    if (initdb != 0) { Running(0, root, s"${bin.getAbsolutePath}/pg_ctl").stop(); return None }
+    val port = freePort()
+    val started = Seq("runuser", "-u", "postgres", "--",
+      s"${bin.getAbsolutePath}/pg_ctl", "-D", data, "-w",
+      "-o", s"-p $port -k ${root.getAbsolutePath} -c listen_addresses=127.0.0.1",
+      "-l", s"${root.getAbsolutePath}/server.log", "start").!(devNull)
+    val run = Running(port, root, s"${bin.getAbsolutePath}/pg_ctl")
+    if (started != 0) { run.stop(); return None }
+    Some(run)
+  } catch { case NonFatal(_) => None }
+}
+
+/** LIVE verification of the pgvector connector's hand-built SQL surface
+  * against a real PostgreSQL 15 server, through the engine's own minimal
+  * v3 wire client ([[PgWireClient]]) — closing as much of the standing
+  * "pgvector wire face env-unverifiable" gap as this sandbox allows:
+  *
+  *   VERIFIED LIVE here: `buildSelect` projections/filters/limits,
+  *   `catalogPredicate` existence + case folding + search-path
+  *   resolution, the `information_schema.columns` introspection query,
+  *   the vector TEXT codec round trip, and the exact failure shape of
+  *   the `VECTOR(d)` DDL on a server without the pgvector extension.
+  *
+  *   STILL env-blocked: Spark's JDBC data path (no driver jar on the
+  *   offline resolver) and the `vector` type itself (extension not
+  *   installed) — those remain covered by unit/property/oracle gates. */
+class PgLiveWireSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var server: Option[PgTestServer.Running] = None
+  private var client: PgWireClient = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = PgTestServer.start()
+    server.foreach(r => client = new PgWireClient("127.0.0.1", r.port))
+  }
+
+  override def afterAll(): Unit = {
+    try {
+      if (client != null) client.close()
+      server.foreach(_.stop())
+    } finally super.afterAll()
+  }
+
+  private def live(): PgWireClient = {
+    assume(server.isDefined, "no local PostgreSQL server available — skipped")
+    client
+  }
+
+  private val connector = new PgVectorConnector
+
+  test("buildSelect runs verbatim on live PostgreSQL: projection, filter, limit, offset") {
+    val c = live()
+    c.query("CREATE TABLE items (vec_id BIGINT, embedding TEXT, label TEXT)")
+    c.query("INSERT INTO items VALUES " +
+      (0 until 10).map(i => s"($i, '[$i,${i * 2}]', 'l${i % 3}')").mkString(", "))
+    val sel = connector.buildSelect(QuerySpec(collection = "items",
+      idColumn = "vec_id", vectorColumn = Some("embedding"),
+      metadataColumns = Seq("label"), filter = Some("vec_id >= 4"),
+      limit = Some(3), offset = Some(1)))
+    // consumed EXACTLY like Spark's JDBC reader does: dbtable subquery
+    val r = c.query(s"SELECT * FROM ($sel) graft_scan ORDER BY vec_id")
+    assert(r.columns == Seq("vec_id", "embedding", "label"), r.columns)
+    assert(r.rows.length == 3, r.rows)
+    assert(r.rows.forall(_.apply(0).toLong >= 4))
+    // the ::text cast in the projection is what decodes a real vector
+    // column; on this TEXT fixture it must still pass through unchanged
+    assert(r.rows.head(1).startsWith("[") && r.rows.head(1).endsWith("]"))
+  }
+
+  test("catalogPredicate: live case folding, verbatim quoted names, schema scoping") {
+    val c = live()
+    c.query("CREATE TABLE casefold_t (x INT)")
+    c.query("CREATE TABLE \"QuotedT\" (x INT)")
+    c.query("CREATE SCHEMA other; CREATE TABLE other.casefold_t (y INT)")
+    def existsCount(pred: String): Long =
+      c.query(s"SELECT count(*) FROM information_schema.tables WHERE $pred")
+        .rows.head.head.toLong
+    // the JDBC write path ships unquoted names, which Postgres folds —
+    // the probe must find the folded relation from a mixed-case reference
+    assert(existsCount(connector.catalogPredicate("CaseFold_T")) >= 1,
+      "folded-name probe missed the live relation")
+    // a foreign tool's QUOTED mixed-case relation matches verbatim
+    assert(existsCount(connector.catalogPredicate("QuotedT")) >= 1)
+    assert(existsCount(connector.catalogPredicate("absent_t")) == 0)
+    // schema-qualified probe constrains table_schema
+    assert(existsCount(connector.catalogPredicate("other.casefold_t")) == 1)
+    assert(existsCount(connector.catalogPredicate("other.quotedt")) == 0)
+  }
+
+  test("schemaInfo's column introspection resolves like the unqualified read (search_path)") {
+    val c = live()
+    // same table name in TWO schemas; search_path = "$user", public — the
+    // firstVisibleOnly predicate must introspect only public's columns
+    c.query("CREATE TABLE dup_t (a INT, b TEXT)")
+    c.query("CREATE SCHEMA s2; CREATE TABLE s2.dup_t (z BIGINT)")
+    val cols = c.query(
+      "SELECT column_name, data_type, udt_name FROM information_schema.columns " +
+        s"WHERE ${connector.catalogPredicate("dup_t", firstVisibleOnly = true)} " +
+        "ORDER BY ordinal_position")
+    assert(cols.rows.map(_.head) == Seq("a", "b"),
+      s"interleaved or wrong-schema columns: ${cols.rows}")
+    assert(cols.rows.map(_.apply(2)) == Seq("int4", "text"))
+  }
+
+  test("vector text codec round-trips through a live TEXT column") {
+    val c = live()
+    c.query("CREATE TABLE vec_rt (vec_id BIGINT, embedding TEXT)")
+    val src = Seq(
+      (1L, Seq(0.25f, -1.5f, 3.0f)),
+      (2L, Seq(1e-4f, 2.5f, -0.125f)),
+      (3L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    // literals built by the ENGINE's write codec, inserted over the wire
+    val lits = src.select(col("vec_id"),
+      PgVectorCodec.vectorToText(col("embedding")).as("t")).collect()
+    val values = lits.map { r =>
+      val t = if (r.isNullAt(1)) "NULL" else s"'${r.getString(1)}'"
+      s"(${r.getLong(0)}, $t)"
+    }.mkString(", ")
+    assert(c.query(s"INSERT INTO vec_rt VALUES $values").rowCount == 3)
+    // read back over the wire, decode with the READ codec, compare exactly
+    val back = c.query("SELECT vec_id, embedding FROM vec_rt ORDER BY vec_id")
+    val decoded = back.rows.map(r => (r(0).toLong, Option(r(1)))).toDF("vec_id", "t")
+      .select(col("vec_id"), PgVectorCodec.textToVector(col("t")).as("embedding"))
+    val got = decoded.orderBy("vec_id").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getSeq[Float](1))
+    val want = src.orderBy("vec_id").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getSeq[Float](1))
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq} want ${want.toSeq}")
+  }
+
+  test("VECTOR(d) DDL fails with the documented SQLSTATE on an extension-less server") {
+    val c = live()
+    // the exact DDL shape the JDBC writer emits via createTableColumnTypes
+    val e = intercept[PgWireException] {
+      c.query("CREATE TABLE no_ext (id TEXT, vector VECTOR(3), metadata TEXT)")
+    }
+    assert(e.sqlState == "42704", s"${e.sqlState}: ${e.getMessage}") // undefined_object
+    assert(e.getMessage.toLowerCase.contains("vector"), e.getMessage)
+    // the extension itself is absent — the env constraint, captured live
+    val e2 = intercept[PgWireException] { c.query("CREATE EXTENSION vector") }
+    assert(e2.getMessage.toLowerCase.contains("vector"), e2.getMessage)
+    // the session survives both errors (drain-to-ReadyForQuery contract)
+    assert(c.query("SELECT 41 + 1").rows.head.head == "42")
+  }
+
+  test("batched multi-row INSERT through the wire matches the write batch size shape") {
+    val c = live()
+    c.query("CREATE TABLE batch_t (id TEXT, vector TEXT, metadata TEXT)")
+    // 100 = LoadSpec's default batch_size (reference adapters/pgvector.py:159)
+    val rows = (0 until 100).map(i => s"('id$i', '[$i,1]', '{\"k\":\"$i\"}')").mkString(", ")
+    val ins = c.query(s"INSERT INTO batch_t VALUES $rows")
+    assert(ins.rowCount == 100, ins.tags)
+    assert(c.query("SELECT count(*) FROM batch_t").rows.head.head == "100")
+    // id-keyed delete round (the CDC-apply face's SQL shape)
+    assert(c.query("DELETE FROM batch_t WHERE id IN ('id1', 'id2')").rowCount == 2)
+  }
+}

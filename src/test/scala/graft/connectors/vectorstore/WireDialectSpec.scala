@@ -717,7 +717,7 @@ class WireDialectSpec extends SparkSpec {
     } finally server.stop()
   }
 
-  test("milvus wire: native collections/rename moves contents in one documented verb") {
+  test("milvus wire: publish rides the documented alias verbs, generations retired") {
     val store = new InMemoryStore
     val server = new MilvusWireServer(store)
     val t = new MilvusWireTransport(server.url)
@@ -727,22 +727,44 @@ class WireDialectSpec extends SparkSpec {
       t.createCollection("rn_dst", CollectionConfig(dim = 2), recreate = true)
       t.upsert("rn_dst", Seq(VSRecord("zz", Array(9f, 9f), Map.empty)))
       t.rename("rn_src", "rn_dst") // shadow-swap semantics: replaces the target
-      assert(!t.exists("rn_src"))
       assert(t.count("rn_dst") == 5)
       assert(t.scroll("rn_dst", 0, 10).map(_.id).sorted == (0 until 5).map(_.toString))
-      assert(server.requestLines.exists(_.startsWith("POST /v2/vectordb/collections/rename")),
+      // first publish over a LITERAL live target: drop + aliases/create
+      assert(server.requestLines.exists(_.startsWith("POST /v2/vectordb/aliases/create")),
         server.requestLines.mkString("\n"))
+      // catalog shows the published name, never the generation under it
+      assert(t.listCollections() == Seq("rn_dst"), t.listCollections().toString)
       // retry idempotency: a re-delivered rename whose first attempt
-      // applied (source gone, target populated) must be a no-op — the old
-      // drop-then-rename would have DESTROYED the published target here
+      // applied repoints to the same generation — no data loss
       t.rename("rn_src", "rn_dst")
       assert(t.count("rn_dst") == 5, "retried rename destroyed the published data")
+      // second publish over the now-ALIASED name: ONE atomic aliases/alter
+      t.createCollection("rn_src2", CollectionConfig(dim = 2), recreate = true)
+      t.upsert("rn_src2", canon(3))
+      val mark = server.requestLines.size
+      val dropsBefore = server.bodiesOf("POST /v2/vectordb/collections/drop").size
+      t.rename("rn_src2", "rn_dst")
+      assert(t.count("rn_dst") == 3)
+      val lines = server.requestLines.drop(mark)
+      assert(lines.exists(_.startsWith("POST /v2/vectordb/aliases/alter")), lines)
+      // the old generation is retired AFTER the flip; once aliased, the
+      // published name itself is NEVER dropped again (the pre-conversion
+      // literal drop above was the one-time window)
+      val alter = lines.indexWhere(_.startsWith("POST /v2/vectordb/aliases/alter"))
+      val retire = lines.indexWhere(_.startsWith("POST /v2/vectordb/collections/drop"))
+      assert(retire > alter, lines)
+      val dropsAfter = server.bodiesOf("POST /v2/vectordb/collections/drop").drop(dropsBefore)
+      assert(!dropsAfter.exists(_.contains("\"collectionName\":\"rn_dst\"")),
+        dropsAfter.toString)
       // a rename whose source never existed (and no published target) errors
       intercept[Exception](t.rename("rn_never", "rn_nowhere"))
+      // dropping the published name removes alias AND generation
+      t.drop("rn_dst")
+      assert(!t.exists("rn_dst") && t.listCollections().isEmpty)
     } finally server.stop()
   }
 
-  test("atomic overwrite publishes through the milvus wire's native rename verb") {
+  test("atomic overwrite publishes through the milvus wire's alias verbs") {
     val server = new MilvusWireServer(new InMemoryStore)
     val t = new MilvusWireTransport(server.url)
     try {
@@ -754,13 +776,101 @@ class WireDialectSpec extends SparkSpec {
         .option("collection", "atom_m").option("atomic", "true")
         .option("recreate", "true").mode("overwrite").save()
       // old contents replaced wholesale; the publish was the documented
-      // drop-then-rename verbs over the socket; no stranded shadow
+      // alias verbs over the socket; no stranded shadow in the catalog
       assert(t.count("atom_m") == 6)
       assert(t.scroll("atom_m", 0, 10).forall(_.id.startsWith("n")))
       assert(server.requestLines.exists(
-        _.startsWith("POST /v2/vectordb/collections/rename")),
+        _.startsWith("POST /v2/vectordb/aliases/")),
         server.requestLines.mkString("\n"))
       assert(!t.listCollections().exists(_.startsWith("atom_m__staging_")))
+    } finally server.stop()
+  }
+
+  test("milvus recreate of a PUBLISHED collection: atomic alias repoint, no window") {
+    val server = new MilvusWireServer(new InMemoryStore)
+    val t = new MilvusWireTransport(server.url)
+    try {
+      // publish "live" atomically: gen1 under the alias
+      t.createCollection("gen1", CollectionConfig(dim = 2), recreate = false)
+      t.upsert("gen1", canon(5))
+      t.rename("gen1", "live")
+      assert(t.count("live") == 5)
+      // concurrent reader: poll existence of the published name throughout
+      val missed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val probe = new Thread(() => {
+        val p = new MilvusWireTransport(server.url)
+        while (!stop.get()) {
+          polls.incrementAndGet()
+          if (!p.exists("live")) missed.incrementAndGet()
+        }
+      })
+      probe.setDaemon(true)
+      probe.start()
+      val mark = server.requestLines.size
+      t.createCollection("live", CollectionConfig(dim = 4), recreate = true)
+      stop.set(true)
+      probe.join(5000)
+      assert(polls.get() > 0)
+      assert(missed.get() == 0,
+        s"concurrent reader saw ${missed.get()}/${polls.get()} not-founds during " +
+          "recreate — drop-then-create window regressed")
+      // recreated: empty, the NEW config, still addressable under the name
+      assert(t.count("live") == 0)
+      assert(t.describe("live").exists(_.dim == 4))
+      // wire shape: the published name is never dropped; the repoint (one
+      // aliases/alter POST) precedes the old generation's retirement
+      val lines = server.requestLines.drop(mark)
+      assert(!server.bodiesOf("POST /v2/vectordb/collections/drop")
+        .exists(_.contains("\"collectionName\":\"live\"")), "published name was dropped")
+      val flip = lines.indexWhere(_.startsWith("POST /v2/vectordb/aliases/alter"))
+      val retire = lines.indexWhere(_.startsWith("POST /v2/vectordb/collections/drop"))
+      assert(flip >= 0 && retire > flip, lines)
+      t.drop("live")
+      assert(!t.exists("live"))
+    } finally server.stop()
+  }
+
+  test("pinecone recreate of a namespace: pointer flip, no not-found window") {
+    val server = new PineconeWireServer(new InMemoryStore)
+    val t = new PineconeWireTransport(server.url)
+    try {
+      // publish ix::team atomically so the namespace is pointered
+      t.createCollection("rcix", CollectionConfig(dim = 2), recreate = false)
+      val shadow = t.stagingName("rcix::team")
+      t.createCollection(shadow, CollectionConfig(dim = 2), recreate = false)
+      t.upsert(shadow, canon(5))
+      t.rename(shadow, "rcix::team")
+      assert(t.count("rcix::team") == 5)
+      // concurrent reader: the logical namespace must resolve throughout
+      val missed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val probe = new Thread(() => {
+        val p = new PineconeWireTransport(server.url)
+        while (!stop.get()) {
+          polls.incrementAndGet()
+          if (!p.exists("rcix::team")) missed.incrementAndGet()
+        }
+      })
+      probe.setDaemon(true)
+      probe.start()
+      t.createCollection("rcix::team", CollectionConfig(dim = 2), recreate = true)
+      stop.set(true)
+      probe.join(5000)
+      assert(polls.get() > 0)
+      assert(missed.get() == 0,
+        s"concurrent reader saw ${missed.get()}/${polls.get()} not-founds during " +
+          "namespace recreate — in-place deleteAll window regressed")
+      // recreated: empty but addressable; the old generation is retired
+      assert(t.count("rcix::team") == 0)
+      assert(t.exists("rcix::team"))
+      assert(t.upsert("rcix::team", canon(2)) == 2) // writes land in the new generation
+      assert(t.count("rcix::team") == 2)
+      // the index itself was never deleted (other namespaces survive)
+      assert(!server.requestLines.exists(_.startsWith("DELETE /indexes/rcix")),
+        server.requestLines.filter(_.startsWith("DELETE")).mkString("\n"))
     } finally server.stop()
   }
 

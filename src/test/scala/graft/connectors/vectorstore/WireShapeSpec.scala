@@ -17,15 +17,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * deterministic — the retry would replay the same wrong shape). */
 class WireShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  /** Canned-JSON server: answers EVERY request with `body` (status 200). */
+  /** Canned-JSON server: answers every request with `body` (status 200),
+    * unless a `perPath` entry matches the request path — first matching
+    * substring wins. Per-path bodies are what lets the mixed-sequence
+    * fuzz serve a WELL-FORMED response on one verb of a multi-verb flow
+    * and a hostile one on the next (the Pinecone count path takes two
+    * different verbs; one global body could never reach the second). */
   private class StubServer {
     @volatile var body: String = "{}"
+    @volatile var perPath: Seq[(String, String)] = Nil
     val requests = new java.util.concurrent.atomic.AtomicInteger(0)
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
       requests.incrementAndGet()
       ex.getRequestBody.readAllBytes()
-      val bytes = body.getBytes(UTF_8)
+      val path = ex.getRequestURI.getPath
+      val chosen = perPath.find { case (sub, _) => path.contains(sub) }
+        .map(_._2).getOrElse(body)
+      val bytes = chosen.getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, bytes.length)
       ex.getResponseBody.write(bytes)
@@ -45,7 +54,11 @@ class WireShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     e
   }
 
-  private def withBody[A](body: String)(f: => A): A = { stub.body = body; f }
+  private def withBody[A](body: String)(f: => A): A = {
+    stub.perPath = Nil
+    stub.body = body
+    f
+  }
 
   // ------------------------------------------------------------- qdrant
 
@@ -159,33 +172,36 @@ class WireShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Random JSON of bounded depth: the fuzz face of the contract — ANY
     * response shape must parse, raise a typed wire error, or raise the
     * backend's own documented error class; never NPE/CCE. */
+  private def randNode(rnd: scala.util.Random, depth: Int): com.fasterxml.jackson.databind.JsonNode = {
+    val mapper = WireJson.mapper
+    val pick = if (depth <= 0) rnd.nextInt(4) else rnd.nextInt(6)
+    pick match {
+      case 0 => mapper.getNodeFactory.textNode(rnd.alphanumeric.take(4).mkString)
+      case 1 => mapper.getNodeFactory.numberNode(rnd.nextInt(1000) - 500)
+      case 2 => mapper.getNodeFactory.booleanNode(rnd.nextBoolean())
+      case 3 => mapper.getNodeFactory.nullNode()
+      case 4 =>
+        val o = mapper.createObjectNode()
+        // bias keys toward the REAL envelope fields so the walk gets deep
+        val keys = Seq("result", "config", "params", "vectors", "data",
+          "matches", "points", "namespaces", "indexes", "metric", "dimension",
+          "distance", "size", "count", "id", "name", "vectorCount", "count(*)",
+          "aliases", "alias_name", "collection_name", "aliasName", "collectionName")
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          o.set[com.fasterxml.jackson.databind.JsonNode](
+            keys(rnd.nextInt(keys.length)), randNode(rnd, depth - 1))
+        }
+        o
+      case _ =>
+        val a = mapper.createArrayNode()
+        (0 until rnd.nextInt(3)).foreach(_ => a.add(randNode(rnd, depth - 1)))
+        a
+    }
+  }
+
   test("arbitrary response shapes never surface as NPE/CCE (all dialects)") {
     val rnd = new scala.util.Random(20260816L)
     val mapper = WireJson.mapper
-    def randNode(depth: Int): com.fasterxml.jackson.databind.JsonNode = {
-      val pick = if (depth <= 0) rnd.nextInt(4) else rnd.nextInt(6)
-      pick match {
-        case 0 => mapper.getNodeFactory.textNode(rnd.alphanumeric.take(4).mkString)
-        case 1 => mapper.getNodeFactory.numberNode(rnd.nextInt(1000) - 500)
-        case 2 => mapper.getNodeFactory.booleanNode(rnd.nextBoolean())
-        case 3 => mapper.getNodeFactory.nullNode()
-        case 4 =>
-          val o = mapper.createObjectNode()
-          // bias keys toward the REAL envelope fields so the walk gets deep
-          val keys = Seq("result", "config", "params", "vectors", "data",
-            "matches", "points", "namespaces", "indexes", "metric", "dimension",
-            "distance", "size", "count", "id", "name", "vectorCount", "count(*)")
-          (0 until rnd.nextInt(4)).foreach { _ =>
-            o.set[com.fasterxml.jackson.databind.JsonNode](
-              keys(rnd.nextInt(keys.length)), randNode(depth - 1))
-          }
-          o
-        case _ =>
-          val a = mapper.createArrayNode()
-          (0 until rnd.nextInt(3)).foreach(_ => a.add(randNode(depth - 1)))
-          a
-      }
-    }
     val rec = VSRecord("1", Array(1f, 2f), Map("k" -> "v"))
     val probes: Seq[(String, VectorStoreTransport => Any)] = Seq(
       ("describe", _.describe("c")),
@@ -198,7 +214,8 @@ class WireShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("exists", _.exists("c")))
     val transports = Seq("qdrant" -> qdrant, "milvus" -> milvus, "pinecone" -> pinecone)
     for (_ <- 1 to 120) {
-      stub.body = mapper.writeValueAsString(randNode(4))
+      stub.perPath = Nil
+      stub.body = mapper.writeValueAsString(randNode(rnd, 4))
       for ((backend, t) <- transports; (verb, probe) <- probes) {
         try { probe(t); () } catch {
           case _: WireShapeException => () // the typed contract
@@ -210,5 +227,73 @@ class WireShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
       }
     }
+  }
+
+  /** Mixed-shape sequences: multi-verb flows (the Pinecone count path
+    * takes a pointer fetch + a stats POST; Qdrant drop consults the alias
+    * map before DELETE; Milvus drop/list walk aliases/list +
+    * aliases/describe) where every verb answers WELL-FORMED except one,
+    * randomly corrupted — the flow must traverse past the good verbs and
+    * still fail TYPED on the hostile one, never NPE/CCE. */
+  test("mixed-shape sequences: one hostile verb inside a well-formed flow") {
+    val rnd = new scala.util.Random(20260817L)
+    val mapper = WireJson.mapper
+    val wellFormed: Map[String, Seq[(String, String)]] = Map(
+      "qdrant" -> Seq(
+        "/collections/aliases" -> """{"result": true}""",
+        "/points/count" -> """{"result":{"count":1}}""",
+        "/points/scroll" -> """{"result":{"points":[],"next_page_offset":null}}""",
+        "/aliases" -> """{"result":{"aliases":[{"alias_name":"a","collection_name":"g"}]}}""",
+        "/collections/g" ->
+          """{"result":{"config":{"params":{"vectors":{"distance":"Cosine","size":2}}},"points_count":1}}""",
+        "/collections" -> """{"result":{"collections":[{"name":"g"}]}}"""),
+      "milvus" -> Seq(
+        "aliases/list" -> """{"code":0,"data":["a"]}""",
+        "aliases/describe" -> """{"code":0,"data":{"aliasName":"a","collectionName":"g"}}""",
+        "collections/list" -> """{"code":0,"data":["g"]}""",
+        "collections/describe" ->
+          """{"code":0,"data":{"collectionName":"g","fields":[{"name":"vector","type":"FloatVector","params":[{"key":"dim","value":"2"}]}],"indexes":[{"metricType":"COSINE"}]}}""",
+        "entities/query" -> """{"code":0,"data":[{"count(*)":2}]}""",
+        "collections/" -> """{"code":0,"data":{}}"""),
+      "pinecone" -> Seq(
+        "/describe_index_stats" ->
+          """{"namespaces":{"ns":{"vectorCount":3}},"totalVectorCount":3}""",
+        "/vectors/fetch" -> """{"vectors":{}}""",
+        "/vectors/list" -> """{"vectors":[]}""",
+        "/vectors/upsert" -> """{"upsertedCount":1}""",
+        "/vectors/delete" -> """{}""",
+        "/indexes/" -> """{"metric":"cosine","dimension":2}""",
+        "/indexes" -> """{"indexes":[{"name":"ix"}]}"""))
+    // flows that take MORE than one verb on the wire
+    val flows: Seq[(String, VectorStoreTransport => Any)] = Seq(
+      ("count", _.count("ix::ns")),
+      ("exists", _.exists("ix::ns")),
+      ("scroll", _.scroll("ix::ns", 0, 5)),
+      ("list", _.listCollections()),
+      ("drop", _.drop("a")),
+      ("describe", _.describe("g")))
+    val transports = Seq("qdrant" -> qdrant, "milvus" -> milvus, "pinecone" -> pinecone)
+    for (round <- 1 to 60) {
+      for ((backend, t) <- transports) {
+        val canned = wellFormed(backend)
+        // corrupt ONE randomly-chosen verb; the rest stay well-formed
+        val victim = rnd.nextInt(canned.length)
+        val hostile = mapper.writeValueAsString(randNode(rnd, 3))
+        stub.perPath = canned.updated(victim, (canned(victim)._1, hostile))
+        stub.body = hostile
+        for ((verb, flow) <- flows) {
+          try { flow(t); () } catch {
+            case _: WireShapeException => ()
+            case _: NoSuchElementException => ()
+            case _: java.io.IOException => ()
+            case _: IllegalArgumentException => ()
+            case e @ (_: NullPointerException | _: ClassCastException) =>
+              fail(s"$backend $verb NPE/CCE in round $round (victim " +
+                s"${canned(victim)._1} -> $hostile): $e")
+          }
+        }
+      }
+    }
+    stub.perPath = Nil
   }
 }

@@ -189,6 +189,10 @@ class MigratorSpec extends SparkSpec {
       .toDF("id", "vector", "metadata").write.parquet(s"$v2/docs.parquet")
     val r = IncrementalMigrator.run(spark, c(v2))
     assert(r.success && r.metrics("rows") == "1", r) // "c" only; "a" withheld
+    // the withheld count rides the REPORT (counted in the same write
+    // action via observe), not just stderr — automation can detect the
+    // incomplete apply
+    assert(r.withheldUpdates == 1, r)
     val target = spark.read.parquet(s"$tmp/wh_t.parquet")
     assert(target.count() == 3)
     assert(target.select("id").distinct().count() == 3,
@@ -207,6 +211,26 @@ class MigratorSpec extends SparkSpec {
     val rows = Validator.validate(src, tgt).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows("vector_mismatches") == 1L, rows.toString)
+  }
+
+  test("append-mode validate: ids_extra_in_target informational, shipped checks strict") {
+    import spark.implicits._
+    val src = Seq(("a", Seq(1f, 2f)), ("b", Seq(3f, 4f))).toDF("id", "vector")
+    // target = the appended run's rows PLUS prior contents ("z"), and one
+    // genuine defect: "b" landed with the wrong vector
+    val tgt = Seq(("a", Seq(1f, 2f)), ("b", Seq(9f, 9f)), ("z", Seq(7f, 7f)))
+      .toDF("id", "vector")
+    def byCheck(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // strict (recreate) mode: the prior row is a defect
+    val strict = byCheck(Validator.validate(src, tgt))
+    assert(strict("ids_extra_in_target") == ((1L, false)), strict.toString)
+    // append mode: the SAME count reported, but informational — while the
+    // vector mismatch on a shipped id still fails
+    val append = byCheck(Validator.validate(src, tgt, appendMode = true))
+    assert(append("ids_extra_in_target") == ((1L, true)), append.toString)
+    assert(append("vector_mismatches") == ((1L, false)), append.toString)
+    assert(append("ids_missing_in_target") == ((0L, true)), append.toString)
   }
 
   test("explicit JSON nulls in config fields mean absent, not zero/'null'") {

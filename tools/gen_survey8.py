@@ -3,12 +3,21 @@
 
 Scans the query-family sources for every gate definition ("q_name" ->) and
 its oracle twin, and emits one markdown row per gate. Run from the repo
-root; prints the section to stdout:
+root; prints the section to stdout, or splices it into SURVEY.md in place:
 
-    python3 tools/gen_survey8.py > /tmp/sec8.md
+    python3 tools/gen_survey8.py            # stdout only
+    python3 tools/gen_survey8.py --write    # replace SURVEY.md's generated block
+
+--write is IDEMPOTENT: it replaces everything from the generated block's
+first line ("Gates: N oracle-adjudicated...") to end of file (section 8 is
+the last section), so re-running never appends a duplicate trailer — the
+r16 hand-splice appended instead of replacing and tripled the bench-only
+line.
 """
+import io
 import re
-import subprocess
+import sys
+from contextlib import redirect_stdout
 from pathlib import Path
 
 QUERY_DIR = Path("src/main/scala/graft/queries")
@@ -69,5 +78,24 @@ def main():
               f"— `{BENCH}`.")
 
 
+def write_in_place():
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main()
+    survey = Path("SURVEY.md")
+    lines = survey.read_text().splitlines()
+    try:
+        hdr = next(i for i, l in enumerate(lines) if l.startswith("## 8."))
+        start = next(i for i, l in enumerate(lines[hdr:], hdr)
+                     if l.startswith("Gates: "))
+    except StopIteration:
+        sys.exit("SURVEY.md: no '## 8.' header or 'Gates: ' block to replace")
+    survey.write_text("\n".join(lines[:start]) + "\n" + buf.getvalue())
+    print(f"SURVEY.md: replaced generated block (was lines {start + 1}-{len(lines)})")
+
+
 if __name__ == "__main__":
-    main()
+    if "--write" in sys.argv[1:]:
+        write_in_place()
+    else:
+        main()
