@@ -203,20 +203,35 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** Per-section sentinel readings: calibration + loadavg bracketing ONE
-    * measured section, plus the section's own dispersion health
-    * (`iqrNoisy`: any query with IQR > median — not a measurement). The
-    * dispersion term folds into `noisy` so a "clean" section can never
-    * carry garbage medians: round 15's sf1 section passed the
-    * calibration bars while holding two IQR>4x-median rows. */
+  /** Per-section sentinel readings: calibration + loadavg + IO probe
+    * bracketing ONE measured section, plus the section's own dispersion
+    * health (`iqrNoisy`: any query with IQR > median — not a
+    * measurement). The dispersion term folds into `noisy` so a "clean"
+    * section can never carry garbage medians: round 15's sf1 section
+    * passed the calibration bars while holding two IQR>4x-median rows.
+    *
+    * IO readings (round 17, closing the r16 drift question): the CPU
+    * calibration is data-free and blind to page-cache / IO-scheduler
+    * state — r16 measured three "clean" runs spreading 18.4–19.9 s at
+    * sf1 with calibrations flat, the spread living in the IO axis. Each
+    * section now brackets a fixed parquet scan of ITS OWN input dir
+    * (warm by bracket time: the untimed warm-up pass reads the tables
+    * first), and `ioNoisy` — IO drift > 2.5x across the section — folds
+    * into `noisy`: IO state changing UNDER a section means its medians
+    * mix two IO regimes. Negative io readings (probe failed) disable
+    * the term. */
   private[graft] case class SectionStats(calibPre: Double, calibPost: Double,
                                          loadPre: Double, loadPost: Double,
-                                         iqrNoisy: Boolean = false) {
-    def noisy: Boolean = sectionNoisy(this) || iqrNoisy
+                                         iqrNoisy: Boolean = false,
+                                         ioPre: Double = -1.0,
+                                         ioPost: Double = -1.0) {
+    def ioNoisy: Boolean = ioPre > 0 && ioPost > 0 && drift(ioPre, ioPost) > 2.5
+    def noisy: Boolean = sectionNoisy(this) || iqrNoisy || ioNoisy
     def json: String =
       s"""{"calib_pre":${d3(calibPre)},"calib_post":${d3(calibPost)},""" +
         s""""load_pre":$loadPre,"load_post":$loadPost,""" +
-        s""""iqr_noisy":$iqrNoisy,"noisy":$noisy}"""
+        s""""io_pre":${d3(ioPre)},"io_post":${d3(ioPost)},""" +
+        s""""iqr_noisy":$iqrNoisy,"io_noisy":$ioNoisy,"noisy":$noisy}"""
   }
 
   /** Any query whose dispersion exceeds its median taints the section. */
@@ -242,16 +257,21 @@ object Bench {
         s.loadPost - s.loadPre > Runtime.getRuntime.availableProcessors() / 8.0)
   }
 
-  /** Run `body` bracketed by its own calibration + loadavg reads. Each
-    * bracket is a min-of-3 calibration ([[calibrateMin3]]) so the JVM's
-    * own post-section GC state cannot fake a contention flag. */
-  private[graft] def bracketed[A](spark: SparkSession)(body: => A): (A, SectionStats) = {
+  /** Run `body` bracketed by its own calibration + loadavg + (when
+    * `ioDir` is given) IO-probe reads. Each bracket is a min-of-3
+    * calibration ([[calibrateMin3]]) so the JVM's own post-section GC
+    * state cannot fake a contention flag; the IO probe is a single scan
+    * of the section's own input dir (already warm — see SectionStats). */
+  private[graft] def bracketed[A](spark: SparkSession, ioDir: Option[String] = None)
+                                 (body: => A): (A, SectionStats) = {
     val lp = loadAvg1m()
+    val ip = ioDir.map(d => ioCalibrate(spark, d)).getOrElse(-1.0)
     val cp = calibrateMin3(spark)
     val a = body
     val cq = calibrateMin3(spark)
+    val iq = ioDir.map(d => ioCalibrate(spark, d)).getOrElse(-1.0)
     val lq = loadAvg1m()
-    (a, SectionStats(cp, cq, lp, lq))
+    (a, SectionStats(cp, cq, lp, lq, ioPre = ip, ioPost = iq))
   }
 
   /** The sf1 ramp directory, GENERATING it when absent — round 11's
@@ -373,7 +393,8 @@ object Bench {
     // each SECTION rides its own calibration/loadavg bracket (round 13) —
     // run-long brackets missed round 12's late-arriving sf1 co-tenant
     warmup(spark, sfDir, headline)
-    val (results, stHead) = bracketed(spark)(measure(spark, sfDir, samples, headline))
+    val (results, stHead) =
+      bracketed(spark, Some(sfDir))(measure(spark, sfDir, samples, headline))
     val calibFirst = stHead.calibPre
     val (qjson, ijson) = jsonMaps(results)
     val total = results.map(_._2).sum
@@ -383,7 +404,7 @@ object Bench {
     // LLM-pipeline heavies: their own section at the same scale
     val (resPipe, stPipe) =
       { warmup(spark, sfDir, pipelineHeadline)
-        bracketed(spark)(measure(spark, sfDir, samples, pipelineHeadline)) }
+        bracketed(spark, Some(sfDir))(measure(spark, sfDir, samples, pipelineHeadline)) }
     val (pq, pi) = jsonMaps(resPipe)
     val pipeJson =
       s""","pipeline_total":${d3(resPipe.map(_._2).sum)},"pipeline_queries":$pq,""" +
@@ -413,10 +434,10 @@ object Bench {
       // SPARK_GRAFT_SF1_SAMPLES can only raise it.
       val s1 = math.max(5, sys.env.getOrElse("SPARK_GRAFT_SF1_SAMPLES", "5").toInt)
       warmup(spark, d, headline)
-      val (r1, st1) = bracketed(spark)(measure(spark, d, s1, headline))
+      val (r1, st1) = bracketed(spark, Some(d))(measure(spark, d, s1, headline))
       val (q1, i1) = jsonMaps(r1)
       warmup(spark, d, pipelineHeadline)
-      val (rp1, stp1) = bracketed(spark)(measure(spark, d, s1, pipelineHeadline))
+      val (rp1, stp1) = bracketed(spark, Some(d))(measure(spark, d, s1, pipelineHeadline))
       val (qp1, ip1) = jsonMaps(rp1)
       sf1Sections = Map("sf1" -> st1.copy(iqrNoisy = hasIqrNoise(r1)),
         "sf1_pipeline" -> stp1.copy(iqrNoisy = hasIqrNoise(rp1)))

@@ -102,6 +102,11 @@ class PgVectorConnector extends VectorConnector {
 
   override def read(spark: SparkSession, connection: Map[String, String],
                     query: QuerySpec): DataFrame = {
+    // `"protocol": "wire"` routes the data path through the engine's own
+    // v3-protocol client ([[PgWireFace]]) — same SELECT builder, same
+    // codec, no JDBC driver jar needed (and live-server-tested here,
+    // which the JDBC path cannot be)
+    if (PgWireFace.enabled(connection)) return PgWireFace.read(spark, connection, query)
     // dbtable-with-subquery (not the `query` option) so partitionColumn
     // range splitting stays available
     val reader = spark.read.format("jdbc")
@@ -143,6 +148,7 @@ class PgVectorConnector extends VectorConnector {
 
   override def write(df: DataFrame, connection: Map[String, String],
                      load: LoadSpec): WriteReport = {
+    if (PgWireFace.enabled(connection)) return PgWireFace.write(df, connection, load)
     val dim = load.dimension.orElse(Canonical.inferDim(df)).getOrElse(0)
     PgVectorConnector.installDialect(dim)
     val out = df.select(
@@ -225,7 +231,8 @@ class PgVectorConnector extends VectorConnector {
     * misreport missing pg tables as present); JDBC faults propagate. */
   override def exists(spark: SparkSession, connection: Map[String, String],
                       collection: String): Boolean =
-    spark.read.format("jdbc")
+    if (PgWireFace.enabled(connection)) PgWireFace.exists(connection, collection)
+    else spark.read.format("jdbc")
       .option("url", jdbcUrl(connection))
       .option("query",
         s"SELECT 1 FROM information_schema.tables WHERE ${catalogPredicate(collection)}")
@@ -235,6 +242,7 @@ class PgVectorConnector extends VectorConnector {
 
   override def schemaInfo(spark: SparkSession, connection: Map[String, String],
                           collection: String): SchemaInfo = {
+    if (PgWireFace.enabled(connection)) return PgWireFace.schemaInfo(connection, collection)
     // information_schema introspection (adapters/pgvector.py:244-289).
     // TWO-STEP name resolution, unlike exists(): a column query against
     // IN ('Name', 'name') could match a quoted-mixed-case table AND the
