@@ -224,14 +224,29 @@ object Bench {
                                          loadPre: Double, loadPost: Double,
                                          iqrNoisy: Boolean = false,
                                          ioPre: Double = -1.0,
-                                         ioPost: Double = -1.0) {
+                                         ioPost: Double = -1.0,
+                                         steady: Double = -1.0) {
     def ioNoisy: Boolean = ioPre > 0 && ioPost > 0 && drift(ioPre, ioPost) > 2.5
-    def noisy: Boolean = sectionNoisy(this) || iqrNoisy || ioNoisy
+    /** SUSTAINED-pressure term (round-17 study): constant co-tenant load
+      * leaves both brackets ELEVATED but AGREEING — drift, IQR, and IO
+      * bars are all structurally blind to it (study run 3: every bracket
+      * stable at ~2x the idle floor, sf1 pipeline 75% inflated,
+      * unflagged). The signature is the section's BETTER bracket sitting
+      * far above the run's own steady-state warm-up calibration: JIT
+      * maturation only ever LOWERS later calibrations, so min(brackets)
+      * > 2x steady means external pressure, not JVM state. A run that
+      * STARTS contended carries an elevated steady and this term cannot
+      * see it — that case is only legible against cross-round floors,
+      * which is why `calib_steady_sec` rides the artifact. */
+    def sustained: Boolean =
+      steady > 0 && math.min(calibPre, calibPost) > 2.0 * steady
+    def noisy: Boolean = sectionNoisy(this) || iqrNoisy || ioNoisy || sustained
     def json: String =
       s"""{"calib_pre":${d3(calibPre)},"calib_post":${d3(calibPost)},""" +
         s""""load_pre":$loadPre,"load_post":$loadPost,""" +
         s""""io_pre":${d3(ioPre)},"io_post":${d3(ioPost)},""" +
-        s""""iqr_noisy":$iqrNoisy,"io_noisy":$ioNoisy,"noisy":$noisy}"""
+        s""""iqr_noisy":$iqrNoisy,"io_noisy":$ioNoisy,""" +
+        s""""sustained":$sustained,"noisy":$noisy}"""
   }
 
   /** Any query whose dispersion exceeds its median taints the section. */
@@ -262,7 +277,8 @@ object Bench {
     * calibration ([[calibrateMin3]]) so the JVM's own post-section GC
     * state cannot fake a contention flag; the IO probe is a single scan
     * of the section's own input dir (already warm — see SectionStats). */
-  private[graft] def bracketed[A](spark: SparkSession, ioDir: Option[String] = None)
+  private[graft] def bracketed[A](spark: SparkSession, ioDir: Option[String] = None,
+                                  steady: Double = -1.0)
                                  (body: => A): (A, SectionStats) = {
     val lp = loadAvg1m()
     val ip = ioDir.map(d => ioCalibrate(spark, d)).getOrElse(-1.0)
@@ -271,7 +287,7 @@ object Bench {
     val cq = calibrateMin3(spark)
     val iq = ioDir.map(d => ioCalibrate(spark, d)).getOrElse(-1.0)
     val lq = loadAvg1m()
-    (a, SectionStats(cp, cq, lp, lq, ioPre = ip, ioPost = iq))
+    (a, SectionStats(cp, cq, lp, lq, ioPre = ip, ioPost = iq, steady = steady))
   }
 
   /** The sf1 ramp directory, GENERATING it when absent — round 11's
@@ -388,13 +404,18 @@ object Bench {
     while (warmups < 20 && (warmups < 8 || drift(wPrev, wCur) > 1.3)) {
       wPrev = wCur; wCur = calibrate(spark); warmups += 1
     }
+    // the run's steady-state calibration: the sustained-pressure bar for
+    // every section, and a legible record of the START state (an elevated
+    // steady = the run began contended; judge it against cross-round
+    // floors, not its own brackets)
+    val calibSteady = wCur
     val loadBefore = loadAvg1m()
     val ioFirst = { ioCalibrate(spark, sfDir); ioCalibrate(spark, sfDir) } // warm once, read second
     // each SECTION rides its own calibration/loadavg bracket (round 13) —
     // run-long brackets missed round 12's late-arriving sf1 co-tenant
     warmup(spark, sfDir, headline)
     val (results, stHead) =
-      bracketed(spark, Some(sfDir))(measure(spark, sfDir, samples, headline))
+      bracketed(spark, Some(sfDir), calibSteady)(measure(spark, sfDir, samples, headline))
     val calibFirst = stHead.calibPre
     val (qjson, ijson) = jsonMaps(results)
     val total = results.map(_._2).sum
@@ -404,7 +425,8 @@ object Bench {
     // LLM-pipeline heavies: their own section at the same scale
     val (resPipe, stPipe) =
       { warmup(spark, sfDir, pipelineHeadline)
-        bracketed(spark, Some(sfDir))(measure(spark, sfDir, samples, pipelineHeadline)) }
+        bracketed(spark, Some(sfDir), calibSteady)(
+          measure(spark, sfDir, samples, pipelineHeadline)) }
     val (pq, pi) = jsonMaps(resPipe)
     val pipeJson =
       s""","pipeline_total":${d3(resPipe.map(_._2).sum)},"pipeline_queries":$pq,""" +
@@ -434,10 +456,12 @@ object Bench {
       // SPARK_GRAFT_SF1_SAMPLES can only raise it.
       val s1 = math.max(5, sys.env.getOrElse("SPARK_GRAFT_SF1_SAMPLES", "5").toInt)
       warmup(spark, d, headline)
-      val (r1, st1) = bracketed(spark, Some(d))(measure(spark, d, s1, headline))
+      val (r1, st1) =
+        bracketed(spark, Some(d), calibSteady)(measure(spark, d, s1, headline))
       val (q1, i1) = jsonMaps(r1)
       warmup(spark, d, pipelineHeadline)
-      val (rp1, stp1) = bracketed(spark, Some(d))(measure(spark, d, s1, pipelineHeadline))
+      val (rp1, stp1) =
+        bracketed(spark, Some(d), calibSteady)(measure(spark, d, s1, pipelineHeadline))
       val (qp1, ip1) = jsonMaps(rp1)
       sf1Sections = Map("sf1" -> st1.copy(iqrNoisy = hasIqrNoise(r1)),
         "sf1_pipeline" -> stp1.copy(iqrNoisy = hasIqrNoise(rp1)))
@@ -462,6 +486,7 @@ object Bench {
     val anyNoisy = noisyHost(calibFirst, calibLast) || noisySections.nonEmpty
     val sentinel =
       s""","calib_first_sec":${d3(calibFirst)},"calib_last_sec":${d3(calibLast)}""" +
+        s""","calib_steady_sec":${d3(calibSteady)}""" +
         s""","io_first_sec":${d3(ioFirst)},"io_last_sec":${d3(ioLast)}""" +
         s""","load_1m_before":$loadBefore,"load_1m_after":$loadAfter""" +
         s""","sections":$sectionsJson""" +

@@ -81,6 +81,24 @@ class BenchSentinelSpec extends SparkSpec {
     assert(!Bench.hasIqrNoise(Nil))
   }
 
+  test("sustained-pressure term: agreeing-but-elevated brackets flag vs calib_steady") {
+    // the round-17 study's run-3 shape: both brackets STABLE (no drift,
+    // no IQR, no IO drift) yet ~2x the run's steady warm-up calibration —
+    // sustained co-tenancy the transition bars are structurally blind to
+    val stable = Bench.SectionStats(0.17, 0.18, 1.0, 1.0, steady = 0.08)
+    assert(stable.sustained && stable.noisy, stable.json)
+    assert(stable.json.contains("\"sustained\":true"), stable.json)
+    // brackets near steady: clean
+    assert(!Bench.SectionStats(0.09, 0.1, 1.0, 1.0, steady = 0.08).sustained)
+    // JIT maturation (later sections FASTER than steady) never flags
+    assert(!Bench.SectionStats(0.05, 0.06, 1.0, 1.0, steady = 0.08).sustained)
+    // one elevated bracket with a calm partner = transition territory
+    // (drift bar's job); the sustained term keys on the BETTER bracket
+    assert(!Bench.SectionStats(0.3, 0.09, 1.0, 1.0, steady = 0.08).sustained)
+    // no steady recorded (pre-r17 artifacts): term disabled
+    assert(!Bench.SectionStats(0.17, 0.18, 1.0, 1.0).sustained)
+  }
+
   test("section-scoped sentinel: load during ONE section flags that section only") {
     Bench.calibrate(spark) // pay codegen/JIT once
     // the clean section: retry up to 3x — a shared test host can inflate a
