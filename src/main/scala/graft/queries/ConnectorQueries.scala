@@ -283,6 +283,48 @@ object ConnectorQueries {
           element_at(col(Canonical.METADATA), "source_db").as("source_db"))
     }),
 
+    // ---- The reference's HEADLINE use case on the pgvector face, LIVE:
+    //      config-driven migration into a real PostgreSQL server over the
+    //      engine's v3 wire client (protocol=wire — batched inserts,
+    //      VECTOR DDL with the 42704 TEXT fallback, readBack codec
+    //      inverse). The gate boots a throwaway server (PgTestServer:
+    //      initdb + pg_ctl, trust auth, loopback); where the environment
+    //      has no PostgreSQL it degrades to the memory connector — SAME
+    //      canonical rows either way, so the oracle adjudicates the codec
+    //      path everywhere and the LIVE wire path wherever a server can
+    //      run (this sandbox included). The result is collected
+    //      (gate-bounded: the embeddings fixture) so the server can be
+    //      STOPPED before the frame is consumed — a postgres PROCESS must
+    //      not outlive the gate the way in-JVM loopback daemons may ----
+    "q_migrate_pgwire" -> ((s, dir) => {
+      val pg = graft.connectors.pgwire.PgTestServer.start()
+      val (tKind, tConn) = pg match {
+        case Some(run) => ("pgvector", Map(
+          "host" -> "127.0.0.1", "port" -> run.port.toString,
+          "protocol" -> "wire", "database" -> "postgres", "user" -> "postgres"))
+        case None => ("memory", Map.empty[String, String])
+      }
+      try {
+        val connJson = tConn.map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
+        val cfg = graft.config.MigrationConfig.fromJson(
+          s"""{"source": {"type": "parquet", "connection": {"path": "$dir"},
+             |            "query": {"table_name": "embeddings", "id_column": "vec_id",
+             |                      "vector_column": "embedding",
+             |                      "metadata_columns": ["label"]}},
+             | "target": {"type": "$tKind", "connection": {$connJson},
+             |            "load": {"collection": "gate_pgw", "recreate": true}}}""".stripMargin)
+        val report = new graft.core.Migrator(s).run(cfg)
+        require(report.success, report.error)
+        val back = graft.connectors.ConnectorRegistry(tKind)
+          .readBack(s, tConn, graft.config.LoadSpec(collection = "gate_pgw"))
+          .select(col(Canonical.ID),
+            element_at(col(Canonical.METADATA), "label").as("label"),
+            round(element_at(col(Canonical.VECTOR), 1).cast("double"), 5).as("v1"))
+        val rows = back.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 4), back.schema)
+      } finally pg.foreach(_.stop())
+    }),
+
     // The reference's full use-case at CROSS-DIALECT wire fidelity: source
     // collection lives behind a Qdrant-dialect socket, target behind a
     // Pinecone-dialect socket, and the config-driven Migrator moves the
@@ -626,6 +668,12 @@ object ConnectorQueries {
     "q_migrate_e2e" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label, " +
         "'pgvector' AS source_db FROM embeddings"),
+    // the live-PostgreSQL migrate gate: ids + labels + one rounded vector
+    // component prove the canonical rows survived the wire write + the
+    // text-codec read-back (or the memory fallback) bit-for-bit
+    "q_migrate_pgwire" ->
+      ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label, " +
+        "round(CAST(embedding[1] AS DOUBLE), 5) AS v1 FROM embeddings"),
     "q_migrate_wire_cross" ->
       ("SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS VARCHAR) AS label, " +
         "round(CAST(embedding[1] AS DOUBLE), 5) AS v1 " +

@@ -50,8 +50,11 @@ class ContractSpec extends AnyFunSuite {
     // (the streaming dedup face hash-checked against the batch oracle)
     // round 17: +q_dedup_near_stream (streaming SimHash near-dedup,
     // fingerprint-set oracle = DISTINCT-wrapped q_dedup_simhash),
-    // +q_decontaminate_semantic_stream (streaming ≡ batch, same oracle)
-    assert(SparkEntry.queries.size == 176, SparkEntry.queries.size.toString)
+    // +q_decontaminate_semantic_stream (streaming ≡ batch, same oracle),
+    // +q_migrate_pgwire (config-driven migration into a LIVE PostgreSQL
+    // over the v3 wire client; memory-connector fallback where no server
+    // can run — same canonical rows, same oracle)
+    assert(SparkEntry.queries.size == 177, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {
