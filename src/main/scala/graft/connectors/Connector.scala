@@ -61,6 +61,13 @@ trait VectorConnector {
     * withheld updates instead of silently duplicating the target. */
   def upsertsById: Boolean = false
 
+  /** Connection-aware refinement of [[upsertsById]]: a connector whose
+    * upsert capability depends on HOW it is addressed overrides this —
+    * pgvector's wire face deletes-then-inserts each batch by id (upsert
+    * semantics, one implicit transaction per batch) while its JDBC face
+    * appends. Defaults to the static answer. */
+  def upsertsById(connection: Map[String, String]): Boolean = upsertsById
+
   /** Definitive existence probe: `false` ONLY on positive evidence of
     * absence (missing path / no catalog row / describe miss); every other
     * failure — connectivity, auth expiry, timeout, rate limit — PROPAGATES.

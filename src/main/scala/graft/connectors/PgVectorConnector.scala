@@ -75,6 +75,14 @@ object PgVectorConnector {
 class PgVectorConnector extends VectorConnector {
   override def name: String = "pgvector"
 
+  /** The WIRE face upserts by id (each batch is one atomic
+    * delete-then-insert statement — [[PgWireFace.write]]), so the
+    * incremental migrator SHIPS changed records to it instead of
+    * withholding them; the JDBC face stays insert-only (Spark's JDBC
+    * sink appends — applying an update there would duplicate the id). */
+  override def upsertsById(connection: Map[String, String]): Boolean =
+    PgWireFace.enabled(connection)
+
   /** Identifier whitelist — the reference interpolates unvalidated strings
     * into SQL (`adapters/pgvector.py:96-108`, an injection hazard SURVEY §2
     * flags); we hard-reject non-identifier names instead. */

@@ -139,7 +139,15 @@ object PgWireFace {
 
   /** Distributed wire write: DDL once from the driver (VECTOR(d), TEXT
     * fallback on 42704), then every partition streams `batchSize`-row
-    * multi-VALUES INSERTs over its own connection. The row count rides
+    * batches over its own connection. Each batch is ONE statement string
+    * — `DELETE ... WHERE id IN (batch ids); INSERT ... VALUES ...` — and
+    * a multi-statement Simple Query executes as a single IMPLICIT
+    * TRANSACTION on the documented protocol, so the batch is an ATOMIC
+    * id-keyed UPSERT: changed records replace their previous versions
+    * (the incremental migrator ships updates here instead of withholding
+    * them — `upsertsById(connection)`), and a RETRIED Spark task
+    * re-applies its batch idempotently instead of duplicating ids (the
+    * standing insert-only hazard of append sinks). The row count rides
     * the write action via `Dataset.observe` — no second pass. */
   def write(df: DataFrame, connection: Map[String, String],
             load: LoadSpec): WriteReport = {
@@ -174,6 +182,7 @@ object PgWireFace {
     val (h, p, u, d) = endpoint(connection)
     val batch = math.max(1, load.batchSize)
     val prefix = s"INSERT INTO $table (${ddlCols._1}, ${ddlCols._2}, metadata) VALUES "
+    val idCol = ddlCols._1
     observed.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val c = new PgWireClient(h, p, u, d)
@@ -182,7 +191,14 @@ object PgWireFace {
             def lit(i: Int) = if (r.isNullAt(i)) "NULL" else sqlLit(r.getString(i))
             s"(${lit(0)}, ${lit(1)}, ${lit(2)})"
           }.mkString(", ")
-          c.query(prefix + values)
+          // delete leg first, SAME statement: id-keyed upsert, atomic per
+          // batch (null ids have no previous version to replace — IN with
+          // no non-null members is simply omitted)
+          val ids = g.collect { case r if !r.isNullAt(0) => sqlLit(r.getString(0)) }
+          val del =
+            if (ids.isEmpty) ""
+            else s"DELETE FROM $table WHERE $idCol IN (${ids.mkString(", ")}); "
+          c.query(del + prefix + values)
         } finally c.close()
       }
     }

@@ -271,7 +271,7 @@ object IncrementalMigrator {
         case None => base
         case Some(t) =>
           val changed = changedRecords(base, t)
-          if (target.upsertsById) changed
+          if (target.upsertsById(config.target.connection)) changed
           else {
             // insert-only sink (JDBC append, files): shipping a CHANGED
             // record would append a SECOND copy of its id — ship new ids

@@ -170,12 +170,21 @@ class PgLiveWireSpec extends SparkSpec {
       Map("k" -> "v'--; DROP TABLE x", "u" -> "héllo"))
     assert(back(0).getSeq[Float](1) == Seq(1.5f, -2.25f))
     assert(back(2).isNullAt(1) || back(2).getSeq[Float](1) == null)
-    // recreate=false write APPENDS (the JDBC SaveMode.Append analog)
-    val rep2 = pgv.write(Seq(("d", Seq(7f, 7f), Map("k" -> "4")))
+    // recreate=false write lands new ids...
+    def one(vec: Seq[Float]) = Seq(("d", vec, Map("k" -> "4")))
       .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
-        graft.model.Canonical.METADATA), wireConn(), load.copy(recreate = false))
+        graft.model.Canonical.METADATA)
+    val rep2 = pgv.write(one(Seq(7f, 7f)), wireConn(), load.copy(recreate = false))
     assert(rep2.written == 1)
     assert(pgv.readBack(spark, wireConn(), load).count() == 4)
+    // ...and REPLACES existing ids (the wire face's id-keyed upsert: each
+    // batch is one atomic delete-then-insert statement) — a re-delivered
+    // batch (retried Spark task) converges instead of duplicating ids
+    pgv.write(one(Seq(8f, 8f)), wireConn(), load.copy(recreate = false))
+    val after = pgv.readBack(spark, wireConn(), load)
+    assert(after.count() == 4, "upsert duplicated an existing id")
+    assert(after.filter(col(graft.model.Canonical.ID) === "d")
+      .head().getSeq[Float](1) == Seq(8f, 8f), "upsert kept the stale version")
   }
 
   test("partitioned wire read: declared id bounds split into range slices") {
@@ -193,7 +202,7 @@ class PgLiveWireSpec extends SparkSpec {
       s"n=${ids.length} distinct=${ids.distinct.length}")
   }
 
-  test("incremental migration over the wire face: idempotent, withheld updates reported") {
+  test("incremental migration over the wire face: idempotent, updates APPLIED (upsert)") {
     live()
     val tmp = java.nio.file.Files.createTempDirectory("graft-pgwire-inc").toString
     def writeSrc(sub: String, rows: Seq[(String, Seq[Float], Map[String, String])]): String = {
@@ -217,18 +226,24 @@ class PgLiveWireSpec extends SparkSpec {
     // classify every row unchanged (codec-inverse fidelity, live server)
     val again = graft.core.IncrementalMigrator.run(spark, cfg(v1))
     assert(again.success && again.metrics("rows") == "0", again)
-    // v2: "a" CHANGES (withheld on the insert-only sink), "c" is new
+    // v2: "a" CHANGES, "c" is new — the wire face upserts by id
+    // (upsertsById(connection) = true), so BOTH ship: the update is
+    // APPLIED, not withheld (the r16 stretch item, now implementable
+    // because each wire batch is an atomic delete-then-insert)
     val v2 = writeSrc("v2", Seq(
       ("a", Seq(9f, 9f), Map("k" -> "1")), ("b", Seq(3f, 4f), Map("k" -> "2")),
       ("c", Seq(5f, 6f), Map("k" -> "3"))))
     val r = graft.core.IncrementalMigrator.run(spark, cfg(v2))
-    assert(r.success && r.metrics("rows") == "1", r)
-    assert(r.withheldUpdates == 1, r)
+    assert(r.success && r.metrics("rows") == "2", r) // "a" (update) + "c" (insert)
+    assert(r.withheldUpdates == 0, r)
     val back = ConnectorRegistry("pgvector").readBack(spark, wireConn(),
       graft.config.LoadSpec(collection = "wire_inc"))
     assert(back.count() == 3)
     assert(back.select("id").distinct().count() == 3,
-      "a changed record was appended onto the insert-only wire sink — duplicate id")
+      "the upsert duplicated a changed record's id")
+    // the target holds the NEW version of "a" — the reference's named
+    // future work ("incremental migration") with updates applied
+    assert(back.filter(col("id") === "a").head().getSeq[Float](1) == Seq(9f, 9f))
   }
 
   test("batched multi-row INSERT through the wire matches the write batch size shape") {
