@@ -33,20 +33,22 @@ import graft.model.Canonical
   *    loudly — PostgreSQL text cannot carry them.
   *
   * Limits vs JDBC (documented, not hidden): Simple Query protocol only
-  * (no prepared statements, no binary formats), trust/local auth only
-  * (no SCRAM/TLS), and `limit`/`offset` force a single-range read (a
-  * per-partition LIMIT would multiply it). */
+  * (no prepared statements, no binary formats, no TLS; auth = trust,
+  * cleartext, MD5, or SCRAM-SHA-256 via the `password` connection key),
+  * and `limit`/`offset` force a single-range read (a per-partition
+  * LIMIT would multiply it). */
 object PgWireFace {
 
   def enabled(connection: Map[String, String]): Boolean =
     connection.get("protocol").contains("wire")
 
   private[connectors] def endpoint(connection: Map[String, String])
-      : (String, Int, String, String) = (
+      : (String, Int, String, String, Option[String]) = (
     connection.getOrElse("host", "localhost"),
     connection.getOrElse("port", "5432").toInt,
     connection.getOrElse("user", "postgres"),
-    connection.getOrElse("database", "postgres"))
+    connection.getOrElse("database", "postgres"),
+    connection.get("password").filter(_.nonEmpty))
 
   /** Single-quoted SQL text literal: `''`-escaped, NULs rejected loudly
     * (PostgreSQL text cannot carry them — silently stripping one would
@@ -60,8 +62,8 @@ object PgWireFace {
   }
 
   private def withClient[A](connection: Map[String, String])(f: PgWireClient => A): A = {
-    val (h, p, u, d) = endpoint(connection)
-    val c = new PgWireClient(h, p, u, d)
+    val (h, p, u, d, pw) = endpoint(connection)
+    val c = new PgWireClient(h, p, u, d, pw)
     try f(c) finally c.close()
   }
 
@@ -124,9 +126,9 @@ object PgWireFace {
         case _ => Seq(query)
       }
     val sqls = ranged.map(sqlSide.buildSelect)
-    val (h, p, u, d) = endpoint(connection)
+    val (h, p, u, d, pw) = endpoint(connection)
     val rdd = spark.sparkContext.parallelize(sqls, sqls.length).flatMap { sql =>
-      val c = new PgWireClient(h, p, u, d)
+      val c = new PgWireClient(h, p, u, d, pw)
       try c.query(sql).rows.map(Row.fromSeq(_))
       finally c.close()
     }
@@ -179,13 +181,13 @@ object PgWireFace {
       to_json(col(Canonical.METADATA)))
     val obs = new org.apache.spark.sql.Observation(s"graft-pgwire-${System.nanoTime()}")
     val observed = out.observe(obs, count(lit(1)).as("rows"))
-    val (h, p, u, d) = endpoint(connection)
+    val (h, p, u, d, pw) = endpoint(connection)
     val batch = math.max(1, load.batchSize)
     val prefix = s"INSERT INTO $table (${ddlCols._1}, ${ddlCols._2}, metadata) VALUES "
     val idCol = ddlCols._1
     observed.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val c = new PgWireClient(h, p, u, d)
+        val c = new PgWireClient(h, p, u, d, pw)
         try it.grouped(batch).foreach { g =>
           val values = g.map { r =>
             def lit(i: Int) = if (r.isNullAt(i)) "NULL" else sqlLit(r.getString(i))

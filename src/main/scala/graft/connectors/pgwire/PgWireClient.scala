@@ -11,6 +11,71 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class PgWireException(val sqlState: String, message: String)
   extends IOException(s"[$sqlState] $message")
 
+/** SCRAM-SHA-256 client state (RFC 5802 with the SHA-256 parameters of
+  * RFC 7677), as PostgreSQL speaks it: gs2 header `n,,` (no channel
+  * binding), the startup-message user authoritative (the `n=` field is
+  * empty), SaltedPassword via PBKDF2-HMAC-SHA256. The server's final
+  * `v=` signature IS verified — mutual authentication, not just a
+  * password send. */
+private final class ScramState(password: String) {
+  import javax.crypto.Mac
+  import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
+
+  private val nonce = {
+    val r = new java.security.SecureRandom()
+    val b = new Array[Byte](18)
+    r.nextBytes(b)
+    java.util.Base64.getEncoder.encodeToString(b)
+  }
+  private val clientFirstBare = s"n=,r=$nonce"
+  private var authMessage: String = _
+  private var saltedPassword: Array[Byte] = _
+
+  def clientFirstMessage: String = s"n,,$clientFirstBare"
+
+  private def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+    val m = Mac.getInstance("HmacSHA256")
+    m.init(new SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(msg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private def sha256(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+
+  def clientFinalMessage(serverFirst: String): String = {
+    val fields = serverFirst.split(',').map(f => f.take(1) -> f.drop(2)).toMap
+    val combined = fields.getOrElse("r", throw new PgWireException("28000",
+      s"malformed SCRAM server-first-message: $serverFirst"))
+    if (!combined.startsWith(nonce))
+      throw new PgWireException("28000",
+        "SCRAM server nonce does not extend the client nonce — possible MITM")
+    val salt = java.util.Base64.getDecoder.decode(fields("s"))
+    val iters = fields("i").toInt
+    val spec = new PBEKeySpec(password.toCharArray, salt, iters, 256)
+    saltedPassword = javax.crypto.SecretKeyFactory
+      .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
+    val clientKey = hmac(saltedPassword, "Client Key")
+    val storedKey = sha256(clientKey)
+    val withoutProof = s"c=biws,r=$combined" // biws = base64("n,,")
+    authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+    val signature = hmac(storedKey, authMessage)
+    val proof = clientKey.zip(signature).map { case (a, b) => (a ^ b).toByte }
+    s"$withoutProof,p=${java.util.Base64.getEncoder.encodeToString(proof)}"
+  }
+
+  def verifyServerFinal(serverFinal: String): Unit = {
+    val v = serverFinal.split(',').find(_.startsWith("v="))
+      .map(_.drop(2)).getOrElse(throw new PgWireException("28000",
+        s"malformed SCRAM server-final-message: $serverFinal"))
+    val serverKey = hmac(saltedPassword, "Server Key")
+    val expect = java.util.Base64.getEncoder
+      .encodeToString(hmac(serverKey, authMessage))
+    if (expect != v)
+      throw new PgWireException("28000",
+        "SCRAM server signature mismatch — the server does not know the " +
+          "password it challenged for (possible MITM)")
+  }
+}
+
 /** One statement's outcome on the wire: the last result set's column
   * names and text-format rows (empty for DDL/DML), plus every
   * `CommandComplete` tag the statement batch produced ("CREATE TABLE",
@@ -24,26 +89,37 @@ case class PgResult(columns: Seq[String], rows: Seq[Seq[String]], tags: Seq[Stri
 
 /** Minimal PostgreSQL frontend — the documented v3 wire protocol
   * (PostgreSQL docs, "Frontend/Backend Protocol"), Simple Query flavor:
-  * `StartupMessage` → trust `AuthenticationOk` → `Query('Q')` with
-  * text-format results. This is NOT a JDBC replacement (no prepared
-  * statements, no binary formats, no TLS/SCRAM — trust/local auth only);
-  * it exists so the engine's hand-built SQL surface — the pgvector
-  * connector's `buildSelect` / catalog predicates / DDL shapes and the
-  * vector text codec — can be verified against a LIVE PostgreSQL server
-  * in environments where the JDBC driver jar is absent (this repo's
-  * offline sandbox). The reference drives the same statements through
-  * psycopg2 (`adapters/pgvector.py`); here the statements themselves are
-  * the contract under test.
+  * `StartupMessage` → authentication (trust, cleartext password, MD5,
+  * or SASL SCRAM-SHA-256 with server-signature verification — the
+  * PostgreSQL default since v14) → `Query('Q')` with text-format
+  * results. This is NOT a JDBC replacement (no prepared statements, no
+  * binary formats, no TLS); it exists so the engine's hand-built SQL
+  * surface — the pgvector connector's `buildSelect` / catalog
+  * predicates / DDL shapes and the vector text codec — can be verified
+  * against a LIVE PostgreSQL server in environments where the JDBC
+  * driver jar is absent (this repo's offline sandbox), and so the
+  * connector's wire face ([[graft.connectors.PgWireFace]]) can carry
+  * real reads/writes there. The reference drives the same statements
+  * through psycopg2 (`adapters/pgvector.py`); here the statements
+  * themselves are the contract under test.
   *
   * Thread-safety: none — one client per connection, like a raw socket. */
 class PgWireClient(host: String, port: Int,
                    user: String = "postgres",
-                   database: String = "postgres") extends AutoCloseable {
+                   database: String = "postgres",
+                   password: Option[String] = None) extends AutoCloseable {
 
   private val socket = new Socket(host, port)
   socket.setTcpNoDelay(true)
   private val in = new DataInputStream(socket.getInputStream)
   private val out = new DataOutputStream(socket.getOutputStream)
+
+  private def send(tpe: Char, body: Array[Byte]): Unit = {
+    out.writeByte(tpe)
+    out.writeInt(4 + body.length)
+    out.write(body)
+    out.flush()
+  }
 
   // ---- startup: length-prefixed (NO type byte), protocol 3.0, then
   // key/value params terminated by one NUL
@@ -54,25 +130,70 @@ class PgWireClient(host: String, port: Int,
     out.writeInt(196608) // 3 << 16: protocol 3.0
     out.write(body)
     out.flush()
-    // consume until the first ReadyForQuery: AuthenticationOk ('R' code 0
-    // under trust), ParameterStatus ('S'), BackendKeyData ('K')
+    // consume until the first ReadyForQuery, answering the server's
+    // authentication requests: trust (0), cleartext (3), MD5 (5), and
+    // SASL SCRAM-SHA-256 (10/11/12 — RFC 5802/7677, the PostgreSQL
+    // default since v14). ParameterStatus ('S') / BackendKeyData ('K')
+    // ride along.
+    var scram: ScramState = null
     var ready = false
-    while (!ready) {
+    try while (!ready) {
       val (tpe, payload) = readMessage()
       tpe match {
         case 'R' =>
           val code = ((payload(0) & 0xff) << 24) | ((payload(1) & 0xff) << 16) |
             ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
-          if (code != 0)
-            throw new PgWireException("28000",
-              s"server requested authentication method $code — this client " +
-                "speaks trust auth only (see pg_hba.conf)")
+          def pw: String = password.getOrElse(throw new PgWireException("28P01",
+            s"server requires password authentication (method $code) and no " +
+              "password was supplied"))
+          code match {
+            case 0 => // AuthenticationOk
+            case 3 => // cleartext password
+              send('p', pw.getBytes(UTF_8) :+ 0.toByte)
+            case 5 => // MD5: "md5" + md5(md5(password + user) + salt4), hex
+              val salt = payload.slice(4, 8)
+              val inner = md5Hex((pw + user).getBytes(UTF_8))
+              val outer = md5Hex(inner.getBytes(UTF_8) ++ salt)
+              send('p', ("md5" + outer).getBytes(UTF_8) :+ 0.toByte)
+            case 10 => // AuthenticationSASL: mechanism list, NUL-separated
+              val mechs = new String(payload.drop(4), UTF_8).split('\u0000').filter(_.nonEmpty)
+              if (!mechs.contains("SCRAM-SHA-256"))
+                throw new PgWireException("28000",
+                  s"server offers SASL mechanisms ${mechs.mkString(",")} — this " +
+                    "client speaks SCRAM-SHA-256 (without channel binding)")
+              scram = new ScramState(pw)
+              val initial = scram.clientFirstMessage.getBytes(UTF_8)
+              val buf = new java.io.ByteArrayOutputStream()
+              buf.write("SCRAM-SHA-256".getBytes(UTF_8)); buf.write(0)
+              buf.write(java.nio.ByteBuffer.allocate(4).putInt(initial.length).array())
+              buf.write(initial)
+              send('p', buf.toByteArray)
+            case 11 => // AuthenticationSASLContinue: server-first-message
+              val serverFirst = new String(payload.drop(4), UTF_8)
+              send('p', scram.clientFinalMessage(serverFirst).getBytes(UTF_8))
+            case 12 => // AuthenticationSASLFinal: verify the server signature
+              scram.verifyServerFinal(new String(payload.drop(4), UTF_8))
+            case other =>
+              throw new PgWireException("28000",
+                s"server requested authentication method $other — this client " +
+                  "speaks trust, password, md5, and SCRAM-SHA-256 (see pg_hba.conf)")
+          }
         case 'E' => throw errorFrom(payload)
         case 'Z' => ready = true
         case _ => // ParameterStatus / BackendKeyData / NoticeResponse
       }
+    } catch {
+      // a failed handshake (auth rejection, protocol surprise) must not
+      // leak its socket — the constructor throws, so close() never runs
+      case e: Throwable =>
+        try socket.close() catch { case _: IOException => () }
+        throw e
     }
   }
+
+  private def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
 
   private def readMessage(): (Char, Array[Byte]) = {
     val tpe = in.readByte().toChar

@@ -246,6 +246,45 @@ class PgLiveWireSpec extends SparkSpec {
     assert(back.filter(col("id") === "a").head().getSeq[Float](1) == Seq(9f, 9f))
   }
 
+  test("password auth on the wire: SCRAM-SHA-256 (server signature verified) and MD5") {
+    val c = live()
+    val run = server.get
+    // one role per verifier flavor; PG15 stores whatever
+    // password_encryption says at CREATE ROLE time
+    c.query("SET password_encryption = 'scram-sha-256'; " +
+      "CREATE ROLE scram_u LOGIN PASSWORD 'sekret+123'")
+    c.query("SET password_encryption = 'md5'; " +
+      "CREATE ROLE md5_u LOGIN PASSWORD 'm5pass'")
+    // hba is first-match: the per-role password rules must PRECEDE the
+    // initdb trust rules (root writes the file; owner stays postgres)
+    val hba = java.nio.file.Paths.get(run.root.getAbsolutePath, "data", "pg_hba.conf")
+    val prior = java.nio.file.Files.readAllBytes(hba)
+    java.nio.file.Files.write(hba,
+      ("host all scram_u 127.0.0.1/32 scram-sha-256\n" +
+        "host all md5_u 127.0.0.1/32 md5\n").getBytes("UTF-8") ++ prior)
+    c.query("SELECT pg_reload_conf()")
+    Thread.sleep(500) // reload is async
+    // full SCRAM-SHA-256 round trip, INCLUDING the server-signature check
+    val sc = new PgWireClient("127.0.0.1", run.port, user = "scram_u",
+      password = Some("sekret+123"))
+    try assert(sc.query("SELECT current_user").rows.head.head == "scram_u")
+    finally sc.close()
+    // wrong password: the server's typed auth failure, not a hang or NPE
+    val bad = intercept[PgWireException](
+      new PgWireClient("127.0.0.1", run.port, user = "scram_u",
+        password = Some("wrong")))
+    assert(bad.sqlState == "28P01", s"${bad.sqlState}: ${bad.getMessage}")
+    // MD5 round trip (md5(md5(password+user)+salt))
+    val mc = new PgWireClient("127.0.0.1", run.port, user = "md5_u",
+      password = Some("m5pass"))
+    try assert(mc.query("SELECT current_user").rows.head.head == "md5_u")
+    finally mc.close()
+    // password required but not supplied: loud client-side typed error
+    val np = intercept[PgWireException](
+      new PgWireClient("127.0.0.1", run.port, user = "scram_u"))
+    assert(np.sqlState == "28P01", np.getMessage)
+  }
+
   test("batched multi-row INSERT through the wire matches the write batch size shape") {
     val c = live()
     c.query("CREATE TABLE batch_t (id TEXT, vector TEXT, metadata TEXT)")
