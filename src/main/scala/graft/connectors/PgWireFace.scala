@@ -184,6 +184,11 @@ object PgWireFace {
     val (h, p, u, d, pw) = endpoint(connection)
     val batch = math.max(1, load.batchSize)
     val prefix = s"INSERT INTO $table (${ddlCols._1}, ${ddlCols._2}, metadata) VALUES "
+    // NOTE ids are assumed unique within the written frame (the canonical
+    // model's contract — every source connector emits one row per id): a
+    // frame carrying the same id twice lands both copies, exactly like
+    // the JDBC append face. Cross-WRITE duplicates are what the upsert
+    // delete leg removes.
     val idCol = ddlCols._1
     observed.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {

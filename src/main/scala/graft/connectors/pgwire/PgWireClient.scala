@@ -198,6 +198,14 @@ class PgWireClient(host: String, port: Int,
   private def readMessage(): (Char, Array[Byte]) = {
     val tpe = in.readByte().toChar
     val len = in.readInt() // includes itself
+    // sanity-bound the length BEFORE allocating: a non-PostgreSQL
+    // endpoint (an HTTP server answering "HTTP/1.1 ...") yields a
+    // garbage prefix that would otherwise become a multi-GB allocation
+    // attempt — fail typed instead (08P01 = protocol violation)
+    if (len < 4 || len > (1 << 28))
+      throw new PgWireException("08P01",
+        s"malformed message length $len for type '$tpe' — " +
+          s"is $host:$port really a PostgreSQL server?")
     val payload = new Array[Byte](len - 4)
     in.readFully(payload)
     (tpe, payload)

@@ -246,6 +246,28 @@ class PgLiveWireSpec extends SparkSpec {
     assert(back.filter(col("id") === "a").head().getSeq[Float](1) == Seq(9f, 9f))
   }
 
+  test("non-PostgreSQL endpoint fails typed (08P01), never a multi-GB allocation") {
+    // no live PG needed: a raw socket answering an HTTP banner — the 'H'
+    // plus "TTP/" as a length prefix would otherwise become a ~1.4 GB
+    // allocation attempt inside readMessage
+    val srv = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val t = new Thread(() => {
+      try {
+        val s = srv.accept()
+        s.getOutputStream.write("HTTP/1.1 400 Bad Request\r\n\r\n".getBytes("UTF-8"))
+        s.getOutputStream.flush()
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true)
+    t.start()
+    try {
+      val e = intercept[PgWireException](
+        new PgWireClient("127.0.0.1", srv.getLocalPort))
+      assert(e.sqlState == "08P01", e.getMessage)
+      assert(e.getMessage.contains("really a PostgreSQL server"), e.getMessage)
+    } finally srv.close()
+  }
+
   test("password auth on the wire: SCRAM-SHA-256 (server signature verified) and MD5") {
     val c = live()
     val run = server.get
