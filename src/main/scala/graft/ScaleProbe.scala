@@ -121,6 +121,30 @@ object ScaleProbe {
       ops.TextSearch.hybridTopK(docs, emb,
         Seq("spark", "vector", "merge", "window"), qv, k = 100, nCand = 200).count()
     }
+    // wire-face IO law (round 17): a THROWAWAY PostgreSQL (PgTestServer)
+    // takes the amplified embeddings through the v3 wire client —
+    // partitioned upsert batches in, partitioned range reads out. Skipped
+    // silently (label absent from output) where no server can run.
+    graft.connectors.pgwire.PgTestServer.start().foreach { pg =>
+      try {
+        val conn = Map("host" -> "127.0.0.1", "port" -> pg.port.toString,
+          "protocol" -> "wire", "database" -> "postgres", "user" -> "postgres")
+        val canon = emb.select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("vector"),
+          map(lit("label"), col("label").cast("string")).as("metadata"))
+        val pgv = graft.connectors.ConnectorRegistry("pgvector")
+        val hi = factor.toLong * 2000L * 10L // comfortably past the shifted ids
+        time("pgwire upsert write (8 conns)")(
+          pgv.write(canon.repartition(8), conn,
+            graft.config.LoadSpec(collection = "probe_wire", recreate = true,
+              batchSize = 500)).written)
+        time("pgwire ranged read (8 conns)")(
+          pgv.read(spark, conn ++ Map("partitions" -> "8",
+              "lower_bound" -> "0", "upper_bound" -> hi.toString),
+            graft.config.QuerySpec(collection = "probe_wire", idColumn = "id",
+              vectorColumn = Some("vector"))).count())
+      } finally pg.stop()
+    }
     time("pca fit+whiten (d=64)") {
       val m = ops.Pca.fit(emb, k = -1)
       ops.Pca.transform(emb, m, whiten = true).filter(size(col("pca")) > 0).count()

@@ -104,7 +104,16 @@ object PgWireFace {
     * slice (one wire connection per Spark partition), text-format rows
     * decoded through the SAME codec as the JDBC path. Without declared
     * bounds — or with a limit/offset, which cannot split — ONE range,
-    * exactly the JDBC reader's behavior without a partitionColumn. */
+    * exactly the JDBC reader's behavior without a partitionColumn.
+    *
+    * TYPE-ADAPTIVE slicing (one catalog probe at plan time): a numeric
+    * id column compares directly; a TEXT id column — which includes
+    * every table this face's own WRITE created (canonical ids are
+    * strings) — gets cast-guarded numeric slices
+    * (`id ~ '^[0-9]{1,18}$' AND id::bigint ∈ [a,b)`) plus ONE catch-all
+    * slice for non-numeric (or >18-digit) ids, the same
+    * slices-plus-catch-all shape as the Qdrant parallel cursor scan —
+    * disjoint AND covering, so no row is ever silently range-excluded. */
   def read(spark: SparkSession, connection: Map[String, String],
            query: QuerySpec): DataFrame = {
     val cols = Seq(query.idColumn) ++ query.vectorColumn.toSeq ++ query.metadataColumns
@@ -114,15 +123,24 @@ object PgWireFace {
         case (Some(n), Some(lo), Some(hi))
           if query.limit.isEmpty && query.offset.isEmpty && n.toInt > 1 =>
           val (nP, loL, hiL) = (n.toInt, lo.toLong, hi.toLong)
+          val idNumeric = schemaInfo(connection, query.collection).schema.fields
+            .find(_.name == query.idColumn)
+            .exists(f => f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.DoubleType)
+          val idc = query.idColumn
+          val digits = s"$idc ~ '^[0-9]{1,18}$$'"
+          def withPred(p: String) = query.copy(filter = Some(
+            query.filter.map(f => s"($f) AND $p").getOrElse(p)))
           val step = math.max(1L, (hiL - loL) / nP)
-          (0 until nP).map { i =>
+          val slices = (0 until nP).map { i =>
             val a = loL + i * step
             val b = if (i == nP - 1) hiL + 1 else loL + (i + 1) * step
-            val rangePred =
-              s"${query.idColumn} >= $a AND ${query.idColumn} < $b"
-            query.copy(filter = Some(
-              query.filter.map(f => s"($f) AND $rangePred").getOrElse(rangePred)))
+            if (idNumeric) withPred(s"$idc >= $a AND $idc < $b")
+            else withPred(
+              s"$digits AND ($idc)::bigint >= $a AND ($idc)::bigint < $b")
           }
+          if (idNumeric) slices
+          else slices :+ withPred(s"NOT ($digits)") // catch-all: never lose a row
         case _ => Seq(query)
       }
     val sqls = ranged.map(sqlSide.buildSelect)
@@ -174,6 +192,14 @@ object PgWireFace {
             "text form and decode identically on read")
           c.query(mk("TEXT"))
       }
+      // id index: the upsert's DELETE leg is an index lookup instead of a
+      // per-batch sequential scan of the growing table — without it the
+      // write law goes quadratic-in-batches (measured: 10.5k rows/s at
+      // 60k rows degrading to 6.7k at 200k; see BASELINE.md r17 probe).
+      // An INDEX, not a PRIMARY KEY: canonical frames may carry null ids
+      // and the append face must not start rejecting them.
+      c.query(s"CREATE INDEX IF NOT EXISTS ${table.replace('.', '_')}_graft_id_ix " +
+        s"ON $table (${ddlCols._1})")
     }
     val out = df.select(
       col(Canonical.ID).cast("string"),

@@ -200,6 +200,21 @@ class PgLiveWireSpec extends SparkSpec {
     val ids = df.select("id").as[String].collect()
     assert(ids.length == 120 && ids.distinct.length == 120, // disjoint + covering
       s"n=${ids.length} distinct=${ids.distinct.length}")
+    // TEXT id column (every table this face's own write creates): the
+    // slices cast-guard and a CATCH-ALL slice carries non-numeric ids —
+    // disjoint + covering, nothing silently range-excluded
+    c.query("CREATE TABLE part_s (id TEXT, vector TEXT)")
+    val srows = (0 until 90).map(i => s"('$i', '[$i,1]')").mkString(", ")
+    c.query(s"INSERT INTO part_s VALUES $srows, ('alpha', '[1,2]'), " +
+      "('12345678901234567890123', '[2,2]')") // >18 digits -> catch-all
+    val sdf = ConnectorRegistry("pgvector").read(spark,
+      wireConn("partitions" -> "4", "lower_bound" -> "0", "upper_bound" -> "89"),
+      graft.config.QuerySpec(collection = "part_s"))
+    assert(sdf.rdd.getNumPartitions == 5, sdf.rdd.getNumPartitions.toString)
+    val sids = sdf.select("id").as[String].collect()
+    assert(sids.length == 92 && sids.distinct.length == 92,
+      s"n=${sids.length} distinct=${sids.distinct.length}")
+    assert(sids.contains("alpha") && sids.contains("12345678901234567890123"))
   }
 
   test("incremental migration over the wire face: idempotent, updates APPLIED (upsert)") {
