@@ -33,22 +33,36 @@ import graft.model.Canonical
   *    loudly — PostgreSQL text cannot carry them.
   *
   * Limits vs JDBC (documented, not hidden): Simple Query protocol only
-  * (no prepared statements, no binary formats, no TLS; auth = trust,
-  * cleartext, MD5, or SCRAM-SHA-256 via the `password` connection key),
-  * and `limit`/`offset` force a single-range read (a per-partition
-  * LIMIT would multiply it). */
+  * (no prepared statements, no binary formats); auth = trust,
+  * cleartext, MD5, or SCRAM-SHA-256 via the `password` connection key;
+  * TLS via `ssl=require` (+ optional `ssl_root_cert` PEM pinning —
+  * absent means the platform trust store); `limit`/`offset` force a
+  * single-range read (a per-partition LIMIT would multiply it). */
 object PgWireFace {
 
   def enabled(connection: Map[String, String]): Boolean =
     connection.get("protocol").contains("wire")
 
-  private[connectors] def endpoint(connection: Map[String, String])
-      : (String, Int, String, String, Option[String]) = (
-    connection.getOrElse("host", "localhost"),
-    connection.getOrElse("port", "5432").toInt,
-    connection.getOrElse("user", "postgres"),
-    connection.getOrElse("database", "postgres"),
-    connection.get("password").filter(_.nonEmpty))
+  /** Serializable connection endpoint — rides into executor closures.
+    * `ssl` = the `ssl` connection key ("true"/"require"/"on");
+    * `sslRootCert` = a PEM path to pin the server/root certificate
+    * (absent -> the platform trust store, the secure default). */
+  private[connectors] case class PgEndpoint(host: String, port: Int,
+      user: String, database: String, password: Option[String],
+      ssl: Boolean, sslRootCert: Option[String]) {
+    def connect(): PgWireClient =
+      new PgWireClient(host, port, user, database, password, ssl, sslRootCert)
+  }
+
+  private[connectors] def endpoint(connection: Map[String, String]): PgEndpoint =
+    PgEndpoint(
+      connection.getOrElse("host", "localhost"),
+      connection.getOrElse("port", "5432").toInt,
+      connection.getOrElse("user", "postgres"),
+      connection.getOrElse("database", "postgres"),
+      connection.get("password").filter(_.nonEmpty),
+      connection.get("ssl").exists(v => Set("true", "require", "on")(v.toLowerCase)),
+      connection.get("ssl_root_cert").filter(_.nonEmpty))
 
   /** Single-quoted SQL text literal: `''`-escaped, NULs rejected loudly
     * (PostgreSQL text cannot carry them — silently stripping one would
@@ -62,8 +76,7 @@ object PgWireFace {
   }
 
   private def withClient[A](connection: Map[String, String])(f: PgWireClient => A): A = {
-    val (h, p, u, d, pw) = endpoint(connection)
-    val c = new PgWireClient(h, p, u, d, pw)
+    val c = endpoint(connection).connect()
     try f(c) finally c.close()
   }
 
@@ -144,9 +157,9 @@ object PgWireFace {
         case _ => Seq(query)
       }
     val sqls = ranged.map(sqlSide.buildSelect)
-    val (h, p, u, d, pw) = endpoint(connection)
+    val ep = endpoint(connection)
     val rdd = spark.sparkContext.parallelize(sqls, sqls.length).flatMap { sql =>
-      val c = new PgWireClient(h, p, u, d, pw)
+      val c = ep.connect()
       try c.query(sql).rows.map(Row.fromSeq(_))
       finally c.close()
     }
@@ -207,7 +220,7 @@ object PgWireFace {
       to_json(col(Canonical.METADATA)))
     val obs = new org.apache.spark.sql.Observation(s"graft-pgwire-${System.nanoTime()}")
     val observed = out.observe(obs, count(lit(1)).as("rows"))
-    val (h, p, u, d, pw) = endpoint(connection)
+    val ep = endpoint(connection)
     val batch = math.max(1, load.batchSize)
     val prefix = s"INSERT INTO $table (${ddlCols._1}, ${ddlCols._2}, metadata) VALUES "
     // NOTE ids are assumed unique within the written frame (the canonical
@@ -218,7 +231,7 @@ object PgWireFace {
     val idCol = ddlCols._1
     observed.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val c = new PgWireClient(h, p, u, d, pw)
+        val c = ep.connect()
         try it.grouped(batch).foreach { g =>
           val values = g.map { r =>
             def lit(i: Int) = if (r.isNullAt(i)) "NULL" else sqlLit(r.getString(i))

@@ -37,8 +37,10 @@ object PgTestServer {
   }
 
   /** One attempt; any failure (no binaries, no postgres user, no runuser,
-    * sandboxed exec) yields None. */
-  def start(): Option[Running] = try {
+    * sandboxed exec) yields None. `extraServerOpts` are appended to the
+    * postgres command line (`-c k=v` pairs — the TLS spec starts a
+    * server with `ssl=on` + a self-signed cert this way). */
+  def start(extraServerOpts: Seq[String] = Nil): Option[Running] = try {
     val bin = binDir.getOrElse(return None)
     if (Seq("id", "-u", "postgres").!(devNull) != 0) return None
     val root = java.nio.file.Files.createTempDirectory("graft-pgwire").toFile
@@ -53,7 +55,8 @@ object PgTestServer {
     val port = freePort()
     val started = Seq("runuser", "-u", "postgres", "--",
       s"${bin.getAbsolutePath}/pg_ctl", "-D", data, "-w",
-      "-o", s"-p $port -k ${root.getAbsolutePath} -c listen_addresses=127.0.0.1",
+      "-o", (Seq(s"-p $port", s"-k ${root.getAbsolutePath}",
+        "-c listen_addresses=127.0.0.1") ++ extraServerOpts).mkString(" "),
       "-l", s"${root.getAbsolutePath}/server.log", "start").!(devNull)
     val run = Running(port, root, s"${bin.getAbsolutePath}/pg_ctl")
     if (started != 0) { run.stop(); return None }

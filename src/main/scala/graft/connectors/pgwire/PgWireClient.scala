@@ -107,10 +107,61 @@ case class PgResult(columns: Seq[String], rows: Seq[Seq[String]], tags: Seq[Stri
 class PgWireClient(host: String, port: Int,
                    user: String = "postgres",
                    database: String = "postgres",
-                   password: Option[String] = None) extends AutoCloseable {
+                   password: Option[String] = None,
+                   ssl: Boolean = false,
+                   sslRootCert: Option[String] = None) extends AutoCloseable {
 
-  private val socket = new Socket(host, port)
-  socket.setTcpNoDelay(true)
+  private val socket: Socket = {
+    val plain = new Socket(host, port)
+    plain.setTcpNoDelay(true)
+    if (!ssl) plain
+    else {
+      // documented TLS upgrade: SSLRequest (int32 8, int32 80877103),
+      // server answers ONE byte — 'S' = proceed with the handshake over
+      // the same connection, 'N' = no TLS here (we required it: typed
+      // refusal, never a silent cleartext fallback)
+      val o = new DataOutputStream(plain.getOutputStream)
+      o.writeInt(8)
+      o.writeInt(80877103)
+      o.flush()
+      plain.getInputStream.read() match {
+        case 'S' =>
+          val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+          val tms: Array[javax.net.ssl.TrustManager] = sslRootCert match {
+            case None => null // platform trust store (secure default)
+            case Some(pem) => // trust exactly the given root/server cert
+              val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+              val cert = {
+                val s = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(pem))
+                try cf.generateCertificate(s) finally s.close()
+              }
+              val ks = java.security.KeyStore.getInstance(
+                java.security.KeyStore.getDefaultType)
+              ks.load(null, null)
+              ks.setCertificateEntry("pgwire-root", cert)
+              val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+                javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+              tmf.init(ks)
+              tmf.getTrustManagers
+          }
+          ctx.init(null, tms, null)
+          val s = ctx.getSocketFactory
+            .createSocket(plain, host, port, true).asInstanceOf[javax.net.ssl.SSLSocket]
+          s.setUseClientMode(true)
+          s.startHandshake()
+          s
+        case 'N' =>
+          plain.close()
+          throw new PgWireException("08P01",
+            s"$host:$port refused the TLS upgrade (ssl=off on the server?) " +
+              "and this connection requires ssl")
+        case other =>
+          plain.close()
+          throw new PgWireException("08P01",
+            s"unexpected SSLRequest response byte $other from $host:$port")
+      }
+    }
+  }
   private val in = new DataInputStream(socket.getInputStream)
   private val out = new DataOutputStream(socket.getOutputStream)
 

@@ -261,6 +261,55 @@ class PgLiveWireSpec extends SparkSpec {
     assert(back.filter(col("id") === "a").head().getSeq[Float](1) == Seq(9f, 9f))
   }
 
+  test("TLS upgrade (SSLRequest): pinned self-signed cert, secure defaults, no fallback") {
+    live() // environment must run PostgreSQL at all
+    import scala.sys.process._
+    val devNull = ProcessLogger(_ => (), _ => ())
+    val dir = java.nio.file.Files.createTempDirectory("graft-pgtls")
+    val crt = s"$dir/server.crt"
+    val key = s"$dir/server.key"
+    // the forked test JVM's PATH may not carry the host's openssl: probe
+    // the common locations and skip cleanly when none answers
+    val openssl = Seq("openssl", "/usr/bin/openssl", "/usr/local/bin/openssl",
+      "/root/miniconda/bin/openssl")
+      .find(p => scala.util.Try(Seq(p, "version").!(devNull)).toOption.contains(0))
+    assume(openssl.isDefined, "no openssl available — TLS face skipped")
+    assume(scala.util.Try(Seq(openssl.get, "req", "-new", "-x509", "-days", "2",
+      "-nodes", "-out", crt, "-keyout", key,
+      "-subj", "/CN=127.0.0.1").!(devNull)).toOption.contains(0),
+      "openssl could not mint a self-signed cert — TLS face skipped")
+    // the server must traverse the dir (createTempDirectory is 0700
+    // root-owned) and OWN a non-world-readable key
+    Seq("chmod", "755", dir.toString).!(devNull)
+    Seq("chown", "postgres:postgres", key, crt).!(devNull)
+    Seq("chmod", "600", key).!(devNull)
+    val tls = PgTestServer.start(Seq("-c ssl=on",
+      s"-c ssl_cert_file=$crt", s"-c ssl_key_file=$key"))
+    assume(tls.isDefined, "TLS-enabled server failed to start")
+    val run = tls.get
+    try {
+      // pinned root cert: handshake succeeds and the SERVER agrees the
+      // session is TLS (pg_stat_ssl for this very backend)
+      val c = new PgWireClient("127.0.0.1", run.port,
+        ssl = true, sslRootCert = Some(crt))
+      try assert(c.query(
+        "SELECT ssl FROM pg_stat_ssl WHERE pid = pg_backend_pid()")
+        .rows.head.head == "t", "server does not see this session as TLS")
+      finally c.close()
+      // platform trust store REJECTS the self-signed cert — the secure
+      // default; pinning is an explicit opt-in, not trust-all
+      intercept[Exception](
+        new PgWireClient("127.0.0.1", run.port, ssl = true))
+      // ssl required against a non-TLS server: typed refusal ('N'), never
+      // a silent cleartext fallback
+      val e = intercept[PgWireException](
+        new PgWireClient("127.0.0.1", server.get.port,
+          ssl = true, sslRootCert = Some(crt)))
+      assert(e.sqlState == "08P01" &&
+        e.getMessage.contains("refused the TLS upgrade"), e.getMessage)
+    } finally run.stop()
+  }
+
   test("non-PostgreSQL endpoint fails typed (08P01), never a multi-GB allocation") {
     // no live PG needed: a raw socket answering an HTTP banner — the 'H'
     // plus "TTP/" as a length prefix would otherwise become a ~1.4 GB
