@@ -76,6 +76,25 @@ then
   exit 1
 fi
 BENCH_SHA=$(sha256sum bench.json | cut -c1-12)
+# Round-17 lesson (VERDICT "What's wrong" #1): the final commit of the
+# round REPLACED the gate-pinned clean bench.json with a rejected
+# contended-start run while its own notes claimed the committed one
+# stood. The artifact a gate record pins is part of the record: a later
+# bench.json may only differ from the LAST pinned sha if ROUND_NOTES.md
+# carries an explicit "Bench supersede: <sha12>" entry naming the new
+# artifact. First gate of a round (no prior record in ROUND_NOTES.md)
+# pins freely.
+LAST_PIN=$(grep -oE "bench.json: sha256 [0-9a-f]{12}" ROUND_NOTES.md | tail -1 | grep -oE "[0-9a-f]{12}$" || true)
+if [ -n "$LAST_PIN" ] && [ "$BENCH_SHA" != "$LAST_PIN" ]; then
+  if ! grep -qE "Bench supersede: $BENCH_SHA" ROUND_NOTES.md; then
+    echo "[presnapshot] RED: bench.json sha $BENCH_SHA differs from the last" \
+         "gate-pinned sha $LAST_PIN and ROUND_NOTES.md has no" \
+         "'Bench supersede: $BENCH_SHA' entry — restore the pinned artifact" \
+         "or record an explicit supersede for the new one"
+    exit 1
+  fi
+  echo "[presnapshot] bench.json supersede acknowledged ($LAST_PIN -> $BENCH_SHA)"
+fi
 
 TESTS=$(grep -oE "Tests: succeeded [0-9]+" "$OUT/test.log" | tail -1 | grep -oE "[0-9]+" || echo "?")
 # grep -c prints the 0 itself before exiting nonzero — '|| true', not a
