@@ -122,11 +122,17 @@ object PgWireFace {
     * TYPE-ADAPTIVE slicing (one catalog probe at plan time): a numeric
     * id column compares directly; a TEXT id column — which includes
     * every table this face's own WRITE created (canonical ids are
-    * strings) — gets cast-guarded numeric slices
-    * (`id ~ '^[0-9]{1,18}$' AND id::bigint ∈ [a,b)`) plus ONE catch-all
-    * slice for non-numeric (or >18-digit) ids, the same
-    * slices-plus-catch-all shape as the Qdrant parallel cursor scan —
-    * disjoint AND covering, so no row is ever silently range-excluded. */
+    * strings) — gets CASE-guarded numeric slices
+    * (`CASE WHEN id ~ '^[0-9]{1,18}$' THEN id::bigint END ∈ [a,b)` —
+    * CASE, not a bare AND, because PostgreSQL may evaluate AND operands
+    * in any cost order and an unguarded cast would raise on non-numeric
+    * ids) plus ONE catch-all slice for non-numeric, >18-digit, and NULL
+    * ids, the same slices-plus-catch-all shape as the Qdrant parallel
+    * cursor scan. Bounds set the STRIDE only, exactly as in Spark's JDBC
+    * reader: the first slice is unbounded below (numeric path: and
+    * carries NULL ids), the last unbounded above — disjoint AND
+    * covering, so no row is ever silently range-excluded even when the
+    * declared bounds under-cover the id space. */
   def read(spark: SparkSession, connection: Map[String, String],
            query: QuerySpec): DataFrame = {
     val cols = Seq(query.idColumn) ++ query.vectorColumn.toSeq ++ query.metadataColumns
@@ -142,18 +148,36 @@ object PgWireFace {
               f.dataType == org.apache.spark.sql.types.DoubleType)
           val idc = query.idColumn
           val digits = s"$idc ~ '^[0-9]{1,18}$$'"
+          // Cast that CANNOT fire unguarded: PostgreSQL does not promise
+          // left-to-right AND evaluation (quals are ordered by estimated
+          // cost), so a bare `digits AND (id)::bigint >= a` may cast a
+          // non-numeric id first and raise 22P02/22003. CASE is the
+          // documented way to force the guard before the cast; it yields
+          // NULL for non-numeric ids, which every range comparison then
+          // excludes — so the numeric slices stay restricted to numeric
+          // ids without relying on evaluation order.
+          val castId = s"(CASE WHEN $digits THEN ($idc)::bigint END)"
           def withPred(p: String) = query.copy(filter = Some(
-            query.filter.map(f => s"($f) AND $p").getOrElse(p)))
+            query.filter.map(f => s"($f) AND ($p)").getOrElse(p)))
           val step = math.max(1L, (hiL - loL) / nP)
+          // Spark-JDBC partition contract: lower_bound/upper_bound set the
+          // STRIDE only — the first slice is unbounded below (and carries
+          // the NULL ids), the last unbounded above, so ids outside
+          // [lo, hi) are never silently filtered out.
           val slices = (0 until nP).map { i =>
             val a = loL + i * step
-            val b = if (i == nP - 1) hiL + 1 else loL + (i + 1) * step
-            if (idNumeric) withPred(s"$idc >= $a AND $idc < $b")
-            else withPred(
-              s"$digits AND ($idc)::bigint >= $a AND ($idc)::bigint < $b")
+            val b = loL + (i + 1) * step
+            val ref = if (idNumeric) idc else castId
+            if (i == 0) // guard above requires nP > 1, so 0 != nP - 1
+              withPred(s"$ref < $b" +
+                (if (idNumeric) s" OR $idc IS NULL" else ""))
+            else if (i == nP - 1) withPred(s"$ref >= $a")
+            else withPred(s"$ref >= $a AND $ref < $b")
           }
           if (idNumeric) slices
-          else slices :+ withPred(s"NOT ($digits)") // catch-all: never lose a row
+          // catch-all: non-numeric, >18-digit, AND NULL ids — `NOT (id ~ …)`
+          // alone is NULL for a NULL id, which would drop the row
+          else slices :+ withPred(s"NOT ($digits) OR $idc IS NULL")
         case _ => Seq(query)
       }
     val sqls = ranged.map(sqlSide.buildSelect)
@@ -171,17 +195,27 @@ object PgWireFace {
   }
 
   /** Distributed wire write: DDL once from the driver (VECTOR(d), TEXT
-    * fallback on 42704), then every partition streams `batchSize`-row
-    * batches over its own connection. Each batch is ONE statement string
-    * — `DELETE ... WHERE id IN (batch ids); INSERT ... VALUES ...` — and
-    * a multi-statement Simple Query executes as a single IMPLICIT
-    * TRANSACTION on the documented protocol, so the batch is an ATOMIC
-    * id-keyed UPSERT: changed records replace their previous versions
-    * (the incremental migrator ships updates here instead of withholding
-    * them — `upsertsById(connection)`), and a RETRIED Spark task
-    * re-applies its batch idempotently instead of duplicating ids (the
-    * standing insert-only hazard of append sinks). The row count rides
-    * the write action via `Dataset.observe` — no second pass. */
+    * fallback on 42704), then every partition drives its own connection.
+    * Both write modes are ATOMIC id-keyed UPSERTS — changed records
+    * replace their previous versions (the incremental migrator ships
+    * updates here instead of withholding them, `upsertsById(connection)`)
+    * and a RETRIED Spark task re-applies its rows idempotently instead of
+    * duplicating ids (the standing insert-only hazard of append sinks):
+    *
+    *  - `write_mode=copy` (DEFAULT — PostgreSQL's documented bulk path,
+    *    CopyInResponse/CopyData/CopyDone): each partition COPYs its rows
+    *    into a session-private TEMP staging table, then publishes with
+    *    ONE `DELETE … IN (SELECT id FROM stage); INSERT … SELECT` Simple
+    *    Query — a single implicit transaction, so the whole partition
+    *    lands atomically. COPY text rows skip per-value SQL quoting and
+    *    statement parsing entirely (measured ~3–10× the multi-VALUES
+    *    law; see ScaleProbe).
+    *  - `write_mode=insert`: `batchSize`-row multi-VALUES batches, each
+    *    ONE `DELETE …; INSERT …` statement string (implicit-txn atomic
+    *    per batch) — the fallback for servers that restrict COPY.
+    *
+    * The row count rides the write action via `Dataset.observe` — no
+    * second pass. */
   def write(df: DataFrame, connection: Map[String, String],
             load: LoadSpec): WriteReport = {
     val table = load.collection
@@ -214,6 +248,20 @@ object PgWireFace {
       c.query(s"CREATE INDEX IF NOT EXISTS ${table.replace('.', '_')}_graft_id_ix " +
         s"ON $table (${ddlCols._1})")
     }
+    // the COPY staging table must parse the same text the TARGET column
+    // parses — and the target's actual type comes from the CATALOG, not
+    // from which DDL branch ran: `CREATE TABLE IF NOT EXISTS` on an
+    // already-existing relation short-circuits BEFORE column-type
+    // analysis, so the VECTOR probe "succeeds" against a pre-existing
+    // TEXT-column table on an extension-less server (caught live by
+    // PgLiveWireSpec's append-mode write)
+    val vecType = {
+      val si = schemaInfo(connection, table)
+      val isVector = si.schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(ddlCols._2) &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      if (isVector) s"VECTOR($dim)" else "TEXT"
+    }
     val out = df.select(
       col(Canonical.ID).cast("string"),
       PgVectorCodec.vectorToText(col(Canonical.VECTOR)),
@@ -229,22 +277,46 @@ object PgWireFace {
     // the JDBC append face. Cross-WRITE duplicates are what the upsert
     // delete leg removes.
     val idCol = ddlCols._1
+    val vecCol = ddlCols._2
+    val useCopy = !connection.get("write_mode").contains("insert")
     observed.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val c = ep.connect()
-        try it.grouped(batch).foreach { g =>
-          val values = g.map { r =>
-            def lit(i: Int) = if (r.isNullAt(i)) "NULL" else sqlLit(r.getString(i))
-            s"(${lit(0)}, ${lit(1)}, ${lit(2)})"
-          }.mkString(", ")
-          // delete leg first, SAME statement: id-keyed upsert, atomic per
-          // batch (null ids have no previous version to replace — IN with
-          // no non-null members is simply omitted)
-          val ids = g.collect { case r if !r.isNullAt(0) => sqlLit(r.getString(0)) }
-          val del =
-            if (ids.isEmpty) ""
-            else s"DELETE FROM $table WHERE $idCol IN (${ids.mkString(", ")}); "
-          c.query(del + prefix + values)
+        try {
+          if (useCopy) {
+            // per-session TEMP stage: invisible to other connections, so a
+            // half-copied retry never leaks rows; dropped with the session
+            c.query("CREATE TEMP TABLE graft_copy_stage " +
+              s"(id TEXT, vector $vecType, metadata TEXT)")
+            import graft.connectors.pgwire.PgWireClient.copyField
+            c.copyIn("COPY graft_copy_stage (id, vector, metadata) FROM STDIN",
+              it.map { r =>
+                def f(i: Int) = copyField(if (r.isNullAt(i)) null else r.getString(i))
+                s"${f(0)}\t${f(1)}\t${f(2)}"
+              })
+            // ONE implicit-txn publish for the whole partition: the
+            // delete leg rides the target's id index; null ids have no
+            // previous version to replace
+            c.query(
+              s"DELETE FROM $table WHERE $idCol IN " +
+                "(SELECT id FROM graft_copy_stage WHERE id IS NOT NULL); " +
+                s"INSERT INTO $table ($idCol, $vecCol, metadata) " +
+                "SELECT id, vector, metadata FROM graft_copy_stage")
+            ()
+          } else it.grouped(batch).foreach { g =>
+            val values = g.map { r =>
+              def lit(i: Int) = if (r.isNullAt(i)) "NULL" else sqlLit(r.getString(i))
+              s"(${lit(0)}, ${lit(1)}, ${lit(2)})"
+            }.mkString(", ")
+            // delete leg first, SAME statement: id-keyed upsert, atomic per
+            // batch (null ids have no previous version to replace — IN with
+            // no non-null members is simply omitted)
+            val ids = g.collect { case r if !r.isNullAt(0) => sqlLit(r.getString(0)) }
+            val del =
+              if (ids.isEmpty) ""
+              else s"DELETE FROM $table WHERE $idCol IN (${ids.mkString(", ")}); "
+            c.query(del + prefix + values)
+          }
         } finally c.close()
       }
     }

@@ -11,13 +11,22 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class PgWireException(val sqlState: String, message: String)
   extends IOException(s"[$sqlState] $message")
 
-/** SCRAM-SHA-256 client state (RFC 5802 with the SHA-256 parameters of
-  * RFC 7677), as PostgreSQL speaks it: gs2 header `n,,` (no channel
-  * binding), the startup-message user authoritative (the `n=` field is
-  * empty), SaltedPassword via PBKDF2-HMAC-SHA256. The server's final
-  * `v=` signature IS verified — mutual authentication, not just a
-  * password send. */
-private final class ScramState(password: String) {
+/** SCRAM-SHA-256[-PLUS] client state (RFC 5802 with the SHA-256
+  * parameters of RFC 7677), as PostgreSQL speaks it: the startup-message
+  * user is authoritative (the `n=` field is empty), SaltedPassword via
+  * PBKDF2-HMAC-SHA256, and the server's final `v=` signature IS verified
+  * — mutual authentication, not just a password send.
+  *
+  * `gs2Header` selects the channel-binding posture (libpq parity):
+  * `n,,` off TLS; `y,,` on TLS when the server did not offer the -PLUS
+  * mechanism (the RFC 5802 downgrade tripwire — a server that DOES
+  * support binding must reject `y`, so a MITM stripping the -PLUS
+  * advertisement is caught); `p=tls-server-end-point,,` for -PLUS, with
+  * `cbindData` = the RFC 5929 certificate hash. The `c=` attribute is
+  * base64(gs2Header ++ cbindData) — `biws` is just the `n,,` case. */
+private final class ScramState(password: String,
+                               gs2Header: String = "n,,",
+                               cbindData: Array[Byte] = Array.emptyByteArray) {
   import javax.crypto.Mac
   import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
 
@@ -28,10 +37,12 @@ private final class ScramState(password: String) {
     java.util.Base64.getEncoder.encodeToString(b)
   }
   private val clientFirstBare = s"n=,r=$nonce"
+  private val cbind = java.util.Base64.getEncoder.encodeToString(
+    gs2Header.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ cbindData)
   private var authMessage: String = _
   private var saltedPassword: Array[Byte] = _
 
-  def clientFirstMessage: String = s"n,,$clientFirstBare"
+  def clientFirstMessage: String = s"$gs2Header$clientFirstBare"
 
   private def hmac(key: Array[Byte], msg: String): Array[Byte] = {
     val m = Mac.getInstance("HmacSHA256")
@@ -55,7 +66,7 @@ private final class ScramState(password: String) {
       .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec).getEncoded
     val clientKey = hmac(saltedPassword, "Client Key")
     val storedKey = sha256(clientKey)
-    val withoutProof = s"c=biws,r=$combined" // biws = base64("n,,")
+    val withoutProof = s"c=$cbind,r=$combined"
     authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
     val signature = hmac(storedKey, authMessage)
     val proof = clientKey.zip(signature).map { case (a, b) => (a ^ b).toByte }
@@ -76,6 +87,32 @@ private final class ScramState(password: String) {
   }
 }
 
+object PgWireClient {
+  /** One COPY text-format field: `\N` for NULL, otherwise the documented
+    * backslash escapes (backslash itself, tab, newline, carriage return —
+    * the characters that would break the row/field framing). NUL bytes
+    * are rejected like every other text path (PostgreSQL text cannot
+    * carry them). */
+  def copyField(v: String): String = {
+    if (v == null) return "\\N"
+    require(!v.contains('\u0000'),
+      "PostgreSQL text literals cannot carry NUL (\\u0000) bytes")
+    val sb = new java.lang.StringBuilder(v.length + 8)
+    var i = 0
+    while (i < v.length) {
+      v.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}
+
 /** One statement's outcome on the wire: the last result set's column
   * names and text-format rows (empty for DDL/DML), plus every
   * `CommandComplete` tag the statement batch produced ("CREATE TABLE",
@@ -92,8 +129,11 @@ case class PgResult(columns: Seq[String], rows: Seq[Seq[String]], tags: Seq[Stri
   * `StartupMessage` → authentication (trust, cleartext password, MD5,
   * or SASL SCRAM-SHA-256 with server-signature verification — the
   * PostgreSQL default since v14) → `Query('Q')` with text-format
-  * results. This is NOT a JDBC replacement (no prepared statements, no
-  * binary formats, no TLS); it exists so the engine's hand-built SQL
+  * results. TLS rides the documented SSLRequest upgrade: platform-trust
+  * mode verifies chain AND hostname (verify-full); a pinned
+  * `ssl_root_cert` is verify-ca against that one anchor. This is NOT a
+  * JDBC replacement (no prepared statements, no binary formats); it
+  * exists so the engine's hand-built SQL
   * surface — the pgvector connector's `buildSelect` / catalog
   * predicates / DDL shapes and the vector text codec — can be verified
   * against a LIVE PostgreSQL server in environments where the JDBC
@@ -148,6 +188,23 @@ class PgWireClient(host: String, port: Int,
           val s = ctx.getSocketFactory
             .createSocket(plain, host, port, true).asInstanceOf[javax.net.ssl.SSLSocket]
           s.setUseClientMode(true)
+          // Endpoint verification, libpq-parity semantics:
+          //  - platform trust store (no pin): verify-full — chain AND
+          //    hostname. Without this, ANY CA-issued cert for ANY host
+          //    would pass, so an active MITM with a valid cert for its
+          //    own name defeats the handshake. "HTTPS" is the JSSE
+          //    RFC 2818/6125 rule set (SAN DNS/IP match, CN fallback for
+          //    DNS names only).
+          //  - pinned root/server cert: verify-ca — the caller opted
+          //    into ONE explicit trust anchor; a MITM would need that
+          //    specific key. (libpq's sslrootcert+verify-ca draws the
+          //    same line; hostname checks against self-signed pins with
+          //    no SAN would reject legitimate setups.)
+          if (sslRootCert.isEmpty) {
+            val p = s.getSSLParameters
+            p.setEndpointIdentificationAlgorithm("HTTPS")
+            s.setSSLParameters(p)
+          }
           s.startHandshake()
           s
         case 'N' =>
@@ -208,14 +265,35 @@ class PgWireClient(host: String, port: Int,
               send('p', ("md5" + outer).getBytes(UTF_8) :+ 0.toByte)
             case 10 => // AuthenticationSASL: mechanism list, NUL-separated
               val mechs = new String(payload.drop(4), UTF_8).split('\u0000').filter(_.nonEmpty)
-              if (!mechs.contains("SCRAM-SHA-256"))
-                throw new PgWireException("28000",
-                  s"server offers SASL mechanisms ${mechs.mkString(",")} — this " +
-                    "client speaks SCRAM-SHA-256 (without channel binding)")
-              scram = new ScramState(pw)
+              val tlsSock = socket match {
+                case s: javax.net.ssl.SSLSocket => Some(s)
+                case _ => None
+              }
+              // mechanism choice, libpq parity: on TLS prefer the -PLUS
+              // variant (tls-server-end-point binding ties the SCRAM
+              // exchange to THIS TLS session's server certificate, so a
+              // credential-forwarding MITM fails the proof); on TLS
+              // without -PLUS offered, gs2 flag `y` arms the RFC 5802
+              // downgrade tripwire (a binding-capable server must reject
+              // it); off TLS, plain `n`.
+              val (mech, st) =
+                if (tlsSock.isDefined && mechs.contains("SCRAM-SHA-256-PLUS")) {
+                  val cert = tlsSock.get.getSession.getPeerCertificates.head
+                    .asInstanceOf[java.security.cert.X509Certificate]
+                  ("SCRAM-SHA-256-PLUS",
+                    new ScramState(pw, "p=tls-server-end-point,,", endPointHash(cert)))
+                } else if (mechs.contains("SCRAM-SHA-256"))
+                  ("SCRAM-SHA-256",
+                    new ScramState(pw, if (tlsSock.isDefined) "y,," else "n,,"))
+                else
+                  throw new PgWireException("28000",
+                    s"server offers SASL mechanisms ${mechs.mkString(",")} — this " +
+                      "client speaks SCRAM-SHA-256 and SCRAM-SHA-256-PLUS")
+              scram = st
+              saslMechanism = mech
               val initial = scram.clientFirstMessage.getBytes(UTF_8)
               val buf = new java.io.ByteArrayOutputStream()
-              buf.write("SCRAM-SHA-256".getBytes(UTF_8)); buf.write(0)
+              buf.write(mech.getBytes(UTF_8)); buf.write(0)
               buf.write(java.nio.ByteBuffer.allocate(4).putInt(initial.length).array())
               buf.write(initial)
               send('p', buf.toByteArray)
@@ -240,6 +318,23 @@ class PgWireClient(host: String, port: Int,
         try socket.close() catch { case _: IOException => () }
         throw e
     }
+  }
+
+  /** The SASL mechanism the startup negotiated ("SCRAM-SHA-256" or
+    * "SCRAM-SHA-256-PLUS"), null for non-SASL auth — test introspection
+    * for the channel-binding live specs. */
+  private[connectors] var saslMechanism: String = _
+
+  /** RFC 5929 tls-server-end-point channel-binding data: the server
+    * certificate's hash, using the certificate's own signature hash
+    * algorithm with MD5/SHA-1 upgraded to SHA-256 (the RFC's rule —
+    * also PostgreSQL's, `be-secure-openssl.c`). */
+  private def endPointHash(cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val alg = cert.getSigAlgName.toUpperCase(java.util.Locale.ROOT)
+    val h = if (alg.contains("SHA384")) "SHA-384"
+    else if (alg.contains("SHA512")) "SHA-512"
+    else "SHA-256"
+    java.security.MessageDigest.getInstance(h).digest(cert.getEncoded)
   }
 
   private def md5Hex(b: Array[Byte]): String =
@@ -326,11 +421,89 @@ class PgWireClient(host: String, port: Int,
         case 'Z' => done = true // ReadyForQuery
         case 'I' => // EmptyQueryResponse
         case 'N' => // NoticeResponse — ignored
-        case _ => // ParameterStatus etc. mid-query: ignored
+        case 'G' => // CopyInResponse through plain query(): the server now
+          // waits for CopyData and would hang the session — abort with
+          // CopyFail so the statement fails typed instead
+          val m = "COPY FROM STDIN requires copyIn()".getBytes(UTF_8) :+ 0.toByte
+          out.writeByte('f')
+          out.writeInt(4 + m.length)
+          out.write(m)
+          out.flush()
+        case _ => // ParameterStatus, CopyOut 'H'/'d'/'c' etc.: ignored
       }
     }
     if (err != null) throw err
     PgResult(columns, rows, tags.result())
+  }
+
+  /** Bulk load through the documented COPY sub-protocol: run a
+    * `COPY ... FROM STDIN` statement, answer the server's CopyInResponse
+    * ('G') by streaming `lines` as text-format CopyData ('d') frames
+    * (chunked, not one frame per row), finish with CopyDone ('c'), and
+    * drain to `ReadyForQuery` exactly like [[query]]. Rows must already
+    * be COPY-text encoded (tab-separated fields, `\N` nulls, backslash
+    * escapes — [[PgWireClient.copyField]] builds a field). The server
+    * reports mid-copy errors only after CopyDone on this path; the
+    * session survives them (same drain contract as query). */
+  def copyIn(sql: String, lines: Iterator[String], chunkBytes: Int = 1 << 16): PgResult = {
+    val body = sql.getBytes(UTF_8) :+ 0.toByte
+    out.writeByte('Q')
+    out.writeInt(4 + body.length)
+    out.write(body)
+    out.flush()
+    // phase 1: the server must answer CopyInResponse — or an error (bad
+    // SQL, missing table), which arrives as 'E' then 'Z'
+    var err: PgWireException = null
+    var inCopy = false
+    var answered = false
+    while (!answered) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'G' => inCopy = true; answered = true // CopyInResponse
+        case 'E' => if (err == null) err = errorFrom(payload)
+        case 'Z' => answered = true // error path: statement never entered copy
+        case 'N' | 'S' => // notices / parameter status ride along
+        case other =>
+          throw new PgWireException("08P01",
+            s"unexpected message '$other' awaiting CopyInResponse for: $sql")
+      }
+    }
+    if (!inCopy) {
+      if (err != null) throw err
+      throw new PgWireException("08P01", s"statement did not enter COPY mode: $sql")
+    }
+    // phase 2: stream the data — buffered into chunkBytes frames so a
+    // million rows is a few thousand messages, not a million
+    val buf = new java.io.ByteArrayOutputStream(chunkBytes + 4096)
+    def flushChunk(): Unit = if (buf.size() > 0) {
+      out.writeByte('d')
+      out.writeInt(4 + buf.size())
+      buf.writeTo(out)
+      buf.reset()
+    }
+    lines.foreach { line =>
+      buf.write(line.getBytes(UTF_8))
+      buf.write('\n')
+      if (buf.size() >= chunkBytes) flushChunk()
+    }
+    flushChunk()
+    out.writeByte('c') // CopyDone
+    out.writeInt(4)
+    out.flush()
+    // phase 3: drain to ReadyForQuery, collecting tags/errors like query()
+    val tags = Vector.newBuilder[String]
+    var done = false
+    while (!done) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'C' => tags += cstring(payload, 0)._1
+        case 'E' => if (err == null) err = errorFrom(payload)
+        case 'Z' => done = true
+        case _ => // NoticeResponse / ParameterStatus
+      }
+    }
+    if (err != null) throw err
+    PgResult(Seq.empty, Seq.empty, tags.result())
   }
 
   override def close(): Unit = {

@@ -114,20 +114,29 @@ class Migrator(spark: SparkSession) {
       // the vector column must be ARRAY-typed for size/avg_dim: a
       // BINARY_VECTOR collection (Canonical.binarySchema) would fail
       // analysis inside observe() and flunk the whole run
-      val canObserve = shipped0.columns.contains(graft.model.Canonical.VECTOR) &&
-        shipped0.columns.contains(graft.model.Canonical.ID) &&
+      val vectorIsArray = shipped0.columns.contains(graft.model.Canonical.VECTOR) &&
         shipped0.schema(graft.model.Canonical.VECTOR).dataType
           .isInstanceOf[org.apache.spark.sql.types.ArrayType]
-      // resolve the target dimension BEFORE attaching the observation: a
+      val canObserve = vectorIsArray &&
+        shipped0.columns.contains(graft.model.Canonical.ID)
+      // resolve the target dimension BEFORE attaching any observation: a
       // connector-side inferDim fallback would run a limit(1) probe over
       // the OBSERVED plan, and Observation latches on the FIRST completed
-      // action — the report would claim rows=1 for a full migration
+      // action — the report would claim rows=1 for a full migration.
+      // Pre-resolution is keyed on vectorIsArray, NOT canObserve: a
+      // withheld-marked frame lacking the ID column (canObserve false)
+      // still carries the withheld observation, and letting the connector
+      // probe first would latch withheldUpdates at the probe's partial
+      // sample. A frame with no array vector has nothing any current
+      // probing writer (the two pgvector faces) could infer from either —
+      // their inferDim would fail analysis — so no latchable probe
+      // remains in that branch.
       // inferDim = None (every vector null/empty) must STILL pin the
       // dimension — Some(0), the same value the connector's own fallback
       // would land on — or the connector-side orElse(inferDim) re-probes
       // the observed plan and latches the Observation anyway
       val loadResolved =
-        if (load.dimension.isEmpty && canObserve)
+        if (load.dimension.isEmpty && vectorIsArray)
           load.copy(dimension =
             graft.model.Canonical.inferDim(shipped0).orElse(Some(0)))
         else load

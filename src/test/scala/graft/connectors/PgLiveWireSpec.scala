@@ -187,34 +187,107 @@ class PgLiveWireSpec extends SparkSpec {
       .head().getSeq[Float](1) == Seq(8f, 8f), "upsert kept the stale version")
   }
 
+  test("write_mode=insert: the multi-VALUES upsert path stays live alongside COPY") {
+    live()
+    val pgv = ConnectorRegistry("pgvector")
+    val conn = wireConn("write_mode" -> "insert")
+    val load = graft.config.LoadSpec(collection = "wire_ins", recreate = true)
+    def one(vec: Seq[Float]) = Seq(("x", vec, Map("k" -> "it's")))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    assert(pgv.write(one(Seq(1f, 2f)), conn, load).written == 1)
+    assert(pgv.write(one(Seq(3f, 4f)), conn, load.copy(recreate = false)).written == 1)
+    val back = pgv.readBack(spark, conn, load)
+    assert(back.count() == 1, "INSERT-path upsert duplicated an id")
+    assert(back.head().getSeq[Float](1) == Seq(3f, 4f))
+    assert(back.head().getMap[String, String](2).toMap == Map("k" -> "it's"))
+  }
+
+  test("COPY write path: framing characters in values survive the text-format escapes") {
+    live()
+    val pgv = ConnectorRegistry("pgvector")
+    // tab, newline, CR, backslash, and \N-lookalike — exactly the bytes
+    // COPY text format frames rows/fields with; unescaped, any of them
+    // would split or null the row
+    val hostile = Map(
+      "tab" -> "a\tb", "nl" -> "line1\nline2", "cr" -> "x\ry",
+      "bs" -> "c:\\dir\\n not a newline", "nul_lookalike" -> "\\N")
+    val df = Seq(("h1", Seq(1f, -2f), hostile))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    val load = graft.config.LoadSpec(collection = "wire_copy_esc", recreate = true)
+    assert(pgv.write(df, wireConn(), load).written == 1)
+    val got = pgv.readBack(spark, wireConn(), load).head()
+    assert(got.getMap[String, String](2).toMap == hostile,
+      s"COPY escaping mangled a value: ${got.getMap[String, String](2).toMap}")
+    assert(got.getSeq[Float](1) == Seq(1f, -2f))
+  }
+
+  test("copyIn error shapes: bad relation fails typed; query() on COPY can't hang") {
+    val c = live()
+    import graft.connectors.pgwire.PgWireClient.copyField
+    // COPY into a missing table: error arrives BEFORE copy mode — typed,
+    // and the session survives (drain-to-ReadyForQuery contract)
+    val e = intercept[PgWireException](
+      c.copyIn("COPY absent_copy_t FROM STDIN", Iterator("1\t2")))
+    assert(e.sqlState == "42P01", s"${e.sqlState}: ${e.getMessage}")
+    assert(c.query("SELECT 1 + 1").rows.head.head == "2")
+    // a COPY FROM STDIN issued through plain query(): the client answers
+    // CopyFail instead of leaving the server waiting forever; the
+    // statement fails typed (57014 query_canceled) and the session lives
+    c.query("CREATE TABLE copy_guard_t (a TEXT)")
+    val e2 = intercept[PgWireException](c.query("COPY copy_guard_t FROM STDIN"))
+    assert(e2.getMessage.contains("copyIn"), s"${e2.sqlState}: ${e2.getMessage}")
+    assert(c.query("SELECT 2 + 2").rows.head.head == "4")
+    // happy path straight through the client: rows land, tag is COPY n
+    val r = c.copyIn("COPY copy_guard_t (a) FROM STDIN",
+      Iterator(copyField("v1"), copyField(null), copyField("a\tb")))
+    assert(r.tags.lastOption.exists(_.startsWith("COPY")), r.tags)
+    assert(r.rowCount == 3, r.tags)
+    val back = c.query("SELECT a FROM copy_guard_t ORDER BY a NULLS LAST")
+    assert(back.rows.map(r => Option(r.head)) ==
+      Seq(Some("a\tb"), Some("v1"), None), back.rows)
+  }
+
   test("partitioned wire read: declared id bounds split into range slices") {
     val c = live()
     c.query("CREATE TABLE part_t (vec_id BIGINT, embedding TEXT)")
     val rows = (0 until 120).map(i => s"($i, '[$i,1]')").mkString(", ")
-    c.query(s"INSERT INTO part_t VALUES $rows")
+    // rows OUTSIDE the declared bounds and a NULL id: the Spark-JDBC
+    // contract makes bounds a stride, never a filter — the first slice is
+    // unbounded below (and carries NULLs), the last unbounded above
+    c.query(s"INSERT INTO part_t VALUES $rows, (-7, '[0,0]'), (500, '[5,5]'), " +
+      "(NULL, '[9,9]')")
     val df = ConnectorRegistry("pgvector").read(spark,
-      wireConn("partitions" -> "4", "lower_bound" -> "0", "upper_bound" -> "119"),
+      wireConn("partitions" -> "4", "lower_bound" -> "10", "upper_bound" -> "100"),
       graft.config.QuerySpec(collection = "part_t", idColumn = "vec_id",
         vectorColumn = Some("embedding")))
     assert(df.rdd.getNumPartitions == 4, df.rdd.getNumPartitions.toString)
-    val ids = df.select("id").as[String].collect()
-    assert(ids.length == 120 && ids.distinct.length == 120, // disjoint + covering
+    val ids = df.select("id").collect().map(r => Option(r.getString(0)))
+    assert(ids.length == 123 && ids.distinct.length == 123, // disjoint + covering
       s"n=${ids.length} distinct=${ids.distinct.length}")
+    assert(ids.contains(Some("-7")) && ids.contains(Some("500")),
+      "ids outside [lower_bound, upper_bound) were silently filtered")
+    assert(ids.contains(None), "the NULL id matched no slice")
     // TEXT id column (every table this face's own write creates): the
-    // slices cast-guard and a CATCH-ALL slice carries non-numeric ids —
-    // disjoint + covering, nothing silently range-excluded
+    // slices CASE-guard the cast and a CATCH-ALL slice carries
+    // non-numeric, >18-digit, and NULL ids — disjoint + covering,
+    // nothing silently range-excluded even with under-covering bounds
     c.query("CREATE TABLE part_s (id TEXT, vector TEXT)")
     val srows = (0 until 90).map(i => s"('$i', '[$i,1]')").mkString(", ")
     c.query(s"INSERT INTO part_s VALUES $srows, ('alpha', '[1,2]'), " +
-      "('12345678901234567890123', '[2,2]')") // >18 digits -> catch-all
+      "('12345678901234567890123', '[2,2]'), (NULL, '[3,3]')")
     val sdf = ConnectorRegistry("pgvector").read(spark,
-      wireConn("partitions" -> "4", "lower_bound" -> "0", "upper_bound" -> "89"),
+      wireConn("partitions" -> "4", "lower_bound" -> "10", "upper_bound" -> "80"),
       graft.config.QuerySpec(collection = "part_s"))
     assert(sdf.rdd.getNumPartitions == 5, sdf.rdd.getNumPartitions.toString)
-    val sids = sdf.select("id").as[String].collect()
-    assert(sids.length == 92 && sids.distinct.length == 92,
+    val sids = sdf.select("id").collect().map(r => Option(r.getString(0)))
+    assert(sids.length == 93 && sids.distinct.length == 93,
       s"n=${sids.length} distinct=${sids.distinct.length}")
-    assert(sids.contains("alpha") && sids.contains("12345678901234567890123"))
+    assert(sids.contains(Some("alpha")) &&
+      sids.contains(Some("12345678901234567890123")) && sids.contains(None))
+    assert(sids.contains(Some("0")) && sids.contains(Some("89")),
+      "numeric text ids outside the declared bounds were silently filtered")
   }
 
   test("incremental migration over the wire face: idempotent, updates APPLIED (upsert)") {
@@ -307,6 +380,38 @@ class PgLiveWireSpec extends SparkSpec {
           ssl = true, sslRootCert = Some(crt)))
       assert(e.sqlState == "08P01" &&
         e.getMessage.contains("refused the TLS upgrade"), e.getMessage)
+      // ---- SCRAM-SHA-256-PLUS: channel binding on the TLS session ----
+      // the server advertises the -PLUS mechanism on SSL connections;
+      // the client must pick it and bind to THIS session's server cert
+      // (tls-server-end-point) — a wrong binding fails the proof
+      val admin = new PgWireClient("127.0.0.1", run.port,
+        ssl = true, sslRootCert = Some(crt))
+      try {
+        admin.query("SET password_encryption = 'scram-sha-256'; " +
+          "CREATE ROLE scrampls_u LOGIN PASSWORD 'bind+me'")
+        val hba = java.nio.file.Paths.get(run.root.getAbsolutePath, "data", "pg_hba.conf")
+        val prior = java.nio.file.Files.readAllBytes(hba)
+        java.nio.file.Files.write(hba,
+          "hostssl all scrampls_u 127.0.0.1/32 scram-sha-256\n".getBytes("UTF-8")
+            ++ prior)
+        admin.query("SELECT pg_reload_conf()")
+        Thread.sleep(500) // reload is async
+      } finally admin.close()
+      val sp = new PgWireClient("127.0.0.1", run.port, user = "scrampls_u",
+        password = Some("bind+me"), ssl = true, sslRootCert = Some(crt))
+      try {
+        assert(sp.saslMechanism == "SCRAM-SHA-256-PLUS",
+          s"negotiated ${sp.saslMechanism} on a TLS session offering -PLUS")
+        assert(sp.query("SELECT current_user").rows.head.head == "scrampls_u")
+        assert(sp.query(
+          "SELECT ssl FROM pg_stat_ssl WHERE pid = pg_backend_pid()")
+          .rows.head.head == "t")
+      } finally sp.close()
+      // wrong password through the -PLUS flow: the server's typed failure
+      val bad = intercept[PgWireException](
+        new PgWireClient("127.0.0.1", run.port, user = "scrampls_u",
+          password = Some("wrong"), ssl = true, sslRootCert = Some(crt)))
+      assert(bad.sqlState == "28P01", s"${bad.sqlState}: ${bad.getMessage}")
     } finally run.stop()
   }
 
@@ -353,8 +458,11 @@ class PgLiveWireSpec extends SparkSpec {
     // full SCRAM-SHA-256 round trip, INCLUDING the server-signature check
     val sc = new PgWireClient("127.0.0.1", run.port, user = "scram_u",
       password = Some("sekret+123"))
-    try assert(sc.query("SELECT current_user").rows.head.head == "scram_u")
-    finally sc.close()
+    try {
+      assert(sc.query("SELECT current_user").rows.head.head == "scram_u")
+      // off TLS the client must negotiate the NON-PLUS mechanism (gs2 'n')
+      assert(sc.saslMechanism == "SCRAM-SHA-256", sc.saslMechanism)
+    } finally sc.close()
     // wrong password: the server's typed auth failure, not a hang or NPE
     val bad = intercept[PgWireException](
       new PgWireClient("127.0.0.1", run.port, user = "scram_u",
