@@ -28,6 +28,24 @@ object ConnectorQueries {
       .mode("overwrite").save()
   }
 
+  // the applied CDC diff replayed declaratively: survivors = untouched
+  // keeps + updated rows (label+100, vector negated) + shifted inserts.
+  // Shared by the batch (q_cdc_apply) and streaming (q_cdc_apply_stream)
+  // gates — both land the same final collection state.
+  private val cdcApplySql: String =
+    "WITH o AS (SELECT vec_id, embedding, label FROM embeddings), " +
+      "keep AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS emb, " +
+      "CAST(label AS VARCHAR) AS label FROM o " +
+      "WHERE vec_id % 17 != 0 AND vec_id % 13 != 0), " +
+      "upd AS (SELECT CAST(vec_id AS VARCHAR) AS id, " +
+      "list_transform(embedding, x -> -x) AS emb, " +
+      "CAST(label + 100 AS VARCHAR) AS label FROM o " +
+      "WHERE vec_id % 13 = 0 AND vec_id % 17 != 0), " +
+      "ins AS (SELECT CAST(vec_id + 1000000 AS VARCHAR) AS id, embedding AS emb, " +
+      "CAST(label AS VARCHAR) AS label FROM o WHERE vec_id % 19 = 0), " +
+      "fin AS (SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins) " +
+      "SELECT id, label, round(CAST(emb[1] AS DOUBLE), 5) + 0.0 AS v1 FROM fin"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1-path: parquet connector scan with projection/filter/limit pushdown
     "q_connector_scan" -> ((s, dir) =>
@@ -492,6 +510,46 @@ object ConnectorQueries {
           round(element_at(col(Canonical.VECTOR), 1).cast("double"), 5).as("v1"))
     }),
 
+    // ---- The STREAMING face of CDC apply: the SAME tagged diff rendered
+    //      to canonical+op rows, dropped as THREE parquet files and
+    //      replayed as a multi-microbatch file stream
+    //      (maxFilesPerTrigger=1) through StreamOps.streamingCdcApply —
+    //      each microbatch applies its upserts (DSv2 append) and deletes
+    //      (executor-side transport batches); ids arrive disjoint per op,
+    //      so the final collection STATE is split-invariant and the SAME
+    //      DuckDB oracle as batch twin q_cdc_apply adjudicates it ----
+    "q_cdc_apply_stream" -> ((s, dir) => {
+      loadFixture(s, dir, "graft-qdrant", "gate_cdc_str")
+      val e = Tables(s, dir, "embeddings")
+      val updated = e.filter(col("vec_id") % 13 === 0 && col("vec_id") % 17 =!= 0)
+        .select(col("vec_id").cast("string").as(Canonical.ID),
+          transform(col("embedding"), x => -x).as(Canonical.VECTOR),
+          map(lit("label"), (col("label") + 100).cast("string")).as(Canonical.METADATA),
+          lit("update").as("op"))
+      val inserted = e.filter(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + 1000000L).cast("string").as(Canonical.ID),
+          col("embedding").as(Canonical.VECTOR),
+          map(lit("label"), col("label").cast("string")).as(Canonical.METADATA),
+          lit("insert").as("op"))
+      val dels = e.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").cast("string").as(Canonical.ID),
+          lit(null).cast(Canonical.schema(Canonical.VECTOR).dataType).as(Canonical.VECTOR),
+          lit(null).cast(Canonical.schema(Canonical.METADATA).dataType).as(Canonical.METADATA),
+          lit("delete").as("op"))
+      val tmp = java.nio.file.Files.createTempDirectory("gate_cdcstr").toString
+      val inDir = s"$tmp/in"
+      updated.unionByName(inserted).unionByName(dels)
+        .repartition(3).write.mode("overwrite").parquet(inDir)
+      val q = graft.streaming.StreamOps.streamingCdcApply(s, inDir,
+        "graft-qdrant", "gate_cdc_str", maxFilesPerTrigger = Some(1))
+        .option("checkpointLocation", s"$tmp/chk").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft-qdrant").option("collection", "gate_cdc_str").load()
+        .select(col(Canonical.ID),
+          element_at(col(Canonical.METADATA), "label").as("label"),
+          round(element_at(col(Canonical.VECTOR), 1).cast("double"), 5).as("v1"))
+    }),
+
     // numeric drift between source and (CDC-derived) migrated snapshot:
     // 10-bin PSI over order prices, every term oracle-replayed
     "q_drift_psi" -> ((s, dir) => {
@@ -743,21 +801,10 @@ object ConnectorQueries {
         "CAST(CASE WHEN vec_id % 6 = 0 THEN label + 50 ELSE label END AS VARCHAR) AS label, " +
         "round(CAST(embedding[1] AS DOUBLE), 5) + 0.0 AS v1 FROM embeddings " +
         "WHERE (vec_id % 3 = 0 OR vec_id % 2 = 0) AND vec_id % 12 <> 0"),
-    "q_cdc_apply" ->
-      // the applied diff replayed declaratively: survivors = untouched
-      // keeps + updated rows (label+100, vector negated) + shifted inserts
-      ("WITH o AS (SELECT vec_id, embedding, label FROM embeddings), " +
-        "keep AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS emb, " +
-        "CAST(label AS VARCHAR) AS label FROM o " +
-        "WHERE vec_id % 17 != 0 AND vec_id % 13 != 0), " +
-        "upd AS (SELECT CAST(vec_id AS VARCHAR) AS id, " +
-        "list_transform(embedding, x -> -x) AS emb, " +
-        "CAST(label + 100 AS VARCHAR) AS label FROM o " +
-        "WHERE vec_id % 13 = 0 AND vec_id % 17 != 0), " +
-        "ins AS (SELECT CAST(vec_id + 1000000 AS VARCHAR) AS id, embedding AS emb, " +
-        "CAST(label AS VARCHAR) AS label FROM o WHERE vec_id % 19 = 0), " +
-        "fin AS (SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins) " +
-        "SELECT id, label, round(CAST(emb[1] AS DOUBLE), 5) + 0.0 AS v1 FROM fin"),
+    "q_cdc_apply" -> cdcApplySql,
+    // the streaming face lands the SAME final collection state, so the
+    // SAME declarative replay adjudicates it — batch ≡ streaming
+    "q_cdc_apply_stream" -> cdcApplySql,
     "q_drift_psi" ->
       // identical double math end to end: bin width from ref min/max,
       // clamped bins, window-summed masses, epsilon-floored ln terms

@@ -864,6 +864,60 @@ object PipelineQueries {
         .select("vec_id", "max_cosine", "nearest_eval_id", "contaminated")
     }),
 
+    // ---- The streaming QUALITY-GATE face (row-local heuristic score,
+    //      stateless): documents replayed as a multi-microbatch file
+    //      stream through StreamOps.streamingQualityFilter with a FIXED
+    //      cut — the streaming-safe variant of the corpus-relative
+    //      quantile cut — adjudicated by the same closed-form quality
+    //      expression the q_text_quality* oracles replay ----
+    "q_quality_filter_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("gate_qualstr").toString
+      val inDir = s"$tmp/in"
+      docs.select("doc_id", "text")
+        .repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val kept = graft.streaming.StreamOps.streamingQualityFilter(
+        stream, minScore = 0.5)
+      val outDir = s"$tmp/out"
+      val land: (DataFrame, Long) => Unit =
+        (b, _) => b.write.mode("append").parquet(outDir)
+      val q = kept.writeStream.foreachBatch(land)
+        .option("checkpointLocation", s"$tmp/chk").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir).select("doc_id", "quality")
+    }),
+
+    // ---- The streaming CHUNK+EMBED face (explode + row-local hashed
+    //      embedding, stateless): documents replayed as a multi-
+    //      microbatch file stream through StreamOps.streamingChunkEmbed,
+    //      landed via foreachBatch, then flattened to the SAME scalar
+    //      (doc_id, chunk_idx, i, v) rows as batch twin q_chunk_embed —
+    //      the SAME DuckDB oracle adjudicates both, so batch ≡ streaming
+    //      is hash-checked component by component ----
+    "q_chunk_embed_stream" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("gate_cestr").toString
+      val inDir = s"$tmp/in"
+      docs.select("doc_id", "text")
+        .repartition(2).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(s.read.parquet(inDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val chunks = graft.streaming.StreamOps.streamingChunkEmbed(
+        stream, width = 64, stride = 48, dim = 16)
+        .select("doc_id", "chunk_idx", "embedding")
+      val outDir = s"$tmp/out"
+      val land: (DataFrame, Long) => Unit =
+        (b, _) => b.write.mode("append").parquet(outDir)
+      val q = chunks.writeStream.foreachBatch(land)
+        .option("checkpointLocation", s"$tmp/chk").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("chunk_idx"),
+          posexplode(transform(col("embedding"), v => round(v, 6))).as(Seq("i", "v")))
+    }),
+
     // ---- URL canonicalization (the FIRST dedup a crawl pipeline runs):
     //      case/port/fragment/tracking-param/param-order normalization
     //      over deterministically constructed URLs; the oracle computes
@@ -948,6 +1002,31 @@ object PipelineQueries {
         "SELECT query_id, cand_id, score, CAST(rn AS INT) AS rk FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY score DESC, cand_id ASC) AS rn FROM s) WHERE rn <= 3"
+
+    // the chunk-window + hashing-trick embedding replay, component by
+    // component — shared by batch q_chunk_embed and its streaming twin
+    // q_chunk_embed_stream (same windows, same kernel, same rounding)
+    val chunkEmbedSql = {
+      val dim = 16
+      val counts = (0 until dim)
+        .map(j => s"CAST(len(list_filter(ch, h -> h % $dim = $j)) AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      "WITH d AS (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 " +
+        "THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents), " +
+        s"h AS (SELECT doc_id, list_transform(toks, t -> ${tokHashSql("t")}) AS hl, " +
+        "len(toks) AS n FROM d WHERE len(toks) > 0), " +
+        "c AS (SELECT doc_id, hl, " +
+        "CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM h), " +
+        "e AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx, " +
+        "hl[k*48+1 : k*48+64] AS ch FROM " +
+        "(SELECT doc_id, hl, unnest(range(0, nc)) AS k FROM c)), " +
+        s"cnt AS (SELECT doc_id, chunk_idx, $counts AS cnt FROM e), " +
+        "nrm AS (SELECT doc_id, chunk_idx, cnt, " +
+        "sqrt(list_aggregate(list_transform(cnt, x -> x*x), 'sum')) AS nn FROM cnt) " +
+        // flattened to scalar rows (parallel unnests zip, as in q_vec_cov)
+        "SELECT doc_id, chunk_idx, CAST(unnest(range(len(cnt))) AS INT) AS i, " +
+        "unnest(list_transform(cnt, x -> round(x / nn, 6))) AS v FROM nrm"
+    }
 
     val m = Map(
       "q_transform_enrich" ->
@@ -1769,31 +1848,16 @@ object PipelineQueries {
           "SELECT doc_id, CAST(k AS INT) AS chunk_idx, " +
           "CAST(len(toks[k*48+1 : k*48+64]) AS INT) AS n_tokens, " +
           "array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text FROM e"),
-      "q_chunk_embed" -> {
-        // same chunk windows as q_chunk_docs, then the hashing-trick
-        // embedding replayed component by component: bucket counts over the
-        // sliced portable token-hash list, L2-normalized. The 16 count
-        // expressions are GENERATED from the same dim the Spark side uses.
-        val dim = 16
-        val counts = (0 until dim)
-          .map(j => s"CAST(len(list_filter(ch, h -> h % $dim = $j)) AS DOUBLE)")
-          .mkString("[", ", ", "]")
-        "WITH d AS (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 " +
-          "THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks FROM documents), " +
-          s"h AS (SELECT doc_id, list_transform(toks, t -> ${tokHashSql("t")}) AS hl, " +
-          "len(toks) AS n FROM d WHERE len(toks) > 0), " +
-          "c AS (SELECT doc_id, hl, " +
-          "CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM h), " +
-          "e AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx, " +
-          "hl[k*48+1 : k*48+64] AS ch FROM " +
-          "(SELECT doc_id, hl, unnest(range(0, nc)) AS k FROM c)), " +
-          s"cnt AS (SELECT doc_id, chunk_idx, $counts AS cnt FROM e), " +
-          "nrm AS (SELECT doc_id, chunk_idx, cnt, " +
-          "sqrt(list_aggregate(list_transform(cnt, x -> x*x), 'sum')) AS nn FROM cnt) " +
-          // flattened to scalar rows (parallel unnests zip, as in q_vec_cov)
-          "SELECT doc_id, chunk_idx, CAST(unnest(range(len(cnt))) AS INT) AS i, " +
-          "unnest(list_transform(cnt, x -> round(x / nn, 6))) AS v FROM nrm"
-      },
+      "q_chunk_embed" -> chunkEmbedSql,
+      // the streaming face emits the same chunk records (stateless
+      // explode + row-local kernel), so the same replay adjudicates it
+      "q_chunk_embed_stream" -> chunkEmbedSql,
+      // streamingQualityFilter: the FIXED-threshold in-flight gate — the
+      // same closed-form quality expression, cut at 0.5 on the 1e-6-
+      // rounded score (both sides round before comparing)
+      "q_quality_filter_stream" ->
+        (s"WITH q AS (SELECT doc_id, $quality AS quality FROM documents) " +
+          "SELECT doc_id, quality FROM q WHERE quality >= 0.5"),
       "q_fuzzy_names" -> {
         // Ed-Join replayed stage by stage: padded char 3-grams -> global df
         // -> rarest-first rank -> (q*k+1)-prefix -> candidate join with the

@@ -510,11 +510,17 @@ object StreamOps {
     * converges to exactly-once collection STATE — same argument as the
     * upsert-only incremental sink, now covering removals too. */
   def streamingCdcApply(spark: org.apache.spark.sql.SparkSession, watchDir: String,
-                        fmt: String, collection: String) = {
+                        fmt: String, collection: String,
+                        maxFilesPerTrigger: Option[Int] = None) = {
     import org.apache.spark.sql.types._
     val schema = StructType(graft.model.Canonical.schema.fields :+
       StructField("op", StringType, nullable = true))
-    val stream = spark.readStream.schema(schema).parquet(watchDir)
+    // maxFilesPerTrigger bounds each microbatch (and lets the oracle gate
+    // force a MULTI-batch replay); correctness does not depend on the
+    // split — both legs are id-keyed and ops arrive disjoint per id
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(watchDir)
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
