@@ -138,7 +138,47 @@ object Bench {
     // operator row: the banded Hamming near-dup join ALONE, over the
     // pre-materialized fingerprint table ([[mmFeatures]])
     "q_mm_ahash_neardup_v2" -> ((s, dir) =>
-      graft.ops.Multimodal.aHashNearDupPairs(mmFeatures(s, dir), maxHamming = 3)))
+      graft.ops.Multimodal.aHashNearDupPairs(mmFeatures(s, dir), maxHamming = 3)),
+    // tar-shard round trip with the shard dir on TMPFS when the host has
+    // one (round 18, closing the r17 "most IO-exposed row" note): the
+    // gated twin writes under target/ and its bench reading spread
+    // 0.85 → 13.3 s purely with host IO state, poisoning loaded-host
+    // artifacts. The bench row measures the OPERATOR — tar framing,
+    // shard partitioning, stream decode — not the co-tenant disk queue;
+    // the disk-bound law stays visible in ScaleProbe ("wds shard
+    // roundtrip") and the oracle gate still runs the target/-backed
+    // path. Shadows the gated q_wds_roundtrip here (benchOnly wins in
+    // `qs`), same pattern as the q_dedup_cosine_lsh shadow.
+    "q_wds_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val samples = Tables(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id").cast("string").as("key"),
+          map(lit("txt"), encode(col("text"), "UTF-8")).as("files"))
+      graft.ops.WebDataset.writeShards(samples, wdsBenchDir, numShards = 8,
+        overwrite = true)
+      graft.ops.WebDataset.readShards(s, s"$wdsBenchDir/*.tar")
+        .select(col("key"), col("shard"), col("ext"), col("byte_len"))
+    }))
+
+  /** Shard dir for the bench's q_wds_roundtrip row: /dev/shm (tmpfs) when
+    * writable, else the gate's target/-style scratch. Deleted at the end
+    * of the run ([[cleanupWds]]) — tmpfs is RAM, and a bench must not
+    * leave a corpus copy pinned in a shared host's memory. */
+  private val wdsBenchDir: String =
+    if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm/graft_bench_wds"
+    else "target/tmp/wds_bench"
+
+  private def cleanupWds(): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(wdsBenchDir)
+    if (Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
   private def iqr(xs: Seq[Double]): Double = {
@@ -499,6 +539,7 @@ object Bench {
     // which has left the driver's `parsed` field null before.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    cleanupWds() // tmpfs shards are RAM — never leave them behind
     spark.stop()
     sys.exit(0) // don't let stray library threads pin the forked JVM open
   }

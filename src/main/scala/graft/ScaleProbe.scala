@@ -134,7 +134,14 @@ object ScaleProbe {
           map(lit("label"), col("label").cast("string")).as("metadata"))
         val pgv = graft.connectors.ConnectorRegistry("pgvector")
         val hi = factor.toLong * 2000L * 10L // comfortably past the shifted ids
-        time("pgwire upsert write (8 conns)")(
+        // the two write laws side by side: multi-VALUES INSERT batches vs
+        // COPY-into-stage + one-publish (the default bulk path) — same
+        // upsert semantics, same table shape
+        time("pgwire upsert write INSERT (8 conns)")(
+          pgv.write(canon.repartition(8), conn + ("write_mode" -> "insert"),
+            graft.config.LoadSpec(collection = "probe_wire", recreate = true,
+              batchSize = 500)).written)
+        time("pgwire upsert write COPY (8 conns)")(
           pgv.write(canon.repartition(8), conn,
             graft.config.LoadSpec(collection = "probe_wire", recreate = true,
               batchSize = 500)).written)
