@@ -43,6 +43,14 @@ object PgWireFace {
   def enabled(connection: Map[String, String]): Boolean =
     connection.get("protocol").contains("wire")
 
+  /** `query_protocol=extended`: route reads and insert-mode writes
+    * through the Extended Query protocol (Parse/Bind/Execute) — values
+    * travel as Bind PARAMETERS, so the SQL text never carries data and
+    * the literal-escaping surface disappears from the data path. COPY
+    * mode already has no literals (rows ride the COPY sub-protocol). */
+  def extendedEnabled(connection: Map[String, String]): Boolean =
+    connection.get("query_protocol").contains("extended")
+
   /** Serializable connection endpoint — rides into executor closures.
     * `ssl` = the `ssl` connection key ("true"/"require"/"on");
     * `sslRootCert` = a PEM path to pin the server/root certificate
@@ -182,9 +190,13 @@ object PgWireFace {
       }
     val sqls = ranged.map(sqlSide.buildSelect)
     val ep = endpoint(connection)
+    val ext = extendedEnabled(connection)
     val rdd = spark.sparkContext.parallelize(sqls, sqls.length).flatMap { sql =>
       val c = ep.connect()
-      try c.query(sql).rows.map(Row.fromSeq(_))
+      // query_protocol=extended runs each slice through Parse/Bind/
+      // Execute (unnamed statement, text results) — same rows, prepared
+      // plumbing exercised end to end
+      try (if (ext) c.execParams(sql) else c.query(sql)).rows.map(Row.fromSeq(_))
       finally c.close()
     }
     val raw = spark.createDataFrame(rdd,
@@ -279,11 +291,32 @@ object PgWireFace {
     val idCol = ddlCols._1
     val vecCol = ddlCols._2
     val useCopy = !connection.get("write_mode").contains("insert")
+    val ext = extendedEnabled(connection)
     observed.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val c = ep.connect()
         try {
-          if (useCopy) {
+          if (!useCopy && ext) {
+            // Extended-protocol upsert: named statements prepared once,
+            // then per batch a PIPELINE of Bind/Execute pairs (delete leg
+            // first) closed by ONE Sync — everything between Syncs runs
+            // in one implicit transaction, so the batch keeps the same
+            // atomicity as the multi-statement Simple Query, with values
+            // as parameters instead of literals
+            c.prepare("graft_del", s"DELETE FROM $table WHERE $idCol = $$1")
+            c.prepare("graft_ins",
+              s"INSERT INTO $table ($idCol, $vecCol, metadata) VALUES ($$1, $$2, $$3)")
+            it.grouped(batch).foreach { g =>
+              g.foreach { r =>
+                if (!r.isNullAt(0)) c.bindExec("graft_del", Seq(Some(r.getString(0))))
+              }
+              g.foreach { r =>
+                def p(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+                c.bindExec("graft_ins", Seq(p(0), p(1), p(2)))
+              }
+              c.syncBatch()
+            }
+          } else if (useCopy) {
             // per-session TEMP stage: invisible to other connections, so a
             // half-copied retry never leaks rows; dropped with the session
             c.query("CREATE TEMP TABLE graft_copy_stage " +

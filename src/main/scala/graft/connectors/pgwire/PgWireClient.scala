@@ -436,6 +436,138 @@ class PgWireClient(host: String, port: Int,
     PgResult(columns, rows, tags.result())
   }
 
+  // ---- Extended Query protocol (Parse/Bind/Execute/Sync) ----
+  // Parameterized statements: user VALUES travel as Bind parameters, so
+  // the SQL text never carries data — no quoting/escaping surface at
+  // all. Text format both ways (format code 0); an implicit transaction
+  // spans everything up to Sync, which is what makes a pipelined
+  // delete+insert batch atomic ([[PgWireFace]]'s extended write mode).
+
+  private def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+
+  /** Parse a NAMED prepared statement (Parse + Sync, drained) — call once
+    * per connection, then pipeline [[bindExec]]/[[syncBatch]] against it. */
+  def prepare(name: String, sql: String): Unit = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(cstr(name))
+    b.write(cstr(sql))
+    b.write(Array[Byte](0, 0)) // 0 pre-specified parameter types
+    send('P', b.toByteArray)
+    sendSync()
+    drainExtended()
+  }
+
+  /** Queue ONE Bind("", stmt, params) + Execute("") pair — NOT flushed;
+    * the round trip happens at [[syncBatch]]. `None` binds SQL NULL. */
+  def bindExec(stmt: String, params: Seq[Option[String]]): Unit = {
+    writeBind(stmt, params)
+    writeExecute()
+  }
+
+  private def writeBind(stmt: String, params: Seq[Option[String]]): Unit = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(cstr("")) // unnamed portal
+    b.write(cstr(stmt))
+    b.write(Array[Byte](0, 0)) // 0 param-format codes -> all text
+    b.write(Array[Byte]((params.length >> 8).toByte, params.length.toByte))
+    params.foreach {
+      case None => b.write(Array[Byte](-1, -1, -1, -1)) // int32 -1 = NULL
+      case Some(v) =>
+        val bytes = v.getBytes(UTF_8)
+        b.write(java.nio.ByteBuffer.allocate(4).putInt(bytes.length).array())
+        b.write(bytes)
+    }
+    b.write(Array[Byte](0, 0)) // 0 result-format codes -> all text
+    out.writeByte('B')
+    out.writeInt(4 + b.size())
+    b.writeTo(out)
+  }
+
+  private def writeExecute(): Unit = {
+    out.writeByte('E') // Execute: unnamed portal, no row limit
+    out.writeInt(4 + 1 + 4)
+    out.writeByte(0)
+    out.writeInt(0)
+  }
+
+  private def sendSync(): Unit = {
+    out.writeByte('S')
+    out.writeInt(4)
+    out.flush()
+  }
+
+  /** Close the pipeline: Sync, then drain every queued statement's
+    * results to ReadyForQuery. Everything since the last Sync ran in ONE
+    * implicit transaction — on the first error the server skips the rest
+    * and rolls the transaction back, so a [[bindExec]] batch is atomic. */
+  def syncBatch(): PgResult = {
+    sendSync()
+    drainExtended()
+  }
+
+  /** One-shot parameterized statement through the unnamed prepared
+    * statement: Parse + Bind + Describe + Execute + Sync in a single
+    * flush, results in text format. The read-side twin of [[bindExec]] —
+    * `sql` carries `$1..$n` placeholders and `params` the values. */
+  def execParams(sql: String, params: Seq[Option[String]] = Nil): PgResult = {
+    val p = new java.io.ByteArrayOutputStream()
+    p.write(cstr(""))
+    p.write(cstr(sql))
+    p.write(Array[Byte](0, 0))
+    send('P', p.toByteArray) // send flushes; harmless mid-pipeline
+    writeBind("", params)
+    // Describe the PORTAL between Bind and Execute — RowDescription must
+    // precede the DataRows or the drain's 'T' reset discards them
+    out.writeByte('D')
+    out.writeInt(4 + 1 + 1)
+    out.writeByte('P')
+    out.writeByte(0)
+    writeExecute()
+    syncBatch()
+  }
+
+  /** Shared drain for the extended protocol: collects the LAST result
+    * set + all tags, raises the first error AFTER ReadyForQuery (same
+    * session-survives contract as [[query]]). */
+  private def drainExtended(): PgResult = {
+    var columns = Seq.empty[String]
+    var rows = Vector.empty[Seq[String]]
+    val tags = Vector.newBuilder[String]
+    var err: PgWireException = null
+    var done = false
+    while (!done) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'T' =>
+          val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+          var i = 2
+          columns = (0 until n).map { _ =>
+            val (name, next) = cstring(payload, i)
+            i = next + 18
+            name
+          }
+          rows = Vector.empty
+        case 'D' =>
+          val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+          var i = 2
+          rows :+= (0 until n).map { _ =>
+            val len = ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+              ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+            i += 4
+            if (len == -1) null
+            else { val s = new String(payload, i, len, UTF_8); i += len; s }
+          }
+        case 'C' => tags += cstring(payload, 0)._1
+        case 'E' => if (err == null) err = errorFrom(payload)
+        case 'Z' => done = true
+        case _ => // ParseComplete '1', BindComplete '2', NoData 'n',
+        // PortalSuspended 's', CloseComplete '3', notices, param status
+      }
+    }
+    if (err != null) throw err
+    PgResult(columns, rows, tags.result())
+  }
+
   /** Bulk load through the documented COPY sub-protocol: run a
     * `COPY ... FROM STDIN` statement, answer the server's CopyInResponse
     * ('G') by streaming `lines` as text-format CopyData ('d') frames

@@ -249,6 +249,125 @@ class PgLiveWireSpec extends SparkSpec {
       Seq(Some("a\tb"), Some("v1"), None), back.rows)
   }
 
+  test("extended query protocol: params carry hostile values with no escaping surface") {
+    val c = live()
+    c.query("CREATE TABLE ext_t (a TEXT, b TEXT)")
+    // every classic injection/framing shape travels as a Bind PARAMETER —
+    // the SQL text never contains it, so nothing needs quoting
+    val hostile = Seq(
+      "it's'; DROP TABLE ext_t; --", "back\\slash", "line1\nline2",
+      "tab\there", "$1 $2 lookalike", "\\N", "héllo — ünïcode", "")
+    hostile.zipWithIndex.foreach { case (v, i) =>
+      val r = c.execParams("INSERT INTO ext_t VALUES ($1, $2)",
+        Seq(Some(s"k$i"), Some(v)))
+      assert(r.rowCount == 1, r.tags)
+    }
+    c.execParams("INSERT INTO ext_t VALUES ($1, $2)", Seq(Some("knull"), None))
+    val back = c.execParams("SELECT b FROM ext_t WHERE a = $1", Seq(Some("k0")))
+    assert(back.columns == Seq("b") && back.rows.head.head == hostile.head, back.rows)
+    hostile.zipWithIndex.foreach { case (v, i) =>
+      assert(c.execParams("SELECT b FROM ext_t WHERE a = $1", Seq(Some(s"k$i")))
+        .rows.head.head == v, s"param round-trip mangled: $v")
+    }
+    assert(c.execParams("SELECT b FROM ext_t WHERE a = $1", Seq(Some("knull")))
+      .rows.head.head == null)
+    // the table survived every "injection" — the values were data
+    // (8 hostile rows + the NULL-param row)
+    assert(c.query("SELECT count(*) FROM ext_t").rows.head.head == "9")
+    // error shape: bad SQL through Parse fails typed, session survives
+    val e = intercept[PgWireException](c.execParams("SELEKT 1"))
+    assert(e.sqlState == "42601", s"${e.sqlState}: ${e.getMessage}")
+    assert(c.query("SELECT 3 + 3").rows.head.head == "6")
+  }
+
+  test("fuzz: generated strings round-trip both value paths (Bind params, COPY framing)") {
+    val c = live()
+    import graft.connectors.pgwire.PgWireClient.copyField
+    // seeded so a failure reproduces; palette is the full hazard set —
+    // quotes, backslashes, COPY framing chars, \N lookalikes, unicode,
+    // placeholder lookalikes (NUL excluded: rejected by contract)
+    val rnd = new scala.util.Random(181818L)
+    val palette = "ab'\"\\\t\n\r$12;—é中,{}%_N".toCharArray
+    val values = (0 until 120).map { i =>
+      if (i == 0) "" else
+        (0 until (1 + rnd.nextInt(24))).map(_ => palette(rnd.nextInt(palette.length))).mkString
+    }
+    c.query("CREATE TABLE fuzz_params (k INT, v TEXT); " +
+      "CREATE TABLE fuzz_copy (k INT, v TEXT)")
+    values.zipWithIndex.foreach { case (v, i) =>
+      c.execParams("INSERT INTO fuzz_params VALUES ($1, $2)",
+        Seq(Some(i.toString), Some(v)))
+    }
+    c.copyIn("COPY fuzz_copy FROM STDIN",
+      values.zipWithIndex.iterator.map { case (v, i) => s"$i\t${copyField(v)}" })
+    for (table <- Seq("fuzz_params", "fuzz_copy")) {
+      val got = c.query(s"SELECT k, v FROM $table ORDER BY k").rows
+        .map(r => r(0).toInt -> r(1)).toMap
+      values.zipWithIndex.foreach { case (v, i) =>
+        // COPY maps the empty-string field '' to '' (only \N is NULL);
+        // both paths must return the value byte-identical
+        assert(got(i) == v,
+          s"$table mangled value $i: ${got(i).toSeq} != ${v.toSeq}")
+      }
+    }
+  }
+
+  test("extended-protocol pipelined batch is atomic: one bad row rolls back the batch") {
+    val c = live()
+    c.query("CREATE TABLE ext_atomic (id TEXT, n INT CHECK (n < 100))")
+    c.prepare("ins_a", "INSERT INTO ext_atomic VALUES ($1, $2)")
+    // batch of 3 with the MIDDLE row violating the check: everything
+    // between Syncs is one implicit transaction — the server skips the
+    // rest after the error and rolls back, so NONE of the 3 land
+    c.bindExec("ins_a", Seq(Some("a"), Some("1")))
+    c.bindExec("ins_a", Seq(Some("b"), Some("999")))
+    c.bindExec("ins_a", Seq(Some("c"), Some("2")))
+    val e = intercept[PgWireException](c.syncBatch())
+    assert(e.sqlState == "23514", s"${e.sqlState}: ${e.getMessage}") // check_violation
+    assert(c.query("SELECT count(*) FROM ext_atomic").rows.head.head == "0",
+      "a failed pipeline batch left partial rows — batch is not atomic")
+    // a clean batch through the same prepared statement lands whole
+    c.bindExec("ins_a", Seq(Some("a"), Some("1")))
+    c.bindExec("ins_a", Seq(Some("c"), Some("2")))
+    c.syncBatch()
+    assert(c.query("SELECT count(*) FROM ext_atomic").rows.head.head == "2")
+  }
+
+  test("query_protocol=extended: connector write (insert mode) + partitioned read e2e") {
+    live()
+    val pgv = ConnectorRegistry("pgvector")
+    val conn = wireConn("write_mode" -> "insert", "query_protocol" -> "extended")
+    val load = graft.config.LoadSpec(collection = "wire_ext", recreate = true)
+    val df = Seq(
+      ("a", Seq(1.5f, -2.25f), Map("k" -> "v'--; DROP TABLE x", "u" -> "héllo")),
+      ("b", Seq(0.001f, 42f), Map("k" -> "2")),
+      ("c", null.asInstanceOf[Seq[Float]], Map.empty[String, String]))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    assert(pgv.write(df, conn, load).written == 3)
+    val back = pgv.readBack(spark, conn, load)
+      .orderBy(graft.model.Canonical.ID).collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(back(0).getMap[String, String](2).toMap ==
+      Map("k" -> "v'--; DROP TABLE x", "u" -> "héllo"))
+    assert(back(0).getSeq[Float](1) == Seq(1.5f, -2.25f))
+    // the upsert contract holds on the parameterized path too
+    def one(vec: Seq[Float]) = Seq(("a", vec, Map("k" -> "9")))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    pgv.write(one(Seq(8f, 8f)), conn, load.copy(recreate = false))
+    val after = pgv.readBack(spark, conn, load)
+    assert(after.count() == 3, "extended-path upsert duplicated an id")
+    assert(after.filter(col(graft.model.Canonical.ID) === "a")
+      .head().getSeq[Float](1) == Seq(8f, 8f))
+    // partitioned read through Parse/Bind/Execute per slice
+    val sliced = pgv.read(spark,
+      conn ++ Map("partitions" -> "3", "lower_bound" -> "0", "upper_bound" -> "10"),
+      QuerySpec(collection = "wire_ext"))
+    assert(sliced.rdd.getNumPartitions == 4) // 3 numeric + text catch-all
+    assert(sliced.count() == 3)
+  }
+
   test("partitioned wire read: declared id bounds split into range slices") {
     val c = live()
     c.query("CREATE TABLE part_t (vec_id BIGINT, embedding TEXT)")
