@@ -131,8 +131,11 @@ case class PgResult(columns: Seq[String], rows: Seq[Seq[String]], tags: Seq[Stri
   * PostgreSQL default since v14) → `Query('Q')` with text-format
   * results. TLS rides the documented SSLRequest upgrade: platform-trust
   * mode verifies chain AND hostname (verify-full); a pinned
-  * `ssl_root_cert` is verify-ca against that one anchor. This is NOT a
-  * JDBC replacement (no prepared statements, no binary formats); it
+  * `ssl_root_cert` is verify-ca against that one anchor. The Extended
+  * Query protocol (Parse/Bind/Execute — [[prepare]]/[[bindExec]]/
+  * [[execParams]]) carries values as parameters; `COPY FROM STDIN`
+  * ([[copyIn]]) is the bulk path. Text format only — this is still NOT
+  * a general JDBC replacement; it
   * exists so the engine's hand-built SQL
   * surface — the pgvector connector's `buildSelect` / catalog
   * predicates / DDL shapes and the vector text codec — can be verified
@@ -357,24 +360,32 @@ class PgWireClient(host: String, port: Int,
     (tpe, payload)
   }
 
+  /** Bounds-checked: an unterminated string (hostile/broken server) is a
+    * typed protocol violation, never an ArrayIndexOutOfBounds. */
   private def cstring(b: Array[Byte], from: Int): (String, Int) = {
     var end = from
-    while (b(end) != 0) end += 1
+    while (end < b.length && b(end) != 0) end += 1
+    if (from > end || end >= b.length)
+      throw new PgWireException("08P01",
+        s"unterminated string in server message — is $host:$port really " +
+          "a PostgreSQL server?")
     (new String(b, from, end - from, UTF_8), end + 1)
   }
 
   private def errorFrom(payload: Array[Byte]): PgWireException = {
-    // ErrorResponse: (fieldType byte, cstring)* then a terminating 0
+    // ErrorResponse: (fieldType byte, cstring)* then a terminating 0.
+    // Best-effort on malformed payloads: report what was parsed before
+    // the frame ran out rather than throwing OUT of a drain loop.
     var i = 0
     var state = "XX000"
     var msg = "unknown error"
-    while (i < payload.length && payload(i) != 0) {
+    try while (i < payload.length && payload(i) != 0) {
       val field = payload(i).toChar
       val (v, next) = cstring(payload, i + 1)
       if (field == 'C') state = v
       if (field == 'M') msg = v
       i = next
-    }
+    } catch { case _: PgWireException => () }
     new PgWireException(state, msg)
   }
 
@@ -397,26 +408,16 @@ class PgWireClient(host: String, port: Int,
     while (!done) {
       val (tpe, payload) = readMessage()
       tpe match {
-        case 'T' => // RowDescription: int16 n, then per-field name + 18 fixed bytes
-          val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
-          var i = 2
-          columns = (0 until n).map { _ =>
-            val (name, next) = cstring(payload, i)
-            i = next + 18 // tableOid(4) colno(2) typeOid(4) typlen(2) typmod(4) format(2)
-            name
-          }
+        case 'T' => // RowDescription
+          columns = parseRowDescription(payload, e => if (err == null) err = e)
           rows = Vector.empty // a new result set within the batch resets rows
-        case 'D' => // DataRow: int16 n, then per-col int32 len (-1 = NULL) + bytes
-          val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
-          var i = 2
-          rows :+= (0 until n).map { _ =>
-            val len = ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
-              ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
-            i += 4
-            if (len == -1) null
-            else { val s = new String(payload, i, len, UTF_8); i += len; s }
-          }
-        case 'C' => tags += cstring(payload, 0)._1 // CommandComplete
+        case 'D' => // DataRow
+          parseDataRow(payload, e => if (err == null) err = e)
+            .foreach(r => rows :+= r)
+        case 'C' => // CommandComplete — tag parse failure is recorded,
+          // not thrown: the drain must reach ReadyForQuery
+          try tags += cstring(payload, 0)._1
+          catch { case e: PgWireException => if (err == null) err = e }
         case 'E' => if (err == null) err = errorFrom(payload) // keep draining
         case 'Z' => done = true // ReadyForQuery
         case 'I' => // EmptyQueryResponse
@@ -539,25 +540,14 @@ class PgWireClient(host: String, port: Int,
       val (tpe, payload) = readMessage()
       tpe match {
         case 'T' =>
-          val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
-          var i = 2
-          columns = (0 until n).map { _ =>
-            val (name, next) = cstring(payload, i)
-            i = next + 18
-            name
-          }
+          columns = parseRowDescription(payload, e => if (err == null) err = e)
           rows = Vector.empty
         case 'D' =>
-          val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
-          var i = 2
-          rows :+= (0 until n).map { _ =>
-            val len = ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
-              ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
-            i += 4
-            if (len == -1) null
-            else { val s = new String(payload, i, len, UTF_8); i += len; s }
-          }
-        case 'C' => tags += cstring(payload, 0)._1
+          parseDataRow(payload, e => if (err == null) err = e)
+            .foreach(r => rows :+= r)
+        case 'C' =>
+          try tags += cstring(payload, 0)._1
+          catch { case e: PgWireException => if (err == null) err = e }
         case 'E' => if (err == null) err = errorFrom(payload)
         case 'Z' => done = true
         case _ => // ParseComplete '1', BindComplete '2', NoData 'n',
@@ -567,6 +557,55 @@ class PgWireClient(host: String, port: Int,
     if (err != null) throw err
     PgResult(columns, rows, tags.result())
   }
+
+  /** Malformed-frame guards for the two payloads with internal structure:
+    * a hostile or broken server's RowDescription/DataRow must surface as
+    * a TYPED 08P01 — recorded via `onErr` and reported after the drain
+    * reaches ReadyForQuery (readMessage consumed the whole frame, so the
+    * stream stays in sync) — never a raw ArrayIndexOutOfBounds that
+    * aborts mid-stream and desyncs the session. */
+  private def parseRowDescription(payload: Array[Byte],
+                                  onErr: PgWireException => Unit): Seq[String] =
+    try {
+      val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+      var i = 2
+      (0 until n).map { _ =>
+        val (name, next) = cstring(payload, i)
+        i = next + 18 // tableOid(4) colno(2) typeOid(4) typlen(2) typmod(4) format(2)
+        name
+      }
+    } catch {
+      // cstring's typed overrun throw included: it must funnel through
+      // onErr like the raw index failures, or it aborts the drain loop
+      // mid-stream and desyncs the session
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+           _: PgWireException =>
+        onErr(new PgWireException("08P01",
+          s"malformed RowDescription frame (${payload.length} bytes) — " +
+            s"is $host:$port really a PostgreSQL server?"))
+        Seq.empty
+    }
+
+  private def parseDataRow(payload: Array[Byte],
+                           onErr: PgWireException => Unit): Option[Seq[String]] =
+    try {
+      val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
+      var i = 2
+      Some((0 until n).map { _ =>
+        val len = ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+          ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+        i += 4
+        if (len == -1) null
+        else { val s = new String(payload, i, len, UTF_8); i += len; s }
+      })
+    } catch {
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+           _: PgWireException =>
+        onErr(new PgWireException("08P01",
+          s"malformed DataRow frame (${payload.length} bytes) — " +
+            s"is $host:$port really a PostgreSQL server?"))
+        None
+    }
 
   /** Bulk load through the documented COPY sub-protocol: run a
     * `COPY ... FROM STDIN` statement, answer the server's CopyInResponse
@@ -628,7 +667,9 @@ class PgWireClient(host: String, port: Int,
     while (!done) {
       val (tpe, payload) = readMessage()
       tpe match {
-        case 'C' => tags += cstring(payload, 0)._1
+        case 'C' =>
+          try tags += cstring(payload, 0)._1
+          catch { case e: PgWireException => if (err == null) err = e }
         case 'E' => if (err == null) err = errorFrom(payload)
         case 'Z' => done = true
         case _ => // NoticeResponse / ParameterStatus

@@ -534,6 +534,54 @@ class PgLiveWireSpec extends SparkSpec {
     } finally run.stop()
   }
 
+  test("malformed RowDescription/DataRow frames fail typed and keep the stream in sync") {
+    // a stub "server" that authenticates (trust) and then answers the
+    // FIRST query with a structurally broken RowDescription (claims 5
+    // columns, payload ends immediately) and the SECOND with a
+    // well-formed single-row result — the client must surface a typed
+    // 08P01 for the first and still parse the second on the SAME
+    // connection (readMessage consumed the broken frame whole, so the
+    // stream never desyncs)
+    val srv = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    def frame(t: Char, body: Array[Byte]): Array[Byte] =
+      Array(t.toByte) ++ java.nio.ByteBuffer.allocate(4).putInt(4 + body.length).array() ++ body
+    def cstr(s: String) = s.getBytes("UTF-8") :+ 0.toByte
+    val t = new Thread(() => {
+      try {
+        val s = srv.accept()
+        val in = new java.io.DataInputStream(s.getInputStream)
+        val o = s.getOutputStream
+        val len = in.readInt(); in.skipBytes(len - 4) // startup message
+        o.write(frame('R', Array[Byte](0, 0, 0, 0))) // AuthenticationOk
+        o.write(frame('Z', Array[Byte]('I'.toByte)))
+        o.flush()
+        def awaitQuery(): Unit = { in.readByte(); val l = in.readInt(); in.skipBytes(l - 4) }
+        awaitQuery()
+        o.write(frame('T', Array[Byte](0, 5))) // 5 columns, no payload: broken
+        o.write(frame('Z', Array[Byte]('I'.toByte)))
+        o.flush()
+        awaitQuery()
+        val col = Array[Byte](0, 1) ++ cstr("x") ++ new Array[Byte](18)
+        val row = Array[Byte](0, 1) ++ Array[Byte](0, 0, 0, 2) ++ "42".getBytes("UTF-8")
+        o.write(frame('T', col))
+        o.write(frame('D', row))
+        o.write(frame('C', cstr("SELECT 1")))
+        o.write(frame('Z', Array[Byte]('I'.toByte)))
+        o.flush()
+      } catch { case _: Throwable => () }
+    })
+    t.setDaemon(true)
+    t.start()
+    val c = new PgWireClient("127.0.0.1", srv.getLocalPort)
+    try {
+      val e = intercept[PgWireException](c.query("SELECT broken"))
+      assert(e.sqlState == "08P01" && e.getMessage.contains("RowDescription"),
+        s"${e.sqlState}: ${e.getMessage}")
+      val ok = c.query("SELECT 42")
+      assert(ok.columns == Seq("x") && ok.rows == Seq(Seq("42")), ok)
+    } finally { c.close(); srv.close() }
+  }
+
   test("non-PostgreSQL endpoint fails typed (08P01), never a multi-GB allocation") {
     // no live PG needed: a raw socket answering an HTTP banner — the 'H'
     // plus "TTP/" as a length prefix would otherwise become a ~1.4 GB
