@@ -135,6 +135,32 @@ object Sampling {
           "(it would silently land in the last label) — filter or fill ids first")))))
   }
 
+  /** LEAKAGE-SAFE split: every row is assigned by the portable split key
+    * of its near-duplicate COMPONENT REPRESENTATIVE (the smallest id in
+    * its cluster), so near-duplicates can never straddle a split
+    * boundary — the eval-contamination path a per-row hash split leaves
+    * open at scale (a template document lands in train, its near-copy in
+    * test, and the eval score silently inflates). `pairs` is any
+    * near-dup pair frame ((idACol, idBCol) — MinHash/LSH, SimHash,
+    * embedding-cosine, fuzzy-join output all fit); rows without a pair
+    * are their own representative, so the assignment degrades to
+    * [[splitPortable]] exactly on a duplicate-free corpus.
+    *
+    * Scale shape: one [[graft.ops.Dedup.connectedComponents]] pass over
+    * the PAIR graph (output-bound — pairs, not corpus), then one join of
+    * the corpus against the (id, comp) labels on id. The corpus itself
+    * never shuffles beyond that join. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       weights: Seq[(String, Double)],
+                       seed: Long = 42L): DataFrame = {
+    val comps = graft.ops.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol).withColumnRenamed("comp", "__rep_comp")
+    val keyed = docs.join(comps, Seq(idCol), "left_outer")
+      .withColumn("__rep", coalesce(col("__rep_comp"), col(idCol)))
+      .drop("__rep_comp")
+    splitPortable(keyed, "__rep", weights, seed).drop("__rep")
+  }
+
   /** Downsample to a TARGET MIXTURE: given desired proportions per source
     * (e.g. web .6, books .3, code .1), emit the LARGEST dataset with
     * exactly those proportions that the data supports — the binding source

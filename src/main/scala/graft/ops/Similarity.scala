@@ -41,6 +41,65 @@ object Similarity {
       .select("query_id", "cand_id", "score", "rk")
   }
 
+  /** Cross-corpus MARGIN mining — the ratio-margin criterion of the
+    * public bitext-mining pipelines (Artetxe & Schwenk 2019; what
+    * LASER/CCMatrix-style corpus alignment scores with): for each source
+    * row, the target candidate maximizing
+    * `margin(x,y) = cos(x,y) / ((avgK(x→tgt) + avgK(y→src)) / 2)` where
+    * `avgK` is the mean cosine of the k nearest CROSS-corpus neighbors.
+    * A raw-cosine argmax pairs "hub" vectors (near everything) with half
+    * the corpus; the margin denominator normalizes hubness away — the
+    * reason mining uses it instead of plain nearest-neighbor.
+    *
+    * This convenience face runs both kNN passes through
+    * [[bruteForceTopK]] (exact; each pass broadcasts its query side, so
+    * both corpora must be broadcast-sized). At 100 TB compose
+    * [[marginFromNeighbors]] with [[ivfTopK]]-produced neighbor lists
+    * instead — the margin math itself touches only the top-k lists
+    * (output-bound) and never re-joins the corpora. Corpora must carry
+    * disjoint ids (cross-corpus mining semantics). */
+  def marginTopPairs(src: DataFrame, tgt: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    marginFromNeighbors(
+      bruteForceTopK(tgt, src, k, idCol, vecCol),
+      bruteForceTopK(src, tgt, k, idCol, vecCol), k)
+
+  /** The margin computation alone, over precomputed neighbor lists in
+    * [[bruteForceTopK]]'s output shape ((query_id, cand_id, score, rk),
+    * score on the 1e-6 grid): `srcToTgt` = each source's k nearest
+    * targets, `tgtToSrc` = each target's k nearest sources. Exact
+    * integer-grid math (micro-scaled cosines, IEEE divisions in a fixed
+    * order), so the DuckDB oracle replays it bit for bit. The per-side
+    * averages are |src|/|tgt|-row aggregates of the top-k lists, joined
+    * back onto the pairs on their own keys (AQE broadcasts them when
+    * small; at corpus scale they stay shuffle joins co-keyed with the
+    * k·|src| pair frame) — the original corpora are never re-touched. */
+  def marginFromNeighbors(srcToTgt: DataFrame, tgtToSrc: DataFrame, k: Int): DataFrame = {
+    def s6(c: Column) = round(c * 1e6).cast("long")
+    val avgS = srcToTgt.groupBy(col("query_id").as("src_id"))
+      .agg((sum(s6(col("score"))).cast("double") / k).as("avg_src"))
+    val avgT = tgtToSrc.groupBy(col("query_id").as("tgt_id"))
+      .agg((sum(s6(col("score"))).cast("double") / k).as("avg_tgt"))
+    val w = Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id").asc)
+    // NO broadcast hint on the average tables: they are |src|- and
+    // |tgt|-sized (one row per corpus vector) — forcing a broadcast
+    // would collect a corpus-cardinality table to the driver when mining
+    // full corpora. The pair frame is k·|src| rows keyed on the same
+    // ids, so these are co-keyed shuffle joins; AQE still broadcasts
+    // them when they measure small.
+    srcToTgt.select(col("query_id").as("src_id"), col("cand_id").as("tgt_id"),
+        s6(col("score")).cast("double").as("__c6"))
+      .join(avgS, Seq("src_id"))
+      .join(avgT, Seq("tgt_id"))
+      // "+ 0.0" folds a possible -0.0 to +0.0 (the q_vec_cov signed-zero
+      // lesson — DuckDB round() and Spark round() disagree on -0.0)
+      .withColumn("margin",
+        round(col("__c6") / ((col("avg_src") + col("avg_tgt")) / 2.0), 6) + lit(0.0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("src_id", "tgt_id", "margin")
+  }
+
   /** Deterministic pseudo-random hyperplanes: `bits` planes of dimension
     * `dim`, components from a seeded Gaussian. Plain Scala literals —
     * identical on every executor. */

@@ -173,6 +173,19 @@ object PipelineQueries {
       Sampling.splitPortable(Tables(s, dir, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
+    // ---- LEAKAGE-SAFE split: assignment keyed on the near-dup COMPONENT
+    //      representative (min id via connectedComponents over the MinHash
+    //      pair graph), so near-duplicates never straddle train/test —
+    //      the oracle replays the exact planted pair graph (recursive
+    //      CTE), the min-label components, and the same portable
+    //      bucket/cut math, row for row ----
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = Dedup.minHashDuplicatePairs(docs, threshold = 0.8)
+      Sampling.leakageSafeSplit(docs, pairs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+    }),
     // quantile-threshold quality cut: keep the top 80% by score
     "q_text_quality_cut" -> ((s, dir) =>
       TextAnalysis.qualityFilterByQuantile(Tables(s, dir, "documents"), keepTop = 0.8)),
@@ -360,6 +373,16 @@ object PipelineQueries {
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+    }),
+    // ---- Cross-corpus MARGIN mining (bitext-mining score): per source
+    //      vector, the target maximizing cos / mean-of-kNN-cosines — the
+    //      hubness-normalized criterion the public corpus-alignment
+    //      pipelines mine with. The oracle replays both kNN passes, the
+    //      micro-scaled averages, the margin division, and the argmax ----
+    "q_ann_margin_mine" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
+      Similarity.marginTopPairs(
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1), k = 4)
     }),
     // MMR re-rank: the greedy argmax recursion replayed by a RECURSIVE
     // CTE carrying the selected set as list columns — relevance, penalty
@@ -1080,6 +1103,30 @@ object PipelineQueries {
           "FROM (SELECT doc_id, ((doc_id % 2147483647) * 2654435761 + 42) " +
           "% 2147483647 AS b FROM documents)"
       },
+      "q_split_leakage_safe" -> {
+        // the q_dedup_clusters component recipe (exact planted pairs at
+        // j>=0.8, min-label reach) + the q_sample_split bucket/cut math,
+        // keyed on the component representative instead of the row id
+        val ws = Seq(0.8, 0.1, 0.1)
+        val t = ws.sum
+        val cuts = ws.scanLeft(0.0)(_ + _ / t).tail
+          .map(c => math.floor(c * 2147483647.0).toLong)
+        s"WITH RECURSIVE $plantedPairCtes, " +
+          "e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.8 " +
+          "UNION SELECT id_b, id_a FROM p WHERE j >= 0.8), " +
+          "n AS (SELECT DISTINCT src AS id FROM e), " +
+          "reach(id, r) AS (SELECT id, id FROM n " +
+          "UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id), " +
+          "c AS (SELECT id, min(r) AS comp FROM reach GROUP BY id), " +
+          "rep AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS rep " +
+          "FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d " +
+          "LEFT JOIN c ON c.id = d.doc_id), " +
+          "b AS (SELECT doc_id, ((rep % 2147483647) * 2654435761 + 42) " +
+          "% 2147483647 AS b FROM rep) " +
+          "SELECT doc_id, CASE " +
+          s"WHEN b < ${cuts(0)} THEN 'train' " +
+          s"WHEN b < ${cuts(1)} THEN 'val' ELSE 'test' END AS split FROM b"
+      },
       "q_text_quality_cut" ->
         // Spark's exact percentile == DuckDB quantile_cont (same linear
         // interpolation); qualityScore is pre-rounded on both sides
@@ -1313,6 +1360,33 @@ object PipelineQueries {
           "SELECT vec_id FROM re WHERE vec_id NOT IN (SELECT id_b FROM p)"),
       "q_ann_topk" -> annExactSql,
       "q_ann_ivf" -> annExactSql,
+      "q_ann_margin_mine" ->
+        // both kNN passes over the even/odd split, micro-scaled top-k
+        // averages, the margin ratio, argmax per source — the c6 ordering
+        // is monotone with the Spark side's rounded-score ordering
+        ("WITH s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) v " +
+          "FROM embeddings WHERE vec_id < 100 AND vec_id % 2 = 0), " +
+          "t AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) v " +
+          "FROM embeddings WHERE vec_id < 100 AND vec_id % 2 = 1), " +
+          "stc AS (SELECT s.id AS src_id, t.id AS tgt_id, " +
+          s"CAST(round(round(${cosSql("s.v", "t.v")}, 6) * 1000000) AS BIGINT) AS c6 " +
+          "FROM s, t), " +
+          "stk AS (SELECT *, row_number() OVER (PARTITION BY src_id " +
+          "ORDER BY c6 DESC, tgt_id ASC) AS rn FROM stc), " +
+          "st AS (SELECT * FROM stk WHERE rn <= 4), " +
+          "tsk AS (SELECT *, row_number() OVER (PARTITION BY tgt_id " +
+          "ORDER BY c6 DESC, src_id ASC) AS rn FROM stc), " +
+          "ts AS (SELECT * FROM tsk WHERE rn <= 4), " +
+          "a_s AS (SELECT src_id, CAST(sum(c6) AS DOUBLE)/4 AS avg_src " +
+          "FROM st GROUP BY src_id), " +
+          "a_t AS (SELECT tgt_id, CAST(sum(c6) AS DOUBLE)/4 AS avg_tgt " +
+          "FROM ts GROUP BY tgt_id), " +
+          "m AS (SELECT st.src_id, st.tgt_id, " +
+          "round(CAST(st.c6 AS DOUBLE) / ((avg_src + avg_tgt)/2.0), 6) + 0.0 AS margin " +
+          "FROM st JOIN a_s USING (src_id) JOIN a_t USING (tgt_id)), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY src_id " +
+          "ORDER BY margin DESC, tgt_id ASC) AS rn FROM m) " +
+          "SELECT src_id, tgt_id, margin FROM r WHERE rn = 1"),
       "q_ann_mmr" ->
         // the greedy selection as a recursive CTE: `sel` carries (ids,
         // integer mmr scores, unit vectors) per query; each step joins the

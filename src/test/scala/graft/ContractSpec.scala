@@ -54,7 +54,7 @@ class ContractSpec extends AnyFunSuite {
     // +q_migrate_pgwire (config-driven migration into a LIVE PostgreSQL
     // over the v3 wire client; memory-connector fallback where no server
     // can run — same canonical rows, same oracle)
-    assert(SparkEntry.queries.size == 180, SparkEntry.queries.size.toString)
+    assert(SparkEntry.queries.size == 182, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {

@@ -126,3 +126,36 @@ private object VectorFunctionsBridge {
   def normalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.VectorFunctions.normalize(c)
 }
+
+/** Margin mining: the hubness-normalization property the ratio margin
+  * exists for, on a hand-verified 3D fixture. */
+class MarginMiningSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("margin argmax rejects the hub a raw-cosine argmax would pick") {
+    // src = the three axes; tgt: id 1 is a HUB (positive cosine to every
+    // source), id 3 a specialist for src 0 (slightly LOWER raw cosine to
+    // src 0 than the hub, negative to src 2), id 5 a specialist for
+    // src 2. Hand-checked: for src 0 the raw-cosine argmax is the hub
+    // (0.8436 vs 0.8170) but the margin argmax is the specialist
+    // (1.3190 vs 1.1701) — the hub's own high kNN average normalizes it
+    // down, which is the entire point of the criterion.
+    val src = Seq((0L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)), (4L, Seq(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Seq(1f, 0.45f, 0.45f)), (3L, Seq(0.85f, -0.6f, 0f)),
+      (5L, Seq(0.1f, 0.9f, 0.2f))).toDF("vec_id", "embedding")
+    val mined = Similarity.marginTopPairs(src, tgt, k = 2)
+      .orderBy("src_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(mined(0L)._1 == 3L,
+      s"src 0 should mine the specialist (3), not the hub: ${mined(0L)}")
+    assert(math.abs(mined(0L)._2 - 1.318975) < 1e-6, mined(0L).toString)
+    assert(mined(2L)._1 == 5L && mined(4L)._1 == 1L, mined.toString)
+    // the raw-cosine argmax for src 0 IS the hub — proving the two
+    // criteria genuinely diverge on this fixture
+    val rawTop = Similarity.bruteForceTopK(tgt, src.filter(col("vec_id") === 0L), k = 1)
+      .head()
+    assert(rawTop.getAs[Long]("cand_id") == 1L, rawTop.toString)
+  }
+}

@@ -360,3 +360,28 @@ class ClusteringSpec extends graft.SparkSpec {
     assert(out.select("cluster_id").distinct().count() <= 8)
   }
 }
+
+/** Leakage-safe split: assignment by near-dup component representative. */
+class LeakageSafeSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("near-duplicates never straddle the split; unpaired rows match splitPortable") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // synthetic near-dup graph: a chain {1,2,3} and a pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val m = Sampling.leakageSafeSplit(docs, pairs, "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m.size == 100)
+    // every component lands whole — the invariant the operator exists for
+    assert(Set(m(1L), m(2L), m(3L)).size == 1, "chain component straddled the split")
+    assert(m(10L) == m(11L), "pair component straddled the split")
+    // members inherit the REPRESENTATIVE's (min id) assignment, and
+    // unpaired rows degrade to the plain portable split exactly
+    val solo = Sampling.splitPortable(docs, "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m(2L) == solo(1L) && m(3L) == solo(1L) && m(11L) == solo(10L))
+    (0L until 100L).filterNot(Set(2L, 3L, 11L)).foreach(i =>
+      assert(m(i) == solo(i), s"unpaired row $i diverged from splitPortable"))
+  }
+}
