@@ -62,6 +62,30 @@ object ScaleProbe {
     time("cosine pairs (lsh)")(
       ops.Similarity.lshCosinePairs(emb, threshold = 0.4, bits = 8).count())
     time("sessionize")(ops.Sessionize.sessions(events).count())
+    // leakage-safe split: component pass over the PAIR graph + one id
+    // join — the law should track the pair count, not the corpus square
+    time("leakage-safe split") {
+      val pairs = ops.Dedup.minHashDuplicatePairs(docs, threshold = 0.3)
+      ops.Sampling.leakageSafeSplit(docs, pairs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count()
+    }
+    // margin mining, SCALE composition: IVF supplies both neighbor-list
+    // passes (cell-bucketed, no cross join), the margin math touches only
+    // the k·|src| lists — output-bound. nCells scales as sqrt(n) with a
+    // fixed probe FRACTION (the standard IVF-flat law): fixed cells made
+    // per-cell population — and the whole row — go quadratic on the
+    // first ramp (13.5 s -> 169 s at 3x, measured), exactly the
+    // fixed-blocking trap the q_dedup_cosine board documents.
+    time("margin mining (ivf kNN)") {
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      val n = emb.count() / 2
+      val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+      val probe = math.max(4, cells / 8)
+      ops.Similarity.marginFromNeighbors(
+        ops.Similarity.ivfTopK(tgt, src, k = 4, nCells = cells, nProbe = probe),
+        ops.Similarity.ivfTopK(src, tgt, k = 4, nCells = cells, nProbe = probe), k = 4).count()
+    }
     time("centroid vec_sum")(
       emb.groupBy("label").agg(functions.VectorAggFunctions.vecSum(col("embedding"))).count())
     time("sequence packing")(
