@@ -162,21 +162,29 @@ object Bench {
     }))
 
   /** Shard dir for the bench's q_wds_roundtrip row: /dev/shm (tmpfs) when
-    * writable, else the gate's target/-style scratch. Deleted at the end
-    * of the run ([[cleanupWds]]) — tmpfs is RAM, and a bench must not
-    * leave a corpus copy pinned in a shared host's memory. */
-  private val wdsBenchDir: String =
-    if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-      "/dev/shm/graft_bench_wds"
-    else "target/tmp/wds_bench"
+    * writable, else the gate's target/-style scratch. PID-suffixed so two
+    * concurrent bench JVMs cannot clobber each other's shards mid-read;
+    * deleted when the run ends — success OR crash ([[cleanupWds]] rides a
+    * finally in main) — because tmpfs is RAM and a bench must not leave a
+    * corpus copy pinned in a shared host's memory. */
+  private val wdsBenchDir: String = {
+    val base =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm/graft_bench_wds"
+      else "target/tmp/wds_bench"
+    s"${base}_${ProcessHandle.current().pid()}"
+  }
 
   private def cleanupWds(): Unit = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(wdsBenchDir)
     if (Files.isDirectory(root)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(p =>
-        try Files.deleteIfExists(p) catch { case _: Throwable => () })
+      val walk = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(p =>
+          try Files.deleteIfExists(p) catch { case _: Throwable => () })
+      } finally walk.close()
     }
   }
 
@@ -420,7 +428,9 @@ object Bench {
     else s""","$key":${noisy.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = try mainImpl(args) finally cleanupWds()
+
+  private def mainImpl(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "5").toInt
     val spark = GraftSession.local("graft-bench")
@@ -539,7 +549,6 @@ object Bench {
     // which has left the driver's `parsed` field null before.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    cleanupWds() // tmpfs shards are RAM — never leave them behind
     spark.stop()
     sys.exit(0) // don't let stray library threads pin the forked JVM open
   }

@@ -76,10 +76,13 @@ object ScaleProbe {
     // per-cell population — and the whole row — go quadratic on the
     // first ramp (13.5 s -> 169 s at 3x, measured), exactly the
     // fixed-blocking trap the q_dedup_cosine board documents.
+    // n derived OUTSIDE the timed block: a corpus count inside it would
+    // fold its own scaling into the very law this row measures
+    val halfEmb = emb.count() / 2
     time("margin mining (ivf kNN)") {
       val src = emb.filter(col("vec_id") % 2 === 0)
       val tgt = emb.filter(col("vec_id") % 2 === 1)
-      val n = emb.count() / 2
+      val n = halfEmb
       val cells = math.max(16, math.sqrt(n.toDouble).toInt)
       val probe = math.max(4, cells / 8)
       ops.Similarity.marginFromNeighbors(

@@ -51,6 +51,14 @@ object PgWireFace {
   def extendedEnabled(connection: Map[String, String]): Boolean =
     connection.get("query_protocol").contains("extended")
 
+  /** Sync-window cap for the extended-protocol pipelined upsert: ~256
+    * unread per-statement responses (~5 KB) between reads — far under
+    * any socket-buffer pair, so the pipeline can never write-deadlock.
+    * Transaction (= batch) boundaries are explicit BEGIN/COMMIT, NOT the
+    * Sync windows, so this caps memory-in-flight without changing
+    * atomicity. */
+  private val PipeChunk = 128
+
   /** Serializable connection endpoint — rides into executor closures.
     * `ssl` = the `ssl` connection key ("true"/"require"/"on");
     * `sslRootCert` = a PEM path to pin the server/root certificate
@@ -260,14 +268,26 @@ object PgWireFace {
       c.query(s"CREATE INDEX IF NOT EXISTS ${table.replace('.', '_')}_graft_id_ix " +
         s"ON $table (${ddlCols._1})")
     }
+    val useCopy0 = !connection.get("write_mode").contains("insert")
+    // COPY mode stages through a session-private TEMP table; pg_temp
+    // precedes every schema on the search path, so a TARGET named like
+    // the stage would make the publish statement's unqualified
+    // references resolve to the temp table — rows would land nowhere
+    // while the report claims success. Reject the collision loudly.
+    if (useCopy0)
+      require(!table.split('.').last.equalsIgnoreCase("graft_copy_stage"),
+        s"collection name '$table' collides with the COPY staging table " +
+          "(pg_temp shadows it on the search path) — rename the " +
+          "collection or use write_mode=insert")
     // the COPY staging table must parse the same text the TARGET column
     // parses — and the target's actual type comes from the CATALOG, not
     // from which DDL branch ran: `CREATE TABLE IF NOT EXISTS` on an
     // already-existing relation short-circuits BEFORE column-type
     // analysis, so the VECTOR probe "succeeds" against a pre-existing
     // TEXT-column table on an extension-less server (caught live by
-    // PgLiveWireSpec's append-mode write)
-    val vecType = {
+    // PgLiveWireSpec's append-mode write). Only the COPY branch needs
+    // it — the other write modes must not pay the catalog round trip.
+    val vecType = if (!useCopy0) "TEXT" else {
       val si = schemaInfo(connection, table)
       val isVector = si.schema.fields.exists(f =>
         f.name.equalsIgnoreCase(ddlCols._2) &&
@@ -290,7 +310,7 @@ object PgWireFace {
     // delete leg removes.
     val idCol = ddlCols._1
     val vecCol = ddlCols._2
-    val useCopy = !connection.get("write_mode").contains("insert")
+    val useCopy = useCopy0
     val ext = extendedEnabled(connection)
     observed.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
@@ -299,22 +319,44 @@ object PgWireFace {
           if (!useCopy && ext) {
             // Extended-protocol upsert: named statements prepared once,
             // then per batch a PIPELINE of Bind/Execute pairs (delete leg
-            // first) closed by ONE Sync — everything between Syncs runs
-            // in one implicit transaction, so the batch keeps the same
-            // atomicity as the multi-statement Simple Query, with values
-            // as parameters instead of literals
+            // before insert per row chunk) with values as parameters.
+            // Batch atomicity rides an EXPLICIT transaction, NOT one
+            // giant Sync window: a Sync inside BEGIN...COMMIT does not
+            // commit (documented), so the batch stays all-or-nothing
+            // while each Sync window is capped at PipeChunk rows —
+            // writing an unbounded pipeline with no intermediate reads
+            // deadlocks once the server's unread BindComplete/
+            // CommandComplete responses fill both socket buffers (the
+            // classic pipelining deadlock libpq's pipeline docs warn
+            // about; a large batch_size would hang the Spark task).
             c.prepare("graft_del", s"DELETE FROM $table WHERE $idCol = $$1")
             c.prepare("graft_ins",
               s"INSERT INTO $table ($idCol, $vecCol, metadata) VALUES ($$1, $$2, $$3)")
             it.grouped(batch).foreach { g =>
-              g.foreach { r =>
-                if (!r.isNullAt(0)) c.bindExec("graft_del", Seq(Some(r.getString(0))))
+              c.query("BEGIN")
+              try {
+                // chunking keeps each id's delete before its insert
+                // (both legs ride the same chunk — ids are unique within
+                // the frame, the canonical contract)
+                g.grouped(PipeChunk).foreach { sub =>
+                  sub.foreach { r =>
+                    if (!r.isNullAt(0)) c.bindExec("graft_del", Seq(Some(r.getString(0))))
+                  }
+                  sub.foreach { r =>
+                    def p(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+                    c.bindExec("graft_ins", Seq(p(0), p(1), p(2)))
+                  }
+                  c.syncBatch()
+                }
+                c.query("COMMIT")
+              } catch {
+                case e: Throwable =>
+                  // restore the session out of the failed transaction so
+                  // close() (and any retry on this connection) is clean
+                  try c.query("ROLLBACK")
+                  catch { case _: Throwable => () }
+                  throw e
               }
-              g.foreach { r =>
-                def p(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
-                c.bindExec("graft_ins", Seq(p(0), p(1), p(2)))
-              }
-              c.syncBatch()
             }
           } else if (useCopy) {
             // per-session TEMP stage: invisible to other connections, so a
@@ -322,7 +364,7 @@ object PgWireFace {
             c.query("CREATE TEMP TABLE graft_copy_stage " +
               s"(id TEXT, vector $vecType, metadata TEXT)")
             import graft.connectors.pgwire.PgWireClient.copyField
-            c.copyIn("COPY graft_copy_stage (id, vector, metadata) FROM STDIN",
+            c.copyIn("COPY pg_temp.graft_copy_stage (id, vector, metadata) FROM STDIN",
               it.map { r =>
                 def f(i: Int) = copyField(if (r.isNullAt(i)) null else r.getString(i))
                 s"${f(0)}\t${f(1)}\t${f(2)}"
@@ -332,9 +374,9 @@ object PgWireFace {
             // previous version to replace
             c.query(
               s"DELETE FROM $table WHERE $idCol IN " +
-                "(SELECT id FROM graft_copy_stage WHERE id IS NOT NULL); " +
+                "(SELECT id FROM pg_temp.graft_copy_stage WHERE id IS NOT NULL); " +
                 s"INSERT INTO $table ($idCol, $vecCol, metadata) " +
-                "SELECT id, vector, metadata FROM graft_copy_stage")
+                "SELECT id, vector, metadata FROM pg_temp.graft_copy_stage")
             ()
           } else it.grouped(batch).foreach { g =>
             val values = g.map { r =>

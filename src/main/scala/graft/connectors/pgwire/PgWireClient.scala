@@ -223,7 +223,13 @@ class PgWireClient(host: String, port: Int,
     }
   }
   private val in = new DataInputStream(socket.getInputStream)
-  private val out = new DataOutputStream(socket.getOutputStream)
+  // buffered: the extended-protocol pipeline writes 2-3 small frames per
+  // row (writeBind/writeExecute never flush) — unbuffered with
+  // TCP_NODELAY that is a syscall and potentially a packet per frame.
+  // Every read site is preceded by an explicit flush (send/sendSync/
+  // query/copyIn), so buffering changes no protocol timing.
+  private val out = new DataOutputStream(
+    new java.io.BufferedOutputStream(socket.getOutputStream, 1 << 16))
 
   private def send(tpe: Char, body: Array[Byte]): Unit = {
     out.writeByte(tpe)
@@ -652,15 +658,36 @@ class PgWireClient(host: String, port: Int,
       buf.writeTo(out)
       buf.reset()
     }
-    lines.foreach { line =>
-      buf.write(line.getBytes(UTF_8))
-      buf.write('\n')
-      if (buf.size() >= chunkBytes) flushChunk()
+    try {
+      lines.foreach { line =>
+        buf.write(line.getBytes(UTF_8))
+        buf.write('\n')
+        if (buf.size() >= chunkBytes) flushChunk()
+      }
+      flushChunk()
+      out.writeByte('c') // CopyDone
+      out.writeInt(4)
+      out.flush()
+    } catch {
+      case e: Throwable =>
+        // the ITERATOR threw mid-stream (e.g. a NUL-carrying value
+        // rejected by copyField): without CopyFail the session is
+        // abandoned in copy-in mode and the next 'Q' is a protocol
+        // violation — abort the copy, drain to ReadyForQuery (the
+        // server answers 57014), and rethrow the ORIGINAL failure
+        try {
+          buf.reset() // partial line: never send it
+          val m = ("aborted by client: " + String.valueOf(e.getMessage).take(200))
+            .getBytes(UTF_8) :+ 0.toByte
+          out.writeByte('f') // CopyFail
+          out.writeInt(4 + m.length)
+          out.write(m)
+          out.flush()
+          var done = false
+          while (!done) if (readMessage()._1 == 'Z') done = true
+        } catch { case _: Throwable => () }
+        throw e
     }
-    flushChunk()
-    out.writeByte('c') // CopyDone
-    out.writeInt(4)
-    out.flush()
     // phase 3: drain to ReadyForQuery, collecting tags/errors like query()
     val tags = Vector.newBuilder[String]
     var done = false

@@ -91,6 +91,14 @@ object Similarity {
         s6(col("score")).cast("double").as("__c6"))
       .join(avgS, Seq("src_id"))
       .join(avgT, Seq("tgt_id"))
+      // DEFINED-margin guard: a non-positive denominator means the pair's
+      // kNN neighborhoods average to zero or negative cosine — dividing
+      // there yields NaN/Infinity (NaN sorts ABOVE every double in Spark,
+      // so it would win the argmax) or a SIGN-INVERTED ratio that crowns
+      // the least similar candidate. Such pairs carry no mining signal;
+      // they are excluded, and a source whose every candidate is excluded
+      // emits nothing (mirrored verbatim in the gate oracle's WHERE).
+      .filter(col("avg_src") + col("avg_tgt") > 0.0)
       // "+ 0.0" folds a possible -0.0 to +0.0 (the q_vec_cov signed-zero
       // lesson — DuckDB round() and Spark round() disagree on -0.0)
       .withColumn("margin",

@@ -1383,7 +1383,8 @@ object PipelineQueries {
           "FROM ts GROUP BY tgt_id), " +
           "m AS (SELECT st.src_id, st.tgt_id, " +
           "round(CAST(st.c6 AS DOUBLE) / ((avg_src + avg_tgt)/2.0), 6) + 0.0 AS margin " +
-          "FROM st JOIN a_s USING (src_id) JOIN a_t USING (tgt_id)), " +
+          "FROM st JOIN a_s USING (src_id) JOIN a_t USING (tgt_id) " +
+          "WHERE avg_src + avg_tgt > 0.0), " + // defined-margin guard, as in Spark
           "r AS (SELECT *, row_number() OVER (PARTITION BY src_id " +
           "ORDER BY margin DESC, tgt_id ASC) AS rn FROM m) " +
           "SELECT src_id, tgt_id, margin FROM r WHERE rn = 1"),

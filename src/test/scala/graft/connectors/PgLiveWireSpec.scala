@@ -333,6 +333,81 @@ class PgLiveWireSpec extends SparkSpec {
     assert(c.query("SELECT count(*) FROM ext_atomic").rows.head.head == "2")
   }
 
+  test("extended write with a LARGE batch_size completes (pipeline deadlock fix)") {
+    live()
+    val pgv = ConnectorRegistry("pgvector")
+    // 8000 rows in ONE configured batch = ~16k queued Bind/Execute pairs
+    // pre-fix: enough unread per-statement responses to fill both socket
+    // buffers and deadlock the write. The chunked-Sync fix bounds unread
+    // responses per window; run on a watchdog thread so a regression
+    // fails the test instead of hanging the suite.
+    val df = (0 until 8000).map(i => (s"id$i", Seq(i.toFloat, 1f), Map("k" -> i.toString)))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    val conn = wireConn("write_mode" -> "insert", "query_protocol" -> "extended")
+    val load = graft.config.LoadSpec(collection = "wire_bigbatch",
+      recreate = true, batchSize = 8000)
+    @volatile var written = -1L
+    @volatile var err: Throwable = null
+    val t = new Thread(() =>
+      try written = pgv.write(df, conn, load).written
+      catch { case e: Throwable => err = e })
+    t.setDaemon(true)
+    t.start()
+    t.join(180000)
+    assert(err == null, s"write failed: $err")
+    assert(written == 8000,
+      if (t.isAlive) "extended-pipeline write DEADLOCKED (watchdog expired)"
+      else s"written=$written")
+    assert(pgv.readBack(spark, wireConn(), load).count() == 8000)
+  }
+
+  test("extended batch atomicity holds ACROSS chunked Syncs (explicit transaction)") {
+    val c = live()
+    c.query("CREATE TABLE ext_chunk (id TEXT, n INT CHECK (n < 100))")
+    c.prepare("ins_c", "INSERT INTO ext_chunk VALUES ($1, $2)")
+    // the face's deadlock fix splits one batch into several Sync windows
+    // inside BEGIN...COMMIT; a failure in a LATER window must roll back
+    // rows already synced in EARLIER windows of the same batch
+    c.query("BEGIN")
+    c.bindExec("ins_c", Seq(Some("a"), Some("1")))
+    c.syncBatch() // window 1: fine (Sync inside BEGIN does not commit)
+    c.bindExec("ins_c", Seq(Some("b"), Some("999")))
+    val e = intercept[PgWireException](c.syncBatch()) // window 2: violates
+    assert(e.sqlState == "23514", s"${e.sqlState}: ${e.getMessage}")
+    c.query("ROLLBACK")
+    assert(c.query("SELECT count(*) FROM ext_chunk").rows.head.head == "0",
+      "an earlier Sync window's rows survived the batch rollback")
+  }
+
+  test("copyIn: an iterator failure mid-stream aborts via CopyFail, session survives") {
+    val c = live()
+    c.query("CREATE TABLE copy_abort (a TEXT)")
+    val boom = new RuntimeException("value rejected mid-stream")
+    val e = intercept[RuntimeException](
+      c.copyIn("COPY copy_abort FROM STDIN", new Iterator[String] {
+        private var i = 0
+        def hasNext = true
+        def next(): String = { i += 1; if (i > 3) throw boom; s"v$i" }
+      }))
+    assert(e eq boom, s"original failure was swallowed: $e")
+    // CopyFail aborted the statement: no rows landed, and the SAME
+    // session answers the next statement (not stuck in copy-in mode)
+    assert(c.query("SELECT count(*) FROM copy_abort").rows.head.head == "0")
+    assert(c.query("SELECT 5 + 5").rows.head.head == "10")
+  }
+
+  test("COPY mode rejects a collection named like the staging table (pg_temp shadowing)") {
+    live()
+    val pgv = ConnectorRegistry("pgvector")
+    val df = Seq(("a", Seq(1f, 2f), Map.empty[String, String]))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    val e = intercept[IllegalArgumentException](pgv.write(df, wireConn(),
+      graft.config.LoadSpec(collection = "graft_copy_stage", recreate = true)))
+    assert(e.getMessage.contains("staging table"), e.getMessage)
+  }
+
   test("query_protocol=extended: connector write (insert mode) + partitioned read e2e") {
     live()
     val pgv = ConnectorRegistry("pgvector")

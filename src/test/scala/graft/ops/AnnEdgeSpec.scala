@@ -158,4 +158,20 @@ class MarginMiningSpec extends SparkSpec {
       .head()
     assert(rawTop.getAs[Long]("cand_id") == 1L, rawTop.toString)
   }
+
+  test("non-positive kNN-average denominators are excluded, never NaN or sign-inverted") {
+    // src 0's every target is anti-correlated: both kNN averages are
+    // negative, so the margin ratio is undefined-for-mining (dividing
+    // would flip the argmax toward the LEAST similar candidate; a zero
+    // denominator would crown a NaN). The guard drops such pairs — src 0
+    // emits nothing — while the well-posed src 2 still mines.
+    val src = Seq((0L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Seq(-1f, 0.4f)), (3L, Seq(-0.9f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val mined = Similarity.marginTopPairs(src, tgt, k = 2).collect()
+    assert(!mined.exists(_.getLong(0) == 0L),
+      s"undefined-margin source was mined: ${mined.toSeq}")
+    val m2 = mined.filter(_.getLong(0) == 2L)
+    assert(m2.length == 1 && !m2.head.getDouble(2).isNaN, mined.toSeq.toString)
+  }
 }
