@@ -172,6 +172,15 @@ object ScaleProbe {
           pgv.write(canon.repartition(8), conn,
             graft.config.LoadSpec(collection = "probe_wire", recreate = true,
               batchSize = 500)).written)
+        // extended-protocol pipeline: per-row Bind/Execute pairs in
+        // chunked Sync windows inside BEGIN/COMMIT — pays a per-row
+        // statement where multi-VALUES amortizes one parse per 500 rows;
+        // measured so the no-escaping-surface choice has a visible price
+        time("pgwire upsert write EXT (8 conns)")(
+          pgv.write(canon.repartition(8),
+            conn ++ Map("write_mode" -> "insert", "query_protocol" -> "extended"),
+            graft.config.LoadSpec(collection = "probe_wire", recreate = true,
+              batchSize = 500)).written)
         time("pgwire ranged read (8 conns)")(
           pgv.read(spark, conn ++ Map("partitions" -> "8",
               "lower_bound" -> "0", "upper_bound" -> hi.toString),
