@@ -154,6 +154,25 @@ class PlanSpec extends SparkSpec {
       s"indexed=${aggs(indexed)} legacy=${aggs(legacy)}")
   }
 
+  test("margin mining: keyed joins only — never an unbroadcast cartesian product") {
+    // the kNN passes ride the broadcast pattern (queries small) and the
+    // margin stage joins the top-k lists on their OWN keys; a
+    // CartesianProduct (the non-broadcast cross join Spark falls back to
+    // when a join has no usable condition) anywhere in this plan would
+    // be the 100 TB scale-killer
+    val p = plan("q_ann_margin_mine")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("leakage-safe split: the corpus joins the component labels, nothing quadratic") {
+    val p = plan("q_split_leakage_safe")
+    assert(!p.contains("CartesianProduct"), p)
+    // the split assignment is a row-local CASE over the representative's
+    // portable bucket — no aggregation happens above the label join
+    assert(p.contains("pmod") || p.contains("CASE WHEN"), p)
+  }
+
   test("semantic decontamination is a PURE MAP: no join, no exchange, no agg") {
     // the fused NearestEvalExpr replaced crossJoin(broadcast) + groupBy;
     // at 100 TB that is the difference between zero shuffle and an
