@@ -37,7 +37,12 @@ object ScaleProbe {
         println(f"[scale-probe] $label%-26s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
       }
 
-    println(s"[scale-probe] factor=$factor docs=${docs.count()} emb=${emb.count()} events=${events.count()}")
+    // the corpus-size banner scans every amplified table — skip it under a
+    // label filter (a factor-500 pgwire run would otherwise pay a 500M-row
+    // events count it never uses)
+    if (only.isEmpty)
+      println(s"[scale-probe] factor=$factor docs=${docs.count()} emb=${emb.count()} events=${events.count()}")
+    else println(s"[scale-probe] factor=$factor (filtered: ${only.get.mkString(",")})")
     time("minhash pairs")(ops.Dedup.minHashDuplicatePairs(docs, threshold = 0.3).count())
     time("minhash pairs (estimate)")(
       ops.Dedup.minHashDuplicatePairs(docs, threshold = 0.3, verifyExact = false).count())
@@ -161,17 +166,25 @@ object ScaleProbe {
           map(lit("label"), col("label").cast("string")).as("metadata"))
         val pgv = graft.connectors.ConnectorRegistry("pgvector")
         val hi = factor.toLong * 2000L * 10L // comfortably past the shifted ids
-        // the two write laws side by side: multi-VALUES INSERT batches vs
-        // COPY-into-stage + one-publish (the default bulk path) — same
-        // upsert semantics, same table shape
+        val binConn = conn ++ Map(
+          "query_protocol" -> "extended", "data_format" -> "binary")
+        def load(re: Boolean) = graft.config.LoadSpec(
+          collection = "probe_wire", recreate = re, batchSize = 500)
+        // the write laws side by side, text and binary framing. DIRECT =
+        // recreate loads COPY straight into the target (no second
+        // server-side write); STAGED = recreate=false onto the now-full
+        // table — the honest upsert regime, every id's delete leg matches
         time("pgwire upsert write INSERT (8 conns)")(
           pgv.write(canon.repartition(8), conn + ("write_mode" -> "insert"),
-            graft.config.LoadSpec(collection = "probe_wire", recreate = true,
-              batchSize = 500)).written)
-        time("pgwire upsert write COPY (8 conns)")(
-          pgv.write(canon.repartition(8), conn,
-            graft.config.LoadSpec(collection = "probe_wire", recreate = true,
-              batchSize = 500)).written)
+            load(true)).written)
+        time("pgwire write COPY direct (8 conns)")(
+          pgv.write(canon.repartition(8), conn, load(true)).written)
+        time("pgwire write COPY staged (8 conns)")(
+          pgv.write(canon.repartition(8), conn, load(false)).written)
+        time("pgwire write COPY-BIN direct (8 conns)")(
+          pgv.write(canon.repartition(8), binConn, load(true)).written)
+        time("pgwire write COPY-BIN staged (8 conns)")(
+          pgv.write(canon.repartition(8), binConn, load(false)).written)
         // extended-protocol pipeline: per-row Bind/Execute pairs in
         // chunked Sync windows inside BEGIN/COMMIT — pays a per-row
         // statement where multi-VALUES amortizes one parse per 500 rows;
@@ -179,13 +192,41 @@ object ScaleProbe {
         time("pgwire upsert write EXT (8 conns)")(
           pgv.write(canon.repartition(8),
             conn ++ Map("write_mode" -> "insert", "query_protocol" -> "extended"),
-            graft.config.LoadSpec(collection = "probe_wire", recreate = true,
-              batchSize = 500)).written)
+            load(true)).written)
+        time("pgwire upsert write EXT-BIN (8 conns)")(
+          pgv.write(canon.repartition(8), binConn + ("write_mode" -> "insert"),
+            load(true)).written)
         time("pgwire ranged read (8 conns)")(
           pgv.read(spark, conn ++ Map("partitions" -> "8",
               "lower_bound" -> "0", "upper_bound" -> hi.toString),
             graft.config.QuerySpec(collection = "probe_wire", idColumn = "id",
               vectorColumn = Some("vector"))).count())
+        time("pgwire ranged read BIN (8 conns)")(
+          pgv.read(spark, binConn ++ Map("partitions" -> "8",
+              "lower_bound" -> "0", "upper_bound" -> hi.toString),
+            graft.config.QuerySpec(collection = "probe_wire", idColumn = "id",
+              vectorColumn = Some("vector"))).count())
+        // 10 ms RTT regime (write-mode default decision): a latency proxy
+        // adds 5 ms each way — the wide-area shape where COPY's few round
+        // trips should dominate and per-window Sync protocols pay
+        // RTT × (rows / PipeChunk). Loopback numbers CANNOT decide the
+        // default; these can.
+        val proxy = new graft.connectors.pgwire.LatencyProxy(pg.port, delayMs = 5)
+        try {
+          val lconn = conn + ("port" -> proxy.port.toString)
+          val lbin = binConn + ("port" -> proxy.port.toString)
+          time("pgwire 10msRTT COPY staged (8)")(
+            pgv.write(canon.repartition(8), lconn, load(false)).written)
+          time("pgwire 10msRTT COPY-BIN direct (8)")(
+            pgv.write(canon.repartition(8), lbin, load(true)).written)
+          time("pgwire 10msRTT INSERT (8)")(
+            pgv.write(canon.repartition(8), lconn + ("write_mode" -> "insert"),
+              load(true)).written)
+          time("pgwire 10msRTT EXT (8)")(
+            pgv.write(canon.repartition(8),
+              lconn ++ Map("write_mode" -> "insert", "query_protocol" -> "extended"),
+              load(true)).written)
+        } finally proxy.close()
       } finally pg.stop()
     }
     time("pca fit+whiten (d=64)") {

@@ -24,6 +24,13 @@ object PgVectorCodec {
   def vectorToText(c: Column): Column =
     when(c.isNull, lit(null).cast(StringType))
       .otherwise(concat(lit("["), concat_ws(",", transform(c, _.cast("string"))), lit("]")))
+
+  /** JVM-side twin of [[vectorToText]] for values decoded OFF-plan (the
+    * wire client's binary result path): downstream always re-parses via
+    * [[textToVector]], so only the float values must survive — Scala's
+    * shortest-round-trip Float rendering guarantees exactly that. */
+  def renderText(v: Array[Float]): String =
+    if (v == null) null else v.mkString("[", ",", "]")
 }
 
 /** JDBC dialect for PostgreSQL+pgvector: maps the `vector` UDT to text on
@@ -91,8 +98,18 @@ class PgVectorConnector extends VectorConnector {
     s
   }
 
-  private[connectors] def buildSelect(q: QuerySpec): String = {
-    val cols = (Seq(ident(q.idColumn)) ++ q.vectorColumn.map(v => s"${ident(v)}::text AS ${ident(v)}").toSeq
+  private[connectors] def buildSelect(q: QuerySpec): String = buildSelect(q, rawVector = false)
+
+  /** `rawVector = true` drops the `::text` cast on the vector column —
+    * the wire face's BINARY read path wants the column in its own type
+    * so a real `vector` column crosses as float4s (pgvector binary
+    * `vector_send`), not as decimal text; on a TEXT-column fallback
+    * table the no-cast projection is identical. The JDBC path always
+    * casts (its reader has no vector decoder). */
+  private[connectors] def buildSelect(q: QuerySpec, rawVector: Boolean): String = {
+    val vecSel = (v: String) =>
+      if (rawVector) ident(v) else s"${ident(v)}::text AS ${ident(v)}"
+    val cols = (Seq(ident(q.idColumn)) ++ q.vectorColumn.map(vecSel).toSeq
       ++ q.metadataColumns.map(ident)).mkString(", ")
     val where = q.filter.map(f => s" WHERE $f").getOrElse("")
     val limit = q.limit.map(l => s" LIMIT $l").getOrElse("")

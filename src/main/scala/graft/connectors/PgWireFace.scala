@@ -32,8 +32,11 @@ import graft.model.Canonical
   *    strings, the server default since 9.1) and NUL bytes rejected
   *    loudly — PostgreSQL text cannot carry them.
   *
-  * Limits vs JDBC (documented, not hidden): Simple Query protocol only
-  * (no prepared statements, no binary formats); auth = trust,
+  * Limits vs JDBC (documented, not hidden): Simple Query protocol by
+  * default (`query_protocol=extended` adds Parse/Bind/Execute;
+  * `data_format=binary` negotiates binary formats on the data path —
+  * binary COPY framing on writes, per-column binary results on extended
+  * reads); auth = trust,
   * cleartext, MD5, or SCRAM-SHA-256 via the `password` connection key;
   * TLS via `ssl=require` (+ optional `ssl_root_cert` PEM pinning —
   * absent means the platform trust store); `limit`/`offset` force a
@@ -50,6 +53,20 @@ object PgWireFace {
     * mode already has no literals (rows ride the COPY sub-protocol). */
   def extendedEnabled(connection: Map[String, String]): Boolean =
     connection.get("query_protocol").contains("extended")
+
+  /** `data_format=binary`: negotiate the BINARY wire format on the data
+    * path. Writes: COPY streams `FORMAT binary` framing (and extended-
+    * mode upserts bind binary parameters); a real `VECTOR(d)` column
+    * crosses as float4s — 4 bytes/component vs ~9-13 text chars, the
+    * dominant byte tax on a vector migration — and TEXT columns skip
+    * the per-character escape scan. Reads (extended protocol only — the
+    * Simple Query protocol is text-by-definition): Describe the
+    * prepared scan, then Bind requests format 1 for every column whose
+    * type OID this client decodes text-exactly ([[pgwire.PgBinary
+    * .textExactOids]]) and format 0 for the rest — per-column
+    * negotiation, never all-or-nothing. */
+  def binaryEnabled(connection: Map[String, String]): Boolean =
+    connection.get("data_format").contains("binary")
 
   /** Sync-window cap for the extended-protocol pipelined upsert: ~256
     * unread per-statement responses (~5 KB) between reads — far under
@@ -196,16 +213,45 @@ object PgWireFace {
           else slices :+ withPred(s"NOT ($digits) OR $idc IS NULL")
         case _ => Seq(query)
       }
-    val sqls = ranged.map(sqlSide.buildSelect)
-    val ep = endpoint(connection)
     val ext = extendedEnabled(connection)
+    // binary rides the extended protocol only: Simple Query results are
+    // text by definition (no Bind to carry format codes)
+    val bin = binaryEnabled(connection) && ext
+    val sqls = ranged.map(q => sqlSide.buildSelect(q, rawVector = bin))
+    val ep = endpoint(connection)
+    // the `vector` type OID is extension-ASSIGNED (not a stable
+    // built-in) — one plan-time catalog probe, shipped to every slice;
+    // None on an extension-less server, where the column is TEXT anyway
+    val vecOid: Option[Int] =
+      if (!bin) None
+      else withClient(connection) { c =>
+        c.query("SELECT oid FROM pg_type WHERE typname = 'vector'")
+          .rows.headOption.map(_.head.toInt)
+      }
     val rdd = spark.sparkContext.parallelize(sqls, sqls.length).flatMap { sql =>
       val c = ep.connect()
       // query_protocol=extended runs each slice through Parse/Bind/
       // Execute (unnamed statement, text results) — same rows, prepared
-      // plumbing exercised end to end
-      try (if (ext) c.execParams(sql) else c.query(sql)).rows.map(Row.fromSeq(_))
-      finally c.close()
+      // plumbing exercised end to end. data_format=binary adds the
+      // Describe step and per-column format negotiation.
+      try {
+        if (bin) {
+          c.prepare("graft_read", sql)
+          val desc = c.describeStatement("graft_read")
+          val exact = pgwire.PgBinary.textExactOids(vecOid)
+          val formats = desc.map { case (_, oid) => if (exact(oid)) 1 else 0 }
+          val res = c.execPreparedRaw("graft_read", Nil, Nil, formats)
+          res.rows.map { r =>
+            Row.fromSeq(r.zipWithIndex.map { case (cell, i) =>
+              if (cell == null) null
+              else if (res.formats(i) == 1)
+                pgwire.PgBinary.recvToText(res.oids(i), vecOid, cell)
+              else new String(cell, java.nio.charset.StandardCharsets.UTF_8)
+            })
+          }
+        }
+        else (if (ext) c.execParams(sql) else c.query(sql)).rows.map(Row.fromSeq(_))
+      } finally c.close()
     }
     val raw = spark.createDataFrame(rdd,
       StructType(cols.map(StructField(_, StringType, nullable = true))))
@@ -279,24 +325,35 @@ object PgWireFace {
         s"collection name '$table' collides with the COPY staging table " +
           "(pg_temp shadows it on the search path) — rename the " +
           "collection or use write_mode=insert")
+    val bin = binaryEnabled(connection)
+    val ext = extendedEnabled(connection)
     // the COPY staging table must parse the same text the TARGET column
     // parses — and the target's actual type comes from the CATALOG, not
     // from which DDL branch ran: `CREATE TABLE IF NOT EXISTS` on an
     // already-existing relation short-circuits BEFORE column-type
     // analysis, so the VECTOR probe "succeeds" against a pre-existing
     // TEXT-column table on an extension-less server (caught live by
-    // PgLiveWireSpec's append-mode write). Only the COPY branch needs
-    // it — the other write modes must not pay the catalog round trip.
-    val vecType = if (!useCopy0) "TEXT" else {
+    // PgLiveWireSpec's append-mode write). Only the branches that need
+    // the target's actual type pay the catalog round trip: COPY (stage
+    // DDL + binary field encoding) and binary extended (vector
+    // parameter encoding).
+    val vecType = if (!useCopy0 && !(ext && bin)) "TEXT" else {
       val si = schemaInfo(connection, table)
       val isVector = si.schema.fields.exists(f =>
         f.name.equalsIgnoreCase(ddlCols._2) &&
           f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
       if (isVector) s"VECTOR($dim)" else "TEXT"
     }
+    // binary format against a REAL vector column ships the floats
+    // themselves (vector_send) — the projection keeps the array instead
+    // of rendering text the server would only re-parse
+    val vecAsFloats = bin && vecType.startsWith("VECTOR") && (useCopy0 || ext)
     val out = df.select(
       col(Canonical.ID).cast("string"),
-      PgVectorCodec.vectorToText(col(Canonical.VECTOR)),
+      if (vecAsFloats)
+        col(Canonical.VECTOR).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      else PgVectorCodec.vectorToText(col(Canonical.VECTOR)),
       to_json(col(Canonical.METADATA)))
     val obs = new org.apache.spark.sql.Observation(s"graft-pgwire-${System.nanoTime()}")
     val observed = out.observe(obs, count(lit(1)).as("rows"))
@@ -311,10 +368,29 @@ object PgWireFace {
     val idCol = ddlCols._1
     val vecCol = ddlCols._2
     val useCopy = useCopy0
-    val ext = extendedEnabled(connection)
+    val useBin = bin
+    val vecFloats = vecAsFloats
+    // Non-upsert DIRECT COPY (recreate loads): the driver just dropped
+    // and recreated the target, so the staged path's publish leg would
+    // write every row a SECOND time server-side for a delete leg that
+    // can match nothing — COPY straight into the target instead. Retry
+    // safety holds because COPY FROM STDIN is ONE statement in its own
+    // implicit transaction: a task failing mid-copy (or aborting with
+    // CopyFail) lands ZERO rows, so the re-run is the first landing.
+    val direct = useCopy0 && load.recreate
     observed.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val c = ep.connect()
+        import graft.connectors.pgwire.PgBinary
+        // shared binary field encoders: TEXT columns are raw UTF-8 in
+        // binary format; the vector field is float4s against a real
+        // VECTOR column, its text rendering otherwise
+        def fTxt(r: Row, i: Int): Array[Byte] =
+          if (r.isNullAt(i)) null else PgBinary.textSend(r.getString(i))
+        def fVec(r: Row): Array[Byte] =
+          if (r.isNullAt(1)) null
+          else if (vecFloats) PgBinary.vectorSend(r.getSeq[Float](1).toArray)
+          else PgBinary.textSend(r.getString(1))
         try {
           if (!useCopy && ext) {
             // Extended-protocol upsert: named statements prepared once,
@@ -340,11 +416,24 @@ object PgWireFace {
                 // the frame, the canonical contract)
                 g.grouped(PipeChunk).foreach { sub =>
                   sub.foreach { r =>
-                    if (!r.isNullAt(0)) c.bindExec("graft_del", Seq(Some(r.getString(0))))
+                    if (!r.isNullAt(0)) {
+                      if (useBin)
+                        c.bindExecRaw("graft_del", Seq(Option(fTxt(r, 0))), Seq(1))
+                      else c.bindExec("graft_del", Seq(Some(r.getString(0))))
+                    }
                   }
                   sub.foreach { r =>
-                    def p(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
-                    c.bindExec("graft_ins", Seq(p(0), p(1), p(2)))
+                    if (useBin)
+                      // binary parameters: the prepared statement's
+                      // inferred column types drive the server-side recv
+                      // (vector_recv for a real VECTOR column)
+                      c.bindExecRaw("graft_ins",
+                        Seq(Option(fTxt(r, 0)), Option(fVec(r)), Option(fTxt(r, 2))),
+                        Seq(1, 1, 1))
+                    else {
+                      def p(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+                      c.bindExec("graft_ins", Seq(p(0), p(1), p(2)))
+                    }
                   }
                   c.syncBatch()
                 }
@@ -359,20 +448,32 @@ object PgWireFace {
               }
             }
           } else if (useCopy) {
-            // per-session TEMP stage: invisible to other connections, so a
-            // half-copied retry never leaks rows; dropped with the session
-            c.query("CREATE TEMP TABLE graft_copy_stage " +
-              s"(id TEXT, vector $vecType, metadata TEXT)")
-            import graft.connectors.pgwire.PgWireClient.copyField
-            c.copyIn("COPY pg_temp.graft_copy_stage (id, vector, metadata) FROM STDIN",
-              it.map { r =>
-                def f(i: Int) = copyField(if (r.isNullAt(i)) null else r.getString(i))
-                s"${f(0)}\t${f(1)}\t${f(2)}"
-              })
+            val copyTarget =
+              if (direct) s"$table ($idCol, $vecCol, metadata)"
+              else {
+                // per-session TEMP stage: invisible to other connections,
+                // so a half-copied retry never leaks rows; dropped with
+                // the session
+                c.query("CREATE TEMP TABLE graft_copy_stage " +
+                  s"(id TEXT, vector $vecType, metadata TEXT)")
+                "pg_temp.graft_copy_stage (id, vector, metadata)"
+              }
+            if (useBin)
+              c.copyInBinary(s"COPY $copyTarget FROM STDIN WITH (FORMAT binary)",
+                it.map(r => Array(fTxt(r, 0), fVec(r), fTxt(r, 2))))
+            else {
+              import graft.connectors.pgwire.PgWireClient.copyField
+              c.copyIn(s"COPY $copyTarget FROM STDIN",
+                it.map { r =>
+                  def f(i: Int) = copyField(if (r.isNullAt(i)) null else r.getString(i))
+                  s"${f(0)}\t${f(1)}\t${f(2)}"
+                })
+            }
             // ONE implicit-txn publish for the whole partition: the
             // delete leg rides the target's id index; null ids have no
-            // previous version to replace
-            c.query(
+            // previous version to replace. Direct mode already landed in
+            // the target — no second server-side write.
+            if (!direct) c.query(
               s"DELETE FROM $table WHERE $idCol IN " +
                 "(SELECT id FROM pg_temp.graft_copy_stage WHERE id IS NOT NULL); " +
                 s"INSERT INTO $table ($idCol, $vecCol, metadata) " +

@@ -124,6 +124,14 @@ case class PgResult(columns: Seq[String], rows: Seq[Seq[String]], tags: Seq[Stri
     tags.lastOption.flatMap(_.split(' ').lastOption).flatMap(_.toLongOption).getOrElse(0L)
 }
 
+/** A result set with per-column wire metadata and UNDECODED values — the
+  * binary-format read path's shape: `oids`/`formats` parallel `columns`
+  * (format 1 = binary, 0 = text bytes), each cell the raw value bytes
+  * (null = SQL NULL). [[PgBinary.recvToText]] decodes negotiated
+  * columns; format-0 cells are the server's own text rendering. */
+case class PgResultRaw(columns: Seq[String], oids: Seq[Int], formats: Seq[Int],
+                       rows: Seq[Seq[Array[Byte]]], tags: Seq[String])
+
 /** Minimal PostgreSQL frontend — the documented v3 wire protocol
   * (PostgreSQL docs, "Frontend/Backend Protocol"), Simple Query flavor:
   * `StartupMessage` → authentication (trust, cleartext password, MD5,
@@ -485,20 +493,31 @@ class PgWireClient(host: String, port: Int,
     writeExecute()
   }
 
-  private def writeBind(stmt: String, params: Seq[Option[String]]): Unit = {
+  private def writeBind(stmt: String, params: Seq[Option[String]]): Unit =
+    writeBindRaw(stmt, params.map(_.map(_.getBytes(UTF_8))), Nil, Nil)
+
+  /** Bind with explicit format codes (the protocol's negotiation point):
+    * `paramFormats`/`resultFormats` follow the documented convention —
+    * empty = all text, one entry = applies to all, else one per
+    * param/column (1 = binary, 0 = text). */
+  private def writeBindRaw(stmt: String, params: Seq[Option[Array[Byte]]],
+                           paramFormats: Seq[Int], resultFormats: Seq[Int]): Unit = {
     val b = new java.io.ByteArrayOutputStream()
     b.write(cstr("")) // unnamed portal
     b.write(cstr(stmt))
-    b.write(Array[Byte](0, 0)) // 0 param-format codes -> all text
+    def codes(cs: Seq[Int]): Unit = {
+      b.write(Array[Byte]((cs.length >> 8).toByte, cs.length.toByte))
+      cs.foreach(c => b.write(Array[Byte]((c >> 8).toByte, c.toByte)))
+    }
+    codes(paramFormats)
     b.write(Array[Byte]((params.length >> 8).toByte, params.length.toByte))
     params.foreach {
       case None => b.write(Array[Byte](-1, -1, -1, -1)) // int32 -1 = NULL
-      case Some(v) =>
-        val bytes = v.getBytes(UTF_8)
+      case Some(bytes) =>
         b.write(java.nio.ByteBuffer.allocate(4).putInt(bytes.length).array())
         b.write(bytes)
     }
-    b.write(Array[Byte](0, 0)) // 0 result-format codes -> all text
+    codes(resultFormats)
     out.writeByte('B')
     out.writeInt(4 + b.size())
     b.writeTo(out)
@@ -551,8 +570,15 @@ class PgWireClient(host: String, port: Int,
     * set + all tags, raises the first error AFTER ReadyForQuery (same
     * session-survives contract as [[query]]). */
   private def drainExtended(): PgResult = {
-    var columns = Seq.empty[String]
-    var rows = Vector.empty[Seq[String]]
+    val raw = drainExtendedRaw()
+    PgResult(raw.columns,
+      raw.rows.map(_.map(b => if (b == null) null else new String(b, UTF_8))),
+      raw.tags)
+  }
+
+  private def drainExtendedRaw(): PgResultRaw = {
+    var desc = Seq.empty[(String, Int, Int)]
+    var rows = Vector.empty[Seq[Array[Byte]]]
     val tags = Vector.newBuilder[String]
     var err: PgWireException = null
     var done = false
@@ -560,10 +586,10 @@ class PgWireClient(host: String, port: Int,
       val (tpe, payload) = readMessage()
       tpe match {
         case 'T' =>
-          columns = parseRowDescription(payload, e => if (err == null) err = e)
+          desc = parseRowDescriptionTyped(payload, e => if (err == null) err = e)
           rows = Vector.empty
         case 'D' =>
-          parseDataRow(payload, e => if (err == null) err = e)
+          parseDataRowRaw(payload, e => if (err == null) err = e)
             .foreach(r => rows :+= r)
         case 'C' =>
           try tags += cstring(payload, 0)._1
@@ -575,7 +601,64 @@ class PgWireClient(host: String, port: Int,
       }
     }
     if (err != null) throw err
-    PgResult(columns, rows, tags.result())
+    PgResultRaw(desc.map(_._1), desc.map(_._2), desc.map(_._3), rows, tags.result())
+  }
+
+  /** Describe a NAMED prepared statement: (column name, type OID) per
+    * result column — the negotiation step before a binary-format Bind
+    * ([[execPreparedRaw]] chooses per-column result formats from these
+    * OIDs). Empty for statements returning no rows. */
+  def describeStatement(name: String): Seq[(String, Int)] = {
+    out.writeByte('D')
+    out.writeInt(4 + 1 + name.getBytes(UTF_8).length + 1)
+    out.writeByte('S')
+    out.write(cstr(name))
+    sendSync()
+    var desc = Seq.empty[(String, Int, Int)]
+    var err: PgWireException = null
+    var done = false
+    while (!done) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'T' => desc = parseRowDescriptionTyped(payload, e => if (err == null) err = e)
+        case 'n' => // NoData: DDL/DML statement
+        case 't' => // ParameterDescription — param OIDs, unused here
+        case 'E' => if (err == null) err = errorFrom(payload)
+        case 'Z' => done = true
+        case _ => // notices / param status
+      }
+    }
+    if (err != null) throw err
+    desc.map(d => (d._1, d._2))
+  }
+
+  /** Queue ONE Bind + Execute against a NAMED prepared statement with
+    * explicit formats — the binary write path's pipelined unit (binary
+    * parameters skip both the text rendering and the server-side text
+    * parse). NOT flushed; the round trip happens at [[syncBatch]]. */
+  def bindExecRaw(stmt: String, params: Seq[Option[Array[Byte]]],
+                  paramFormats: Seq[Int], resultFormats: Seq[Int] = Nil): Unit = {
+    writeBindRaw(stmt, params, paramFormats, resultFormats)
+    writeExecute()
+  }
+
+  /** Execute a NAMED prepared statement once with explicit formats and
+    * return the RAW result (per-column OIDs + format codes + undecoded
+    * bytes) — the binary read path: Bind requests `resultFormats`
+    * (typically 1 for every OID [[describeStatement]] showed to be in
+    * the [[PgBinary.textExactOids]] whitelist, 0 elsewhere), Describe
+    * the portal so RowDescription precedes the rows, Execute, Sync. */
+  def execPreparedRaw(stmt: String, params: Seq[Option[Array[Byte]]],
+                      paramFormats: Seq[Int],
+                      resultFormats: Seq[Int]): PgResultRaw = {
+    writeBindRaw(stmt, params, paramFormats, resultFormats)
+    out.writeByte('D')
+    out.writeInt(4 + 1 + 1)
+    out.writeByte('P')
+    out.writeByte(0)
+    writeExecute()
+    sendSync()
+    drainExtendedRaw()
   }
 
   /** Malformed-frame guards for the two payloads with internal structure:
@@ -584,15 +667,22 @@ class PgWireClient(host: String, port: Int,
     * reaches ReadyForQuery (readMessage consumed the whole frame, so the
     * stream stays in sync) — never a raw ArrayIndexOutOfBounds that
     * aborts mid-stream and desyncs the session. */
-  private def parseRowDescription(payload: Array[Byte],
-                                  onErr: PgWireException => Unit): Seq[String] =
+  /** (name, typeOid, formatCode) per column — format codes are 0 from a
+    * statement Describe and whatever Bind requested from a portal one. */
+  private def parseRowDescriptionTyped(payload: Array[Byte],
+                                       onErr: PgWireException => Unit): Seq[(String, Int, Int)] =
     try {
       val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
       var i = 2
       (0 until n).map { _ =>
         val (name, next) = cstring(payload, i)
-        i = next + 18 // tableOid(4) colno(2) typeOid(4) typlen(2) typmod(4) format(2)
-        name
+        // layout after the name: tableOid(4) colno(2) typeOid(4)
+        // typlen(2) typmod(4) format(2)
+        val oid = ((payload(next + 6) & 0xff) << 24) | ((payload(next + 7) & 0xff) << 16) |
+          ((payload(next + 8) & 0xff) << 8) | (payload(next + 9) & 0xff)
+        val fmt = ((payload(next + 16) & 0xff) << 8) | (payload(next + 17) & 0xff)
+        i = next + 18
+        (name, oid, fmt)
       }
     } catch {
       // cstring's typed overrun throw included: it must funnel through
@@ -606,8 +696,12 @@ class PgWireClient(host: String, port: Int,
         Seq.empty
     }
 
-  private def parseDataRow(payload: Array[Byte],
-                           onErr: PgWireException => Unit): Option[Seq[String]] =
+  private def parseRowDescription(payload: Array[Byte],
+                                  onErr: PgWireException => Unit): Seq[String] =
+    parseRowDescriptionTyped(payload, onErr).map(_._1)
+
+  private def parseDataRowRaw(payload: Array[Byte],
+                              onErr: PgWireException => Unit): Option[Seq[Array[Byte]]] =
     try {
       val n = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
       var i = 2
@@ -616,7 +710,10 @@ class PgWireClient(host: String, port: Int,
           ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
         i += 4
         if (len == -1) null
-        else { val s = new String(payload, i, len, UTF_8); i += len; s }
+        else {
+          if (len < 0 || i + len > payload.length) throw new PgWireException("08P01", "overrun")
+          val b = java.util.Arrays.copyOfRange(payload, i, i + len); i += len; b
+        }
       })
     } catch {
       case _: IndexOutOfBoundsException | _: NegativeArraySizeException |
@@ -627,6 +724,11 @@ class PgWireClient(host: String, port: Int,
         None
     }
 
+  private def parseDataRow(payload: Array[Byte],
+                           onErr: PgWireException => Unit): Option[Seq[String]] =
+    parseDataRowRaw(payload, onErr)
+      .map(_.map(b => if (b == null) null else new String(b, UTF_8)))
+
   /** Bulk load through the documented COPY sub-protocol: run a
     * `COPY ... FROM STDIN` statement, answer the server's CopyInResponse
     * ('G') by streaming `lines` as text-format CopyData ('d') frames
@@ -636,11 +738,41 @@ class PgWireClient(host: String, port: Int,
     * escapes — [[PgWireClient.copyField]] builds a field). The server
     * reports mid-copy errors only after CopyDone on this path; the
     * session survives them (same drain contract as query). */
-  def copyIn(sql: String, lines: Iterator[String], chunkBytes: Int = 1 << 16): PgResult = {
-    val body = sql.getBytes(UTF_8) :+ 0.toByte
+  def copyIn(sql: String, lines: Iterator[String], chunkBytes: Int = 1 << 16): PgResult =
+    copyInStream(sql, chunkBytes) { (buf, flushChunk) =>
+      lines.foreach { line =>
+        buf.write(line.getBytes(UTF_8))
+        buf.write('\n')
+        if (buf.size() >= chunkBytes) flushChunk()
+      }
+    }
+
+  /** Bulk load in COPY BINARY format (`COPY ... WITH (FORMAT binary)`):
+    * same sub-protocol state machine as [[copyIn]], but the stream is the
+    * documented binary file layout — [[PgBinary.copyHeader]], one
+    * length-prefixed tuple per row ([[PgBinary.writeTuple]]), the -1
+    * trailer. Each tuple's fields must already be in the COLUMN TYPE's
+    * binary send format (null = SQL NULL): raw UTF-8 for TEXT columns,
+    * [[PgBinary.vectorSend]] for a real VECTOR column. Vectors cross at
+    * 4 bytes per component instead of ~9-13 text chars, and TEXT fields
+    * skip the per-character escape scan entirely. */
+  def copyInBinary(sql: String, tuples: Iterator[Array[Array[Byte]]],
+                   chunkBytes: Int = 1 << 16): PgResult =
+    copyInStream(sql, chunkBytes) { (buf, flushChunk) =>
+      buf.write(PgBinary.copyHeader, 0, PgBinary.copyHeader.length)
+      tuples.foreach { t =>
+        PgBinary.writeTuple(buf, t)
+        if (buf.size() >= chunkBytes) flushChunk()
+      }
+      buf.write(PgBinary.copyTrailer, 0, PgBinary.copyTrailer.length)
+    }
+
+  private def copyInStream(sql: String, chunkBytes: Int)
+                          (body: (java.io.ByteArrayOutputStream, () => Unit) => Unit): PgResult = {
+    val sqlBody = sql.getBytes(UTF_8) :+ 0.toByte
     out.writeByte('Q')
-    out.writeInt(4 + body.length)
-    out.write(body)
+    out.writeInt(4 + sqlBody.length)
+    out.write(sqlBody)
     out.flush()
     // phase 1: the server must answer CopyInResponse — or an error (bad
     // SQL, missing table), which arrives as 'E' then 'Z'
@@ -687,11 +819,7 @@ class PgWireClient(host: String, port: Int,
       buf.reset()
     }
     try {
-      lines.foreach { line =>
-        buf.write(line.getBytes(UTF_8))
-        buf.write('\n')
-        if (buf.size() >= chunkBytes) flushChunk()
-      }
+      body(buf, () => flushChunk())
       flushChunk()
       out.writeByte('c') // CopyDone
       out.writeInt(4)

@@ -312,6 +312,167 @@ class PgLiveWireSpec extends SparkSpec {
     }
   }
 
+  test("BINARY fuzz: COPY binary + binary Bind params round-trip the text " +
+    "fuzz population byte-identically with the text paths") {
+    val c = live()
+    import graft.connectors.pgwire.PgBinary
+    // SAME seed and palette as the text fuzz test: the binary paths must
+    // land the identical 120-value population — framing chars included,
+    // with NO escaping pass at all (binary length-prefixes everything)
+    val rnd = new scala.util.Random(181818L)
+    val palette = "ab'\"\\\t\n\r$12;—é中,{}%_N".toCharArray
+    val values = (0 until 120).map { i =>
+      if (i == 0) "" else
+        (0 until (1 + rnd.nextInt(24))).map(_ => palette(rnd.nextInt(palette.length))).mkString
+    }
+    c.query("CREATE TABLE fuzzb_copy (k INT, v TEXT); " +
+      "CREATE TABLE fuzzb_params (k INT, v TEXT)")
+    // binary COPY: int4 binary key + raw-UTF-8 text field per tuple
+    val r = c.copyInBinary("COPY fuzzb_copy (k, v) FROM STDIN WITH (FORMAT binary)",
+      values.zipWithIndex.iterator.map { case (v, i) =>
+        Array(PgBinary.int4Send(i), PgBinary.textSend(v))
+      })
+    assert(r.rowCount == values.length, r.tags)
+    // binary Bind parameters, pipelined through a named statement
+    c.prepare("fuzzb_ins", "INSERT INTO fuzzb_params VALUES ($1, $2)")
+    values.zipWithIndex.foreach { case (v, i) =>
+      c.bindExecRaw("fuzzb_ins",
+        Seq(Some(PgBinary.int4Send(i)), Some(PgBinary.textSend(v))), Seq(1, 1))
+    }
+    c.syncBatch()
+    for (table <- Seq("fuzzb_copy", "fuzzb_params")) {
+      val got = c.query(s"SELECT k, v FROM $table ORDER BY k").rows
+        .map(r => r(0).toInt -> r(1)).toMap
+      assert(got.size == values.length, s"$table: ${got.size} rows")
+      values.zipWithIndex.foreach { case (v, i) =>
+        assert(got(i) == v,
+          s"$table mangled value $i: ${got(i).toSeq} != ${v.toSeq}")
+      }
+    }
+  }
+
+  test("binary result negotiation: whitelisted OIDs decode text-exactly, " +
+    "float/numeric stay server-rendered text") {
+    val c = live()
+    import graft.connectors.pgwire.PgBinary
+    c.query("CREATE TABLE bin_read_t (i8 BIGINT, i4 INT, i2 SMALLINT, " +
+      "b BOOLEAN, t TEXT, f8 DOUBLE PRECISION, n NUMERIC)")
+    c.query("INSERT INTO bin_read_t VALUES " +
+      "(9223372036854775807, -2147483648, 32767, true, 'tab\thére', " +
+      "0.30000000000000004, 1.500), " +
+      "(-1, 0, -32768, false, '', 1e300, -0.000001), " +
+      "(NULL, NULL, NULL, NULL, NULL, NULL, NULL)")
+    val sql = "SELECT i8, i4, i2, b, t, f8, n FROM bin_read_t ORDER BY i8 NULLS LAST"
+    c.prepare("bread", sql)
+    val desc = c.describeStatement("bread")
+    val exact = PgBinary.textExactOids(None)
+    // the negotiation splits exactly as designed: 5 binary, 2 text
+    assert(desc.map(_._2).take(5).forall(exact), desc)
+    assert(desc.drop(5).map(_._2).forall(!exact(_)), desc)
+    val formats = desc.map(d => if (exact(d._2)) 1 else 0)
+    val res = c.execPreparedRaw("bread", Nil, Nil, formats)
+    assert(res.formats == formats, s"server did not honor the formats: ${res.formats}")
+    val decoded = res.rows.map(_.zipWithIndex.map { case (cell, i) =>
+      if (cell == null) null
+      else if (res.formats(i) == 1) PgBinary.recvToText(res.oids(i), None, cell)
+      else new String(cell, java.nio.charset.StandardCharsets.UTF_8)
+    })
+    // byte-identical with the text-protocol rows — including the float
+    // and numeric columns, which deliberately rode format 0
+    assert(decoded == c.query(sql).rows, decoded)
+  }
+
+  test("face data_format=binary: direct-COPY write, staged binary upsert, " +
+    "and the negotiated binary read match the text path end to end") {
+    live()
+    val pgv = ConnectorRegistry("pgvector")
+    val conn = wireConn("query_protocol" -> "extended", "data_format" -> "binary")
+    val hostile = Map(
+      "tab" -> "a\tb", "nl" -> "line1\nline2", "cr" -> "x\ry",
+      "bs" -> "c:\\dir\\n not a newline", "nul_lookalike" -> "\\N",
+      "quote" -> "it's'; --")
+    val df = Seq(
+      ("a", Seq(1.5f, -2.25f), hostile),
+      ("b", Seq(0.001f, 42f), Map("k" -> "2")),
+      ("c", null.asInstanceOf[Seq[Float]], Map.empty[String, String]))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    val load = graft.config.LoadSpec(collection = "wire_bin_e2e", recreate = true)
+    // recreate=true -> DIRECT binary COPY into the target (no stage)
+    assert(pgv.write(df, conn, load).written == 3)
+    val back = pgv.readBack(spark, conn, load)
+      .orderBy(graft.model.Canonical.ID).collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(back(0).getMap[String, String](2).toMap == hostile,
+      s"binary path mangled metadata: ${back(0).getMap[String, String](2).toMap}")
+    assert(back(0).getSeq[Float](1) == Seq(1.5f, -2.25f))
+    assert(back(2).isNullAt(1) || back(2).getSeq[Float](1) == null)
+    // recreate=false -> STAGED binary COPY upsert; replaced id converges
+    def one(vec: Seq[Float]) = Seq(("b", vec, Map("k" -> "new")))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    assert(pgv.write(one(Seq(9f, 9f)), conn, load.copy(recreate = false)).written == 1)
+    val after = pgv.readBack(spark, conn, load)
+    assert(after.count() == 3, "staged binary upsert duplicated an id")
+    assert(after.filter(col(graft.model.Canonical.ID) === "b")
+      .head().getSeq[Float](1) == Seq(9f, 9f))
+    // and the binary extended-protocol upsert (write_mode=insert) too
+    val connIns = wireConn("query_protocol" -> "extended",
+      "data_format" -> "binary", "write_mode" -> "insert")
+    assert(pgv.write(one(Seq(11f, 12f)), connIns, load.copy(recreate = false)).written == 1)
+    val after2 = pgv.readBack(spark, connIns, load)
+    assert(after2.count() == 3)
+    assert(after2.filter(col(graft.model.Canonical.ID) === "b")
+      .head().getSeq[Float](1) == Seq(11f, 12f))
+  }
+
+  test("direct COPY (recreate) and staged COPY (append onto empty) converge " +
+    "to the same final state") {
+    live()
+    val pgv = ConnectorRegistry("pgvector")
+    val df = Seq(
+      ("d1", Seq(1f, 2f), Map("m" -> "x\t\\N")),
+      ("d2", null.asInstanceOf[Seq[Float]], Map("m" -> "y")))
+      .toDF(graft.model.Canonical.ID, graft.model.Canonical.VECTOR,
+        graft.model.Canonical.METADATA)
+    // direct: recreate=true skips the stage entirely
+    pgv.write(df, wireConn(), graft.config.LoadSpec("wire_direct_t", recreate = true))
+    // staged: recreate=false on a fresh table takes the stage+publish path
+    pgv.write(df, wireConn(), graft.config.LoadSpec("wire_staged_t", recreate = false))
+    def state(t: String) = pgv
+      .readBack(spark, wireConn(), graft.config.LoadSpec(t))
+      .orderBy(graft.model.Canonical.ID).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getSeq[Float](1),
+        r.getMap[String, String](2).toMap)).toSeq
+    assert(state("wire_direct_t") == state("wire_staged_t"),
+      "direct and staged COPY landed different states")
+  }
+
+  test("copyInBinary error shapes: missing table typed; client abort lands " +
+    "ZERO rows (single-statement atomicity) and the session survives") {
+    val c = live()
+    import graft.connectors.pgwire.PgBinary
+    val e = intercept[PgWireException](c.copyInBinary(
+      "COPY absent_bin_t FROM STDIN WITH (FORMAT binary)", Iterator.empty))
+    assert(e.sqlState == "42P01", s"${e.sqlState}: ${e.getMessage}")
+    assert(c.query("SELECT 1 + 1").rows.head.head == "2")
+    // mid-stream client failure: CopyFail aborts, no partial rows — the
+    // atomicity claim the face's DIRECT mode rests on
+    c.query("CREATE TABLE bin_abort_t (a TEXT)")
+    val boom = new RuntimeException("encoder failure mid-stream")
+    val thrown = intercept[RuntimeException](c.copyInBinary(
+      "COPY bin_abort_t (a) FROM STDIN WITH (FORMAT binary)",
+      Iterator.tabulate(10) { i =>
+        if (i == 5) throw boom
+        Array(PgBinary.textSend(s"row$i"))
+      }))
+    assert(thrown eq boom, "the ORIGINAL failure must surface")
+    assert(c.query("SELECT count(*) FROM bin_abort_t").rows.head.head == "0",
+      "an aborted binary COPY left partial rows")
+    assert(c.query("SELECT 2 + 2").rows.head.head == "4")
+  }
+
   test("extended-protocol pipelined batch is atomic: one bad row rolls back the batch") {
     val c = live()
     c.query("CREATE TABLE ext_atomic (id TEXT, n INT CHECK (n < 100))")
