@@ -35,6 +35,24 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Join strategy from MEASURED sizes, not estimates (r19, guide §3.1):
+      // size estimates after filters/projections are unreliable — at sf1
+      // the planner mis-broadcast the 6M-row lineitem FACT table into
+      // q3_shipping (a single-threaded driver hash build that cost ~4 s of
+      // the query's 6 s, and at 100 TB would OOM the driver outright).
+      // Static estimate-driven broadcasts are disabled; AQE promotes joins
+      // to broadcast (10m) or shuffled-hash (≤128m per-partition build)
+      // from actual shuffle statistics at runtime. Explicit broadcast()
+      // hints on known-small dimension tables are unaffected. Values are
+      // env-overridable for cluster tuning; the defaults are
+      // scale-independent policy (meas. sf1: q3 6.04→2.26 s,
+      // q_join_pricing 3.71→1.76 s, q5 3.44→3.00 s; sf0.1 board unchanged).
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_AUTO_BROADCAST", "-1"))
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_BROADCAST", "10m"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_SHJ", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
       // Hash pipelines (rolling hash, MinHash) rely on deterministic 64-bit
       // wraparound; Spark 4's ANSI default would throw on long overflow.

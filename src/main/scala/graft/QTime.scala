@@ -1,0 +1,35 @@
+package graft
+
+/** Optimization-round timing tool: per-query medians over N samples after
+  * one untimed warm-up — the Bench measurement protocol without the full
+  * board, for fast iteration on one query. Not a driver-contract main.
+  *
+  * Usage: runMain graft.QTime <sfDir> <samples> <q1> [q2 ...]
+  */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val samples = args(1).toInt
+    val names = args.drop(2).toSeq
+    val spark = GraftSession.local("graft-qtime")
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = SparkEntry.queries ++ Bench.benchOnly
+    // JIT warm like Bench: repeated calibration until stable
+    (1 to 8).foreach(_ => Bench.calibrate(spark))
+    names.foreach { n =>
+      val q = qs(n)
+      try q(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
+      val times = (1 to samples).map { _ =>
+        val t0 = System.nanoTime()
+        try q(spark, sfDir).count() catch { case e: Throwable =>
+          System.err.println(s"[qtime] $n sample failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val med = times(times.length / 2)
+      val iqr = times(times.length * 3 / 4) - times(times.length / 4)
+      println(f"[qtime] $n%-28s median ${med}%.3f s  iqr ${iqr}%.3f  min ${times.head}%.3f")
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -113,7 +113,7 @@ case class BpeEncodeExpr(child: Expression, merges: Array[(String, String)])
     val text = input.asInstanceOf[UTF8String].toString.trim.toLowerCase(java.util.Locale.ROOT)
     if (text.isEmpty) return new GenericArrayData(Array.empty[Any])
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
-    text.split("\\s+").foreach { w =>
+    HashExpressions.WS.split(text).foreach { w => // shared compiled pattern (r19)
       var syms = {
         val b = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = 0

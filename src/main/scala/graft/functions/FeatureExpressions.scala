@@ -49,24 +49,42 @@ case class HashedBowEmbedExpr(child: Expression, dim: Int)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "hashed_bow_embed"
 
+  /** Single whitespace char test — exactly the `\s` class Java's regex
+    * uses without UNICODE_CHARACTER_CLASS: [ \t\n\x0B\f\r]. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   override def nullSafeEval(input: Any): Any = {
     val counts = new Array[Double](dim)
     val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString.trim
+    // r19: one manual scan over the trimmed chars instead of
+    // split("\\s+") — the split compiled its regex AND allocated a token
+    // String per word ON EVERY ROW of the chunk table (the hottest map of
+    // q_chunk_embed). Token boundaries are maximal `\s` runs exactly as
+    // the regex defined them (all of \s is BMP, so the char-level test
+    // is equivalent); each token's codepoints fold incrementally and the
+    // bucket increments at the boundary — same hashes, zero per-token
+    // allocation.
     if (s.nonEmpty) {
-      val toks = s.split("\\s+")
-      var i = 0
-      while (i < toks.length) {
-        val t = toks(i)
-        var h = 0L
-        var ci = 0
-        while (ci < t.length) {
-          val cp = t.codePointAt(ci)
+      var h = 0L
+      var inTok = false
+      var ci = 0
+      while (ci < s.length) {
+        val c = s.charAt(ci)
+        if (isWs(c)) {
+          if (inTok) {
+            counts(java.lang.Math.floorMod(h, dim.toLong).toInt) += 1.0
+            inTok = false
+          }
+          ci += 1
+        } else {
+          if (!inTok) { h = 0L; inTok = true }
+          val cp = s.codePointAt(ci)
           h = (h * HashExpressions.B + cp) % HashExpressions.P
           ci += Character.charCount(cp)
         }
-        counts(java.lang.Math.floorMod(h, dim.toLong).toInt) += 1.0
-        i += 1
       }
+      if (inTok) counts(java.lang.Math.floorMod(h, dim.toLong).toInt) += 1.0
     }
     var norm2 = 0.0
     var j = 0

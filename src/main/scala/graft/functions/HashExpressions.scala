@@ -22,6 +22,29 @@ object HashExpressions {
     * into [0, P) (e.g. `pmod(xxhash64(s), P)`) so a·x+b stays below 2^62. */
   val P: Long = 2147483647L
 
+  /** Shared compiled whitespace pattern (r19): `String.split("\\s+")`
+    * compiles the regex ON EVERY CALL (only single-char literals take
+    * String.split's fast path) — a per-row Pattern.compile in kernels that
+    * run once per document of the corpus. Semantics identical to
+    * `s.split("\\s+")`, which delegates to exactly this pattern. */
+  private[functions] val WS: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
+
+  /** Sort + in-place dedup of a window-hash buffer, returning the distinct
+    * ascending prefix (r19): replaces the boxed LinkedHashSet/TreeSet the
+    * shingle kernels used to accumulate per-window hashes — same final
+    * (sorted, distinct) contents, zero boxing, one primitive sort. */
+  private[functions] def sortedDistinct(hs: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(hs)
+    var k = 0
+    var i = 0
+    while (i < hs.length) {
+      if (k == 0 || hs(i) != hs(k - 1)) { hs(k) = hs(i); k += 1 }
+      i += 1
+    }
+    if (k == hs.length) hs else java.util.Arrays.copyOf(hs, k)
+  }
+
   def minHashSignature(shingleHashes: Column, as: Array[Long], bs: Array[Long]): Column =
     GraftColumnBridge.column(
       MinHashSignatureExpr(GraftColumnBridge.expression(shingleHashes), as, bs))
@@ -152,25 +175,36 @@ case class PortableShingleHashesExpr(child: Expression, n: Int)
     val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toString.trim.toLowerCase(java.util.Locale.ROOT)
     if (s.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val toks = s.split("\\s+")
+    val toks = HashExpressions.WS.split(s)
     if (toks.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val seen = new java.util.TreeSet[java.lang.Long]()
-    val sb = new java.lang.StringBuilder()
+    // r19 inner-loop rework (mirror of WordShingleHashesExpr): fold each
+    // window's codepoints DIRECTLY — token chars then ' ' (32) between —
+    // instead of materializing the joined shingle string per window. The
+    // fold sequence is char-for-char the one PortableStringFold.fold saw
+    // on the StringBuilder string (a ' ' separator can never pair with a
+    // surrogate across the boundary), and the boxed TreeSet becomes one
+    // primitive sort+dedup of the same values.
+    val nWin = toks.length - n + 1
+    val hashes = new Array[Long](nWin)
     var i = 0
-    while (i <= toks.length - n) {
-      sb.setLength(0)
+    while (i < nWin) {
+      var h = 0L
       var j = 0
-      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-      // ONE spec-pinned fold implementation (PortableStringFold) — the
-      // portable contract must not be able to drift between copies
-      seen.add(PortableStringFold.fold(sb.toString))
+      while (j < n) {
+        if (j > 0) h = (h * HashExpressions.B + 32L) % HashExpressions.P
+        val t = toks(i + j)
+        var ci = 0
+        while (ci < t.length) {
+          val cp = t.codePointAt(ci)
+          h = (h * HashExpressions.B + cp) % HashExpressions.P
+          ci += Character.charCount(cp)
+        }
+        j += 1
+      }
+      hashes(i) = h
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    UnsafeArrayData.fromPrimitiveArray(HashExpressions.sortedDistinct(hashes))
   }
 
   override protected def withNewChildInternal(newChild: Expression): PortableShingleHashesExpr =
@@ -384,7 +418,7 @@ case class PortableTokenHashesExpr(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString.trim
     if (s.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val toks = s.split("\\s+")
+    val toks = HashExpressions.WS.split(s) // shared compiled pattern (r19)
     val out = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
@@ -514,35 +548,57 @@ case class WordShingleHashesExpr(child: Expression, n: Int,
     val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .toString.trim.toLowerCase(java.util.Locale.ROOT)
     if (s.isEmpty) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val toks = s.split("\\s+")
+    val toks = HashExpressions.WS.split(s)
     if (toks.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    val sb = new java.lang.StringBuilder()
+    // r19 inner-loop rework: this runs once per shingle of the corpus —
+    // the dominant compute of the whole MinHash family. Each token's
+    // UTF-8 bytes are encoded ONCE per document and windows assemble in a
+    // reusable buffer, replacing the per-shingle StringBuilder + toString
+    // + getBytes (three allocations and two character copies per window).
+    // Byte-identical to hashing the joined string: UTF-8 encodes per code
+    // point, and the ' ' separators (0x20) prevent any cross-token
+    // surrogate pairing, so the concatenated bytes equal the joined
+    // string's encoding exactly.
+    val tokBytes = new Array[Array[Byte]](toks.length)
+    var ti = 0
+    while (ti < toks.length) {
+      tokBytes(ti) = toks(ti).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ti += 1
+    }
+    val nWin = toks.length - n + 1
+    val hashes = new Array[Long](nWin)
+    var buf = new Array[Byte](64)
     var i = 0
-    while (i <= toks.length - n) {
-      sb.setLength(0)
+    while (i < nWin) {
+      var len = n - 1
       var j = 0
-      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      while (j < n) { len += tokBytes(i + j).length; j += 1 }
+      if (len > buf.length)
+        buf = new Array[Byte](java.lang.Math.max(len, buf.length * 2))
+      var off = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(off) = ' '; off += 1 }
+        val tb = tokBytes(i + j)
+        System.arraycopy(tb, 0, buf, off, tb.length)
+        off += tb.length
+        j += 1
+      }
       // same XXH64(seed=42) core as Spark's xxhash64; reduced mod P only
       // for the MinHash family (a·x+b must stay below 2^62). Collision
       // GATES need the full 64 bits: 31-bit hashes collide by chance at
       // ~n_bench/2^31 per probe — enough to falsely drop whole documents.
       val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
-      seen.add(if (reduceModP) ((h % HashExpressions.P) + HashExpressions.P) % HashExpressions.P
-        else h)
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, off, 42L)
+      hashes(i) =
+        if (reduceModP) ((h % HashExpressions.P) + HashExpressions.P) % HashExpressions.P
+        else h
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var k2 = 0
-    while (it.hasNext) { out(k2) = it.next(); k2 += 1 }
-    // sorted output: MinHash signatures are order-invariant, and sorted
-    // distinct arrays let SortedLongJaccardExpr verify pairs with a
+    // sorted distinct output: MinHash signatures are order-invariant, and
+    // sorted distinct arrays let SortedLongJaccardExpr verify pairs with a
     // zero-allocation merge instead of per-pair hash sets
-    java.util.Arrays.sort(out)
-    UnsafeArrayData.fromPrimitiveArray(out)
+    UnsafeArrayData.fromPrimitiveArray(HashExpressions.sortedDistinct(hashes))
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashesExpr =

@@ -513,8 +513,13 @@ object Dedup {
     // shuffled — its only cost is the narrow three-column scan
     val corpusCands = corpusBands.join(broadcast(smallTouched), Seq("band", "band_hash"))
       .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"))
+    // batchBands is batch-proportional by design (|batch|·numBands narrow
+    // rows) — broadcast EXPLICITLY (r19): estimate-driven broadcasts are
+    // off session-wide, and a sort-merge here would put an Exchange on the
+    // corpus-pruned side, the exact shape this operator exists to avoid
     val candidates = corpusCands
-      .join(batchBands.select(col("band"), col("band_hash"), col(idCol).as("batch_id")),
+      .join(broadcast(
+          batchBands.select(col("band"), col("band_hash"), col(idCol).as("batch_id"))),
         Seq("band", "band_hash"))
       .filter(col("corpus_id") =!= col("batch_id"))
       .select("batch_id", "corpus_id").distinct()

@@ -109,23 +109,74 @@ object Multimodal {
       var allSamples = 0L
       val blockSum = new Array[Long](64)
       val blockPix = new Array[Long](64)
-      var y = 0
-      while (y < h) {
-        val by = y * 8 / h
-        var x = 0
-        while (x < w) {
-          var lum = 0L
-          var b = 0
-          while (b < colorBands) { lum += raster.getSample(x, y, b); b += 1 }
-          b = 0
-          while (b < bands) { allSamples += raster.getSample(x, y, b); b += 1 }
-          total += lum
-          val j = by * 8 + x * 8 / w
-          blockSum(j) += lum
-          blockPix(j) += 1L
-          x += 1
+      // r19 fast path: `raster.getSample(x, y, b)` pays bounds checks and
+      // sample-model dispatch PER SAMPLE — measured 265 µs of the 347 µs
+      // per-image decode (the single biggest cost of the whole multimodal
+      // family, above ImageIO itself). Every 8-bit interleaved raster
+      // (TYPE_3BYTE_BGR/4BYTE_ABGR/gray — everything javax.imageio's
+      // PNG/JPEG readers produce for these corpora) reads its samples
+      // straight off the DataBufferByte with the sample model's own
+      // strides; getSample on 8-bit bytes is exactly `data(off) & 0xFF`,
+      // so the sums are bit-identical. Anything else (16-bit, banded,
+      // translated sub-rasters) falls back to the general loop.
+      val fastSm = raster.getSampleModel match {
+        case sm: java.awt.image.PixelInterleavedSampleModel
+          if raster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+            raster.getDataBuffer.getOffset == 0 &&
+            raster.getSampleModelTranslateX == 0 &&
+            raster.getSampleModelTranslateY == 0 &&
+            sm.getSampleSize.forall(_ == 8) => sm
+        case _ => null
+      }
+      if (fastSm != null) {
+        val data = raster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+        val scan = fastSm.getScanlineStride
+        val pixStride = fastSm.getPixelStride
+        val offs = fastSm.getBandOffsets // band b of pixel (x,y) at y*scan + x*pixStride + offs(b)
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          val rowOff = y * scan
+          var x = 0
+          while (x < w) {
+            val px = rowOff + x * pixStride
+            var lum = 0L
+            var all = 0L
+            var b = 0
+            while (b < bands) {
+              val v = (data(px + offs(b)) & 0xFF).toLong
+              all += v
+              if (b < colorBands) lum += v
+              b += 1
+            }
+            allSamples += all
+            total += lum
+            val j = by * 8 + x * 8 / w
+            blockSum(j) += lum
+            blockPix(j) += 1L
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+      } else {
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            var lum = 0L
+            var b = 0
+            while (b < colorBands) { lum += raster.getSample(x, y, b); b += 1 }
+            b = 0
+            while (b < bands) { allSamples += raster.getSample(x, y, b); b += 1 }
+            total += lum
+            val j = by * 8 + x * 8 / w
+            blockSum(j) += lum
+            blockPix(j) += 1L
+            x += 1
+          }
+          y += 1
+        }
       }
       var hash = 0L
       val bits = new StringBuilder(64)
@@ -197,12 +248,22 @@ object Multimodal {
     val yc = 13 + (e / 11) % 13
     val xyc = (e / 143) % 7
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    // r19: fill the raster's backing byte array directly — setRGB pays a
+    // color-model pack/unpack per pixel. TYPE_3BYTE_BGR created here is a
+    // 0-offset interleaved [B,G,R] byte raster, and the gray value lands
+    // identically in all three channels, so the pixels (and therefore the
+    // encoded PNG bytes and every closed-form oracle) are unchanged.
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = ((e * 31 + x * xc + y * yc + x * y * xyc) % 256).toInt
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        val g = ((e * 31 + x * xc + y * yc + x * y * xyc) % 256).toByte
+        val off = (y * w + x) * 3
+        data(off) = g
+        data(off + 1) = g
+        data(off + 2) = g
         x += 1
       }
       y += 1
@@ -254,10 +315,38 @@ object Multimodal {
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false) // no temp file per encode
       val digest = java.security.MessageDigest.getInstance("SHA-256")
+      // r19 per-task init (guide §4.5 applied JVM-side): ImageIO.write
+      // looks the PNG writer up in the plugin registry ON EVERY IMAGE —
+      // measured ~30% of the 143 µs/image encode. One writer per task,
+      // re-targeted per image, produces byte-identical output (same
+      // writer class, same default params as ImageIO.write's own path).
+      val pngWriter =
+        if (format == "png") ImageIO.getImageWritersByFormatName("png").next()
+        else null
+      def encodePng(id: Long): Array[Byte] = {
+        val out = new ByteArrayOutputStream()
+        val ios = ImageIO.createImageOutputStream(out)
+        try {
+          pngWriter.setOutput(ios)
+          pngWriter.write(null, new javax.imageio.IIOImage(syntheticImage(id), null, null), null)
+        } finally ios.close()
+        out.toByteArray
+      }
+      val hex = "0123456789abcdef".toCharArray
+      def shaHex(bytes: Array[Byte]): String = {
+        val d = digest.digest(bytes)
+        val cs = new Array[Char](d.length * 2)
+        var i = 0
+        while (i < d.length) {
+          cs(2 * i) = hex((d(i) >> 4) & 0xF)
+          cs(2 * i + 1) = hex(d(i) & 0xF)
+          i += 1
+        }
+        new String(cs)
+      }
       ids.map { id =>
-        val bytes = if (format == "png") syntheticPng(id) else syntheticJpeg(id)
-        val sha = digest.digest(bytes).map("%02x".format(_)).mkString
-        MediaRow(id, bytes, MediaMeta(s"image/$format", bytes.length.toLong, sha))
+        val bytes = if (format == "png") encodePng(id) else syntheticJpeg(id)
+        MediaRow(id, bytes, MediaMeta(s"image/$format", bytes.length.toLong, shaHex(bytes)))
       }
     }.toDF()
   }

@@ -634,10 +634,14 @@ object Similarity {
     }
     // weakest positive per query, scored exactly (independent of the
     // shortlist so a positive missing from an ANN tier's list cannot
-    // loosen the margin); broadcast-sized: one row per labeled pair
+    // loosen the margin); broadcast-sized: one row per labeled pair.
+    // The broadcasts below are EXPLICIT (r19): with estimate-driven
+    // broadcasts disabled session-wide, the by-contract-small sides
+    // (labeled pairs) must carry their own hints or these joins would
+    // plan as sort-merge and shuffle the candidate collection.
     val posPairs = positives.select(col("query_id"), col("pos_id"))
     val posFloor = broadcast(
-      posPairs.join(cv.withColumnRenamed("cand_id", "pos_id"), "pos_id").join(qv, "query_id")
+      broadcast(posPairs).join(cv.withColumnRenamed("cand_id", "pos_id"), "pos_id").join(qv, "query_id")
         .withColumn("p6", (round( // snap to the 1e-6 grid FIRST: raw cos·1e6
           // can sit on a .5 boundary where engines' rounding modes diverge
           round(VectorFunctions.cosineSimilarity(col("q_vec"), col("c_vec")), 6) * 1e6))
@@ -646,7 +650,8 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("score6").desc, col("cand_id").asc)
     scored
       .withColumn("score6", (round(col("score") * 1e6)).cast("long"))
-      .join(posPairs.withColumnRenamed("pos_id", "cand_id"), Seq("query_id", "cand_id"),
+      .join(broadcast(posPairs.withColumnRenamed("pos_id", "cand_id")),
+        Seq("query_id", "cand_id"),
         "left_anti") // a labeled positive is never a negative
       .join(posFloor, Seq("query_id")) // queries without positives have no pairs to train
       .filter(col("score6") <= col("pos_floor6") - marginMicros)

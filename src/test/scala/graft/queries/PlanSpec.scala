@@ -22,12 +22,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<vec_id:bigint,label:int>"), p)
   }
 
-  test("q_join_pricing broadcasts every dimension; only the fact shuffles") {
-    val p = plan("q_join_pricing")
-    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(broadcasts == 4, s"expected 4 broadcast joins, got $broadcasts\n$p")
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(shuffles <= 1, s"expected at most the final agg shuffle, got $shuffles\n$p")
+  /** r19: join strategy now comes from MEASURED sizes (AQE), not estimates
+    * — the static plan keeps only the explicitly hinted dim broadcasts and
+    * resolves the fact-side joins at runtime. The 100 TB invariants: the
+    * hinted dims broadcast, nothing goes cartesian, and after execution no
+    * join is left sort-merge at gate scale (AQE promoted every one from
+    * actual shuffle statistics). */
+  test("q_join_pricing: hinted dims broadcast; runtime sizes pick the fact joins") {
+    val df = (SparkEntry.queries ++ Bench.benchOnly)("q_join_pricing")(spark, sf())
+    val initial = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(initial).length >= 2,
+      s"hinted nation/region broadcasts missing:\n$initial")
+    assert(!initial.contains("CartesianProduct"), initial)
+    // collect(), not count(): count() wraps the Dataset in a NEW agg plan
+    // with its own QueryExecution, leaving THIS df's AQE un-finalized
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the "== Initial Plan ==" section
+    // after the final plan — assert on the final section only
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.contains("isFinalPlan=true"), fin)
+    assert(!fin.contains("SortMergeJoin"),
+      "AQE left a sort-merge join at gate scale:\n" + fin)
+  }
+
+  /** The r19 regression this config exists to prevent: the planner used to
+    * broadcast the LINEITEM FACT TABLE into q3_shipping off a bad
+    * post-projection size estimate (measured ~4 s of driver hash build at
+    * sf1; an OOM at 100 TB). No BroadcastExchange may have the fact scan
+    * in its subtree — in the initial or the executed plan. */
+  test("q3_shipping never driver-broadcasts the lineitem fact table") {
+    val df = (SparkEntry.queries ++ Bench.benchOnly)("q3_shipping")(spark, sf())
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // formatted mode lists each operator's Input columns right under its
+    // header: a BroadcastExchange whose input carries lineitem columns is
+    // exactly the estimate-driven fact broadcast this config removed
+    val factBcast = """\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[l_""".r
+    assert(factBcast.findFirstIn(formatted).isEmpty,
+      "lineitem landed on a static BroadcastExchange:\n" + formatted)
   }
 
   test("q1_agg uses two-phase (partial then final) hash aggregation") {
