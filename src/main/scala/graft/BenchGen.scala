@@ -38,15 +38,35 @@ object BenchGen {
   /** Bumped whenever replicate()'s output changes; rides the sf1 ramp's
     * `.source` marker so a ramp built by an older generator is rebuilt,
     * never silently reused (v2: token-suffix de-correlation replaced the
-    * interleaved-salt scheme that inflated MinHash band collisions). */
-  val rampVersion = 2
+    * interleaved-salt scheme that inflated MinHash band collisions;
+    * v3: fact/corpus tables land as MULTIPLE files — the v2 ramp wrote
+    * one single-row-group file per table, so EVERY sf1 scan stage ran on
+    * one core regardless of SPARK_GRAFT_CPUS, serializing exactly the
+    * per-row work the ramp exists to measure at scale. Guide §6: control
+    * the layout of anything you write). */
+  val rampVersion = 3
 
   private val Shift = 1000000000L
 
   def replicate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def read(t: String): DataFrame = Tables(spark, src, t)
+    // dimension tables stay single-file (tiny, broadcast-read); fact and
+    // corpus tables land as SIZE-PROPORTIONAL multiple files (~150k rows
+    // per file, capped at 2× the generating session's cores) so scan
+    // stages parallelize with the data instead of a flat count: a flat
+    // 2×cores put 64 near-empty files under the 3 MB corpus tables and
+    // multi-pass queries (5-seed LSH re-scans embeddings 10×) paid ~1.5 s
+    // of pure task scheduling (measured r19) — while the 22 MB lineitem
+    // genuinely wants the parallel scan.
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def writeSpread(df: DataFrame, t: String): Unit = {
+      val rows = df.count()
+      val nFiles = math.max(1L, math.min(2L * spark.sparkContext.defaultParallelism,
+        (rows + 149999) / 150000)).toInt
+      val spread = if (nFiles == 1) df.coalesce(1) else df.repartition(nFiles)
+      spread.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     val copies = spark.range(factor).select(col("id").as("__k"))
 
     // dimensions pass through unchanged (shared across replicas, like a
@@ -54,13 +74,13 @@ object BenchGen {
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(read(t), t))
 
-    write(read("lineitem").crossJoin(copies)
+    writeSpread(read("lineitem").crossJoin(copies)
       .withColumn("l_orderkey", col("l_orderkey") + col("__k") * Shift)
       .drop("__k"), "lineitem")
-    write(read("orders").crossJoin(copies)
+    writeSpread(read("orders").crossJoin(copies)
       .withColumn("o_orderkey", col("o_orderkey") + col("__k") * Shift)
       .drop("__k"), "orders")
-    write(read("events").crossJoin(copies)
+    writeSpread(read("events").crossJoin(copies)
       .withColumn("event_id", col("event_id") + col("__k") * Shift)
       .withColumn("user_id", col("user_id") + col("__k") * Shift)
       .drop("__k"), "events")
@@ -77,10 +97,10 @@ object BenchGen {
       .withColumn("doc_id", col("doc_id") + col("__k") * Shift)
       .withColumn("n_chars", length(col("text")))
       .drop("__k")
-    write(salted, "documents")
+    writeSpread(salted, "documents")
 
     val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
-    write(read("embeddings").crossJoin(copies)
+    writeSpread(read("embeddings").crossJoin(copies)
       .withColumn("embedding",
         when(col("__k") === 0, col("embedding")).otherwise(
           transform(sequence(lit(0), lit(dim - 1)),

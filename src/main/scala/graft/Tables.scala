@@ -15,6 +15,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Round-robin repartition to the session's core count IFF the frame's
+    * current parallelism is below it — guide §2.5's fix for unsplittable
+    * inputs, applied conditionally so it is a NO-OP on real multi-file
+    * corpora (r19). The driver's testdata ships every table as ONE
+    * single-row-group parquet file, so without this every scan stage —
+    * and any expensive per-row map fused into it (image codec, shingling,
+    * chunk+embed) — runs on ONE core regardless of SPARK_GRAFT_CPUS.
+    * Only worth the extra exchange where downstream per-row work clearly
+    * dominates a narrow shuffle; cheap scan+aggregate plans keep their
+    * single-task scan (the partial agg costs less than re-shuffling the
+    * rows). Values are row-local everywhere this is used, so results are
+    * partitioning-independent. */
+  def spread(df: DataFrame): DataFrame = {
+    // streaming frames cannot be probed with .rdd (AnalysisException) and
+    // get their parallelism from the source's own partitioning — pass
+    // them through untouched (the streaming twins found this in r19)
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS): read as long nanos (see GraftSession's

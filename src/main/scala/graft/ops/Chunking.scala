@@ -43,12 +43,15 @@ object Chunking {
     // shared helper carries the null/empty guard since round 13
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
     val n = size(col("__toks"))
+    // Tables.spread (r19): tokenize + window explode fuse into the scan —
+    // single-core on a single-file input otherwise; no-op on multi-file
+    val spreadDocs = graft.Tables.spread(docs)
     // ceil((n - width)/stride) + 1 via integer math (n > width); else 1
     val nChunks = when(n <= width, lit(1))
       .otherwise(((n - width + stride - 1) / stride).cast("int") + 1)
 
     val sliced: Column = slice(col("__toks"), col("chunk_idx") * stride + 1, lit(width))
-    docs
+    spreadDocs
       .withColumn("__toks", toks)
       .filter(size(col("__toks")) > 0)
       .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))

@@ -177,7 +177,11 @@ object Dedup {
     // branches while the count-guard branch would not, and that one-filter
     // difference breaks plan canonicalization — with it aligned, all four
     // consumers of the banded relation reuse ONE shuffle stage.
-    val notNull = docs.filter(col(idCol).isNotNull)
+    // Tables.spread (r19): shingling+signing is the dominant per-row cost
+    // of this operator and fuses into the SCAN stage — on a single-file
+    // input (the driver's testdata) that stage runs on one core without
+    // the conditional repartition; on real multi-file corpora it's a no-op.
+    val notNull = graft.Tables.spread(docs.filter(col(idCol).isNotNull))
     val signedAll =
       if (portable) {
         val (as, bs) = minhashParams(numHashes)
@@ -235,7 +239,11 @@ object Dedup {
     // measured 7x SLOWER at 30x: it puts the candidate list on both sides
     // of a diamond dependency and defeats subtree reuse.)
     if (verifyExact) {
-      val sh = docs.select(col(idCol), shingleExpr(col(textCol)).as("sh"))
+      // spread for the same reason as the signing pass: this is the
+      // operator's second full-corpus shingle scan (single-core on a
+      // single-file input otherwise)
+      val sh = graft.Tables.spread(docs)
+        .select(col(idCol), shingleExpr(col(textCol)).as("sh"))
       candidates
         .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -305,7 +313,8 @@ object Dedup {
       if (portable) graft.functions.HashExpressions.portableShingleHashes(col(textCol), shingleSize)
       else graft.functions.HashExpressions.wordShingleHashes(col(textCol), shingleSize)
     val (as, bs) = minhashParams(numHashes)
-    docs.filter(col(idCol).isNotNull)
+    // Tables.spread: signing fuses into the scan — see minHashDuplicatePairs
+    graft.Tables.spread(docs.filter(col(idCol).isNotNull))
       .withColumn("__sh", sh)
       .filter(size(col("__sh")) > 0)
       .select(col(idCol),

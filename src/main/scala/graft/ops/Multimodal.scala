@@ -312,7 +312,10 @@ object Multimodal {
       s"imageTable format must be png|jpeg, got $format")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    // Tables.spread (r19): encode is ~50 µs/row and fuses into the scan
+    // stage — single-core on a single-file input without this (no-op on
+    // multi-file corpora)
+    graft.Tables.spread(docs.select(col(idCol).cast("long"))).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false) // no temp file per encode
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       // r19 per-task init (guide §4.5 applied JVM-side): ImageIO.write
@@ -426,7 +429,23 @@ object Multimodal {
     val smallBuckets = banded.groupBy("band", "band_bits")
       .agg(count(col(idCol)).as("__n")).filter(col("__n") <= maxBucket)
       .select("band", "band_bits")
-    val bounded = banded.join(smallBuckets, Seq("band", "band_bits"))
+    // r19: the guard's key domain is BOUNDED BY CONSTRUCTION — at most
+    // Σ_b 2^width(b) distinct (band, band_bits) keys — so when that bound
+    // is broadcast-small (maxHamming ≥ 3 keeps every band ≤ 16 bits →
+    // ≤ 2^20 keys) the guard join carries an explicit hint: with
+    // estimate-driven broadcasts off it would otherwise plan sort-merge
+    // and AQE cannot re-plan it (the agg rides the same exchange as the
+    // join, so no stage boundary separates them). Wider bands (maxHamming
+    // ≤ 2 → ≥ 21-bit keys) keep the co-partitioned join — there the
+    // domain bound is corpus-sized and a forced broadcast would be the
+    // scale hazard this round removed elsewhere.
+    val domainBound = masks.map { m =>
+      val width = java.lang.Long.bitCount(m)
+      if (width >= 40) Long.MaxValue / bands else 1L << width
+    }.sum
+    val guardKeys =
+      if (domainBound <= (1L << 20)) broadcast(smallBuckets) else smallBuckets
+    val bounded = banded.join(guardKeys, Seq("band", "band_bits"))
     val a = bounded.select(col("band"), col("band_bits"),
       col(idCol).as("id_a"), col("__fp").as("fp_a"))
     val b = bounded.select(col("band"), col("band_bits"),
@@ -594,7 +613,8 @@ object Multimodal {
                  nSamples: Int = -1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    // Tables.spread: per-row synth+sha fuses into the scan (see imageTable)
+    graft.Tables.spread(docs.select(col(idCol).cast("long"))).as[Long].mapPartitions { ids =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       ids.map { id =>
         val bytes = syntheticWav(id, nSamples)
@@ -748,7 +768,8 @@ object Multimodal {
   def videoTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    // Tables.spread: per-row synth+sha fuses into the scan (see imageTable)
+    graft.Tables.spread(docs.select(col(idCol).cast("long"))).as[Long].mapPartitions { ids =>
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       ids.map { id =>
         val bytes = syntheticMp4(id)

@@ -54,7 +54,11 @@ class ContractSpec extends AnyFunSuite {
     // +q_migrate_pgwire (config-driven migration into a LIVE PostgreSQL
     // over the v3 wire client; memory-connector fallback where no server
     // can run — same canonical rows, same oracle)
-    assert(SparkEntry.queries.size == 182, SparkEntry.queries.size.toString)
+    // round 18 (post-snapshot): +q_ann_margin_mine_ivf (the 100 TB margin
+    // mining composition — marginFromNeighbors over ivfTopK lists — with
+    // the full IVF tier replayed in the oracle; the count bump was missed
+    // in that commit and caught by this spec in r19's inherited-state check)
+    assert(SparkEntry.queries.size == 183, SparkEntry.queries.size.toString)
   }
 
   test("EVERY gated query is oracle-adjudicated (no rows-only gates)") {
