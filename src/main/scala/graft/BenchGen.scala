@@ -60,10 +60,16 @@ object BenchGen {
     // genuinely wants the parallel scan.
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
-    def writeSpread(df: DataFrame, t: String): Unit = {
+    // rowsPerFile differs by row weight: fact rows are narrow numerics
+    // (~150k rows/file keeps scan tasks meaningful), corpus rows carry
+    // text/vectors with heavy per-row compute downstream (shingling,
+    // chunk+embed, image codec), so they spread at ~6.25k rows/file — a
+    // parquet file is ONE row group here, and a row group is the minimum
+    // parallel read unit, so the file count IS the scan parallelism.
+    def writeSpread(df: DataFrame, t: String, rowsPerFile: Long): Unit = {
       val rows = df.count()
       val nFiles = math.max(1L, math.min(2L * spark.sparkContext.defaultParallelism,
-        (rows + 149999) / 150000)).toInt
+        (rows + rowsPerFile - 1) / rowsPerFile)).toInt
       val spread = if (nFiles == 1) df.coalesce(1) else df.repartition(nFiles)
       spread.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
@@ -76,14 +82,14 @@ object BenchGen {
 
     writeSpread(read("lineitem").crossJoin(copies)
       .withColumn("l_orderkey", col("l_orderkey") + col("__k") * Shift)
-      .drop("__k"), "lineitem")
+      .drop("__k"), "lineitem", 150000)
     writeSpread(read("orders").crossJoin(copies)
       .withColumn("o_orderkey", col("o_orderkey") + col("__k") * Shift)
-      .drop("__k"), "orders")
+      .drop("__k"), "orders", 150000)
     writeSpread(read("events").crossJoin(copies)
       .withColumn("event_id", col("event_id") + col("__k") * Shift)
       .withColumn("user_id", col("user_id") + col("__k") * Shift)
-      .drop("__k"), "events")
+      .drop("__k"), "events", 150000)
 
     // documents: per-copy token SUFFIX — a vocabulary bijection, so
     // within-copy similarity is preserved exactly and cross-copy shingle
@@ -97,7 +103,7 @@ object BenchGen {
       .withColumn("doc_id", col("doc_id") + col("__k") * Shift)
       .withColumn("n_chars", length(col("text")))
       .drop("__k")
-    writeSpread(salted, "documents")
+    writeSpread(salted, "documents", 6250)
 
     val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
     writeSpread(read("embeddings").crossJoin(copies)
@@ -106,7 +112,7 @@ object BenchGen {
           transform(sequence(lit(0), lit(dim - 1)),
             j => (hash(col("vec_id"), col("__k"), j) % 1000).cast("float") / 1000.0f)))
       .withColumn("vec_id", col("vec_id") + col("__k") * Shift)
-      .drop("__k"), "embeddings")
+      .drop("__k"), "embeddings", 6250)
   }
 
   def main(args: Array[String]): Unit = {

@@ -16,6 +16,18 @@ object QTime {
     val qs = SparkEntry.queries ++ Bench.benchOnly
     // JIT warm like Bench: repeated calibration until stable
     (1 to 8).foreach(_ => Bench.calibrate(spark))
+    // SPARK_GRAFT_QTIME_STAGES=1: per-stage wall/tasks for the LAST sample
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, Long)]()
+    if (sys.env.get("SPARK_GRAFT_QTIME_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          stages.put(i.stageId,
+            (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+              i.numTasks, i.taskMetrics.executorRunTime))
+        }
+      })
     names.foreach { n =>
       val q = qs(n)
       try q(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
@@ -28,6 +40,13 @@ object QTime {
       val med = times(times.length / 2)
       val iqr = times(times.length * 3 / 4) - times(times.length / 4)
       println(f"[qtime] $n%-28s median ${med}%.3f s  iqr ${iqr}%.3f  min ${times.head}%.3f")
+      if (!stages.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        stages.asScala.toSeq.sortBy(_._1).foreach { case (id, (ms, nt, run)) =>
+          println(f"[qtime]   stage $id%4d wall ${ms}%6d ms  tasks=$nt%3d  taskRunSum ${run}%6d ms")
+        }
+        stages.clear()
+      }
     }
     spark.stop()
     sys.exit(0)

@@ -32,6 +32,7 @@ object Tables {
     // get their parallelism from the source's own partitioning — pass
     // them through untouched (the streaming twins found this in r19)
     if (df.isStreaming) return df
+    if (sys.env.get("SPARK_GRAFT_SPREAD").contains("off")) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }

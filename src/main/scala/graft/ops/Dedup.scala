@@ -172,16 +172,19 @@ object Dedup {
     def shingleExpr(c: org.apache.spark.sql.Column) =
       if (portable) graft.functions.HashExpressions.portableShingleHashes(c, shingleSize)
       else graft.functions.HashExpressions.wordShingleHashes(c, shingleSize)
+    // NO Tables.spread here (r19, measured): after the shingle-kernel
+    // rework the sign pass is cheap enough that a pre-shuffle of the text
+    // costs more than the single-core scan it parallelizes — spread(docs)
+    // read 1.00→1.50 s at sf0.1 and 2.45→2.63 s at sf1 (the band
+    // repartition right below is already the operator's parallelism
+    // boundary). The compute-bound paths that DO win keep it
+    // (chunkByTokens, the multimodal fixture tables).
     // Explicit id-not-null upfront (a null id could never appear in the
     // pair output anyway): the self-join below INFERS isnotnull on its
     // branches while the count-guard branch would not, and that one-filter
     // difference breaks plan canonicalization — with it aligned, all four
     // consumers of the banded relation reuse ONE shuffle stage.
-    // Tables.spread (r19): shingling+signing is the dominant per-row cost
-    // of this operator and fuses into the SCAN stage — on a single-file
-    // input (the driver's testdata) that stage runs on one core without
-    // the conditional repartition; on real multi-file corpora it's a no-op.
-    val notNull = graft.Tables.spread(docs.filter(col(idCol).isNotNull))
+    val notNull = docs.filter(col(idCol).isNotNull)
     val signedAll =
       if (portable) {
         val (as, bs) = minhashParams(numHashes)
@@ -239,11 +242,7 @@ object Dedup {
     // measured 7x SLOWER at 30x: it puts the candidate list on both sides
     // of a diamond dependency and defeats subtree reuse.)
     if (verifyExact) {
-      // spread for the same reason as the signing pass: this is the
-      // operator's second full-corpus shingle scan (single-core on a
-      // single-file input otherwise)
-      val sh = graft.Tables.spread(docs)
-        .select(col(idCol), shingleExpr(col(textCol)).as("sh"))
+      val sh = docs.select(col(idCol), shingleExpr(col(textCol)).as("sh"))
       candidates
         .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -313,8 +312,7 @@ object Dedup {
       if (portable) graft.functions.HashExpressions.portableShingleHashes(col(textCol), shingleSize)
       else graft.functions.HashExpressions.wordShingleHashes(col(textCol), shingleSize)
     val (as, bs) = minhashParams(numHashes)
-    // Tables.spread: signing fuses into the scan — see minHashDuplicatePairs
-    graft.Tables.spread(docs.filter(col(idCol).isNotNull))
+    docs.filter(col(idCol).isNotNull)
       .withColumn("__sh", sh)
       .filter(size(col("__sh")) > 0)
       .select(col(idCol),
