@@ -66,13 +66,17 @@ object BenchGen {
     // chunk+embed, image codec), so they spread at ~6.25k rows/file — a
     // parquet file is ONE row group here, and a row group is the minimum
     // parallel read unit, so the file count IS the scan parallelism.
-    def writeSpread(df: DataFrame, t: String, rowsPerFile: Long): Unit = {
-      val rows = df.count()
+    // rows arrives ARITHMETICALLY (source count × factor — the source
+    // count is parquet metadata, free) instead of df.count(): counting the
+    // replicated frame ran the full crossJoin+transform once and the write
+    // re-ran it, doubling generation cost (ADVICE r19).
+    def writeSpread(df: DataFrame, t: String, rowsPerFile: Long, rows: Long): Unit = {
       val nFiles = math.max(1L, math.min(2L * spark.sparkContext.defaultParallelism,
         (rows + rowsPerFile - 1) / rowsPerFile)).toInt
       val spread = if (nFiles == 1) df.coalesce(1) else df.repartition(nFiles)
       spread.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    def srcRows(t: String): Long = read(t).count() // parquet metadata count
     val copies = spark.range(factor).select(col("id").as("__k"))
 
     // dimensions pass through unchanged (shared across replicas, like a
@@ -82,14 +86,14 @@ object BenchGen {
 
     writeSpread(read("lineitem").crossJoin(copies)
       .withColumn("l_orderkey", col("l_orderkey") + col("__k") * Shift)
-      .drop("__k"), "lineitem", 150000)
+      .drop("__k"), "lineitem", 150000, srcRows("lineitem") * factor)
     writeSpread(read("orders").crossJoin(copies)
       .withColumn("o_orderkey", col("o_orderkey") + col("__k") * Shift)
-      .drop("__k"), "orders", 150000)
+      .drop("__k"), "orders", 150000, srcRows("orders") * factor)
     writeSpread(read("events").crossJoin(copies)
       .withColumn("event_id", col("event_id") + col("__k") * Shift)
       .withColumn("user_id", col("user_id") + col("__k") * Shift)
-      .drop("__k"), "events", 150000)
+      .drop("__k"), "events", 150000, srcRows("events") * factor)
 
     // documents: per-copy token SUFFIX — a vocabulary bijection, so
     // within-copy similarity is preserved exactly and cross-copy shingle
@@ -103,7 +107,7 @@ object BenchGen {
       .withColumn("doc_id", col("doc_id") + col("__k") * Shift)
       .withColumn("n_chars", length(col("text")))
       .drop("__k")
-    writeSpread(salted, "documents", 6250)
+    writeSpread(salted, "documents", 6250, srcRows("documents") * factor)
 
     val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
     writeSpread(read("embeddings").crossJoin(copies)
@@ -112,7 +116,7 @@ object BenchGen {
           transform(sequence(lit(0), lit(dim - 1)),
             j => (hash(col("vec_id"), col("__k"), j) % 1000).cast("float") / 1000.0f)))
       .withColumn("vec_id", col("vec_id") + col("__k") * Shift)
-      .drop("__k"), "embeddings", 6250)
+      .drop("__k"), "embeddings", 6250, srcRows("embeddings") * factor)
   }
 
   def main(args: Array[String]): Unit = {

@@ -31,15 +31,26 @@ object QTime {
     names.foreach { n =>
       val q = qs(n)
       try q(spark, sfDir).count() catch { case _: Throwable => () } // warm-up
-      val times = (1 to samples).map { _ =>
+      // failed samples are EXCLUDED from the stats (ADVICE r19): a throwing
+      // query's tiny wall time would otherwise fold into the median and
+      // report a flaky query as misleadingly fast
+      var failed = 0
+      val times = (1 to samples).flatMap { _ =>
         val t0 = System.nanoTime()
-        try q(spark, sfDir).count() catch { case e: Throwable =>
-          System.err.println(s"[qtime] $n sample failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { q(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[qtime] $n sample failed: ${e.getMessage}")
+            failed += 1; false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
-      val med = times(times.length / 2)
-      val iqr = times(times.length * 3 / 4) - times(times.length / 4)
-      println(f"[qtime] $n%-28s median ${med}%.3f s  iqr ${iqr}%.3f  min ${times.head}%.3f")
+      if (times.isEmpty) println(f"[qtime] $n%-28s ALL $failed%d SAMPLES FAILED")
+      else {
+        val med = times(times.length / 2)
+        val iqr = times(times.length * 3 / 4) - times(times.length / 4)
+        val tag = if (failed > 0) s"  FAILED $failed/$samples" else ""
+        println(f"[qtime] $n%-28s median ${med}%.3f s  iqr ${iqr}%.3f  min ${times.head}%.3f$tag")
+      }
       if (!stages.isEmpty) {
         import scala.jdk.CollectionConverters._
         stages.asScala.toSeq.sortBy(_._1).foreach { case (id, (ms, nt, run)) =>

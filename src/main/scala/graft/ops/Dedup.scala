@@ -243,13 +243,41 @@ object Dedup {
     // of a diamond dependency and defeats subtree reuse.)
     if (verifyExact) {
       val sh = docs.select(col(idCol), shingleExpr(col(textCol)).as("sh"))
-      candidates
-        .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("jaccard",
-          round(graft.functions.HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+      sys.env.getOrElse("SPARK_GRAFT_MINHASH_PREFILTER", "off") match {
+        case "semi" =>
+          // A/B variant (r20, guide §3.2): materialize the candidate list
+          // (output-bounded), semi-join the shingle table down to candidate
+          // ids BEFORE its exchange — only candidate rows' shingle arrays
+          // shuffle. The extra cost is one localCheckpoint of the tiny
+          // candidate table (which also cuts the r19-measured diamond that
+          // made the unmaterialized semi-join 7× slower).
+          // MEASURED r20 under the AQE-broadcast configs and re-REJECTED:
+          // sf1 1.17 → 1.54 s, sf0.1 0.84 → 1.05 s medians — the
+          // checkpoint + semi-join exchange cost more than the ~21 MB
+          // (id, shingle-array) shuffle they remove at these scales. Kept
+          // as an env-selectable shape because the trade flips when the
+          // shingle shuffle outgrows the candidate set (wide docs, high
+          // dup rate) — the default stays the measured winner.
+          val cand = Materialize(candidates)
+          val ids = cand.select(col("id_a").as(idCol))
+            .union(cand.select(col("id_b").as(idCol))).distinct()
+          val shc = sh.join(ids, Seq(idCol), "left_semi")
+          cand
+            .join(shc.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+            .join(shc.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+            .withColumn("jaccard",
+              round(graft.functions.HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
+            .filter(col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        case _ =>
+          candidates
+            .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+            .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+            .withColumn("jaccard",
+              round(graft.functions.HashExpressions.sortedJaccard(col("sh_a"), col("sh_b")), 6))
+            .filter(col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+      }
     } else {
       // estimate mode: join the fixed-width signatures, never the shingles
       val sig = signed.select(col(idCol), col("minhash_sig"))
@@ -650,10 +678,22 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair list: the stage that
     * turns pairwise matches into dedup CLUSTERS (a~b, b~c ⇒ {a,b,c}).
-    * Iterative min-label propagation: each vertex repeatedly adopts the
-    * smallest label among itself and its neighbors — one join + one
-    * aggregate per iteration, converging in O(diameter) rounds (near-dup
-    * graphs are shallow: mostly cliques and short chains). Deterministic.
+    * Iterative min-label propagation WITH pointer jumping: each round every
+    * vertex (1) adopts the smallest label among itself and its neighbors,
+    * then (2) shortcuts through the previous round's label table
+    * (path-halving on the label forest). Propagation alone converges in
+    * O(diameter) rounds; the jump compresses label chains so the round
+    * count drops to O(log diameter) — each round is one fixed-size job,
+    * so on long chains (typo ladders, digit-edit graphs) this cuts the
+    * sequential-job count, the dominant cost of the stage. Deterministic.
+    *
+    * Invariants that make the jump sound: labels only decrease, start at
+    * `id`, and every label value is the id of a node in the same component
+    * — so `labels(p)` is defined for any propagated label `p` and is
+    * itself a same-component id ≤ p. At the observed fixpoint neither
+    * step changed anything, which forces label(u) = label(v) across every
+    * edge, i.e. exactly the min-id-per-component labeling the pure
+    * propagation loop returns.
     *
     * @return (id, component) — component = smallest id in the cluster.
     */
@@ -676,15 +716,37 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "dst_comp"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("dst_comp").as("nbr_comp"))
+      val prop = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("__p"))
+      // pointer jump THROUGH THE MATERIALIZED previous labels: __p is a
+      // node id, so labels(__p) is defined and ≤ __p (labels only
+      // decrease, start at id). Joining the checkpointed `labels` — not a
+      // projection of `prop` — keeps the propagate subtree evaluated ONCE
+      // per round (a prop self-join re-ran the join+aggregate twice: no
+      // ReusedExchange, the two references sit under different keys).
+      // Path-halving on the label forest: O(log diameter) rounds instead
+      // of O(diameter), for one extra join against an already-materialized
+      // table. GATED to round ≥ 3: clique-shaped near-dup graphs (the
+      // common case) converge in 2 rounds where the jump is a pure no-op
+      // tax (r20 measured ~+0.1 s/round at gate scale), while any graph
+      // still going by round 3 is chain-shaped and gets the acceleration —
+      // plus convergence-within-maxIter for chains up to 2^maxIter, where
+      // pure propagation silently stopped at depth maxIter.
+      val jumped =
+        if (iter < 2) prop.select(col("id"), col("__old"), col("__p").as("comp"))
+        else prop.join(
+            labels.select(col("id").as("__jid"), col("comp").as("__jcomp")),
+            prop("__p") === col("__jid"), "left_outer")
+          .select(col("id"), col("__old"),
+            least(col("__p"), coalesce(col("__jcomp"), col("__p"))).as("comp"))
       // Convergence detection rides the SAME job that materializes the new
       // labels (Dataset.observe counted during the eager materialization) —
       // the alternative, a separate join-and-count action per round, would
       // double the per-iteration work at scale.
       val obs = new org.apache.spark.sql.Observation()
-      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          coalesce(col("nbr_comp") < col("comp"), lit(false)).as("__changed"))
+      val updated = jumped
+        .select(col("id"), col("comp"), (col("comp") < col("__old")).as("__changed"))
         .observe(obs, sum(when(col("__changed"), 1L).otherwise(0L)).as("n_changed"))
         .drop("__changed")
       labels = Materialize(updated) // truncate the iterative lineage

@@ -43,6 +43,23 @@ object PipelineQueries {
       s"list_transform(range(1, length($expr)+1), c -> CAST(unicode($expr[c]) AS BIGINT))), " +
       "(a, x) -> (a*131 + x) % 2147483647)"
 
+  /** The k-hash MinHash signature as ONE vectorized GROUP BY over the
+    * unnested shingle hashes (r20): DuckDB evaluated the nested
+    * `list_transform(range(0,k), j -> list_min(list_transform(sh, …)))`
+    * lambdas interpreted, per element per hash (~1 s per consuming gate at
+    * sf0.01); k plain `min()` aggregates over an unnest are ~50× cheaper
+    * and build the identical list (same int64 math, same order).
+    * Expects an `nz(doc_id, sh)` CTE in scope; emits `ex2` and a
+    * MATERIALIZED `sg(doc_id, sig)`. Constants from the same Scala source
+    * as the Spark kernel ([[graft.ops.Dedup.minhashParams]]). */
+  private def sigGroupByCtes(numHashes: Int): String = {
+    val (as, bs) = graft.ops.Dedup.minhashParams(numHashes)
+    val terms = as.zip(bs).map { case (a, b) =>
+      s"min(($a*x + $b) % 2147483647)" }.mkString(", ")
+    "ex2 AS (SELECT doc_id, unnest(sh) AS x FROM nz), " +
+      s"sg AS MATERIALIZED (SELECT doc_id, [$terms] AS sig FROM ex2 GROUP BY doc_id)"
+  }
+
   // null/empty-safe lowercased token list (NULL text → empty list on the
   // Spark side too: the portable kernels emit [] there)
   private val ltoksSql =
@@ -50,17 +67,54 @@ object PipelineQueries {
       "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
 
   // FastSS deletion-neighborhood pair CTEs, shared by the pair gate and
-  // the canonical-variants (connected components) gate
+  // the canonical-variants (connected components) gate. MATERIALIZED on
+  // every multi-referenced CTE: DuckDB (1.x) INLINES plain CTEs per
+  // reference, so without it `v a JOIN v b` re-derived the whole variant
+  // explode twice and each downstream consumer re-ran the chain again
+  // (r20 measured: q_fuzzy_canonical oracle 9.3 s → 0.2 s with the
+  // materializations + the unrolled component CTEs below).
   private val fastssCtes =
-    "s AS (SELECT c_custkey AS id, c_name AS str FROM customer " +
+    "s AS MATERIALIZED (SELECT c_custkey AS id, c_name AS str FROM customer " +
       "WHERE c_name IS NOT NULL), " +
-      "v AS (SELECT id, length(str) AS len, unnest(list_distinct(list_prepend(str, " +
+      "v AS MATERIALIZED (SELECT id, length(str) AS len, unnest(list_distinct(list_prepend(str, " +
       "list_transform(range(1, length(str)+1), i -> " +
       "substring(str, 1, i-1) || substring(str, i+1, length(str)))))) AS var FROM s), " +
       "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM v a JOIN v b " +
       "ON a.var = b.var AND a.id < b.id AND abs(a.len - b.len) <= 1), " +
-      "vf AS (SELECT id_a, id_b, levenshtein(sa.str, sb.str) AS dist " +
+      "vf AS MATERIALIZED (SELECT id_a, id_b, levenshtein(sa.str, sb.str) AS dist " +
       "FROM cand JOIN s sa ON sa.id = cand.id_a JOIN s sb ON sb.id = cand.id_b)"
+
+  /** Min-label connected components over an edge CTE `e(src, dst)` (both
+    * directions present), UNROLLED: each round propagates the minimum
+    * neighbor label, then pointer-jumps (`comp → comp's comp`), so the
+    * label horizon doubles per round — `rounds` rounds converge for any
+    * component diameter ≤ 2^rounds. Produces `c(id, comp)`, comp = min id
+    * of the component, exactly the recursive `reach` CTE's answer.
+    *
+    * Replaces the recursive formulation (r20): `reach` flooded every root
+    * label through its whole component — O(Σ m²·deg) rows — and DuckDB
+    * re-evaluated the inlined edge CTE on every recursion step, which made
+    * the component gates ~8-11 s each at sf0.01 (over half the driver's
+    * oracle budget). The unrolled chain is a fixed set of joins over the
+    * materialized edges: the same four gates now measure 0.05-0.2 s.
+    * Mirrors [[graft.ops.Dedup.connectedComponents]]'s pointer-jumping
+    * rounds; 8 rounds cover diameter 256 — the planted pair graphs and the
+    * digit-edit customer graph measure ≤ 15 at sf0.1 (validated equal to
+    * the recursive CTE at sf0.001/0.01/0.1). */
+  private def ccUnrolledCtes(e: String, rounds: Int = 8): String = {
+    val sb = new StringBuilder(
+      s"l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM $e)")
+    (1 to rounds).foreach { r =>
+      sb.append(
+        s", m$r AS (SELECT $e.dst AS id, min(l.comp) AS nc FROM $e " +
+          s"JOIN l${r - 1} l ON $e.src = l.id GROUP BY $e.dst)" +
+          s", a$r AS MATERIALIZED (SELECT l.id, least(l.comp, coalesce(m.nc, l.comp)) AS comp " +
+          s"FROM l${r - 1} l LEFT JOIN m$r m USING (id))" +
+          s", l$r AS MATERIALIZED (SELECT a1.id, a2.comp FROM a$r a1 JOIN a$r a2 ON a1.comp = a2.id)")
+    }
+    sb.append(s", c AS MATERIALIZED (SELECT id, comp FROM l$rounds)")
+    sb.toString
+  }
 
   // shared by the search gates (Spark call sites AND oracle SQL)
   /** CTEs replaying [[graft.ops.Multimodal.syntheticPng]]'s closed-form
@@ -1018,15 +1072,27 @@ object PipelineQueries {
     val ltoksFrom = "(SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS ltoks FROM documents)"
 
     // planted-fixture near-dup pairs (doc_id < 200, exact Jaccard >= 0.8) —
-    // the ground truth the LSH path must reproduce at recall ~1
+    // the ground truth the LSH path must reproduce at recall ~1.
+    // INVERTED-INDEX form (r20): intersection sizes come from one
+    // unnest-join-groupBy over the (distinct) shingles instead of the
+    // O(n²) pairwise list_intersect — only pairs sharing ≥ 1 shingle
+    // appear, which loses nothing because every consumer filters
+    // j >= 0.8 > 0 (and the old CASE's len-0 branch emitted j = 0.0).
+    // |union| = sza + szb − inter exactly (sh is list_distinct), and the
+    // DOUBLE division + round are the same ops, so j is bit-identical
+    // (validated equal to the pairwise form at sf0.001/0.01/0.1; the
+    // pairwise CASE cost 2.5-8 s per consuming gate at sf0.01, this is
+    // 0.02-0.06 s). MATERIALIZED: DuckDB inlines plain CTEs per reference.
     val plantedPairCtes =
       "d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ltoks " +
         "FROM documents WHERE doc_id < 200), " +
-        s"sh AS (SELECT doc_id, $shingles AS sh FROM d), " +
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 ELSE " +
-        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END, 6) AS j " +
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+        s"sh AS MATERIALIZED (SELECT doc_id, $shingles AS sh FROM d), " +
+        "exd AS MATERIALIZED (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM sh), " +
+        "iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sza, b.sz AS szb, " +
+        "count(*) AS inter FROM exd a JOIN exd b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "p AS MATERIALIZED (SELECT id_a, id_b, " +
+        "round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS j FROM iv)"
 
     // exact cosine top-3 for query set vec_id < 5 — shared by the brute
     // query and the exhaustive-probe IVF query (nProbe = nCells ⇒ identical)
@@ -1127,16 +1193,13 @@ object PipelineQueries {
         val t = ws.sum
         val cuts = ws.scanLeft(0.0)(_ + _ / t).tail
           .map(c => math.floor(c * 2147483647.0).toLong)
-        s"WITH RECURSIVE $plantedPairCtes, " +
-          "e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.8 " +
+        s"WITH $plantedPairCtes, " +
+          "e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.8 " +
           "UNION SELECT id_b, id_a FROM p WHERE j >= 0.8), " +
-          "n AS (SELECT DISTINCT src AS id FROM e), " +
-          "reach(id, r) AS (SELECT id, id FROM n " +
-          "UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id), " +
-          "c AS (SELECT id, min(r) AS comp FROM reach GROUP BY id), " +
-          "rep AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS rep " +
-          "FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d " +
-          "LEFT JOIN c ON c.id = d.doc_id), " +
+          ccUnrolledCtes("e") + ", " +
+          "rep AS (SELECT d2.doc_id, coalesce(c.comp, d2.doc_id) AS rep " +
+          "FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d2 " +
+          "LEFT JOIN c ON c.id = d2.doc_id), " +
           "b AS (SELECT doc_id, ((rep % 2147483647) * 2654435761 + 42) " +
           "% 2147483647 AS b FROM rep) " +
           "SELECT doc_id, CASE " +
@@ -1501,23 +1564,24 @@ object PipelineQueries {
       "q_dedup_minhash_portable" -> {
         // the permutation constants come from the SAME Scala source the
         // Spark kernel uses — interpolated as literals, they cannot drift
-        val (as, bs) = Dedup.minhashParams(16)
-        val aLit = as.mkString("[", ",", "]")
-        val bLit = bs.mkString("[", ",", "]")
+        // (sigGroupByCtes interpolates them). MATERIALIZED on every
+        // multi-referenced CTE: DuckDB inlines plain CTEs per reference,
+        // so `bb a JOIN bb b` re-ran the whole signature pipeline twice
+        // and the verify legs re-ran the shingle pass again (r20: 4.7 s →
+        // 0.2 s at sf0.01, identical rows).
         "WITH d AS (SELECT doc_id, " + ltoksSql + " AS ltoks FROM documents), " +
           "sh0 AS (SELECT doc_id, list_sort(list_distinct(list_transform(" +
           "generate_series(1, greatest(len(ltoks)-2, 0)), i -> " +
           strHashSql("(ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2])") +
           "))) AS sh FROM d), " +
-          "nz AS (SELECT * FROM sh0 WHERE len(sh) > 0), " +
-          s"sg AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> " +
-          s"list_min(list_transform(sh, x -> (($aLit)[j+1]*x + ($bLit)[j+1]) % 2147483647))) AS sig FROM nz), " +
+          "nz AS MATERIALIZED (SELECT * FROM sh0 WHERE len(sh) > 0), " +
+          sigGroupByCtes(16) + ", " +
           "bn AS (SELECT doc_id, unnest(list_transform(range(0, 4), b -> struct_pack(band := b, " +
           "key := list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4] || [b]), " +
           "(a, x) -> (a*131 + x) % 2147483647)))) AS s FROM sg), " +
-          "bands AS (SELECT doc_id, s.band AS band, s.key AS key FROM bn), " +
+          "bands AS MATERIALIZED (SELECT doc_id, s.band AS band, s.key AS key FROM bn), " +
           "g AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= 1000), " +
-          "bb AS (SELECT bands.doc_id, bands.band, bands.key FROM bands JOIN g USING (band, key)), " +
+          "bb AS MATERIALIZED (SELECT bands.doc_id, bands.band, bands.key FROM bands JOIN g USING (band, key)), " +
           "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
           "FROM bb a JOIN bb b USING (band, key) WHERE a.doc_id < b.doc_id), " +
           "v AS (SELECT id_a, id_b, round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 " +
@@ -1535,12 +1599,12 @@ object PipelineQueries {
           "generate_series(1, greatest(len(ltoks)-2, 0)), i -> " +
           strHashSql("(ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2])") +
           "))) AS sh FROM d), " +
-          "nz AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0), " +
-          "ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM nz), " +
+          "nz AS MATERIALIZED (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0), " +
+          "ex AS MATERIALIZED (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM nz), " +
           "dfq AS (SELECT h, count(*) AS df FROM ex GROUP BY h), " +
           "rk AS (SELECT doc_id, sz, h, row_number() OVER (PARTITION BY doc_id " +
           "ORDER BY df, h) AS rn FROM ex JOIN dfq USING (h)), " +
-          "pf AS (SELECT doc_id, sz, h FROM rk WHERE rn <= sz - ceil(sz * 0.4 - 1.0E-9) + 1), " +
+          "pf AS MATERIALIZED (SELECT doc_id, sz, h FROM rk WHERE rn <= sz - ceil(sz * 0.4 - 1.0E-9) + 1), " +
           "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
           "FROM pf a JOIN pf b ON a.h = b.h AND a.doc_id < b.doc_id " +
           "AND least(a.sz, b.sz) >= greatest(a.sz, b.sz) * 0.4 - 1.0E-9), " +
@@ -1599,31 +1663,33 @@ object PipelineQueries {
       // representatives, exact-Jaccard pairs among them, recursive-CTE
       // connected components, keep comp-min or unpaired representatives
       "q_dedup_pipeline" ->
-        ("WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id FROM documents " +
+        // exact-collapse reps → inverted-index exact-Jaccard pairs →
+        // unrolled min-label components (same r20 rework as
+        // plantedPairCtes/ccUnrolledCtes: the pairwise list_intersect join
+        // + recursive reach cost ~8 s at sf0.01, this is 0.05 s, same rows)
+        ("WITH reps AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM documents " +
           "WHERE doc_id < 200 GROUP BY lower(trim(text))), " +
           "d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ltoks " +
           "FROM documents WHERE doc_id IN (SELECT doc_id FROM reps)), " +
-          s"sh AS (SELECT doc_id, $shingles AS sh FROM d), " +
-          "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-          "WHERE round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 ELSE " +
-          "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END, 6) >= 0.8), " +
-          "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
-          "nn AS (SELECT DISTINCT src AS id FROM e), " +
-          "reach(id, r) AS (SELECT id, id FROM nn " +
-          "UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id), " +
-          "c AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
+          s"sh AS MATERIALIZED (SELECT doc_id, $shingles AS sh FROM d), " +
+          "exd AS MATERIALIZED (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM sh), " +
+          "iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sza, b.sz AS szb, " +
+          "count(*) AS inter FROM exd a JOIN exd b ON a.h = b.h AND a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2, 3, 4), " +
+          "p AS MATERIALIZED (SELECT id_a, id_b FROM iv " +
+          "WHERE round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) >= 0.8), " +
+          "e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p " +
+          "UNION SELECT id_b, id_a FROM p), " +
+          ccUnrolledCtes("e") + " " +
           "SELECT doc_id, lang, source FROM documents " +
           "WHERE doc_id IN (SELECT doc_id FROM reps) " +
           "AND (doc_id NOT IN (SELECT id FROM c) " +
           "OR EXISTS (SELECT 1 FROM c WHERE c.id = doc_id AND c.comp = doc_id))"),
       "q_dedup_clusters" ->
-        (s"WITH RECURSIVE $plantedPairCtes, " +
-          "e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.8 " +
+        (s"WITH $plantedPairCtes, " +
+          "e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p WHERE j >= 0.8 " +
           "UNION SELECT id_b, id_a FROM p WHERE j >= 0.8), " +
-          "n AS (SELECT DISTINCT src AS id FROM e), " +
-          "reach(id, r) AS (SELECT id, id FROM n " +
-          "UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id), " +
-          "c AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
+          ccUnrolledCtes("e") + " " +
           "SELECT comp, count(*) AS n_members FROM c GROUP BY comp HAVING count(*) >= 2"),
       "q_sample_stratified" ->
         ("SELECT doc_id, lang FROM documents WHERE " +
@@ -2028,16 +2094,14 @@ object PipelineQueries {
         (s"WITH $fastssCtes " +
           "SELECT id_a, id_b, CAST(dist AS INT) AS dist FROM vf WHERE dist <= 1"),
       "q_fuzzy_canonical" ->
-        // same pair graph, then min-label connected components via a
-        // recursive CTE (the q_dedup_clusters recipe) + canonical names
-        (s"WITH RECURSIVE $fastssCtes, " +
+        // same pair graph, then min-label connected components via the
+        // unrolled pointer-jumping CTEs (the q_dedup_clusters recipe) +
+        // canonical names
+        (s"WITH $fastssCtes, " +
           "pr AS (SELECT id_a, id_b FROM vf WHERE dist <= 1), " +
-          "e AS (SELECT id_a AS src, id_b AS dst FROM pr " +
+          "e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pr " +
           "UNION SELECT id_b, id_a FROM pr), " +
-          "n AS (SELECT DISTINCT src AS id FROM e), " +
-          "reach(id, r) AS (SELECT id, id FROM n " +
-          "UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id), " +
-          "c AS (SELECT id, min(r) AS comp FROM reach GROUP BY id) " +
+          ccUnrolledCtes("e") + " " +
           "SELECT c.id AS c_custkey, s1.str AS c_name, c.comp AS canonical_id, " +
           "s2.str AS canonical FROM c " +
           "JOIN s s1 ON s1.id = c.id JOIN s s2 ON s2.id = c.comp"),
@@ -2126,12 +2190,14 @@ object PipelineQueries {
     val incrementalSql = {
       // both sides' portable signatures from ONE replayed kernel, banded
       // with the polynomial fold, corpus-side bucket guard, batch×corpus
-      // candidate join, signature-match-fraction verify at 0.3
-      val (as, bs) = Dedup.minhashParams(16)
-      val aLit = as.mkString("[", ",", "]")
-      val bLit = bs.mkString("[", ",", "]")
+      // candidate join, signature-match-fraction verify at 0.3.
+      // r20: sigGroupByCtes replaces the per-element lambda signature and
+      // every multi-referenced CTE is MATERIALIZED (DuckDB inlines plain
+      // CTEs per reference — the verify legs re-ran the whole signature
+      // pipeline; 3.6-4.0 s → 0.3 s per incremental gate at sf0.01,
+      // identical rows, and this oracle runs for all THREE trio gates).
       def bandsOf(src: String, out: String) =
-        s"$out AS (SELECT doc_id, s.band AS band, s.key AS key FROM " +
+        s"$out AS MATERIALIZED (SELECT doc_id, s.band AS band, s.key AS key FROM " +
           s"(SELECT doc_id, unnest(list_transform(range(0, 4), b -> struct_pack(band := b, " +
           "key := list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4] || [b]), " +
           s"(a, x) -> (a*131 + x) % 2147483647)))) AS s FROM $src))"
@@ -2140,15 +2206,13 @@ object PipelineQueries {
         "generate_series(1, greatest(len(ltoks)-2, 0)), i -> " +
         strHashSql("(ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2])") +
         "))) AS sh FROM d), " +
-        "nz AS (SELECT * FROM sh0 WHERE len(sh) > 0), " +
-        s"sg AS (SELECT doc_id, list_transform(range(0, 16), j -> " +
-        s"list_min(list_transform(sh, x -> (($aLit)[j+1]*x + ($bLit)[j+1]) % 2147483647))) " +
-        "AS sig FROM nz), " +
-        "corp AS (SELECT * FROM sg WHERE doc_id % 2 = 0), " +
-        "bat AS (SELECT * FROM sg WHERE doc_id % 2 = 1), " +
+        "nz AS MATERIALIZED (SELECT * FROM sh0 WHERE len(sh) > 0), " +
+        sigGroupByCtes(16) + ", " +
+        "corp AS MATERIALIZED (SELECT * FROM sg WHERE doc_id % 2 = 0), " +
+        "bat AS MATERIALIZED (SELECT * FROM sg WHERE doc_id % 2 = 1), " +
         bandsOf("corp", "cb") + ", " + bandsOf("bat", "bb") + ", " +
         "g AS (SELECT band, key FROM cb GROUP BY band, key HAVING count(*) <= 1000), " +
-        "cbg AS (SELECT cb.doc_id, cb.band, cb.key FROM cb JOIN g USING (band, key)), " +
+        "cbg AS MATERIALIZED (SELECT cb.doc_id, cb.band, cb.key FROM cb JOIN g USING (band, key)), " +
         "cand AS (SELECT DISTINCT bb.doc_id AS batch_id, cbg.doc_id AS corpus_id " +
         "FROM cbg JOIN bb USING (band, key) WHERE cbg.doc_id <> bb.doc_id), " +
         "v AS (SELECT batch_id, corpus_id, " +

@@ -26,6 +26,34 @@ class PortableMinHashSpec extends SparkSpec {
     assert(rows(2) == Seq(fold("a b c"), fold("b c a"), fold("c a b")).sorted)
   }
 
+  test("portableShingleHashes inline window fold == PortableStringFold.fold " +
+    "of the joined shingle (property, random unicode)") {
+    // ADVICE r19: the expression inlines the per-codepoint fold for speed;
+    // this property pins it to the ONE spec'd implementation so the two
+    // copies cannot silently diverge. Mixed-plane tokens (ASCII, Latin-1,
+    // CJK, supplementary/surrogate-pair emoji) exercise codePointAt.
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("abz09", "äöüß", "下雨天", "😀🙏")
+    def token(): String = {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      val cps = a.codePoints().toArray
+      (1 to (1 + rnd.nextInt(5))).map(_ =>
+        new String(Character.toChars(cps(rnd.nextInt(cps.length))))).mkString
+    }
+    val texts = (1 to 40).map(_ => (1 to (1 + rnd.nextInt(8))).map(_ => token()).mkString(" "))
+    val got = texts.toDF("text")
+      .select(HashExpressions.portableShingleHashes(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[Long](0))
+    texts.zip(got).foreach { case (t, g) =>
+      val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      val want =
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(w =>
+          graft.functions.PortableStringFold.fold(w.mkString(" "))).toSeq.distinct.sorted
+      assert(g == want, s"text '$t'")
+    }
+  }
+
   test("portable pipeline: reported pairs are true pairs with exact jaccard") {
     val docs = Tables(spark, sf(), "documents").filter(col("doc_id") < 200)
     val got = Dedup.minHashDuplicatePairs(docs, numHashes = 16, numBands = 4,

@@ -137,6 +137,14 @@ class OpsSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L, 23L).forall(comps(_) == 20L))
   }
 
+  test("connectedComponents converges on a 64-node chain within maxIter=20 " +
+    "(pointer jumping: pure propagation would need 63 rounds)") {
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 64 && (1L to 64L).forall(comps(_) == 1L), comps.toString)
+  }
+
   test("keepCanonical keeps one doc per cluster plus all unpaired docs") {
     val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
