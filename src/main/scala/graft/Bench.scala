@@ -85,9 +85,21 @@ object Bench {
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker)).trim == dir
     if (!fresh) {
+      // size-proportional output files (r20, guide §6): the feature frame
+      // inherits the imageTable spread's 32 partitions, which landed 32
+      // near-empty files under a ~16-byte/row table; one file per 150k
+      // rows (the BenchGen fact-table sizing) keeps file count
+      // proportional to bytes. repartition, NOT coalesce — coalesce(1)
+      // would fold the fused image encode+decode into one task, while the
+      // narrow post-feature rows are nearly free to shuffle. (documents
+      // count is parquet metadata — free)
+      val rows = Tables(s, dir, "documents").count()
+      val nFiles = math.max(1L, math.min(
+        2L * s.sparkContext.defaultParallelism, (rows + 149999) / 150000)).toInt
       graft.ops.Multimodal.extractImageFeatures(
           graft.ops.Multimodal.imageTable(Tables(s, dir, "documents")))
         .select(col("media_id"), col("ahash"))
+        .repartition(nFiles)
         .write.mode("overwrite").parquet(out)
       Files.write(marker, (dir + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }

@@ -354,28 +354,75 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Partition-wise REAL image decode: the batch shape a heavyweight codec
-    * needs (per-partition init, one decoder context per task). Typed
-    * Dataset map, so the row↔object bridge is a compiled Encoder, not
-    * reflection per row. Undecodable payloads yield null features, not
-    * task failures. */
-  def extractImageFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      // ImageIO defaults to a DISK-backed stream cache — one temp file
-      // per decode. Measured on 8/16-px PNGs: 0.60 s → 0.14 s per 5k
-      // single-thread and near-linear 16-thread scaling once off (the
-      // temp-file I/O was both the cost and the contention). Memory
-      // caching is strictly right here: payloads are already in memory.
+  /** Catalyst face of [[ImageCodec.decode]] (r20): binary payload →
+    * feature struct, null for undecodable/null payloads. Replaces the
+    * typed-Dataset round trip in [[extractImageFeatures]]: `as[MediaRow]`
+    * deserialized every row into objects (copying the payload AND the
+    * unused `meta` struct through the encoder) and re-encoded seven
+    * Options per row — per-row overhead on the hottest multimodal path
+    * that the expression avoids by reading the binary straight off the
+    * InternalRow and writing one GenericInternalRow. CodegenFallback like
+    * the other heavyweight kernels: eval IS the compiled decode, and the
+    * downstream field extraction stays codegen'd. */
+  private[graft] case class ImageFeaturesExpr(
+      child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${child.dataType.simpleString}")
+    override def dataType: DataType = StructType(Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType), StructField("lum_sum", LongType),
+      StructField("mean_byte", DoubleType), StructField("ahash", LongType),
+      StructField("ahash_bits", StringType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_features"
+
+    // ImageIO defaults to a DISK-backed stream cache — one temp file per
+    // decode. Measured on 8/16-px PNGs: 0.60 s → 0.14 s per 5k
+    // single-thread and near-linear 16-thread scaling once off. One
+    // static setter per deserialized expression instance (idempotent).
+    @transient private lazy val ioInit: Unit =
       javax.imageio.ImageIO.setUseCache(false)
-      rows.map { r =>
-        val f = Option(r.content).flatMap(ImageCodec.decode)
-        MediaImageFeatures(r.media_id, f.map(_.width), f.map(_.height),
-          f.map(_.channels), f.map(_.lumSum), f.map(_.meanByte),
-          f.map(_.aHash), f.map(_.aHashBits))
+
+    override def nullSafeEval(input: Any): Any = {
+      ioInit
+      ImageCodec.decode(input.asInstanceOf[Array[Byte]]) match {
+        case Some(f) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](f.width, f.height, f.channels, f.lumSum, f.meanByte,
+              f.aHash, org.apache.spark.unsafe.types.UTF8String.fromString(f.aHashBits)))
+        case None => null
       }
-    }.toDF()
+    }
+
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression): ImageFeaturesExpr =
+      copy(child = newChild)
+  }
+
+  /** REAL image decode as a Catalyst expression over the payload column:
+    * embarrassingly parallel, null features (not task failures) for
+    * undecodable payloads. Output schema unchanged from the historical
+    * typed-Dataset implementation — (media_id, width, height, channels,
+    * lum_sum, mean_byte, ahash, ahash_bits). The feature struct is
+    * aliased once and field-extracted in a separate projection;
+    * CollapseProject keeps a multiply-referenced non-cheap alias intact,
+    * so the decode runs ONCE per row (plan-asserted in MultimodalSpec). */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val f = GraftColumnBridge.column(
+      ImageFeaturesExpr(GraftColumnBridge.expression(col("content"))))
+    media.select(col("media_id"), f.as("__f"))
+      .select(col("media_id"),
+        col("__f.width").as("width"), col("__f.height").as("height"),
+        col("__f.channels").as("channels"), col("__f.lum_sum").as("lum_sum"),
+        col("__f.mean_byte").as("mean_byte"), col("__f.ahash").as("ahash"),
+        col("__f.ahash_bits").as("ahash_bits"))
   }
 
   /** Image NEAR-duplicate pairs by banded aHash Hamming join — the

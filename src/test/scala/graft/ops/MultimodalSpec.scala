@@ -131,6 +131,14 @@ class MultimodalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("ahash_bits")))
   }
 
+  test("extractImageFeatures evaluates the decode expression ONCE per row " +
+    "(field extraction must not collapse into seven decodes)") {
+    val plan = Multimodal.extractImageFeatures(Multimodal.imageTable(docs))
+      .queryExecution.executedPlan.toString
+    val n = "image_features\\(".r.findAllIn(plan).length
+    assert(n == 1, s"expected exactly one image_features eval in the plan, got $n:\n$plan")
+  }
+
   test("AudioCodec decodes a real WAV to the closed-form sample features") {
     val d = 5L
     val f = Multimodal.AudioCodec.decode(Multimodal.syntheticWav(d)).get
