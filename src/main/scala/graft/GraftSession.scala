@@ -53,6 +53,14 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_AQE_BROADCAST", "10m"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_AQE_SHJ", "128m"))
+      // Shuffle/broadcast/spill block codec (guide §2.3): lz4 is Spark's
+      // default; zstd trades CPU for ratio. A/B'd at sf1 on the
+      // shuffle-heaviest rows each round (r19: ±20% = host noise at
+      // ≤25 MB shuffles; r20 re-run on the multi-file ramp: see
+      // OPTIMIZATION_r20.md) — env-overridable so a cluster with slow
+      // network can flip it without a rebuild.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       // Hash pipelines (rolling hash, MinHash) rely on deterministic 64-bit
       // wraparound; Spark 4's ANSI default would throw on long overflow.

@@ -56,6 +56,23 @@ object ScaleProbe {
       ops.Dedup.minHashDuplicatePairs(docs, threshold = 0.3, verifyExact = false,
         onePerm = true).count())
     time("staged dedup pipeline")(ops.Dedup.fuzzyDedupPipeline(docs, threshold = 0.3).count())
+    // Connected-components pass in ISOLATION (r20 pointer-jumping rework):
+    // a synthetic chain+clique edge mix scaled by `factor` — wall-clock
+    // must track EDGES (linear), with the round count flat-to-log. Chains
+    // of length 64 exercise the jump (pure propagation would need >
+    // maxIter rounds); 5-cliques are the common near-dup shape.
+    time("connected components")({
+      val units = 200L * factor
+      val chain = spark.range(units).selectExpr(
+        "explode(sequence(0, 62)) AS j", "id AS u")
+        .selectExpr("u * 100 + j AS id_a", "u * 100 + j + 1 AS id_b")
+      val clique = spark.range(units).selectExpr(
+        "explode(flatten(transform(sequence(0, 3), i -> " +
+          "transform(sequence(i + 1, 4), k -> struct(i, k))))) AS p", "id AS u")
+        .selectExpr("10000000000L + u * 100 + p.i AS id_a",
+          "10000000000L + u * 100 + p.k AS id_b")
+      ops.Dedup.connectedComponents(chain.unionByName(clique)).count()
+    })
     time("simhash fingerprints")(
       docs.select(ops.Dedup.simHash(col("text")).as("fp")).filter(col("fp") =!= 0).count())
     time("exact dedup")(ops.Dedup.exactDuplicates(docs).count())

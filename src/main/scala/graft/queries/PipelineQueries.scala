@@ -1374,11 +1374,18 @@ object PipelineQueries {
         ("SELECT min(vec_id) AS keep_id, count(*) AS n_copies FROM embeddings " +
           "GROUP BY embedding"),
       "q_dedup_ngram_jaccard" ->
-        (s"WITH sh AS (SELECT doc_id, source, $shingles AS sh FROM $ltoksFrom), " +
-          "p AS (SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b, " +
-          "round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 ELSE " +
-          "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END, 6) AS jaccard " +
-          "FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id) " +
+        // inverted-index intersection counts (r20, the plantedPairCtes
+        // rework applied to the source-blocked face): pairs sharing no
+        // shingle can never reach jaccard >= 0.05 > 0, |union| =
+        // sza + szb − inter exactly, same DOUBLE division + round
+        (s"WITH sh AS MATERIALIZED (SELECT doc_id, source, $shingles AS sh FROM $ltoksFrom), " +
+          "exd AS MATERIALIZED (SELECT doc_id, source, len(sh) AS sz, unnest(sh) AS h FROM sh), " +
+          "p AS (SELECT blk, id_a, id_b, " +
+          "round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard FROM " +
+          "(SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sza, " +
+          "b.sz AS szb, count(*) AS inter FROM exd a JOIN exd b " +
+          "ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2, 3, 4, 5)) " +
           "SELECT * FROM p WHERE jaccard >= 0.05"),
       "q_dedup_cosine" ->
         ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
