@@ -165,14 +165,14 @@ object TextFunctions {
   }
 
   /** Word n-grams WITH multiplicity (lowercased) — unlike [[wordShingles]],
-    * repeats are kept: repetition analysis needs the duplicate mass. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = transform(tokens(text), lower(_))
-    val count = size(toks) - (n - 1)
-    when(count < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+    * repeats are kept: repetition analysis needs the duplicate mass.
+    * One-pass compiled kernel (r20): the HOF formulation re-evaluated the
+    * whole tokenize subtree per window — O(len²) per doc (see
+    * [[WordNgramsExpr]]); values byte-identical, property-pinned. */
+  def wordNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      WordNgramsExpr(org.apache.spark.sql.GraftColumnBridge.expression(text), n,
+        distinct = false))
 
   /** PII redaction: emails, IPv4 addresses, then phone-shaped digit runs,
     * replaced by typed placeholder tags. Patterns are deliberately within
@@ -187,14 +187,13 @@ object TextFunctions {
   def redactPii(text: Column): Column =
     piiRules.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
 
-  /** Word n-gram shingles over whitespace tokens — input to n-gram Jaccard. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = transform(tokens(text), lower(_))
-    val count = size(toks) - (n - 1)
-    when(count < 1, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles over whitespace tokens — input to n-gram Jaccard.
+    * One-pass compiled kernel (r20, see [[wordNgrams]]); first-occurrence
+    * dedup = array_distinct semantics. */
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      WordNgramsExpr(org.apache.spark.sql.GraftColumnBridge.expression(text), n,
+        distinct = true))
 
   /** |A ∩ B| / |A ∪ B| over two string-array columns. */
   def jaccard(a: Column, b: Column): Column = {
