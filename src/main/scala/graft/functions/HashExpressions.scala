@@ -74,6 +74,15 @@ object HashExpressions {
     GraftColumnBridge.column(SortedLongJaccardExpr(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Merge-join Jaccard over two SORTED (binary order) distinct STRING
+    * arrays — [[SortedStringJaccardExpr]], the string face of
+    * [[sortedJaccard]] (r20): array_intersect/array_union built two hash
+    * sets per PAIR on the quadratic-by-design blocked-jaccard path; the
+    * two-pointer merge is allocation-free per pair. */
+  def sortedStringJaccard(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedStringJaccardExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Fraction of positions where two equal-length MinHash signatures
     * agree — the standard unbiased estimator of Jaccard similarity
     * (each component matches with probability J). */
@@ -798,6 +807,78 @@ case class SortedLongJaccardExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): SortedLongJaccardExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Merge-join Jaccard over two SORTED (binary/array_sort order) distinct
+  * STRING arrays (r20): the string face of [[SortedLongJaccardExpr]]. The
+  * blocked-jaccard verify evaluated `array_intersect`/`array_union` —
+  * two hash sets allocated per candidate PAIR, the hottest loop of the
+  * quadratic-by-design q_dedup_ngram_jaccard path; the two-pointer merge
+  * over per-DOC-sorted arrays is allocation-free per pair. UTF8String
+  * comparison is the same binary order array_sort applies, so
+  * |∩|/|∪| is exactly the set Jaccard the old formulation computed
+  * (inputs distinct by construction). */
+case class SortedStringJaccardExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_string_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - c
+    if (union == 0) 0.0 else c.toDouble / union.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cmp = ctx.freshName("cmp")
+      val u = ctx.freshName("u")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |}
+         |int $u = $na + $nb - $c;
+         |${ev.value} = ($u == 0) ? 0.0 : ((double) $c) / $u;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SortedStringJaccardExpr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -639,12 +639,18 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, idCol: String = "doc_id",
                         textCol: String = "text", shingleSize: Int = 3,
                         threshold: Double = 0.2): DataFrame = {
+    // Shingle arrays sorted ONCE per doc so the per-pair verify is the
+    // allocation-free two-pointer merge (r20): array_intersect/array_union
+    // built two hash sets per candidate pair — the hottest loop of this
+    // deliberately-quadratic face (sf0.1, source-blocked: 8.9 → 3.2 s).
+    // Sorting does not change the SET, so |∩|/|∪| is value-identical.
     val sh = docs.select(col(blockCol).as("blk"), col(idCol),
-      TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
+      sort_array(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
     val a = sh.select(col("blk"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col(idCol).as("id_b"), col("sh").as("sh_b"))
     a.join(b, "blk").filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", round(
+        graft.functions.HashExpressions.sortedStringJaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("jaccard"))
   }

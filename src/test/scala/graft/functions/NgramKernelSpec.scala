@@ -53,4 +53,23 @@ class NgramKernelSpec extends SparkSpec {
       }
     }
   }
+
+  test("sortedStringJaccard over sorted shingles == array_intersect/union " +
+    "jaccard over unsorted (property)") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("a", "bb", "c d", "Ü", "词", "😀", "zz9")
+    val pairs = (1 to 60).map { _ =>
+      def arr() = (0 until rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .distinct
+      (arr(), arr())
+    } :+ ((Seq.empty[String], Seq.empty[String])) :+ ((Seq("a"), Seq.empty[String]))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(graft.functions.HashExpressions.sortedStringJaccard(
+      sort_array(col("a")), sort_array(col("b")))).collect().map(_.getDouble(0))
+    val want = df.select(graft.functions.TextFunctions.jaccard(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    got.zip(want).zip(pairs).foreach { case ((g, w), p) =>
+      assert(g == w, s"pair $p")
+    }
+  }
 }
